@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query (the data-check full-outer-join diff,
+the reference's flagship correctness feature — SURVEY.md §2.7) at sf0.001.
+``queries()`` exposes one callable per implemented operator from SURVEY.md §2;
+``oracle_sql()`` gives the DuckDB-equivalent SQL for the correctness gate.
+Column names/aliases match exactly between the two sides.
 """
 
 from __future__ import annotations
@@ -12,27 +12,396 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from ape_dts_spark import demo
+from ape_dts_spark.config.rdb_filter import RdbFilter
+from ape_dts_spark.model.changes import reverse_events, split_updates
+from ape_dts_spark.operators.checker import check_diff, check_summary, revise_rows
+from ape_dts_spark.operators.merge import compact_changes
+from ape_dts_spark.operators.sampling import mod_sample
+from ape_dts_spark.router import RdbRouter
+from ape_dts_spark.sinks.soft_delete import resolve_latest, to_soft_delete_rows
+from ape_dts_spark.sources.snapshot import SnapshotSource
+
+
+def _flatten_stream(df: DataFrame) -> DataFrame:
+    """Change stream -> flat columns (structs render differently across engines)."""
+    return df.select(
+        "schema",
+        "tb",
+        "row_type",
+        F.col("before.user_id").alias("before_user_id"),
+        F.col("before.value").alias("before_value"),
+        F.col("after.user_id").alias("after_user_id"),
+        F.col("after.value").alias("after_value"),
+        "seq",
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def q_snapshot_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot scan with config-driven predicate pushdown + column pruning
+    (SURVEY §2.1/§2.3; mysql_snapshot_extractor.rs chunked scan semantics)."""
+    filt = RdbFilter(
+        where_conditions='[{"db": "default", "tb": "lineitem", "condition": "l_quantity > 25 AND l_discount < 0.05"}]',
+        ignore_cols='[{"db": "default", "tb": "lineitem", "ignore_cols": ["l_comment", "l_tax", "l_shipdate"]}]',
+    )
+    src = SnapshotSource(spark, filter=filt)
+    return src.read_table(sf_dir, "lineitem")
+
+
+def q_snapshot_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic key-mod sampling (check sampling, docs/en/snapshot/check.md:7-15)."""
+    return mod_sample(demo.load(spark, sf_dir, "orders"), "o_orderkey", 100, 10)
+
+
+def q_event_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """do_events event-type filter (rdb_filter.rs:99-104)."""
+    filt = RdbFilter(do_events="insert,delete")
+    stream = demo.users_change_stream(spark, sf_dir)
+    keep = [rt for rt in ("insert", "update", "delete") if not filt.filter_event(rt)]
+    return _flatten_stream(stream.filter(F.col("row_type").isin(keep)))
+
+
+def q_time_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC start/end time window (dt-common/src/time_filter.rs:6-49)."""
+    ev = demo.load(spark, sf_dir, "events")
+    return ev.filter(
+        (F.col("ts") >= F.lit("2024-01-10 00:00:00").cast("timestamp"))
+        & (F.col("ts") < F.lit("2024-01-20 00:00:00").cast("timestamp"))
+    ).select("event_id", "user_id", "event_type", "value")
+
+
+def q_route_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column routing/rename (rdb_router.rs:247-260) — zero-cost projection."""
+    router = RdbRouter(
+        col_map='[{"db": "default", "tb": "customer", "col_map": {"c_custkey": "id", "c_name": "name", "c_acctbal": "balance"}}]'
+    )
+    src = SnapshotSource(spark, router=router)
+    return src.read_table(sf_dir, "customer")
+
+
+def q_reverse_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undo-event generation (row_data.rs:77-94; sql_sinker reverse mode)."""
+    return _flatten_stream(reverse_events(demo.users_change_stream(spark, sf_dir)))
+
+
+def q_update_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """update -> delete+insert split (row_data.rs:96-115)."""
+    out = split_updates(demo.users_change_stream(spark, sf_dir))
+    return out.select(
+        "schema",
+        "tb",
+        "row_type",
+        F.col("before.user_id").alias("before_user_id"),
+        F.col("before.value").alias("before_value"),
+        F.col("after.user_id").alias("after_user_id"),
+        F.col("after.value").alias("after_value"),
+        "seq",
+        "sub_seq",
+    )
+
+
+def q_merge_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-set compaction, mergeable path (rdb_merger.rs:48-143)."""
+    compacted, _ = compact_changes(demo.users_change_stream(spark, sf_dir), ["user_id"])
+    return compacted.select(
+        "schema",
+        "tb",
+        "user_id",
+        "op",
+        F.col("after.user_id").alias("after_user_id"),
+        F.col("after.value").alias("after_value"),
+        "seq",
+    )
+
+
+def q_merge_spill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unmergeable spill path: NULL keys + key-changing updates (rdb_merger.rs:159-186)."""
+    _, spilled = compact_changes(demo.users_change_stream(spark, sf_dir), ["user_id"])
+    return _flatten_stream(spilled)
+
+
+def q_checker_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data check: full-outer-join miss/diff/extra classification (SURVEY §2.7)."""
+    src = demo.load(spark, sf_dir, "orders")
+    dst = demo.drifted_orders(spark, sf_dir)
+    d = check_diff(src, dst, ["o_orderkey"], include_extra=True)
+    return d.select(
+        "o_orderkey",
+        "check_class",
+        F.array_join("diff_cols", ",").alias("diff_cols"),
+        F.col("src.o_totalprice").alias("src_totalprice"),
+        F.col("dst.o_totalprice").alias("dst_totalprice"),
+    )
+
+
+def q_checker_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Check summary counts (check_log.rs:90-158)."""
+    src = demo.load(spark, sf_dir, "orders")
+    dst = demo.drifted_orders(spark, sf_dir)
+    return check_summary(check_diff(src, dst, ["o_orderkey"], include_extra=True))
+
+
+def q_revise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revise: re-read flagged keys from source for target repair
+    (docs/en/snapshot/revise.md; base_check_extractor.rs:16-51)."""
+    src = demo.load(spark, sf_dir, "orders")
+    dst = demo.drifted_orders(spark, sf_dir)
+    d = check_diff(src, dst, ["o_orderkey"])
+    return revise_rows(d, src, ["o_orderkey"]).select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+def q_soft_delete_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse/StarRocks append-only upsert emulation + merge-on-read
+    resolution (clickhouse_sinker.rs:18-19) — final table state."""
+    rows = to_soft_delete_rows(demo.users_change_stream(spark, sf_dir))
+    return resolve_latest(rows, ["schema", "tb", "user_id"])
+
+
+def q_data_marker_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-way-sync origin filtering (data_marker.rs:9-80): drop events whose
+    origin node is our own echo."""
+    stream = demo.users_change_stream(spark, sf_dir).withColumn(
+        "origin_node",
+        F.when(F.col("seq") % 5 == 0, F.lit("node_b")).otherwise(F.lit("node_a")),
+    )
+    return _flatten_stream(stream.filter(F.col("origin_node") != "node_b"))
+
+
+# -- relational operators Spark provides natively (SURVEY §2.10) -----------
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style aggregation (decimal-exact for cross-engine determinism)."""
+    l = demo.load(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("decimal(18,2)").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("decimal(18,2)").alias("sum_base_price"),
+            F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount")))
+            .cast("decimal(28,4)")
+            .alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join pipeline: customer ⋈ orders ⋈ nation with broadcast dims."""
+    c = demo.load(spark, sf_dir, "customer")
+    o = demo.load(spark, sf_dir, "orders")
+    n = demo.load(spark, sf_dir, "nation")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("decimal(18,2)").alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+def q_top_orders_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window top-k per group."""
+    o = demo.load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# driver contract
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the data-check diff on sf0.001."""
+    return q_checker_diff(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "snapshot_scan": q_snapshot_scan,
+        "snapshot_sample": q_snapshot_sample,
+        "event_filter": q_event_filter,
+        "time_filter": q_time_filter,
+        "route_rename": q_route_rename,
+        "reverse_events": q_reverse_events,
+        "update_split": q_update_split,
+        "merge_compact": q_merge_compact,
+        "merge_spill": q_merge_spill,
+        "checker_diff": q_checker_diff,
+        "checker_summary": q_checker_summary,
+        "revise": q_revise,
+        "soft_delete_apply": q_soft_delete_apply,
+        "data_marker_filter": q_data_marker_filter,
+        "pricing_summary": q_pricing_summary,
+        "revenue_by_nation": q_revenue_by_nation,
+        "top_orders_per_cust": q_top_orders_per_cust,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_STREAM = demo.USERS_CHANGE_STREAM_SQL
+_DRIFT = demo.DRIFTED_ORDERS_SQL
+
+_CHECK_DIFF_SQL = f"""
+WITH dst AS ({_DRIFT})
+SELECT COALESCE(s.o_orderkey, d.o_orderkey) AS o_orderkey,
+       CASE WHEN d.o_orderkey IS NULL THEN 'miss'
+            WHEN s.o_orderkey IS NULL THEN 'extra'
+            ELSE 'diff' END AS check_class,
+       CASE WHEN s.o_orderkey IS NULL OR d.o_orderkey IS NULL THEN ''
+            ELSE CONCAT_WS(',',
+              CASE WHEN s.o_custkey       IS DISTINCT FROM d.o_custkey       THEN 'o_custkey' END,
+              CASE WHEN s.o_orderstatus   IS DISTINCT FROM d.o_orderstatus   THEN 'o_orderstatus' END,
+              CASE WHEN s.o_totalprice    IS DISTINCT FROM d.o_totalprice    THEN 'o_totalprice' END,
+              CASE WHEN s.o_orderdate     IS DISTINCT FROM d.o_orderdate     THEN 'o_orderdate' END,
+              CASE WHEN s.o_orderpriority IS DISTINCT FROM d.o_orderpriority THEN 'o_orderpriority' END)
+       END AS diff_cols,
+       s.o_totalprice AS src_totalprice,
+       d.o_totalprice AS dst_totalprice
+FROM orders s FULL OUTER JOIN dst d ON s.o_orderkey = d.o_orderkey
+WHERE d.o_orderkey IS NULL OR s.o_orderkey IS NULL
+   OR s.o_custkey IS DISTINCT FROM d.o_custkey
+   OR s.o_orderstatus IS DISTINCT FROM d.o_orderstatus
+   OR s.o_totalprice IS DISTINCT FROM d.o_totalprice
+   OR s.o_orderdate IS DISTINCT FROM d.o_orderdate
+   OR s.o_orderpriority IS DISTINCT FROM d.o_orderpriority
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "snapshot_scan": """
+            SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+                   l_extendedprice, l_discount, l_returnflag, l_linestatus
+            FROM lineitem WHERE l_quantity > 25 AND l_discount < 0.05
+        """,
+        "snapshot_sample": "SELECT * FROM orders WHERE o_orderkey % 100 < 10",
+        "event_filter": f"""
+            WITH stream AS ({_STREAM})
+            SELECT * FROM stream WHERE row_type IN ('insert', 'delete')
+        """,
+        "time_filter": """
+            SELECT event_id, user_id, event_type, value FROM events
+            WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'
+        """,
+        "route_rename": """
+            SELECT c_custkey AS id, c_name AS name, c_nationkey, c_acctbal AS balance, c_mktsegment
+            FROM customer
+        """,
+        "reverse_events": f"""
+            WITH stream AS ({_STREAM})
+            SELECT "schema", tb,
+                   CASE row_type WHEN 'insert' THEN 'delete' WHEN 'delete' THEN 'insert' ELSE 'update' END AS row_type,
+                   -- reversed: new before = old after, new after = old before;
+                   -- new delete (old insert) keeps only before, new insert only after
+                   CASE WHEN row_type = 'delete' THEN NULL ELSE after_user_id END AS before_user_id,
+                   CASE WHEN row_type = 'delete' THEN NULL ELSE after_value END AS before_value,
+                   CASE WHEN row_type = 'insert' THEN NULL ELSE before_user_id END AS after_user_id,
+                   CASE WHEN row_type = 'insert' THEN NULL ELSE before_value END AS after_value,
+                   seq
+            FROM stream
+        """,
+        "update_split": f"""
+            WITH stream AS ({_STREAM})
+            SELECT "schema", tb, row_type, before_user_id, before_value,
+                   after_user_id, after_value, seq, 0 AS sub_seq
+            FROM stream WHERE row_type <> 'update'
+            UNION ALL
+            SELECT "schema", tb, 'delete', before_user_id, before_value, NULL, NULL, seq, 0
+            FROM stream WHERE row_type = 'update'
+            UNION ALL
+            SELECT "schema", tb, 'insert', NULL, NULL, after_user_id, after_value, seq, 1
+            FROM stream WHERE row_type = 'update'
+        """,
+        "merge_compact": f"""
+            WITH stream AS ({_STREAM}),
+            tagged AS (
+              SELECT *,
+                CASE WHEN row_type = 'delete' THEN before_user_id ELSE after_user_id END AS k,
+                (CASE WHEN row_type = 'delete' THEN before_user_id ELSE after_user_id END IS NULL
+                 OR (row_type = 'update' AND before_user_id IS DISTINCT FROM after_user_id)) AS unmergeable
+              FROM stream),
+            last AS (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY "schema", tb, k ORDER BY seq DESC) AS rn
+              FROM tagged WHERE NOT unmergeable)
+            SELECT "schema", tb, k AS user_id,
+                   CASE WHEN row_type = 'delete' THEN 'delete' ELSE 'upsert' END AS op,
+                   after_user_id, after_value, seq
+            FROM last WHERE rn = 1
+        """,
+        "merge_spill": f"""
+            WITH stream AS ({_STREAM})
+            SELECT * FROM stream
+            WHERE (CASE WHEN row_type = 'delete' THEN before_user_id ELSE after_user_id END IS NULL
+                   OR (row_type = 'update' AND before_user_id IS DISTINCT FROM after_user_id))
+        """,
+        "checker_diff": _CHECK_DIFF_SQL,
+        "checker_summary": f"""
+            WITH diffs AS ({_CHECK_DIFF_SQL})
+            SELECT check_class, COUNT(*) AS n FROM diffs GROUP BY check_class ORDER BY check_class
+        """,
+        "revise": f"""
+            WITH diffs AS ({_CHECK_DIFF_SQL})
+            SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+            WHERE o_orderkey IN (SELECT o_orderkey FROM diffs WHERE check_class IN ('miss', 'diff'))
+        """,
+        "soft_delete_apply": f"""
+            WITH stream AS ({_STREAM}),
+            rows AS (
+              SELECT "schema", tb,
+                     CASE WHEN row_type = 'delete' THEN before_user_id ELSE after_user_id END AS user_id,
+                     CASE WHEN row_type = 'delete' THEN before_value ELSE after_value END AS value,
+                     CASE WHEN row_type = 'delete' THEN 1 ELSE 0 END AS _ape_dts_is_deleted,
+                     seq AS _ape_dts_timestamp
+              FROM stream),
+            latest AS (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY "schema", tb, user_id ORDER BY _ape_dts_timestamp DESC) AS rn
+              FROM rows)
+            SELECT "schema", tb, user_id, value FROM latest WHERE rn = 1 AND _ape_dts_is_deleted = 0
+        """,
+        "data_marker_filter": f"""
+            WITH stream AS ({_STREAM})
+            SELECT * FROM stream WHERE seq % 5 <> 0
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(28,4)) AS sum_disc_price,
+                   COUNT(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "revenue_by_nation": """
+            SELECT n_name,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue,
+                   COUNT(*) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+                        JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "top_orders_per_cust": """
+            SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+              SELECT o_custkey, o_orderkey, o_totalprice,
+                     ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
+              FROM orders) t
+            WHERE rk <= 3
+        """,
+    }

@@ -1,0 +1,113 @@
+"""Deterministic derivations of change streams / drifted replicas from the
+driver's synthetic tables — shared by queries(), oracles, tests, and bench.
+
+Everything here is expressible in plain SQL so DuckDB oracles can reproduce it
+exactly (the driver compares Spark vs DuckDB at sf0.01).
+
+Demo change stream (from ``events``): treat events as a CDC feed on a ``users``
+table keyed by ``user_id``:
+
+- signup -> insert, error -> delete, click/view/purchase -> update
+- key is NULL when user_id % 37 = 0   (exercises the NULL-key spill path)
+- updates with user_id % 23 = 0 change the key (+1000)  (key-change spill path)
+- before-image value = value - 1 (exact IEEE op, bit-identical across engines);
+  seq = event_id
+
+Drifted replica (from ``orders``): the checker's test double —
+- rows with o_orderkey % 97 = 0 are missing        (-> miss)
+- rows with o_orderkey % 89 = 0 have totalprice + 1 (-> diff)
+- rows with o_orderkey % 83 = 0 are duplicated with key+10_000_000 (-> extra)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DEMO_SCHEMA = "demo"
+DEMO_TB = "users"
+USER_KEY = ["user_id"]
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    # events.ts is TIMESTAMP(NANOS) in parquet — Spark reads it as long (via
+    # spark.sql.legacy.parquet.nanosAsLong); truncate to microseconds exactly
+    # like DuckDB/arrow do when downcasting ns -> us.
+    if table == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def users_change_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events -> canonical change DataFrame (schema, tb, row_type, before, after, seq)."""
+    ev = load(spark, sf_dir, "events")
+    row_type = (
+        F.when(F.col("event_type") == "signup", F.lit("insert"))
+        .when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("update"))
+    )
+    k = F.when(F.col("user_id") % 37 == 0, F.lit(None).cast("long")).otherwise(F.col("user_id"))
+    after_k = F.when((row_type == "update") & (F.col("user_id") % 23 == 0), k + 1000).otherwise(k)
+    before = F.when(
+        row_type != "insert",
+        F.struct(k.alias("user_id"), (F.col("value") - 1).alias("value")),
+    )
+    after = F.when(
+        row_type != "delete",
+        F.struct(after_k.alias("user_id"), F.col("value").alias("value")),
+    )
+    return ev.select(
+        F.lit(DEMO_SCHEMA).alias("schema"),
+        F.lit(DEMO_TB).alias("tb"),
+        row_type.alias("row_type"),
+        before.alias("before"),
+        after.alias("after"),
+        F.col("event_id").alias("seq"),
+    )
+
+
+# The same derivation as a SQL CTE body (DuckDB + Spark compatible) so oracle
+# queries stay in lock-step with users_change_stream(). Images are flattened
+# (before_user_id, before_value, after_user_id, after_value) because the
+# engines' struct renderings differ.
+USERS_CHANGE_STREAM_SQL = """
+SELECT
+  'demo' AS "schema",
+  'users' AS tb,
+  CASE event_type WHEN 'signup' THEN 'insert' WHEN 'error' THEN 'delete' ELSE 'update' END AS row_type,
+  CASE WHEN event_type <> 'signup'
+       THEN CASE WHEN user_id % 37 = 0 THEN NULL ELSE user_id END END AS before_user_id,
+  CASE WHEN event_type <> 'signup' THEN value - 1 END AS before_value,
+  CASE WHEN event_type <> 'error'
+       THEN CASE WHEN user_id % 37 = 0 THEN NULL
+                 WHEN event_type NOT IN ('signup','error') AND user_id % 23 = 0 THEN user_id + 1000
+                 ELSE user_id END END AS after_user_id,
+  CASE WHEN event_type <> 'error' THEN value END AS after_value,
+  event_id AS seq
+FROM events
+"""
+
+
+def drifted_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders with injected miss/diff/extra drift — the checker's target side."""
+    o = load(spark, sf_dir, "orders")
+    kept = o.filter(F.col("o_orderkey") % 97 != 0)
+    perturbed = kept.withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 89 == 0, F.col("o_totalprice") + 1).otherwise(F.col("o_totalprice")),
+    )
+    extras = o.filter(F.col("o_orderkey") % 83 == 0).withColumn("o_orderkey", F.col("o_orderkey") + 10_000_000)
+    return perturbed.unionByName(extras)
+
+
+DRIFTED_ORDERS_SQL = """
+SELECT o_orderkey,
+       o_custkey, o_orderstatus,
+       CASE WHEN o_orderkey % 89 = 0 THEN o_totalprice + 1 ELSE o_totalprice END AS o_totalprice,
+       o_orderdate, o_orderpriority
+FROM orders WHERE o_orderkey % 97 <> 0
+UNION ALL
+SELECT o_orderkey + 10000000, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+FROM orders WHERE o_orderkey % 83 = 0
+"""

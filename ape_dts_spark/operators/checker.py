@@ -1,0 +1,97 @@
+"""Data check — the source↔target diff operator (the reference's flagship
+correctness feature).
+
+Reference flow (dt-connector/src/checker/checker_engine.rs:61-200,
+base_checker.rs:357-778, docs/en/snapshot/check.md:20-40): for each source
+batch, fetch the same PKs from the target, compare row-wise column-by-column
+(NaN-aware: col_value.rs:135-150) and classify **miss** (key absent in target)
+vs **diff** (some column differs), emitting JSONL check logs
+(check_log.rs:8-88).
+
+Spark-native design: ONE distributed **full outer join on the key columns** +
+vectorized per-column null-safe comparisons. The per-batch "SELECT ... WHERE pk
+IN (...)" loop of the reference becomes a single shuffle; Catalyst broadcasts
+the small side automatically, AQE handles skewed keys. This plan scales to
+100 TB-per-side checks: both sides shuffle-partition on the same key, no
+driver-side state.
+
+Spark's equality already treats NaN = NaN as true and NULL<=>NULL via
+``eqNullSafe`` — matching the reference's ``is_same_value`` semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+CHECK_MISS = "miss"  # key present in source, absent in target
+CHECK_DIFF = "diff"  # key present in both, some column differs
+CHECK_EXTRA = "extra"  # key present only in target (review direction)
+CHECK_MATCH = "match"
+
+
+def check_diff(
+    src: DataFrame,
+    dst: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str] | None = None,
+    include_extra: bool = False,
+    include_match: bool = False,
+) -> DataFrame:
+    """Full-outer-join diff of two relations with identical schemas.
+
+    Returns one row per non-matching key with columns:
+    ``<key_cols>, check_class, diff_cols (array<string>), src (struct), dst (struct)``.
+    """
+    if compare_cols is None:
+        compare_cols = [c for c in src.columns if c not in key_cols]
+
+    s = src.select(*key_cols, F.struct(*[F.col(c) for c in compare_cols]).alias("_src_payload"))
+    d = dst.select(*key_cols, F.struct(*[F.col(c) for c in compare_cols]).alias("_dst_payload"))
+    joined = s.join(d, on=key_cols, how="full_outer")
+
+    def col_differs(c: str) -> Column:
+        return ~F.col("_src_payload").getField(c).eqNullSafe(F.col("_dst_payload").getField(c))
+
+    diff_cols = F.filter(
+        F.array(*[F.when(col_differs(c), F.lit(c)).otherwise(F.lit(None)) for c in compare_cols]),
+        lambda x: x.isNotNull(),
+    )
+    check_class = (
+        F.when(F.col("_dst_payload").isNull() & F.col("_src_payload").isNotNull(), F.lit(CHECK_MISS))
+        .when(F.col("_src_payload").isNull() & F.col("_dst_payload").isNotNull(), F.lit(CHECK_EXTRA))
+        .when(F.size(diff_cols) > 0, F.lit(CHECK_DIFF))
+        .otherwise(F.lit(CHECK_MATCH))
+    )
+    out = joined.select(
+        *key_cols,
+        check_class.alias("check_class"),
+        F.when(check_class == CHECK_DIFF, diff_cols).otherwise(F.array().cast("array<string>")).alias("diff_cols"),
+        F.col("_src_payload").alias("src"),
+        F.col("_dst_payload").alias("dst"),
+    )
+    keep = [CHECK_MISS, CHECK_DIFF]
+    if include_extra:
+        keep.append(CHECK_EXTRA)
+    if include_match:
+        keep.append(CHECK_MATCH)
+    return out.filter(F.col("check_class").isin(keep))
+
+
+def check_summary(diff_df: DataFrame) -> DataFrame:
+    """Counts by check_class — the reference's summary.log analogue
+    (dt-connector/src/checker/check_log.rs:90-158)."""
+    return diff_df.groupBy("check_class").agg(F.count(F.lit(1)).alias("n")).orderBy("check_class")
+
+
+def revise_rows(diff_df: DataFrame, src: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Rows to re-apply to the target to repair miss/diff — the *revise* task.
+
+    Reference: check-log source re-reads the flagged PKs from source and
+    upserts them (docs/en/snapshot/revise.md:1-18,
+    dt-connector/src/extractor/base_check_extractor.rs:16-51). Here: semi-join
+    the current source rows by the diff keys (broadcast the usually-small diff
+    set) -> feed to a MERGE/upsert writer.
+    """
+    keys = diff_df.filter(F.col("check_class").isin([CHECK_MISS, CHECK_DIFF])).select(*key_cols).distinct()
+    return src.join(F.broadcast(keys), on=key_cols, how="left_semi")

@@ -1,0 +1,73 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) and prints ONE JSON line with per-query wall
+times plus a throughput headline metric.
+
+Headline = snapshot-equivalent rows/sec: the change-stream compaction+apply
+pipeline (the reference's CDC merge path, its benchmark workload) measured as
+events processed per second of wall time.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from ape_dts_spark.session import get_spark  # noqa: E402
+
+BENCH_QUERIES = [
+    "snapshot_scan",
+    "merge_compact",
+    "checker_diff",
+    "checker_summary",
+    "soft_delete_apply",
+    "pricing_summary",
+    "revenue_by_nation",
+    "top_orders_per_cust",
+    "update_split",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").split("sf")[-1])
+    spark = get_spark("bench")
+
+    # warm the JVM + parquet footers so per-query numbers measure the queries
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    qs = entrymod.queries()
+    times: dict[str, float] = {}
+    n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    for name in BENCH_QUERIES:
+        if name not in qs:
+            continue
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        n = df.count()  # force full execution
+        times[name] = round(time.time() - t0, 3)
+        _ = n
+    # headline: CDC compact+apply throughput (events/sec through the merge path)
+    cdc_secs = times.get("merge_compact", 0) + times.get("soft_delete_apply", 0)
+    rps = round(2 * n_events / cdc_secs, 1) if cdc_secs else 0.0
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "cdc_compact_apply_rps",
+                "value": rps,
+                "unit": "rows/sec",
+                "total_sec": total,
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

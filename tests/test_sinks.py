@@ -1,0 +1,45 @@
+"""SQL-file sink + soft-delete sink semantics."""
+
+from pyspark.sql import Row
+from pyspark.sql import types as T
+
+from ape_dts_spark.model.changes import change_event_schema
+from ape_dts_spark.sinks.soft_delete import resolve_latest, to_soft_delete_rows
+from ape_dts_spark.sinks.sql_file import events_to_sql
+
+PAYLOAD = T.StructType([T.StructField("id", T.LongType()), T.StructField("v", T.StringType())])
+
+
+def make_stream(spark):
+    rows = [
+        Row(schema="s", tb="t", row_type="insert", before=None, after=Row(id=1, v="a'b"), seq=1),
+        Row(schema="s", tb="t", row_type="update", before=Row(id=1, v="a'b"), after=Row(id=1, v="c"), seq=2),
+        Row(schema="s", tb="t", row_type="delete", before=Row(id=1, v="c"), after=None, seq=3),
+    ]
+    return spark.createDataFrame(rows, change_event_schema(PAYLOAD))
+
+
+def test_sql_generation(spark):
+    out = {r["seq"]: r["sql"] for r in events_to_sql(make_stream(spark), ["id"]).collect()}
+    assert out[1] == "INSERT INTO `s`.`t` (`id`, `v`) VALUES (1, 'a''b');"
+    assert out[2] == "UPDATE `s`.`t` SET `id` = 1, `v` = 'c' WHERE `id` = 1;"
+    assert out[3] == "DELETE FROM `s`.`t` WHERE `id` = 1;"
+
+
+def test_undo_sql(spark):
+    out = {r["seq"]: r["sql"] for r in events_to_sql(make_stream(spark), ["id"], reverse=True).collect()}
+    # undo of insert = delete; undo of delete = re-insert; undo of update restores old value
+    assert out[1].startswith("DELETE FROM")
+    assert out[3].startswith("INSERT INTO")
+    assert "SET `id` = 1, `v` = 'a''b'" in out[2]
+
+
+def test_soft_delete_roundtrip(spark):
+    rows = to_soft_delete_rows(make_stream(spark))
+    assert rows.count() == 3
+    final = resolve_latest(rows, ["schema", "tb", "id"])
+    assert final.count() == 0  # last event deleted the row
+
+    live = make_stream(spark).filter("seq < 3")
+    final2 = resolve_latest(to_soft_delete_rows(live), ["schema", "tb", "id"]).collect()
+    assert len(final2) == 1 and final2[0]["v"] == "c"

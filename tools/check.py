@@ -1,0 +1,103 @@
+"""Local correctness harness replicating the driver's gate: run every
+``queries()`` entry on Spark and its ``oracle_sql()`` on DuckDB at the same
+scale factor, compare row count + column names + order-insensitive values.
+
+Usage: python tools/check.py [sf_dir] [query_name ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def canon_cell(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, list):
+        return "[" + ",".join(canon_cell(x) for x in v) + "]"
+    return str(v)
+
+
+def canon_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted("\x01".join(canon_cell(r[i]) for i in order) for r in rows)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entrymod
+    from ape_dts_spark.session import get_spark
+
+    spark = get_spark("check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        sdf = fn(spark, sf_dir)
+        scols = sdf.columns
+        srows = [tuple(r) for r in sdf.collect()]
+        sql = oracles.get(name)
+        if sql is None:
+            print(f"  {name:28s} rows={len(srows):7d}  (no oracle — rows-only) {time.time()-t0:5.1f}s")
+            if len(srows) == 0:
+                failures.append((name, "zero rows"))
+            continue
+        res = con.execute(sql)
+        dcols = [d[0] for d in res.description]
+        drows = res.fetchall()
+        status = []
+        if len(srows) != len(drows):
+            status.append(f"ROWCOUNT spark={len(srows)} duck={len(drows)}")
+        if sorted(scols) != sorted(dcols):
+            status.append(f"SCHEMA spark={sorted(scols)} duck={sorted(dcols)}")
+        if not status:
+            sc = canon_rows(scols, srows)
+            dc = canon_rows(dcols, drows)
+            if sc != dc:
+                nbad = sum(1 for a, b in zip(sc, dc) if a != b)
+                status.append(f"VALUES {nbad}/{len(sc)} rows differ")
+                for a, b in list(zip(sc, dc))[:2000]:
+                    if a != b:
+                        status.append(f"  spark: {a[:200]}")
+                        status.append(f"  duck : {b[:200]}")
+                        break
+        if status:
+            failures.append((name, "; ".join(status[:1])))
+            print(f"  {name:28s} FAIL  {' | '.join(status)}")
+        else:
+            print(f"  {name:28s} OK    rows={len(srows):7d} {time.time()-t0:5.1f}s")
+    print()
+    if failures:
+        print(f"{len(failures)} FAILURES:")
+        for n, s in failures:
+            print(f"  {n}: {s}")
+        return 1
+    print("all queries match")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
