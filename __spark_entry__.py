@@ -17,6 +17,10 @@ from pyspark.sql import Window as W
 
 from ape_dts_spark import demo
 from ape_dts_spark.config.rdb_filter import RdbFilter
+from ape_dts_spark.functions import dedup as dd
+from ape_dts_spark.functions import multimodal as mm
+from ape_dts_spark.functions import similarity as sim
+from ape_dts_spark.functions import text as tx
 from ape_dts_spark.model.changes import reverse_events, split_updates
 from ape_dts_spark.operators.checker import check_diff, check_summary, revise_rows
 from ape_dts_spark.operators.merge import compact_changes
@@ -223,6 +227,78 @@ def q_top_orders_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- training-data pipeline extensions (BASELINE.json north star) ----------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: keep min doc_id per identical text (hash-groupBy)."""
+    return dd.exact_dedup(demo.duplicated_documents(spark, sf_dir), "doc_id", "text")
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprint (whitespace-normalized)."""
+    d = demo.load(spark, sf_dir, "documents")
+    return d.select("doc_id", F.expr(tx.fingerprint_expr("text")).alias("fingerprint"))
+
+
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram (token-set) Jaccard near-dup pairs via inverted-index join."""
+    return dd.jaccard_pairs(demo.load(spark, sf_dir, "documents"), "doc_id", "text", threshold=0.95)
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup: shingle→minhash→band→bucket-join→verify."""
+    return dd.minhash_lsh_pairs(demo.load(spark, sf_dir, "documents"), "doc_id", "text", threshold=0.95)
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs with byte-band blocking + Hamming check."""
+    return dd.simhash_pairs(demo.load(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=2)
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-k ANN baseline over embeddings."""
+    emb = demo.load(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 50 == 0)
+    return sim.cosine_topk(queries_df, emb, "vec_id", "embedding", k=5)
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate ANN via random-hyperplane LSH buckets (scale path;
+    no SQL oracle — checked rows-only, recall measured in tests)."""
+    emb = demo.load(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 50 == 0)
+    return sim.lsh_ann_topk(queries_df, emb, "vec_id", "embedding", dim=64, k=5)
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID (stopword n-gram scores)."""
+    d = demo.load(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", F.expr(tx.lang_id_expr("text")).alias("lang_pred"))
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality signals + composite score."""
+    d = demo.load(spark, sf_dir, "documents")
+    sig = tx.quality_exprs("text")
+    out = d.select("doc_id", *[F.expr(e).alias(n) for n, e in sig.items()])
+    return out.withColumn("quality_score", F.expr(tx.QUALITY_SCORE))
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary payload column + typed metadata (JVM-side exprs)."""
+    d = demo.load(spark, sf_dir, "documents")
+    return mm.binary_meta(mm.with_binary_payload(d, "text", "doc_id"))
+
+
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode plumbing via mapInPandas (deterministic fake kernel — real
+    codecs absent in this container; no SQL oracle, rows-only)."""
+    d = demo.load(spark, sf_dir, "documents")
+    payload = mm.with_binary_payload(d, "text", "doc_id")
+    return mm.decode_image_meta(payload, fake=True)
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -252,7 +328,115 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
         "top_orders_per_cust": q_top_orders_per_cust,
+        "dedup_exact": q_dedup_exact,
+        "doc_fingerprint": q_doc_fingerprint,
+        "jaccard_pairs": q_jaccard_pairs,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash_pairs": q_simhash_pairs,
+        "cosine_topk": q_cosine_topk,
+        "ann_lsh": q_ann_lsh,
+        "lang_id": q_lang_id,
+        "quality_score": q_quality_score,
+        "multimodal_meta": q_multimodal_meta,
+        "multimodal_decode": q_multimodal_decode,
     }
+
+
+# -- DuckDB oracle builders for the extension ops ---------------------------
+
+_TOK_CTE = (
+    "SELECT DISTINCT doc_id, unnest(" + tx.tokens_sql("text") + ") AS token FROM documents"
+)
+
+_JACCARD_CTES = f"""
+tok AS ({_TOK_CTE}),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+  FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+jac AS (
+  SELECT id_a, id_b, shared, sa.n AS n_a, sb.n AS n_b,
+         CAST(shared AS DOUBLE) / CAST(sa.n + sb.n - shared AS DOUBLE) AS jaccard
+  FROM shared JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id)
+"""
+
+
+def _minhash_oracle(threshold: float) -> str:
+    p = tx.PORTABLE_HASH_P
+    mins = ",\n    ".join(
+        f"MIN((CAST({dd.MINHASH_A[i]} AS BIGINT) * tn + {dd.MINHASH_B[i]}) % {p}) AS m_{i}"
+        for i in range(dd.N_HASHES)
+    )
+    bands = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {i} AS band, "
+        + "".join(["("] * (dd.ROWS_PER_BAND - 1))
+        + f"m_{i * dd.ROWS_PER_BAND}"
+        + "".join(
+            f" * 31 + m_{i * dd.ROWS_PER_BAND + j})" for j in range(1, dd.ROWS_PER_BAND)
+        )
+        + " AS bh FROM sigs"
+        for i in range(dd.N_BANDS)
+    )
+    return f"""
+WITH tok0 AS ({_TOK_CTE}),
+tn0 AS (SELECT doc_id, {tx.portable_hash_sql('token')} AS tn FROM tok0),
+sigs AS (SELECT doc_id, {mins} FROM tn0 GROUP BY doc_id),
+bands AS ({bands}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+{_JACCARD_CTES.lstrip()}
+SELECT c.id_a, c.id_b, j.jaccard
+FROM cand c JOIN jac j ON c.id_a = j.id_a AND c.id_b = j.id_b
+WHERE j.jaccard >= {threshold}
+"""
+
+
+def _simhash_oracle(max_hamming: int) -> str:
+    sums = ",\n    ".join(
+        f"SUM(CASE WHEN ((tn >> {j}) & 1) = 1 THEN 1 ELSE -1 END) AS s_{j}"
+        for j in range(dd.SIMHASH_BITS)
+    )
+    value = " + ".join(
+        f"CASE WHEN s_{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        for j in range(dd.SIMHASH_BITS)
+    )
+    bands = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {k} AS band, ((simhash >> {8 * k}) & 255) AS bv, simhash FROM vals"
+        for k in range(4)
+    )
+    return f"""
+WITH tok0 AS ({_TOK_CTE}),
+tn0 AS (SELECT doc_id, {tx.portable_hash_sql('token')} AS tn FROM tok0),
+sums AS (SELECT doc_id, {sums} FROM tn0 GROUP BY doc_id),
+vals AS (SELECT doc_id, {value} AS simhash FROM sums),
+bands AS ({bands}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         bit_count(xor(a.simhash, b.simhash)) AS hamming
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
+SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= {max_hamming}
+"""
+
+
+_COSINE_TOPK_SQL = """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+n AS (SELECT vec_id, e,
+        sqrt(list_reduce(list_transform(list_zip(e, e), p -> p[1] * p[2]), (a, b) -> a + b)) AS nrm
+      FROM v),
+q AS (SELECT * FROM n WHERE vec_id % 50 = 0),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_reduce(list_transform(list_zip(q.e, c.e), p -> p[1] * p[2]), (a, b) -> a + b)
+           / (q.nrm * c.nrm) AS cosine
+  FROM q JOIN n c ON c.vec_id <> q.vec_id)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored) t
+WHERE rank <= 5
+"""
 
 
 _STREAM = demo.USERS_CHANGE_STREAM_SQL
@@ -403,5 +587,40 @@ def oracle_sql() -> dict[str, str]:
                      ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
               FROM orders) t
             WHERE rk <= 3
+        """,
+        "dedup_exact": f"""
+            WITH dupdocs AS ({demo.DUPLICATED_DOCUMENTS_SQL})
+            SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_dups FROM dupdocs GROUP BY text
+        """,
+        "doc_fingerprint": f"""
+            SELECT doc_id, {tx.fingerprint_sql('text')} AS fingerprint FROM documents
+        """,
+        "jaccard_pairs": f"""
+            WITH {_JACCARD_CTES.lstrip()}
+            SELECT id_a, id_b, shared, n_a, n_b, jaccard FROM jac WHERE jaccard >= 0.95
+        """,
+        "minhash_lsh": _minhash_oracle(0.95),
+        "simhash_pairs": _simhash_oracle(2),
+        "cosine_topk": _COSINE_TOPK_SQL,
+        "lang_id": f"""
+            SELECT doc_id, lang, {tx.lang_id_sql('text')} AS lang_pred FROM documents
+        """,
+        "quality_score": f"""
+            SELECT doc_id,
+                   {tx.quality_sql_exprs('text')['n_tokens']} AS n_tokens,
+                   {tx.quality_sql_exprs('text')['alpha_ratio']} AS alpha_ratio,
+                   {tx.quality_sql_exprs('text')['stopword_ratio']} AS stopword_ratio,
+                   {tx.quality_sql_exprs('text')['mean_token_len']} AS mean_token_len,
+                   0.4 * ({tx.quality_sql_exprs('text')['stopword_ratio']})
+                     + 0.3 * least(1.0, CAST({tx.quality_sql_exprs('text')['n_tokens']} AS DOUBLE) / 100.0)
+                     + 0.3 * ({tx.quality_sql_exprs('text')['alpha_ratio']}) AS quality_score
+            FROM documents
+        """,
+        "multimodal_meta": """
+            SELECT doc_id AS id,
+                   octet_length(encode(text)) AS n_bytes,
+                   substr(upper(hex(encode(text))), 1, 8) AS magic,
+                   substr(lower(sha256(text)), 1, 16) AS sha_prefix
+            FROM documents
         """,
     }

@@ -111,3 +111,19 @@ UNION ALL
 SELECT o_orderkey + 10000000, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
 FROM orders WHERE o_orderkey % 83 = 0
 """
+
+
+def duplicated_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + exact duplicates of every 10th doc (new ids +100000) —
+    guarantees the dedup operators have true positives to find."""
+    d = load(spark, sf_dir, "documents")
+    dups = d.filter(F.col("doc_id") % 10 == 0).withColumn("doc_id", F.col("doc_id") + 100_000)
+    return d.unionByName(dups)
+
+
+DUPLICATED_DOCUMENTS_SQL = """
+SELECT * FROM documents
+UNION ALL
+SELECT doc_id + 100000 AS doc_id, text, lang, source, n_chars
+FROM documents WHERE doc_id % 10 = 0
+"""

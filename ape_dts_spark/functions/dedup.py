@@ -1,0 +1,243 @@
+"""Deduplication operators for training-data pipelines: exact, token-set
+Jaccard, MinHash+LSH, SimHash — all as shuffle-conscious DataFrame pipelines.
+
+Design for 100 TB:
+- exact dedup: single hash aggregation on the dedup key (map-side combine).
+- Jaccard: explode to (doc, token) pairs and join on token — the classic
+  inverted-index join. Shuffle key = token; mega-frequent tokens create skew,
+  so `max_df` drops tokens appearing in more than that many docs (they carry
+  ~no similarity signal but quadratic join cost). AQE skew-join splits the rest.
+- MinHash/LSH: per-doc signature aggregation (one shuffle of |distinct
+  (doc,token)|), then band-bucket self-join — candidate generation cost is
+  ~sum(bucket^2) instead of n^2; candidates are then *verified* with true
+  Jaccard so the operator's output is exact w.r.t. the threshold given the
+  recall of the banding scheme.
+- SimHash: same aggregation shape; pairs via byte-band blocking + Hamming
+  distance check.
+
+Everything is engine-portable (the token hash is the 31-polynomial from
+functions/text.py), so DuckDB oracles reproduce results bit-for-bit — that is
+why we avoid xxhash64/crc32 here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from ape_dts_spark.functions.text import PORTABLE_HASH_P, portable_hash_expr, tokens_expr
+
+# 16 fixed (a, b) pairs for MinHash permutations h_i(x) = (a_i*x + b_i) mod p.
+# Odd multipliers, deterministic across engines/runs.
+MINHASH_A = [
+    1299721, 1299827, 1300021, 1300127, 1300243, 1300369, 1300481, 1300591,
+    1300699, 1300807, 1300919, 1301027, 1301141, 1301251, 1301369, 1301477,
+]
+MINHASH_B = [
+    15485863, 15485867, 15485917, 15485927, 15485933, 15485941, 15485959, 15485989,
+    15485993, 15486013, 15486041, 15486047, 15486059, 15486071, 15486101, 15486139,
+]
+N_HASHES = 16
+N_BANDS = 4
+ROWS_PER_BAND = 4
+SIMHASH_BITS = 32
+
+
+def exact_dedup(df: DataFrame, id_col: str, key_col: str) -> DataFrame:
+    """Keep the smallest id per exact key value; report the duplicate count.
+
+    One hash aggregation (map-side partial) — the canonical exact dedup at any
+    scale. Returns (key_col omitted for width) -> (id_col, n_dups).
+    """
+    return (
+        df.groupBy(key_col)
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_dups"))
+        .select(id_col, "n_dups")
+    )
+
+
+def doc_tokens(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """(id, token) distinct pairs — the inverted-index building block."""
+    return (
+        df.select(F.col(id_col), F.explode(F.expr(tokens_expr(text_col))).alias("token"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    threshold: float = 0.6,
+    max_df: int | None = None,
+) -> DataFrame:
+    """All document pairs with token-set Jaccard >= threshold.
+
+    Output: (id_a, id_b, shared, n_a, n_b, jaccard), id_a < id_b.
+    `max_df` prunes tokens present in more than max_df docs (skew + noise guard
+    for web-scale corpora).
+    """
+    tok = doc_tokens(df, id_col, text_col)
+    if max_df is not None:
+        rare = tok.groupBy("token").agg(F.count(F.lit(1)).alias("_df")).filter(F.col("_df") <= max_df)
+        tok = tok.join(rare.select("token"), "token")
+    sizes = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    a = tok.select(F.col(id_col).alias("id_a"), "token")
+    b = tok.select(F.col(id_col).alias("id_b"), "token")
+    shared = (
+        a.join(b, "token")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    out = (
+        shared.join(sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("n_a")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("n_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("shared").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("shared")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "shared", "n_a", "n_b", "jaccard")
+    )
+    return out
+
+
+def _token_num() -> str:
+    return portable_hash_expr("token")
+
+
+def minhash_signatures(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """Per-doc MinHash signature: columns m_0..m_15.
+
+    One aggregation over the exploded (doc, token) pairs; the 16 mins fold
+    map-side, so shuffle volume is |docs| x 16 longs regardless of corpus size.
+    """
+    tok = doc_tokens(df, id_col, text_col).withColumn("tn", F.expr(_token_num()))
+    aggs = [
+        F.min(F.expr(f"(CAST({MINHASH_A[i]} AS BIGINT) * tn + {MINHASH_B[i]}) % {PORTABLE_HASH_P}")).alias(f"m_{i}")
+        for i in range(N_HASHES)
+    ]
+    return tok.groupBy(id_col).agg(*aggs)
+
+
+def _band_hash(i: int) -> str:
+    """Combine the band's ROWS_PER_BAND minhashes into one bucket key."""
+    expr = f"m_{i * ROWS_PER_BAND}"
+    for j in range(1, ROWS_PER_BAND):
+        expr = f"({expr} * 31 + m_{i * ROWS_PER_BAND + j})"
+    return expr
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash banding, verified with true Jaccard.
+
+    shingle -> minhash -> band -> bucket-join -> verify. Candidates come from
+    any band collision (4 bands x 4 rows); each candidate pair is then checked
+    against the exact token-set Jaccard so the output has no false positives.
+
+    Verification is candidate-local: each candidate pair fetches the two docs'
+    token sets (two id-keyed joins) and intersects them with array_intersect —
+    cost O(|candidates| x doc_len), never the corpus-wide inverted-index join
+    (which is exactly what LSH exists to avoid at scale).
+
+    The token-set and signature tables are persisted: the plan references them
+    from 4+ self-join branches, and without materialization Spark recomputes
+    the tokenize+hash scan once per branch — at 100 TB that is 4 extra full
+    passes over the corpus (on a cluster you would land signatures to storage;
+    MEMORY_AND_DISK is the local analogue).
+    Output: (id_a, id_b, jaccard).
+    """
+    docs = df.select(
+        F.col(id_col), F.array_distinct(F.expr(tokens_expr(text_col))).alias("_toks")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    tok = docs.select(id_col, F.explode("_toks").alias("token")).withColumn("tn", F.expr(_token_num()))
+    aggs = [
+        F.min(
+            F.expr(f"(CAST({MINHASH_A[i]} AS BIGINT) * tn + {MINHASH_B[i]}) % {PORTABLE_HASH_P}")
+        ).alias(f"m_{i}")
+        for i in range(N_HASHES)
+    ]
+    sigs = tok.groupBy(id_col).agg(*aggs).persist(StorageLevel.MEMORY_AND_DISK)
+    band_rows = []
+    for i in range(N_BANDS):
+        band_rows.append(
+            sigs.select(F.col(id_col), F.lit(i).alias("band"), F.expr(_band_hash(i)).alias("bh"))
+        )
+    bands = band_rows[0]
+    for br in band_rows[1:]:
+        bands = bands.unionByName(br)
+    a = bands.select(F.col(id_col).alias("id_a"), "band", "bh")
+    b = bands.select(F.col(id_col).alias("id_b"), "band", "bh")
+    candidates = a.join(b, ["band", "bh"]).filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b").distinct()
+    toks_a = docs.select(F.col(id_col).alias("id_a"), F.col("_toks").alias("toks_a"))
+    toks_b = docs.select(F.col(id_col).alias("id_b"), F.col("_toks").alias("toks_b"))
+    return (
+        candidates.join(toks_a, "id_a")
+        .join(toks_b, "id_b")
+        .withColumn("shared", F.size(F.array_intersect("toks_a", "toks_b")))
+        .withColumn(
+            "jaccard",
+            F.col("shared").cast("double")
+            / (F.size("toks_a") + F.size("toks_b") - F.col("shared")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash_values(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """32-bit SimHash per document (column `simhash`).
+
+    Bit j of the fingerprint = sign of sum over tokens of (+1 if bit j of
+    token-hash set else -1). Same aggregation shape as MinHash.
+    """
+    tok = doc_tokens(df, id_col, text_col).withColumn("tn", F.expr(_token_num()))
+    aggs = [
+        F.sum(F.expr(f"CASE WHEN (shiftright(tn, {j}) & 1) = 1 THEN 1 ELSE -1 END")).alias(f"s_{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    sums = tok.groupBy(id_col).agg(*aggs)
+    value = " + ".join(f"CASE WHEN s_{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END" for j in range(SIMHASH_BITS))
+    return sums.select(F.col(id_col), F.expr(value).alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    max_hamming: int = 6,
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash_a, simhash_b) <= max_hamming.
+
+    Blocking: split the 32 bits into 4 bytes; by pigeonhole any pair within
+    Hamming distance 3 shares at least one exact byte — candidates are pairs
+    colliding on (byte_idx, byte_value), then verified by exact bit_count.
+    Avoids the n^2 cross join at scale. The fingerprint table is persisted —
+    the band self-join references it 8x and would otherwise recompute the
+    tokenize+hash scan per branch.
+    """
+    sh = simhash_values(df, id_col, text_col).persist(StorageLevel.MEMORY_AND_DISK)
+    bands = None
+    for k in range(4):
+        part = sh.select(
+            F.col(id_col), F.lit(k).alias("band"), F.expr(f"(shiftright(simhash, {8 * k}) & 255)").alias("bv"),
+            F.col("simhash"),
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    a = bands.select(F.col(id_col).alias("id_a"), "band", "bv", F.col("simhash").alias("sh_a"))
+    b = bands.select(F.col(id_col).alias("id_b"), "band", "bv", F.col("simhash").alias("sh_b"))
+    pairs = (
+        a.join(b, ["band", "bv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.expr("bit_count(sh_a ^ sh_b)").alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return pairs

@@ -1,0 +1,94 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Design (BASELINE.json extension surface): image/audio/video payloads live in a
+`binary` column with a metadata struct alongside; decode / feature-extract /
+resize / frame-sample run as Arrow-batched pandas functions over
+`mapInPandas`, so each executor processes whole record batches without JVM
+round-trips — the right shape for CPU-bound media work at 100 TB (partition
+count = media files / target batch size; no shuffle).
+
+The actual codecs (PIL/ffmpeg/librosa) are NOT in this container, so the
+decode kernel is stubbed: `decode_image_meta` raises NotImplementedError
+unless `fake=True`, in which case it produces a deterministic fake decode
+(dimensions derived from the payload hash) — the Spark-side plumbing (schema,
+batching, UDF signatures) is real and tested either way.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+BINARY_META_SCHEMA = (
+    "id long, n_bytes int, magic string, sha_prefix string"
+)
+
+DECODED_SCHEMA = "id long, width int, height int, n_channels int, ok boolean"
+
+
+def with_binary_payload(df: DataFrame, src_col: str, id_col: str, out: str = "payload") -> DataFrame:
+    """Materialize an opaque binary column (here: utf-8 bytes of a string
+    column — in production this is the raw image/audio bytes from
+    `spark.read.format('binaryFile')` or a parquet BYTE_ARRAY column)."""
+    return df.select(F.col(id_col).alias("id"), F.encode(F.col(src_col), "UTF-8").alias(out))
+
+
+def binary_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Typed metadata over the opaque payload — pure JVM expressions:
+    byte length, magic prefix (first 4 bytes hex), content hash prefix."""
+    return df.select(
+        "id",
+        F.octet_length(F.col(payload_col)).alias("n_bytes"),
+        F.substring(F.upper(F.hex(F.col(payload_col))), 1, 8).alias("magic"),
+        F.substring(F.lower(F.sha2(F.col(payload_col), 256)), 1, 16).alias("sha_prefix"),
+    )
+
+
+def decode_image_meta(df: DataFrame, payload_col: str = "payload", fake: bool = False) -> DataFrame:
+    """'Decode' each payload to (width, height, channels) via mapInPandas.
+
+    Real decoders (PIL etc.) are unavailable in this environment; with
+    fake=True a deterministic stand-in derives dimensions from the byte
+    content so tests can exercise the full distributed plumbing. The batch
+    shape, Arrow transfer, and output schema are exactly what a real decoder
+    kernel would use.
+    """
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "image decode requires PIL/opencv, not present in this container; "
+                    "pass fake=True for the deterministic test kernel"
+                )
+            payloads = pdf[payload_col]
+            n = payloads.map(len)
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "width": (n % 640 + 16).astype("int32"),
+                    "height": (n % 480 + 16).astype("int32"),
+                    "n_channels": ((n % 2) * 2 + 1).astype("int32"),
+                    "ok": True,
+                }
+            )
+
+    return df.mapInPandas(_decode, schema=DECODED_SCHEMA)
+
+
+def sample_frames(df: DataFrame, payload_col: str = "payload", every_n_bytes: int = 1024) -> DataFrame:
+    """Frame-sampling plumbing: split each payload into fixed-size 'frames'
+    (posexplode over byte ranges) — the distributed shape of video frame
+    extraction (one row per sampled frame, order-preserving)."""
+    return df.select(
+        "id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, CAST(octet_length({payload_col}) / {every_n_bytes} AS INT)), "
+                f"i -> substring({payload_col}, i * {every_n_bytes} + 1, {every_n_bytes}))"
+            )
+        ).alias("frame_idx", "frame_bytes"),
+    ).filter(F.octet_length("frame_bytes") > 0)

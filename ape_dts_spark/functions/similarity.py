@@ -1,0 +1,134 @@
+"""Similarity search over embedding columns (`array<float>`).
+
+- `cosine_topk`: brute-force exact top-k — the correctness baseline. Dot
+  products via zip_with + an ordered left fold (deterministic float
+  accumulation, reproducible across engines); ranks by similarity with id
+  tiebreak. Cost O(|queries| x |corpus|): fine when the query set is small or
+  as the ground-truth for recall measurement.
+- `lsh_ann_topk`: the scale path — random-hyperplane (sign) LSH bucketing.
+  Each vector gets an n-bit signature from fixed pseudo-random hyperplanes;
+  candidates share a signature band; exact cosine re-ranks candidates. At
+  100 TB the bucket join replaces the cross join; hyperplanes are generated
+  from a deterministic integer recurrence (engine-portable, no RNG state).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DOT = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+
+
+def _dot(a: str, b: str) -> str:
+    return DOT.format(a=a, b=b)
+
+
+def with_norm(df: DataFrame, vec_col: str = "embedding", out: str = "norm") -> DataFrame:
+    """L2 norm, computed on float->double promoted values with an ordered fold."""
+    dbl = f"transform({vec_col}, x -> CAST(x AS DOUBLE))"
+    return df.withColumn(out, F.expr(f"sqrt({_dot(dbl, dbl)})"))
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Output: (query_id, neighbor_id, rank), rank 1..k by descending cosine with
+    neighbor-id tiebreak. The (usually small) query side is broadcast so the
+    corpus never shuffles — the scan stays embarrassingly parallel.
+    """
+    from pyspark.sql import Window as W
+
+    q = with_norm(queries, vec_col, "q_norm").select(
+        F.col(id_col).alias("query_id"),
+        F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("q_vec"),
+        "q_norm",
+    )
+    c = with_norm(corpus, vec_col, "c_norm").select(
+        F.col(id_col).alias("neighbor_id"),
+        F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("c_vec"),
+        "c_norm",
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", F.expr(_dot("q_vec", "c_vec")) / (F.col("q_norm") * F.col("c_norm")))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+N_PLANES = 8
+
+
+def _plane_coef(plane: int, dim: int) -> int:
+    """Deterministic pseudo-random coefficient in [-4, 4] for hyperplane
+    `plane`, dimension `dim` — a fixed LCG-style integer mix, identical in any
+    engine (used only Spark-side; ANN has no SQL oracle, checked rows-only)."""
+    v = (1103515245 * (plane * 131 + dim) + 12345) % 2147483648
+    return (v % 9) - 4
+
+
+def signature_expr(vec_col: str, dim: int) -> str:
+    """n-bit sign signature of a vector under N_PLANES fixed hyperplanes."""
+    bits = []
+    for p in range(N_PLANES):
+        terms = " + ".join(
+            f"CAST({vec_col}[{d}] AS DOUBLE) * {_plane_coef(p, d)}" for d in range(dim) if _plane_coef(p, d) != 0
+        )
+        bits.append(f"CASE WHEN ({terms}) > 0 THEN CAST({1 << p} AS BIGINT) ELSE 0 END")
+    return " + ".join(bits)
+
+
+def lsh_ann_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    k: int = 5,
+) -> DataFrame:
+    """Approximate top-k: candidates = corpus vectors sharing the query's LSH
+    signature (or any of the 2 half-signature bands), re-ranked by exact cosine.
+    Output: (query_id, neighbor_id, rank)."""
+    from pyspark.sql import Window as W
+
+    sig = signature_expr(vec_col, dim)
+    q = with_norm(queries, vec_col, "q_norm").select(
+        F.col(id_col).alias("query_id"),
+        F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("q_vec"),
+        "q_norm",
+        F.expr(sig).alias("q_sig"),
+    )
+    c = with_norm(corpus, vec_col, "c_norm").select(
+        F.col(id_col).alias("neighbor_id"),
+        F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("c_vec"),
+        "c_norm",
+        F.expr(sig).alias("c_sig"),
+    )
+    # two bands of 4 bits each: candidate if either band matches
+    half = (1 << (N_PLANES // 2)) - 1
+    cand = c.join(
+        F.broadcast(q),
+        (
+            ((F.expr(f"q_sig & {half}")) == F.expr(f"c_sig & {half}"))
+            | (F.expr(f"shiftright(q_sig, {N_PLANES // 2})") == F.expr(f"shiftright(c_sig, {N_PLANES // 2})"))
+        )
+        & (F.col("query_id") != F.col("neighbor_id")),
+    )
+    scored = cand.withColumn("cosine", F.expr(_dot("q_vec", "c_vec")) / (F.col("q_norm") * F.col("c_norm")))
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )

@@ -1,0 +1,170 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All operators are pure JVM-side column expressions (whole-stage codegen, no
+Python in the hot path) and — deliberately — *engine-portable*: the same
+computation is expressible in ANSI-ish SQL (DuckDB) so every operator has an
+exact cross-engine oracle. The portable primitive is a 31-polynomial rolling
+hash mod 2^31-1 over ASCII codes (`PORTABLE_HASH_P`), used for fingerprints,
+MinHash and SimHash (functions/dedup.py).
+
+Scale notes: everything here is embarrassingly parallel per document — no
+shuffle at all until an aggregation/join downstream; at 100 TB the cost is the
+parquet scan, which prunes to the `text` column only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+PORTABLE_HASH_P = 2_147_483_647  # 2^31 - 1
+
+# languages for the n-gram/stopword language-ID heuristic, in priority order
+STOPWORDS = {
+    "en": ("the", "and", "of", "to", "is", "in", "that", "it"),
+    "es": ("el", "la", "de", "que", "y", "los", "es", "un"),
+    "de": ("der", "die", "und", "das", "ist", "nicht", "ein", "zu"),
+    "fr": ("le", "la", "de", "et", "les", "des", "est", "une"),
+}
+
+
+def tokens_expr(col: str = "text") -> str:
+    """SQL expr: lowercase ASCII word tokens of a text column."""
+    return (
+        f"filter(split(lower(regexp_replace({col}, '[^ -~]', '')), '[^a-z0-9]+'), x -> x <> '')"
+    )
+
+
+def tokens_sql(col: str = "text") -> str:
+    """DuckDB twin of tokens_expr (regexp_replace needs the 'g' flag there)."""
+    return (
+        f"list_filter(regexp_split_to_array(lower(regexp_replace({col}, '[^ -~]', '', 'g')), "
+        f"'[^a-z0-9]+'), x -> x <> '')"
+    )
+
+
+def portable_hash_expr(s: str) -> str:
+    """SQL expr: 31-polynomial hash mod 2^31-1 of string expr `s` (Spark side).
+
+    Single-pass: split to a char array once, fold once — `s` is evaluated one
+    time even when it is itself an expensive expression (a per-character
+    substring() formulation would re-evaluate `s` per char: O(n^2))."""
+    return (
+        f"aggregate(transform(split({s}, ''), ch -> ascii(ch)), "
+        f"0L, (acc, c) -> (acc * 31 + c) % {PORTABLE_HASH_P})"
+    )
+
+
+def portable_hash_sql(s: str) -> str:
+    """DuckDB twin: list_reduce seeds with the first element, which equals the
+    0-seeded fold since 0*31+c1 = c1; empty string guarded to 0."""
+    return (
+        f"CASE WHEN length({s}) = 0 THEN 0 ELSE "
+        f"list_reduce(list_transform(string_split({s}, ''), ch -> ascii(ch)), "
+        f"(acc, c) -> (CAST(acc AS BIGINT) * 31 + c) % {PORTABLE_HASH_P}) END"
+    )
+
+
+def with_tokens(df: DataFrame, col: str = "text", out: str = "tokens") -> DataFrame:
+    return df.withColumn(out, F.expr(tokens_expr(col)))
+
+
+def token_count(col: str = "text") -> Column:
+    """Whitespace/punct token count (the reference has no text ops; this is the
+    BASELINE.json training-pipeline extension surface)."""
+    return F.size(F.expr(tokens_expr(col)))
+
+
+def _stopword_score(tokens: str, words: tuple[str, ...]) -> str:
+    inlist = ", ".join(f"'{w}'" for w in words)
+    return f"size(filter({tokens}, x -> x IN ({inlist})))"
+
+
+def lang_id_expr(col: str = "text") -> str:
+    """SQL expr: heuristic language ID via stopword hit counts, deterministic
+    priority en > es > de > fr, 'unknown' when nothing matches."""
+    t = tokens_expr(col)
+    scores = {lang: _stopword_score(t, ws) for lang, ws in STOPWORDS.items()}
+    cases = []
+    langs = list(STOPWORDS)
+    for i, lang in enumerate(langs):
+        conds = [f"{scores[lang]} >= {scores[other]}" for other in langs[i + 1 :]]
+        conds.append(f"{scores[lang]} > 0")
+        cases.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    return "CASE " + " ".join(cases) + " ELSE 'unknown' END"
+
+
+def lang_id_sql(col: str = "text") -> str:
+    t = tokens_sql(col)
+    scores = {
+        lang: f"len(list_filter({t}, x -> x IN ({', '.join(repr(w) for w in ws)})))"
+        for lang, ws in STOPWORDS.items()
+    }
+    cases = []
+    langs = list(STOPWORDS)
+    for i, lang in enumerate(langs):
+        conds = [f"{scores[lang]} >= {scores[other]}" for other in langs[i + 1 :]]
+        conds.append(f"{scores[lang]} > 0")
+        cases.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    return "CASE " + " ".join(cases) + " ELSE 'unknown' END"
+
+
+def quality_exprs(col: str = "text") -> dict[str, str]:
+    """Quality-scoring signals as SQL exprs (Spark dialect):
+    token count, alpha ratio, stopword ratio, mean token length, composite score.
+    All divisions are double/double on identical operands -> bit-identical
+    across engines."""
+    t = tokens_expr(col)
+    all_stop = tuple(w for ws in STOPWORDS.values() for w in ws)
+    n_tok = f"size({t})"
+    stop_hits = _stopword_score(t, all_stop)
+    return {
+        "n_tokens": n_tok,
+        "alpha_ratio": (
+            f"CAST(length(regexp_replace({col}, '[^a-zA-Z]', '')) AS DOUBLE) / "
+            f"CAST(greatest(length({col}), 1) AS DOUBLE)"
+        ),
+        "stopword_ratio": f"CAST({stop_hits} AS DOUBLE) / CAST(greatest({n_tok}, 1) AS DOUBLE)",
+        "mean_token_len": (
+            f"CAST(aggregate({t}, 0, (acc, x) -> acc + length(x)) AS DOUBLE) / "
+            f"CAST(greatest({n_tok}, 1) AS DOUBLE)"
+        ),
+    }
+
+
+def quality_sql_exprs(col: str = "text") -> dict[str, str]:
+    t = tokens_sql(col)
+    all_stop = tuple(w for ws in STOPWORDS.values() for w in ws)
+    n_tok = f"len({t})"
+    inlist = ", ".join(repr(w) for w in all_stop)
+    stop_hits = f"len(list_filter({t}, x -> x IN ({inlist})))"
+    return {
+        "n_tokens": n_tok,
+        "alpha_ratio": (
+            f"CAST(length(regexp_replace({col}, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / "
+            f"CAST(greatest(length({col}), 1) AS DOUBLE)"
+        ),
+        "stopword_ratio": f"CAST({stop_hits} AS DOUBLE) / CAST(greatest({n_tok}, 1) AS DOUBLE)",
+        "mean_token_len": (
+            f"CAST(list_sum(list_transform({t}, x -> length(x))) AS DOUBLE) / "
+            f"CAST(greatest({n_tok}, 1) AS DOUBLE)"
+        ),
+    }
+
+
+QUALITY_SCORE = "0.4 * stopword_ratio + 0.3 * least(1.0, CAST(n_tokens AS DOUBLE) / 100.0) + 0.3 * alpha_ratio"
+
+
+def fingerprint_expr(col: str = "text") -> str:
+    """Document fingerprint: rolling polynomial hash of the normalized text
+    (whitespace-collapsed, ASCII-only, lowercased) — stable under incidental
+    whitespace differences."""
+    norm = f"trim(regexp_replace(lower(regexp_replace({col}, '[^ -~]', '')), '[ ]+', ' '))"
+    return portable_hash_expr(norm)
+
+
+def fingerprint_sql(col: str = "text") -> str:
+    norm = (
+        f"trim(regexp_replace(lower(regexp_replace({col}, '[^ -~]', '', 'g')), '[ ]+', ' ', 'g'))"
+    )
+    return portable_hash_sql(norm)
