@@ -23,11 +23,13 @@ from ape_dts_spark.functions import similarity as sim
 from ape_dts_spark.functions import text as tx
 from ape_dts_spark.model.changes import reverse_events, split_updates
 from ape_dts_spark.operators.checker import check_diff, check_summary, revise_rows
-from ape_dts_spark.operators.merge import compact_changes
+from ape_dts_spark.operators.merge import compact_changes, replay_to_state
 from ape_dts_spark.operators.sampling import mod_sample
 from ape_dts_spark.router import RdbRouter
 from ape_dts_spark.sinks.soft_delete import resolve_latest, to_soft_delete_rows
-from ape_dts_spark.sources.snapshot import SnapshotSource
+from ape_dts_spark.sinks.upsert_sql import batch_statements, compacted_to_sql
+from ape_dts_spark.sinks.wire_format import roundtrip as wire_roundtrip
+from ape_dts_spark.sources.snapshot import SnapshotSource, chunk_bounds, with_chunk_id
 
 
 def _flatten_stream(df: DataFrame) -> DataFrame:
@@ -58,6 +60,59 @@ def q_snapshot_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     src = SnapshotSource(spark, filter=filt)
     return src.read_table(sf_dir, "lineitem")
+
+
+def q_snapshot_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk splitter: MIN/MAX probe -> evenly-sized ranges -> per-chunk stats
+    (mysql_snapshot_splitter.rs:139-309; chunk cost model chunk_partitioner.rs)."""
+    l = demo.load(spark, sf_dir, "lineitem")
+    lo, hi = chunk_bounds(l, "l_orderkey")
+    chunk_size = (hi - lo) // 16 + 1
+    return (
+        with_chunk_id(l, "l_orderkey", lo, chunk_size)
+        .groupBy("chunk_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_orderkey").alias("k_min"),
+            F.max("l_orderkey").alias("k_max"),
+        )
+    )
+
+
+def _compacted_decimal_stream(spark: SparkSession, sf_dir: str):
+    """Demo stream with after.value as DECIMAL(18,2) (SQL-literal rendering is
+    engine-portable for decimals, not for raw doubles), compacted."""
+    stream = demo.users_change_stream(spark, sf_dir)
+    stream = stream.withColumn(
+        "after",
+        F.when(
+            F.col("after").isNotNull(),
+            F.struct(
+                F.col("after.user_id").alias("user_id"),
+                F.col("after.value").cast("decimal(18,2)").alias("value"),
+            ),
+        ),
+    )
+    compacted, _ = compact_changes(stream, ["user_id"])
+    return compacted
+
+
+def q_upsert_sql_mysql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MySQL REPLACE INTO / DELETE statement generation from the compacted
+    write-set (rdb_query_builder.rs:235-382, 383-448)."""
+    return compacted_to_sql(_compacted_decimal_stream(spark, sf_dir), ["user_id"], dialect="mysql")
+
+
+def q_upsert_sql_pg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PG INSERT ... ON CONFLICT DO UPDATE / DELETE generation
+    (rdb_query_builder.rs:235-382)."""
+    return compacted_to_sql(_compacted_decimal_stream(spark, sf_dir), ["user_id"], dialect="pg")
+
+
+def q_upsert_sql_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched multi-row REPLACE VALUES(...),(...) + DELETE WHERE (pk) IN (...)
+    per (schema, tb, op) (rdb_query_builder.rs:144-233)."""
+    return batch_statements(_compacted_decimal_stream(spark, sf_dir), ["user_id"], dialect="mysql")
 
 
 def q_snapshot_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -130,6 +185,25 @@ def q_merge_spill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unmergeable spill path: NULL keys + key-changing updates (rdb_merger.rs:159-186)."""
     _, spilled = compact_changes(demo.users_change_stream(spark, sf_dir), ["user_id"])
     return _flatten_stream(spilled)
+
+
+def q_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kafka wire-format encode->decode losslessness (avro_converter.rs round
+    trip; JSON envelope here — to_avro/from_avro drop-in where loaded)."""
+    return _flatten_stream(wire_roundtrip(demo.users_change_stream(spark, sf_dir)))
+
+
+def q_cdc_apply_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CDC apply: replay the change stream (incl. key-changing updates,
+    split into delete+insert halves) to the final table state — the batch
+    twin of streaming/cdc.CdcPipeline (merge_parallelizer.rs staged apply)."""
+    stream = demo.users_change_stream(spark, sf_dir)
+    keyed = stream.filter(
+        F.when(F.col("row_type") == "delete", F.col("before.user_id").isNotNull())
+        .when(F.col("row_type") == "insert", F.col("after.user_id").isNotNull())
+        .otherwise(F.col("before.user_id").isNotNull() & F.col("after.user_id").isNotNull())
+    )
+    return replay_to_state(keyed, ["user_id"])
 
 
 def q_checker_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -312,7 +386,11 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "snapshot_scan": q_snapshot_scan,
+        "snapshot_chunked": q_snapshot_chunked,
         "snapshot_sample": q_snapshot_sample,
+        "upsert_sql_mysql": q_upsert_sql_mysql,
+        "upsert_sql_pg": q_upsert_sql_pg,
+        "upsert_sql_batch": q_upsert_sql_batch,
         "event_filter": q_event_filter,
         "time_filter": q_time_filter,
         "route_rename": q_route_rename,
@@ -320,6 +398,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "update_split": q_update_split,
         "merge_compact": q_merge_compact,
         "merge_spill": q_merge_spill,
+        "wire_roundtrip": q_wire_roundtrip,
+        "cdc_apply_state": q_cdc_apply_state,
         "checker_diff": q_checker_diff,
         "checker_summary": q_checker_summary,
         "revise": q_revise,
@@ -442,6 +522,30 @@ WHERE rank <= 5
 _STREAM = demo.USERS_CHANGE_STREAM_SQL
 _DRIFT = demo.DRIFTED_ORDERS_SQL
 
+# compacted write-set with DECIMAL(18,2) values — shared by the upsert-SQL oracles
+_COMPACTED_CTES = f"""
+stream AS ({_STREAM}),
+tagged AS (
+  SELECT *,
+    CASE WHEN row_type = 'delete' THEN before_user_id ELSE after_user_id END AS k,
+    (CASE WHEN row_type = 'delete' THEN before_user_id ELSE after_user_id END IS NULL
+     OR (row_type = 'update' AND before_user_id IS DISTINCT FROM after_user_id)) AS unmergeable
+  FROM stream),
+last AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY "schema", tb, k ORDER BY seq DESC) AS rn
+  FROM tagged WHERE NOT unmergeable),
+comp AS (
+  SELECT "schema", tb, k AS user_id,
+         CASE WHEN row_type = 'delete' THEN 'delete' ELSE 'upsert' END AS op,
+         after_user_id, CAST(after_value AS DECIMAL(18,2)) AS after_value, seq
+  FROM last WHERE rn = 1)
+"""
+
+_MYSQL_ROW_TUPLE = (
+    "COALESCE(CAST(after_user_id AS VARCHAR), 'NULL') || ', ' || "
+    "COALESCE(CAST(after_value AS VARCHAR), 'NULL')"
+)
+
 _CHECK_DIFF_SQL = f"""
 WITH dst AS ({_DRIFT})
 SELECT COALESCE(s.o_orderkey, d.o_orderkey) AS o_orderkey,
@@ -476,6 +580,53 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem WHERE l_quantity > 25 AND l_discount < 0.05
         """,
         "snapshot_sample": "SELECT * FROM orders WHERE o_orderkey % 100 < 10",
+        "snapshot_chunked": """
+            WITH b AS (SELECT MIN(l_orderkey) AS lo,
+                              (MAX(l_orderkey) - MIN(l_orderkey)) // 16 + 1 AS sz
+                       FROM lineitem)
+            SELECT (l_orderkey - lo) // sz AS chunk_id,
+                   COUNT(*) AS n_rows,
+                   MIN(l_orderkey) AS k_min,
+                   MAX(l_orderkey) AS k_max
+            FROM lineitem, b
+            GROUP BY 1
+        """,
+        "upsert_sql_mysql": f"""
+            WITH {_COMPACTED_CTES.strip()}
+            SELECT "schema", tb, op, seq,
+                   CASE WHEN op = 'delete'
+                        THEN 'DELETE FROM `' || "schema" || '`.`' || tb || '` WHERE `user_id` = '
+                             || COALESCE(CAST(user_id AS VARCHAR), 'NULL') || ';'
+                        ELSE 'REPLACE INTO `' || "schema" || '`.`' || tb
+                             || '` (`user_id`, `value`) VALUES (' || {_MYSQL_ROW_TUPLE} || ');'
+                   END AS sql
+            FROM comp
+        """,
+        "upsert_sql_pg": f"""
+            WITH {_COMPACTED_CTES.strip()}
+            SELECT "schema", tb, op, seq,
+                   CASE WHEN op = 'delete'
+                        THEN 'DELETE FROM "' || "schema" || '"."' || tb || '" WHERE "user_id" = '
+                             || COALESCE(CAST(user_id AS VARCHAR), 'NULL') || ';'
+                        ELSE 'INSERT INTO "' || "schema" || '"."' || tb
+                             || '" ("user_id", "value") VALUES (' || {_MYSQL_ROW_TUPLE}
+                             || ') ON CONFLICT ("user_id") DO UPDATE SET "value" = EXCLUDED."value";'
+                   END AS sql
+            FROM comp
+        """,
+        "upsert_sql_batch": f"""
+            WITH {_COMPACTED_CTES.strip()}
+            SELECT "schema", tb, op, COUNT(*) AS n_rows,
+                   CASE WHEN op = 'delete'
+                        THEN 'DELETE FROM `' || "schema" || '`.`' || tb || '` WHERE (`user_id`) IN ('
+                             || string_agg('(' || COALESCE(CAST(user_id AS VARCHAR), 'NULL') || ')', ',' ORDER BY seq)
+                             || ');'
+                        ELSE 'REPLACE INTO `' || "schema" || '`.`' || tb || '` (`user_id`, `value`) VALUES '
+                             || string_agg('(' || {_MYSQL_ROW_TUPLE} || ')', ',' ORDER BY seq)
+                             || ';'
+                   END AS sql
+            FROM comp GROUP BY 1, 2, 3
+        """,
         "event_filter": f"""
             WITH stream AS ({_STREAM})
             SELECT * FROM stream WHERE row_type IN ('insert', 'delete')
@@ -534,6 +685,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM stream
             WHERE (CASE WHEN row_type = 'delete' THEN before_user_id ELSE after_user_id END IS NULL
                    OR (row_type = 'update' AND before_user_id IS DISTINCT FROM after_user_id))
+        """,
+        "wire_roundtrip": f"""
+            WITH stream AS ({_STREAM})
+            SELECT * FROM stream
+        """,
+        "cdc_apply_state": f"""
+            WITH stream AS ({_STREAM}),
+            keyed AS (
+              SELECT * FROM stream
+              WHERE CASE row_type
+                      WHEN 'delete' THEN before_user_id IS NOT NULL
+                      WHEN 'insert' THEN after_user_id IS NOT NULL
+                      ELSE before_user_id IS NOT NULL AND after_user_id IS NOT NULL END),
+            effects AS (
+              -- set effects: inserts + update after-images (key-change half = sub_seq 1)
+              SELECT after_user_id AS k, after_user_id, after_value, seq,
+                     CASE WHEN row_type = 'update' AND before_user_id <> after_user_id
+                          THEN 1 ELSE 0 END AS sub_seq,
+                     1 AS is_set
+              FROM keyed WHERE row_type <> 'delete'
+              UNION ALL
+              -- clear effects: deletes + the delete-half of key-changing updates
+              SELECT before_user_id AS k, NULL, NULL, seq, 0, 0
+              FROM keyed
+              WHERE row_type = 'delete' OR (row_type = 'update' AND before_user_id <> after_user_id)),
+            last AS (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY k ORDER BY seq DESC, sub_seq DESC) AS rn
+              FROM effects)
+            SELECT 'demo' AS "schema", 'users' AS tb, after_user_id AS user_id, after_value AS value
+            FROM last WHERE rn = 1 AND is_set = 1
         """,
         "checker_diff": _CHECK_DIFF_SQL,
         "checker_summary": f"""

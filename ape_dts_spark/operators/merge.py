@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ape_dts_spark.model.changes import ROW_TYPE_DELETE, ROW_TYPE_UPDATE
+from ape_dts_spark.model.changes import ROW_TYPE_DELETE, ROW_TYPE_UPDATE, split_updates
 
 
 def _key_col(key: str) -> Column:
@@ -89,3 +89,40 @@ def compact_changes(
         F.col(f"_last.{order_col}").alias(order_col),
     )
     return compacted, spilled
+
+
+def replay_to_state(df: DataFrame, key_cols: list[str], order_col: str = "seq") -> DataFrame:
+    """Replay a change stream from an empty initial state to its final table
+    state — fully distributed, one shuffle of ~|distinct keys|.
+
+    Handles key-changing updates by first splitting them into a delete(before)
+    + insert(after) pair (each half then lands on its own key), then taking
+    the last effect per key with a map-side ``max_by`` fold ordered by
+    ``(seq, sub_seq)``; keys whose last effect is a delete vanish.
+
+    Requires every event to carry non-NULL key columns (NULL-key events have
+    whole-row-match semantics — the reference's serial path, handled by
+    ``ParquetTable.merge_apply``'s spill replay; filter them out first).
+    Output: (schema, tb, <payload columns of the final row images>).
+    """
+    key_changed = F.lit(False)
+    for k in key_cols:
+        key_changed = key_changed | ~F.col("before").getField(k).eqNullSafe(F.col("after").getField(k))
+    key_changed = (F.col("row_type") == ROW_TYPE_UPDATE) & key_changed
+
+    halves = split_updates(df.filter(key_changed))
+    rest = df.filter(~key_changed).withColumn("sub_seq", F.lit(0))
+    events = rest.unionByName(halves.select(*rest.columns))
+
+    keyed = events
+    for k in key_cols:
+        keyed = keyed.withColumn(f"_k_{k}", _key_col(k))
+    last = keyed.groupBy("schema", "tb", *[f"_k_{k}" for k in key_cols]).agg(
+        F.max_by(
+            F.struct("row_type", "after"), F.struct(F.col(order_col), F.col("sub_seq"))
+        ).alias("_last")
+    )
+    payload_fields = [f.name for f in df.schema["after"].dataType.fields]
+    return last.filter(F.col("_last.row_type") != ROW_TYPE_DELETE).select(
+        "schema", "tb", *[F.col(f"_last.after.{f}").alias(f) for f in payload_fields]
+    )

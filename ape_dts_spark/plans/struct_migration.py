@@ -1,0 +1,244 @@
+"""Structure (schema) migration: neutral table model -> per-dialect DDL.
+
+Reference: struct migration fetches catalog objects into a neutral model
+(dt-common/src/meta/struct_meta/structure/structure_type.rs:5-30), routes /
+renames them, and per-target "struct sinkers" emit translated DDL
+(dt-connector/src/sinker/*/*_struct_sinker.rs, base_struct_sinker.rs). The
+struct checker compares translated definitions source vs target
+(dt-connector/src/checker/struct_checker.rs).
+
+Spark-native: the neutral model is a ``StructType`` + key metadata (the same
+registry the merge/checker operators use). Translation emits CREATE TABLE for
+Spark SQL (parquet/Delta), MySQL, PostgreSQL, ClickHouse (ReplacingMergeTree
+with the reference's soft-delete columns ``_ape_dts_is_deleted`` /
+``_ape_dts_timestamp`` — clickhouse_sinker.rs:18-19,
+docs/en/tutorial/mysql_to_clickhouse.md:73-76) and StarRocks (PRIMARY KEY
+model — starrocks_sinker.rs:28-29).
+
+The reference's 2,108-line *textual* DDL parser (ddl_parser.rs) has no Spark
+equivalent by design: schemas here are structural objects, not SQL strings,
+so translation is a total function over types instead of a parse.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+SOFT_DELETE_COL = "_ape_dts_is_deleted"
+VERSION_COL = "_ape_dts_timestamp"
+
+DIALECTS = ("sparksql", "mysql", "pg", "clickhouse", "starrocks")
+
+
+@dataclass
+class TableDef:
+    """Neutral table definition: the Spark-side RdbTbMeta
+    (dt-common/src/meta/rdb_tb_meta.rs:11-23)."""
+
+    schema: str
+    tb: str
+    columns: T.StructType
+    primary_keys: list[str] = field(default_factory=list)
+    comment: str | None = None
+
+    @classmethod
+    def from_dataframe(cls, df: DataFrame, schema: str, tb: str, primary_keys: list[str] | None = None):
+        return cls(schema=schema, tb=tb, columns=df.schema, primary_keys=primary_keys or [])
+
+
+def _mysql_type(dt: T.DataType, is_key: bool) -> str:
+    m = {
+        T.ByteType: "TINYINT",
+        T.ShortType: "SMALLINT",
+        T.IntegerType: "INT",
+        T.LongType: "BIGINT",
+        T.FloatType: "FLOAT",
+        T.DoubleType: "DOUBLE",
+        T.BooleanType: "TINYINT(1)",
+        T.DateType: "DATE",
+        T.TimestampType: "DATETIME(6)",
+        T.TimestampNTZType: "DATETIME(6)",
+        T.BinaryType: "LONGBLOB",
+    }
+    if isinstance(dt, T.DecimalType):
+        return f"DECIMAL({dt.precision},{dt.scale})"
+    if isinstance(dt, T.StringType):
+        return "VARCHAR(255)" if is_key else "TEXT"
+    if isinstance(dt, (T.ArrayType, T.MapType, T.StructType)):
+        return "JSON"
+    return m.get(type(dt), "TEXT")
+
+
+def _pg_type(dt: T.DataType, is_key: bool) -> str:
+    m = {
+        T.ByteType: "SMALLINT",
+        T.ShortType: "SMALLINT",
+        T.IntegerType: "INTEGER",
+        T.LongType: "BIGINT",
+        T.FloatType: "REAL",
+        T.DoubleType: "DOUBLE PRECISION",
+        T.BooleanType: "BOOLEAN",
+        T.DateType: "DATE",
+        T.TimestampType: "TIMESTAMPTZ",
+        T.TimestampNTZType: "TIMESTAMP",
+        T.BinaryType: "BYTEA",
+    }
+    if isinstance(dt, T.DecimalType):
+        return f"NUMERIC({dt.precision},{dt.scale})"
+    if isinstance(dt, T.StringType):
+        return "TEXT"
+    if isinstance(dt, T.ArrayType) and isinstance(dt.elementType, (T.IntegerType, T.LongType)):
+        return "BIGINT[]"
+    if isinstance(dt, T.ArrayType) and isinstance(dt.elementType, T.StringType):
+        return "TEXT[]"
+    if isinstance(dt, (T.ArrayType, T.MapType, T.StructType)):
+        return "JSONB"
+    return m.get(type(dt), "TEXT")
+
+
+def _clickhouse_type(dt: T.DataType, nullable: bool) -> str:
+    m = {
+        T.ByteType: "Int8",
+        T.ShortType: "Int16",
+        T.IntegerType: "Int32",
+        T.LongType: "Int64",
+        T.FloatType: "Float32",
+        T.DoubleType: "Float64",
+        T.BooleanType: "Bool",
+        T.DateType: "Date32",
+        T.TimestampType: "DateTime64(6)",
+        T.TimestampNTZType: "DateTime64(6)",
+        T.BinaryType: "String",
+    }
+    if isinstance(dt, T.DecimalType):
+        base = f"Decimal({dt.precision},{dt.scale})"
+    elif isinstance(dt, T.StringType):
+        base = "String"
+    elif isinstance(dt, (T.ArrayType, T.MapType, T.StructType)):
+        base = "String"  # serialized JSON
+    else:
+        base = m.get(type(dt), "String")
+    return f"Nullable({base})" if nullable else base
+
+
+def _starrocks_type(dt: T.DataType, is_key: bool) -> str:
+    m = {
+        T.ByteType: "TINYINT",
+        T.ShortType: "SMALLINT",
+        T.IntegerType: "INT",
+        T.LongType: "BIGINT",
+        T.FloatType: "FLOAT",
+        T.DoubleType: "DOUBLE",
+        T.BooleanType: "BOOLEAN",
+        T.DateType: "DATE",
+        T.TimestampType: "DATETIME",
+        T.TimestampNTZType: "DATETIME",
+        T.BinaryType: "VARBINARY",
+    }
+    if isinstance(dt, T.DecimalType):
+        return f"DECIMAL({dt.precision},{dt.scale})"
+    if isinstance(dt, T.StringType):
+        return "VARCHAR(255)" if is_key else "STRING"
+    if isinstance(dt, (T.ArrayType, T.MapType, T.StructType)):
+        return "JSON"
+    return m.get(type(dt), "STRING")
+
+
+def _sparksql_type(dt: T.DataType) -> str:
+    return dt.simpleString().upper()
+
+
+def to_create_table(td: TableDef, dialect: str) -> str:
+    """Translated CREATE TABLE DDL for the target dialect."""
+    if dialect not in DIALECTS:
+        raise ValueError(f"unsupported dialect {dialect!r}; one of {DIALECTS}")
+    pks = set(td.primary_keys)
+    lines: list[str] = []
+
+    if dialect == "sparksql":
+        for f in td.columns.fields:
+            null = "" if f.nullable else " NOT NULL"
+            lines.append(f"  `{f.name}` {_sparksql_type(f.dataType)}{null}")
+        body = ",\n".join(lines)
+        return (
+            f"CREATE TABLE `{td.schema}`.`{td.tb}` (\n{body}\n) USING parquet"
+            + (f" COMMENT '{td.comment}'" if td.comment else "")
+        )
+
+    if dialect == "mysql":
+        for f in td.columns.fields:
+            null = " NOT NULL" if (not f.nullable or f.name in pks) else ""
+            lines.append(f"  `{f.name}` {_mysql_type(f.dataType, f.name in pks)}{null}")
+        if pks:
+            lines.append("  PRIMARY KEY (" + ", ".join(f"`{k}`" for k in td.primary_keys) + ")")
+        return f"CREATE TABLE `{td.schema}`.`{td.tb}` (\n" + ",\n".join(lines) + "\n)"
+
+    if dialect == "pg":
+        for f in td.columns.fields:
+            null = " NOT NULL" if (not f.nullable or f.name in pks) else ""
+            lines.append(f'  "{f.name}" {_pg_type(f.dataType, f.name in pks)}{null}')
+        if pks:
+            lines.append('  PRIMARY KEY (' + ", ".join(f'"{k}"' for k in td.primary_keys) + ")")
+        return f'CREATE TABLE "{td.schema}"."{td.tb}" (\n' + ",\n".join(lines) + "\n)"
+
+    if dialect == "clickhouse":
+        # append-only upsert emulation: ReplacingMergeTree(version) + sign col
+        for f in td.columns.fields:
+            nullable = f.nullable and f.name not in pks
+            lines.append(f"  `{f.name}` {_clickhouse_type(f.dataType, nullable)}")
+        lines.append(f"  `{SOFT_DELETE_COL}` UInt8")
+        lines.append(f"  `{VERSION_COL}` UInt64")
+        order_by = ", ".join(f"`{k}`" for k in td.primary_keys) or "tuple()"
+        return (
+            f"CREATE TABLE `{td.schema}`.`{td.tb}` (\n" + ",\n".join(lines) + "\n)"
+            f"\nENGINE = ReplacingMergeTree(`{VERSION_COL}`)\nORDER BY ({order_by})"
+        )
+
+    # starrocks: PRIMARY KEY model; soft-delete column for delete propagation
+    for f in td.columns.fields:
+        null = " NOT NULL" if (not f.nullable or f.name in pks) else ""
+        lines.append(f"  `{f.name}` {_starrocks_type(f.dataType, f.name in pks)}{null}")
+    lines.append(f"  `{SOFT_DELETE_COL}` BOOLEAN")
+    lines.append(f"  `{VERSION_COL}` BIGINT")
+    pk = ", ".join(f"`{k}`" for k in td.primary_keys)
+    return (
+        f"CREATE TABLE `{td.schema}`.`{td.tb}` (\n" + ",\n".join(lines) + "\n)"
+        + (f"\nPRIMARY KEY ({pk})\nDISTRIBUTED BY HASH ({pk})" if pk else "")
+    )
+
+
+def struct_check(src: TableDef, dst: TableDef) -> list[dict]:
+    """Structural diff source vs target (struct_checker.rs parity).
+
+    Returns one record per discrepancy: missing/extra columns, type or
+    nullability drift, primary-key mismatch. Empty list = structures match.
+    """
+    issues: list[dict] = []
+    src_cols = {f.name: f for f in src.columns.fields}
+    dst_cols = {f.name: f for f in dst.columns.fields}
+    for name, f in src_cols.items():
+        if name not in dst_cols:
+            issues.append({"object": name, "kind": "missing_column", "detail": f.dataType.simpleString()})
+        else:
+            g = dst_cols[name]
+            if f.dataType != g.dataType:
+                issues.append(
+                    {
+                        "object": name,
+                        "kind": "type_mismatch",
+                        "detail": f"{f.dataType.simpleString()} != {g.dataType.simpleString()}",
+                    }
+                )
+            if f.nullable != g.nullable:
+                issues.append({"object": name, "kind": "nullable_mismatch", "detail": f"{f.nullable} != {g.nullable}"})
+    for name in dst_cols:
+        if name not in src_cols:
+            issues.append({"object": name, "kind": "extra_column", "detail": dst_cols[name].dataType.simpleString()})
+    if src.primary_keys != dst.primary_keys:
+        issues.append(
+            {"object": "PRIMARY KEY", "kind": "pk_mismatch", "detail": f"{src.primary_keys} != {dst.primary_keys}"}
+        )
+    return issues

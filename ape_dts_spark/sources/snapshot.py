@@ -26,6 +26,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ape_dts_spark.config.rdb_filter import RdbFilter
 from ape_dts_spark.router import RdbRouter
@@ -96,6 +97,24 @@ class SnapshotSource:
                 .option("numPartitions", str(num_partitions))
             )
         return reader.load()
+
+
+def chunk_bounds(df: DataFrame, key_col: str) -> tuple[int, int]:
+    """MIN/MAX probe for the chunk splitter — the reference computes the same
+    with one aggregate query before chunking (mysql_snapshot_splitter.rs:139-309)."""
+    row = df.agg(F.min(key_col).alias("lo"), F.max(key_col).alias("hi")).collect()[0]
+    return row["lo"], row["hi"]
+
+
+def with_chunk_id(df: DataFrame, key_col: str, lo: int, chunk_size: int, out: str = "chunk_id") -> DataFrame:
+    """Assign evenly-sized integer range chunks: chunk_id = (key - lo) div size.
+
+    This is the declarative twin of the splitter's range chunks — on JDBC the
+    same ranges become ``predicates=[...]`` / partitionColumn bounds; on
+    parquet, Spark's own split planning supersedes it and this column serves
+    observability (per-chunk row/byte stats, the ChunkPartitioner cost model's
+    input — dt-parallelizer/src/chunk_partitioner.rs:14-120)."""
+    return df.withColumn(out, F.expr(f"CAST(({key_col} - {lo}) DIV {chunk_size} AS BIGINT)"))
 
 
 def keyset_predicates(min_key: int, max_key: int, chunk_size: int, key_col: str) -> list[str]:

@@ -1,0 +1,194 @@
+"""CDC ingestion + apply on Structured Streaming.
+
+Reference pipeline (dt-pipeline/src/base_pipeline.rs:82-191): binlog/WAL
+extractor -> bounded queue -> drain micro-batch -> merge/compact -> parallel
+apply -> checkpoint commit positions. The reference speaks the MySQL/PG
+replication protocols natively (dt-connector/src/extractor/mysql/
+mysql_cdc_extractor.rs:195-342); Spark's idiomatic equivalent consumes a
+Debezium-format change topic (Kafka in production, a JSONL file source in
+tests — the parse and everything downstream are identical):
+
+    readStream -> parse_debezium -> [time filter, origin filter, routing,
+    user transform] -> foreachBatch { compact -> stage-ordered merge apply }
+
+Checkpointing is native (Structured Streaming checkpoint dir = the
+reference's commit-position log, base_pipeline.rs:585-653); the target table
+commit records the last applied epoch so foreachBatch replays after recovery
+are idempotent (= the reference's "resume from checkpoint position").
+
+Scale notes: compaction shuffles ~|distinct keys| per micro-batch (map-side
+max_by fold); apply joins on the key columns with the change set broadcast
+when small. Trigger interval controls the latency/throughput trade
+(`maxOffsetsPerTrigger`/`maxFilesPerTrigger` = the reference's DtQueue
+backpressure, dt-common/src/meta/dt_queue.rs:13-84).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ape_dts_spark.operators.merge import compact_changes
+from ape_dts_spark.sinks.parquet_table import ParquetTable
+
+# Debezium envelope op codes -> canonical row_type
+# (c=create, u=update, d=delete, r=snapshot-read)
+_OP_MAP = {"c": "insert", "u": "update", "d": "delete", "r": "insert"}
+
+
+def debezium_envelope_schema(payload: T.StructType) -> T.StructType:
+    """Schema of a Debezium-style JSON change record with typed images."""
+    return T.StructType(
+        [
+            T.StructField("op", T.StringType()),
+            T.StructField("before", payload),
+            T.StructField("after", payload),
+            T.StructField(
+                "source",
+                T.StructType(
+                    [
+                        T.StructField("db", T.StringType()),
+                        T.StructField("table", T.StringType()),
+                        T.StructField("ts_ms", T.LongType()),
+                        T.StructField("seq", T.LongType()),
+                        T.StructField("origin_node", T.StringType()),
+                    ]
+                ),
+            ),
+        ]
+    )
+
+
+def parse_debezium(raw: DataFrame, payload: T.StructType, value_col: str = "value") -> DataFrame:
+    """Debezium JSON envelope -> canonical change DataFrame
+    (schema, tb, row_type, before, after, seq, ts, origin_node).
+
+    Works identically on a batch DataFrame and a streaming one (same plan);
+    for Kafka, pass ``df.selectExpr("CAST(value AS STRING) AS value")``.
+    """
+    env = debezium_envelope_schema(payload)
+    parsed = raw.select(F.from_json(F.col(value_col), env).alias("r")).select("r.*")
+    op_map = F.create_map(*[F.lit(x) for kv in _OP_MAP.items() for x in kv])
+    return parsed.select(
+        F.col("source.db").alias("schema"),
+        F.col("source.table").alias("tb"),
+        op_map[F.col("op")].alias("row_type"),
+        F.col("before"),
+        F.col("after"),
+        F.col("source.seq").alias("seq"),
+        F.to_timestamp(F.col("source.ts_ms") / F.lit(1000.0)).alias("ts"),
+        F.col("source.origin_node").alias("origin_node"),
+    )
+
+
+def read_json_change_stream(
+    spark: SparkSession,
+    source_dir: str,
+    payload: T.StructType,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming change DataFrame from a directory of Debezium JSONL files
+    (the test-harness source; swap for format('kafka') in production)."""
+    reader = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", max_files_per_trigger or 1000)
+    )
+    raw = reader.load(source_dir)
+    return parse_debezium(raw, payload)
+
+
+@dataclass
+class CdcPipeline:
+    """End-to-end CDC sync: change stream -> compact -> merge apply.
+
+    ``transform`` is the Lua-processor hook slot (operators/transform.py);
+    ``time_window`` = (start_ts, end_ts) replicates TimeFilter
+    (dt-common/src/time_filter.rs:6-49); ``ignore_origin_nodes`` replicates
+    the two-way-sync data marker filter (dt-connector/src/data_marker.rs:9-80).
+    """
+
+    spark: SparkSession
+    target: ParquetTable
+    key_cols: list[str]
+    stream_id: str = "cdc"
+    transform: Callable[[DataFrame], DataFrame] | None = None
+    time_window: tuple[str | None, str | None] = (None, None)
+    ignore_origin_nodes: tuple[str, ...] = ()
+    metrics: list[dict] = field(default_factory=list)
+
+    def _prepare(self, df: DataFrame) -> DataFrame:
+        start, end = self.time_window
+        if start:
+            df = df.filter(F.col("ts") >= F.lit(start).cast("timestamp"))
+        if end:
+            df = df.filter(F.col("ts") < F.lit(end).cast("timestamp"))
+        if self.ignore_origin_nodes:
+            df = df.filter(
+                F.col("origin_node").isNull()
+                | ~F.col("origin_node").isin(*self.ignore_origin_nodes)
+            )
+        if self.transform is not None:
+            df = self.transform(df)
+        return df
+
+    def apply_batch(self, batch: DataFrame, batch_id: int) -> None:
+        """foreachBatch body: compact the micro-batch and merge-apply it.
+
+        The epoch id makes replays idempotent (recorded in the target commit).
+        Heartbeat/lag metric per batch = now - max(event ts)
+        (reference heartbeat: mysql_cdc_extractor.rs:468-540).
+        """
+        batch = self._prepare(batch)
+        compacted, spilled = compact_changes(batch, self.key_cols)
+        n_events = batch.count()
+        self.target.merge_apply(
+            compacted, spilled, self.key_cols, stream_id=self.stream_id, batch_id=batch_id
+        )
+        max_ts = batch.agg(F.max("seq").alias("m"), F.max("ts").alias("t")).collect()[0]
+        lag = (time.time() - max_ts["t"].timestamp()) if max_ts["t"] is not None else None
+        self.metrics.append(
+            {
+                "batch_id": batch_id,
+                "n_events": n_events,
+                "max_seq": max_ts["m"],
+                "lag_sec": lag,
+                "at": time.time(),
+            }
+        )
+
+    def run(
+        self,
+        changes: DataFrame,
+        checkpoint_dir: str,
+        available_now: bool = True,
+        trigger_secs: float | None = None,
+    ):
+        """Start the stream. ``available_now=True`` drains everything present
+        and stops (test/backfill mode); otherwise runs continuously with the
+        given trigger interval."""
+        writer = (
+            changes.writeStream.foreachBatch(self.apply_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("update")
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        elif trigger_secs:
+            writer = writer.trigger(processingTime=f"{trigger_secs} seconds")
+        query = writer.start()
+        if available_now:
+            query.awaitTermination()
+        return query
+
+
+def write_debezium_jsonl(rows: list[dict], path: str) -> None:
+    """Test helper: write Debezium-envelope events as one JSONL file."""
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")

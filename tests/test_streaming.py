@@ -1,0 +1,135 @@
+"""End-to-end CDC streaming tests: Debezium JSONL -> Structured Streaming ->
+compaction -> stage-ordered merge apply into a versioned parquet table,
+including checkpoint resume and replay idempotency (SURVEY.md §3 entry B)."""
+
+import os
+
+import pytest
+from pyspark.sql import types as T
+
+from ape_dts_spark.sinks.parquet_table import ParquetTable
+from ape_dts_spark.streaming.cdc import (
+    CdcPipeline,
+    parse_debezium,
+    read_json_change_stream,
+    write_debezium_jsonl,
+)
+
+PAYLOAD = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("bal", T.LongType()),
+    ]
+)
+
+
+def ev(op, before=None, after=None, seq=0, db="default", table="users", ts_ms=1700000000000, origin=None):
+    return {
+        "op": op,
+        "before": before,
+        "after": after,
+        "source": {"db": db, "table": table, "ts_ms": ts_ms + seq, "seq": seq, "origin_node": origin},
+    }
+
+
+BATCH_1 = [
+    ev("c", after={"id": 1, "name": "a", "bal": 10}, seq=1),
+    ev("c", after={"id": 2, "name": "b", "bal": 20}, seq=2),
+    ev("u", before={"id": 1, "name": "a", "bal": 10}, after={"id": 1, "name": "a", "bal": 11}, seq=3),
+    ev("c", after={"id": 3, "name": "c", "bal": 30}, seq=4),
+    ev("d", before={"id": 2, "name": "b", "bal": 20}, seq=5),
+]
+
+BATCH_2 = [
+    # key-changing update -> spills to the serial path
+    ev("u", before={"id": 3, "name": "c", "bal": 30}, after={"id": 4, "name": "c", "bal": 30}, seq=6),
+    # NULL-key insert -> spills
+    ev("c", after={"id": None, "name": "ghost", "bal": 0}, seq=7),
+    ev("u", before={"id": 1, "name": "a", "bal": 11}, after={"id": 1, "name": "a2", "bal": 12}, seq=8),
+]
+
+
+def state_dict(table):
+    rows = table.current().collect()
+    return {r["id"]: (r["name"], r["bal"]) for r in rows}
+
+
+@pytest.fixture()
+def dirs(tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    return str(src), str(tmp_path / "target"), str(tmp_path / "ckpt")
+
+
+def test_parse_debezium_batch(spark, dirs):
+    src, _, _ = dirs
+    write_debezium_jsonl(BATCH_1, os.path.join(src, "b1.jsonl"))
+    raw = spark.read.text(src)
+    changes = parse_debezium(raw, PAYLOAD)
+    rows = {r["seq"]: r for r in changes.collect()}
+    assert rows[1]["row_type"] == "insert" and rows[1]["after"]["id"] == 1
+    assert rows[3]["row_type"] == "update" and rows[3]["after"]["bal"] == 11
+    assert rows[5]["row_type"] == "delete" and rows[5]["before"]["id"] == 2
+    assert rows[1]["ts"] is not None
+
+
+def test_cdc_stream_apply_and_resume(spark, dirs):
+    src, target_dir, ckpt = dirs
+    write_debezium_jsonl(BATCH_1, os.path.join(src, "b1.jsonl"))
+
+    table = ParquetTable(spark, target_dir, PAYLOAD)
+    pipe = CdcPipeline(spark, table, key_cols=["id"])
+    changes = read_json_change_stream(spark, src, PAYLOAD)
+    pipe.run(changes, ckpt)
+
+    assert state_dict(table) == {1: ("a", 11), 3: ("c", 30)}
+    assert pipe.metrics and pipe.metrics[-1]["max_seq"] == 5
+
+    # resume: a new file arrives; the checkpoint skips batch 1's files
+    write_debezium_jsonl(BATCH_2, os.path.join(src, "b2.jsonl"))
+    changes = read_json_change_stream(spark, src, PAYLOAD)
+    pipe.run(changes, ckpt)
+
+    st = state_dict(table)
+    assert st[4] == ("c", 30)       # key-changing update moved the row (spill path)
+    assert 3 not in st
+    assert st[1] == ("a2", 12)
+    assert st[None] == ("ghost", 0)  # NULL-key insert applied serially
+
+
+def test_replay_is_idempotent(spark, dirs):
+    src, target_dir, ckpt = dirs
+    write_debezium_jsonl(BATCH_1, os.path.join(src, "b1.jsonl"))
+    table = ParquetTable(spark, target_dir, PAYLOAD)
+    pipe = CdcPipeline(spark, table, key_cols=["id"])
+
+    raw = spark.read.text(src)
+    batch = parse_debezium(raw, PAYLOAD)
+    pipe.apply_batch(batch, batch_id=0)
+    v1 = table._read_meta()["version"]
+    pipe.apply_batch(batch, batch_id=0)  # replay of the same epoch: no-op
+    assert table._read_meta()["version"] == v1
+    assert state_dict(table) == {1: ("a", 11), 3: ("c", 30)}
+
+
+def test_time_and_origin_filters(spark, dirs):
+    src, target_dir, ckpt = dirs
+    events = [
+        ev("c", after={"id": 10, "name": "x", "bal": 1}, seq=1, ts_ms=1700000000000),
+        # echo from our own node -> dropped by the data-marker filter
+        ev("c", after={"id": 11, "name": "y", "bal": 2}, seq=2, origin="self"),
+        # outside the time window (2100-01-01) -> dropped
+        ev("c", after={"id": 12, "name": "z", "bal": 3}, seq=3, ts_ms=4102444800000),
+    ]
+    write_debezium_jsonl(events, os.path.join(src, "b1.jsonl"))
+    table = ParquetTable(spark, target_dir, PAYLOAD)
+    pipe = CdcPipeline(
+        spark,
+        table,
+        key_cols=["id"],
+        time_window=(None, "2099-01-01 00:00:00"),
+        ignore_origin_nodes=("self",),
+    )
+    pipe.run(read_json_change_stream(spark, src, PAYLOAD), ckpt)
+    assert set(state_dict(table)) == {10}

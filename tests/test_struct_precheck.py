@@ -1,0 +1,105 @@
+"""Structure migration (DDL translation + struct check) and precheck tests."""
+
+from pyspark.sql import types as T
+
+from ape_dts_spark.config.rdb_filter import RdbFilter
+from ape_dts_spark.plans.struct_migration import TableDef, struct_check, to_create_table
+from ape_dts_spark.precheck import run_prechecks
+
+ORDERS = T.StructType(
+    [
+        T.StructField("o_orderkey", T.LongType(), False),
+        T.StructField("o_custkey", T.LongType(), True),
+        T.StructField("o_orderstatus", T.StringType(), True),
+        T.StructField("o_totalprice", T.DecimalType(18, 2), True),
+        T.StructField("o_orderdate", T.TimestampType(), True),
+        T.StructField("tags", T.ArrayType(T.StringType()), True),
+    ]
+)
+
+TD = TableDef(schema="default", tb="orders", columns=ORDERS, primary_keys=["o_orderkey"])
+
+
+def test_mysql_ddl():
+    ddl = to_create_table(TD, "mysql")
+    assert "CREATE TABLE `default`.`orders`" in ddl
+    assert "`o_orderkey` BIGINT NOT NULL" in ddl
+    assert "`o_totalprice` DECIMAL(18,2)" in ddl
+    assert "`o_orderdate` DATETIME(6)" in ddl
+    assert "`tags` JSON" in ddl
+    assert "PRIMARY KEY (`o_orderkey`)" in ddl
+
+
+def test_pg_ddl():
+    ddl = to_create_table(TD, "pg")
+    assert '"o_totalprice" NUMERIC(18,2)' in ddl
+    assert '"tags" TEXT[]' in ddl
+    assert 'PRIMARY KEY ("o_orderkey")' in ddl
+
+
+def test_clickhouse_ddl_soft_delete():
+    ddl = to_create_table(TD, "clickhouse")
+    assert "ENGINE = ReplacingMergeTree(`_ape_dts_timestamp`)" in ddl
+    assert "`_ape_dts_is_deleted` UInt8" in ddl
+    assert "ORDER BY (`o_orderkey`)" in ddl
+    assert "`o_custkey` Nullable(Int64)" in ddl
+    assert "`o_orderkey` Int64" in ddl  # pk not nullable
+
+
+def test_starrocks_ddl():
+    ddl = to_create_table(TD, "starrocks")
+    assert "PRIMARY KEY (`o_orderkey`)" in ddl
+    assert "`_ape_dts_is_deleted` BOOLEAN" in ddl
+    assert "DISTRIBUTED BY HASH (`o_orderkey`)" in ddl
+
+
+def test_sparksql_ddl():
+    ddl = to_create_table(TD, "sparksql")
+    assert "USING parquet" in ddl
+    assert "`o_orderkey` BIGINT NOT NULL" in ddl
+    assert "`tags` ARRAY<STRING>" in ddl
+
+
+def test_struct_check_detects_drift():
+    drifted = T.StructType(
+        [f for f in ORDERS.fields if f.name != "tags"]
+        + [T.StructField("extra", T.StringType(), True)]
+    )
+    drifted = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType(), False),
+            T.StructField("o_custkey", T.IntegerType(), True),  # type drift
+            T.StructField("o_orderstatus", T.StringType(), False),  # nullable drift
+            T.StructField("o_totalprice", T.DecimalType(18, 2), True),
+            T.StructField("o_orderdate", T.TimestampType(), True),
+            T.StructField("extra", T.StringType(), True),  # extra
+        ]
+    )
+    dst = TableDef(schema="default", tb="orders", columns=drifted, primary_keys=[])
+    issues = {(i["kind"], i["object"]) for i in struct_check(TD, dst)}
+    assert ("missing_column", "tags") in issues
+    assert ("type_mismatch", "o_custkey") in issues
+    assert ("nullable_mismatch", "o_orderstatus") in issues
+    assert ("extra_column", "extra") in issues
+    assert ("pk_mismatch", "PRIMARY KEY") in issues
+
+
+def test_struct_check_clean():
+    assert struct_check(TD, TD) == []
+
+
+def test_prechecks(spark, sf_dir):
+    filt = RdbFilter(do_tbs="default.orders,default.lineitem")
+    res = run_prechecks(
+        spark,
+        sf_dir,
+        ["orders", "lineitem", "nosuch"],
+        filt=filt,
+        registry={"orders": ["o_orderkey"], "lineitem": ["l_orderkey", "l_linenumber"], "nosuch": []},
+    )
+    by = {(r.check, r.object): r for r in res}
+    assert by[("source_readable", "orders")].ok
+    assert not by[("source_readable", "nosuch")].ok
+    assert by[("filter_matches", "default.*")].ok
+    assert by[("primary_keys", "orders")].ok
+    assert not by[("primary_keys", "nosuch")].ok
