@@ -22,13 +22,16 @@ from ape_dts_spark.functions import multimodal as mm
 from ape_dts_spark.functions import similarity as sim
 from ape_dts_spark.functions import text as tx
 from ape_dts_spark.model.changes import reverse_events, split_updates
+from ape_dts_spark.operators.check_log import review as review_check
 from ape_dts_spark.operators.checker import check_diff, check_summary, revise_rows
+from ape_dts_spark.operators.transform import transform_batches
 from ape_dts_spark.operators.merge import compact_changes, replay_to_state
 from ape_dts_spark.operators.sampling import mod_sample
 from ape_dts_spark.router import RdbRouter
 from ape_dts_spark.sinks.soft_delete import resolve_latest, to_soft_delete_rows
 from ape_dts_spark.sinks.upsert_sql import batch_statements, compacted_to_sql
 from ape_dts_spark.sinks.wire_format import roundtrip as wire_roundtrip
+from ape_dts_spark.sources.resume import keyset_predicate
 from ape_dts_spark.sources.snapshot import SnapshotSource, chunk_bounds, with_chunk_id
 
 
@@ -236,6 +239,47 @@ def q_revise(spark: SparkSession, sf_dir: str) -> DataFrame:
     return revise_rows(d, src, ["o_orderkey"]).select("o_orderkey", "o_custkey", "o_totalprice")
 
 
+def q_snapshot_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resume a snapshot from a keyset watermark: tuple predicate
+    (l_orderkey, l_linenumber) > (700, 3) pushed into the scan
+    (rdb_snapshot_extract_statement.rs:242-308; resume.md). Key 700 sits
+    inside the key range at every test SF (max key is 1499 at sf0.001)."""
+    l = demo.load(spark, sf_dir, "lineitem")
+    pred = keyset_predicate(["l_orderkey", "l_linenumber"], (700, 3))
+    return l.filter(pred).select("l_orderkey", "l_linenumber", "l_quantity")
+
+
+def q_review(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Review: re-check only previously-flagged keys after a partial repair
+    (dt-tests mysql_to_mysql/review; base_check_extractor.rs:16-84).
+    The diff drift is repaired, the miss drift is not — review reports
+    exactly the remaining misses."""
+    src = demo.load(spark, sf_dir, "orders")
+    dst = demo.drifted_orders(spark, sf_dir)
+    flagged = check_diff(src, dst, ["o_orderkey"]).select("o_orderkey")
+    # partial repair: totalprice drift fixed (as revise would), misses remain
+    repaired = dst.withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 89 == 0, F.col("o_totalprice") - 1).otherwise(F.col("o_totalprice")),
+    )
+    d = review_check(src, repaired, flagged, ["o_orderkey"])
+    return d.select("o_orderkey", "check_class")
+
+
+def q_py_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lua-processor equivalent: user Python batch transform via mapInPandas
+    (dt-pipeline/src/lua_processor.rs:16-57; docs/en/etl/lua.md) — mutates a
+    value and drops rows, Arrow-vectorized."""
+    ev = demo.load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+
+    def fn(pdf):
+        pdf = pdf[pdf["event_type"] != "error"].copy()
+        pdf["value"] = pdf["value"] * 2.0
+        return pdf
+
+    return transform_batches(ev, fn)
+
+
 def q_soft_delete_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ClickHouse/StarRocks append-only upsert emulation + merge-on-read
     resolution (clickhouse_sinker.rs:18-19) — final table state."""
@@ -403,6 +447,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "checker_diff": q_checker_diff,
         "checker_summary": q_checker_summary,
         "revise": q_revise,
+        "review": q_review,
+        "snapshot_resume": q_snapshot_resume,
+        "py_transform": q_py_transform,
         "soft_delete_apply": q_soft_delete_apply,
         "data_marker_filter": q_data_marker_filter,
         "pricing_summary": q_pricing_summary,
@@ -725,6 +772,46 @@ def oracle_sql() -> dict[str, str]:
             WITH diffs AS ({_CHECK_DIFF_SQL})
             SELECT o_orderkey, o_custkey, o_totalprice FROM orders
             WHERE o_orderkey IN (SELECT o_orderkey FROM diffs WHERE check_class IN ('miss', 'diff'))
+        """,
+        "snapshot_resume": """
+            SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+            WHERE (l_orderkey > 700) OR (l_orderkey = 700 AND l_linenumber > 3)
+        """,
+        "review": f"""
+            WITH dst AS ({_DRIFT}),
+            flagged AS (
+              SELECT COALESCE(s.o_orderkey, d.o_orderkey) AS o_orderkey
+              FROM orders s FULL OUTER JOIN dst d ON s.o_orderkey = d.o_orderkey
+              WHERE d.o_orderkey IS NULL
+                 OR (s.o_orderkey IS NOT NULL AND (
+                      s.o_custkey IS DISTINCT FROM d.o_custkey
+                   OR s.o_orderstatus IS DISTINCT FROM d.o_orderstatus
+                   OR s.o_totalprice IS DISTINCT FROM d.o_totalprice
+                   OR s.o_orderdate IS DISTINCT FROM d.o_orderdate
+                   OR s.o_orderpriority IS DISTINCT FROM d.o_orderpriority))),
+            repaired AS (
+              SELECT o_orderkey, o_custkey, o_orderstatus,
+                     CASE WHEN o_orderkey % 89 = 0 THEN o_totalprice - 1 ELSE o_totalprice END AS o_totalprice,
+                     o_orderdate, o_orderpriority
+              FROM dst),
+            src_f AS (SELECT * FROM orders WHERE o_orderkey IN (SELECT o_orderkey FROM flagged)),
+            dst_f AS (SELECT * FROM repaired WHERE o_orderkey IN (SELECT o_orderkey FROM flagged))
+            SELECT COALESCE(s.o_orderkey, d.o_orderkey) AS o_orderkey,
+                   CASE WHEN d.o_orderkey IS NULL THEN 'miss'
+                        WHEN s.o_orderkey IS NULL THEN 'extra'
+                        ELSE 'diff' END AS check_class
+            FROM src_f s FULL OUTER JOIN dst_f d ON s.o_orderkey = d.o_orderkey
+            WHERE d.o_orderkey IS NULL
+               OR (s.o_orderkey IS NOT NULL AND (
+                    s.o_custkey IS DISTINCT FROM d.o_custkey
+                 OR s.o_orderstatus IS DISTINCT FROM d.o_orderstatus
+                 OR s.o_totalprice IS DISTINCT FROM d.o_totalprice
+                 OR s.o_orderdate IS DISTINCT FROM d.o_orderdate
+                 OR s.o_orderpriority IS DISTINCT FROM d.o_orderpriority))
+        """,
+        "py_transform": """
+            SELECT event_id, event_type, value * 2.0 AS value FROM events
+            WHERE event_type <> 'error'
         """,
         "soft_delete_apply": f"""
             WITH stream AS ({_STREAM}),

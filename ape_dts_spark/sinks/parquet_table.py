@@ -69,6 +69,28 @@ class ParquetTable:
         (exactly-once replay guard, the Structured Streaming idiom)."""
         return int(self._read_meta()["applied_batches"].get(stream_id, -1))
 
+    def record_batch(self, stream_id: str, batch_id: int) -> None:
+        """Mark an epoch applied without a data commit (used when a batch was
+        applied in multiple DDL-separated segments)."""
+        meta = self._read_meta()
+        meta["applied_batches"][stream_id] = batch_id
+        self._write_meta(meta)
+
+    def add_column(self, field: T.StructField, ddl_text: str = "") -> None:
+        """Schema evolution: ADD COLUMN. No data rewrite — parquet
+        schema-on-read fills missing columns with NULL (the Delta
+        ``mergeSchema`` analogue); the DDL is appended to the meta ddl_log
+        (the reference refreshes cached metadata on DDL,
+        dt-pipeline/src/base_pipeline.rs:268-305)."""
+        if field.name in [f.name for f in self.payload_schema.fields]:
+            return
+        self.payload_schema = T.StructType(list(self.payload_schema.fields) + [field])
+        meta = self._read_meta()
+        meta.setdefault("ddl_log", []).append(
+            {"ddl": ddl_text, "column": field.name, "type": field.dataType.simpleString()}
+        )
+        self._write_meta(meta)
+
     # -- apply ---------------------------------------------------------------
 
     def merge_apply(

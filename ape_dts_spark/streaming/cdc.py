@@ -43,10 +43,12 @@ _OP_MAP = {"c": "insert", "u": "update", "d": "delete", "r": "insert"}
 
 
 def debezium_envelope_schema(payload: T.StructType) -> T.StructType:
-    """Schema of a Debezium-style JSON change record with typed images."""
+    """Schema of a Debezium-style JSON change record with typed images.
+    ``ddl`` carries schema-change statements (op='ddl')."""
     return T.StructType(
         [
             T.StructField("op", T.StringType()),
+            T.StructField("ddl", T.StringType()),
             T.StructField("before", payload),
             T.StructField("after", payload),
             T.StructField(
@@ -78,7 +80,8 @@ def parse_debezium(raw: DataFrame, payload: T.StructType, value_col: str = "valu
     return parsed.select(
         F.col("source.db").alias("schema"),
         F.col("source.table").alias("tb"),
-        op_map[F.col("op")].alias("row_type"),
+        F.coalesce(op_map[F.col("op")], F.col("op")).alias("row_type"),
+        F.col("ddl"),
         F.col("before"),
         F.col("after"),
         F.col("source.seq").alias("seq"),
@@ -137,19 +140,63 @@ class CdcPipeline:
             df = self.transform(df)
         return df
 
+    def apply_ddl(self, ddl_row) -> None:
+        """DDL handler: ADD COLUMN evolves the target schema (NULL-filled via
+        schema-on-read, the mergeSchema analogue); anything else is logged.
+        The reference parses full DDL ASTs (ddl_parser.rs, 2108 LoC) — here
+        schema changes arrive as structural events, so only the statement kind
+        needs recognizing. Override ``ddl_handler`` for custom behavior."""
+        import re
+
+        from ape_dts_spark.model.types import spark_type_for
+
+        m = re.match(
+            r"\s*ALTER\s+TABLE\s+\S+\s+ADD\s+(?:COLUMN\s+)?[`\"]?(\w+)[`\"]?\s+(.+?)\s*$",
+            ddl_row["ddl"] or "",
+            re.IGNORECASE,
+        )
+        if m:
+            name, src_type = m.groups()
+            self.target.add_column(T.StructField(name, spark_type_for(src_type)), ddl_row["ddl"])
+        else:
+            meta = self.target._read_meta()
+            meta.setdefault("ddl_log", []).append({"ddl": ddl_row["ddl"], "column": None, "type": None})
+            self.target._write_meta(meta)
+
     def apply_batch(self, batch: DataFrame, batch_id: int) -> None:
         """foreachBatch body: compact the micro-batch and merge-apply it.
 
-        The epoch id makes replays idempotent (recorded in the target commit).
-        Heartbeat/lag metric per batch = now - max(event ts)
+        DDL events are **barriers** (base_parallelizer.rs:27-50,
+        base_extractor.rs:204-206): the batch is applied in seq-ordered
+        segments — DML before the DDL, the DDL itself (serially, exclusively),
+        then the rest. The epoch id makes replays idempotent (recorded in the
+        target commit). Heartbeat/lag metric per batch = now - max(event ts)
         (reference heartbeat: mysql_cdc_extractor.rs:468-540).
         """
+        if self.target.last_applied(self.stream_id) >= batch_id:
+            return
         batch = self._prepare(batch)
-        compacted, spilled = compact_changes(batch, self.key_cols)
-        n_events = batch.count()
-        self.target.merge_apply(
-            compacted, spilled, self.key_cols, stream_id=self.stream_id, batch_id=batch_id
+        ddls = (
+            batch.filter(F.col("row_type") == "ddl").orderBy("seq").collect()
+            if "ddl" in batch.columns
+            else []
         )
+        dml = batch.filter(F.col("row_type") != "ddl") if ddls else batch
+        bounds = [d["seq"] for d in ddls] + [None]
+        lo = None
+        for i, hi in enumerate(bounds):
+            seg = dml
+            if lo is not None:
+                seg = seg.filter(F.col("seq") > lo)
+            if hi is not None:
+                seg = seg.filter(F.col("seq") < hi)
+            compacted, spilled = compact_changes(seg, self.key_cols)
+            self.target.merge_apply(compacted, spilled, self.key_cols, stream_id=self.stream_id)
+            if hi is not None:
+                self.apply_ddl(ddls[i])
+            lo = hi
+        self.target.record_batch(self.stream_id, batch_id)
+        n_events = batch.count()
         max_ts = batch.agg(F.max("seq").alias("m"), F.max("ts").alias("t")).collect()[0]
         lag = (time.time() - max_ts["t"].timestamp()) if max_ts["t"] is not None else None
         self.metrics.append(

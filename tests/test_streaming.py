@@ -133,3 +133,32 @@ def test_time_and_origin_filters(spark, dirs):
     )
     pipe.run(read_json_change_stream(spark, src, PAYLOAD), ckpt)
     assert set(state_dict(table)) == {10}
+
+
+def test_ddl_barrier_and_schema_evolution(spark, dirs):
+    src, target_dir, ckpt = dirs
+    wide = T.StructType(list(PAYLOAD.fields) + [T.StructField("tier", T.StringType())])
+    events = [
+        ev("c", after={"id": 1, "name": "a", "bal": 10}, seq=1),
+        ev("c", after={"id": 2, "name": "b", "bal": 20}, seq=2),
+        # barrier: schema change between the two DML segments
+        {"op": "ddl", "ddl": "ALTER TABLE default.users ADD COLUMN tier varchar(8)",
+         "source": {"db": "default", "table": "users", "ts_ms": 1700000000003, "seq": 3, "origin_node": None}},
+        ev("u", before={"id": 1, "name": "a", "bal": 10},
+           after={"id": 1, "name": "a", "bal": 11, "tier": "gold"}, seq=4),
+        ev("c", after={"id": 5, "name": "e", "bal": 50, "tier": "basic"}, seq=5),
+    ]
+    write_debezium_jsonl(events, os.path.join(src, "b1.jsonl"))
+
+    table = ParquetTable(spark, target_dir, PAYLOAD)
+    pipe = CdcPipeline(spark, table, key_cols=["id"])
+    pipe.run(read_json_change_stream(spark, src, wide), ckpt)
+
+    # schema evolved and logged
+    assert [f.name for f in table.payload_schema.fields] == ["id", "name", "bal", "tier"]
+    assert table._read_meta()["ddl_log"][0]["column"] == "tier"
+
+    rows = {r["id"]: r for r in table.current().collect()}
+    assert rows[1]["tier"] == "gold" and rows[1]["bal"] == 11
+    assert rows[2]["tier"] is None            # pre-DDL row: NULL-filled
+    assert rows[5]["tier"] == "basic"

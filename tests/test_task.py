@@ -1,0 +1,143 @@
+"""End-to-end task assembly tests: task_config ini -> running pipeline
+(dt-task parity; golden pattern = the reference's integration tests:
+prepare -> run task -> compare target to source, dt-tests/README.md)."""
+
+import json
+import os
+
+from ape_dts_spark.config.task_config import TaskConfig
+from ape_dts_spark.streaming.cdc import write_debezium_jsonl
+from ape_dts_spark.task import run_task
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_snapshot_task_with_filter_and_route(spark, tmp_path):
+    cfg = TaskConfig.from_string(
+        f"""
+[extractor]
+extract_type=snapshot
+url={SF}
+db=default
+tables=region,nation,customer
+
+[filter]
+do_tbs=default.region,default.nation
+
+[router]
+tb_map=default.region:default.region_v2
+
+[sinker]
+sink_type=parquet
+url={tmp_path}/out
+
+[parallelizer]
+parallel_size=4
+"""
+    )
+    res = run_task(spark, cfg)
+    assert set(res.tables) == {"region_v2", "nation"}  # filter + rename applied
+    src_n = spark.read.parquet(f"{SF}/region.parquet").count()
+    assert res.tables["region_v2"].count() == src_n  # golden: target equals source
+
+
+def test_snapshot_task_sql_file_sink(spark, tmp_path):
+    cfg = TaskConfig.from_string(
+        f"""
+[extractor]
+extract_type=snapshot
+url={SF}
+tables=region
+
+[sinker]
+sink_type=sql_file
+url={tmp_path}/sql
+"""
+    )
+    res = run_task(spark, cfg, registry={"region": ["r_regionkey"]})
+    files = [
+        os.path.join(root, f)
+        for root, _, fs in os.walk(res.outputs["region"])
+        for f in fs
+        if f.endswith(".txt")
+    ]
+    lines = [ln for f in files for ln in open(f).read().splitlines()]
+    n = spark.read.parquet(f"{SF}/region.parquet").count()
+    assert len(lines) == n
+    assert all(ln.startswith("INSERT INTO `default`.`region`") for ln in lines)
+
+
+def test_check_then_revise_tasks(spark, tmp_path):
+    # build a drifted target: drop some orders rows
+    src_o = spark.read.parquet(f"{SF}/orders.parquet")
+    os.makedirs(f"{tmp_path}/dst")
+    src_o.filter("o_orderkey % 7 <> 0").write.parquet(f"{tmp_path}/dst/orders.parquet")
+
+    check_cfg = TaskConfig.from_string(
+        f"""
+[extractor]
+extract_type=check
+url={SF}
+tables=orders
+
+[sinker]
+sink_type=check_log
+url={tmp_path}/check
+compare_url={tmp_path}/dst
+"""
+    )
+    res = run_task(spark, check_cfg, registry={"orders": ["o_orderkey"]})
+    log_dir = res.outputs["orders"]
+    rows = spark.read.text(log_dir).collect()
+    misses = [json.loads(r["value"]) for r in rows]
+    expected_miss = src_o.filter("o_orderkey % 7 = 0").count()
+    assert len([m for m in misses if m["log_type"] == "miss"]) == expected_miss
+
+    revise_cfg = TaskConfig.from_string(
+        f"""
+[extractor]
+extract_type=check_log
+url={SF}
+tb=orders
+check_log_dir={log_dir}
+
+[sinker]
+sink_type=parquet
+url={tmp_path}/revised
+"""
+    )
+    res2 = run_task(spark, revise_cfg, registry={"orders": ["o_orderkey"]})
+    # revised target now holds every previously-missing row
+    assert res2.tables["orders"].count() == expected_miss
+
+
+def test_cdc_task(spark, tmp_path):
+    src = tmp_path / "cdc_src"
+    src.mkdir()
+    events = [
+        {"op": "c", "after": {"id": 1, "name": "a", "bal": 10},
+         "source": {"db": "d", "table": "users", "ts_ms": 1700000000001, "seq": 1, "origin_node": None}},
+        {"op": "u", "before": {"id": 1, "name": "a", "bal": 10}, "after": {"id": 1, "name": "a", "bal": 11},
+         "source": {"db": "d", "table": "users", "ts_ms": 1700000000002, "seq": 2, "origin_node": None}},
+    ]
+    write_debezium_jsonl(events, str(src / "b.jsonl"))
+    sample = tmp_path / "payload.parquet"
+    spark.createDataFrame([(1, "a", 10)], "id long, name string, bal long").write.parquet(str(sample))
+
+    cfg = TaskConfig.from_string(
+        f"""
+[extractor]
+extract_type=cdc
+url={src}
+tb=users
+payload_sample={sample}
+
+[sinker]
+sink_type=parquet
+url={tmp_path}/cdc_out
+"""
+    )
+    res = run_task(spark, cfg, registry={"users": ["id"]})
+    rows = res.tables["users"].collect()
+    assert len(rows) == 1 and rows[0]["bal"] == 11
+    assert res.metrics
