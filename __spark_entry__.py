@@ -381,6 +381,15 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.cosine_topk(queries_df, emb, "vec_id", "embedding", k=5)
 
 
+def q_cosine_topk_np(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k, Arrow+numpy GEMM throughput path (rows-only gate:
+    float-summation order differs from the SQL fold, so ranks can tie-flip;
+    agreement with the oracle-gated cosine_topk is pytest-verified)."""
+    emb = demo.load(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 50 == 0)
+    return sim.cosine_topk_np(queries_df, emb, "vec_id", "embedding", k=5)
+
+
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate ANN via random-hyperplane LSH buckets (scale path;
     no SQL oracle — checked rows-only, recall measured in tests)."""
@@ -461,6 +470,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": q_minhash_lsh,
         "simhash_pairs": q_simhash_pairs,
         "cosine_topk": q_cosine_topk,
+        "cosine_topk_np": q_cosine_topk_np,
         "ann_lsh": q_ann_lsh,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
@@ -491,19 +501,19 @@ jac AS (
 
 def _minhash_oracle(threshold: float) -> str:
     p = tx.PORTABLE_HASH_P
+    n_bands, rows_per_band = dd.banding_for(threshold)
     mins = ",\n    ".join(
         f"MIN((CAST({dd.MINHASH_A[i]} AS BIGINT) * tn + {dd.MINHASH_B[i]}) % {p}) AS m_{i}"
         for i in range(dd.N_HASHES)
     )
+    def band_expr(i: int) -> str:
+        expr = f"m_{i * rows_per_band}"
+        for j in range(1, rows_per_band):
+            expr = f"(({expr} * 31 + m_{i * rows_per_band + j}) % {p})"
+        return expr
+
     bands = "\nUNION ALL\n".join(
-        f"SELECT doc_id, {i} AS band, "
-        + "".join(["("] * (dd.ROWS_PER_BAND - 1))
-        + f"m_{i * dd.ROWS_PER_BAND}"
-        + "".join(
-            f" * 31 + m_{i * dd.ROWS_PER_BAND + j})" for j in range(1, dd.ROWS_PER_BAND)
-        )
-        + " AS bh FROM sigs"
-        for i in range(dd.N_BANDS)
+        f"SELECT doc_id, {i} AS band, {band_expr(i)} AS bh FROM sigs" for i in range(n_bands)
     )
     return f"""
 WITH tok0 AS ({_TOK_CTE}),

@@ -67,6 +67,63 @@ def cosine_topk(
     )
 
 
+def cosine_topk_np(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k via Arrow-batched numpy GEMM — the throughput path.
+
+    The expression-based ``cosine_topk`` keeps bit-reproducible ordered folds
+    (its DuckDB oracle needs that); Spark's higher-order-function lambdas are
+    interpreted per element though, so for real corpora this variant computes
+    Q @ C.T per Arrow batch (one BLAS call per ~10k corpus rows) and keeps a
+    per-batch top-k, then resolves the global top-k with one tiny shuffle.
+    Queries are collected to the driver and broadcast in the closure — the
+    query set is small by contract (use ann/LSH when it is not).
+    Output: (query_id, neighbor_id, rank) — identical to cosine_topk up to
+    float-summation-order rank ties.
+    """
+    import numpy as np
+    import pandas as pd
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[id_col] for r in q_rows])
+    q_mat = np.array([r[vec_col] for r in q_rows], dtype=np.float64)
+    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+
+    def _score(batches):
+        for pdf in batches:
+            c_ids = pdf[id_col].to_numpy()
+            c_mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            c_mat /= np.linalg.norm(c_mat, axis=1, keepdims=True)
+            sims = q_mat @ c_mat.T  # |Q| x |batch|
+            kk = min(k + 1, sims.shape[1])  # +1 to survive self-match removal
+            idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            out = pd.DataFrame(
+                {
+                    "query_id": np.repeat(q_ids, kk),
+                    "neighbor_id": c_ids[idx].ravel(),
+                    "cosine": np.take_along_axis(sims, idx, axis=1).ravel(),
+                }
+            )
+            yield out[out["query_id"] != out["neighbor_id"]]
+
+    from pyspark.sql import Window as W
+
+    partial = corpus.select(id_col, vec_col).mapInPandas(
+        _score, schema="query_id long, neighbor_id long, cosine double"
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
 N_PLANES = 8
 
 

@@ -1,0 +1,95 @@
+"""Training-data extension operator tests: dedup true positives, ANN recall,
+text analysis sanity (the oracle gate covers exactness; these cover semantic
+quality properties the oracle can't express)."""
+
+from pyspark.sql import functions as F
+
+from ape_dts_spark import demo
+from ape_dts_spark.functions import dedup as dd
+from ape_dts_spark.functions import similarity as sim
+from ape_dts_spark.functions import text as tx
+
+
+def test_exact_dedup_finds_planted_duplicates(spark, sf_dir):
+    df = demo.duplicated_documents(spark, sf_dir)
+    out = dd.exact_dedup(df, "doc_id", "text")
+    planted = df.filter(F.col("doc_id") >= 100_000).count()
+    n_docs = df.count()
+    dups = out.agg(F.sum(F.col("n_dups") - 1)).collect()[0][0]
+    assert dups >= planted  # every planted duplicate collapses
+    assert out.count() == n_docs - dups
+
+
+def test_minhash_catches_exact_duplicates(spark, sf_dir):
+    """Identical docs have jaccard 1.0 and identical signatures — banding
+    must catch every planted pair regardless of recall at lower similarity."""
+    df = demo.duplicated_documents(spark, sf_dir)
+    pairs = dd.minhash_lsh_pairs(df, "doc_id", "text", threshold=0.999)
+    planted = {
+        (int(r["doc_id"]), int(r["doc_id"]) + 100_000)
+        for r in df.filter((F.col("doc_id") % 10 == 0) & (F.col("doc_id") < 100_000)).collect()
+    }
+    found = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert planted <= found
+
+
+def test_simhash_identical_docs_zero_hamming(spark, sf_dir):
+    df = demo.duplicated_documents(spark, sf_dir)
+    pairs = dd.simhash_pairs(df, "doc_id", "text", max_hamming=0)
+    found = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    planted = {
+        (int(r["doc_id"]), int(r["doc_id"]) + 100_000)
+        for r in df.filter((F.col("doc_id") % 10 == 0) & (F.col("doc_id") < 100_000)).collect()
+    }
+    assert planted <= found
+
+
+def test_ann_lsh_finds_planted_twins(spark, sf_dir):
+    """Random embeddings have no neighbor structure, so recall@k of 'nearest
+    random vector' is meaningless; plant exact twins instead — a twin shares
+    the LSH signature bit-for-bit, so the ANN path must rank it #1."""
+    emb = demo.load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0).withColumn(
+        "vec_id", F.col("vec_id") + 100_000
+    )
+    top1 = (
+        sim.lsh_ann_topk(queries, emb, "vec_id", "embedding", dim=64, k=1)
+        .filter(F.col("rank") == 1)
+        .collect()
+    )
+    hits = sum(1 for r in top1 if r["neighbor_id"] == r["query_id"] - 100_000)
+    assert hits == queries.count()
+
+
+def test_cosine_np_agrees_with_exact(spark, sf_dir):
+    emb = demo.load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    exact = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in sim.cosine_topk(queries, emb, "vec_id", "embedding", k=5).collect()
+    }
+    fast = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in sim.cosine_topk_np(queries, emb, "vec_id", "embedding", k=5).collect()
+    }
+    agree = sum(1 for kk, v in exact.items() if fast.get(kk) == v)
+    assert agree / len(exact) >= 0.95  # identical up to float-order rank ties
+
+
+def test_quality_and_langid_sanity(spark, sf_dir):
+    d = demo.load(spark, sf_dir, "documents")
+    sig = tx.quality_exprs("text")
+    out = d.select(
+        "lang",
+        F.expr(tx.lang_id_expr("text")).alias("pred"),
+        *[F.expr(e).alias(n) for n, e in sig.items()],
+    )
+    rows = out.collect()
+    assert all(0.0 <= r["alpha_ratio"] <= 1.0 for r in rows)
+    assert all(0.0 <= r["stopword_ratio"] <= 1.0 for r in rows)
+    assert all(r["n_tokens"] > 0 for r in rows)
+    # language-ID should beat random guessing on english docs by a wide margin
+    en = [r for r in rows if r["lang"] == "en"]
+    if en:
+        acc = sum(1 for r in en if r["pred"] == "en") / len(en)
+        assert acc >= 0.6, f"en lang-id accuracy {acc:.2f}"
