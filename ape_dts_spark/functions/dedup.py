@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import Window
 from pyspark.storagelevel import StorageLevel
 
 from ape_dts_spark.functions.text import PORTABLE_HASH_P, portable_hash_expr, tokens_expr
@@ -86,28 +87,58 @@ def jaccard_pairs(
     threshold: float = 0.6,
     max_df: int | None = None,
 ) -> DataFrame:
-    """All document pairs with token-set Jaccard >= threshold.
+    """All document pairs with token-set Jaccard >= threshold — **exact**, via
+    prefix filtering (AllPairs/PPJoin): under a global token order (by
+    document frequency, rarest first), two sets with J >= t must share a token
+    within each one's first ``|d| - ceil(t*|d|) + 1`` tokens. Only those
+    prefixes enter the inverted-index join, so at t=0.95 a 20-token doc
+    indexes 2 tokens instead of 20 — ~100x less join fan-out than the naive
+    token join, with zero loss (completeness is the prefix-filter theorem,
+    not a probabilistic bound like MinHash). Candidates are then verified
+    with the true intersection over the full token sets.
 
     Output: (id_a, id_b, shared, n_a, n_b, jaccard), id_a < id_b.
-    `max_df` prunes tokens present in more than max_df docs (skew + noise guard
-    for web-scale corpora).
+    `max_df` prunes tokens present in more than max_df docs before anything
+    else (skew + noise guard for web-scale corpora; changes semantics).
     """
     tok = doc_tokens(df, id_col, text_col)
     if max_df is not None:
         rare = tok.groupBy("token").agg(F.count(F.lit(1)).alias("_df")).filter(F.col("_df") <= max_df)
         tok = tok.join(rare.select("token"), "token")
-    sizes = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
-    a = tok.select(F.col(id_col).alias("id_a"), "token")
-    b = tok.select(F.col(id_col).alias("id_b"), "token")
-    shared = (
+
+    # global order: document frequency ascending (rarest first), token tiebreak
+    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("_df"))
+    ranked = tok.join(freq, "token").withColumn(
+        "_pos", F.row_number().over(Window.partitionBy(id_col).orderBy("_df", "token"))
+    )
+    sizes = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("n")).persist(StorageLevel.MEMORY_AND_DISK)
+    prefix = (
+        ranked.join(sizes, id_col)
+        .filter(F.col("_pos") <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1)
+        .select(id_col, "token")
+    )
+    a = prefix.select(F.col(id_col).alias("id_a"), "token")
+    b = prefix.select(F.col(id_col).alias("id_b"), "token")
+    candidates = (
         a.join(b, "token")
         .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("shared"))
+        .select("id_a", "id_b")
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    out = (
-        shared.join(sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("n_a")), "id_a")
-        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("n_b")), "id_b")
+
+    # exact verification over the full token sets
+    docs = df.select(
+        F.col(id_col), F.array_distinct(F.expr(tokens_expr(text_col))).alias("_toks")
+    )
+    toks_a = docs.select(F.col(id_col).alias("id_a"), F.col("_toks").alias("toks_a"))
+    toks_b = docs.select(F.col(id_col).alias("id_b"), F.col("_toks").alias("toks_b"))
+    return (
+        candidates.join(toks_a, "id_a")
+        .join(toks_b, "id_b")
+        .withColumn("shared", F.size(F.array_intersect("toks_a", "toks_b")))
+        .withColumn("n_a", F.size("toks_a"))
+        .withColumn("n_b", F.size("toks_b"))
         .withColumn(
             "jaccard",
             F.col("shared").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("shared")).cast("double"),
@@ -115,7 +146,6 @@ def jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "shared", "n_a", "n_b", "jaccard")
     )
-    return out
 
 
 def _token_num() -> str:
