@@ -345,6 +345,55 @@ def q_top_orders_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON column handling (ColValue::Json -> StringType + get_json_object,
+    SURVEY §1.3): extract a field from the events props JSON and aggregate."""
+    ev = demo.load(spark, sf_dir, "events")
+    return (
+        ev.withColumn("k", F.get_json_object("props", "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(F.sum("k").alias("sum_k"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_priority_with_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join + agg (TPC-H Q4 shape): orders having at least one returned
+    lineitem, counted by priority."""
+    o = demo.load(spark, sf_dir, "orders")
+    l = demo.load(spark, sf_dir, "lineitem")
+    returned = l.filter(F.col("l_returnflag") == "R").select("l_orderkey").distinct()
+    return (
+        o.join(returned, o.o_orderkey == returned.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+def q_parts_never_shipped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join: parts that never shipped in bulk (quantity >= 40) —
+    non-empty at every test SF."""
+    p = demo.load(spark, sf_dir, "part")
+    l = demo.load(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 40)
+    return (
+        p.join(l.select("l_partkey").distinct(), p.p_partkey == F.col("l_partkey"), "left_anti")
+        .select("p_partkey", "p_name", "p_retailprice")
+    )
+
+
+def q_segment_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation over (segment, nation) — grouping-sets surface."""
+    c = demo.load(spark, sf_dir, "customer")
+    n = demo.load(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .rollup("c_mktsegment", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("decimal(18,2)").alias("total_bal"),
+        )
+    )
+
+
 # -- training-data pipeline extensions (BASELINE.json north star) ----------
 
 
@@ -464,6 +513,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
         "top_orders_per_cust": q_top_orders_per_cust,
+        "json_extract": q_json_extract,
+        "priority_with_returns": q_priority_with_returns,
+        "parts_never_shipped": q_parts_never_shipped,
+        "segment_rollup": q_segment_rollup,
         "dedup_exact": q_dedup_exact,
         "doc_fingerprint": q_doc_fingerprint,
         "jaccard_pairs": q_jaccard_pairs,
@@ -865,6 +918,28 @@ def oracle_sql() -> dict[str, str]:
                      ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
               FROM orders) t
             WHERE rk <= 3
+        """,
+        "json_extract": """
+            SELECT event_type,
+                   SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+                   COUNT(*) AS n
+            FROM events GROUP BY event_type
+        """,
+        "priority_with_returns": """
+            SELECT o_orderpriority, COUNT(*) AS n_orders
+            FROM orders
+            WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R')
+            GROUP BY o_orderpriority
+        """,
+        "parts_never_shipped": """
+            SELECT p_partkey, p_name, p_retailprice FROM part
+            WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem WHERE l_quantity >= 40)
+        """,
+        "segment_rollup": """
+            SELECT c_mktsegment, n_name, COUNT(*) AS n_customers,
+                   CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_bal
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY ROLLUP (c_mktsegment, n_name)
         """,
         "dedup_exact": f"""
             WITH dupdocs AS ({demo.DUPLICATED_DOCUMENTS_SQL})

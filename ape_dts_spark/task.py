@@ -78,11 +78,13 @@ def run_task(spark: SparkSession, cfg: TaskConfig, registry: dict[str, list[str]
             if parallel:
                 df = df.repartition(parallel)  # SnapshotParallelizer fan-out
             _, routed = cfg.router.route_table(schema, tb)
-            if sink_type == "parquet":
-                out = os.path.join(dst_dir, f"{routed}.parquet")
-                df.write.mode("overwrite").parquet(out)
+            if sink_type in ("parquet", "orc"):
+                # orc = the Foxlake push path (foxlake_pusher.rs encodes ORC
+                # batches to object storage) — Spark writes/reads ORC natively
+                out = os.path.join(dst_dir, f"{routed}.{sink_type}")
+                df.write.mode("overwrite").format(sink_type).save(out)
                 result.outputs[routed] = out
-                result.tables[routed] = spark.read.parquet(out)
+                result.tables[routed] = spark.read.format(sink_type).load(out)
             elif sink_type == "sql_file":
                 # insert-only rendering: snapshot rows become insert events
                 payload = F.struct(*[F.col(c) for c in df.columns])

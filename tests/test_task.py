@@ -141,3 +141,24 @@ url={tmp_path}/cdc_out
     rows = res.tables["users"].collect()
     assert len(rows) == 1 and rows[0]["bal"] == 11
     assert res.metrics
+
+
+def test_snapshot_task_orc_sink(spark, tmp_path):
+    """Foxlake path: snapshot -> ORC round trip (foxlake_pusher.rs parity)."""
+    cfg = TaskConfig.from_string(
+        f"""
+[extractor]
+extract_type=snapshot
+url={SF}
+tables=nation
+
+[sinker]
+sink_type=orc
+url={tmp_path}/orc_out
+"""
+    )
+    res = run_task(spark, cfg)
+    src = spark.read.parquet(f"{SF}/nation.parquet")
+    assert res.tables["nation"].count() == src.count()
+    assert res.outputs["nation"].endswith(".orc")
+    assert set(res.tables["nation"].columns) == set(src.columns)
