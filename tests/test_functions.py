@@ -93,3 +93,19 @@ def test_quality_and_langid_sanity(spark, sf_dir):
     if en:
         acc = sum(1 for r in en if r["pred"] == "en") / len(en)
         assert acc >= 0.6, f"en lang-id accuracy {acc:.2f}"
+
+
+def test_ivf_finds_planted_twins(spark, sf_dir):
+    """A twin vector lands in the same Voronoi cell as its original and the
+    query probes that cell first — IVF must rank the twin #1."""
+    emb = demo.load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0).withColumn(
+        "vec_id", F.col("vec_id") + 100_000
+    )
+    top1 = (
+        sim.ivf_topk(queries, emb, "vec_id", "embedding", n_lists=16, n_probe=4, k=1)
+        .filter(F.col("rank") == 1)
+        .collect()
+    )
+    hits = sum(1 for r in top1 if r["neighbor_id"] == r["query_id"] - 100_000)
+    assert hits == queries.count()
