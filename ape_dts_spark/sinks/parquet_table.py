@@ -143,6 +143,44 @@ class ParquetTable:
             meta["applied_batches"][stream_id] = batch_id
         self._write_meta(meta)
 
+    def version(self) -> int:
+        return int(self._read_meta()["version"])
+
+    def at_version(self, version: int) -> DataFrame:
+        if version < 0:
+            return self.spark.createDataFrame([], self.payload_schema)
+        return self.spark.read.schema(self.payload_schema).parquet(
+            os.path.join(self.path, f"v{version}")
+        )
+
+    def changes_between(self, v_from: int, v_to: int, key_cols: list[str]) -> DataFrame:
+        """Change feed between two committed versions — the Delta CDF / data-
+        subscription analogue (docs/en/cdc/... pull-based consumption,
+        dt-pipeline/src/http_server_pipeline.rs): diff the two immutable
+        snapshots with the checker join and emit canonical change events
+        (insert/update/delete with before/after images)."""
+        from ape_dts_spark.operators.checker import check_diff
+
+        old = self.at_version(v_from)
+        new = self.at_version(v_to)
+        d = check_diff(new, old, key_cols, include_extra=True)
+        # miss = key only in new -> insert; extra = key only in old -> delete;
+        # diff = both, columns changed -> update
+        row_type = (
+            F.when(F.col("check_class") == "miss", F.lit("insert"))
+            .when(F.col("check_class") == "extra", F.lit("delete"))
+            .otherwise(F.lit("update"))
+        )
+        rebuild = lambda side: F.when(  # noqa: E731
+            F.col(side).isNotNull(),
+            F.struct(*[F.col(k) for k in key_cols], F.col(side + ".*")),
+        )
+        return d.select(
+            row_type.alias("row_type"),
+            rebuild("dst").alias("before"),
+            rebuild("src").alias("after"),
+        )
+
     def _row_predicate(self, image, key_cols: list[str]):
         """Match rows by key when the image has non-NULL keys, else by every
         non-NULL column (the reference's no-PK whole-row match,

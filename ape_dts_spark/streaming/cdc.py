@@ -123,6 +123,7 @@ class CdcPipeline:
     transform: Callable[[DataFrame], DataFrame] | None = None
     time_window: tuple[str | None, str | None] = (None, None)
     ignore_origin_nodes: tuple[str, ...] = ()
+    inline_check: bool = False
     metrics: list[dict] = field(default_factory=list)
 
     def _prepare(self, df: DataFrame) -> DataFrame:
@@ -196,6 +197,7 @@ class CdcPipeline:
                 self.apply_ddl(ddls[i])
             lo = hi
         self.target.record_batch(self.stream_id, batch_id)
+        check = self._inline_check(batch) if self.inline_check else {}
         n_events = batch.count()
         max_ts = batch.agg(F.max("seq").alias("m"), F.max("ts").alias("t")).collect()[0]
         lag = (time.time() - max_ts["t"].timestamp()) if max_ts["t"] is not None else None
@@ -206,8 +208,41 @@ class CdcPipeline:
                 "max_seq": max_ts["m"],
                 "lag_sec": lag,
                 "at": time.time(),
+                **check,
             }
         )
+
+    def _inline_check(self, batch: DataFrame) -> dict:
+        """CDC-inline check (the reference's checker-in-CDC mode,
+        base_checker.rs CDC state store): after applying a micro-batch,
+        verify that every key whose last event was an upsert now carries the
+        expected after-image in the target, and every deleted key is gone.
+        Returns miss/diff counters for the batch metrics; the full check task
+        (operators/checker.py) remains the deep-verification path."""
+        compacted, _ = compact_changes(batch, self.key_cols)
+        state = self.target.current().withColumn("_present", F.lit(True))
+        expected = compacted.filter(F.col("op") == "upsert").select(
+            *self.key_cols, F.col("after").alias("_want")
+        )
+        joined = expected.join(state, self.key_cols, "left_outer")
+        payload_fields = [
+            f.name for f in self.target.payload_schema.fields if f.name not in self.key_cols
+        ]
+        same = F.lit(True)
+        for c in payload_fields:
+            same = same & F.col("_want").getField(c).eqNullSafe(F.col(c))
+        miss = F.col("_present").isNull()
+        agg = joined.agg(
+            F.sum(F.when(miss, 1).otherwise(0)).alias("check_miss"),
+            F.sum(F.when(~miss & ~same, 1).otherwise(0)).alias("check_diff"),
+        ).collect()[0]
+        deleted = compacted.filter(F.col("op") == "delete").select(*self.key_cols)
+        n_undead = deleted.join(state, self.key_cols, "left_semi").count()
+        return {
+            "check_miss": int(agg["check_miss"] or 0),
+            "check_diff": int(agg["check_diff"] or 0),
+            "check_undead": n_undead,
+        }
 
     def run(
         self,

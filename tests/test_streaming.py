@@ -162,3 +162,39 @@ def test_ddl_barrier_and_schema_evolution(spark, dirs):
     assert rows[1]["tier"] == "gold" and rows[1]["bal"] == 11
     assert rows[2]["tier"] is None            # pre-DDL row: NULL-filled
     assert rows[5]["tier"] == "basic"
+
+
+def test_changes_between_versions(spark, dirs):
+    """CDF-style change feed: diff two table versions -> change events."""
+    src, target_dir, ckpt = dirs
+    write_debezium_jsonl(BATCH_1, os.path.join(src, "b1.jsonl"))
+    table = ParquetTable(spark, target_dir, PAYLOAD)
+    pipe = CdcPipeline(spark, table, key_cols=["id"])
+    raw = parse_debezium(spark.read.text(src), PAYLOAD)
+    pipe.apply_batch(raw, batch_id=0)
+    v1 = table.version()
+
+    write_debezium_jsonl(BATCH_2, os.path.join(src, "b2.jsonl"))
+    raw2 = parse_debezium(spark.read.text(os.path.join(src, "b2.jsonl")), PAYLOAD)
+    pipe.apply_batch(raw2, batch_id=1)
+    v2 = table.version()
+
+    feed = {r["row_type"]: r for r in table.changes_between(v1, v2, ["id"]).collect()}
+    # BATCH_2 effects vs v1 state {1:(a,11), 3:(c,30)}:
+    #   id 3 -> 4 (key change): delete 3, insert 4; null-key ghost: insert; 1 updated
+    assert feed["update"]["after"]["id"] == 1 and feed["update"]["after"]["bal"] == 12
+    inserts = [r for r in table.changes_between(v1, v2, ["id"]).collect() if r["row_type"] == "insert"]
+    assert {r["after"]["id"] for r in inserts} == {4, None}
+    deletes = [r for r in table.changes_between(v1, v2, ["id"]).collect() if r["row_type"] == "delete"]
+    assert {r["before"]["id"] for r in deletes} == {3}
+
+
+def test_cdc_inline_check(spark, dirs):
+    """Checker-in-CDC mode: per-batch apply verification metrics."""
+    src, target_dir, ckpt = dirs
+    write_debezium_jsonl(BATCH_1, os.path.join(src, "b1.jsonl"))
+    table = ParquetTable(spark, target_dir, PAYLOAD)
+    pipe = CdcPipeline(spark, table, key_cols=["id"], inline_check=True)
+    pipe.run(read_json_change_stream(spark, src, PAYLOAD), ckpt)
+    m = pipe.metrics[-1]
+    assert m["check_miss"] == 0 and m["check_diff"] == 0 and m["check_undead"] == 0
