@@ -28,7 +28,10 @@ def get_spark(app_name: str = "ape_dts_spark", shuffle_partitions: int | None = 
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # testdata events.parquet stores TIMESTAMP(NANOS); read as long, convert in loader
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local mode = one JVM for driver + all 32 executor threads; an 8g
+        # heap GC-thrashes once shuffle/cache fill it and inflates every
+        # query 3-10x (the container has 128 GiB)
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
         .config("spark.ui.enabled", "false")
     )
     spark = builder.getOrCreate()

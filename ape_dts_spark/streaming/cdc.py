@@ -269,6 +269,60 @@ class CdcPipeline:
         return query
 
 
+@dataclass
+class MultiTableCdcPipeline:
+    """One change stream, many tables — the normal CDC topology (the
+    reference's pipeline fans DML per table, table_parallelizer.rs).
+
+    ``targets`` maps '<schema>.<tb>' to (ParquetTable, key_cols). Each
+    micro-batch is split by table and merge-applied per target, DDL barriers
+    respected per table; unknown tables are counted and skipped (the filter
+    config should have dropped them upstream).
+
+    The single-table ``CdcPipeline`` stays the right tool when payload
+    schemas differ per table — this class parses each table's image columns
+    from its own envelope, so pass the union payload or per-table parse
+    upstream. Epoch idempotency is per table (each target records the epoch).
+    """
+
+    spark: SparkSession
+    targets: dict[str, tuple[ParquetTable, list[str]]]
+    stream_id: str = "cdc_multi"
+    metrics: list[dict] = field(default_factory=list)
+
+    def apply_batch(self, batch: DataFrame, batch_id: int) -> None:
+        present = [
+            (r["schema"], r["tb"])
+            for r in batch.select("schema", "tb").distinct().collect()
+        ]
+        skipped = 0
+        for schema, tb in present:
+            key = f"{schema}.{tb}"
+            if key not in self.targets:
+                skipped += 1
+                continue
+            table, key_cols = self.targets[key]
+            sub = batch.filter((F.col("schema") == schema) & (F.col("tb") == tb))
+            pipe = CdcPipeline(self.spark, table, key_cols, stream_id=self.stream_id)
+            pipe.apply_batch(sub, batch_id)
+            self.metrics.extend(
+                {**m, "table": key} for m in pipe.metrics
+            )
+        if skipped:
+            self.metrics.append({"batch_id": batch_id, "skipped_tables": skipped})
+
+    def run(self, changes: DataFrame, checkpoint_dir: str):
+        query = (
+            changes.writeStream.foreachBatch(self.apply_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+        return query
+
+
 def write_debezium_jsonl(rows: list[dict], path: str) -> None:
     """Test helper: write Debezium-envelope events as one JSONL file."""
     with open(path, "w") as f:

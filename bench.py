@@ -19,6 +19,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import __spark_entry__ as entrymod  # noqa: E402
 from ape_dts_spark.session import get_spark  # noqa: E402
 
+# cheap/stable queries first, the heavy near-dup tail last so a budget cut
+# (bursty machine) drops the most expensive measurements, never the headline
 BENCH_QUERIES = [
     "snapshot_scan",
     "merge_compact",
@@ -29,25 +31,25 @@ BENCH_QUERIES = [
     "revenue_by_nation",
     "top_orders_per_cust",
     "update_split",
+    "snapshot_resume",
+    "wire_roundtrip",
+    "cdc_apply_state",
+    "py_transform",
     # training-data pipeline extensions (BASELINE.json north star); the
     # quadratic exact-jaccard baseline is excluded — minhash_lsh is its
     # scale path and covers the same semantics
     "dedup_exact",
     "doc_fingerprint",
-    "minhash_lsh",
-    "simhash_pairs",
-    "cosine_topk",
-    "cosine_topk_np",
-    "ann_lsh",
-    "ann_ivf",
     "lang_id",
     "quality_score",
     "multimodal_meta",
     "multimodal_decode",
-    "py_transform",
-    "snapshot_resume",
-    "wire_roundtrip",
-    "cdc_apply_state",
+    "cosine_topk",
+    "cosine_topk_np",
+    "ann_lsh",
+    "ann_ivf",
+    "minhash_lsh",
+    "simhash_pairs",
 ]
 
 
@@ -62,14 +64,24 @@ def main() -> None:
     qs = entrymod.queries()
     times: dict[str, float] = {}
     n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    # the machine shows bursty external load; guarantee the JSON line is
+    # always emitted by skipping the remaining (heaviest-last) queries once
+    # the budget is spent — skipped queries are simply absent from `queries`
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "360"))
+    start = time.time()
+    skipped: list[str] = []
     for name in BENCH_QUERIES:
         if name not in qs:
+            continue
+        if time.time() - start > budget:
+            skipped.append(name)
             continue
         t0 = time.time()
         df = qs[name](spark, sf_dir)
         n = df.count()  # force full execution
         times[name] = round(time.time() - t0, 3)
         _ = n
+        spark.catalog.clearCache()  # drop per-query persisted tables (LSH etc.)
     # headline: CDC compact+apply throughput (events/sec through the merge
     # path), measured warm — the first pass above includes codegen/JIT warmup
     cdc_secs = 0.0
@@ -78,6 +90,14 @@ def main() -> None:
         qs[name](spark, sf_dir).count()
         cdc_secs += time.time() - t0
     rps = round(2 * n_events / cdc_secs, 1) if cdc_secs else 0.0
+
+    # secondary: snapshot copy throughput (full lineitem scan -> noop sink),
+    # the BASELINE.md snapshot-RPS workload shape (read + write, no filter)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    n_li = li.count()
+    t0 = time.time()
+    li.write.format("noop").mode("overwrite").save()
+    snapshot_rps = round(n_li / (time.time() - t0), 1)
     total = round(sum(times.values()), 3)
     print(
         json.dumps(
@@ -85,8 +105,10 @@ def main() -> None:
                 "metric": "cdc_compact_apply_rps",
                 "value": rps,
                 "unit": "rows/sec",
+                "snapshot_rps": snapshot_rps,
                 "total_sec": total,
                 "queries": times,
+                "skipped": skipped,
                 "sf": sf,
             }
         )

@@ -1,0 +1,41 @@
+"""Physical-plan regression guards: the properties that make these operators
+scale (pushdown, pruning, broadcast dims, map-side partial aggregation) must
+survive refactors — a correct-but-full-scan plan is a perf bug at 100 TB."""
+
+import __spark_entry__ as em
+
+
+def _plan(spark, sf_dir, name):
+    df = em.queries()[name](spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_snapshot_scan_pushdown_and_pruning(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "snapshot_scan")
+    assert "PushedFilters: [" in plan and "GreaterThan(l_quantity,25.0)" in plan
+    # pruned: ignored columns never reach the reader
+    assert "l_comment" not in plan and "l_tax" not in plan
+
+
+def test_revenue_join_broadcasts_dims(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "revenue_by_nation")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # dims must never shuffle the fact side
+
+
+def test_pricing_summary_partial_agg(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "pricing_summary")
+    # two HashAggregates (partial + final) around one Exchange: map-side combine
+    assert plan.count("HashAggregate") >= 2
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+
+
+def test_merge_compact_single_shuffle(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "merge_compact")
+    # compaction folds map-side: exactly one exchange for the groupBy
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_checker_full_outer_on_keys(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "checker_diff")
+    assert "FullOuter" in plan

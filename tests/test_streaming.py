@@ -198,3 +198,29 @@ def test_cdc_inline_check(spark, dirs):
     pipe.run(read_json_change_stream(spark, src, PAYLOAD), ckpt)
     m = pipe.metrics[-1]
     assert m["check_miss"] == 0 and m["check_diff"] == 0 and m["check_undead"] == 0
+
+
+def test_multi_table_cdc(spark, dirs):
+    from ape_dts_spark.streaming.cdc import MultiTableCdcPipeline
+
+    src, target_dir, ckpt = dirs
+    events = [
+        ev("c", after={"id": 1, "name": "a", "bal": 10}, seq=1, table="users"),
+        ev("c", after={"id": 7, "name": "acct7", "bal": 70}, seq=2, table="accounts"),
+        ev("u", before={"id": 1, "name": "a", "bal": 10},
+           after={"id": 1, "name": "a", "bal": 12}, seq=3, table="users"),
+        ev("c", after={"id": 9, "name": "zz", "bal": 1}, seq=4, table="unrouted"),
+    ]
+    write_debezium_jsonl(events, os.path.join(src, "b1.jsonl"))
+
+    users = ParquetTable(spark, os.path.join(target_dir, "users"), PAYLOAD)
+    accounts = ParquetTable(spark, os.path.join(target_dir, "accounts"), PAYLOAD)
+    pipe = MultiTableCdcPipeline(
+        spark,
+        targets={"default.users": (users, ["id"]), "default.accounts": (accounts, ["id"])},
+    )
+    pipe.run(read_json_change_stream(spark, src, PAYLOAD), ckpt)
+
+    assert state_dict(users) == {1: ("a", 12)}
+    assert state_dict(accounts) == {7: ("acct7", 70)}
+    assert any(m.get("skipped_tables") for m in pipe.metrics)

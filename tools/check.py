@@ -59,6 +59,7 @@ def main() -> int:
         sdf = fn(spark, sf_dir)
         scols = sdf.columns
         srows = [tuple(r) for r in sdf.collect()]
+        spark.catalog.clearCache()  # drop per-query persisted tables
         sql = oracles.get(name)
         if sql is None:
             print(f"  {name:28s} rows={len(srows):7d}  (no oracle — rows-only) {time.time()-t0:5.1f}s")
