@@ -109,3 +109,28 @@ def test_ivf_finds_planted_twins(spark, sf_dir):
     )
     hits = sum(1 for r in top1 if r["neighbor_id"] == r["query_id"] - 100_000)
     assert hits == queries.count()
+
+
+def test_minhash_identical_set_expansion(spark):
+    """The identical-set collapse must expand groups back to exactly
+    C(g,2) doc pairs per group at J=1, ordered id_a < id_b, no duplicate
+    rows, and token-less docs must never pair."""
+    rows = [
+        (1, "red green blue"),
+        (4, "red green blue"),
+        (2, "green   red blue"),  # same token set, different text
+        (10, "cyan magenta"),
+        (11, "cyan magenta"),
+        (20, ""),
+        (21, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dd.minhash_lsh_pairs(df, "doc_id", "text", threshold=0.95).collect()
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out}
+    assert pairs == {
+        (1, 2): 1.0,
+        (1, 4): 1.0,
+        (2, 4): 1.0,
+        (10, 11): 1.0,
+    }
+    assert len(out) == len(pairs)  # no duplicate rows from the union
