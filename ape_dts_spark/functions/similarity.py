@@ -141,9 +141,17 @@ def ivf_topk(
     Centroids are a deterministic stride-sample of the corpus (IVF quality
     depends only mildly on centroid choice; swap in pyspark.ml KMeans(seed)
     for trained centroids — the assignment/probe plan below is unchanged).
-    Cell assignment is one numpy GEMM pass over the corpus (mapInPandas);
-    the probe set is a tiny (query_id, list_id) relation joined against the
-    assignments — shuffle keyed by list_id, never all-pairs.
+
+    Assignment AND scoring happen in one Arrow-batched ``mapInPandas`` pass:
+    per batch, each vector is assigned to its nearest centroid, then for each
+    list only the queries probing that list score that list's members with a
+    numpy GEMM — total flops = the probed fraction of brute force, which is
+    the IVF contract. Each batch emits per-query partial top-k rows, and one
+    tiny shuffle (|queries| x batches x k rows) resolves the global top-k, so
+    the corpus is scanned once, never shuffled, and no candidate-pair relation
+    ever materializes (the earlier join-based formulation pushed ~|probed
+    pairs| rows through interpreted higher-order-function dot products — the
+    slow path this module's docstring warns about).
     Output: (query_id, neighbor_id, rank).
     """
     import numpy as np
@@ -162,49 +170,49 @@ def ivf_topk(
     )
     cent /= np.linalg.norm(cent, axis=1, keepdims=True)
 
-    def _assign(batches):
-        for pdf in batches:
-            mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-            nrm = np.linalg.norm(mat, axis=1, keepdims=True)
-            lists = np.argmax((mat / nrm) @ cent.T, axis=1)
-            yield pd.DataFrame(
-                {"neighbor_id": pdf[id_col], "list_id": lists.astype("int32"), "c_vec": pdf[vec_col]}
-            )
-
-    assigned = corpus.select(id_col, vec_col).mapInPandas(
-        _assign, schema=f"neighbor_id long, list_id int, c_vec {corpus.schema[vec_col].dataType.simpleString()}"
-    )
-
     q_rows = queries.select(id_col, vec_col).collect()
-    probe_rows = []
-    for r in q_rows:
-        qv = np.asarray(r[vec_col], dtype=np.float64)
-        qv = qv / np.linalg.norm(qv)
-        top_lists = np.argsort(-(cent @ qv))[:n_probe]
-        probe_rows.extend((int(r[id_col]), int(li)) for li in top_lists)
-    spark = queries.sparkSession
-    probes = spark.createDataFrame(probe_rows, "query_id long, list_id int")
-    q_df = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("q_vec"),
-    )
+    q_ids = np.array([int(r[id_col]) for r in q_rows])
+    q_mat = np.array([r[vec_col] for r in q_rows], dtype=np.float64)
+    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+    # probe matrix: probing[qi] = the n_probe nearest centroid ids
+    probing = np.argsort(-(q_mat @ cent.T), axis=1)[:, :n_probe]
 
-    cand = (
-        F.broadcast(probes).join(assigned, "list_id")
-        .join(F.broadcast(q_df), "query_id")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("c_dbl", F.expr("transform(c_vec, x -> CAST(x AS DOUBLE))"))
-        .withColumn(
-            "cosine",
-            F.expr(_dot("q_vec", "c_dbl"))
-            / (F.expr(f"sqrt({_dot('q_vec', 'q_vec')})") * F.expr(f"sqrt({_dot('c_dbl', 'c_dbl')})")),
-        )
-    )
+    def _score(batches):
+        for pdf in batches:
+            c_ids = pdf[id_col].to_numpy()
+            c_mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            c_mat /= np.linalg.norm(c_mat, axis=1, keepdims=True)
+            lists = np.argmax(c_mat @ cent.T, axis=1)
+            parts = []
+            for li in np.unique(lists):
+                qsel = np.nonzero((probing == li).any(axis=1))[0]
+                csel = np.nonzero(lists == li)[0]
+                if qsel.size == 0 or csel.size == 0:
+                    continue
+                sims = q_mat[qsel] @ c_mat[csel].T  # |probing queries| x |cell|
+                kk = min(k + 1, sims.shape[1])  # +1 survives self-match removal
+                idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+                parts.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.repeat(q_ids[qsel], kk),
+                            "neighbor_id": c_ids[csel][idx].ravel(),
+                            "cosine": np.take_along_axis(sims, idx, axis=1).ravel(),
+                        }
+                    )
+                )
+            if parts:
+                out = pd.concat(parts, ignore_index=True)
+                yield out[out["query_id"] != out["neighbor_id"]]
+
     from pyspark.sql import Window as W
 
+    partial = corpus.select(id_col, vec_col).mapInPandas(
+        _score, schema="query_id long, neighbor_id long, cosine double"
+    )
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
-        cand.withColumn("rank", F.row_number().over(w))
+        partial.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )
