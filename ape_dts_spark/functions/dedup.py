@@ -328,27 +328,56 @@ def simhash_pairs(
     Blocking: split the 32 bits into 4 bytes; by pigeonhole any pair within
     Hamming distance 3 shares at least one exact byte — candidates are pairs
     colliding on (byte_idx, byte_value), then verified by exact bit_count.
-    Avoids the n^2 cross join at scale. The fingerprint table is persisted
-    and materialized eagerly — the band self-join references it 8x, and a
-    lazily-populated cache lets concurrent branches of the one job race and
-    recompute the tokenize+hash scan per branch.
+    Avoids the n^2 cross join at scale. Pairing depends only on the
+    fingerprint VALUE, so (exactly like the MinHash identical-set collapse)
+    the band self-join and its pair-dedup run over DISTINCT fingerprints
+    only; doc pairs are expanded afterwards — within a fingerprint group
+    every pair is Hamming 0, across groups the group cross product inherits
+    the value-level distance. Quadratic stages scale with distinct content,
+    not corpus size. The per-value tables are persisted and materialized
+    eagerly — the band self-join references them 8x, and a lazily-populated
+    cache lets concurrent branches of the one job race and recompute the
+    tokenize+hash scan per branch.
     """
     sh = simhash_values(df, id_col, text_col).persist(StorageLevel.MEMORY_AND_DISK)
     sh.count()
+    vals = sh.select("simhash").distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    vals.count()
     bands = None
     for k in range(4):
-        part = sh.select(
-            F.col(id_col), F.lit(k).alias("band"), F.expr(f"(shiftright(simhash, {8 * k}) & 255)").alias("bv"),
+        part = vals.select(
+            F.lit(k).alias("band"), F.expr(f"(shiftright(simhash, {8 * k}) & 255)").alias("bv"),
             F.col("simhash"),
         )
         bands = part if bands is None else bands.unionByName(part)
-    a = bands.select(F.col(id_col).alias("id_a"), "band", "bv", F.col("simhash").alias("sh_a"))
-    b = bands.select(F.col(id_col).alias("id_b"), "band", "bv", F.col("simhash").alias("sh_b"))
-    pairs = (
+    a = bands.select(F.col("simhash").alias("sh_a"), "band", "bv")
+    b = bands.select(F.col("simhash").alias("sh_b"), "band", "bv")
+    val_pairs = (
         a.join(b, ["band", "bv"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", F.expr("bit_count(sh_a ^ sh_b)").alias("hamming"))
+        .filter(F.col("sh_a") < F.col("sh_b"))
+        .select("sh_a", "sh_b", F.expr("bit_count(sh_a ^ sh_b)").alias("hamming"))
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    return pairs
+    val_pairs.count()
+
+    # expand: (a) same fingerprint -> Hamming 0 (always <= max_hamming >= 0)
+    ma = sh.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"))
+    mb = sh.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"))
+    within = (
+        ma.join(mb, F.col("sh_a") == F.col("sh_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.lit(0).alias("hamming"))
+    )
+    # (b) cross-fingerprint: group cross product, normalized to id_a < id_b
+    cross = (
+        val_pairs.join(ma, "sh_a")
+        .join(mb, "sh_b")
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+            "hamming",
+        )
+    )
+    return within.unionByName(cross.select("id_a", "id_b", "hamming"))
