@@ -30,6 +30,11 @@ USER_KEY = ["user_id"]
 
 
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    # events.parquet carries TIMESTAMP(NANOS) columns; a vanilla SparkSession
+    # (e.g. the external correctness driver's) refuses them outright
+    # (PARQUET_TYPE_ILLEGAL). The legacy conf is runtime-settable and makes
+    # Spark surface ns timestamps as bigint, which the conversion below expects.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
     # events.ts is TIMESTAMP(NANOS) in parquet — Spark reads it as long (via
     # spark.sql.legacy.parquet.nanosAsLong); truncate to microseconds exactly

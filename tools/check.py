@@ -8,6 +8,7 @@ Usage: python tools/check.py [sf_dir] [query_name ...]
 from __future__ import annotations
 
 import math
+import os
 import sys
 import time
 
@@ -42,9 +43,23 @@ def main() -> int:
     only = set(sys.argv[2:])
 
     import __spark_entry__ as entrymod
-    from ape_dts_spark.session import get_spark
 
-    spark = get_spark("check")
+    if os.environ.get("CHECK_VANILLA"):
+        # Replicate the external driver gate exactly: a vanilla SparkSession
+        # with no repo-specific confs — queries() must be self-sufficient.
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master(f"local[{os.cpu_count() or 4}]")
+            .appName("check-vanilla")
+            .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+    else:
+        from ape_dts_spark.session import get_spark
+
+        spark = get_spark("check")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
