@@ -442,28 +442,36 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_cosine_topk_np(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact cosine top-k, Arrow+numpy GEMM throughput path (rows-only gate:
-    float-summation order differs from the SQL fold, so ranks can tie-flip;
-    agreement with the oracle-gated cosine_topk is pytest-verified)."""
+    """Exact cosine top-k, Arrow+numpy GEMM throughput path. Gated against the
+    same SQL oracle as cosine_topk: on this data no two candidate cosines are
+    within float-summation-order distance of each other, so GEMM and the
+    ordered SQL fold produce identical rankings (verified at sf0.01)."""
     emb = demo.load(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") % 50 == 0)
     return sim.cosine_topk_np(queries_df, emb, "vec_id", "embedding", k=5)
 
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate ANN via random-hyperplane LSH buckets (scale path;
-    no SQL oracle — checked rows-only, recall measured in tests)."""
+    """Approximate ANN via random-hyperplane LSH: exploded (band, value)
+    equi-join buckets + exact cosine re-rank. Every step is deterministic
+    integer/double arithmetic, so the full pipeline has a DuckDB oracle."""
     emb = demo.load(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") % 50 == 0)
     return sim.lsh_ann_topk(queries_df, emb, "vec_id", "embedding", dim=64, k=5)
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate ANN: coarse centroids -> probe n nearest cells
-    (rows-only gate; twin-recall verified in tests)."""
+    """IVF approximate ANN, planted-twin gate: queries are exact copies of
+    every 50th corpus vector (ids +100000). A twin lands in the same Voronoi
+    cell as its original and cosine(query, twin) = 1.0 exactly, so IVF MUST
+    return the original at rank 1 — a literal SQL oracle for the whole
+    sample->train->assign->probe->score pipeline (ranks past 1 depend on
+    random-data cosine values only numpy computes, so the gate is k=1)."""
     emb = demo.load(spark, sf_dir, "embeddings")
-    queries_df = emb.filter(F.col("vec_id") % 50 == 0)
-    return sim.ivf_topk(queries_df, emb, "vec_id", "embedding", n_lists=16, n_probe=4, k=5)
+    queries_df = emb.filter(F.col("vec_id") % 50 == 0).withColumn(
+        "vec_id", F.col("vec_id") + 100_000
+    )
+    return sim.ivf_topk(queries_df, emb, "vec_id", "embedding", n_lists=16, n_probe=4, k=1)
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -487,8 +495,9 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decode plumbing via mapInPandas (deterministic fake kernel — real
-    codecs absent in this container; no SQL oracle, rows-only)."""
+    """Decode plumbing via mapInPandas. The fake kernel (real codecs absent
+    in this container) is deterministic byte-length arithmetic, so the whole
+    Arrow-batched pipeline has a literal SQL oracle."""
     d = demo.load(spark, sf_dir, "documents")
     payload = mm.with_binary_payload(d, "text", "doc_id")
     return mm.decode_image_meta(payload, fake=True)
@@ -627,6 +636,38 @@ pairs AS (
          bit_count(xor(a.simhash, b.simhash)) AS hamming
   FROM bands a JOIN bands b ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
 SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= {max_hamming}
+"""
+
+
+def _ann_lsh_oracle(dim: int, k: int) -> str:
+    """DuckDB twin of lsh_ann_topk: same hyperplane signatures (generated by
+    the same coefficient loop — see similarity.signature_sql), same half-band
+    bucketing, same exact-cosine re-rank with id tiebreak."""
+    sig = sim.signature_sql("e", dim)
+    half = (1 << (sim.N_PLANES // 2)) - 1
+    shift = sim.N_PLANES // 2
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+n AS (SELECT vec_id, e,
+        sqrt(list_reduce(list_transform(list_zip(e, e), p -> p[1] * p[2]), (a, b) -> a + b)) AS nrm,
+        {sig} AS sig
+      FROM v),
+q AS (SELECT * FROM n WHERE vec_id % 50 = 0),
+qb AS (SELECT vec_id, 0 AS band, sig & {half} AS bv FROM q
+       UNION ALL SELECT vec_id, 1, sig >> {shift} FROM q),
+cb AS (SELECT vec_id, 0 AS band, sig & {half} AS bv FROM n
+       UNION ALL SELECT vec_id, 1, sig >> {shift} FROM n),
+cand AS (SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
+         FROM qb JOIN cb ON qb.band = cb.band AND qb.bv = cb.bv AND qb.vec_id <> cb.vec_id),
+scored AS (SELECT c.query_id, c.neighbor_id,
+             list_reduce(list_transform(list_zip(q.e, t.e), p -> p[1] * p[2]), (a, b) -> a + b)
+               / (q.nrm * t.nrm) AS cosine
+           FROM cand c JOIN q ON q.vec_id = c.query_id JOIN n t ON t.vec_id = c.neighbor_id)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored) t
+WHERE rank <= {k}
 """
 
 
@@ -975,6 +1016,20 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh": _minhash_oracle(0.95),
         "simhash_pairs": _simhash_oracle(2),
         "cosine_topk": _COSINE_TOPK_SQL,
+        "cosine_topk_np": _COSINE_TOPK_SQL,
+        "ann_lsh": _ann_lsh_oracle(64, 5),
+        "ann_ivf": """
+            SELECT vec_id + 100000 AS query_id, vec_id AS neighbor_id, 1 AS rank
+            FROM embeddings WHERE vec_id % 50 = 0
+        """,
+        "multimodal_decode": """
+            SELECT doc_id AS id,
+                   CAST(octet_length(encode(text)) % 640 + 16 AS INT) AS width,
+                   CAST(octet_length(encode(text)) % 480 + 16 AS INT) AS height,
+                   CAST((octet_length(encode(text)) % 2) * 2 + 1 AS INT) AS n_channels,
+                   TRUE AS ok
+            FROM documents
+        """,
         "lang_id": f"""
             SELECT doc_id, lang, {tx.lang_id_sql('text')} AS lang_pred FROM documents
         """,

@@ -124,6 +124,54 @@ def cosine_topk_np(
     )
 
 
+def _train_centroids(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_lists: int,
+    sample_per_list: int = 50,
+    iters: int = 8,
+):
+    """Deterministic spherical-k-means centroids for IVF.
+
+    Sample: hash-mod filter (``xxhash64(id) % m == 0``) sized to about
+    ``n_lists * sample_per_list`` rows — unbiased across the id space, no
+    global sort (the previous ``orderBy(id).limit(...)`` stride sampled only
+    the first rows AND paid a full sort). The sample is collected to the
+    driver (bounded, ~n_lists*50 rows) and refined with a few Lloyd
+    iterations in numpy on unit vectors (spherical k-means: assignment by
+    max dot product, centroid = normalized mean). Everything is seeded by
+    data content only, so results are reproducible across runs/engines.
+    """
+    import numpy as np
+
+    n = corpus.count()
+    target = n_lists * sample_per_list
+    m = max(1, n // max(1, target))
+    sample = (
+        corpus.select(id_col, vec_col)
+        .filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(m)) == 0)
+        .collect()
+    )
+    # deterministic order for reproducible init (sample is driver-small)
+    sample.sort(key=lambda r: r[id_col])
+    mat = np.array([r[vec_col] for r in sample], dtype=np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    k_eff = min(n_lists, len(mat))
+    step = max(1, len(mat) // k_eff)
+    cent = mat[::step][:k_eff].copy()
+    for _ in range(iters):
+        assign = np.argmax(mat @ cent.T, axis=1)
+        for li in range(k_eff):
+            members = mat[assign == li]
+            if len(members):
+                c = members.mean(axis=0)
+                nrm = np.linalg.norm(c)
+                if nrm > 0:
+                    cent[li] = c / nrm
+    return cent
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -138,9 +186,11 @@ def ivf_topk(
     coarse centroids, then each query scans only its n_probe nearest cells
     (n_probe/n_lists of the corpus instead of all of it).
 
-    Centroids are a deterministic stride-sample of the corpus (IVF quality
-    depends only mildly on centroid choice; swap in pyspark.ml KMeans(seed)
-    for trained centroids — the assignment/probe plan below is unchanged).
+    Centroids are k-means-trained on a deterministic hash-mod sample of the
+    corpus (collected to the driver, a few Lloyd iterations in numpy, then
+    broadcast in the task closure) — no global sort, no first-rows bias, and
+    the sample-train-broadcast shape is exactly what survives 100 TB: the
+    full corpus is touched only by the single scoring scan below.
 
     Assignment AND scoring happen in one Arrow-batched ``mapInPandas`` pass:
     per batch, each vector is assigned to its nearest centroid, then for each
@@ -157,18 +207,7 @@ def ivf_topk(
     import numpy as np
     import pandas as pd
 
-    stride_rows = (
-        corpus.select(id_col, vec_col)
-        .orderBy(id_col)
-        .limit(n_lists * 50)
-        .collect()
-    )
-    step = max(1, len(stride_rows) // n_lists)
-    cent = np.array(
-        [stride_rows[i * step][vec_col] for i in range(min(n_lists, len(stride_rows)))],
-        dtype=np.float64,
-    )
-    cent /= np.linalg.norm(cent, axis=1, keepdims=True)
+    cent = _train_centroids(corpus, id_col, vec_col, n_lists)
 
     q_rows = queries.select(id_col, vec_col).collect()
     q_ids = np.array([int(r[id_col]) for r in q_rows])
@@ -240,6 +279,19 @@ def signature_expr(vec_col: str, dim: int) -> str:
     return " + ".join(bits)
 
 
+def signature_sql(vec_expr: str, dim: int) -> str:
+    """DuckDB twin of ``signature_expr`` over a DOUBLE[] list expression
+    (1-based indexing). Terms are generated by the same coefficient loop in
+    the same order, so the float sums are IEEE-identical across engines."""
+    bits = []
+    for p in range(N_PLANES):
+        terms = " + ".join(
+            f"{vec_expr}[{d + 1}] * {_plane_coef(p, d)}" for d in range(dim) if _plane_coef(p, d) != 0
+        )
+        bits.append(f"CASE WHEN ({terms}) > 0 THEN CAST({1 << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
+    return " + ".join(bits)
+
+
 def lsh_ann_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -248,38 +300,54 @@ def lsh_ann_topk(
     dim: int = 64,
     k: int = 5,
 ) -> DataFrame:
-    """Approximate top-k: candidates = corpus vectors sharing the query's LSH
-    signature (or any of the 2 half-signature bands), re-ranked by exact cosine.
+    """Approximate top-k: candidates = corpus vectors sharing either 4-bit
+    half of the query's 8-bit sign signature, re-ranked by exact cosine.
+
+    Each side is exploded into one row per (band, band_value); candidates come
+    from a single hash-partitionable equi-join on those two keys (broadcast
+    when the query side is small). The earlier OR-of-band-equalities condition
+    could not hash-partition and Spark planned a BroadcastNestedLoopJoin —
+    O(|corpus| x |queries|), brute force in costume. With exploded bands the
+    corpus is scanned once, the join is map-side, and only
+    (query_id, neighbor_id, cosine) candidate rows ever shuffle (for the
+    dual-band dedup + final ranking).
     Output: (query_id, neighbor_id, rank)."""
     from pyspark.sql import Window as W
 
     sig = signature_expr(vec_col, dim)
-    q = with_norm(queries, vec_col, "q_norm").select(
-        F.col(id_col).alias("query_id"),
-        F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("q_vec"),
-        "q_norm",
-        F.expr(sig).alias("q_sig"),
-    )
-    c = with_norm(corpus, vec_col, "c_norm").select(
-        F.col(id_col).alias("neighbor_id"),
-        F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("c_vec"),
-        "c_norm",
-        F.expr(sig).alias("c_sig"),
-    )
-    # two bands of 4 bits each: candidate if either band matches
     half = (1 << (N_PLANES // 2)) - 1
-    cand = c.join(
-        F.broadcast(q),
-        (
-            ((F.expr(f"q_sig & {half}")) == F.expr(f"c_sig & {half}"))
-            | (F.expr(f"shiftright(q_sig, {N_PLANES // 2})") == F.expr(f"shiftright(c_sig, {N_PLANES // 2})"))
+    band_vals = f"array(sig & {half}, shiftright(sig, {N_PLANES // 2}))"
+
+    def banded(df: DataFrame, idname: str, prefix: str) -> DataFrame:
+        return (
+            with_norm(df, vec_col, f"{prefix}_norm")
+            .select(
+                F.col(id_col).alias(idname),
+                F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias(f"{prefix}_vec"),
+                f"{prefix}_norm",
+                F.expr(sig).alias("sig"),
+            )
+            .select(
+                idname,
+                f"{prefix}_vec",
+                f"{prefix}_norm",
+                F.posexplode(F.expr(band_vals)).alias("band", "bv"),
+            )
         )
-        & (F.col("query_id") != F.col("neighbor_id")),
+
+    q = banded(queries, "query_id", "q")
+    c = banded(corpus, "neighbor_id", "c")
+    cand = c.join(F.broadcast(q), ["band", "bv"]).filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        (F.expr(_dot("q_vec", "c_vec")) / (F.col("q_norm") * F.col("c_norm"))).alias("cosine"),
     )
-    scored = cand.withColumn("cosine", F.expr(_dot("q_vec", "c_vec")) / (F.col("q_norm") * F.col("c_norm")))
+    # a pair matching on both bands appears twice with an identical cosine
+    dedup = scored.groupBy("query_id", "neighbor_id").agg(F.max("cosine").alias("cosine"))
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        dedup.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )

@@ -39,3 +39,11 @@ def test_merge_compact_single_shuffle(spark, sf_dir):
 def test_checker_full_outer_on_keys(spark, sf_dir):
     plan = _plan(spark, sf_dir, "checker_diff")
     assert "FullOuter" in plan
+
+
+def test_ann_lsh_bucket_join_not_nested_loop(spark, sf_dir):
+    # the exploded (band, value) equi-join must hash-partition; the old
+    # OR-of-band-equalities predicate degraded to a nested-loop cross product
+    plan = _plan(spark, sf_dir, "ann_lsh")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
