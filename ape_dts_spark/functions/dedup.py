@@ -100,42 +100,66 @@ def jaccard_pairs(
     Output: (id_a, id_b, shared, n_a, n_b, jaccard), id_a < id_b.
     `max_df` prunes tokens present in more than max_df docs before anything
     else (skew + noise guard for web-scale corpora; changes semantics).
-    """
-    tok = doc_tokens(df, id_col, text_col)
-    if max_df is not None:
-        rare = tok.groupBy("token").agg(F.count(F.lit(1)).alias("_df")).filter(F.col("_df") <= max_df)
-        tok = tok.join(rare.select("token"), "token")
 
-    # global order: document frequency ascending (rarest first), token tiebreak
-    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("_df"))
-    ranked = tok.join(freq, "token").withColumn(
-        "_pos", F.row_number().over(Window.partitionBy(id_col).orderBy("_df", "token"))
-    )
-    sizes = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("n")).persist(StorageLevel.MEMORY_AND_DISK)
-    prefix = (
-        ranked.join(sizes, id_col)
-        .filter(F.col("_pos") <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1)
-        .select(id_col, "token")
-    )
-    a = prefix.select(F.col(id_col).alias("id_a"), "token")
-    b = prefix.select(F.col(id_col).alias("id_b"), "token")
-    candidates = (
-        a.join(b, "token")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
+    **Identical-set collapse** (same as minhash_lsh_pairs): Jaccard is a pure
+    function of the token set, so the prefix-filter join, candidate dedup and
+    verification run over DISTINCT token sets only; doc pairs are expanded
+    afterwards (within a set group every pair is J=1; cross-group pairs
+    inherit the set-level stats, with n_a/n_b following the id_a<id_b
+    normalization). Output is bit-identical to the per-doc pipeline, but the
+    quadratic stages scale with distinct content — on duplicate-heavy corpora
+    the candidate join previously scaled with raw doc count, which kept this
+    operator out of the benchmark.
+    """
+    members = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.array_sort(F.array_distinct(F.expr(tokens_expr(text_col)))).alias("_toks"),
+        )
+        .filter(F.size("_toks") > 0)
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-
-    # exact verification over the full token sets
-    docs = df.select(
-        F.col(id_col), F.array_distinct(F.expr(tokens_expr(text_col))).alias("_toks")
+    members.count()
+    sets = (
+        members.groupBy("_toks").agg(F.min("_id").alias("_rep"), F.count(F.lit(1)).alias("_gsz"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    toks_a = docs.select(F.col(id_col).alias("id_a"), F.col("_toks").alias("toks_a"))
-    toks_b = docs.select(F.col(id_col).alias("id_b"), F.col("_toks").alias("toks_b"))
-    return (
-        candidates.join(toks_a, "id_a")
-        .join(toks_b, "id_b")
+    sets.count()
+    mem = members.join(sets.select("_toks", "_rep"), "_toks").select("_id", "_rep")
+    mem = mem.persist(StorageLevel.MEMORY_AND_DISK)
+    mem.count()
+
+    tok = sets.select("_rep", "_gsz", F.explode("_toks").alias("token"))
+    # document frequency = sum of group sizes (identical to the per-doc df)
+    freq = tok.groupBy("token").agg(F.sum("_gsz").alias("_df"))
+    tokf = tok.join(freq, "token")
+    if max_df is not None:
+        tokf = tokf.filter(F.col("_df") <= max_df)
+    # global order: document frequency ascending (rarest first), token tiebreak
+    ranked = tokf.withColumn(
+        "_pos", F.row_number().over(Window.partitionBy("_rep").orderBy("_df", "token"))
+    )
+    sizes = tokf.groupBy("_rep").agg(F.count(F.lit(1)).alias("n"))
+    prefix = (
+        ranked.join(sizes, "_rep")
+        .filter(F.col("_pos") <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1)
+        .select("_rep", "token")
+    )
+    a = prefix.select(F.col("_rep").alias("rep_a"), "token")
+    b = prefix.select(F.col("_rep").alias("rep_b"), "token")
+    candidates = (
+        a.join(b, "token")
+        .filter(F.col("rep_a") < F.col("rep_b"))
+        .select("rep_a", "rep_b")
+        .distinct()
+    )
+
+    # exact verification over the full (unpruned) token sets
+    toks_a = sets.select(F.col("_rep").alias("rep_a"), F.col("_toks").alias("toks_a"))
+    toks_b = sets.select(F.col("_rep").alias("rep_b"), F.col("_toks").alias("toks_b"))
+    set_pairs = (
+        candidates.join(toks_a, "rep_a")
+        .join(toks_b, "rep_b")
         .withColumn("shared", F.size(F.array_intersect("toks_a", "toks_b")))
         .withColumn("n_a", F.size("toks_a"))
         .withColumn("n_b", F.size("toks_b"))
@@ -144,8 +168,42 @@ def jaccard_pairs(
             F.col("shared").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("shared")).cast("double"),
         )
         .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "shared", "n_a", "n_b", "jaccard")
+        .select("rep_a", "rep_b", "shared", "n_a", "n_b", "jaccard")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    set_pairs.count()
+
+    # expand: (a) within a set group every pair is J=1 with identical stats
+    ma, mb = mem.alias("ma"), mem.alias("mb")
+    set_n = sets.select(F.col("_rep").alias("_sn_rep"), F.size("_toks").alias("_n"))
+    within = (
+        ma.join(mb, F.col("ma._rep") == F.col("mb._rep"))
+        .filter(F.col("ma._id") < F.col("mb._id"))
+        .join(set_n, F.col("ma._rep") == F.col("_sn_rep"))
+        .select(
+            F.col("ma._id").alias("id_a"),
+            F.col("mb._id").alias("id_b"),
+            F.col("_n").alias("shared"),
+            F.col("_n").alias("n_a"),
+            F.col("_n").alias("n_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    # (b) cross-group: group cross product, n_a/n_b swap with the id ordering
+    swap = F.col("ia") > F.col("ib")
+    cross = (
+        set_pairs.join(mem.select(F.col("_rep").alias("rep_a"), F.col("_id").alias("ia")), "rep_a")
+        .join(mem.select(F.col("_rep").alias("rep_b"), F.col("_id").alias("ib")), "rep_b")
+        .select(
+            F.least("ia", "ib").alias("id_a"),
+            F.greatest("ia", "ib").alias("id_b"),
+            "shared",
+            F.when(swap, F.col("n_b")).otherwise(F.col("n_a")).alias("n_a"),
+            F.when(swap, F.col("n_a")).otherwise(F.col("n_b")).alias("n_b"),
+            "jaccard",
+        )
+    )
+    return within.unionByName(cross)
 
 
 def _token_num() -> str:
@@ -325,10 +383,14 @@ def simhash_pairs(
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash_a, simhash_b) <= max_hamming.
 
-    Blocking: split the 32 bits into 4 bytes; by pigeonhole any pair within
-    Hamming distance 3 shares at least one exact byte — candidates are pairs
-    colliding on (byte_idx, byte_value), then verified by exact bit_count.
-    Avoids the n^2 cross join at scale. Pairing depends only on the
+    Blocking: split the 32 bits into ``max(4, max_hamming + 1)`` bands; by
+    pigeonhole any pair within Hamming distance ``n_bands - 1`` shares at
+    least one exact band — so recall is COMPLETE for the requested distance
+    (a fixed 4-byte split silently dropped pairs at distance 4-6 whose four
+    bytes all differed). Candidates collide on (band_idx, band_value), then
+    verify by exact bit_count. Avoids the n^2 cross join at scale; more bands
+    = more candidate rows, the price of completeness at larger distances.
+    Pairing depends only on the
     fingerprint VALUE, so (exactly like the MinHash identical-set collapse)
     the band self-join and its pair-dedup run over DISTINCT fingerprints
     only; doc pairs are expanded afterwards — within a fingerprint group
@@ -339,17 +401,25 @@ def simhash_pairs(
     cache lets concurrent branches of the one job race and recompute the
     tokenize+hash scan per branch.
     """
+    if not 0 <= max_hamming < SIMHASH_BITS:
+        raise ValueError(f"max_hamming must be in [0, {SIMHASH_BITS}), got {max_hamming}")
     sh = simhash_values(df, id_col, text_col).persist(StorageLevel.MEMORY_AND_DISK)
     sh.count()
     vals = sh.select("simhash").distinct().persist(StorageLevel.MEMORY_AND_DISK)
     vals.count()
+    n_bands = max(4, max_hamming + 1)
+    base, extra = divmod(SIMHASH_BITS, n_bands)
+    widths = [base + (1 if i < extra else 0) for i in range(n_bands)]
     bands = None
-    for k in range(4):
+    offset = 0
+    for k, width in enumerate(widths):
         part = vals.select(
-            F.lit(k).alias("band"), F.expr(f"(shiftright(simhash, {8 * k}) & 255)").alias("bv"),
+            F.lit(k).alias("band"),
+            F.expr(f"(shiftright(simhash, {offset}) & {(1 << width) - 1})").alias("bv"),
             F.col("simhash"),
         )
         bands = part if bands is None else bands.unionByName(part)
+        offset += width
     a = bands.select(F.col("simhash").alias("sh_a"), "band", "bv")
     b = bands.select(F.col("simhash").alias("sh_b"), "band", "bv")
     val_pairs = (

@@ -20,6 +20,7 @@ class for Delta ``MERGE`` and keeps every operator upstream unchanged.
 from __future__ import annotations
 
 import json
+import math
 import os
 import time
 
@@ -27,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ape_dts_spark.model.changes import ROW_TYPE_DELETE, ROW_TYPE_INSERT
+from ape_dts_spark.model.changes import ROW_TYPE_DELETE
 
 
 class ParquetTable:
@@ -65,9 +66,12 @@ class ParquetTable:
         return self.spark.read.schema(self.payload_schema).parquet(vdir)
 
     def last_applied(self, stream_id: str) -> int:
-        """Highest foreachBatch epoch already committed for `stream_id`
-        (exactly-once replay guard, the Structured Streaming idiom)."""
-        return int(self._read_meta()["applied_batches"].get(stream_id, -1))
+        """Highest foreachBatch epoch FULLY committed for `stream_id`
+        (exactly-once replay guard, the Structured Streaming idiom).
+        Segment commits record fractional epochs (batch_id-1 < e <= batch_id);
+        the floor therefore reports the last batch whose every segment
+        committed."""
+        return int(math.floor(self._read_meta()["applied_batches"].get(stream_id, -1)))
 
     def record_batch(self, stream_id: str, batch_id: int) -> None:
         """Mark an epoch applied without a data commit (used when a batch was
@@ -99,7 +103,7 @@ class ParquetTable:
         spilled: DataFrame,
         key_cols: list[str],
         stream_id: str = "default",
-        batch_id: int | None = None,
+        batch_id: float | None = None,
     ) -> None:
         """Stage-ordered apply of a compacted write-set.
 
@@ -121,18 +125,7 @@ class ParquetTable:
         kept = state.join(changed_keys, key_cols, "left_anti")
         upserts = compacted.filter(F.col("op") == "upsert").select("after.*")
         state = kept.unionByName(upserts.select(*state.columns))
-
-        # serial spill replay — inherently ordered, tiny by construction
-        # (reference applies these rows one-by-one through a single sinker)
-        for ev in spilled.orderBy("seq").collect():
-            rt = ev["row_type"]
-            before, after = ev["before"], ev["after"]
-            if rt == ROW_TYPE_DELETE or (rt == "update" and before is not None):
-                match = self._row_predicate(before, key_cols)
-                state = state.filter(~match) if match is not None else state
-            if rt != ROW_TYPE_DELETE and after is not None:
-                row_df = self.spark.createDataFrame([after], self.payload_schema)
-                state = state.unionByName(row_df.select(*state.columns))
+        state = self._replay_spill(state, spilled, key_cols)
 
         version = meta["version"] + 1
         vdir = os.path.join(self.path, f"v{version}")
@@ -142,6 +135,65 @@ class ParquetTable:
         if batch_id is not None:
             meta["applied_batches"][stream_id] = batch_id
         self._write_meta(meta)
+
+    def _replay_spill(self, state: DataFrame, spilled: DataFrame, key_cols: list[str]) -> DataFrame:
+        """Serial-equivalent replay of the unmergeable spill rows, set-based.
+
+        The reference applies spill rows one-by-one through a single sinker
+        (rdb_merger.rs:159-186, merge_parallelizer.rs:80-86). A literal driver
+        loop appends a filter+union per row — the plan grows linearly with the
+        spill and a skewed batch (many NULL-key rows) blows up the driver.
+        Order only matters through delete-visibility: deletes cannot resurrect
+        rows and inserts never mutate existing ones, so a row (base state at
+        seq -inf, or inserted by the spill event at seq s) survives iff no
+        delete-image with a strictly greater seq matches it. That compiles the
+        serial loop into two anti-joins:
+
+        1. keyed delete-images (all key cols non-NULL) -> hash anti-join on
+           the keys plus the seq-visibility condition;
+        2. NULL-key images -> one broadcast anti-join where each image matches
+           on its non-NULL columns (a NULL image column is a wildcard — the
+           reference's no-PK whole-row match, rdb_query_builder.rs no-PK
+           guards). All-NULL images match nothing, as in the serial path.
+        """
+        from functools import reduce
+
+        payload_cols = list(state.columns)
+        seq_c = "_replay_seq"
+
+        dels = spilled.filter(
+            ((F.col("row_type") == ROW_TYPE_DELETE) | (F.col("row_type") == "update"))
+            & F.col("before").isNotNull()
+        ).select(F.col("before.*"), F.col("seq").alias(seq_c))
+        keys_ok = reduce(lambda a, b: a & b, [F.col(k).isNotNull() for k in key_cols])
+        keyed = dels.filter(keys_ok).select(
+            *[F.col(k).alias(f"_k_{k}") for k in key_cols], F.col(seq_c).alias("_k_seq")
+        )
+        any_set = reduce(lambda a, b: a | b, [F.col(c).isNotNull() for c in payload_cols])
+        whole_row = dels.filter(~keys_ok).filter(any_set).select(
+            *[F.col(c).alias(f"_w_{c}") for c in payload_cols], F.col(seq_c).alias("_w_seq")
+        )
+
+        inserts = spilled.filter(
+            (F.col("row_type") != ROW_TYPE_DELETE) & F.col("after").isNotNull()
+        ).select(F.col("after.*"), F.col("seq").alias(seq_c))
+
+        rows = state.withColumn(seq_c, F.lit(-1).cast("long")).unionByName(
+            inserts.select(*payload_cols, seq_c)
+        )
+        keyed_cond = reduce(
+            lambda a, b: a & b, [F.col(k) == F.col(f"_k_{k}") for k in key_cols]
+        ) & (F.col("_k_seq") > F.col(seq_c))
+        rows = rows.join(F.broadcast(keyed), keyed_cond, "left_anti")
+        wr_cond = reduce(
+            lambda a, b: a & b,
+            [
+                F.col(f"_w_{c}").isNull() | F.col(c).eqNullSafe(F.col(f"_w_{c}"))
+                for c in payload_cols
+            ],
+        ) & (F.col("_w_seq") > F.col(seq_c))
+        rows = rows.join(F.broadcast(whole_row), wr_cond, "left_anti")
+        return rows.select(*payload_cols)
 
     def version(self) -> int:
         return int(self._read_meta()["version"])
@@ -180,19 +232,3 @@ class ParquetTable:
             rebuild("dst").alias("before"),
             rebuild("src").alias("after"),
         )
-
-    def _row_predicate(self, image, key_cols: list[str]):
-        """Match rows by key when the image has non-NULL keys, else by every
-        non-NULL column (the reference's no-PK whole-row match,
-        dt-connector/src/rdb_query_builder.rs no-PK guards)."""
-        if image is None:
-            return None
-        d = image.asDict() if hasattr(image, "asDict") else dict(image)
-        keys_ok = all(d.get(k) is not None for k in key_cols)
-        cols = key_cols if keys_ok else [c for c, v in d.items() if v is not None]
-        if not cols:
-            return None
-        pred = F.lit(True)
-        for c in cols:
-            pred = pred & F.col(c).eqNullSafe(F.lit(d[c]))
-        return pred

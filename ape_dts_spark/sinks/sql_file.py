@@ -18,10 +18,19 @@ from pyspark.sql import types as T
 from ape_dts_spark.model.changes import ROW_TYPE_DELETE, ROW_TYPE_INSERT, reverse_events
 
 
-def _sql_literal(col: Column, dt: T.DataType) -> Column:
-    """Render a value as a SQL literal (NULL-safe, string-escaped)."""
+def _sql_literal(col: Column, dt: T.DataType, dialect: str = "mysql") -> Column:
+    """Render a value as a SQL literal (NULL-safe, string-escaped).
+
+    MySQL's default sql_mode treats backslash as an escape inside string
+    literals, so for the mysql dialect backslashes are doubled BEFORE quote
+    doubling — otherwise a value ending in ``\\`` swallows the closing quote
+    (broken or injectable statement). PG standard-conforming strings need
+    only quote doubling."""
     if isinstance(dt, (T.StringType,)):
-        quoted = F.concat(F.lit("'"), F.replace(col, F.lit("'"), F.lit("''")), F.lit("'"))
+        s = col
+        if dialect == "mysql":
+            s = F.replace(s, F.lit("\\"), F.lit("\\\\"))
+        quoted = F.concat(F.lit("'"), F.replace(s, F.lit("'"), F.lit("''")), F.lit("'"))
     elif isinstance(dt, (T.TimestampType, T.TimestampNTZType, T.DateType)):
         quoted = F.concat(F.lit("'"), col.cast("string"), F.lit("'"))
     elif isinstance(dt, T.BinaryType):

@@ -50,11 +50,11 @@ def compacted_to_sql(compacted: DataFrame, key_cols: list[str], dialect: str = "
     fields = [(f.name, f.dataType) for f in payload.fields]
 
     col_list = F.lit(", ".join(_quoted(dialect, n) for n, _ in fields))
-    vals = F.concat_ws(", ", *[_sql_literal(F.col("after").getField(n), dt) for n, dt in fields])
+    vals = F.concat_ws(", ", *[_sql_literal(F.col("after").getField(n), dt, dialect) for n, dt in fields])
     where = F.concat_ws(
         " AND ",
         *[
-            F.concat(F.lit(f"{_quoted(dialect, k)} = "), _sql_literal(F.col(k), dict(fields)[k]))
+            F.concat(F.lit(f"{_quoted(dialect, k)} = "), _sql_literal(F.col(k), dict(fields)[k], dialect))
             for k in key_cols
         ],
     )
@@ -98,11 +98,11 @@ def batch_statements(
     pk_list = ", ".join(_quoted(dialect, k) for k in key_cols)
 
     row_tuple = F.concat(
-        F.lit("("), F.concat_ws(", ", *[_sql_literal(F.col("after").getField(n), dt) for n, dt in fields]), F.lit(")")
+        F.lit("("), F.concat_ws(", ", *[_sql_literal(F.col("after").getField(n), dt, dialect) for n, dt in fields]), F.lit(")")
     )
     key_tuple = F.concat(
         F.lit("("),
-        F.concat_ws(", ", *[_sql_literal(F.col(k), dict(fields)[k]) for k in key_cols]),
+        F.concat_ws(", ", *[_sql_literal(F.col(k), dict(fields)[k], dialect) for k in key_cols]),
         F.lit(")"),
     )
     tagged = compacted.select(

@@ -50,25 +50,36 @@ def encode_events(df: DataFrame, topic_map: dict[str, str] | None = None) -> Dat
     """Change events -> Kafka-ready (topic, key, value) rows.
 
     key = '<schema>.<tb>' (per-table ordering within a partition, matching the
-    reference's per-table topic routing); value = the JSON envelope.
+    reference's per-table topic routing); value = the JSON envelope. When the
+    input carries ``ts`` / ``origin_node`` / ``ddl`` they ride the envelope
+    too (ts as epoch millis) — a post-Kafka-hop consumer still needs the
+    time-window filter, the two-way-sync origin filter and DDL barriers.
     """
-    envelope = F.struct(
+    parts = [
         F.col("schema"),
         F.col("tb"),
         F.col("row_type").alias("operation"),
         F.col("before"),
         F.col("after"),
         F.col("seq"),
-    )
+    ]
+    if "ts" in df.columns:
+        parts.append(F.unix_millis(F.col("ts")).alias("ts_ms"))
+    if "origin_node" in df.columns:
+        parts.append(F.col("origin_node"))
+    if "ddl" in df.columns:
+        parts.append(F.col("ddl"))
     return df.select(
         topic_for(topic_map).alias("topic"),
         F.concat_ws(".", F.col("schema"), F.col("tb")).alias("key"),
-        F.to_json(envelope).alias("value"),
+        F.to_json(F.struct(*parts)).alias("value"),
     )
 
 
 def decode_events(df: DataFrame, payload: T.StructType, value_col: str = "value") -> DataFrame:
-    """Wire rows -> canonical change DataFrame (the extractor's round trip)."""
+    """Wire rows -> canonical change DataFrame (the extractor's round trip).
+    ``ts`` / ``origin_node`` / ``ddl`` decode to NULL when the producer's
+    envelope predates them."""
     env = T.StructType(
         [
             T.StructField("schema", T.StringType()),
@@ -77,6 +88,9 @@ def decode_events(df: DataFrame, payload: T.StructType, value_col: str = "value"
             T.StructField("before", payload),
             T.StructField("after", payload),
             T.StructField("seq", T.LongType()),
+            T.StructField("ts_ms", T.LongType()),
+            T.StructField("origin_node", T.StringType()),
+            T.StructField("ddl", T.StringType()),
         ]
     )
     parsed = df.select(F.from_json(F.col(value_col), env).alias("r"))
@@ -87,12 +101,15 @@ def decode_events(df: DataFrame, payload: T.StructType, value_col: str = "value"
         F.col("r.before").alias("before"),
         F.col("r.after").alias("after"),
         F.col("r.seq").alias("seq"),
+        F.timestamp_millis(F.col("r.ts_ms")).alias("ts"),
+        F.col("r.origin_node").alias("origin_node"),
+        F.col("r.ddl").alias("ddl"),
     )
 
 
 def roundtrip(df: DataFrame, topic_map: dict[str, str] | None = None) -> DataFrame:
-    """encode -> decode (used by tests and the correctness gate to prove the
-    wire format is lossless)."""
+    """encode -> decode, projected back to the input's columns (proves the
+    wire format is lossless for every field the input carries)."""
     payload = df.schema["after"].dataType
     assert isinstance(payload, T.StructType)
-    return decode_events(encode_events(df, topic_map), payload)
+    return decode_events(encode_events(df, topic_map), payload).select(*df.columns)

@@ -170,9 +170,13 @@ class CdcPipeline:
         DDL events are **barriers** (base_parallelizer.rs:27-50,
         base_extractor.rs:204-206): the batch is applied in seq-ordered
         segments — DML before the DDL, the DDL itself (serially, exclusively),
-        then the rest. The epoch id makes replays idempotent (recorded in the
-        target commit). Heartbeat/lag metric per batch = now - max(event ts)
-        (reference heartbeat: mysql_cdc_extractor.rs:468-540).
+        then the rest. Each segment commits under a fractional epoch
+        ``batch_id - 1 + (i+1)/n_segments`` (monotonic, ending exactly at
+        ``batch_id``) so a crash mid-batch replays only the segments that
+        never committed — without per-segment tokens, replayed spilled
+        NULL-key inserts would append twice. Heartbeat/lag metric per batch =
+        now - max(event ts) (reference heartbeat:
+        mysql_cdc_extractor.rs:468-540).
         """
         if self.target.last_applied(self.stream_id) >= batch_id:
             return
@@ -192,7 +196,10 @@ class CdcPipeline:
             if hi is not None:
                 seg = seg.filter(F.col("seq") < hi)
             compacted, spilled = compact_changes(seg, self.key_cols)
-            self.target.merge_apply(compacted, spilled, self.key_cols, stream_id=self.stream_id)
+            seg_epoch = batch_id - 1 + (i + 1) / len(bounds)
+            self.target.merge_apply(
+                compacted, spilled, self.key_cols, stream_id=self.stream_id, batch_id=seg_epoch
+            )
             if hi is not None:
                 self.apply_ddl(ddls[i])
             lo = hi

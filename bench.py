@@ -35,9 +35,7 @@ BENCH_QUERIES = [
     "wire_roundtrip",
     "cdc_apply_state",
     "py_transform",
-    # training-data pipeline extensions (BASELINE.json north star); the
-    # quadratic exact-jaccard baseline is excluded — minhash_lsh is its
-    # scale path and covers the same semantics
+    # training-data pipeline extensions (BASELINE.json north star)
     "dedup_exact",
     "doc_fingerprint",
     "lang_id",
@@ -50,6 +48,9 @@ BENCH_QUERIES = [
     "ann_ivf",
     "minhash_lsh",
     "simhash_pairs",
+    # exact Jaccard re-entered after the identical-set collapse: its
+    # quadratic stages now scale with distinct content like minhash/simhash
+    "jaccard_pairs",
 ]
 
 

@@ -224,3 +224,56 @@ def test_multi_table_cdc(spark, dirs):
     assert state_dict(users) == {1: ("a", 12)}
     assert state_dict(accounts) == {7: ("acct7", 70)}
     assert any(m.get("skipped_tables") for m in pipe.metrics)
+
+
+def test_segment_replay_skips_committed_segments(spark, dirs):
+    """Crash mid-batch between DDL-separated segments: on replay, segments
+    that already committed (fractional epochs) must be no-ops — a NULL-key
+    spill insert from segment 1 must not append a second time."""
+    src, target_dir, ckpt = dirs
+    events = [
+        ev("c", after={"id": None, "name": "ghost", "bal": 0}, seq=1),
+        {"op": "ddl", "ddl": "ALTER TABLE default.users COMMENT 'noop'",
+         "source": {"db": "default", "table": "users", "ts_ms": 1700000000002, "seq": 2, "origin_node": None}},
+        ev("c", after={"id": 7, "name": "g", "bal": 70}, seq=3),
+    ]
+    write_debezium_jsonl(events, os.path.join(src, "b1.jsonl"))
+    table = ParquetTable(spark, target_dir, PAYLOAD)
+    pipe = CdcPipeline(spark, table, key_cols=["id"])
+    batch = parse_debezium(spark.read.text(src), PAYLOAD)
+    pipe.apply_batch(batch, batch_id=0)
+    assert sum(1 for r in table.current().collect() if r["id"] is None) == 1
+
+    # simulate a crash after segment 1 of batch 0: the marker holds the
+    # fractional epoch -0.5 and the foreachBatch epoch replays from 0
+    meta = table._read_meta()
+    meta["applied_batches"]["cdc"] = -0.5
+    table._write_meta(meta)
+    pipe.apply_batch(batch, batch_id=0)
+
+    rows = table.current().collect()
+    assert sum(1 for r in rows if r["id"] is None) == 1  # not duplicated
+    assert {r["id"]: r["bal"] for r in rows if r["id"] is not None} == {7: 70}
+
+
+def test_spill_replay_seq_visibility(spark, tmp_path):
+    """Set-based spill replay must preserve serial delete-visibility:
+    a whole-row delete removes NULL-key rows inserted EARLIER in the batch
+    but not ones inserted later."""
+    from ape_dts_spark.operators.merge import compact_changes
+
+    src = str(tmp_path / "src2")
+    os.makedirs(src)
+    events = [
+        ev("c", after={"id": None, "name": "g1", "bal": 1}, seq=1),
+        ev("d", before={"id": None, "name": "g1", "bal": 1}, seq=2),  # kills g1
+        ev("d", before={"id": None, "name": "g2", "bal": 2}, seq=3),  # matches nothing yet
+        ev("c", after={"id": None, "name": "g2", "bal": 2}, seq=4),  # survives
+    ]
+    write_debezium_jsonl(events, os.path.join(src, "b1.jsonl"))
+    table = ParquetTable(spark, str(tmp_path / "tgt2"), PAYLOAD)
+    batch = parse_debezium(spark.read.text(src), PAYLOAD)
+    compacted, spilled = compact_changes(batch, ["id"])
+    table.merge_apply(compacted, spilled, ["id"])
+    rows = table.current().collect()
+    assert [(r["name"], r["bal"]) for r in rows] == [("g2", 2)]
