@@ -434,6 +434,16 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.simhash_pairs(demo.load(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=2)
 
 
+def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-list clustering: every doc mapped to the min-id representative of
+    its near-dup connected component (minhash pairs at J>=0.95) — the output
+    shape a training pipeline consumes (keep WHERE doc_id = rep_id), linear
+    in docs where the pair list is quadratic in group size."""
+    d = demo.load(spark, sf_dir, "documents")
+    pairs = dd.minhash_lsh_pairs(d, "doc_id", "text", threshold=0.95)
+    return dd.keep_representatives(d, "doc_id", pairs)
+
+
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force exact cosine top-k ANN baseline over embeddings."""
     emb = demo.load(spark, sf_dir, "embeddings")
@@ -549,6 +559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "jaccard_pairs": q_jaccard_pairs,
         "minhash_lsh": q_minhash_lsh,
+        "dedup_cluster": q_dedup_cluster,
         "simhash_pairs": q_simhash_pairs,
         "cosine_topk": q_cosine_topk,
         "cosine_topk_np": q_cosine_topk_np,
@@ -1014,6 +1025,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b, shared, n_a, n_b, jaccard FROM jac WHERE jaccard >= 0.95
         """,
         "minhash_lsh": _minhash_oracle(0.95),
+        "dedup_cluster": f"""
+            WITH RECURSIVE pairs AS ({_minhash_oracle(0.95)}),
+            edges AS (
+              SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION
+              SELECT id_b, id_a FROM pairs),
+            walk(node, reach) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT w.node, e.dst FROM walk w JOIN edges e ON e.src = w.reach)
+            SELECT node AS doc_id, MIN(reach) AS rep_id FROM walk GROUP BY node
+        """,
         "simhash_pairs": _simhash_oracle(2),
         "cosine_topk": _COSINE_TOPK_SQL,
         "cosine_topk_np": _COSINE_TOPK_SQL,

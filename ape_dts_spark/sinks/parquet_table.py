@@ -95,6 +95,69 @@ class ParquetTable:
         )
         self._write_meta(meta)
 
+    def drop_column(self, name: str, ddl_text: str = "") -> None:
+        """Schema evolution: DROP COLUMN. No data rewrite — the column simply
+        leaves the read schema (parquet files keep the bytes, readers never
+        project them; the Delta drop-column / column-mapping analogue)."""
+        if name not in [f.name for f in self.payload_schema.fields]:
+            return
+        self.payload_schema = T.StructType([f for f in self.payload_schema.fields if f.name != name])
+        meta = self._read_meta()
+        meta.setdefault("ddl_log", []).append({"ddl": ddl_text, "op": "drop_column", "column": name})
+        self._write_meta(meta)
+
+    def rename_column(self, old: str, new: str, ddl_text: str = "") -> None:
+        """Schema evolution: RENAME COLUMN. Parquet has no column mapping, so
+        the current version is rewritten under the new name (one scan+write,
+        committed atomically like any apply; on Delta/Iceberg this is a pure
+        metadata operation — swap this method for their column mapping)."""
+        names = [f.name for f in self.payload_schema.fields]
+        if old not in names or new in names:
+            return
+        renamed = self.current().withColumnRenamed(old, new)
+        self.payload_schema = T.StructType(
+            [T.StructField(new if f.name == old else f.name, f.dataType, f.nullable) for f in self.payload_schema.fields]
+        )
+        meta = self._read_meta()
+        version = meta["version"] + 1
+        renamed.write.mode("overwrite").parquet(os.path.join(self.path, f"v{version}"))
+        meta["version"] = version
+        meta["committed_at"] = time.time()
+        meta.setdefault("ddl_log", []).append(
+            {"ddl": ddl_text, "op": "rename_column", "column": old, "to": new}
+        )
+        self._write_meta(meta)
+
+    def truncate(self, ddl_text: str = "") -> None:
+        """TRUNCATE TABLE: commit an empty version (history stays readable
+        via at_version, exactly like a transactional table format)."""
+        meta = self._read_meta()
+        version = meta["version"] + 1
+        empty = self.spark.createDataFrame([], self.payload_schema)
+        empty.write.mode("overwrite").parquet(os.path.join(self.path, f"v{version}"))
+        meta["version"] = version
+        meta["committed_at"] = time.time()
+        meta.setdefault("ddl_log", []).append({"ddl": ddl_text, "op": "truncate"})
+        self._write_meta(meta)
+
+    def rename_table(self, new_name: str, ddl_text: str = "") -> None:
+        """RENAME TABLE: metadata-only — downstream routing reads the current
+        logical name from meta (the physical path is the storage identity,
+        as in table formats where rename never moves data)."""
+        meta = self._read_meta()
+        meta["table_name"] = new_name
+        meta.setdefault("ddl_log", []).append({"ddl": ddl_text, "op": "rename_table", "to": new_name})
+        self._write_meta(meta)
+
+    def mark_dropped(self, ddl_text: str = "") -> None:
+        """DROP TABLE: tombstone in meta; subsequent applies are refused until
+        a create re-registers it (matches the reference's struct sinker which
+        executes the drop on the target and forgets the table)."""
+        meta = self._read_meta()
+        meta["dropped"] = True
+        meta.setdefault("ddl_log", []).append({"ddl": ddl_text, "op": "drop_table"})
+        self._write_meta(meta)
+
     # -- apply ---------------------------------------------------------------
 
     def merge_apply(
@@ -117,14 +180,20 @@ class ParquetTable:
         the apply is a no-op — making foreachBatch replays idempotent.
         """
         meta = self._read_meta()
+        if meta.get("dropped"):
+            raise ValueError(
+                f"table at {self.path} was dropped (DROP TABLE in stream); re-create before applying"
+            )
         if batch_id is not None and meta["applied_batches"].get(stream_id, -1) >= batch_id:
             return
 
         state = self.current()
         changed_keys = compacted.select(*[F.col(k) for k in key_cols]).distinct()
         kept = state.join(changed_keys, key_cols, "left_anti")
-        upserts = compacted.filter(F.col("op") == "upsert").select("after.*")
-        state = kept.unionByName(upserts.select(*state.columns))
+        upserts = compacted.filter(F.col("op") == "upsert").select(
+            *self._image_cols(compacted, "after")
+        )
+        state = kept.unionByName(upserts)
         state = self._replay_spill(state, spilled, key_cols)
 
         version = meta["version"] + 1
@@ -135,6 +204,21 @@ class ParquetTable:
         if batch_id is not None:
             meta["applied_batches"][stream_id] = batch_id
         self._write_meta(meta)
+
+    def _image_cols(self, df: DataFrame, image: str) -> list:
+        """Project an event image struct onto the CURRENT payload schema,
+        NULL-filling columns the image predates (schema-evolution tolerance:
+        a micro-batch can span an ADD/RENAME COLUMN barrier, so pre-DDL
+        events lack the new name — the mergeSchema read analogue)."""
+        img_fields = {f.name for f in df.schema[image].dataType.fields}
+        return [
+            (
+                F.col(f"{image}.{f.name}")
+                if f.name in img_fields
+                else F.lit(None).cast(f.dataType)
+            ).alias(f.name)
+            for f in self.payload_schema.fields
+        ]
 
     def _replay_spill(self, state: DataFrame, spilled: DataFrame, key_cols: list[str]) -> DataFrame:
         """Serial-equivalent replay of the unmergeable spill rows, set-based.
@@ -164,7 +248,7 @@ class ParquetTable:
         dels = spilled.filter(
             ((F.col("row_type") == ROW_TYPE_DELETE) | (F.col("row_type") == "update"))
             & F.col("before").isNotNull()
-        ).select(F.col("before.*"), F.col("seq").alias(seq_c))
+        ).select(*self._image_cols(spilled, "before"), F.col("seq").alias(seq_c))
         keys_ok = reduce(lambda a, b: a & b, [F.col(k).isNotNull() for k in key_cols])
         keyed = dels.filter(keys_ok).select(
             *[F.col(k).alias(f"_k_{k}") for k in key_cols], F.col(seq_c).alias("_k_seq")
@@ -176,7 +260,7 @@ class ParquetTable:
 
         inserts = spilled.filter(
             (F.col("row_type") != ROW_TYPE_DELETE) & F.col("after").isNotNull()
-        ).select(F.col("after.*"), F.col("seq").alias(seq_c))
+        ).select(*self._image_cols(spilled, "after"), F.col("seq").alias(seq_c))
 
         rows = state.withColumn(seq_c, F.lit(-1).cast("long")).unionByName(
             inserts.select(*payload_cols, seq_c)

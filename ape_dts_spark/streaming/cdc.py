@@ -142,26 +142,41 @@ class CdcPipeline:
         return df
 
     def apply_ddl(self, ddl_row) -> None:
-        """DDL handler: ADD COLUMN evolves the target schema (NULL-filled via
-        schema-on-read, the mergeSchema analogue); anything else is logged.
-        The reference parses full DDL ASTs (ddl_parser.rs, 2108 LoC) — here
-        schema changes arrive as structural events, so only the statement kind
-        needs recognizing. Override ``ddl_handler`` for custom behavior."""
-        import re
+        """DDL handler, dispatching on the recognized statement kind
+        (plans/ddl_parse.py mirrors the reference's statement inventory,
+        dt-common/src/meta/ddl_meta/ddl_statement.rs:6-35):
 
+        - ADD COLUMN evolves the target schema (NULL-filled, schema-on-read)
+        - DROP COLUMN removes it from the read schema (no rewrite)
+        - RENAME/CHANGE COLUMN rewrites the current version under the new name
+        - TRUNCATE commits an empty version
+        - RENAME TABLE updates the logical name in meta
+        - DROP TABLE tombstones the target (applies refuse until re-created)
+        - index/database statements and unrecognized text are logged — they
+          have no effect on a single parquet target (struct_migration.py owns
+          index DDL emission for real targets).
+        """
         from ape_dts_spark.model.types import spark_type_for
+        from ape_dts_spark.plans.ddl_parse import parse_ddl
 
-        m = re.match(
-            r"\s*ALTER\s+TABLE\s+\S+\s+ADD\s+(?:COLUMN\s+)?[`\"]?(\w+)[`\"]?\s+(.+?)\s*$",
-            ddl_row["ddl"] or "",
-            re.IGNORECASE,
-        )
-        if m:
-            name, src_type = m.groups()
-            self.target.add_column(T.StructField(name, spark_type_for(src_type)), ddl_row["ddl"])
+        text = ddl_row["ddl"] or ""
+        st = parse_ddl(text)
+        if st.kind == "add_column":
+            name, src_type = st.args
+            self.target.add_column(T.StructField(name, spark_type_for(src_type)), text)
+        elif st.kind == "drop_column":
+            self.target.drop_column(st.args[0], text)
+        elif st.kind == "rename_column":
+            self.target.rename_column(st.args[0], st.args[1], text)
+        elif st.kind == "truncate_table":
+            self.target.truncate(text)
+        elif st.kind == "rename_table":
+            self.target.rename_table(st.args[1], text)
+        elif st.kind == "drop_table":
+            self.target.mark_dropped(text)
         else:
             meta = self.target._read_meta()
-            meta.setdefault("ddl_log", []).append({"ddl": ddl_row["ddl"], "column": None, "type": None})
+            meta.setdefault("ddl_log", []).append({"ddl": text, "op": st.kind})
             self.target._write_meta(meta)
 
     def apply_batch(self, batch: DataFrame, batch_id: int) -> None:
@@ -180,6 +195,10 @@ class CdcPipeline:
         """
         if self.target.last_applied(self.stream_id) >= batch_id:
             return
+        if self.target._read_meta().get("dropped"):
+            raise ValueError(
+                f"target table was dropped (DROP TABLE barrier); cannot apply batch {batch_id}"
+            )
         batch = self._prepare(batch)
         ddls = (
             batch.filter(F.col("row_type") == "ddl").orderBy("seq").collect()
@@ -190,6 +209,8 @@ class CdcPipeline:
         bounds = [d["seq"] for d in ddls] + [None]
         lo = None
         for i, hi in enumerate(bounds):
+            if self.target._read_meta().get("dropped"):
+                break  # DROP TABLE barrier: nothing after it can apply
             seg = dml
             if lo is not None:
                 seg = seg.filter(F.col("seq") > lo)

@@ -1,0 +1,115 @@
+"""DDL breadth in CDC: structural statement recognition (plans/ddl_parse.py)
+and target-side application with barrier semantics through
+CdcPipeline.apply_batch — the everyday schema-change vocabulary the reference
+parses in dt-common/src/meta/ddl_meta/ddl_statement.rs:6-35."""
+
+import os
+
+import pytest
+from pyspark.sql import types as T
+
+from ape_dts_spark.plans.ddl_parse import parse_ddl
+from ape_dts_spark.sinks.parquet_table import ParquetTable
+from ape_dts_spark.streaming.cdc import CdcPipeline, parse_debezium, write_debezium_jsonl
+
+PAYLOAD = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("bal", T.LongType()),
+    ]
+)
+
+
+def ev(op, before=None, after=None, seq=0):
+    return {
+        "op": op,
+        "before": before,
+        "after": after,
+        "source": {"db": "default", "table": "users", "ts_ms": 1700000000000 + seq, "seq": seq, "origin_node": None},
+    }
+
+
+def ddl(text, seq):
+    return {
+        "op": "ddl",
+        "ddl": text,
+        "source": {"db": "default", "table": "users", "ts_ms": 1700000000000 + seq, "seq": seq, "origin_node": None},
+    }
+
+
+def test_parse_ddl_statement_kinds():
+    assert parse_ddl("ALTER TABLE db.users ADD COLUMN tier varchar(8)") .kind == "add_column"
+    assert parse_ddl("ALTER TABLE users DROP COLUMN tier").args == ("tier",)
+    assert parse_ddl("ALTER TABLE users RENAME COLUMN bal TO balance").args == ("bal", "balance")
+    assert parse_ddl("ALTER TABLE users CHANGE COLUMN bal balance bigint").kind == "rename_column"
+    st = parse_ddl("RENAME TABLE db.users TO db.members")
+    assert st.kind == "rename_table" and st.table == "users" and st.args[1] == "members"
+    assert parse_ddl("ALTER TABLE users RENAME TO members").args[1] == "members"
+    assert parse_ddl("TRUNCATE TABLE db.users").kind == "truncate_table"
+    assert parse_ddl("DROP TABLE IF EXISTS db.users").kind == "drop_table"
+    assert parse_ddl("CREATE TABLE db.users (id bigint)").kind == "create_table"
+    st = parse_ddl("CREATE UNIQUE INDEX idx ON users (a, b)")
+    assert st.kind == "create_index" and st.args == ("idx", ("a", "b"))
+    assert parse_ddl("DROP INDEX idx ON users").kind == "drop_index"
+    assert parse_ddl("CREATE DATABASE d2").kind == "create_database"
+    assert parse_ddl("GRANT SELECT ON t TO x").kind == "other"
+    # DROP PRIMARY KEY must not parse as a column drop
+    assert parse_ddl("ALTER TABLE users DROP PRIMARY KEY").kind == "other"
+
+
+def _apply(spark, src_dir, table, events, payload, batch_id):
+    write_debezium_jsonl(events, os.path.join(src_dir, f"b{batch_id}.jsonl"))
+    batch = parse_debezium(
+        spark.read.text(os.path.join(src_dir, f"b{batch_id}.jsonl")), payload
+    )
+    pipe = CdcPipeline(spark, table, key_cols=["id"])
+    pipe.apply_batch(batch, batch_id=batch_id)
+
+
+def test_rename_and_drop_column_in_stream(spark, tmp_path):
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    table = ParquetTable(spark, str(tmp_path / "tgt"), PAYLOAD)
+
+    _apply(spark, src, table, [
+        ev("c", after={"id": 1, "name": "a", "bal": 10}, seq=1),
+        ev("c", after={"id": 2, "name": "b", "bal": 20}, seq=2),
+        ddl("ALTER TABLE default.users RENAME COLUMN bal TO balance", seq=3),
+    ], PAYLOAD, batch_id=0)
+    assert [f.name for f in table.payload_schema.fields] == ["id", "name", "balance"]
+    assert {r["id"]: r["balance"] for r in table.current().collect()} == {1: 10, 2: 20}
+
+    renamed = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("name", T.StringType()), T.StructField("balance", T.LongType())]
+    )
+    _apply(spark, src, table, [
+        ev("u", before={"id": 1, "name": "a", "balance": 10},
+           after={"id": 1, "name": "a", "balance": 11}, seq=4),
+        ddl("ALTER TABLE default.users DROP COLUMN name", seq=5),
+    ], renamed, batch_id=1)
+    assert [f.name for f in table.payload_schema.fields] == ["id", "balance"]
+    rows = {r["id"]: r["balance"] for r in table.current().collect()}
+    assert rows == {1: 11, 2: 20}
+    assert "name" not in table.current().columns
+
+
+def test_truncate_rename_drop_table_in_stream(spark, tmp_path):
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    table = ParquetTable(spark, str(tmp_path / "tgt"), PAYLOAD)
+
+    _apply(spark, src, table, [
+        ev("c", after={"id": 1, "name": "a", "bal": 10}, seq=1),
+        ev("c", after={"id": 2, "name": "b", "bal": 20}, seq=2),
+        ddl("TRUNCATE TABLE default.users", seq=3),
+        ev("c", after={"id": 9, "name": "z", "bal": 90}, seq=4),
+    ], PAYLOAD, batch_id=0)
+    assert {r["id"] for r in table.current().collect()} == {9}
+
+    _apply(spark, src, table, [ddl("RENAME TABLE default.users TO default.members", seq=5)], PAYLOAD, batch_id=1)
+    assert table._read_meta()["table_name"] == "members"
+
+    _apply(spark, src, table, [ddl("DROP TABLE default.members", seq=6)], PAYLOAD, batch_id=2)
+    with pytest.raises(ValueError, match="dropped"):
+        _apply(spark, src, table, [ev("c", after={"id": 3, "name": "c", "bal": 1}, seq=7)], PAYLOAD, batch_id=3)

@@ -134,3 +134,24 @@ def test_minhash_identical_set_expansion(spark):
         (10, 11): 1.0,
     }
     assert len(out) == len(pairs)  # no duplicate rows from the union
+
+
+def test_keep_representatives_clusters(spark):
+    """Min-id connected components over near-dup pairs: transitive chains
+    collapse to one representative; singletons keep themselves."""
+    docs = spark.createDataFrame([(i,) for i in range(1, 8)], ["doc_id"])
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], ["id_a", "id_b"]
+    )
+    out = {r["doc_id"]: r["rep_id"] for r in dd.keep_representatives(docs, "doc_id", pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5, 7: 7}
+
+
+def test_keep_representatives_planted_duplicates(spark, sf_dir):
+    """Every planted exact duplicate must map to its original's component."""
+    df = demo.duplicated_documents(spark, sf_dir)
+    pairs = dd.minhash_lsh_pairs(df, "doc_id", "text", threshold=0.999)
+    reps = {r["doc_id"]: r["rep_id"] for r in dd.keep_representatives(df, "doc_id", pairs).collect()}
+    for r in df.filter((F.col("doc_id") % 10 == 0) & (F.col("doc_id") < 100_000)).collect():
+        a, b = int(r["doc_id"]), int(r["doc_id"]) + 100_000
+        assert reps[a] == reps[b]
