@@ -33,20 +33,46 @@ VERSION_COL = "_ape_dts_timestamp"
 DIALECTS = ("sparksql", "mysql", "pg", "clickhouse", "starrocks")
 
 
+@dataclass(frozen=True)
+class IndexDef:
+    """Secondary index / unique constraint (the reference migrates both as
+    catalog objects: structure_type.rs Index + Constraint; a UNIQUE
+    constraint is an IndexDef with unique=True, as in MySQL's catalog)."""
+
+    name: str
+    columns: tuple[str, ...]
+    unique: bool = False
+
+
 @dataclass
 class TableDef:
     """Neutral table definition: the Spark-side RdbTbMeta
-    (dt-common/src/meta/rdb_tb_meta.rs:11-23)."""
+    (dt-common/src/meta/rdb_tb_meta.rs:11-23) plus the index/constraint
+    objects struct migration carries (structure_type.rs:5-30)."""
 
     schema: str
     tb: str
     columns: T.StructType
     primary_keys: list[str] = field(default_factory=list)
     comment: str | None = None
+    indexes: list[IndexDef] = field(default_factory=list)
 
     @classmethod
-    def from_dataframe(cls, df: DataFrame, schema: str, tb: str, primary_keys: list[str] | None = None):
-        return cls(schema=schema, tb=tb, columns=df.schema, primary_keys=primary_keys or [])
+    def from_dataframe(
+        cls,
+        df: DataFrame,
+        schema: str,
+        tb: str,
+        primary_keys: list[str] | None = None,
+        indexes: list[IndexDef] | None = None,
+    ):
+        return cls(
+            schema=schema,
+            tb=tb,
+            columns=df.schema,
+            primary_keys=primary_keys or [],
+            indexes=indexes or [],
+        )
 
 
 def _mysql_type(dt: T.DataType, is_key: bool) -> str:
@@ -210,6 +236,56 @@ def to_create_table(td: TableDef, dialect: str) -> str:
     )
 
 
+def to_index_ddl(td: TableDef, dialect: str) -> list[str]:
+    """Translated secondary-index / unique-constraint DDL, one statement per
+    IndexDef (emitted after the CREATE TABLE, matching the reference's
+    index struct sinker ordering).
+
+    Dialect notes:
+    - mysql / pg: CREATE [UNIQUE] INDEX.
+    - clickhouse: no unique constraints and no b-tree indexes — uniqueness is
+      the ReplacingMergeTree key's job, so unique defs are skipped; plain
+      indexes translate to data-skipping indexes (ADD INDEX ... TYPE minmax).
+    - starrocks: PRIMARY KEY model enforces key uniqueness; other unique
+      constraints are unsupported and skipped; plain single-column indexes
+      translate to bitmap indexes, multi-column ones are skipped (engine
+      limitation).
+    - sparksql: parquet/Delta have no index objects; data layout (Z-ORDER /
+      liquid clustering) replaces them — nothing to emit.
+    Skipped objects are returned as '-- skipped: ...' comment lines so the
+    migration report stays complete (nothing drops silently).
+    """
+    if dialect not in DIALECTS:
+        raise ValueError(f"unsupported dialect {dialect!r}; one of {DIALECTS}")
+    out: list[str] = []
+    for ix in td.indexes:
+        cols_bt = ", ".join(f"`{c}`" for c in ix.columns)
+        if dialect == "mysql":
+            u = "UNIQUE " if ix.unique else ""
+            out.append(f"CREATE {u}INDEX `{ix.name}` ON `{td.schema}`.`{td.tb}` ({cols_bt})")
+        elif dialect == "pg":
+            cols = ", ".join(f'"{c}"' for c in ix.columns)
+            u = "UNIQUE " if ix.unique else ""
+            out.append(f'CREATE {u}INDEX "{ix.name}" ON "{td.schema}"."{td.tb}" ({cols})')
+        elif dialect == "clickhouse":
+            if ix.unique:
+                out.append(f"-- skipped: unique constraint `{ix.name}` (ReplacingMergeTree key handles uniqueness)")
+            else:
+                out.append(
+                    f"ALTER TABLE `{td.schema}`.`{td.tb}` ADD INDEX `{ix.name}` ({cols_bt}) TYPE minmax GRANULARITY 1"
+                )
+        elif dialect == "starrocks":
+            if ix.unique:
+                out.append(f"-- skipped: unique constraint `{ix.name}` (PRIMARY KEY model)")
+            elif len(ix.columns) == 1:
+                out.append(f"CREATE INDEX `{ix.name}` ON `{td.schema}`.`{td.tb}` ({cols_bt}) USING BITMAP")
+            else:
+                out.append(f"-- skipped: multi-column index `{ix.name}` (bitmap indexes are single-column)")
+        else:  # sparksql
+            out.append(f"-- skipped: index `{ix.name}` (no index objects; use Z-ORDER/clustering on {cols_bt})")
+    return out
+
+
 def struct_check(src: TableDef, dst: TableDef) -> list[dict]:
     """Structural diff source vs target (struct_checker.rs parity).
 
@@ -241,4 +317,21 @@ def struct_check(src: TableDef, dst: TableDef) -> list[dict]:
         issues.append(
             {"object": "PRIMARY KEY", "kind": "pk_mismatch", "detail": f"{src.primary_keys} != {dst.primary_keys}"}
         )
+    src_ix = {i.name: i for i in src.indexes}
+    dst_ix = {i.name: i for i in dst.indexes}
+    for name, i in src_ix.items():
+        if name not in dst_ix:
+            issues.append({"object": name, "kind": "missing_index", "detail": f"{i.columns} unique={i.unique}"})
+        elif (i.columns, i.unique) != (dst_ix[name].columns, dst_ix[name].unique):
+            j = dst_ix[name]
+            issues.append(
+                {
+                    "object": name,
+                    "kind": "index_mismatch",
+                    "detail": f"{i.columns} unique={i.unique} != {j.columns} unique={j.unique}",
+                }
+            )
+    for name in dst_ix:
+        if name not in src_ix:
+            issues.append({"object": name, "kind": "extra_index", "detail": f"{dst_ix[name].columns}"})
     return issues

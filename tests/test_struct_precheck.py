@@ -3,7 +3,7 @@
 from pyspark.sql import types as T
 
 from ape_dts_spark.config.rdb_filter import RdbFilter
-from ape_dts_spark.plans.struct_migration import TableDef, struct_check, to_create_table
+from ape_dts_spark.plans.struct_migration import IndexDef, TableDef, struct_check, to_create_table, to_index_ddl
 from ape_dts_spark.precheck import run_prechecks
 
 ORDERS = T.StructType(
@@ -103,3 +103,44 @@ def test_prechecks(spark, sf_dir):
     assert by[("filter_matches", "default.*")].ok
     assert by[("primary_keys", "orders")].ok
     assert not by[("primary_keys", "nosuch")].ok
+
+
+IDX = [
+    IndexDef("idx_name", ("name",)),
+    IndexDef("uq_email", ("email", "tenant"), unique=True),
+]
+
+
+def _indexed_td():
+    cols = T.StructType([
+        T.StructField("id", T.LongType(), False),
+        T.StructField("name", T.StringType()),
+        T.StructField("email", T.StringType()),
+        T.StructField("tenant", T.StringType()),
+    ])
+    return TableDef("db", "users", cols, primary_keys=["id"], indexes=IDX)
+
+
+def test_index_ddl_all_dialects():
+    td = _indexed_td()
+    my = to_index_ddl(td, "mysql")
+    assert my[0] == "CREATE INDEX `idx_name` ON `db`.`users` (`name`)"
+    assert my[1].startswith("CREATE UNIQUE INDEX `uq_email`")
+    pg = to_index_ddl(td, "pg")
+    assert pg[1] == 'CREATE UNIQUE INDEX "uq_email" ON "db"."users" ("email", "tenant")'
+    ch = to_index_ddl(td, "clickhouse")
+    assert "ADD INDEX `idx_name`" in ch[0] and ch[1].startswith("-- skipped")
+    sr = to_index_ddl(td, "starrocks")
+    assert "USING BITMAP" in sr[0] and sr[1].startswith("-- skipped")
+    ss = to_index_ddl(td, "sparksql")
+    assert all(s.startswith("-- skipped") for s in ss)  # no index objects
+
+
+def test_struct_check_index_drift():
+    src_td = _indexed_td()
+    dst_td = _indexed_td()
+    # drop one index, weaken the unique constraint on the other
+    dst_td.indexes = [IndexDef("uq_email", ("email", "tenant"), unique=False)]
+    kinds = {i["kind"] for i in struct_check(src_td, dst_td)}
+    assert kinds == {"missing_index", "index_mismatch"}
+    assert struct_check(src_td, _indexed_td()) == []
