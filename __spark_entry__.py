@@ -31,6 +31,7 @@ from ape_dts_spark.router import RdbRouter
 from ape_dts_spark.sinks.soft_delete import resolve_latest, to_soft_delete_rows
 from ape_dts_spark.sinks.upsert_sql import batch_statements, compacted_to_sql
 from ape_dts_spark.sinks.wire_format import roundtrip as wire_roundtrip
+from ape_dts_spark.sources.mongo import mongo_statements
 from ape_dts_spark.sources.resume import keyset_predicate
 from ape_dts_spark.sources.snapshot import SnapshotSource, chunk_bounds, with_chunk_id
 
@@ -297,6 +298,23 @@ def q_data_marker_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _flatten_stream(stream.filter(F.col("origin_node") != "node_b"))
 
 
+def q_mongo_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mongo change model (sources/mongo.py): document events keyed on
+    immutable _id compact through the SAME RdbMerger path — MongoMerger is
+    RdbMerger without the spill cases (mongo_merger.rs)."""
+    compacted, _ = compact_changes(demo.mongo_change_stream(spark, sf_dir), ["_id"])
+    return compacted.select(
+        "schema", "tb", "_id", "op", F.col("after.doc").alias("doc"), "seq"
+    )
+
+
+def q_mongo_statements(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mongo sinker analogue: compacted write-set -> replaceOne/deleteOne
+    bulk operations (mongo_sinker.rs replace/delete bulk writes)."""
+    compacted, _ = compact_changes(demo.mongo_change_stream(spark, sf_dir), ["_id"])
+    return mongo_statements(compacted)
+
+
 # -- relational operators Spark provides natively (SURVEY §2.10) -----------
 
 
@@ -548,6 +566,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "py_transform": q_py_transform,
         "soft_delete_apply": q_soft_delete_apply,
         "data_marker_filter": q_data_marker_filter,
+        "mongo_compact": q_mongo_compact,
+        "mongo_statements": q_mongo_statements,
         "pricing_summary": q_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
         "top_orders_per_cust": q_top_orders_per_cust,
@@ -965,6 +985,34 @@ def oracle_sql() -> dict[str, str]:
         "data_marker_filter": f"""
             WITH stream AS ({_STREAM})
             SELECT * FROM stream WHERE seq % 5 <> 0
+        """,
+        "mongo_compact": f"""
+            WITH stream AS ({demo.MONGO_CHANGE_STREAM_SQL}),
+            last AS (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY "schema", tb, _id ORDER BY seq DESC) AS rn
+              FROM stream)
+            SELECT "schema", tb, _id,
+                   CASE WHEN row_type = 'delete' THEN 'delete' ELSE 'upsert' END AS op,
+                   after_doc AS doc, seq
+            FROM last WHERE rn = 1
+        """,
+        "mongo_statements": f"""
+            WITH stream AS ({demo.MONGO_CHANGE_STREAM_SQL}),
+            last AS (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY "schema", tb, _id ORDER BY seq DESC) AS rn
+              FROM stream),
+            comp AS (
+              SELECT "schema", tb, _id,
+                     CASE WHEN row_type = 'delete' THEN 'delete' ELSE 'upsert' END AS op,
+                     after_doc, seq
+              FROM last WHERE rn = 1)
+            SELECT "schema", tb, _id, op, seq,
+                   CASE WHEN op = 'delete'
+                        THEN 'db.' || tb || '.deleteOne({{"_id": ' || _id || '}});'
+                        ELSE 'db.' || tb || '.replaceOne({{"_id": ' || _id || '}}, ' || after_doc
+                             || ', {{"upsert": true}});'
+                   END AS stmt
+            FROM comp
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,

@@ -94,6 +94,62 @@ FROM events
 """
 
 
+def mongo_change_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events -> Mongo-model change stream (sources/mongo.py): full ext-JSON
+    documents keyed on an immutable ``_id`` — no NULL keys, no key-changing
+    updates, so everything compacts. Document strings are built with explicit
+    concatenation (decimal-rendered value) so DuckDB reproduces them
+    byte-for-byte."""
+    ev = load(spark, sf_dir, "events")
+    row_type = (
+        F.when(F.col("event_type") == "signup", F.lit("insert"))
+        .when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("update"))
+    )
+    _id = F.col("user_id").cast("string")
+
+    def doc(value_col) -> F.Column:
+        return F.concat(
+            F.lit('{"_id": '),
+            _id,
+            F.lit(', "value": '),
+            value_col.cast("decimal(18,2)").cast("string"),
+            F.lit("}"),
+        )
+
+    before = F.when(
+        row_type != "insert", F.struct(_id.alias("_id"), doc(F.col("value") - 1).alias("doc"))
+    )
+    after = F.when(
+        row_type != "delete", F.struct(_id.alias("_id"), doc(F.col("value")).alias("doc"))
+    )
+    return ev.select(
+        F.lit(DEMO_SCHEMA).alias("schema"),
+        F.lit("users_docs").alias("tb"),
+        row_type.alias("row_type"),
+        before.alias("before"),
+        after.alias("after"),
+        F.col("event_id").alias("seq"),
+    )
+
+
+MONGO_CHANGE_STREAM_SQL = """
+SELECT
+  'demo' AS "schema",
+  'users_docs' AS tb,
+  CASE event_type WHEN 'signup' THEN 'insert' WHEN 'error' THEN 'delete' ELSE 'update' END AS row_type,
+  CAST(user_id AS VARCHAR) AS _id,
+  CASE WHEN event_type <> 'signup'
+       THEN '{"_id": ' || CAST(user_id AS VARCHAR) || ', "value": '
+            || CAST(CAST(value - 1 AS DECIMAL(18,2)) AS VARCHAR) || '}' END AS before_doc,
+  CASE WHEN event_type <> 'error'
+       THEN '{"_id": ' || CAST(user_id AS VARCHAR) || ', "value": '
+            || CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR) || '}' END AS after_doc,
+  event_id AS seq
+FROM events
+"""
+
+
 def drifted_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """orders with injected miss/diff/extra drift — the checker's target side."""
     o = load(spark, sf_dir, "orders")

@@ -97,6 +97,104 @@ def check_type_support(spark: SparkSession, sf_dir: str, tables: list[str], dial
     return out
 
 
+def check_target_writable(target_dir: str) -> list[CheckResult]:
+    """Sink connectivity/permission analogue: the target path must be
+    creatable and writable (reference: target connection + privilege checks,
+    dt-precheck/src/checker/*)."""
+    try:
+        os.makedirs(target_dir, exist_ok=True)
+        probe = os.path.join(target_dir, ".precheck_probe")
+        with open(probe, "w") as f:
+            f.write("ok")
+        os.remove(probe)
+        return [CheckResult("target_writable", target_dir, True)]
+    except OSError as e:
+        return [CheckResult("target_writable", target_dir, False, str(e)[:200])]
+
+
+def check_key_columns_exist(
+    spark: SparkSession, sf_dir: str, registry: dict[str, list[str]]
+) -> list[CheckResult]:
+    """Every registered merge key must exist in the table schema and carry a
+    hashable scalar type — a complex-typed or missing key breaks the merge
+    path at runtime, so it fails here instead (struct supportability)."""
+    out = []
+    for tb, keys in registry.items():
+        path = f"{sf_dir}/{tb}.parquet"
+        if not keys or not os.path.exists(path):
+            continue
+        schema = spark.read.parquet(path).schema
+        cols = {f.name: f.dataType for f in schema.fields}
+        for k in keys:
+            if k not in cols:
+                out.append(CheckResult("key_columns_exist", f"{tb}.{k}", False, "key column missing"))
+            elif isinstance(cols[k], _LOSSY_FOR_RDB):
+                out.append(
+                    CheckResult(
+                        "key_columns_exist", f"{tb}.{k}", False,
+                        f"complex-typed key ({cols[k].simpleString()}) cannot merge",
+                    )
+                )
+            else:
+                out.append(CheckResult("key_columns_exist", f"{tb}.{k}", True))
+    return out
+
+
+_VALID_EVENTS = {"insert", "update", "delete", "ddl"}
+
+
+def check_filter_config(filt: RdbFilter) -> list[CheckResult]:
+    """Filter-config sanity (reference: config checker): do_events values
+    must be known row types; where_conditions entries must carry a non-empty
+    condition."""
+    out = []
+    bad_events = sorted(e for e in filt._events if e not in _VALID_EVENTS)
+    out.append(
+        CheckResult(
+            "filter_config", "do_events", not bad_events,
+            f"unknown event types: {','.join(bad_events)}" if bad_events else "",
+        )
+    )
+    bad_conds = [k for k, cond in filt._where.items() if not (cond or "").strip()]
+    out.append(
+        CheckResult(
+            "filter_config", "where_conditions", not bad_conds,
+            f"{len(bad_conds)} empty condition(s)" if bad_conds else "",
+        )
+    )
+    return out
+
+
+def check_cdc_source(spark: SparkSession, source_dir: str) -> list[CheckResult]:
+    """CDC prerequisite analogue: the change-stream directory must exist and
+    its envelopes must parse with the fields ordered apply depends on
+    (db/table/seq) — the lake-world stand-in for 'binlog is ON and
+    ROW-format' (dt-precheck cdc prerequisite checkers)."""
+    from pyspark.sql import functions as F
+
+    if not os.path.isdir(source_dir):
+        return [CheckResult("cdc_source", source_dir, False, "source dir missing")]
+    try:
+        sample = spark.read.text(source_dir).limit(100)
+        parsed = sample.select(
+            F.get_json_object("value", "$.source.db").alias("db"),
+            F.get_json_object("value", "$.source.table").alias("tb"),
+            F.get_json_object("value", "$.source.seq").alias("seq"),
+        )
+        n = parsed.count()
+        bad = parsed.filter(F.col("db").isNull() | F.col("seq").isNull()).count()
+        if n == 0:
+            return [CheckResult("cdc_source", source_dir, True, "empty source (ok, stream may start later)")]
+        return [
+            CheckResult(
+                "cdc_source", source_dir, bad == 0,
+                f"{bad}/{n} sampled envelopes missing db/seq" if bad else f"{n} envelopes sampled",
+            )
+        ]
+    except Exception as e:
+        return [CheckResult("cdc_source", source_dir, False, str(e)[:200])]
+
+
 def run_prechecks(
     spark: SparkSession,
     sf_dir: str,
@@ -105,11 +203,19 @@ def run_prechecks(
     schema: str = "default",
     registry: dict[str, list[str]] | None = None,
     dialect: str = "mysql",
+    target_dir: str | None = None,
+    cdc_source_dir: str | None = None,
 ) -> list[CheckResult]:
     results = check_source_readable(spark, sf_dir, tables)
     if filt is not None:
         results += check_filter_matches(filt, schema, tables)
+        results += check_filter_config(filt)
     if registry is not None:
         results += check_primary_keys(registry, tables)
+        results += check_key_columns_exist(spark, sf_dir, registry)
     results += check_type_support(spark, sf_dir, tables, dialect)
+    if target_dir is not None:
+        results += check_target_writable(target_dir)
+    if cdc_source_dir is not None:
+        results += check_cdc_source(spark, cdc_source_dir)
     return results

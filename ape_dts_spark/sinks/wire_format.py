@@ -46,6 +46,20 @@ def topic_for(topic_map: dict[str, str] | None):
     return expr
 
 
+def mark_origin(df: DataFrame, node: str, preserve_existing: bool = True) -> DataFrame:
+    """Two-way-sync origin-marker WRITE path (dt-connector/src/data_marker.rs:
+    9-110 writes a marker txn ahead of each real txn so the peer recognizes
+    its own echoes; on the wire the marker is per-event metadata): stamp
+    outgoing events with this node's identity so the peer's
+    ``ignore_origin_nodes`` filter drops the echo. With
+    ``preserve_existing`` (default), events relayed from a third node keep
+    their original origin — the reference's topology-aware marker semantics."""
+    stamped = F.lit(node)
+    if preserve_existing and "origin_node" in df.columns:
+        stamped = F.coalesce(F.col("origin_node"), F.lit(node))
+    return df.withColumn("origin_node", stamped)
+
+
 def encode_events(df: DataFrame, topic_map: dict[str, str] | None = None) -> DataFrame:
     """Change events -> Kafka-ready (topic, key, value) rows.
 

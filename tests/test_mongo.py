@@ -1,0 +1,76 @@
+"""Mongo change model: Debezium-Mongo envelope (JSON-string documents) ->
+canonical change DataFrame -> compact on _id -> merge apply / bulk-op
+statements — the reference's mongo extractor/merger/sinker semantics
+(mongo_cdc_extractor.rs, mongo_merger.rs, mongo_sinker.rs) with zero
+connector code."""
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from ape_dts_spark.operators.merge import compact_changes
+from ape_dts_spark.sinks.parquet_table import ParquetTable
+from ape_dts_spark.sources.mongo import MONGO_PAYLOAD, mongo_statements, parse_debezium_mongo
+
+
+def mev(op, before=None, after=None, seq=0):
+    return {
+        "op": op,
+        "before": json.dumps(before) if before else None,
+        "after": json.dumps(after) if after else None,
+        "source": {"db": "shop", "collection": "items", "ts_ms": 1700000000000 + seq, "seq": seq, "origin_node": None},
+    }
+
+
+EVENTS = [
+    mev("c", after={"_id": 1, "sku": "a", "qty": 5}, seq=1),
+    mev("c", after={"_id": 2, "sku": "b", "qty": 7}, seq=2),
+    mev("u", before={"_id": 1, "sku": "a", "qty": 5}, after={"_id": 1, "sku": "a", "qty": 6}, seq=3),
+    mev("d", before={"_id": 2, "sku": "b", "qty": 7}, seq=4),
+    mev("c", after={"_id": 3, "sku": "c", "qty": 1}, seq=5),
+]
+
+
+def _stream(spark, tmp_path):
+    p = os.path.join(str(tmp_path), "mongo.jsonl")
+    with open(p, "w") as f:
+        for e in EVENTS:
+            f.write(json.dumps(e) + "\n")
+    return parse_debezium_mongo(spark.read.text(p))
+
+
+def test_parse_and_compact_on_id(spark, tmp_path):
+    changes = _stream(spark, tmp_path)
+    assert changes.columns == ["schema", "tb", "row_type", "before", "after", "seq", "ts", "origin_node"]
+    compacted, spilled = compact_changes(changes, ["_id"])
+    assert spilled.count() == 0  # _id immutable + never NULL: no spill cases
+    rows = {r["_id"]: r for r in compacted.collect()}
+    assert rows["1"]["op"] == "upsert" and json.loads(rows["1"]["after"]["doc"])["qty"] == 6
+    assert rows["2"]["op"] == "delete"
+    assert rows["3"]["op"] == "upsert"
+
+
+def test_mongo_merge_apply_roundtrip(spark, tmp_path):
+    """The relational merge-apply path works unchanged on the (_id, doc)
+    payload — the MongoMerger == RdbMerger-without-spill claim, executed."""
+    changes = _stream(spark, tmp_path)
+    flat = changes.withColumn(
+        "before", F.when(F.col("before").isNotNull(), F.struct(F.col("before._id"), F.col("before.doc")))
+    ).withColumn(
+        "after", F.when(F.col("after").isNotNull(), F.struct(F.col("after._id"), F.col("after.doc")))
+    )
+    table = ParquetTable(spark, os.path.join(str(tmp_path), "tgt"), MONGO_PAYLOAD)
+    compacted, spilled = compact_changes(flat, ["_id"])
+    table.merge_apply(compacted, spilled, ["_id"])
+    state = {r["_id"]: json.loads(r["doc"]) for r in table.current().collect()}
+    assert set(state) == {"1", "3"}
+    assert state["1"]["qty"] == 6
+
+
+def test_mongo_statements_shapes(spark, tmp_path):
+    compacted, _ = compact_changes(_stream(spark, tmp_path), ["_id"])
+    stmts = {r["_id"]: r["stmt"] for r in mongo_statements(compacted).collect()}
+    assert stmts["2"] == 'db.items.deleteOne({"_id": 2});'
+    assert stmts["1"].startswith('db.items.replaceOne({"_id": 1}, {')
+    assert stmts["1"].endswith(', {"upsert": true});')

@@ -43,3 +43,27 @@ def test_soft_delete_roundtrip(spark):
     live = make_stream(spark).filter("seq < 3")
     final2 = resolve_latest(to_soft_delete_rows(live), ["schema", "tb", "id"]).collect()
     assert len(final2) == 1 and final2[0]["v"] == "c"
+
+
+def test_origin_marker_write_and_echo_drop(spark):
+    """Write path of the two-way-sync marker: node A stamps outgoing events;
+    after the wire hop node B's ignore filter drops A's echoes but keeps
+    third-node relays (preserve_existing)."""
+    from pyspark.sql import functions as F
+
+    from ape_dts_spark.sinks.wire_format import decode_events, encode_events, mark_origin
+
+    stream = make_stream(spark).withColumn(
+        "origin_node",
+        F.when(F.col("seq") == 1, F.lit("node_c")).otherwise(F.lit(None).cast("string")),
+    )
+    outgoing = mark_origin(stream, "node_a")
+    payload = stream.schema["after"].dataType
+    arrived = decode_events(encode_events(outgoing), payload)
+    origins = {r["seq"]: r["origin_node"] for r in arrived.collect()}
+    assert origins[1] == "node_c"                       # relay preserved
+    assert all(v == "node_a" for s, v in origins.items() if s != 1)
+    kept = arrived.filter(
+        F.col("origin_node").isNull() | ~F.col("origin_node").isin("node_a")
+    )
+    assert {r["seq"] for r in kept.collect()} == {1}    # echoes dropped at B

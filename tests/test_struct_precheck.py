@@ -144,3 +144,46 @@ def test_struct_check_index_drift():
     kinds = {i["kind"] for i in struct_check(src_td, dst_td)}
     assert kinds == {"missing_index", "index_mismatch"}
     assert struct_check(src_td, _indexed_td()) == []
+
+
+def test_precheck_breadth(spark, sf_dir, tmp_path):
+    """New dt-precheck parity slice: target writability, key existence/type,
+    filter-config validity, CDC-source envelope sanity."""
+    import json as _json
+
+    from ape_dts_spark.precheck import run_prechecks
+
+    cdc_dir = str(tmp_path / "cdc")
+    import os as _os
+    _os.makedirs(cdc_dir)
+    with open(_os.path.join(cdc_dir, "b.jsonl"), "w") as f:
+        f.write(_json.dumps({"op": "c", "after": {"x": 1},
+                             "source": {"db": "d", "table": "t", "ts_ms": 1, "seq": 1}}) + "\n")
+
+    res = run_prechecks(
+        spark,
+        sf_dir,
+        ["orders", "nation"],
+        filt=RdbFilter(do_events="insert,bogus"),
+        registry={"orders": ["o_orderkey"], "nation": ["no_such_col"]},
+        target_dir=str(tmp_path / "tgt"),
+        cdc_source_dir=cdc_dir,
+    )
+    by = {}
+    for r in res:
+        by.setdefault(r.check, []).append(r)
+    assert all(r.ok for r in by["target_writable"])
+    assert all(r.ok for r in by["cdc_source"])
+    # bogus event type flagged, valid one passes through
+    ev = {r.object: r.ok for r in by["filter_config"]}
+    assert ev["do_events"] is False and ev["where_conditions"] is True
+    keys = {r.object: r.ok for r in by["key_columns_exist"]}
+    assert keys["orders.o_orderkey"] is True
+    assert keys["nation.no_such_col"] is False
+
+
+def test_precheck_cdc_source_missing(spark, tmp_path):
+    from ape_dts_spark.precheck import check_cdc_source
+
+    res = check_cdc_source(spark, str(tmp_path / "nope"))
+    assert res[0].ok is False
