@@ -35,6 +35,7 @@ BENCH_QUERIES = [
     "wire_roundtrip",
     "cdc_apply_state",
     "py_transform",
+    "mongo_compact",
     # training-data pipeline extensions (BASELINE.json north star)
     "dedup_exact",
     "doc_fingerprint",
@@ -51,6 +52,8 @@ BENCH_QUERIES = [
     # exact Jaccard re-entered after the identical-set collapse: its
     # quadratic stages now scale with distinct content like minhash/simhash
     "jaccard_pairs",
+    # keep-list clustering (minhash pairs + min-label connected components)
+    "dedup_cluster",
 ]
 
 
