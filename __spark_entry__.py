@@ -30,6 +30,7 @@ from ape_dts_spark.operators.sampling import mod_sample
 from ape_dts_spark.router import RdbRouter
 from ape_dts_spark.sinks.soft_delete import resolve_latest, to_soft_delete_rows
 from ape_dts_spark.sinks.upsert_sql import batch_statements, compacted_to_sql
+from ape_dts_spark.sinks.avro_codec import roundtrip_avro as avro_roundtrip
 from ape_dts_spark.sinks.wire_format import roundtrip as wire_roundtrip
 from ape_dts_spark.sources.mongo import mongo_statements
 from ape_dts_spark.sources.resume import keyset_predicate
@@ -195,6 +196,13 @@ def q_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kafka wire-format encode->decode losslessness (avro_converter.rs round
     trip; JSON envelope here — to_avro/from_avro drop-in where loaded)."""
     return _flatten_stream(wire_roundtrip(demo.users_change_stream(spark, sf_dir)))
+
+
+def q_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro BINARY wire format (pure-Python codec, sinks/avro_codec.py —
+    avro_converter.rs parity without the spark-avro jar): encode->decode must
+    be lossless, gated against the identity oracle."""
+    return _flatten_stream(avro_roundtrip(demo.users_change_stream(spark, sf_dir)))
 
 
 def q_cdc_apply_state(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -557,6 +565,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_compact": q_merge_compact,
         "merge_spill": q_merge_spill,
         "wire_roundtrip": q_wire_roundtrip,
+        "avro_roundtrip": q_avro_roundtrip,
         "cdc_apply_state": q_cdc_apply_state,
         "checker_diff": q_checker_diff,
         "checker_summary": q_checker_summary,
@@ -889,6 +898,10 @@ def oracle_sql() -> dict[str, str]:
                    OR (row_type = 'update' AND before_user_id IS DISTINCT FROM after_user_id))
         """,
         "wire_roundtrip": f"""
+            WITH stream AS ({_STREAM})
+            SELECT * FROM stream
+        """,
+        "avro_roundtrip": f"""
             WITH stream AS ({_STREAM})
             SELECT * FROM stream
         """,
