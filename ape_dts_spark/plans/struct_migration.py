@@ -44,6 +44,17 @@ class IndexDef:
     unique: bool = False
 
 
+@dataclass(frozen=True)
+class SequenceDef:
+    """Sequence object (structure_type.rs Sequence/SequenceOwner): PG-world
+    auto-increment state; other dialects emulate or decline."""
+
+    name: str
+    start: int = 1
+    increment: int = 1
+    owned_by: str | None = None  # "table.column"
+
+
 @dataclass
 class TableDef:
     """Neutral table definition: the Spark-side RdbTbMeta
@@ -177,6 +188,14 @@ def _sparksql_type(dt: T.DataType) -> str:
     return dt.simpleString().upper()
 
 
+
+def _col_comment(f: T.StructField) -> str:
+    """Inline column-comment suffix (mysql/clickhouse/starrocks/sparksql;
+    PG uses out-of-line COMMENT ON via to_comment_ddl)."""
+    c = (f.metadata or {}).get("comment")
+    return f" COMMENT '{c}'" if c else ""
+
+
 def to_create_table(td: TableDef, dialect: str) -> str:
     """Translated CREATE TABLE DDL for the target dialect."""
     if dialect not in DIALECTS:
@@ -187,7 +206,7 @@ def to_create_table(td: TableDef, dialect: str) -> str:
     if dialect == "sparksql":
         for f in td.columns.fields:
             null = "" if f.nullable else " NOT NULL"
-            lines.append(f"  `{f.name}` {_sparksql_type(f.dataType)}{null}")
+            lines.append(f"  `{f.name}` {_sparksql_type(f.dataType)}{null}{_col_comment(f)}")
         body = ",\n".join(lines)
         return (
             f"CREATE TABLE `{td.schema}`.`{td.tb}` (\n{body}\n) USING parquet"
@@ -197,7 +216,7 @@ def to_create_table(td: TableDef, dialect: str) -> str:
     if dialect == "mysql":
         for f in td.columns.fields:
             null = " NOT NULL" if (not f.nullable or f.name in pks) else ""
-            lines.append(f"  `{f.name}` {_mysql_type(f.dataType, f.name in pks)}{null}")
+            lines.append(f"  `{f.name}` {_mysql_type(f.dataType, f.name in pks)}{null}{_col_comment(f)}")
         if pks:
             lines.append("  PRIMARY KEY (" + ", ".join(f"`{k}`" for k in td.primary_keys) + ")")
         return f"CREATE TABLE `{td.schema}`.`{td.tb}` (\n" + ",\n".join(lines) + "\n)"
@@ -214,7 +233,7 @@ def to_create_table(td: TableDef, dialect: str) -> str:
         # append-only upsert emulation: ReplacingMergeTree(version) + sign col
         for f in td.columns.fields:
             nullable = f.nullable and f.name not in pks
-            lines.append(f"  `{f.name}` {_clickhouse_type(f.dataType, nullable)}")
+            lines.append(f"  `{f.name}` {_clickhouse_type(f.dataType, nullable)}{_col_comment(f)}")
         lines.append(f"  `{SOFT_DELETE_COL}` UInt8")
         lines.append(f"  `{VERSION_COL}` UInt64")
         order_by = ", ".join(f"`{k}`" for k in td.primary_keys) or "tuple()"
@@ -226,7 +245,7 @@ def to_create_table(td: TableDef, dialect: str) -> str:
     # starrocks: PRIMARY KEY model; soft-delete column for delete propagation
     for f in td.columns.fields:
         null = " NOT NULL" if (not f.nullable or f.name in pks) else ""
-        lines.append(f"  `{f.name}` {_starrocks_type(f.dataType, f.name in pks)}{null}")
+        lines.append(f"  `{f.name}` {_starrocks_type(f.dataType, f.name in pks)}{null}{_col_comment(f)}")
     lines.append(f"  `{SOFT_DELETE_COL}` BOOLEAN")
     lines.append(f"  `{VERSION_COL}` BIGINT")
     pk = ", ".join(f"`{k}`" for k in td.primary_keys)
@@ -234,6 +253,55 @@ def to_create_table(td: TableDef, dialect: str) -> str:
         f"CREATE TABLE `{td.schema}`.`{td.tb}` (\n" + ",\n".join(lines) + "\n)"
         + (f"\nPRIMARY KEY ({pk})\nDISTRIBUTED BY HASH ({pk})" if pk else "")
     )
+
+
+def to_database_ddl(schema: str, dialect: str) -> str:
+    """CREATE DATABASE/SCHEMA for the target dialect (structure_type.rs
+    Database; the reference's database struct sinker)."""
+    if dialect not in DIALECTS:
+        raise ValueError(f"unsupported dialect {dialect!r}; one of {DIALECTS}")
+    if dialect == "pg":
+        return f'CREATE SCHEMA IF NOT EXISTS "{schema}"'
+    if dialect == "sparksql":
+        return f"CREATE DATABASE IF NOT EXISTS `{schema}`"
+    return f"CREATE DATABASE IF NOT EXISTS `{schema}`"
+
+
+def to_sequence_ddl(schema: str, seq: SequenceDef, dialect: str) -> list[str]:
+    """Sequence translation. PG is the native home (CREATE SEQUENCE +
+    OWNED BY); MySQL/StarRocks model it as table-side AUTO_INCREMENT and
+    Spark/Delta as identity columns — emitted as explanatory comment lines
+    (the table DDL owns the actual clause); ClickHouse has no sequences."""
+    if dialect not in DIALECTS:
+        raise ValueError(f"unsupported dialect {dialect!r}; one of {DIALECTS}")
+    if dialect == "pg":
+        out = [
+            f'CREATE SEQUENCE IF NOT EXISTS "{schema}"."{seq.name}"'
+            f" START WITH {seq.start} INCREMENT BY {seq.increment}"
+        ]
+        if seq.owned_by:
+            tb, col = seq.owned_by.split(".", 1)
+            out.append(f'ALTER SEQUENCE "{schema}"."{seq.name}" OWNED BY "{schema}"."{tb}"."{col}"')
+        return out
+    if dialect in ("mysql", "starrocks"):
+        return [f"-- sequence `{seq.name}`: modeled as AUTO_INCREMENT on {seq.owned_by or '<unowned>'}"]
+    if dialect == "sparksql":
+        return [f"-- sequence `{seq.name}`: use an identity column (GENERATED ALWAYS AS IDENTITY) on {seq.owned_by or '<unowned>'}"]
+    return [f"-- skipped: sequence `{seq.name}` (ClickHouse has no sequence objects)"]
+
+
+def to_comment_ddl(td: TableDef) -> list[str]:
+    """PG-style out-of-line comments (structure_type.rs Comment): COMMENT ON
+    for the table and every commented column (other dialects inline comments
+    in CREATE TABLE)."""
+    out = []
+    if td.comment:
+        out.append(f'COMMENT ON TABLE "{td.schema}"."{td.tb}" IS \'{td.comment}\'')
+    for f in td.columns.fields:
+        c = (f.metadata or {}).get("comment")
+        if c:
+            out.append(f'COMMENT ON COLUMN "{td.schema}"."{td.tb}"."{f.name}" IS \'{c}\'')
+    return out
 
 
 def to_index_ddl(td: TableDef, dialect: str) -> list[str]:

@@ -187,3 +187,34 @@ def test_precheck_cdc_source_missing(spark, tmp_path):
 
     res = check_cdc_source(spark, str(tmp_path / "nope"))
     assert res[0].ok is False
+
+
+def test_database_sequence_comment_objects():
+    from ape_dts_spark.plans.struct_migration import (
+        SequenceDef,
+        to_comment_ddl,
+        to_create_table,
+        to_database_ddl,
+        to_sequence_ddl,
+    )
+
+    assert to_database_ddl("db", "pg") == 'CREATE SCHEMA IF NOT EXISTS "db"'
+    assert to_database_ddl("db", "mysql") == "CREATE DATABASE IF NOT EXISTS `db`"
+
+    seq = SequenceDef("users_id_seq", start=100, increment=2, owned_by="users.id")
+    pg = to_sequence_ddl("db", seq, "pg")
+    assert pg[0] == 'CREATE SEQUENCE IF NOT EXISTS "db"."users_id_seq" START WITH 100 INCREMENT BY 2'
+    assert 'OWNED BY "db"."users"."id"' in pg[1]
+    assert to_sequence_ddl("db", seq, "mysql")[0].startswith("-- sequence")
+    assert to_sequence_ddl("db", seq, "clickhouse")[0].startswith("-- skipped")
+
+    cols = T.StructType([
+        T.StructField("id", T.LongType(), False, {"comment": "surrogate key"}),
+        T.StructField("name", T.StringType()),
+    ])
+    td = TableDef("db", "users", cols, primary_keys=["id"], comment="user table")
+    ddl = to_create_table(td, "mysql")
+    assert "COMMENT 'surrogate key'" in ddl
+    oux = to_comment_ddl(td)
+    assert oux[0] == 'COMMENT ON TABLE "db"."users" IS \'user table\''
+    assert oux[1] == 'COMMENT ON COLUMN "db"."users"."id" IS \'surrogate key\''
