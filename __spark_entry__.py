@@ -431,6 +431,57 @@ def q_segment_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-planning key statistics in one scan
+    (mysql_snapshot_extractor.rs:1187-1275 information_schema estimates)."""
+    from ape_dts_spark.operators.stats import key_stats
+
+    return key_stats(demo.load(spark, sf_dir, "lineitem"), "l_orderkey")
+
+
+def q_small_order_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-aggregate shape (TPC-H Q17): lineitems below 20% of their
+    part's average quantity. The threshold compares decimal-exact products
+    (qty * n_part_rows < 0.2 * sum_qty) so both engines agree bit-for-bit."""
+    l = demo.load(spark, sf_dir, "lineitem")
+    dec = F.col("l_quantity").cast("decimal(18,2)")
+    per_part = l.groupBy("l_partkey").agg(
+        F.sum(dec).alias("_sum_qty"), F.count(F.lit(1)).alias("_cnt")
+    )
+    j = l.join(per_part, "l_partkey")
+    cond = (dec * F.col("_cnt")) < (F.lit("0.2").cast("decimal(3,1)") * F.col("_sum_qty"))
+    return j.filter(cond).agg(
+        F.count(F.lit(1)).alias("n_small"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .cast("double")
+        .alias("total_price"),
+    )
+
+
+def q_order_count_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer + double aggregation (TPC-H Q13): distribution of customers
+    by order count, including zero-order customers."""
+    c = demo.load(spark, sf_dir, "customer")
+    o = demo.load(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+def q_lapsed_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set difference (EXCEPT shape): customers who ordered in 1997 but not
+    in 1998 — two filtered projections + EXCEPT (left-anti under the hood,
+    key-partitioned). Non-empty at every test SF (orders span 1995-2001)."""
+    o = demo.load(spark, sf_dir, "orders")
+    y_a = o.filter(F.year("o_orderdate") == 1997).select("o_custkey")
+    y_b = o.filter(F.year("o_orderdate") == 1998).select("o_custkey")
+    return y_a.subtract(y_b).select(F.col("o_custkey").alias("custkey"))
+
+
 # -- training-data pipeline extensions (BASELINE.json north star) ----------
 
 
@@ -584,6 +635,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "priority_with_returns": q_priority_with_returns,
         "parts_never_shipped": q_parts_never_shipped,
         "segment_rollup": q_segment_rollup,
+        "table_stats": q_table_stats,
+        "small_order_parts": q_small_order_parts,
+        "order_count_histogram": q_order_count_histogram,
+        "lapsed_customers": q_lapsed_customers,
         "dedup_exact": q_dedup_exact,
         "doc_fingerprint": q_doc_fingerprint,
         "jaccard_pairs": q_jaccard_pairs,
@@ -1073,6 +1128,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total_bal
             FROM customer JOIN nation ON c_nationkey = n_nationkey
             GROUP BY ROLLUP (c_mktsegment, n_name)
+        """,
+        "table_stats": """
+            SELECT COUNT(*) AS n_rows,
+                   MIN(l_orderkey) AS k_min,
+                   MAX(l_orderkey) AS k_max,
+                   COUNT(DISTINCT l_orderkey) AS n_distinct,
+                   CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls
+            FROM lineitem
+        """,
+        "small_order_parts": """
+            WITH per_part AS (
+              SELECT l_partkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty, COUNT(*) AS cnt
+              FROM lineitem GROUP BY l_partkey)
+            SELECT COUNT(*) AS n_small,
+                   CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total_price
+            FROM lineitem l JOIN per_part p ON l.l_partkey = p.l_partkey
+            WHERE CAST(l_quantity AS DECIMAL(18,2)) * cnt < CAST(0.2 AS DECIMAL(3,1)) * sum_qty
+        """,
+        "order_count_histogram": """
+            WITH per_cust AS (
+              SELECT c_custkey, COUNT(o_orderkey) AS c_count
+              FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+              GROUP BY c_custkey)
+            SELECT c_count, COUNT(*) AS custdist FROM per_cust GROUP BY c_count
+        """,
+        "lapsed_customers": """
+            SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1997
+            EXCEPT
+            SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1998
         """,
         "dedup_exact": f"""
             WITH dupdocs AS ({demo.DUPLICATED_DOCUMENTS_SQL})

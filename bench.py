@@ -30,9 +30,14 @@ BENCH_QUERIES = [
     "pricing_summary",
     "revenue_by_nation",
     "top_orders_per_cust",
+    "table_stats",
+    "small_order_parts",
+    "order_count_histogram",
+    "lapsed_customers",
     "update_split",
     "snapshot_resume",
     "wire_roundtrip",
+    "avro_roundtrip",
     "cdc_apply_state",
     "py_transform",
     "mongo_compact",
