@@ -501,6 +501,39 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.jaccard_pairs(demo.load(spark, sf_dir, "documents"), "doc_id", "text", threshold=0.95)
 
 
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-5-gram Jaccard near-dup pairs — order-sensitive shingles make
+    this far more discriminative than token sets on bag-of-words corpora (the
+    pair similarity distribution is bimodal: the same 25 true pairs at sf0.01
+    at any threshold in [0.5, 0.99] vs 1887 for token Jaccard at 0.95).
+
+    The normalized text is REPARTITIONED (local parquet arrives as one input
+    split) and PERSISTED before shingling: without the cache barrier,
+    CollapseProject inlines the regex chain into the per-shingle substring
+    lambda — O(len^2) regex evaluations per document (measured 18s -> 4s on
+    the members stage at sf0.1)."""
+    from pyspark.storagelevel import StorageLevel
+
+    normed = (
+        demo.load(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", F.expr(tx.norm_text_expr("text")).alias("_norm"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    return dd.jaccard_pairs(
+        normed, "doc_id", "_norm", threshold=0.9, tokens=tx.shingles_expr("_norm", 5)
+    )
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-count surface (whitespace / word / BPE-ish pieces) per document."""
+    d = demo.load(spark, sf_dir, "documents")
+    stats = tx.token_stats_exprs("text")
+    return d.select(
+        "doc_id", *(F.expr(e).alias(name) for name, e in stats.items())
+    )
+
+
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup: shingle→minhash→band→bucket-join→verify."""
     return dd.minhash_lsh_pairs(demo.load(spark, sf_dir, "documents"), "doc_id", "text", threshold=0.95)
@@ -559,6 +592,18 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("vec_id") + 100_000
     )
     return sim.ivf_topk(queries_df, emb, "vec_id", "embedding", n_lists=16, n_probe=4, k=1)
+
+
+def q_cosine_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs via hyperplane-LSH self-join.
+
+    The synthetic embeddings are random (max pairwise cosine ~0.5-0.6, no
+    planted twins), so the gate threshold 0.35 sits inside the data's
+    similarity range to exercise the full band-join + exact-filter pipeline
+    non-trivially; production near-dup thresholds (>=0.9) make the banding
+    prune far harder."""
+    emb = demo.load(spark, sf_dir, "embeddings")
+    return sim.cosine_dup_pairs(emb, "vec_id", "embedding", dim=64, threshold=0.35)
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -642,12 +687,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "doc_fingerprint": q_doc_fingerprint,
         "jaccard_pairs": q_jaccard_pairs,
+        "ngram_jaccard": q_ngram_jaccard,
+        "token_stats": q_token_stats,
         "minhash_lsh": q_minhash_lsh,
         "dedup_cluster": q_dedup_cluster,
         "simhash_pairs": q_simhash_pairs,
         "cosine_topk": q_cosine_topk,
         "cosine_topk_np": q_cosine_topk_np,
         "ann_lsh": q_ann_lsh,
+        "cosine_dup_pairs": q_cosine_dup_pairs,
         "ann_ivf": q_ann_ivf,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
@@ -673,6 +721,31 @@ jac AS (
   SELECT id_a, id_b, shared, sa.n AS n_a, sb.n AS n_b,
          CAST(shared AS DOUBLE) / CAST(sa.n + sb.n - shared AS DOUBLE) AS jaccard
   FROM shared JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id)
+"""
+
+
+def _cosine_dup_oracle(dim: int, threshold: float) -> str:
+    """DuckDB twin of similarity.cosine_dup_pairs: same hyperplane signatures,
+    same half-band self-join candidates, same ordered-fold cosine (identical
+    IEEE ops, so the double hashes match)."""
+    sig = sim.signature_sql("e", dim)
+    half = (1 << (sim.N_PLANES // 2)) - 1
+    shift = sim.N_PLANES // 2
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+n AS (SELECT vec_id, e,
+        sqrt(list_reduce(list_transform(list_zip(e, e), p -> p[1] * p[2]), (a, b) -> a + b)) AS nrm,
+        {sig} AS sig
+      FROM v),
+bands AS (SELECT vec_id, 0 AS band, sig & {half} AS bv FROM n
+          UNION ALL SELECT vec_id, 1, sig >> {shift} FROM n),
+cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         FROM bands a JOIN bands b ON a.band = b.band AND a.bv = b.bv AND a.vec_id < b.vec_id),
+scored AS (SELECT c.id_a, c.id_b,
+             list_reduce(list_transform(list_zip(x.e, y.e), p -> p[1] * p[2]), (a, b) -> a + b)
+               / (x.nrm * y.nrm) AS cosine
+           FROM cand c JOIN n x ON x.vec_id = c.id_a JOIN n y ON y.vec_id = c.id_b)
+SELECT id_a, id_b, cosine FROM scored WHERE cosine >= {threshold}
 """
 
 
@@ -1169,6 +1242,28 @@ def oracle_sql() -> dict[str, str]:
             WITH {_JACCARD_CTES.lstrip()}
             SELECT id_a, id_b, shared, n_a, n_b, jaccard FROM jac WHERE jaccard >= 0.95
         """,
+        "ngram_jaccard": f"""
+            WITH d AS (SELECT doc_id, {tx.norm_text_sql('text')} AS norm FROM documents),
+            tok AS (SELECT DISTINCT doc_id,
+                           unnest({tx.shingles_sql('norm', 5)}) AS token FROM d),
+            sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+            shared AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+              FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            jac AS (
+              SELECT id_a, id_b, shared, sa.n AS n_a, sb.n AS n_b,
+                     CAST(shared AS DOUBLE) / CAST(sa.n + sb.n - shared AS DOUBLE) AS jaccard
+              FROM shared JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id)
+            SELECT id_a, id_b, shared, n_a, n_b, jaccard FROM jac WHERE jaccard >= 0.9
+        """,
+        "token_stats": (
+            lambda s: f"""
+            SELECT doc_id, {s['n_ws']} AS n_ws, {s['n_words']} AS n_words,
+                   {s['n_bpe']} AS n_bpe
+            FROM documents
+        """
+        )(tx.token_stats_sql_exprs("text")),
         "minhash_lsh": _minhash_oracle(0.95),
         "dedup_cluster": f"""
             WITH RECURSIVE pairs AS ({_minhash_oracle(0.95)}),
@@ -1186,6 +1281,7 @@ def oracle_sql() -> dict[str, str]:
         "cosine_topk": _COSINE_TOPK_SQL,
         "cosine_topk_np": _COSINE_TOPK_SQL,
         "ann_lsh": _ann_lsh_oracle(64, 5),
+        "cosine_dup_pairs": _cosine_dup_oracle(64, 0.35),
         "ann_ivf": """
             SELECT vec_id + 100000 AS query_id, vec_id AS neighbor_id, 1 AS rank
             FROM embeddings WHERE vec_id % 50 = 0

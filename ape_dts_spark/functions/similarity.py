@@ -292,6 +292,64 @@ def signature_sql(vec_expr: str, dim: int) -> str:
     return " + ".join(bits)
 
 
+def cosine_dup_pairs(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, cosine) with
+    id_a < id_b and cosine >= threshold, among candidates sharing either
+    half-band of the 8-bit hyperplane signature — the dedup-family member of
+    the LSH machinery (same banding as lsh_ann_topk, self-join instead of
+    query/corpus join).
+
+    Scale shape: the corpus is scanned once into (band, band_value) rows; the
+    self-join is a hash-partitionable equi-join on those keys, so candidate
+    cost is sum(bucket^2) over signature buckets, not n^2. A pair colliding on
+    both bands appears twice with an identical cosine — the groupBy(max)
+    dedups it. At training-pipeline thresholds (>= 0.9) near-dup vectors agree
+    on nearly every sign bit, so banding recall is high and buckets stay
+    small; the exact-cosine filter makes the output exact over candidates.
+    """
+    sig = signature_expr(vec_col, dim)
+    half = (1 << (N_PLANES // 2)) - 1
+    band_vals = f"array(sig & {half}, shiftright(sig, {N_PLANES // 2}))"
+    banded = (
+        with_norm(corpus, vec_col, "nrm")
+        .select(
+            F.col(id_col).alias("_id"),
+            F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("vec"),
+            "nrm",
+            F.expr(sig).alias("sig"),
+        )
+        .select("_id", "vec", "nrm", F.posexplode(F.expr(band_vals)).alias("band", "bv"))
+    )
+    a = banded.select(
+        F.col("_id").alias("id_a"), F.col("vec").alias("a_vec"), F.col("nrm").alias("a_nrm"),
+        "band", "bv",
+    )
+    b = banded.select(
+        F.col("_id").alias("id_b"), F.col("vec").alias("b_vec"), F.col("nrm").alias("b_nrm"),
+        "band", "bv",
+    )
+    scored = (
+        a.join(b, ["band", "bv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            (F.expr(_dot("a_vec", "b_vec")) / (F.col("a_nrm") * F.col("b_nrm"))).alias("cosine"),
+        )
+    )
+    return (
+        scored.groupBy("id_a", "id_b")
+        .agg(F.max("cosine").alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def lsh_ann_topk(
     queries: DataFrame,
     corpus: DataFrame,

@@ -43,6 +43,44 @@ def tokens_sql(col: str = "text") -> str:
     )
 
 
+def norm_text_expr(col: str = "text") -> str:
+    """SQL expr: shingling normalization — ASCII-only, lowercase, punct/space
+    runs collapsed to one space, trimmed. Materialize this once (withColumn)
+    before shingling; referencing it inside a per-shingle lambda would
+    re-evaluate the regexes per character position."""
+    return (
+        f"trim(regexp_replace(lower(regexp_replace({col}, '[^ -~]', '')), '[^a-z0-9]+', ' '))"
+    )
+
+
+def norm_text_sql(col: str = "text") -> str:
+    """DuckDB twin of norm_text_expr (regexp_replace needs the 'g' flag)."""
+    return (
+        f"trim(regexp_replace(lower(regexp_replace({col}, '[^ -~]', '', 'g')), "
+        f"'[^a-z0-9]+', ' ', 'g'))"
+    )
+
+
+def shingles_expr(col: str, n: int = 5) -> str:
+    """SQL expr: all character n-grams of an (already normalized) column.
+
+    `sequence(1, stop)` is guarded — Spark's sequence() counts DOWN when
+    stop < start, so a short string would otherwise yield bogus indexes."""
+    return (
+        f"CASE WHEN length({col}) < {n} THEN array() "
+        f"ELSE transform(sequence(1, length({col}) - {n} + 1), i -> substring({col}, i, {n})) END"
+    )
+
+
+def shingles_sql(col: str, n: int = 5) -> str:
+    """DuckDB twin: range(a, b) is end-exclusive, substr is 1-based like
+    Spark's substring."""
+    return (
+        f"CASE WHEN length({col}) < {n} THEN [] "
+        f"ELSE list_transform(range(1, length({col}) - {n} + 2), i -> substr({col}, i, {n})) END"
+    )
+
+
 def portable_hash_expr(s: str) -> str:
     """SQL expr: 31-polynomial hash mod 2^31-1 of string expr `s` (Spark side).
 
@@ -73,6 +111,35 @@ def token_count(col: str = "text") -> Column:
     """Whitespace/punct token count (the reference has no text ops; this is the
     BASELINE.json training-pipeline extension surface)."""
     return F.size(F.expr(tokens_expr(col)))
+
+
+# BPE-ish piece pattern over ASCII-stripped lowercase text: letter runs,
+# single digits (BPE tokenizers split numbers), punctuation runs. ASCII
+# stripping ('[^ -~]') removes \t and \n, so plain ' ' is the only whitespace
+# left and the pattern needs no escape classes (portable to RE2).
+BPE_PIECE_RE = "[a-z]+|[0-9]|[^a-z0-9 ]+"
+
+
+def token_stats_exprs(col: str = "text") -> dict[str, str]:
+    """SQL exprs: whitespace-, word- and BPE-ish-piece token counts.
+    All single-pass JVM expressions — the token-counting surface a training
+    pipeline budgets documents with."""
+    ascii_lower = f"lower(regexp_replace({col}, '[^ -~]', ''))"
+    return {
+        "n_ws": f"size(filter(split({ascii_lower}, ' +'), x -> x <> ''))",
+        "n_words": f"size({tokens_expr(col)})",
+        "n_bpe": f"size(regexp_extract_all({ascii_lower}, '{BPE_PIECE_RE}', 0))",
+    }
+
+
+def token_stats_sql_exprs(col: str = "text") -> dict[str, str]:
+    """DuckDB twins of token_stats_exprs."""
+    ascii_lower = f"lower(regexp_replace({col}, '[^ -~]', '', 'g'))"
+    return {
+        "n_ws": f"len(list_filter(regexp_split_to_array({ascii_lower}, ' +'), x -> x <> ''))",
+        "n_words": f"len({tokens_sql(col)})",
+        "n_bpe": f"len(regexp_extract_all({ascii_lower}, '{BPE_PIECE_RE}', 0))",
+    }
 
 
 def _stopword_score(tokens: str, words: tuple[str, ...]) -> str:

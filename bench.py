@@ -44,6 +44,7 @@ BENCH_QUERIES = [
     # training-data pipeline extensions (BASELINE.json north star)
     "dedup_exact",
     "doc_fingerprint",
+    "token_stats",
     "lang_id",
     "quality_score",
     "multimodal_meta",
@@ -57,6 +58,9 @@ BENCH_QUERIES = [
     # exact Jaccard re-entered after the identical-set collapse: its
     # quadratic stages now scale with distinct content like minhash/simhash
     "jaccard_pairs",
+    # character-shingle Jaccard (order-sensitive) + embedding-cosine near-dup
+    "ngram_jaccard",
+    "cosine_dup_pairs",
     # keep-list clustering (minhash pairs + min-label connected components)
     "dedup_cluster",
 ]

@@ -155,3 +155,56 @@ def test_keep_representatives_planted_duplicates(spark, sf_dir):
     for r in df.filter((F.col("doc_id") % 10 == 0) & (F.col("doc_id") < 100_000)).collect():
         a, b = int(r["doc_id"]), int(r["doc_id"]) + 100_000
         assert reps[a] == reps[b]
+
+
+def test_ngram_jaccard_finds_planted_duplicates(spark, sf_dir):
+    """Exact-copy docs must pair at J=1.0 under character shingles; shingle
+    Jaccard must be order-sensitive (reversed text != same text)."""
+    df = demo.duplicated_documents(spark, sf_dir).withColumn(
+        "_norm", F.expr(tx.norm_text_expr("text"))
+    )
+    pairs = dd.jaccard_pairs(
+        df, "doc_id", "_norm", threshold=0.99, tokens=tx.shingles_expr("_norm", 5)
+    )
+    planted = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in pairs.filter(F.col("id_b") >= 100_000).collect()
+    }
+    originals = [r["doc_id"] for r in df.filter(F.col("doc_id") % 10 == 0)
+                 .filter(F.col("doc_id") < 100_000).select("doc_id").collect()]
+    for oid in originals:
+        assert planted.get((oid, oid + 100_000)) == 1.0
+
+
+def test_shingles_expr_short_and_empty_strings(spark):
+    df = spark.createDataFrame([("abcd",), ("ab",), ("",)], "s string")
+    out = df.select(F.expr(tx.shingles_expr("s", 3)).alias("sh")).collect()
+    assert out[0]["sh"] == ["abc", "bcd"]
+    assert out[1]["sh"] == []
+    assert out[2]["sh"] == []
+
+
+def test_token_stats_counts(spark):
+    df = spark.createDataFrame([("Hello, world! It's 42 degrees.",)], "text string")
+    stats = tx.token_stats_exprs("text")
+    row = df.select(*(F.expr(e).alias(n) for n, e in stats.items())).collect()[0]
+    assert row["n_ws"] == 5
+    # words: hello, world, it, s, 42, degrees
+    assert row["n_words"] == 6
+    # bpe-ish: hello , world ! it ' s 4 2 degrees . -> 11 pieces
+    assert row["n_bpe"] == 11
+
+
+def test_cosine_dup_pairs_planted_twin(spark, sf_dir):
+    """A planted exact copy must surface as a cosine=1.0 pair; output must be
+    symmetric-free (id_a < id_b) and respect the threshold."""
+    emb = demo.load(spark, sf_dir, "embeddings")
+    twin = emb.filter(F.col("vec_id") % 100 == 0).withColumn(
+        "vec_id", F.col("vec_id") + 500_000
+    )
+    pairs = sim.cosine_dup_pairs(emb.unionByName(twin), "vec_id", "embedding",
+                                 dim=64, threshold=0.999)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    for r in emb.filter(F.col("vec_id") % 100 == 0).select("vec_id").collect():
+        assert (r["vec_id"], r["vec_id"] + 500_000) in got
+    assert all(a < b for a, b in got)
