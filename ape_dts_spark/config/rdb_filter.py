@@ -73,6 +73,10 @@ class RdbFilter:
     do_tbs: str = ""
     ignore_tbs: str = ""
     do_events: str = ""
+    do_structures: str = ""  # struct-migration object kinds, "*" = all
+    do_ddls: str = ""  # DDL statement kinds; EMPTY = drop all DDL
+    do_dcls: str = ""  # DCL statement kinds; EMPTY = drop all DCL
+    ignore_cmds: str = ""  # raw command names to drop unconditionally
     where_conditions: str = ""  # json: [{"db":..,"tb":..,"condition":..}]
     ignore_cols: str = ""  # json: [{"db":..,"tb":..,"ignore_cols":[..]}]
     _cache: dict = field(default_factory=dict, repr=False)
@@ -83,6 +87,10 @@ class RdbFilter:
         self._do_tbs = [self._tb_pattern(p) for p in _split_patterns(self.do_tbs)]
         self._ignore_tbs = [self._tb_pattern(p) for p in _split_patterns(self.ignore_tbs)]
         self._events = {e.strip() for e in self.do_events.split(",") if e.strip()}
+        self._structures = {e.strip() for e in self.do_structures.split(",") if e.strip()}
+        self._ddls = {e.strip() for e in self.do_ddls.split(",") if e.strip()}
+        self._dcls = {e.strip() for e in self.do_dcls.split(",") if e.strip()}
+        self._ignore_cmds = {e.strip() for e in self.ignore_cmds.split(",") if e.strip()}
         self._where: dict[tuple[str, str], str] = {}
         if self.where_conditions:
             for item in json.loads(self.where_conditions):
@@ -136,6 +144,38 @@ class RdbFilter:
         if not self._events:
             return False
         return row_type not in self._events
+
+    def filter_all_ddl(self) -> bool:
+        """True = no DDL passes at all (empty do_ddls; rdb_filter.rs:106-108)."""
+        return not self._ddls
+
+    def filter_ddl(self, ddl_kind: str) -> bool:
+        """True = drop this DDL statement kind. Opt-in like the reference:
+        empty config drops everything, '*' passes everything
+        (rdb_filter.rs:110-121)."""
+        if "*" in self._ddls:
+            return False
+        return ddl_kind not in self._ddls
+
+    def filter_all_dcl(self) -> bool:
+        return not self._dcls
+
+    def filter_dcl(self, dcl_kind: str) -> bool:
+        """True = drop this DCL statement kind (rdb_filter.rs:123-128)."""
+        if "*" in self._dcls:
+            return False
+        return dcl_kind not in self._dcls
+
+    def filter_structure(self, structure_kind: str) -> bool:
+        """True = skip this struct-migration object kind; empty config keeps
+        everything (struct migration defaults to full, rdb_filter.rs:130-134)."""
+        if not self._structures or "*" in self._structures:
+            return False
+        return structure_kind not in self._structures
+
+    def filter_cmd(self, cmd: str) -> bool:
+        """True = drop this raw command (rdb_filter.rs:136-138)."""
+        return cmd in self._ignore_cmds
 
     # -- row/column level ---------------------------------------------------
     def where_condition(self, schema: str, tb: str) -> str | None:

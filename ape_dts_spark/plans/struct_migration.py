@@ -354,6 +354,44 @@ def to_index_ddl(td: TableDef, dialect: str) -> list[str]:
     return out
 
 
+def migration_plan(
+    schema: str,
+    tables: list[TableDef],
+    dialect: str,
+    sequences: list[SequenceDef] | None = None,
+    rdb_filter=None,
+) -> list[str]:
+    """Full ordered struct-migration script for one schema: database →
+    sequences → tables → indexes → comments (the reference's struct sinker
+    ordering over structure_type.rs object kinds).
+
+    ``rdb_filter.filter_structure(kind)`` gates each object family with the
+    reference's ``do_structures`` semantics (rdb_filter.rs:130-134): empty
+    config migrates everything, otherwise only the listed kinds
+    (database/table/sequence/index/comment) are emitted.
+    """
+
+    def keep(kind: str) -> bool:
+        return rdb_filter is None or not rdb_filter.filter_structure(kind)
+
+    out: list[str] = []
+    if keep("database"):
+        out.append(to_database_ddl(schema, dialect))
+    if keep("sequence"):
+        for seq in sequences or []:
+            out.extend(to_sequence_ddl(schema, seq, dialect))
+    if keep("table"):
+        for td in tables:
+            out.append(to_create_table(td, dialect))
+    if keep("index"):
+        for td in tables:
+            out.extend(to_index_ddl(td, dialect))
+    if keep("comment") and dialect == "pg":
+        for td in tables:
+            out.extend(to_comment_ddl(td))
+    return out
+
+
 def struct_check(src: TableDef, dst: TableDef) -> list[dict]:
     """Structural diff source vs target (struct_checker.rs parity).
 

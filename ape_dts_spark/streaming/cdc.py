@@ -124,6 +124,10 @@ class CdcPipeline:
     time_window: tuple[str | None, str | None] = (None, None)
     ignore_origin_nodes: tuple[str, ...] = ()
     inline_check: bool = False
+    # optional RdbFilter: when set, its do_ddls / do_dcls / ignore_cmds gate
+    # the schema-change channel with the reference's opt-in semantics
+    # (rdb_filter.rs:106-138). None = apply every recognized DDL (legacy).
+    rdb_filter: object | None = None
     metrics: list[dict] = field(default_factory=list)
 
     def _prepare(self, df: DataFrame) -> DataFrame:
@@ -157,10 +161,28 @@ class CdcPipeline:
           index DDL emission for real targets).
         """
         from ape_dts_spark.model.types import spark_type_for
+        from ape_dts_spark.plans.dcl_parse import parse_dcl
         from ape_dts_spark.plans.ddl_parse import parse_ddl
 
         text = ddl_row["ddl"] or ""
+        dcl = parse_dcl(text)
+        if dcl.kind != "unknown":
+            # access-control statements never touch the data path; they are
+            # config-gated and forwarded via the meta log for SQL-file /
+            # target-side replay (dcl_type.rs inventory)
+            if self.rdb_filter is not None and self.rdb_filter.filter_dcl(dcl.kind):
+                return
+            meta = self.target._read_meta()
+            meta.setdefault("dcl_log", []).append(
+                {"dcl": text, "op": dcl.kind, "principal": dcl.principal}
+            )
+            self.target._write_meta(meta)
+            return
         st = parse_ddl(text)
+        if self.rdb_filter is not None and (
+            self.rdb_filter.filter_cmd(st.kind) or self.rdb_filter.filter_ddl(st.kind)
+        ):
+            return
         if st.kind == "add_column":
             name, src_type = st.args
             self.target.add_column(T.StructField(name, spark_type_for(src_type)), text)

@@ -113,3 +113,69 @@ def test_truncate_rename_drop_table_in_stream(spark, tmp_path):
     _apply(spark, src, table, [ddl("DROP TABLE default.members", seq=6)], PAYLOAD, batch_id=2)
     with pytest.raises(ValueError, match="dropped"):
         _apply(spark, src, table, [ev("c", after={"id": 3, "name": "c", "bal": 1}, seq=7)], PAYLOAD, batch_id=3)
+
+
+def test_parse_dcl_statement_kinds():
+    from ape_dts_spark.plans.dcl_parse import parse_dcl
+
+    assert parse_dcl("CREATE USER 'app'@'%' IDENTIFIED BY 'x'").kind == "create_user"
+    assert parse_dcl("CREATE USER 'app'@'%' IDENTIFIED BY 'x'").principal == "app@%"
+    assert parse_dcl("ALTER USER app IDENTIFIED BY 'y'").kind == "alter_user"
+    assert parse_dcl("CREATE ROLE reporting").kind == "create_role"
+    assert parse_dcl("DROP USER IF EXISTS 'app'@'10.0.0.1'").principal == "app@10.0.0.1"
+    assert parse_dcl("DROP ROLE reporting").kind == "drop_role"
+    st = parse_dcl("GRANT SELECT, INSERT ON db.* TO 'app'@'%'")
+    assert st.kind == "grant" and st.principal == "app@%"
+    assert parse_dcl("REVOKE ALL PRIVILEGES ON *.* FROM admin").kind == "revoke"
+    assert parse_dcl("SET DEFAULT ROLE reporting").kind == "set_role"
+    assert parse_dcl("ALTER TABLE t ADD COLUMN c int").kind == "unknown"
+    assert parse_dcl("").kind == "unknown"
+
+
+def test_ddl_dcl_filter_in_stream(spark, tmp_path):
+    """An opt-in do_ddls config drops non-listed DDL; DCL is config-gated and
+    logged, never applied to the data path (rdb_filter.rs:106-138)."""
+    from ape_dts_spark.config.rdb_filter import RdbFilter
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    table = ParquetTable(spark, str(tmp_path / "tgt"), PAYLOAD)
+
+    events = [
+        ev("c", after={"id": 1, "name": "a", "bal": 10}, seq=1),
+        ddl("TRUNCATE TABLE default.users", seq=2),  # filtered out
+        ev("c", after={"id": 2, "name": "b", "bal": 20}, seq=3),
+        ddl("GRANT SELECT ON db.* TO 'app'@'%'", seq=4),  # dcl: logged
+        ddl("CREATE USER intruder IDENTIFIED BY 'x'", seq=5),  # dcl: filtered
+        ddl("ALTER TABLE default.users ADD COLUMN tier varchar(8)", seq=6),  # passes
+    ]
+    write_debezium_jsonl(events, os.path.join(src, "b0.jsonl"))
+    batch = parse_debezium(spark.read.text(os.path.join(src, "b0.jsonl")), PAYLOAD)
+    pipe = CdcPipeline(
+        spark, table, key_cols=["id"],
+        rdb_filter=RdbFilter(do_ddls="add_column,drop_column", do_dcls="grant,revoke"),
+    )
+    pipe.apply_batch(batch, batch_id=0)
+
+    # truncate was filtered: both rows survive; add_column passed
+    assert {r["id"] for r in table.current().collect()} == {1, 2}
+    assert "tier" in [f.name for f in table.payload_schema.fields]
+    meta = table._read_meta()
+    dcl_ops = [(d["op"], d["principal"]) for d in meta.get("dcl_log", [])]
+    assert dcl_ops == [("grant", "app@%")]
+
+
+def test_rdb_filter_ddl_dcl_semantics():
+    from ape_dts_spark.config.rdb_filter import RdbFilter
+
+    empty = RdbFilter()
+    assert empty.filter_all_ddl() and empty.filter_ddl("add_column")
+    assert empty.filter_all_dcl() and empty.filter_dcl("grant")
+    assert not empty.filter_structure("index")  # structs default to all
+    star = RdbFilter(do_ddls="*", do_dcls="*")
+    assert not star.filter_ddl("truncate_table") and not star.filter_dcl("grant")
+    sel = RdbFilter(do_ddls="add_column", ignore_cmds="flush")
+    assert not sel.filter_ddl("add_column") and sel.filter_ddl("drop_table")
+    assert sel.filter_cmd("flush") and not sel.filter_cmd("select")
+    st = RdbFilter(do_structures="table,index")
+    assert not st.filter_structure("index") and st.filter_structure("sequence")

@@ -218,3 +218,33 @@ def test_database_sequence_comment_objects():
     oux = to_comment_ddl(td)
     assert oux[0] == 'COMMENT ON TABLE "db"."users" IS \'user table\''
     assert oux[1] == 'COMMENT ON COLUMN "db"."users"."id" IS \'surrogate key\''
+
+
+def test_migration_plan_structure_filter():
+    """migration_plan assembles database -> sequence -> table -> index ->
+    comment in order and gates object families via do_structures."""
+    from ape_dts_spark.config.rdb_filter import RdbFilter
+    from ape_dts_spark.plans.struct_migration import SequenceDef, migration_plan
+
+    td = TableDef(
+        schema="db",
+        tb="t",
+        columns=T.StructType([T.StructField("id", T.LongType(), False)]),
+        primary_keys=("id",),
+        indexes=(IndexDef("ix_id", ("id",), unique=False),),
+    )
+    seqs = [SequenceDef("t_id_seq", start=1, increment=1)]
+
+    full = migration_plan("db", [td], "pg", sequences=seqs)
+    joined = "\n".join(full)
+    assert joined.index("CREATE SCHEMA") < joined.index("CREATE SEQUENCE")
+    assert joined.index("CREATE SEQUENCE") < joined.index("CREATE TABLE")
+    assert joined.index("CREATE TABLE") < joined.index("CREATE INDEX")
+
+    only_tables = migration_plan(
+        "db", [td], "pg", sequences=seqs,
+        rdb_filter=RdbFilter(do_structures="table"),
+    )
+    assert any("CREATE TABLE" in s for s in only_tables)
+    assert not any("CREATE SCHEMA" in s or "CREATE SEQUENCE" in s or "CREATE INDEX" in s
+                   for s in only_tables)
