@@ -81,6 +81,10 @@ class TaskConfig:
             do_tbs=filt_raw.get("do_tbs", "") or "",
             ignore_tbs=filt_raw.get("ignore_tbs", "") or "",
             do_events=filt_raw.get("do_events", "") or "",
+            do_structures=filt_raw.get("do_structures", "") or "",
+            do_ddls=filt_raw.get("do_ddls", "") or "",
+            do_dcls=filt_raw.get("do_dcls", "") or "",
+            ignore_cmds=filt_raw.get("ignore_cmds", "") or "",
             where_conditions=_json_or_raw(filt_raw.get("where_conditions", "") or ""),
             ignore_cols=_json_or_raw(filt_raw.get("ignore_cols", "") or ""),
         )

@@ -47,3 +47,17 @@ def test_ann_lsh_bucket_join_not_nested_loop(spark, sf_dir):
     plan = _plan(spark, sf_dir, "ann_lsh")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_cosine_dup_pairs_equi_join_not_nested_loop(spark, sf_dir):
+    # the near-dup self-join must hash-partition on (band, band_value);
+    # any cartesian/nested-loop formulation is O(n^2) at corpus scale
+    plan = _plan(spark, sf_dir, "cosine_dup_pairs")
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_token_stats_no_shuffle(spark, sf_dir):
+    # pure per-row JVM expressions over one scan: no exchange at all
+    plan = _plan(spark, sf_dir, "token_stats")
+    assert "Exchange" not in plan

@@ -162,3 +162,27 @@ url={tmp_path}/orc_out
     assert res.tables["nation"].count() == src.count()
     assert res.outputs["nation"].endswith(".orc")
     assert set(res.tables["nation"].columns) == set(src.columns)
+
+
+def test_task_config_parses_ddl_dcl_structure_filters():
+    cfg = TaskConfig.from_string(
+        """
+[extractor]
+db_type=mysql
+extract_type=cdc
+
+[filter]
+do_ddls=add_column,truncate_table
+do_dcls=grant
+do_structures=table,index
+ignore_cmds=flush
+
+[sinker]
+sink_type=write
+"""
+    )
+    f = cfg.filter
+    assert not f.filter_ddl("add_column") and f.filter_ddl("drop_table")
+    assert not f.filter_dcl("grant") and f.filter_dcl("revoke")
+    assert not f.filter_structure("index") and f.filter_structure("sequence")
+    assert f.filter_cmd("flush")
