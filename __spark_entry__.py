@@ -289,6 +289,22 @@ def q_py_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     return transform_batches(ev, fn)
 
 
+def q_script_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Script-string processor with the reference's exact Lua variable
+    contract (schema/tb/row_type/before/after globals, empty row_type drops
+    the row; docs/en/etl/lua.md) — the config-driven [processor] hook.
+    Doubling is IEEE-exact, so the SQL oracle matches bit-for-bit."""
+    from ape_dts_spark.operators.transform import script_processor
+
+    code = (
+        "if row_type == 'delete':\n"
+        "    row_type = ''\n"
+        "elif after is not None and after.get('value') is not None:\n"
+        "    after['value'] = after['value'] * 2\n"
+    )
+    return _flatten_stream(script_processor(demo.users_change_stream(spark, sf_dir), code))
+
+
 def q_soft_delete_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ClickHouse/StarRocks append-only upsert emulation + merge-on-read
     resolution (clickhouse_sinker.rs:18-19) — final table state."""
@@ -669,6 +685,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "review": q_review,
         "snapshot_resume": q_snapshot_resume,
         "py_transform": q_py_transform,
+        "script_transform": q_script_transform,
         "soft_delete_apply": q_soft_delete_apply,
         "data_marker_filter": q_data_marker_filter,
         "mongo_compact": q_mongo_compact,
@@ -1108,6 +1125,12 @@ def oracle_sql() -> dict[str, str]:
         "py_transform": """
             SELECT event_id, event_type, value * 2.0 AS value FROM events
             WHERE event_type <> 'error'
+        """,
+        "script_transform": f"""
+            WITH stream AS ({demo.USERS_CHANGE_STREAM_SQL})
+            SELECT "schema", tb, row_type, before_user_id, before_value,
+                   after_user_id, after_value * 2 AS after_value, seq
+            FROM stream WHERE row_type <> 'delete'
         """,
         "soft_delete_apply": f"""
             WITH stream AS ({_STREAM}),

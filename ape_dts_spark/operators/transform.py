@@ -39,6 +39,55 @@ def transform_batches(
     return df.mapInPandas(_apply, schema=schema)
 
 
+def script_processor(
+    df: DataFrame,
+    code: str,
+    output_schema: T.StructType | str | None = None,
+) -> DataFrame:
+    """Config-driven script stage with the exact Lua-processor contract
+    (docs/en/etl/lua.md; task_config ``[processor] lua_code_file``): the user
+    script runs once per change event with globals
+
+        schema, tb, row_type  — strings (reassignable: re-route / re-type)
+        before, after         — column-name -> value dicts (mutable; may be
+                                 set to add/drop/change columns)
+
+    and drops the row by setting ``row_type`` to '' / None. The script is a
+    Python source string (this container has no Lua runtime; the variable
+    contract is identical, so reference scripts translate line-for-line).
+    Compiled once per executor batch, executed per row inside the Arrow batch
+    loop. Pass ``output_schema`` when the script adds or removes columns.
+    """
+    compiled_src = code  # ship source, compile on the executor (picklable)
+    _cache: dict[str, Any] = {}
+
+    def _fn(row: dict[str, Any]) -> dict[str, Any] | None:
+        co = _cache.get("co")
+        if co is None:
+            co = _cache["co"] = compile(compiled_src, "<processor>", "exec")
+        g: dict[str, Any] = {
+            "schema": row.get("schema"),
+            "tb": row.get("tb"),
+            "row_type": row.get("row_type"),
+            "before": dict(row["before"]) if row.get("before") else None,
+            "after": dict(row["after"]) if row.get("after") else None,
+        }
+        exec(co, g)  # noqa: S102 — user-supplied processor hook by contract
+        if not g.get("row_type"):
+            return None
+        out = dict(row)
+        out.update(
+            schema=g.get("schema"),
+            tb=g.get("tb"),
+            row_type=g.get("row_type"),
+            before=g.get("before"),
+            after=g.get("after"),
+        )
+        return out
+
+    return transform_rows(df, _fn, output_schema)
+
+
 def transform_rows(
     df: DataFrame,
     fn: Callable[[dict[str, Any]], dict[str, Any] | None],

@@ -151,12 +151,27 @@ def run_task(spark: SparkSession, cfg: TaskConfig, registry: dict[str, list[str]
         if payload is None:
             raise ValueError("cdc task needs extractor.payload_sample (parquet file with the payload schema)")
         table = ParquetTable(spark, os.path.join(dst_dir, tb), payload)
+        # [processor] section: the reference's lua_code_file hook
+        # (processor_config.rs; docs/en/etl/lua.md) — here a Python script
+        # with the identical variable contract (operators/transform.py)
+        proc = cfg.extra.get("processor", {})
+        code = proc.get("python_code", "")
+        code_file = proc.get("python_code_file", proc.get("lua_code_file", ""))
+        if not code and code_file and os.path.exists(code_file):
+            with open(code_file) as fh:
+                code = fh.read()
+        transform = None
+        if code:
+            from ape_dts_spark.operators.transform import script_processor
+
+            transform = lambda d: script_processor(d, code)  # noqa: E731
         pipe = CdcPipeline(
             spark,
             table,
             key_cols=keys,
-            transform=None,
+            transform=transform,
             time_window=(cfg.extractor.get("start_time_utc"), cfg.extractor.get("end_time_utc")),
+            rdb_filter=cfg.filter,
         )
         changes = read_json_change_stream(spark, src_dir, payload)
         pipe.run(changes, checkpoint_dir=cfg.pipeline.get("checkpoint_dir", os.path.join(dst_dir, "_ckpt")))

@@ -186,3 +186,49 @@ sink_type=write
     assert not f.filter_dcl("grant") and f.filter_dcl("revoke")
     assert not f.filter_structure("index") and f.filter_structure("sequence")
     assert f.filter_cmd("flush")
+
+
+def test_cdc_task_with_script_processor(spark, tmp_path):
+    """[processor] hook: the reference's lua_code_file UX with the identical
+    variable contract (schema/tb/row_type/before/after; empty row_type drops
+    the row) — docs/en/etl/lua.md examples translated line-for-line."""
+    src = tmp_path / "cdc_src2"
+    src.mkdir()
+    events = [
+        {"op": "c", "after": {"id": 1, "name": "a", "bal": 10},
+         "source": {"db": "d", "table": "users", "ts_ms": 1700000000001, "seq": 1, "origin_node": None}},
+        {"op": "c", "after": {"id": 2, "name": "skipme", "bal": 20},
+         "source": {"db": "d", "table": "users", "ts_ms": 1700000000002, "seq": 2, "origin_node": None}},
+        {"op": "u", "before": {"id": 1, "name": "a", "bal": 10}, "after": {"id": 1, "name": "a", "bal": 11},
+         "source": {"db": "d", "table": "users", "ts_ms": 1700000000003, "seq": 3, "origin_node": None}},
+    ]
+    write_debezium_jsonl(events, str(src / "b.jsonl"))
+    sample = tmp_path / "payload2.parquet"
+    spark.createDataFrame([(1, "a", 10)], "id long, name string, bal long").write.parquet(str(sample))
+
+    code_file = tmp_path / "processor.py"
+    code_file.write_text(
+        "if after is not None and after.get('name') == 'skipme':\n"
+        "    row_type = ''\n"
+        "if row_type == 'update' and after is not None:\n"
+        "    after['bal'] = after['bal'] + 100\n"
+    )
+    cfg = TaskConfig.from_string(
+        f"""
+[extractor]
+extract_type=cdc
+url={src}
+tb=users
+payload_sample={sample}
+
+[sinker]
+sink_type=parquet
+url={tmp_path}/cdc_out2
+
+[processor]
+python_code_file={code_file}
+"""
+    )
+    res = run_task(spark, cfg, registry={"users": ["id"]})
+    rows = {r["id"]: r["bal"] for r in res.tables["users"].collect()}
+    assert rows == {1: 111}  # skipme filtered; update value mutated by script
