@@ -33,6 +33,7 @@ from ape_dts_spark.sinks.upsert_sql import batch_statements, compacted_to_sql
 from ape_dts_spark.sinks.avro_codec import roundtrip_avro as avro_roundtrip
 from ape_dts_spark.sinks.wire_format import roundtrip as wire_roundtrip
 from ape_dts_spark.sources.mongo import mongo_statements
+from ape_dts_spark.sources.redis import key_slot_sql as _redis_slot_sql
 from ape_dts_spark.sources.resume import keyset_predicate
 from ape_dts_spark.sources.snapshot import SnapshotSource, chunk_bounds, with_chunk_id
 
@@ -337,6 +338,60 @@ def q_mongo_statements(spark: SparkSession, sf_dir: str) -> DataFrame:
     bulk operations (mongo_sinker.rs replace/delete bulk writes)."""
     compacted, _ = compact_changes(demo.mongo_change_stream(spark, sf_dir), ["_id"])
     return mongo_statements(compacted)
+
+
+def _redis_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared: command-line log -> parse -> typed entries -> compacted state
+    (sources/redis.py; the PSYNC/RDB extract + RdbMerger analogue for the
+    key/value model)."""
+    from ape_dts_spark.sources.redis import commands_from_lines, commands_to_entries, compact_entries
+
+    lines = demo.redis_command_lines(spark, sf_dir)
+    return compact_entries(commands_to_entries(commands_from_lines(lines)))
+
+
+def q_redis_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redis command log -> final key state: inline-command parse, typed
+    entry extraction (string/hash/list/zset + DEL + PEXPIRE), last-writer
+    compaction with key-level tombstones and TTL attach (redis_entry.rs,
+    rdb_parser.rs entry model; rdb_merger semantics on the k/v model)."""
+    return _redis_state(spark, sf_dir)
+
+
+def q_redis_statements(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redis sinker: key state -> SET/HSET/RPUSH/ZADD/PEXPIRE command rows,
+    inline + RESP-encoded (entry_rewriter.rs:272-368, cmd_encoder.rs:25-54)."""
+    from ape_dts_spark.sinks.redis import state_to_commands
+
+    cmds = state_to_commands(_redis_state(spark, sf_dir))
+    return cmds.select("db_id", "key", "ord", "inline", "resp")
+
+
+def q_redis_slot_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-slot layout of the key state: CRC16 hash-tag slots, contiguous
+    slot-range node assignment for an 8-node cluster (key_parser.rs:164-212,
+    redis_reshard_extractor.rs) — per-node key counts and slot ranges."""
+    from ape_dts_spark.sources.redis import SLOTS, key_slot_col
+
+    keys = _redis_state(spark, sf_dir).select("key").distinct()
+    slots = keys.select("key", key_slot_col(F.col("key")).alias("slot"))
+    node = (F.col("slot") * 8 / F.lit(SLOTS)).cast("int").alias("node")
+    return (
+        slots.groupBy(node)
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.min("slot").alias("min_slot"),
+            F.max("slot").alias("max_slot"),
+        )
+    )
+
+
+def q_redis_big_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Big-key statistics: per-key type, member count, estimated bytes,
+    top-20 (redis_scan_extractor.rs:131-149, redis_statistic_sinker.rs)."""
+    from ape_dts_spark.sinks.redis import big_key_stats
+
+    return big_key_stats(_redis_state(spark, sf_dir), top_n=20)
 
 
 # -- relational operators Spark provides natively (SURVEY §2.10) -----------
@@ -690,6 +745,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "data_marker_filter": q_data_marker_filter,
         "mongo_compact": q_mongo_compact,
         "mongo_statements": q_mongo_statements,
+        "redis_compact": q_redis_compact,
+        "redis_statements": q_redis_statements,
+        "redis_slot_stats": q_redis_slot_stats,
+        "redis_big_keys": q_redis_big_keys,
         "pricing_summary": q_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
         "top_orders_per_cust": q_top_orders_per_cust,
@@ -1177,6 +1236,59 @@ def oracle_sql() -> dict[str, str]:
                              || ', {{"upsert": true}});'
                    END AS stmt
             FROM comp
+        """,
+        "redis_compact": f"""
+            {demo.REDIS_STATE_SQL}
+            SELECT db_id, key, entry_type, member, value, ord, seq, expire
+            FROM redis_state
+        """,
+        "redis_statements": f"""
+            {demo.REDIS_STATE_SQL},
+            argv AS (
+              SELECT db_id, key, ord,
+                CASE entry_type
+                  WHEN 'string' THEN list_value('SET', key, value)
+                  WHEN 'hash'   THEN list_value('HSET', key, member, value)
+                  WHEN 'set'    THEN list_value('SADD', key, member)
+                  WHEN 'zset'   THEN list_value('ZADD', key, value, member)
+                  ELSE list_value('RPUSH', key, value)
+                END AS cmd
+              FROM redis_state
+              UNION ALL
+              SELECT db_id, key, MAX(ord) + 1,
+                     list_value('PEXPIRE', key, split_part(MAX(expire), ':', 2))
+              FROM redis_state WHERE expire IS NOT NULL GROUP BY db_id, key
+            )
+            SELECT db_id, key, ord,
+              array_to_string(cmd, ' ') AS inline,
+              '*' || CAST(len(cmd) AS VARCHAR) || chr(13) || chr(10) ||
+              list_reduce(
+                list_prepend('', list_transform(cmd,
+                  x -> '$' || CAST(length(x) AS VARCHAR) || chr(13) || chr(10) || x || chr(13) || chr(10))),
+                (a, b) -> a || b) AS resp
+            FROM argv
+        """,
+        "redis_slot_stats": f"""
+            {demo.REDIS_STATE_SQL},
+            keys AS (SELECT DISTINCT key FROM redis_state),
+            slots AS (SELECT key, CAST({_redis_slot_sql('key')} AS INT) AS slot FROM keys)
+            SELECT CAST((slot * 8) // 16384 AS INT) AS node,
+                   COUNT(*) AS n_keys,
+                   CAST(MIN(slot) AS INT) AS min_slot,
+                   CAST(MAX(slot) AS INT) AS max_slot
+            FROM slots GROUP BY 1
+        """,
+        "redis_big_keys": f"""
+            {demo.REDIS_STATE_SQL},
+            sized AS (
+              SELECT db_id, key, entry_type,
+                     COALESCE(length(member), 0) + COALESCE(length(value), 0) AS entry_bytes
+              FROM redis_state)
+            SELECT db_id, key, MIN(entry_type) AS entry_type,
+                   COUNT(*) AS n_members,
+                   CAST(length(key) + SUM(entry_bytes) AS BIGINT) AS est_bytes
+            FROM sized GROUP BY db_id, key
+            ORDER BY est_bytes DESC, key LIMIT 20
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,

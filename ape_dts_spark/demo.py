@@ -150,6 +150,123 @@ FROM events
 """
 
 
+def redis_command_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events -> a Redis command log (sources/redis.py model): one inline
+    command line per event, exercising every entry family —
+
+    - signup   -> ``SET user:{uid} {value}``  (+ ``PEXPIRE user:{uid} 60000``
+      as a second line when uid % 11 = 0)
+    - error    -> ``DEL user:{uid}``
+    - click    -> ``HSET sess:{uid} c{event_id%3} {value}``
+    - view     -> ``RPUSH feed:{uid%50} e{event_id}``
+    - purchase -> ``ZADD spend:{uid%100} {value} u{uid}``
+
+    seq = event_id*2 (expire lines event_id*2+1) keeps the PEXPIRE ordered
+    right after its SET. Values render via DECIMAL(18,2) so DuckDB reproduces
+    the strings byte-for-byte. Output: (seq, line).
+    """
+    ev = load(spark, sf_dir, "events")
+    uid = F.col("user_id").cast("string")
+    val = F.col("value").cast("decimal(18,2)").cast("string")
+    eid = F.col("event_id").cast("string")
+    line = (
+        F.when(F.col("event_type") == "signup", F.concat(F.lit("SET user:"), uid, F.lit(" "), val))
+        .when(F.col("event_type") == "error", F.concat(F.lit("DEL user:"), uid))
+        .when(
+            F.col("event_type") == "click",
+            F.concat(F.lit("HSET sess:"), uid, F.lit(" c"), (F.col("event_id") % 3).cast("string"), F.lit(" "), val),
+        )
+        .when(
+            F.col("event_type") == "view",
+            F.concat(F.lit("RPUSH feed:"), (F.col("user_id") % 50).cast("string"), F.lit(" e"), eid),
+        )
+        .otherwise(
+            F.concat(F.lit("ZADD spend:"), (F.col("user_id") % 100).cast("string"), F.lit(" "), val, F.lit(" u"), uid)
+        )
+    )
+    main = ev.select((F.col("event_id") * 2).alias("seq"), line.alias("line"))
+    expire = (
+        ev.filter((F.col("event_type") == "signup") & (F.col("user_id") % 11 == 0))
+        .select((F.col("event_id") * 2 + 1).alias("seq"), F.concat(F.lit("PEXPIRE user:"), uid, F.lit(" 60000")).alias("line"))
+    )
+    return main.unionByName(expire)
+
+
+REDIS_COMMAND_LINES_SQL = """
+SELECT event_id * 2 AS seq,
+  CASE event_type
+    WHEN 'signup' THEN 'SET user:' || CAST(user_id AS VARCHAR) || ' ' || CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR)
+    WHEN 'error'  THEN 'DEL user:' || CAST(user_id AS VARCHAR)
+    WHEN 'click'  THEN 'HSET sess:' || CAST(user_id AS VARCHAR) || ' c' || CAST(event_id % 3 AS VARCHAR) || ' ' || CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR)
+    WHEN 'view'   THEN 'RPUSH feed:' || CAST(user_id % 50 AS VARCHAR) || ' e' || CAST(event_id AS VARCHAR)
+    ELSE 'ZADD spend:' || CAST(user_id % 100 AS VARCHAR) || ' ' || CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR) || ' u' || CAST(user_id AS VARCHAR)
+  END AS line
+FROM events
+UNION ALL
+SELECT event_id * 2 + 1 AS seq, 'PEXPIRE user:' || CAST(user_id AS VARCHAR) || ' 60000' AS line
+FROM events WHERE event_type = 'signup' AND user_id % 11 = 0
+"""
+
+
+# The compacted key state the command log above settles into, as portable SQL
+# (Spark + DuckDB) — the oracle twin of sources/redis.compact_entries over
+# redis_command_lines. Namespaces are disjoint per entry family, so each
+# compacts independently; the PEXPIRE survives exactly when the key's last
+# key-level event is a signup of an uid % 11 = 0 user (seq 2e+1 > 2e' iff
+# e >= e', and the expire's signup is the last such event).
+REDIS_STATE_SQL = """
+WITH ev AS (
+  SELECT event_id, user_id, event_type,
+         CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR) AS val
+  FROM events
+),
+ulast AS (
+  SELECT user_id, event_type, val, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+  FROM ev WHERE event_type IN ('signup', 'error')
+),
+strings AS (
+  SELECT CAST(0 AS BIGINT) AS db_id, 'user:' || CAST(user_id AS VARCHAR) AS key,
+         'string' AS entry_type, CAST(NULL AS VARCHAR) AS member, val AS value,
+         CAST(0 AS BIGINT) AS ord, event_id * 2 AS seq,
+         CASE WHEN user_id % 11 = 0 THEN 'PEXPIRE:60000' END AS expire
+  FROM ulast WHERE rn = 1 AND event_type = 'signup'
+),
+hlast AS (
+  SELECT user_id, event_id, val,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_id % 3 ORDER BY event_id DESC) AS rn
+  FROM ev WHERE event_type = 'click'
+),
+hashes AS (
+  SELECT CAST(0 AS BIGINT), 'sess:' || CAST(user_id AS VARCHAR), 'hash',
+         'c' || CAST(event_id % 3 AS VARCHAR), val, CAST(0 AS BIGINT),
+         event_id * 2, CAST(NULL AS VARCHAR)
+  FROM hlast WHERE rn = 1
+),
+lists AS (
+  SELECT CAST(0 AS BIGINT), 'feed:' || CAST(user_id % 50 AS VARCHAR), 'list',
+         CAST(NULL AS VARCHAR), 'e' || CAST(event_id AS VARCHAR),
+         event_id * 2 * 1048576, event_id * 2, CAST(NULL AS VARCHAR)
+  FROM ev WHERE event_type = 'view'
+),
+zlast AS (
+  SELECT user_id, event_id, val,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+  FROM ev WHERE event_type NOT IN ('signup', 'error', 'click', 'view')
+),
+zsets AS (
+  SELECT CAST(0 AS BIGINT), 'spend:' || CAST(user_id % 100 AS VARCHAR), 'zset',
+         'u' || CAST(user_id AS VARCHAR), val, CAST(0 AS BIGINT),
+         event_id * 2, CAST(NULL AS VARCHAR)
+  FROM zlast WHERE rn = 1
+),
+redis_state AS (
+  SELECT * FROM strings UNION ALL SELECT * FROM hashes
+  UNION ALL SELECT * FROM lists UNION ALL SELECT * FROM zsets
+)
+"""
+
+
 def drifted_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """orders with injected miss/diff/extra drift — the checker's target side."""
     o = load(spark, sf_dir, "orders")

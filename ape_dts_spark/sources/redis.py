@@ -1,0 +1,465 @@
+"""Redis change model: command streams -> typed key/value change entries.
+
+Reference: redis_psync_extractor.rs / redis_resp_reader.rs / rdb_parser.rs +
+entry_parser/* / redis_scan_extractor.rs / redis_reshard_extractor.rs /
+key_parser.rs (~5,000 LoC of PSYNC + RDB wire plumbing). The Spark-native
+slice keeps the reference's data model — RedisEntry {db_id, key, typed value
+(string/hash/list/set/zset), expire, slot} (redis_entry.rs:9-26,
+redis_object.rs:14-24) — and replaces the live PSYNC socket with command
+*streams at rest*: RESP files (the AOF format, parsed per-file) and inline
+command lines (one command per line, the splittable 100-TB path). No Redis
+server connection happens here; production lands AOF/command logs on object
+storage and this module turns them into a compacted key write-set the sinker
+renders back into commands (sinks/redis.py).
+
+Scale notes: inline command lines are line-splittable, so a 100-TB command log
+parallelizes like any text source; RESP files are parsed whole-file (length
+prefixes can straddle split boundaries, same contract as gzip) so parallelism
+comes from file count. Entry extraction and compaction are pure JVM
+expressions — one shuffle per aggregation level, map-side combined.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+SLOTS = 16384  # Redis Cluster slot count (key_parser.rs:193-202)
+
+
+def _make_crc16_table() -> list[int]:
+    """CRC16-XMODEM (poly 0x1021) lookup table, generated — the same table
+    cmd_constants.rs embeds as a literal."""
+    table = []
+    for i in range(256):
+        crc = i << 8
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x1021) & 0xFFFF if crc & 0x8000 else (crc << 1) & 0xFFFF
+        table.append(crc)
+    return table
+
+
+CRC16_TABLE = _make_crc16_table()
+
+
+def crc16(data: bytes) -> int:
+    """CRC16-XMODEM over raw bytes (key_parser.rs:205-212)."""
+    crc = 0
+    for n in data:
+        crc = ((crc << 8) & 0xFFFF) ^ CRC16_TABLE[((crc >> 8) ^ n) & 0xFF]
+    return crc
+
+
+def key_slot(key: str | bytes) -> int:
+    """Cluster slot of a key: CRC16 of the first non-empty {hash tag} (else the
+    whole key) & 0x3FFF (key_parser.rs:164-202). Full UTF-8: hashes bytes."""
+    kb = key.encode("utf-8") if isinstance(key, str) else key
+    i = kb.find(b"{")
+    if i >= 0:
+        k = kb.find(b"}", i + 1)
+        if k > i + 1:  # non-empty tag only (key_parser.rs:197-201)
+            kb = kb[i + 1 : k]
+    return crc16(kb) & (SLOTS - 1)
+
+
+_TAG_RE = r"^[^{]*\{([^}]*)\}"
+
+
+def key_slot_col(key: Column) -> Column:
+    """``key_slot`` as a pure JVM column expression (ASCII keys; multibyte
+    keys need the plain-Python ``key_slot``, e.g. via a pandas UDF — the
+    column path uses per-character codepoints which equal bytes only for
+    ASCII). Used by ``partition_by_slot`` and the reshard/statistics queries;
+    the identical fold runs in DuckDB (``key_slot_sql``) so slots are
+    oracle-checkable."""
+    tag = F.regexp_extract(key, _TAG_RE, 1)
+    eff = F.when(F.length(tag) > 0, tag).otherwise(key)
+    tbl = F.array(*[F.lit(x) for x in CRC16_TABLE])
+    crc = F.aggregate(
+        F.sequence(F.lit(1), F.length(eff)),
+        F.lit(0),
+        lambda acc, i: F.shiftleft(acc, 8)
+        .bitwiseAND(F.lit(0xFFFF))
+        .bitwiseXOR(
+            F.element_at(
+                tbl,
+                F.shiftright(acc, 8).bitwiseXOR(F.ascii(eff.substr(i, F.lit(1)))).bitwiseAND(F.lit(0xFF))
+                + F.lit(1),
+            )
+        ),
+    )
+    # sequence(1, 0) descends instead of being empty — guard zero-length keys
+    return F.when(F.length(eff) == 0, F.lit(0)).otherwise(crc.bitwiseAND(F.lit(SLOTS - 1)))
+
+
+def key_slot_sql(key_expr: str) -> str:
+    """The same slot fold as ANSI/DuckDB SQL (same generated table, same
+    hash-tag rule) — drop into oracle queries."""
+    tbl = "list_value(" + ",".join(map(str, CRC16_TABLE)) + ")"
+    tag = f"regexp_extract({key_expr}, '^[^{{]*\\{{([^}}]*)\\}}', 1)"
+    eff = f"(CASE WHEN length({tag}) > 0 THEN {tag} ELSE {key_expr} END)"
+    return (
+        f"(list_reduce(list_prepend(0, list_transform(range(1, length({eff})+1), "
+        f"i -> ord(substr({eff}, i, 1)))), "
+        f"(acc, c) -> xor((acc*256)%65536, ({tbl})[(xor(acc//256, c) % 256)+1])) & {SLOTS - 1})"
+    )
+
+
+def partition_by_slot(df: DataFrame, n_nodes: int, key_col: str = "key") -> DataFrame:
+    """RedisParallelizer / reshard analogue (redis_reshard_extractor.rs):
+    contiguous slot ranges -> nodes (``node = slot * n // 16384``), then
+    repartition so each task's writes target one node. Adds ``slot`` and
+    ``node`` columns."""
+    slot = key_slot_col(F.col(key_col))
+    out = df.withColumn("slot", slot).withColumn(
+        "node", (F.col("slot") * n_nodes / F.lit(SLOTS)).cast("int")
+    )
+    return out.repartition(n_nodes, "node")
+
+
+# ---------------------------------------------------------------------------
+# Command-stream sources
+# ---------------------------------------------------------------------------
+
+def parse_resp_bytes(data: bytes) -> list[list[str]]:
+    """Parse a RESP byte stream (``*N\\r\\n$len\\r\\narg\\r\\n...``) into
+    argv lists — the at-rest analogue of redis_resp_reader.rs. Tolerates
+    inline commands (plain lines) between arrays, like the real protocol."""
+    cmds: list[list[str]] = []
+    i, n = 0, len(data)
+    while i < n:
+        if data[i : i + 1] == b"*":
+            j = data.index(b"\r\n", i)
+            argc = int(data[i + 1 : j])
+            i = j + 2
+            argv: list[str] = []
+            for _ in range(argc):
+                if data[i : i + 1] != b"$":
+                    raise ValueError(f"RESP bulk string expected at offset {i}")
+                j = data.index(b"\r\n", i)
+                ln = int(data[i + 1 : j])
+                arg = data[j + 2 : j + 2 + ln]
+                argv.append(arg.decode("utf-8", errors="replace"))
+                i = j + 2 + ln + 2  # skip trailing \r\n
+            cmds.append(argv)
+        else:  # inline command line
+            j = data.find(b"\r\n", i)
+            if j < 0:
+                j = n
+            line = data[i:j].decode("utf-8", errors="replace").strip()
+            if line:
+                cmds.append(line.split())
+            i = j + 2
+    return cmds
+
+
+_RESP_CMD_SCHEMA = T.StructType(
+    [
+        T.StructField("file", T.StringType()),
+        T.StructField("seq", T.LongType()),
+        T.StructField("argv", T.ArrayType(T.StringType())),
+    ]
+)
+
+
+def read_resp_files(spark: SparkSession, path: str) -> DataFrame:
+    """RESP/AOF files -> (file, seq, argv) commands. Whole-file parse (RESP
+    length prefixes straddle arbitrary splits), so files are the unit of
+    parallelism; ``seq`` is the command's ordinal within its file."""
+    raw = spark.read.format("binaryFile").load(path).select("path", "content")
+
+    def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path_, content in zip(pdf["path"], pdf["content"]):
+                for seq, argv in enumerate(parse_resp_bytes(bytes(content))):
+                    rows.append((path_, seq, argv))
+            yield pd.DataFrame(rows, columns=["file", "seq", "argv"])
+
+    return raw.mapInPandas(_parse, schema=_RESP_CMD_SCHEMA)
+
+
+def commands_from_lines(df: DataFrame, line_col: str = "line", seq_col: str = "seq") -> DataFrame:
+    """Inline command lines -> (seq, argv). Whitespace-tokenized JVM split —
+    the splittable scale path (arguments must not contain spaces; use RESP
+    files for binary-safe payloads)."""
+    return df.select(
+        F.col(seq_col).cast("long").alias("seq"),
+        F.split(F.trim(F.col(line_col)), r"\s+").alias("argv"),
+    ).filter(F.size("argv") > 0)
+
+
+# ---------------------------------------------------------------------------
+# Commands -> typed change entries
+# ---------------------------------------------------------------------------
+
+ENTRY_SCHEMA = (
+    "db_id long, seq long, key string, rtype string, entry_type string, "
+    "member string, value string, pos int"
+)
+
+# command name -> (rtype, entry_type) for the single-key simple shapes
+_SIMPLE = {
+    "SET": ("set", "string"),
+    "GETSET": ("set", "string"),
+    "EXPIRE": ("expire", None),
+    "PEXPIRE": ("expire", None),
+    "EXPIREAT": ("expire", None),
+    "PEXPIREAT": ("expire", None),
+    "PERSIST": ("persist", None),
+}
+_MEMBER_LIST = {  # variadic members from argv[2:]: (rtype, entry_type)
+    "HDEL": ("mdel", "hash"),
+    "SADD": ("madd", "set"),
+    "SREM": ("mdel", "set"),
+    "ZREM": ("mdel", "zset"),
+    "RPUSH": ("madd", "list"),
+    "LPUSH": ("madd", "list"),
+}
+_PAIR_LIST = {  # variadic (a, b) pairs from argv[2:]: (rtype, entry_type, member_first)
+    "HSET": ("madd", "hash", True),
+    "HMSET": ("madd", "hash", True),
+    "ZADD": ("madd", "zset", False),  # ZADD key score member
+}
+
+
+def commands_to_entries(cmds: DataFrame, track_select: bool = False) -> DataFrame:
+    """(seq, argv) commands -> typed change entries, the RedisEntry analogue:
+    ``(db_id, seq, key, rtype, entry_type, member, value, pos)``.
+
+    rtype: ``set``/``del``/``flush`` (key/db level), ``madd``/``mdel``
+    (member level), ``expire``/``persist`` (TTL). LPUSH members carry
+    ``pos < 0`` so final list order is reconstructible (each LPUSH lands
+    further left than everything before it, each RPUSH further right).
+
+    ``track_select=True`` honors interleaved ``SELECT db`` commands via a
+    running ``last`` over (file, seq) order — a per-file window (streams
+    without SELECT should keep the default and stay windowless). Commands the
+    classifier doesn't know stay as ``rtype='unknown'`` rows for precheck
+    visibility (the reference bails on unknown commands: key_parser.rs:41-49).
+
+    Assumes well-formed streams (no container write on a live key of another
+    type without an intervening DEL) — same contract as the reference, which
+    replays commands onto the target and surfaces Redis' own type errors.
+    """
+    cmd = F.upper(F.element_at("argv", 1))
+    base = cmds.withColumn("_cmd", cmd)
+    if track_select:
+        from pyspark.sql.window import Window
+
+        part = ["file"] if "file" in cmds.columns else []
+        w = (
+            Window.partitionBy(*part)
+            .orderBy("seq")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        db = F.last(
+            F.when(F.col("_cmd") == "SELECT", F.element_at("argv", 2).cast("long")),
+            ignorenulls=True,
+        ).over(w)
+        base = base.withColumn("_db", F.coalesce(db, F.lit(0)))
+    else:
+        base = base.withColumn("_db", F.lit(0))
+    base = base.filter(F.col("_cmd") != "SELECT")
+
+    def lit_map(d: dict[str, str]) -> Column:
+        return F.create_map(*[F.lit(x) for kv in d.items() for x in kv])
+
+    key = F.element_at("argv", 2)
+    out_cols = ["db_id", "seq", "key", "rtype", "entry_type", "member", "value", "pos"]
+
+    # shape A: key-level ops + TTL + flush + unknowns (one entry per command)
+    simple_rtype = lit_map({k: v[0] for k, v in _SIMPLE.items()})
+    simple_etype = lit_map({k: v[1] or "" for k, v in _SIMPLE.items()})
+    a = (
+        base.filter(~F.col("_cmd").isin(*(set(_MEMBER_LIST) | set(_PAIR_LIST) | {"DEL", "UNLINK"})))
+        .select(
+            F.col("_db").alias("db_id"),
+            "seq",
+            F.when(F.col("_cmd").isin("FLUSHDB", "FLUSHALL"), F.lit(None)).otherwise(key).alias("key"),
+            F.when(F.col("_cmd").isin("FLUSHDB", "FLUSHALL"), F.lit("flush"))
+            .otherwise(F.coalesce(simple_rtype[F.col("_cmd")], F.lit("unknown")))
+            .alias("rtype"),
+            F.nullif(F.coalesce(simple_etype[F.col("_cmd")], F.lit("")), F.lit("")).alias("entry_type"),
+            F.when(F.col("_cmd").isin(*_SIMPLE) & (F.col("_cmd") != "SET") & (F.col("_cmd") != "GETSET"), F.col("_cmd")).alias("member"),
+            F.when(F.col("_cmd").isin("SET", "GETSET") | F.col("_cmd").startswith("P") | F.col("_cmd").startswith("E"), F.element_at("argv", 3)).alias("value"),
+            F.lit(0).alias("pos"),
+        )
+    )
+
+    # shape B: DEL/UNLINK key... (explode keys -> one key-level delete each)
+    b = (
+        base.filter(F.col("_cmd").isin("DEL", "UNLINK"))
+        .select("_db", "seq", F.posexplode(F.slice("argv", 2, 1_000_000)))
+        .select(
+            F.col("_db").alias("db_id"),
+            "seq",
+            F.col("col").alias("key"),
+            F.lit("del").alias("rtype"),
+            F.lit(None).cast("string").alias("entry_type"),
+            F.lit(None).cast("string").alias("member"),
+            F.lit(None).cast("string").alias("value"),
+            F.col("pos").cast("int").alias("pos"),
+        )
+    )
+
+    # shape C: member lists (HDEL/SADD/SREM/ZREM/RPUSH/LPUSH key m1 m2 ...)
+    ml_rtype = lit_map({k: v[0] for k, v in _MEMBER_LIST.items()})
+    ml_etype = lit_map({k: v[1] for k, v in _MEMBER_LIST.items()})
+    c = (
+        base.filter(F.col("_cmd").isin(*_MEMBER_LIST))
+        .select("_db", "seq", "_cmd", key.alias("_key"), F.posexplode(F.slice("argv", 3, 1_000_000)))
+        .select(
+            F.col("_db").alias("db_id"),
+            "seq",
+            F.col("_key").alias("key"),
+            ml_rtype[F.col("_cmd")].alias("rtype"),
+            ml_etype[F.col("_cmd")].alias("entry_type"),
+            # list elements are positional, not set members
+            F.when(ml_etype[F.col("_cmd")] != "list", F.col("col")).alias("member"),
+            F.when(ml_etype[F.col("_cmd")] == "list", F.col("col")).alias("value"),
+            F.when(F.col("_cmd") == "LPUSH", -F.col("pos").cast("int") - 1)
+            .otherwise(F.col("pos").cast("int"))
+            .alias("pos"),
+        )
+    )
+
+    # shape D: pair lists (HSET key f v f v... / ZADD key score member ...)
+    pl_rtype = lit_map({k: v[0] for k, v in _PAIR_LIST.items()})
+    pl_etype = lit_map({k: v[1] for k, v in _PAIR_LIST.items()})
+    member_first = F.col("_cmd").isin(*[k for k, v in _PAIR_LIST.items() if v[2]])
+    pair_idx = F.sequence(F.lit(3), F.size("argv") - 1, F.lit(2))
+    d = (
+        base.filter(F.col("_cmd").isin(*_PAIR_LIST))
+        .select("_db", "seq", "_cmd", key.alias("_key"), F.explode(pair_idx).alias("i"), F.col("argv"))
+        .select(
+            F.col("_db").alias("db_id"),
+            "seq",
+            F.col("_key").alias("key"),
+            pl_rtype[F.col("_cmd")].alias("rtype"),
+            pl_etype[F.col("_cmd")].alias("entry_type"),
+            F.when(member_first, F.element_at("argv", F.col("i").cast("int")))
+            .otherwise(F.element_at("argv", F.col("i").cast("int") + 1))
+            .alias("member"),
+            F.when(member_first, F.element_at("argv", F.col("i").cast("int") + 1))
+            .otherwise(F.element_at("argv", F.col("i").cast("int")))
+            .alias("value"),
+            ((F.col("i") - 3) / 2).cast("int").alias("pos"),
+        )
+    )
+
+    return a.unionByName(b).unionByName(c).unionByName(d)
+
+
+def compact_entries(entries: DataFrame) -> DataFrame:
+    """Change entries -> final key state (the RdbMerger analogue for the
+    key/value model): last-writer-wins at key level, per-member last-writer
+    for hash/set/zset, positional survival for lists, TTL attach.
+
+    Tombstone per key = the latest of: FLUSH in its db, key-level DEL, and
+    key-level SET (a SET string-overwrites containers *and* clears TTL —
+    expire entries must postdate it to survive). Output:
+    ``(db_id, key, entry_type, member, value, ord, seq, expire)`` — one row
+    per string key / container member, ``ord`` ordering list elements.
+
+    Plan: two hash aggregations (key level, member level) + one shuffle join
+    on (db_id, key) — all map-side combined; scales with distinct keys, not
+    stream length.
+    """
+    flush = (
+        entries.filter(F.col("rtype") == "flush")
+        .groupBy("db_id")
+        .agg(F.max("seq").alias("flush_seq"))
+    )
+    key_level = (
+        entries.filter(F.col("rtype").isin("set", "del"))
+        .groupBy("db_id", "key")
+        .agg(F.max_by(F.struct("rtype", "value", "seq"), "seq").alias("k"))
+        .select("db_id", "key", F.col("k.rtype").alias("k_op"), F.col("k.value").alias("k_value"), F.col("k.seq").alias("k_seq"))
+    )
+    ttl = (
+        entries.filter(F.col("rtype").isin("expire", "persist"))
+        .groupBy("db_id", "key")
+        .agg(F.max_by(F.struct("rtype", "member", "value", "seq"), "seq").alias("e"))
+        .select("db_id", "key", F.col("e.rtype").alias("e_op"), F.col("e.member").alias("e_kind"), F.col("e.value").alias("e_value"), F.col("e.seq").alias("e_seq"))
+    )
+
+    # tombstone relation: every key with any key-level event (+ db flushes)
+    tomb = (
+        entries.select("db_id", "key").distinct()
+        .join(flush, "db_id", "left")
+        .join(key_level, ["db_id", "key"], "left")
+        .select(
+            "db_id",
+            "key",
+            F.greatest(
+                F.coalesce("flush_seq", F.lit(-1)),
+                F.coalesce("k_seq", F.lit(-1)),
+            ).alias("tomb_seq"),
+            F.coalesce("flush_seq", F.lit(-1)).alias("db_tomb_seq"),
+            "k_op",
+            "k_value",
+            "k_seq",
+        )
+    )
+
+    strings = tomb.filter(
+        (F.col("k_op") == "set") & (F.col("k_seq") > F.col("db_tomb_seq"))
+    ).select(
+        "db_id", "key", F.lit("string").alias("entry_type"),
+        F.lit(None).cast("string").alias("member"),
+        F.col("k_value").alias("value"), F.lit(0).cast("long").alias("ord"),
+        F.col("k_seq").alias("seq"),
+    )
+
+    member_last = (
+        entries.filter(F.col("rtype").isin("madd", "mdel") & (F.col("entry_type") != "list"))
+        .groupBy("db_id", "key", "entry_type", "member")
+        .agg(F.max_by(F.struct("rtype", "value", "seq"), "seq").alias("m"))
+        .select("db_id", "key", "entry_type", "member", F.col("m.rtype").alias("m_op"), F.col("m.value").alias("m_value"), F.col("m.seq").alias("m_seq"))
+    )
+    members = (
+        member_last.join(tomb.select("db_id", "key", "tomb_seq"), ["db_id", "key"], "left")
+        .filter((F.col("m_op") == "madd") & (F.col("m_seq") > F.coalesce("tomb_seq", F.lit(-1))))
+        .select(
+            "db_id", "key", "entry_type", "member",
+            F.col("m_value").alias("value"),
+            F.lit(0).cast("long").alias("ord"),
+            F.col("m_seq").alias("seq"),
+        )
+    )
+
+    # lists: every surviving element in final order. Each LPUSH lands further
+    # left than everything before it, each RPUSH further right, so
+    # ord = ±seq * 2^20 + pos (sign from push direction; LPUSH pos < 0)
+    # reconstructs the exact final list under any interleaving.
+    lists = (
+        entries.filter((F.col("entry_type") == "list") & (F.col("rtype") == "madd"))
+        .join(tomb.select("db_id", "key", "tomb_seq"), ["db_id", "key"], "left")
+        .filter(F.col("seq") > F.coalesce("tomb_seq", F.lit(-1)))
+        .select(
+            "db_id", "key", F.lit("list").alias("entry_type"),
+            F.lit(None).cast("string").alias("member"),
+            "value",
+            (
+                F.when(F.col("pos") < 0, -F.col("seq")).otherwise(F.col("seq")) * F.lit(1 << 20)
+                + F.col("pos")
+            ).alias("ord"),
+            "seq",
+        )
+    )
+
+    state = strings.unionByName(members).unionByName(lists)
+    # TTL attach: expire must postdate the tombstone (DEL/FLUSH *and* SET both
+    # reset TTL; container writes don't)
+    live_ttl = (
+        ttl.join(tomb.select("db_id", "key", "tomb_seq"), ["db_id", "key"], "left")
+        .filter((F.col("e_op") == "expire") & (F.col("e_seq") > F.coalesce("tomb_seq", F.lit(-1))))
+        .select("db_id", "key", F.concat_ws(":", "e_kind", "e_value").alias("expire"))
+    )
+    return state.join(live_ttl, ["db_id", "key"], "left")
