@@ -35,6 +35,12 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     # (PARQUET_TYPE_ILLEGAL). The legacy conf is runtime-settable and makes
     # Spark surface ns timestamps as bigint, which the conversion below expects.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Timestamp determinism on any session: parquet micros columns surface as
+    # TIMESTAMP_NTZ; operators that need instants (watermarks, session
+    # windows, unix_millis) cast NTZ -> TIMESTAMP, which reads the wall time
+    # in the session timezone. Pin UTC so the cast is the identity the DuckDB
+    # oracles (naive timestamps treated as UTC) assume.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
     # events.ts is TIMESTAMP(NANOS) in parquet — Spark reads it as long (via
     # spark.sql.legacy.parquet.nanosAsLong); truncate to microseconds exactly

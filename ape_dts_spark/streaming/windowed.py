@@ -33,6 +33,11 @@ def windowed_event_counts(
     Works on batch DataFrames too (same plan, watermark is a no-op there).
     Output: (window_start, window_end, event_type, n, total_value).
     """
+    # Watermarks require TIMESTAMP (with local tz); parquet micros columns
+    # arrive as TIMESTAMP_NTZ. The cast is value-preserving under the UTC
+    # session timezone the engine pins (session.py).
+    if dict(events.dtypes).get(ts_col) == "timestamp_ntz":
+        events = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     src = events.withWatermark(ts_col, watermark) if events.isStreaming else events
     return (
         src.groupBy(F.window(F.col(ts_col), window).alias("w"), F.col("event_type"))
@@ -43,6 +48,47 @@ def windowed_event_counts(
             "event_type",
             "n",
             "total_value",
+        )
+    )
+
+
+def session_windows(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    key_cols: list[str] | None = None,
+    ts_col: str = "ts",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Gap-based sessionization via ``F.session_window`` — merge events whose
+    inter-arrival gap is under ``gap`` into one session per key.
+
+    Session end = last event + gap (Spark's contract; windows are
+    end-exclusive, so an event exactly ``gap`` later starts a new session).
+    Output bounds are epoch millis (BIGINT) so results are timezone- and
+    engine-canonical. Works on batch and streaming inputs; streaming state is
+    per (key, open session) and evicted by the watermark.
+
+    100-TB shape: one shuffle on the grouping keys; Spark merges sessions
+    inside the aggregation (no self-join, no window-function sort over the
+    whole table like the gaps-and-islands SQL formulation needs).
+    """
+    key_cols = key_cols or ["user_id"]
+    if dict(events.dtypes).get(ts_col) == "timestamp_ntz":
+        events = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    if events.isStreaming and watermark:
+        events = events.withWatermark(ts_col, watermark)
+    return (
+        events.groupBy(F.session_window(F.col(ts_col), gap).alias("w"), *key_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("n_purchases"),
+        )
+        .select(
+            *key_cols,
+            F.unix_millis(F.col("w.start")).alias("session_start_ms"),
+            F.unix_millis(F.col("w.end")).alias("session_end_ms"),
+            "n_events",
+            "n_purchases",
         )
     )
 
