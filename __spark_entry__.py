@@ -25,6 +25,8 @@ from ape_dts_spark.model.changes import reverse_events, split_updates
 from ape_dts_spark.operators.check_log import review as review_check
 from ape_dts_spark.operators.checker import check_diff, check_summary, revise_rows
 from ape_dts_spark.operators.transform import transform_batches
+from ape_dts_spark.plans.fk_order import TPCH_FK_EDGES, fk_levels
+from ape_dts_spark.streaming import windowed as wd
 from ape_dts_spark.operators.merge import compact_changes, replay_to_state
 from ape_dts_spark.operators.sampling import mod_sample
 from ape_dts_spark.router import RdbRouter
@@ -691,6 +693,87 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("quality_score", F.expr(tx.QUALITY_SCORE))
 
 
+# Deterministic planted contact line (identical SQL text on both engines —
+# Spark CAST(.. AS STRING) vs DuckDB VARCHAR is the only dialect split).
+def _pii_aug(cast_t: str) -> str:
+    c = lambda e: f"CAST({e} AS {cast_t})"  # noqa: E731
+    return (
+        f"concat(text, ' contact user', {c('doc_id')}, '@mail', {c('doc_id % 7')}, "
+        f"'.com from 10.', {c('doc_id % 256')}, '.0.1 call +1-555-', "
+        f"lpad({c('doc_id % 10000')}, 4, '0'))"
+    )
+
+
+_PII_AUG = _pii_aug("STRING")
+_PII_AUG_SQL = _pii_aug("VARCHAR")
+
+
+def _pii_oracle_cols() -> str:
+    sig = tx.pii_sql_exprs("text")
+    return ",\n                   ".join(f"{e} AS {n}" for n, e in sig.items())
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detect + redact (emails, IPv4, phone numbers) — pure JVM regex.
+
+    The synthetic corpus carries no organic PII, so the query plants a
+    deterministic contact line per document (same SQL on both engines) and
+    then detects/redacts it — the regex machinery, counting, and sequential
+    redaction order are what's under test."""
+    d = demo.load(spark, sf_dir, "documents")
+    aug = d.withColumn("text", F.expr(_PII_AUG))
+    sig = tx.pii_exprs("text")
+    return aug.select("doc_id", *[F.expr(e).alias(n) for n, e in sig.items()])
+
+
+def q_rep_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (dup-token ratio, top-token share)."""
+    return tx.repetition_stats(demo.load(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language discrete length quantiles (percentile_disc: exact row
+    values, no interpolation -> bit-identical across engines)."""
+    d = demo.load(spark, sf_dir, "documents")
+    d.createOrReplaceTempView("documents_lq")
+    return spark.sql(
+        """
+        SELECT lang,
+               COUNT(1) AS n_docs,
+               CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY n_chars) AS DOUBLE) AS p25,
+               CAST(percentile_disc(0.50) WITHIN GROUP (ORDER BY n_chars) AS DOUBLE) AS p50,
+               CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY n_chars) AS DOUBLE) AS p75,
+               CAST(percentile_disc(0.90) WITHIN GROUP (ORDER BY n_chars) AS DOUBLE) AS p90,
+               CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY n_chars) AS DOUBLE) AS p99
+        FROM documents_lq GROUP BY lang
+        """
+    )
+
+
+def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization of the events stream (F.session_window)."""
+    ev = demo.load(spark, sf_dir, "events")
+    return wd.session_windows(ev, gap="30 minutes", key_cols=["user_id"])
+
+
+def q_fk_apply_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FK-aware apply ordering: longest-path level per table (parents-first
+    stages for inserts, reversed for deletes) joined with live row counts."""
+    tables = ["region", "nation", "customer", "supplier", "part", "orders", "lineitem"]
+    levels, cyclic = fk_levels(tables, TPCH_FK_EDGES)
+    assert not cyclic
+    lv_df = spark.createDataFrame(
+        [(tb, lv) for tb, lv in levels.items()], "tb string, fk_level int"
+    )
+    counts = None
+    for tb in tables:
+        c = demo.load(spark, sf_dir, tb).agg(
+            F.lit(tb).alias("tb"), F.count(F.lit(1)).alias("n_rows")
+        )
+        counts = c if counts is None else counts.unionByName(c)
+    return lv_df.join(counts, "tb").select("tb", "fk_level", "n_rows")
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Opaque-binary payload column + typed metadata (JVM-side exprs)."""
     d = demo.load(spark, sf_dir, "documents")
@@ -775,6 +858,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
+        "pii_redact": q_pii_redact,
+        "rep_stats": q_rep_stats,
+        "length_quantiles": q_length_quantiles,
+        "session_windows": q_session_windows,
+        "fk_apply_order": q_fk_apply_order,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_decode": q_multimodal_decode,
     }
@@ -1449,5 +1537,61 @@ def oracle_sql() -> dict[str, str]:
                    substr(upper(hex(encode(text))), 1, 8) AS magic,
                    substr(lower(sha256(text)), 1, 16) AS sha_prefix
             FROM documents
+        """,
+        "pii_redact": f"""
+            WITH aug AS (SELECT doc_id, {_PII_AUG_SQL} AS text FROM documents)
+            SELECT doc_id,
+                   {_pii_oracle_cols()}
+            FROM aug
+        """,
+        "rep_stats": tx.repetition_stats_sql("doc_id", "text"),
+        "length_quantiles": """
+            SELECT lang,
+                   COUNT(1) AS n_docs,
+                   CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY n_chars) AS DOUBLE) AS p25,
+                   CAST(percentile_disc(0.50) WITHIN GROUP (ORDER BY n_chars) AS DOUBLE) AS p50,
+                   CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY n_chars) AS DOUBLE) AS p75,
+                   CAST(percentile_disc(0.90) WITHIN GROUP (ORDER BY n_chars) AS DOUBLE) AS p90,
+                   CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY n_chars) AS DOUBLE) AS p99
+            FROM documents GROUP BY lang
+        """,
+        "session_windows": """
+            WITH d AS (
+              SELECT user_id, ts, event_type,
+                     CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                               >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+              FROM events),
+            s AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                           ROWS UNBOUNDED PRECEDING) AS sess
+                  FROM d)
+            SELECT user_id,
+                   epoch_ms(MIN(ts)) AS session_start_ms,
+                   epoch_ms(MAX(ts)) + 1800000 AS session_end_ms,
+                   COUNT(*) AS n_events,
+                   SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchases
+            FROM s GROUP BY user_id, sess
+        """,
+        "fk_apply_order": """
+            WITH RECURSIVE
+            edges(child, parent) AS (VALUES
+              ('nation','region'),('customer','nation'),('supplier','nation'),
+              ('orders','customer'),('lineitem','orders'),('lineitem','part'),
+              ('lineitem','supplier')),
+            tabs(tb) AS (VALUES ('region'),('nation'),('customer'),('supplier'),
+                                ('part'),('orders'),('lineitem')),
+            paths(tb, depth) AS (
+              SELECT tb, 0 FROM tabs
+              UNION ALL
+              SELECT e.child, p.depth + 1 FROM paths p JOIN edges e ON e.parent = p.tb),
+            lv AS (SELECT tb, CAST(MAX(depth) AS INTEGER) AS fk_level FROM paths GROUP BY tb),
+            cnt AS (
+              SELECT 'region' AS tb, COUNT(*) AS n_rows FROM region UNION ALL
+              SELECT 'nation', COUNT(*) FROM nation UNION ALL
+              SELECT 'customer', COUNT(*) FROM customer UNION ALL
+              SELECT 'supplier', COUNT(*) FROM supplier UNION ALL
+              SELECT 'part', COUNT(*) FROM part UNION ALL
+              SELECT 'orders', COUNT(*) FROM orders UNION ALL
+              SELECT 'lineitem', COUNT(*) FROM lineitem)
+            SELECT lv.tb AS tb, fk_level, n_rows FROM lv JOIN cnt ON lv.tb = cnt.tb
         """,
     }

@@ -222,6 +222,89 @@ def quality_sql_exprs(col: str = "text") -> dict[str, str]:
 QUALITY_SCORE = "0.4 * stopword_ratio + 0.3 * least(1.0, CAST(n_tokens AS DOUBLE) / 100.0) + 0.3 * alpha_ratio"
 
 
+# ---------------------------------------------------------------------------
+# PII detection / redaction
+# ---------------------------------------------------------------------------
+
+# Patterns restricted to syntax Java regex and RE2 (DuckDB) agree on: no
+# backreferences, no lookaround, and — crucially — no backslashes: Spark SQL
+# string literals eat single backslashes while DuckDB's don't, so metachars
+# are neutralized with character classes ([.], [+]) that read identically as
+# SQL literals in both dialects. Order matters for redaction: emails first
+# (their local part can contain digits a later pass would misread), then IPs
+# (dotted quads would otherwise partially match the phone pattern), then
+# phone numbers.
+PII_PATTERNS = {
+    "email": "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+[.][a-zA-Z]{2,}",
+    "ipv4": "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}",
+    "phone": "[+][0-9]{1,3}-[0-9]{3}-[0-9]{3,4}(-[0-9]{3,4})?",
+}
+
+
+def pii_exprs(col: str = "text") -> dict[str, str]:
+    """SQL exprs (Spark dialect): per-kind PII match counts plus the fully
+    redacted text. Pure JVM regex — single pass per pattern, no shuffle; at
+    100 TB this is scan-bound and embarrassingly parallel per document."""
+    out: dict[str, str] = {}
+    red = col
+    for kind, pat in PII_PATTERNS.items():
+        out[f"n_{kind}"] = f"size(regexp_extract_all({red}, '{pat}', 0))"
+        red = f"regexp_replace({red}, '{pat}', '<{kind.upper()}>')"
+    out["redacted"] = red
+    return out
+
+
+def pii_sql_exprs(col: str = "text") -> dict[str, str]:
+    """DuckDB twins (regexp_replace needs the 'g' flag; counts via
+    regexp_extract_all like Spark)."""
+    out: dict[str, str] = {}
+    red = col
+    for kind, pat in PII_PATTERNS.items():
+        out[f"n_{kind}"] = f"len(regexp_extract_all({red}, '{pat}', 0))"
+        red = f"regexp_replace({red}, '{pat}', '<{kind.upper()}>', 'g')"
+    out["redacted"] = red
+    return out
+
+
+def repetition_stats(df: DataFrame, id_col: str = "doc_id", col: str = "text") -> DataFrame:
+    """Gopher-style repetition signals per document: token count, distinct
+    token count, duplicate-token ratio, and the most-frequent token's share.
+
+    Plan shape: explode -> two hash aggregations (doc+token, then doc). Both
+    aggs partial-aggregate map-side; the shuffle key is (doc, token) then doc,
+    so the stage parallelism scales with corpus size and no state ever exceeds
+    one document's vocabulary. The ratios divide identical BIGINT operands as
+    DOUBLE on both engines -> bit-identical."""
+    toks = df.select(F.col(id_col), F.explode(F.expr(tokens_expr(col))).alias("tok"))
+    per_tok = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    return per_tok.groupBy(id_col).agg(
+        F.sum("cnt").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.expr(
+            "CAST(sum(cnt) - count(1) AS DOUBLE) / CAST(greatest(sum(cnt), 1) AS DOUBLE)"
+        ).alias("dup_ratio"),
+        F.expr("CAST(max(cnt) AS DOUBLE) / CAST(greatest(sum(cnt), 1) AS DOUBLE)").alias(
+            "top_share"
+        ),
+    )
+
+
+def repetition_stats_sql(id_col: str = "doc_id", col: str = "text") -> str:
+    """DuckDB twin of repetition_stats (documents table)."""
+    return f"""
+WITH toks AS (
+  SELECT {id_col}, unnest({tokens_sql(col)}) AS tok FROM documents),
+per_tok AS (
+  SELECT {id_col}, tok, COUNT(*) AS cnt FROM toks GROUP BY {id_col}, tok)
+SELECT {id_col},
+       SUM(cnt) AS n_tokens,
+       COUNT(*) AS n_distinct,
+       CAST(SUM(cnt) - COUNT(*) AS DOUBLE) / CAST(GREATEST(SUM(cnt), 1) AS DOUBLE) AS dup_ratio,
+       CAST(MAX(cnt) AS DOUBLE) / CAST(GREATEST(SUM(cnt), 1) AS DOUBLE) AS top_share
+FROM per_tok GROUP BY {id_col}
+"""
+
+
 def fingerprint_expr(col: str = "text") -> str:
     """Document fingerprint: rolling polynomial hash of the normalized text
     (whitespace-collapsed, ASCII-only, lowercased) — stable under incidental

@@ -41,12 +41,17 @@ BENCH_QUERIES = [
     "cdc_apply_state",
     "py_transform",
     "mongo_compact",
+    "session_windows",
+    "fk_apply_order",
     # training-data pipeline extensions (BASELINE.json north star)
     "dedup_exact",
     "doc_fingerprint",
     "token_stats",
     "lang_id",
     "quality_score",
+    "pii_redact",
+    "rep_stats",
+    "length_quantiles",
     "multimodal_meta",
     "multimodal_decode",
     "cosine_topk",

@@ -208,3 +208,29 @@ def test_cosine_dup_pairs_planted_twin(spark, sf_dir):
     for r in emb.filter(F.col("vec_id") % 100 == 0).select("vec_id").collect():
         assert (r["vec_id"], r["vec_id"] + 500_000) in got
     assert all(a < b for a, b in got)
+
+
+def test_pii_redact_known_text(spark):
+    df = spark.createDataFrame(
+        [("mail bob.smith@corp.example.org host 192.168.1.250 tel +44-201-555-0199 end",),
+         ("no pii here, just 1.5 million words and v2.0 notes",)],
+        "text string",
+    )
+    sig = tx.pii_exprs("text")
+    rows = df.select(*(F.expr(e).alias(n) for n, e in sig.items())).collect()
+    assert (rows[0]["n_email"], rows[0]["n_ipv4"], rows[0]["n_phone"]) == (1, 1, 1)
+    assert rows[0]["redacted"] == "mail <EMAIL> host <IPV4> tel <PHONE> end"
+    # version strings / decimals must not trip the IP or phone patterns
+    assert (rows[1]["n_email"], rows[1]["n_ipv4"], rows[1]["n_phone"]) == (0, 0, 0)
+    assert rows[1]["redacted"] == rows[1].asDict()["redacted"]
+
+
+def test_repetition_stats_hand_computed(spark):
+    df = spark.createDataFrame(
+        [(1, "a a a b"), (2, "x y z w"), (3, "q q q q")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in tx.repetition_stats(df, "doc_id", "text").collect()}
+    assert (got[1]["n_tokens"], got[1]["n_distinct"]) == (4, 2)
+    assert got[1]["dup_ratio"] == 0.5 and got[1]["top_share"] == 0.75
+    assert got[2]["dup_ratio"] == 0.0 and got[2]["top_share"] == 0.25
+    assert got[3]["dup_ratio"] == 0.75 and got[3]["top_share"] == 1.0

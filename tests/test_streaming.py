@@ -277,3 +277,40 @@ def test_spill_replay_seq_visibility(spark, tmp_path):
     table.merge_apply(compacted, spilled, ["id"])
     rows = table.current().collect()
     assert [(r["name"], r["bal"]) for r in rows] == [("g2", 2)]
+
+
+def test_two_way_cycle_topology_no_echo(spark, tmp_path):
+    """cycle_basic/net_test parity (dt-tests mysql_to_mysql/cdc/cycle_*): a
+    3-node ring A -> B -> C -> A where every relay preserves the ORIGINAL
+    origin marker. The event must apply at B and C and be dropped when the
+    ring closes back at A — loop prevention without coordination."""
+    from ape_dts_spark.sinks.wire_format import mark_origin
+
+    # relay marking: a hop must stamp its own id only on locally-born events,
+    # never overwrite an upstream origin (data_marker.rs topology semantics)
+    mixed = spark.createDataFrame([("A",), (None,)], "origin_node string")
+    assert {r["origin_node"] for r in mark_origin(mixed, "B").collect()} == {"A", "B"}
+
+    def node(name):
+        d = tmp_path / name
+        (d / "in").mkdir(parents=True)
+        table = ParquetTable(spark, str(d / "tbl"), PAYLOAD)
+        pipe = CdcPipeline(spark, table, key_cols=["id"], ignore_origin_nodes=(name,))
+        return table, pipe, str(d / "in"), str(d / "ckpt")
+
+    t_a, p_a, in_a, ck_a = node("A")
+    t_b, p_b, in_b, ck_b = node("B")
+    t_c, p_c, in_c, ck_c = node("C")
+
+    relay = [ev("c", after={"id": 77, "name": "ring", "bal": 5}, seq=1, origin="A")]
+    # A's write reaches B (origin A passes B's filter), then C, both apply
+    write_debezium_jsonl(relay, os.path.join(in_b, "relay.jsonl"))
+    p_b.run(read_json_change_stream(spark, in_b, PAYLOAD), ck_b)
+    assert set(state_dict(t_b)) == {77}
+    write_debezium_jsonl(relay, os.path.join(in_c, "relay.jsonl"))
+    p_c.run(read_json_change_stream(spark, in_c, PAYLOAD), ck_c)
+    assert set(state_dict(t_c)) == {77}
+    # ring closes: the same event returns to A still marked origin=A -> dropped
+    write_debezium_jsonl(relay, os.path.join(in_a, "relay.jsonl"))
+    p_a.run(read_json_change_stream(spark, in_a, PAYLOAD), ck_a)
+    assert state_dict(t_a) == {}

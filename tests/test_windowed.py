@@ -6,7 +6,12 @@ from pyspark.sql import functions as F
 
 from ape_dts_spark import demo
 from ape_dts_spark.streaming.cdc import parse_debezium, read_json_change_stream, write_debezium_jsonl
-from ape_dts_spark.streaming.windowed import heartbeat_lag, stateful_seq_dedup, windowed_event_counts
+from ape_dts_spark.streaming.windowed import (
+    heartbeat_lag,
+    session_windows,
+    stateful_seq_dedup,
+    windowed_event_counts,
+)
 
 from tests.test_streaming import PAYLOAD, ev
 
@@ -34,6 +39,39 @@ def test_windowed_counts_streaming(spark, sf_dir, tmp_path):
     )
     q.awaitTermination()
     got = spark.sql("SELECT SUM(n) AS n FROM win_counts").collect()[0]["n"]
+    assert got == demo.load(spark, sf_dir, "events").count()
+
+
+def test_session_windows_batch_merges_gaps(spark, sf_dir):
+    ev_df = demo.load(spark, sf_dir, "events")
+    out = session_windows(ev_df, gap="30 minutes", key_cols=["user_id"])
+    rows = out.collect()
+    assert sum(r["n_events"] for r in rows) == ev_df.count()
+    # session bounds: end = last event + gap, so every session spans >= gap
+    assert all(r["session_end_ms"] - r["session_start_ms"] >= 30 * 60 * 1000 for r in rows)
+    # sessions of one user never overlap
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append((r["session_start_ms"], r["session_end_ms"]))
+    for spans in by_user.values():
+        spans.sort()
+        assert all(a_end <= b_start for (_, a_end), (b_start, _) in zip(spans, spans[1:]))
+
+
+def test_session_windows_streaming(spark, sf_dir, tmp_path):
+    src = str(tmp_path / "sess_in")
+    demo.load(spark, sf_dir, "events").coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    out = session_windows(stream, gap="30 minutes", key_cols=["user_id"], watermark="1 day")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("SELECT SUM(n_events) AS n FROM sess_counts").collect()[0]["n"]
     assert got == demo.load(spark, sf_dir, "events").count()
 
 
