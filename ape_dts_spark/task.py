@@ -34,6 +34,7 @@ from ape_dts_spark.config.task_config import TaskConfig
 from ape_dts_spark.model.changes import ROW_TYPE_INSERT
 from ape_dts_spark.operators.check_log import read_check_log_keys, write_check_log
 from ape_dts_spark.operators.checker import check_diff
+from ape_dts_spark.plans.fk_order import apply_stages
 from ape_dts_spark.sinks.parquet_table import ParquetTable
 from ape_dts_spark.sinks.sql_file import events_to_sql, write_sql_file
 from ape_dts_spark.sources.snapshot import SnapshotSource
@@ -71,6 +72,16 @@ def run_task(spark: SparkSession, cfg: TaskConfig, registry: dict[str, list[str]
     if extract_type == "snapshot":
         source = SnapshotSource(spark, filter=cfg.filter, router=cfg.router, schema_name=schema)
         tables = [t for t in _tables_from(cfg, src_dir) if not cfg.filter.filter_tb(schema, t)]
+        # FK mode: when the target enforces foreign keys the reference drops
+        # to fully-serial apply (SURVEY §2.6); the stage plan keeps intra-
+        # table parallelism and only sequences table groups parents-first.
+        fk_spec = cfg.extractor.get("foreign_keys", "")
+        if fk_spec:
+            edges = [
+                tuple(e.strip().split(":", 1)) for e in fk_spec.split(",") if ":" in e
+            ]
+            stages = apply_stages(tables, edges)
+            tables = [tb for stage in stages for tb in stage if tb in set(tables)]
         parallel = cfg.parallelizer.get_int("parallel_size", 0)
         result = TaskResult(kind="snapshot")
         for tb in tables:

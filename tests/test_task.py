@@ -232,3 +232,27 @@ python_code_file={code_file}
     res = run_task(spark, cfg, registry={"users": ["id"]})
     rows = {r["id"]: r["bal"] for r in res.tables["users"].collect()}
     assert rows == {1: 111}  # skipme filtered; update value mutated by script
+
+
+def test_snapshot_task_fk_stage_order(spark, tmp_path):
+    """FK mode sequences table stages parents-first while leaving
+    intra-table parallelism alone (foreign_key_test parity)."""
+    cfg = TaskConfig.from_string(
+        f"""
+[extractor]
+extract_type=snapshot
+url={SF}
+db=default
+tables=lineitem,customer,orders,nation,region
+foreign_keys=nation:region,customer:nation,orders:customer,lineitem:orders
+
+[sinker]
+sink_type=parquet
+url={tmp_path}/out
+"""
+    )
+    res = run_task(spark, cfg)
+    # dict insertion order records apply order
+    assert list(res.outputs) == ["region", "nation", "customer", "orders", "lineitem"]
+    for tb in res.tables:
+        assert res.tables[tb].count() == spark.read.parquet(f"{SF}/{tb}.parquet").count()
