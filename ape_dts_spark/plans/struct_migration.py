@@ -189,11 +189,28 @@ def _sparksql_type(dt: T.DataType) -> str:
 
 
 
+
+def _bt(name: str) -> str:
+    """Backtick-quoted identifier, embedded backticks doubled (MySQL-family
+    + Spark SQL; the reference's special-character-identifier tests)."""
+    return "`" + str(name).replace("`", "``") + "`"
+
+
+def _dq(name: str) -> str:
+    """Double-quote-quoted identifier, embedded quotes doubled (PG)."""
+    return '"' + str(name).replace('"', '""') + '"'
+
+
+def _sq(text: str) -> str:
+    """Single-quoted SQL string literal, embedded quotes doubled."""
+    return "'" + str(text).replace("'", "''") + "'"
+
+
 def _col_comment(f: T.StructField) -> str:
     """Inline column-comment suffix (mysql/clickhouse/starrocks/sparksql;
     PG uses out-of-line COMMENT ON via to_comment_ddl)."""
     c = (f.metadata or {}).get("comment")
-    return f" COMMENT '{c}'" if c else ""
+    return f" COMMENT {_sq(c)}" if c else ""
 
 
 def to_create_table(td: TableDef, dialect: str) -> str:
@@ -206,51 +223,51 @@ def to_create_table(td: TableDef, dialect: str) -> str:
     if dialect == "sparksql":
         for f in td.columns.fields:
             null = "" if f.nullable else " NOT NULL"
-            lines.append(f"  `{f.name}` {_sparksql_type(f.dataType)}{null}{_col_comment(f)}")
+            lines.append(f"  {_bt(f.name)} {_sparksql_type(f.dataType)}{null}{_col_comment(f)}")
         body = ",\n".join(lines)
         return (
-            f"CREATE TABLE `{td.schema}`.`{td.tb}` (\n{body}\n) USING parquet"
-            + (f" COMMENT '{td.comment}'" if td.comment else "")
+            f"CREATE TABLE {_bt(td.schema)}.{_bt(td.tb)} (\n{body}\n) USING parquet"
+            + (f" COMMENT {_sq(td.comment)}" if td.comment else "")
         )
 
     if dialect == "mysql":
         for f in td.columns.fields:
             null = " NOT NULL" if (not f.nullable or f.name in pks) else ""
-            lines.append(f"  `{f.name}` {_mysql_type(f.dataType, f.name in pks)}{null}{_col_comment(f)}")
+            lines.append(f"  {_bt(f.name)} {_mysql_type(f.dataType, f.name in pks)}{null}{_col_comment(f)}")
         if pks:
-            lines.append("  PRIMARY KEY (" + ", ".join(f"`{k}`" for k in td.primary_keys) + ")")
-        return f"CREATE TABLE `{td.schema}`.`{td.tb}` (\n" + ",\n".join(lines) + "\n)"
+            lines.append("  PRIMARY KEY (" + ", ".join(_bt(k) for k in td.primary_keys) + ")")
+        return f"CREATE TABLE {_bt(td.schema)}.{_bt(td.tb)} (\n" + ",\n".join(lines) + "\n)"
 
     if dialect == "pg":
         for f in td.columns.fields:
             null = " NOT NULL" if (not f.nullable or f.name in pks) else ""
-            lines.append(f'  "{f.name}" {_pg_type(f.dataType, f.name in pks)}{null}')
+            lines.append(f'  {_dq(f.name)} {_pg_type(f.dataType, f.name in pks)}{null}')
         if pks:
-            lines.append('  PRIMARY KEY (' + ", ".join(f'"{k}"' for k in td.primary_keys) + ")")
-        return f'CREATE TABLE "{td.schema}"."{td.tb}" (\n' + ",\n".join(lines) + "\n)"
+            lines.append('  PRIMARY KEY (' + ", ".join(_dq(k) for k in td.primary_keys) + ")")
+        return f'CREATE TABLE {_dq(td.schema)}.{_dq(td.tb)} (\n' + ",\n".join(lines) + "\n)"
 
     if dialect == "clickhouse":
         # append-only upsert emulation: ReplacingMergeTree(version) + sign col
         for f in td.columns.fields:
             nullable = f.nullable and f.name not in pks
-            lines.append(f"  `{f.name}` {_clickhouse_type(f.dataType, nullable)}{_col_comment(f)}")
+            lines.append(f"  {_bt(f.name)} {_clickhouse_type(f.dataType, nullable)}{_col_comment(f)}")
         lines.append(f"  `{SOFT_DELETE_COL}` UInt8")
         lines.append(f"  `{VERSION_COL}` UInt64")
-        order_by = ", ".join(f"`{k}`" for k in td.primary_keys) or "tuple()"
+        order_by = ", ".join(_bt(k) for k in td.primary_keys) or "tuple()"
         return (
-            f"CREATE TABLE `{td.schema}`.`{td.tb}` (\n" + ",\n".join(lines) + "\n)"
+            f"CREATE TABLE {_bt(td.schema)}.{_bt(td.tb)} (\n" + ",\n".join(lines) + "\n)"
             f"\nENGINE = ReplacingMergeTree(`{VERSION_COL}`)\nORDER BY ({order_by})"
         )
 
     # starrocks: PRIMARY KEY model; soft-delete column for delete propagation
     for f in td.columns.fields:
         null = " NOT NULL" if (not f.nullable or f.name in pks) else ""
-        lines.append(f"  `{f.name}` {_starrocks_type(f.dataType, f.name in pks)}{null}{_col_comment(f)}")
+        lines.append(f"  {_bt(f.name)} {_starrocks_type(f.dataType, f.name in pks)}{null}{_col_comment(f)}")
     lines.append(f"  `{SOFT_DELETE_COL}` BOOLEAN")
     lines.append(f"  `{VERSION_COL}` BIGINT")
-    pk = ", ".join(f"`{k}`" for k in td.primary_keys)
+    pk = ", ".join(_bt(k) for k in td.primary_keys)
     return (
-        f"CREATE TABLE `{td.schema}`.`{td.tb}` (\n" + ",\n".join(lines) + "\n)"
+        f"CREATE TABLE {_bt(td.schema)}.{_bt(td.tb)} (\n" + ",\n".join(lines) + "\n)"
         + (f"\nPRIMARY KEY ({pk})\nDISTRIBUTED BY HASH ({pk})" if pk else "")
     )
 
@@ -261,10 +278,10 @@ def to_database_ddl(schema: str, dialect: str) -> str:
     if dialect not in DIALECTS:
         raise ValueError(f"unsupported dialect {dialect!r}; one of {DIALECTS}")
     if dialect == "pg":
-        return f'CREATE SCHEMA IF NOT EXISTS "{schema}"'
+        return f'CREATE SCHEMA IF NOT EXISTS {_dq(schema)}'
     if dialect == "sparksql":
-        return f"CREATE DATABASE IF NOT EXISTS `{schema}`"
-    return f"CREATE DATABASE IF NOT EXISTS `{schema}`"
+        return f"CREATE DATABASE IF NOT EXISTS {_bt(schema)}"
+    return f"CREATE DATABASE IF NOT EXISTS {_bt(schema)}"
 
 
 def to_sequence_ddl(schema: str, seq: SequenceDef, dialect: str) -> list[str]:
@@ -276,12 +293,12 @@ def to_sequence_ddl(schema: str, seq: SequenceDef, dialect: str) -> list[str]:
         raise ValueError(f"unsupported dialect {dialect!r}; one of {DIALECTS}")
     if dialect == "pg":
         out = [
-            f'CREATE SEQUENCE IF NOT EXISTS "{schema}"."{seq.name}"'
+            f'CREATE SEQUENCE IF NOT EXISTS {_dq(schema)}.{_dq(seq.name)}'
             f" START WITH {seq.start} INCREMENT BY {seq.increment}"
         ]
         if seq.owned_by:
             tb, col = seq.owned_by.split(".", 1)
-            out.append(f'ALTER SEQUENCE "{schema}"."{seq.name}" OWNED BY "{schema}"."{tb}"."{col}"')
+            out.append(f'ALTER SEQUENCE {_dq(schema)}.{_dq(seq.name)} OWNED BY {_dq(schema)}.{_dq(tb)}.{_dq(col)}')
         return out
     if dialect in ("mysql", "starrocks"):
         return [f"-- sequence `{seq.name}`: modeled as AUTO_INCREMENT on {seq.owned_by or '<unowned>'}"]
@@ -296,11 +313,11 @@ def to_comment_ddl(td: TableDef) -> list[str]:
     in CREATE TABLE)."""
     out = []
     if td.comment:
-        out.append(f'COMMENT ON TABLE "{td.schema}"."{td.tb}" IS \'{td.comment}\'')
+        out.append(f'COMMENT ON TABLE {_dq(td.schema)}.{_dq(td.tb)} IS {_sq(td.comment)}')
     for f in td.columns.fields:
         c = (f.metadata or {}).get("comment")
         if c:
-            out.append(f'COMMENT ON COLUMN "{td.schema}"."{td.tb}"."{f.name}" IS \'{c}\'')
+            out.append(f'COMMENT ON COLUMN {_dq(td.schema)}.{_dq(td.tb)}.{_dq(f.name)} IS {_sq(c)}')
     return out
 
 
@@ -327,26 +344,26 @@ def to_index_ddl(td: TableDef, dialect: str) -> list[str]:
         raise ValueError(f"unsupported dialect {dialect!r}; one of {DIALECTS}")
     out: list[str] = []
     for ix in td.indexes:
-        cols_bt = ", ".join(f"`{c}`" for c in ix.columns)
+        cols_bt = ", ".join(_bt(c) for c in ix.columns)
         if dialect == "mysql":
             u = "UNIQUE " if ix.unique else ""
-            out.append(f"CREATE {u}INDEX `{ix.name}` ON `{td.schema}`.`{td.tb}` ({cols_bt})")
+            out.append(f"CREATE {u}INDEX {_bt(ix.name)} ON {_bt(td.schema)}.{_bt(td.tb)} ({cols_bt})")
         elif dialect == "pg":
-            cols = ", ".join(f'"{c}"' for c in ix.columns)
+            cols = ", ".join(_dq(c) for c in ix.columns)
             u = "UNIQUE " if ix.unique else ""
-            out.append(f'CREATE {u}INDEX "{ix.name}" ON "{td.schema}"."{td.tb}" ({cols})')
+            out.append(f'CREATE {u}INDEX {_dq(ix.name)} ON {_dq(td.schema)}.{_dq(td.tb)} ({cols})')
         elif dialect == "clickhouse":
             if ix.unique:
                 out.append(f"-- skipped: unique constraint `{ix.name}` (ReplacingMergeTree key handles uniqueness)")
             else:
                 out.append(
-                    f"ALTER TABLE `{td.schema}`.`{td.tb}` ADD INDEX `{ix.name}` ({cols_bt}) TYPE minmax GRANULARITY 1"
+                    f"ALTER TABLE {_bt(td.schema)}.{_bt(td.tb)} ADD INDEX {_bt(ix.name)} ({cols_bt}) TYPE minmax GRANULARITY 1"
                 )
         elif dialect == "starrocks":
             if ix.unique:
                 out.append(f"-- skipped: unique constraint `{ix.name}` (PRIMARY KEY model)")
             elif len(ix.columns) == 1:
-                out.append(f"CREATE INDEX `{ix.name}` ON `{td.schema}`.`{td.tb}` ({cols_bt}) USING BITMAP")
+                out.append(f"CREATE INDEX {_bt(ix.name)} ON {_bt(td.schema)}.{_bt(td.tb)} ({cols_bt}) USING BITMAP")
             else:
                 out.append(f"-- skipped: multi-column index `{ix.name}` (bitmap indexes are single-column)")
         else:  # sparksql

@@ -28,13 +28,17 @@ DIALECT_QUOTE = {"mysql": "`", "pg": '"'}
 
 
 def _quoted(dialect: str, name: str) -> str:
+    """Quoted identifier with the embedded quote char doubled — a column
+    literally named a`b renders as `a``b` (MySQL) / a"b as "a""b" (PG); the
+    reference's special-character-identifier tests cover exactly this."""
     q = DIALECT_QUOTE[dialect]
-    return f"{q}{name}{q}"
+    return f"{q}{name.replace(q, q + q)}{q}"
 
 
 def _table(dialect: str) -> Column:
     q = DIALECT_QUOTE[dialect]
-    return F.concat(F.lit(q), F.col("schema"), F.lit(f"{q}.{q}"), F.col("tb"), F.lit(q))
+    esc = lambda c: F.replace(F.col(c), F.lit(q), F.lit(q + q))  # noqa: E731
+    return F.concat(F.lit(q), esc("schema"), F.lit(f"{q}.{q}"), esc("tb"), F.lit(q))
 
 
 def compacted_to_sql(compacted: DataFrame, key_cols: list[str], dialect: str = "mysql") -> DataFrame:

@@ -248,3 +248,36 @@ def test_migration_plan_structure_filter():
     assert any("CREATE TABLE" in s for s in only_tables)
     assert not any("CREATE SCHEMA" in s or "CREATE SEQUENCE" in s or "CREATE INDEX" in s
                    for s in only_tables)
+
+
+def test_identifier_and_comment_escaping():
+    """Special-character identifiers (mysql_to_mysql_case_sensitive /
+    special-char tests): embedded quote chars double, comment quotes escape."""
+    import pyspark.sql.types as T
+
+    from ape_dts_spark.plans.struct_migration import IndexDef, TableDef, to_create_table, to_index_ddl, to_comment_ddl
+
+    cols = T.StructType([
+        T.StructField("weird`col", T.LongType(), False),
+        T.StructField('quo"ted', T.StringType(), True,
+                      metadata={"comment": "it's quoted"}),
+    ])
+    td = TableDef(schema="my`db", tb='t"x', columns=cols, primary_keys=["weird`col"],
+                  comment="don't drop",
+                  indexes=[IndexDef("ix`1", ("weird`col",))])
+    my = to_create_table(td, "mysql")
+    assert "`weird``col`" in my and "`my``db`" in my
+    assert "COMMENT 'it''s quoted'" in my
+    pg = to_create_table(td, "pg")
+    assert '"quo""ted"' in pg and '"t""x"' in pg
+    assert any("'don''t drop'" in s for s in to_comment_ddl(td))
+    assert any("`ix``1`" in s for s in to_index_ddl(td, "mysql"))
+
+
+def test_upsert_sql_identifier_escaping(spark):
+    from ape_dts_spark.sinks.upsert_sql import _quoted, _table
+
+    assert _quoted("mysql", "a`b") == "`a``b`"
+    assert _quoted("pg", 'a"b') == '"a""b"'
+    df = spark.createDataFrame([("d`b", "t`b")], "schema string, tb string")
+    assert df.select(_table("mysql").alias("t")).collect()[0]["t"] == "`d``b`.`t``b`"
