@@ -504,6 +504,40 @@ def q_segment_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_customer_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operators (INTERSECT / EXCEPT): repeat customers of two
+    consecutive years (1996/97) minus those with an open ('O') order in either.
+    Parenthesized explicitly so both engines evaluate (A ∩ B) − C."""
+    o = demo.load(spark, sf_dir, "orders")
+    yr = lambda y: o.filter(F.expr(f"extract(year FROM o_orderdate) = {y}"))  # noqa: E731
+    a = yr(1996).select(F.col("o_custkey").alias("custkey"))
+    b = yr(1997).select(F.col("o_custkey").alias("custkey"))
+    c = (
+        o.filter((F.col("o_orderstatus") == "O"))
+        .filter(F.expr("extract(year FROM o_orderdate) IN (1996, 1997)"))
+        .select(F.col("o_custkey").alias("custkey"))
+    )
+    return a.intersect(b).exceptAll(c.distinct())
+
+
+def q_priority_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS with grouping() markers — the grouping-sets surface
+    beyond ROLLUP (segment_rollup): per (priority, status), per priority,
+    and the grand total in one pass."""
+    demo.load(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, o_orderstatus,
+               grouping(o_orderpriority) AS g_prio,
+               grouping(o_orderstatus) AS g_status,
+               COUNT(1) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
 def q_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chunk-planning key statistics in one scan
     (mysql_snapshot_extractor.rs:1187-1275 information_schema estimates)."""
@@ -839,6 +873,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "priority_with_returns": q_priority_with_returns,
         "parts_never_shipped": q_parts_never_shipped,
         "segment_rollup": q_segment_rollup,
+        "customer_set_ops": q_customer_set_ops,
+        "priority_grouping_sets": q_priority_grouping_sets,
         "table_stats": q_table_stats,
         "small_order_parts": q_small_order_parts,
         "order_count_histogram": q_order_count_histogram,
@@ -1424,6 +1460,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total_bal
             FROM customer JOIN nation ON c_nationkey = n_nationkey
             GROUP BY ROLLUP (c_mktsegment, n_name)
+        """,
+        "customer_set_ops": """
+            (SELECT o_custkey AS custkey FROM orders
+             WHERE extract(year FROM o_orderdate) = 1996
+             INTERSECT
+             SELECT o_custkey FROM orders
+             WHERE extract(year FROM o_orderdate) = 1997)
+            EXCEPT
+            SELECT DISTINCT o_custkey FROM orders
+            WHERE o_orderstatus = 'O' AND extract(year FROM o_orderdate) IN (1996, 1997)
+        """,
+        "priority_grouping_sets": """
+            SELECT o_orderpriority, o_orderstatus,
+                   grouping(o_orderpriority) AS g_prio,
+                   grouping(o_orderstatus) AS g_status,
+                   COUNT(1) AS n_orders,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+            FROM orders
+            GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderpriority), ())
         """,
         "table_stats": """
             SELECT COUNT(*) AS n_rows,

@@ -34,6 +34,8 @@ BENCH_QUERIES = [
     "small_order_parts",
     "order_count_histogram",
     "lapsed_customers",
+    "customer_set_ops",
+    "priority_grouping_sets",
     "update_split",
     "snapshot_resume",
     "wire_roundtrip",

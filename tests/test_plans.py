@@ -61,3 +61,23 @@ def test_token_stats_no_shuffle(spark, sf_dir):
     # pure per-row JVM expressions over one scan: no exchange at all
     plan = _plan(spark, sf_dir, "token_stats")
     assert "Exchange" not in plan
+
+
+def test_rep_stats_partial_aggregation(spark, sf_dir):
+    # explode -> two agg levels, both with map-side partial aggregation
+    plan = _plan(spark, sf_dir, "rep_stats")
+    assert plan.count("HashAggregate") >= 4  # partial+final per level
+    # only doc_id + text reach the scan
+    assert "lang" not in plan and "source" not in plan
+
+
+def test_pii_redact_no_shuffle_and_pruned(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "pii_redact")
+    assert "Exchange" not in plan  # embarrassingly parallel per document
+    assert "lang" not in plan and "source" not in plan
+
+
+def test_session_windows_single_shuffle(spark, sf_dir):
+    # one exchange on the grouping key; session merge happens inside the agg
+    plan = _plan(spark, sf_dir, "session_windows")
+    assert plan.count("Exchange hashpartitioning") == 1
