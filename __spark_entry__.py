@@ -18,6 +18,7 @@ from pyspark.sql import Window as W
 from ape_dts_spark import demo
 from ape_dts_spark.config.rdb_filter import RdbFilter
 from ape_dts_spark.functions import dedup as dd
+from ape_dts_spark.functions import mixing as mx
 from ape_dts_spark.functions import multimodal as mm
 from ape_dts_spark.functions import similarity as sim
 from ape_dts_spark.functions import text as tx
@@ -808,6 +809,23 @@ def q_fk_apply_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lv_df.join(counts, "tb").select("tb", "fk_level", "n_rows")
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-language sample quotas with deterministic membership
+    (training-data mixing; df.sampleBy is probabilistic, quotas here are
+    exact and reproducible across engines)."""
+    d = demo.load(spark, sf_dir, "documents")
+    return mx.stratified_quota(d, "lang", 100, "doc_id").select(
+        "doc_id", "lang", "sample_rank"
+    )
+
+
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy token-budget packing into training sequences, per shard
+    (stateful applyInPandas kernel vs a recursive-CTE oracle)."""
+    d = demo.load(spark, sf_dir, "documents")
+    return mx.sequence_packing(d, "n_chars", budget=2048, id_col="doc_id", n_shards=32)
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Opaque-binary payload column + typed metadata (JVM-side exprs)."""
     d = demo.load(spark, sf_dir, "documents")
@@ -895,6 +913,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
         "pii_redact": q_pii_redact,
+        "stratified_sample": q_stratified_sample,
+        "sequence_packing": q_sequence_packing,
         "rep_stats": q_rep_stats,
         "length_quantiles": q_length_quantiles,
         "session_windows": q_session_windows,
@@ -1600,6 +1620,13 @@ def oracle_sql() -> dict[str, str]:
             FROM aug
         """,
         "rep_stats": tx.repetition_stats_sql("doc_id", "text"),
+        "stratified_sample": f"""
+            WITH sel AS ({mx.stratified_quota_sql("documents", "lang", 100, "doc_id")})
+            SELECT doc_id, lang, sample_rank FROM sel
+        """,
+        "sequence_packing": mx.sequence_packing_sql(
+            "SELECT doc_id, n_chars AS n_tokens FROM documents", 2048, "doc_id", 32
+        ),
         "length_quantiles": """
             SELECT lang,
                    COUNT(1) AS n_docs,

@@ -1,0 +1,166 @@
+"""Training-data mixing operators: exact stratified quotas + sequence packing.
+
+Neither exists in the reference (it moves rows, it doesn't curate corpora);
+these are the BASELINE.json training-pipeline extensions a 100-TB data
+engine needs between dedup/quality-filtering and tokenization:
+
+- ``stratified_quota``: exact per-group sample quotas (e.g. "200 docs per
+  language", "rebalance sources to a target mix"). ``df.sampleBy`` is
+  probabilistic — quota hits are approximate; training-data mixing wants
+  *exact* counts with *deterministic* membership. Selection key: each doc is
+  ranked inside its group by the portable 31-polynomial hash of its id (a
+  deterministic pseudo-random order reproducible in any engine), and the
+  first ``quota`` ranks win.
+- ``sequence_packing``: greedy document concatenation into fixed token-budget
+  training sequences. A single global greedy pack is inherently serial, so
+  the operator packs per shard (``id % n_shards``): inside a shard documents
+  are processed in id order and a document whose tokens would overflow the
+  budget starts the next sequence. Shards are independent — the plan is one
+  hash shuffle + per-partition window arithmetic, which scales linearly with
+  corpus size; the packing loss vs a global bin-pack is the standard
+  trade-off every production pipeline takes.
+
+Both are pure window/aggregate arithmetic over integers — exact cross-engine
+oracles exist for the full pipelines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ape_dts_spark.functions.text import portable_hash_expr
+
+
+def _rank_hash(id_col: str) -> str:
+    """Deterministic per-doc shuffle key: portable hash of the stringified id
+    (engine-reproducible; avoids favoring low ids the way rank-by-id would)."""
+    return portable_hash_expr(f"CAST({id_col} AS STRING)")
+
+
+def stratified_quota(
+    df: DataFrame,
+    group_col: str,
+    quota: int | dict[str, int],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact per-group quotas with deterministic membership.
+
+    ``quota`` is either one int for every group or {group_value: quota}.
+    Output: the selected rows plus ``sample_rank`` (1-based rank inside the
+    group under the hash order — stable, so growing a quota only *adds*
+    rows, it never swaps earlier selections; that property is what makes
+    mix re-balancing reproducible across pipeline runs).
+
+    Plan: one hash shuffle on the group + per-partition sort — the same
+    shape as any window; no driver-side state.
+    """
+    w = Window.partitionBy(group_col).orderBy(
+        F.expr(_rank_hash(id_col)).asc(), F.col(id_col).asc()
+    )
+    ranked = df.withColumn("sample_rank", F.row_number().over(w))
+    if isinstance(quota, int):
+        return ranked.filter(F.col("sample_rank") <= quota)
+    mapping = F.create_map(*[F.lit(x) for kv in quota.items() for x in kv])
+    return ranked.filter(F.col("sample_rank") <= mapping[F.col(group_col)])
+
+
+def stratified_quota_sql(
+    table: str, group_col: str, quota: int, id_col: str = "doc_id"
+) -> str:
+    """DuckDB twin of stratified_quota (uniform quota form)."""
+    from ape_dts_spark.functions.text import portable_hash_sql
+
+    h = portable_hash_sql(f"CAST({id_col} AS VARCHAR)")
+    return f"""
+WITH ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY {group_col}
+                               ORDER BY {h} ASC, {id_col} ASC) AS sample_rank
+  FROM {table})
+SELECT * FROM ranked WHERE sample_rank <= {quota}
+"""
+
+
+def sequence_packing(
+    df: DataFrame,
+    token_col: str,
+    budget: int,
+    id_col: str = "doc_id",
+    n_shards: int = 32,
+) -> DataFrame:
+    """Greedy token-budget packing, per shard in id order: a document that
+    would overflow the open sequence closes it and starts the next one; a
+    document alone at the head of a sequence keeps it even when it exceeds
+    the budget on its own (downstream truncation's problem — the packer must
+    not lose documents).
+
+    Greedy packing carries running state (the open sequence's fill, which
+    RESETS at every close), which windowed cumsum arithmetic cannot express
+    — a boundary-crossing cumsum chunker mis-bins as soon as a sequence
+    closes below budget. So this is the honest stateful kernel: one hash
+    shuffle on ``shard`` then an Arrow-batched ``applyInPandas`` running the
+    linear greedy loop per shard. Shards are fully independent — size
+    ``n_shards`` to at least the cluster parallelism at scale (the loop is
+    O(rows in shard), so shard size bounds the straggler).
+
+    Output: (id, shard, n_tokens, seq_id) with seq_id = shard * 10^9 + seq
+    index inside the shard.
+    """
+
+    def _pack(pdf):
+        pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        seqs = []
+        fill, seq = 0, 0
+        for t in pdf["n_tokens"]:
+            t = int(t)
+            if fill > 0 and fill + t > budget:
+                seq += 1
+                fill = t
+            else:
+                fill += t
+            seqs.append(seq)
+        pdf["seq_id"] = [int(s) + int(sh) * 1_000_000_000 for s, sh in zip(seqs, pdf["shard"])]
+        return pdf
+
+    slim = df.select(
+        F.col(id_col),
+        (F.col(id_col) % n_shards).alias("shard"),
+        F.col(token_col).cast("long").alias("n_tokens"),
+    )
+    out_schema = f"{id_col} long, shard long, n_tokens long, seq_id long"
+    return slim.groupBy("shard").applyInPandas(_pack, schema=out_schema)
+
+
+def sequence_packing_sql(
+    toks_cte: str, budget: int, id_col: str = "doc_id", n_shards: int = 32
+) -> str:
+    """DuckDB twin of sequence_packing: the greedy loop as a per-shard
+    recursive CTE advancing one row per iteration (exact, engine-portable;
+    ``toks_cte`` must yield ({id_col}, n_tokens))."""
+    return f"""
+WITH RECURSIVE toks AS ({toks_cte}),
+docs AS (
+  SELECT {id_col}, {id_col} % {n_shards} AS shard, n_tokens,
+         ROW_NUMBER() OVER (PARTITION BY {id_col} % {n_shards}
+                            ORDER BY {id_col}) AS rn
+  FROM toks),
+g AS (
+  SELECT shard, rn, {id_col}, n_tokens, n_tokens AS fill, 0 AS seq
+  FROM docs WHERE rn = 1
+  UNION ALL
+  SELECT d.shard, d.rn, d.{id_col}, d.n_tokens,
+         CASE WHEN g.fill + d.n_tokens > {budget} THEN d.n_tokens
+              ELSE g.fill + d.n_tokens END,
+         CASE WHEN g.fill + d.n_tokens > {budget} THEN g.seq + 1 ELSE g.seq END
+  FROM g JOIN docs d ON d.shard = g.shard AND d.rn = g.rn + 1)
+SELECT {id_col}, shard, n_tokens, shard * 1000000000 + seq AS seq_id FROM g
+"""
+
+
+def pack_summary(packed: DataFrame) -> DataFrame:
+    """Per-sequence roll-up: doc count + token fill (callers check fill vs
+    budget for packing efficiency)."""
+    return packed.groupBy("shard", "seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("seq_tokens"),
+    )

@@ -54,6 +54,8 @@ BENCH_QUERIES = [
     "pii_redact",
     "rep_stats",
     "length_quantiles",
+    "stratified_sample",
+    "sequence_packing",
     "multimodal_meta",
     "multimodal_decode",
     "cosine_topk",

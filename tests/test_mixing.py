@@ -1,0 +1,62 @@
+"""Training-data mixing: exact stratified quotas + greedy sequence packing."""
+
+from pyspark.sql import functions as F
+
+from ape_dts_spark.functions import mixing as mx
+
+
+def test_stratified_quota_exact_counts(spark):
+    rows = [(i, "en" if i % 3 else "de") for i in range(90)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = mx.stratified_quota(df, "lang", 10, "doc_id")
+    counts = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"en": 10, "de": 10}
+
+
+def test_stratified_quota_growth_is_stable(spark):
+    """Raising a quota only adds rows — earlier selections never swap (what
+    makes mix rebalancing reproducible across runs)."""
+    df = spark.createDataFrame([(i, "en") for i in range(50)], "doc_id long, lang string")
+    small = {r["doc_id"] for r in mx.stratified_quota(df, "lang", 10, "doc_id").collect()}
+    big = {r["doc_id"] for r in mx.stratified_quota(df, "lang", 20, "doc_id").collect()}
+    assert small < big and len(small) == 10 and len(big) == 20
+
+
+def test_stratified_quota_per_group_mapping(spark):
+    df = spark.createDataFrame(
+        [(i, "en" if i < 60 else "de") for i in range(80)], "doc_id long, lang string"
+    )
+    out = mx.stratified_quota(df, "lang", {"en": 5, "de": 15}, "doc_id")
+    counts = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"en": 5, "de": 15}
+
+
+def test_sequence_packing_greedy_semantics(spark):
+    # one shard (ids all ≡ 0 mod 1): tokens 60,60,60 at budget 100 must give
+    # three sequences — the case where cumsum boundary-chunking mis-bins
+    df = spark.createDataFrame(
+        [(0, 60), (1, 60), (2, 60)], "doc_id long, n_tokens long"
+    )
+    out = mx.sequence_packing(df, "n_tokens", budget=100, id_col="doc_id", n_shards=1)
+    seqs = [r["seq_id"] for r in out.orderBy("doc_id").collect()]
+    assert seqs == [0, 1, 2]
+
+
+def test_sequence_packing_fills_and_oversized(spark):
+    # 50+50 fill a sequence exactly; a 300-token doc owns one; next doc opens fresh
+    df = spark.createDataFrame(
+        [(0, 50), (1, 50), (2, 300), (3, 10), (4, 80)], "doc_id long, n_tokens long"
+    )
+    out = mx.sequence_packing(df, "n_tokens", budget=100, id_col="doc_id", n_shards=1)
+    got = {r["doc_id"]: r["seq_id"] for r in out.collect()}
+    assert got == {0: 0, 1: 0, 2: 1, 3: 2, 4: 2}
+
+
+def test_sequence_packing_no_docs_lost_across_shards(spark):
+    df = spark.createDataFrame([(i, 10 + i % 7) for i in range(200)], "doc_id long, n_tokens long")
+    out = mx.sequence_packing(df, "n_tokens", budget=64, id_col="doc_id", n_shards=8)
+    assert out.count() == 200
+    assert out.select("doc_id").distinct().count() == 200
+    # no doc is oversized here, so every sequence respects the budget
+    fills = mx.pack_summary(out).collect()
+    assert fills and all(r["seq_tokens"] <= 64 for r in fills)
