@@ -90,6 +90,67 @@ def parse_debezium(raw: DataFrame, payload: T.StructType, value_col: str = "valu
     )
 
 
+# Schema-fluid payload: images as MAP<STRING,STRING>. The reference never
+# declares payload schemas — it discovers them from the source catalog at
+# runtime and refreshes on DDL (SURVEY §1.1 meta managers); the MapType
+# variant of the canonical change DataFrame (SURVEY §1.3) is the Spark shape
+# of that: one stream carries every table, values ride as canonical strings,
+# and a per-table cast (fluid_to_typed) restores types at apply time.
+FLUID_PAYLOAD = T.MapType(T.StringType(), T.StringType())
+
+
+def parse_debezium_fluid(raw: DataFrame, value_col: str = "value") -> DataFrame:
+    """Debezium JSON envelope -> schema-fluid change DataFrame: before/after
+    as MAP<STRING,STRING> (JSON scalars arrive stringified). No payload
+    schema needed up front — compaction (compact_changes) and filters work
+    directly on the map images because key access is ``getField`` either way.
+    """
+    return parse_debezium(raw, FLUID_PAYLOAD, value_col)
+
+
+def fluid_to_typed(df: DataFrame, payload: T.StructType) -> DataFrame:
+    """Map images -> typed struct images for one table's apply: each field is
+    pulled from the map and cast to its declared type (the reference's
+    column-major decode against the fetched table meta). Rows whose image is
+    NULL stay NULL; missing map keys become NULL fields (schema evolution:
+    a column added mid-stream is NULL for older events)."""
+
+    def conv(side: str):
+        return F.when(
+            F.col(side).isNotNull(),
+            F.struct(
+                *[
+                    F.col(side).getItem(f.name).cast(f.dataType).alias(f.name)
+                    for f in payload.fields
+                ]
+            ),
+        )
+
+    return df.withColumn("before", conv("before")).withColumn("after", conv("after"))
+
+
+# -- heartbeat write path ---------------------------------------------------
+
+HEARTBEAT_PAYLOAD = T.StructType(
+    [T.StructField("node", T.StringType()), T.StructField("hb_ts_ms", T.LongType())]
+)
+
+
+def heartbeat_event(db: str, tb: str, node: str, ts_ms: int, seq: int) -> dict:
+    """Heartbeat WRITE path (mysql_cdc_extractor.rs:468-540): the extractor
+    periodically upserts a single row keyed by node into a dedicated
+    heartbeat table; the row rides the normal change stream, so downstream
+    lag stays measurable even when every real table is idle. Feed the dicts
+    to write_debezium_jsonl (file harness) or the Kafka producer."""
+    image = {"node": node, "hb_ts_ms": ts_ms}
+    return {
+        "op": "u",
+        "before": image,
+        "after": image,
+        "source": {"db": db, "table": tb, "ts_ms": ts_ms, "seq": seq, "origin_node": node},
+    }
+
+
 def read_json_change_stream(
     spark: SparkSession,
     source_dir: str,

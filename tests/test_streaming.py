@@ -5,7 +5,10 @@ including checkpoint resume and replay idempotency (SURVEY.md §3 entry B)."""
 import os
 
 import pytest
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from ape_dts_spark.operators.merge import compact_changes
 
 from ape_dts_spark.sinks.parquet_table import ParquetTable
 from ape_dts_spark.streaming.cdc import (
@@ -314,3 +317,54 @@ def test_two_way_cycle_topology_no_echo(spark, tmp_path):
     write_debezium_jsonl(relay, os.path.join(in_a, "relay.jsonl"))
     p_a.run(read_json_change_stream(spark, in_a, PAYLOAD), ck_a)
     assert state_dict(t_a) == {}
+
+
+def test_schema_fluid_map_mode(spark, dirs):
+    """One stream, no declared payload schema: map images compact and apply
+    per table after a typed cast (runtime schema discovery parity)."""
+    from ape_dts_spark.streaming.cdc import fluid_to_typed, parse_debezium_fluid
+
+    src, target_dir, ckpt = dirs
+    events = [
+        ev("c", after={"id": 1, "name": "a", "bal": 10}, seq=1),
+        ev("u", before={"id": 1, "name": "a", "bal": 10}, after={"id": 1, "name": "a", "bal": 11}, seq=2),
+        ev("c", after={"sku": "x9", "qty": 3}, seq=3, table="items"),
+    ]
+    write_debezium_jsonl(events, os.path.join(src, "b1.jsonl"))
+    raw = spark.read.text(src)
+    fluid = parse_debezium_fluid(raw)
+    assert dict(fluid.dtypes)["after"] == "map<string,string>"
+
+    users = fluid_to_typed(fluid.filter(F.col("tb") == "users"), PAYLOAD)
+    compacted, spilled = compact_changes(users, ["id"])
+    rows = compacted.collect()
+    assert spilled.count() == 0
+    assert [(r["op"], r["after"]["id"], r["after"]["bal"]) for r in rows] == [("upsert", 1, 11)]
+
+    items_schema = T.StructType(
+        [T.StructField("sku", T.StringType()), T.StructField("qty", T.LongType())]
+    )
+    items = fluid_to_typed(fluid.filter(F.col("tb") == "items"), items_schema)
+    r = items.collect()[0]
+    assert r["after"]["sku"] == "x9" and r["after"]["qty"] == 3
+
+
+def test_heartbeat_keeps_lag_fresh_when_idle(spark, dirs):
+    """Idle real tables + heartbeat stream: the lag metric tracks the
+    heartbeat rows and the heartbeat table compacts to one row per node."""
+    import time as _time
+
+    from ape_dts_spark.streaming.cdc import HEARTBEAT_PAYLOAD, heartbeat_event
+
+    src, target_dir, ckpt = dirs
+    now_ms = int(_time.time() * 1000)
+    hbs = [heartbeat_event("meta", "hb", "node_a", now_ms - 120_000 + i * 60_000, seq=i)
+           for i in range(3)]
+    write_debezium_jsonl(hbs, os.path.join(src, "hb.jsonl"))
+    table = ParquetTable(spark, target_dir, HEARTBEAT_PAYLOAD)
+    pipe = CdcPipeline(spark, table, key_cols=["node"])
+    pipe.run(read_json_change_stream(spark, src, HEARTBEAT_PAYLOAD), ckpt)
+    rows = table.current().collect()
+    assert len(rows) == 1 and rows[0]["node"] == "node_a"
+    assert rows[0]["hb_ts_ms"] == now_ms  # last heartbeat wins
+    assert pipe.metrics[-1]["lag_sec"] < 60  # lag measured from the heartbeat
