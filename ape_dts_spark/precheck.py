@@ -195,6 +195,38 @@ def check_cdc_source(spark: SparkSession, source_dir: str) -> list[CheckResult]:
         return [CheckResult("cdc_source", source_dir, False, str(e)[:200])]
 
 
+def check_fk_config(tables: list[str], fk_spec: str) -> list[CheckResult]:
+    """FK-mode preflight (dt-precheck's structure checks + plans/fk_order):
+    the foreign_keys config must parse (child:parent pairs), reference known
+    tables, and be acyclic — a cycle would force full-serial apply, which the
+    operator refuses explicitly rather than silently degrading."""
+    from ape_dts_spark.plans.fk_order import fk_levels
+
+    out: list[CheckResult] = []
+    edges: list[tuple[str, str]] = []
+    for part in filter(None, (p.strip() for p in fk_spec.split(","))):
+        if ":" not in part:
+            out.append(CheckResult("fk_config_parse", part, False, "expected child:parent"))
+            continue
+        child, parent = (s.strip() for s in part.split(":", 1))
+        edges.append((child, parent))
+        for t in (child, parent):
+            if t not in tables:
+                out.append(CheckResult("fk_table_known", t, False, f"edge {part}: not in task tables"))
+    _, cyclic = fk_levels(tables, edges)
+    out.append(
+        CheckResult(
+            "fk_acyclic",
+            ",".join(cyclic) or "-",
+            not cyclic,
+            "reference cycle would force serial apply" if cyclic else "",
+        )
+    )
+    if not any(not r.ok for r in out):
+        out.insert(0, CheckResult("fk_config_parse", fk_spec, True))
+    return out
+
+
 def run_prechecks(
     spark: SparkSession,
     sf_dir: str,
@@ -205,8 +237,11 @@ def run_prechecks(
     dialect: str = "mysql",
     target_dir: str | None = None,
     cdc_source_dir: str | None = None,
+    fk_spec: str | None = None,
 ) -> list[CheckResult]:
     results = check_source_readable(spark, sf_dir, tables)
+    if fk_spec:
+        results += check_fk_config(tables, fk_spec)
     if filt is not None:
         results += check_filter_matches(filt, schema, tables)
         results += check_filter_config(filt)

@@ -281,3 +281,17 @@ def test_upsert_sql_identifier_escaping(spark):
     assert _quoted("pg", 'a"b') == '"a""b"'
     df = spark.createDataFrame([("d`b", "t`b")], "schema string, tb string")
     assert df.select(_table("mysql").alias("t")).collect()[0]["t"] == "`d``b`.`t``b`"
+
+
+def test_fk_config_precheck():
+    from ape_dts_spark.precheck import check_fk_config
+
+    tables = ["region", "nation", "customer"]
+    ok = check_fk_config(tables, "nation:region, customer:nation")
+    assert all(r.ok for r in ok)
+    bad = check_fk_config(tables, "nation:region, bogus")
+    assert any(r.check == "fk_config_parse" and not r.ok for r in bad)
+    unknown = check_fk_config(tables, "customer:planet")
+    assert any(r.check == "fk_table_known" and not r.ok for r in unknown)
+    cyc = check_fk_config(["a", "b"], "a:b,b:a")
+    assert any(r.check == "fk_acyclic" and not r.ok for r in cyc)
