@@ -279,6 +279,23 @@ class ParquetTable:
         rows = rows.join(F.broadcast(whole_row), wr_cond, "left_anti")
         return rows.select(*payload_cols)
 
+    def vacuum(self, keep_last: int = 2) -> list[int]:
+        """Retention maintenance (Delta VACUUM analogue): drop version
+        directories older than the last ``keep_last`` commits. Time travel
+        (``at_version``/``changes_between``) and un-acked data subscriptions
+        only reach back ``keep_last`` versions afterwards — size retention to
+        the slowest consumer, exactly like Delta's retention window."""
+        import shutil
+
+        meta = self._read_meta()
+        cutoff = meta["version"] - keep_last + 1
+        removed = []
+        for name in os.listdir(self.path):
+            if name.startswith("v") and name[1:].isdigit() and int(name[1:]) < cutoff:
+                shutil.rmtree(os.path.join(self.path, name))
+                removed.append(int(name[1:]))
+        return sorted(removed)
+
     def version(self) -> int:
         return int(self._read_meta()["version"])
 

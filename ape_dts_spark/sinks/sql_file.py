@@ -51,17 +51,19 @@ def events_to_sql(df: DataFrame, key_cols: list[str], reverse: bool = False) -> 
     payload: T.StructType = df.schema["after"].dataType  # type: ignore[assignment]
     fields = [(f.name, f.dataType) for f in payload.fields]
 
-    table = F.concat(F.lit("`"), F.col("schema"), F.lit("`.`"), F.col("tb"), F.lit("`"))
-    col_list = F.lit(", ".join(f"`{n}`" for n, _ in fields))
+    bt = lambda n: "`" + n.replace("`", "``") + "`"  # noqa: E731  identifier escape
+    esc = lambda c: F.replace(F.col(c), F.lit("`"), F.lit("``"))  # noqa: E731
+    table = F.concat(F.lit("`"), esc("schema"), F.lit("`.`"), esc("tb"), F.lit("`"))
+    col_list = F.lit(", ".join(bt(n) for n, _ in fields))
     insert_vals = F.concat_ws(", ", *[_sql_literal(F.col("after").getField(n), dt) for n, dt in fields])
     set_clause = F.concat_ws(
         ", ",
-        *[F.concat(F.lit(f"`{n}` = "), _sql_literal(F.col("after").getField(n), dt)) for n, dt in fields],
+        *[F.concat(F.lit(f"{bt(n)} = "), _sql_literal(F.col("after").getField(n), dt)) for n, dt in fields],
     )
     where_clause = F.concat_ws(
         " AND ",
         *[
-            F.concat(F.lit(f"`{n}` = "), _sql_literal(F.col("before").getField(n), dt))
+            F.concat(F.lit(f"{bt(n)} = "), _sql_literal(F.col("before").getField(n), dt))
             for n, dt in fields
             if n in key_cols
         ],

@@ -414,6 +414,10 @@ class MultiTableCdcPipeline:
                 continue
             table, key_cols = self.targets[key]
             sub = batch.filter((F.col("schema") == schema) & (F.col("tb") == tb))
+            # schema-fluid streams: cast this table's map images to its
+            # target's typed payload (runtime schema discovery end-to-end)
+            if dict(sub.dtypes).get("after", "").startswith("map<"):
+                sub = fluid_to_typed(sub, table.payload_schema)
             pipe = CdcPipeline(self.spark, table, key_cols, stream_id=self.stream_id)
             pipe.apply_batch(sub, batch_id)
             self.metrics.extend(

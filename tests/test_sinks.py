@@ -67,3 +67,33 @@ def test_origin_marker_write_and_echo_drop(spark):
         F.col("origin_node").isNull() | ~F.col("origin_node").isin("node_a")
     )
     assert {r["seq"] for r in kept.collect()} == {1}    # echoes dropped at B
+
+
+def test_charset_roundtrip_sql_and_wire(spark):
+    """charset_test parity: non-ASCII values survive the SQL-file sink
+    (literal escaping) and the wire-format encode/decode round trip."""
+    from ape_dts_spark.sinks.sql_file import events_to_sql
+    from ape_dts_spark.sinks.wire_format import decode_events, encode_events
+
+    payload = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("name", T.StringType())]
+    )
+    val = "héllo 世界 😀 O'Brien \\ `tick`"
+    df = spark.createDataFrame(
+        [("db", "tb", "insert", None, {"id": 1, "name": val}, 1)],
+        T.StructType(
+            [
+                T.StructField("schema", T.StringType()),
+                T.StructField("tb", T.StringType()),
+                T.StructField("row_type", T.StringType()),
+                T.StructField("before", payload),
+                T.StructField("after", payload),
+                T.StructField("seq", T.LongType()),
+            ]
+        ),
+    )
+    sql = events_to_sql(df, ["id"]).collect()[0]["sql"]
+    # backslash doubled, quote doubled, unicode verbatim
+    assert "O''Brien" in sql and "\\\\" in sql and "世界" in sql and "😀" in sql
+    back = decode_events(encode_events(df), payload).collect()[0]
+    assert back["after"]["name"] == val

@@ -368,3 +368,50 @@ def test_heartbeat_keeps_lag_fresh_when_idle(spark, dirs):
     assert len(rows) == 1 and rows[0]["node"] == "node_a"
     assert rows[0]["hb_ts_ms"] == now_ms  # last heartbeat wins
     assert pipe.metrics[-1]["lag_sec"] < 60  # lag measured from the heartbeat
+
+
+def test_fluid_multi_table_end_to_end(spark, dirs):
+    """One schema-fluid stream -> two typed targets: the multi-table pipeline
+    casts each table's map images to its target payload automatically."""
+    from ape_dts_spark.streaming.cdc import MultiTableCdcPipeline, parse_debezium_fluid
+
+    src, target_dir, ckpt = dirs
+    items_schema = T.StructType(
+        [T.StructField("sku", T.StringType()), T.StructField("qty", T.LongType())]
+    )
+    events = [
+        ev("c", after={"id": 1, "name": "a", "bal": 10}, seq=1),
+        ev("c", after={"sku": "x9", "qty": 3}, seq=2, table="items"),
+        ev("u", before={"sku": "x9", "qty": 3}, after={"sku": "x9", "qty": 7}, seq=3, table="items"),
+    ]
+    write_debezium_jsonl(events, os.path.join(src, "b1.jsonl"))
+    users_t = ParquetTable(spark, os.path.join(target_dir, "users"), PAYLOAD)
+    items_t = ParquetTable(spark, os.path.join(target_dir, "items"), items_schema)
+    pipe = MultiTableCdcPipeline(
+        spark,
+        {"default.users": (users_t, ["id"]), "default.items": (items_t, ["sku"])},
+    )
+    raw = spark.readStream.format("text").load(src)
+    pipe.run(parse_debezium_fluid(raw), ckpt)
+    assert state_dict(users_t) == {1: ("a", 10)}
+    items = items_t.current().collect()
+    assert [(r["sku"], r["qty"]) for r in items] == [("x9", 7)]
+
+
+def test_vacuum_retention(spark, tmp_path):
+    table = ParquetTable(spark, str(tmp_path / "tbl"), PAYLOAD)
+    for i in range(4):
+        compacted = spark.createDataFrame(
+            [("db", "users", i, "upsert", {"id": i, "name": "n", "bal": i}, i)],
+            "schema string, tb string, id long, op string, "
+            "after struct<id:long,name:string,bal:long>, seq long",
+        )
+        spill = spark.createDataFrame([], compacted.schema).selectExpr(
+            "schema", "tb", "'insert' AS row_type", "after AS before", "after", "seq"
+        )
+        table.merge_apply(compacted, spill, ["id"])
+    assert table.version() == 3
+    removed = table.vacuum(keep_last=2)
+    assert removed == [0, 1]
+    assert table.current().count() == 4  # live state untouched
+    assert table.at_version(2).count() == 3  # retained history readable
