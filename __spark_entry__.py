@@ -809,6 +809,33 @@ def q_fk_apply_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lv_df.join(counts, "tb").select("tb", "fk_level", "n_rows")
 
 
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing: fixed-size byte frames per binary payload
+    (posexplode; one row per frame). Gate returns frame lengths — the corpus
+    is pure ASCII (verified octet_length(encode(text)) == n_chars), so the
+    DuckDB twin slices the text itself."""
+    d = demo.load(spark, sf_dir, "documents")
+    frames = mm.sample_frames(mm.with_binary_payload(d, "text", "doc_id"), every_n_bytes=64)
+    return frames.select(
+        "id", "frame_idx", F.octet_length("frame_bytes").alias("frame_len")
+    )
+
+
+def q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time windows (the watermarked-window operator in batch
+    mode; identical plan, watermark is a no-op). Epoch-ms bounds keep the
+    output engine-canonical; double-sum aggregates are excluded from the gate
+    (summation order is engine-specific)."""
+    ev = demo.load(spark, sf_dir, "events")
+    out = wd.windowed_event_counts(ev, window="1 day")
+    return out.select(
+        F.unix_millis(F.col("window_start").cast("timestamp")).alias("window_start_ms"),
+        F.unix_millis(F.col("window_end").cast("timestamp")).alias("window_end_ms"),
+        "event_type",
+        "n",
+    )
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-language sample quotas with deterministic membership
     (training-data mixing; df.sampleBy is probabilistic, quotas here are
@@ -915,6 +942,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "stratified_sample": q_stratified_sample,
         "sequence_packing": q_sequence_packing,
+        "multimodal_frames": q_multimodal_frames,
+        "windowed_counts": q_windowed_counts,
         "rep_stats": q_rep_stats,
         "length_quantiles": q_length_quantiles,
         "session_windows": q_session_windows,
@@ -1627,6 +1656,22 @@ def oracle_sql() -> dict[str, str]:
         "sequence_packing": mx.sequence_packing_sql(
             "SELECT doc_id, n_chars AS n_tokens FROM documents", 2048, "doc_id", 32
         ),
+        "multimodal_frames": """
+            WITH f AS (
+              SELECT doc_id AS id, i AS frame_idx,
+                     octet_length(encode(substr(text, i * 64 + 1, 64))) AS frame_len
+              FROM documents, LATERAL (
+                SELECT unnest(range(0, n_chars // 64 + 1)) AS i))
+            SELECT id, CAST(frame_idx AS INT) AS frame_idx, frame_len
+            FROM f WHERE frame_len > 0
+        """,
+        "windowed_counts": """
+            SELECT epoch_ms(date_trunc('day', ts)) AS window_start_ms,
+                   epoch_ms(date_trunc('day', ts)) + 86400000 AS window_end_ms,
+                   event_type,
+                   COUNT(*) AS n
+            FROM events GROUP BY 1, 2, 3
+        """,
         "length_quantiles": """
             SELECT lang,
                    COUNT(1) AS n_docs,

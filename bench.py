@@ -44,6 +44,7 @@ BENCH_QUERIES = [
     "py_transform",
     "mongo_compact",
     "session_windows",
+    "windowed_counts",
     "fk_apply_order",
     # training-data pipeline extensions (BASELINE.json north star)
     "dedup_exact",
@@ -58,6 +59,7 @@ BENCH_QUERIES = [
     "sequence_packing",
     "multimodal_meta",
     "multimodal_decode",
+    "multimodal_frames",
     "cosine_topk",
     "cosine_topk_np",
     "ann_lsh",
