@@ -821,6 +821,21 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-extraction plumbing (the CLIP/wav2vec slot): payload bytes ->
+    fixed-dim embedding via mapInPandas. Fake kernel = integer byte sums then
+    one exact double divide -> bit-exact DuckDB oracle."""
+    d = demo.load(spark, sf_dir, "documents")
+    return mm.extract_features(mm.with_binary_payload(d, "text", "doc_id"), dim=8, fake=True)
+
+
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize/downsample plumbing: payload truncated to a byte budget by the
+    deterministic fake kernel (real kernel: decode-resize-reencode)."""
+    d = demo.load(spark, sf_dir, "documents")
+    return mm.resize_payload(mm.with_binary_payload(d, "text", "doc_id"), target_bytes=100, fake=True)
+
+
 def q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling event-time windows (the watermarked-window operator in batch
     mode; identical plan, watermark is a no-op). Epoch-ms bounds keep the
@@ -943,6 +958,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "sequence_packing": q_sequence_packing,
         "multimodal_frames": q_multimodal_frames,
+        "multimodal_features": q_multimodal_features,
+        "multimodal_resize": q_multimodal_resize,
         "windowed_counts": q_windowed_counts,
         "rep_stats": q_rep_stats,
         "length_quantiles": q_length_quantiles,
@@ -1664,6 +1681,20 @@ def oracle_sql() -> dict[str, str]:
                 SELECT unnest(range(0, n_chars // 64 + 1)) AS i))
             SELECT id, CAST(frame_idx AS INT) AS frame_idx, frame_len
             FROM f WHERE frame_len > 0
+        """,
+        "multimodal_features": """
+            SELECT doc_id AS id,
+                   [COALESCE(list_sum(list_transform(range(i + 1, n_chars + 1, 8),
+                                                     p -> ascii(text[p]))), 0) % 1000 / 1000.0
+                    for i in range(0, 8)] AS features
+            FROM documents
+        """,
+        "multimodal_resize": """
+            SELECT doc_id AS id,
+                   CAST(octet_length(encode(substr(text, 1, 100))) AS INT) AS n_bytes,
+                   encode(substr(text, 1, 100)) AS resized,
+                   TRUE AS ok
+            FROM documents
         """,
         "windowed_counts": """
             SELECT epoch_ms(date_trunc('day', ts)) AS window_start_ms,

@@ -79,6 +79,70 @@ def decode_image_meta(df: DataFrame, payload_col: str = "payload", fake: bool = 
     return df.mapInPandas(_decode, schema=DECODED_SCHEMA)
 
 
+FEATURES_SCHEMA = "id long, features array<double>"
+RESIZED_SCHEMA = "id long, n_bytes int, resized binary, ok boolean"
+
+
+def extract_features(
+    df: DataFrame, payload_col: str = "payload", dim: int = 8, fake: bool = False
+) -> DataFrame:
+    """Feature extraction plumbing: payload bytes -> fixed-dim embedding via
+    mapInPandas (the CLIP/wav2vec slot in a real pipeline; model runtimes are
+    absent here, so the fake kernel is deterministic byte arithmetic).
+
+    Fake kernel: feature_i = (sum of bytes at positions ≡ i (mod dim)
+    modulo 1000) / 1000.0 — integer ops then one exact double divide, so the
+    whole pipeline has a bit-exact cross-engine oracle. Output embeds
+    straight into the similarity operators (cosine_topk/ann_*), wiring the
+    multimodal path into the ANN stack."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "feature extraction requires a model runtime (CLIP/wav2vec), "
+                    "not present in this container; pass fake=True for the "
+                    "deterministic test kernel"
+                )
+            feats = []
+            for b in pdf[payload_col]:
+                sums = [0] * dim
+                for pos, byte in enumerate(b):
+                    sums[pos % dim] += byte
+                feats.append([(s % 1000) / 1000.0 for s in sums])
+            yield pd.DataFrame({"id": pdf["id"], "features": feats})
+
+    return df.mapInPandas(_extract, schema=FEATURES_SCHEMA)
+
+
+def resize_payload(
+    df: DataFrame, payload_col: str = "payload", target_bytes: int = 256, fake: bool = False
+) -> DataFrame:
+    """Resize plumbing: payload -> bounded-size payload via mapInPandas (the
+    image-resize / audio-downsample slot). The fake kernel truncates to
+    ``target_bytes`` — deterministic, so the byte lengths (and content) have
+    an exact oracle; a real kernel would decode-resize-reencode per batch."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "resize requires PIL/ffmpeg, not present in this container; "
+                    "pass fake=True for the deterministic test kernel"
+                )
+            resized = pdf[payload_col].map(lambda b: bytes(b[:target_bytes]))
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "n_bytes": resized.map(len).astype("int32"),
+                    "resized": resized,
+                    "ok": True,
+                }
+            )
+
+    return df.mapInPandas(_resize, schema=RESIZED_SCHEMA)
+
+
 def sample_frames(df: DataFrame, payload_col: str = "payload", every_n_bytes: int = 1024) -> DataFrame:
     """Frame-sampling plumbing: split each payload into fixed-size 'frames'
     (posexplode over byte ranges) — the distributed shape of video frame

@@ -60,6 +60,8 @@ BENCH_QUERIES = [
     "multimodal_meta",
     "multimodal_decode",
     "multimodal_frames",
+    "multimodal_features",
+    "multimodal_resize",
     "cosine_topk",
     "cosine_topk_np",
     "ann_lsh",

@@ -234,3 +234,34 @@ def test_repetition_stats_hand_computed(spark):
     assert got[1]["dup_ratio"] == 0.5 and got[1]["top_share"] == 0.75
     assert got[2]["dup_ratio"] == 0.0 and got[2]["top_share"] == 0.25
     assert got[3]["dup_ratio"] == 0.75 and got[3]["top_share"] == 1.0
+
+
+def test_multimodal_feature_and_resize_kernels(spark, sf_dir):
+    from ape_dts_spark.functions import multimodal as mm
+    import pytest as _pytest
+
+    d = demo.load(spark, sf_dir, "documents").limit(20)
+    payload = mm.with_binary_payload(d, "text", "doc_id")
+    feats = mm.extract_features(payload, dim=8, fake=True)
+    rows = feats.collect()
+    assert all(len(r["features"]) == 8 for r in rows)
+    assert all(0.0 <= x < 1.0 for r in rows for x in r["features"])
+    resized = mm.resize_payload(payload, target_bytes=100, fake=True).collect()
+    assert all(r["n_bytes"] <= 100 and r["ok"] for r in resized)
+    # the honest codec-absence guard: real path refuses without a runtime
+    with _pytest.raises(Exception):
+        mm.extract_features(payload, fake=False).collect()
+
+
+def test_multimodal_features_feed_ann(spark, sf_dir):
+    """Wiring check: fake features flow into the exact cosine top-k operator
+    (the multimodal -> similarity pipeline a training stack runs)."""
+    from ape_dts_spark.functions import multimodal as mm
+
+    d = demo.load(spark, sf_dir, "documents").limit(50)
+    feats = mm.extract_features(mm.with_binary_payload(d, "text", "doc_id"), dim=8, fake=True)
+    emb = feats.select(F.col("id").alias("vec_id"), F.col("features").alias("embedding"))
+    queries_df = emb.limit(3)
+    topk = sim.cosine_topk(queries_df, emb, "vec_id", "embedding", k=3)
+    got = topk.groupBy("query_id").count().collect()
+    assert all(r["count"] == 3 for r in got)
