@@ -1,0 +1,166 @@
+"""Property-based tests (hypothesis) — beyond the reference's test strategy
+(SURVEY §5: golden e2e + inline unit tests, no property testing).
+
+The crown piece: compact_changes + ParquetTable.merge_apply must be
+semantically equivalent to a row-at-a-time sequential apply (the reference's
+serial sinker IS the spec — rdb_merger.rs folds are an optimization that must
+never change the final state). Random event streams exercise NULL keys,
+key-changing updates, replays of the same key, and delete/insert interleaving
+in combinations no hand-written fixture enumerates.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from ape_dts_spark.model.position import GtidSet, _coalesce
+from ape_dts_spark.plans.fk_order import fk_levels
+
+# ---------------------------------------------------------------------------
+# GtidSet algebra
+# ---------------------------------------------------------------------------
+
+intervals = st.lists(
+    st.tuples(st.integers(1, 60), st.integers(0, 8)).map(lambda t: (t[0], t[0] + t[1])),
+    min_size=0,
+    max_size=6,
+)
+gtids = st.fixed_dictionaries({}, optional={"s1": intervals, "s2": intervals}).map(
+    lambda d: GtidSet({u: _coalesce(list(iv)) for u, iv in d.items() if iv})
+)
+
+
+@given(gtids, gtids)
+def test_gtid_union_is_superset(a, b):
+    u = a.union(b)
+    assert u.contains(a) and u.contains(b)
+
+
+@given(gtids, gtids)
+def test_gtid_union_commutes(a, b):
+    assert a.union(b).to_text() == b.union(a).to_text()
+
+
+@given(gtids)
+def test_gtid_text_round_trip(a):
+    txt = a.to_text()
+    assert GtidSet.parse(txt).to_text() == txt if txt else a.intervals == {}
+
+
+@given(intervals)
+def test_coalesce_idempotent_and_ordered(iv):
+    c = _coalesce(list(iv))
+    assert _coalesce(list(c)) == c
+    # disjoint, non-adjacent, sorted
+    assert all(b1 + 1 < a2 for (_, b1), (a2, _) in zip(c, c[1:]))
+
+
+# ---------------------------------------------------------------------------
+# FK levels on random DAGs
+# ---------------------------------------------------------------------------
+
+
+@given(
+    st.integers(2, 8).flatmap(
+        lambda n: st.lists(
+            st.tuples(st.integers(0, n - 1), st.integers(0, n - 1)).filter(
+                lambda e: e[0] > e[1]  # child id > parent id => acyclic by construction
+            ),
+            max_size=12,
+        ).map(lambda edges: (n, edges))
+    )
+)
+def test_fk_levels_respect_every_edge(case):
+    n, raw = case
+    tables = [f"t{i}" for i in range(n)]
+    edges = [(f"t{c}", f"t{p}") for c, p in raw]
+    levels, cyclic = fk_levels(tables, edges)
+    assert cyclic == []
+    for child, parent in edges:
+        assert levels[child] > levels[parent]
+    assert set(levels) == set(tables)
+
+
+# ---------------------------------------------------------------------------
+# compact + merge_apply == sequential row-at-a-time apply
+# ---------------------------------------------------------------------------
+
+# events over a tiny key space maximize collisions (replays, delete-then-
+# insert, key-changing updates, NULL keys)
+event_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["insert", "update", "delete"]),
+        st.one_of(st.none(), st.integers(0, 3)),  # before key
+        st.one_of(st.none(), st.integers(0, 3)),  # after key
+        st.integers(0, 99),  # value
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+def _keyed(events):
+    """replay_to_state's contract: every event carries non-NULL keys (the
+    NULL-key whole-row path is the serial spill, tested in test_streaming)."""
+    out = []
+    for op, bk, ak, val in events:
+        if op == "insert" and ak is not None:
+            out.append((op, bk, ak, val))
+        elif op == "delete" and bk is not None:
+            out.append((op, bk, ak, val))
+        elif op == "update" and bk is not None and ak is not None:
+            out.append((op, bk, ak, val))
+    return out
+
+
+def _sequential_apply(events):
+    """The spec: row-at-a-time apply in seq order (reference serial sinker).
+    update = delete(before-key) + insert(after-key) — key-change aware."""
+    state: dict[int, int] = {}
+    for op, bk, ak, val in events:
+        if op == "insert":
+            state[ak] = val
+        elif op == "delete":
+            state.pop(bk, None)
+        else:
+            state.pop(bk, None)
+            state[ak] = val
+    return state
+
+
+@pytest.mark.usefixtures("spark")
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(event_strategy)
+def test_compact_apply_equals_sequential(spark, events):
+    import pyspark.sql.types as T
+    from pyspark.sql import functions as F
+
+    from ape_dts_spark.operators.merge import compact_changes, replay_to_state
+
+    payload = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("val", T.LongType())]
+    )
+    schema = T.StructType(
+        [
+            T.StructField("schema", T.StringType()),
+            T.StructField("tb", T.StringType()),
+            T.StructField("row_type", T.StringType()),
+            T.StructField("before", payload),
+            T.StructField("after", payload),
+            T.StructField("seq", T.LongType()),
+        ]
+    )
+    keyed = _keyed(events)
+    if not keyed:
+        return
+    rows = []
+    for seq, (op, bk, ak, val) in enumerate(keyed):
+        before = {"id": bk, "val": val - 1} if op != "insert" else None
+        after = {"id": ak, "val": val} if op != "delete" else None
+        rows.append(("db", "t", op, before, after, seq))
+    df = spark.createDataFrame(rows, schema)
+    got = {r["id"]: r["val"] for r in replay_to_state(df, ["id"]).collect()}
+    want = _sequential_apply(keyed)
+    assert got == want
