@@ -894,57 +894,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # The external driver gates only the FIRST 50 dict entries, so ordering is
+    # load-bearing: never-driver-checked queries lead (all locally green via
+    # tools/check.py), then queries needing a fresh hash row, then the most
+    # load-bearing already-green ones fill the window. Entries past slot 50
+    # were driver-green in CORRECTNESS_r01/r03 and keep local-gate coverage.
     return {
-        "snapshot_scan": q_snapshot_scan,
-        "snapshot_chunked": q_snapshot_chunked,
-        "snapshot_sample": q_snapshot_sample,
-        "upsert_sql_mysql": q_upsert_sql_mysql,
-        "upsert_sql_pg": q_upsert_sql_pg,
-        "upsert_sql_batch": q_upsert_sql_batch,
-        "event_filter": q_event_filter,
-        "time_filter": q_time_filter,
-        "route_rename": q_route_rename,
-        "reverse_events": q_reverse_events,
-        "update_split": q_update_split,
-        "merge_compact": q_merge_compact,
-        "merge_spill": q_merge_spill,
-        "wire_roundtrip": q_wire_roundtrip,
-        "avro_roundtrip": q_avro_roundtrip,
-        "cdc_apply_state": q_cdc_apply_state,
-        "checker_diff": q_checker_diff,
-        "checker_summary": q_checker_summary,
-        "revise": q_revise,
-        "review": q_review,
-        "snapshot_resume": q_snapshot_resume,
-        "py_transform": q_py_transform,
-        "script_transform": q_script_transform,
-        "soft_delete_apply": q_soft_delete_apply,
-        "data_marker_filter": q_data_marker_filter,
-        "mongo_compact": q_mongo_compact,
-        "mongo_statements": q_mongo_statements,
-        "redis_compact": q_redis_compact,
-        "redis_statements": q_redis_statements,
-        "redis_slot_stats": q_redis_slot_stats,
-        "redis_big_keys": q_redis_big_keys,
-        "pricing_summary": q_pricing_summary,
-        "revenue_by_nation": q_revenue_by_nation,
-        "top_orders_per_cust": q_top_orders_per_cust,
-        "json_extract": q_json_extract,
-        "priority_with_returns": q_priority_with_returns,
-        "parts_never_shipped": q_parts_never_shipped,
-        "segment_rollup": q_segment_rollup,
-        "customer_set_ops": q_customer_set_ops,
-        "priority_grouping_sets": q_priority_grouping_sets,
-        "table_stats": q_table_stats,
-        "small_order_parts": q_small_order_parts,
-        "order_count_histogram": q_order_count_histogram,
-        "lapsed_customers": q_lapsed_customers,
-        "dedup_exact": q_dedup_exact,
-        "doc_fingerprint": q_doc_fingerprint,
-        "jaccard_pairs": q_jaccard_pairs,
-        "ngram_jaccard": q_ngram_jaccard,
-        "token_stats": q_token_stats,
-        "minhash_lsh": q_minhash_lsh,
+        # -- never driver-checked (rounds 1-3 added past the 50-row cutoff) --
         "dedup_cluster": q_dedup_cluster,
         "simhash_pairs": q_simhash_pairs,
         "cosine_topk": q_cosine_topk,
@@ -967,6 +923,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fk_apply_order": q_fk_apply_order,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_decode": q_multimodal_decode,
+        # -- r03 hash artifact fixed (HUGEINT oracle sum), needs a fresh row --
+        "json_extract": q_json_extract,
+        # -- new this round ---------------------------------------------------
+        # (insert new queries here so they land inside the driver window)
+        # -- already driver-green; most load-bearing fill the window ----------
+        "snapshot_scan": q_snapshot_scan,
+        "snapshot_chunked": q_snapshot_chunked,
+        "snapshot_resume": q_snapshot_resume,
+        "merge_compact": q_merge_compact,
+        "merge_spill": q_merge_spill,
+        "cdc_apply_state": q_cdc_apply_state,
+        "checker_diff": q_checker_diff,
+        "checker_summary": q_checker_summary,
+        "revise": q_revise,
+        "review": q_review,
+        "upsert_sql_mysql": q_upsert_sql_mysql,
+        "upsert_sql_pg": q_upsert_sql_pg,
+        "wire_roundtrip": q_wire_roundtrip,
+        "avro_roundtrip": q_avro_roundtrip,
+        "py_transform": q_py_transform,
+        "soft_delete_apply": q_soft_delete_apply,
+        "data_marker_filter": q_data_marker_filter,
+        "mongo_compact": q_mongo_compact,
+        "redis_compact": q_redis_compact,
+        "dedup_exact": q_dedup_exact,
+        "jaccard_pairs": q_jaccard_pairs,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_lsh": q_minhash_lsh,
+        "pricing_summary": q_pricing_summary,
+        # ---------------------------- slot 50 ends here ----------------------
+        "snapshot_sample": q_snapshot_sample,
+        "upsert_sql_batch": q_upsert_sql_batch,
+        "event_filter": q_event_filter,
+        "time_filter": q_time_filter,
+        "route_rename": q_route_rename,
+        "reverse_events": q_reverse_events,
+        "update_split": q_update_split,
+        "script_transform": q_script_transform,
+        "mongo_statements": q_mongo_statements,
+        "redis_statements": q_redis_statements,
+        "redis_slot_stats": q_redis_slot_stats,
+        "redis_big_keys": q_redis_big_keys,
+        "revenue_by_nation": q_revenue_by_nation,
+        "top_orders_per_cust": q_top_orders_per_cust,
+        "priority_with_returns": q_priority_with_returns,
+        "parts_never_shipped": q_parts_never_shipped,
+        "segment_rollup": q_segment_rollup,
+        "customer_set_ops": q_customer_set_ops,
+        "priority_grouping_sets": q_priority_grouping_sets,
+        "table_stats": q_table_stats,
+        "small_order_parts": q_small_order_parts,
+        "order_count_histogram": q_order_count_histogram,
+        "lapsed_customers": q_lapsed_customers,
+        "doc_fingerprint": q_doc_fingerprint,
+        "token_stats": q_token_stats,
     }
 
 
@@ -1507,7 +1518,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "json_extract": """
             SELECT event_type,
-                   SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+                   -- outer CAST: DuckDB SUM(BIGINT) yields HUGEINT (int128), which the
+                   -- driver's Arrow hasher canonicalizes differently from Spark's int64
+                   CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
                    COUNT(*) AS n
             FROM events GROUP BY event_type
         """,
@@ -1726,7 +1739,7 @@ def oracle_sql() -> dict[str, str]:
                    epoch_ms(MIN(ts)) AS session_start_ms,
                    epoch_ms(MAX(ts)) + 1800000 AS session_end_ms,
                    COUNT(*) AS n_events,
-                   SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchases
+                   CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases
             FROM s GROUP BY user_id, sess
         """,
         "fk_apply_order": """

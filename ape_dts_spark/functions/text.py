@@ -297,7 +297,7 @@ WITH toks AS (
 per_tok AS (
   SELECT {id_col}, tok, COUNT(*) AS cnt FROM toks GROUP BY {id_col}, tok)
 SELECT {id_col},
-       SUM(cnt) AS n_tokens,
+       CAST(SUM(cnt) AS BIGINT) AS n_tokens,
        COUNT(*) AS n_distinct,
        CAST(SUM(cnt) - COUNT(*) AS DOUBLE) / CAST(GREATEST(SUM(cnt), 1) AS DOUBLE) AS dup_ratio,
        CAST(MAX(cnt) AS DOUBLE) / CAST(GREATEST(SUM(cnt), 1) AS DOUBLE) AS top_share
