@@ -703,13 +703,14 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_cosine_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs via hyperplane-LSH self-join.
+    """Embedding-cosine near-dup pairs via threshold-adaptive hyperplane LSH
+    + per-bucket GEMM verification (applyInPandas, no pairwise join).
 
     The synthetic embeddings are random (max pairwise cosine ~0.5-0.6, no
     planted twins), so the gate threshold 0.35 sits inside the data's
-    similarity range to exercise the full band-join + exact-filter pipeline
-    non-trivially; production near-dup thresholds (>=0.9) make the banding
-    prune far harder."""
+    similarity range to exercise the full band-bucket + exact-filter pipeline
+    non-trivially; dup_banding_for degrades to coarse 4-bit bands here and
+    sharpens to 256-1024 buckets/band at production thresholds (>=0.9)."""
     emb = demo.load(spark, sf_dir, "embeddings")
     return sim.cosine_dup_pairs(emb, "vec_id", "embedding", dim=64, threshold=0.35)
 
@@ -1002,20 +1003,24 @@ jac AS (
 
 
 def _cosine_dup_oracle(dim: int, threshold: float) -> str:
-    """DuckDB twin of similarity.cosine_dup_pairs: same hyperplane signatures,
-    same half-band self-join candidates, same ordered-fold cosine (identical
-    IEEE ops, so the double hashes match)."""
-    sig = sim.signature_sql("e", dim)
-    half = (1 << (sim.N_PLANES // 2)) - 1
-    shift = sim.N_PLANES // 2
+    """DuckDB twin of similarity.cosine_dup_pairs: same threshold-adaptive
+    banding (dup_banding_for), same per-band bucket values generated by the
+    same coefficient loop, same ordered-fold cosine (identical IEEE op order
+    to the kernel's sequential accumulation, so the double hashes match)."""
+    n_bands, band_bits = sim.dup_banding_for(threshold)
+    bvs = ",\n        ".join(
+        f"{sim.band_value_sql('e', dim, i, band_bits)} AS bv_{i}" for i in range(n_bands)
+    )
+    bands = "\nUNION ALL ".join(
+        f"SELECT vec_id, {i} AS band, bv_{i} AS bv FROM n" for i in range(n_bands)
+    )
     return f"""
 WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
 n AS (SELECT vec_id, e,
         sqrt(list_reduce(list_transform(list_zip(e, e), p -> p[1] * p[2]), (a, b) -> a + b)) AS nrm,
-        {sig} AS sig
+        {bvs}
       FROM v),
-bands AS (SELECT vec_id, 0 AS band, sig & {half} AS bv FROM n
-          UNION ALL SELECT vec_id, 1, sig >> {shift} FROM n),
+bands AS ({bands}),
 cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
          FROM bands a JOIN bands b ON a.band = b.band AND a.bv = b.bv AND a.vec_id < b.vec_id),
 scored AS (SELECT c.id_a, c.id_b,

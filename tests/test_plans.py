@@ -49,12 +49,15 @@ def test_ann_lsh_bucket_join_not_nested_loop(spark, sf_dir):
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
 
 
-def test_cosine_dup_pairs_equi_join_not_nested_loop(spark, sf_dir):
-    # the near-dup self-join must hash-partition on (band, band_value);
-    # any cartesian/nested-loop formulation is O(n^2) at corpus scale
+def test_cosine_dup_pairs_bucket_kernel_no_join(spark, sf_dir):
+    # near-dup verification happens inside per-(band, bucket) Arrow kernels:
+    # exactly one grouping shuffle feeds FlatMapGroupsInPandas and NO join
+    # operator (a pairwise join formulation pays an interpreted fold per
+    # candidate; any cartesian/nested-loop shape is O(n^2) at corpus scale)
     plan = _plan(spark, sf_dir, "cosine_dup_pairs")
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
-    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    assert "FlatMapGroupsInPandas" in plan
+    assert "Join" not in plan
 
 
 def test_token_stats_no_shuffle(spark, sf_dir):
