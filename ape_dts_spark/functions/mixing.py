@@ -149,9 +149,12 @@ g AS (
   FROM docs WHERE rn = 1
   UNION ALL
   SELECT d.shard, d.rn, d.{id_col}, d.n_tokens,
-         CASE WHEN g.fill + d.n_tokens > {budget} THEN d.n_tokens
+         -- g.fill > 0 mirrors the Spark kernel's guard: an empty sequence
+         -- (possible only after zero-token docs) accepts even an over-budget
+         -- doc rather than opening another empty sequence
+         CASE WHEN g.fill > 0 AND g.fill + d.n_tokens > {budget} THEN d.n_tokens
               ELSE g.fill + d.n_tokens END,
-         CASE WHEN g.fill + d.n_tokens > {budget} THEN g.seq + 1 ELSE g.seq END
+         CASE WHEN g.fill > 0 AND g.fill + d.n_tokens > {budget} THEN g.seq + 1 ELSE g.seq END
   FROM g JOIN docs d ON d.shard = g.shard AND d.rn = g.rn + 1)
 SELECT {id_col}, shard, n_tokens, shard * 1000000000 + seq AS seq_id FROM g
 """

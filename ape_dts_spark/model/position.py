@@ -52,6 +52,12 @@ class RdbSnapshotFinished:
     schema: str
     tb: str
 
+    def sort_key(self) -> tuple:
+        # all finished markers for a table are equivalent: newer() of two is
+        # a legal same-kind comparison and must not raise (it used to
+        # AttributeError because this class defined no key at all)
+        return ()
+
 
 @dataclass(frozen=True)
 class MysqlCdcPosition:

@@ -35,6 +35,22 @@ TPCH_FK_EDGES: list[tuple[str, str]] = [
 ]
 
 
+def parse_fk_spec(fk_spec: str) -> list[tuple[str, str]]:
+    """Parse a ``child:parent,child:parent`` config string into edges,
+    stripping whitespace on BOTH sides of each colon. task.py and
+    precheck.check_fk_config share this parser — they used to disagree
+    ("orders: customer" passed precheck but produced a phantom ' customer'
+    parent at apply staging, silently dropping the edge constraint)."""
+    edges = []
+    for part in filter(None, (p.strip() for p in fk_spec.split(","))):
+        if ":" not in part:
+            continue
+        child, parent = (s.strip() for s in part.split(":", 1))
+        if child and parent:
+            edges.append((child, parent))
+    return edges
+
+
 def fk_levels(
     tables: list[str], edges: list[tuple[str, str]]
 ) -> tuple[dict[str, int], list[str]]:

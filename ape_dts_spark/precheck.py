@@ -200,19 +200,21 @@ def check_fk_config(tables: list[str], fk_spec: str) -> list[CheckResult]:
     the foreign_keys config must parse (child:parent pairs), reference known
     tables, and be acyclic — a cycle would force full-serial apply, which the
     operator refuses explicitly rather than silently degrading."""
-    from ape_dts_spark.plans.fk_order import fk_levels
+    from ape_dts_spark.plans.fk_order import fk_levels, parse_fk_spec
 
     out: list[CheckResult] = []
-    edges: list[tuple[str, str]] = []
     for part in filter(None, (p.strip() for p in fk_spec.split(","))):
         if ":" not in part:
             out.append(CheckResult("fk_config_parse", part, False, "expected child:parent"))
-            continue
-        child, parent = (s.strip() for s in part.split(":", 1))
-        edges.append((child, parent))
+    edges = parse_fk_spec(fk_spec)  # shared with task.run_task apply staging
+    for child, parent in edges:
         for t in (child, parent):
             if t not in tables:
-                out.append(CheckResult("fk_table_known", t, False, f"edge {part}: not in task tables"))
+                out.append(
+                    CheckResult(
+                        "fk_table_known", t, False, f"edge {child}:{parent}: not in task tables"
+                    )
+                )
     _, cyclic = fk_levels(tables, edges)
     out.append(
         CheckResult(

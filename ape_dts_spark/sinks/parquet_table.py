@@ -279,16 +279,24 @@ class ParquetTable:
         rows = rows.join(F.broadcast(whole_row), wr_cond, "left_anti")
         return rows.select(*payload_cols)
 
-    def vacuum(self, keep_last: int = 2) -> list[int]:
+    def vacuum(self, keep_last: int = 2, min_retained_version: int | None = None) -> list[int]:
         """Retention maintenance (Delta VACUUM analogue): drop version
         directories older than the last ``keep_last`` commits. Time travel
         (``at_version``/``changes_between``) and un-acked data subscriptions
         only reach back ``keep_last`` versions afterwards — size retention to
-        the slowest consumer, exactly like Delta's retention window."""
+        the slowest consumer, exactly like Delta's retention window.
+        ``min_retained_version`` pins a floor (e.g. the slowest subscriber's
+        acked position) that vacuum will never delete past."""
         import shutil
 
+        if keep_last < 1:
+            # keep_last=0 would set cutoff past the CURRENT version and
+            # rmtree the live table state
+            raise ValueError(f"keep_last must be >= 1, got {keep_last}")
         meta = self._read_meta()
         cutoff = meta["version"] - keep_last + 1
+        if min_retained_version is not None:
+            cutoff = min(cutoff, min_retained_version)
         removed = []
         for name in os.listdir(self.path):
             if name.startswith("v") and name[1:].isdigit() and int(name[1:]) < cutoff:

@@ -402,29 +402,41 @@ class MultiTableCdcPipeline:
     metrics: list[dict] = field(default_factory=list)
 
     def apply_batch(self, batch: DataFrame, batch_id: int) -> None:
-        present = [
-            (r["schema"], r["tb"])
-            for r in batch.select("schema", "tb").distinct().collect()
-        ]
-        skipped = 0
-        for schema, tb in present:
-            key = f"{schema}.{tb}"
-            if key not in self.targets:
-                skipped += 1
-                continue
-            table, key_cols = self.targets[key]
-            sub = batch.filter((F.col("schema") == schema) & (F.col("tb") == tb))
-            # schema-fluid streams: cast this table's map images to its
-            # target's typed payload (runtime schema discovery end-to-end)
-            if dict(sub.dtypes).get("after", "").startswith("map<"):
-                sub = fluid_to_typed(sub, table.payload_schema)
-            pipe = CdcPipeline(self.spark, table, key_cols, stream_id=self.stream_id)
-            pipe.apply_batch(sub, batch_id)
-            self.metrics.extend(
-                {**m, "table": key} for m in pipe.metrics
-            )
-        if skipped:
-            self.metrics.append({"batch_id": batch_id, "skipped_tables": skipped})
+        # One materialization per epoch: the source plan (stream parse /
+        # envelope decode) runs exactly once into the cache. Clustering by
+        # (schema, tb) first means every cached in-memory batch holds one
+        # table's rows, so each per-table filter below prunes on cached-batch
+        # column stats instead of re-scanning the whole epoch — without this,
+        # T targets cost T full passes over the batch plan (O(T*|batch|)
+        # driver-orchestrated work at the reference's hundreds-of-tables
+        # topology).
+        staged = batch.repartition(F.col("schema"), F.col("tb")).persist()
+        try:
+            present = [
+                (r["schema"], r["tb"])
+                for r in staged.select("schema", "tb").distinct().collect()
+            ]
+            skipped = 0
+            for schema, tb in present:
+                key = f"{schema}.{tb}"
+                if key not in self.targets:
+                    skipped += 1
+                    continue
+                table, key_cols = self.targets[key]
+                sub = staged.filter((F.col("schema") == schema) & (F.col("tb") == tb))
+                # schema-fluid streams: cast this table's map images to its
+                # target's typed payload (runtime schema discovery end-to-end)
+                if dict(sub.dtypes).get("after", "").startswith("map<"):
+                    sub = fluid_to_typed(sub, table.payload_schema)
+                pipe = CdcPipeline(self.spark, table, key_cols, stream_id=self.stream_id)
+                pipe.apply_batch(sub, batch_id)
+                self.metrics.extend(
+                    {**m, "table": key} for m in pipe.metrics
+                )
+            if skipped:
+                self.metrics.append({"batch_id": batch_id, "skipped_tables": skipped})
+        finally:
+            staged.unpersist()
 
     def run(self, changes: DataFrame, checkpoint_dir: str):
         query = (

@@ -34,7 +34,7 @@ from ape_dts_spark.config.task_config import TaskConfig
 from ape_dts_spark.model.changes import ROW_TYPE_INSERT
 from ape_dts_spark.operators.check_log import read_check_log_keys, write_check_log
 from ape_dts_spark.operators.checker import check_diff
-from ape_dts_spark.plans.fk_order import apply_stages
+from ape_dts_spark.plans.fk_order import apply_stages, parse_fk_spec
 from ape_dts_spark.sinks.parquet_table import ParquetTable
 from ape_dts_spark.sinks.sql_file import events_to_sql, write_sql_file
 from ape_dts_spark.sources.snapshot import SnapshotSource
@@ -77,9 +77,7 @@ def run_task(spark: SparkSession, cfg: TaskConfig, registry: dict[str, list[str]
         # table parallelism and only sequences table groups parents-first.
         fk_spec = cfg.extractor.get("foreign_keys", "")
         if fk_spec:
-            edges = [
-                tuple(e.strip().split(":", 1)) for e in fk_spec.split(",") if ":" in e
-            ]
+            edges = parse_fk_spec(fk_spec)
             stages = apply_stages(tables, edges)
             tables = [tb for stage in stages for tb in stage if tb in set(tables)]
         parallel = cfg.parallelizer.get_int("parallel_size", 0)

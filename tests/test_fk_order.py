@@ -67,3 +67,14 @@ def test_cycle_detected_and_isolated():
     assert levels == {"a": 0, "d": 1}
     with pytest.raises(ValueError, match="cycle"):
         apply_stages(["a", "b", "c", "d"], edges)
+
+
+def test_parse_fk_spec_strips_whitespace():
+    # task.py and precheck share this parser; " orders : customer" used to
+    # produce a phantom ' customer' parent at apply staging only
+    from ape_dts_spark.plans.fk_order import parse_fk_spec
+
+    assert parse_fk_spec(" orders : customer , lineitem:orders ,, bad") == [
+        ("orders", "customer"),
+        ("lineitem", "orders"),
+    ]

@@ -60,3 +60,21 @@ def test_sequence_packing_no_docs_lost_across_shards(spark):
     # no doc is oversized here, so every sequence respects the budget
     fills = mx.pack_summary(out).collect()
     assert fills and all(r["seq_tokens"] <= 64 for r in fills)
+
+
+def test_sequence_packing_zero_token_matches_oracle(spark):
+    # zero-token doc, then an over-budget doc: the kernel's fill>0 guard keeps
+    # both in the open (empty) sequence; the recursive-CTE oracle must agree
+    # (it opened a fresh sequence before the g.fill > 0 condition was added)
+    import duckdb
+
+    rows = [(0, 0), (1, 300), (2, 10)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    out = mx.sequence_packing(df, "n_tokens", budget=100, id_col="doc_id", n_shards=1)
+    got = sorted((r["doc_id"], r["seq_id"]) for r in out.collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(doc_id BIGINT, n_tokens BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    sql = mx.sequence_packing_sql("SELECT doc_id, n_tokens FROM t", 100, "doc_id", 1)
+    want = sorted((r[0], r[3]) for r in con.execute(sql).fetchall())
+    assert got == want == [(0, 0), (1, 0), (2, 1)]

@@ -78,3 +78,12 @@ def test_gtid_single_id_not_range():
     g = GtidSet.parse("s1:5")
     assert g.intervals == {"s1": ((5, 5),)}
     assert g.to_text() == "s1:5"
+
+
+def test_snapshot_finished_pair_ordering():
+    # a legal same-kind pair: newer() must return one of them, not raise
+    from ape_dts_spark.model.position import RdbSnapshotFinished, newer
+
+    a = RdbSnapshotFinished("mysql", "db", "t1")
+    b = RdbSnapshotFinished("mysql", "db", "t1")
+    assert newer(a, b) in (a, b)

@@ -411,6 +411,12 @@ def test_vacuum_retention(spark, tmp_path):
         )
         table.merge_apply(compacted, spill, ["id"])
     assert table.version() == 3
+    import pytest
+
+    with pytest.raises(ValueError):
+        table.vacuum(keep_last=0)  # would rmtree the live version
+    # a subscriber floor pins history even when keep_last would drop it
+    assert table.vacuum(keep_last=2, min_retained_version=0) == []
     removed = table.vacuum(keep_last=2)
     assert removed == [0, 1]
     assert table.current().count() == 4  # live state untouched
