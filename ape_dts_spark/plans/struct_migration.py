@@ -55,6 +55,40 @@ class SequenceDef:
     owned_by: str | None = None  # "table.column"
 
 
+@dataclass(frozen=True)
+class UdfDef:
+    """User-defined function (structure_type.rs:5-30 Udf): carried as its
+    declared signature + source body. PG is the native home; dialects whose
+    function bodies are not portable get a meta-log line instead of silently
+    dropping the object."""
+
+    name: str
+    args: str = ""  # "a integer, b integer"
+    returns: str = "integer"
+    language: str = "sql"  # sql | plpgsql
+    body: str = ""
+
+
+@dataclass(frozen=True)
+class UdtDef:
+    """User-defined type (structure_type.rs Udt): enum or composite. PG-world
+    object; MySQL inlines enums per column, Spark uses struct columns."""
+
+    name: str
+    kind: str = "enum"  # enum | composite
+    values: tuple[str, ...] = ()  # enum labels
+    attributes: tuple[tuple[str, str], ...] = ()  # composite (attr, pg type)
+
+
+@dataclass(frozen=True)
+class RbacDef:
+    """Role + grants (structure_type.rs Rbac; dcl_type.rs:7-22 grant/revoke
+    statement kinds): one role and the privileges it holds on this schema."""
+
+    role: str
+    grants: tuple[str, ...] = ()  # e.g. ("SELECT ON TABLE users", "USAGE ON SCHEMA demo")
+
+
 @dataclass
 class TableDef:
     """Neutral table definition: the Spark-side RdbTbMeta
@@ -371,21 +405,85 @@ def to_index_ddl(td: TableDef, dialect: str) -> list[str]:
     return out
 
 
+def to_udt_ddl(schema: str, udt: UdtDef, dialect: str) -> list[str]:
+    """User-defined type translation (structure_type.rs Udt). PG is the
+    native home (CREATE TYPE AS ENUM / AS (...)); other dialects have no
+    schema-level type objects — enums inline into column types (MySQL,
+    ClickHouse Enum8) and composites become struct columns (Spark), so those
+    emit meta-log lines rather than dropping the object silently."""
+    if dialect not in DIALECTS:
+        raise ValueError(f"unsupported dialect {dialect!r}; one of {DIALECTS}")
+    if dialect == "pg":
+        if udt.kind == "enum":
+            labels = ", ".join(_sq(v) for v in udt.values)
+            return [f'CREATE TYPE {_dq(schema)}.{_dq(udt.name)} AS ENUM ({labels})']
+        attrs = ", ".join(f"{_dq(a)} {t}" for a, t in udt.attributes)
+        return [f'CREATE TYPE {_dq(schema)}.{_dq(udt.name)} AS ({attrs})']
+    hint = {
+        "mysql": "inline ENUM(...) / JSON column types",
+        "clickhouse": "inline Enum8/Tuple column types",
+        "starrocks": "inline column types",
+        "sparksql": "struct<...> columns",
+    }[dialect]
+    return [f"-- skipped: type `{udt.name}` ({udt.kind}; no schema-level type objects — use {hint})"]
+
+
+def to_udf_ddl(schema: str, udf: UdfDef, dialect: str) -> list[str]:
+    """User-defined function translation (structure_type.rs Udf). PG emits a
+    full CREATE OR REPLACE FUNCTION with the carried body; function bodies
+    are not portable across engines, so every other dialect gets a meta-log
+    line naming the object and its signature (the reference migrates Udf
+    objects only between same-kind databases)."""
+    if dialect not in DIALECTS:
+        raise ValueError(f"unsupported dialect {dialect!r}; one of {DIALECTS}")
+    if dialect == "pg":
+        return [
+            f'CREATE OR REPLACE FUNCTION {_dq(schema)}.{_dq(udf.name)}({udf.args})'
+            f" RETURNS {udf.returns} LANGUAGE {udf.language} AS $body$ {udf.body} $body$"
+        ]
+    porter = "a Python/Scala UDF registration" if dialect == "sparksql" else "a manual port"
+    return [
+        f"-- skipped: function `{udf.name}({udf.args}) RETURNS {udf.returns}`"
+        f" (body is {udf.language}; needs {porter})"
+    ]
+
+
+def to_rbac_ddl(schema: str, r: RbacDef, dialect: str) -> list[str]:
+    """Role/grant translation (structure_type.rs Rbac). PG/MySQL/ClickHouse/
+    StarRocks all speak CREATE ROLE + GRANT; Spark SQL has no intrinsic RBAC
+    objects (governance lives in the catalog layer), so it meta-logs."""
+    if dialect not in DIALECTS:
+        raise ValueError(f"unsupported dialect {dialect!r}; one of {DIALECTS}")
+    if dialect == "sparksql":
+        return [f"-- skipped: role `{r.role}` (catalog/governance layer owns grants)"]
+    quote = _dq if dialect == "pg" else _bt
+    out = [f"CREATE ROLE IF NOT EXISTS {quote(r.role)}"]
+    if dialect == "pg":
+        out[0] = f'CREATE ROLE {_dq(r.role)}'  # PG<16 lacks IF NOT EXISTS on roles
+    out.extend(f"GRANT {g} TO {quote(r.role)}" for g in r.grants)
+    return out
+
+
 def migration_plan(
     schema: str,
     tables: list[TableDef],
     dialect: str,
     sequences: list[SequenceDef] | None = None,
+    udts: list[UdtDef] | None = None,
+    udfs: list[UdfDef] | None = None,
+    rbac: list[RbacDef] | None = None,
     rdb_filter=None,
 ) -> list[str]:
-    """Full ordered struct-migration script for one schema: database →
-    sequences → tables → indexes → comments (the reference's struct sinker
-    ordering over structure_type.rs object kinds).
+    """Full ordered struct-migration script for one schema: database → types
+    → sequences → tables → indexes → functions → comments → roles/grants
+    (the reference's struct sinker ordering over structure_type.rs object
+    kinds; types precede the tables that may use them, grants come last so
+    every object they reference exists).
 
     ``rdb_filter.filter_structure(kind)`` gates each object family with the
     reference's ``do_structures`` semantics (rdb_filter.rs:130-134): empty
     config migrates everything, otherwise only the listed kinds
-    (database/table/sequence/index/comment) are emitted.
+    (database/table/sequence/index/comment/udt/udf/rbac) are emitted.
     """
 
     def keep(kind: str) -> bool:
@@ -394,6 +492,9 @@ def migration_plan(
     out: list[str] = []
     if keep("database"):
         out.append(to_database_ddl(schema, dialect))
+    if keep("udt"):
+        for udt in udts or []:
+            out.extend(to_udt_ddl(schema, udt, dialect))
     if keep("sequence"):
         for seq in sequences or []:
             out.extend(to_sequence_ddl(schema, seq, dialect))
@@ -403,10 +504,42 @@ def migration_plan(
     if keep("index"):
         for td in tables:
             out.extend(to_index_ddl(td, dialect))
+    if keep("udf"):
+        for udf in udfs or []:
+            out.extend(to_udf_ddl(schema, udf, dialect))
     if keep("comment") and dialect == "pg":
         for td in tables:
             out.extend(to_comment_ddl(td))
+    if keep("rbac"):
+        for r in rbac or []:
+            out.extend(to_rbac_ddl(schema, r, dialect))
     return out
+
+
+def schema_object_check(
+    src: dict[str, list], dst: dict[str, list]
+) -> list[dict]:
+    """Schema-level struct check over the non-table object families
+    (struct_checker.rs parity for Udf/Udt/Rbac/Sequence): compares by object
+    name within each family, reporting missing/extra/changed. ``src``/``dst``
+    map family name ('udfs' | 'udts' | 'rbac' | 'sequences') to def lists."""
+    issues: list[dict] = []
+    singular = {"udfs": "udf", "udts": "udt", "rbac": "rbac", "sequences": "sequence"}
+    for family, kind in singular.items():
+        key = "role" if family == "rbac" else "name"
+        s = {getattr(o, key): o for o in src.get(family, [])}
+        d = {getattr(o, key): o for o in dst.get(family, [])}
+        for name, obj in s.items():
+            if name not in d:
+                issues.append({"object": name, "kind": f"missing_{kind}", "detail": repr(obj)})
+            elif obj != d[name]:
+                issues.append(
+                    {"object": name, "kind": f"{kind}_mismatch", "detail": f"{obj!r} != {d[name]!r}"}
+                )
+        for name in d:
+            if name not in s:
+                issues.append({"object": name, "kind": f"extra_{kind}", "detail": repr(d[name])})
+    return issues
 
 
 def struct_check(src: TableDef, dst: TableDef) -> list[dict]:

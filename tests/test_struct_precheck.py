@@ -295,3 +295,72 @@ def test_fk_config_precheck():
     assert any(r.check == "fk_table_known" and not r.ok for r in unknown)
     cyc = check_fk_config(["a", "b"], "a:b,b:a")
     assert any(r.check == "fk_acyclic" and not r.ok for r in cyc)
+
+
+def test_udf_udt_rbac_pg_ddl_round_trip():
+    """The three remaining structure_type.rs object kinds (Udf/Udt/Rbac) ride
+    the migration plan with real PG DDL and survive a schema_object_check
+    round-trip; drift in any family is reported."""
+    from ape_dts_spark.plans.struct_migration import (
+        RbacDef,
+        SequenceDef,
+        UdfDef,
+        UdtDef,
+        migration_plan,
+        schema_object_check,
+    )
+
+    udts = [UdtDef("mood", kind="enum", values=("sad", "ok", "happy")),
+            UdtDef("pair", kind="composite", attributes=(("a", "integer"), ("b", "text")))]
+    udfs = [UdfDef("add2", args="a integer, b integer", returns="integer",
+                   language="sql", body="SELECT a + b")]
+    rbac = [RbacDef("analyst", grants=("SELECT ON TABLE orders",))]
+    plan = migration_plan("db", [TD], "pg", udts=udts, udfs=udfs, rbac=rbac)
+    text = "\n".join(plan)
+    assert 'CREATE TYPE "db"."mood" AS ENUM (\'sad\', \'ok\', \'happy\')' in text
+    assert 'CREATE TYPE "db"."pair" AS ("a" integer, "b" text)' in text
+    assert 'CREATE OR REPLACE FUNCTION "db"."add2"(a integer, b integer)' in text
+    assert "RETURNS integer LANGUAGE sql AS $body$ SELECT a + b $body$" in text
+    assert 'CREATE ROLE "analyst"' in text
+    assert 'GRANT SELECT ON TABLE orders TO "analyst"' in text
+    # types precede tables; grants come last
+    assert text.index("CREATE TYPE") < text.index("CREATE TABLE") < text.index("GRANT ")
+
+    src = {"udfs": udfs, "udts": udts, "rbac": rbac, "sequences": [SequenceDef("s1")]}
+    assert schema_object_check(src, dict(src)) == []
+    drifted = {
+        "udfs": [],  # dropped function
+        "udts": [UdtDef("mood", kind="enum", values=("sad", "happy")), udts[1]],
+        "rbac": rbac + [RbacDef("intern")],
+        "sequences": [SequenceDef("s1")],
+    }
+    kinds = {i["kind"] for i in schema_object_check(src, drifted)}
+    assert kinds == {"missing_udf", "udt_mismatch", "extra_rbac"}
+
+
+def test_udf_udt_rbac_other_dialects_meta_log():
+    """Dialects without these object kinds meta-log instead of silently
+    dropping; RBAC-capable engines emit real CREATE ROLE/GRANT."""
+    from ape_dts_spark.plans.struct_migration import RbacDef, UdfDef, UdtDef, to_rbac_ddl, to_udf_ddl, to_udt_ddl
+
+    assert to_udt_ddl("db", UdtDef("mood", values=("a",)), "mysql")[0].startswith("-- skipped:")
+    assert to_udf_ddl("db", UdfDef("f"), "sparksql")[0].startswith("-- skipped:")
+    assert to_rbac_ddl("db", RbacDef("r"), "sparksql")[0].startswith("-- skipped:")
+    ch = to_rbac_ddl("db", RbacDef("r", grants=("SELECT ON db.*",)), "clickhouse")
+    assert ch == ["CREATE ROLE IF NOT EXISTS `r`", "GRANT SELECT ON db.* TO `r`"]
+
+
+def test_migration_plan_filters_new_object_kinds():
+    from ape_dts_spark.plans.struct_migration import RbacDef, UdfDef, UdtDef, migration_plan
+
+    f = RdbFilter(do_structures="table,udf")
+    plan = migration_plan(
+        "db", [TD], "pg",
+        udts=[UdtDef("mood", values=("a",))],
+        udfs=[UdfDef("f", body="SELECT 1")],
+        rbac=[RbacDef("r")],
+        rdb_filter=f,
+    )
+    text = "\n".join(plan)
+    assert "CREATE OR REPLACE FUNCTION" in text and "CREATE TABLE" in text
+    assert "CREATE TYPE" not in text and "CREATE ROLE" not in text
