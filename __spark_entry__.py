@@ -9,6 +9,7 @@ Column names/aliases match exactly between the two sides.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -368,6 +369,52 @@ def q_redis_statements(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cmds = state_to_commands(_redis_state(spark, sf_dir))
     return cmds.select("db_id", "key", "ord", "inline", "resp")
+
+
+def q_redis_rdb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RDB dump-at-rest round trip (redis/rdb/** decoder parity): the
+    compacted RESP-derived keyspace, plus an all-integer set for intset
+    coverage, is encoded into a binary RDB dump — exercising int-string,
+    ziplist-hash, listpack/quicklist2-list, ascii-score-zset, intset and
+    EXPIRETIME_MS encodings — then re-read with the distributed binaryFile
+    scan and projected back to state rows, which must agree with the same
+    REDIS_STATE oracle the RESP path is gated on. The keyspace collect is
+    bounded by distinct keys (one node's dump, the fixture generator)."""
+    import hashlib
+    import tempfile
+
+    from ape_dts_spark.sources import redis_rdb as rdb
+
+    base = 1_700_000_000_000
+    rows = _redis_state(spark, sf_dir).collect()
+    entries, uids = [], set()
+    for r in rows:
+        exp = base + int(r["expire"].split(":", 1)[1]) if r["expire"] is not None else None
+        entries.append(
+            {
+                "db_id": r["db_id"], "key": r["key"], "entry_type": r["entry_type"],
+                "member": r["member"], "value": r["value"], "ord": r["ord"],
+                "expire_ms": exp,
+            }
+        )
+        if r["entry_type"] == "string":
+            uids.add(int(r["key"].split(":", 1)[1]))
+    entries.extend(
+        {"db_id": 0, "key": "uids:active", "entry_type": "set", "member": str(u),
+         "value": None, "ord": 0, "expire_ms": None}
+        for u in sorted(uids)
+    )
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    dump_dir = os.path.join(tempfile.gettempdir(), f"ape_rdb_{tag}")
+    rdb.write_rdb_file(entries, os.path.join(dump_dir, "node0.rdb"))
+    parsed = rdb.read_rdb_files(spark, dump_dir)
+    return parsed.select(
+        "db_id", "key", "entry_type", "member", "value", "ord",
+        F.when(
+            F.col("expire_ms").isNotNull(),
+            F.concat(F.lit("PEXPIRE:"), (F.col("expire_ms") - F.lit(base)).cast("string")),
+        ).alias("expire"),
+    )
 
 
 def q_redis_slot_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -928,6 +975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_extract": q_json_extract,
         # -- new this round ---------------------------------------------------
         # (insert new queries here so they land inside the driver window)
+        "redis_rdb": q_redis_rdb,
         # -- already driver-green; most load-bearing fill the window ----------
         "snapshot_scan": q_snapshot_scan,
         "snapshot_chunked": q_snapshot_chunked,
@@ -1473,6 +1521,23 @@ def oracle_sql() -> dict[str, str]:
                   x -> '$' || CAST(length(x) AS VARCHAR) || chr(13) || chr(10) || x || chr(13) || chr(10))),
                 (a, b) -> a || b) AS resp
             FROM argv
+        """,
+        "redis_rdb": f"""
+            {demo.REDIS_STATE_SQL},
+            ranked AS (
+              SELECT db_id, key, entry_type, member, value,
+                     CASE WHEN entry_type = 'list'
+                          THEN ROW_NUMBER() OVER (PARTITION BY key ORDER BY ord) - 1
+                          ELSE 0 END AS ord,
+                     expire
+              FROM redis_state),
+            intset AS (
+              SELECT CAST(0 AS BIGINT) AS db_id, 'uids:active' AS key,
+                     'set' AS entry_type, CAST(user_id AS VARCHAR) AS member,
+                     CAST(NULL AS VARCHAR) AS value, CAST(0 AS BIGINT) AS ord,
+                     CAST(NULL AS VARCHAR) AS expire
+              FROM ulast WHERE rn = 1 AND event_type = 'signup')
+            SELECT * FROM ranked UNION ALL SELECT * FROM intset
         """,
         "redis_slot_stats": f"""
             {demo.REDIS_STATE_SQL},

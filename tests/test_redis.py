@@ -187,3 +187,119 @@ def test_big_key_stats(spark):
     top = big_key_stats(state, top_n=1).collect()
     assert len(top) == 1 and top[0]["key"] == "big" and top[0]["n_members"] == 2
     assert top[0]["est_bytes"] == len("big") + 2 * (2 + 10)
+
+
+# ---------------------------------------------------------------------------
+# RDB binary dump parsing (sources/redis_rdb.py)
+# ---------------------------------------------------------------------------
+
+
+def _rt(entries):
+    from ape_dts_spark.sources import redis_rdb as rdb
+
+    parsed = rdb.parse_rdb_bytes(rdb.encode_rdb(entries))
+    key = lambda e: (e["db_id"], e["key"], e["entry_type"], e["member"], e["value"], e["ord"])  # noqa: E731
+    return sorted(map(key, parsed)), sorted(map(key, entries))
+
+
+def test_rdb_round_trip_every_family():
+    def e(key, etype, member=None, value=None, ord_=0, db=0, exp=None):
+        return {"db_id": db, "key": key, "entry_type": etype, "member": member,
+                "value": value, "ord": ord_, "expire_ms": exp}
+
+    entries = [
+        e("s1", "string", value="60.00", exp=1_700_000_060_000),
+        e("s2", "string", value="-42"),  # int-encoded string
+        e("h2", "hash", "c0", "1.50"),   # ziplist hash (<=2 fields)
+        e("h2", "hash", "c1", "7"),
+    ]
+    entries += [e("h4", "hash", f"f{i}", str(i * 1000)) for i in range(2)]
+    entries += [e("h4", "hash", f"g{i}", "x" * 70) for i in range(3)]  # plain hash, 14-bit len
+    entries += [e("L", "list", value=f"e{i}", ord_=i) for i in range(9)]  # 3 listpack nodes
+    entries += [e("z2", "zset", "u1", "9.75")]  # zset listpack
+    entries += [e("z3", "zset", f"m{i}", f"{i}.5") for i in range(3)]  # ascii-score plain zset
+    entries += [e("ints", "set", str(v)) for v in (-70000, -5, 0, 12, 40000)]  # intset -> int32
+    entries += [e("mixed", "set", m, db=1) for m in ("abc", "007", "15")]  # '007' stays text
+    got, want = _rt(entries)
+    assert got == want
+
+
+def test_rdb_expire_round_trip_and_reset():
+    from ape_dts_spark.sources import redis_rdb as rdb
+
+    entries = [
+        {"db_id": 0, "key": "a", "entry_type": "string", "member": None, "value": "1", "ord": 0, "expire_ms": 1_700_000_060_000},
+        {"db_id": 0, "key": "b", "entry_type": "string", "member": None, "value": "2", "ord": 0, "expire_ms": None},
+    ]
+    parsed = {e["key"]: e["expire_ms"] for e in rdb.parse_rdb_bytes(rdb.encode_rdb(entries))}
+    assert parsed == {"a": 1_700_000_060_000, "b": None}  # expiry must not leak to b
+
+
+def test_rdb_parser_only_paths():
+    """Paths real Redis emits that our writer doesn't: LZF strings, legacy
+    plain/ziplist containers, quicklist(14), plain quicklist2 nodes, 0xFD
+    second-resolution expiry."""
+    import struct
+
+    from ape_dts_spark.sources import redis_rdb as rdb
+
+    payload = b"ab" * 40  # compressible
+    comp = bytearray()
+    # hand-rolled LZF: literal 'ab' then a max-offset back-reference run
+    comp += bytes([1]) + b"ab"  # ctrl<32: literal of 2 bytes
+    # back-ref: length 78 -> ctrl len bits 7 + ext (78-2-7)=69, offset 1
+    comp += bytes([(7 << 5) | 0, 78 - 2 - 7, 1])
+    assert rdb._lzf_decompress(bytes(comp), 80) == payload
+
+    out = bytearray(rdb.RDB_HEADER)
+    out += bytes([rdb.OP_SELECTDB, 0])
+    # LZF-encoded string value: special len 3, clen, ulen
+    out += bytes([rdb.T_STRING]) + rdb._enc_string(b"lzf")
+    out += bytes([0xC3]) + rdb._enc_len(len(comp)) + rdb._enc_len(80) + bytes(comp)
+    # 0xFD expiry (seconds) on a legacy plain list (type 1)
+    out += bytes([rdb.OP_EXPIRETIME]) + struct.pack("<I", 1_700_000_000)
+    out += bytes([rdb.T_LIST]) + rdb._enc_string(b"plainlist") + rdb._enc_len(2)
+    out += rdb._enc_string(b"x") + rdb._enc_string(b"y")
+    # list as ziplist (type 10) with int24 + immediate entries
+    zl = rdb._enc_ziplist([b"5", b"100000"])
+    out += bytes([rdb.T_LIST_ZIPLIST]) + rdb._enc_string(b"zlist") + rdb._enc_string(zl)
+    # quicklist (type 14): one ziplist node
+    out += bytes([rdb.T_LIST_QUICKLIST]) + rdb._enc_string(b"ql") + rdb._enc_len(1)
+    out += rdb._enc_string(rdb._enc_ziplist([b"a", b"b"]))
+    # quicklist2 with a PLAIN node (container=1)
+    out += bytes([rdb.T_LIST_QUICKLIST2]) + rdb._enc_string(b"ql2") + rdb._enc_len(1)
+    out += rdb._enc_len(1) + rdb._enc_string(b"solo")
+    # zset ziplist (type 12)
+    out += bytes([rdb.T_ZSET_ZIPLIST]) + rdb._enc_string(b"zz") + rdb._enc_string(
+        rdb._enc_ziplist([b"m1", b"3.5"])
+    )
+    out += bytes([rdb.OP_EOF]) + b"\x00" * 8
+
+    got = {
+        (e["key"], e["entry_type"], e["member"], e["value"], e["ord"], e["expire_ms"])
+        for e in rdb.parse_rdb_bytes(bytes(out))
+    }
+    assert got == {
+        ("lzf", "string", None, payload.decode(), 0, None),
+        ("plainlist", "list", None, "x", 0, 1_700_000_000_000),
+        ("plainlist", "list", None, "y", 1, 1_700_000_000_000),
+        ("zlist", "list", None, "5", 0, None),
+        ("zlist", "list", None, "100000", 1, None),
+        ("ql", "list", None, "a", 0, None),
+        ("ql", "list", None, "b", 1, None),
+        ("ql2", "list", None, "solo", 0, None),
+        ("zz", "zset", "m1", "3.5", 0, None),
+    }
+
+
+def test_rdb_distributed_read(spark, tmp_path):
+    from ape_dts_spark.sources import redis_rdb as rdb
+
+    for node in range(2):
+        rdb.write_rdb_file(
+            [{"db_id": 0, "key": f"n{node}", "entry_type": "string", "member": None,
+              "value": str(node), "ord": 0, "expire_ms": None}],
+            str(tmp_path / f"node{node}.rdb"),
+        )
+    got = {(r["key"], r["value"]) for r in rdb.read_rdb_files(spark, str(tmp_path)).collect()}
+    assert got == {("n0", "0"), ("n1", "1")}
