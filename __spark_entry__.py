@@ -694,6 +694,19 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.minhash_lsh_pairs(demo.load(spark, sf_dir, "documents"), "doc_id", "text", threshold=0.95)
 
 
+def q_ngram_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-5-gram near-dup via MinHash banding — the sub-quadratic scale
+    path next to ngram_jaccard's exact PPJoin baseline (high-df shingles
+    weaken PPJoin's prefix filter; MinHash candidate volume is banding-
+    bounded regardless of shingle document frequency)."""
+    d = demo.load(spark, sf_dir, "documents").withColumn(
+        "_norm", F.expr(tx.norm_text_expr("text"))
+    )
+    return dd.minhash_lsh_pairs(
+        d, "doc_id", "_norm", threshold=0.9, tokens=tx.shingles_expr("_norm", 5)
+    )
+
+
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs with byte-band blocking + Hamming check."""
     return dd.simhash_pairs(demo.load(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=2)
@@ -976,6 +989,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new this round ---------------------------------------------------
         # (insert new queries here so they land inside the driver window)
         "redis_rdb": q_redis_rdb,
+        "ngram_minhash": q_ngram_minhash,
         # -- already driver-green; most load-bearing fill the window ----------
         "snapshot_scan": q_snapshot_scan,
         "snapshot_chunked": q_snapshot_chunked,
@@ -1036,8 +1050,16 @@ _TOK_CTE = (
     "SELECT DISTINCT doc_id, unnest(" + tx.tokens_sql("text") + ") AS token FROM documents"
 )
 
-_JACCARD_CTES = f"""
-tok AS ({_TOK_CTE}),
+# char-5-gram token relation over normalized text (the ngram_minhash oracle)
+_NGRAM_TOK_CTE = (
+    f"SELECT DISTINCT doc_id, unnest({tx.shingles_sql('norm', 5)}) AS token "
+    f"FROM (SELECT doc_id, {tx.norm_text_sql('text')} AS norm FROM documents)"
+)
+
+
+def _jaccard_ctes(tok_cte: str) -> str:
+    return f"""
+tok AS ({tok_cte}),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
 shared AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
@@ -1048,6 +1070,9 @@ jac AS (
          CAST(shared AS DOUBLE) / CAST(sa.n + sb.n - shared AS DOUBLE) AS jaccard
   FROM shared JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id)
 """
+
+
+_JACCARD_CTES = _jaccard_ctes(_TOK_CTE)
 
 
 def _cosine_dup_oracle(dim: int, threshold: float) -> str:
@@ -1079,7 +1104,7 @@ SELECT id_a, id_b, cosine FROM scored WHERE cosine >= {threshold}
 """
 
 
-def _minhash_oracle(threshold: float) -> str:
+def _minhash_oracle(threshold: float, tok_cte: str = _TOK_CTE) -> str:
     p = tx.PORTABLE_HASH_P
     n_bands, rows_per_band = dd.banding_for(threshold)
     mins = ",\n    ".join(
@@ -1096,14 +1121,14 @@ def _minhash_oracle(threshold: float) -> str:
         f"SELECT doc_id, {i} AS band, {band_expr(i)} AS bh FROM sigs" for i in range(n_bands)
     )
     return f"""
-WITH tok0 AS ({_TOK_CTE}),
+WITH tok0 AS ({tok_cte}),
 tn0 AS (SELECT doc_id, {tx.portable_hash_sql('token')} AS tn FROM tok0),
 sigs AS (SELECT doc_id, {mins} FROM tn0 GROUP BY doc_id),
 bands AS ({bands}),
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
-{_JACCARD_CTES.lstrip()}
+{_jaccard_ctes(tok_cte).lstrip()}
 SELECT c.id_a, c.id_b, j.jaccard
 FROM cand c JOIN jac j ON c.id_a = j.id_a AND c.id_b = j.id_b
 WHERE j.jaccard >= {threshold}
@@ -1692,6 +1717,7 @@ def oracle_sql() -> dict[str, str]:
         """
         )(tx.token_stats_sql_exprs("text")),
         "minhash_lsh": _minhash_oracle(0.95),
+        "ngram_minhash": _minhash_oracle(0.9, _NGRAM_TOK_CTE),
         "dedup_cluster": f"""
             WITH RECURSIVE pairs AS ({_minhash_oracle(0.95)}),
             edges AS (

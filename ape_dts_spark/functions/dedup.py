@@ -263,6 +263,7 @@ def minhash_lsh_pairs(
     id_col: str,
     text_col: str = "text",
     threshold: float = 0.5,
+    tokens: str | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash banding, verified with true Jaccard.
 
@@ -293,20 +294,40 @@ def minhash_lsh_pairs(
     the tokenize+hash work (measured 4x wall-clock on the sf0.1 corpus). On a
     cluster you would land signatures to storage between stages; eager
     MEMORY_AND_DISK materialization is the local analogue.
+
+    ``tokens`` overrides the word tokenizer with any array<string> SQL expr —
+    passing ``text.shingles_expr(norm_col, n)`` turns this into the
+    sub-quadratic n-gram near-dup path (the exact PPJoin in
+    ngram_jaccard_pairs is the exact baseline; high-df shingles weaken its
+    prefix filter, while MinHash cost is banding-bounded regardless of df).
     Output: (id_a, id_b, jaccard).
     """
+    # Fan the source out BEFORE tokenizing: a small corpus parquet arrives as
+    # one input split, and tokenize + array_distinct + array_sort is the
+    # CPU-heaviest projection in the pipeline — left on the scan's
+    # partitioning it runs on one core (measured 26 s of a 28 s sf0.1
+    # shingle run single-threaded). The persist+count barrier is what makes
+    # the fan-out real: Catalyst pushes deterministic projections through a
+    # round-robin Exchange, so a bare repartition().select() still tokenizes
+    # on the map side (re-measured: identical 26 s); projecting from the
+    # cached 32-partition relation cannot be pushed anywhere.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    src = df.repartition(par).persist(StorageLevel.MEMORY_AND_DISK)
+    src.count()
     members = (
-        df.select(
+        src.select(
             F.col(id_col).alias("_id"),
-            F.array_sort(F.array_distinct(F.expr(tokens_expr(text_col)))).alias("_toks"),
+            F.array_sort(F.array_distinct(F.expr(tokens or tokens_expr(text_col)))).alias("_toks"),
         )
         .filter(F.size("_toks") > 0)  # token-less docs get no signature -> no pairs
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     members.count()
-    # one row per distinct token set; rep = min doc id (stable set identity)
+    # one row per distinct token set; rep = min doc id (stable set identity);
+    # same fan-out reasoning for the downstream explode+hash signature stage
     sets = (
         members.groupBy("_toks").agg(F.min("_id").alias("_rep"))
+        .repartition(par)
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     sets.count()
