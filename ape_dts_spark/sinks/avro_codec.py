@@ -232,12 +232,46 @@ def _wire_struct_type(payload: T.StructType) -> T.StructType:
     return T.StructType(fields)
 
 
-def encode_events_avro(df: DataFrame) -> DataFrame:
-    """Change events -> (key string, value binary) rows in Avro binary.
-    Column contract matches wire_format.encode_events (minus topic routing —
-    compose with topic_for upstream if needed). Timestamps/decimals are
-    converted to their wire types (unix micros / canonical string) JVM-side
-    so the Python kernel handles only timezone-free primitives."""
+def envelope_avro_schema_json(payload: T.StructType) -> str:
+    """The Avro schema (JSON) this module's binary wire format implements —
+    THE swap contract with the JVM path: ``to_avro(struct(*wire_projection
+    (df)), envelope_avro_schema_json(payload))`` must produce byte-identical
+    values to ``encode_events_avro`` (same field order, same [null, T] union
+    branch order, zigzag varints / utf8 / LE doubles per the Avro spec), and
+    ``from_avro`` with the same schema reads this module's bytes. Verified by
+    the jar-gated test in tests/test_avro.py where spark-avro is present."""
+    import json
+
+    prim = {"timestamp": "long", "decimal": "string"}
+    payload_fields = [
+        {"name": name, "type": ["null", prim.get(kind, kind)]}
+        for name, kind in payload_avro_fields(payload)
+    ]
+    record = {
+        "type": "record",
+        "name": "ChangeEvent",
+        "fields": [
+            {"name": "schema", "type": "string"},
+            {"name": "tb", "type": "string"},
+            {"name": "row_type", "type": "string"},
+            {
+                "name": "before",
+                "type": ["null", {"type": "record", "name": "Payload", "fields": payload_fields}],
+            },
+            {"name": "after", "type": ["null", "Payload"]},
+            {"name": "seq", "type": "long"},
+            {"name": "ts_us", "type": ["null", "long"]},
+            {"name": "origin_node", "type": ["null", "string"]},
+            {"name": "ddl", "type": ["null", "string"]},
+        ],
+    }
+    return json.dumps(record)
+
+
+def wire_projection(df: DataFrame) -> list:
+    """The envelope's wire columns in schema order (timestamps as unix
+    micros, decimals as canonical strings, JVM-side) — shared by the Python
+    codec and the to_avro swap path."""
     payload: T.StructType = df.schema["after"].dataType  # type: ignore[assignment]
     fields = payload_avro_fields(payload)
 
@@ -252,13 +286,24 @@ def encode_events_avro(df: DataFrame) -> DataFrame:
             parts.append(src.alias(name))
         return F.when(F.col(image).isNotNull(), F.struct(*parts)).alias(image)
 
-    wire_cols = [
+    return [
         F.col("schema"), F.col("tb"), F.col("row_type"),
         img("before"), img("after"), F.col("seq"),
         (F.unix_micros(F.col("ts")) if "ts" in df.columns else F.lit(None).cast("long")).alias("ts_us"),
         (F.col("origin_node") if "origin_node" in df.columns else F.lit(None).cast("string")).alias("origin_node"),
         (F.col("ddl") if "ddl" in df.columns else F.lit(None).cast("string")).alias("ddl"),
     ]
+
+
+def encode_events_avro(df: DataFrame) -> DataFrame:
+    """Change events -> (key string, value binary) rows in Avro binary.
+    Column contract matches wire_format.encode_events (minus topic routing —
+    compose with topic_for upstream if needed). Timestamps/decimals are
+    converted to their wire types (unix micros / canonical string) JVM-side
+    so the Python kernel handles only timezone-free primitives."""
+    payload: T.StructType = df.schema["after"].dataType  # type: ignore[assignment]
+    fields = payload_avro_fields(payload)
+    wire_cols = wire_projection(df)
 
     def _enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

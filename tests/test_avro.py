@@ -112,3 +112,94 @@ def test_avro_nan_double_coerces_to_null(spark):
     back = {r["seq"]: r for r in roundtrip_avro(df).collect()}
     assert back[2]["after"]["score"] is None
     assert back[2]["after"]["name"] == "x"
+
+
+def _change_df(spark):
+    payload = "struct<user_id:bigint,value:double,name:string,ok:boolean>"
+    return spark.createDataFrame(
+        [
+            ("db", "users", "insert", None, (1, 2.5, "ann", True), 1),
+            ("db", "users", "update", (1, 2.5, "ann", True), (1, -3.25, None, False), 2),
+            ("db", "users", "delete", (1, -3.25, None, False), None, 3),
+        ],
+        f"schema string, tb string, row_type string, before {payload}, after {payload}, seq long",
+    )
+
+
+def test_to_avro_swap_contract(spark):
+    """Jar-gated: where spark-avro is on the classpath, the JVM to_avro path
+    with envelope_avro_schema_json must emit byte-identical values to the
+    Python codec, and from_avro must read the Python codec's bytes. In
+    jar-less containers this skips, documenting the swap contract."""
+    import pytest
+
+    from ape_dts_spark.sinks.avro_codec import (
+        encode_events_avro,
+        envelope_avro_schema_json,
+        wire_projection,
+    )
+
+    try:
+        from pyspark.sql.avro.functions import from_avro, to_avro
+
+        probe_schema = '{"type":"record","name":"p","fields":[{"name":"x","type":"long"}]}'
+        spark.range(1).select(
+            to_avro(F.struct(F.col("id").alias("x")), probe_schema)
+        ).collect()
+    except Exception:
+        pytest.skip(
+            "spark-avro jar not on the classpath; swap contract: "
+            "to_avro(struct(*wire_projection(df)), envelope_avro_schema_json(payload)) "
+            "== encode_events_avro(df).value, byte for byte"
+        )
+
+    df = _change_df(spark)
+    payload = df.schema["after"].dataType
+    schema_json = envelope_avro_schema_json(payload)
+    ours = [bytes(r["value"]) for r in encode_events_avro(df).orderBy("value").collect()]
+    jvm = [
+        bytes(r["v"])
+        for r in df.select(to_avro(F.struct(*wire_projection(df)), schema_json).alias("v"))
+        .orderBy("v")
+        .collect()
+    ]
+    assert ours == jvm
+    # and the JVM reader accepts the Python writer's bytes
+    back = (
+        encode_events_avro(df)
+        .select(from_avro(F.col("value"), schema_json).alias("e"))
+        .select("e.schema", "e.tb", "e.row_type", "e.seq")
+        .orderBy("seq")
+        .collect()
+    )
+    assert [(r["schema"], r["tb"], r["row_type"], r["seq"]) for r in back] == [
+        ("db", "users", "insert", 1),
+        ("db", "users", "update", 2),
+        ("db", "users", "delete", 3),
+    ]
+
+
+def test_envelope_schema_json_shape():
+    """The contract schema is valid Avro-JSON with the exact wire order the
+    Python codec writes (field order IS the binary layout)."""
+    import json
+
+    from ape_dts_spark.sinks.avro_codec import envelope_avro_schema_json
+
+    payload = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("bal", T.DecimalType(18, 2)),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    rec = json.loads(envelope_avro_schema_json(payload))
+    assert [f["name"] for f in rec["fields"]] == [
+        "schema", "tb", "row_type", "before", "after", "seq", "ts_us", "origin_node", "ddl",
+    ]
+    payload_rec = rec["fields"][3]["type"][1]
+    assert rec["fields"][4]["type"] == ["null", "Payload"]  # named reference
+    assert [f["name"] for f in payload_rec["fields"]] == ["user_id", "bal", "ts"]
+    # wire types: decimal -> string, timestamp -> long micros
+    assert payload_rec["fields"][1]["type"] == ["null", "string"]
+    assert payload_rec["fields"][2]["type"] == ["null", "long"]
