@@ -406,7 +406,16 @@ def q_redis_rdb(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
     dump_dir = os.path.join(tempfile.gettempdir(), f"ape_rdb_{tag}")
-    rdb.write_rdb_file(entries, os.path.join(dump_dir, "node0.rdb"))
+    # one dump per "node" (hash-sharded keys) — the real multi-node layout,
+    # and the unit of read parallelism for the binaryFile scan
+    import zlib
+
+    n_nodes = 8
+    shards: list[list[dict]] = [[] for _ in range(n_nodes)]
+    for e in entries:
+        shards[zlib.crc32(e["key"].encode()) % n_nodes].append(e)
+    for node, shard in enumerate(shards):
+        rdb.write_rdb_file(shard, os.path.join(dump_dir, f"node{node}.rdb"))
     parsed = rdb.read_rdb_files(spark, dump_dir)
     return parsed.select(
         "db_id", "key", "entry_type", "member", "value", "ord",

@@ -80,6 +80,24 @@ def doc_tokens(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
     )
 
 
+def _fan_out(df: DataFrame) -> DataFrame:
+    """Persisted repartition barrier ahead of a CPU-heavy projection.
+
+    A small corpus parquet arrives as ONE input split, and tokenize +
+    array_distinct + array_sort is the heaviest projection in the dedup
+    pipelines — left on the scan's partitioning it runs on one core
+    (measured 26 s of a 28 s sf0.1 shingle-MinHash run single-threaded).
+    The persist+count is what makes the fan-out real: Catalyst pushes
+    deterministic projections through a round-robin Exchange, so a bare
+    ``repartition().select()`` still tokenizes on the map side; projecting
+    from the cached partitions cannot be pushed anywhere. (Bytes-based AQE
+    coalescing never helps here: the cost is per-token CPU, not I/O.)"""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    src = df.repartition(par).persist(StorageLevel.MEMORY_AND_DISK)
+    src.count()
+    return src
+
+
 def jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -117,7 +135,7 @@ def jaccard_pairs(
     column for character-n-gram Jaccard); default is word tokens.
     """
     members = (
-        df.select(
+        _fan_out(df).select(
             F.col(id_col).alias("_id"),
             F.array_sort(F.array_distinct(F.expr(tokens or tokens_expr(text_col)))).alias("_toks"),
         )
@@ -127,6 +145,7 @@ def jaccard_pairs(
     members.count()
     sets = (
         members.groupBy("_toks").agg(F.min("_id").alias("_rep"), F.count(F.lit(1)).alias("_gsz"))
+        .repartition(df.sparkSession.sparkContext.defaultParallelism)
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     sets.count()
@@ -302,20 +321,9 @@ def minhash_lsh_pairs(
     prefix filter, while MinHash cost is banding-bounded regardless of df).
     Output: (id_a, id_b, jaccard).
     """
-    # Fan the source out BEFORE tokenizing: a small corpus parquet arrives as
-    # one input split, and tokenize + array_distinct + array_sort is the
-    # CPU-heaviest projection in the pipeline — left on the scan's
-    # partitioning it runs on one core (measured 26 s of a 28 s sf0.1
-    # shingle run single-threaded). The persist+count barrier is what makes
-    # the fan-out real: Catalyst pushes deterministic projections through a
-    # round-robin Exchange, so a bare repartition().select() still tokenizes
-    # on the map side (re-measured: identical 26 s); projecting from the
-    # cached 32-partition relation cannot be pushed anywhere.
     par = df.sparkSession.sparkContext.defaultParallelism
-    src = df.repartition(par).persist(StorageLevel.MEMORY_AND_DISK)
-    src.count()
     members = (
-        src.select(
+        _fan_out(df).select(
             F.col(id_col).alias("_id"),
             F.array_sort(F.array_distinct(F.expr(tokens or tokens_expr(text_col)))).alias("_toks"),
         )
@@ -505,7 +513,8 @@ def simhash_pairs(
     """
     if not 0 <= max_hamming < SIMHASH_BITS:
         raise ValueError(f"max_hamming must be in [0, {SIMHASH_BITS}), got {max_hamming}")
-    sh = simhash_values(df, id_col, text_col).persist(StorageLevel.MEMORY_AND_DISK)
+    # fan out before the tokenize+32-bit-sum scan (single input split otherwise)
+    sh = simhash_values(_fan_out(df), id_col, text_col).persist(StorageLevel.MEMORY_AND_DISK)
     sh.count()
     vals = sh.select("simhash").distinct().persist(StorageLevel.MEMORY_AND_DISK)
     vals.count()

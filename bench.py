@@ -43,6 +43,7 @@ BENCH_QUERIES = [
     "cdc_apply_state",
     "py_transform",
     "mongo_compact",
+    "redis_rdb",
     "session_windows",
     "windowed_counts",
     "fk_apply_order",
@@ -73,6 +74,7 @@ BENCH_QUERIES = [
     "jaccard_pairs",
     # character-shingle Jaccard (order-sensitive) + embedding-cosine near-dup
     "ngram_jaccard",
+    "ngram_minhash",
     "cosine_dup_pairs",
     # keep-list clustering (minhash pairs + min-label connected components)
     "dedup_cluster",
