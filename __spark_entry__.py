@@ -675,7 +675,13 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     split) and PERSISTED before shingling: without the cache barrier,
     CollapseProject inlines the regex chain into the per-shingle substring
     lambda — O(len^2) regex evaluations per document (measured 18s -> 4s on
-    the members stage at sf0.1)."""
+    the members stage at sf0.1).
+
+    This is the EXACT baseline (PPJoin with positional/size filters); its
+    cost rises with shingle document frequency, which weakens the prefix
+    filter on web-scale corpora — ngram_minhash runs the same shingle tokens
+    through MinHash banding and is the production path at 100 TB (~4x faster
+    at sf0.1, candidate volume banding-bounded regardless of df)."""
     from pyspark.storagelevel import StorageLevel
 
     normed = (
@@ -782,6 +788,17 @@ def q_cosine_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sharpens to 256-1024 buckets/band at production thresholds (>=0.9)."""
     emb = demo.load(spark, sf_dir, "embeddings")
     return sim.cosine_dup_pairs(emb, "vec_id", "embedding", dim=64, threshold=0.35)
+
+
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-decontamination pass: word-8-gram overlap of every training
+    doc against a held-out eval slice (doc_id % 7 = 0), broadcast inverted-
+    index join (tx.ngram_overlap) — the near-dups the corpus plants across
+    the split surface as contaminated pairs."""
+    d = demo.load(spark, sf_dir, "documents")
+    eval_df = d.filter(F.col("doc_id") % 7 == 0)
+    train = d.filter(F.col("doc_id") % 7 != 0)
+    return tx.ngram_overlap(train, eval_df, "doc_id", "text", n=8)
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -999,6 +1016,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (insert new queries here so they land inside the driver window)
         "redis_rdb": q_redis_rdb,
         "ngram_minhash": q_ngram_minhash,
+        "contamination": q_contamination,
         # -- already driver-green; most load-bearing fill the window ----------
         "snapshot_scan": q_snapshot_scan,
         "snapshot_chunked": q_snapshot_chunked,
@@ -1727,6 +1745,7 @@ def oracle_sql() -> dict[str, str]:
         )(tx.token_stats_sql_exprs("text")),
         "minhash_lsh": _minhash_oracle(0.95),
         "ngram_minhash": _minhash_oracle(0.9, _NGRAM_TOK_CTE),
+        "contamination": tx.ngram_overlap_sql(8, 7),
         "dedup_cluster": f"""
             WITH RECURSIVE pairs AS ({_minhash_oracle(0.95)}),
             edges AS (

@@ -318,3 +318,85 @@ def fingerprint_sql(col: str = "text") -> str:
         f"trim(regexp_replace(lower(regexp_replace({col}, '[^ -~]', '', 'g')), '[ ]+', ' ', 'g'))"
     )
     return portable_hash_sql(norm)
+
+
+def ngram_overlap(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark-contamination check: word n-gram overlap between a training
+    corpus and an evaluation set — the standard decontamination pass in
+    LLM data pipelines (flag training docs sharing long token runs with any
+    benchmark document, then drop or audit them).
+
+    Output: (train_id, eval_id, shared_grams, n_eval_grams, contamination)
+    with contamination = shared / eval-doc distinct-gram count, one row per
+    contaminated (train doc, eval doc) pair.
+
+    Scale shape: the training corpus is scanned once into distinct
+    (train_id, gram) rows — an inverted index over n-token runs, linear in
+    corpus token count. The eval side is small by definition (a benchmark),
+    so its gram relation and per-doc sizes are broadcast; the join is
+    map-side and the only shuffle is the per-pair count aggregation, sized
+    by actual collisions, not the corpus. No state ever exceeds one doc's
+    grams.
+    """
+
+    def grams(df: DataFrame, alias: str) -> DataFrame:
+        g = (
+            f"transform(sequence(1, size(_tk) - {n} + 1), "
+            f"i -> array_join(slice(_tk, i, {n}), ' '))"
+        )
+        return (
+            df.select(F.col(id_col).alias(alias), F.expr(tokens_expr(text_col)).alias("_tk"))
+            .filter(F.size("_tk") >= n)  # sequence() counts down past this
+            .select(alias, F.explode(F.expr(g)).alias("gram"))
+            .distinct()
+        )
+
+    t = grams(train, "train_id")
+    e = grams(eval_df, "eval_id")
+    e_sizes = e.groupBy("eval_id").agg(F.count(F.lit(1)).alias("n_eval_grams"))
+    return (
+        t.join(F.broadcast(e), "gram")
+        .groupBy("train_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("shared_grams"))
+        .join(F.broadcast(e_sizes), "eval_id")
+        .select(
+            "train_id",
+            "eval_id",
+            "shared_grams",
+            "n_eval_grams",
+            (F.col("shared_grams").cast("double") / F.col("n_eval_grams").cast("double")).alias(
+                "contamination"
+            ),
+        )
+    )
+
+
+def ngram_overlap_sql(n: int = 8, eval_mod: int = 23) -> str:
+    """DuckDB twin of ngram_overlap over the documents table, with
+    eval set = doc_id % eval_mod = 0 and train = the rest."""
+    toks = tokens_sql("text")
+    g = (
+        f"list_transform(range(1, len(_tk) - {n} + 2), "
+        f"i -> array_to_string(list_slice(_tk, i, i + {n} - 1), ' '))"
+    )
+    return f"""
+WITH tk AS (SELECT doc_id, {toks} AS _tk FROM documents),
+ok AS (SELECT * FROM tk WHERE len(_tk) >= {n}),
+tg AS (SELECT DISTINCT doc_id AS train_id, unnest({g}) AS gram
+       FROM ok WHERE doc_id % {eval_mod} <> 0),
+eg AS (SELECT DISTINCT doc_id AS eval_id, unnest({g}) AS gram
+       FROM ok WHERE doc_id % {eval_mod} = 0),
+esz AS (SELECT eval_id, COUNT(*) AS n_eval_grams FROM eg GROUP BY eval_id),
+hits AS (
+  SELECT train_id, eval_id, COUNT(*) AS shared_grams
+  FROM tg JOIN eg USING (gram) GROUP BY train_id, eval_id)
+SELECT h.train_id, h.eval_id, h.shared_grams, s.n_eval_grams,
+       CAST(h.shared_grams AS DOUBLE) / CAST(s.n_eval_grams AS DOUBLE) AS contamination
+FROM hits h JOIN esz s ON h.eval_id = s.eval_id
+"""

@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "length_quantiles",
     "stratified_sample",
     "sequence_packing",
+    "contamination",
     "multimodal_meta",
     "multimodal_decode",
     "multimodal_frames",

@@ -265,3 +265,30 @@ def test_multimodal_features_feed_ann(spark, sf_dir):
     topk = sim.cosine_topk(queries_df, emb, "vec_id", "embedding", k=3)
     got = topk.groupBy("query_id").count().collect()
     assert all(r["count"] == 3 for r in got)
+
+
+def test_ngram_overlap_contamination(spark):
+    from ape_dts_spark.functions import text as tx
+
+    train = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),      # shares the eval doc's both 5-grams
+            (2, "a b c d e zzz"),    # shares exactly one 5-gram
+            (3, "totally different words here now"),
+        ],
+        "doc_id long, text string",
+    )
+    eval_df = spark.createDataFrame([(100, "a b c d e f")], "doc_id long, text string")
+    got = {
+        (r["train_id"], r["shared_grams"], r["n_eval_grams"], r["contamination"])
+        for r in tx.ngram_overlap(train, eval_df, n=5).collect()
+    }
+    assert got == {(1, 2, 2, 1.0), (2, 1, 2, 0.5)}  # doc 3 absent: no overlap
+
+
+def test_ngram_overlap_short_docs_excluded(spark):
+    from ape_dts_spark.functions import text as tx
+
+    train = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    eval_df = spark.createDataFrame([(2, "a b")], "doc_id long, text string")
+    assert tx.ngram_overlap(train, eval_df, n=5).count() == 0  # < n tokens
