@@ -790,6 +790,14 @@ def q_cosine_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.cosine_dup_pairs(emb, "vec_id", "embedding", dim=64, threshold=0.35)
 
 
+def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global corpus shuffle into 16 training shards (Knuth
+    multiplicative scramble -> shard + in-shard position): repartition +
+    sortWithinPartitions shape, reproducible across engines and re-runs."""
+    d = demo.load(spark, sf_dir, "documents")
+    return mx.deterministic_shuffle(d, "doc_id", n_shards=16, seed=7)
+
+
 def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark-decontamination pass: word-8-gram overlap of every training
     doc against a held-out eval slice (doc_id % 7 = 0), broadcast inverted-
@@ -1017,6 +1025,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redis_rdb": q_redis_rdb,
         "ngram_minhash": q_ngram_minhash,
         "contamination": q_contamination,
+        "shuffle_shards": q_shuffle_shards,
         # -- already driver-green; most load-bearing fill the window ----------
         "snapshot_scan": q_snapshot_scan,
         "snapshot_chunked": q_snapshot_chunked,
@@ -1746,6 +1755,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh": _minhash_oracle(0.95),
         "ngram_minhash": _minhash_oracle(0.9, _NGRAM_TOK_CTE),
         "contamination": tx.ngram_overlap_sql(8, 7),
+        "shuffle_shards": mx.deterministic_shuffle_sql("documents", "doc_id", 16, 7),
         "dedup_cluster": f"""
             WITH RECURSIVE pairs AS ({_minhash_oracle(0.95)}),
             edges AS (

@@ -167,3 +167,41 @@ def pack_summary(packed: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("seq_tokens"),
     )
+
+
+def deterministic_shuffle(
+    df: DataFrame, id_col: str = "doc_id", n_shards: int = 32, seed: int = 0
+) -> DataFrame:
+    """Stable global pseudo-random shuffle into ``n_shards`` output shards —
+    the "shuffle the corpus" step between curation and tokenization. Every
+    doc gets (shard, pos): shard = scrambled-hash mod n_shards, pos = the
+    doc's rank inside its shard under the same scrambled order. Deterministic
+    given (ids, n_shards, seed), so re-runs and engines agree and a training
+    job can resume mid-epoch by (shard, pos).
+
+    Scale shape: one hash shuffle on shard + a per-shard sort — exactly
+    repartition(n) + sortWithinPartitions at 100 TB, no global sort. The
+    scramble is a Knuth-style multiplicative hash in BIGINT arithmetic
+    (engine-portable; id-order and hash-order are uncorrelated)."""
+    h = f"(CAST({id_col} AS BIGINT) * 2654435761 + {seed * 40503 + 17}) % 4294967296"
+    w = Window.partitionBy("shard").orderBy("h", id_col)
+    return (
+        df.select(F.col(id_col), F.expr(h).alias("h"))
+        .withColumn("shard", (F.col("h") % n_shards).cast("int"))
+        .withColumn("pos", F.row_number().over(w) - 1)
+        .select(id_col, "shard", F.col("pos").cast("long").alias("pos"))
+    )
+
+
+def deterministic_shuffle_sql(
+    table: str = "documents", id_col: str = "doc_id", n_shards: int = 32, seed: int = 0
+) -> str:
+    """DuckDB twin of deterministic_shuffle."""
+    h = f"(CAST({id_col} AS BIGINT) * 2654435761 + {seed * 40503 + 17}) % 4294967296"
+    return f"""
+WITH s AS (SELECT {id_col}, {h} AS h FROM {table}),
+sh AS (SELECT {id_col}, h, CAST(h % {n_shards} AS INT) AS shard FROM s)
+SELECT {id_col}, shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, {id_col}) - 1 AS BIGINT) AS pos
+FROM sh
+"""

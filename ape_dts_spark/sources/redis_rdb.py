@@ -533,6 +533,8 @@ def encode_rdb(entries: list[dict]) -> bytes:
                 else:
                     out += bytes([T_ZSET]) + _enc_string(kb) + _enc_len(len(pairs))
                     for m, s in pairs:
+                        if len(s) > 252:  # 253/254/255 are the nan/inf markers
+                            raise ValueError(f"zset score too long for ascii encoding: {len(s)}B")
                         out += _enc_string(m) + bytes([len(s)]) + s
             elif etype == "list":
                 members = [r["value"].encode() for r in sorted(rows, key=lambda r: r["ord"])]

@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "stratified_sample",
     "sequence_packing",
     "contamination",
+    "shuffle_shards",
     "multimodal_meta",
     "multimodal_decode",
     "multimodal_frames",

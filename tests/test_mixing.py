@@ -78,3 +78,28 @@ def test_sequence_packing_zero_token_matches_oracle(spark):
     sql = mx.sequence_packing_sql("SELECT doc_id, n_tokens FROM t", 100, "doc_id", 1)
     want = sorted((r[0], r[3]) for r in con.execute(sql).fetchall())
     assert got == want == [(0, 0), (1, 0), (2, 1)]
+
+
+def test_deterministic_shuffle_properties(spark):
+    df = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    out = mx.deterministic_shuffle(df, "doc_id", n_shards=8, seed=3).collect()
+    assert len(out) == 200 and len({r["doc_id"] for r in out}) == 200
+    by_shard: dict[int, list[int]] = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    # positions are dense 0..n-1 inside every shard
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(len(poss)))
+    # deterministic: same seed reproduces, different seed permutes
+    again = mx.deterministic_shuffle(df, "doc_id", n_shards=8, seed=3).collect()
+    assert {(r["doc_id"], r["shard"], r["pos"]) for r in again} == {
+        (r["doc_id"], r["shard"], r["pos"]) for r in out
+    }
+    other = mx.deterministic_shuffle(df, "doc_id", n_shards=8, seed=4).collect()
+    assert {(r["doc_id"], r["shard"]) for r in other} != {(r["doc_id"], r["shard"]) for r in out}
+    # shuffle actually scrambles: in-shard order is not id order
+    first_shard = max(by_shard.items(), key=lambda kv: len(kv[1]))[0]
+    ids_in_pos_order = [
+        r["doc_id"] for r in sorted(out, key=lambda r: r["pos"]) if r["shard"] == first_shard
+    ]
+    assert ids_in_pos_order != sorted(ids_in_pos_order)

@@ -84,3 +84,11 @@ def test_session_windows_single_shuffle(spark, sf_dir):
     # one exchange on the grouping key; session merge happens inside the agg
     plan = _plan(spark, sf_dir, "session_windows")
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_contamination_broadcast_inverted_index(spark, sf_dir):
+    # the eval side is a benchmark (small by definition): its gram relation
+    # must broadcast so the corpus-side inverted index never shuffles to join
+    plan = _plan(spark, sf_dir, "contamination")
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan

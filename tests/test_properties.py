@@ -164,3 +164,64 @@ def test_compact_apply_equals_sequential(spark, events):
     got = {r["id"]: r["val"] for r in replay_to_state(df, ["id"]).collect()}
     want = _sequential_apply(keyed)
     assert got == want
+
+
+# -- RDB codec round-trip (sources/redis_rdb.py) ----------------------------
+
+_rdb_text = st.text(
+    alphabet=st.characters(codec="utf-8", exclude_characters="\x00"),
+    min_size=0, max_size=80,
+)
+_rdb_key = st.text(
+    alphabet=st.characters(codec="utf-8", exclude_characters="\x00"),
+    min_size=1, max_size=40,
+)
+
+
+@st.composite
+def _rdb_keyspaces(draw):
+    """A small keyspace: per key one entry family with 1..6 members."""
+    entries = []
+    n_keys = draw(st.integers(1, 6))
+    keys = draw(
+        st.lists(_rdb_key, min_size=n_keys, max_size=n_keys, unique=True)
+    )
+    for key in keys:
+        etype = draw(st.sampled_from(["string", "hash", "list", "zset", "set"]))
+        exp = draw(st.one_of(st.none(), st.integers(0, 2**48)))
+        if etype == "string":
+            entries.append(
+                {"db_id": 0, "key": key, "entry_type": "string", "member": None,
+                 "value": draw(_rdb_text), "ord": 0, "expire_ms": exp}
+            )
+            continue
+        n = draw(st.integers(1, 6))
+        members = draw(st.lists(_rdb_key, min_size=n, max_size=n, unique=True))
+        for i, m in enumerate(members):
+            entries.append(
+                {"db_id": 0, "key": key, "entry_type": etype,
+                 "member": None if etype == "list" else m,
+                 "value": None if etype == "set" else (draw(_rdb_text) if etype != "list" else m),
+                 "ord": i if etype == "list" else 0, "expire_ms": exp}
+            )
+    return entries
+
+
+@given(_rdb_keyspaces())
+@settings(max_examples=60, deadline=None)
+def test_rdb_codec_round_trips_any_keyspace(entries):
+    """encode_rdb -> parse_rdb_bytes is lossless over arbitrary utf-8
+    keyspaces for every entry family and every compact-encoding branch the
+    writer picks (int forms, ziplist/listpack/intset/quicklist2 thresholds,
+    expiries)."""
+    from ape_dts_spark.sources import redis_rdb as rdb
+
+    def keyset(rows):
+        return sorted(
+            (e["db_id"], e["key"], e["entry_type"], e["member"], e["value"], e["ord"],
+             e["expire_ms"])
+            for e in rows
+        )
+
+    parsed = rdb.parse_rdb_bytes(rdb.encode_rdb(entries))
+    assert keyset(parsed) == keyset(entries)
