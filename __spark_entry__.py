@@ -790,6 +790,13 @@ def q_cosine_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.cosine_dup_pairs(emb, "vec_id", "embedding", dim=64, threshold=0.35)
 
 
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head: global token frequencies, deterministic
+    top-500 (tx.vocab_topk) — the frequency pass of tokenizer/vocab
+    construction; per-partition top-k fold, no global sort."""
+    return tx.vocab_topk(demo.load(spark, sf_dir, "documents"), "text", k=500)
+
+
 def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic global corpus shuffle into 16 training shards (Knuth
     multiplicative scramble -> shard + in-shard position): repartition +
@@ -1026,6 +1033,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_minhash": q_ngram_minhash,
         "contamination": q_contamination,
         "shuffle_shards": q_shuffle_shards,
+        "vocab_topk": q_vocab_topk,
         # -- already driver-green; most load-bearing fill the window ----------
         "snapshot_scan": q_snapshot_scan,
         "snapshot_chunked": q_snapshot_chunked,
@@ -1756,6 +1764,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_minhash": _minhash_oracle(0.9, _NGRAM_TOK_CTE),
         "contamination": tx.ngram_overlap_sql(8, 7),
         "shuffle_shards": mx.deterministic_shuffle_sql("documents", "doc_id", 16, 7),
+        "vocab_topk": tx.vocab_topk_sql("documents", "text", 500),
         "dedup_cluster": f"""
             WITH RECURSIVE pairs AS ({_minhash_oracle(0.95)}),
             edges AS (

@@ -400,3 +400,38 @@ SELECT h.train_id, h.eval_id, h.shared_grams, s.n_eval_grams,
        CAST(h.shared_grams AS DOUBLE) / CAST(s.n_eval_grams AS DOUBLE) AS contamination
 FROM hits h JOIN esz s ON h.eval_id = s.eval_id
 """
+
+
+def vocab_topk(
+    df: DataFrame, text_col: str = "text", k: int = 500
+) -> DataFrame:
+    """Corpus-wide vocabulary head: global token frequencies, top-k with a
+    deterministic (freq desc, token asc) order -> (token, freq, rank) — the
+    frequency pass of vocabulary/tokenizer construction.
+
+    Scale shape: explode + one map-side-combined hash aggregation (state =
+    distinct vocabulary, not corpus size), then orderBy(...).limit(k) — a
+    per-partition top-k fold + single tiny reduce, NOT a global sort of the
+    vocabulary; the final rank window touches only k rows."""
+    from pyspark.sql import Window
+
+    freq = (
+        df.select(F.explode(F.expr(tokens_expr(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("token"))
+        .limit(k)
+    )
+    w = Window.orderBy(F.col("freq").desc(), F.col("token"))
+    return freq.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def vocab_topk_sql(table: str = "documents", text_col: str = "text", k: int = 500) -> str:
+    """DuckDB twin of vocab_topk."""
+    return f"""
+WITH toks AS (SELECT unnest({tokens_sql(text_col)}) AS token FROM {table}),
+freq AS (SELECT token, COUNT(*) AS freq FROM toks GROUP BY token)
+SELECT token, freq,
+       CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, token) AS BIGINT) AS rank
+FROM freq ORDER BY freq DESC, token LIMIT {k}
+"""

@@ -229,6 +229,55 @@ def check_fk_config(tables: list[str], fk_spec: str) -> list[CheckResult]:
     return out
 
 
+_JDBC_DRIVERS = {
+    "mysql": "com.mysql.cj.jdbc.Driver",
+    "mariadb": "org.mariadb.jdbc.Driver",
+    "postgresql": "org.postgresql.Driver",
+    "clickhouse": "com.clickhouse.jdbc.ClickHouseDriver",
+    "sqlserver": "com.microsoft.sqlserver.jdbc.SQLServerDriver",
+}
+
+
+def check_jdbc_config(spark: SparkSession, url: str, props: dict | None = None) -> list[CheckResult]:
+    """Connectivity-adjacent prechecks for a JDBC source/sink that work
+    without a live database (dt-precheck's connectivity/permission checkers
+    need a reachable server; in a sandboxed run these degrade to the checks
+    that CAN fail early): URL dialect parse, credential presence, and
+    driver-class availability on the JVM classpath. With a reachable DB the
+    first partitioned read is itself the live probe."""
+    props = props or {}
+    out: list[CheckResult] = []
+    parts = url.split(":", 2)
+    if len(parts) < 3 or parts[0] != "jdbc" or not parts[1]:
+        return [CheckResult("jdbc_url", url, False, "expected jdbc:<dialect>://host[:port]/db")]
+    dialect = parts[1]
+    known = dialect in _JDBC_DRIVERS
+    out.append(
+        CheckResult("jdbc_url", url, known, "" if known else f"unknown dialect {dialect!r}")
+    )
+    out.append(
+        CheckResult(
+            "jdbc_credentials",
+            dialect,
+            bool(props.get("user")),
+            "" if props.get("user") else "no 'user' in connection properties",
+        )
+    )
+    if known:
+        cls = props.get("driver", _JDBC_DRIVERS[dialect])
+        try:
+            spark._jvm.java.lang.Class.forName(cls)  # type: ignore[union-attr]
+            out.append(CheckResult("jdbc_driver_class", cls, True))
+        except Exception:
+            out.append(
+                CheckResult(
+                    "jdbc_driver_class", cls, False,
+                    "driver jar not on the Spark classpath (add via spark.jars)",
+                )
+            )
+    return out
+
+
 def run_prechecks(
     spark: SparkSession,
     sf_dir: str,

@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "sequence_packing",
     "contamination",
     "shuffle_shards",
+    "vocab_topk",
     "multimodal_meta",
     "multimodal_decode",
     "multimodal_frames",

@@ -364,3 +364,22 @@ def test_migration_plan_filters_new_object_kinds():
     text = "\n".join(plan)
     assert "CREATE OR REPLACE FUNCTION" in text and "CREATE TABLE" in text
     assert "CREATE TYPE" not in text and "CREATE ROLE" not in text
+
+
+def test_jdbc_config_prechecks(spark):
+    from ape_dts_spark.precheck import check_jdbc_config
+
+    bad = check_jdbc_config(spark, "mysql://host/db")
+    assert len(bad) == 1 and not bad[0].ok and "jdbc:<dialect>" in bad[0].detail
+
+    unknown = check_jdbc_config(spark, "jdbc:weird://h/db", {"user": "u"})
+    assert any(r.check == "jdbc_url" and not r.ok for r in unknown)
+
+    res = {r.check: r for r in check_jdbc_config(spark, "jdbc:mysql://h:3306/db", {"user": "u"})}
+    assert res["jdbc_url"].ok and res["jdbc_credentials"].ok
+    # in this container no driver jar is shipped: the check must FAIL loudly
+    # with the remediation, not pass silently
+    assert not res["jdbc_driver_class"].ok and "classpath" in res["jdbc_driver_class"].detail
+
+    nouser = {r.check: r for r in check_jdbc_config(spark, "jdbc:postgresql://h/db")}
+    assert not nouser["jdbc_credentials"].ok
