@@ -279,6 +279,33 @@ class ParquetTable:
         rows = rows.join(F.broadcast(whole_row), wr_cond, "left_anti")
         return rows.select(*payload_cols)
 
+    def compact_files(self, target_rows_per_file: int = 1_000_000) -> int:
+        """Small-file compaction (Delta OPTIMIZE analogue): rewrite the
+        current state into right-sized files and commit it as a NEW version.
+
+        Streaming merge-apply inherits each micro-batch's partitioning, so a
+        long-running CDC table accretes many small parquet files — the
+        classic lakehouse problem; at 100 TB scan cost becomes file-open
+        overhead unless something bin-packs. Committing the rewrite as a new
+        version keeps the format's invariants: readers never see a partial
+        rewrite, a failed rewrite leaves the table untouched, and time
+        travel retains the old layout until vacuum. Returns the file count
+        written."""
+        meta = self._read_meta()
+        if meta["version"] < 0:
+            return 0
+        state = self.current()
+        n_files = max(1, math.ceil(state.count() / max(1, target_rows_per_file)))
+        version = meta["version"] + 1
+        state.repartition(n_files).write.mode("overwrite").parquet(
+            os.path.join(self.path, f"v{version}")
+        )
+        meta = self._read_meta()  # epochs may have advanced during the write
+        meta["version"] = version
+        meta["committed_at"] = time.time()
+        self._write_meta(meta)
+        return n_files
+
     def vacuum(self, keep_last: int = 2, min_retained_version: int | None = None) -> list[int]:
         """Retention maintenance (Delta VACUUM analogue): drop version
         directories older than the last ``keep_last`` commits. Time travel

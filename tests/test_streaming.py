@@ -421,3 +421,30 @@ def test_vacuum_retention(spark, tmp_path):
     assert removed == [0, 1]
     assert table.current().count() == 4  # live state untouched
     assert table.at_version(2).count() == 3  # retained history readable
+
+
+def test_compact_files_optimize(spark, tmp_path):
+    """OPTIMIZE analogue: bin-pack the accreted small files into a new
+    version; state identical, history retained."""
+    import glob
+
+    table = ParquetTable(spark, str(tmp_path / "tbl"), PAYLOAD)
+    compacted = spark.createDataFrame(
+        [("db", "users", i, "upsert", {"id": i, "name": "n", "bal": i}, i) for i in range(64)],
+        "schema string, tb string, id long, op string, "
+        "after struct<id:long,name:string,bal:long>, seq long",
+    ).repartition(16)  # a micro-batch's fragmented partitioning
+    spill = spark.createDataFrame([], compacted.schema).selectExpr(
+        "schema", "tb", "'insert' AS row_type", "after AS before", "after", "seq"
+    )
+    table.merge_apply(compacted, spill, ["id"])
+    v0_files = glob.glob(str(tmp_path / "tbl" / "v0" / "*.parquet"))
+    assert len(v0_files) > 1
+    before = sorted(r["id"] for r in table.current().collect())
+
+    assert table.compact_files(target_rows_per_file=10_000) == 1
+    assert table.version() == 1
+    v1_files = glob.glob(str(tmp_path / "tbl" / "v1" / "*.parquet"))
+    assert len(v1_files) == 1
+    assert sorted(r["id"] for r in table.current().collect()) == before
+    assert table.at_version(0).count() == 64  # old layout retained for travel
