@@ -256,3 +256,27 @@ url={tmp_path}/out
     assert list(res.outputs) == ["region", "nation", "customer", "orders", "lineitem"]
     for tb in res.tables:
         assert res.tables[tb].count() == spark.read.parquet(f"{SF}/{tb}.parquet").count()
+
+
+def test_cli_main(spark, tmp_path, capsys):
+    """dt-main parity: python -m ape_dts_spark <config> runs the task;
+    --precheck runs and reports prechecks (non-zero exit on failures)."""
+    import json as _json
+
+    from ape_dts_spark.__main__ import main
+
+    cfg = tmp_path / "task_config.ini"
+    cfg.write_text(
+        "[extractor]\nextract_type=snapshot\nurl=/root/testdata/sf0.001\n"
+        "db=default\ntables=region\n\n"
+        f"[sinker]\nsink_type=parquet\nurl={tmp_path}/out\n"
+    )
+    assert main([str(cfg)]) == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["kind"] == "snapshot" and out["tables"] == ["region"]
+    assert spark.read.parquet(f"{tmp_path}/out/region.parquet").count() > 0
+
+    assert main([str(cfg), "--precheck"]) == 0
+    # a missing table makes precheck exit non-zero
+    cfg.write_text(cfg.read_text().replace("tables=region", "tables=region,nosuch"))
+    assert main([str(cfg), "--precheck"]) == 1
