@@ -210,6 +210,46 @@ def q_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _flatten_stream(avro_roundtrip(demo.users_change_stream(spark, sf_dir)))
 
 
+def q_fluid_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime schema discovery end-to-end (the reference never declares
+    payload schemas — it discovers them from the source catalog, SURVEY §1.1
+    meta managers): the change stream is serialized to Debezium JSON,
+    re-parsed WITHOUT a payload schema into MAP<STRING,STRING> images
+    (parse_debezium_fluid), then cast per-table to the typed payload
+    (fluid_to_typed) — lossless against the same stream oracle that gates
+    wire_roundtrip."""
+    from pyspark.sql import types as T
+
+    from ape_dts_spark.streaming.cdc import fluid_to_typed, parse_debezium_fluid
+
+    stream = demo.users_change_stream(spark, sf_dir)
+    op = (
+        F.when(F.col("row_type") == "insert", F.lit("c"))
+        .when(F.col("row_type") == "delete", F.lit("d"))
+        .otherwise(F.lit("u"))
+    )
+    env = stream.select(
+        F.to_json(
+            F.struct(
+                op.alias("op"),
+                F.col("before"),
+                F.col("after"),
+                F.struct(
+                    F.col("schema").alias("db"),
+                    F.col("tb").alias("table"),
+                    (F.col("seq") + 1700000000000).alias("ts_ms"),
+                    F.col("seq").alias("seq"),
+                    F.lit(None).cast("string").alias("origin_node"),
+                ).alias("source"),
+            )
+        ).alias("value")
+    )
+    payload = T.StructType(
+        [T.StructField("user_id", T.LongType()), T.StructField("value", T.DoubleType())]
+    )
+    return _flatten_stream(fluid_to_typed(parse_debezium_fluid(env), payload))
+
+
 def q_cdc_apply_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full CDC apply: replay the change stream (incl. key-changing updates,
     split into delete+insert halves) to the final table state — the batch
@@ -221,6 +261,62 @@ def q_cdc_apply_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("before.user_id").isNotNull() & F.col("after.user_id").isNotNull())
     )
     return replay_to_state(keyed, ["user_id"])
+
+
+def q_subscription_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pull-based data subscription end-to-end (http_server_pipeline.rs
+    fetch_new/fetch_old/ack parity on the versioned-table change feed): the
+    change stream is applied in two seq-ordered batches through
+    ParquetTable.merge_apply; the consumer fetches + acks batch 1, fetches
+    batch 2, then the gate returns the un-acked fetch_old window — which
+    must equal the state diff between the two committed versions (insert/
+    update/delete with before/after images)."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from ape_dts_spark.operators.merge import compact_changes
+    from ape_dts_spark.sinks.parquet_table import ParquetTable
+    from ape_dts_spark.streaming.subscription import DataSubscription
+
+    stream = demo.users_change_stream(spark, sf_dir)
+    mid = stream.agg(F.max("seq")).first()[0] // 2
+    # PK-consistent slice: the synthetic stream plants key-changing updates
+    # whose after-keys collide with live rows (a real PK source can't emit
+    # that); the spill path those exercise is gated by merge_spill + the
+    # streaming tests — THIS gate drives the fetch/ack position algebra and
+    # the version change feed, so it keeps the key-stable history only.
+    keyed = stream.filter(
+        F.when(F.col("row_type") == "delete", F.col("before.user_id").isNotNull())
+        .when(F.col("row_type") == "insert", F.col("after.user_id").isNotNull())
+        .otherwise(
+            F.col("before.user_id").isNotNull()
+            & (F.col("before.user_id") == F.col("after.user_id"))
+        )
+    )
+    payload = T.StructType(
+        [T.StructField("user_id", T.LongType()), T.StructField("value", T.DoubleType())]
+    )
+    root = tempfile.mkdtemp(prefix="ape_sub_")
+    table = ParquetTable(spark, os.path.join(root, "users"), payload)
+    sub = DataSubscription(table, ["user_id"], os.path.join(root, "positions"), consumer="gate")
+
+    compacted, spilled = compact_changes(keyed.filter(F.col("seq") <= mid), ["user_id"])
+    table.merge_apply(compacted, spilled, ["user_id"])
+    _, v = sub.fetch_new()  # serves (-1, v0]
+    sub.ack(v)  # batch 1 durable downstream
+
+    compacted, spilled = compact_changes(keyed.filter(F.col("seq") > mid), ["user_id"])
+    table.merge_apply(compacted, spilled, ["user_id"])
+    sub.fetch_new()  # consumer crashes between fetch and ack...
+    feed, _ = sub.fetch_old()  # ...and replays the un-acked window
+    return feed.select(
+        "row_type",
+        F.col("before.user_id").alias("before_user_id"),
+        F.col("before.value").alias("before_value"),
+        F.col("after.user_id").alias("after_user_id"),
+        F.col("after.value").alias("after_value"),
+    )
 
 
 def q_checker_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1034,6 +1130,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": q_contamination,
         "shuffle_shards": q_shuffle_shards,
         "vocab_topk": q_vocab_topk,
+        "fluid_roundtrip": q_fluid_roundtrip,
+        "subscription_feed": q_subscription_feed,
         # -- already driver-green; most load-bearing fill the window ----------
         "snapshot_scan": q_snapshot_scan,
         "snapshot_chunked": q_snapshot_chunked,
@@ -1260,6 +1358,46 @@ WHERE rank <= 5
 _STREAM = demo.USERS_CHANGE_STREAM_SQL
 _DRIFT = demo.DRIFTED_ORDERS_SQL
 
+
+def _users_state_cte(sfx: str, cond: str) -> str:
+    """Key-stable replay as a named CTE chain with a seq condition — lets the
+    subscription oracle compute the table state at two committed versions
+    (mirrors q_subscription_feed's PK-consistent slice)."""
+    return f"""
+keyed_{sfx} AS (
+  SELECT * FROM stream
+  WHERE (CASE row_type
+          WHEN 'delete' THEN before_user_id IS NOT NULL
+          WHEN 'insert' THEN after_user_id IS NOT NULL
+          ELSE before_user_id IS NOT NULL AND before_user_id = after_user_id END)
+    AND ({cond})),
+effects_{sfx} AS (
+  SELECT after_user_id AS k, after_user_id, after_value, seq, 1 AS is_set
+  FROM keyed_{sfx} WHERE row_type <> 'delete'
+  UNION ALL
+  SELECT before_user_id, NULL, NULL, seq, 0 FROM keyed_{sfx} WHERE row_type = 'delete'),
+last_{sfx} AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+  FROM effects_{sfx}),
+state_{sfx} AS (
+  SELECT after_user_id AS user_id, after_value AS value
+  FROM last_{sfx} WHERE rn = 1 AND is_set = 1)
+"""
+
+
+_SUBSCRIPTION_FEED_SQL = f"""
+WITH stream AS ({demo.USERS_CHANGE_STREAM_SQL}),
+{_users_state_cte("v0", "seq <= (SELECT MAX(seq) // 2 FROM stream)").strip()},
+{_users_state_cte("v1", "TRUE").strip()}
+SELECT CASE WHEN a.user_id IS NULL THEN 'insert'
+            WHEN b.user_id IS NULL THEN 'delete'
+            ELSE 'update' END AS row_type,
+       a.user_id AS before_user_id, a.value AS before_value,
+       b.user_id AS after_user_id, b.value AS after_value
+FROM state_v0 a FULL OUTER JOIN state_v1 b ON a.user_id = b.user_id
+WHERE a.user_id IS NULL OR b.user_id IS NULL OR a.value IS DISTINCT FROM b.value
+"""
+
 # compacted write-set with DECIMAL(18,2) values — shared by the upsert-SQL oracles
 _COMPACTED_CTES = f"""
 stream AS ({_STREAM}),
@@ -1428,6 +1566,10 @@ def oracle_sql() -> dict[str, str]:
             WITH stream AS ({_STREAM})
             SELECT * FROM stream
         """,
+        "fluid_roundtrip": f"""
+            WITH stream AS ({_STREAM})
+            SELECT * FROM stream
+        """,
         "avro_roundtrip": f"""
             WITH stream AS ({_STREAM})
             SELECT * FROM stream
@@ -1459,6 +1601,7 @@ def oracle_sql() -> dict[str, str]:
             FROM last WHERE rn = 1 AND is_set = 1
         """,
         "checker_diff": _CHECK_DIFF_SQL,
+        "subscription_feed": _SUBSCRIPTION_FEED_SQL,
         "checker_summary": f"""
             WITH diffs AS ({_CHECK_DIFF_SQL})
             SELECT check_class, COUNT(*) AS n FROM diffs GROUP BY check_class ORDER BY check_class

@@ -40,6 +40,8 @@ BENCH_QUERIES = [
     "snapshot_resume",
     "wire_roundtrip",
     "avro_roundtrip",
+    "fluid_roundtrip",
+    "subscription_feed",
     "cdc_apply_state",
     "py_transform",
     "mongo_compact",
