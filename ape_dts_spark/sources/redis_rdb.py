@@ -47,6 +47,9 @@ T_ZSET_LISTPACK = 17
 T_LIST_QUICKLIST2 = 18
 T_SET_LISTPACK = 20
 
+OP_MODULE_AUX = 0xF7  # unsupported (module payloads are opaque) -> error
+OP_IDLE = 0xF8  # LRU idle hint: length-encoded, skipped
+OP_FREQ = 0xF9  # LFU frequency hint: 1 byte, skipped
 OP_AUX = 0xFA
 OP_RESIZEDB = 0xFB
 OP_EXPIRETIME_MS = 0xFC
@@ -296,6 +299,12 @@ def parse_rdb_bytes(data: bytes) -> list[dict]:
         if op == OP_EXPIRETIME:
             expire_ms = struct.unpack_from("<I", data, i + 1)[0] * 1000
             i += 5
+            continue
+        if op == OP_IDLE:
+            _, _, i = _read_len(data, i + 1)
+            continue
+        if op == OP_FREQ:
+            i += 2
             continue
 
         vtype = op

@@ -303,3 +303,20 @@ def test_rdb_distributed_read(spark, tmp_path):
         )
     got = {(r["key"], r["value"]) for r in rdb.read_rdb_files(spark, str(tmp_path)).collect()}
     assert got == {("n0", "0"), ("n1", "1")}
+
+
+def test_rdb_idle_freq_hints_skipped():
+    import struct
+
+    from ape_dts_spark.sources import redis_rdb as rdb
+
+    out = bytearray(rdb.RDB_HEADER)
+    out += bytes([rdb.OP_SELECTDB, 0])
+    out += bytes([rdb.OP_IDLE]) + rdb._enc_len(12345)  # LRU hint before the key
+    out += bytes([rdb.T_STRING]) + rdb._enc_string(b"a") + rdb._enc_string(b"1")
+    out += bytes([rdb.OP_FREQ, 42])  # LFU hint
+    out += bytes([rdb.OP_EXPIRETIME_MS]) + struct.pack("<Q", 5_000)
+    out += bytes([rdb.T_STRING]) + rdb._enc_string(b"b") + rdb._enc_string(b"2")
+    out += bytes([rdb.OP_EOF]) + b"\x00" * 8
+    got = {(e["key"], e["value"], e["expire_ms"]) for e in rdb.parse_rdb_bytes(bytes(out))}
+    assert got == {("a", "1", None), ("b", "2", 5_000)}
