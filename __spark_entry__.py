@@ -443,7 +443,13 @@ def q_mongo_statements(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _redis_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared: command-line log -> parse -> typed entries -> compacted state
     (sources/redis.py; the PSYNC/RDB extract + RdbMerger analogue for the
-    key/value model)."""
+    key/value model). NOT fanned out through a repartition barrier: unlike
+    the dedup tokenizers, the per-command work here is light string ops, and
+    widening the low-partition base multiplies the 3-branch entry union into
+    ~128 tiny-task partitions whose scheduling overhead dominates (measured
+    18.7s vs 12.7s at sf0.1); the shared-relation persists inside
+    commands_to_entries / compact_entries are what remove the real
+    recompute."""
     from ape_dts_spark.sources.redis import commands_from_lines, commands_to_entries, compact_entries
 
     lines = demo.redis_command_lines(spark, sf_dir)
