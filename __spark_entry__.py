@@ -811,6 +811,19 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.minhash_lsh_pairs(demo.load(spark, sf_dir, "documents"), "doc_id", "text", threshold=0.95)
 
 
+def q_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: a signature index over the standing corpus
+    (doc_id % 13 != 0), then a new-batch-only pass (doc_id % 13 = 0) that
+    hashes just the batch and bucket-joins it against the index — output is
+    the full-corpus near-dup pairs restricted to pairs touching the batch
+    (the streaming-crawl shape: never re-dedup the world)."""
+    d = demo.load(spark, sf_dir, "documents")
+    index = dd.minhash_index(d.filter(F.col("doc_id") % 13 != 0), "doc_id", "text")
+    return dd.minhash_incremental_pairs(
+        index, d.filter(F.col("doc_id") % 13 == 0), "doc_id", "text", threshold=0.95
+    )
+
+
 def q_ngram_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Char-5-gram near-dup via MinHash banding — the sub-quadratic scale
     path next to ngram_jaccard's exact PPJoin baseline (high-df shingles
@@ -1138,6 +1151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": q_vocab_topk,
         "fluid_roundtrip": q_fluid_roundtrip,
         "subscription_feed": q_subscription_feed,
+        "minhash_incremental": q_minhash_incremental,
         # -- already driver-green; most load-bearing fill the window ----------
         "snapshot_scan": q_snapshot_scan,
         "snapshot_chunked": q_snapshot_chunked,
@@ -1911,6 +1925,11 @@ def oracle_sql() -> dict[str, str]:
         )(tx.token_stats_sql_exprs("text")),
         "minhash_lsh": _minhash_oracle(0.95),
         "ngram_minhash": _minhash_oracle(0.9, _NGRAM_TOK_CTE),
+        "minhash_incremental": f"""
+            WITH pairs AS ({_minhash_oracle(0.95)})
+            SELECT id_a, id_b, jaccard FROM pairs
+            WHERE id_a % 13 = 0 OR id_b % 13 = 0
+        """,
         "contamination": tx.ngram_overlap_sql(8, 7),
         "shuffle_shards": mx.deterministic_shuffle_sql("documents", "doc_id", 16, 7),
         "vocab_topk": tx.vocab_topk_sql("documents", "text", 500),

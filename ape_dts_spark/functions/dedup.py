@@ -562,3 +562,165 @@ def simhash_pairs(
         )
     )
     return within.unionByName(cross.select("id_a", "id_b", "hamming"))
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: signature index + new-batch-only pass
+# ---------------------------------------------------------------------------
+
+
+def minhash_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    tokens: str | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Build the persistent signature index for INCREMENTAL dedup:
+    ``(sets, membership)`` where ``sets`` has one row per distinct token set
+    — ``(_rep, _toks, m_0..m_15)`` — and ``membership`` maps ``(_id, _rep)``.
+
+    At 100 TB the corpus is hashed ONCE and these two relations land to
+    storage (parquet/Delta, bucketed by band hash if desired); every new
+    crawl batch then pays only its own tokenize+hash and a bucket join
+    against the index (minhash_incremental_pairs) instead of re-deduping the
+    world. Same collapse/banding machinery as minhash_lsh_pairs, so a pair
+    (new doc, indexed doc) surfaces iff the full-corpus pipeline would
+    surface it.
+    """
+    members = (
+        _fan_out(df).select(
+            F.col(id_col).alias("_id"),
+            F.array_sort(F.array_distinct(F.expr(tokens or tokens_expr(text_col)))).alias("_toks"),
+        )
+        .filter(F.size("_toks") > 0)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    members.count()
+    par = df.sparkSession.sparkContext.defaultParallelism
+    sets = (
+        members.groupBy("_toks").agg(F.min("_id").alias("_rep"))
+        .repartition(par)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sets.count()
+    mem = members.join(sets, "_toks").select("_id", "_rep")
+    tok = sets.select("_rep", F.explode("_toks").alias("token")).withColumn(
+        "tn", F.expr(_token_num())
+    )
+    aggs = [
+        F.min(
+            F.expr(f"(CAST({MINHASH_A[i]} AS BIGINT) * tn + {MINHASH_B[i]}) % {PORTABLE_HASH_P}")
+        ).alias(f"m_{i}")
+        for i in range(N_HASHES)
+    ]
+    sigs = tok.groupBy("_rep").agg(*aggs)
+    indexed = sets.join(sigs, "_rep").persist(StorageLevel.MEMORY_AND_DISK)
+    indexed.count()
+    return indexed, mem.persist(StorageLevel.MEMORY_AND_DISK)
+
+
+def _bands_of(sigs: DataFrame, n_bands: int, rows_per_band: int) -> DataFrame:
+    bands = None
+    for i in range(n_bands):
+        part = sigs.select(
+            "_rep", F.lit(i).alias("band"), F.expr(_band_hash(i, rows_per_band)).alias("bh")
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    return bands
+
+
+def minhash_incremental_pairs(
+    index: tuple[DataFrame, DataFrame],
+    new_df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    threshold: float = 0.5,
+    tokens: str | None = None,
+) -> DataFrame:
+    """Incremental near-dup pairs: every (id_a, id_b, jaccard) with
+    jaccard >= threshold where AT LEAST ONE side is a new-batch document —
+    old-vs-old pairs are the previous runs' output and are never recomputed.
+
+    Only the new batch is tokenized and hashed; candidates come from the
+    new side's band rows equi-joined against (index bands UNION new bands),
+    so cost scales with |new| and collision volume, never |corpus|.
+    Verification stays candidate-local over the stored token sets. Output is
+    exactly the full-corpus minhash_lsh_pairs output filtered to pairs
+    touching the new batch (same signatures, same banding, same exact
+    verification).
+    """
+    old_sets, old_mem = index
+    new_sets, new_mem = minhash_index(new_df, id_col, text_col, tokens)
+    n_bands, rows_per_band = banding_for(threshold)
+
+    old_bands = _bands_of(old_sets, n_bands, rows_per_band)
+    new_bands = _bands_of(new_sets, n_bands, rows_per_band)
+    all_bands = old_bands.unionByName(new_bands)
+    a = new_bands.select(F.col("_rep").alias("rep_n"), "band", "bh")
+    b = all_bands.select(F.col("_rep").alias("rep_o"), "band", "bh")
+    candidates = (
+        a.join(b, ["band", "bh"])
+        .filter(F.col("rep_n") != F.col("rep_o"))
+        .select(
+            F.least("rep_n", "rep_o").alias("rep_a"),
+            F.greatest("rep_n", "rep_o").alias("rep_b"),
+        )
+        .distinct()
+    )
+    all_sets = old_sets.select("_rep", "_toks").unionByName(new_sets.select("_rep", "_toks"))
+    toks_a = all_sets.select(F.col("_rep").alias("rep_a"), F.col("_toks").alias("toks_a"))
+    toks_b = all_sets.select(F.col("_rep").alias("rep_b"), F.col("_toks").alias("toks_b"))
+    set_pairs = (
+        candidates.join(toks_a, "rep_a")
+        .join(toks_b, "rep_b")
+        .withColumn("shared", F.size(F.array_intersect("toks_a", "toks_b")))
+        .withColumn(
+            "jaccard",
+            F.col("shared").cast("double")
+            / (F.size("toks_a") + F.size("toks_b") - F.col("shared")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("rep_a", "rep_b", "jaccard")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    set_pairs.count()
+
+    all_mem = old_mem.withColumn("_new", F.lit(False)).unionByName(
+        new_mem.withColumn("_new", F.lit(True))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    all_mem.count()
+
+    # (a) identical-set pairs touching the new batch. A new doc with a set
+    # already indexed lives under the NEW rep too (reps are per-build), so
+    # identical sets across builds meet as a rep pair at J=1 via banding
+    # (equal signatures collide in every band); within one build's rep group
+    # the membership cross product below covers it.
+    ma, mb = all_mem.alias("ma"), all_mem.alias("mb")
+    within = (
+        ma.join(mb, F.col("ma._rep") == F.col("mb._rep"))
+        .filter(F.col("ma._id") < F.col("mb._id"))
+        .filter(F.col("ma._new") | F.col("mb._new"))
+        .select(
+            F.col("ma._id").alias("id_a"),
+            F.col("mb._id").alias("id_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    # (b) cross-set pairs: expand rep pairs to doc pairs touching the new batch
+    cross = (
+        set_pairs.join(
+            all_mem.select(F.col("_rep").alias("rep_a"), F.col("_id").alias("ia"), F.col("_new").alias("na")),
+            "rep_a",
+        )
+        .join(
+            all_mem.select(F.col("_rep").alias("rep_b"), F.col("_id").alias("ib"), F.col("_new").alias("nb")),
+            "rep_b",
+        )
+        .filter(F.col("na") | F.col("nb"))
+        .select(
+            F.least("ia", "ib").alias("id_a"),
+            F.greatest("ia", "ib").alias("id_b"),
+            "jaccard",
+        )
+    )
+    return within.unionByName(cross).distinct()

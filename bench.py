@@ -73,6 +73,7 @@ BENCH_QUERIES = [
     "ann_lsh",
     "ann_ivf",
     "minhash_lsh",
+    "minhash_incremental",
     "simhash_pairs",
     # exact Jaccard re-entered after the identical-set collapse: its
     # quadratic stages now scale with distinct content like minhash/simhash

@@ -292,3 +292,33 @@ def test_ngram_overlap_short_docs_excluded(spark):
     train = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
     eval_df = spark.createDataFrame([(2, "a b")], "doc_id long, text string")
     assert tx.ngram_overlap(train, eval_df, n=5).count() == 0  # < n tokens
+
+
+def test_minhash_incremental_matches_filtered_full(spark):
+    from ape_dts_spark.functions import dedup as dd
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon zeta"),   # old dup of 1
+        (3, "totally different content right here"),
+        (13, "alpha beta gamma delta epsilon zeta"),  # new dup of 1/2
+        (26, "totally different content right here"), # new dup of 3
+        (39, "unrelated fresh text nothing shared"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    old = d.filter(F.col("doc_id") % 13 != 0)
+    new = d.filter(F.col("doc_id") % 13 == 0)
+
+    index = dd.minhash_index(old, "doc_id", "text")
+    inc = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in dd.minhash_incremental_pairs(index, new, "doc_id", "text", 0.95).collect()
+    }
+    full = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in dd.minhash_lsh_pairs(d, "doc_id", "text", 0.95).collect()
+        if r["id_a"] % 13 == 0 or r["id_b"] % 13 == 0
+    }
+    assert inc == full == {(1, 13, 1.0), (2, 13, 1.0), (3, 26, 1.0)}
+    # old-old pair (1,2) must NOT be recomputed/emitted
+    assert all(a % 13 == 0 or b % 13 == 0 for a, b, _ in inc)
