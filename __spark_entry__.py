@@ -824,6 +824,16 @@ def q_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-family keep list: cosine near-dup pairs (threshold-adaptive
+    hyperplane LSH + bucket GEMM verify) clustered to (vec_id, rep_id)
+    min-label components — the consumable dedup output for the embedding
+    column, completing the family next to the text-side dedup_cluster."""
+    emb = demo.load(spark, sf_dir, "embeddings")
+    pairs = sim.cosine_dup_pairs(emb, "vec_id", "embedding", dim=64, threshold=0.35)
+    return dd.keep_representatives(emb, "vec_id", pairs).withColumnRenamed("doc_id", "vec_id")
+
+
 def q_ngram_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Char-5-gram near-dup via MinHash banding — the sub-quadratic scale
     path next to ngram_jaccard's exact PPJoin baseline (high-df shingles
@@ -1152,6 +1162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fluid_roundtrip": q_fluid_roundtrip,
         "subscription_feed": q_subscription_feed,
         "minhash_incremental": q_minhash_incremental,
+        "embedding_dedup_keep": q_embedding_dedup_keep,
         # -- already driver-green; most load-bearing fill the window ----------
         "snapshot_scan": q_snapshot_scan,
         "snapshot_chunked": q_snapshot_chunked,
@@ -1950,6 +1961,18 @@ def oracle_sql() -> dict[str, str]:
         "cosine_topk_np": _COSINE_TOPK_SQL,
         "ann_lsh": _ann_lsh_oracle(64, 5),
         "cosine_dup_pairs": _cosine_dup_oracle(64, 0.35),
+        "embedding_dedup_keep": f"""
+            WITH RECURSIVE pairs AS ({_cosine_dup_oracle(64, 0.35)}),
+            edges AS (
+              SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION
+              SELECT id_b, id_a FROM pairs),
+            walk(node, reach) AS (
+              SELECT vec_id, vec_id FROM embeddings
+              UNION
+              SELECT w.node, e.dst FROM walk w JOIN edges e ON e.src = w.reach)
+            SELECT node AS vec_id, MIN(reach) AS rep_id FROM walk GROUP BY node
+        """,
         "ann_ivf": """
             SELECT vec_id + 100000 AS query_id, vec_id AS neighbor_id, 1 AS rank
             FROM embeddings WHERE vec_id % 50 = 0

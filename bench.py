@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "ngram_jaccard",
     "ngram_minhash",
     "cosine_dup_pairs",
+    "embedding_dedup_keep",
     # keep-list clustering (minhash pairs + min-label connected components)
     "dedup_cluster",
 ]
