@@ -902,6 +902,22 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ivf_topk(queries_df, emb, "vec_id", "embedding", n_lists=16, n_probe=4, k=1)
 
 
+def q_ann_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF against a STORED index (ivf_index + ivf_index_topk): the corpus is
+    assigned to its lists once; queries probe via a broadcast pruning join
+    that reads only probed lists (partition pruning once the index lands
+    partitioned by list_id) — the served-index shape next to ann_ivf's
+    one-pass ad-hoc scan. Planted-twin gate: each query is an exact copy of
+    a corpus vector, so rank 1 must be the original (k=1; deeper ranks
+    depend on float cosines only numpy computes)."""
+    emb = demo.load(spark, sf_dir, "embeddings")
+    index = sim.ivf_index(emb, "vec_id", "embedding", n_lists=16)
+    queries_df = emb.filter(F.col("vec_id") % 50 == 0).withColumn(
+        "vec_id", F.col("vec_id") + 100_000
+    )
+    return sim.ivf_index_topk(index, queries_df, "vec_id", "embedding", n_probe=4, k=1)
+
+
 def q_cosine_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs via threshold-adaptive hyperplane LSH
     + per-bucket GEMM verification (applyInPandas, no pairwise join).
@@ -1163,6 +1179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "subscription_feed": q_subscription_feed,
         "minhash_incremental": q_minhash_incremental,
         "embedding_dedup_keep": q_embedding_dedup_keep,
+        "ann_ivf_index": q_ann_ivf_index,
         # -- already driver-green; most load-bearing fill the window ----------
         "snapshot_scan": q_snapshot_scan,
         "snapshot_chunked": q_snapshot_chunked,
@@ -1974,6 +1991,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT node AS vec_id, MIN(reach) AS rep_id FROM walk GROUP BY node
         """,
         "ann_ivf": """
+            SELECT vec_id + 100000 AS query_id, vec_id AS neighbor_id, 1 AS rank
+            FROM embeddings WHERE vec_id % 50 = 0
+        """,
+        "ann_ivf_index": """
             SELECT vec_id + 100000 AS query_id, vec_id AS neighbor_id, 1 AS rank
             FROM embeddings WHERE vec_id % 50 = 0
         """,

@@ -525,3 +525,106 @@ def lsh_ann_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )
+
+
+def ivf_index(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+):
+    """Build the persistent IVF index: trained centroids + the corpus
+    assigned to its Voronoi lists — ``(centroids ndarray, assignments
+    DataFrame(list_id, id, vec))``.
+
+    At 100 TB the assignments land to storage PARTITIONED BY list_id (and
+    the tiny centroid matrix beside them); queries then read only their
+    probed lists via partition pruning — the full corpus is scanned exactly
+    once at index build, never per query batch (ivf_topk's one-pass scan is
+    the right shape for ad-hoc queries; this is the right shape for a served
+    index). Assignment happens in one Arrow-batched pass with the centroids
+    broadcast in the closure."""
+    import numpy as np
+    import pandas as pd
+    from pyspark import StorageLevel
+
+    cent = _train_centroids(corpus, id_col, vec_col, n_lists)
+
+    def _assign(batches):
+        for pdf in batches:
+            vecs = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            vecs = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+            yield pd.DataFrame(
+                {
+                    "list_id": np.argmax(vecs @ cent.T, axis=1).astype(np.int32),
+                    "id": pdf[id_col].to_numpy(),
+                    "vec": list(pdf[vec_col]),
+                }
+            )
+
+    assigned = (
+        corpus.select(id_col, vec_col)
+        .mapInPandas(_assign, schema="list_id int, id long, vec array<double>")
+        # the partitioned-landing stand-in: one shuffle partition per list,
+        # independent of spark.sql.shuffle.partitions
+        .repartition(n_lists, F.col("list_id"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    assigned.count()
+    return cent, assigned
+
+
+def ivf_index_topk(
+    index,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 4,
+    k: int = 5,
+) -> DataFrame:
+    """Approximate top-k against a STORED IVF index: each query probes its
+    n_probe nearest lists; the probe relation broadcasts against the
+    assignments so only probed lists' rows are read (partition pruning when
+    the index is landed partitioned-by-list), then an Arrow kernel scores
+    candidates with a per-query GEMM and one tiny shuffle resolves global
+    top-k. Output: (query_id, neighbor_id, rank)."""
+    import numpy as np
+    import pandas as pd
+
+    cent, assigned = index
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([int(r[id_col]) for r in q_rows])
+    q_mat = np.array([r[vec_col] for r in q_rows], dtype=np.float64)
+    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+    probing = np.argsort(-(q_mat @ cent.T), axis=1)[:, :n_probe]
+    q_index = {int(q): i for i, q in enumerate(q_ids)}
+
+    probe = assigned.sparkSession.createDataFrame(
+        [(int(lid), int(qid)) for qi, qid in enumerate(q_ids) for lid in probing[qi]],
+        "list_id int, query_id long",
+    )
+    cand = assigned.join(F.broadcast(probe), "list_id").filter(
+        F.col("id") != F.col("query_id")
+    )
+
+    def _score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vecs = np.array(pdf["vec"].tolist(), dtype=np.float64)
+            vecs = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+            qi = np.array([q_index[int(q)] for q in pdf["query_id"]])
+            cos = np.einsum("ij,ij->i", q_mat[qi], vecs)
+            yield pd.DataFrame(
+                {"query_id": pdf["query_id"], "neighbor_id": pdf["id"], "cosine": cos}
+            )
+
+    from pyspark.sql import Window as W
+
+    scored = cand.mapInPandas(_score, schema="query_id long, neighbor_id long, cosine double")
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )

@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "cosine_topk_np",
     "ann_lsh",
     "ann_ivf",
+    "ann_ivf_index",
     "minhash_lsh",
     "minhash_incremental",
     "simhash_pairs",
