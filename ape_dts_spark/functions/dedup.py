@@ -134,8 +134,13 @@ def jaccard_pairs(
     array<string> (e.g. text.shingles_expr over a materialized normalized
     column for character-n-gram Jaccard); default is word tokens.
     """
+    # fan out only for custom tokenizers (shingles): their tokenize is the
+    # CPU-heavy stage that single-threads on one input split; for cheap word
+    # tokens the barrier's extra shuffles+persists COST more than they save
+    # (word minhash measured 3.5s -> 10.6s with an unconditional barrier)
+    src = _fan_out(df) if tokens else df
     members = (
-        _fan_out(df).select(
+        src.select(
             F.col(id_col).alias("_id"),
             F.array_sort(F.array_distinct(F.expr(tokens or tokens_expr(text_col)))).alias("_toks"),
         )
@@ -143,9 +148,13 @@ def jaccard_pairs(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     members.count()
+    sets = members.groupBy("_toks").agg(
+        F.min("_id").alias("_rep"), F.count(F.lit(1)).alias("_gsz")
+    )
+    if tokens:
+        sets = sets.repartition(df.sparkSession.sparkContext.defaultParallelism)
     sets = (
-        members.groupBy("_toks").agg(F.min("_id").alias("_rep"), F.count(F.lit(1)).alias("_gsz"))
-        .repartition(df.sparkSession.sparkContext.defaultParallelism)
+        sets
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     sets.count()
@@ -321,9 +330,12 @@ def minhash_lsh_pairs(
     prefix filter, while MinHash cost is banding-bounded regardless of df).
     Output: (id_a, id_b, jaccard).
     """
-    par = df.sparkSession.sparkContext.defaultParallelism
+    # fan out only for custom tokenizers (see jaccard_pairs: the barrier
+    # saves 20s+ on shingle tokenize but costs ~7s of extra shuffle/persist
+    # on the cheap word path)
+    src = _fan_out(df) if tokens else df
     members = (
-        _fan_out(df).select(
+        src.select(
             F.col(id_col).alias("_id"),
             F.array_sort(F.array_distinct(F.expr(tokens or tokens_expr(text_col)))).alias("_toks"),
         )
@@ -332,12 +344,11 @@ def minhash_lsh_pairs(
     )
     members.count()
     # one row per distinct token set; rep = min doc id (stable set identity);
-    # same fan-out reasoning for the downstream explode+hash signature stage
-    sets = (
-        members.groupBy("_toks").agg(F.min("_id").alias("_rep"))
-        .repartition(par)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    # same conditional fan-out for the downstream explode+hash signature stage
+    sets = members.groupBy("_toks").agg(F.min("_id").alias("_rep"))
+    if tokens:
+        sets = sets.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    sets = sets.persist(StorageLevel.MEMORY_AND_DISK)
     sets.count()
     mem = (
         members.join(sets, "_toks").select("_id", "_rep")
@@ -513,8 +524,7 @@ def simhash_pairs(
     """
     if not 0 <= max_hamming < SIMHASH_BITS:
         raise ValueError(f"max_hamming must be in [0, {SIMHASH_BITS}), got {max_hamming}")
-    # fan out before the tokenize+32-bit-sum scan (single input split otherwise)
-    sh = simhash_values(_fan_out(df), id_col, text_col).persist(StorageLevel.MEMORY_AND_DISK)
+    sh = simhash_values(df, id_col, text_col).persist(StorageLevel.MEMORY_AND_DISK)
     sh.count()
     vals = sh.select("simhash").distinct().persist(StorageLevel.MEMORY_AND_DISK)
     vals.count()
@@ -587,8 +597,9 @@ def minhash_index(
     (new doc, indexed doc) surfaces iff the full-corpus pipeline would
     surface it.
     """
+    src = _fan_out(df) if tokens else df  # same conditional as minhash_lsh_pairs
     members = (
-        _fan_out(df).select(
+        src.select(
             F.col(id_col).alias("_id"),
             F.array_sort(F.array_distinct(F.expr(tokens or tokens_expr(text_col)))).alias("_toks"),
         )
@@ -596,12 +607,10 @@ def minhash_index(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     members.count()
-    par = df.sparkSession.sparkContext.defaultParallelism
-    sets = (
-        members.groupBy("_toks").agg(F.min("_id").alias("_rep"))
-        .repartition(par)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    sets = members.groupBy("_toks").agg(F.min("_id").alias("_rep"))
+    if tokens:
+        sets = sets.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    sets = sets.persist(StorageLevel.MEMORY_AND_DISK)
     sets.count()
     mem = members.join(sets, "_toks").select("_id", "_rep")
     tok = sets.select("_rep", F.explode("_toks").alias("token")).withColumn(
