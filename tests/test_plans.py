@@ -92,3 +92,11 @@ def test_contamination_broadcast_inverted_index(spark, sf_dir):
     plan = _plan(spark, sf_dir, "contamination")
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_ann_ivf_index_pruning_join(spark, sf_dir):
+    # the stored-index query path must broadcast the probe relation against
+    # the list-partitioned assignments — never a nested-loop/cartesian shape
+    plan = _plan(spark, sf_dir, "ann_ivf_index")
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan

@@ -81,10 +81,21 @@ def main() -> int:
             if len(srows) == 0:
                 failures.append((name, "zero rows"))
             continue
+        arrow_schema = con.execute(sql).arrow().schema
         res = con.execute(sql)
         dcols = [d[0] for d in res.description]
         drows = res.fetchall()
         status = []
+        # the DRIVER hashes values by Arrow type: DuckDB HUGEINT (a bare SUM
+        # over integers) arrives as decimal128 and hash-mismatches Spark's
+        # int64 even when values are identical — this replica canonicalizes
+        # via str() and would pass, so flag the type itself (CAST the oracle
+        # aggregate AS BIGINT)
+        bad_types = [
+            f"{f.name}:{f.type}" for f in arrow_schema if "decimal" in str(f.type)
+        ]
+        if bad_types:
+            status.append(f"ORACLE-ARROW-TYPE {bad_types}")
         if len(srows) != len(drows):
             status.append(f"ROWCOUNT spark={len(srows)} duck={len(drows)}")
         if sorted(scols) != sorted(dcols):
