@@ -190,6 +190,9 @@ class CdcPipeline:
     # (rdb_filter.rs:106-138). None = apply every recognized DDL (legacy).
     rdb_filter: object | None = None
     metrics: list[dict] = field(default_factory=list)
+    # optional task-telemetry registry (monitor.py): per-batch counters in
+    # the reference's monitor.log inventory ride along when provided
+    monitor: object | None = None
 
     def _prepare(self, df: DataFrame) -> DataFrame:
         start, end = self.time_window
@@ -312,6 +315,10 @@ class CdcPipeline:
         n_events = batch.count()
         max_ts = batch.agg(F.max("seq").alias("m"), F.max("ts").alias("t")).collect()[0]
         lag = (time.time() - max_ts["t"].timestamp()) if max_ts["t"] is not None else None
+        if self.monitor is not None:
+            self.monitor.add("extractor", "record_count", n_events, count=1)
+            self.monitor.add("sinker", "record_count", n_events, count=1)
+            self.monitor.add("sinker", "synced_record_count", n_events)
         self.metrics.append(
             {
                 "batch_id": batch_id,
