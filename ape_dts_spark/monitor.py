@@ -145,3 +145,14 @@ class Monitor:
             rendered = " | ".join(f"{a}={getattr(c, a)():g}" for a in aggs)
             out.append(f"{component} | {counter} | {rendered}")
         return out
+
+    def prometheus_lines(self) -> list[str]:
+        """Prometheus exposition format (docs/en/monitor/monitor.md exposes
+        the same counters as metrics): one gauge per (component, counter,
+        aggregation)."""
+        out = []
+        for (component, counter), (c, aggs) in sorted(self._counters.items()):
+            name = f"ape_dts_{component}_{counter}"
+            for a in aggs:
+                out.append(f'{name}{{aggregation="{a}"}} {getattr(c, a)():g}')
+        return out

@@ -78,3 +78,13 @@ def test_cdc_pipeline_monitor_ride_along(spark, tmp_path):
     rendered = "\n".join(mon.log_lines())
     assert "extractor | record_count" in rendered and "sum=2" in rendered
     assert "sinker | synced_record_count | latest=2" in rendered
+
+
+def test_prometheus_exposition():
+    clk = FakeClock()
+    m = Monitor(window_secs=10, clock=clk)
+    m.add("extractor", "record_count", 13, ts=1000.0)
+    m.add("sinker", "synced_record_count", 13)
+    lines = m.prometheus_lines()
+    assert 'ape_dts_extractor_record_count{aggregation="sum"} 13' in lines
+    assert 'ape_dts_sinker_synced_record_count{aggregation="latest"} 13' in lines
