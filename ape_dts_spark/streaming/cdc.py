@@ -26,6 +26,7 @@ backpressure, dt-common/src/meta/dt_queue.rs:13-84).
 from __future__ import annotations
 
 import json
+import os
 import time
 from collections.abc import Callable
 from dataclasses import dataclass, field
@@ -459,6 +460,9 @@ class MultiTableCdcPipeline:
 
 def write_debezium_jsonl(rows: list[dict], path: str) -> None:
     """Test helper: write Debezium-envelope events as one JSONL file."""
+    parent = os.path.dirname(path)
+    if parent:
+        os.makedirs(parent, exist_ok=True)
     with open(path, "w") as f:
         for r in rows:
             f.write(json.dumps(r) + "\n")

@@ -67,7 +67,15 @@ def run_task(spark: SparkSession, cfg: TaskConfig, registry: dict[str, list[str]
     sink_type = cfg.sinker.get("sink_type", "parquet")
     dst_dir = cfg.sinker.get("url", "")
     schema = cfg.extractor.get("db", "default")
-    registry = registry or {}
+    # key columns: the reference fetches them live from information_schema;
+    # parquet carries no PK metadata, so an ini ``[registry]`` section
+    # (table = comma-separated key cols) declares them — an explicit
+    # ``registry`` argument overrides per table
+    ini_registry = {
+        tb: [c.strip() for c in cols.split(",") if c.strip()]
+        for tb, cols in cfg.extra.get("registry", {}).items()
+    }
+    registry = {**ini_registry, **(registry or {})}
 
     if extract_type == "snapshot":
         source = SnapshotSource(spark, filter=cfg.filter, router=cfg.router, schema_name=schema)

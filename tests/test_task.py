@@ -280,3 +280,32 @@ def test_cli_main(spark, tmp_path, capsys):
     # a missing table makes precheck exit non-zero
     cfg.write_text(cfg.read_text().replace("tables=region", "tables=region,nosuch"))
     assert main([str(cfg), "--precheck"]) == 1
+
+
+def test_example_configs_parse_and_registry_flows(spark, tmp_path):
+    """examples/*.ini stay parseable, and the [registry] section feeds key
+    columns into check/revise tasks (information_schema stand-in)."""
+    import glob
+
+    for path in sorted(glob.glob("/root/repo/examples/*.ini")):
+        cfg = TaskConfig.from_file(path)
+        assert cfg.extractor.get("extract_type") in ("snapshot", "check", "check_log", "cdc"), path
+
+    cfg = TaskConfig.from_string(
+        f"""
+[extractor]
+extract_type=check
+url=/root/testdata/sf0.001
+tables=region
+
+[sinker]
+sink_type=check_log
+url={tmp_path}/chk
+compare_url=/root/testdata/sf0.001
+
+[registry]
+region=r_regionkey
+"""
+    )
+    res = run_task(spark, cfg)  # no explicit registry: the ini section drives it
+    assert "region" in res.outputs
