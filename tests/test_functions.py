@@ -322,3 +322,22 @@ def test_minhash_incremental_matches_filtered_full(spark):
     assert inc == full == {(1, 13, 1.0), (2, 13, 1.0), (3, 26, 1.0)}
     # old-old pair (1,2) must NOT be recomputed/emitted
     assert all(a % 13 == 0 or b % 13 == 0 for a, b, _ in inc)
+
+
+def test_new_operators_tolerate_empty_inputs(spark):
+    """Empty relations must flow through, not throw — the degenerate shape a
+    filtered partition or an empty micro-batch produces."""
+    from ape_dts_spark.functions import mixing as mx
+    from ape_dts_spark.functions import similarity as sim
+    from ape_dts_spark.functions import text as tx
+    from ape_dts_spark.sources import redis_rdb as rdb
+
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    assert tx.vocab_topk(docs).count() == 0
+    assert mx.deterministic_shuffle(docs, "doc_id").count() == 0
+    assert tx.ngram_overlap(docs, docs).count() == 0
+
+    emb = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert sim.cosine_dup_pairs(emb, dim=4, threshold=0.9).count() == 0
+
+    assert rdb.parse_rdb_bytes(rdb.encode_rdb([])) == []
