@@ -938,6 +938,16 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.vocab_topk(demo.load(spark, sf_dir, "documents"), "text", k=500)
 
 
+def q_token_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixing: per-language document selection until each
+    language's TOKEN budget (n_chars as the token proxy) is spent — the unit
+    production mixes are specified in (mx.token_quota; stratified_sample is
+    the per-DOC-count sibling)."""
+    d = demo.load(spark, sf_dir, "documents")
+    out = mx.token_quota(d, "lang", 50_000, "n_chars", "doc_id")
+    return out.select("doc_id", "lang", "n_chars", "cum_tokens")
+
+
 def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic global corpus shuffle into 16 training shards (Knuth
     multiplicative scramble -> shard + in-shard position): repartition +
@@ -1180,6 +1190,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_incremental": q_minhash_incremental,
         "embedding_dedup_keep": q_embedding_dedup_keep,
         "ann_ivf_index": q_ann_ivf_index,
+        "token_mix": q_token_mix,
         # -- already driver-green; most load-bearing fill the window ----------
         "snapshot_scan": q_snapshot_scan,
         "snapshot_chunked": q_snapshot_chunked,
@@ -2034,6 +2045,10 @@ def oracle_sql() -> dict[str, str]:
             FROM aug
         """,
         "rep_stats": tx.repetition_stats_sql("doc_id", "text"),
+        "token_mix": f"""
+            WITH sel AS ({mx.token_quota_sql("documents", "lang", 50_000, "n_chars", "doc_id")})
+            SELECT doc_id, lang, n_chars, cum_tokens FROM sel
+        """,
         "stratified_sample": f"""
             WITH sel AS ({mx.stratified_quota_sql("documents", "lang", 100, "doc_id")})
             SELECT doc_id, lang, sample_rank FROM sel

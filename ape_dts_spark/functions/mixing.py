@@ -205,3 +205,55 @@ SELECT {id_col}, shard,
        CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, {id_col}) - 1 AS BIGINT) AS pos
 FROM sh
 """
+
+
+def token_quota(
+    df: DataFrame,
+    group_col: str,
+    budget: int | dict[str, int],
+    token_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Token-budget mixing: keep documents per group until the group's TOKEN
+    budget is exhausted — production mixes are specified in tokens ("2B
+    tokens of code, 8B of web"), not document counts (stratified_quota's
+    unit). A document is kept iff the budget was not already spent before it
+    in the deterministic hash order, so the last kept document may overshoot
+    the budget by part of itself (the standard convention: budgets bound
+    where the cut falls, documents are atomic).
+
+    Selection order is the same portable hash as stratified_quota — stable
+    under re-runs, and growing a budget only ADDS documents. Output: the
+    selected rows + ``cum_tokens`` (tokens up to and including the row).
+    Plan: one hash shuffle on the group + a per-partition running sum.
+    """
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.expr(_rank_hash(id_col)).asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(F.col(token_col)).over(w).cast("long")
+    ranked = df.withColumn("cum_tokens", cum)
+    if isinstance(budget, int):
+        limit = F.lit(budget)
+    else:
+        mapping = F.create_map(*[F.lit(x) for kv in budget.items() for x in kv])
+        limit = mapping[F.col(group_col)]
+    return ranked.filter(F.col("cum_tokens") - F.col(token_col) < limit)
+
+
+def token_quota_sql(
+    table: str, group_col: str, budget: int, token_col: str, id_col: str = "doc_id"
+) -> str:
+    """DuckDB twin of token_quota (uniform budget form)."""
+    from ape_dts_spark.functions.text import portable_hash_sql
+
+    h = portable_hash_sql(f"CAST({id_col} AS VARCHAR)")
+    return f"""
+WITH ranked AS (
+  SELECT *, CAST(SUM({token_col}) OVER (PARTITION BY {group_col}
+                 ORDER BY {h} ASC, {id_col} ASC
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+  FROM {table})
+SELECT * FROM ranked WHERE cum_tokens - {token_col} < {budget}
+"""

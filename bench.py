@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "rep_stats",
     "length_quantiles",
     "stratified_sample",
+    "token_mix",
     "sequence_packing",
     "contamination",
     "shuffle_shards",

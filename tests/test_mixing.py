@@ -103,3 +103,24 @@ def test_deterministic_shuffle_properties(spark):
         r["doc_id"] for r in sorted(out, key=lambda r: r["pos"]) if r["shard"] == first_shard
     ]
     assert ids_in_pos_order != sorted(ids_in_pos_order)
+
+
+def test_token_quota_budget_semantics(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, "en", 40) for i in range(10)] + [(100, "de", 500), (101, "de", 10)],
+        "doc_id long, lang string, n_chars long",
+    )
+    out = mx.token_quota(df, "lang", 100, "n_chars", "doc_id").collect()
+    en = [r for r in out if r["lang"] == "en"]
+    # budget 100 at 40 tokens/doc: docs at cum 40, 80, 120 are kept (the
+    # third starts before exhaustion and overshoots), the fourth is not
+    assert len(en) == 3 and max(r["cum_tokens"] for r in en) == 120
+    de = sorted((r["doc_id"], r["cum_tokens"]) for r in out if r["lang"] == "de")
+    # first de doc in hash order is kept even though it alone overshoots
+    assert len(de) >= 1
+    # growth stability: a bigger budget only adds docs
+    small = {r["doc_id"] for r in out}
+    big = {r["doc_id"] for r in mx.token_quota(df, "lang", 200, "n_chars", "doc_id").collect()}
+    assert small <= big
