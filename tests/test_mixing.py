@@ -124,3 +124,15 @@ def test_token_quota_budget_semantics(spark):
     small = {r["doc_id"] for r in out}
     big = {r["doc_id"] for r in mx.token_quota(df, "lang", 200, "n_chars", "doc_id").collect()}
     assert small <= big
+
+
+def test_token_quota_per_group_budgets(spark):
+    df = spark.createDataFrame(
+        [(i, "en" if i < 6 else "de", 50) for i in range(12)],
+        "doc_id long, lang string, n_chars long",
+    )
+    out = mx.token_quota(df, "lang", {"en": 100, "de": 250}, "n_chars", "doc_id").collect()
+    counts = {}
+    for r in out:
+        counts[r["lang"]] = counts.get(r["lang"], 0) + 1
+    assert counts == {"en": 2, "de": 5}  # 100/50=2 docs; 250/50=5 docs
