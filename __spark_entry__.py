@@ -938,6 +938,48 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.vocab_topk(demo.load(spark, sf_dir, "documents"), "text", k=500)
 
 
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: split every document into overlapping
+    32-token windows with stride 24 (tx.doc_chunks) — the chunking step of a
+    training/RAG pipeline. Pure per-row JVM slicing + one explode, no
+    shuffle."""
+    return tx.doc_chunks(
+        demo.load(spark, sf_dir, "documents"), "doc_id", "text", size=32, stride=24
+    )
+
+
+def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge-step counting pass: adjacent-token pair frequencies,
+    deterministic top-200 (tx.bpe_pair_counts) — same fold shape as
+    vocab_topk, state bounded by the pair vocabulary."""
+    return tx.bpe_pair_counts(demo.load(spark, sf_dir, "documents"), "text", k=200)
+
+
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact dedup (CCNet-style line dedup over 16-token spans):
+    corpus-global keep-first on span text, documents reassembled from the
+    surviving spans (dd.span_dedup) — one window shuffle keyed on span
+    text, one group-back."""
+    return dd.span_dedup(demo.load(spark, sf_dir, "documents"), "doc_id", "text", span_tokens=16)
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (cluster-then-dedup) planted-twin gate: corpus = embeddings
+    plus exact copies of every 50th vector (ids +100000). Identical vectors
+    always co-cluster and cosine = 1.0 >= 0.9, while the synthetic corpus has
+    no natural pair above 0.9 (max ~0.6, verified at sf0.01/sf0.1), so the
+    keep list MUST be exactly {twin -> original, everything else -> itself} —
+    a literal SQL oracle for the whole sample->train->assign->per-cluster-GEMM
+    ->components pipeline."""
+    emb = demo.load(spark, sf_dir, "embeddings")
+    planted = emb.filter(F.col("vec_id") % 50 == 0).withColumn(
+        "vec_id", F.col("vec_id") + 100_000
+    )
+    return sim.semantic_dedup(
+        emb.unionByName(planted), "vec_id", "embedding", n_lists=8, threshold=0.9
+    )
+
+
 def q_token_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget mixing: per-language document selection until each
     language's TOKEN budget (n_chars as the token proxy) is spent — the unit
@@ -1191,6 +1233,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dedup_keep": q_embedding_dedup_keep,
         "ann_ivf_index": q_ann_ivf_index,
         "token_mix": q_token_mix,
+        "doc_chunks": q_doc_chunks,
+        "bpe_pairs": q_bpe_pairs,
+        "span_dedup": q_span_dedup,
+        "semantic_dedup": q_semantic_dedup,
         # -- already driver-green; most load-bearing fill the window ----------
         "snapshot_scan": q_snapshot_scan,
         "snapshot_chunked": q_snapshot_chunked,
@@ -1204,6 +1250,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "review": q_review,
         "upsert_sql_mysql": q_upsert_sql_mysql,
         "upsert_sql_pg": q_upsert_sql_pg,
+        # ---------------------------- slot 50 ends here ----------------------
         "wire_roundtrip": q_wire_roundtrip,
         "avro_roundtrip": q_avro_roundtrip,
         "py_transform": q_py_transform,
@@ -1216,7 +1263,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
         "pricing_summary": q_pricing_summary,
-        # ---------------------------- slot 50 ends here ----------------------
         "snapshot_sample": q_snapshot_sample,
         "upsert_sql_batch": q_upsert_sql_batch,
         "event_filter": q_event_filter,
@@ -1972,6 +2018,17 @@ def oracle_sql() -> dict[str, str]:
         "contamination": tx.ngram_overlap_sql(8, 7),
         "shuffle_shards": mx.deterministic_shuffle_sql("documents", "doc_id", 16, 7),
         "vocab_topk": tx.vocab_topk_sql("documents", "text", 500),
+        "doc_chunks": tx.doc_chunks_sql("documents", "doc_id", "text", 32, 24),
+        "bpe_pairs": tx.bpe_pair_counts_sql("documents", "text", 200),
+        "span_dedup": dd.span_dedup_sql("documents", "doc_id", "text", 16),
+        # planted-twin ground truth (see q_semantic_dedup): twins collapse to
+        # their original, everything else keeps itself
+        "semantic_dedup": """
+            SELECT vec_id, vec_id AS rep_id FROM embeddings
+            UNION ALL
+            SELECT vec_id + 100000 AS vec_id, vec_id AS rep_id
+            FROM embeddings WHERE vec_id % 50 = 0
+        """,
         "dedup_cluster": f"""
             WITH RECURSIVE pairs AS ({_minhash_oracle(0.95)}),
             edges AS (

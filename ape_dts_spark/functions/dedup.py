@@ -72,6 +72,83 @@ def exact_dedup(df: DataFrame, id_col: str, key_col: str) -> DataFrame:
     )
 
 
+def span_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_tokens: int = 16,
+) -> DataFrame:
+    """Corpus-global span-level exact dedup (CCNet/RefinedWeb-style line
+    dedup, adapted to token windows since the corpus has no line structure):
+    split each document into non-overlapping ``span_tokens``-token spans,
+    keep only the FIRST occurrence of each distinct span text corpus-wide
+    (order = (doc_id, span_idx)), and reassemble the surviving spans per
+    document.
+
+    This removes boilerplate repeated across documents (headers, footers,
+    license blocks) that document-level dedup can't touch.
+
+    Scale shape: tokenize+slice per row (no shuffle), one window shuffle
+    keyed on span text (skew bounded: a span repeated r times costs r rows in
+    one partition — spans are near-unique by construction, unlike raw
+    tokens), one group-back by doc id. Deterministic, engine-portable.
+    Output: (id, clean_text, n_spans, n_dropped).
+    """
+    toks = df.select(F.col(id_col), F.expr(tokens_expr(text_col)).alias("_toks"))
+    spans = toks.select(
+        F.col(id_col),
+        F.posexplode(
+            # ceil(n/W) spans for n>0; one empty span for an empty doc so the
+            # document still gets an output row
+            F.expr(
+                f"transform(sequence(0, CAST((greatest(size(_toks), 1) - 1) div {span_tokens} AS INT)), "
+                f"i -> array_join(slice(_toks, i * {span_tokens} + 1, {span_tokens}), ' '))"
+            )
+        ).alias("span_idx", "span"),
+    )
+    w = Window.partitionBy("span").orderBy(F.col(id_col), F.col("span_idx"))
+    ranked = spans.withColumn("_rn", F.row_number().over(w))
+    return (
+        ranked.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.expr("transform(array_sort(collect_list(CASE WHEN _rn = 1 THEN "
+                       "struct(span_idx, span) END)), x -> x.span)"),
+                " ",
+            ).alias("clean_text"),
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.when(F.col("_rn") > 1, 1).otherwise(0)).alias("n_dropped"),
+        )
+        .select(id_col, "clean_text", "n_spans", "n_dropped")
+    )
+
+
+def span_dedup_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_tokens: int = 16,
+) -> str:
+    """DuckDB twin of span_dedup."""
+    from ape_dts_spark.functions.text import tokens_sql
+
+    return f"""
+WITH toks AS (SELECT {id_col}, {tokens_sql(text_col)} AS t FROM {table}),
+spans AS (
+  SELECT {id_col}, CAST(i AS INT) AS span_idx,
+         array_to_string(t[(i * {span_tokens} + 1):(i * {span_tokens} + {span_tokens})], ' ') AS span
+  FROM toks, LATERAL unnest(range(0, (greatest(len(t), 1) - 1) // {span_tokens} + 1)) AS u(i)),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY span ORDER BY {id_col}, span_idx) AS rn
+  FROM spans)
+SELECT {id_col},
+       COALESCE(string_agg(span, ' ' ORDER BY span_idx) FILTER (WHERE rn = 1), '') AS clean_text,
+       COUNT(*) AS n_spans,
+       CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+FROM ranked GROUP BY {id_col}
+"""
+
+
 def doc_tokens(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
     """(id, token) distinct pairs — the inverted-index building block."""
     return (

@@ -574,6 +574,73 @@ def ivf_index(
     return cent, assigned
 
 
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 8,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): k-means
+    cluster the embedding space, find cosine-similar pairs WITHIN each
+    cluster only, and emit the keep-list (id, rep_id) where rep_id = the
+    minimum id of the item's near-duplicate connected component.
+
+    Scale shape — the published algorithm's, re-expressed in Spark:
+    sample-train-broadcast centroids (driver holds k vectors, never the
+    corpus), one Arrow-batched assignment pass over the corpus, then a
+    shuffle keyed on cluster id and a per-cluster numpy GEMM for the
+    pairwise step — total flops ~ sum(cluster^2) instead of n^2, with k
+    chosen to grow with the corpus (SemDeDup uses k ~ sqrt(n)). Identical
+    vectors always co-cluster (argmax over the same centroid scores), so
+    exact-duplicate recall is 1 regardless of the clustering quality.
+
+    Components are resolved with the same min-label propagation as the text
+    dedup family (dedup.keep_representatives).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from ape_dts_spark.functions.dedup import keep_representatives
+
+    if df.select(id_col).head(1) == []:  # empty corpus: nothing to train on
+        return df.select(
+            F.col(id_col).cast("long"), F.col(id_col).cast("long").alias("rep_id")
+        )
+
+    cent = _train_centroids(df, id_col, vec_col, n_lists)
+
+    def _assign(batches):
+        for pdf in batches:
+            vecs = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            vecs = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+            yield pd.DataFrame(
+                {
+                    "list_id": np.argmax(vecs @ cent.T, axis=1).astype(np.int32),
+                    "id": pdf[id_col].to_numpy(),
+                    "vec": list(pdf[vec_col]),
+                }
+            )
+
+    assigned = df.select(id_col, vec_col).mapInPandas(
+        _assign, schema="list_id int, id long, vec array<double>"
+    )
+
+    def _pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": []}).astype("int64")
+        ids = pdf["id"].to_numpy()
+        vecs = np.array(pdf["vec"].tolist(), dtype=np.float64)
+        vecs = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+        sims = vecs @ vecs.T
+        ai, bi = np.nonzero(np.triu(sims >= threshold, k=1))
+        a, b = ids[ai], ids[bi]
+        return pd.DataFrame({"id_a": np.minimum(a, b), "id_b": np.maximum(a, b)})
+
+    pairs = assigned.groupBy("list_id").applyInPandas(_pairs, schema="id_a long, id_b long")
+    return keep_representatives(df, id_col, pairs).withColumnRenamed("doc_id", id_col)
+
+
 def ivf_index_topk(
     index,
     queries: DataFrame,

@@ -435,3 +435,118 @@ SELECT token, freq,
        CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, token) AS BIGINT) AS rank
 FROM freq ORDER BY freq DESC, token LIMIT {k}
 """
+
+
+def doc_chunks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    size: int = 32,
+    stride: int = 24,
+) -> DataFrame:
+    """Split documents into overlapping fixed-size token windows — the
+    context-window chunking step of a training/RAG pipeline (reference has no
+    analogue; extension op).
+
+    Chunk i covers tokens [i*stride, i*stride + size); starts run
+    0, stride, 2*stride, … up to the smallest start whose window reaches the
+    end of the document, so every token is covered and consecutive chunks
+    overlap by ``size - stride`` tokens. Documents shorter than ``size``
+    yield exactly one (short) chunk.
+
+    Scale shape: pure per-row JVM array ops (tokenize once, slice per chunk)
+    + one explode — embarrassingly parallel, no shuffle, output rows ≈
+    corpus_tokens / stride. Output: (id, chunk_id, chunk_text, n_tokens).
+    """
+    toks = df.select(F.col(id_col), F.expr(tokens_expr(text_col)).alias("_toks"))
+    # i_max = ceil(max(n - size, 0) / stride) via integer arithmetic (`div`),
+    # identical in DuckDB with `//`
+    chunks = toks.select(
+        F.col(id_col),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, CAST((greatest(size(_toks) - {size}, 0) "
+                f"+ {stride - 1}) div {stride} AS INT)), "
+                f"i -> slice(_toks, i * {stride} + 1, {size}))"
+            )
+        ).alias("chunk_id", "_chunk"),
+    )
+    return chunks.select(
+        F.col(id_col),
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.array_join("_chunk", " ").alias("chunk_text"),
+        F.size("_chunk").cast("long").alias("n_tokens"),
+    )
+
+
+def doc_chunks_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    size: int = 32,
+    stride: int = 24,
+) -> str:
+    """DuckDB twin of doc_chunks (range() is end-exclusive; list slicing is
+    1-based inclusive and clamps at the list end like Spark's slice)."""
+    return f"""
+WITH toks AS (SELECT {id_col}, {tokens_sql(text_col)} AS t FROM {table}),
+starts AS (
+  SELECT {id_col}, t, unnest(range(0, (greatest(len(t) - {size}, 0) + {stride - 1}) // {stride} + 1)) AS i
+  FROM toks)
+SELECT {id_col}, CAST(i AS BIGINT) AS chunk_id,
+       array_to_string(t[(i * {stride} + 1):(i * {stride} + {size})], ' ') AS chunk_text,
+       CAST(len(t[(i * {stride} + 1):(i * {stride} + {size})]) AS BIGINT) AS n_tokens
+FROM starts
+"""
+
+
+def bpe_pair_counts(df: DataFrame, text_col: str = "text", k: int = 200) -> DataFrame:
+    """Adjacent-token pair frequencies, deterministic top-k — the inner
+    counting pass of a BPE/WordPiece merge step (count all adjacent symbol
+    pairs, merge the most frequent; Sennrich et al. 2016). One iteration is
+    the expensive distributed part; the merge-table loop around it is
+    driver-side and tiny.
+
+    Scale shape mirrors vocab_topk: per-row pair construction in JVM array
+    exprs, explode, one map-side-combined hash agg (state = distinct pair
+    vocabulary), per-partition top-k fold + single tiny reduce — no global
+    sort. Output: (pair, freq, rank).
+    """
+    from pyspark.sql import Window
+
+    # materialize the token array once per row — referencing tokens_expr
+    # inside the transform lambda would re-tokenize per element (O(n^2))
+    toks = df.select(F.expr(tokens_expr(text_col)).alias("_toks"))
+    pairs = toks.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN size(_toks) < 2 THEN array() ELSE "
+                "transform(sequence(1, size(_toks) - 1), "
+                "i -> concat(element_at(_toks, i), ' ', element_at(_toks, i + 1))) END"
+            )
+        ).alias("pair")
+    )
+    freq = (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("pair"))
+        .limit(k)
+    )
+    w = Window.orderBy(F.col("freq").desc(), F.col("pair"))
+    return freq.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def bpe_pair_counts_sql(table: str = "documents", text_col: str = "text", k: int = 200) -> str:
+    """DuckDB twin of bpe_pair_counts (list indexing is 1-based like
+    element_at; range() end-exclusive gives i in [1, len-1])."""
+    return f"""
+WITH toks AS (SELECT {tokens_sql(text_col)} AS t FROM {table}),
+pairs AS (
+  SELECT t[i] || ' ' || t[i + 1] AS pair
+  FROM toks, LATERAL unnest(range(1, len(t))) AS u(i)
+  WHERE len(t) >= 2),
+freq AS (SELECT pair, COUNT(*) AS freq FROM pairs GROUP BY pair)
+SELECT pair, freq,
+       CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, pair) AS BIGINT) AS rank
+FROM freq ORDER BY freq DESC, pair LIMIT {k}
+"""

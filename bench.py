@@ -64,6 +64,10 @@ BENCH_QUERIES = [
     "contamination",
     "shuffle_shards",
     "vocab_topk",
+    "doc_chunks",
+    "bpe_pairs",
+    "span_dedup",
+    "semantic_dedup",
     "multimodal_meta",
     "multimodal_decode",
     "multimodal_frames",

@@ -336,8 +336,72 @@ def test_new_operators_tolerate_empty_inputs(spark):
     assert tx.vocab_topk(docs).count() == 0
     assert mx.deterministic_shuffle(docs, "doc_id").count() == 0
     assert tx.ngram_overlap(docs, docs).count() == 0
+    assert tx.doc_chunks(docs).count() == 0
+    assert tx.bpe_pair_counts(docs).count() == 0
+    assert dd.span_dedup(docs).count() == 0
 
     emb = spark.createDataFrame([], "vec_id long, embedding array<float>")
     assert sim.cosine_dup_pairs(emb, dim=4, threshold=0.9).count() == 0
+    assert sim.semantic_dedup(emb).count() == 0
 
     assert rdb.parse_rdb_bytes(rdb.encode_rdb([])) == []
+
+
+def test_doc_chunks_overlap_and_coverage(spark):
+    """Chunk i starts at token i*stride; chunks cover every token; short and
+    empty docs yield exactly one chunk."""
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(10))), (2, "a b"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = tx.doc_chunks(docs, "doc_id", "text", size=4, stride=3).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_id"])
+    # starts 0,3,6 cover tokens 0..9 (last window 6..9)
+    assert [r["chunk_text"] for r in c1] == [
+        "w0 w1 w2 w3", "w3 w4 w5 w6", "w6 w7 w8 w9",
+    ]
+    assert [r["n_tokens"] for r in c1] == [4, 4, 4]
+    assert [r["chunk_text"] for r in by_doc[2]] == ["a b"]
+    assert [r["chunk_text"] for r in by_doc[3]] == [""]
+
+
+def test_bpe_pair_counts_hand_computed(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c")], "doc_id long, text string"
+    )
+    out = {r["pair"]: (r["freq"], r["rank"]) for r in tx.bpe_pair_counts(docs, "text").collect()}
+    # pairs: doc1 = (a b),(b a),(a b); doc2 = (a b),(b c)
+    assert out == {"a b": (3, 1), "b a": (1, 2), "b c": (1, 3)}
+
+
+def test_span_dedup_drops_repeated_spans(spark):
+    """A span repeated in a later doc is dropped there but kept at its first
+    occurrence; untouched docs reassemble to their original text."""
+    span = " ".join(f"s{i}" for i in range(4))
+    docs = spark.createDataFrame(
+        [(1, span + " tail0 tail1 tail2 tail3"), (2, span + " only0 only1 only2 only3"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dd.span_dedup(docs, "doc_id", "text", span_tokens=4).collect()}
+    assert out[1]["clean_text"] == span + " tail0 tail1 tail2 tail3"
+    assert out[1]["n_dropped"] == 0
+    # doc 2's first span duplicates doc 1's — dropped; its tail survives
+    assert out[2]["clean_text"] == "only0 only1 only2 only3"
+    assert out[2]["n_dropped"] == 1
+    assert out[3]["clean_text"] == "" and out[3]["n_spans"] == 1
+
+
+def test_semantic_dedup_collapses_identical_group(spark):
+    """Three identical vectors form one component and all keep the min id;
+    a far-away vector keeps itself."""
+    v = [1.0, 0.0, 0.0, 0.0]
+    w = [0.0, 1.0, 0.0, 0.0]
+    emb = spark.createDataFrame(
+        [(10, v), (11, v), (12, v), (20, w)], "vec_id long, embedding array<double>"
+    )
+    out = {r["vec_id"]: r["rep_id"] for r in
+           sim.semantic_dedup(emb, "vec_id", "embedding", n_lists=2, threshold=0.9).collect()}
+    assert out == {10: 10, 11: 10, 12: 10, 20: 20}
