@@ -483,41 +483,51 @@ def q_redis_rdb(spark: SparkSession, sf_dir: str) -> DataFrame:
     REDIS_STATE oracle the RESP path is gated on. The keyspace collect is
     bounded by distinct keys (one node's dump, the fixture generator)."""
     import hashlib
+    import inspect
     import tempfile
 
     from ape_dts_spark.sources import redis_rdb as rdb
 
     base = 1_700_000_000_000
-    rows = _redis_state(spark, sf_dir).collect()
-    entries, uids = [], set()
-    for r in rows:
-        exp = base + int(r["expire"].split(":", 1)[1]) if r["expire"] is not None else None
-        entries.append(
-            {
-                "db_id": r["db_id"], "key": r["key"], "entry_type": r["entry_type"],
-                "member": r["member"], "value": r["value"], "ord": r["ord"],
-                "expire_ms": exp,
-            }
-        )
-        if r["entry_type"] == "string":
-            uids.add(int(r["key"].split(":", 1)[1]))
-    entries.extend(
-        {"db_id": 0, "key": "uids:active", "entry_type": "set", "member": str(u),
-         "value": None, "ord": 0, "expire_ms": None}
-        for u in sorted(uids)
-    )
-    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
-    dump_dir = os.path.join(tempfile.gettempdir(), f"ape_rdb_{tag}")
-    # one dump per "node" (hash-sharded keys) — the real multi-node layout,
-    # and the unit of read parallelism for the binaryFile scan
-    import zlib
-
     n_nodes = 8
-    shards: list[list[dict]] = [[] for _ in range(n_nodes)]
-    for e in entries:
-        shards[zlib.crc32(e["key"].encode()) % n_nodes].append(e)
-    for node, shard in enumerate(shards):
-        rdb.write_rdb_file(shard, os.path.join(dump_dir, f"node{node}.rdb"))
+    # fixture cache: the dump is a pure function of (sf_dir, encoder code) —
+    # key the dir by both so a changed encoder never reuses a stale dump,
+    # while repeat bench/check runs skip the state collect + encode and
+    # measure the operator (the distributed binaryFile parse), not fixture
+    # generation
+    tag = hashlib.sha1(
+        (sf_dir + inspect.getsource(rdb)).encode()
+    ).hexdigest()[:10]
+    dump_dir = os.path.join(tempfile.gettempdir(), f"ape_rdb_{tag}")
+    paths = [os.path.join(dump_dir, f"node{n}.rdb") for n in range(n_nodes)]
+    if not all(os.path.exists(p) and os.path.getsize(p) for p in paths):
+        rows = _redis_state(spark, sf_dir).collect()
+        entries, uids = [], set()
+        for r in rows:
+            exp = base + int(r["expire"].split(":", 1)[1]) if r["expire"] is not None else None
+            entries.append(
+                {
+                    "db_id": r["db_id"], "key": r["key"], "entry_type": r["entry_type"],
+                    "member": r["member"], "value": r["value"], "ord": r["ord"],
+                    "expire_ms": exp,
+                }
+            )
+            if r["entry_type"] == "string":
+                uids.add(int(r["key"].split(":", 1)[1]))
+        entries.extend(
+            {"db_id": 0, "key": "uids:active", "entry_type": "set", "member": str(u),
+             "value": None, "ord": 0, "expire_ms": None}
+            for u in sorted(uids)
+        )
+        # one dump per "node" (hash-sharded keys) — the real multi-node
+        # layout, and the unit of read parallelism for the binaryFile scan
+        import zlib
+
+        shards: list[list[dict]] = [[] for _ in range(n_nodes)]
+        for e in entries:
+            shards[zlib.crc32(e["key"].encode()) % n_nodes].append(e)
+        for node, shard in enumerate(shards):
+            rdb.write_rdb_file(shard, paths[node])
     parsed = rdb.read_rdb_files(spark, dump_dir)
     return parsed.select(
         "db_id", "key", "entry_type", "member", "value", "ord",
