@@ -857,8 +857,12 @@ def q_ngram_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = demo.load(spark, sf_dir, "documents").withColumn(
         "_norm", F.expr(tx.norm_text_expr("text"))
     )
+    # hashed shingles: tn = the shingle's portable hash itself (identical
+    # signatures to hashing the string here, but sort/group/verify run on
+    # fixed-width ints — see tx.hashed_shingles_expr)
     return dd.minhash_lsh_pairs(
-        d, "doc_id", "_norm", threshold=0.9, tokens=tx.shingles_expr("_norm", 5)
+        d, "doc_id", "_norm", threshold=0.9,
+        tokens=tx.hashed_shingles_expr("_norm", 5), token_num="token",
     )
 
 
@@ -1312,9 +1316,10 @@ _TOK_CTE = (
     "SELECT DISTINCT doc_id, unnest(" + tx.tokens_sql("text") + ") AS token FROM documents"
 )
 
-# char-5-gram token relation over normalized text (the ngram_minhash oracle)
+# char-5-gram token relation over normalized text (the ngram_minhash oracle);
+# shingles pre-hashed to BIGINT to mirror the Spark side (tx.hashed_shingles_*)
 _NGRAM_TOK_CTE = (
-    f"SELECT DISTINCT doc_id, unnest({tx.shingles_sql('norm', 5)}) AS token "
+    f"SELECT DISTINCT doc_id, unnest({tx.hashed_shingles_sql('norm', 5)}) AS token "
     f"FROM (SELECT doc_id, {tx.norm_text_sql('text')} AS norm FROM documents)"
 )
 
@@ -1366,7 +1371,9 @@ SELECT id_a, id_b, cosine FROM scored WHERE cosine >= {threshold}
 """
 
 
-def _minhash_oracle(threshold: float, tok_cte: str = _TOK_CTE) -> str:
+def _minhash_oracle(
+    threshold: float, tok_cte: str = _TOK_CTE, tn_sql: str | None = None
+) -> str:
     p = tx.PORTABLE_HASH_P
     n_bands, rows_per_band = dd.banding_for(threshold)
     mins = ",\n    ".join(
@@ -1384,7 +1391,7 @@ def _minhash_oracle(threshold: float, tok_cte: str = _TOK_CTE) -> str:
     )
     return f"""
 WITH tok0 AS ({tok_cte}),
-tn0 AS (SELECT doc_id, {tx.portable_hash_sql('token')} AS tn FROM tok0),
+tn0 AS (SELECT doc_id, {tn_sql or tx.portable_hash_sql('token')} AS tn FROM tok0),
 sigs AS (SELECT doc_id, {mins} FROM tn0 GROUP BY doc_id),
 bands AS ({bands}),
 cand AS (
@@ -2024,7 +2031,7 @@ def oracle_sql() -> dict[str, str]:
         """
         )(tx.token_stats_sql_exprs("text")),
         "minhash_lsh": _minhash_oracle(0.95),
-        "ngram_minhash": _minhash_oracle(0.9, _NGRAM_TOK_CTE),
+        "ngram_minhash": _minhash_oracle(0.9, _NGRAM_TOK_CTE, tn_sql="token"),
         "minhash_incremental": f"""
             WITH pairs AS ({_minhash_oracle(0.95)})
             SELECT id_a, id_b, jaccard FROM pairs

@@ -369,6 +369,7 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     threshold: float = 0.5,
     tokens: str | None = None,
+    token_num: str | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash banding, verified with true Jaccard.
 
@@ -433,7 +434,13 @@ def minhash_lsh_pairs(
     )
     mem.count()
 
-    tok = sets.select("_rep", F.explode("_toks").alias("token")).withColumn("tn", F.expr(_token_num()))
+    # token_num: how to derive the numeric token id the (a*tn+b) mod p
+    # permutations consume. Default = portable string hash; pass "token" when
+    # `tokens` already yields hashed BIGINTs (text.hashed_shingles_expr) so
+    # the fold isn't re-applied to a number's digits.
+    tok = sets.select("_rep", F.explode("_toks").alias("token")).withColumn(
+        "tn", F.expr(token_num or _token_num())
+    )
     aggs = [
         F.min(
             F.expr(f"(CAST({MINHASH_A[i]} AS BIGINT) * tn + {MINHASH_B[i]}) % {PORTABLE_HASH_P}")
