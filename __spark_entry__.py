@@ -1028,6 +1028,18 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.ngram_overlap(train, eval_df, "doc_id", "text", n=8)
 
 
+def q_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination's huge-eval-set scale path: a broadcast Bloom bitmap
+    (JVM-computed xxhash64 bit positions, vectorized numpy gather) prunes
+    training grams before the exact join; the join then eliminates Bloom
+    false positives, so the output — and the oracle — are IDENTICAL to
+    `contamination` (tx.ngram_overlap_bloom)."""
+    d = demo.load(spark, sf_dir, "documents")
+    eval_df = d.filter(F.col("doc_id") % 7 == 0)
+    train = d.filter(F.col("doc_id") % 7 != 0)
+    return tx.ngram_overlap_bloom(train, eval_df, "doc_id", "text", n=8)
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language ID (stopword n-gram scores)."""
     d = demo.load(spark, sf_dir, "documents")
@@ -1256,6 +1268,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_pairs": q_bpe_pairs,
         "span_dedup": q_span_dedup,
         "semantic_dedup": q_semantic_dedup,
+        "contamination_bloom": q_contamination_bloom,
         # -- already driver-green; most load-bearing fill the window ----------
         "snapshot_scan": q_snapshot_scan,
         "snapshot_chunked": q_snapshot_chunked,
@@ -2038,6 +2051,8 @@ def oracle_sql() -> dict[str, str]:
             WHERE id_a % 13 = 0 OR id_b % 13 = 0
         """,
         "contamination": tx.ngram_overlap_sql(8, 7),
+        # bloom pre-filter is output-transparent: same oracle as contamination
+        "contamination_bloom": tx.ngram_overlap_sql(8, 7),
         "shuffle_shards": mx.deterministic_shuffle_sql("documents", "doc_id", 16, 7),
         "vocab_topk": tx.vocab_topk_sql("documents", "text", 500),
         "doc_chunks": tx.doc_chunks_sql("documents", "doc_id", "text", 32, 24),

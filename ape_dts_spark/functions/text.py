@@ -404,6 +404,92 @@ def ngram_overlap(
     )
 
 
+def ngram_overlap_bloom(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    n_bits: int = 1 << 22,
+    n_hashes: int = 4,
+) -> DataFrame:
+    """ngram_overlap with a Bloom pre-filter on the training side — the
+    decontamination shape for when the eval set's gram relation is too large
+    to broadcast as a join table but its Bloom filter is not (bits ~ 10 bits
+    per gram vs ~50 bytes per gram string; a 100M-gram eval set is a 125 MB
+    bitmap vs a 5 GB broadcast relation).
+
+    Output is IDENTICAL to ngram_overlap (same oracle): the Bloom filter
+    only prunes training grams before the exact join, and its false
+    positives are eliminated by that join. Bit positions are computed
+    JVM-side (xxhash64 with per-hash seeds, pmod m) so the Arrow kernel is a
+    pure vectorized numpy bitmap gather — no per-string Python hashing.
+
+    Build: the eval positions are collected to the driver (a benchmark eval
+    set is driver-small; at extreme sizes swap in a per-partition bitmap OR —
+    mapInPandas emitting one bitmap row per partition, OR-reduced on the
+    driver — without touching the filter side). The bitmap rides the task
+    closure like the IVF centroids.
+    """
+    import numpy as np
+
+    def grams(df: DataFrame, alias: str) -> DataFrame:
+        g = (
+            f"transform(sequence(1, size(_tk) - {n} + 1), "
+            f"i -> array_join(slice(_tk, i, {n}), ' '))"
+        )
+        return (
+            df.select(F.col(id_col).alias(alias), F.expr(tokens_expr(text_col)).alias("_tk"))
+            .filter(F.size("_tk") >= n)
+            .select(alias, F.explode(F.expr(g)).alias("gram"))
+            .distinct()
+        )
+
+    pos_cols = [
+        F.pmod(F.xxhash64(F.col("gram"), F.lit(i)), F.lit(n_bits)).alias(f"_p{i}")
+        for i in range(n_hashes)
+    ]
+
+    t = grams(train, "train_id")
+    e = grams(eval_df, "eval_id")
+
+    bitmap = np.zeros(n_bits // 8 + 1, dtype=np.uint8)
+    e_pos = e.select("gram").distinct().select(*pos_cols).collect()
+    for r in e_pos:
+        for i in range(n_hashes):
+            p = r[f"_p{i}"]
+            bitmap[p >> 3] |= 1 << (p & 7)
+
+    def _pass_bloom(batches):
+        for pdf in batches:
+            keep = np.ones(len(pdf), dtype=bool)
+            for i in range(n_hashes):
+                p = pdf[f"_p{i}"].to_numpy()
+                keep &= (bitmap[p >> 3] & (1 << (p & 7)).astype(np.uint8)) != 0
+            yield pdf.loc[keep, ["train_id", "gram"]]
+
+    survivors = (
+        t.select("train_id", "gram", *pos_cols)
+        .mapInPandas(_pass_bloom, schema="train_id long, gram string")
+    )
+    e_sizes = e.groupBy("eval_id").agg(F.count(F.lit(1)).alias("n_eval_grams"))
+    return (
+        survivors.join(F.broadcast(e), "gram")
+        .groupBy("train_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("shared_grams"))
+        .join(F.broadcast(e_sizes), "eval_id")
+        .select(
+            "train_id",
+            "eval_id",
+            "shared_grams",
+            "n_eval_grams",
+            (F.col("shared_grams").cast("double") / F.col("n_eval_grams").cast("double")).alias(
+                "contamination"
+            ),
+        )
+    )
+
+
 def ngram_overlap_sql(n: int = 8, eval_mod: int = 23) -> str:
     """DuckDB twin of ngram_overlap over the documents table, with
     eval set = doc_id % eval_mod = 0 and train = the rest."""

@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "token_mix",
     "sequence_packing",
     "contamination",
+    "contamination_bloom",
     "shuffle_shards",
     "vocab_topk",
     "doc_chunks",

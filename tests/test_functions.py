@@ -405,3 +405,16 @@ def test_semantic_dedup_collapses_identical_group(spark):
     out = {r["vec_id"]: r["rep_id"] for r in
            sim.semantic_dedup(emb, "vec_id", "embedding", n_lists=2, threshold=0.9).collect()}
     assert out == {10: 10, 11: 10, 12: 10, 20: 20}
+
+
+def test_ngram_overlap_bloom_matches_exact(spark, sf_dir):
+    """Bloom pre-filter is output-transparent — even with a tiny bitmap
+    (dense false positives) the exact join must erase every one."""
+    d = demo.load(spark, sf_dir, "documents")
+    ev = d.filter(F.col("doc_id") % 7 == 0)
+    tr = d.filter(F.col("doc_id") % 7 != 0)
+    exact = {tuple(r) for r in tx.ngram_overlap(tr, ev, n=8).collect()}
+    bloom = {tuple(r) for r in tx.ngram_overlap_bloom(tr, ev, n=8).collect()}
+    tiny = {tuple(r) for r in tx.ngram_overlap_bloom(tr, ev, n=8, n_bits=64).collect()}
+    assert bloom == exact
+    assert tiny == exact
