@@ -1054,6 +1054,44 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("quality_score", F.expr(tx.QUALITY_SCORE))
 
 
+def q_clf_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style linear classifier scoring (tx.classifier_score_exprs):
+    mean of per-token weights, BIGINT-exact accumulation, one double
+    division — the model-based quality-filter shape with hash-derived
+    stand-in weights (swap in a broadcast trained table without touching
+    the plan)."""
+    d = demo.load(spark, sf_dir, "documents")
+    sig = tx.classifier_score_exprs("text")
+    return d.select("doc_id", "lang", *[F.expr(e).alias(n) for n, e in sig.items()])
+
+
+def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation recipe — the operators composed the way a real
+    training-data job chains them: quality gate (composite score >= 0.4) ->
+    exact dedup keep-first (window min per text) -> per-language token-budget
+    selection (30k tokens/lang) -> deterministic shuffle into 8 training
+    shards. One fully SQL-expressible pipeline, gated end-to-end: an error in
+    ANY stage (filter arithmetic, dedup tie-break, quota order, shard
+    scramble) shifts the final (doc_id, shard, pos) assignment."""
+    d = demo.load(spark, sf_dir, "documents")
+    sig = tx.quality_exprs("text")
+    scored = d.select(
+        "doc_id", "lang", "n_chars", "text",
+        *[F.expr(e).alias(n) for n, e in sig.items()],
+    ).withColumn("q", F.expr(tx.QUALITY_SCORE))
+    qual = scored.filter(F.col("q") >= 0.4)
+    kept = (
+        qual.withColumn("_m", F.min("doc_id").over(W.partitionBy("text")))
+        .filter(F.col("doc_id") == F.col("_m"))
+        .select("doc_id", "lang", "n_chars")
+    )
+    quota = mx.token_quota(kept, "lang", 30_000, "n_chars", "doc_id")
+    shards = mx.deterministic_shuffle(quota.select("doc_id"), "doc_id", n_shards=8, seed=3)
+    return quota.join(shards, "doc_id").select(
+        "doc_id", "lang", "n_chars", "cum_tokens", "shard", "pos"
+    )
+
+
 # Deterministic planted contact line (identical SQL text on both engines —
 # Spark CAST(.. AS STRING) vs DuckDB VARCHAR is the only dialect split).
 def _pii_aug(cast_t: str) -> str:
@@ -1269,6 +1307,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_dedup": q_span_dedup,
         "semantic_dedup": q_semantic_dedup,
         "contamination_bloom": q_contamination_bloom,
+        "clf_score": q_clf_score,
+        "corpus_pipeline": q_corpus_pipeline,
         # -- already driver-green; most load-bearing fill the window ----------
         "snapshot_scan": q_snapshot_scan,
         "snapshot_chunked": q_snapshot_chunked,
@@ -2053,6 +2093,32 @@ def oracle_sql() -> dict[str, str]:
         "contamination": tx.ngram_overlap_sql(8, 7),
         # bloom pre-filter is output-transparent: same oracle as contamination
         "contamination_bloom": tx.ngram_overlap_sql(8, 7),
+        "clf_score": (
+            lambda c: f"""
+            SELECT doc_id, lang, {c['clf_score']} AS clf_score,
+                   {c['clf_label']} AS clf_label
+            FROM documents
+        """
+        )(tx.classifier_score_sql("text")),
+        "corpus_pipeline": (
+            lambda q: f"""
+            WITH sig AS (
+              SELECT doc_id, lang, n_chars, text,
+                     0.4 * ({q['stopword_ratio']})
+                       + 0.3 * least(1.0, CAST({q['n_tokens']} AS DOUBLE) / 100.0)
+                       + 0.3 * ({q['alpha_ratio']}) AS q
+              FROM documents),
+            kept AS (
+              SELECT doc_id, lang, n_chars FROM (
+                SELECT *, MIN(doc_id) OVER (PARTITION BY text) AS _m
+                FROM sig WHERE q >= 0.4)
+              WHERE doc_id = _m),
+            quota AS ({mx.token_quota_sql('kept', 'lang', 30_000, 'n_chars')}),
+            shuf AS ({mx.deterministic_shuffle_sql('quota', 'doc_id', 8, 3)})
+            SELECT t.doc_id, t.lang, t.n_chars, t.cum_tokens, s.shard, s.pos
+            FROM quota t JOIN shuf s ON t.doc_id = s.doc_id
+        """
+        )(tx.quality_sql_exprs("text")),
         "shuffle_shards": mx.deterministic_shuffle_sql("documents", "doc_id", 16, 7),
         "vocab_topk": tx.vocab_topk_sql("documents", "text", 500),
         "doc_chunks": tx.doc_chunks_sql("documents", "doc_id", "text", 32, 24),

@@ -515,6 +515,54 @@ FROM hits h JOIN esz s ON h.eval_id = s.eval_id
 """
 
 
+CLF_VOCAB_MOD = 1001  # weight buckets; weights span [-500, 500] / 500
+
+
+def classifier_score_exprs(col: str = "text") -> dict[str, str]:
+    """fastText-style bag-of-words linear classifier scoring (Spark dialect):
+    score = mean of per-token weights, label = sign. The industry-standard
+    quality/toxicity filter shape (a linear model over averaged token
+    features — Joulin et al. 2016); here the weight table is a deterministic
+    hash of the token (w = (hash % 1001 - 500)/500) standing in for trained
+    weights — swap in a broadcast (token, weight) table from a real training
+    run without touching the plan. Weight lookup and accumulation stay in
+    BIGINT (exact), with ONE double division at the end, so both engines
+    produce bit-identical scores.
+
+    Scale: pure per-row JVM array fold, no shuffle — scan-bound at 100 TB.
+    """
+    t = tokens_expr(col)
+    iw = (
+        f"transform({t}, tk -> aggregate(transform(split(tk, ''), ch -> ascii(ch)), "
+        f"0L, (acc, c) -> (acc * 31 + c) % {PORTABLE_HASH_P}) % {CLF_VOCAB_MOD} - 500)"
+    )
+    s = f"aggregate({iw}, 0L, (a, x) -> a + x)"
+    n = f"size({t})"
+    return {
+        "clf_score": (
+            f"CAST({s} AS DOUBLE) / CAST(greatest({n}, 1) * 500 AS DOUBLE)"
+        ),
+        "clf_label": (
+            f"CASE WHEN CAST({s} AS DOUBLE) / CAST(greatest({n}, 1) * 500 AS DOUBLE) >= 0"
+            f" THEN 'keep' ELSE 'drop' END"
+        ),
+    }
+
+
+def classifier_score_sql(col: str = "text") -> dict[str, str]:
+    """DuckDB twin of classifier_score_exprs (list_sum returns HUGEINT ->
+    cast to BIGINT before the one double division)."""
+    t = tokens_sql(col)
+    iw = f"list_transform({t}, tk -> {portable_hash_sql('tk')} % {CLF_VOCAB_MOD} - 500)"
+    s = f"CAST(COALESCE(list_sum({iw}), 0) AS BIGINT)"
+    n = f"len({t})"
+    score = f"CAST({s} AS DOUBLE) / CAST(greatest({n}, 1) * 500 AS DOUBLE)"
+    return {
+        "clf_score": score,
+        "clf_label": f"CASE WHEN {score} >= 0 THEN 'keep' ELSE 'drop' END",
+    }
+
+
 def vocab_topk(
     df: DataFrame, text_col: str = "text", k: int = 500
 ) -> DataFrame:

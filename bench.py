@@ -59,6 +59,8 @@ BENCH_QUERIES = [
     "rep_stats",
     "length_quantiles",
     "stratified_sample",
+    "clf_score",
+    "corpus_pipeline",
     "token_mix",
     "sequence_packing",
     "contamination",

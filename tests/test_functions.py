@@ -418,3 +418,23 @@ def test_ngram_overlap_bloom_matches_exact(spark, sf_dir):
     tiny = {tuple(r) for r in tx.ngram_overlap_bloom(tr, ev, n=8, n_bits=64).collect()}
     assert bloom == exact
     assert tiny == exact
+
+
+def test_classifier_score_hand_computed(spark):
+    """Replicate the hash-weight arithmetic in Python for a known token."""
+    P, MOD = tx.PORTABLE_HASH_P, tx.CLF_VOCAB_MOD
+
+    def w(tok):
+        h = 0
+        for ch in tok:
+            h = (h * 31 + ord(ch)) % P
+        return h % MOD - 500
+
+    docs = spark.createDataFrame([(1, "ab cd"), (2, "")], "doc_id long, text string")
+    sig = tx.classifier_score_exprs("text")
+    out = {r["doc_id"]: r for r in docs.select(
+        "doc_id", *[F.expr(e).alias(n) for n, e in sig.items()]).collect()}
+    expected = (w("ab") + w("cd")) / (2 * 500)
+    assert abs(out[1]["clf_score"] - expected) < 1e-12
+    assert out[1]["clf_label"] == ("keep" if expected >= 0 else "drop")
+    assert out[2]["clf_score"] == 0.0 and out[2]["clf_label"] == "keep"
