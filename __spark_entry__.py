@@ -1319,10 +1319,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "checker_diff": q_checker_diff,
         "checker_summary": q_checker_summary,
         "revise": q_revise,
+        # ---------------------------- slot 50 ends here ----------------------
         "review": q_review,
         "upsert_sql_mysql": q_upsert_sql_mysql,
         "upsert_sql_pg": q_upsert_sql_pg,
-        # ---------------------------- slot 50 ends here ----------------------
         "wire_roundtrip": q_wire_roundtrip,
         "avro_roundtrip": q_avro_roundtrip,
         "py_transform": q_py_transform,
