@@ -100,3 +100,30 @@ def test_ann_ivf_index_pruning_join(spark, sf_dir):
     plan = _plan(spark, sf_dir, "ann_ivf_index")
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_doc_chunks_no_shuffle(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "doc_chunks")
+    assert "Exchange" not in plan  # per-row slicing + explode only
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+
+
+def test_clf_score_no_shuffle_and_pruned(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "clf_score")
+    assert "Exchange" not in plan  # pure per-row scoring
+    assert "text:string" in plan and "n_chars" not in plan
+
+
+def test_span_dedup_single_window_shuffle(spark, sf_dir):
+    # one exchange for the span-keyed window, one for the doc group-back
+    plan = _plan(spark, sf_dir, "span_dedup")
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_contamination_bloom_arrow_prefilter(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "contamination_bloom")
+    # bloom membership runs as an Arrow kernel; the verify join stays broadcast
+    assert "MapInPandas" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
