@@ -126,6 +126,13 @@ def main() -> None:
         times[name] = round(time.time() - t0, 3)
         _ = n
         spark.catalog.clearCache()  # drop per-query persisted tables (LSH etc.)
+        # clearCache misses localCheckpoint RDD blocks (keep_representatives
+        # et al.) — left in the block manager they pile up across the run and
+        # inflate later queries ~3x via GC/eviction pressure (measured
+        # minhash_lsh 9.8s fresh vs 29.7s late in the sequence)
+        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            rdd.unpersist()
+        spark.sparkContext._jvm.System.gc()
     # headline: CDC compact+apply throughput (events/sec through the merge
     # path), measured warm — the first pass above includes codegen/JIT warmup.
     # Best-of-3: the host shows multi-second external load bursts, and a burst
