@@ -75,6 +75,11 @@ def main() -> int:
         scols = sdf.columns
         srows = [tuple(r) for r in sdf.collect()]
         spark.catalog.clearCache()  # drop per-query persisted tables
+        # clearCache misses localCheckpoint RDD blocks — same leak the bench
+        # harness clears; across 90 queries they inflate the tail ~3x
+        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            rdd.unpersist()
+        spark.sparkContext._jvm.System.gc()
         sql = oracles.get(name)
         if sql is None:
             print(f"  {name:28s} rows={len(srows):7d}  (no oracle — rows-only) {time.time()-t0:5.1f}s")
