@@ -1054,6 +1054,39 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("quality_score", F.expr(tx.QUALITY_SCORE))
 
 
+def q_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.py): each purchase event matched to the
+    same user's latest click at-or-before it — the attribution / point-in-
+    time-lookup temporal join, as a union-merge (one key shuffle + one
+    in-partition sort, no range-predicate fan-out). The build side is
+    deduplicated to max event_id per (user, ts) — the same convention
+    DuckDB's native ASOF JOIN (the oracle) requires. events.ts loads as
+    TIMESTAMP_NTZ; epoch millis are taken in the UTC session both engines
+    pin."""
+    from ape_dts_spark.operators.asof import asof_join
+
+    ev = demo.load(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    j = asof_join(purch, clicks, ["user_id"], "ts", ["purchase_id"], ["click_id"])
+    p_ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    c_ms = F.unix_millis(F.col("build_ts").cast("timestamp"))
+    return j.select(
+        "purchase_id",
+        "user_id",
+        p_ms.alias("p_ms"),
+        "click_id",
+        c_ms.alias("c_ms"),
+        (p_ms - c_ms).alias("gap_ms"),
+    )
+
+
 def q_clf_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """fastText-style linear classifier scoring (tx.classifier_score_exprs):
     mean of per-token weights, BIGINT-exact accumulation, one double
@@ -1309,6 +1342,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_bloom": q_contamination_bloom,
         "clf_score": q_clf_score,
         "corpus_pipeline": q_corpus_pipeline,
+        "asof_attribution": q_asof_attribution,
         # -- already driver-green; most load-bearing fill the window ----------
         "snapshot_scan": q_snapshot_scan,
         "snapshot_chunked": q_snapshot_chunked,
@@ -1318,8 +1352,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_apply_state": q_cdc_apply_state,
         "checker_diff": q_checker_diff,
         "checker_summary": q_checker_summary,
-        "revise": q_revise,
         # ---------------------------- slot 50 ends here ----------------------
+        "revise": q_revise,
         "review": q_review,
         "upsert_sql_mysql": q_upsert_sql_mysql,
         "upsert_sql_pg": q_upsert_sql_pg,
@@ -2093,6 +2127,18 @@ def oracle_sql() -> dict[str, str]:
         "contamination": tx.ngram_overlap_sql(8, 7),
         # bloom pre-filter is output-transparent: same oracle as contamination
         "contamination_bloom": tx.ngram_overlap_sql(8, 7),
+        "asof_attribution": """
+            WITH clicks AS (
+              SELECT user_id, ts, MAX(event_id) AS click_id
+              FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+            purch AS (
+              SELECT event_id AS purchase_id, user_id, ts
+              FROM events WHERE event_type = 'purchase')
+            SELECT p.purchase_id, p.user_id, epoch_ms(p.ts) AS p_ms, c.click_id,
+                   epoch_ms(c.ts) AS c_ms, epoch_ms(p.ts) - epoch_ms(c.ts) AS gap_ms
+            FROM purch p ASOF LEFT JOIN clicks c
+              ON p.user_id = c.user_id AND p.ts >= c.ts
+        """,
         "clf_score": (
             lambda c: f"""
             SELECT doc_id, lang, {c['clf_score']} AS clf_score,

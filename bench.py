@@ -48,6 +48,7 @@ BENCH_QUERIES = [
     "redis_rdb",
     "session_windows",
     "windowed_counts",
+    "asof_attribution",
     "fk_apply_order",
     # training-data pipeline extensions (BASELINE.json north star)
     "dedup_exact",

@@ -438,3 +438,23 @@ def test_classifier_score_hand_computed(spark):
     assert abs(out[1]["clf_score"] - expected) < 1e-12
     assert out[1]["clf_label"] == ("keep" if expected >= 0 else "drop")
     assert out[2]["clf_score"] == 0.0 and out[2]["clf_label"] == "keep"
+
+
+def test_asof_join_hand_case(spark):
+    """Inclusive at equal ts, NULL build side before any build row, latest
+    build wins, keys independent."""
+    from ape_dts_spark.operators.asof import asof_join
+
+    probe = spark.createDataFrame(
+        [(1, 10, 100), (1, 25, 101), (2, 5, 200), (1, 20, 102)],
+        "k long, t long, pid long",
+    )
+    build = spark.createDataFrame(
+        [(1, 10, 900), (1, 20, 901), (2, 6, 902)], "k long, t long, bid long"
+    )
+    out = {r["pid"]: (r["bid"], r["build_ts"]) for r in
+           asof_join(probe, build, ["k"], "t", ["pid"], ["bid"]).collect()}
+    assert out[100] == (900, 10)   # equal ts: inclusive
+    assert out[101] == (901, 20)   # latest preceding build
+    assert out[102] == (901, 20)
+    assert out[200] == (None, None)  # build at t=6 is after probe t=5
