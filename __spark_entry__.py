@@ -490,13 +490,26 @@ def q_redis_rdb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     base = 1_700_000_000_000
     n_nodes = 8
-    # fixture cache: the dump is a pure function of (sf_dir, encoder code) —
-    # key the dir by both so a changed encoder never reuses a stale dump,
+    # fixture cache: the dump is a pure function of (the sf_dir parquet the
+    # state derives from, the state-derivation code, the encoder code) — key
+    # the dir by ALL of them so neither regenerated testdata (same path, new
+    # content) nor an edited derivation/encoder ever reuses a stale dump,
     # while repeat bench/check runs skip the state collect + encode and
     # measure the operator (the distributed binaryFile parse), not fixture
     # generation
+    data_sig = "|".join(
+        f"{f}:{os.path.getmtime(p)}:{os.path.getsize(p)}"
+        for f in sorted(os.listdir(sf_dir))
+        if os.path.isfile(p := os.path.join(sf_dir, f))
+    )
     tag = hashlib.sha1(
-        (sf_dir + inspect.getsource(rdb)).encode()
+        (
+            sf_dir
+            + data_sig
+            + inspect.getsource(rdb)
+            + inspect.getsource(_redis_state)
+            + inspect.getsource(q_redis_rdb)
+        ).encode()
     ).hexdigest()[:10]
     dump_dir = os.path.join(tempfile.gettempdir(), f"ape_rdb_{tag}")
     paths = [os.path.join(dump_dir, f"node{n}.rdb") for n in range(n_nodes)]

@@ -347,6 +347,22 @@ def fingerprint_sql(col: str = "text") -> str:
     return portable_hash_sql(norm)
 
 
+def _doc_grams(df: DataFrame, id_col: str, text_col: str, n: int, alias: str) -> DataFrame:
+    """Distinct (id, word-n-gram) relation — shared by the exact and
+    Bloom-pre-filtered decontamination passes, which must stay gram-for-gram
+    identical (they share one oracle)."""
+    g = (
+        f"transform(sequence(1, size(_tk) - {n} + 1), "
+        f"i -> array_join(slice(_tk, i, {n}), ' '))"
+    )
+    return (
+        df.select(F.col(id_col).alias(alias), F.expr(tokens_expr(text_col)).alias("_tk"))
+        .filter(F.size("_tk") >= n)  # sequence() counts down past this
+        .select(alias, F.explode(F.expr(g)).alias("gram"))
+        .distinct()
+    )
+
+
 def ngram_overlap(
     train: DataFrame,
     eval_df: DataFrame,
@@ -372,20 +388,8 @@ def ngram_overlap(
     grams.
     """
 
-    def grams(df: DataFrame, alias: str) -> DataFrame:
-        g = (
-            f"transform(sequence(1, size(_tk) - {n} + 1), "
-            f"i -> array_join(slice(_tk, i, {n}), ' '))"
-        )
-        return (
-            df.select(F.col(id_col).alias(alias), F.expr(tokens_expr(text_col)).alias("_tk"))
-            .filter(F.size("_tk") >= n)  # sequence() counts down past this
-            .select(alias, F.explode(F.expr(g)).alias("gram"))
-            .distinct()
-        )
-
-    t = grams(train, "train_id")
-    e = grams(eval_df, "eval_id")
+    t = _doc_grams(train, id_col, text_col, n, "train_id")
+    e = _doc_grams(eval_df, id_col, text_col, n, "eval_id")
     e_sizes = e.groupBy("eval_id").agg(F.count(F.lit(1)).alias("n_eval_grams"))
     return (
         t.join(F.broadcast(e), "gram")
@@ -433,25 +437,20 @@ def ngram_overlap_bloom(
     """
     import numpy as np
 
-    def grams(df: DataFrame, alias: str) -> DataFrame:
-        g = (
-            f"transform(sequence(1, size(_tk) - {n} + 1), "
-            f"i -> array_join(slice(_tk, i, {n}), ' '))"
-        )
-        return (
-            df.select(F.col(id_col).alias(alias), F.expr(tokens_expr(text_col)).alias("_tk"))
-            .filter(F.size("_tk") >= n)
-            .select(alias, F.explode(F.expr(g)).alias("gram"))
-            .distinct()
-        )
+    from pyspark.storagelevel import StorageLevel
 
     pos_cols = [
         F.pmod(F.xxhash64(F.col("gram"), F.lit(i)), F.lit(n_bits)).alias(f"_p{i}")
         for i in range(n_hashes)
     ]
 
-    t = grams(train, "train_id")
-    e = grams(eval_df, "eval_id")
+    t = _doc_grams(train, id_col, text_col, n, "train_id")
+    # the eval relation feeds three consumers (bitmap build, verify join,
+    # per-doc sizes) — materialize its explode+distinct once
+    e = _doc_grams(eval_df, id_col, text_col, n, "eval_id").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    e.count()
 
     bitmap = np.zeros(n_bits // 8 + 1, dtype=np.uint8)
     e_pos = e.select("gram").distinct().select(*pos_cols).collect()
@@ -655,7 +654,7 @@ starts AS (
   SELECT {id_col}, t, unnest(range(0, (greatest(len(t) - {size}, 0) + {stride - 1}) // {stride} + 1)) AS i
   FROM toks)
 SELECT {id_col}, CAST(i AS BIGINT) AS chunk_id,
-       array_to_string(t[(i * {stride} + 1):(i * {stride} + {size})], ' ') AS chunk_text,
+       COALESCE(array_to_string(t[(i * {stride} + 1):(i * {stride} + {size})], ' '), '') AS chunk_text,
        CAST(len(t[(i * {stride} + 1):(i * {stride} + {size})]) AS BIGINT) AS n_tokens
 FROM starts
 """

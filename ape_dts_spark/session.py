@@ -37,3 +37,19 @@ def get_spark(app_name: str = "ape_dts_spark", shuffle_partitions: int | None = 
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def clear_spark_blocks(spark: SparkSession) -> None:
+    """Drop every cached relation AND leaked localCheckpoint RDD blocks.
+
+    ``spark.catalog.clearCache()`` only covers Dataset persists; the
+    localCheckpoint blocks the iterative operators create
+    (keep_representatives et al.) stay in the block manager and, across a
+    long query sequence, inflate later queries ~3x via GC/eviction pressure
+    (measured minhash_lsh 9.8 s fresh vs 29.7 s late in a 65-query run).
+    Shared by bench.py and tools/check.py between queries.
+    """
+    spark.catalog.clearCache()
+    for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+        rdd.unpersist()
+    spark.sparkContext._jvm.System.gc()

@@ -17,7 +17,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import __spark_entry__ as entrymod  # noqa: E402
-from ape_dts_spark.session import get_spark  # noqa: E402
+from ape_dts_spark.session import clear_spark_blocks, get_spark  # noqa: E402
 
 # cheap/stable queries first, the heavy near-dup tail last so a budget cut
 # (bursty machine) drops the most expensive measurements, never the headline
@@ -126,14 +126,7 @@ def main() -> None:
         n = df.count()  # force full execution
         times[name] = round(time.time() - t0, 3)
         _ = n
-        spark.catalog.clearCache()  # drop per-query persisted tables (LSH etc.)
-        # clearCache misses localCheckpoint RDD blocks (keep_representatives
-        # et al.) — left in the block manager they pile up across the run and
-        # inflate later queries ~3x via GC/eviction pressure (measured
-        # minhash_lsh 9.8s fresh vs 29.7s late in the sequence)
-        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
-            rdd.unpersist()
-        spark.sparkContext._jvm.System.gc()
+        clear_spark_blocks(spark)  # caches + leaked localCheckpoint blocks
     # headline: CDC compact+apply throughput (events/sec through the merge
     # path), measured warm — the first pass above includes codegen/JIT warmup.
     # Best-of-3: the host shows multi-second external load bursts, and a burst

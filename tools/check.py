@@ -44,6 +44,8 @@ def main() -> int:
 
     import __spark_entry__ as entrymod
 
+    from ape_dts_spark.session import clear_spark_blocks
+
     if os.environ.get("CHECK_VANILLA"):
         # Replicate the external driver gate exactly: a vanilla SparkSession
         # with no repo-specific confs — queries() must be self-sufficient.
@@ -74,12 +76,7 @@ def main() -> int:
         sdf = fn(spark, sf_dir)
         scols = sdf.columns
         srows = [tuple(r) for r in sdf.collect()]
-        spark.catalog.clearCache()  # drop per-query persisted tables
-        # clearCache misses localCheckpoint RDD blocks — same leak the bench
-        # harness clears; across 90 queries they inflate the tail ~3x
-        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
-            rdd.unpersist()
-        spark.sparkContext._jvm.System.gc()
+        clear_spark_blocks(spark)  # caches + leaked localCheckpoint blocks
         sql = oracles.get(name)
         if sql is None:
             print(f"  {name:28s} rows={len(srows):7d}  (no oracle — rows-only) {time.time()-t0:5.1f}s")
