@@ -1100,6 +1100,29 @@ def q_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_interval_join_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range/interval join (operators/asof.interval_join): each error event
+    matched to the gap-session of the same user containing it — intervals
+    bucketed into 1-hour bins and equi-joined on (user, bin), exact
+    containment filtered after, no nested-loop plan. Sessions derive from
+    ALL the user's events, so every error lands in exactly one session."""
+    from ape_dts_spark.operators.asof import interval_join
+
+    ev = demo.load(spark, sf_dir, "events")
+    sessions = wd.session_windows(ev, gap="30 minutes", key_cols=["user_id"]).select(
+        "user_id", "session_start_ms", "session_end_ms"
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("event_id").alias("error_id"),
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("e_ms"),
+    )
+    return interval_join(
+        errors, sessions, ["user_id"], "e_ms",
+        "session_start_ms", "session_end_ms", bucket=3_600_000,
+    )
+
+
 def q_clf_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """fastText-style linear classifier scoring (tx.classifier_score_exprs):
     mean of per-token weights, BIGINT-exact accumulation, one double
@@ -1356,6 +1379,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clf_score": q_clf_score,
         "corpus_pipeline": q_corpus_pipeline,
         "asof_attribution": q_asof_attribution,
+        "interval_join_errors": q_interval_join_errors,
         # -- already driver-green; most load-bearing fill the window ----------
         "snapshot_scan": q_snapshot_scan,
         "snapshot_chunked": q_snapshot_chunked,
@@ -1364,8 +1388,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_spill": q_merge_spill,
         "cdc_apply_state": q_cdc_apply_state,
         "checker_diff": q_checker_diff,
-        "checker_summary": q_checker_summary,
         # ---------------------------- slot 50 ends here ----------------------
+        "checker_summary": q_checker_summary,
         "revise": q_revise,
         "review": q_review,
         "upsert_sql_mysql": q_upsert_sql_mysql,
@@ -2140,6 +2164,28 @@ def oracle_sql() -> dict[str, str]:
         "contamination": tx.ngram_overlap_sql(8, 7),
         # bloom pre-filter is output-transparent: same oracle as contamination
         "contamination_bloom": tx.ngram_overlap_sql(8, 7),
+        "interval_join_errors": """
+            WITH d AS (
+              SELECT user_id, ts, event_type, event_id,
+                     CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                               >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+              FROM events),
+            s AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                           ROWS UNBOUNDED PRECEDING) AS sess
+                  FROM d),
+            sessions AS (
+              SELECT user_id,
+                     epoch_ms(MIN(ts)) AS session_start_ms,
+                     epoch_ms(MAX(ts)) + 1800000 AS session_end_ms
+              FROM s GROUP BY user_id, sess),
+            err AS (
+              SELECT user_id, event_id AS error_id, epoch_ms(ts) AS e_ms
+              FROM events WHERE event_type = 'error')
+            SELECT e.user_id, e.error_id, e.e_ms, x.session_start_ms, x.session_end_ms
+            FROM err e JOIN sessions x
+              ON e.user_id = x.user_id
+             AND e.e_ms >= x.session_start_ms AND e.e_ms < x.session_end_ms
+        """,
         "asof_attribution": """
             WITH clicks AS (
               SELECT user_id, ts, MAX(event_id) AS click_id

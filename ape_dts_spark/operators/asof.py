@@ -22,6 +22,44 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    keys: list[str],
+    pt_col: str,
+    start_col: str,
+    end_col: str,
+    bucket: int,
+) -> DataFrame:
+    """Range/interval join: point rows matched to every interval row of the
+    same key with ``start <= pt < end`` — without the nested-loop plan a raw
+    inequality join produces.
+
+    Buckets both sides into fixed ``bucket``-width bins (intervals explode
+    into every bin they cover), equi-joins on (keys, bin), then applies the
+    exact containment filter. A (point, interval) match can only occur in
+    the POINT's bin, so no post-join dedup is needed. Cost: one hash shuffle
+    per side on (keys, bin) + interval fan-out proportional to interval
+    length / bucket — choose bucket near the typical interval length so
+    fan-out stays O(1) per interval. All columns from both sides survive.
+    """
+    p = points.withColumn("_bkt", F.expr(f"CAST({pt_col} div {bucket} AS LONG)"))
+    iv = intervals.withColumn(
+        "_bkt",
+        F.explode(
+            F.expr(
+                f"sequence(CAST({start_col} div {bucket} AS LONG), "
+                f"CAST(greatest({end_col} - 1, {start_col}) div {bucket} AS LONG))"
+            )
+        ),
+    )
+    return (
+        p.join(iv, [*keys, "_bkt"])
+        .filter((F.col(pt_col) >= F.col(start_col)) & (F.col(pt_col) < F.col(end_col)))
+        .drop("_bkt")
+    )
+
+
 def asof_join(
     probe: DataFrame,
     build: DataFrame,

@@ -49,6 +49,7 @@ BENCH_QUERIES = [
     "session_windows",
     "windowed_counts",
     "asof_attribution",
+    "interval_join_errors",
     "fk_apply_order",
     # training-data pipeline extensions (BASELINE.json north star)
     "dedup_exact",

@@ -458,3 +458,22 @@ def test_asof_join_hand_case(spark):
     assert out[101] == (901, 20)   # latest preceding build
     assert out[102] == (901, 20)
     assert out[200] == (None, None)  # build at t=6 is after probe t=5
+
+
+def test_interval_join_hand_case(spark):
+    """Containment is [start, end); multi-bucket intervals match once; points
+    outside every interval drop."""
+    from ape_dts_spark.operators.asof import interval_join
+
+    pts = spark.createDataFrame(
+        [(1, 5, 100), (1, 10, 101), (1, 25, 102), (2, 5, 200)],
+        "k long, t long, pid long",
+    )
+    ivs = spark.createDataFrame(
+        [(1, 0, 10, 900), (1, 10, 30, 901)], "k long, s long, e long, iid long"
+    )
+    out = {(r["pid"], r["iid"]) for r in
+           interval_join(pts, ivs, ["k"], "t", "s", "e", bucket=4).collect()}
+    # t=5 in [0,10); t=10 NOT in [0,10) (end-exclusive) but in [10,30);
+    # t=25 spans buckets but matches [10,30) exactly once; k=2 has no interval
+    assert out == {(100, 900), (101, 901), (102, 901)}

@@ -127,3 +127,9 @@ def test_contamination_bloom_arrow_prefilter(spark, sf_dir):
     assert "MapInPandas" in plan
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_temporal_joins_no_nested_loop(spark, sf_dir):
+    for q in ("asof_attribution", "interval_join_errors"):
+        plan = _plan(spark, sf_dir, q)
+        assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
