@@ -1100,6 +1100,23 @@ def q_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot/crosstab: per-user event counts spread across event-type
+    columns (DataFrame.pivot with the value list pinned — pinning skips the
+    extra distinct-scan Spark otherwise runs to discover pivot values, and
+    keeps the output schema stable at scale)."""
+    ev = demo.load(spark, sf_dir, "events")
+    kinds = ["click", "view", "purchase", "signup", "error"]
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", kinds)
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "user_id", *[F.coalesce(F.col(k), F.lit(0)).cast("long").alias(f"n_{k}") for k in kinds]
+    )
+
+
 def q_interval_join_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range/interval join (operators/asof.interval_join): each error event
     matched to the gap-session of the same user containing it — intervals
@@ -1380,6 +1397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_pipeline": q_corpus_pipeline,
         "asof_attribution": q_asof_attribution,
         "interval_join_errors": q_interval_join_errors,
+        "event_pivot": q_event_pivot,
         # -- already driver-green; most load-bearing fill the window ----------
         "snapshot_scan": q_snapshot_scan,
         "snapshot_chunked": q_snapshot_chunked,
@@ -1387,8 +1405,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_compact": q_merge_compact,
         "merge_spill": q_merge_spill,
         "cdc_apply_state": q_cdc_apply_state,
-        "checker_diff": q_checker_diff,
         # ---------------------------- slot 50 ends here ----------------------
+        "checker_diff": q_checker_diff,
         "checker_summary": q_checker_summary,
         "revise": q_revise,
         "review": q_review,
@@ -2164,6 +2182,15 @@ def oracle_sql() -> dict[str, str]:
         "contamination": tx.ngram_overlap_sql(8, 7),
         # bloom pre-filter is output-transparent: same oracle as contamination
         "contamination_bloom": tx.ngram_overlap_sql(8, 7),
+        "event_pivot": """
+            SELECT user_id,
+                   CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+                   CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+                   CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+                   CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+                   CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
+            FROM events GROUP BY user_id
+        """,
         "interval_join_errors": """
             WITH d AS (
               SELECT user_id, ts, event_type, event_id,

@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "windowed_counts",
     "asof_attribution",
     "interval_join_errors",
+    "event_pivot",
     "fk_apply_order",
     # training-data pipeline extensions (BASELINE.json north star)
     "dedup_exact",
