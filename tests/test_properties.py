@@ -225,3 +225,61 @@ def test_rdb_codec_round_trips_any_keyspace(entries):
 
     parsed = rdb.parse_rdb_bytes(rdb.encode_rdb(entries))
     assert keyset(parsed) == keyset(entries)
+
+
+# ---------------------------------------------------------------------------
+# Temporal joins: asof_join / interval_join vs brute force
+# ---------------------------------------------------------------------------
+
+temporal_case = st.fixed_dictionaries(
+    {
+        "probe": st.lists(
+            st.tuples(st.integers(0, 2), st.integers(0, 40)), min_size=1, max_size=14
+        ),
+        "build": st.lists(
+            st.tuples(st.integers(0, 2), st.integers(0, 40)), min_size=0, max_size=14
+        ),
+    }
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(temporal_case)
+def test_asof_join_equals_brute_force(spark, case):
+    """For every probe row, the matched build row must be the one with the
+    greatest ts <= probe ts for that key (ids break build-ts ties upstream —
+    the strategy de-dups (key, ts) like the operator contract requires)."""
+    from ape_dts_spark.operators.asof import asof_join
+
+    build = {}  # (k, t) -> bid, last wins = max id per (k, ts)
+    for i, (k, t) in enumerate(case["build"]):
+        build[(k, t)] = 100 + i
+    probe = [(k, t, i) for i, (k, t) in enumerate(case["probe"])]
+    pdf = spark.createDataFrame(probe, "k long, t long, pid long")
+    bdf = spark.createDataFrame(
+        [(k, t, b) for (k, t), b in build.items()], "k long, t long, bid long"
+    )
+    got = {r["pid"]: r["bid"] for r in
+           asof_join(pdf, bdf, ["k"], "t", ["pid"], ["bid"]).collect()}
+    for k, t, pid in probe:
+        cands = [(bt, b) for (bk, bt), b in build.items() if bk == k and bt <= t]
+        want = max(cands)[1] if cands else None
+        assert got[pid] == want
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(temporal_case)
+def test_interval_join_equals_brute_force(spark, case):
+    """[start, end) containment against every bucket width."""
+    from ape_dts_spark.operators.asof import interval_join
+
+    pts = [(k, t, i) for i, (k, t) in enumerate(case["probe"])]
+    ivs = [(k, s, s + (i % 7), 100 + i) for i, (k, s) in enumerate(case["build"])]
+    pdf = spark.createDataFrame(pts, "k long, t long, pid long")
+    idf = spark.createDataFrame(ivs, "k long, s long, e long, iid long")
+    for bucket in (1, 3, 64):
+        got = {(r["pid"], r["iid"]) for r in
+               interval_join(pdf, idf, ["k"], "t", "s", "e", bucket=bucket).collect()}
+        want = {(pid, iid) for k, t, pid in pts
+                for ik, s, e, iid in ivs if ik == k and s <= t < e}
+        assert got == want
