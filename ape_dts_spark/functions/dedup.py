@@ -668,6 +668,7 @@ def minhash_index(
     id_col: str,
     text_col: str = "text",
     tokens: str | None = None,
+    token_num: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Build the persistent signature index for INCREMENTAL dedup:
     ``(sets, membership)`` where ``sets`` has one row per distinct token set
@@ -697,8 +698,12 @@ def minhash_index(
     sets = sets.persist(StorageLevel.MEMORY_AND_DISK)
     sets.count()
     mem = members.join(sets, "_toks").select("_id", "_rep")
+    # token_num mirrors minhash_lsh_pairs: pass "token" for pre-hashed
+    # BIGINT tokens (hashed_shingles_expr) — an incremental pass MUST derive
+    # tn the same way its full-corpus run did or the signatures (and thus
+    # the pairs) diverge
     tok = sets.select("_rep", F.explode("_toks").alias("token")).withColumn(
-        "tn", F.expr(_token_num())
+        "tn", F.expr(token_num or _token_num())
     )
     aggs = [
         F.min(
@@ -729,6 +734,7 @@ def minhash_incremental_pairs(
     text_col: str = "text",
     threshold: float = 0.5,
     tokens: str | None = None,
+    token_num: str | None = None,
 ) -> DataFrame:
     """Incremental near-dup pairs: every (id_a, id_b, jaccard) with
     jaccard >= threshold where AT LEAST ONE side is a new-batch document —
@@ -743,7 +749,7 @@ def minhash_incremental_pairs(
     verification).
     """
     old_sets, old_mem = index
-    new_sets, new_mem = minhash_index(new_df, id_col, text_col, tokens)
+    new_sets, new_mem = minhash_index(new_df, id_col, text_col, tokens, token_num)
     n_bands, rows_per_band = banding_for(threshold)
 
     old_bands = _bands_of(old_sets, n_bands, rows_per_band)

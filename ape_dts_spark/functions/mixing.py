@@ -169,6 +169,14 @@ def pack_summary(packed: DataFrame) -> DataFrame:
     )
 
 
+def _scramble_expr(id_col: str, seed: int) -> str:
+    """Portable Knuth scramble, identical SQL text in Spark and DuckDB."""
+    return (
+        f"(((CAST({id_col} AS BIGINT) % 2147483648 + 2147483648) % 2147483648) "
+        f"* 2654435761 + {seed * 40503 + 17}) % 4294967296"
+    )
+
+
 def deterministic_shuffle(
     df: DataFrame, id_col: str = "doc_id", n_shards: int = 32, seed: int = 0
 ) -> DataFrame:
@@ -182,8 +190,13 @@ def deterministic_shuffle(
     Scale shape: one hash shuffle on shard + a per-shard sort — exactly
     repartition(n) + sortWithinPartitions at 100 TB, no global sort. The
     scramble is a Knuth-style multiplicative hash in BIGINT arithmetic
-    (engine-portable; id-order and hash-order are uncorrelated)."""
-    h = f"(CAST({id_col} AS BIGINT) * 2654435761 + {seed * 40503 + 17}) % 4294967296"
+    (engine-portable; id-order and hash-order are uncorrelated). The id is
+    reduced to [0, 2^31) BEFORE the multiply so the product stays under
+    2^63 for ANY BIGINT id — an unreduced id >= ~3.5e9 overflows int64,
+    which DuckDB rejects and Spark silently wraps (sign-carrying % would
+    then emit negative shards); the +2^31 re-mod keeps negative ids
+    non-negative identically in both engines."""
+    h = _scramble_expr(id_col, seed)
     w = Window.partitionBy("shard").orderBy("h", id_col)
     return (
         df.select(F.col(id_col), F.expr(h).alias("h"))
@@ -197,7 +210,7 @@ def deterministic_shuffle_sql(
     table: str = "documents", id_col: str = "doc_id", n_shards: int = 32, seed: int = 0
 ) -> str:
     """DuckDB twin of deterministic_shuffle."""
-    h = f"(CAST({id_col} AS BIGINT) * 2654435761 + {seed * 40503 + 17}) % 4294967296"
+    h = _scramble_expr(id_col, seed)
     return f"""
 WITH s AS (SELECT {id_col}, {h} AS h FROM {table}),
 sh AS (SELECT {id_col}, h, CAST(h % {n_shards} AS INT) AS shard FROM s)

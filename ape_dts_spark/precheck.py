@@ -206,6 +206,15 @@ def check_fk_config(tables: list[str], fk_spec: str) -> list[CheckResult]:
     for part in filter(None, (p.strip() for p in fk_spec.split(","))):
         if ":" not in part:
             out.append(CheckResult("fk_config_parse", part, False, "expected child:parent"))
+            continue
+        child, parent = (s.strip() for s in part.split(":", 1))
+        if not child or not parent:
+            # parse_fk_spec silently drops empty-sided parts; a green
+            # precheck over a spec the apply stage ignores is exactly the
+            # disagreement this check exists to prevent
+            out.append(
+                CheckResult("fk_config_parse", part, False, "empty child or parent")
+            )
     edges = parse_fk_spec(fk_spec)  # shared with task.run_task apply staging
     for child, parent in edges:
         for t in (child, parent):

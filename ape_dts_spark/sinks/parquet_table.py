@@ -294,13 +294,31 @@ class ParquetTable:
         meta = self._read_meta()
         if meta["version"] < 0:
             return 0
-        state = self.current()
+        base_version = meta["version"]
+        state = self.at_version(base_version)
         n_files = max(1, math.ceil(state.count() / max(1, target_rows_per_file)))
-        version = meta["version"] + 1
+        version = base_version + 1
         state.repartition(n_files).write.mode("overwrite").parquet(
             os.path.join(self.path, f"v{version}")
         )
-        meta = self._read_meta()  # epochs may have advanced during the write
+        # optimistic-concurrency commit: if a merge_apply landed while the
+        # rewrite ran, OUR rewrite of the old state is stale — committing it
+        # would clobber that batch's rows while its applied_batches record
+        # survives, making the loss replay-proof. Abort and leave the
+        # orphaned directory for vacuum (same rule as Delta OPTIMIZE, which
+        # fails the transaction on a conflicting commit).
+        meta = self._read_meta()
+        if meta["version"] != base_version:
+            # only reclaim the orphan if no commit claimed its number: a
+            # concurrent writer that advanced meta TO this version owns the
+            # directory now (single-writer-per-version is the deployment
+            # contract, as in Delta; this guard just avoids deleting live
+            # state if it is ever violated)
+            if meta["version"] < version:
+                import shutil
+
+                shutil.rmtree(os.path.join(self.path, f"v{version}"), ignore_errors=True)
+            return 0
         meta["version"] = version
         meta["committed_at"] = time.time()
         self._write_meta(meta)

@@ -81,6 +81,8 @@ def _read_len(b: bytes, i: int) -> tuple[int, bool, int]:
         return struct.unpack_from(">I", b, i + 1)[0], False, i + 5
     if first == 0x81:
         return struct.unpack_from(">Q", b, i + 1)[0], False, i + 9
+    if kind == 2:  # 0x82-0xBF: reserved — fail at the corruption point
+        raise ValueError(f"unknown RDB length encoding byte 0x{first:02x}")
     return first & 0x3F, True, i + 1
 
 
@@ -178,6 +180,17 @@ def _lp_backlen_size(entry_len: int) -> int:
     return 5
 
 
+def _lp_backlen_bytes(used: int) -> bytes:
+    """lpEncodeBacklen: 7-bit chunks, MSB chunk first (no flag), lower
+    chunks carry the continuation bit — read right-to-left by Redis."""
+    chunks = [used & 127]
+    used >>= 7
+    while used:
+        chunks.append(used & 127)
+        used >>= 7
+    return bytes([chunks[-1], *[c | 128 for c in reversed(chunks[:-1])]])
+
+
 def _parse_listpack(b: bytes) -> list[bytes]:
     """listpack payload -> entries. Layout: total(4LE) count(2LE) entries...
     0xFF; each entry is followed by its back-length bytes."""
@@ -265,13 +278,21 @@ def parse_rdb_bytes(data: bytes) -> list[dict]:
     out: list[dict] = []
 
     def emit(key: bytes, etype: str, member: bytes | None, value: bytes | None, ord_: int):
+        # Redis keys/values are arbitrary byte strings; one binary (non-UTF-8)
+        # value must not crash the whole distributed scan. errors='replace'
+        # keeps valid UTF-8 text exact and degrades binary payloads to
+        # U+FFFD markers (surrogateescape would be lossless but lone
+        # surrogates are rejected by Arrow's string conversion in the
+        # mapInPandas path); a fully binary-clean pipeline would switch
+        # ENTRY_SCHEMA's key/member/value to BINARY columns
+        d = lambda s: s.decode("utf-8", errors="replace")  # noqa: E731
         out.append(
             {
                 "db_id": db_id,
-                "key": key.decode(),
+                "key": d(key),
                 "entry_type": etype,
-                "member": None if member is None else member.decode(),
-                "value": None if value is None else value.decode(),
+                "member": None if member is None else d(member),
+                "value": None if value is None else d(value),
                 "ord": ord_,
                 "expire_ms": expire_ms,
             }
@@ -446,10 +467,12 @@ def _enc_listpack(items: list[bytes]) -> bytes:
         else:
             ent = b"\xf0" + struct.pack("<I", len(s)) + s
         used = len(ent)
-        back = _lp_backlen_size(used)
-        # back-length: 7 bits per byte, last byte flags nothing here — the
-        # parser only needs its SIZE, which depends on used alone
-        body += ent + used.to_bytes(back, "big")
+        # back-length in the real listpack form (lpEncodeBacklen): 7-bit
+        # chunks, most-significant chunk first without the continuation bit,
+        # lower chunks with bit 7 set, readable right-to-left — our parser
+        # only skips by size, but real Redis' backward traversal validates
+        # the chunk flags on load, so a dump sink must emit the real form
+        body += ent + _lp_backlen_bytes(used)
     total = 6 + len(body) + 1
     return struct.pack("<IH", total, min(len(items), 0xFFFF)) + bytes(body) + b"\xff"
 
@@ -473,8 +496,10 @@ def _enc_ziplist(items: list[bytes]) -> bytes:
             entry += b"\xe0" + struct.pack("<q", v)
         elif len(s) < 1 << 6:
             entry += bytes([len(s)]) + s
-        else:
+        elif len(s) < 1 << 14:
             entry += bytes([0x40 | (len(s) >> 8), len(s) & 0xFF]) + s
+        else:  # 32-bit form: 0x80 marker + 4-byte big-endian length
+            entry += b"\x80" + struct.pack(">I", len(s)) + s
         prevlen = len(entry)
         body += entry
     zlbytes = 10 + len(body) + 1

@@ -320,3 +320,45 @@ def test_rdb_idle_freq_hints_skipped():
     out += bytes([rdb.OP_EOF]) + b"\x00" * 8
     got = {(e["key"], e["value"], e["expire_ms"]) for e in rdb.parse_rdb_bytes(bytes(out))}
     assert got == {("a", "1", None), ("b", "2", 5_000)}
+
+
+def test_rdb_round_trip_large_values():
+    """>=16 KiB strings exercise the 4-byte ziplist length form and the
+    multi-chunk listpack back-length; binary payloads must not crash the
+    parse (degraded to replacement chars, not an exception)."""
+    from ape_dts_spark.sources import redis_rdb as rdb
+
+    big = "x" * 20_000
+    entries = [
+        {"db_id": 0, "key": "h", "entry_type": "hash", "member": "f",
+         "value": big, "ord": 0, "expire_ms": None},
+        {"db_id": 0, "key": "l", "entry_type": "list", "member": None,
+         "value": "y" * 300, "ord": 0, "expire_ms": None},
+        {"db_id": 0, "key": "s", "entry_type": "string", "member": None,
+         "value": big * 3, "ord": 0, "expire_ms": None},
+    ]
+    parsed = {e["key"]: e["value"] for e in rdb.parse_rdb_bytes(rdb.encode_rdb(entries))}
+    assert parsed["h"] == big
+    assert parsed["l"] == "y" * 300
+    assert parsed["s"] == big * 3
+
+
+def test_rdb_listpack_backlen_is_chunked():
+    """The written back-length must be the real lpEncodeBacklen form (7-bit
+    chunks, continuation bits on the low chunks) — real Redis validates it
+    on load even though our parser only skips by size."""
+    from ape_dts_spark.sources import redis_rdb as rdb
+
+    assert rdb._lp_backlen_bytes(5) == bytes([5])
+    assert rdb._lp_backlen_bytes(202) == bytes([202 >> 7, (202 & 127) | 128])
+    assert rdb._lp_backlen_bytes(20000) == bytes(
+        [20000 >> 14, ((20000 >> 7) & 127) | 128, (20000 & 127) | 128]
+    )
+
+
+def test_rdb_invalid_length_byte_raises():
+    from ape_dts_spark.sources import redis_rdb as rdb
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="length encoding"):
+        rdb._read_len(bytes([0x83, 0, 0]), 0)

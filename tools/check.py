@@ -83,7 +83,10 @@ def main() -> int:
             if len(srows) == 0:
                 failures.append((name, "zero rows"))
             continue
-        arrow_schema = con.execute(sql).arrow().schema
+        # LIMIT 0 wrapper: the Arrow type audit needs only the schema —
+        # .arrow() on the full query would materialize (and thus execute)
+        # the oracle twice per query
+        arrow_schema = con.execute(f"SELECT * FROM ({sql}) LIMIT 0").arrow().schema
         res = con.execute(sql)
         dcols = [d[0] for d in res.description]
         drows = res.fetchall()
