@@ -522,18 +522,22 @@ def keep_representatives(
     on duplicate-heavy groups (a g-duplicate group emits C(g,2) pairs but only
     g assignment rows here).
 
-    Algorithm: iterative min-label propagation to a fixed point — each round
-    every node takes min(own label, neighbors' labels); converges in
-    O(component diameter) rounds, each one join + one aggregation shuffle of
-    |edges| rows. Deterministic (pure min), so engine-portable. Every round
-    ``localCheckpoint``s the label table: persist alone leaves the logical
-    plan growing (the self-referential join doubles it per round and
-    re-analysis goes exponential — measured 0.7s -> 30s by round 4);
-    truncating lineage keeps rounds flat. On a cluster use a reliable
-    checkpoint dir or land labels to storage per round. At extreme graph
-    sizes swap the inner loop for the large-star/small-star alternation
-    (Kiveris et al., "Connected Components in MapReduce") — same fixed
-    point, fewer rounds.
+    Algorithm: min-label propagation with POINTER JUMPING — each round every
+    node takes min(own label, neighbors' labels), then shortcuts through its
+    label's label (path halving), so convergence is O(log diameter) rounds
+    instead of O(diameter): the sf0.1 near-threshold cosine graph needs 46
+    plain-propagation rounds but 7 with jumping, and a diameter larger than
+    the round cap used to return silently-partial components (caught by the
+    sf0.1 oracle check; now it raises instead). Each round is two joins +
+    one aggregation shuffle of |edges| rows. Deterministic (pure min), so
+    engine-portable. Every round ``localCheckpoint``s the label table:
+    persist alone leaves the logical plan growing (the self-referential join
+    doubles it per round and re-analysis goes exponential — measured 0.7s ->
+    30s by round 4); truncating lineage keeps rounds flat. On a cluster use
+    a reliable checkpoint dir or land labels to storage per round. At
+    extreme graph sizes the large-star/small-star alternation (Kiveris et
+    al., "Connected Components in MapReduce") is the same fixed point with
+    better skew behavior.
     """
     nodes = df.select(F.col(id_col).alias("node")).distinct()
     edges = (
@@ -547,10 +551,18 @@ def keep_representatives(
         neigh = edges.join(
             labels.select(F.col("node").alias("dst"), F.col("label")), "dst"
         ).select(F.col("src").alias("node"), "label")
-        new_labels = (
+        stepped = (
             labels.unionByName(neigh)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
+        )
+        # pointer jumping: label <- label(label). Labels only decrease, and
+        # every label value is itself a node, so the inner lookup always
+        # resolves; least() guards the identity case.
+        hop = stepped.select(F.col("node").alias("label"), F.col("label").alias("_l2"))
+        new_labels = (
+            stepped.join(hop, "label")
+            .select("node", F.least("label", "_l2").alias("label"))
             .localCheckpoint()
         )
         changed = (
@@ -561,6 +573,11 @@ def keep_representatives(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"keep_representatives did not converge in {max_iter} rounds — "
+            "raise max_iter (components deeper than 2^max_iter hops)"
+        )
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("rep_id"))
 
 

@@ -477,3 +477,15 @@ def test_interval_join_hand_case(spark):
     # t=5 in [0,10); t=10 NOT in [0,10) (end-exclusive) but in [10,30);
     # t=25 spans buckets but matches [10,30) exactly once; k=2 has no interval
     assert out == {(100, 900), (101, 901), (102, 901)}
+
+
+def test_keep_representatives_long_chain_converges(spark):
+    """A 200-hop path graph needs 200 plain-propagation rounds but only
+    O(log) with pointer jumping — the silent-truncation regression caught by
+    the sf0.1 oracle check (46-hop chains vs max_iter=25)."""
+    n = 200
+    docs = spark.createDataFrame([(i,) for i in range(n)], ["doc_id"])
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], ["id_a", "id_b"])
+    out = {r["doc_id"]: r["rep_id"] for r in
+           dd.keep_representatives(docs, "doc_id", pairs, max_iter=15).collect()}
+    assert all(v == 0 for v in out.values())
