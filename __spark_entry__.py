@@ -669,6 +669,61 @@ def q_parts_never_shipped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape — suppliers who were the SOLE bulk shipper
+    (quantity >= 45; the fixture carries no receipt/commit dates, so
+    "late" becomes "bulk") on multi-supplier orders: a semi-join (another
+    supplier participated) AND an anti-join (no OTHER supplier shipped
+    bulk) against the same fact table. Exercises Catalyst's
+    EXISTS/NOT-EXISTS decorrelation into one pair of semi/anti hash
+    joins."""
+    l = demo.load(spark, sf_dir, "lineitem")
+    s = demo.load(spark, sf_dir, "supplier")
+    late = l.filter(F.col("l_quantity") >= 45)
+    l1 = late.alias("l1")
+    others = l.select("l_orderkey", "l_suppkey").alias("l2")
+    other_late = late.select("l_orderkey", "l_suppkey").alias("l3")
+    cand = (
+        l1.join(
+            others,
+            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+            "left_semi",
+        )
+        .join(
+            other_late,
+            (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
+            "left_anti",
+        )
+    )
+    return (
+        cand.join(F.broadcast(s), F.col("l1.l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+def q_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function breadth: per-customer order inter-arrival gap (lag)
+    + quartile bucket over gap days (ntile) — lead/lag/ntile alongside the
+    row_number/rank family the other queries cover. The global ntile is a
+    single-partition sort by construction (exact quartile ranks need a
+    total order); at 100 TB swap it for approx-quantile cut points +
+    bucketing — here it stays exact so the oracle can gate it."""
+    o = demo.load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(
+            F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+        ).alias("gap_days"),
+    ).filter(F.col("gap_days").isNotNull())
+    wq = W.orderBy(F.col("gap_days"), F.col("o_orderkey"))
+    return gaps.withColumn("quartile", F.ntile(4).over(wq))
+
+
 def q_segment_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP aggregation over (segment, nation) — grouping-sets surface."""
     c = demo.load(spark, sf_dir, "customer")
@@ -1398,14 +1453,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_attribution": q_asof_attribution,
         "interval_join_errors": q_interval_join_errors,
         "event_pivot": q_event_pivot,
+        "waiting_suppliers": q_waiting_suppliers,
+        "order_gaps": q_order_gaps,
         # -- already driver-green; most load-bearing fill the window ----------
         "snapshot_scan": q_snapshot_scan,
         "snapshot_chunked": q_snapshot_chunked,
         "snapshot_resume": q_snapshot_resume,
         "merge_compact": q_merge_compact,
+        # ---------------------------- slot 50 ends here ----------------------
         "merge_spill": q_merge_spill,
         "cdc_apply_state": q_cdc_apply_state,
-        # ---------------------------- slot 50 ends here ----------------------
         "checker_diff": q_checker_diff,
         "checker_summary": q_checker_summary,
         "revise": q_revise,
@@ -2182,6 +2239,30 @@ def oracle_sql() -> dict[str, str]:
         "contamination": tx.ngram_overlap_sql(8, 7),
         # bloom pre-filter is output-transparent: same oracle as contamination
         "contamination_bloom": tx.ngram_overlap_sql(8, 7),
+        "waiting_suppliers": """
+            SELECT s_name, COUNT(*) AS numwait
+            FROM lineitem l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+            WHERE l1.l_quantity >= 45
+              AND EXISTS (SELECT 1 FROM lineitem l2
+                          WHERE l2.l_orderkey = l1.l_orderkey
+                            AND l2.l_suppkey <> l1.l_suppkey)
+              AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                              WHERE l3.l_orderkey = l1.l_orderkey
+                                AND l3.l_suppkey <> l1.l_suppkey
+                                AND l3.l_quantity >= 45)
+            GROUP BY s_name
+        """,
+        "order_gaps": """
+            WITH g AS (
+              SELECT o_custkey, o_orderkey,
+                     CAST(date_diff('day', LAG(o_orderdate) OVER (
+                       PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ), o_orderdate) AS INT) AS gap_days
+              FROM orders)
+            SELECT o_custkey, o_orderkey, gap_days,
+                   CAST(NTILE(4) OVER (ORDER BY gap_days, o_orderkey) AS INT) AS quartile
+            FROM g WHERE gap_days IS NOT NULL
+        """,
         "event_pivot": """
             SELECT user_id,
                    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,

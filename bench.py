@@ -36,6 +36,8 @@ BENCH_QUERIES = [
     "lapsed_customers",
     "customer_set_ops",
     "priority_grouping_sets",
+    "waiting_suppliers",
+    "order_gaps",
     "update_split",
     "snapshot_resume",
     "wire_roundtrip",
