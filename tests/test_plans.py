@@ -133,3 +133,9 @@ def test_temporal_joins_no_nested_loop(spark, sf_dir):
     for q in ("asof_attribution", "interval_join_errors"):
         plan = _plan(spark, sf_dir, q)
         assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_waiting_suppliers_semi_anti_hash_joins(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "waiting_suppliers")
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
