@@ -669,6 +669,24 @@ def q_parts_never_shipped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_struct_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct sinker gate: Spark-SQL-dialect CREATE TABLE DDL for every test
+    table, generated by the migration path (TableDef.from_dataframe ->
+    plans/struct_migration.to_create_table). The oracle derives the SAME
+    text independently from DuckDB's information_schema over the parquet
+    views — two catalogs, one dialect translation contract."""
+    from ape_dts_spark.plans.struct_migration import TableDef, to_create_table
+
+    rows = []
+    for tb in [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]:
+        td = TableDef.from_dataframe(demo.load(spark, sf_dir, tb), "default", tb)
+        rows.append((tb, to_create_table(td, "sparksql")))
+    return spark.createDataFrame(rows, "tb string, ddl string")
+
+
 def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape — suppliers who were the SOLE bulk shipper
     (quantity >= 45; the fixture carries no receipt/commit dates, so
@@ -1455,12 +1473,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_pivot": q_event_pivot,
         "waiting_suppliers": q_waiting_suppliers,
         "order_gaps": q_order_gaps,
+        "struct_ddl": q_struct_ddl,
         # -- already driver-green; most load-bearing fill the window ----------
         "snapshot_scan": q_snapshot_scan,
         "snapshot_chunked": q_snapshot_chunked,
         "snapshot_resume": q_snapshot_resume,
-        "merge_compact": q_merge_compact,
         # ---------------------------- slot 50 ends here ----------------------
+        "merge_compact": q_merge_compact,
         "merge_spill": q_merge_spill,
         "cdc_apply_state": q_cdc_apply_state,
         "checker_diff": q_checker_diff,
@@ -2239,6 +2258,25 @@ def oracle_sql() -> dict[str, str]:
         "contamination": tx.ngram_overlap_sql(8, 7),
         # bloom pre-filter is output-transparent: same oracle as contamination
         "contamination_bloom": tx.ngram_overlap_sql(8, 7),
+        "struct_ddl": """
+            WITH cols AS (
+              SELECT table_name, ordinal_position, column_name,
+                     CASE data_type
+                       WHEN 'INTEGER' THEN 'INT'
+                       WHEN 'VARCHAR' THEN 'STRING'
+                       WHEN 'TIMESTAMP' THEN 'TIMESTAMP_NTZ'
+                       WHEN 'FLOAT[]' THEN 'ARRAY<FLOAT>'
+                       ELSE data_type END AS t
+              FROM information_schema.columns
+              WHERE table_name IN ('region','nation','customer','supplier','part',
+                                   'orders','lineitem','events','documents','embeddings'))
+            SELECT table_name AS tb,
+                   'CREATE TABLE `default`.`' || table_name || '` (' || chr(10) ||
+                   string_agg('  `' || column_name || '` ' || t,
+                              ',' || chr(10) ORDER BY ordinal_position) ||
+                   chr(10) || ') USING parquet' AS ddl
+            FROM cols GROUP BY table_name
+        """,
         "waiting_suppliers": """
             SELECT s_name, COUNT(*) AS numwait
             FROM lineitem l1 JOIN supplier ON l1.l_suppkey = s_suppkey
