@@ -669,6 +669,36 @@ def q_parts_never_shipped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gtid_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed-position algebra gate: the GTID interval-coalescing kernel
+    (model/position._coalesce — merges touching/adjacent transaction-id
+    ranges, the heart of GtidSet union/contains) applied per "server"
+    (customer) over synthetic ranges (o_orderkey, o_orderkey+5), via
+    Arrow-batched applyInPandas. Oracle: gaps-and-islands with the same
+    adjacency rule (start <= running_max_end + 1)."""
+    import pandas as pd
+
+    from ape_dts_spark.model.position import _coalesce
+
+    o = demo.load(spark, sf_dir, "orders").select(
+        "o_custkey", F.col("o_orderkey").alias("a"), (F.col("o_orderkey") + 5).alias("b")
+    )
+
+    def _merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        merged = _coalesce(list(zip(pdf["a"], pdf["b"])))
+        return pd.DataFrame(
+            {
+                "o_custkey": pdf["o_custkey"].iloc[0],
+                "ivl_start": [m[0] for m in merged],
+                "ivl_end": [m[1] for m in merged],
+            }
+        )
+
+    return o.groupBy("o_custkey").applyInPandas(
+        _merge, schema="o_custkey long, ivl_start long, ivl_end long"
+    )
+
+
 def q_struct_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Struct sinker gate: Spark-SQL-dialect CREATE TABLE DDL for every test
     table, generated by the migration path (TableDef.from_dataframe ->
@@ -1474,11 +1504,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "waiting_suppliers": q_waiting_suppliers,
         "order_gaps": q_order_gaps,
         "struct_ddl": q_struct_ddl,
+        "gtid_coalesce": q_gtid_coalesce,
         # -- already driver-green; most load-bearing fill the window ----------
         "snapshot_scan": q_snapshot_scan,
         "snapshot_chunked": q_snapshot_chunked,
-        "snapshot_resume": q_snapshot_resume,
         # ---------------------------- slot 50 ends here ----------------------
+        "snapshot_resume": q_snapshot_resume,
         "merge_compact": q_merge_compact,
         "merge_spill": q_merge_spill,
         "cdc_apply_state": q_cdc_apply_state,
@@ -2258,6 +2289,18 @@ def oracle_sql() -> dict[str, str]:
         "contamination": tx.ngram_overlap_sql(8, 7),
         # bloom pre-filter is output-transparent: same oracle as contamination
         "contamination_bloom": tx.ngram_overlap_sql(8, 7),
+        "gtid_coalesce": """
+            WITH iv AS (SELECT o_custkey, o_orderkey AS a, o_orderkey + 5 AS b FROM orders),
+            o AS (SELECT *, MAX(b) OVER (PARTITION BY o_custkey ORDER BY a, b
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max FROM iv),
+            g AS (SELECT *, CASE WHEN prev_max IS NULL OR a > prev_max + 1
+                                 THEN 1 ELSE 0 END AS brk FROM o),
+            grp AS (SELECT *, SUM(brk) OVER (PARTITION BY o_custkey ORDER BY a, b
+                        ROWS UNBOUNDED PRECEDING) AS gid FROM g)
+            SELECT o_custkey, CAST(MIN(a) AS BIGINT) AS ivl_start,
+                   CAST(MAX(b) AS BIGINT) AS ivl_end
+            FROM grp GROUP BY o_custkey, gid
+        """,
         "struct_ddl": """
             WITH cols AS (
               SELECT table_name, ordinal_position, column_name,
