@@ -669,6 +669,60 @@ def q_parts_never_shipped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global-scalar-subquery decorrelation (TPC-H Q11 shape): parts whose
+    lineitem revenue exceeds a fixed fraction of TOTAL revenue. The scalar
+    subquery decorrelates to a broadcast of the single-row global aggregate
+    — one shuffle for the per-part agg, the comparison is map-side.
+    Scale-free threshold (selective at ANY SF): value > 1.2x the mean part
+    value, cross-multiplied to pure DECIMAL/BIGINT terms (value * n * 5 >
+    tot * 6) so no engine divides or rounds at the boundary."""
+    l = demo.load(spark, sf_dir, "lineitem")
+    per_part = l.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("decimal(28,2)")
+        .alias("value")
+    )
+    total = per_part.agg(
+        F.sum("value").cast("decimal(38,2)").alias("tot"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("value") * F.col("n") * 5 > F.col("tot") * 6)
+        .select("l_partkey", F.col("value").cast("double").alias("value"))
+    )
+
+
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max-over-aggregate decorrelation (TPC-H Q15 shape): the supplier(s)
+    with the highest quarterly revenue. revenue = agg per supplier; the
+    `= (SELECT MAX(...))` scalar subquery becomes a broadcast single-row
+    join; the supplier dim joins broadcast. DECIMAL-exact equality — float
+    revenue ties would be engine-dependent."""
+    l = demo.load(spark, sf_dir, "lineitem")
+    s = demo.load(spark, sf_dir, "supplier")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    rev = (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount")))
+            .cast("decimal(28,4)")
+            .alias("total_rev")
+        )
+    )
+    mx = rev.agg(F.max("total_rev").alias("mx"))
+    return (
+        rev.join(F.broadcast(mx), rev.total_rev == F.col("mx"))
+        .join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
+        .select("s_suppkey", "s_name", F.col("total_rev").cast("double").alias("total_rev"))
+    )
+
+
 def q_gtid_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typed-position algebra gate: the GTID interval-coalescing kernel
     (model/position._coalesce — merges touching/adjacent transaction-id
@@ -1090,6 +1144,23 @@ def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.bpe_pair_counts(demo.load(spark, sf_dir, "documents"), "text", k=200)
 
 
+def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram LM typicality scoring (KenLM/CCNet-style perplexity filtering,
+    integer-exact form): train bigram+unigram counts on the corpus, score
+    every doc's transitions — hapax / unlikely-transition counts are the
+    perplexity tail (tx.bigram_lm_score)."""
+    return tx.bigram_lm_score(demo.load(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def q_source_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap (RefinedWeb-style host-level frequency cap):
+    keep at most 120 docs per source, deterministically pseudo-random
+    membership (mx.source_caps)."""
+    return mx.source_caps(
+        demo.load(spark, sf_dir, "documents"), "doc_id", "source", cap=120, seed=7
+    )
+
+
 def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span-level exact dedup (CCNet-style line dedup over 16-token spans):
     corpus-global keep-first on span text, documents reassembled from the
@@ -1509,6 +1580,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_scan": q_snapshot_scan,
         "snapshot_chunked": q_snapshot_chunked,
         # ---------------------------- slot 50 ends here ----------------------
+        # -- new in round 4, past the window: rotate into slots 1.. next round
+        "important_parts": q_important_parts,
+        "top_supplier": q_top_supplier,
+        "bigram_lm_score": q_bigram_lm_score,
+        "source_caps": q_source_caps,
         "snapshot_resume": q_snapshot_resume,
         "merge_compact": q_merge_compact,
         "merge_spill": q_merge_spill,
@@ -2192,6 +2268,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT p_partkey, p_name, p_retailprice FROM part
             WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem WHERE l_quantity >= 40)
         """,
+        "important_parts": """
+            WITH per_part AS (
+              SELECT l_partkey,
+                     CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS value
+              FROM lineitem GROUP BY l_partkey)
+            SELECT l_partkey, CAST(value AS DOUBLE) AS value
+            FROM per_part
+            WHERE value * (SELECT COUNT(*) FROM per_part) * 5
+                  > (SELECT CAST(SUM(value) AS DECIMAL(38,2)) FROM per_part) * 6
+        """,
+        "top_supplier": """
+            WITH rev AS (
+              SELECT l_suppkey,
+                     CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                              * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+                          AS DECIMAL(28,4)) AS total_rev
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+              GROUP BY l_suppkey)
+            SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_rev
+            FROM rev JOIN supplier ON l_suppkey = s_suppkey
+            WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
+        """,
+        "bigram_lm_score": tx.bigram_lm_score_sql("documents", "doc_id", "text", 16),
+        "source_caps": mx.source_caps_sql("documents", "doc_id", "source", 120, 7),
         "segment_rollup": """
             SELECT c_mktsegment, n_name, COUNT(*) AS n_customers,
                    CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total_bal

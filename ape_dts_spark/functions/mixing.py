@@ -170,10 +170,19 @@ def pack_summary(packed: DataFrame) -> DataFrame:
 
 
 def _scramble_expr(id_col: str, seed: int) -> str:
-    """Portable Knuth scramble, identical SQL text in Spark and DuckDB."""
+    """Portable Knuth scramble, identical SQL text in Spark and DuckDB.
+
+    The seed folds into the MULTIPLIER (XOR-mixed in Python, kept odd so the
+    map stays a mod-2^32 bijection), not just an additive offset — an added
+    constant is a rotation of the hash circle that leaves the ORDER of any
+    finite id set unchanged, and a tiny multiplier nudge (+2*seed) shifts
+    hash k by only 2k, far below the ~2^32/n hash spacing, so every seed
+    produced the same shuffle. Seed 0 keeps the classic Knuth constant. The
+    reduced id is < 2^31 and the multiplier < 2^32: product < 2^63."""
+    mult = (2654435761 ^ ((seed * 2246822519) & 0xFFFFFFFF)) | 1
     return (
         f"(((CAST({id_col} AS BIGINT) % 2147483648 + 2147483648) % 2147483648) "
-        f"* 2654435761 + {seed * 40503 + 17}) % 4294967296"
+        f"* {mult} + {seed * 40503 + 17}) % 4294967296"
     )
 
 
@@ -269,4 +278,56 @@ WITH ranked AS (
                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
   FROM {table})
 SELECT * FROM ranked WHERE cum_tokens - {token_col} < {budget}
+"""
+
+
+def source_caps(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    cap: int = 100,
+    seed: int = 0,
+) -> DataFrame:
+    """Per-source document cap: keep at most ``cap`` documents from every
+    source/domain, chosen deterministically pseudo-randomly — the host-level
+    frequency cap of web-corpus curation (RefinedWeb/CCNet cap documents per
+    registered domain so megadomains can't dominate the mix; the reference
+    moves rows and has no analogue — training-pipeline extension op).
+
+    Selection: rank docs inside their group by the portable Knuth scramble of
+    the id (uncorrelated with id order, reproducible in any engine), keep
+    ranks 1..cap. Output (id, group, rk).
+
+    Scale shape: one hash shuffle on ``group_col`` + a per-group window —
+    identical to stratified_quota. Skew note: a megadomain makes one hot
+    partition; at 100 TB pre-aggregate with a two-level rank (salt the group,
+    take per-salt top-cap, re-rank the <= n_salts*cap survivors) — the
+    standard top-k-per-key refinement, not needed at test scale.
+    """
+    h = _scramble_expr(id_col, seed)
+    w = Window.partitionBy(group_col).orderBy(F.expr(h).asc(), F.col(id_col).asc())
+    return (
+        df.select(group_col, id_col)
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= cap)
+        .select(id_col, group_col, "rk")
+    )
+
+
+def source_caps_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    cap: int = 100,
+    seed: int = 0,
+) -> str:
+    """DuckDB twin of source_caps."""
+    h = _scramble_expr(id_col, seed)
+    return f"""
+WITH ranked AS (
+  SELECT {id_col}, {group_col},
+         CAST(ROW_NUMBER() OVER (PARTITION BY {group_col}
+              ORDER BY {h} ASC, {id_col} ASC) AS BIGINT) AS rk
+  FROM {table})
+SELECT {id_col}, {group_col}, rk FROM ranked WHERE rk <= {cap}
 """

@@ -710,3 +710,114 @@ SELECT pair, freq,
        CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, pair) AS BIGINT) AS rank
 FROM freq ORDER BY freq DESC, pair LIMIT {k}
 """
+
+
+def _doc_bigrams(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, prev, pair) for every adjacent token pair of every document."""
+    toks = df.select(F.col(id_col), F.expr(tokens_expr(text_col)).alias("_toks"))
+    return toks.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                "CASE WHEN size(_toks) < 2 THEN array() ELSE "
+                "transform(sequence(1, size(_toks) - 1), "
+                "i -> struct(element_at(_toks, i) AS prev, "
+                "concat(element_at(_toks, i), ' ', element_at(_toks, i + 1)) AS pair)) END"
+            )
+        ).alias("bg"),
+    ).select(id_col, F.col("bg.prev").alias("prev"), F.col("bg.pair").alias("pair"))
+
+
+def bigram_lm_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    unlikely_denom: int = 16,
+) -> DataFrame:
+    """N-gram language-model typicality scoring (KenLM-style perplexity
+    filtering, CCNet's quality signal) in integer-exact form: train a bigram
+    model on the corpus itself, then score every document by how typical its
+    transitions are. All-integer outputs keep the cross-engine gate exact —
+    engine-computed log()s differ in the last ulp between JVM and libm, so
+    the score reports the model counts instead of a float log-prob:
+
+    - ``n_bigrams``   adjacent-pair count of the doc
+    - ``n_hapax``     pairs seen exactly once corpus-wide (the doc itself) —
+                      high share = unusual text, the perplexity tail
+    - ``n_unlikely``  pairs with P(next|prev) < 1/unlikely_denom, i.e.
+                      bigram_count * denom < prefix unigram count
+    - ``sum_pair_freq`` total corpus frequency of the doc's pairs (typicality
+                      mass; divide by n_bigrams offline for a float score)
+
+    Scale shape: two corpus passes build the model (bigram + unigram counts,
+    map-side-combined hash aggs whose state is the n-gram vocabulary, not the
+    corpus), one pass scores (explode -> hash equi-joins on pair/prev ->
+    per-doc agg). At 100 TB prune the model to the top-M pairs and broadcast
+    it (absent pairs are hapax by definition); at test scale the plain
+    shuffle joins are the honest baseline. Docs with < 2 tokens score all
+    zeros via the left join.
+    """
+    bg = _doc_bigrams(df, id_col, text_col)
+    pair_freq = bg.groupBy("pair").agg(F.count(F.lit(1)).alias("pf"))
+    uni = df.select(F.explode(F.expr(tokens_expr(text_col))).alias("tok"))
+    uni_freq = uni.groupBy("tok").agg(F.count(F.lit(1)).alias("uf"))
+    scored = (
+        bg.join(pair_freq, "pair")
+        .join(uni_freq, bg.prev == uni_freq.tok)
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(F.when(F.col("pf") == 1, 1).otherwise(0)).alias("n_hapax"),
+            F.sum(
+                F.when(F.col("pf") * unlikely_denom < F.col("uf"), 1).otherwise(0)
+            ).alias("n_unlikely"),
+            F.sum("pf").alias("sum_pair_freq"),
+        )
+    )
+    zero = F.lit(0).cast("long")
+    return (
+        df.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_bigrams").cast("long"), zero).alias("n_bigrams"),
+            F.coalesce(F.col("n_hapax").cast("long"), zero).alias("n_hapax"),
+            F.coalesce(F.col("n_unlikely").cast("long"), zero).alias("n_unlikely"),
+            F.coalesce(F.col("sum_pair_freq").cast("long"), zero).alias("sum_pair_freq"),
+        )
+    )
+
+
+def bigram_lm_score_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    unlikely_denom: int = 16,
+) -> str:
+    """DuckDB twin of bigram_lm_score (1-based list indexing; range()
+    end-exclusive gives i in [1, len-1] like the Spark sequence)."""
+    t = tokens_sql(text_col)
+    return f"""
+WITH toks AS (SELECT {id_col}, {t} AS t FROM {table}),
+bg AS (
+  SELECT {id_col}, t[i] AS prev, t[i] || ' ' || t[i + 1] AS pair
+  FROM toks, LATERAL unnest(range(1, len(t))) AS u(i)
+  WHERE len(t) >= 2),
+pair_freq AS (SELECT pair, COUNT(*) AS pf FROM bg GROUP BY pair),
+uni AS (SELECT unnest({t}) AS tok FROM {table}),
+uni_freq AS (SELECT tok, COUNT(*) AS uf FROM uni GROUP BY tok),
+scored AS (
+  SELECT bg.{id_col} AS sid,
+         COUNT(*) AS n_bigrams,
+         SUM(CASE WHEN pf = 1 THEN 1 ELSE 0 END) AS n_hapax,
+         SUM(CASE WHEN pf * {unlikely_denom} < uf THEN 1 ELSE 0 END) AS n_unlikely,
+         SUM(pf) AS sum_pair_freq
+  FROM bg JOIN pair_freq USING (pair) JOIN uni_freq ON bg.prev = uni_freq.tok
+  GROUP BY bg.{id_col})
+SELECT d.{id_col},
+       CAST(COALESCE(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(COALESCE(n_hapax, 0) AS BIGINT) AS n_hapax,
+       CAST(COALESCE(n_unlikely, 0) AS BIGINT) AS n_unlikely,
+       CAST(COALESCE(sum_pair_freq, 0) AS BIGINT) AS sum_pair_freq
+FROM {table} d LEFT JOIN scored ON d.{id_col} = scored.sid
+"""

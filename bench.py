@@ -38,6 +38,8 @@ BENCH_QUERIES = [
     "priority_grouping_sets",
     "waiting_suppliers",
     "order_gaps",
+    "important_parts",
+    "top_supplier",
     "update_split",
     "snapshot_resume",
     "wire_roundtrip",
@@ -65,6 +67,8 @@ BENCH_QUERIES = [
     "length_quantiles",
     "stratified_sample",
     "clf_score",
+    "bigram_lm_score",
+    "source_caps",
     "corpus_pipeline",
     "token_mix",
     "sequence_packing",

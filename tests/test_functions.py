@@ -489,3 +489,19 @@ def test_keep_representatives_long_chain_converges(spark):
     out = {r["doc_id"]: r["rep_id"] for r in
            dd.keep_representatives(docs, "doc_id", pairs, max_iter=15).collect()}
     assert all(v == 0 for v in out.values())
+
+
+def test_bigram_lm_score_hand_case(spark):
+    # corpus: "a b" x3 docs + one doc with a unique transition "a z".
+    # unigram counts: a=4, b=3, z=1; bigram counts: "a b"=3, "a z"=1.
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "a b"), (4, "a z"), (5, "a")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r.asDict() for r in tx.bigram_lm_score(df, "doc_id", "text", 2).collect()}
+    # doc 1: one bigram "a b", pf=3, hapax no; P(b|a)=3/4 -> 3*2 >= 4, likely
+    assert out[1] == {"doc_id": 1, "n_bigrams": 1, "n_hapax": 0, "n_unlikely": 0, "sum_pair_freq": 3}
+    # doc 4: "a z" pf=1 hapax; P(z|a)=1/4 -> 1*2 < 4, unlikely
+    assert out[4] == {"doc_id": 4, "n_bigrams": 1, "n_hapax": 1, "n_unlikely": 1, "sum_pair_freq": 1}
+    # doc 5: single token -> all zeros via the left join
+    assert out[5] == {"doc_id": 5, "n_bigrams": 0, "n_hapax": 0, "n_unlikely": 0, "sum_pair_freq": 0}

@@ -136,3 +136,28 @@ def test_token_quota_per_group_budgets(spark):
     for r in out:
         counts[r["lang"]] = counts.get(r["lang"], 0) + 1
     assert counts == {"en": 2, "de": 5}  # 100/50=2 docs; 250/50=5 docs
+
+
+def test_source_caps_exact_cap_and_stability(spark):
+    df = spark.createDataFrame(
+        [(i, "big" if i < 80 else "small") for i in range(100)], "doc_id long, source string"
+    )
+    out = mx.source_caps(df, "doc_id", "source", cap=15, seed=0)
+    counts = {r["source"]: r["n"] for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    # the megadomain is capped, the under-cap source passes through whole
+    assert counts == {"big": 15, "small": 15}
+    out5 = mx.source_caps(df, "doc_id", "source", cap=25, seed=0)
+    counts5 = {r["source"]: r["n"] for r in out5.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert counts5 == {"big": 25, "small": 20}
+    assert out.filter(F.col("rk") > 15).count() == 0
+    # raising the cap only ADDS docs (stable membership, like quotas)
+    small = {r["doc_id"] for r in out.collect()}
+    big = {r["doc_id"] for r in out5.collect()}
+    assert small < big
+
+
+def test_source_caps_seed_changes_membership(spark):
+    df = spark.createDataFrame([(i, "s") for i in range(200)], "doc_id long, source string")
+    a = {r["doc_id"] for r in mx.source_caps(df, "doc_id", "source", 30, seed=0).collect()}
+    b = {r["doc_id"] for r in mx.source_caps(df, "doc_id", "source", 30, seed=1).collect()}
+    assert len(a) == len(b) == 30 and a != b

@@ -139,3 +139,34 @@ def test_waiting_suppliers_semi_anti_hash_joins(spark, sf_dir):
     plan = _plan(spark, sf_dir, "waiting_suppliers")
     assert "LeftSemi" in plan and "LeftAnti" in plan
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_top_supplier_broadcasts_scalar_and_dim(spark, sf_dir):
+    # Q15 shape: the MAX(rev) single row and the supplier dim both broadcast;
+    # the fact side must never sort-merge
+    plan = _plan(spark, sf_dir, "top_supplier")
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_important_parts_scalar_join_is_broadcast_side(spark, sf_dir):
+    # Q11 shape: the global-total comparison joins a SINGLE-ROW broadcast —
+    # a BroadcastNestedLoopJoin against one row is the canonical decorrelated
+    # scalar subquery and costs O(N); a SortMergeJoin here would shuffle the
+    # whole per-part aggregate for nothing
+    plan = _plan(spark, sf_dir, "important_parts")
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_bigram_lm_score_hash_joins_only(spark, sf_dir):
+    # model lookups are hash equi-joins on pair/prev; any nested-loop shape
+    # would be O(corpus x vocabulary)
+    plan = _plan(spark, sf_dir, "bigram_lm_score")
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_source_caps_single_shuffle(spark, sf_dir):
+    # one hash shuffle on source + per-group window; no join, no extra pass
+    plan = _plan(spark, sf_dir, "source_caps")
+    assert plan.count("Exchange hashpartitioning") == 1 and "Join" not in plan
