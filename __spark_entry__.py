@@ -753,6 +753,100 @@ def q_gtid_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_binlog_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed-position ordering gate: MysqlCdcPosition.sort_key (numeric
+    binlog-file rotation order, model/position.py — mysql_cdc_extractor.rs
+    position parity) ranks synthetic positions per server via an Arrow
+    kernel. File numbers straddle the 999999 -> 1000000 digit rollover, so a
+    lexicographic (string) sort provably diverges — the oracle re-derives
+    the order from the numeric suffix."""
+    import numpy as np
+    import pandas as pd
+
+    from ape_dts_spark.model.position import MysqlCdcPosition
+
+    ev = demo.load(spark, sf_dir, "events").select("event_id")
+    df = ev.select(
+        (F.col("event_id") % 4).alias("server"),
+        F.concat(F.lit("mysql-bin."), (F.lit(999996) + F.col("event_id") % 7).cast("string")).alias(
+            "binlog_filename"
+        ),
+        F.col("event_id").alias("pos"),
+    )
+
+    def _rank(pdf: pd.DataFrame) -> pd.DataFrame:
+        fidx = [
+            MysqlCdcPosition(f, 0).file_index() for f in pdf["binlog_filename"]
+        ]
+        order = np.lexsort((pdf["pos"].to_numpy(), np.asarray(fidx)))
+        rk = np.empty(len(pdf), dtype="int64")
+        rk[order] = np.arange(1, len(pdf) + 1)
+        return pdf.assign(rk=rk)
+
+    return df.groupBy("server").applyInPandas(
+        _rank, schema="server long, binlog_filename string, pos long, rk long"
+    )
+
+
+def q_topic_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kafka topic-routing gate (wire_format.topic_for — kafka_router.rs
+    precedence): exact '<schema>.<tb>' beats '<schema>.*' beats the '*'
+    default. A synthetic multi-table layout exercises all three tiers; the
+    oracle re-implements the precedence independently in SQL."""
+    from ape_dts_spark.sinks.wire_format import topic_for
+
+    ev = demo.load(spark, sf_dir, "events").select("event_id")
+    df = ev.select(
+        F.element_at(
+            F.array(F.lit("demo"), F.lit("app"), F.lit("logs")),
+            (F.col("event_id") % 3 + 1).cast("int"),
+        ).alias("schema"),
+        F.element_at(
+            F.array(F.lit("users"), F.lit("orders"), F.lit("audit"), F.lit("tmp")),
+            (F.col("event_id") % 4 + 1).cast("int"),
+        ).alias("tb"),
+    )
+    routed = df.withColumn(
+        "topic",
+        topic_for({"demo.users": "cdc.users", "app.*": "app_all", "*": "fallback"}),
+    )
+    return routed.groupBy("schema", "tb", "topic").agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_monitor_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monitor-counter vocabulary (monitor.py / dt-common monitor.md:
+    record_count, data_bytes, sum/max, max_by_sec) computed DISTRIBUTED over
+    event time: per event_type per 60 s bucket. All-integer outputs —
+    payload bytes and floor-micros latencies — keep the cross-engine gate
+    exact (raw double sums are summation-order-dependent). Two-level agg:
+    per-second partials then per-minute rollup, both map-side combined."""
+    ev = demo.load(spark, sf_dir, "events")
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    per_sec = (
+        ev.select(
+            (ms - ms % 60000).alias("minute_ms"),
+            (ms - ms % 1000).alias("sec_ms"),
+            "event_type",
+            (F.length("props") + F.length("event_type")).cast("long").alias("nbytes"),
+            F.floor(F.col("value") * 1000).cast("long").alias("rt_us"),
+        )
+        .groupBy("minute_ms", "sec_ms", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("nbytes").alias("sec_bytes"),
+            F.max("rt_us").alias("sec_rt_max"),
+            F.sum("rt_us").alias("sec_rt_sum"),
+        )
+    )
+    return per_sec.groupBy("minute_ms", "event_type").agg(
+        F.sum("n").cast("long").alias("record_count"),
+        F.sum("sec_bytes").cast("long").alias("data_bytes"),
+        F.max("sec_rt_max").cast("long").alias("rt_max_us"),
+        F.sum("sec_rt_sum").cast("long").alias("rt_sum_us"),
+        F.max("sec_bytes").cast("long").alias("max_by_sec_bytes"),
+    )
+
+
 def q_struct_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Struct sinker gate: Spark-SQL-dialect CREATE TABLE DDL for every test
     table, generated by the migration path (TableDef.from_dataframe ->
@@ -1585,6 +1679,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_supplier": q_top_supplier,
         "bigram_lm_score": q_bigram_lm_score,
         "source_caps": q_source_caps,
+        "binlog_order": q_binlog_order,
+        "topic_route": q_topic_route,
+        "monitor_rollup": q_monitor_rollup,
         "snapshot_resume": q_snapshot_resume,
         "merge_compact": q_merge_compact,
         "merge_spill": q_merge_spill,
@@ -2294,6 +2391,49 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bigram_lm_score": tx.bigram_lm_score_sql("documents", "doc_id", "text", 16),
         "source_caps": mx.source_caps_sql("documents", "doc_id", "source", 120, 7),
+        "binlog_order": r"""
+            WITH pos AS (
+              SELECT event_id % 4 AS server,
+                     'mysql-bin.' || CAST(999996 + event_id % 7 AS VARCHAR) AS binlog_filename,
+                     event_id AS pos
+              FROM events)
+            SELECT server, binlog_filename, pos,
+                   CAST(ROW_NUMBER() OVER (
+                     PARTITION BY server
+                     ORDER BY CAST(regexp_extract(binlog_filename, '\.(\d+)$', 1) AS BIGINT), pos
+                   ) AS BIGINT) AS rk
+            FROM pos
+        """,
+        "topic_route": """
+            WITH layout AS (
+              SELECT (['demo','app','logs'])[CAST(event_id % 3 + 1 AS INT)] AS "schema",
+                     (['users','orders','audit','tmp'])[CAST(event_id % 4 + 1 AS INT)] AS tb
+              FROM events)
+            SELECT "schema", tb,
+                   CASE WHEN "schema" = 'demo' AND tb = 'users' THEN 'cdc.users'
+                        WHEN "schema" = 'app' THEN 'app_all'
+                        ELSE 'fallback' END AS topic,
+                   COUNT(*) AS n
+            FROM layout GROUP BY 1, 2, 3
+        """,
+        "monitor_rollup": """
+            WITH per_sec AS (
+              SELECT epoch_ms(ts) - epoch_ms(ts) % 60000 AS minute_ms,
+                     epoch_ms(ts) - epoch_ms(ts) % 1000 AS sec_ms,
+                     event_type,
+                     COUNT(*) AS n,
+                     SUM(length(props) + length(event_type)) AS sec_bytes,
+                     MAX(CAST(FLOOR(value * 1000) AS BIGINT)) AS sec_rt_max,
+                     SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS sec_rt_sum
+              FROM events GROUP BY 1, 2, 3)
+            SELECT minute_ms, event_type,
+                   CAST(SUM(n) AS BIGINT) AS record_count,
+                   CAST(SUM(sec_bytes) AS BIGINT) AS data_bytes,
+                   CAST(MAX(sec_rt_max) AS BIGINT) AS rt_max_us,
+                   CAST(SUM(sec_rt_sum) AS BIGINT) AS rt_sum_us,
+                   CAST(MAX(sec_bytes) AS BIGINT) AS max_by_sec_bytes
+            FROM per_sec GROUP BY minute_ms, event_type
+        """,
         "segment_rollup": """
             SELECT c_mktsegment, n_name, COUNT(*) AS n_customers,
                    CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total_bal

@@ -52,6 +52,9 @@ BENCH_QUERIES = [
     "redis_rdb",
     "session_windows",
     "windowed_counts",
+    "binlog_order",
+    "topic_route",
+    "monitor_rollup",
     "asof_attribution",
     "interval_join_errors",
     "event_pivot",
