@@ -753,6 +753,23 @@ def q_gtid_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_partition_lanes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RdbPartitioner gate (operators/partition.partition_for_apply —
+    rdb_partitioner.rs:32-82 key-stability guard): every event lands in the
+    'parallel' lane (hash-fanned by key) or the 'serial' lane (NULL key /
+    key-changing update). The oracle re-derives the lane from the stream
+    definition; the hash fan-out itself is engine-internal, the LANE
+    assignment is the correctness contract."""
+    from ape_dts_spark.operators.partition import partition_for_apply
+
+    stream = demo.users_change_stream(spark, sf_dir)
+    parallel, serial = partition_for_apply(stream, ["user_id"], num_partitions=8)
+    return (
+        parallel.select("seq", F.lit("parallel").alias("lane"))
+        .unionByName(serial.select("seq", F.lit("serial").alias("lane")))
+    )
+
+
 def q_binlog_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typed-position ordering gate: MysqlCdcPosition.sort_key (numeric
     binlog-file rotation order, model/position.py — mysql_cdc_extractor.rs
@@ -1682,6 +1699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "binlog_order": q_binlog_order,
         "topic_route": q_topic_route,
         "monitor_rollup": q_monitor_rollup,
+        "partition_lanes": q_partition_lanes,
         "snapshot_resume": q_snapshot_resume,
         "merge_compact": q_merge_compact,
         "merge_spill": q_merge_spill,
@@ -2391,6 +2409,17 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bigram_lm_score": tx.bigram_lm_score_sql("documents", "doc_id", "text", 16),
         "source_caps": mx.source_caps_sql("documents", "doc_id", "source", 120, 7),
+        "partition_lanes": f"""
+            WITH stream AS ({demo.USERS_CHANGE_STREAM_SQL}),
+            tagged AS (
+              SELECT seq,
+                (CASE WHEN row_type = 'delete' THEN before_user_id ELSE after_user_id END IS NULL
+                 OR (row_type = 'update' AND before_user_id IS DISTINCT FROM after_user_id))
+                AS unmergeable
+              FROM stream)
+            SELECT seq, CASE WHEN unmergeable THEN 'serial' ELSE 'parallel' END AS lane
+            FROM tagged
+        """,
         "binlog_order": r"""
             WITH pos AS (
               SELECT event_id % 4 AS server,

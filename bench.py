@@ -55,6 +55,7 @@ BENCH_QUERIES = [
     "binlog_order",
     "topic_route",
     "monitor_rollup",
+    "partition_lanes",
     "asof_attribution",
     "interval_join_errors",
     "event_pivot",
