@@ -753,6 +753,93 @@ def q_gtid_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _nation_ident(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identifier-safe lowercase nation names — the synthetic 'table corpus'
+    the DDL/DCL parser gates are generated from."""
+    n = demo.load(spark, sf_dir, "nation")
+    return n.select(
+        F.lower(F.regexp_replace("n_name", "[^A-Za-z0-9]", "_")).alias("nm")
+    )
+
+
+def q_ddl_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDL-parser gate (plans/ddl_parse.parse_ddl — ddl_statement.rs:6-35 /
+    ddl_parser.rs statement vocabulary): 10 statement shapes per table name
+    (3 quoting styles, MySQL CHANGE COLUMN, RENAME TO, index/database DDL)
+    parsed by the Arrow-batched kernel; the oracle KNOWS each shape's
+    (kind, schema, table) by construction, so any misparse diverges."""
+    import pandas as pd
+
+    from ape_dts_spark.plans.ddl_parse import parse_ddl
+
+    nm = _nation_ident(spark, sf_dir)
+    shapes = [
+        "concat('ALTER TABLE demo.t_', nm, ' ADD COLUMN c_new BIGINT')",
+        "concat('ALTER TABLE `demo`.`t_', nm, '` DROP COLUMN c_old;')",
+        "concat('ALTER TABLE \"demo\".\"t_', nm, '\" RENAME COLUMN a TO b')",
+        "concat('ALTER TABLE demo.t_', nm, ' CHANGE COLUMN a b INT')",
+        "concat('TRUNCATE TABLE demo.t_', nm, '')",
+        "concat('ALTER TABLE demo.t_', nm, ' RENAME TO t2_', nm)",
+        "concat('DROP TABLE demo.t_', nm, '')",
+        "concat('CREATE INDEX idx_', nm, ' ON demo.t_', nm, ' (id)')",
+        "concat('CREATE TABLE demo.t_', nm, ' (id BIGINT, v DOUBLE)')",
+        "concat('DROP DATABASE db_', nm, '')",
+    ]
+    stmts = nm.select(F.explode(F.expr("array(" + ", ".join(shapes) + ")")).alias("stmt"))
+
+    def _parse(batches):
+        for pdf in batches:
+            parsed = [parse_ddl(s) for s in pdf["stmt"]]
+            yield pd.DataFrame(
+                {
+                    "stmt": pdf["stmt"],
+                    "ddl_kind": [p.kind for p in parsed],
+                    "ddl_schema": [p.schema for p in parsed],
+                    "ddl_table": [p.table for p in parsed],
+                }
+            )
+
+    return stmts.mapInPandas(
+        _parse, schema="stmt string, ddl_kind string, ddl_schema string, ddl_table string"
+    )
+
+
+def q_dcl_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DCL-parser gate (plans/dcl_parse.parse_dcl — dcl_type.rs kinds +
+    principal normalization, incl. 'user'@'host' specs): 9 shapes per name,
+    one deliberately unrecognized (ANALYZE) proving the unknown fallback."""
+    import pandas as pd
+
+    from ape_dts_spark.plans.dcl_parse import parse_dcl
+
+    nm = _nation_ident(spark, sf_dir)
+    shapes = [
+        """concat("CREATE USER 'u_", nm, "'@'%' IDENTIFIED BY 'x'")""",
+        "concat('ALTER USER u_', nm, ' PASSWORD EXPIRE')",
+        "concat('CREATE ROLE r_', nm, '')",
+        "concat('DROP USER IF EXISTS u_', nm, '')",
+        "concat('DROP ROLE r_', nm, '')",
+        """concat("GRANT SELECT, INSERT ON demo.* TO 'u_", nm, "'@'10.0.0.1'")""",
+        "concat('REVOKE ALL PRIVILEGES ON *.* FROM u_', nm, '')",
+        "concat('SET ROLE r_', nm, '')",
+        "concat('ANALYZE TABLE t_', nm, '')",
+    ]
+    stmts = nm.select(F.explode(F.expr("array(" + ", ".join(shapes) + ")")).alias("stmt"))
+
+    def _parse(batches):
+        for pdf in batches:
+            parsed = [parse_dcl(s) for s in pdf["stmt"]]
+            yield pd.DataFrame(
+                {
+                    "stmt": pdf["stmt"],
+                    "dcl_kind": [p.kind for p in parsed],
+                    "principal": [p.principal for p in parsed],
+                }
+            )
+
+    return stmts.mapInPandas(_parse, schema="stmt string, dcl_kind string, principal string")
+
+
 def q_partition_lanes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RdbPartitioner gate (operators/partition.partition_for_apply —
     rdb_partitioner.rs:32-82 key-stability guard): every event lands in the
@@ -1700,6 +1787,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topic_route": q_topic_route,
         "monitor_rollup": q_monitor_rollup,
         "partition_lanes": q_partition_lanes,
+        "ddl_parse": q_ddl_parse,
+        "dcl_parse": q_dcl_parse,
         "snapshot_resume": q_snapshot_resume,
         "merge_compact": q_merge_compact,
         "merge_spill": q_merge_spill,
@@ -2409,6 +2498,60 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bigram_lm_score": tx.bigram_lm_score_sql("documents", "doc_id", "text", 16),
         "source_caps": mx.source_caps_sql("documents", "doc_id", "source", 120, 7),
+        "ddl_parse": """
+            WITH nm AS (SELECT lower(regexp_replace(n_name, '[^A-Za-z0-9]', '_', 'g')) AS nm FROM nation)
+            SELECT 'ALTER TABLE demo.t_' || nm || ' ADD COLUMN c_new BIGINT' AS stmt,
+                   'add_column' AS ddl_kind, 'demo' AS ddl_schema, 't_' || nm AS ddl_table FROM nm
+            UNION ALL
+            SELECT 'ALTER TABLE `demo`.`t_' || nm || '` DROP COLUMN c_old;',
+                   'drop_column', 'demo', 't_' || nm FROM nm
+            UNION ALL
+            SELECT 'ALTER TABLE "demo"."t_' || nm || '" RENAME COLUMN a TO b',
+                   'rename_column', 'demo', 't_' || nm FROM nm
+            UNION ALL
+            SELECT 'ALTER TABLE demo.t_' || nm || ' CHANGE COLUMN a b INT',
+                   'rename_column', 'demo', 't_' || nm FROM nm
+            UNION ALL
+            SELECT 'TRUNCATE TABLE demo.t_' || nm,
+                   'truncate_table', 'demo', 't_' || nm FROM nm
+            UNION ALL
+            SELECT 'ALTER TABLE demo.t_' || nm || ' RENAME TO t2_' || nm,
+                   'rename_table', 'demo', 't_' || nm FROM nm
+            UNION ALL
+            SELECT 'DROP TABLE demo.t_' || nm,
+                   'drop_table', 'demo', 't_' || nm FROM nm
+            UNION ALL
+            SELECT 'CREATE INDEX idx_' || nm || ' ON demo.t_' || nm || ' (id)',
+                   'create_index', 'demo', 't_' || nm FROM nm
+            UNION ALL
+            SELECT 'CREATE TABLE demo.t_' || nm || ' (id BIGINT, v DOUBLE)',
+                   'create_table', 'demo', 't_' || nm FROM nm
+            UNION ALL
+            SELECT 'DROP DATABASE db_' || nm,
+                   'drop_database', 'db_' || nm, NULL FROM nm
+        """,
+        "dcl_parse": """
+            WITH nm AS (SELECT lower(regexp_replace(n_name, '[^A-Za-z0-9]', '_', 'g')) AS nm FROM nation)
+            SELECT 'CREATE USER ''u_' || nm || '''@''%'' IDENTIFIED BY ''x''' AS stmt,
+                   'create_user' AS dcl_kind, 'u_' || nm || '@%' AS principal FROM nm
+            UNION ALL
+            SELECT 'ALTER USER u_' || nm || ' PASSWORD EXPIRE', 'alter_user', 'u_' || nm FROM nm
+            UNION ALL
+            SELECT 'CREATE ROLE r_' || nm, 'create_role', 'r_' || nm FROM nm
+            UNION ALL
+            SELECT 'DROP USER IF EXISTS u_' || nm, 'drop_user', 'u_' || nm FROM nm
+            UNION ALL
+            SELECT 'DROP ROLE r_' || nm, 'drop_role', 'r_' || nm FROM nm
+            UNION ALL
+            SELECT 'GRANT SELECT, INSERT ON demo.* TO ''u_' || nm || '''@''10.0.0.1''',
+                   'grant', 'u_' || nm || '@10.0.0.1' FROM nm
+            UNION ALL
+            SELECT 'REVOKE ALL PRIVILEGES ON *.* FROM u_' || nm, 'revoke', 'u_' || nm FROM nm
+            UNION ALL
+            SELECT 'SET ROLE r_' || nm, 'set_role', 'r_' || nm FROM nm
+            UNION ALL
+            SELECT 'ANALYZE TABLE t_' || nm, 'unknown', NULL FROM nm
+        """,
         "partition_lanes": f"""
             WITH stream AS ({demo.USERS_CHANGE_STREAM_SQL}),
             tagged AS (

@@ -56,6 +56,8 @@ BENCH_QUERIES = [
     "topic_route",
     "monitor_rollup",
     "partition_lanes",
+    "ddl_parse",
+    "dcl_parse",
     "asof_attribution",
     "interval_join_errors",
     "event_pivot",
