@@ -1342,6 +1342,27 @@ def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.bpe_pair_counts(demo.load(spark, sf_dir, "documents"), "text", k=200)
 
 
+def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-5 terms by integer-exact tf-idf (tx.tfidf_top_terms) —
+    keyword extraction over the corpus; ranking key tf*1e6 div df replaces
+    the float idf log so both engines order identically."""
+    return tx.tfidf_top_terms(demo.load(spark, sf_dir, "documents"), "doc_id", "text", k=5)
+
+
+def q_heartbeat_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heartbeat read-side gate (windowed.heartbeat_lag — the extractor
+    heartbeat's downstream consumer, mysql_cdc_extractor.rs:468-540): max
+    event time + count, epoch-ms canonical."""
+    from ape_dts_spark.streaming import windowed as wd2
+
+    ev = demo.load(spark, sf_dir, "events")
+    out = wd2.heartbeat_lag(ev)
+    return out.select(
+        F.unix_millis(F.col("max_event_ts").cast("timestamp")).alias("max_event_ms"),
+        "n_events",
+    )
+
+
 def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N-gram LM typicality scoring (KenLM/CCNet-style perplexity filtering,
     integer-exact form): train bigram+unigram counts on the corpus, score
@@ -1789,6 +1810,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "partition_lanes": q_partition_lanes,
         "ddl_parse": q_ddl_parse,
         "dcl_parse": q_dcl_parse,
+        "tfidf_topterms": q_tfidf_topterms,
+        "heartbeat_lag": q_heartbeat_lag,
         "snapshot_resume": q_snapshot_resume,
         "merge_compact": q_merge_compact,
         "merge_spill": q_merge_spill,
@@ -2498,6 +2521,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bigram_lm_score": tx.bigram_lm_score_sql("documents", "doc_id", "text", 16),
         "source_caps": mx.source_caps_sql("documents", "doc_id", "source", 120, 7),
+        "tfidf_topterms": tx.tfidf_top_terms_sql("documents", "doc_id", "text", 5),
+        "heartbeat_lag": """
+            SELECT epoch_ms(MAX(ts)) AS max_event_ms, COUNT(*) AS n_events FROM events
+        """,
         "ddl_parse": """
             WITH nm AS (SELECT lower(regexp_replace(n_name, '[^A-Za-z0-9]', '_', 'g')) AS nm FROM nation)
             SELECT 'ALTER TABLE demo.t_' || nm || ' ADD COLUMN c_new BIGINT' AS stmt,

@@ -821,3 +821,73 @@ SELECT d.{id_col},
        CAST(COALESCE(sum_pair_freq, 0) AS BIGINT) AS sum_pair_freq
 FROM {table} d LEFT JOIN scored ON d.{id_col} = scored.sid
 """
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-document top-k terms by tf-idf — the keyword-extraction /
+    rare-term-indexing pass of corpus analytics, in integer-exact form: the
+    ranking key is ``tf * scale // df`` (term frequency in the doc scaled
+    against corpus document frequency). Integer division replaces the float
+    idf log — the ORDERING matches tf/df to 1e-6 resolution and is exact in
+    any engine, where log()-based scores differ in the last ulp between JVM
+    and libm and break cross-engine gates.
+
+    Scale shape: one explode + per-(doc,term) count, a corpus-DF hash agg
+    whose state is the vocabulary, a hash equi-join term->df, and one
+    per-doc top-k window — all map-side-combinable; no global sort. At 100
+    TB, broadcast the DF table's head (the vocabulary tail is hapax: df=1
+    needs no join — absent means df=1).
+    """
+    from pyspark.sql import Window
+
+    terms = df.select(
+        F.col(id_col), F.explode(F.expr(tokens_expr(text_col))).alias("term")
+    )
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = (
+        terms.select(id_col, "term")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    scored = tf.join(dfreq, "term").withColumn(
+        "score", F.expr(f"tf * {scale} div df").cast("long")
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select(id_col, "term", "tf", "df", "score", "rk")
+    )
+
+
+def tfidf_top_terms_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    scale: int = 1_000_000,
+) -> str:
+    """DuckDB twin of tfidf_top_terms (// = Spark's div on BIGINT)."""
+    return f"""
+WITH terms AS (SELECT {id_col}, unnest({tokens_sql(text_col)}) AS term FROM {table}),
+tf AS (SELECT {id_col}, term, COUNT(*) AS tf FROM terms GROUP BY {id_col}, term),
+dfreq AS (SELECT term, COUNT(DISTINCT {id_col}) AS df FROM terms GROUP BY term),
+scored AS (
+  SELECT tf.{id_col}, tf.term, tf.tf, dfreq.df,
+         CAST(tf.tf * {scale} // dfreq.df AS BIGINT) AS score
+  FROM tf JOIN dfreq USING (term))
+SELECT {id_col}, term, tf, df, score,
+       CAST(rk AS BIGINT) AS rk
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY {id_col}
+              ORDER BY score DESC, term ASC) AS rk FROM scored) t
+WHERE rk <= {k}
+"""

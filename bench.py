@@ -75,6 +75,8 @@ BENCH_QUERIES = [
     "clf_score",
     "bigram_lm_score",
     "source_caps",
+    "tfidf_topterms",
+    "heartbeat_lag",
     "corpus_pipeline",
     "token_mix",
     "sequence_packing",
