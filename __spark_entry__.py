@@ -723,6 +723,38 @@ def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_nation_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five-way join volume query (TPC-H Q7 shape): revenue flows between
+    supplier nation and customer nation. The two big tables (lineitem,
+    orders) hash-join once on orderkey; supplier, customer and BOTH aliased
+    nation dims broadcast — the fact side shuffles exactly once. DECIMAL
+    revenue, cast to double only at the end."""
+    l = demo.load(spark, sf_dir, "lineitem")
+    o = demo.load(spark, sf_dir, "orders")
+    s = demo.load(spark, sf_dir, "supplier")
+    c = demo.load(spark, sf_dir, "customer")
+    n = demo.load(spark, sf_dir, "nation")
+    n1 = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
+    dec = lambda col: F.col(col).cast("decimal(18,2)")  # noqa: E731
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("s_nk"))
+        .join(F.broadcast(n2), c.c_nationkey == F.col("c_nk"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation")
+        .agg(
+            F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount")))
+            .cast("decimal(28,4)")
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
 def q_gtid_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typed-position algebra gate: the GTID interval-coalescing kernel
     (model/position._coalesce — merges touching/adjacent transaction-id
@@ -1799,7 +1831,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_scan": q_snapshot_scan,
         "snapshot_chunked": q_snapshot_chunked,
         # ---------------------------- slot 50 ends here ----------------------
-        # -- new in round 4, past the window: rotate into slots 1.. next round
+        # -- ROUND 5 BUILDER: rotate this block into slots 1..N (these were
+        # -- added mid-round-4 after the window was frozen; every one is
+        # -- locally green incl. CHECK_VANILLA but has no driver row yet) --
         "important_parts": q_important_parts,
         "top_supplier": q_top_supplier,
         "bigram_lm_score": q_bigram_lm_score,
@@ -1812,6 +1846,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dcl_parse": q_dcl_parse,
         "tfidf_topterms": q_tfidf_topterms,
         "heartbeat_lag": q_heartbeat_lag,
+        "nation_trade_flows": q_nation_trade_flows,
+        # -- end round-4 additions (rotate block above) -----------------------
         "snapshot_resume": q_snapshot_resume,
         "merge_compact": q_merge_compact,
         "merge_spill": q_merge_spill,
@@ -2522,6 +2558,21 @@ def oracle_sql() -> dict[str, str]:
         "bigram_lm_score": tx.bigram_lm_score_sql("documents", "doc_id", "text", 16),
         "source_caps": mx.source_caps_sql("documents", "doc_id", "source", 120, 7),
         "tfidf_topterms": tx.tfidf_top_terms_sql("documents", "doc_id", "text", 5),
+        "nation_trade_flows": """
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+                        AS DECIMAL(28,4)) AS DOUBLE) AS revenue,
+                   COUNT(*) AS n_items
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE n1.n_name <> n2.n_name
+            GROUP BY n1.n_name, n2.n_name
+        """,
         "heartbeat_lag": """
             SELECT epoch_ms(MAX(ts)) AS max_event_ms, COUNT(*) AS n_events FROM events
         """,

@@ -40,6 +40,7 @@ BENCH_QUERIES = [
     "order_gaps",
     "important_parts",
     "top_supplier",
+    "nation_trade_flows",
     "update_split",
     "snapshot_resume",
     "wire_roundtrip",

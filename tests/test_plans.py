@@ -170,3 +170,11 @@ def test_source_caps_single_shuffle(spark, sf_dir):
     # one hash shuffle on source + per-group window; no join, no extra pass
     plan = _plan(spark, sf_dir, "source_caps")
     assert plan.count("Exchange hashpartitioning") == 1 and "Join" not in plan
+
+
+def test_nation_trade_flows_broadcasts_all_dims(spark, sf_dir):
+    # Q7 shape: supplier/customer/both nation aliases broadcast; the only
+    # shuffle-joined pair is lineitem x orders on orderkey
+    plan = _plan(spark, sf_dir, "nation_trade_flows")
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
