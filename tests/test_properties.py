@@ -283,3 +283,65 @@ def test_interval_join_equals_brute_force(spark, case):
         want = {(pid, iid) for k, t, pid in pts
                 for ik, s, e, iid in ivs if ik == k and s <= t < e}
         assert got == want
+
+
+# ---------------------------------------------------------------------------
+# bigram LM scoring / tf-idf top terms vs brute force
+# ---------------------------------------------------------------------------
+
+_words = st.sampled_from(["a", "b", "cc", "dd", "e1", "f"])
+_doc_texts = st.lists(
+    st.lists(_words, min_size=0, max_size=6).map(" ".join), min_size=1, max_size=8
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_doc_texts)
+def test_bigram_lm_score_equals_brute_force(spark, texts):
+    from collections import Counter
+
+    from ape_dts_spark.functions.text import bigram_lm_score
+
+    rows = list(enumerate(texts))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in bigram_lm_score(df, "doc_id", "text", 4).collect()}
+
+    toks = {i: t.split() for i, t in rows}
+    pair_freq = Counter(p for ts in toks.values() for p in zip(ts, ts[1:]))
+    uni_freq = Counter(w for ts in toks.values() for w in ts)
+    for i, ts in toks.items():
+        pairs = list(zip(ts, ts[1:]))
+        want = {
+            "doc_id": i,
+            "n_bigrams": len(pairs),
+            "n_hapax": sum(1 for p in pairs if pair_freq[p] == 1),
+            "n_unlikely": sum(1 for p in pairs if pair_freq[p] * 4 < uni_freq[p[0]]),
+            "sum_pair_freq": sum(pair_freq[p] for p in pairs),
+        }
+        assert got[i] == want
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_doc_texts)
+def test_tfidf_topterms_equals_brute_force(spark, texts):
+    from collections import Counter
+
+    from ape_dts_spark.functions.text import tfidf_top_terms
+
+    rows = list(enumerate(texts))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got: dict[int, list] = {}
+    for r in tfidf_top_terms(df, "doc_id", "text", k=3).collect():
+        got.setdefault(r["doc_id"], []).append((r["rk"], r["term"], r["tf"], r["df"], r["score"]))
+
+    toks = {i: t.split() for i, t in rows}
+    dfreq = Counter(w for ts in toks.values() for w in set(ts))
+    for i, ts in toks.items():
+        tf = Counter(ts)
+        scored = sorted(
+            ((tf[w] * 1_000_000 // dfreq[w], w) for w in tf), key=lambda x: (-x[0], x[1])
+        )
+        want = [
+            (rk + 1, w, tf[w], dfreq[w], sc) for rk, (sc, w) in enumerate(scored[:3])
+        ]
+        assert sorted(got.get(i, [])) == want
