@@ -723,6 +723,24 @@ def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe salted join gate (operators/partition.salted_join — the
+    explicit tool for hot keys beyond AQE's skew threshold): events joined
+    to a per-user dim through 16-way salting must aggregate to EXACTLY the
+    plain-join result (the oracle). Salting changes the physical fan-out,
+    never the relation."""
+    from ape_dts_spark.operators.partition import salted_join
+
+    ev = demo.load(spark, sf_dir, "events").select("user_id", "event_type")
+    dim = demo.load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = salted_join(ev, dim, ["user_id"], how="inner", salt_buckets=16)
+    return joined.groupBy("c_mktsegment", "event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.count_distinct("user_id").alias("n_users")
+    )
+
+
 def q_nation_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Five-way join volume query (TPC-H Q7 shape): revenue flows between
     supplier nation and customer nation. The two big tables (lineitem,
@@ -1847,6 +1865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topterms": q_tfidf_topterms,
         "heartbeat_lag": q_heartbeat_lag,
         "nation_trade_flows": q_nation_trade_flows,
+        "salted_join": q_salted_join,
         # -- end round-4 additions (rotate block above) -----------------------
         "snapshot_resume": q_snapshot_resume,
         "merge_compact": q_merge_compact,
@@ -2558,6 +2577,12 @@ def oracle_sql() -> dict[str, str]:
         "bigram_lm_score": tx.bigram_lm_score_sql("documents", "doc_id", "text", 16),
         "source_caps": mx.source_caps_sql("documents", "doc_id", "source", 120, 7),
         "tfidf_topterms": tx.tfidf_top_terms_sql("documents", "doc_id", "text", 5),
+        "salted_join": """
+            SELECT c_mktsegment, event_type, COUNT(*) AS n,
+                   COUNT(DISTINCT user_id) AS n_users
+            FROM events JOIN customer ON user_id = c_custkey
+            GROUP BY c_mktsegment, event_type
+        """,
         "nation_trade_flows": """
             SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                    CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))

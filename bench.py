@@ -41,6 +41,7 @@ BENCH_QUERIES = [
     "important_parts",
     "top_supplier",
     "nation_trade_flows",
+    "salted_join",
     "update_split",
     "snapshot_resume",
     "wire_roundtrip",

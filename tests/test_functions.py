@@ -346,6 +346,12 @@ def test_new_operators_tolerate_empty_inputs(spark):
 
     assert rdb.parse_rdb_bytes(rdb.encode_rdb([])) == []
 
+    # round-4 additions
+    assert tx.bigram_lm_score(docs).count() == 0
+    assert tx.tfidf_top_terms(docs).count() == 0
+    docs_src = spark.createDataFrame([], "doc_id long, source string")
+    assert mx.source_caps(docs_src).count() == 0
+
 
 def test_doc_chunks_overlap_and_coverage(spark):
     """Chunk i starts at token i*stride; chunks cover every token; short and
