@@ -723,6 +723,83 @@ def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ddl_in_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution THROUGH the CDC apply path, driver-gated: batch 0
+    carries the first half of the (key-stable) change stream plus an ADD
+    COLUMN DDL barrier mid-sequence (applied in seq-ordered segments,
+    streaming/cdc.apply_batch — base_parallelizer.rs:27-50 barrier
+    semantics); batch 1's payload carries the NEW column (tier = user_id %
+    5). Final table state: keys last touched before the DDL read NULL tier
+    (schema-on-read backfill), keys last touched after carry it — exactly
+    what the oracle derives from the stream definition."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from ape_dts_spark.sinks.parquet_table import ParquetTable
+    from ape_dts_spark.streaming.cdc import CdcPipeline
+
+    stream = demo.users_change_stream(spark, sf_dir)
+    mid = stream.agg(F.max("seq")).first()[0] // 2
+    keyed = stream.filter(
+        F.when(F.col("row_type") == "delete", F.col("before.user_id").isNotNull())
+        .when(F.col("row_type") == "insert", F.col("after.user_id").isNotNull())
+        .otherwise(
+            F.col("before.user_id").isNotNull()
+            & (F.col("before.user_id") == F.col("after.user_id"))
+        )
+    ).withColumn("ts", F.lit(None).cast("timestamp"))
+
+    payload = T.StructType(
+        [T.StructField("user_id", T.LongType()), T.StructField("value", T.DoubleType())]
+    )
+    root = tempfile.mkdtemp(prefix="ape_ddl_")
+    table = ParquetTable(spark, os.path.join(root, "users"), payload)
+    pipe = CdcPipeline(spark, table, key_cols=["user_id"])
+
+    # DML seqs doubled (all even) so the odd DDL seq can never collide with
+    # an event — apply_batch's barrier bounds are EXCLUSIVE on the DDL seq
+    b0 = (
+        keyed.filter(F.col("seq") <= mid)
+        .select(
+            "schema", "tb", "row_type", "before", "after",
+            (F.col("seq") * 2).alias("seq"), "ts", F.lit(None).cast("string").alias("ddl"),
+        )
+    )
+    ddl_row = spark.range(1).select(
+        F.lit("demo").alias("schema"),
+        F.lit("users").alias("tb"),
+        F.lit("ddl").alias("row_type"),
+        F.lit(None).cast("struct<user_id:bigint,value:double>").alias("before"),
+        F.lit(None).cast("struct<user_id:bigint,value:double>").alias("after"),
+        F.lit(2 * (mid // 2) + 1).cast("long").alias("seq"),
+        F.lit(None).cast("timestamp").alias("ts"),
+        F.lit("ALTER TABLE demo.users ADD COLUMN tier BIGINT").alias("ddl"),
+    )
+    pipe.apply_batch(b0.unionByName(ddl_row), batch_id=0)
+
+    def _ext(side: str) -> F.Column:
+        return F.when(
+            F.col(side).isNotNull(),
+            F.struct(
+                F.col(f"{side}.user_id").alias("user_id"),
+                F.col(f"{side}.value").alias("value"),
+                (F.col(f"{side}.user_id") % 5).alias("tier"),
+            ),
+        )
+
+    b1 = (
+        keyed.filter(F.col("seq") > mid)
+        .select(
+            "schema", "tb", "row_type",
+            _ext("before").alias("before"), _ext("after").alias("after"),
+            (F.col("seq") * 2).alias("seq"), "ts", F.lit(None).cast("string").alias("ddl"),
+        )
+    )
+    pipe.apply_batch(b1, batch_id=1)
+    return table.current().select("user_id", "value", "tier")
+
+
 def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe salted join gate (operators/partition.salted_join — the
     explicit tool for hot keys beyond AQE's skew threshold): events joined
@@ -1866,6 +1943,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heartbeat_lag": q_heartbeat_lag,
         "nation_trade_flows": q_nation_trade_flows,
         "salted_join": q_salted_join,
+        "ddl_in_stream": q_ddl_in_stream,
         # -- end round-4 additions (rotate block above) -----------------------
         "snapshot_resume": q_snapshot_resume,
         "merge_compact": q_merge_compact,
@@ -2577,6 +2655,14 @@ def oracle_sql() -> dict[str, str]:
         "bigram_lm_score": tx.bigram_lm_score_sql("documents", "doc_id", "text", 16),
         "source_caps": mx.source_caps_sql("documents", "doc_id", "source", 120, 7),
         "tfidf_topterms": tx.tfidf_top_terms_sql("documents", "doc_id", "text", 5),
+        "ddl_in_stream": f"""
+            WITH stream AS ({demo.USERS_CHANGE_STREAM_SQL}),
+            {_users_state_cte("v1", "TRUE").strip()}
+            SELECT after_user_id AS user_id, after_value AS value,
+                   CASE WHEN seq > (SELECT MAX(seq) // 2 FROM stream)
+                        THEN after_user_id % 5 END AS tier
+            FROM last_v1 WHERE rn = 1 AND is_set = 1
+        """,
         "salted_join": """
             SELECT c_mktsegment, event_type, COUNT(*) AS n,
                    COUNT(DISTINCT user_id) AS n_users

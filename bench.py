@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "interval_join_errors",
     "event_pivot",
     "fk_apply_order",
+    "ddl_in_stream",
     # training-data pipeline extensions (BASELINE.json north star)
     "dedup_exact",
     "doc_fingerprint",
