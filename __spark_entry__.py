@@ -1821,6 +1821,21 @@ def q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) event-time windows — 2-day window, 1-day slide, so
+    every event lands in exactly two buckets (wd.sliding_event_counts; the
+    rolling-rate shape next to the tumbling gate). Epoch-ms bounds keep the
+    output engine-canonical."""
+    ev = demo.load(spark, sf_dir, "events")
+    out = wd.sliding_event_counts(ev, window="2 days", slide="1 day")
+    return out.select(
+        F.unix_millis(F.col("window_start").cast("timestamp")).alias("window_start_ms"),
+        F.unix_millis(F.col("window_end").cast("timestamp")).alias("window_end_ms"),
+        "event_type",
+        "n",
+    )
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-language sample quotas with deterministic membership
     (training-data mixing; df.sampleBy is probabilistic, quotas here are
@@ -1944,6 +1959,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_trade_flows": q_nation_trade_flows,
         "salted_join": q_salted_join,
         "ddl_in_stream": q_ddl_in_stream,
+        "sliding_counts": q_sliding_counts,
         # -- end round-4 additions (rotate block above) -----------------------
         "snapshot_resume": q_snapshot_resume,
         "merge_compact": q_merge_compact,
@@ -2655,6 +2671,14 @@ def oracle_sql() -> dict[str, str]:
         "bigram_lm_score": tx.bigram_lm_score_sql("documents", "doc_id", "text", 16),
         "source_caps": mx.source_caps_sql("documents", "doc_id", "source", 120, 7),
         "tfidf_topterms": tx.tfidf_top_terms_sql("documents", "doc_id", "text", 5),
+        "sliding_counts": """
+            SELECT epoch_ms(date_trunc('day', ts)) - off AS window_start_ms,
+                   epoch_ms(date_trunc('day', ts)) - off + 172800000 AS window_end_ms,
+                   event_type,
+                   COUNT(*) AS n
+            FROM events CROSS JOIN (VALUES (CAST(0 AS BIGINT)), (CAST(86400000 AS BIGINT))) o(off)
+            GROUP BY 1, 2, 3
+        """,
         "ddl_in_stream": f"""
             WITH stream AS ({demo.USERS_CHANGE_STREAM_SQL}),
             {_users_state_cte("v1", "TRUE").strip()}

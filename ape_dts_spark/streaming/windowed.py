@@ -52,6 +52,33 @@ def windowed_event_counts(
     )
 
 
+def sliding_event_counts(
+    events: DataFrame,
+    window: str = "2 days",
+    slide: str = "1 day",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Sliding (hopping) event-time windows: each event lands in
+    window/slide overlapping buckets (`F.window` with a slide duration —
+    the moving-average / rolling-rate shape next to the tumbling operator).
+    Works on batch DataFrames too. Output: (window_start, window_end,
+    event_type, n)."""
+    if dict(events.dtypes).get(ts_col) == "timestamp_ntz":
+        events = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    src = events.withWatermark(ts_col, watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window(F.col(ts_col), window, slide).alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+        )
+    )
+
+
 def session_windows(
     events: DataFrame,
     gap: str = "30 minutes",

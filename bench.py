@@ -54,6 +54,7 @@ BENCH_QUERIES = [
     "redis_rdb",
     "session_windows",
     "windowed_counts",
+    "sliding_counts",
     "binlog_order",
     "topic_route",
     "monitor_rollup",

@@ -159,3 +159,14 @@ def test_watermark_dedup_batch_degrades(spark):
         "id long, seq long, ts string",
     ).withColumn("ts", F.col("ts").cast("timestamp"))
     assert watermark_dedup(df, ["id", "seq"], "ts").count() == 2
+
+
+def test_sliding_counts_every_event_in_two_buckets(spark, sf_dir):
+    from ape_dts_spark import demo
+    from ape_dts_spark.streaming import windowed as wd
+    from pyspark.sql import functions as F
+
+    ev = demo.load(spark, sf_dir, "events")
+    out = wd.sliding_event_counts(ev, window="2 days", slide="1 day")
+    total = out.agg(F.sum("n")).first()[0]
+    assert total == 2 * ev.count()
