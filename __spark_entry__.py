@@ -723,6 +723,61 @@ def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Structured Streaming end-to-end, driver-gated: the change stream
+    is serialized to Debezium JSONL files partitioned BY KEY (each key's
+    whole history in one file, so micro-batch arrival order cannot reorder
+    a key's events), consumed via readStream + maxFilesPerTrigger=1 (several
+    genuine micro-batches), applied through CdcPipeline.run (foreachBatch +
+    checkpoint + availableNow drain — streaming/cdc.py:366-388). Final
+    table state must equal the stream-replay oracle. This gates the actual
+    streaming machinery — trigger, checkpoint commits, epoch idempotency —
+    not a batch emulation of it."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from ape_dts_spark.sinks.parquet_table import ParquetTable
+    from ape_dts_spark.streaming.cdc import CdcPipeline, read_json_change_stream
+
+    stream = demo.users_change_stream(spark, sf_dir)
+    keyed = stream.filter(
+        F.when(F.col("row_type") == "delete", F.col("before.user_id").isNotNull())
+        .when(F.col("row_type") == "insert", F.col("after.user_id").isNotNull())
+        .otherwise(
+            F.col("before.user_id").isNotNull()
+            & (F.col("before.user_id") == F.col("after.user_id"))
+        )
+    )
+    env = F.to_json(
+        F.struct(
+            F.col("row_type").alias("op"),
+            F.col("before"),
+            F.col("after"),
+            F.struct(
+                F.lit("demo").alias("db"),
+                F.lit("users").alias("table"),
+                (F.lit(1700000000000) + F.col("seq")).alias("ts_ms"),
+                F.col("seq").alias("seq"),
+                F.lit(None).cast("string").alias("origin_node"),
+            ).alias("source"),
+        )
+    )
+    key = F.coalesce(F.col("after.user_id"), F.col("before.user_id"))
+    root = tempfile.mkdtemp(prefix="ape_stream_")
+    src = os.path.join(root, "src")
+    keyed.repartition(4, key).select(env.alias("value")).write.mode("overwrite").text(src)
+
+    payload = T.StructType(
+        [T.StructField("user_id", T.LongType()), T.StructField("value", T.DoubleType())]
+    )
+    table = ParquetTable(spark, os.path.join(root, "users"), payload)
+    pipe = CdcPipeline(spark, table, key_cols=["user_id"])
+    changes = read_json_change_stream(spark, src, payload, max_files_per_trigger=1)
+    pipe.run(changes, os.path.join(root, "ckpt"))  # availableNow drain
+    return table.current().select("user_id", "value")
+
+
 def q_ddl_in_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema evolution THROUGH the CDC apply path, driver-gated: batch 0
     carries the first half of the (key-stable) change stream plus an ADD
@@ -1960,6 +2015,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_join": q_salted_join,
         "ddl_in_stream": q_ddl_in_stream,
         "sliding_counts": q_sliding_counts,
+        "stream_e2e": q_stream_e2e,
         # -- end round-4 additions (rotate block above) -----------------------
         "snapshot_resume": q_snapshot_resume,
         "merge_compact": q_merge_compact,
@@ -2671,6 +2727,11 @@ def oracle_sql() -> dict[str, str]:
         "bigram_lm_score": tx.bigram_lm_score_sql("documents", "doc_id", "text", 16),
         "source_caps": mx.source_caps_sql("documents", "doc_id", "source", 120, 7),
         "tfidf_topterms": tx.tfidf_top_terms_sql("documents", "doc_id", "text", 5),
+        "stream_e2e": f"""
+            WITH stream AS ({demo.USERS_CHANGE_STREAM_SQL}),
+            {_users_state_cte("v1", "TRUE").strip()}
+            SELECT user_id, value FROM state_v1
+        """,
         "sliding_counts": """
             SELECT epoch_ms(date_trunc('day', ts)) - off AS window_start_ms,
                    epoch_ms(date_trunc('day', ts)) - off + 172800000 AS window_end_ms,

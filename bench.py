@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "event_pivot",
     "fk_apply_order",
     "ddl_in_stream",
+    "stream_e2e",
     # training-data pipeline extensions (BASELINE.json north star)
     "dedup_exact",
     "doc_fingerprint",
