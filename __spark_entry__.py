@@ -778,6 +778,70 @@ def q_stream_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.current().select("user_id", "value")
 
 
+def q_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator, driver-gated
+    (windowed.stateful_seq_dedup — applyInPandasWithState, one high-water
+    seq per key): the key-partitioned stream is written TWICE (the second
+    copy is an at-source replay landing in later micro-batches), consumed
+    via readStream + maxFilesPerTrigger=1, and every replayed event must be
+    dropped — by the in-batch sort+unique or by the cross-batch state,
+    whichever batch boundary the file source happens to pick. The oracle is
+    the replay-free stream."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from ape_dts_spark.streaming.cdc import read_json_change_stream
+    from ape_dts_spark.streaming.windowed import stateful_seq_dedup
+
+    stream = demo.users_change_stream(spark, sf_dir)
+    keyed = stream.filter(
+        F.when(F.col("row_type") == "delete", F.col("before.user_id").isNotNull())
+        .when(F.col("row_type") == "insert", F.col("after.user_id").isNotNull())
+        .otherwise(
+            F.col("before.user_id").isNotNull()
+            & (F.col("before.user_id") == F.col("after.user_id"))
+        )
+    )
+    env = F.to_json(
+        F.struct(
+            F.col("row_type").alias("op"),
+            F.col("before"),
+            F.col("after"),
+            F.struct(
+                F.lit("demo").alias("db"),
+                F.lit("users").alias("table"),
+                (F.lit(1700000000000) + F.col("seq")).alias("ts_ms"),
+                F.col("seq").alias("seq"),
+                F.lit(None).cast("string").alias("origin_node"),
+            ).alias("source"),
+        )
+    )
+    key = F.coalesce(F.col("after.user_id"), F.col("before.user_id"))
+    root = tempfile.mkdtemp(prefix="ape_sdedup_")
+    src = os.path.join(root, "src")
+    lines = keyed.repartition(4, key).select(env.alias("value"))
+    lines.write.mode("overwrite").text(src)
+    lines.write.mode("append").text(src)  # the at-source replay copy
+
+    payload = T.StructType(
+        [T.StructField("user_id", T.LongType()), T.StructField("value", T.DoubleType())]
+    )
+    changes = read_json_change_stream(spark, src, payload, max_files_per_trigger=1)
+    deduped = stateful_seq_dedup(changes, ["user_id"])
+    qname = "ape_stateful_dedup_out"
+    (
+        deduped.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return spark.table(qname).select("schema", "tb", "row_type", "seq", "key")
+
+
 def q_ddl_in_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema evolution THROUGH the CDC apply path, driver-gated: batch 0
     carries the first half of the (key-stable) change stream plus an ADD
@@ -2016,6 +2080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ddl_in_stream": q_ddl_in_stream,
         "sliding_counts": q_sliding_counts,
         "stream_e2e": q_stream_e2e,
+        "stateful_dedup": q_stateful_dedup,
         # -- end round-4 additions (rotate block above) -----------------------
         "snapshot_resume": q_snapshot_resume,
         "merge_compact": q_merge_compact,
@@ -2727,6 +2792,19 @@ def oracle_sql() -> dict[str, str]:
         "bigram_lm_score": tx.bigram_lm_score_sql("documents", "doc_id", "text", 16),
         "source_caps": mx.source_caps_sql("documents", "doc_id", "source", 120, 7),
         "tfidf_topterms": tx.tfidf_top_terms_sql("documents", "doc_id", "text", 5),
+        "stateful_dedup": f"""
+            WITH stream AS ({demo.USERS_CHANGE_STREAM_SQL}),
+            keyed AS (
+              SELECT * FROM stream
+              WHERE CASE row_type
+                      WHEN 'delete' THEN before_user_id IS NOT NULL
+                      WHEN 'insert' THEN after_user_id IS NOT NULL
+                      ELSE before_user_id IS NOT NULL AND before_user_id = after_user_id END)
+            SELECT "schema", tb, row_type, seq,
+                   CAST(CASE WHEN row_type = 'delete' THEN before_user_id
+                             ELSE after_user_id END AS VARCHAR) AS key
+            FROM keyed
+        """,
         "stream_e2e": f"""
             WITH stream AS ({demo.USERS_CHANGE_STREAM_SQL}),
             {_users_state_cte("v1", "TRUE").strip()}

@@ -67,6 +67,9 @@ BENCH_QUERIES = [
     "fk_apply_order",
     "ddl_in_stream",
     "stream_e2e",
+    # 8 sequential micro-batches of fixed streaming overhead — wall time is
+    # per-trigger cost, not data volume (see SCALING.md philosophy)
+    "stateful_dedup",
     # training-data pipeline extensions (BASELINE.json north star)
     "dedup_exact",
     "doc_fingerprint",
