@@ -818,6 +818,11 @@ def q_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     key = F.coalesce(F.col("after.user_id"), F.col("before.user_id"))
+    # a vanilla session defaults to 200 shuffle partitions; 8 micro-batches
+    # x 200 state-shuffle tasks is pure scheduling overhead at gate scale —
+    # pin to the repo session's width (runtime-settable, like demo.load's
+    # confs; result is partition-count-independent)
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
     root = tempfile.mkdtemp(prefix="ape_sdedup_")
     src = os.path.join(root, "src")
     lines = keyed.repartition(4, key).select(env.alias("value"))
