@@ -1091,6 +1091,74 @@ def q_dcl_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stmts.mapInPandas(_parse, schema="stmt string, dcl_kind string, principal string")
 
 
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foxlake ORC sink/source path (foxlake_sinker.rs pushes ORC objects;
+    task.py rides native spark.read/write.orc): a filtered lineitem slice is
+    written as ORC, read back, and aggregated — the oracle computes the same
+    aggregate straight from parquet, so any lossy type round-trip (decimal,
+    timestamp) diverges."""
+    import tempfile
+
+    l = (
+        demo.load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= 40)
+        .select("l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice", "l_shipdate")
+    )
+    root = tempfile.mkdtemp(prefix="ape_orc_")
+    path = os.path.join(root, "lineitem_orc")
+    l.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("decimal(28,2)")
+        .cast("double")
+        .alias("total_price"),
+        F.min("l_orderkey").alias("k_min"),
+        F.max("l_orderkey").alias("k_max"),
+        F.unix_millis(F.max("l_shipdate").cast("timestamp")).alias("max_ship_ms"),
+    )
+
+
+def q_struct_objects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct-object sinker gate for the non-table object kinds
+    (structure_type.rs:5-30 Udt / Udf / Rbac — plans/struct_migration.py
+    to_udt_ddl / to_udf_ddl / to_rbac_ddl, PG dialect = the native home):
+    one enum type, one SQL function and one role+grant per table name,
+    emitted by the Arrow kernel; the oracle constructs the exact DDL text
+    independently, so any quoting/ordering drift diverges."""
+    import pandas as pd
+
+    from ape_dts_spark.plans.struct_migration import (
+        RbacDef,
+        UdfDef,
+        UdtDef,
+        to_rbac_ddl,
+        to_udf_ddl,
+        to_udt_ddl,
+    )
+
+    nm = _nation_ident(spark, sf_dir)
+
+    def _emit(batches):
+        for pdf in batches:
+            rows = []
+            for n in pdf["nm"]:
+                udt = UdtDef(f"t_{n}_status", "enum", ("new", f"active_{n}", "done"))
+                udf = UdfDef(f"fn_{n}", "a integer, b integer", "integer", "sql", "SELECT a + b")
+                rbac = RbacDef(f"r_{n}", (f"SELECT ON TABLE t_{n}",))
+                for kind, stmts in (
+                    ("udt", to_udt_ddl("demo", udt, "pg")),
+                    ("udf", to_udf_ddl("demo", udf, "pg")),
+                    ("rbac", to_rbac_ddl("demo", rbac, "pg")),
+                ):
+                    for i, s in enumerate(stmts):
+                        rows.append((n, kind, i, s))
+            yield pd.DataFrame(rows, columns=["nm", "obj_kind", "stmt_no", "ddl"])
+
+    return nm.mapInPandas(_emit, schema="nm string, obj_kind string, stmt_no long, ddl string")
+
+
 def q_partition_lanes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RdbPartitioner gate (operators/partition.partition_for_apply —
     rdb_partitioner.rs:32-82 key-stability guard): every event lands in the
@@ -2086,6 +2154,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_counts": q_sliding_counts,
         "stream_e2e": q_stream_e2e,
         "stateful_dedup": q_stateful_dedup,
+        "struct_objects": q_struct_objects,
+        "orc_roundtrip": q_orc_roundtrip,
         # -- end round-4 additions (rotate block above) -----------------------
         "snapshot_resume": q_snapshot_resume,
         "merge_compact": q_merge_compact,
@@ -2797,6 +2867,30 @@ def oracle_sql() -> dict[str, str]:
         "bigram_lm_score": tx.bigram_lm_score_sql("documents", "doc_id", "text", 16),
         "source_caps": mx.source_caps_sql("documents", "doc_id", "source", 120, 7),
         "tfidf_topterms": tx.tfidf_top_terms_sql("documents", "doc_id", "text", 5),
+        "orc_roundtrip": """
+            SELECT l_returnflag, COUNT(*) AS n,
+                   CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS DOUBLE) AS total_price,
+                   MIN(l_orderkey) AS k_min,
+                   MAX(l_orderkey) AS k_max,
+                   epoch_ms(MAX(l_shipdate)) AS max_ship_ms
+            FROM lineitem WHERE l_quantity >= 40
+            GROUP BY l_returnflag
+        """,
+        "struct_objects": """
+            WITH nm AS (SELECT lower(regexp_replace(n_name, '[^A-Za-z0-9]', '_', 'g')) AS nm FROM nation)
+            SELECT nm, 'udt' AS obj_kind, CAST(0 AS BIGINT) AS stmt_no,
+                   'CREATE TYPE "demo"."t_' || nm || '_status" AS ENUM (''new'', ''active_' || nm || ''', ''done'')' AS ddl
+            FROM nm
+            UNION ALL
+            SELECT nm, 'udf', 0,
+                   'CREATE OR REPLACE FUNCTION "demo"."fn_' || nm
+                   || '"(a integer, b integer) RETURNS integer LANGUAGE sql AS $body$ SELECT a + b $body$'
+            FROM nm
+            UNION ALL
+            SELECT nm, 'rbac', 0, 'CREATE ROLE "r_' || nm || '"' FROM nm
+            UNION ALL
+            SELECT nm, 'rbac', 1, 'GRANT SELECT ON TABLE t_' || nm || ' TO "r_' || nm || '"' FROM nm
+        """,
         "stateful_dedup": f"""
             WITH stream AS ({demo.USERS_CHANGE_STREAM_SQL}),
             keyed AS (

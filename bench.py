@@ -52,6 +52,8 @@ BENCH_QUERIES = [
     "py_transform",
     "mongo_compact",
     "redis_rdb",
+    "orc_roundtrip",
+    "struct_objects",
     "session_windows",
     "windowed_counts",
     "sliding_counts",
