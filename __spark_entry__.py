@@ -263,6 +263,45 @@ def q_cdc_apply_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return replay_to_state(keyed, ["user_id"])
 
 
+def _keyed_users_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PK-consistent slice of the users change stream: no NULL keys, no
+    key-changing updates (a real PK source can't emit those; the spill paths
+    they exercise are gated by merge_spill + the streaming tests). Mirrored
+    EXACTLY by the oracle-side _users_state_cte keyed filter — edit both
+    together. Shared by the subscription/streaming/DDL-barrier gates."""
+    stream = demo.users_change_stream(spark, sf_dir)
+    return stream.filter(
+        F.when(F.col("row_type") == "delete", F.col("before.user_id").isNotNull())
+        .when(F.col("row_type") == "insert", F.col("after.user_id").isNotNull())
+        .otherwise(
+            F.col("before.user_id").isNotNull()
+            & (F.col("before.user_id") == F.col("after.user_id"))
+        )
+    )
+
+
+def _users_debezium_lines(keyed: DataFrame) -> DataFrame:
+    """Debezium-envelope JSON lines for the keyed stream, repartitioned BY
+    KEY (each key's whole history lands in one file) so micro-batch arrival
+    order can never reorder a key's events."""
+    env = F.to_json(
+        F.struct(
+            F.col("row_type").alias("op"),
+            F.col("before"),
+            F.col("after"),
+            F.struct(
+                F.lit("demo").alias("db"),
+                F.lit("users").alias("table"),
+                (F.lit(1700000000000) + F.col("seq")).alias("ts_ms"),
+                F.col("seq").alias("seq"),
+                F.lit(None).cast("string").alias("origin_node"),
+            ).alias("source"),
+        )
+    )
+    key = F.coalesce(F.col("after.user_id"), F.col("before.user_id"))
+    return keyed.repartition(4, key).select(env.alias("value"))
+
+
 def q_subscription_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pull-based data subscription end-to-end (http_server_pipeline.rs
     fetch_new/fetch_old/ack parity on the versioned-table change feed): the
@@ -279,21 +318,10 @@ def q_subscription_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ape_dts_spark.sinks.parquet_table import ParquetTable
     from ape_dts_spark.streaming.subscription import DataSubscription
 
-    stream = demo.users_change_stream(spark, sf_dir)
-    mid = stream.agg(F.max("seq")).first()[0] // 2
-    # PK-consistent slice: the synthetic stream plants key-changing updates
-    # whose after-keys collide with live rows (a real PK source can't emit
-    # that); the spill path those exercise is gated by merge_spill + the
-    # streaming tests — THIS gate drives the fetch/ack position algebra and
-    # the version change feed, so it keeps the key-stable history only.
-    keyed = stream.filter(
-        F.when(F.col("row_type") == "delete", F.col("before.user_id").isNotNull())
-        .when(F.col("row_type") == "insert", F.col("after.user_id").isNotNull())
-        .otherwise(
-            F.col("before.user_id").isNotNull()
-            & (F.col("before.user_id") == F.col("after.user_id"))
-        )
-    )
+    keyed = _keyed_users_stream(spark, sf_dir)
+    # mid from the FULL stream's max seq — the oracle's MAX(seq) is over the
+    # unfiltered stream CTE, and the max-seq event may be key-unstable
+    mid = demo.users_change_stream(spark, sf_dir).agg(F.max("seq")).first()[0] // 2
     payload = T.StructType(
         [T.StructField("user_id", T.LongType()), T.StructField("value", T.DoubleType())]
     )
@@ -740,33 +768,9 @@ def q_stream_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ape_dts_spark.sinks.parquet_table import ParquetTable
     from ape_dts_spark.streaming.cdc import CdcPipeline, read_json_change_stream
 
-    stream = demo.users_change_stream(spark, sf_dir)
-    keyed = stream.filter(
-        F.when(F.col("row_type") == "delete", F.col("before.user_id").isNotNull())
-        .when(F.col("row_type") == "insert", F.col("after.user_id").isNotNull())
-        .otherwise(
-            F.col("before.user_id").isNotNull()
-            & (F.col("before.user_id") == F.col("after.user_id"))
-        )
-    )
-    env = F.to_json(
-        F.struct(
-            F.col("row_type").alias("op"),
-            F.col("before"),
-            F.col("after"),
-            F.struct(
-                F.lit("demo").alias("db"),
-                F.lit("users").alias("table"),
-                (F.lit(1700000000000) + F.col("seq")).alias("ts_ms"),
-                F.col("seq").alias("seq"),
-                F.lit(None).cast("string").alias("origin_node"),
-            ).alias("source"),
-        )
-    )
-    key = F.coalesce(F.col("after.user_id"), F.col("before.user_id"))
     root = tempfile.mkdtemp(prefix="ape_stream_")
     src = os.path.join(root, "src")
-    keyed.repartition(4, key).select(env.alias("value")).write.mode("overwrite").text(src)
+    _users_debezium_lines(_keyed_users_stream(spark, sf_dir)).write.mode("overwrite").text(src)
 
     payload = T.StructType(
         [T.StructField("user_id", T.LongType()), T.StructField("value", T.DoubleType())]
@@ -794,38 +798,9 @@ def q_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ape_dts_spark.streaming.cdc import read_json_change_stream
     from ape_dts_spark.streaming.windowed import stateful_seq_dedup
 
-    stream = demo.users_change_stream(spark, sf_dir)
-    keyed = stream.filter(
-        F.when(F.col("row_type") == "delete", F.col("before.user_id").isNotNull())
-        .when(F.col("row_type") == "insert", F.col("after.user_id").isNotNull())
-        .otherwise(
-            F.col("before.user_id").isNotNull()
-            & (F.col("before.user_id") == F.col("after.user_id"))
-        )
-    )
-    env = F.to_json(
-        F.struct(
-            F.col("row_type").alias("op"),
-            F.col("before"),
-            F.col("after"),
-            F.struct(
-                F.lit("demo").alias("db"),
-                F.lit("users").alias("table"),
-                (F.lit(1700000000000) + F.col("seq")).alias("ts_ms"),
-                F.col("seq").alias("seq"),
-                F.lit(None).cast("string").alias("origin_node"),
-            ).alias("source"),
-        )
-    )
-    key = F.coalesce(F.col("after.user_id"), F.col("before.user_id"))
-    # a vanilla session defaults to 200 shuffle partitions; 8 micro-batches
-    # x 200 state-shuffle tasks is pure scheduling overhead at gate scale —
-    # pin to the repo session's width (runtime-settable, like demo.load's
-    # confs; result is partition-count-independent)
-    spark.conf.set("spark.sql.shuffle.partitions", "32")
     root = tempfile.mkdtemp(prefix="ape_sdedup_")
     src = os.path.join(root, "src")
-    lines = keyed.repartition(4, key).select(env.alias("value"))
+    lines = _users_debezium_lines(_keyed_users_stream(spark, sf_dir))
     lines.write.mode("overwrite").text(src)
     lines.write.mode("append").text(src)  # the at-source replay copy
 
@@ -835,15 +810,25 @@ def q_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     changes = read_json_change_stream(spark, src, payload, max_files_per_trigger=1)
     deduped = stateful_seq_dedup(changes, ["user_id"])
     qname = "ape_stateful_dedup_out"
-    (
-        deduped.writeStream.format("memory")
-        .queryName(qname)
-        .outputMode("append")
-        .option("checkpointLocation", os.path.join(root, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
+    # a vanilla session defaults to 200 shuffle partitions; 8 micro-batches
+    # x 200 state-shuffle tasks is pure scheduling overhead at gate scale.
+    # Pin a narrow width for THIS stream only and restore afterwards — the
+    # setting must not leak into whatever query the harness runs next
+    # (result is partition-count-independent either way).
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try:
+        (
+            deduped.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(qname).select("schema", "tb", "row_type", "seq", "key")
 
 
@@ -863,16 +848,8 @@ def q_ddl_in_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ape_dts_spark.sinks.parquet_table import ParquetTable
     from ape_dts_spark.streaming.cdc import CdcPipeline
 
-    stream = demo.users_change_stream(spark, sf_dir)
-    mid = stream.agg(F.max("seq")).first()[0] // 2
-    keyed = stream.filter(
-        F.when(F.col("row_type") == "delete", F.col("before.user_id").isNotNull())
-        .when(F.col("row_type") == "insert", F.col("after.user_id").isNotNull())
-        .otherwise(
-            F.col("before.user_id").isNotNull()
-            & (F.col("before.user_id") == F.col("after.user_id"))
-        )
-    ).withColumn("ts", F.lit(None).cast("timestamp"))
+    mid = demo.users_change_stream(spark, sf_dir).agg(F.max("seq")).first()[0] // 2
+    keyed = _keyed_users_stream(spark, sf_dir).withColumn("ts", F.lit(None).cast("timestamp"))
 
     payload = T.StructType(
         [T.StructField("user_id", T.LongType()), T.StructField("value", T.DoubleType())]
@@ -1672,10 +1649,8 @@ def q_heartbeat_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heartbeat read-side gate (windowed.heartbeat_lag — the extractor
     heartbeat's downstream consumer, mysql_cdc_extractor.rs:468-540): max
     event time + count, epoch-ms canonical."""
-    from ape_dts_spark.streaming import windowed as wd2
-
     ev = demo.load(spark, sf_dir, "events")
-    out = wd2.heartbeat_lag(ev)
+    out = wd.heartbeat_lag(ev)
     return out.select(
         F.unix_millis(F.col("max_event_ts").cast("timestamp")).alias("max_event_ms"),
         "n_events",

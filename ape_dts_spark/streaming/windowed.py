@@ -128,18 +128,23 @@ _DEDUP_OUT_SCHEMA = (
 
 def _dedup_fn(key: tuple, pdfs, state: GroupState):
     """Emit only events with seq above the stored high-water mark; replays
-    inside the same micro-batch are deduped too (sort + unique per chunk)."""
+    inside the same micro-batch are deduped too. The group's Arrow chunks
+    are concatenated BEFORE sorting — advancing the watermark chunk-by-chunk
+    would wrongly drop a later chunk whose seqs sit below an earlier chunk's
+    max (chunk order within a batch is shuffle-nondeterministic)."""
     last = state.get[0] if state.exists else -1
-    out = []
-    for pdf in pdfs:
-        fresh = pdf.sort_values("seq").drop_duplicates("seq")
+    # materializing the group's chunks is bounded: one key's events in one
+    # micro-batch (state scope), not the whole stream
+    chunks = list(pdfs)
+    whole = pd.concat(chunks) if chunks else pd.DataFrame()
+    if len(whole):
+        fresh = whole.sort_values("seq").drop_duplicates("seq")
         fresh = fresh[fresh["seq"] > last]
         if len(fresh):
-            last = int(fresh["seq"].max())
-            out.append(fresh)
+            state.update((int(fresh["seq"].max()),))
+            yield fresh
+            return
     state.update((last,))
-    if out:
-        yield pd.concat(out)
 
 
 def stateful_seq_dedup(changes: DataFrame, key_cols: list[str]) -> DataFrame:

@@ -144,8 +144,9 @@ def test_source_caps_exact_cap_and_stability(spark):
     )
     out = mx.source_caps(df, "doc_id", "source", cap=15, seed=0)
     counts = {r["source"]: r["n"] for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
-    # the megadomain is capped, the under-cap source passes through whole
+    # cap=15 truncates BOTH sources (big has 80 docs, small has 20)
     assert counts == {"big": 15, "small": 15}
+    # at cap=25 the megadomain is capped while the under-cap source passes whole
     out5 = mx.source_caps(df, "doc_id", "source", cap=25, seed=0)
     counts5 = {r["source"]: r["n"] for r in out5.groupBy("source").agg(F.count("*").alias("n")).collect()}
     assert counts5 == {"big": 25, "small": 20}
