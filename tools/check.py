@@ -3,6 +3,7 @@
 scale factor, compare row count + column names + order-insensitive values.
 
 Usage: python tools/check.py [sf_dir] [query_name ...]
+       python tools/check.py [sf_dir] --window    # first 50 only (driver replica)
 """
 
 from __future__ import annotations
@@ -67,6 +68,11 @@ def main() -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     qs = entrymod.queries()
+    # --window: replicate the external driver exactly — it gates ONLY the
+    # first 50 dict entries; use this before freezing the queries() order
+    if "--window" in only:
+        only.discard("--window")
+        qs = dict(list(qs.items())[:50])
     oracles = entrymod.oracle_sql()
     failures = []
     for name, fn in qs.items():
