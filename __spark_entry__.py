@@ -901,6 +901,64 @@ def q_ddl_in_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.current().select("user_id", "value", "tier")
 
 
+def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-HAVING semi-join (TPC-H Q18 shape): customers whose orders
+    total more than 120 units. The HAVING aggregate reduces lineitem FIRST
+    (map-side combined), then the small survivor set joins orders and the
+    broadcast customer dim — never the raw fact-fact join."""
+    l = demo.load(spark, sf_dir, "lineitem")
+    o = demo.load(spark, sf_dir, "orders")
+    c = demo.load(spark, sf_dir, "customer")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("decimal(28,2)")
+            .alias("sum_qty")
+        )
+        .filter(F.col("sum_qty") > 120)
+    )
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            F.col("sum_qty").cast("double").alias("sum_qty"),
+        )
+    )
+
+
+def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjunctive join predicate (TPC-H Q19 shape): OR-of-AND branches over
+    part attributes x lineitem quantity. Catalyst extracts the common
+    l_partkey = p_partkey conjunct into the hash-join key and evaluates the
+    disjunction as a post-join filter — the classic optimizer shape where a
+    naive plan degrades to a nested loop."""
+    l = demo.load(spark, sf_dir, "lineitem")
+    p = demo.load(spark, sf_dir, "part")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    branch = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 15))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 25) & F.col("l_quantity").between(10, 25))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 35) & F.col("l_quantity").between(20, 35))
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .filter(branch)
+        .groupBy("p_brand")
+        .agg(
+            F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount")))
+            .cast("decimal(28,4)")
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
 def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe salted join gate (operators/partition.salted_join — the
     explicit tool for hot keys beyond AQE's skew threshold): events joined
@@ -2131,6 +2189,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stateful_dedup": q_stateful_dedup,
         "struct_objects": q_struct_objects,
         "orc_roundtrip": q_orc_roundtrip,
+        "large_orders": q_large_orders,
+        "disjunctive_revenue": q_disjunctive_revenue,
         # -- end round-4 additions (rotate block above) -----------------------
         "snapshot_resume": q_snapshot_resume,
         "merge_compact": q_merge_compact,
@@ -2842,6 +2902,29 @@ def oracle_sql() -> dict[str, str]:
         "bigram_lm_score": tx.bigram_lm_score_sql("documents", "doc_id", "text", 16),
         "source_caps": mx.source_caps_sql("documents", "doc_id", "source", 120, 7),
         "tfidf_topterms": tx.tfidf_top_terms_sql("documents", "doc_id", "text", 5),
+        "large_orders": """
+            WITH big AS (
+              SELECT l_orderkey,
+                     CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_qty
+              FROM lineitem GROUP BY l_orderkey HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 120)
+            SELECT c_custkey, c_name, o_orderkey,
+                   CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+                   CAST(sum_qty AS DOUBLE) AS sum_qty
+            FROM orders JOIN big ON o_orderkey = l_orderkey
+                        JOIN customer ON o_custkey = c_custkey
+        """,
+        "disjunctive_revenue": """
+            SELECT p_brand,
+                   CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+                        AS DECIMAL(28,4)) AS DOUBLE) AS revenue,
+                   COUNT(*) AS n_items
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 15)
+               OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 25)
+               OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 35)
+            GROUP BY p_brand
+        """,
         "orc_roundtrip": """
             SELECT l_returnflag, COUNT(*) AS n,
                    CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS DOUBLE) AS total_price,

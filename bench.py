@@ -41,6 +41,8 @@ BENCH_QUERIES = [
     "important_parts",
     "top_supplier",
     "nation_trade_flows",
+    "large_orders",
+    "disjunctive_revenue",
     "salted_join",
     "update_split",
     "snapshot_resume",

@@ -178,3 +178,20 @@ def test_nation_trade_flows_broadcasts_all_dims(spark, sf_dir):
     plan = _plan(spark, sf_dir, "nation_trade_flows")
     assert plan.count("BroadcastHashJoin") >= 4
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_large_orders_aggregates_before_join(spark, sf_dir):
+    # Q18 shape: the HAVING aggregate must reduce lineitem before any join
+    # (HashAggregate below the join), and the customer dim broadcasts
+    plan = _plan(spark, sf_dir, "large_orders")
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("HashAggregate") >= 2
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_disjunctive_revenue_equi_join_extracted(spark, sf_dir):
+    # Q19 shape: the common l_partkey = p_partkey conjunct becomes the hash
+    # key; the OR-of-ANDs must never degrade the join to a nested loop
+    plan = _plan(spark, sf_dir, "disjunctive_revenue")
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
