@@ -35,6 +35,7 @@ QUERIES = [
     "dedup_exact",
     "vocab_topk",
     "tfidf_topterms",
+    "bigram_lm_score",
     "minhash_lsh",
     "jaccard_pairs",
     "ngram_minhash",
