@@ -782,6 +782,81 @@ def q_stream_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.current().select("user_id", "value")
 
 
+def q_continuous_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style CONTINUOUS AGGREGATE, driver-gated: a real stream of
+    raw events (4 parquet files, maxFilesPerTrigger=1) feeds a windowed
+    count whose update-mode per-batch deltas are UPSERTED into a versioned
+    rollup table keyed by (window, event_type) — the incremental
+    materialized-view maintenance loop (TimescaleDB continuous aggregates /
+    Spark's update-mode agg + merge sink; the reference has no analogue —
+    extension op). Streaming agg state makes each emission cumulative, so
+    the final table equals the batch oracle regardless of how files batch.
+    The watermark is pushed out so cross-batch event-time disorder can't
+    drop late rows (state eviction is the production trade-off; the gate
+    checks the maintenance loop)."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from ape_dts_spark.operators.merge import compact_changes
+    from ape_dts_spark.sinks.parquet_table import ParquetTable
+
+    ev = demo.load(spark, sf_dir, "events").select("ts", "event_type", "value")
+    root = tempfile.mkdtemp(prefix="ape_rollup_")
+    src = os.path.join(root, "src")
+    ev.repartition(4).write.mode("overwrite").parquet(src)
+
+    payload = T.StructType(
+        [
+            T.StructField("window_start_ms", T.LongType()),
+            T.StructField("window_end_ms", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+    keys = ["window_start_ms", "event_type"]
+    table = ParquetTable(spark, os.path.join(root, "rollup"), payload)
+
+    stream = (
+        spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    agg = wd.windowed_event_counts(stream, window="1 day", watermark="3650 days")
+
+    def _upsert(batch: DataFrame, batch_id: int) -> None:
+        events = batch.select(
+            F.lit("demo").alias("schema"),
+            F.lit("rollup").alias("tb"),
+            F.lit("insert").alias("row_type"),
+            F.lit(None).cast(payload).alias("before"),
+            F.struct(
+                F.unix_millis(F.col("window_start").cast("timestamp")).alias("window_start_ms"),
+                F.unix_millis(F.col("window_end").cast("timestamp")).alias("window_end_ms"),
+                F.col("event_type"),
+                F.col("n").cast("long").alias("n"),
+            ).alias("after"),
+            F.lit(int(batch_id)).alias("seq"),
+        )
+        compacted, spilled = compact_changes(events, keys)
+        table.merge_apply(compacted, spilled, keys, stream_id="rollup", batch_id=batch_id)
+
+    # scoped narrow shuffle width for the micro-batch loop (see
+    # q_stateful_dedup — restored afterwards, never leaks to later queries)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try:
+        (
+            agg.writeStream.foreachBatch(_upsert)
+            .outputMode("update")
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return table.current()
+
+
 def q_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator, driver-gated
     (windowed.stateful_seq_dedup — applyInPandasWithState, one high-water
@@ -2191,6 +2266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orc_roundtrip": q_orc_roundtrip,
         "large_orders": q_large_orders,
         "disjunctive_revenue": q_disjunctive_revenue,
+        "continuous_rollup": q_continuous_rollup,
         # -- end round-4 additions (rotate block above) -----------------------
         "snapshot_resume": q_snapshot_resume,
         "merge_compact": q_merge_compact,
@@ -2902,6 +2978,13 @@ def oracle_sql() -> dict[str, str]:
         "bigram_lm_score": tx.bigram_lm_score_sql("documents", "doc_id", "text", 16),
         "source_caps": mx.source_caps_sql("documents", "doc_id", "source", 120, 7),
         "tfidf_topterms": tx.tfidf_top_terms_sql("documents", "doc_id", "text", 5),
+        "continuous_rollup": """
+            SELECT epoch_ms(date_trunc('day', ts)) AS window_start_ms,
+                   epoch_ms(date_trunc('day', ts)) + 86400000 AS window_end_ms,
+                   event_type,
+                   COUNT(*) AS n
+            FROM events GROUP BY 1, 2, 3
+        """,
         "large_orders": """
             WITH big AS (
               SELECT l_orderkey,

@@ -71,9 +71,10 @@ BENCH_QUERIES = [
     "fk_apply_order",
     "ddl_in_stream",
     "stream_e2e",
-    # 8 sequential micro-batches of fixed streaming overhead — wall time is
+    # sequential micro-batches of fixed streaming overhead — wall time is
     # per-trigger cost, not data volume (see SCALING.md philosophy)
     "stateful_dedup",
+    "continuous_rollup",
     # training-data pipeline extensions (BASELINE.json north star)
     "dedup_exact",
     "doc_fingerprint",
