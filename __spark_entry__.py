@@ -1201,6 +1201,39 @@ def q_dcl_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stmts.mapInPandas(_parse, schema="stmt string, dcl_kind string, principal string")
 
 
+def q_struct_check_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct-checker gate (plans/struct_migration.struct_check —
+    struct_checker.rs parity): every test table is diffed against a
+    deterministically DRIFTED twin (2nd column dropped, 3rd column retyped
+    to string, one extra column added). The oracle re-derives the expected
+    discrepancy report from DuckDB's information_schema — two catalogs, one
+    diff contract; a missed or misclassified drift diverges."""
+    from pyspark.sql import types as T
+
+    from ape_dts_spark.plans.struct_migration import TableDef, struct_check
+
+    rows = []
+    for tb in [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]:
+        src = TableDef.from_dataframe(demo.load(spark, sf_dir, tb), "default", tb)
+        fields = list(src.columns.fields)
+        drifted = [f for i, f in enumerate(fields) if i != 1]
+        if len(fields) >= 3:
+            drifted = [
+                T.StructField(f.name, T.StringType(), f.nullable)
+                if f.name == fields[2].name
+                else f
+                for f in drifted
+            ]
+        drifted.append(T.StructField("_drift_extra", T.StringType(), True))
+        dst = TableDef(schema="default", tb=tb, columns=T.StructType(drifted))
+        for issue in struct_check(src, dst):
+            rows.append((tb, issue["object"], issue["kind"], issue["detail"]))
+    return spark.createDataFrame(rows, "tb string, object string, kind string, detail string")
+
+
 def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Foxlake ORC sink/source path (foxlake_sinker.rs pushes ORC objects;
     task.py rides native spark.read/write.orc): a filtered lineitem slice is
@@ -2267,6 +2300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "large_orders": q_large_orders,
         "disjunctive_revenue": q_disjunctive_revenue,
         "continuous_rollup": q_continuous_rollup,
+        "struct_check_report": q_struct_check_report,
         # -- end round-4 additions (rotate block above) -----------------------
         "snapshot_resume": q_snapshot_resume,
         "merge_compact": q_merge_compact,
@@ -2978,6 +3012,34 @@ def oracle_sql() -> dict[str, str]:
         "bigram_lm_score": tx.bigram_lm_score_sql("documents", "doc_id", "text", 16),
         "source_caps": mx.source_caps_sql("documents", "doc_id", "source", 120, 7),
         "tfidf_topterms": tx.tfidf_top_terms_sql("documents", "doc_id", "text", 5),
+        "struct_check_report": """
+            WITH cols AS (
+              SELECT table_name AS tb, column_name, data_type,
+                     ROW_NUMBER() OVER (PARTITION BY table_name ORDER BY ordinal_position) AS pos
+              FROM information_schema.columns
+              WHERE table_name IN ('region','nation','customer','supplier','part',
+                                   'orders','lineitem','events','documents','embeddings')),
+            mapped AS (
+              SELECT tb, column_name, pos,
+                     CASE data_type
+                       WHEN 'BIGINT' THEN 'bigint'
+                       WHEN 'INTEGER' THEN 'int'
+                       WHEN 'DOUBLE' THEN 'double'
+                       WHEN 'VARCHAR' THEN 'string'
+                       WHEN 'FLOAT[]' THEN 'array<float>'
+                       -- parquet micros surface as TIMESTAMP_NTZ in Spark
+                       -- (instant casts happen per-operator, not in load)
+                       WHEN 'TIMESTAMP' THEN 'timestamp_ntz'
+                       ELSE data_type END AS stype
+              FROM cols)
+            SELECT tb, column_name AS object, 'missing_column' AS kind, stype AS detail
+            FROM mapped WHERE pos = 2
+            UNION ALL
+            SELECT tb, column_name, 'type_mismatch', stype || ' != string'
+            FROM mapped WHERE pos = 3 AND stype <> 'string'
+            UNION ALL
+            SELECT DISTINCT tb, '_drift_extra', 'extra_column', 'string' FROM mapped
+        """,
         "continuous_rollup": """
             SELECT epoch_ms(date_trunc('day', ts)) AS window_start_ms,
                    epoch_ms(date_trunc('day', ts)) + 86400000 AS window_end_ms,

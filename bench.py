@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "redis_rdb",
     "orc_roundtrip",
     "struct_objects",
+    "struct_check_report",
     "session_windows",
     "windowed_counts",
     "sliding_counts",
