@@ -195,6 +195,24 @@ def main() -> None:
             }
         )
     )
+    # The driver records only the last ~2 KB of stdout; once `queries` grew
+    # past ~80 entries the leading headline fields of the line above were
+    # truncated away (BENCH_r04.json parsed: null). Repeat the compact
+    # headline as the FINAL line so the tail always contains it.
+    print(
+        json.dumps(
+            {
+                "metric": "cdc_compact_apply_rps",
+                "value": rps,
+                "unit": "rows/sec",
+                "snapshot_rps": snapshot_rps,
+                "total_sec": total,
+                "n_queries": len(times),
+                "skipped": len(skipped),
+                "sf": sf,
+            }
+        )
+    )
 
 
 if __name__ == "__main__":

@@ -497,6 +497,64 @@ def test_keep_representatives_long_chain_converges(spark):
     assert all(v == 0 for v in out.values())
 
 
+def test_star_components_matches_jump_engine(spark):
+    """Large-star/small-star fixed point == pointer-jumping labels on a mixed
+    graph (chain + triangle + singleton + reversed-order pairs)."""
+    docs = spark.createDataFrame([(i,) for i in range(1, 12)], ["doc_id"])
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (6, 7), (7, 5), (9, 8), (10, 11)],
+        ["id_a", "id_b"],
+    )
+    jump = {r["doc_id"]: r["rep_id"] for r in
+            dd.keep_representatives(docs, "doc_id", pairs).collect()}
+    star = {r["doc_id"]: r["rep_id"] for r in
+            dd.keep_representatives_star(docs, "doc_id", pairs).collect()}
+    assert star == jump
+    assert star == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5, 7: 5,
+                    8: 8, 9: 8, 10: 10, 11: 10}
+
+
+def test_star_components_long_path_round_bound(spark):
+    """A 10k-node path graph converges in ~log rounds, nowhere near the
+    diameter — the 100-TB adversarial-graph property the jump engine lacks
+    a proof for. max_iter=20 would fail if rounds ~ diameter (9999)."""
+    n = 10_000
+    docs = spark.createDataFrame([(i,) for i in range(n)], ["doc_id"])
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], ["id_a", "id_b"])
+    out = dd.keep_representatives_star(docs, "doc_id", pairs, max_iter=20)
+    assert out.filter(F.col("rep_id") != 0).count() == 0
+    assert out.count() == n
+
+
+def test_star_components_random_graph_property(spark):
+    """Property: on a seeded random graph, star labels agree with a driver-side
+    union-find oracle."""
+    import random
+
+    rng = random.Random(42)
+    n = 500
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(400)]
+    edges = [(a, b) for a, b in edges if a != b]
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    oracle = {i: find(i) for i in range(n)}
+    docs = spark.createDataFrame([(i,) for i in range(n)], ["doc_id"])
+    pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+    out = {r["doc_id"]: r["rep_id"] for r in
+           dd.keep_representatives_star(docs, "doc_id", pairs).collect()}
+    assert out == oracle
+
+
 def test_bigram_lm_score_hand_case(spark):
     # corpus: "a b" x3 docs + one doc with a unique transition "a z".
     # unigram counts: a=4, b=3, z=1; bigram counts: "a b"=3, "a z"=1.

@@ -73,6 +73,12 @@ def main() -> int:
     if "--window" in only:
         only.discard("--window")
         qs = dict(list(qs.items())[:50])
+        # named queries outside the 50-slot window would silently never run
+        # and read as a pass — make that an explicit failure
+        missing = sorted(n for n in only if n not in qs)
+        if missing:
+            print(f"ERROR: named queries outside the 50-slot --window: {missing}")
+            return 2
     oracles = entrymod.oracle_sql()
     failures = []
     for name, fn in qs.items():
@@ -81,6 +87,16 @@ def main() -> int:
         t0 = time.time()
         sdf = fn(spark, sf_dir)
         scols = sdf.columns
+        # the DRIVER's value hasher dies on non-scalar cells (pandas
+        # Categorical over list/bytearray: "unhashable type") — flag any
+        # ARRAY/MAP/STRUCT/BINARY output column so the gate projection gets
+        # made scalar-only (posexplode arrays, hex binaries) before the
+        # driver ever sees it
+        nonscalar = [
+            f"{f.name}:{f.dataType.simpleString()}"
+            for f in sdf.schema.fields
+            if f.dataType.typeName() in ("array", "map", "struct", "binary")
+        ]
         srows = [tuple(r) for r in sdf.collect()]
         clear_spark_blocks(spark)  # caches + leaked localCheckpoint blocks
         sql = oracles.get(name)
@@ -107,6 +123,15 @@ def main() -> int:
         ]
         if bad_types:
             status.append(f"ORACLE-ARROW-TYPE {bad_types}")
+        if nonscalar:
+            status.append(f"SPARK-NONSCALAR-TYPE {nonscalar}")
+        oracle_nonscalar = [
+            f"{f.name}:{f.type}"
+            for f in arrow_schema
+            if any(k in str(f.type) for k in ("list", "binary", "struct", "map"))
+        ]
+        if oracle_nonscalar:
+            status.append(f"ORACLE-NONSCALAR-TYPE {oracle_nonscalar}")
         if len(srows) != len(drows):
             status.append(f"ROWCOUNT spark={len(srows)} duck={len(drows)}")
         if sorted(scols) != sorted(dcols):
