@@ -703,21 +703,28 @@ def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     subquery decorrelates to a broadcast of the single-row global aggregate
     — one shuffle for the per-part agg, the comparison is map-side.
     Scale-free threshold (selective at ANY SF): value > 1.2x the mean part
-    value, cross-multiplied to pure DECIMAL/BIGINT terms (value * n * 5 >
-    tot * 6) so no engine divides or rounds at the boundary."""
+    value, cross-multiplied to pure DECIMAL terms (value * 5 * n > tot * 6)
+    so no engine divides or rounds at the boundary. Every operand width is
+    bounded so the products stay inside DECIMAL(38): an unbounded
+    value(28,2) * BIGINT exceeds width 38, where DuckDB silently falls back
+    to DOUBLE while Spark caps the decimal — a cross-engine boundary
+    divergence at large SF (value fits (22,2) = 1e20 dollars and n fits
+    (13,0) parts with orders of magnitude to spare at 100 TB)."""
     l = demo.load(spark, sf_dir, "lineitem")
     per_part = l.groupBy("l_partkey").agg(
         F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
-        .cast("decimal(28,2)")
+        .cast("decimal(22,2)")
         .alias("value")
     )
     total = per_part.agg(
-        F.sum("value").cast("decimal(38,2)").alias("tot"),
-        F.count(F.lit(1)).alias("n"),
+        F.sum("value").cast("decimal(24,2)").alias("tot"),
+        F.count(F.lit(1)).cast("decimal(13,0)").alias("n"),
     )
+    five = F.lit(5).cast("decimal(1,0)")
+    six = F.lit(6).cast("decimal(1,0)")
     return (
         per_part.join(F.broadcast(total))
-        .filter(F.col("value") * F.col("n") * 5 > F.col("tot") * 6)
+        .filter((F.col("value") * five) * F.col("n") > F.col("tot") * six)
         .select("l_partkey", F.col("value").cast("double").alias("value"))
     )
 
@@ -2996,12 +3003,14 @@ def oracle_sql() -> dict[str, str]:
         "important_parts": """
             WITH per_part AS (
               SELECT l_partkey,
-                     CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS value
+                     CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(22,2)) AS value
               FROM lineitem GROUP BY l_partkey)
             SELECT l_partkey, CAST(value AS DOUBLE) AS value
             FROM per_part
-            WHERE value * (SELECT COUNT(*) FROM per_part) * 5
-                  > (SELECT CAST(SUM(value) AS DECIMAL(38,2)) FROM per_part) * 6
+            WHERE (value * CAST(5 AS DECIMAL(1,0)))
+                  * (SELECT CAST(COUNT(*) AS DECIMAL(13,0)) FROM per_part)
+                  > (SELECT CAST(SUM(value) AS DECIMAL(24,2)) FROM per_part)
+                    * CAST(6 AS DECIMAL(1,0))
         """,
         "top_supplier": """
             WITH rev AS (

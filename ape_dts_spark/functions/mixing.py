@@ -178,11 +178,15 @@ def _scramble_expr(id_col: str, seed: int) -> str:
     finite id set unchanged, and a tiny multiplier nudge (+2*seed) shifts
     hash k by only 2k, far below the ~2^32/n hash spacing, so every seed
     produced the same shuffle. Seed 0 keeps the classic Knuth constant. The
-    reduced id is < 2^31 and the multiplier < 2^32: product < 2^63."""
+    reduced id is < 2^31 and the multiplier < 2^32: product < 2^63. The
+    additive offset is likewise reduced mod 2^32 in Python — the mod-2^32
+    result is unchanged, and an unreduced seed*40503 from a large caller
+    seed would push the sum past 2^63 (BIGINT overflow in both engines)."""
     mult = (2654435761 ^ ((seed * 2246822519) & 0xFFFFFFFF)) | 1
+    add = (seed * 40503 + 17) & 0xFFFFFFFF
     return (
         f"(((CAST({id_col} AS BIGINT) % 2147483648 + 2147483648) % 2147483648) "
-        f"* {mult} + {seed * 40503 + 17}) % 4294967296"
+        f"* {mult} + {add}) % 4294967296"
     )
 
 

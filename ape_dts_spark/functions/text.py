@@ -744,8 +744,11 @@ def bigram_lm_score(
     - ``n_bigrams``   adjacent-pair count of the doc
     - ``n_hapax``     pairs seen exactly once corpus-wide (the doc itself) —
                       high share = unusual text, the perplexity tail
-    - ``n_unlikely``  pairs with P(next|prev) < 1/unlikely_denom, i.e.
-                      bigram_count * denom < prefix unigram count
+    - ``n_unlikely``  pairs with bigram_count * denom < the prev token's
+                      TOTAL corpus frequency (document-final occurrences
+                      included, so this slightly over-counts true bigram
+                      prefixes — a deliberate simplification: one unigram
+                      table serves both signals)
     - ``sum_pair_freq`` total corpus frequency of the doc's pairs (typicality
                       mass; divide by n_bigrams offline for a float score)
 

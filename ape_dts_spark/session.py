@@ -8,9 +8,27 @@ chunk rebalancer, dt-parallelizer/src/chunk_partitioner.rs:14-120).
 
 from __future__ import annotations
 
+import glob
 import os
 
 from pyspark.sql import SparkSession
+
+# Public JDBC driver jars that may be present in the environment; when found,
+# they are put on the session classpath so the live JDBC snapshot/sink
+# round-trip tests can run against a real database engine (skip otherwise).
+_JDBC_JAR_GLOBS = [
+    "/root/.cache/coursier/**/duckdb_jdbc-*.jar",
+    os.path.expanduser("~/.m2/**/duckdb_jdbc-*.jar"),
+    "/opt/jars/duckdb_jdbc-*.jar",
+]
+
+
+def find_jdbc_jar() -> str | None:
+    for pat in _JDBC_JAR_GLOBS:
+        hits = sorted(glob.glob(pat, recursive=True))
+        if hits:
+            return hits[-1]
+    return None
 
 
 def get_spark(app_name: str = "ape_dts_spark", shuffle_partitions: int | None = None) -> SparkSession:
@@ -34,6 +52,14 @@ def get_spark(app_name: str = "ape_dts_spark", shuffle_partitions: int | None = 
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
         .config("spark.ui.enabled", "false")
     )
+    jdbc_jar = find_jdbc_jar()
+    if jdbc_jar:
+        # one JVM in local mode: spark.jars puts the driver class on both the
+        # driver and executor classpath at session creation (addJar after the
+        # fact does not reach the driver-side DriverRegistry)
+        builder = builder.config("spark.jars", jdbc_jar).config(
+            "spark.driver.extraClassPath", jdbc_jar
+        )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
