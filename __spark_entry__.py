@@ -1718,6 +1718,32 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.keep_representatives(d, "doc_id", pairs)
 
 
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-smoothed source mixing (tau=0.5, isqrt weights, integer
+    quotas): the multilingual/multi-source rebalancing step between curation
+    and tokenization."""
+    d = demo.load(spark, sf_dir, "documents")
+    return mx.temperature_mix(d, "doc_id", "source", total_docs=300)
+
+
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail quality tiers: per-language ntile over the
+    integer-exact bigram-LM atypicality score (Wenzek et al.; the
+    perplexity-bucket filtering step of a web-corpus pipeline)."""
+    d = demo.load(spark, sf_dir, "documents")
+    return tx.ccnet_buckets(d, "doc_id", "text", "lang")
+
+
+def q_dedup_cluster_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-list clustering via the large-star/small-star engine (Kiveris et
+    al.) — same contract and oracle as dedup_cluster, but rounds are bounded
+    ~log^2(n) independent of component diameter and hub neighborhoods split
+    across reducers: the engine for adversarial dup graphs at 100 TB."""
+    d = demo.load(spark, sf_dir, "documents")
+    pairs = dd.minhash_lsh_pairs(d, "doc_id", "text", threshold=0.95)
+    return dd.keep_representatives_star(d, "doc_id", pairs)
+
+
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force exact cosine top-k ANN baseline over embeddings."""
     emb = demo.load(spark, sf_dir, "embeddings")
@@ -2265,7 +2291,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "multimodal_resize": q_multimodal_resize,
         # -- new this round ---------------------------------------------------
-        # (insert new round-5 queries here; push backfill below slot 50)
+        "dedup_cluster_star": q_dedup_cluster_star,
+        "ccnet_buckets": q_ccnet_buckets,
+        "temperature_mix": q_temperature_mix,
         # -- already driver-green; most load-bearing backfill to slot 50 ------
         "pricing_summary": q_pricing_summary,
         "checker_diff": q_checker_diff,
@@ -3027,7 +3055,9 @@ def oracle_sql() -> dict[str, str]:
             WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
         """,
         "bigram_lm_score": tx.bigram_lm_score_sql("documents", "doc_id", "text", 16),
+        "ccnet_buckets": tx.ccnet_buckets_sql("documents", "doc_id", "text", "lang"),
         "source_caps": mx.source_caps_sql("documents", "doc_id", "source", 120, 7),
+        "temperature_mix": mx.temperature_mix_sql("documents", "doc_id", "source", 300),
         "tfidf_topterms": tx.tfidf_top_terms_sql("documents", "doc_id", "text", 5),
         "struct_check_report": """
             WITH cols AS (
@@ -3512,6 +3542,18 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings WHERE vec_id % 50 = 0
         """,
         "dedup_cluster": f"""
+            WITH RECURSIVE pairs AS ({_minhash_oracle(0.95)}),
+            edges AS (
+              SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION
+              SELECT id_b, id_a FROM pairs),
+            walk(node, reach) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT w.node, e.dst FROM walk w JOIN edges e ON e.src = w.reach)
+            SELECT node AS doc_id, MIN(reach) AS rep_id FROM walk GROUP BY node
+        """,
+        "dedup_cluster_star": f"""
             WITH RECURSIVE pairs AS ({_minhash_oracle(0.95)}),
             edges AS (
               SELECT id_a AS src, id_b AS dst FROM pairs

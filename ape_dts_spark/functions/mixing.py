@@ -335,3 +335,85 @@ WITH ranked AS (
   FROM {table})
 SELECT {id_col}, {group_col}, rk FROM ranked WHERE rk <= {cap}
 """
+
+
+def temperature_mix(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    total_docs: int = 300,
+    seed: int = 0,
+) -> DataFrame:
+    """Temperature-smoothed source mixing at tau = 0.5: allocate a document
+    budget across sources with sampling weight n_s^tau instead of n_s — the
+    standard rebalancing of multilingual/multi-source LM corpora (small
+    sources get upsampled relative to their share, megasources capped;
+    mBERT/XLM-R-style exponent smoothing). tau = 1 is proportional
+    allocation (stratified_quota's shape); tau -> 0 is uniform-per-source.
+
+    Integer-exact so the cross-engine gate holds: weight = isqrt(n_s) =
+    floor(sqrt(n)) — IEEE sqrt is correctly rounded, so floor(sqrt(double))
+    equals the integer sqrt for any realistic count (the nearest hazard,
+    n = k^2 - 1, is ~1/(2k) below k versus a ~1e-11 ulp at corpus scale) —
+    then quota_s = total_docs * w_s div W with pure BIGINT arithmetic.
+    Membership inside a source is the seeded Knuth scramble rank, as in
+    source_caps. Output (id, group, rk, quota); quota = 0 drops a source.
+
+    Scale shape: one per-source count agg (map-side combined), a broadcast
+    of the tiny (n_sources)-row quota table, one per-source window — one
+    data shuffle end to end. The same megadomain-skew note as source_caps
+    applies to the window at 100 TB (two-level salted top-k).
+    """
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n"))
+    weights = counts.withColumn(
+        "wgt", F.expr("CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT)")
+    )
+    total_w = weights.agg(F.sum("wgt").alias("W"))
+    quota = (
+        weights.join(F.broadcast(total_w))
+        .withColumn("quota", F.expr(f"CAST({total_docs} * wgt div W AS BIGINT)"))
+        .select(group_col, "quota")
+    )
+    h = _scramble_expr(id_col, seed)
+    w = Window.partitionBy(group_col).orderBy(F.expr(h).asc(), F.col(id_col).asc())
+    ranked = (
+        df.select(group_col, id_col)
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+    )
+    return (
+        ranked.join(F.broadcast(quota), group_col)
+        .filter(F.col("rk") <= F.col("quota"))
+        .select(id_col, group_col, "rk", "quota")
+    )
+
+
+def temperature_mix_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    total_docs: int = 300,
+    seed: int = 0,
+) -> str:
+    """DuckDB twin of temperature_mix (same isqrt weights, div quotas,
+    scramble ranks)."""
+    h = _scramble_expr(id_col, seed)
+    return f"""
+WITH counts AS (
+  SELECT {group_col}, COUNT(*) AS n FROM {table} GROUP BY {group_col}),
+weights AS (
+  SELECT {group_col}, CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS wgt
+  FROM counts),
+quota AS (
+  SELECT {group_col},
+         CAST({total_docs} * wgt // (SELECT SUM(wgt) FROM weights) AS BIGINT)
+             AS quota
+  FROM weights),
+ranked AS (
+  SELECT {id_col}, {group_col},
+         CAST(ROW_NUMBER() OVER (PARTITION BY {group_col}
+              ORDER BY {h} ASC, {id_col} ASC) AS BIGINT) AS rk
+  FROM {table})
+SELECT {id_col}, r.{group_col}, rk, quota
+FROM ranked r JOIN quota q ON r.{group_col} = q.{group_col}
+WHERE rk <= quota
+"""

@@ -894,3 +894,83 @@ FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY {id_col}
               ORDER BY score DESC, term ASC) AS rk FROM scored) t
 WHERE rk <= {k}
 """
+
+
+def ccnet_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    n_buckets: int = 3,
+    unlikely_denom: int = 16,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """CCNet-style per-language perplexity bucketing: rank every document by
+    an LM-atypicality score WITHIN its language and split each language into
+    ``n_buckets`` quality tiers (CCNet's head/middle/tail; Wenzek et al.,
+    "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
+    Data"). Pipelines keep head+middle and drop (or downweight) the tail.
+
+    The score is integer-exact so the gate is engine-portable: atypicality =
+    ``n_unlikely * scale // max(n_bigrams, 1)`` from the corpus-trained
+    bigram LM (see :func:`bigram_lm_score` — KenLM stands behind the same
+    slot in production; the rank ORDER matches the float ratio to 1/scale).
+    Ties break on doc id, so the ntile assignment is deterministic.
+
+    Scale shape: bigram_lm_score's two model passes + one score pass, then a
+    single per-language window (ntile) — one shuffle keyed by language. At
+    100 TB replace the exact per-language ntile with approx percentile
+    boundaries (CCNet itself uses fixed thresholds computed once on a
+    sample); the exact window is the verifiable reference.
+    Output: (id, lang, atyp, bucket 1..n, tier head|middle|tail for n=3).
+    """
+    from pyspark.sql import Window
+
+    scored = bigram_lm_score(df, id_col, text_col, unlikely_denom)
+    langs = df.select(id_col, lang_col)
+    atyp = (
+        scored.join(langs, id_col)
+        .withColumn(
+            "atyp",
+            F.expr(f"n_unlikely * {scale} div greatest(n_bigrams, 1)").cast("long"),
+        )
+    )
+    w = Window.partitionBy(lang_col).orderBy(F.col("atyp").asc(), F.col(id_col).asc())
+    out = atyp.withColumn("bucket", F.ntile(n_buckets).over(w).cast("long"))
+    if n_buckets == 3:
+        tier = (
+            F.when(F.col("bucket") == 1, "head")
+            .when(F.col("bucket") == 2, "middle")
+            .otherwise("tail")
+        )
+    else:
+        tier = F.concat(F.lit("b"), F.col("bucket"))
+    return out.select(id_col, lang_col, "atyp", "bucket", tier.alias("tier"))
+
+
+def ccnet_buckets_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    n_buckets: int = 3,
+    unlikely_denom: int = 16,
+    scale: int = 1_000_000,
+) -> str:
+    """DuckDB twin of ccnet_buckets (same integer score, same ntile rule)."""
+    lm = bigram_lm_score_sql(table, id_col, text_col, unlikely_denom)
+    return f"""
+WITH lm AS ({lm}),
+atyp AS (
+  SELECT lm.{id_col}, d.{lang_col},
+         CAST(n_unlikely * {scale} // GREATEST(n_bigrams, 1) AS BIGINT) AS atyp
+  FROM lm JOIN {table} d ON lm.{id_col} = d.{id_col}),
+b AS (
+  SELECT *, CAST(NTILE({n_buckets}) OVER (PARTITION BY {lang_col}
+                ORDER BY atyp ASC, {id_col} ASC) AS BIGINT) AS bucket
+  FROM atyp)
+SELECT {id_col}, {lang_col}, atyp, bucket,
+       CASE WHEN bucket = 1 THEN 'head' WHEN bucket = 2 THEN 'middle'
+            ELSE 'tail' END AS tier
+FROM b
+"""

@@ -6,6 +6,7 @@ from pyspark.sql import functions as F
 
 from ape_dts_spark import demo
 from ape_dts_spark.functions import dedup as dd
+from ape_dts_spark.functions import mixing as mx
 from ape_dts_spark.functions import similarity as sim
 from ape_dts_spark.functions import text as tx
 
@@ -569,3 +570,42 @@ def test_bigram_lm_score_hand_case(spark):
     assert out[4] == {"doc_id": 4, "n_bigrams": 1, "n_hapax": 1, "n_unlikely": 1, "sum_pair_freq": 1}
     # doc 5: single token -> all zeros via the left join
     assert out[5] == {"doc_id": 5, "n_bigrams": 0, "n_hapax": 0, "n_unlikely": 0, "sum_pair_freq": 0}
+
+
+def test_temperature_mix_quotas(spark):
+    """isqrt-weight quotas: A(100 docs) w=10, B(25) w=5, C(4) w=2, W=17;
+    total=17 -> quotas 10/5/2. The temperature flattens the mix: A has 25x
+    C's documents but only 5x its quota."""
+    rows = (
+        [(i, "A") for i in range(100)]
+        + [(100 + i, "B") for i in range(25)]
+        + [(200 + i, "C") for i in range(4)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = mx.temperature_mix(df, "doc_id", "source", total_docs=17).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    assert {s: len(v) for s, v in by_src.items()} == {"A": 10, "B": 5, "C": 2}
+    assert all(r["quota"] == 10 for r in by_src["A"])
+    # determinism: same seed -> same membership
+    again = {r["doc_id"] for r in mx.temperature_mix(df, "doc_id", "source", total_docs=17).collect()}
+    assert again == {r["doc_id"] for r in out}
+
+
+def test_ccnet_buckets_tiers(spark):
+    """Per-language ntile over LM atypicality: typical docs land in head,
+    hapax-transition gibberish in tail; buckets are balanced per language."""
+    common = [(i, "the cat sat on the mat", "en") for i in range(1, 5)]
+    rare = [(10, "zqx jvw kpf qzz", "en"), (11, "vbn mkl pqr xyz", "en")]
+    other = [(20, "el gato es bueno", "es"), (21, "el gato es bueno", "es"),
+             (22, "qq ww ee rr", "es")]
+    df = spark.createDataFrame(common + rare + other, "doc_id long, text string, lang string")
+    out = {r["doc_id"]: r.asDict() for r in tx.ccnet_buckets(df, "doc_id", "text", "lang").collect()}
+    # en: 6 docs -> ntile(3) = 2 per tier; the two gibberish docs have every
+    # transition hapax+unlikely -> max atyp -> tail
+    assert sorted(d for d, r in out.items() if r["lang"] == "en" and r["tier"] == "tail") == [10, 11]
+    assert [r["tier"] for d, r in out.items() if d in (1, 2)] == ["head", "head"]
+    # es: 3 docs -> 1 per tier; gibberish is tail
+    assert out[22]["tier"] == "tail"
+    assert {r["bucket"] for r in out.values()} == {1, 2, 3}

@@ -43,6 +43,12 @@ QUERIES = [
     "cosine_dup_pairs",
     "dedup_cluster",
     "ann_lsh",
+    # round-4 heavy additions (VERDICT r4 asked for measured alphas)
+    "embedding_dedup_keep",
+    "semantic_dedup",
+    "minhash_incremental",
+    "span_dedup",
+    "contamination_bloom",
 ]
 
 
