@@ -1784,6 +1784,20 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ivf_topk(queries_df, emb, "vec_id", "embedding", n_lists=16, n_probe=4, k=1)
 
 
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (ADC + exact re-rank), planted-twin gate:
+    queries are exact copies of every 50th corpus vector (ids +100000). The
+    twin's PQ code IS the query's own encoding, so its ADC distance is the
+    provable minimum, and the exact re-rank breaks any code-collision tie —
+    rank 1 must be the original (k=1; deeper ranks depend on float cosines
+    only numpy computes)."""
+    emb = demo.load(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 50 == 0).withColumn(
+        "vec_id", F.col("vec_id") + 100_000
+    )
+    return sim.pq_topk(queries_df, emb, "vec_id", "embedding", m=8, ks=16, k=1)
+
+
 def q_ann_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF against a STORED index (ivf_index + ivf_index_topk): the corpus is
     assigned to its lists once; queries probe via a broadcast pruning join
@@ -2294,6 +2308,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cluster_star": q_dedup_cluster_star,
         "ccnet_buckets": q_ccnet_buckets,
         "temperature_mix": q_temperature_mix,
+        "ann_pq": q_ann_pq,
         # -- already driver-green; most load-bearing backfill to slot 50 ------
         "pricing_summary": q_pricing_summary,
         "checker_diff": q_checker_diff,
@@ -3583,6 +3598,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT node AS vec_id, MIN(reach) AS rep_id FROM walk GROUP BY node
         """,
         "ann_ivf": """
+            SELECT vec_id + 100000 AS query_id, vec_id AS neighbor_id, 1 AS rank
+            FROM embeddings WHERE vec_id % 50 = 0
+        """,
+        "ann_pq": """
             SELECT vec_id + 100000 AS query_id, vec_id AS neighbor_id, 1 AS rank
             FROM embeddings WHERE vec_id % 50 = 0
         """,

@@ -695,3 +695,157 @@ def ivf_index_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )
+
+
+def _train_pq_codebooks(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int,
+    ks: int,
+    sample_per_code: int = 40,
+    iters: int = 10,
+):
+    """Deterministic per-subspace k-means codebooks for product quantization.
+
+    Same sample-train-broadcast shape as IVF's ``_train_centroids``: a
+    hash-mod sample (unbiased across the id space, no global sort) collected
+    to the driver (~ks*sample_per_code rows — bounded regardless of corpus
+    size), unit-normalized, then independent Lloyd k-means per subspace with
+    strided deterministic init. Returns (m, ks, subdim) float64 array.
+    """
+    import numpy as np
+
+    n = corpus.count()
+    target = ks * sample_per_code
+    mod = max(1, n // max(1, target))
+    sample = (
+        corpus.select(id_col, vec_col)
+        .filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(mod)) == 0)
+        .collect()
+    )
+    sample.sort(key=lambda r: r[id_col])
+    mat = np.array([r[vec_col] for r in sample], dtype=np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    dim = mat.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    sub = dim // m
+    k_eff = min(ks, len(mat))
+    books = np.empty((m, k_eff, sub))
+    for j in range(m):
+        s = mat[:, j * sub : (j + 1) * sub]
+        step = max(1, len(s) // k_eff)
+        cent = s[::step][:k_eff].copy()
+        for _ in range(iters):
+            # L2 assignment via the expanded form; argmin is deterministic
+            d2 = ((s[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(k_eff):
+                members = s[assign == c]
+                if len(members):
+                    cent[c] = members.mean(axis=0)
+        books[j] = cent
+    return books
+
+
+def pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    ks: int = 16,
+    k: int = 5,
+    rerank: int = 4,
+) -> DataFrame:
+    """Product-quantization ANN with exact re-ranking (Jegou, Douze, Schmid,
+    "Product Quantization for Nearest Neighbor Search", TPAMI 2011 — the
+    ADC + re-ranking variant): the third classic ANN scale path next to
+    hyperplane LSH (lsh_ann_topk) and IVF (ivf_topk). PQ's 100-TB argument
+    is MEMORY, not flops: each unit vector compresses to m code bytes
+    (m*log2(ks) bits — 8 bytes here vs 512 for float64x64), so a
+    billion-vector index fits in RAM and candidate scoring is table lookups.
+
+    One Arrow-batched ``mapInPandas`` scan does everything per batch:
+    encode (per-subspace argmin against the broadcast codebooks), ADC score
+    (each query precomputes its m x ks squared-distance table driver-side;
+    batch distance = sum of table lookups via fancy indexing), then the
+    ADC top-(k*rerank) candidates are re-ranked by EXACT cosine (their full
+    vectors are in hand within the batch — re-ranking is free locally, and
+    it is what makes the planted-twin gate exact: the twin's ADC distance is
+    provably minimal since its code IS the query's own encoding, and exact
+    re-rank breaks any code-collision tie in the twin's favor). One tiny
+    shuffle (|queries| x batches x k rows) resolves the global top-k — the
+    corpus is scanned once and never shuffled, no pair relation materializes.
+    Output: (query_id, neighbor_id, rank).
+    """
+    import numpy as np
+    import pandas as pd
+
+    books = _train_pq_codebooks(corpus, id_col, vec_col, m, ks)
+    sub = books.shape[2]
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([int(r[id_col]) for r in q_rows])
+    q_mat = np.array([r[vec_col] for r in q_rows], dtype=np.float64)
+    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+    # ADC tables: tabs[qi, j, c] = ||q_sub_j - centroid_jc||^2
+    tabs = np.stack(
+        [
+            ((q_mat[:, j * sub : (j + 1) * sub][:, None, :] - books[j][None, :, :]) ** 2).sum(
+                axis=2
+            )
+            for j in range(m)
+        ],
+        axis=1,
+    )
+
+    def _score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            c_ids = pdf[id_col].to_numpy()
+            c_mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            c_mat /= np.linalg.norm(c_mat, axis=1, keepdims=True)
+            # encode: codes[i, j] = nearest centroid of subvector j
+            codes = np.empty((len(c_mat), m), dtype=np.int64)
+            for j in range(m):
+                s = c_mat[:, j * sub : (j + 1) * sub]
+                d2 = ((s[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+                codes[:, j] = np.argmin(d2, axis=1)
+            # ADC: dist[qi, i] = sum_j tabs[qi, j, codes[i, j]] — one
+            # (nq x n) table-lookup gather per subspace
+            dist = np.zeros((len(q_ids), len(c_mat)))
+            for j in range(m):
+                dist += tabs[:, j, :][:, codes[:, j]]
+            cand = min(k * rerank + 1, dist.shape[1])  # +1 survives self-match
+            idx = np.argpartition(dist, cand - 1, axis=1)[:, :cand]
+            # exact re-rank of the ADC survivors (vectors are local)
+            rows = []
+            for qi in range(len(q_ids)):
+                sel = idx[qi]
+                cos = c_mat[sel] @ q_mat[qi]
+                rows.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.full(len(sel), q_ids[qi]),
+                            "neighbor_id": c_ids[sel],
+                            "cosine": cos,
+                        }
+                    )
+                )
+            out = pd.concat(rows, ignore_index=True)
+            yield out[out["query_id"] != out["neighbor_id"]]
+
+    from pyspark.sql import Window as W
+
+    partial = corpus.select(id_col, vec_col).mapInPandas(
+        _score, schema="query_id long, neighbor_id long, cosine double"
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )

@@ -112,6 +112,32 @@ def test_ivf_finds_planted_twins(spark, sf_dir):
     assert hits == queries.count()
 
 
+def test_pq_finds_planted_twins_and_recall(spark, sf_dir):
+    """PQ+ADC with exact re-rank: a twin's code equals the query's own
+    encoding, so its ADC distance is minimal and re-rank pins rank 1; and
+    the ADC top-(k*rerank) candidate pool must recover most of the exact
+    cosine top-5 on random data."""
+    emb = demo.load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0).withColumn(
+        "vec_id", F.col("vec_id") + 100_000
+    )
+    top1 = sim.pq_topk(queries, emb, "vec_id", "embedding", m=8, ks=16, k=1).collect()
+    hits = sum(1 for r in top1 if r["neighbor_id"] == r["query_id"] - 100_000)
+    assert hits == queries.count()
+    # recall@5 vs exact brute force (self-twin pairs dominate rank 1; the
+    # deeper ranks measure real ADC quality on near-uniform vectors)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim.cosine_topk(queries, emb, "vec_id", "embedding", k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim.pq_topk(queries, emb, "vec_id", "embedding", m=8, ks=16, k=5).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3, f"PQ recall@5 {recall:.2f}"
+
+
 def test_minhash_identical_set_expansion(spark):
     """The identical-set collapse must expand groups back to exactly
     C(g,2) doc pairs per group at J=1, ordered id_a < id_b, no duplicate
