@@ -1784,6 +1784,18 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ivf_topk(queries_df, emb, "vec_id", "embedding", n_lists=16, n_probe=4, k=1)
 
 
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality-rule bundle (Rae et al. 2021 App. A) — every rule an
+    integer comparison (cross-multiplied ratios), keep = all pass."""
+    d = demo.load(spark, sf_dir, "documents")
+    out = tx.gopher_rules(d, "doc_id", "text")
+    return out.select(
+        "doc_id", F.col("n_words").cast("long").alias("n_words"),
+        "r_wordcount", "r_meanlen", "r_symbol", "r_bullet", "r_ellipsis",
+        "r_alpha", "r_stop", "keep",
+    )
+
+
 def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (ADC + exact re-rank), planted-twin gate:
     queries are exact copies of every 50th corpus vector (ids +100000). The
@@ -2309,6 +2321,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccnet_buckets": q_ccnet_buckets,
         "temperature_mix": q_temperature_mix,
         "ann_pq": q_ann_pq,
+        "gopher_rules": q_gopher_rules,
         # -- already driver-green; most load-bearing backfill to slot 50 ------
         "pricing_summary": q_pricing_summary,
         "checker_diff": q_checker_diff,
@@ -3071,6 +3084,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bigram_lm_score": tx.bigram_lm_score_sql("documents", "doc_id", "text", 16),
         "ccnet_buckets": tx.ccnet_buckets_sql("documents", "doc_id", "text", "lang"),
+        "gopher_rules": tx.gopher_rules_sql("documents", "doc_id", "text"),
         "source_caps": mx.source_caps_sql("documents", "doc_id", "source", 120, 7),
         "temperature_mix": mx.temperature_mix_sql("documents", "doc_id", "source", 300),
         "tfidf_topterms": tx.tfidf_top_terms_sql("documents", "doc_id", "text", 5),

@@ -974,3 +974,101 @@ SELECT {id_col}, {lang_col}, atyp, bucket,
             ELSE 'tail' END AS tier
 FROM b
 """
+
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    df: DataFrame, id_col: str = "doc_id", col: str = "text"
+) -> DataFrame:
+    """Gopher quality rules (Rae et al., "Scaling Language Models: Methods,
+    Analysis & Insights from Training Gopher", 2021, Appendix A) — the
+    published rule bundle behind MassiveWeb-style filtering, as one pure-JVM
+    projection. Every rule is an INTEGER comparison (ratios cross-multiplied:
+    mean word length in [3,10] becomes 3*n <= len_sum <= 10*n), so the
+    boolean outputs are bit-exact across engines — no float thresholds.
+
+    Rules (keep = all pass):
+    - r_wordcount:  50 <= word count <= 100000
+    - r_meanlen:    mean word length in [3, 10]
+    - r_symbol:     (# '#' chars + '...' occurrences) / words <= 0.1
+    - r_bullet:     bullet-started lines <= 90% of lines
+    - r_ellipsis:   '...'-ended lines <= 30% of lines
+    - r_alpha:      >= 80% of words contain an alphabetic character
+    - r_stop:       >= 2 distinct required stop words present
+
+    Scale: embarrassingly parallel per document, no shuffle; the scan prunes
+    to (id, text).
+    """
+    t = tokens_expr(col)
+    req = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+    lines = f"split({col}, '\\n')"
+    exprs = {
+        "n_words": f"size({t})",
+        "len_sum": f"aggregate({t}, 0, (acc, x) -> acc + length(x))",
+        "n_alpha_words": f"size(filter({t}, x -> x rlike '[a-z]'))",
+        "n_req_stop": f"size(array_intersect(array_distinct({t}), array({req})))",
+        "n_symbols": (
+            f"(length({col}) - length(replace({col}, '#', ''))) + "
+            f"CAST((length({col}) - length(replace({col}, '...', ''))) / 3 AS INT)"
+        ),
+        "n_lines": f"size({lines})",
+        "n_bullet_lines": f"size(filter({lines}, x -> trim(x) rlike '^[-*]'))",
+        "n_ellipsis_lines": f"size(filter({lines}, x -> trim(x) rlike '\\\\.\\\\.\\\\.$'))",
+    }
+    counted = df.select(F.col(id_col), *[F.expr(e).alias(n) for n, e in exprs.items()])
+    rules = {
+        "r_wordcount": "n_words >= 50 AND n_words <= 100000",
+        "r_meanlen": "3 * n_words <= len_sum AND len_sum <= 10 * n_words",
+        "r_symbol": "10 * n_symbols <= greatest(n_words, 1)",
+        "r_bullet": "10 * n_bullet_lines <= 9 * n_lines",
+        "r_ellipsis": "10 * n_ellipsis_lines <= 3 * n_lines",
+        "r_alpha": "5 * n_alpha_words >= 4 * n_words",
+        "r_stop": "n_req_stop >= 2",
+    }
+    out = counted.select(
+        id_col,
+        "n_words",
+        *[F.expr(e).alias(n) for n, e in rules.items()],
+    )
+    return out.withColumn(
+        "keep", F.expr(" AND ".join(rules.keys()))
+    )
+
+
+def gopher_rules_sql(
+    table: str = "documents", id_col: str = "doc_id", col: str = "text"
+) -> str:
+    """DuckDB twin of gopher_rules (same integer counts and comparisons)."""
+    t = tokens_sql(col)
+    req = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+    lines = f"string_split({col}, chr(10))"
+    return f"""
+WITH counted AS (
+  SELECT {id_col},
+         len({t}) AS n_words,
+         COALESCE(list_sum(list_transform({t}, x -> length(x))), 0) AS len_sum,
+         len(list_filter({t}, x -> regexp_matches(x, '[a-z]'))) AS n_alpha_words,
+         len(list_intersect(list_distinct({t}), [{req}])) AS n_req_stop,
+         (length({col}) - length(replace({col}, '#', ''))) +
+           CAST(floor((length({col}) - length(replace({col}, '...', ''))) / 3) AS INT)
+             AS n_symbols,
+         len({lines}) AS n_lines,
+         len(list_filter({lines}, x -> regexp_matches(trim(x), '^[-*]'))) AS n_bullet_lines,
+         len(list_filter({lines}, x -> regexp_matches(trim(x), '\\.\\.\\.$'))) AS n_ellipsis_lines
+  FROM {table}),
+ruled AS (
+  SELECT {id_col}, CAST(n_words AS BIGINT) AS n_words,
+         n_words >= 50 AND n_words <= 100000 AS r_wordcount,
+         3 * n_words <= len_sum AND len_sum <= 10 * n_words AS r_meanlen,
+         10 * n_symbols <= GREATEST(n_words, 1) AS r_symbol,
+         10 * n_bullet_lines <= 9 * n_lines AS r_bullet,
+         10 * n_ellipsis_lines <= 3 * n_lines AS r_ellipsis,
+         5 * n_alpha_words >= 4 * n_words AS r_alpha,
+         n_req_stop >= 2 AS r_stop
+  FROM counted)
+SELECT *, r_wordcount AND r_meanlen AND r_symbol AND r_bullet AND r_ellipsis
+          AND r_alpha AND r_stop AS keep
+FROM ruled
+"""

@@ -112,6 +112,28 @@ def test_ivf_finds_planted_twins(spark, sf_dir):
     assert hits == queries.count()
 
 
+def test_gopher_rules_hand_cases(spark):
+    """Each Gopher rule fires on its constructed violation; a clean doc
+    passes all."""
+    good = "the cat and the dog have that with " + " ".join(
+        ["word"] * 50
+    )  # 58 words, mean len in [3,10], stopwords present
+    short = "the cat and of have that"  # < 50 words
+    symbols = "the cat and of have that " + "# " * 60  # '#' per word > 0.1
+    longwords = "the of and have that " + " ".join(["x" * 20] * 50)  # mean len > 10
+    nostop = " ".join(["apple"] * 60)  # no required stop words
+    df = spark.createDataFrame(
+        [(1, good), (2, short), (3, symbols), (4, longwords), (5, nostop)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r.asDict() for r in tx.gopher_rules(df, "doc_id", "text").collect()}
+    assert out[1]["keep"] is True
+    assert out[2]["r_wordcount"] is False and out[2]["keep"] is False
+    assert out[3]["r_symbol"] is False
+    assert out[4]["r_meanlen"] is False
+    assert out[5]["r_stop"] is False
+
+
 def test_pq_finds_planted_twins_and_recall(spark, sf_dir):
     """PQ+ADC with exact re-rank: a twin's code equals the query's own
     encoding, so its ADC distance is minimal and re-rank pins rank 1; and
