@@ -195,3 +195,27 @@ def test_disjunctive_revenue_equi_join_extracted(spark, sf_dir):
     plan = _plan(spark, sf_dir, "disjunctive_revenue")
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_gopher_rules_no_shuffle(spark, sf_dir):
+    # pure per-document projection: no exchange anywhere, pruned scan
+    plan = _plan(spark, sf_dir, "gopher_rules")
+    assert "Exchange" not in plan
+    assert "n_comment" not in plan  # only (doc_id, text) reach the reader
+
+
+def test_ann_pq_single_scan_no_pair_join(spark, sf_dir):
+    # fused encode+ADC+re-rank: one Arrow kernel over the corpus, top-k via
+    # one window — never a pairwise join relation
+    plan = _plan(spark, sf_dir, "ann_pq")
+    assert "MapInPandas" in plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "Join" not in plan  # no join operator at all
+
+
+def test_temperature_mix_broadcast_quota(spark, sf_dir):
+    # the quota table (n_sources rows) must broadcast; the only hash
+    # exchange partitions by source for the rank window
+    plan = _plan(spark, sf_dir, "temperature_mix")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
