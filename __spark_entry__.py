@@ -1784,6 +1784,25 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ivf_topk(queries_df, emb, "vec_id", "embedding", n_lists=16, n_probe=4, k=1)
 
 
+def q_cheapest_shipment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group correlated-min decorrelation (TPC-H Q2's subquery shape,
+    re-targeted at lineitem since the testdata has no partsupp): shipments
+    whose extendedprice equals the MINIMUM extendedprice for their part.
+    The correlated `= (SELECT MIN(..) WHERE partkey = outer.partkey)`
+    decorrelates to one per-part aggregate re-joined on (partkey, price) —
+    one shuffle for the agg, one equi-join; DOUBLE equality is safe because
+    both sides are the SAME stored value, not computed floats. Ties (several
+    rows at the min price) all survive, exactly like Q2."""
+    l = demo.load(spark, sf_dir, "lineitem")
+    mins = l.groupBy("l_partkey").agg(
+        F.min("l_extendedprice").alias("l_extendedprice")
+    )
+    return l.join(mins, ["l_partkey", "l_extendedprice"]).select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        F.col("l_extendedprice").alias("price"),
+    )
+
+
 def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher quality-rule bundle (Rae et al. 2021 App. A) — every rule an
     integer comparison (cross-multiplied ratios), keep = all pass."""
@@ -2322,6 +2341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mix": q_temperature_mix,
         "ann_pq": q_ann_pq,
         "gopher_rules": q_gopher_rules,
+        "cheapest_shipment": q_cheapest_shipment,
         # -- already driver-green; most load-bearing backfill to slot 50 ------
         "pricing_summary": q_pricing_summary,
         "checker_diff": q_checker_diff,
@@ -3085,6 +3105,14 @@ def oracle_sql() -> dict[str, str]:
         "bigram_lm_score": tx.bigram_lm_score_sql("documents", "doc_id", "text", 16),
         "ccnet_buckets": tx.ccnet_buckets_sql("documents", "doc_id", "text", "lang"),
         "gopher_rules": tx.gopher_rules_sql("documents", "doc_id", "text"),
+        "cheapest_shipment": """
+            SELECT l.l_orderkey, l.l_partkey, l.l_suppkey,
+                   l.l_extendedprice AS price
+            FROM lineitem l
+            WHERE l.l_extendedprice = (
+              SELECT MIN(l2.l_extendedprice) FROM lineitem l2
+              WHERE l2.l_partkey = l.l_partkey)
+        """,
         "source_caps": mx.source_caps_sql("documents", "doc_id", "source", 120, 7),
         "temperature_mix": mx.temperature_mix_sql("documents", "doc_id", "source", 300),
         "tfidf_topterms": tx.tfidf_top_terms_sql("documents", "doc_id", "text", 5),
