@@ -123,8 +123,16 @@ BENCH_QUERIES = [
     "ngram_minhash",
     "cosine_dup_pairs",
     "embedding_dedup_keep",
+    # round-5 additions: quality/mixing projections are cheap; PQ and the
+    # star-CC engine are the heavy tails
+    "gopher_rules",
+    "temperature_mix",
+    "cheapest_shipment",
+    "ccnet_buckets",
+    "ann_pq",
     # keep-list clustering (minhash pairs + min-label connected components)
     "dedup_cluster",
+    "dedup_cluster_star",
 ]
 
 
