@@ -789,6 +789,70 @@ def q_stream_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.current().select("user_id", "value")
 
 
+def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL stream-stream watermarked interval join, driver-gated: purchases
+    and errors land as separate file streams (2 parquet files each,
+    maxFilesPerTrigger=1 -> several genuine micro-batches per side),
+    joined with wd.stream_stream_interval_join — same user, error within
+    one hour after the purchase. Symmetric join state buffers both sides
+    across batch boundaries; the event-time bound in the condition is what
+    lets Spark evict that state in production. The watermark is pushed out
+    past the corpus span so file-arrival disorder cannot drop late rows —
+    the gate checks the join machinery against the exact batch oracle
+    (DuckDB interval join); tight-watermark eviction is the documented
+    production trade (test_windowed covers the drop behavior)."""
+    import tempfile
+
+    ev = demo.load(spark, sf_dir, "events").select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"), "user_id", "event_type"
+    )
+    root = tempfile.mkdtemp(prefix="ape_sjoin_")
+    p_src = os.path.join(root, "purchases")
+    e_src = os.path.join(root, "errors")
+    ev.filter(F.col("event_type") == "purchase").repartition(2).write.mode(
+        "overwrite"
+    ).parquet(p_src)
+    ev.filter(F.col("event_type") == "error").repartition(2).write.mode(
+        "overwrite"
+    ).parquet(e_src)
+
+    schema = ev.schema
+    purchases = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(p_src)
+        .withColumnRenamed("event_id", "p_event_id")
+    )
+    errors = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(e_src)
+        .withColumnRenamed("event_id", "e_event_id")
+    )
+    joined = wd.stream_stream_interval_join(
+        purchases, errors, key="user_id", ts_col="ts",
+        lower_s=0, upper_s=3600, watermark="3650 days",
+    ).select(
+        F.col("l.user_id").alias("user_id"),
+        "p_event_id",
+        "e_event_id",
+        F.unix_millis(F.col("l.ts")).alias("p_ts_ms"),
+        F.unix_millis(F.col("r.ts")).alias("e_ts_ms"),
+    )
+    qname = "ape_stream_join_out"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try:
+        (
+            joined.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(qname)
+
+
 def q_continuous_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style CONTINUOUS AGGREGATE, driver-gated: a real stream of
     raw events (4 parquet files, maxFilesPerTrigger=1) feeds a windowed
@@ -2342,6 +2406,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq": q_ann_pq,
         "gopher_rules": q_gopher_rules,
         "cheapest_shipment": q_cheapest_shipment,
+        "stream_join": q_stream_join,
         # -- already driver-green; most load-bearing backfill to slot 50 ------
         "pricing_summary": q_pricing_summary,
         "checker_diff": q_checker_diff,
@@ -3105,6 +3170,16 @@ def oracle_sql() -> dict[str, str]:
         "bigram_lm_score": tx.bigram_lm_score_sql("documents", "doc_id", "text", 16),
         "ccnet_buckets": tx.ccnet_buckets_sql("documents", "doc_id", "text", "lang"),
         "gopher_rules": tx.gopher_rules_sql("documents", "doc_id", "text"),
+        "stream_join": """
+            SELECT p.user_id,
+                   p.event_id AS p_event_id,
+                   e.event_id AS e_event_id,
+                   epoch_ms(p.ts) AS p_ts_ms,
+                   epoch_ms(e.ts) AS e_ts_ms
+            FROM events p JOIN events e ON p.user_id = e.user_id
+            WHERE p.event_type = 'purchase' AND e.event_type = 'error'
+              AND e.ts >= p.ts AND e.ts <= p.ts + INTERVAL '3600 seconds'
+        """,
         "cheapest_shipment": """
             SELECT l.l_orderkey, l.l_partkey, l.l_suppkey,
                    l.l_extendedprice AS price

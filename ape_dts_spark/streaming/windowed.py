@@ -203,3 +203,48 @@ def heartbeat_lag(events: DataFrame, ts_col: str = "ts") -> DataFrame:
     return events.agg(
         F.max(ts_col).alias("max_event_ts"), F.count(F.lit(1)).alias("n_events")
     )
+
+
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts_col: str = "ts",
+    lower_s: int = 0,
+    upper_s: int = 3600,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: pair each left event with every
+    right event of the same ``key`` whose timestamp falls in
+    ``[left.ts + lower_s, left.ts + upper_s]`` seconds — the event-correlation
+    operator (purchase -> follow-up error, impression -> click) Structured
+    Streaming implements with symmetric join state.
+
+    Both sides carry an event-time watermark and the join condition bounds
+    event-time distance, which is exactly what lets Spark EVICT join state:
+    a buffered left row can stop matching once the right watermark passes
+    left.ts + upper_s (and vice versa), so state is bounded by the watermark
+    horizon x arrival rate, not the stream length — the 100-TB contract.
+    Works identically on batch frames (condition becomes a plain interval
+    join; watermark is a no-op), so the streaming gate has an exact batch
+    oracle. Choose ``watermark`` >= the real disorder bound: rows later than
+    it are dropped by design.
+    """
+    l = left.alias("l")
+    r = right.alias("r")
+    if left.isStreaming:
+        l = left.withWatermark(ts_col, watermark).alias("l")
+    if right.isStreaming:
+        r = right.withWatermark(ts_col, watermark).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (
+            F.col(f"r.{ts_col}")
+            >= F.col(f"l.{ts_col}") + F.expr(f"INTERVAL {lower_s} SECONDS")
+        )
+        & (
+            F.col(f"r.{ts_col}")
+            <= F.col(f"l.{ts_col}") + F.expr(f"INTERVAL {upper_s} SECONDS")
+        )
+    )
+    return l.join(r, cond, "inner")

@@ -76,6 +76,7 @@ BENCH_QUERIES = [
     # per-trigger cost, not data volume (see SCALING.md philosophy)
     "stateful_dedup",
     "continuous_rollup",
+    "stream_join",
     # training-data pipeline extensions (BASELINE.json north star)
     "dedup_exact",
     "doc_fingerprint",

@@ -170,3 +170,29 @@ def test_sliding_counts_every_event_in_two_buckets(spark, sf_dir):
     out = wd.sliding_event_counts(ev, window="2 days", slide="1 day")
     total = out.agg(F.sum("n")).first()[0]
     assert total == 2 * ev.count()
+
+
+def test_stream_stream_interval_join_batch_twin(spark):
+    """Batch-mode hand case for the stream-stream join (identical plan minus
+    watermark): right events pair iff same key and ts within [l.ts, l.ts+10s];
+    bounds are inclusive on both ends."""
+    from ape_dts_spark.streaming.windowed import stream_stream_interval_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00"), (2, "2024-01-01 00:01:00")],
+        "k long, ts_s string",
+    ).select("k", F.col("ts_s").cast("timestamp").alias("ts"))
+    right = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:05"),   # in window
+            (1, "2024-01-01 00:00:10"),   # boundary: inclusive
+            (1, "2024-01-01 00:00:11"),   # past upper bound
+            (1, "2023-12-31 23:59:59"),   # before lower bound
+            (2, "2024-01-01 00:01:03"),   # in window, other key
+            (9, "2024-01-01 00:00:05"),   # no matching key
+        ],
+        "k long, ts_s string",
+    ).select("k", F.col("ts_s").cast("timestamp").alias("ts"))
+    out = stream_stream_interval_join(left, right, key="k", ts_col="ts", lower_s=0, upper_s=10)
+    pairs = sorted((r["l.k"] if "l.k" in r else r[0], str(r[3])) for r in out.collect())
+    assert len(pairs) == 3
