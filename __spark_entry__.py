@@ -1867,6 +1867,38 @@ def q_cheapest_shipment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The modern curation recipe, gated end-to-end — this round's operators
+    composed the way a 2024-era web-corpus job chains them (RefinedWeb/
+    FineWeb shape): Gopher rule gate (the rules that discriminate on this
+    corpus: word count + mean length + alpha + symbol; the stop-word rule
+    would empty the synthetic vocabulary) -> CCNet per-language perplexity
+    buckets trained ON THE FILTERED corpus, tail dropped -> exact dedup
+    keep-first -> temperature-smoothed source quotas (tau=0.5, 120 docs).
+    An error in any stage (rule arithmetic, LM training set, ntile rule,
+    dedup tie-break, isqrt quota, scramble rank) shifts the final
+    (doc_id, lang, source, tier, rk) assignment."""
+    d = demo.load(spark, sf_dir, "documents")
+    rules = tx.gopher_rules(d, "doc_id", "text").filter(
+        "r_wordcount AND r_meanlen AND r_alpha AND r_symbol"
+    )
+    gated = d.join(rules.select("doc_id"), "doc_id")
+    tiers = tx.ccnet_buckets(gated, "doc_id", "text", "lang").filter(
+        F.col("tier") != "tail"
+    )
+    survivors = gated.join(tiers.select("doc_id", "tier"), "doc_id")
+    deduped = (
+        survivors.withColumn("_m", F.min("doc_id").over(W.partitionBy("text")))
+        .filter(F.col("doc_id") == F.col("_m"))
+        .drop("_m")
+    )
+    mixed = mx.temperature_mix(deduped, "doc_id", "source", total_docs=120)
+    return (
+        mixed.join(deduped.select("doc_id", "lang", "tier"), "doc_id")
+        .select("doc_id", "lang", "source", "tier", "rk")
+    )
+
+
 def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher quality-rule bundle (Rae et al. 2021 App. A) — every rule an
     integer comparison (cross-multiplied ratios), keep = all pass."""
@@ -2407,6 +2439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_rules": q_gopher_rules,
         "cheapest_shipment": q_cheapest_shipment,
         "stream_join": q_stream_join,
+        "curation_v2": q_curation_v2,
         # -- already driver-green; most load-bearing backfill to slot 50 ------
         "pricing_summary": q_pricing_summary,
         "checker_diff": q_checker_diff,
@@ -3170,6 +3203,24 @@ def oracle_sql() -> dict[str, str]:
         "bigram_lm_score": tx.bigram_lm_score_sql("documents", "doc_id", "text", 16),
         "ccnet_buckets": tx.ccnet_buckets_sql("documents", "doc_id", "text", "lang"),
         "gopher_rules": tx.gopher_rules_sql("documents", "doc_id", "text"),
+        "curation_v2": f"""
+            WITH g AS ({tx.gopher_rules_sql("documents", "doc_id", "text")}),
+            gated AS (
+              SELECT d.* FROM documents d JOIN g ON d.doc_id = g.doc_id
+              WHERE g.r_wordcount AND g.r_meanlen AND g.r_alpha AND g.r_symbol),
+            tiers AS ({tx.ccnet_buckets_sql("gated", "doc_id", "text", "lang")}),
+            survivors AS (
+              SELECT gated.*, t.tier FROM gated
+              JOIN tiers t ON gated.doc_id = t.doc_id WHERE t.tier <> 'tail'),
+            deduped AS (
+              SELECT * FROM (
+                SELECT s.*, MIN(doc_id) OVER (PARTITION BY text) AS _m
+                FROM survivors s) x
+              WHERE doc_id = _m),
+            mixed AS ({mx.temperature_mix_sql("deduped", "doc_id", "source", 120)})
+            SELECT m.doc_id, d.lang, m.source, d.tier, m.rk
+            FROM mixed m JOIN deduped d ON m.doc_id = d.doc_id
+        """,
         "stream_join": """
             SELECT p.user_id,
                    p.event_id AS p_event_id,

@@ -93,6 +93,7 @@ BENCH_QUERIES = [
     "tfidf_topterms",
     "heartbeat_lag",
     "corpus_pipeline",
+    "curation_v2",
     "token_mix",
     "sequence_packing",
     "contamination",
