@@ -173,3 +173,35 @@ def test_jdbc_checker_cross_engine(spark, tmp_path):
     )
     bad = check_diff(clean, drifted, ["id"])
     assert [r["id"] for r in bad.collect()] == [3]
+
+
+def test_jdbc_snapshot_scan_second_engine_derby(spark, tmp_path):
+    """Same chunked JDBC reader against a SECOND live engine — Apache Derby
+    (embedded, ships on Spark's classpath): guards against DuckDB-specific
+    assumptions in the reader path (quoting, type mapping, partition-clause
+    generation). Derby folds unquoted identifiers to upper case and speaks
+    strict ANSI, so a reader quirk that DuckDB tolerates surfaces here."""
+    jvm = spark._jvm
+    url = f"jdbc:derby:{tmp_path}/derbydb;create=true"
+    try:
+        conn = jvm.java.sql.DriverManager.getConnection(url)
+    except Exception:
+        pytest.skip("Derby embedded driver not on the session classpath")
+    st = conn.createStatement()
+    st.execute("CREATE TABLE users (id BIGINT PRIMARY KEY, name VARCHAR(40), val DOUBLE)")
+    for i in range(60):
+        st.execute(f"INSERT INTO users VALUES ({i}, 'u{i}', {i}/4.0)")
+    st.close()
+    conn.close()
+
+    src = SnapshotSource(spark)
+    df = src.read_jdbc(
+        url, "users", partition_column="id", lower_bound=0, upper_bound=59,
+        num_partitions=3,
+    )
+    assert df.rdd.getNumPartitions() == 3
+    rows = {r["ID"]: (r["NAME"], r["VAL"]) for r in df.collect()}
+    assert len(rows) == 60
+    assert rows[17] == ("u17", 4.25)
+    preds = src.read_jdbc(url, "users", predicates=["id < 30", "id >= 30"])
+    assert preds.count() == 60

@@ -448,3 +448,52 @@ def test_compact_files_optimize(spark, tmp_path):
     assert len(v1_files) == 1
     assert sorted(r["id"] for r in table.current().collect()) == before
     assert table.at_version(0).count() == 64  # old layout retained for travel
+
+
+def test_crash_after_commit_replays_idempotently(spark, dirs):
+    """Kill the stream AFTER the sink committed a batch but BEFORE the
+    checkpoint recorded it — the exact failure window exactly-once hinges
+    on: the restart re-delivers the same epoch and the target's epoch
+    bookkeeping must turn the replay into a no-op (no double-apply, no
+    extra version)."""
+    src, target_dir, ckpt = dirs
+    write_debezium_jsonl(BATCH_1, os.path.join(src, "b1.jsonl"))
+    write_debezium_jsonl(BATCH_2, os.path.join(src, "b2.jsonl"))
+
+    table = ParquetTable(spark, target_dir, PAYLOAD)
+    pipe = CdcPipeline(spark, table, key_cols=["id"])
+
+    real_apply = pipe.apply_batch
+    crashed = {"done": False}
+
+    def crash_after_first(batch, batch_id):
+        real_apply(batch, batch_id)  # side effect lands (sink committed)
+        if not crashed["done"]:
+            crashed["done"] = True
+            raise RuntimeError("injected crash after sink commit")
+
+    changes = read_json_change_stream(spark, src, PAYLOAD, max_files_per_trigger=1)
+    q = (
+        changes.writeStream.foreachBatch(crash_after_first)
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception):
+        q.awaitTermination()
+    v_after_crash = table._read_meta()["version"]
+
+    # restart from the same checkpoint: the crashed epoch is re-delivered;
+    # merge_apply's (stream_id, batch_id) high-water makes it a no-op and
+    # the remaining file applies exactly once
+    changes = read_json_change_stream(spark, src, PAYLOAD, max_files_per_trigger=1)
+    pipe.run(changes, ckpt)
+
+    st = state_dict(table)
+    assert st[1] == ("a2", 12)
+    assert st[4] == ("c", 30) and 3 not in st
+    assert st[None] == ("ghost", 0)
+    # the replayed epoch must not have produced an extra version on restart:
+    # exactly one new version for the one genuinely-new batch
+    assert table._read_meta()["version"] == v_after_crash + 1
