@@ -1867,6 +1867,72 @@ def q_cheapest_shipment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Deterministic Debezium line fabric for the dead-letter gate: one line per
+# event, shape keyed by event_id % 5 (identical SQL text on both engines —
+# STRING vs VARCHAR is the only dialect split). Integer fields only, so the
+# constructed strings are bit-identical across engines.
+def _dlq_line(cast_t: str) -> str:
+    c = lambda e: f"CAST({e} AS {cast_t})"  # noqa: E731
+    valid = (
+        "concat('{\"op\":\"', CASE WHEN event_id % 3 = 0 THEN 'c' "
+        "WHEN event_id % 3 = 1 THEN 'u' ELSE 'd' END, "
+        "'\",\"before\":null,\"after\":{\"user_id\":', " + c("user_id") + ", "
+        "'},\"source\":{\"db\":\"d\",\"table\":\"t\",\"ts_ms\":1700000000000,"
+        "\"seq\":', " + c("event_id") + ", '}}')"
+    )
+    missing_op = (
+        "concat('{\"before\":null,\"after\":{\"user_id\":', " + c("user_id") + ", "
+        "'},\"source\":{\"db\":\"d\",\"table\":\"t\",\"ts_ms\":1700000000000,"
+        "\"seq\":', " + c("event_id") + ", '}}')"
+    )
+    missing_seq = (
+        "concat('{\"op\":\"c\",\"after\":{\"user_id\":', " + c("user_id") + ", "
+        "'},\"source\":{\"db\":\"d\",\"table\":\"t\",\"ts_ms\":1700000000000}}')"
+    )
+    junk = "concat('{\"op\":\"c\",\"after\":{', " + c("event_id") + ")"
+    return (
+        f"CASE WHEN event_id % 5 = 0 THEN {junk} "
+        f"WHEN event_id % 5 = 1 THEN {missing_op} "
+        f"WHEN event_id % 5 = 2 THEN {missing_seq} "
+        f"ELSE {valid} END"
+    )
+
+
+def q_dead_letter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter quarantine for corrupt change events
+    (cdc.parse_debezium_with_dead_letter): a deterministic line fabric makes
+    every 5th event unparseable JSON, every 5th an envelope without op, and
+    every 5th one without source.seq; good rows must parse to the canonical
+    change schema, bad rows must land in (raw, reason) — silently-null
+    change rows (plain parse_debezium's failure mode) would diverge from
+    the oracle immediately."""
+    from pyspark.sql import types as T
+
+    from ape_dts_spark.streaming.cdc import parse_debezium_with_dead_letter
+
+    ev = demo.load(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    raw = ev.select("event_id", "user_id").withColumn(
+        "value", F.expr(_dlq_line("STRING"))
+    )
+    payload = T.StructType([T.StructField("user_id", T.LongType())])
+    changes, dead = parse_debezium_with_dead_letter(raw, payload)
+    ok = changes.select(
+        F.lit("change").alias("kind"),
+        F.col("row_type").alias("detail"),
+        "seq",
+        F.col("after.user_id").alias("user_id"),
+        F.lit(None).cast("string").alias("raw"),
+    )
+    dl = dead.select(
+        F.lit("dead").alias("kind"),
+        F.col("reason").alias("detail"),
+        F.lit(None).cast("long").alias("seq"),
+        F.lit(None).cast("long").alias("user_id"),
+        "raw",
+    )
+    return ok.unionByName(dl)
+
+
 def q_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The modern curation recipe, gated end-to-end — this round's operators
     composed the way a 2024-era web-corpus job chains them (RefinedWeb/
@@ -2440,6 +2506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cheapest_shipment": q_cheapest_shipment,
         "stream_join": q_stream_join,
         "curation_v2": q_curation_v2,
+        "dead_letter": q_dead_letter,
         # -- already driver-green; most load-bearing backfill to slot 50 ------
         "pricing_summary": q_pricing_summary,
         "checker_diff": q_checker_diff,
@@ -3203,6 +3270,33 @@ def oracle_sql() -> dict[str, str]:
         "bigram_lm_score": tx.bigram_lm_score_sql("documents", "doc_id", "text", 16),
         "ccnet_buckets": tx.ccnet_buckets_sql("documents", "doc_id", "text", "lang"),
         "gopher_rules": tx.gopher_rules_sql("documents", "doc_id", "text"),
+        "dead_letter": f"""
+            WITH lines AS (
+              SELECT event_id, user_id, {_dlq_line("VARCHAR")} AS value
+              FROM events WHERE event_id < 500),
+            classified AS (
+              SELECT *,
+                CASE WHEN NOT json_valid(value) THEN 'unparseable'
+                     WHEN json_extract_string(value, '$.op') IS NULL
+                          AND json_extract_string(value, '$.ddl') IS NULL
+                       THEN 'missing_op'
+                     WHEN json_extract_string(value, '$.source.seq') IS NULL
+                       THEN 'missing_seq'
+                END AS reason
+              FROM lines)
+            SELECT 'change' AS kind,
+                   CASE json_extract_string(value, '$.op')
+                        WHEN 'c' THEN 'insert' WHEN 'u' THEN 'update'
+                        WHEN 'd' THEN 'delete' WHEN 'r' THEN 'insert'
+                        ELSE json_extract_string(value, '$.op') END AS detail,
+                   CAST(json_extract(value, '$.source.seq') AS BIGINT) AS seq,
+                   CAST(json_extract(value, '$.after.user_id') AS BIGINT) AS user_id,
+                   CAST(NULL AS VARCHAR) AS raw
+            FROM classified WHERE reason IS NULL
+            UNION ALL
+            SELECT 'dead', reason, NULL, NULL, value
+            FROM classified WHERE reason IS NOT NULL
+        """,
         "curation_v2": f"""
             WITH g AS ({tx.gopher_rules_sql("documents", "doc_id", "text")}),
             gated AS (

@@ -91,6 +91,55 @@ def parse_debezium(raw: DataFrame, payload: T.StructType, value_col: str = "valu
     )
 
 
+def parse_debezium_with_dead_letter(
+    raw: DataFrame, payload: T.StructType, value_col: str = "value"
+) -> tuple[DataFrame, DataFrame]:
+    """Debezium parse with a DEAD-LETTER channel: rows whose envelope fails
+    to parse (invalid JSON) or lacks required fields (no op/ddl, no
+    source.seq) are quarantined as (raw, reason) instead of silently
+    flowing downstream as all-null change rows — plain ``parse_debezium``'s
+    behavior, which turns one corrupt producer into NULL-key upserts at the
+    target. The reference logs-and-halts on decode errors
+    (dt-connector/src/extractor/base_extractor.rs error paths); a Spark
+    pipeline quarantines and continues, landing the dead letters beside the
+    checkpoint for replay after the producer is fixed.
+
+    Returns (changes, dead): ``changes`` has parse_debezium's exact schema;
+    ``dead`` is (raw STRING, reason IN unparseable|missing_op|missing_seq).
+    Both are projections of ONE from_json pass — no double parse.
+    """
+    env = debezium_envelope_schema(payload)
+    # from_json is PERMISSIVE: malformed JSON yields an all-NULL struct, not
+    # NULL — indistinguishable from a valid-but-empty envelope. try_parse_json
+    # (NULL on invalid JSON) is the actual validity probe.
+    tagged = (
+        raw.withColumn("_r", F.from_json(F.col(value_col), env))
+        .withColumn("_valid", F.expr(f"try_parse_json({value_col}) IS NOT NULL"))
+        .withColumn(
+            "_dead",
+            F.when(F.col("_r").isNull() | ~F.col("_valid"), "unparseable")
+            .when(F.col("_r.op").isNull() & F.col("_r.ddl").isNull(), "missing_op")
+            .when(F.col("_r.source.seq").isNull(), "missing_seq"),
+        )
+    )
+    dead = tagged.filter(F.col("_dead").isNotNull()).select(
+        F.col(value_col).alias("raw"), F.col("_dead").alias("reason")
+    )
+    op_map = F.create_map(*[F.lit(x) for kv in _OP_MAP.items() for x in kv])
+    changes = tagged.filter(F.col("_dead").isNull()).select(
+        F.col("_r.source.db").alias("schema"),
+        F.col("_r.source.table").alias("tb"),
+        F.coalesce(op_map[F.col("_r.op")], F.col("_r.op")).alias("row_type"),
+        F.col("_r.ddl").alias("ddl"),
+        F.col("_r.before").alias("before"),
+        F.col("_r.after").alias("after"),
+        F.col("_r.source.seq").alias("seq"),
+        F.to_timestamp(F.col("_r.source.ts_ms") / F.lit(1000.0)).alias("ts"),
+        F.col("_r.source.origin_node").alias("origin_node"),
+    )
+    return changes, dead
+
+
 # Schema-fluid payload: images as MAP<STRING,STRING>. The reference never
 # declares payload schemas — it discovers them from the source catalog at
 # runtime and refreshes on DDL (SURVEY §1.1 meta managers); the MapType

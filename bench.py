@@ -49,6 +49,7 @@ BENCH_QUERIES = [
     "wire_roundtrip",
     "avro_roundtrip",
     "fluid_roundtrip",
+    "dead_letter",
     "subscription_feed",
     "cdc_apply_state",
     "py_transform",

@@ -497,3 +497,24 @@ def test_crash_after_commit_replays_idempotently(spark, dirs):
     # the replayed epoch must not have produced an extra version on restart:
     # exactly one new version for the one genuinely-new batch
     assert table._read_meta()["version"] == v_after_crash + 1
+
+
+def test_dead_letter_split(spark):
+    """Corrupt change events quarantine with a reason; good ones parse to
+    the canonical schema; the two outputs partition the input."""
+    from pyspark.sql import types as T
+
+    from ape_dts_spark.streaming.cdc import parse_debezium_with_dead_letter
+
+    good = '{"op":"c","after":{"id":1,"name":"a","bal":5},"source":{"db":"d","table":"t","ts_ms":1700000000000,"seq":9}}'
+    junk = '{"op":"c","after":{'
+    no_op = '{"after":{"id":2},"source":{"db":"d","table":"t","ts_ms":1,"seq":1}}'
+    no_seq = '{"op":"u","after":{"id":3},"source":{"db":"d","table":"t","ts_ms":1}}'
+    ddl_ok = '{"op":"ddl","ddl":"ALTER TABLE t ADD COLUMN x INT","source":{"db":"d","table":"t","ts_ms":1,"seq":2}}'
+    raw = spark.createDataFrame([(good,), (junk,), (no_op,), (no_seq,), (ddl_ok,)], ["value"])
+    changes, dead = parse_debezium_with_dead_letter(raw, PAYLOAD)
+    ch = changes.collect()
+    assert {r["seq"] for r in ch} == {9, 2}
+    assert {r["row_type"] for r in ch} == {"insert", "ddl"}
+    dl = {r["raw"]: r["reason"] for r in dead.collect()}
+    assert dl == {junk: "unparseable", no_op: "missing_op", no_seq: "missing_seq"}
