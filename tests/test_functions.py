@@ -657,3 +657,13 @@ def test_ccnet_buckets_tiers(spark):
     # es: 3 docs -> 1 per tier; gibberish is tail
     assert out[22]["tier"] == "tail"
     assert {r["bucket"] for r in out.values()} == {1, 2, 3}
+
+
+def test_star_components_empty_pairs(spark):
+    """No edges: every doc is its own representative, and the loop converges
+    immediately instead of spinning on an empty edge set."""
+    docs = spark.createDataFrame([(i,) for i in range(5)], ["doc_id"])
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    out = {r["doc_id"]: r["rep_id"] for r in
+           dd.keep_representatives_star(docs, "doc_id", pairs).collect()}
+    assert out == {i: i for i in range(5)}
