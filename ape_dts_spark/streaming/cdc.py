@@ -515,3 +515,55 @@ def write_debezium_jsonl(rows: list[dict], path: str) -> None:
     with open(path, "w") as f:
         for r in rows:
             f.write(json.dumps(r) + "\n")
+
+
+def snapshot_then_cdc(
+    spark: SparkSession,
+    table,
+    key_cols: list[str],
+    snapshot_df: DataFrame,
+    changes: DataFrame,
+    checkpoint_dir: str,
+    start_seq: int,
+    schema: str = "default",
+    tb: str = "users",
+):
+    """Serial snapshot -> CDC cutover without data loss — the reference's
+    documented migration workflow (docs/en/tutorial/
+    snapshot_and_cdc_without_data_loss.md: capture the source position
+    BEFORE starting the snapshot, run the snapshot, then start CDC from the
+    captured position).
+
+    ``start_seq`` is the position captured before the snapshot began; the
+    snapshot itself is consistent as of some LATER point, so the
+    ``(start_seq, snapshot_point]`` overlap re-delivers changes whose
+    effects the snapshot already contains. Replaying that overlap is safe
+    because it is a prefix-complete, seq-ordered upsert/delete history:
+    for every key, the last overlap event at-or-before the snapshot point
+    writes exactly the value the snapshot loaded, so the state converges
+    row-for-row before the genuinely-new tail applies (the same argument
+    the reference's idempotent sinkers rely on; REPLACE/ON CONFLICT there,
+    compact_changes + merge_apply here).
+
+    Steps: (1) bulk-load the snapshot as one insert epoch under stream_id
+    'snapshot', (2) run the CDC pipeline over ``changes`` filtered to
+    seq > start_seq with its own checkpoint. Returns the CdcPipeline.
+    """
+    from ape_dts_spark.operators.merge import compact_changes
+
+    payload = table.payload_schema
+    inserts = snapshot_df.select(
+        F.lit(schema).alias("schema"),
+        F.lit(tb).alias("tb"),
+        F.lit("insert").alias("row_type"),
+        F.lit(None).cast(payload).alias("before"),
+        F.struct(*[F.col(f.name) for f in payload.fields]).alias("after"),
+        F.lit(start_seq).alias("seq"),
+    )
+    compacted, spilled = compact_changes(inserts, key_cols)
+    table.merge_apply(compacted, spilled, key_cols, stream_id="snapshot", batch_id=0)
+
+    pipe = CdcPipeline(spark, table, key_cols=key_cols)
+    overlap_and_tail = changes.filter(F.col("seq") > F.lit(start_seq))
+    pipe.run(overlap_and_tail, checkpoint_dir)
+    return pipe

@@ -518,3 +518,55 @@ def test_dead_letter_split(spark):
     assert {r["row_type"] for r in ch} == {"insert", "ddl"}
     dl = {r["raw"]: r["reason"] for r in dead.collect()}
     assert dl == {junk: "unparseable", no_op: "missing_op", no_seq: "missing_seq"}
+
+
+def test_snapshot_then_cdc_cutover_no_data_loss(spark, dirs):
+    """The reference's serial snapshot -> CDC migration workflow
+    (docs/en/tutorial/snapshot_and_cdc_without_data_loss.md): position
+    captured BEFORE the snapshot, snapshot consistent as of a LATER point,
+    CDC started from the captured position. The overlap (position,
+    snapshot_point] re-delivers changes the snapshot already contains —
+    replay must converge, and the final state must equal the full history
+    applied from empty."""
+    from ape_dts_spark.streaming.cdc import snapshot_then_cdc
+
+    src, target_dir, ckpt = dirs
+    history = [
+        ev("c", after={"id": 1, "name": "a", "bal": 10}, seq=1),
+        ev("c", after={"id": 2, "name": "b", "bal": 20}, seq=2),
+        ev("u", before={"id": 1, "name": "a", "bal": 10},
+           after={"id": 1, "name": "a", "bal": 11}, seq=3),
+        ev("c", after={"id": 3, "name": "c", "bal": 30}, seq=4),
+        # ---- position captured here (start_seq = 4) ----
+        ev("u", before={"id": 2, "name": "b", "bal": 20},
+           after={"id": 2, "name": "b2", "bal": 21}, seq=5),   # overlap
+        ev("d", before={"id": 3, "name": "c", "bal": 30}, seq=6),  # overlap
+        # ---- snapshot consistent as of seq 6 ----
+        ev("c", after={"id": 4, "name": "d", "bal": 40}, seq=7),   # tail
+        ev("u", before={"id": 1, "name": "a", "bal": 11},
+           after={"id": 1, "name": "a3", "bal": 12}, seq=8),       # tail
+    ]
+    write_debezium_jsonl(history, os.path.join(src, "all.jsonl"))
+    start_seq = 4
+
+    # source snapshot state as of seq 6: replay seq<=6 into a scratch table
+    scratch = ParquetTable(spark, target_dir + "_scratch", PAYLOAD)
+    scratch_pipe = CdcPipeline(spark, scratch, key_cols=["id"])
+    all_changes = parse_debezium(spark.read.text(src), PAYLOAD)
+    scratch_pipe.apply_batch(all_changes.filter(F.col("seq") <= 6), batch_id=0)
+    snapshot_df = scratch.current()
+    assert state_dict(scratch) == {1: ("a", 11), 2: ("b2", 21)}
+
+    # cutover: bulk-load snapshot, then CDC from start_seq (overlap replays)
+    table = ParquetTable(spark, target_dir, PAYLOAD)
+    snapshot_then_cdc(
+        spark, table, ["id"], snapshot_df,
+        read_json_change_stream(spark, src, PAYLOAD), ckpt, start_seq,
+    )
+
+    # oracle: the FULL history applied from empty
+    oracle = ParquetTable(spark, target_dir + "_oracle", PAYLOAD)
+    CdcPipeline(spark, oracle, key_cols=["id"]).apply_batch(all_changes, batch_id=0)
+    assert state_dict(table) == state_dict(oracle) == {
+        1: ("a3", 12), 2: ("b2", 21), 4: ("d", 40),
+    }
