@@ -219,3 +219,57 @@ def _coalesce(intervals: list[tuple[int, int]]) -> tuple[tuple[int, int], ...]:
         else:
             out.append((a, b))
     return tuple(out)
+
+
+# ---------------------------------------------------------------------------
+# position.log — task-progress protocol (docs/en/monitor/position.md)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class PositionLog:
+    """The reference's position.log protocol: progress lines
+    ``<ts> | <kind> | <position json>`` written periodically
+    (checkpoint_interval_secs), with TWO kinds per CDC task —
+
+    - ``current_position``: how far data has synced; may point INSIDE a
+      large transaction's binlog/WAL span.
+    - ``checkpoint_position``: the last fully-synced transaction boundary.
+
+    Resume MUST start from the latest checkpoint_position — resuming from
+    current_position can land mid-transaction and fail binlog/WAL parsing
+    (docs/en/monitor/position.md). ``latest`` therefore defaults to the
+    checkpoint kind; snapshot tasks log ``current_position`` only and pass
+    kind explicitly.
+    """
+
+    path: str
+
+    def record(self, kind: str, pos: Position, ts: str | None = None) -> None:
+        import datetime
+
+        stamp = ts or datetime.datetime.now(datetime.timezone.utc).strftime(
+            "%Y-%m-%d %H:%M:%S.%f"
+        )
+        with open(self.path, "a") as fh:
+            fh.write(f"{stamp} | {kind} | {to_json(pos)}\n")
+
+    def checkpoint(self, pos: Position, ts: str | None = None) -> None:
+        self.record("checkpoint_position", pos, ts)
+
+    def current(self, pos: Position, ts: str | None = None) -> None:
+        self.record("current_position", pos, ts)
+
+    def latest(self, kind: str = "checkpoint_position") -> Position | None:
+        import os as _os
+
+        if not _os.path.exists(self.path):
+            return None
+        best = None
+        with open(self.path) as fh:
+            for line in fh:
+                parts = line.rstrip("\n").split(" | ", 2)
+                if len(parts) != 3 or parts[1] != kind:
+                    continue
+                best = from_json(parts[2])  # last line wins (append order)
+        return best

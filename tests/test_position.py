@@ -87,3 +87,37 @@ def test_snapshot_finished_pair_ordering():
     a = RdbSnapshotFinished("mysql", "db", "t1")
     b = RdbSnapshotFinished("mysql", "db", "t1")
     assert newer(a, b) in (a, b)
+
+
+def test_position_log_resume_uses_checkpoint_not_current():
+    """position.log protocol: current_position may sit mid-transaction;
+    resume must recover the LATEST checkpoint_position line and round-trip
+    every typed position through the line format."""
+    import tempfile, os
+    from ape_dts_spark.model.position import (
+        MysqlCdcPosition, PgCdcPosition, PositionLog, RedisPosition,
+    )
+
+    path = os.path.join(tempfile.mkdtemp(), "position.log")
+    log = PositionLog(path)
+    log.checkpoint(MysqlCdcPosition(binlog_filename="mysql-bin.000004",
+                                    next_event_position=44315, gtid_set=""))
+    log.current(MysqlCdcPosition(binlog_filename="mysql-bin.000004",
+                                 next_event_position=50000, gtid_set=""))
+    log.checkpoint(MysqlCdcPosition(binlog_filename="mysql-bin.000004",
+                                    next_event_position=50865,
+                                    gtid_set="9663a096:1-3112"))
+    log.current(MysqlCdcPosition(binlog_filename="mysql-bin.000005",
+                                 next_event_position=10, gtid_set=""))
+
+    got = log.latest()
+    assert got.next_event_position == 50865 and got.gtid_set == "9663a096:1-3112"
+    cur = log.latest("current_position")
+    assert cur.binlog_filename == "mysql-bin.000005"
+
+    # other kinds round-trip through the same line format
+    log2 = PositionLog(os.path.join(os.path.dirname(path), "pg.log"))
+    log2.checkpoint(PgCdcPosition(lsn="0/5D65CB0"))
+    log2.checkpoint(RedisPosition(repl_id="abc", repl_offset=12345))
+    assert log2.latest().repl_offset == 12345
+    assert PositionLog(path + ".absent").latest() is None
