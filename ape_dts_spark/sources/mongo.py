@@ -88,7 +88,7 @@ def parse_debezium_mongo(raw: DataFrame, value_col: str = "value") -> DataFrame:
     )
 
 
-def mongo_statements(compacted: DataFrame) -> DataFrame:
+def mongo_statements(compacted: DataFrame, shard_key: str | None = None) -> DataFrame:
     """Compacted (_id-keyed) write-set -> one MongoDB bulk operation per row,
     rendered shell-style (the sinker analogue of mongo_sinker.rs replace/
     delete bulk writes; a real sink feeds the same rows to foreachBatch +
@@ -97,13 +97,33 @@ def mongo_statements(compacted: DataFrame) -> DataFrame:
     upsert -> db.<tb>.replaceOne({"_id": <id>}, <doc>, {"upsert": true});
     delete -> db.<tb>.deleteOne({"_id": <id>});
     Output: (schema, tb, _id, op, seq, stmt).
+
+    ``shard_key``: sharded target collections reject filters without the
+    shard key (``mongo_require_shard_key_filter``, docs/en/config.md) — when
+    set, the key's value is pulled from the row's doc image and added to
+    every filter. Deletes use the before image (their after is null); a
+    delete with no image to extract from keeps the _id-only filter and is
+    the caller's signal to route through a broadcast delete instead.
     """
+    def _filter(image_col: str):
+        base = [F.lit('{"_id": '), F.col("_id")]
+        if shard_key:
+            val = F.get_json_object(F.col(image_col), f"$.{shard_key}")
+            base += [
+                F.when(
+                    val.isNotNull(),
+                    F.concat(F.lit(f', "{shard_key}": '), val),
+                ).otherwise(F.lit(""))
+            ]
+        return F.concat(*base, F.lit("}"))
+
     replace = F.concat(
-        F.lit("db."), F.col("tb"), F.lit('.replaceOne({"_id": '), F.col("_id"),
-        F.lit("}, "), F.col("after.doc"), F.lit(', {"upsert": true});'),
+        F.lit("db."), F.col("tb"), F.lit(".replaceOne("), _filter("after.doc"),
+        F.lit(", "), F.col("after.doc"), F.lit(', {"upsert": true});'),
     )
+    before_doc = "before.doc" if "before" in compacted.columns else "after.doc"
     delete = F.concat(
-        F.lit("db."), F.col("tb"), F.lit('.deleteOne({"_id": '), F.col("_id"), F.lit("});")
+        F.lit("db."), F.col("tb"), F.lit(".deleteOne("), _filter(before_doc), F.lit(");")
     )
     stmt = F.when(F.col("op") == "delete", delete).otherwise(replace)
     return compacted.select("schema", "tb", "_id", "op", "seq", stmt.alias("stmt"))

@@ -74,3 +74,26 @@ def test_mongo_statements_shapes(spark, tmp_path):
     assert stmts["2"] == 'db.items.deleteOne({"_id": 2});'
     assert stmts["1"].startswith('db.items.replaceOne({"_id": 1}, {')
     assert stmts["1"].endswith(', {"upsert": true});')
+
+
+def test_mongo_statements_shard_key_filter(spark):
+    """mongo_require_shard_key_filter: filters carry the shard key pulled
+    from the doc image; a delete without an image keeps the _id-only
+    filter (the broadcast-delete signal)."""
+    from ape_dts_spark.sources.mongo import mongo_statements
+
+    rows = [
+        ("db1", "c1", 1, "upsert", ('{"_id": 1, "uid": 7, "v": "a"}',), 1),
+        ("db1", "c1", 2, "delete", None, 2),
+    ]
+    compacted = spark.createDataFrame(
+        rows,
+        "schema string, tb string, _id long, op string, "
+        "after struct<doc: string>, seq long",
+    )
+    out = {r["_id"]: r["stmt"] for r in mongo_statements(compacted, shard_key="uid").collect()}
+    assert out[1] == 'db.c1.replaceOne({"_id": 1, "uid": 7}, {"_id": 1, "uid": 7, "v": "a"}, {"upsert": true});'
+    assert out[2] == 'db.c1.deleteOne({"_id": 2});'
+    # without shard_key the statements are unchanged from the legacy shape
+    plain = {r["_id"]: r["stmt"] for r in mongo_statements(compacted).collect()}
+    assert plain[1].startswith('db.c1.replaceOne({"_id": 1}, ')
