@@ -243,6 +243,13 @@ class CdcPipeline:
     # optional task-telemetry registry (monitor.py): per-batch counters in
     # the reference's monitor.log inventory ride along when provided
     monitor: object | None = None
+    # optional position.log protocol (model/position.PositionLog): after
+    # every applied batch a checkpoint_position line is written with the
+    # position `position_of` derives from the batch metrics (the batch
+    # boundary IS a transaction boundary here — foreachBatch applies whole
+    # micro-batches, so checkpoint == current at batch grain)
+    position_log: object | None = None
+    position_of: Callable[[dict], object] | None = None
 
     def _prepare(self, df: DataFrame) -> DataFrame:
         start, end = self.time_window
@@ -379,6 +386,8 @@ class CdcPipeline:
                 **check,
             }
         )
+        if self.position_log is not None and self.position_of is not None:
+            self.position_log.checkpoint(self.position_of(self.metrics[-1]))
 
     def _inline_check(self, batch: DataFrame) -> dict:
         """CDC-inline check (the reference's checker-in-CDC mode,

@@ -570,3 +570,26 @@ def test_snapshot_then_cdc_cutover_no_data_loss(spark, dirs):
     assert state_dict(table) == state_dict(oracle) == {
         1: ("a3", 12), 2: ("b2", 21), 4: ("d", 40),
     }
+
+
+def test_pipeline_writes_position_log(spark, dirs):
+    """CdcPipeline + PositionLog: every applied batch appends a
+    checkpoint_position line; restart recovery reads the latest one."""
+    from ape_dts_spark.model.position import MysqlCdcPosition, PositionLog
+
+    src, target_dir, ckpt = dirs
+    write_debezium_jsonl(BATCH_1, os.path.join(src, "b1.jsonl"))
+    table = ParquetTable(spark, target_dir, PAYLOAD)
+    plog = PositionLog(os.path.join(os.path.dirname(ckpt), "position.log"))
+    pipe = CdcPipeline(
+        spark, table, key_cols=["id"],
+        position_log=plog,
+        position_of=lambda m: MysqlCdcPosition(
+            binlog_filename="mysql-bin.000001",
+            next_event_position=int(m["max_seq"]),
+            gtid_set="",
+        ),
+    )
+    pipe.run(read_json_change_stream(spark, src, PAYLOAD), ckpt)
+    got = plog.latest()
+    assert got is not None and got.next_event_position == 5
