@@ -593,3 +593,48 @@ def test_pipeline_writes_position_log(spark, dirs):
     pipe.run(read_json_change_stream(spark, src, PAYLOAD), ckpt)
     got = plog.latest()
     assert got is not None and got.next_event_position == 5
+
+
+def test_two_way_star_topology_origin_filtering(spark, dirs):
+    """The reference's cycle_star_test shape: a hub synced with N spokes,
+    every change stamped with its origin node; each node's pipeline drops
+    events originating from ITSELF (echo) while applying everything else —
+    no event loops forever around the star."""
+    src, target_dir, ckpt = dirs
+    events = [
+        ev("c", after={"id": 1, "name": "from-hub", "bal": 1}, seq=1, origin="hub"),
+        ev("c", after={"id": 2, "name": "from-s1", "bal": 2}, seq=2, origin="spoke1"),
+        ev("c", after={"id": 3, "name": "from-s2", "bal": 3}, seq=3, origin="spoke2"),
+        # echo of the hub's own write coming back from a spoke
+        ev("u", before={"id": 1, "name": "from-hub", "bal": 1},
+           after={"id": 1, "name": "echoed", "bal": 9}, seq=4, origin="hub"),
+    ]
+    write_debezium_jsonl(events, os.path.join(src, "b1.jsonl"))
+    table = ParquetTable(spark, target_dir, PAYLOAD)
+    pipe = CdcPipeline(
+        spark, table, key_cols=["id"], ignore_origin_nodes=("hub",)
+    )
+    pipe.run(read_json_change_stream(spark, src, PAYLOAD), ckpt)
+    st = state_dict(table)
+    # hub-originated events (1 insert + the echo update) are dropped at the
+    # hub's pipeline; spoke events apply
+    assert st == {2: ("from-s1", 2), 3: ("from-s2", 3)}
+
+
+def test_charset_roundtrip_through_pipeline(spark, dirs):
+    """charset_test parity: non-ASCII payloads (CJK, emoji, accents,
+    RTL) survive Debezium JSON encode -> stream parse -> compact ->
+    merge apply -> read back, byte-exact."""
+    src, target_dir, ckpt = dirs
+    names = ["数据迁移", "ápé-dts", "مرحبا", "emoji 🚀✨", "Ωmega"]
+    events = [
+        ev("c", after={"id": i, "name": n, "bal": i}, seq=i + 1)
+        for i, n in enumerate(names)
+    ]
+    write_debezium_jsonl(events, os.path.join(src, "b1.jsonl"))
+    table = ParquetTable(spark, target_dir, PAYLOAD)
+    CdcPipeline(spark, table, key_cols=["id"]).run(
+        read_json_change_stream(spark, src, PAYLOAD), ckpt
+    )
+    st = state_dict(table)
+    assert {st[i][0] for i in range(len(names))} == set(names)
