@@ -101,7 +101,10 @@ def main() -> int:
         clear_spark_blocks(spark)  # caches + leaked localCheckpoint blocks
         sql = oracles.get(name)
         if sql is None:
-            print(f"  {name:28s} rows={len(srows):7d}  (no oracle — rows-only) {time.time()-t0:5.1f}s")
+            tag = f" NONSCALAR {nonscalar}" if nonscalar else ""
+            print(
+                f"  {name:28s} rows={len(srows):7d}  (no oracle — rows-only){tag} {time.time()-t0:5.1f}s"
+            )
             if len(srows) == 0:
                 failures.append((name, "zero rows"))
             continue
