@@ -1991,6 +1991,22 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.pq_topk(queries_df, emb, "vec_id", "embedding", m=8, ks=16, k=1)
 
 
+def q_ann_pq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ against a STORED codes index (pq_index + pq_index_topk): the
+    corpus is encoded to m-byte codes once; queries score codes with pure
+    ADC table lookups and never touch a corpus vector — the serving shape
+    next to ann_pq's fused scan. Planted-twin gate: the twin's code is the
+    query's own encoding, so its ADC distance is the global minimum; a tie
+    would need a code-identical vector (16^8 code space vs 2k vectors here
+    — none in this corpus), so rank 1 is the original (k=1)."""
+    emb = demo.load(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 50 == 0).withColumn(
+        "vec_id", F.col("vec_id") + 100_000
+    )
+    index = sim.pq_index(emb, "vec_id", "embedding", m=8, ks=16)
+    return sim.pq_index_topk(index, queries_df, "vec_id", "embedding", k=1)
+
+
 def q_ann_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF against a STORED index (ivf_index + ivf_index_topk): the corpus is
     assigned to its lists once; queries probe via a broadcast pruning join
@@ -2502,6 +2518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccnet_buckets": q_ccnet_buckets,
         "temperature_mix": q_temperature_mix,
         "ann_pq": q_ann_pq,
+        "ann_pq_index": q_ann_pq_index,
         "gopher_rules": q_gopher_rules,
         "cheapest_shipment": q_cheapest_shipment,
         "stream_join": q_stream_join,
@@ -3860,6 +3877,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT node AS vec_id, MIN(reach) AS rep_id FROM walk GROUP BY node
         """,
         "ann_ivf": """
+            SELECT vec_id + 100000 AS query_id, vec_id AS neighbor_id, 1 AS rank
+            FROM embeddings WHERE vec_id % 50 = 0
+        """,
+        "ann_pq_index": """
             SELECT vec_id + 100000 AS query_id, vec_id AS neighbor_id, 1 AS rank
             FROM embeddings WHERE vec_id % 50 = 0
         """,

@@ -849,3 +849,126 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )
+
+
+def pq_index(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    ks: int = 16,
+):
+    """Build the persistent PQ index: trained codebooks + the corpus encoded
+    to m-byte codes — ``(codebooks ndarray, codes DataFrame(id, codes
+    array<int>))``. The serving shape of product quantization: the corpus is
+    scanned (and its float vectors touched) exactly ONCE at build; queries
+    score the stored codes with table lookups and never read a corpus
+    vector again. At 100 TB the codes table is ~m bytes/vector — 8 GB per
+    billion vectors here, RAM-resident on a modest cluster — while the
+    float vectors stay in cold storage (only an optional exact re-rank
+    stage would fetch the few survivors).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark import StorageLevel
+
+    books = _train_pq_codebooks(corpus, id_col, vec_col, m, ks)
+    sub = books.shape[2]
+
+    def _encode(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vecs = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            vecs = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+            codes = np.empty((len(vecs), m), dtype=np.int32)
+            for j in range(m):
+                s = vecs[:, j * sub : (j + 1) * sub]
+                d2 = ((s[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+                codes[:, j] = np.argmin(d2, axis=1)
+            yield pd.DataFrame(
+                {"id": pdf[id_col].to_numpy(), "codes": list(codes)}
+            )
+
+    encoded = (
+        corpus.select(id_col, vec_col)
+        .mapInPandas(_encode, schema="id long, codes array<int>")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    encoded.count()
+    return books, encoded
+
+
+def pq_index_topk(
+    index,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Query the stored PQ index: pure ADC over the codes table — each query
+    precomputes its m x ks distance table driver-side (bounded by the query
+    set), each Arrow batch of stored codes scores as m fancy-indexed table
+    lookups, one small window resolves the global top-k. No corpus vector is
+    read; ties and ranks are deterministic (distance asc, neighbor id asc).
+    Unlike pq_topk there is no exact re-rank (the serving index has no
+    vectors) — recall is pure-ADC, the published IVFADC trade.
+    Output: (query_id, neighbor_id, rank).
+    """
+    import numpy as np
+    import pandas as pd
+
+    books, encoded = index
+    m, ks, sub = books.shape
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([int(r[id_col]) for r in q_rows])
+    q_mat = np.array([r[vec_col] for r in q_rows], dtype=np.float64)
+    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+    tabs = np.stack(
+        [
+            ((q_mat[:, j * sub : (j + 1) * sub][:, None, :] - books[j][None, :, :]) ** 2).sum(
+                axis=2
+            )
+            for j in range(m)
+        ],
+        axis=1,
+    )
+
+    def _score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            c_ids = pdf["id"].to_numpy()
+            codes = np.array(pdf["codes"].tolist(), dtype=np.int64)
+            dist = np.zeros((len(q_ids), len(c_ids)))
+            for j in range(m):
+                dist += tabs[:, j, :][:, codes[:, j]]
+            cand = min(k + 1, dist.shape[1])
+            idx = np.argpartition(dist, cand - 1, axis=1)[:, :cand]
+            rows = []
+            for qi in range(len(q_ids)):
+                sel = idx[qi]
+                rows.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.full(len(sel), q_ids[qi]),
+                            "neighbor_id": c_ids[sel],
+                            "dist": dist[qi, sel],
+                        }
+                    )
+                )
+            out = pd.concat(rows, ignore_index=True)
+            yield out[out["query_id"] != out["neighbor_id"]]
+
+    from pyspark.sql import Window as W
+
+    partial = encoded.mapInPandas(
+        _score, schema="query_id long, neighbor_id long, dist double"
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("neighbor_id"))
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )

@@ -133,6 +133,7 @@ BENCH_QUERIES = [
     "cheapest_shipment",
     "ccnet_buckets",
     "ann_pq",
+    "ann_pq_index",
     # keep-list clustering (minhash pairs + min-label connected components)
     "dedup_cluster",
     "dedup_cluster_star",
