@@ -403,8 +403,11 @@ def minhash_lsh_pairs(
     """Near-duplicate pairs via MinHash banding, verified with true Jaccard.
 
     shingle -> minhash -> band -> bucket-join -> verify. Candidates come from
-    any band collision (4 bands x 4 rows); each candidate pair is then checked
-    against the exact token-set Jaccard so the output has no false positives.
+    any band collision at the threshold-dependent ``banding_for(threshold)``
+    profile (signatures are always the full ``N_HASHES`` wide here; low
+    bandings just consume a prefix of the columns); each candidate pair is
+    then checked against the exact token-set Jaccard so the output has no
+    false positives.
 
     Verification is candidate-local: each candidate pair fetches the two docs'
     token sets (two id-keyed joins) and intersects them with array_intersect —
@@ -806,10 +809,23 @@ def minhash_index(
     text_col: str = "text",
     tokens: str | None = None,
     token_num: str | None = None,
+    n_hashes: int = N_HASHES,
 ) -> tuple[DataFrame, DataFrame]:
     """Build the persistent signature index for INCREMENTAL dedup:
     ``(sets, membership)`` where ``sets`` has one row per distinct token set
-    — ``(_rep, _toks, m_0..m_15)`` — and ``membership`` maps ``(_id, _rep)``.
+    — ``(_rep, _toks, m_0..m_{n_hashes-1})`` — and ``membership`` maps
+    ``(_id, _rep)``.
+
+    ``n_hashes`` is a BUILD parameter (default: the full ``N_HASHES``-wide
+    signature): an index only needs ``bands * rows_per_band`` columns for the
+    banding it will be queried with, and narrower signatures are
+    proportionally cheaper to build (the 64-hash default exists for the
+    sharp 4x16 high-threshold banding; a 2x8 profile needs only 16). The
+    width is part of the stored index FORMAT — ``minhash_incremental_pairs``
+    validates that the index it is handed is wide enough for the requested
+    banding and raises on mismatch rather than silently mis-bucketing (a
+    persisted index from an older 16-wide build is NOT compatible with
+    bandings that consume more columns).
 
     At 100 TB the corpus is hashed ONCE and these two relations land to
     storage (parquet/Delta, bucketed by band hash if desired); every new
@@ -846,7 +862,7 @@ def minhash_index(
         F.min(
             F.expr(f"(CAST({MINHASH_A[i]} AS BIGINT) * tn + {MINHASH_B[i]}) % {PORTABLE_HASH_P}")
         ).alias(f"m_{i}")
-        for i in range(N_HASHES)
+        for i in range(n_hashes)
     ]
     sigs = tok.groupBy("_rep").agg(*aggs)
     indexed = sets.join(sigs, "_rep").persist(StorageLevel.MEMORY_AND_DISK)
@@ -872,6 +888,7 @@ def minhash_incremental_pairs(
     threshold: float = 0.5,
     tokens: str | None = None,
     token_num: str | None = None,
+    banding: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Incremental near-dup pairs: every (id_a, id_b, jaccard) with
     jaccard >= threshold where AT LEAST ONE side is a new-batch document —
@@ -881,13 +898,32 @@ def minhash_incremental_pairs(
     new side's band rows equi-joined against (index bands UNION new bands),
     so cost scales with |new| and collision volume, never |corpus|.
     Verification stays candidate-local over the stored token sets. Output is
-    exactly the full-corpus minhash_lsh_pairs output filtered to pairs
-    touching the new batch (same signatures, same banding, same exact
-    verification).
+    exactly a full-corpus minhash_lsh_pairs run AT THE SAME BANDING filtered
+    to pairs touching the new batch (same signatures, same banding, same
+    exact verification).
+
+    ``banding`` overrides ``banding_for(threshold)`` — the incremental path
+    often wants a cheaper profile than the full-corpus default: e.g. 2x8 at
+    threshold 0.95 has the same S-curve midpoint as the sharp 4x16 default
+    ((1/2)^(1/8) = (1/4)^(1/16) = 0.917) with a 4x narrower signature; the
+    4x16 sharpening pays off on heavy-overlap shingle corpora, not on
+    word-token incremental batches. The index must have been built with
+    ``n_hashes >= bands * rows_per_band`` — validated here (a narrower
+    stored index raises instead of silently mis-bucketing).
     """
     old_sets, old_mem = index
-    new_sets, new_mem = minhash_index(new_df, id_col, text_col, tokens, token_num)
-    n_bands, rows_per_band = banding_for(threshold)
+    n_bands, rows_per_band = banding or banding_for(threshold)
+    needed = n_bands * rows_per_band
+    have = sum(1 for c in old_sets.columns if c.startswith("m_"))
+    if have < needed:
+        raise ValueError(
+            f"stored minhash index has {have} signature columns but banding "
+            f"{n_bands}x{rows_per_band} needs {needed} — rebuild the index with "
+            f"n_hashes>={needed} (signature width is part of the index format)"
+        )
+    new_sets, new_mem = minhash_index(
+        new_df, id_col, text_col, tokens, token_num, n_hashes=needed
+    )
 
     old_bands = _bands_of(old_sets, n_bands, rows_per_band)
     new_bands = _bands_of(new_sets, n_bands, rows_per_band)

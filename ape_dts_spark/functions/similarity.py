@@ -697,6 +697,15 @@ def ivf_index_topk(
     )
 
 
+def _unit_rows(mat):
+    """Row-normalize, clamping zero norms to eps: a zero vector stays zero
+    instead of going NaN and silently poisoning codebooks / ADC tables."""
+    import numpy as np
+
+    nrm = np.linalg.norm(mat, axis=1, keepdims=True)
+    return mat / np.maximum(nrm, 1e-12)
+
+
 def _train_pq_codebooks(
     corpus: DataFrame,
     id_col: str,
@@ -725,8 +734,13 @@ def _train_pq_codebooks(
         .collect()
     )
     sample.sort(key=lambda r: r[id_col])
+    if not sample:
+        raise ValueError(
+            f"PQ codebook training sample is empty (corpus rows={n}, hash mod={mod}) "
+            "— cannot train codebooks on zero vectors"
+        )
     mat = np.array([r[vec_col] for r in sample], dtype=np.float64)
-    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    mat = _unit_rows(mat)
     dim = mat.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
@@ -789,7 +803,7 @@ def pq_topk(
     q_rows = queries.select(id_col, vec_col).collect()
     q_ids = np.array([int(r[id_col]) for r in q_rows])
     q_mat = np.array([r[vec_col] for r in q_rows], dtype=np.float64)
-    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+    q_mat = _unit_rows(q_mat)
     # ADC tables: tabs[qi, j, c] = ||q_sub_j - centroid_jc||^2
     tabs = np.stack(
         [
@@ -807,7 +821,7 @@ def pq_topk(
                 continue
             c_ids = pdf[id_col].to_numpy()
             c_mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-            c_mat /= np.linalg.norm(c_mat, axis=1, keepdims=True)
+            c_mat = _unit_rows(c_mat)
             # encode: codes[i, j] = nearest centroid of subvector j
             codes = np.empty((len(c_mat), m), dtype=np.int64)
             for j in range(m):
@@ -880,7 +894,7 @@ def pq_index(
             if not len(pdf):
                 continue
             vecs = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-            vecs = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+            vecs = _unit_rows(vecs)
             codes = np.empty((len(vecs), m), dtype=np.int32)
             for j in range(m):
                 s = vecs[:, j * sub : (j + 1) * sub]
@@ -924,7 +938,7 @@ def pq_index_topk(
     q_rows = queries.select(id_col, vec_col).collect()
     q_ids = np.array([int(r[id_col]) for r in q_rows])
     q_mat = np.array([r[vec_col] for r in q_rows], dtype=np.float64)
-    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+    q_mat = _unit_rows(q_mat)
     tabs = np.stack(
         [
             ((q_mat[:, j * sub : (j + 1) * sub][:, None, :] - books[j][None, :, :]) ** 2).sum(

@@ -104,15 +104,30 @@ def mongo_statements(compacted: DataFrame, shard_key: str | None = None) -> Data
     every filter. Deletes use the before image (their after is null); a
     delete with no image to extract from keeps the _id-only filter and is
     the caller's signal to route through a broadcast delete instead.
+
+    ``get_json_object`` strips the quotes off extracted JSON strings, so the
+    value is re-rendered by type before insertion into the filter document:
+    numeric/bool/null and object/array extractions pass through verbatim;
+    anything else is a string and gets re-quoted (with ``"`` and ``\\``
+    escaped) — otherwise a string shard key renders the invalid filter
+    ``{"_id": 1, "region": east}``.
     """
+    _JSON_VERBATIM = r'^(-?\d+(\.\d+)?([eE][+-]?\d+)?|true|false|null|[\[{].*)$'
+
     def _filter(image_col: str):
         base = [F.lit('{"_id": '), F.col("_id")]
         if shard_key:
             val = F.get_json_object(F.col(image_col), f"$.{shard_key}")
+            quoted = F.concat(
+                F.lit('"'),
+                F.regexp_replace(val, r'(["\\])', r"\\$1"),
+                F.lit('"'),
+            )
+            rendered = F.when(val.rlike(_JSON_VERBATIM), val).otherwise(quoted)
             base += [
                 F.when(
                     val.isNotNull(),
-                    F.concat(F.lit(f', "{shard_key}": '), val),
+                    F.concat(F.lit(f', "{shard_key}": '), rendered),
                 ).otherwise(F.lit(""))
             ]
         return F.concat(*base, F.lit("}"))

@@ -30,6 +30,7 @@ bulk consumers read the change feed DataFrames directly.
 from __future__ import annotations
 
 import json
+import logging
 import os
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -144,8 +145,10 @@ class DataSubscription:
                 else:
                     self._json({"error": "unknown endpoint"}, 404)
 
-            def log_message(self, *args):  # quiet test output
-                pass
+            def log_message(self, fmt, *args):
+                # route the access log through logging instead of stderr so
+                # test output stays quiet but nothing is silently dropped
+                logging.getLogger(__name__).debug("subscription http: " + fmt, *args)
 
         server = ThreadingHTTPServer(("127.0.0.1", port), Handler)
         threading.Thread(target=server.serve_forever, daemon=True).start()

@@ -667,3 +667,53 @@ def test_star_components_empty_pairs(spark):
     out = {r["doc_id"]: r["rep_id"] for r in
            dd.keep_representatives_star(docs, "doc_id", pairs).collect()}
     assert out == {i: i for i in range(5)}
+
+
+def test_minhash_incremental_cheap_profile_and_width_guard(spark):
+    """A 16-wide index + 2x8 banding (the cheap incremental profile) finds
+    the same exact-duplicate pairs as the default profile; an index narrower
+    than the requested banding raises instead of silently mis-bucketing."""
+    import pytest
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon zeta"),
+        (13, "alpha beta gamma delta epsilon zeta"),
+        (26, "unrelated fresh text nothing shared"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    old = d.filter(F.col("doc_id") % 13 != 0)
+    new = d.filter(F.col("doc_id") % 13 == 0)
+
+    index16 = dd.minhash_index(old, "doc_id", "text", n_hashes=16)
+    assert sum(1 for c in index16[0].columns if c.startswith("m_")) == 16
+    inc = {
+        (r["id_a"], r["id_b"])
+        for r in dd.minhash_incremental_pairs(
+            index16, new, "doc_id", "text", 0.95, banding=(2, 8)
+        ).collect()
+    }
+    assert inc == {(1, 13), (2, 13)}
+    # default banding at 0.95 is 4x16 = 64 columns: too wide for this index
+    with pytest.raises(ValueError, match="signature columns"):
+        dd.minhash_incremental_pairs(index16, new, "doc_id", "text", 0.95)
+
+
+def test_pq_codebook_edge_guards(spark):
+    """Empty training sample raises a clear error; zero-norm vectors stay
+    finite (clamped norm) instead of poisoning codebooks with NaN."""
+    import numpy as np
+    import pytest
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="sample is empty"):
+        sim._train_pq_codebooks(empty, "vec_id", "embedding", m=2, ks=2)
+
+    rows = [(i, [float(i % 3), 1.0, 0.5, 2.0]) for i in range(1, 40)]
+    rows.append((40, [0.0, 0.0, 0.0, 0.0]))  # zero vector in the corpus
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    books = sim._train_pq_codebooks(emb, "vec_id", "embedding", m=2, ks=2, sample_per_code=20)
+    assert np.isfinite(books).all()
+    q = spark.createDataFrame(rows[:2], "vec_id long, embedding array<float>")
+    out = sim.pq_topk(q, emb, m=2, ks=2, k=2)
+    assert out.count() == 4  # 2 queries x top-2, no NaN-dropped rows
