@@ -2115,6 +2115,25 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.span_dedup(demo.load(spark, sf_dir, "documents"), "doc_id", "text", span_tokens=16)
 
 
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup spans (Lee et al. 2022 ExactSubstr semantics,
+    suffix-array free): every maximal run of 16-token windows occurring >= 2
+    times corpus-wide, found via double-hashed window grouping + a per-doc
+    gaps-and-islands merge (dd.dup_spans). The oracle groups windows by RAW
+    TEXT, so a match proves the 31/37 hash-pair grouping introduced no false
+    or missed dup seeds — not merely that both engines hash alike."""
+    return dd.dup_spans(demo.load(spark, sf_dir, "documents"), "doc_id", "text", min_tokens=16)
+
+
+def q_substring_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The removal half of exact-substring dedup: drop EVERY copy of every
+    duplicated >= 16-token span (the paper's policy — no occurrence is
+    privileged) and reassemble the survivors (dd.remove_dup_spans)."""
+    return dd.remove_dup_spans(
+        demo.load(spark, sf_dir, "documents"), "doc_id", "text", min_tokens=16
+    )
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (cluster-then-dedup) planted-twin gate: corpus = embeddings
     plus exact copies of every 50th vector (ids +100000). Identical vectors
@@ -2496,6 +2515,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # local-gate + pytest coverage (cumulative goal: every query green in SOME
     # round's CORRECTNESS window).
     return {
+        # -- new this round ---------------------------------------------------
+        "substring_dedup": q_substring_dedup,
+        "substring_dedup_clean": q_substring_dedup_clean,
         # -- round-4 additions, never driver-checked (locally green) ----------
         "important_parts": q_important_parts,
         "top_supplier": q_top_supplier,
@@ -3843,6 +3865,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_chunks": tx.doc_chunks_sql("documents", "doc_id", "text", 32, 24),
         "bpe_pairs": tx.bpe_pair_counts_sql("documents", "text", 200),
         "span_dedup": dd.span_dedup_sql("documents", "doc_id", "text", 16),
+        "substring_dedup": dd.dup_spans_sql("documents", "doc_id", "text", 16),
+        "substring_dedup_clean": dd.remove_dup_spans_sql("documents", "doc_id", "text", 16),
         # planted-twin ground truth (see q_semantic_dedup): twins collapse to
         # their original, everything else keeps itself
         "semantic_dedup": """

@@ -174,6 +174,203 @@ FROM ranked GROUP BY {id_col}
 """
 
 
+def _token_hash_arr(toks: str, base: int) -> str:
+    """SQL expr: per-token polynomial char fold mod p over an array<string>
+    column — ``base`` varies to get independent hash families."""
+    return (
+        f"transform({toks}, t -> aggregate(transform(split(t, ''), ch -> ascii(ch)), "
+        f"0L, (a, c) -> (a * {base} + c) % {PORTABLE_HASH_P}))"
+    )
+
+
+def _gram_hash_arr(harr: str, n: int, base: int) -> str:
+    """SQL expr: rolling window fold — hash of each n-length window of an
+    array<bigint> of token hashes (positions 0..len-n)."""
+    return (
+        f"transform(sequence(0, size({harr}) - {n}), i -> "
+        f"aggregate(slice({harr}, i + 1, {n}), 0L, (a, h) -> (a * {base} + h) % {PORTABLE_HASH_P}))"
+    )
+
+
+def dup_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 16,
+) -> DataFrame:
+    """Exact-substring dedup span finder (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better" — the ExactSubstr dup-span
+    semantics, suffix-array free): a token position is DUPLICATED when the
+    ``min_tokens``-token window starting there occurs >= 2 times in the
+    corpus (cross-document or self-repeat, matching suffix-array hits);
+    maximal runs of duplicated windows merge into spans. Every substring of
+    >= min_tokens tokens that appears twice anywhere is covered by exactly
+    the spans this emits (any repeated substring has all its windows
+    repeated), without ever materializing a suffix array.
+
+    The distributed shape replaces the paper's single-node suffix array:
+      1. per-doc token hashing, then per-position window hashes — TWO
+         independent 31/37 polynomial families, so grouping on the pair has
+         ~2^-62 false-collision odds where a single 31-bit hash over a
+         100TB-scale position count would manufacture false dup seeds;
+      2. groupBy((g1, g2)).count() — map-side partial aggregation bounds the
+         skew of mega-frequent boilerplate windows (no per-key row explosion
+         on the reduce side, unlike a window count);
+      3. seeds join back on the hash pair (AQE-skew-safe equi-join), then a
+         per-doc gaps-and-islands interval merge (one window shuffle keyed
+         by doc id — bounded by document token counts).
+    No pair relation ever materializes; total cost is two shuffles over the
+    |positions|-row gram relation. Output: (id, span_start, span_end,
+    span_tokens) with token-index half-open spans, span_tokens >= min_tokens.
+    """
+    n = min_tokens
+    hashed = (
+        df.select(F.col(id_col).alias("_id"), F.expr(tokens_expr(text_col)).alias("_toks"))
+        .filter(F.size("_toks") >= n)
+        .select(
+            "_id",
+            F.expr(_token_hash_arr("_toks", 31)).alias("_h1"),
+            F.expr(_token_hash_arr("_toks", 37)).alias("_h2"),
+        )
+    )
+    grams = hashed.select(
+        "_id",
+        F.posexplode(
+            F.expr(
+                f"zip_with({_gram_hash_arr('_h1', n, 31)}, {_gram_hash_arr('_h2', n, 37)}, "
+                f"(a, b) -> named_struct('g1', a, 'g2', b))"
+            )
+        ).alias("pos", "_g"),
+    ).select("_id", "pos", F.col("_g.g1").alias("g1"), F.col("_g.g2").alias("g2"))
+    dup_keys = (
+        grams.groupBy("g1", "g2")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= 2)
+        .select("g1", "g2")
+    )
+    seeds = grams.join(dup_keys, ["g1", "g2"]).select("_id", "pos")
+    w_prev = Window.partitionBy("_id").orderBy("pos").rowsBetween(Window.unboundedPreceding, -1)
+    w_run = Window.partitionBy("_id").orderBy("pos").rowsBetween(Window.unboundedPreceding, 0)
+    islands = (
+        seeds.withColumn("_prev_end", F.max(F.col("pos") + n).over(w_prev))
+        .withColumn(
+            "_brk",
+            F.when(F.col("_prev_end").isNull() | (F.col("pos") > F.col("_prev_end")), 1).otherwise(0),
+        )
+        .withColumn("_gid", F.sum("_brk").over(w_run))
+    )
+    return (
+        islands.groupBy("_id", "_gid")
+        .agg(F.min("pos").alias("_s"), (F.max("pos") + n).alias("_e"))
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_s").cast("long").alias("span_start"),
+            F.col("_e").cast("long").alias("span_end"),
+            (F.col("_e") - F.col("_s")).cast("long").alias("span_tokens"),
+        )
+    )
+
+
+def dup_spans_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 16,
+) -> str:
+    """DuckDB oracle of dup_spans — deliberately groups windows by their RAW
+    TEXT instead of replicating the Spark side's 31/37 double hash: a match
+    therefore proves the hash-pair grouping introduced no false or missed
+    dup seeds, not merely that both engines hash alike."""
+    from ape_dts_spark.functions.text import tokens_sql
+
+    n = min_tokens
+    return f"""
+WITH toks AS (SELECT {id_col} AS id, {tokens_sql(text_col)} AS t FROM {table}),
+g AS (
+  SELECT id, CAST(i AS BIGINT) AS pos, array_to_string(t[(i + 1):(i + {n})], ' ') AS gram
+  FROM toks, LATERAL unnest(range(0, len(t) - {n} + 1)) AS u(i)
+  WHERE len(t) >= {n}),
+dup AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2),
+seeds AS (SELECT g.id, g.pos FROM g JOIN dup USING (gram)),
+o AS (SELECT id, pos, MAX(pos + {n}) OVER (PARTITION BY id ORDER BY pos
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end FROM seeds),
+b AS (SELECT *, CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0 END AS brk FROM o),
+grp AS (SELECT *, SUM(brk) OVER (PARTITION BY id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS gid FROM b)
+SELECT id AS {id_col}, CAST(MIN(pos) AS BIGINT) AS span_start,
+       CAST(MAX(pos) + {n} AS BIGINT) AS span_end,
+       CAST(MAX(pos) + {n} - MIN(pos) AS BIGINT) AS span_tokens
+FROM grp GROUP BY id, gid
+"""
+
+
+def remove_dup_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 16,
+) -> DataFrame:
+    """Apply the Lee et al. removal policy to dup_spans output: drop EVERY
+    copy of every duplicated span (the paper's ExactSubstr choice — unlike
+    near-dup keep-lists, no occurrence is privileged) and reassemble the
+    surviving tokens. Documents without spans pass through with their
+    normalized token stream intact.
+
+    One broadcast-or-shuffle left join of docs against their (few) spans
+    aggregated per doc, then a pure projection — covered positions are
+    filtered with an exists() over the span array, no explode of the token
+    relation. Output: (id, clean_text, n_tokens, n_removed).
+    """
+    spans = dup_spans(df, id_col, text_col, min_tokens)
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
+    )
+    toks = df.select(F.col(id_col), F.expr(tokens_expr(text_col)).alias("_toks"))
+    joined = toks.join(per_doc, id_col, "left").withColumn(
+        "_kept",
+        F.expr(
+            "CASE WHEN _spans IS NULL THEN _toks ELSE "
+            "transform(filter(sequence(0, size(_toks) - 1), i -> "
+            "NOT exists(_spans, s -> i >= s.span_start AND i < s.span_end)), "
+            "i -> _toks[i]) END"
+        ),
+    )
+    return joined.select(
+        F.col(id_col),
+        F.array_join("_kept", " ").alias("clean_text"),
+        F.size("_toks").cast("long").alias("n_tokens"),
+        (F.size("_toks") - F.size("_kept")).cast("long").alias("n_removed"),
+    )
+
+
+def remove_dup_spans_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 16,
+) -> str:
+    """DuckDB twin of remove_dup_spans (same raw-text grouping as
+    dup_spans_sql)."""
+    from ape_dts_spark.functions.text import tokens_sql
+
+    return f"""
+WITH spans AS ({dup_spans_sql(table, id_col, text_col, min_tokens)}),
+per_doc AS (
+  SELECT {id_col}, list({{'s': span_start, 'e': span_end}}) AS sp
+  FROM spans GROUP BY {id_col}),
+toks AS (SELECT {id_col}, {tokens_sql(text_col)} AS t FROM {table}),
+j AS (SELECT toks.{id_col} AS id, t, COALESCE(sp, []) AS sp
+      FROM toks LEFT JOIN per_doc ON toks.{id_col} = per_doc.{id_col}),
+k AS (SELECT id, t,
+        list_transform(list_filter(range(0, len(t)), i ->
+          len(list_filter(sp, s -> i >= s.s AND i < s.e)) = 0), i -> t[i + 1]) AS kept
+      FROM j)
+SELECT id AS {id_col}, COALESCE(array_to_string(kept, ' '), '') AS clean_text,
+       CAST(len(t) AS BIGINT) AS n_tokens,
+       CAST(len(t) - len(kept) AS BIGINT) AS n_removed
+FROM k
+"""
+
+
 def doc_tokens(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
     """(id, token) distinct pairs — the inverted-index building block."""
     return (

@@ -388,6 +388,8 @@ def test_new_operators_tolerate_empty_inputs(spark):
     assert tx.doc_chunks(docs).count() == 0
     assert tx.bpe_pair_counts(docs).count() == 0
     assert dd.span_dedup(docs).count() == 0
+    assert dd.dup_spans(docs).count() == 0
+    assert dd.remove_dup_spans(docs).count() == 0
 
     emb = spark.createDataFrame([], "vec_id long, embedding array<float>")
     assert sim.cosine_dup_pairs(emb, dim=4, threshold=0.9).count() == 0
@@ -717,3 +719,46 @@ def test_pq_codebook_edge_guards(spark):
     q = spark.createDataFrame(rows[:2], "vec_id long, embedding array<float>")
     out = sim.pq_topk(q, emb, m=2, ks=2, k=2)
     assert out.count() == 4  # 2 queries x top-2, no NaN-dropped rows
+
+
+def test_dup_spans_planted_substrings(spark):
+    """Lee et al. ExactSubstr semantics on a constructed corpus: a 20-token
+    run shared by two docs at different offsets is found as a maximal span
+    in BOTH; an in-document self-repeat counts; unique text yields nothing;
+    removal drops every copy (no occurrence privileged)."""
+    shared = " ".join(f"common{i}" for i in range(20))          # 20-token dup run
+    rep = " ".join(f"rep{i}" for i in range(16))                # self-repeated run
+    ua = " ".join(f"aun{i}" for i in range(10))                 # unique prefix A
+    ub = " ".join(f"bun{i}" for i in range(5))                  # unique prefix B
+    rows = [
+        (1, f"{ua} {shared}"),                                   # span at [10, 30)
+        (2, f"{ub} {shared} {'btail0 btail1'}"),                 # span at [5, 25)
+        (3, f"{rep} mid0 {rep}"),                                # self-repeat
+        (4, " ".join(f"solo{i}" for i in range(40))),            # no dups
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = {}
+    for r in dd.dup_spans(df, "doc_id", "text", min_tokens=16).collect():
+        spans.setdefault(r["doc_id"], []).append(
+            (r["span_start"], r["span_end"], r["span_tokens"])
+        )
+    assert spans[1] == [(10, 30, 20)]
+    assert spans[2] == [(5, 25, 20)]
+    # doc 3: the only duplicated windows start at 0 and 17 (every other
+    # window crosses the unique middle token), so coverage merges into two
+    # separate maximal spans [0,16) and [17,33)
+    assert sorted(spans[3]) == [(0, 16, 16), (17, 33, 16)]
+    assert 4 not in spans
+    clean = {
+        r["doc_id"]: r.asDict()
+        for r in dd.remove_dup_spans(df, "doc_id", "text", min_tokens=16).collect()
+    }
+    # every copy of the shared run is removed from both docs
+    assert clean[1]["clean_text"] == ua
+    assert clean[1]["n_removed"] == 20
+    assert clean[2]["clean_text"] == f"{ub} btail0 btail1"
+    assert clean[2]["n_removed"] == 20
+    # self-repeat: both 16-token copies removed, the unique middle survives
+    assert clean[3]["clean_text"] == "mid0"
+    assert clean[3]["n_removed"] == 32
+    assert clean[4]["n_removed"] == 0

@@ -219,3 +219,14 @@ def test_temperature_mix_broadcast_quota(spark, sf_dir):
     plan = _plan(spark, sf_dir, "temperature_mix")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_substring_dedup_hash_join_partial_agg(spark, sf_dir):
+    """dup_spans: the dup-window count must partial-aggregate map-side
+    (skew-bounded for mega-frequent boilerplate windows), the seed join must
+    be an equi-join on the hash pair (never a nested loop), and the scan
+    must prune to (doc_id, text)."""
+    plan = _plan(spark, sf_dir, "substring_dedup")
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "partial_count" in plan or "partial" in plan.lower()
+    assert "n_chars" not in plan  # column pruning reached the parquet scan
