@@ -16,19 +16,54 @@ from pyspark.sql import SparkSession
 # Public JDBC driver jars that may be present in the environment; when found,
 # they are put on the session classpath so the live JDBC snapshot/sink
 # round-trip tests can run against a real database engine (skip otherwise).
+#
+# ORDERING CONSTRAINT: spark.jars / spark.driver.extraClassPath only take
+# effect at JVM launch — if a SparkSession already exists, getOrCreate()
+# reuses it and these configs are silently ignored. The live-JDBC tests
+# therefore gate on the driver CLASS being loadable in the active session
+# (see tests/test_jdbc_live*.py), not merely on the jar existing on disk.
 _JDBC_JAR_GLOBS = [
     "/root/.cache/coursier/**/duckdb_jdbc-*.jar",
     os.path.expanduser("~/.m2/**/duckdb_jdbc-*.jar"),
     "/opt/jars/duckdb_jdbc-*.jar",
 ]
 
+# H2 (public jar) in MySQL compatibility mode is the only engine in reach
+# that executes the MySQL-dialect shapes (REPLACE INTO, backtick quoting);
+# searched separately so its absence doesn't disable the DuckDB tests.
+_H2_JAR_GLOBS = [
+    "/root/.cache/coursier/**/h2-[0-9]*.jar",
+    os.path.expanduser("~/.m2/**/h2-[0-9]*.jar"),
+    "/opt/jars/h2-[0-9]*.jar",
+]
 
-def find_jdbc_jar() -> str | None:
-    for pat in _JDBC_JAR_GLOBS:
+
+def _find_jar(globs: list[str]) -> str | None:
+    for pat in globs:
         hits = sorted(glob.glob(pat, recursive=True))
         if hits:
             return hits[-1]
     return None
+
+
+def find_jdbc_jar() -> str | None:
+    return _find_jar(_JDBC_JAR_GLOBS)
+
+
+def find_h2_jar() -> str | None:
+    return _find_jar(_H2_JAR_GLOBS)
+
+
+def driver_class_loadable(spark: SparkSession, cls: str) -> bool:
+    """True iff `cls` is loadable in the ACTIVE session JVM. This is the
+    real gate for live-JDBC tests: a jar found on disk does not imply it is
+    on the classpath (getOrCreate may have reused a session created without
+    it) — keying on the jar alone turns a clean skip into ClassNotFound."""
+    try:
+        spark._jvm.java.lang.Class.forName(cls)
+        return True
+    except Exception:
+        return False
 
 
 def get_spark(app_name: str = "ape_dts_spark", shuffle_partitions: int | None = None) -> SparkSession:
@@ -52,13 +87,14 @@ def get_spark(app_name: str = "ape_dts_spark", shuffle_partitions: int | None = 
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
         .config("spark.ui.enabled", "false")
     )
-    jdbc_jar = find_jdbc_jar()
-    if jdbc_jar:
+    jars = [j for j in (find_jdbc_jar(), find_h2_jar()) if j]
+    if jars:
         # one JVM in local mode: spark.jars puts the driver class on both the
         # driver and executor classpath at session creation (addJar after the
-        # fact does not reach the driver-side DriverRegistry)
-        builder = builder.config("spark.jars", jdbc_jar).config(
-            "spark.driver.extraClassPath", jdbc_jar
+        # fact does not reach the driver-side DriverRegistry). No effect if a
+        # session already exists — see the ordering note on _JDBC_JAR_GLOBS.
+        builder = builder.config("spark.jars", ",".join(jars)).config(
+            "spark.driver.extraClassPath", os.pathsep.join(jars)
         )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

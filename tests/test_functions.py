@@ -160,6 +160,32 @@ def test_pq_finds_planted_twins_and_recall(spark, sf_dir):
     assert recall >= 0.3, f"PQ recall@5 {recall:.2f}"
 
 
+def test_ann_family_recall_at_5(spark, sf_dir):
+    """Quality regression gate for every ANN kernel: recall@5 against the
+    exact cosine_topk ground truth on the sf0.01 corpus (same engine, so
+    float-safe — the driver's planted-twin oracles only pin rank 1).
+    Thresholds sit well under measured recall (lsh 0.42, ivf 0.74, pq 0.66
+    on near-uniform random 64-d vectors) so noise won't flake the suite,
+    but a broken bucketing/probing/codebook change trips it."""
+    emb = demo.load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0).withColumn(
+        "vec_id", F.col("vec_id") + 100_000
+    )
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim.cosine_topk(queries, emb, "vec_id", "embedding", k=5).collect()
+    }
+    kernels = {
+        "lsh": (lambda: sim.lsh_ann_topk(queries, emb, "vec_id", "embedding", dim=64, k=5), 0.30),
+        "ivf": (lambda: sim.ivf_topk(queries, emb, "vec_id", "embedding", k=5), 0.55),
+        "pq": (lambda: sim.pq_topk(queries, emb, "vec_id", "embedding", m=8, ks=16, k=5), 0.45),
+    }
+    for name, (fn, floor) in kernels.items():
+        approx = {(r["query_id"], r["neighbor_id"]) for r in fn().collect()}
+        recall = len(exact & approx) / len(exact)
+        assert recall >= floor, f"{name} recall@5 {recall:.2f} < {floor}"
+
+
 def test_minhash_identical_set_expansion(spark):
     """The identical-set collapse must expand groups back to exactly
     C(g,2) doc pairs per group at J=1, ordered id_a < id_b, no duplicate

@@ -27,13 +27,23 @@ import pytest
 
 from pyspark.sql import functions as F
 
-from ape_dts_spark.session import find_jdbc_jar
+from ape_dts_spark.session import driver_class_loadable, find_jdbc_jar
 from ape_dts_spark.sinks.upsert_sql import batch_statements, compacted_to_sql
 from ape_dts_spark.sources.snapshot import SnapshotSource
 
 pytestmark = pytest.mark.skipif(
     find_jdbc_jar() is None, reason="no DuckDB JDBC driver jar on this machine"
 )
+
+
+@pytest.fixture(autouse=True)
+def _require_driver_loadable(spark):
+    """The jar existing on disk does not imply it is on the classpath: if a
+    SparkSession was created before get_spark configured spark.jars,
+    getOrCreate reused it and the driver class is absent — skip cleanly
+    instead of failing with ClassNotFound."""
+    if not driver_class_loadable(spark, "org.duckdb.DuckDBDriver"):
+        pytest.skip("DuckDB jar found but driver class not loadable in the active session")
 
 COMPACTED_SCHEMA = (
     "schema string, tb string, id bigint, op string, "
