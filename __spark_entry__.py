@@ -2507,113 +2507,21 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The external driver gates only the FIRST 50 dict entries, so ordering is
-    # load-bearing. Round-5 rotation: the 24 round-4 additions that never had
-    # a driver row lead (slots 1-24), then the two multimodal queries whose
-    # gate projections were made scalar-only this round (25-26), then new
-    # round-5 queries, then the most load-bearing already-greens backfill to
-    # slot 50. Entries past slot 50 were driver-green in r01/r03/r04 and keep
-    # local-gate + pytest coverage (cumulative goal: every query green in SOME
-    # round's CORRECTNESS window).
+    # load-bearing. Round-6 rotation policy: (1) queries that are NEW or whose
+    # CODE changed this round lead, (2) then the 50-slot window fills with the
+    # STALEST driver rows (the 41 queries last green in r03, then the oldest
+    # r04 rows), (3) everything after slot 50 stays ordered by staleness so
+    # the next rotation is a prefix cut. Before any rotation ships, the FULL
+    # (non --window) tools/check.py run must be green — rotated-out queries
+    # keep local-gate + pytest coverage (cumulative goal: every query's
+    # driver row at most ~2 rounds old).
     return {
-        # -- new this round ---------------------------------------------------
+        # -- new this round (driver rows needed) ------------------------------
         "substring_dedup": q_substring_dedup,
         "substring_dedup_clean": q_substring_dedup_clean,
-        # -- round-4 additions, never driver-checked (locally green) ----------
-        "important_parts": q_important_parts,
-        "top_supplier": q_top_supplier,
-        "bigram_lm_score": q_bigram_lm_score,
-        "source_caps": q_source_caps,
-        "binlog_order": q_binlog_order,
-        "topic_route": q_topic_route,
-        "monitor_rollup": q_monitor_rollup,
-        "partition_lanes": q_partition_lanes,
-        "ddl_parse": q_ddl_parse,
-        "dcl_parse": q_dcl_parse,
-        "tfidf_topterms": q_tfidf_topterms,
-        "heartbeat_lag": q_heartbeat_lag,
-        "nation_trade_flows": q_nation_trade_flows,
-        "salted_join": q_salted_join,
-        "ddl_in_stream": q_ddl_in_stream,
-        "sliding_counts": q_sliding_counts,
-        "stream_e2e": q_stream_e2e,
-        "stateful_dedup": q_stateful_dedup,
-        "struct_objects": q_struct_objects,
-        "orc_roundtrip": q_orc_roundtrip,
-        "large_orders": q_large_orders,
-        "disjunctive_revenue": q_disjunctive_revenue,
-        "continuous_rollup": q_continuous_rollup,
-        "struct_check_report": q_struct_check_report,
-        # -- r04 red rows fixed (scalar-only gate projections), fresh rows ----
-        "multimodal_features": q_multimodal_features,
-        "multimodal_resize": q_multimodal_resize,
-        # -- new this round ---------------------------------------------------
-        "dedup_cluster_star": q_dedup_cluster_star,
-        "ccnet_buckets": q_ccnet_buckets,
-        "temperature_mix": q_temperature_mix,
-        "ann_pq": q_ann_pq,
-        "ann_pq_index": q_ann_pq_index,
-        "gopher_rules": q_gopher_rules,
-        "cheapest_shipment": q_cheapest_shipment,
-        "stream_join": q_stream_join,
-        "curation_v2": q_curation_v2,
-        "dead_letter": q_dead_letter,
-        # -- already driver-green; most load-bearing backfill to slot 50 ------
-        "pricing_summary": q_pricing_summary,
-        "checker_diff": q_checker_diff,
-        "merge_compact": q_merge_compact,
-        "cdc_apply_state": q_cdc_apply_state,
-        "dedup_exact": q_dedup_exact,
-        "minhash_lsh": q_minhash_lsh,
-        "ngram_minhash": q_ngram_minhash,
-        "simhash_pairs": q_simhash_pairs,
-        "dedup_cluster": q_dedup_cluster,
-        "semantic_dedup": q_semantic_dedup,
-        "span_dedup": q_span_dedup,
+        # -- code changed this round (cheap signature profile) ----------------
         "minhash_incremental": q_minhash_incremental,
-        "cosine_dup_pairs": q_cosine_dup_pairs,
-        "cosine_topk": q_cosine_topk,
-        "ann_ivf": q_ann_ivf,
-        "ann_lsh": q_ann_lsh,
-        "contamination_bloom": q_contamination_bloom,
-        "clf_score": q_clf_score,
-        "lang_id": q_lang_id,
-        "sequence_packing": q_sequence_packing,
-        "token_mix": q_token_mix,
-        "fluid_roundtrip": q_fluid_roundtrip,
-        "subscription_feed": q_subscription_feed,
-        "struct_ddl": q_struct_ddl,
-        # ---------------------------- slot 50 ends here ----------------------
-        # -- driver-green in a prior round; local gate + pytest keep them -----
-        "cosine_topk_np": q_cosine_topk_np,
-        "quality_score": q_quality_score,
-        "pii_redact": q_pii_redact,
-        "stratified_sample": q_stratified_sample,
-        "multimodal_frames": q_multimodal_frames,
-        "windowed_counts": q_windowed_counts,
-        "rep_stats": q_rep_stats,
-        "length_quantiles": q_length_quantiles,
-        "session_windows": q_session_windows,
-        "fk_apply_order": q_fk_apply_order,
-        "multimodal_meta": q_multimodal_meta,
-        "multimodal_decode": q_multimodal_decode,
-        "json_extract": q_json_extract,
-        "redis_rdb": q_redis_rdb,
-        "contamination": q_contamination,
-        "shuffle_shards": q_shuffle_shards,
-        "vocab_topk": q_vocab_topk,
-        "embedding_dedup_keep": q_embedding_dedup_keep,
-        "ann_ivf_index": q_ann_ivf_index,
-        "doc_chunks": q_doc_chunks,
-        "bpe_pairs": q_bpe_pairs,
-        "corpus_pipeline": q_corpus_pipeline,
-        "asof_attribution": q_asof_attribution,
-        "interval_join_errors": q_interval_join_errors,
-        "event_pivot": q_event_pivot,
-        "waiting_suppliers": q_waiting_suppliers,
-        "order_gaps": q_order_gaps,
-        "gtid_coalesce": q_gtid_coalesce,
-        "snapshot_scan": q_snapshot_scan,
-        "snapshot_chunked": q_snapshot_chunked,
+        # -- stalest driver rows (last green r03) re-certify this round -------
         "snapshot_resume": q_snapshot_resume,
         "merge_spill": q_merge_spill,
         "checker_summary": q_checker_summary,
@@ -2655,6 +2563,99 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lapsed_customers": q_lapsed_customers,
         "doc_fingerprint": q_doc_fingerprint,
         "token_stats": q_token_stats,
+        # -- stalest r04-era rows fill the window to slot 50 ------------------
+        "ann_ivf": q_ann_ivf,
+        "ann_lsh": q_ann_lsh,
+        "contamination_bloom": q_contamination_bloom,
+        "clf_score": q_clf_score,
+        "lang_id": q_lang_id,
+        "sequence_packing": q_sequence_packing,
+        # ---------------------------- slot 50 ends here ----------------------
+        # -- driver-green in r04/r05; local gate + pytest keep them, ordered --
+        #    by staleness so the next rotation is a prefix cut ----------------
+        "token_mix": q_token_mix,
+        "fluid_roundtrip": q_fluid_roundtrip,
+        "subscription_feed": q_subscription_feed,
+        "struct_ddl": q_struct_ddl,
+        "cosine_topk_np": q_cosine_topk_np,
+        "quality_score": q_quality_score,
+        "pii_redact": q_pii_redact,
+        "stratified_sample": q_stratified_sample,
+        "multimodal_frames": q_multimodal_frames,
+        "windowed_counts": q_windowed_counts,
+        "rep_stats": q_rep_stats,
+        "length_quantiles": q_length_quantiles,
+        "session_windows": q_session_windows,
+        "fk_apply_order": q_fk_apply_order,
+        "multimodal_meta": q_multimodal_meta,
+        "multimodal_decode": q_multimodal_decode,
+        "json_extract": q_json_extract,
+        "redis_rdb": q_redis_rdb,
+        "contamination": q_contamination,
+        "shuffle_shards": q_shuffle_shards,
+        "vocab_topk": q_vocab_topk,
+        "embedding_dedup_keep": q_embedding_dedup_keep,
+        "ann_ivf_index": q_ann_ivf_index,
+        "doc_chunks": q_doc_chunks,
+        "bpe_pairs": q_bpe_pairs,
+        "corpus_pipeline": q_corpus_pipeline,
+        "asof_attribution": q_asof_attribution,
+        "interval_join_errors": q_interval_join_errors,
+        "event_pivot": q_event_pivot,
+        "waiting_suppliers": q_waiting_suppliers,
+        "order_gaps": q_order_gaps,
+        "gtid_coalesce": q_gtid_coalesce,
+        "snapshot_scan": q_snapshot_scan,
+        "snapshot_chunked": q_snapshot_chunked,
+        "important_parts": q_important_parts,
+        "top_supplier": q_top_supplier,
+        "bigram_lm_score": q_bigram_lm_score,
+        "source_caps": q_source_caps,
+        "binlog_order": q_binlog_order,
+        "topic_route": q_topic_route,
+        "monitor_rollup": q_monitor_rollup,
+        "partition_lanes": q_partition_lanes,
+        "ddl_parse": q_ddl_parse,
+        "dcl_parse": q_dcl_parse,
+        "tfidf_topterms": q_tfidf_topterms,
+        "heartbeat_lag": q_heartbeat_lag,
+        "nation_trade_flows": q_nation_trade_flows,
+        "salted_join": q_salted_join,
+        "ddl_in_stream": q_ddl_in_stream,
+        "sliding_counts": q_sliding_counts,
+        "stream_e2e": q_stream_e2e,
+        "stateful_dedup": q_stateful_dedup,
+        "struct_objects": q_struct_objects,
+        "orc_roundtrip": q_orc_roundtrip,
+        "large_orders": q_large_orders,
+        "disjunctive_revenue": q_disjunctive_revenue,
+        "continuous_rollup": q_continuous_rollup,
+        "struct_check_report": q_struct_check_report,
+        "multimodal_features": q_multimodal_features,
+        "multimodal_resize": q_multimodal_resize,
+        "dedup_cluster_star": q_dedup_cluster_star,
+        "ccnet_buckets": q_ccnet_buckets,
+        "temperature_mix": q_temperature_mix,
+        "ann_pq": q_ann_pq,
+        "ann_pq_index": q_ann_pq_index,
+        "gopher_rules": q_gopher_rules,
+        "cheapest_shipment": q_cheapest_shipment,
+        "stream_join": q_stream_join,
+        "curation_v2": q_curation_v2,
+        "dead_letter": q_dead_letter,
+        "pricing_summary": q_pricing_summary,
+        "checker_diff": q_checker_diff,
+        "merge_compact": q_merge_compact,
+        "cdc_apply_state": q_cdc_apply_state,
+        "dedup_exact": q_dedup_exact,
+        "minhash_lsh": q_minhash_lsh,
+        "ngram_minhash": q_ngram_minhash,
+        "simhash_pairs": q_simhash_pairs,
+        "dedup_cluster": q_dedup_cluster,
+        "semantic_dedup": q_semantic_dedup,
+        "span_dedup": q_span_dedup,
+        "cosine_dup_pairs": q_cosine_dup_pairs,
+        "cosine_topk": q_cosine_topk,
     }
 
 

@@ -104,6 +104,8 @@ BENCH_QUERIES = [
     "doc_chunks",
     "bpe_pairs",
     "span_dedup",
+    "substring_dedup",
+    "substring_dedup_clean",
     "semantic_dedup",
     "multimodal_meta",
     "multimodal_decode",

@@ -1,0 +1,129 @@
+"""Deep-octave scaling probe: x1 vs x16 on the hardest dedup/clustering
+operators plus the two headline core paths.
+
+tools/scaling.py fits alphas at x1/x2/x4 and a prior ad-hoc probe extended
+the three hardest operators to x8; this probe goes one octave deeper (x16 =
+80k docs / 320k vectors / 1.6M events / 9.6M lineitem rows from the sf0.1
+base) to kill the "the sub-linear alphas are just fixed overhead
+amortizing" counter-argument: if growth were quadratic in disguise, four
+doublings would surface it (a true alpha=2 operator would run 256x the x1
+time; the overhead floor can't hide that).
+
+Corpus construction matches tools/scaling.py exactly (rewritten-content
+replication at constant duplicate density; id-shifted replication for the
+row-stream tables). Usage: python tools/octave.py [sf_dir]
+Prints one JSON line; results are folded into SCALING.md by hand.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/tools")
+
+from scaling import build_corpus  # noqa: E402
+
+BASE = "/tmp/ape_octave"
+FACTOR = 16
+QUERIES = ["minhash_lsh", "ngram_minhash", "dedup_cluster_star", "substring_dedup"]
+
+
+def build_rowstream(spark, sf_dir: str, factor: int, dest: str) -> None:
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    ev_parts, li_parts = [], []
+    for k in range(factor):
+        ev_parts.append(
+            ev.select(
+                (F.col("event_id") + 10_000_000 * k).alias("event_id"),
+                "ts",
+                (F.col("user_id") + 1_000_000 * k).alias("user_id"),
+                "event_type",
+                "value",
+                "props",
+            )
+        )
+        li_parts.append(
+            li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(100_000_000 * k))
+        )
+    ev_n, li_n = ev_parts[0], li_parts[0]
+    for p in ev_parts[1:]:
+        ev_n = ev_n.unionByName(p)
+    for p in li_parts[1:]:
+        li_n = li_n.unionByName(p)
+    os.makedirs(dest, exist_ok=True)
+    ev_n.write.mode("overwrite").parquet(os.path.join(dest, "events.parquet"))
+    li_n.write.mode("overwrite").parquet(os.path.join(dest, "lineitem.parquet"))
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+
+    import __spark_entry__ as entrymod
+    from ape_dts_spark.session import clear_spark_blocks, get_spark
+
+    spark = get_spark("octave")
+    qs = entrymod.queries()
+
+    shutil.rmtree(BASE, ignore_errors=True)
+    dirs = {}
+    for f in (1, FACTOR):
+        dest = os.path.join(BASE, f"x{f}")
+        build_corpus(spark, sf_dir, f, dest)
+        build_rowstream(spark, sf_dir, f, dest)
+        dirs[f] = dest
+        print(f"built x{f}", flush=True)
+
+    out: dict[str, dict] = {}
+    for q in QUERIES:
+        ts = {}
+        for f in (1, FACTOR):
+            best = math.inf
+            for _ in range(2):
+                t0 = time.time()
+                qs[q](spark, dirs[f]).count()
+                best = min(best, time.time() - t0)
+                clear_spark_blocks(spark)
+            ts[f] = round(best, 2)
+            print(f"x{f} {q} {best:.2f}s", flush=True)
+        out[q] = {
+            "x1_s": ts[1],
+            "x16_s": ts[FACTOR],
+            "alpha": round(math.log(ts[FACTOR] / ts[1]) / math.log(FACTOR), 2),
+        }
+
+    # core paths: bench.py's exact headline formulas on the scaled corpus
+    for f in (1, FACTOR):
+        n_events = spark.read.parquet(f"{dirs[f]}/events.parquet").count()
+        rps = 0.0
+        for _ in range(3):
+            t0 = time.time()
+            qs["merge_compact"](spark, dirs[f]).count()
+            qs["soft_delete_apply"](spark, dirs[f]).count()
+            secs = time.time() - t0
+            rps = max(rps, round(2 * n_events / secs, 1))
+            clear_spark_blocks(spark)
+        li = spark.read.parquet(f"{dirs[f]}/lineitem.parquet")
+        n_li = li.count()
+        snap = 0.0
+        for _ in range(3):
+            t0 = time.time()
+            li.write.format("noop").mode("overwrite").save()
+            snap = max(snap, round(n_li / (time.time() - t0), 1))
+        out[f"core_x{f}"] = {"cdc_rps": rps, "snapshot_rps": snap, "n_events": n_events}
+        print(f"core x{f}: cdc {rps} rows/s, snapshot {snap} rows/s", flush=True)
+
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

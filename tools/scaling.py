@@ -49,6 +49,8 @@ QUERIES = [
     "minhash_incremental",
     "span_dedup",
     "contamination_bloom",
+    # round-6 addition: exact-substring dedup (Lee et al. dup-span finder)
+    "substring_dedup",
 ]
 
 
