@@ -5,7 +5,8 @@ curation job chains them:
   1. quality gate        (tx.quality_exprs composite score)
   2. model-based filter  (tx.classifier_score_exprs, fastText-shape)
   3. PII redaction       (tx.pii_exprs)
-  4. exact + near dedup  (dd.exact_dedup keep-first, dd.minhash_lsh_pairs
+  4. exact + near dedup  (dd.exact_dedup keep-first, dd.remove_dup_spans
+                          ExactSubstr span removal, dd.minhash_lsh_pairs
                           -> dd.keep_representatives keep list)
   5. decontamination     (tx.ngram_overlap vs a held-out eval slice)
   6. token-budget mixing (mx.token_quota per language)
@@ -59,6 +60,14 @@ def main() -> None:
     # keep list — survivors are component representatives
     exact = dd.exact_dedup(kept, "doc_id", "text")
     kept = kept.join(exact.select("doc_id"), "doc_id")
+    # 4a: exact-substring removal (Lee et al. ExactSubstr) — drop every copy
+    # of every cross-document >=16-token span, keep the cleaned text
+    cleaned = dd.remove_dup_spans(kept, "doc_id", "text", min_tokens=16)
+    kept = (
+        kept.drop("text")
+        .join(cleaned.select("doc_id", F.col("clean_text").alias("text")), "doc_id")
+        .filter(F.length("text") > 0)
+    )
     pairs = dd.minhash_lsh_pairs(kept, "doc_id", "text", threshold=0.95)
     reps = dd.keep_representatives(kept, "doc_id", pairs)
     kept = kept.join(
