@@ -2018,6 +2018,37 @@ def q_ann_pq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.pq_index_topk(index, queries_df, "vec_id", "embedding", k=1)
 
 
+def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ fused scan (IVFADC, Jegou et al. 2011 SIV — coarse quantizer +
+    shared residual-PQ codebooks, the composite billion-scale ANN shape),
+    planted-twin gate: the twin's cell is its query's nearest centroid
+    (always probed), its residual code is the query-residual's own encoding,
+    so its ADC distance is the minimum of its cell's table; the per-CELL
+    candidate cut keeps it (absent 16^8-space code collisions) and the
+    exact re-rank pins cosine=1 at rank 1 (k=1)."""
+    emb = demo.load(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 50 == 0).withColumn(
+        "vec_id", F.col("vec_id") + 100_000
+    )
+    return sim.ivfpq_topk(queries_df, emb, "vec_id", "embedding", k=1)
+
+
+def q_ann_ivfpq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Served IVF-PQ index (cell-partitioned residual codes) + the deployed
+    pipeline's exact re-rank stage: ADC survivors (|q| x k x rerank rows)
+    join back to their float vectors — the only vector reads in the whole
+    query path. Twin gate: the twin tops its own cell's ADC so it survives
+    the candidate cut (verified 40/40 at sf0.1 where PURE ADC scores 39/40
+    — cross-cell residual origins underestimate foreign candidates), and
+    exact cosine pins rank 1 (k=1)."""
+    emb = demo.load(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 50 == 0).withColumn(
+        "vec_id", F.col("vec_id") + 100_000
+    )
+    index = sim.ivfpq_index(emb, "vec_id", "embedding")
+    return sim.ivfpq_index_topk(index, queries_df, "vec_id", "embedding", k=1, rerank_with=emb)
+
+
 def q_ann_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF against a STORED index (ivf_index + ivf_index_topk): the corpus is
     assigned to its lists once; queries probe via a broadcast pruning join
@@ -2519,6 +2550,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new this round (driver rows needed) ------------------------------
         "substring_dedup": q_substring_dedup,
         "substring_dedup_clean": q_substring_dedup_clean,
+        "ann_ivfpq": q_ann_ivfpq,
+        "ann_ivfpq_index": q_ann_ivfpq_index,
         # -- code changed this round (cheap signature profile) ----------------
         "minhash_incremental": q_minhash_incremental,
         # -- stalest driver rows (last green r03) re-certify this round -------
@@ -3922,6 +3955,14 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings WHERE vec_id % 50 = 0
         """,
         "ann_pq_index": """
+            SELECT vec_id + 100000 AS query_id, vec_id AS neighbor_id, 1 AS rank
+            FROM embeddings WHERE vec_id % 50 = 0
+        """,
+        "ann_ivfpq": """
+            SELECT vec_id + 100000 AS query_id, vec_id AS neighbor_id, 1 AS rank
+            FROM embeddings WHERE vec_id % 50 = 0
+        """,
+        "ann_ivfpq_index": """
             SELECT vec_id + 100000 AS query_id, vec_id AS neighbor_id, 1 AS rank
             FROM embeddings WHERE vec_id % 50 = 0
         """,

