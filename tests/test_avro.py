@@ -203,3 +203,58 @@ def test_envelope_schema_json_shape():
     # wire types: decimal -> string, timestamp -> long micros
     assert payload_rec["fields"][1]["type"] == ["null", "string"]
     assert payload_rec["fields"][2]["type"] == ["null", "long"]
+
+
+def test_avro_jvm_core_parity(spark):
+    """Cross-implementation parity with the CANONICAL Avro library (Apache
+    Avro core, org.apache.avro — on Spark's classpath even without the
+    spark-avro connector): every envelope the Python codec emits (a) parses
+    with the JVM GenericDatumReader under envelope_avro_schema_json with
+    field-identical values, and (b) re-serializes via GenericDatumWriter to
+    BYTE-IDENTICAL output — pinning the wire format to the spec
+    implementation, not merely to our own round trip."""
+    from ape_dts_spark.sinks.avro_codec import envelope_avro_schema_json, wire_projection
+
+    df = _rich_stream(spark)
+    payload = df.schema["after"].dataType
+    jvm = spark._jvm
+    schema = jvm.org.apache.avro.Schema.Parser().parse(envelope_avro_schema_json(payload))
+    reader = jvm.org.apache.avro.generic.GenericDatumReader(schema)
+    writer = jvm.org.apache.avro.generic.GenericDatumWriter(schema)
+    decoder_f = jvm.org.apache.avro.io.DecoderFactory.get()
+    encoder_f = jvm.org.apache.avro.io.EncoderFactory.get()
+
+    wire_rows = {r["seq"]: r for r in df.select(*wire_projection(df)).collect()}
+    encoded = encode_events_avro(df).collect()
+    assert len(encoded) == len(wire_rows)
+    for out in encoded:
+        rec = reader.read(None, decoder_f.binaryDecoder(out["value"], None))
+        seq = rec.get("seq")
+        orig = wire_rows[seq]
+        assert str(rec.get("schema")) == orig["schema"]
+        assert str(rec.get("tb")) == orig["tb"]
+        assert str(rec.get("row_type")) == orig["row_type"]
+        assert rec.get("ts_us") == orig["ts_us"]
+        for image in ("before", "after"):
+            jimg, oimg = rec.get(image), orig[image]
+            if oimg is None:
+                assert jimg is None
+                continue
+            assert jimg.get("id") == oimg["id"]
+            jname = jimg.get("name")
+            assert (None if jname is None else str(jname)) == oimg["name"]
+            jprice = jimg.get("price")
+            assert (None if jprice is None else str(jprice)) == oimg["price"]
+            assert jimg.get("score") == oimg["score"]
+            assert jimg.get("active") == oimg["active"]
+            jblob = jimg.get("blob")
+            jb = None if jblob is None else bytes(jblob.array())
+            ob = oimg["blob"] if oimg["blob"] is None else bytes(oimg["blob"])
+            assert jb == ob
+            assert jimg.get("seen") == oimg["seen"]
+        # (b) canonical re-encode: the JVM writer must reproduce our bytes
+        baos = jvm.java.io.ByteArrayOutputStream()
+        enc = encoder_f.binaryEncoder(baos, None)
+        writer.write(rec, enc)
+        enc.flush()
+        assert bytes(baos.toByteArray()) == bytes(out["value"])
