@@ -1,7 +1,8 @@
-"""Runnable comparison of the four ANN engines over the embeddings table —
-exact brute force (the baseline), hyperplane LSH, trained IVF, and product
-quantization (ADC + exact re-rank) — printing recall@k vs exact and wall
-time per engine.
+"""Runnable comparison of the ANN engines over the embeddings table —
+exact brute force (the baseline), hyperplane LSH, trained IVF, product
+quantization (ADC + exact re-rank), and the IVF-PQ composite (fused and
+served-index variants) — printing recall@k vs exact and wall time per
+engine.
 
 Usage: python examples/ann_comparison.py [sf_dir] [k]   (default sf0.01, k=5)
 
@@ -15,6 +16,10 @@ Engines and their 100-TB arguments (see functions/similarity.py docstrings):
                    n_probe/n_lists of the corpus.
 - pq_topk          m-byte codes (memory path); ADC table lookups + exact
                    re-rank of survivors.
+- ivfpq_topk       IVFADC composite: pruned scan over residual codes; per-cell
+                   ADC cut + exact re-rank.
+- ivfpq_index_topk served index: cell-partitioned stored codes, pure ADC +
+                   the deployed survivor re-rank stage.
 """
 
 from __future__ import annotations
@@ -56,6 +61,10 @@ def main() -> None:
                                     n_lists=16, n_probe=4, k=k),
         "pq": lambda: sim.pq_topk(queries, emb, "vec_id", "embedding",
                                   m=8, ks=16, k=k),
+        "ivfpq": lambda: sim.ivfpq_topk(queries, emb, "vec_id", "embedding", k=k),
+        "ivfpq_ix": lambda: sim.ivfpq_index_topk(
+            sim.ivfpq_index(emb, "vec_id", "embedding"), queries,
+            "vec_id", "embedding", k=k, rerank_with=emb),
     }
     print(f"{'engine':8s} {'recall@'+str(k):>9s} {'twin@1':>7s} {'sec':>6s}")
     print(f"{'exact':8s} {1.0:9.3f} {1.0:7.2f} {t_exact:6.2f}")

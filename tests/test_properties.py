@@ -345,3 +345,59 @@ def test_tfidf_topterms_equals_brute_force(spark, texts):
             (rk + 1, w, tf[w], dfreq[w], sc) for rk, (sc, w) in enumerate(scored[:3])
         ]
         assert sorted(got.get(i, [])) == want
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring dedup (Lee et al. dup spans) vs brute force
+# ---------------------------------------------------------------------------
+
+# tiny alphabet + short docs force heavy window collisions, self-repeats and
+# boundary spans that no hand fixture enumerates
+_sub_words = st.sampled_from(["x", "y", "z"])
+_sub_corpus = st.lists(
+    st.lists(_sub_words, min_size=0, max_size=12).map(" ".join), min_size=1, max_size=6
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_sub_corpus, st.integers(2, 4))
+def test_dup_spans_equals_brute_force(spark, texts, n):
+    """dup_spans must equal the literal definition: mark every position
+    whose n-token window occurs >= 2 times corpus-wide, merge overlapping
+    coverage per doc; removal drops exactly the covered positions."""
+    from collections import Counter
+
+    from ape_dts_spark.functions.dedup import dup_spans, remove_dup_spans
+
+    rows = list(enumerate(texts))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {}
+    for r in dup_spans(df, "doc_id", "text", min_tokens=n).collect():
+        got.setdefault(r["doc_id"], []).append((r["span_start"], r["span_end"]))
+        assert r["span_tokens"] == r["span_end"] - r["span_start"] >= n
+
+    toks = {i: t.split() for i, t in rows}
+    wins = Counter(
+        tuple(ts[p : p + n]) for ts in toks.values() for p in range(len(ts) - n + 1)
+    )
+    want, covered = {}, {}
+    for i, ts in toks.items():
+        seeds = [p for p in range(len(ts) - n + 1) if wins[tuple(ts[p : p + n])] >= 2]
+        spans, cov = [], set()
+        for p in seeds:
+            if spans and p <= spans[-1][1]:
+                spans[-1] = (spans[-1][0], max(spans[-1][1], p + n))
+            else:
+                spans.append((p, p + n))
+            cov.update(range(p, p + n))
+        if spans:
+            want[i] = spans
+        covered[i] = cov
+    assert {k: sorted(v) for k, v in got.items()} == want
+
+    clean = {r["doc_id"]: r.asDict() for r in
+             remove_dup_spans(df, "doc_id", "text", min_tokens=n).collect()}
+    for i, ts in toks.items():
+        kept = [t for p, t in enumerate(ts) if p not in covered[i]]
+        assert clean[i]["clean_text"] == " ".join(kept)
+        assert clean[i]["n_removed"] == len(covered[i])
