@@ -1236,6 +1236,48 @@ def q_ddl_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ddl_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-6 DDL breadth gate (split_to_multi parity, ddl_statement.rs:
+    44-90, + AlterDatabase/PgAlterTableSetSchema/generic AlterTable): 6
+    statement shapes per table name — multi-table DROP and RENAME split
+    into one routable statement per target, PG multi-index DROP, ALTER
+    DATABASE, SET SCHEMA, and an ADD CONSTRAINT that must fall to the
+    generic alter_table recognizer (NOT add_column) while keeping its
+    table. The oracle constructs every (stmt, part, kind, schema, table)
+    tuple by hand, so any misparse or missplit diverges."""
+    import pandas as pd
+
+    from ape_dts_spark.plans.ddl_parse import split_ddl
+
+    nm = _nation_ident(spark, sf_dir)
+    shapes = [
+        "concat('DROP TABLE IF EXISTS demo.t_', nm, ', demo.u_', nm, ', v_', nm)",
+        "concat('RENAME TABLE demo.t_', nm, ' TO demo.t2_', nm, ', u_', nm, ' TO u2_', nm, ';')",
+        "concat('DROP INDEX CONCURRENTLY IF EXISTS ix1_', nm, ', ix2_', nm)",
+        "concat('ALTER DATABASE db_', nm, ' CHARACTER SET utf8mb4')",
+        "concat('ALTER TABLE demo.t_', nm, ' SET SCHEMA arch_', nm)",
+        "concat('ALTER TABLE demo.t_', nm, ' ADD CONSTRAINT fk_', nm, ' FOREIGN KEY (x) REFERENCES p(y)')",
+    ]
+    stmts = nm.select(F.explode(F.expr("array(" + ", ".join(shapes) + ")")).alias("stmt"))
+
+    def _parse(batches):
+        for pdf in batches:
+            out = {"stmt": [], "part": [], "ddl_kind": [], "ddl_schema": [], "ddl_table": []}
+            for s in pdf["stmt"]:
+                for i, st in enumerate(split_ddl(s)):
+                    out["stmt"].append(s)
+                    out["part"].append(i)
+                    out["ddl_kind"].append(st.kind)
+                    out["ddl_schema"].append(st.schema)
+                    out["ddl_table"].append(st.table)
+            yield pd.DataFrame(out)
+
+    return stmts.mapInPandas(
+        _parse,
+        schema="stmt string, part int, ddl_kind string, ddl_schema string, ddl_table string",
+    )
+
+
 def q_dcl_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DCL-parser gate (plans/dcl_parse.parse_dcl — dcl_type.rs kinds +
     principal normalization, incl. 'user'@'host' specs): 9 shapes per name,
@@ -2552,6 +2594,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dedup_clean": q_substring_dedup_clean,
         "ann_ivfpq": q_ann_ivfpq,
         "ann_ivfpq_index": q_ann_ivfpq_index,
+        "ddl_split": q_ddl_split,
         # -- code changed this round (cheap signature profile) ----------------
         "minhash_incremental": q_minhash_incremental,
         # -- stalest driver rows (last green r03) re-certify this round -------
@@ -3564,6 +3607,26 @@ def oracle_sql() -> dict[str, str]:
         """,
         "heartbeat_lag": """
             SELECT epoch_ms(MAX(ts)) AS max_event_ms, COUNT(*) AS n_events FROM events
+        """,
+        "ddl_split": """
+            WITH nm AS (SELECT lower(regexp_replace(n_name, '[^A-Za-z0-9]', '_', 'g')) AS nm FROM nation),
+            s1 AS (SELECT 'DROP TABLE IF EXISTS demo.t_' || nm || ', demo.u_' || nm || ', v_' || nm AS stmt, nm FROM nm),
+            s2 AS (SELECT 'RENAME TABLE demo.t_' || nm || ' TO demo.t2_' || nm || ', u_' || nm || ' TO u2_' || nm || ';' AS stmt, nm FROM nm),
+            s3 AS (SELECT 'DROP INDEX CONCURRENTLY IF EXISTS ix1_' || nm || ', ix2_' || nm AS stmt, nm FROM nm),
+            s4 AS (SELECT 'ALTER DATABASE db_' || nm || ' CHARACTER SET utf8mb4' AS stmt, nm FROM nm),
+            s5 AS (SELECT 'ALTER TABLE demo.t_' || nm || ' SET SCHEMA arch_' || nm AS stmt, nm FROM nm),
+            s6 AS (SELECT 'ALTER TABLE demo.t_' || nm || ' ADD CONSTRAINT fk_' || nm || ' FOREIGN KEY (x) REFERENCES p(y)' AS stmt, nm FROM nm)
+            SELECT stmt, CAST(0 AS INT) AS part, 'drop_table' AS ddl_kind,
+                   CAST('demo' AS VARCHAR) AS ddl_schema, CAST('t_' || nm AS VARCHAR) AS ddl_table FROM s1
+            UNION ALL SELECT stmt, 1, 'drop_table', 'demo', 'u_' || nm FROM s1
+            UNION ALL SELECT stmt, 2, 'drop_table', NULL, 'v_' || nm FROM s1
+            UNION ALL SELECT stmt, 0, 'rename_table', 'demo', 't_' || nm FROM s2
+            UNION ALL SELECT stmt, 1, 'rename_table', NULL, 'u_' || nm FROM s2
+            UNION ALL SELECT stmt, 0, 'drop_index', NULL, NULL FROM s3
+            UNION ALL SELECT stmt, 1, 'drop_index', NULL, NULL FROM s3
+            UNION ALL SELECT stmt, 0, 'alter_database', 'db_' || nm, NULL FROM s4
+            UNION ALL SELECT stmt, 0, 'set_schema', 'demo', 't_' || nm FROM s5
+            UNION ALL SELECT stmt, 0, 'alter_table', 'demo', 't_' || nm FROM s6
         """,
         "ddl_parse": """
             WITH nm AS (SELECT lower(regexp_replace(n_name, '[^A-Za-z0-9]', '_', 'g')) AS nm FROM nation)

@@ -31,7 +31,8 @@ class DdlStatement:
 
     kind: add_column | drop_column | rename_column | truncate_table |
           rename_table | drop_table | create_table | create_index |
-          drop_index | create_database | drop_database | other
+          drop_index | create_database | drop_database | alter_database |
+          set_schema | alter_table | other
     schema/table: target identifiers when present in the text.
     args: kind-specific payload (column names, types, new names).
     """
@@ -44,16 +45,22 @@ class DdlStatement:
 
 _PATTERNS: list[tuple[str, re.Pattern]] = [
     (
+        # the lookahead keeps ADD CONSTRAINT/INDEX/KEY/... out of add_column
+        # (they fall through to the generic alter_table recognizer)
         "add_column",
         re.compile(
-            rf"^\s*ALTER\s+TABLE\s+{_QID}\s+ADD\s+(?:COLUMN\s+)?{_ID}\s+(.+?)\s*;?\s*$",
+            rf"^\s*ALTER\s+TABLE\s+{_QID}\s+ADD\s+(?:COLUMN\s+)?"
+            rf"(?!CONSTRAINT\b|INDEX\b|KEY\b|PRIMARY\b|UNIQUE\b|FOREIGN\b|CHECK\b|FULLTEXT\b|SPATIAL\b)"
+            rf"{_ID}\s+(.+?)\s*;?\s*$",
             re.IGNORECASE | re.DOTALL,
         ),
     ),
     (
         "drop_column",
         re.compile(
-            rf"^\s*ALTER\s+TABLE\s+{_QID}\s+DROP\s+(?:COLUMN\s+)?{_ID}\s*;?\s*$",
+            rf"^\s*ALTER\s+TABLE\s+{_QID}\s+DROP\s+(?:COLUMN\s+)?"
+            rf"(?!CONSTRAINT\b|INDEX\b|KEY\b|PRIMARY\b|UNIQUE\b|FOREIGN\b|CHECK\b)"
+            rf"{_ID}\s*;?\s*$",
             re.IGNORECASE,
         ),
     ),
@@ -98,7 +105,13 @@ _PATTERNS: list[tuple[str, re.Pattern]] = [
             re.IGNORECASE,
         ),
     ),
-    ("drop_index", re.compile(rf"^\s*DROP\s+INDEX\s+{_ID}(?:\s+ON\s+{_QID})?\s*;?\s*$", re.IGNORECASE)),
+    (
+        "drop_index",
+        re.compile(
+            rf"^\s*DROP\s+INDEX\s+(?:CONCURRENTLY\s+)?(?:IF\s+EXISTS\s+)?{_ID}(?:\s+ON\s+{_QID})?\s*;?\s*$",
+            re.IGNORECASE,
+        ),
+    ),
     (
         "create_database",
         re.compile(rf"^\s*CREATE\s+(?:DATABASE|SCHEMA)\s+(?:IF\s+NOT\s+EXISTS\s+)?{_ID}\s*;?\s*$", re.IGNORECASE),
@@ -106,6 +119,25 @@ _PATTERNS: list[tuple[str, re.Pattern]] = [
     (
         "drop_database",
         re.compile(rf"^\s*DROP\s+(?:DATABASE|SCHEMA)\s+(?:IF\s+EXISTS\s+)?{_ID}\s*;?\s*$", re.IGNORECASE),
+    ),
+    (
+        # ALTER DATABASE/SCHEMA name <options> (AlterDatabase/AlterSchema,
+        # ddl_statement.rs:9,13) — options ride as args, never applied here
+        "alter_database",
+        re.compile(rf"^\s*ALTER\s+(?:DATABASE|SCHEMA)\s+{_ID}\s+(.+?)\s*;?\s*$", re.IGNORECASE | re.DOTALL),
+    ),
+    (
+        # PG: ALTER TABLE s.t SET SCHEMA s2 (PgAlterTableSetSchema,
+        # ddl_statement.rs:25)
+        "set_schema",
+        re.compile(rf"^\s*ALTER\s+TABLE\s+{_QID}\s+SET\s+SCHEMA\s+{_ID}\s*;?\s*$", re.IGNORECASE),
+    ),
+    (
+        # generic ALTER TABLE fallback (MysqlAlterTable/PgAlterTable): the
+        # target table is still recognized so barrier/filter semantics see
+        # which table changed even when the operation itself isn't applied
+        "alter_table",
+        re.compile(rf"^\s*ALTER\s+TABLE\s+{_QID}\s+(.+?)\s*;?\s*$", re.IGNORECASE | re.DOTALL),
     ),
 ]
 
@@ -140,4 +172,50 @@ def parse_ddl(text: str | None) -> DdlStatement:
             return DdlStatement(kind, g[1] if len(g) > 1 else None, g[2] if len(g) > 2 else None, (g[0],))
         if kind in ("create_database", "drop_database"):
             return DdlStatement(kind, g[0], None)
+        if kind == "alter_database":
+            return DdlStatement(kind, g[0], None, (g[1].strip(),))
+        if kind == "set_schema":
+            return DdlStatement(kind, g[0], g[1], (g[2],))
+        if kind == "alter_table":
+            return DdlStatement(kind, g[0], g[1], (g[2].strip(),))
     return DdlStatement("other")
+
+
+# multi-target statements that the reference splits into singles
+# (DdlStatement::split_to_multi, ddl_statement.rs:44-90): DROP TABLE a, b;
+# RENAME TABLE a TO b, c TO d; DROP INDEX i1, i2 (PG). Identifier lists are
+# comma-split (quoted identifiers never contain commas in this vocabulary).
+_MULTI_DROP_TABLE = re.compile(
+    r"^\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?(.+,.+?)\s*;?\s*$", re.IGNORECASE | re.DOTALL
+)
+_MULTI_RENAME_TABLE = re.compile(
+    r"^\s*RENAME\s+TABLE\s+(.+\bTO\b.+,.+\bTO\b.+?)\s*;?\s*$", re.IGNORECASE | re.DOTALL
+)
+_MULTI_DROP_INDEX = re.compile(
+    r"^\s*DROP\s+INDEX\s+(?:CONCURRENTLY\s+)?(IF\s+EXISTS\s+)?([^;]+,[^;]+?)\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+
+def split_ddl(text: str | None) -> list[DdlStatement]:
+    """Parse a DDL statement, splitting multi-target forms into one
+    DdlStatement per target like the reference's ``split_to_multi`` — a
+    router/filter operates per (schema, table), so a two-table RENAME must
+    produce two routable events. Single-target text degrades to
+    ``[parse_ddl(text)]``."""
+    if not text or not text.strip():
+        return [DdlStatement("other")]
+    m = _MULTI_DROP_TABLE.match(text)
+    if m:
+        if_exists = "IF EXISTS " if m.group(1) else ""
+        return [parse_ddl(f"DROP TABLE {if_exists}{p.strip()}") for p in m.group(2).split(",")]
+    m = _MULTI_RENAME_TABLE.match(text)
+    if m:
+        return [parse_ddl(f"RENAME TABLE {p.strip()}") for p in m.group(1).split(",")]
+    m = _MULTI_DROP_INDEX.match(text)
+    if m:
+        # multi-index drop is PG syntax (no ON clause); a single-index MySQL
+        # DROP INDEX ... ON tbl never reaches here (no comma)
+        if_exists = "IF EXISTS " if m.group(1) else ""
+        return [parse_ddl(f"DROP INDEX {if_exists}{p.strip()}") for p in m.group(2).split(",")]
+    return [parse_ddl(text)]

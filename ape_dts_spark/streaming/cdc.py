@@ -283,7 +283,7 @@ class CdcPipeline:
         """
         from ape_dts_spark.model.types import spark_type_for
         from ape_dts_spark.plans.dcl_parse import parse_dcl
-        from ape_dts_spark.plans.ddl_parse import parse_ddl
+        from ape_dts_spark.plans.ddl_parse import split_ddl
 
         text = ddl_row["ddl"] or ""
         dcl = parse_dcl(text)
@@ -299,28 +299,31 @@ class CdcPipeline:
             )
             self.target._write_meta(meta)
             return
-        st = parse_ddl(text)
-        if self.rdb_filter is not None and (
-            self.rdb_filter.filter_cmd(st.kind) or self.rdb_filter.filter_ddl(st.kind)
-        ):
-            return
-        if st.kind == "add_column":
-            name, src_type = st.args
-            self.target.add_column(T.StructField(name, spark_type_for(src_type)), text)
-        elif st.kind == "drop_column":
-            self.target.drop_column(st.args[0], text)
-        elif st.kind == "rename_column":
-            self.target.rename_column(st.args[0], st.args[1], text)
-        elif st.kind == "truncate_table":
-            self.target.truncate(text)
-        elif st.kind == "rename_table":
-            self.target.rename_table(st.args[1], text)
-        elif st.kind == "drop_table":
-            self.target.mark_dropped(text)
-        else:
-            meta = self.target._read_meta()
-            meta.setdefault("ddl_log", []).append({"ddl": text, "op": st.kind})
-            self.target._write_meta(meta)
+        # multi-target statements (DROP TABLE a, b / RENAME TABLE .. , ..)
+        # split into one routable statement per target, like the reference's
+        # split_to_multi — each part filters and applies independently
+        for st in split_ddl(text):
+            if self.rdb_filter is not None and (
+                self.rdb_filter.filter_cmd(st.kind) or self.rdb_filter.filter_ddl(st.kind)
+            ):
+                continue
+            if st.kind == "add_column":
+                name, src_type = st.args
+                self.target.add_column(T.StructField(name, spark_type_for(src_type)), text)
+            elif st.kind == "drop_column":
+                self.target.drop_column(st.args[0], text)
+            elif st.kind == "rename_column":
+                self.target.rename_column(st.args[0], st.args[1], text)
+            elif st.kind == "truncate_table":
+                self.target.truncate(text)
+            elif st.kind == "rename_table":
+                self.target.rename_table(st.args[1], text)
+            elif st.kind == "drop_table":
+                self.target.mark_dropped(text)
+            else:
+                meta = self.target._read_meta()
+                meta.setdefault("ddl_log", []).append({"ddl": text, "op": st.kind})
+                self.target._write_meta(meta)
 
     def apply_batch(self, batch: DataFrame, batch_id: int) -> None:
         """foreachBatch body: compact the micro-batch and merge-apply it.

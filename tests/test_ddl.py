@@ -54,8 +54,49 @@ def test_parse_ddl_statement_kinds():
     assert parse_ddl("DROP INDEX idx ON users").kind == "drop_index"
     assert parse_ddl("CREATE DATABASE d2").kind == "create_database"
     assert parse_ddl("GRANT SELECT ON t TO x").kind == "other"
-    # DROP PRIMARY KEY must not parse as a column drop
-    assert parse_ddl("ALTER TABLE users DROP PRIMARY KEY").kind == "other"
+    # DROP PRIMARY KEY must not parse as a column drop — the generic
+    # alter_table recognizer still identifies the affected table
+    st = parse_ddl("ALTER TABLE users DROP PRIMARY KEY")
+    assert st.kind == "alter_table" and st.table == "users"
+
+
+def test_parse_ddl_extended_kinds():
+    """Round-6 breadth: ALTER DATABASE/SCHEMA, PG SET SCHEMA, the generic
+    alter_table fallback (constraint/index/modify ops keep their target
+    table for barrier + filter semantics), and rename-index NOT misparsed
+    as a column rename."""
+    st = parse_ddl("ALTER DATABASE db1 CHARACTER SET utf8mb4")
+    assert st.kind == "alter_database" and st.schema == "db1"
+    assert parse_ddl("ALTER SCHEMA s1 OWNER TO bob;").kind == "alter_database"
+    st = parse_ddl("ALTER TABLE app.users SET SCHEMA archive")
+    assert (st.kind, st.schema, st.table, st.args) == ("set_schema", "app", "users", ("archive",))
+    st = parse_ddl("ALTER TABLE app.users ADD CONSTRAINT fk FOREIGN KEY (x) REFERENCES t(y)")
+    assert (st.kind, st.schema, st.table) == ("alter_table", "app", "users")
+    assert parse_ddl("ALTER TABLE users MODIFY COLUMN x BIGINT").kind == "alter_table"
+    assert parse_ddl("ALTER TABLE users RENAME INDEX a TO b").kind == "alter_table"
+
+
+def test_split_ddl_multi_targets():
+    """split_to_multi parity (ddl_statement.rs:44-90): multi-table DROP /
+    RENAME and PG multi-index DROP split into one routable statement per
+    target; single-target text degrades to [parse_ddl(text)]."""
+    from ape_dts_spark.plans.ddl_parse import split_ddl
+
+    multi = split_ddl("DROP TABLE IF EXISTS db.a, db.b, c")
+    assert [(s.kind, s.schema, s.table) for s in multi] == [
+        ("drop_table", "db", "a"), ("drop_table", "db", "b"), ("drop_table", None, "c"),
+    ]
+    ren = split_ddl("RENAME TABLE db.a TO db.b, c TO d;")
+    assert [(s.kind, s.schema, s.table, s.args) for s in ren] == [
+        ("rename_table", "db", "a", ("db", "b")),
+        ("rename_table", None, "c", (None, "d")),
+    ]
+    ix = split_ddl("DROP INDEX CONCURRENTLY IF EXISTS i1, i2")
+    assert [(s.kind, s.args) for s in ix] == [("drop_index", ("i1",)), ("drop_index", ("i2",))]
+    assert len(split_ddl("DROP TABLE db.only")) == 1
+    one = split_ddl("DROP INDEX idx ON demo.t")[0]
+    assert one.kind == "drop_index" and one.table == "t"
+    assert split_ddl(None)[0].kind == "other"
 
 
 def _apply(spark, src_dir, table, events, payload, batch_id):
