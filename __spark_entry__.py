@@ -2207,6 +2207,20 @@ def q_substring_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_substring_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring decontamination (Lee et al. 2022): maximal spans of
+    train documents (doc_id % 7 != 0) whose every 16-token window appears
+    verbatim in the eval slice (doc_id % 7 = 0) — benchmark leakage at
+    substring granularity next to contamination's bag-of-8-grams check.
+    Oracle groups windows by raw text (dd.substring_contamination_sql)."""
+    d = demo.load(spark, sf_dir, "documents")
+    return dd.substring_contamination_spans(
+        d.filter(F.col("doc_id") % 7 != 0),
+        d.filter(F.col("doc_id") % 7 == 0),
+        "doc_id", "text", min_tokens=16,
+    )
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (cluster-then-dedup) planted-twin gate: corpus = embeddings
     plus exact copies of every 50th vector (ids +100000). Identical vectors
@@ -2595,6 +2609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivfpq": q_ann_ivfpq,
         "ann_ivfpq_index": q_ann_ivfpq_index,
         "ddl_split": q_ddl_split,
+        "substring_contamination": q_substring_contamination,
         # -- code changed this round (cheap signature profile) ----------------
         "minhash_incremental": q_minhash_incremental,
         # -- stalest driver rows (last green r03) re-certify this round -------
@@ -3964,6 +3979,9 @@ def oracle_sql() -> dict[str, str]:
         "span_dedup": dd.span_dedup_sql("documents", "doc_id", "text", 16),
         "substring_dedup": dd.dup_spans_sql("documents", "doc_id", "text", 16),
         "substring_dedup_clean": dd.remove_dup_spans_sql("documents", "doc_id", "text", 16),
+        "substring_contamination": dd.substring_contamination_sql(
+            "documents", "doc_id % 7 <> 0", "doc_id % 7 = 0", "doc_id", "text", 16
+        ),
         # planted-twin ground truth (see q_semantic_dedup): twins collapse to
         # their original, everything else keeps itself
         "semantic_dedup": """

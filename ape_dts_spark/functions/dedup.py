@@ -224,6 +224,20 @@ def dup_spans(
     span_tokens) with token-index half-open spans, span_tokens >= min_tokens.
     """
     n = min_tokens
+    grams = _gram_relation(df, id_col, text_col, n)
+    dup_keys = (
+        grams.groupBy("g1", "g2")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= 2)
+        .select("g1", "g2")
+    )
+    seeds = grams.join(dup_keys, ["g1", "g2"]).select("_id", "pos")
+    return _merge_islands(seeds, n, id_col)
+
+
+def _gram_relation(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(_id, pos, g1, g2): each token position's n-window under the two
+    31/37 polynomial hash families (see dup_spans)."""
     hashed = (
         df.select(F.col(id_col).alias("_id"), F.expr(tokens_expr(text_col)).alias("_toks"))
         .filter(F.size("_toks") >= n)
@@ -233,7 +247,7 @@ def dup_spans(
             F.expr(_token_hash_arr("_toks", 37)).alias("_h2"),
         )
     )
-    grams = hashed.select(
+    return hashed.select(
         "_id",
         F.posexplode(
             F.expr(
@@ -242,13 +256,12 @@ def dup_spans(
             )
         ).alias("pos", "_g"),
     ).select("_id", "pos", F.col("_g.g1").alias("g1"), F.col("_g.g2").alias("g2"))
-    dup_keys = (
-        grams.groupBy("g1", "g2")
-        .agg(F.count(F.lit(1)).alias("_c"))
-        .filter(F.col("_c") >= 2)
-        .select("g1", "g2")
-    )
-    seeds = grams.join(dup_keys, ["g1", "g2"]).select("_id", "pos")
+
+
+def _merge_islands(seeds: DataFrame, n: int, id_col: str) -> DataFrame:
+    """Per-doc gaps-and-islands merge of covered windows [pos, pos+n) into
+    maximal spans. Input: (_id, pos); output (id, span_start, span_end,
+    span_tokens)."""
     w_prev = Window.partitionBy("_id").orderBy("pos").rowsBetween(Window.unboundedPreceding, -1)
     w_run = Window.partitionBy("_id").orderBy("pos").rowsBetween(Window.unboundedPreceding, 0)
     islands = (
@@ -269,6 +282,75 @@ def dup_spans(
             (F.col("_e") - F.col("_s")).cast("long").alias("span_tokens"),
         )
     )
+
+
+def substring_contamination_spans(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 16,
+) -> DataFrame:
+    """Exact-substring DECONTAMINATION (the other use Lee et al. 2022 put
+    the machinery to): maximal spans in TRAIN documents every one of whose
+    ``min_tokens``-token windows appears verbatim somewhere in the EVAL
+    set — i.e. train text that leaks benchmark content, found at substring
+    granularity instead of ngram_overlap's bag-of-8-grams heuristic.
+
+    Scale shape mirrors dup_spans: the eval side reduces to its DISTINCT
+    window-hash-pair set (benchmark suites are tiny next to a training
+    corpus, so this relation broadcasts), one equi-join marks contaminated
+    train positions, one doc-keyed window merges islands. Output:
+    (id, span_start, span_end, span_tokens) on the train side; feed to the
+    same removal policy as remove_dup_spans or drop the documents.
+    """
+    n = min_tokens
+    tg = _gram_relation(train, id_col, text_col, n)
+    eg = _gram_relation(eval_df, id_col, text_col, n).select("g1", "g2").distinct()
+    seeds = tg.join(eg, ["g1", "g2"]).select("_id", "pos")
+    return _merge_islands(seeds, n, id_col)
+
+
+def substring_contamination_sql(
+    table: str = "documents",
+    train_cond: str = "doc_id % 7 <> 0",
+    eval_cond: str = "doc_id % 7 = 0",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 16,
+) -> str:
+    """DuckDB oracle of substring_contamination_spans — raw-text window
+    grouping (same independence argument as dup_spans_sql)."""
+    from ape_dts_spark.functions.text import tokens_sql
+
+    n = min_tokens
+    return f"""
+WITH toks AS (SELECT {id_col} AS id, {tokens_sql(text_col)} AS t FROM {table}),
+g AS (
+  SELECT id, CAST(i AS BIGINT) AS pos, array_to_string(t[(i + 1):(i + {n})], ' ') AS gram
+  FROM toks, LATERAL unnest(range(0, len(t) - {n} + 1)) AS u(i)
+  WHERE len(t) >= {n}),
+eg AS (SELECT DISTINCT gram FROM g WHERE id {_cond_sql(eval_cond, id_col)}),
+seeds AS (SELECT g.id, g.pos FROM g JOIN eg USING (gram)
+          WHERE g.id {_cond_sql(train_cond, id_col)}),
+o AS (SELECT id, pos, MAX(pos + {n}) OVER (PARTITION BY id ORDER BY pos
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end FROM seeds),
+b AS (SELECT *, CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0 END AS brk FROM o),
+grp AS (SELECT *, SUM(brk) OVER (PARTITION BY id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS gid FROM b)
+SELECT id AS {id_col}, CAST(MIN(pos) AS BIGINT) AS span_start,
+       CAST(MAX(pos) + {n} AS BIGINT) AS span_end,
+       CAST(MAX(pos) + {n} - MIN(pos) AS BIGINT) AS span_tokens
+FROM grp GROUP BY id, gid
+"""
+
+
+def _cond_sql(cond: str, id_col: str) -> str:
+    """Rewrite a '<id_col> <op> ...' condition to apply to the aliased id
+    column of the gram CTE (conditions are '{id_col} % k ...' shapes)."""
+    stripped = cond.strip()
+    if stripped.startswith(id_col):
+        return stripped[len(id_col):].strip()
+    raise ValueError(f"condition must start with {id_col!r}: {cond!r}")
 
 
 def dup_spans_sql(

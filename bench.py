@@ -106,6 +106,7 @@ BENCH_QUERIES = [
     "span_dedup",
     "substring_dedup",
     "substring_dedup_clean",
+    "substring_contamination",
     "semantic_dedup",
     "multimodal_meta",
     "multimodal_decode",

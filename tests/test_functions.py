@@ -798,3 +798,28 @@ def test_dup_spans_planted_substrings(spark):
     assert clean[3]["clean_text"] == "mid0"
     assert clean[3]["n_removed"] == 32
     assert clean[4]["n_removed"] == 0
+
+
+def test_substring_contamination_planted_leak(spark):
+    """A train doc embedding a 20-token run copied from an eval doc is
+    flagged with the exact span; train-train duplication alone is NOT
+    contamination; eval docs themselves are never reported."""
+    leak = " ".join(f"bench{i}" for i in range(20))
+    traindup = " ".join(f"tt{i}" for i in range(16))
+    train = spark.createDataFrame(
+        [
+            (1, " ".join(f"pre{i}" for i in range(5)) + " " + leak),
+            (2, traindup),
+            (3, traindup),
+            (4, " ".join(f"clean{i}" for i in range(30))),
+        ],
+        "doc_id long, text string",
+    )
+    eval_df = spark.createDataFrame(
+        [(100, f"{leak} trailing tokens here")], "doc_id long, text string"
+    )
+    spans = {
+        r["doc_id"]: (r["span_start"], r["span_end"])
+        for r in dd.substring_contamination_spans(train, eval_df, min_tokens=16).collect()
+    }
+    assert spans == {1: (5, 25)}
