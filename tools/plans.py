@@ -66,6 +66,10 @@ AUDITED = [
     # round 6
     "substring_dedup",    # dup-key broadcast onto grams + one doc window
     "substring_dedup_clean",  # spans per doc joined back, pure projection
+    "substring_contamination",  # eval window-set broadcast join + island merge
+    "ann_ivfpq",          # Arrow residual-ADC scan, corpus never shuffles
+    "ann_ivfpq_index",    # cell-pruned codes scan + broadcast survivor re-rank
+    "ddl_split",          # Arrow parser kernel, per-target explode
 ]
 
 # queries whose plan legitimately contains a BroadcastNestedLoopJoin: the
