@@ -258,3 +258,85 @@ def test_avro_jvm_core_parity(spark):
         writer.write(rec, enc)
         enc.flush()
         assert bytes(baos.toByteArray()) == bytes(out["value"])
+
+
+def test_avro_jvm_parity_random_payloads(spark):
+    """Hypothesis sweep of the JVM parity property: random envelopes
+    (unicode strings, int64 extremes, signed-zero/denormal doubles,
+    empty/odd bytes, NULL fields and NULL images) encoded by the Python
+    codec must parse with the canonical Apache Avro reader AND re-serialize
+    byte-identically through its writer."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from ape_dts_spark.sinks.avro_codec import _encode_row, envelope_avro_schema_json
+
+    payload = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("score", T.DoubleType()),
+            T.StructField("flag", T.BooleanType()),
+            T.StructField("blob", T.BinaryType()),
+        ]
+    )
+    fields = [("id", "long"), ("name", "string"), ("score", "double"),
+              ("flag", "boolean"), ("blob", "bytes")]
+    jvm = spark._jvm
+    schema = jvm.org.apache.avro.Schema.Parser().parse(envelope_avro_schema_json(payload))
+    reader = jvm.org.apache.avro.generic.GenericDatumReader(schema)
+    writer = jvm.org.apache.avro.generic.GenericDatumWriter(schema)
+    decoder_f = jvm.org.apache.avro.io.DecoderFactory.get()
+    encoder_f = jvm.org.apache.avro.io.EncoderFactory.get()
+
+    img = st.none() | st.fixed_dictionaries(
+        {
+            "id": st.none() | st.integers(-(2**63), 2**63 - 1),
+            "name": st.none() | st.text(max_size=12),
+            "score": st.none()
+            | st.floats(allow_nan=False, allow_infinity=True, width=64),
+            "flag": st.none() | st.booleans(),
+            "blob": st.none() | st.binary(max_size=8),
+        }
+    )
+    env = st.fixed_dictionaries(
+        {
+            "schema": st.text(max_size=6),
+            "tb": st.text(max_size=6),
+            "row_type": st.sampled_from(["insert", "update", "delete"]),
+            "before": img,
+            "after": img,
+            "seq": st.integers(0, 2**40),
+            "ts_us": st.none() | st.integers(-(2**50), 2**50),
+            "origin_node": st.none() | st.text(max_size=6),
+            "ddl": st.none() | st.text(max_size=20),
+        }
+    )
+
+    @settings(max_examples=40, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(env)
+    def prop(row):
+        by = _encode_row(row, fields)
+        rec = reader.read(None, decoder_f.binaryDecoder(by, None))
+        assert str(rec.get("schema")) == row["schema"]
+        assert rec.get("seq") == row["seq"]
+        for image in ("before", "after"):
+            jimg, oimg = rec.get(image), row[image]
+            if oimg is None:
+                assert jimg is None
+                continue
+            assert jimg.get("id") == oimg["id"]
+            jn = jimg.get("name")
+            assert (None if jn is None else str(jn)) == oimg["name"]
+            js = jimg.get("score")
+            assert js == oimg["score"] or (js == 0.0 and oimg["score"] == 0.0)
+            assert jimg.get("flag") == oimg["flag"]
+            jb = jimg.get("blob")
+            assert (None if jb is None else bytes(jb.array())) == oimg["blob"]
+        baos = jvm.java.io.ByteArrayOutputStream()
+        enc = encoder_f.binaryEncoder(baos, None)
+        writer.write(rec, enc)
+        enc.flush()
+        assert bytes(baos.toByteArray()) == by
+
+    prop()
