@@ -29,10 +29,10 @@ def _clean(s: str | None) -> str | None:
 class DdlStatement:
     """One recognized DDL statement.
 
-    kind: add_column | drop_column | rename_column | truncate_table |
-          rename_table | drop_table | create_table | create_index |
-          drop_index | create_database | drop_database | alter_database |
-          set_schema | alter_table | other
+    kind: add_column | drop_column | rename_column | modify_column |
+          truncate_table | rename_table | drop_table | create_table |
+          create_index | drop_index | create_database | drop_database |
+          alter_database | set_schema | alter_table | other
     schema/table: target identifiers when present in the text.
     args: kind-specific payload (column names, types, new names).
     """
@@ -72,10 +72,27 @@ _PATTERNS: list[tuple[str, re.Pattern]] = [
         ),
     ),
     (
-        # MySQL CHANGE COLUMN old new type — rename + (ignored here) retype
+        # MySQL CHANGE COLUMN old new type — rename+retype; parse_ddl
+        # normalizes the same-name case to modify_column (pure retype)
         "rename_column",
         re.compile(
-            rf"^\s*ALTER\s+TABLE\s+{_QID}\s+CHANGE\s+(?:COLUMN\s+)?{_ID}\s+{_ID}\s+.+?;?\s*$",
+            rf"^\s*ALTER\s+TABLE\s+{_QID}\s+CHANGE\s+(?:COLUMN\s+)?{_ID}\s+{_ID}\s+(.+?)\s*;?\s*$",
+            re.IGNORECASE | re.DOTALL,
+        ),
+    ),
+    (
+        # MySQL MODIFY [COLUMN] name type — in-place retype
+        "modify_column",
+        re.compile(
+            rf"^\s*ALTER\s+TABLE\s+{_QID}\s+MODIFY\s+(?:COLUMN\s+)?{_ID}\s+(.+?)\s*;?\s*$",
+            re.IGNORECASE | re.DOTALL,
+        ),
+    ),
+    (
+        # PG ALTER COLUMN name TYPE type [USING ...]
+        "modify_column",
+        re.compile(
+            rf"^\s*ALTER\s+TABLE\s+{_QID}\s+ALTER\s+(?:COLUMN\s+)?{_ID}\s+(?:SET\s+DATA\s+)?TYPE\s+(.+?)(?:\s+USING\s+.+)?\s*;?\s*$",
             re.IGNORECASE | re.DOTALL,
         ),
     ),
@@ -156,7 +173,12 @@ def parse_ddl(text: str | None) -> DdlStatement:
         if kind == "drop_column":
             return DdlStatement(kind, g[0], g[1], (g[2],))
         if kind == "rename_column":
+            if len(g) == 5 and g[2] == g[3]:
+                # MySQL CHANGE a a BIGINT: same-name CHANGE is a pure retype
+                return DdlStatement("modify_column", g[0], g[1], (g[2], g[4].strip()))
             return DdlStatement(kind, g[0], g[1], (g[2], g[3]))
+        if kind == "modify_column":
+            return DdlStatement(kind, g[0], g[1], (g[2], g[3].strip()))
         if kind == "rename_table":
             # groups: old(schema,name) twice (alternation) + new(schema,name)
             old = [x for x in g[:-2] if x is not None]

@@ -30,6 +30,33 @@ from pyspark.sql import types as T
 
 from ape_dts_spark.model.changes import ROW_TYPE_DELETE
 
+# integral widening chain for _can_widen (byte < short < int < long)
+_INTEGRAL_ORDER = [T.ByteType(), T.ShortType(), T.IntegerType(), T.LongType()]
+
+
+def _can_widen(old: T.DataType, new: T.DataType) -> bool:
+    """True iff old -> new loses no values: integral up-chain, float->double,
+    byte/short/int -> double (exact in an IEEE double), decimal growth with
+    scale and integer-digit headroom, integral -> wide-enough decimal, and
+    any primitive -> string."""
+    if isinstance(new, T.StringType):
+        return not isinstance(old, (T.ArrayType, T.MapType, T.StructType))
+    if old in _INTEGRAL_ORDER and new in _INTEGRAL_ORDER:
+        return _INTEGRAL_ORDER.index(old) < _INTEGRAL_ORDER.index(new)
+    if isinstance(old, T.FloatType) and isinstance(new, T.DoubleType):
+        return True
+    if old in _INTEGRAL_ORDER[:3] and isinstance(new, T.DoubleType):
+        return True  # byte/short/int fit a double exactly; long does not
+    if isinstance(new, T.DecimalType):
+        digits = {T.ByteType(): 3, T.ShortType(): 5, T.IntegerType(): 10, T.LongType(): 20}
+        if old in _INTEGRAL_ORDER:
+            return new.precision - new.scale >= digits[old]
+        if isinstance(old, T.DecimalType):
+            return new.scale >= old.scale and (
+                new.precision - new.scale >= old.precision - old.scale
+            )
+    return False
+
 
 class ParquetTable:
     """A versioned parquet table supporting idempotent merge-apply commits."""
@@ -125,6 +152,61 @@ class ParquetTable:
         meta["committed_at"] = time.time()
         meta.setdefault("ddl_log", []).append(
             {"ddl": ddl_text, "op": "rename_column", "column": old, "to": new}
+        )
+        self._write_meta(meta)
+
+    def widen_column(self, name: str, new_type: T.DataType, ddl_text: str = "") -> None:
+        """Schema evolution: MODIFY/ALTER COLUMN TYPE, applied only for SAFE
+        WIDENINGS (the transitions MySQL replication commonly ships:
+        integral up the byte<short<int<long chain, float->double, exact
+        integral->double, decimal precision/scale growth with no integer-
+        digit loss, any primitive -> string). A narrowing or non-widening
+        request is NOT applied — it is recorded in the meta ddl_log with a
+        ``refused`` marker (the stream must not crash, and silently
+        corrupting data would be worse), matching how the reference's sinker
+        surfaces a failed target ALTER. Widening rewrites the current
+        version with a cast (parquet has no type mapping; on Delta this is
+        the typeWidening table feature instead)."""
+        fields = {f.name: f for f in self.payload_schema.fields}
+        if name not in fields:
+            return
+        old_type = fields[name].dataType
+        meta = self._read_meta()
+        if old_type == new_type:
+            meta.setdefault("ddl_log", []).append(
+                {"ddl": ddl_text, "op": "modify_column", "column": name, "noop": True}
+            )
+            self._write_meta(meta)
+            return
+        if not _can_widen(old_type, new_type):
+            meta.setdefault("ddl_log", []).append(
+                {
+                    "ddl": ddl_text,
+                    "op": "modify_column",
+                    "column": name,
+                    "refused": f"{old_type.simpleString()} -> {new_type.simpleString()} is not a safe widening",
+                }
+            )
+            self._write_meta(meta)
+            return
+        widened = self.current().withColumn(name, F.col(name).cast(new_type))
+        self.payload_schema = T.StructType(
+            [
+                T.StructField(f.name, new_type if f.name == name else f.dataType, f.nullable)
+                for f in self.payload_schema.fields
+            ]
+        )
+        version = meta["version"] + 1
+        widened.write.mode("overwrite").parquet(os.path.join(self.path, f"v{version}"))
+        meta["version"] = version
+        meta["committed_at"] = time.time()
+        meta.setdefault("ddl_log", []).append(
+            {
+                "ddl": ddl_text,
+                "op": "modify_column",
+                "column": name,
+                "to": new_type.simpleString(),
+            }
         )
         self._write_meta(meta)
 

@@ -314,6 +314,9 @@ class CdcPipeline:
                 self.target.drop_column(st.args[0], text)
             elif st.kind == "rename_column":
                 self.target.rename_column(st.args[0], st.args[1], text)
+            elif st.kind == "modify_column":
+                name, src_type = st.args
+                self.target.widen_column(name, spark_type_for(src_type), text)
             elif st.kind == "truncate_table":
                 self.target.truncate(text)
             elif st.kind == "rename_table":

@@ -72,7 +72,7 @@ def test_parse_ddl_extended_kinds():
     assert (st.kind, st.schema, st.table, st.args) == ("set_schema", "app", "users", ("archive",))
     st = parse_ddl("ALTER TABLE app.users ADD CONSTRAINT fk FOREIGN KEY (x) REFERENCES t(y)")
     assert (st.kind, st.schema, st.table) == ("alter_table", "app", "users")
-    assert parse_ddl("ALTER TABLE users MODIFY COLUMN x BIGINT").kind == "alter_table"
+    assert parse_ddl("ALTER TABLE users MODIFY COLUMN x BIGINT").kind == "modify_column"
     assert parse_ddl("ALTER TABLE users RENAME INDEX a TO b").kind == "alter_table"
 
 
@@ -220,3 +220,73 @@ def test_rdb_filter_ddl_dcl_semantics():
     assert sel.filter_cmd("flush") and not sel.filter_cmd("select")
     st = RdbFilter(do_structures="table,index")
     assert not st.filter_structure("index") and st.filter_structure("sequence")
+
+
+def test_modify_column_widening_in_stream(spark, tmp_path):
+    """MODIFY COLUMN applies safe type widenings to the target (long ->
+    decimal(20,0) here), records them in the ddl_log, and REFUSES a
+    narrowing (logged with a refused marker, schema and data untouched) —
+    the stream never crashes and never silently corrupts."""
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    table = ParquetTable(spark, str(tmp_path / "tgt"), PAYLOAD)
+
+    _apply(spark, src, table, [
+        ev("c", after={"id": 1, "name": "a", "bal": 10}, seq=1),
+        ev("c", after={"id": 2, "name": "b", "bal": 20}, seq=2),
+        ddl("ALTER TABLE default.users MODIFY COLUMN bal DECIMAL(20,0)", seq=3),
+    ], PAYLOAD, batch_id=0)
+    bal_t = {f.name: f.dataType for f in table.payload_schema.fields}["bal"]
+    assert bal_t == T.DecimalType(20, 0)
+    assert {r["id"]: int(r["bal"]) for r in table.current().collect()} == {1: 10, 2: 20}
+
+    # narrowing refused: decimal(20,0) -> int is lossy
+    table.widen_column("bal", T.IntegerType(), "ALTER TABLE users MODIFY bal INT")
+    assert {f.name: f.dataType for f in table.payload_schema.fields}["bal"] == T.DecimalType(20, 0)
+    log = table._read_meta()["ddl_log"]
+    assert any(e.get("refused") for e in log if e.get("op") == "modify_column")
+    assert any(e.get("to") == "decimal(20,0)" for e in log if e.get("op") == "modify_column")
+
+
+def test_modify_column_parse_shapes():
+    """MODIFY/CHANGE-retype/PG ALTER TYPE all normalize to modify_column
+    with (name, type) args; CHANGE with a different name stays a rename."""
+    st = parse_ddl("ALTER TABLE db.t MODIFY COLUMN x BIGINT")
+    assert (st.kind, st.schema, st.table, st.args) == ("modify_column", "db", "t", ("x", "BIGINT"))
+    st = parse_ddl("ALTER TABLE t CHANGE COLUMN x x DECIMAL(20,0)")
+    assert (st.kind, st.args) == ("modify_column", ("x", "DECIMAL(20,0)"))
+    st = parse_ddl("ALTER TABLE t CHANGE COLUMN x y BIGINT")
+    assert (st.kind, st.args) == ("rename_column", ("x", "y"))
+    st = parse_ddl("ALTER TABLE s.t ALTER COLUMN x SET DATA TYPE numeric(12,2)")
+    assert (st.kind, st.args) == ("modify_column", ("x", "numeric(12,2)"))
+    st = parse_ddl("ALTER TABLE s.t ALTER COLUMN x TYPE bigint USING x::bigint")
+    assert (st.kind, st.args) == ("modify_column", ("x", "bigint"))
+
+
+def test_can_widen_matrix():
+    from ape_dts_spark.sinks.parquet_table import _can_widen
+
+    ok = [
+        (T.IntegerType(), T.LongType()),
+        (T.ByteType(), T.ShortType()),
+        (T.FloatType(), T.DoubleType()),
+        (T.IntegerType(), T.DoubleType()),
+        (T.LongType(), T.DecimalType(20, 0)),
+        (T.DecimalType(10, 2), T.DecimalType(12, 2)),
+        (T.DecimalType(10, 2), T.DecimalType(14, 4)),
+        (T.LongType(), T.StringType()),
+        (T.DecimalType(10, 2), T.StringType()),
+    ]
+    bad = [
+        (T.LongType(), T.IntegerType()),
+        (T.DoubleType(), T.FloatType()),
+        (T.LongType(), T.DoubleType()),        # 2^63 does not fit a double
+        (T.LongType(), T.DecimalType(19, 0)),  # 19 digits < max long
+        (T.DecimalType(10, 2), T.DecimalType(10, 4)),  # integer digits shrink
+        (T.DecimalType(10, 2), T.DecimalType(9, 2)),
+        (T.StringType(), T.LongType()),
+    ]
+    for old, new in ok:
+        assert _can_widen(old, new), (old, new)
+    for old, new in bad:
+        assert not _can_widen(old, new), (old, new)
