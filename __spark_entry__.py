@@ -1347,6 +1347,43 @@ def q_struct_check_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "tb string, object string, kind string, detail string")
 
 
+def q_struct_revise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct REVISE gate (plans/struct_migration.struct_revise_plan — the
+    struct-side analogue of data check -> revise; the reference stops at
+    struct CHECK): every table's drifted twin (same derivation as
+    struct_check_report) gets a corrective DDL plan in MySQL and PG
+    dialects — ADD COLUMN for the dropped column, a dialect retype for the
+    string-drifted column, DROP COLUMN for the extra. The oracle constructs
+    every expected statement from DuckDB's information_schema and the same
+    dialect type mapping, so a wrong statement, order, type or quoting
+    diverges."""
+    from pyspark.sql import types as T
+
+    from ape_dts_spark.plans.struct_migration import TableDef, struct_revise_plan
+
+    rows = []
+    for tb in [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]:
+        src = TableDef.from_dataframe(demo.load(spark, sf_dir, tb), "default", tb)
+        fields = list(src.columns.fields)
+        drifted = [f for i, f in enumerate(fields) if i != 1]
+        if len(fields) >= 3:
+            drifted = [
+                T.StructField(f.name, T.StringType(), f.nullable)
+                if f.name == fields[2].name
+                else f
+                for f in drifted
+            ]
+        drifted.append(T.StructField("_drift_extra", T.StringType(), True))
+        dst = TableDef(schema="default", tb=tb, columns=T.StructType(drifted))
+        for dialect in ("mysql", "pg"):
+            for i, stmt in enumerate(struct_revise_plan(src, dst, dialect)):
+                rows.append((tb, dialect, i, stmt))
+    return spark.createDataFrame(rows, "tb string, dialect string, part int, stmt string")
+
+
 def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Foxlake ORC sink/source path (foxlake_sinker.rs pushes ORC objects;
     task.py rides native spark.read/write.orc): a filtered lineitem slice is
@@ -2611,6 +2648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivfpq_index": q_ann_ivfpq_index,
         "ddl_split": q_ddl_split,
         "substring_contamination": q_substring_contamination,
+        "struct_revise": q_struct_revise,
         # -- code changed this round (cheap signature profile) ----------------
         "minhash_incremental": q_minhash_incremental,
         # -- stalest driver rows (last green r03) re-certify this round -------
@@ -3623,6 +3661,52 @@ def oracle_sql() -> dict[str, str]:
         """,
         "heartbeat_lag": """
             SELECT epoch_ms(MAX(ts)) AS max_event_ms, COUNT(*) AS n_events FROM events
+        """,
+        "struct_revise": """
+            WITH cols AS (
+              SELECT table_name AS tb, ordinal_position AS pos, column_name AS name, data_type AS dt
+              FROM information_schema.columns
+              WHERE table_name IN ('region','nation','customer','supplier','part',
+                                   'orders','lineitem','events','documents','embeddings')),
+            typed AS (
+              SELECT tb, pos, name, dt,
+                CASE WHEN dt = 'VARCHAR' THEN 'TEXT'
+                     WHEN dt = 'INTEGER' THEN 'INT'
+                     WHEN dt = 'TIMESTAMP' THEN 'DATETIME(6)'
+                     WHEN dt = 'FLOAT[]' THEN 'JSON'
+                     ELSE dt END AS my_t,
+                CASE WHEN dt = 'VARCHAR' THEN 'TEXT'
+                     WHEN dt = 'DOUBLE' THEN 'DOUBLE PRECISION'
+                     WHEN dt = 'FLOAT[]' THEN 'JSONB'
+                     ELSE dt END AS pg_t
+              FROM cols),
+            c2 AS (SELECT * FROM typed WHERE pos = 2),
+            c3 AS (SELECT * FROM typed WHERE pos = 3)
+            SELECT c2.tb, 'mysql' AS dialect, CAST(0 AS INT) AS part,
+                   'ALTER TABLE `default`.`' || c2.tb || '` ADD COLUMN `' || c2.name || '` ' || c2.my_t AS stmt
+            FROM c2
+            UNION ALL
+            SELECT tb, 'mysql', 1,
+                   'ALTER TABLE `default`.`' || tb || '` MODIFY COLUMN `' || name || '` ' || my_t
+            FROM c3 WHERE dt <> 'VARCHAR'
+            UNION ALL
+            SELECT c2.tb, 'mysql',
+                   CASE WHEN c3.tb IS NOT NULL AND c3.dt <> 'VARCHAR' THEN 2 ELSE 1 END,
+                   'ALTER TABLE `default`.`' || c2.tb || '` DROP COLUMN `_drift_extra`'
+            FROM c2 LEFT JOIN c3 ON c2.tb = c3.tb
+            UNION ALL
+            SELECT c2.tb, 'pg', 0,
+                   'ALTER TABLE "default"."' || c2.tb || '" ADD COLUMN "' || c2.name || '" ' || c2.pg_t
+            FROM c2
+            UNION ALL
+            SELECT tb, 'pg', 1,
+                   'ALTER TABLE "default"."' || tb || '" ALTER COLUMN "' || name || '" TYPE ' || pg_t
+            FROM c3 WHERE dt <> 'VARCHAR'
+            UNION ALL
+            SELECT c2.tb, 'pg',
+                   CASE WHEN c3.tb IS NOT NULL AND c3.dt <> 'VARCHAR' THEN 2 ELSE 1 END,
+                   'ALTER TABLE "default"."' || c2.tb || '" DROP COLUMN "_drift_extra"'
+            FROM c2 LEFT JOIN c3 ON c2.tb = c3.tb
         """,
         "ddl_split": """
             WITH nm AS (SELECT lower(regexp_replace(n_name, '[^A-Za-z0-9]', '_', 'g')) AS nm FROM nation),

@@ -591,3 +591,81 @@ def struct_check(src: TableDef, dst: TableDef) -> list[dict]:
         if name not in src_ix:
             issues.append({"object": name, "kind": "extra_index", "detail": f"{dst_ix[name].columns}"})
     return issues
+
+
+def _revise_col_type(dt, dialect: str) -> str:
+    if dialect == "mysql":
+        return _mysql_type(dt, False)
+    if dialect == "pg":
+        return _pg_type(dt, False)
+    if dialect == "sparksql":
+        return _sparksql_type(dt)
+    if dialect == "clickhouse":
+        return _clickhouse_type(dt, True)
+    return _starrocks_type(dt, False)
+
+
+def struct_revise_plan(src: TableDef, dst: TableDef, dialect: str) -> list[str]:
+    """Corrective DDL bringing a drifted TARGET back to the SOURCE
+    structure — the struct-side analogue of the data path's check -> revise
+    loop (the reference stops at struct CHECK, struct_checker.rs; revise
+    completes it the way data check -> revise already does).
+
+    One statement per struct_check discrepancy, in report order:
+    missing column -> ADD COLUMN; extra column -> DROP COLUMN; type drift ->
+    dialect retype (MySQL/ClickHouse/StarRocks MODIFY COLUMN, PG/Spark SQL
+    ALTER COLUMN TYPE); nullability drift -> SET/DROP NOT NULL (or a MODIFY
+    re-statement where the dialect folds nullability into the type);
+    missing index -> the index DDL; index drift -> drop + recreate; extra
+    index -> DROP INDEX. A primary-key mismatch is emitted as a comment —
+    rebuilding a PK rewrites the table and must be a human decision.
+    """
+    if dialect not in DIALECTS:
+        raise ValueError(f"unsupported dialect {dialect!r}; one of {DIALECTS}")
+    q = _dq if dialect == "pg" else _bt
+    tbl = f"{q(src.schema)}.{q(src.tb)}"
+    src_cols = {f.name: f for f in src.columns.fields}
+    out: list[str] = []
+    for issue in struct_check(src, dst):
+        kind, obj = issue["kind"], issue["object"]
+        f = src_cols.get(obj)
+        if kind == "missing_column":
+            null = "" if (f.nullable or dialect == "clickhouse") else " NOT NULL"
+            out.append(f"ALTER TABLE {tbl} ADD COLUMN {q(obj)} {_revise_col_type(f.dataType, dialect)}{null}")
+        elif kind == "extra_column":
+            out.append(f"ALTER TABLE {tbl} DROP COLUMN {q(obj)}")
+        elif kind == "type_mismatch":
+            t = _revise_col_type(f.dataType, dialect)
+            if dialect in ("mysql", "clickhouse", "starrocks"):
+                out.append(f"ALTER TABLE {tbl} MODIFY COLUMN {q(obj)} {t}")
+            else:
+                out.append(f"ALTER TABLE {tbl} ALTER COLUMN {q(obj)} TYPE {t}")
+        elif kind == "nullable_mismatch":
+            if dialect in ("pg", "sparksql"):
+                verb = "DROP NOT NULL" if f.nullable else "SET NOT NULL"
+                out.append(f"ALTER TABLE {tbl} ALTER COLUMN {q(obj)} {verb}")
+            else:
+                t = _revise_col_type(f.dataType, dialect)
+                null = "" if f.nullable else " NOT NULL"
+                out.append(f"ALTER TABLE {tbl} MODIFY COLUMN {q(obj)} {t}{null}")
+        elif kind == "missing_index" or kind == "index_mismatch":
+            ix = next(i for i in src.indexes if i.name == obj)
+            if kind == "index_mismatch":
+                out.append(_drop_index_ddl(src, obj, dialect))
+            one = TableDef(schema=src.schema, tb=src.tb, columns=src.columns, indexes=[ix])
+            out.extend(to_index_ddl(one, dialect))
+        elif kind == "extra_index":
+            out.append(_drop_index_ddl(src, obj, dialect))
+        elif kind == "pk_mismatch":
+            out.append(f"-- manual: PRIMARY KEY mismatch on {tbl}: {issue['detail']}")
+    return out
+
+
+def _drop_index_ddl(td: TableDef, name: str, dialect: str) -> str:
+    if dialect == "mysql":
+        return f"DROP INDEX {_bt(name)} ON {_bt(td.schema)}.{_bt(td.tb)}"
+    if dialect == "pg":
+        return f'DROP INDEX {_dq(td.schema)}.{_dq(name)}'
+    if dialect in ("clickhouse", "starrocks"):
+        return f"ALTER TABLE {_bt(td.schema)}.{_bt(td.tb)} DROP INDEX {_bt(name)}"
+    return f"-- skipped: no index objects in {dialect} (drop of {name} is a no-op)"

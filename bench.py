@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "orc_roundtrip",
     "struct_objects",
     "struct_check_report",
+    "struct_revise",
     "session_windows",
     "windowed_counts",
     "sliding_counts",

@@ -383,3 +383,53 @@ def test_jdbc_config_prechecks(spark):
 
     nouser = {r.check: r for r in check_jdbc_config(spark, "jdbc:postgresql://h/db")}
     assert not nouser["jdbc_credentials"].ok
+
+
+def test_struct_revise_plan_full_vocabulary(spark):
+    """struct_revise_plan covers the discrepancy kinds the gated drifted-twin
+    corpus doesn't reach: nullability drift (SET/DROP NOT NULL vs MODIFY
+    re-statement), index add/mismatch/extra (drop+recreate), and the
+    pk-mismatch manual comment."""
+    from pyspark.sql import types as T
+
+    from ape_dts_spark.plans.struct_migration import IndexDef, TableDef, struct_revise_plan
+
+    cols = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("name", T.StringType(), True),
+            T.StructField("bal", T.DecimalType(12, 2), True),
+        ]
+    )
+    src = TableDef(
+        schema="app", tb="users", columns=cols, primary_keys=["id"],
+        indexes=[IndexDef("ix_name", ["name"], False), IndexDef("ix_bal", ["bal"], True)],
+    )
+    dst_cols = T.StructType(
+        [
+            T.StructField("id", T.LongType(), True),       # nullable drift
+            T.StructField("name", T.StringType(), True),
+            # bal missing -> ADD COLUMN
+            T.StructField("legacy", T.StringType(), True),  # extra -> DROP
+        ]
+    )
+    dst = TableDef(
+        schema="app", tb="users", columns=dst_cols, primary_keys=[],
+        indexes=[IndexDef("ix_name", ["name"], True)],      # unique drift
+        # ix_bal missing entirely
+    )
+    my = struct_revise_plan(src, dst, "mysql")
+    assert "ALTER TABLE `app`.`users` ADD COLUMN `bal` DECIMAL(12,2)" in my
+    assert "ALTER TABLE `app`.`users` MODIFY COLUMN `id` BIGINT NOT NULL" in my
+    assert "ALTER TABLE `app`.`users` DROP COLUMN `legacy`" in my
+    assert "DROP INDEX `ix_name` ON `app`.`users`" in my
+    assert any(s.startswith("CREATE INDEX `ix_name`") for s in my)
+    assert any("ix_bal" in s and "UNIQUE" in s for s in my)
+    assert any(s.startswith("-- manual: PRIMARY KEY mismatch") for s in my)
+
+    pg = struct_revise_plan(src, dst, "pg")
+    assert 'ALTER TABLE "app"."users" ALTER COLUMN "id" SET NOT NULL' in pg
+    assert 'ALTER TABLE "app"."users" ADD COLUMN "bal" NUMERIC(12,2)' in pg
+    # reverse drift: target NOT NULL where source is nullable -> DROP NOT NULL
+    back = struct_revise_plan(dst, src, "pg")
+    assert 'ALTER TABLE "app"."users" ALTER COLUMN "id" DROP NOT NULL' in back
