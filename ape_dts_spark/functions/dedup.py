@@ -402,7 +402,21 @@ def remove_dup_spans(
     filtered with an exists() over the span array, no explode of the token
     relation. Output: (id, clean_text, n_tokens, n_removed).
     """
-    spans = dup_spans(df, id_col, text_col, min_tokens)
+    return remove_spans(df, dup_spans(df, id_col, text_col, min_tokens), id_col, text_col)
+
+
+def remove_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply ANY (id, span_start, span_end) span table to a document
+    relation — the shared removal half behind remove_dup_spans, and the way
+    substring_contamination_spans output is consumed (drop the leaked text,
+    keep the document). Documents without spans pass through with their
+    normalized token stream intact. Output: (id, clean_text, n_tokens,
+    n_removed)."""
     per_doc = spans.groupBy(id_col).agg(
         F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
     )

@@ -823,3 +823,15 @@ def test_substring_contamination_planted_leak(spark):
         for r in dd.substring_contamination_spans(train, eval_df, min_tokens=16).collect()
     }
     assert spans == {1: (5, 25)}
+
+
+def test_remove_spans_applies_contamination(spark):
+    """remove_spans consumes substring_contamination_spans output: the
+    leaked run disappears from the train doc, everything else survives."""
+    leak = " ".join(f"bench{i}" for i in range(20))
+    pre = " ".join(f"pre{i}" for i in range(5))
+    train = spark.createDataFrame([(1, f"{pre} {leak}")], "doc_id long, text string")
+    eval_df = spark.createDataFrame([(100, leak)], "doc_id long, text string")
+    spans = dd.substring_contamination_spans(train, eval_df, min_tokens=16)
+    out = dd.remove_spans(train, spans).collect()[0]
+    assert out["clean_text"] == pre and out["n_removed"] == 20
