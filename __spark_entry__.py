@@ -2632,10 +2632,10 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The external driver gates only the FIRST 50 dict entries, so ordering is
     # load-bearing. Round-6 rotation policy: (1) queries that are NEW or whose
-    # CODE changed this round lead (6 new + minhash_incremental, whose
+    # CODE changed this round lead (8 new + minhash_incremental, whose
     # signature profile changed), (2) then the 50-slot window fills with the
-    # STALEST driver rows (all 41 queries last green in r03, then the two
-    # oldest r04 rows), (3) everything after slot 50 stays ordered by
+    # STALEST driver rows (all 41 queries last green in r03, then the oldest
+    # r04 row), (3) everything after slot 50 stays ordered by
     # staleness so the next rotation is a prefix cut. Before any rotation
     # ships, the FULL (non --window) tools/check.py run must be green —
     # rotated-out queries keep local-gate + pytest coverage (cumulative goal:
