@@ -433,3 +433,53 @@ def test_struct_revise_plan_full_vocabulary(spark):
     # reverse drift: target NOT NULL where source is nullable -> DROP NOT NULL
     back = struct_revise_plan(dst, src, "pg")
     assert 'ALTER TABLE "app"."users" ALTER COLUMN "id" DROP NOT NULL' in back
+
+
+def test_struct_revise_plan_executes_and_converges_live(spark):
+    """The PG-dialect revise plan is not just string-shaped: executed on a
+    LIVE engine (DuckDB speaks the PG DDL dialect), it converges a drifted
+    table to the source structure — re-running struct_check against the
+    re-introspected live table yields zero column discrepancies."""
+    import duckdb
+    from pyspark.sql import types as T
+
+    from ape_dts_spark.plans.struct_migration import TableDef, struct_check, struct_revise_plan
+
+    src_cols = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("name", T.StringType(), True),
+            T.StructField("bal", T.DecimalType(12, 2), True),
+            T.StructField("note", T.StringType(), True),
+        ]
+    )
+    src = TableDef(schema="app", tb="users", columns=src_cols)
+    con = duckdb.connect()
+    con.execute("CREATE SCHEMA app")
+    # drifted live table: bal missing, note mistyped, extra legacy column
+    con.execute(
+        'CREATE TABLE app.users ("id" BIGINT NOT NULL, "name" TEXT, '
+        '"note" BIGINT, "legacy" TEXT)'
+    )
+
+    def introspect() -> TableDef:
+        rows = con.execute(
+            "SELECT column_name, data_type, is_nullable FROM information_schema.columns "
+            "WHERE table_schema = 'app' AND table_name = 'users' ORDER BY ordinal_position"
+        ).fetchall()
+        m = {"BIGINT": T.LongType(), "VARCHAR": T.StringType(),
+             "DECIMAL(12,2)": T.DecimalType(12, 2)}
+        return TableDef(
+            schema="app", tb="users",
+            columns=T.StructType(
+                [T.StructField(n, m[dt], null == "YES") for n, dt, null in rows]
+            ),
+        )
+
+    plan = struct_revise_plan(src, introspect(), "pg")
+    for stmt in plan:
+        if not stmt.startswith("--"):
+            con.execute(stmt)
+    # NUMERIC(12,2) renders as DECIMAL(12,2) in DuckDB's catalog; TEXT as VARCHAR
+    issues = struct_check(src, introspect())
+    assert issues == [], issues
