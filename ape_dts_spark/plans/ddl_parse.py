@@ -116,6 +116,14 @@ _PATTERNS: list[tuple[str, re.Pattern]] = [
         ),
     ),
     (
+        # MySQL CREATE TABLE new LIKE template (clones structure)
+        "create_table",
+        re.compile(
+            rf"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?{_QID}\s+(?:\(\s*)?LIKE\s+{_QID}\s*\)?\s*;?\s*$",
+            re.IGNORECASE,
+        ),
+    ),
+    (
         "create_index",
         re.compile(
             rf"^\s*CREATE\s+(?:UNIQUE\s+)?INDEX\s+{_ID}\s+ON\s+{_QID}\s*\((.+?)\)\s*;?\s*$",
@@ -217,6 +225,12 @@ _MULTI_DROP_INDEX = re.compile(
     r"^\s*DROP\s+INDEX\s+(?:CONCURRENTLY\s+)?(IF\s+EXISTS\s+)?([^;]+,[^;]+?)\s*;?\s*$",
     re.IGNORECASE,
 )
+# PG: TRUNCATE [TABLE] a, b [RESTART IDENTITY | CONTINUE IDENTITY] [CASCADE]
+_MULTI_TRUNCATE = re.compile(
+    r"^\s*TRUNCATE\s+(?:TABLE\s+)?(.+,.+?)"
+    r"(?:\s+(?:RESTART|CONTINUE)\s+IDENTITY)?(?:\s+CASCADE|\s+RESTRICT)?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 
 
 def split_ddl(text: str | None) -> list[DdlStatement]:
@@ -240,4 +254,7 @@ def split_ddl(text: str | None) -> list[DdlStatement]:
         # DROP INDEX ... ON tbl never reaches here (no comma)
         if_exists = "IF EXISTS " if m.group(1) else ""
         return [parse_ddl(f"DROP INDEX {if_exists}{p.strip()}") for p in m.group(2).split(",")]
+    m = _MULTI_TRUNCATE.match(text)
+    if m:
+        return [parse_ddl(f"TRUNCATE TABLE {p.strip()}") for p in m.group(1).split(",")]
     return [parse_ddl(text)]

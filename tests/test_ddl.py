@@ -290,3 +290,20 @@ def test_can_widen_matrix():
         assert _can_widen(old, new), (old, new)
     for old, new in bad:
         assert not _can_widen(old, new), (old, new)
+
+
+def test_ddl_breadth_create_like_and_multi_truncate():
+    """MySQL CREATE TABLE .. LIKE recognizes the new table as create_table;
+    PG multi-table TRUNCATE (with identity/cascade suffixes) splits per
+    target; single TRUNCATE is untouched."""
+    from ape_dts_spark.plans.ddl_parse import split_ddl
+
+    st = parse_ddl("CREATE TABLE db.new_t LIKE db.old_t")
+    assert (st.kind, st.schema, st.table) == ("create_table", "db", "new_t")
+    st = parse_ddl("CREATE TABLE n2 (LIKE tpl)")
+    assert (st.kind, st.table) == ("create_table", "n2")
+    tr = split_ddl("TRUNCATE app.a, app.b RESTART IDENTITY CASCADE;")
+    assert [(s.kind, s.schema, s.table) for s in tr] == [
+        ("truncate_table", "app", "a"), ("truncate_table", "app", "b"),
+    ]
+    assert split_ddl("TRUNCATE TABLE app.only")[0].kind == "truncate_table"
