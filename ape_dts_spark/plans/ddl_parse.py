@@ -103,7 +103,14 @@ _PATTERNS: list[tuple[str, re.Pattern]] = [
             re.IGNORECASE,
         ),
     ),
-    ("truncate_table", re.compile(rf"^\s*TRUNCATE\s+(?:TABLE\s+)?{_QID}\s*;?\s*$", re.IGNORECASE)),
+    (
+        "truncate_table",
+        re.compile(
+            rf"^\s*TRUNCATE\s+(?:TABLE\s+)?{_QID}"
+            rf"(?:\s+(?:RESTART|CONTINUE)\s+IDENTITY)?(?:\s+CASCADE|\s+RESTRICT)?\s*;?\s*$",
+            re.IGNORECASE,
+        ),
+    ),
     (
         "drop_table",
         re.compile(rf"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?{_QID}\s*;?\s*$", re.IGNORECASE),
