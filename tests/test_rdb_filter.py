@@ -69,3 +69,18 @@ def test_where_and_ignore_cols():
     assert f.where_condition("d", "t") == "f_0 > 1"
     assert f.where_condition("d", "other") is None
     assert f.ignored_cols("d", "t") == ["f_2"]
+
+
+def test_case_sensitive_identifiers():
+    """The reference's mysql_to_mysql_case_sensitive suite: Upper_Case_DB /
+    Upper_Case_TB names match exactly and NEVER case-fold — 'upper_case_db'
+    is a different schema (rdb_filter.rs is byte-exact on names; MySQL on
+    case-sensitive filesystems distinguishes them)."""
+    f = RdbFilter(do_tbs="test_db_1.*,Upper_Case_DB.*")
+    assert not f.filter_tb("Upper_Case_DB", "Upper_Case_TB")
+    assert not f.filter_tb("test_db_1", "any")
+    assert f.filter_tb("upper_case_db", "Upper_Case_TB")  # wrong-case schema
+    assert f.filter_tb("UPPER_CASE_DB", "x")
+    g = RdbFilter(do_tbs="Upper_Case_DB.Upper_Case_TB")
+    assert not g.filter_tb("Upper_Case_DB", "Upper_Case_TB")
+    assert g.filter_tb("Upper_Case_DB", "upper_case_tb")  # wrong-case table
