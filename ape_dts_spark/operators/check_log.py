@@ -53,11 +53,17 @@ def write_check_log(diff_df: DataFrame, key_cols: list[str], schema: str, tb: st
 
 
 def read_check_log_keys(spark: SparkSession, path: str, key_cols: list[str], key_schema: str) -> DataFrame:
-    """Check-log JSONL -> distinct flagged keys (the check_log extractor)."""
-    raw = spark.read.text(f"{path}")
+    """Check-log JSONL -> distinct flagged keys (the check_log extractor).
+
+    Rotated log directories interleave blank lines between entries (the
+    reference's LogReader surfaces them as empty strings and the consumer
+    skips them — log_reader_tests.rs); unparseable or blank lines must not
+    become NULL-key rows, so the parse is filtered to rows whose key struct
+    actually materialized."""
+    raw = spark.read.text(f"{path}").filter(F.trim(F.col("value")) != "")
     parsed = raw.select(
         F.from_json(F.col("value"), f"log_type string, id_col_values struct<{key_schema}>").alias("r")
-    )
+    ).filter(F.col("r.id_col_values").isNotNull())
     return parsed.select(*[F.col(f"r.id_col_values.{k}").alias(k) for k in key_cols]).distinct()
 
 

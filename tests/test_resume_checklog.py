@@ -55,3 +55,30 @@ def test_check_log_roundtrip_and_review(spark, sf_dir, tmp_path):
     assert again.count() == d.count()
     classes = {r["check_class"] for r in again.select("check_class").distinct().collect()}
     assert classes == {"miss", "diff"}
+
+
+def test_check_log_reader_multi_file_and_blank_lines(spark, tmp_path):
+    """log_reader parity (dt-tests/tests/log_reader): the check-log
+    extractor consumes a DIRECTORY of rotated log files — every file's
+    entries surface, blank lines are skipped, and an empty/blank-only dir
+    yields zero keys instead of erroring (log_reader_empty_test shape)."""
+    import os
+
+    from ape_dts_spark.operators.check_log import read_check_log_keys
+
+    d = str(tmp_path / "logs")
+    os.makedirs(d)
+    with open(os.path.join(d, "log.1"), "w") as fh:
+        fh.write('{"log_type":"miss","id_col_values":{"k":1}}\n\n'
+                 '{"log_type":"diff","id_col_values":{"k":2}}\n')
+    with open(os.path.join(d, "log.2"), "w") as fh:
+        fh.write('{"log_type":"miss","id_col_values":{"k":3}}\n'
+                 '{"log_type":"miss","id_col_values":{"k":3}}\n')  # dupe key
+    keys = read_check_log_keys(spark, d, ["k"], "k long")
+    assert sorted(r["k"] for r in keys.collect()) == [1, 2, 3]
+
+    empty = str(tmp_path / "empty")
+    os.makedirs(empty)
+    with open(os.path.join(empty, "log.1"), "w") as fh:
+        fh.write("\n\n")
+    assert read_check_log_keys(spark, empty, ["k"], "k long").count() == 0
