@@ -340,3 +340,33 @@ def test_avro_jvm_parity_random_payloads(spark):
         assert bytes(baos.toByteArray()) == by
 
     prop()
+
+
+def test_wire_bridge_apply_equivalence(spark, sf_dir):
+    """mysql_to_kafka_to_mysql suite shape: routing the change stream
+    through the Avro binary wire (encode -> kafka-shaped (key, value) rows
+    -> decode) and then replaying to state must land EXACTLY the final
+    table state of the direct replay — the bridge adds transport, not
+    semantics. Covers timestamp/decimal wire re-materialization and image
+    nullability through the full apply path."""
+    from ape_dts_spark import demo
+    from ape_dts_spark.operators.merge import replay_to_state
+    from ape_dts_spark.sinks.avro_codec import decode_events_avro, encode_events_avro
+
+    stream = demo.users_change_stream(spark, sf_dir)
+    keyed = stream.filter(
+        F.when(F.col("row_type") == "delete", F.col("before.user_id").isNotNull())
+        .when(F.col("row_type") == "insert", F.col("after.user_id").isNotNull())
+        .otherwise(F.col("before.user_id").isNotNull() & F.col("after.user_id").isNotNull())
+    )
+    payload = keyed.schema["after"].dataType
+    direct = {
+        r["user_id"]: r["value"]
+        for r in replay_to_state(keyed, ["user_id"]).collect()
+    }
+    bridged_stream = decode_events_avro(encode_events_avro(keyed), payload)
+    bridged = {
+        r["user_id"]: r["value"]
+        for r in replay_to_state(bridged_stream, ["user_id"]).collect()
+    }
+    assert direct == bridged and len(direct) > 0
