@@ -149,10 +149,15 @@ class RdbFilter:
         """True = no DDL passes at all (empty do_ddls; rdb_filter.rs:106-108)."""
         return not self._ddls
 
-    def filter_ddl(self, ddl_kind: str) -> bool:
-        """True = drop this DDL statement kind. Opt-in like the reference:
+    def filter_ddl(self, ddl_kind: str, schema: str | None = None, tb: str | None = None) -> bool:
+        """True = drop this DDL statement. Opt-in kinds like the reference:
         empty config drops everything, '*' passes everything
-        (rdb_filter.rs:110-121)."""
+        (rdb_filter.rs:110-121). When the statement's (schema, tb) target is
+        known, the table-level do/ignore rules also gate it — the reference
+        filters each split statement per (db, tb) before pushing
+        (mysql_cdc_extractor.rs:432-436)."""
+        if tb is not None and self.filter_tb(schema or "", tb):
+            return True
         if "*" in self._ddls:
             return False
         return ddl_kind not in self._ddls

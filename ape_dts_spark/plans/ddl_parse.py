@@ -113,7 +113,10 @@ _PATTERNS: list[tuple[str, re.Pattern]] = [
     ),
     (
         "drop_table",
-        re.compile(rf"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?{_QID}\s*;?\s*$", re.IGNORECASE),
+        re.compile(
+            rf"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?{_QID}(?:\s+CASCADE|\s+RESTRICT)?\s*;?\s*$",
+            re.IGNORECASE,
+        ),
     ),
     (
         "create_table",
@@ -222,8 +225,11 @@ def parse_ddl(text: str | None) -> DdlStatement:
 # (DdlStatement::split_to_multi, ddl_statement.rs:44-90): DROP TABLE a, b;
 # RENAME TABLE a TO b, c TO d; DROP INDEX i1, i2 (PG). Identifier lists are
 # comma-split (quoted identifiers never contain commas in this vocabulary).
+# PG allows a trailing CASCADE/RESTRICT, which belongs to the statement,
+# not the last identifier — strip it like _MULTI_TRUNCATE does
 _MULTI_DROP_TABLE = re.compile(
-    r"^\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?(.+,.+?)\s*;?\s*$", re.IGNORECASE | re.DOTALL
+    r"^\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?(.+,.+?)(?:\s+CASCADE|\s+RESTRICT)?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
 )
 _MULTI_RENAME_TABLE = re.compile(
     r"^\s*RENAME\s+TABLE\s+(.+\bTO\b.+,.+\bTO\b.+?)\s*;?\s*$", re.IGNORECASE | re.DOTALL

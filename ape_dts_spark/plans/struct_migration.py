@@ -637,7 +637,12 @@ def struct_revise_plan(src: TableDef, dst: TableDef, dialect: str) -> list[str]:
         elif kind == "type_mismatch":
             t = _revise_col_type(f.dataType, dialect)
             if dialect in ("mysql", "clickhouse", "starrocks"):
-                out.append(f"ALTER TABLE {tbl} MODIFY COLUMN {q(obj)} {t}")
+                # MODIFY COLUMN restates the FULL column definition — MySQL
+                # resets nullability to NULL when omitted, so a type fix on a
+                # NOT NULL column must restate the constraint or it would
+                # silently introduce a new nullable drift
+                null = "" if (f.nullable or dialect == "clickhouse") else " NOT NULL"
+                out.append(f"ALTER TABLE {tbl} MODIFY COLUMN {q(obj)} {t}{null}")
             else:
                 out.append(f"ALTER TABLE {tbl} ALTER COLUMN {q(obj)} TYPE {t}")
         elif kind == "nullable_mismatch":

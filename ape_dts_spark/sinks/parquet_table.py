@@ -169,6 +169,13 @@ class ParquetTable:
         the typeWidening table feature instead)."""
         fields = {f.name: f for f in self.payload_schema.fields}
         if name not in fields:
+            # a misrouted or typo'd MODIFY must still leave an audit trail,
+            # like every other outcome (noop / refused / applied)
+            meta = self._read_meta()
+            meta.setdefault("ddl_log", []).append(
+                {"ddl": ddl_text, "op": "modify_column", "column": name, "missing_column": True}
+            )
+            self._write_meta(meta)
             return
         old_type = fields[name].dataType
         meta = self._read_meta()

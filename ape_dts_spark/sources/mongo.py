@@ -105,14 +105,16 @@ def mongo_statements(compacted: DataFrame, shard_key: str | None = None) -> Data
     delete with no image to extract from keeps the _id-only filter and is
     the caller's signal to route through a broadcast delete instead.
 
-    ``get_json_object`` strips the quotes off extracted JSON strings, so the
-    value is re-rendered by type before insertion into the filter document:
-    numeric/bool/null and object/array extractions pass through verbatim;
-    anything else is a string and gets re-quoted (with ``"`` and ``\\``
-    escaped) — otherwise a string shard key renders the invalid filter
-    ``{"_id": 1, "region": east}``.
+    ``get_json_object`` strips the quotes off extracted JSON strings AND
+    erases the type (a string field holding ``"123"`` extracts identically
+    to the number ``123``), so whether to re-quote is decided by probing the
+    RAW image for the quote character that follows ``"<key>":`` — a string
+    value is re-quoted (with ``"`` and ``\\`` escaped) no matter what it
+    looks like, scalars and object/array renderings pass verbatim. The probe
+    reads the first occurrence of the key, which is the top-level shard-key
+    field for every document the sharding contract allows.
     """
-    _JSON_VERBATIM = r'^(-?\d+(\.\d+)?([eE][+-]?\d+)?|true|false|null|[\[{].*)$'
+    import re as _re
 
     def _filter(image_col: str):
         base = [F.lit('{"_id": '), F.col("_id")]
@@ -123,7 +125,10 @@ def mongo_statements(compacted: DataFrame, shard_key: str | None = None) -> Data
                 F.regexp_replace(val, r'(["\\])', r"\\$1"),
                 F.lit('"'),
             )
-            rendered = F.when(val.rlike(_JSON_VERBATIM), val).otherwise(quoted)
+            first_char = F.regexp_extract(
+                F.col(image_col), '"' + _re.escape(shard_key) + r'"\s*:\s*(.)', 1
+            )
+            rendered = F.when(first_char == F.lit('"'), quoted).otherwise(val)
             base += [
                 F.when(
                     val.isNotNull(),

@@ -301,10 +301,32 @@ class CdcPipeline:
             return
         # multi-target statements (DROP TABLE a, b / RENAME TABLE .. , ..)
         # split into one routable statement per target, like the reference's
-        # split_to_multi — each part filters and applies independently
+        # split_to_multi — each part filters and applies independently,
+        # matched per (schema, table) against the event envelope so a part
+        # naming a DIFFERENT table never touches this pipeline's target
+        # (mysql_cdc_extractor.rs:432-436 pushes each split only to its own
+        # (db, tb) route; without this, 'RENAME TABLE a TO b, c TO d'
+        # delivered on table a's channel would rename the target twice)
+        env_schema = ddl_row["schema"] if "schema" in ddl_row else None
+        env_tb = ddl_row["tb"] if "tb" in ddl_row else None
+        # the target's current logical name (rename_table updates it) also
+        # identifies this pipeline — a post-rename DDL names the new table
+        # while the envelope may still carry the original channel name
+        target_tb = self.target._read_meta().get("table_name")
         for st in split_ddl(text):
+            if (
+                st.table is not None
+                and env_tb is not None
+                and st.table not in (env_tb, target_tb)
+            ):
+                continue
+            if st.schema is not None and env_schema is not None and st.schema != env_schema:
+                continue
             if self.rdb_filter is not None and (
-                self.rdb_filter.filter_cmd(st.kind) or self.rdb_filter.filter_ddl(st.kind)
+                self.rdb_filter.filter_cmd(st.kind)
+                or self.rdb_filter.filter_ddl(
+                    st.kind, st.schema or env_schema, st.table or env_tb
+                )
             ):
                 continue
             if st.kind == "add_column":

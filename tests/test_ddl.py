@@ -307,3 +307,98 @@ def test_ddl_breadth_create_like_and_multi_truncate():
         ("truncate_table", "app", "a"), ("truncate_table", "app", "b"),
     ]
     assert split_ddl("TRUNCATE TABLE app.only")[0].kind == "truncate_table"
+
+
+def test_split_ddl_drop_table_cascade_suffix():
+    """PG 'DROP TABLE a, b CASCADE': the trailing CASCADE/RESTRICT belongs to
+    the statement, not the last identifier — every part must parse as
+    drop_table (previously the last part degraded to 'other' and was never
+    applied). The single-target form accepts the suffix too."""
+    from ape_dts_spark.plans.ddl_parse import split_ddl
+
+    parts = split_ddl("DROP TABLE app.a, app.b CASCADE;")
+    assert [(s.kind, s.schema, s.table) for s in parts] == [
+        ("drop_table", "app", "a"), ("drop_table", "app", "b"),
+    ]
+    parts = split_ddl("DROP TABLE IF EXISTS x, y RESTRICT")
+    assert [s.kind for s in parts] == ["drop_table", "drop_table"]
+    st = parse_ddl("DROP TABLE app.solo CASCADE")
+    assert (st.kind, st.schema, st.table) == ("drop_table", "app", "solo")
+
+
+def test_multi_ddl_parts_gated_per_table(spark, tmp_path):
+    """A split part naming a DIFFERENT table must not touch this pipeline's
+    target (mysql_cdc_extractor.rs:432-436 routes each split per (db, tb)):
+    'RENAME TABLE users TO u2, other TO o2' on users' channel renames ONCE;
+    'DROP TABLE other, users' tombstones users but 'DROP TABLE other, x'
+    would not."""
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    table = ParquetTable(spark, str(tmp_path / "tgt"), PAYLOAD)
+
+    _apply(spark, src, table, [
+        ev("c", after={"id": 1, "name": "a", "bal": 10}, seq=1),
+        ddl("RENAME TABLE default.users TO default.u2, default.other TO default.o2", seq=2),
+    ], PAYLOAD, batch_id=0)
+    # renamed exactly once — to u2, NOT to o2 (the second pair is another
+    # table's statement delivered on the same multi-target text)
+    assert table._read_meta()["table_name"] == "u2"
+
+    # a multi-DROP whose parts all name other tables leaves the target alive
+    _apply(spark, src, table, [
+        ddl("DROP TABLE default.other, default.elsewhere", seq=3),
+    ], PAYLOAD, batch_id=1)
+    assert not table._read_meta().get("dropped")
+
+    # ...but a part naming the target's CURRENT logical name (post-rename)
+    # still applies even though the envelope channel says 'users'
+    _apply(spark, src, table, [
+        ddl("DROP TABLE default.other, default.u2", seq=4),
+    ], PAYLOAD, batch_id=2)
+    assert table._read_meta().get("dropped")
+
+
+def test_filter_ddl_per_table_gate():
+    """filter_ddl accepts (kind, schema, tb) like the reference's per-(db,tb)
+    DDL routing: table-level do/ignore rules gate DDL when the target is
+    known; kind-only calls keep the legacy semantics."""
+    from ape_dts_spark.config.rdb_filter import RdbFilter
+
+    f = RdbFilter(do_ddls="*", do_tbs="app.keep")
+    assert not f.filter_ddl("add_column", "app", "keep")
+    assert f.filter_ddl("add_column", "app", "other")
+    assert not f.filter_ddl("add_column")  # kind-only: no table gate
+    g = RdbFilter(do_ddls="*", ignore_tbs="app.secret")
+    assert g.filter_ddl("truncate_table", "app", "secret")
+    assert not g.filter_ddl("truncate_table", "app", "public")
+
+
+def test_widen_column_missing_column_audited(spark, tmp_path):
+    """A MODIFY for a column absent from the payload schema leaves a
+    'missing_column' ddl_log entry instead of returning silently."""
+    table = ParquetTable(spark, str(tmp_path / "tgt"), PAYLOAD)
+    table.widen_column("no_such", T.LongType(), "ALTER TABLE t MODIFY COLUMN no_such BIGINT")
+    log = table._read_meta().get("ddl_log", [])
+    assert log and log[-1]["column"] == "no_such" and log[-1]["missing_column"] is True
+
+
+def test_struct_revise_type_fix_restates_not_null():
+    """MySQL MODIFY COLUMN resets nullability when omitted — a type fix on a
+    NOT NULL column must restate the constraint (ClickHouse keeps the bare
+    type: its Nullable() wrapper IS the type)."""
+    from ape_dts_spark.plans.struct_migration import TableDef, struct_revise_plan
+
+    cols = T.StructType([
+        T.StructField("id", T.LongType(), False),
+        T.StructField("qty", T.IntegerType(), False),
+    ])
+    drifted = T.StructType([
+        T.StructField("id", T.LongType(), False),
+        T.StructField("qty", T.StringType(), False),
+    ])
+    src = TableDef(schema="app", tb="t", columns=cols)
+    dst = TableDef(schema="app", tb="t", columns=drifted)
+    my = struct_revise_plan(src, dst, "mysql")
+    assert any(s.startswith("ALTER TABLE `app`.`t` MODIFY COLUMN `qty` ") and s.endswith(" NOT NULL") for s in my)
+    ck = struct_revise_plan(src, dst, "clickhouse")
+    assert any("MODIFY COLUMN" in s and not s.endswith("NOT NULL") for s in ck)

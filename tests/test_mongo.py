@@ -111,6 +111,13 @@ def test_mongo_statements_string_shard_key(spark):
         ("db1", "c1", 2, "upsert", ('{"_id": 2, "region": "us \\"west\\" 1", "v": "b"}',), 2),
         ("db1", "c1", 3, "upsert", ('{"_id": 3, "region": true, "v": "c"}',), 3),
         ("db1", "c1", 4, "upsert", ('{"_id": 4, "region": {"zone": "a"}, "v": "d"}',), 4),
+        # type-erasure traps: STRING values that look like scalars/objects
+        # must still re-quote (decided by probing the raw image's quote, not
+        # by pattern-matching the extracted text)
+        ("db1", "c1", 5, "upsert", ('{"_id": 5, "region": "123", "v": "e"}',), 5),
+        ("db1", "c1", 6, "upsert", ('{"_id": 6, "region": "true", "v": "f"}',), 6),
+        ("db1", "c1", 7, "upsert", ('{"_id": 7, "region": "{not json", "v": "g"}',), 7),
+        ("db1", "c1", 8, "upsert", ('{"_id": 8, "region": 42, "v": "h"}',), 8),
     ]
     compacted = spark.createDataFrame(
         rows,
@@ -122,6 +129,10 @@ def test_mongo_statements_string_shard_key(spark):
     assert out[2].startswith('db.c1.replaceOne({"_id": 2, "region": "us \\"west\\" 1"}, ')
     assert out[3].startswith('db.c1.replaceOne({"_id": 3, "region": true}, ')
     assert out[4].startswith('db.c1.replaceOne({"_id": 4, "region": {"zone":"a"}}, ')
+    assert out[5].startswith('db.c1.replaceOne({"_id": 5, "region": "123"}, ')
+    assert out[6].startswith('db.c1.replaceOne({"_id": 6, "region": "true"}, ')
+    assert out[7].startswith('db.c1.replaceOne({"_id": 7, "region": "{not json"}, ')
+    assert out[8].startswith('db.c1.replaceOne({"_id": 8, "region": 42}, ')
     # every rendered filter must itself be valid JSON (the doc image follows
     # the filter and always opens with '{"_id"', so split there)
     import json

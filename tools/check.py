@@ -41,6 +41,8 @@ def canon_rows(cols, rows):
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    if not os.path.isdir(sf_dir) and os.path.isdir(os.path.join("/root/testdata", sf_dir)):
+        sf_dir = os.path.join("/root/testdata", sf_dir)  # accept the 'sf0.01' short form
     only = set(sys.argv[2:])
 
     import __spark_entry__ as entrymod
