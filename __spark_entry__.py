@@ -2619,6 +2619,103 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.decode_image_meta(payload, fake=True)
 
 
+def q_binlog_file_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MySQL binlog file-at-rest round trip (sources/binlog_file.py — the
+    at-rest half of the native-CDC story; the reference consumes the same
+    event stream over a socket, mysql_cdc_extractor.rs:195-394): a
+    deterministic change history for a subset of orders (insert all keys
+    o_orderkey%23==1, then update o_orderstatus->'X' for %3==0, then delete
+    %5==0) is encoded into REAL binlog bytes — v4 headers, CRC32 trailers,
+    GTID/BEGIN/TABLE_MAP/WRITE|UPDATE|DELETE_ROWS v2/XID per txn, a ROTATE
+    chain across files — then re-read with the distributed binaryFile scan
+    and replayed to final state (one window shuffle keyed on o_orderkey).
+    The oracle computes the same final state straight from orders, so any
+    byte-level encode/decode error, mis-ordered event, lost row image or
+    broken rotation/GTID continuity diverges. The fixture collect is the
+    bounded key subset (the fixture generator, like q_redis_rdb)."""
+    import hashlib
+    import inspect
+    import tempfile
+
+    from ape_dts_spark.sources import binlog_file as bf
+
+    tables = {
+        ("default", "orders"): bf.BinlogTable(
+            "default", "orders",
+            (
+                ("o_orderkey", bf.MYSQL_TYPE_LONGLONG, 0),
+                ("o_custkey", bf.MYSQL_TYPE_LONGLONG, 0),
+                ("o_orderstatus", bf.MYSQL_TYPE_VARCHAR, 255),
+                ("o_totalprice", bf.MYSQL_TYPE_DOUBLE, 8),
+                ("o_orderdate_us", bf.MYSQL_TYPE_TIMESTAMP2, 6),
+                ("o_orderpriority", bf.MYSQL_TYPE_VARCHAR, 255),
+            ),
+            table_id=101,
+        )
+    }
+    data_sig = "|".join(
+        f"{f}:{os.path.getmtime(p)}:{os.path.getsize(p)}"
+        for f in sorted(os.listdir(sf_dir))
+        if os.path.isfile(p := os.path.join(sf_dir, f))
+    )
+    tag = hashlib.sha1(
+        (sf_dir + data_sig + inspect.getsource(bf) + inspect.getsource(q_binlog_file_parse)).encode()
+    ).hexdigest()[:10]
+    log_dir = os.path.join(tempfile.gettempdir(), f"ape_binlog_{tag}")
+    if not (os.path.isdir(log_dir) and os.listdir(log_dir)):
+        rows = (
+            demo.load(spark, sf_dir, "orders")
+            .filter(F.col("o_orderkey") % 23 == 1)
+            .select(
+                "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+                # parquet NTZ -> instant under the pinned UTC session tz
+                F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("o_orderdate_us"),
+                "o_orderpriority",
+            )
+            .orderBy("o_orderkey")
+            .collect()
+        )
+        images = {
+            r["o_orderkey"]: {
+                "o_orderkey": r["o_orderkey"], "o_custkey": r["o_custkey"],
+                "o_orderstatus": r["o_orderstatus"], "o_totalprice": r["o_totalprice"],
+                "o_orderdate_us": r["o_orderdate_us"], "o_orderpriority": r["o_orderpriority"],
+            }
+            for r in rows
+        }
+        tkey = ("default", "orders")
+        ops = [(tkey, "insert", None, img) for img in images.values()]
+        for k in sorted(images):
+            if k % 3 == 0:
+                before = images[k]
+                images[k] = dict(before, o_orderstatus="X")
+                ops.append((tkey, "update", before, images[k]))
+        for k in sorted(images):
+            if k % 5 == 0:
+                ops.append((tkey, "delete", images[k], None))
+        txns = [ops[i : i + 50] for i in range(0, len(ops), 50)]
+        os.makedirs(log_dir, exist_ok=True)
+        bf.write_binlog_files(txns, tables, log_dir, per_file=8)
+    dml = bf.read_binlog_files(spark, log_dir, tables).filter(
+        F.col("row_type").isin("insert", "update", "delete")
+    )
+    k = F.coalesce(F.col("after")["o_orderkey"], F.col("before")["o_orderkey"]).cast("bigint")
+    last = (
+        dml.withColumn("k", k)
+        .withColumn("rn", F.row_number().over(W.partitionBy("k").orderBy(F.col("seq").desc())))
+        .filter(F.col("rn") == 1)
+        .filter(F.col("row_type") != "delete")
+    )
+    return last.select(
+        F.col("after")["o_orderkey"].cast("bigint").alias("o_orderkey"),
+        F.col("after")["o_custkey"].cast("bigint").alias("o_custkey"),
+        F.col("after")["o_orderstatus"].alias("o_orderstatus"),
+        F.col("after")["o_totalprice"].cast("double").alias("o_totalprice"),
+        F.col("after")["o_orderdate_us"].cast("bigint").alias("o_orderdate_us"),
+        F.col("after")["o_orderpriority"].alias("o_orderpriority"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -2642,6 +2739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # every query's driver row at most ~2 rounds old).
     return {
         # -- new this round (driver rows needed) ------------------------------
+        "binlog_file_parse": q_binlog_file_parse,
         "substring_dedup": q_substring_dedup,
         "substring_dedup_clean": q_substring_dedup_clean,
         "ann_ivfpq": q_ann_ivfpq,
@@ -3661,6 +3759,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "heartbeat_lag": """
             SELECT epoch_ms(MAX(ts)) AS max_event_ms, COUNT(*) AS n_events FROM events
+        """,
+        "binlog_file_parse": """
+            SELECT o_orderkey, o_custkey,
+                   CASE WHEN o_orderkey % 3 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+                   o_totalprice,
+                   epoch_us(o_orderdate) AS o_orderdate_us,
+                   o_orderpriority
+            FROM orders
+            WHERE o_orderkey % 23 = 1 AND o_orderkey % 5 <> 0
         """,
         "struct_revise": """
             WITH cols AS (

@@ -1,0 +1,559 @@
+"""MySQL binlog file parsing (at rest) + a deterministic writer.
+
+Parses binary binlog *files* (the public, documented replication log format)
+into the same canonical change rows the Debezium-envelope path produces
+(streaming/cdc.py parse_debezium_fluid): ``(file, pos, seq, ts, gtid, xid,
+schema, tb, row_type, before, after)`` with before/after as
+``map<string,string>`` images — completing the at-rest half of the native-CDC
+story the way sources/redis_rdb.py does for Redis RDB. The writer emits
+spec-conformant binlog bytes (v4 headers, FORMAT_DESCRIPTION, GTID, QUERY,
+TABLE_MAP, WRITE/UPDATE/DELETE_ROWS v2, XID, ROTATE, CRC32 trailers) and is
+the fixture generator for the gate and tests.
+
+Scale shape: a binlog file is one server's serialized transaction log — an
+inherently sequential byte stream — so the unit of parallelism is the FILE
+(rotation produces many): scanned with ``binaryFile`` and decoded inside an
+Arrow-batched ``mapInPandas`` (each task parses whole files; no driver-side
+byte handling). Total order across files = (file index, event position),
+exactly ``model/position.MysqlCdcPosition.sort_key``.
+
+Reference parity: the reference consumes this same event stream over a live
+socket (dt-connector/src/extractor/mysql/mysql_cdc_extractor.rs:195-394 —
+GTID/TableMap/WriteRows/UpdateRows/DeleteRows/Query/Xid dispatch; row decode
+against table metadata in parse_row_data, since row events carry no column
+names). Wire format per the public MySQL binlog event specification.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+BINLOG_MAGIC = b"\xfebin"
+
+# event type codes (public binlog spec)
+QUERY_EVENT = 2
+ROTATE_EVENT = 4
+FORMAT_DESCRIPTION_EVENT = 15
+XID_EVENT = 16
+TABLE_MAP_EVENT = 19
+WRITE_ROWS_EVENT_V2 = 30
+UPDATE_ROWS_EVENT_V2 = 31
+DELETE_ROWS_EVENT_V2 = 32
+GTID_EVENT = 33
+PREVIOUS_GTIDS_EVENT = 35
+
+# column type codes (MySQL protocol)
+MYSQL_TYPE_TINY = 1
+MYSQL_TYPE_SHORT = 2
+MYSQL_TYPE_LONG = 3
+MYSQL_TYPE_FLOAT = 4
+MYSQL_TYPE_DOUBLE = 5
+MYSQL_TYPE_LONGLONG = 8
+MYSQL_TYPE_INT24 = 9
+MYSQL_TYPE_VARCHAR = 15
+MYSQL_TYPE_TIMESTAMP2 = 17
+MYSQL_TYPE_BLOB = 252
+
+_HEADER = struct.Struct("<IBIIIH")  # ts, type, server_id, event_size, log_pos, flags
+HEADER_LEN = 19
+_SERVER_ID = 1
+
+CHANGE_SCHEMA = (
+    "file string, pos long, seq long, ts long, gtid string, xid long, "
+    "schema string, tb string, row_type string, "
+    "before map<string,string>, after map<string,string>"
+)
+
+
+@dataclass(frozen=True)
+class BinlogTable:
+    """Table shape for the writer AND the name/type registry for the parser
+    (binlog row events carry only type codes — the reference resolves names
+    from its meta_manager, mysql_cdc_extractor.rs:361-394)."""
+
+    schema: str
+    tb: str
+    cols: tuple  # of (name, type_code, metadata) — metadata per-type, see _META_LEN
+    table_id: int
+
+
+# ---------------------------------------------------------------------------
+# primitives
+# ---------------------------------------------------------------------------
+
+
+def _packed(n: int) -> bytes:
+    """net_store_length packed integer."""
+    if n < 251:
+        return bytes([n])
+    if n < 1 << 16:
+        return b"\xfc" + struct.pack("<H", n)
+    if n < 1 << 24:
+        return b"\xfd" + struct.pack("<I", n)[:3]
+    return b"\xfe" + struct.pack("<Q", n)
+
+
+def _read_packed(b: bytes, i: int) -> tuple[int, int]:
+    first = b[i]
+    if first < 251:
+        return first, i + 1
+    if first == 0xFC:
+        return struct.unpack_from("<H", b, i + 1)[0], i + 3
+    if first == 0xFD:
+        return int.from_bytes(b[i + 1 : i + 4], "little"), i + 4
+    return struct.unpack_from("<Q", b, i + 1)[0], i + 9
+
+
+def _bitmap(bits: list[bool]) -> bytes:
+    out = bytearray((len(bits) + 7) // 8)
+    for i, v in enumerate(bits):
+        if v:
+            out[i // 8] |= 1 << (i % 8)
+    return bytes(out)
+
+
+def _bit(bm: bytes, i: int) -> bool:
+    return bool(bm[i // 8] & (1 << (i % 8)))
+
+
+def _meta_bytes(type_code: int, meta: int) -> bytes:
+    """Per-type metadata encoding in TABLE_MAP (2-byte LE for VARCHAR,
+    1 byte for FLOAT/DOUBLE size, BLOB length-size and TIMESTAMP2 fsp,
+    none for the fixed-width integers)."""
+    if type_code == MYSQL_TYPE_VARCHAR:
+        return struct.pack("<H", meta)
+    if type_code in (MYSQL_TYPE_FLOAT, MYSQL_TYPE_DOUBLE, MYSQL_TYPE_BLOB, MYSQL_TYPE_TIMESTAMP2):
+        return bytes([meta])
+    return b""
+
+
+# ---------------------------------------------------------------------------
+# value codecs (one row image cell)
+# ---------------------------------------------------------------------------
+
+
+def _enc_value(type_code: int, meta: int, v) -> bytes:
+    if type_code == MYSQL_TYPE_TINY:
+        return struct.pack("<b", int(v))
+    if type_code == MYSQL_TYPE_SHORT:
+        return struct.pack("<h", int(v))
+    if type_code == MYSQL_TYPE_INT24:
+        return int(v).to_bytes(3, "little", signed=True)
+    if type_code == MYSQL_TYPE_LONG:
+        return struct.pack("<i", int(v))
+    if type_code == MYSQL_TYPE_LONGLONG:
+        return struct.pack("<q", int(v))
+    if type_code == MYSQL_TYPE_FLOAT:
+        return struct.pack("<f", float(v))
+    if type_code == MYSQL_TYPE_DOUBLE:
+        return struct.pack("<d", float(v))
+    if type_code == MYSQL_TYPE_VARCHAR:
+        raw = v.encode() if isinstance(v, str) else bytes(v)
+        pre = struct.pack("<B", len(raw)) if meta < 256 else struct.pack("<H", len(raw))
+        return pre + raw
+    if type_code == MYSQL_TYPE_BLOB:
+        raw = bytes(v)
+        return len(raw).to_bytes(meta, "little") + raw
+    if type_code == MYSQL_TYPE_TIMESTAMP2:
+        # big-endian epoch seconds + big-endian fractional of ceil(fsp/2) bytes
+        us = int(v)  # epoch microseconds
+        sec, frac = divmod(us, 1_000_000)
+        out = struct.pack(">I", sec)
+        fsp_bytes = (meta + 1) // 2
+        if fsp_bytes:
+            out += (frac // (10 ** (6 - meta))).to_bytes(fsp_bytes, "big")
+        return out
+    raise NotImplementedError(f"binlog writer: unsupported column type {type_code}")
+
+
+def _dec_value(type_code: int, meta: int, b: bytes, i: int) -> tuple[str, int]:
+    """Decode one cell -> (string rendering, next offset). Strings are the
+    uniform cell type of the schema-fluid change model (parse_debezium_fluid);
+    integers render bare, floats via repr (exact round-trip), TIMESTAMP2 as
+    epoch microseconds."""
+    if type_code == MYSQL_TYPE_TINY:
+        return str(struct.unpack_from("<b", b, i)[0]), i + 1
+    if type_code == MYSQL_TYPE_SHORT:
+        return str(struct.unpack_from("<h", b, i)[0]), i + 2
+    if type_code == MYSQL_TYPE_INT24:
+        return str(int.from_bytes(b[i : i + 3], "little", signed=True)), i + 3
+    if type_code == MYSQL_TYPE_LONG:
+        return str(struct.unpack_from("<i", b, i)[0]), i + 4
+    if type_code == MYSQL_TYPE_LONGLONG:
+        return str(struct.unpack_from("<q", b, i)[0]), i + 8
+    if type_code == MYSQL_TYPE_FLOAT:
+        return repr(struct.unpack_from("<f", b, i)[0]), i + 4
+    if type_code == MYSQL_TYPE_DOUBLE:
+        return repr(struct.unpack_from("<d", b, i)[0]), i + 8
+    if type_code == MYSQL_TYPE_VARCHAR:
+        if meta < 256:
+            n, i = b[i], i + 1
+        else:
+            n, i = struct.unpack_from("<H", b, i)[0], i + 2
+        return b[i : i + n].decode(), i + n
+    if type_code == MYSQL_TYPE_BLOB:
+        n = int.from_bytes(b[i : i + meta], "little")
+        i += meta
+        return b[i : i + n].hex(), i + n
+    if type_code == MYSQL_TYPE_TIMESTAMP2:
+        sec = struct.unpack_from(">I", b, i)[0]
+        i += 4
+        fsp_bytes = (meta + 1) // 2
+        frac = 0
+        if fsp_bytes:
+            frac = int.from_bytes(b[i : i + fsp_bytes], "big") * (10 ** (6 - meta))
+            i += fsp_bytes
+        return str(sec * 1_000_000 + frac), i
+    raise NotImplementedError(f"binlog parser: unsupported column type {type_code}")
+
+
+# ---------------------------------------------------------------------------
+# writer
+# ---------------------------------------------------------------------------
+
+
+class _FileWriter:
+    def __init__(self, ts: int):
+        self.buf = bytearray(BINLOG_MAGIC)
+        self.ts = ts
+
+    def event(self, type_code: int, payload: bytes) -> None:
+        size = HEADER_LEN + len(payload) + 4  # + CRC32 trailer
+        log_pos = len(self.buf) + size
+        ev = bytearray(_HEADER.pack(self.ts, type_code, _SERVER_ID, size, log_pos, 0))
+        ev += payload
+        ev += struct.pack("<I", zlib.crc32(bytes(ev)))
+        self.buf += ev
+
+
+def _fde_payload() -> bytes:
+    # binlog_version(2) server_version(50, nul-padded) create_ts(4)
+    # header_len(1) post-header-length array (one byte per known event type)
+    # checksum_alg(1) — CRC32
+    version = b"8.0.30-ape-dts-spark-sim".ljust(50, b"\x00")
+    post_header = bytes(40)  # lengths unused by this parser; array size is arbitrary
+    return struct.pack("<H", 4) + version + struct.pack("<I", 0) + bytes([HEADER_LEN]) + post_header + b"\x01"
+
+
+def _table_map_payload(t: BinlogTable) -> bytes:
+    p = t.table_id.to_bytes(6, "little") + struct.pack("<H", 1)
+    s, n = t.schema.encode(), t.tb.encode()
+    p += bytes([len(s)]) + s + b"\x00" + bytes([len(n)]) + n + b"\x00"
+    p += _packed(len(t.cols))
+    p += bytes(c[1] for c in t.cols)
+    meta = b"".join(_meta_bytes(c[1], c[2]) for c in t.cols)
+    p += _packed(len(meta)) + meta
+    p += _bitmap([True] * len(t.cols))  # all columns nullable
+    return p
+
+
+def _row_image(t: BinlogTable, image: dict) -> bytes:
+    nulls = [image.get(c[0]) is None for c in t.cols]
+    out = bytearray(_bitmap(nulls))
+    for (name, code, meta), is_null in zip(t.cols, nulls):
+        if not is_null:
+            out += _enc_value(code, meta, image[name])
+    return bytes(out)
+
+
+def _rows_payload(t: BinlogTable, type_code: int, rows: list) -> bytes:
+    p = bytearray(t.table_id.to_bytes(6, "little") + struct.pack("<H", 0))
+    p += struct.pack("<H", 2)  # v2 extra-data length (includes itself)
+    p += _packed(len(t.cols))
+    p += _bitmap([True] * len(t.cols))  # columns-present
+    if type_code == UPDATE_ROWS_EVENT_V2:
+        p += _bitmap([True] * len(t.cols))  # after-image columns-present
+        for before, after in rows:
+            p += _row_image(t, before) + _row_image(t, after)
+    else:
+        for image in rows:
+            p += _row_image(t, image)
+    return bytes(p)
+
+
+def encode_binlog_file(
+    txns: list,
+    tables: dict,
+    file_name: str,
+    next_file: str | None = None,
+    server_uuid: str = "3e11fa47-71ca-11e1-9e33-c80aa9429562",
+    start_gno: int = 1,
+    base_ts: int = 1_700_000_000,
+) -> bytes:
+    """Encode transactions into one binlog file's bytes.
+
+    ``txns``: list of transactions; each is a list of ops
+    ``(table_key, row_type, before, after)`` where row_type is
+    insert/update/delete/ddl (ddl carries the statement in ``after['query']``).
+    ``tables``: table_key -> BinlogTable. Each txn becomes
+    GTID, QUERY(BEGIN), per-op TABLE_MAP + ROWS events, XID — the event
+    sequence the reference's dispatch loop consumes
+    (mysql_cdc_extractor.rs:222-340). ``next_file`` appends a ROTATE."""
+    w = _FileWriter(base_ts)
+    w.event(FORMAT_DESCRIPTION_EVENT, _fde_payload())
+    sid = bytes.fromhex(server_uuid.replace("-", ""))
+    gno = start_gno
+    for txn in txns:
+        gtid = b"\x01" + sid + struct.pack("<q", gno)
+        gtid += b"\x02" + struct.pack("<q", gno - 1) + struct.pack("<q", gno)  # logical ts
+        w.event(GTID_EVENT, gtid)
+        w.event(QUERY_EVENT, _query_payload("", "BEGIN"))
+        for table_key, row_type, before, after in txn:
+            if row_type == "ddl":
+                sch = tables[table_key].schema if table_key in tables else ""
+                w.event(QUERY_EVENT, _query_payload(sch, after["query"]))
+                continue
+            t = tables[table_key]
+            w.event(TABLE_MAP_EVENT, _table_map_payload(t))
+            if row_type == "insert":
+                w.event(WRITE_ROWS_EVENT_V2, _rows_payload(t, WRITE_ROWS_EVENT_V2, [after]))
+            elif row_type == "update":
+                w.event(UPDATE_ROWS_EVENT_V2, _rows_payload(t, UPDATE_ROWS_EVENT_V2, [(before, after)]))
+            elif row_type == "delete":
+                w.event(DELETE_ROWS_EVENT_V2, _rows_payload(t, DELETE_ROWS_EVENT_V2, [before]))
+            else:
+                raise ValueError(f"unknown row_type {row_type!r}")
+        w.event(XID_EVENT, struct.pack("<Q", gno))
+        gno += 1
+        w.ts += 1
+    if next_file:
+        w.event(ROTATE_EVENT, struct.pack("<Q", 4) + next_file.encode())
+    return bytes(w.buf)
+
+
+def _query_payload(schema: str, query: str) -> bytes:
+    s = schema.encode()
+    return (
+        struct.pack("<IIBHH", 0, 0, len(s), 0, 0) + s + b"\x00" + query.encode()
+    )
+
+
+# ---------------------------------------------------------------------------
+# parser
+# ---------------------------------------------------------------------------
+
+
+def parse_binlog_bytes(data: bytes, tables: dict, file_name: str = "") -> list[dict]:
+    """Parse one binlog file's bytes into canonical change dicts.
+
+    ``tables``: (schema, tb) -> BinlogTable supplying column NAMES and type
+    metadata overrides; the on-wire TABLE_MAP supplies types/meta, names come
+    from the registry (binlog files carry no column names — the reference
+    resolves them via meta_manager.get_tb_meta, mysql_cdc_extractor.rs:361).
+    Verifies per-event CRC32 when the FORMAT_DESCRIPTION declares it.
+    Emits insert/update/delete rows plus 'ddl' (QUERY) and 'commit' (XID)
+    markers, each stamped with (file, pos=next_event_position, gtid).
+    """
+    if data[:4] != BINLOG_MAGIC:
+        raise ValueError("not a binlog file: bad magic")
+    i, seq = 4, 0
+    checksummed = False
+    table_map: dict[int, tuple] = {}  # table_id -> (schema, tb, [(code, meta)])
+    gtid = None
+    out: list[dict] = []
+
+    def emit(pos, ts, row_type, schema, tb, before, after, xid=None):
+        nonlocal seq
+        out.append(
+            {
+                "file": file_name, "pos": pos, "seq": seq, "ts": ts, "gtid": gtid,
+                "xid": xid, "schema": schema, "tb": tb, "row_type": row_type,
+                "before": before, "after": after,
+            }
+        )
+        seq += 1
+
+    while i < len(data):
+        ts, type_code, _server, size, log_pos, _flags = _HEADER.unpack_from(data, i)
+        ev = data[i : i + size]
+        body = ev[HEADER_LEN:]
+        if type_code == FORMAT_DESCRIPTION_EVENT:
+            checksummed = body[-5] == 1
+            i += size
+            continue
+        if checksummed:
+            want = struct.unpack_from("<I", ev, size - 4)[0]
+            if zlib.crc32(ev[: size - 4]) != want:
+                raise ValueError(f"binlog CRC mismatch at offset {i}")
+            body = body[:-4]
+        if type_code == GTID_EVENT:
+            sid = body[1:17].hex()
+            sid = f"{sid[:8]}-{sid[8:12]}-{sid[12:16]}-{sid[16:20]}-{sid[20:]}"
+            gno = struct.unpack_from("<q", body, 17)[0]
+            gtid = f"{sid}:{gno}"
+        elif type_code == TABLE_MAP_EVENT:
+            table_map.update(_parse_table_map(body))
+        elif type_code in (WRITE_ROWS_EVENT_V2, UPDATE_ROWS_EVENT_V2, DELETE_ROWS_EVENT_V2):
+            for schema, tb, before, after in _parse_rows(body, type_code, table_map, tables):
+                row_type = {
+                    WRITE_ROWS_EVENT_V2: "insert",
+                    UPDATE_ROWS_EVENT_V2: "update",
+                    DELETE_ROWS_EVENT_V2: "delete",
+                }[type_code]
+                emit(log_pos, ts, row_type, schema, tb, before, after)
+        elif type_code == QUERY_EVENT:
+            schema_len = body[8]
+            status_len = struct.unpack_from("<H", body, 11)[0]
+            j = 13 + status_len
+            schema = body[j : j + schema_len].decode()
+            query = body[j + schema_len + 1 :].decode()
+            if query != "BEGIN":
+                emit(log_pos, ts, "ddl", schema, None, None, {"query": query})
+        elif type_code == XID_EVENT:
+            emit(log_pos, ts, "commit", None, None, None, None,
+                 xid=struct.unpack_from("<Q", body, 0)[0])
+        elif type_code == ROTATE_EVENT:
+            nxt = body[8:].decode()
+            emit(log_pos, ts, "rotate", None, None, None, {"next_file": nxt})
+        # PREVIOUS_GTIDS / unknown maintenance events: positions advance, no rows
+        i += size
+    return out
+
+
+def _parse_table_map(body: bytes) -> dict:
+    table_id = int.from_bytes(body[:6], "little")
+    j = 8
+    slen = body[j]
+    schema = body[j + 1 : j + 1 + slen].decode()
+    j += 1 + slen + 1
+    tlen = body[j]
+    tb = body[j + 1 : j + 1 + tlen].decode()
+    j += 1 + tlen + 1
+    n_cols, j = _read_packed(body, j)
+    codes = list(body[j : j + n_cols])
+    j += n_cols
+    meta_len, j = _read_packed(body, j)
+    meta_block = body[j : j + meta_len]
+    k = 0
+    cols = []
+    for code in codes:
+        if code == MYSQL_TYPE_VARCHAR:
+            cols.append((code, struct.unpack_from("<H", meta_block, k)[0]))
+            k += 2
+        elif code in (MYSQL_TYPE_FLOAT, MYSQL_TYPE_DOUBLE, MYSQL_TYPE_BLOB, MYSQL_TYPE_TIMESTAMP2):
+            cols.append((code, meta_block[k]))
+            k += 1
+        else:
+            cols.append((code, 0))
+    return {table_id: (schema, tb, cols)}
+
+
+def _parse_rows(body: bytes, type_code: int, table_map: dict, tables: dict):
+    table_id = int.from_bytes(body[:6], "little")
+    schema, tb, cols = table_map[table_id]
+    reg = tables.get((schema, tb))
+    if reg is None or len(reg.cols) != len(cols):
+        raise ValueError(f"no column-name registry for {schema}.{tb} ({len(cols)} cols)")
+    names = [c[0] for c in reg.cols]
+    j = 8
+    extra_len = struct.unpack_from("<H", body, j)[0]
+    j += extra_len
+    width, j = _read_packed(body, j)
+    present_bytes = (width + 7) // 8
+    present = body[j : j + present_bytes]
+    j += present_bytes
+    present2 = None
+    if type_code == UPDATE_ROWS_EVENT_V2:
+        present2 = body[j : j + present_bytes]
+        j += present_bytes
+    n_present = sum(_bit(present, c) for c in range(width))
+
+    def one_image(j, pres, n_pres):
+        null_bytes = (n_pres + 7) // 8
+        nulls = body[j : j + null_bytes]
+        j += null_bytes
+        image, pi = {}, 0
+        for c in range(width):
+            if not _bit(pres, c):
+                continue
+            if _bit(nulls, pi):
+                image[names[c]] = None
+            else:
+                code, meta = cols[c]
+                image[names[c]], j = _dec_value(code, meta, body, j)
+            pi += 1
+        return image, j
+
+    rows = []
+    while j < len(body):
+        if type_code == WRITE_ROWS_EVENT_V2:
+            after, j = one_image(j, present, n_present)
+            rows.append((schema, tb, None, after))
+        elif type_code == DELETE_ROWS_EVENT_V2:
+            before, j = one_image(j, present, n_present)
+            rows.append((schema, tb, before, None))
+        else:
+            n_present2 = sum(_bit(present2, c) for c in range(width))
+            before, j = one_image(j, present, n_present)
+            after, j = one_image(j, present2, n_present2)
+            rows.append((schema, tb, before, after))
+    return rows
+
+
+# ---------------------------------------------------------------------------
+# distributed scan
+# ---------------------------------------------------------------------------
+
+
+def read_binlog_files(spark: SparkSession, path: str, tables: dict) -> DataFrame:
+    """Distributed binlog scan: ``binaryFile`` over a directory of binlog
+    files, one whole file per task (the rotation chain is the parallelism;
+    each file decodes independently). ``seq`` is globalized as
+    (file index << 33) | within-file event seq so a single ORDER BY seq
+    reproduces (file, pos) replication order — MysqlCdcPosition.sort_key."""
+    import re
+
+    import pandas as pd
+
+    files = spark.read.format("binaryFile").load(path).select("path", "content")
+
+    def _parse(batches):
+        for pdf in batches:
+            rows = []
+            for p, content in zip(pdf["path"], pdf["content"]):
+                name = p.rsplit("/", 1)[-1]
+                m = re.search(r"\.(\d+)$", name)
+                fidx = int(m.group(1)) if m else 0
+                for r in parse_binlog_bytes(bytes(content), tables, file_name=name):
+                    r["seq"] = (fidx << 33) | r["seq"]
+                    rows.append(r)
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "file", "pos", "seq", "ts", "gtid", "xid",
+                    "schema", "tb", "row_type", "before", "after",
+                ],
+            )
+
+    return files.mapInPandas(_parse, schema=CHANGE_SCHEMA)
+
+
+def write_binlog_files(
+    txns: list, tables: dict, out_dir: str, base_name: str = "binlog", per_file: int = 0
+) -> list[str]:
+    """Write a rotation chain: ``txns`` split into files of ``per_file``
+    transactions (0 = single file), each non-final file ending in a ROTATE
+    to the next, GTID gnos continuous across the chain."""
+    import os
+
+    chunks = [txns] if not per_file else [
+        txns[i : i + per_file] for i in range(0, len(txns), per_file)
+    ]
+    names = [f"{base_name}.{i + 1:06d}" for i in range(len(chunks))]
+    paths = []
+    gno = 1
+    for i, chunk in enumerate(chunks):
+        nxt = names[i + 1] if i + 1 < len(names) else None
+        data = encode_binlog_file(
+            chunk, tables, names[i], next_file=nxt, start_gno=gno, base_ts=1_700_000_000 + gno
+        )
+        gno += len(chunk)
+        p = os.path.join(out_dir, names[i])
+        with open(p, "wb") as f:
+            f.write(data)
+        paths.append(p)
+    return paths
