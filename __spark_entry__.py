@@ -2619,6 +2619,20 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.decode_image_meta(payload, fake=True)
 
 
+def q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (Xie et al. 2023; tx.dsir_sample): hashed
+    unigram+bigram features, target = the English slice of documents, raw =
+    all documents; per-bucket importance log-ratio quantized to integer bits
+    (binary-string length of the smoothed counts — no floats anywhere), per-
+    doc integer weight sum, deterministic top-25% resample ordered by
+    (weight desc, doc_id). The DuckDB oracle recomputes the identical model."""
+    d = demo.load(spark, sf_dir, "documents")
+    import math
+
+    k = math.ceil(d.count() / 4.0)
+    return tx.dsir_sample(d, d.filter(F.col("lang") == "en"), k)
+
+
 def q_binlog_file_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MySQL binlog file-at-rest round trip (sources/binlog_file.py — the
     at-rest half of the native-CDC story; the reference consumes the same
@@ -2740,6 +2754,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- new this round (driver rows needed) ------------------------------
         "binlog_file_parse": q_binlog_file_parse,
+        "dsir_sample": q_dsir_sample,
         "substring_dedup": q_substring_dedup,
         "substring_dedup_clean": q_substring_dedup_clean,
         "ann_ivfpq": q_ann_ivfpq,
@@ -3760,6 +3775,7 @@ def oracle_sql() -> dict[str, str]:
         "heartbeat_lag": """
             SELECT epoch_ms(MAX(ts)) AS max_event_ms, COUNT(*) AS n_events FROM events
         """,
+        "dsir_sample": tx.dsir_sample_sql(),
         "binlog_file_parse": """
             SELECT o_orderkey, o_custkey,
                    CASE WHEN o_orderkey % 3 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,

@@ -1072,3 +1072,134 @@ SELECT *, r_wordcount AND r_meanlen AND r_symbol AND r_bullet AND r_ellipsis
           AND r_alpha AND r_stop AS keep
 FROM ruled
 """
+
+
+# ---------------------------------------------------------------------------
+# DSIR: data selection via importance resampling (Xie et al. 2023)
+# ---------------------------------------------------------------------------
+
+DSIR_BUCKETS = 4096
+
+
+def _hashed_features(df: DataFrame, id_col: str, text_col: str, buckets: int) -> DataFrame:
+    """One row per hashed n-gram OCCURRENCE: (id, bucket). DSIR's feature
+    space is hashed unigrams + bigrams folded into `buckets` buckets
+    (Xie et al. 2023 §2.2, the hashed n-gram generative model); the portable
+    31-polynomial hash keeps the bucketing bit-exact cross-engine."""
+    uni = df.select(F.col(id_col), F.explode(F.expr(tokens_expr(text_col))).alias("tok")).select(
+        F.col(id_col), (F.expr(portable_hash_expr("tok")) % buckets).alias("bucket")
+    )
+    bi = _doc_bigrams(df, id_col, text_col).select(
+        F.col(id_col), (F.expr(portable_hash_expr("pair")) % buckets).alias("bucket")
+    )
+    return uni.unionByName(bi)
+
+
+def dsir_weights(
+    df: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """Per-document DSIR importance weights, integer-exact.
+
+    DSIR (Xie et al. 2023, "Data Selection for Language Models via Importance
+    Resampling") fits hashed n-gram bag models on a TARGET corpus (p) and the
+    RAW corpus (q) and weights every raw document by
+    ``log w(x) = sum_f c_f (log p_f - log q_f)``. Engine log()s differ in the
+    last ulp between JVM and libm (the bigram_lm_score precedent), so the
+    per-bucket log-ratio is quantized to integer BITS:
+    ``w_b = len(bin(tc_b + 1)) - len(bin(rc_b + 1))`` — floor(log2)+1 of the
+    add-one-smoothed counts, computed by binary-string length (exact in both
+    engines, no floating point anywhere). The document weight is the sum of
+    its occurrences' bucket weights: order-independent integer arithmetic.
+
+    Scale shape: one explode per corpus -> two hash aggs whose state is the
+    bucket table (<= `buckets` rows per partition, map-side combined), the
+    bucket weight table broadcast (<= `buckets` rows), one doc-keyed agg.
+    No shuffle grows with corpus size except the final per-doc agg.
+    """
+    feats = _hashed_features(df, id_col, text_col, buckets)
+    feats_t = _hashed_features(target, id_col, text_col, buckets)
+    raw = feats.groupBy("bucket").agg(F.count(F.lit(1)).alias("rc"))
+    tgt = feats_t.groupBy("bucket").agg(F.count(F.lit(1)).alias("tc"))
+    wtab = raw.join(tgt, "bucket", "left").select(
+        "bucket",
+        (
+            F.length(F.bin(F.coalesce(F.col("tc"), F.lit(0)) + 1))
+            - F.length(F.bin(F.col("rc") + 1))
+        ).cast("long").alias("w"),
+    )
+    scored = (
+        feats.join(F.broadcast(wtab), "bucket")
+        .groupBy(id_col)
+        .agg(F.sum("w").alias("dsir_weight"))
+    )
+    return df.select(id_col).join(scored, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("dsir_weight"), F.lit(0)).cast("long").alias("dsir_weight"),
+    )
+
+
+def dsir_sample(
+    df: DataFrame,
+    target: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """Deterministic Gumbel-free DSIR resample: the top-k raw documents by
+    (importance weight desc, id asc). The paper resamples with Gumbel noise
+    for diversity; the deterministic top-k is the reproducible variant
+    (equivalent to temperature -> 0) and the cross-engine-gateable one.
+    Spark executes orderBy+limit as TakeOrdered (per-partition top-k then a
+    k-row driver merge — no global sort shuffle)."""
+    return (
+        dsir_weights(df, target, id_col, text_col, buckets)
+        .orderBy(F.col("dsir_weight").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def dsir_sample_sql(
+    table: str = "documents",
+    target_where: str = "lang = 'en'",
+    k_expr: str | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = DSIR_BUCKETS,
+) -> str:
+    """DuckDB twin of dsir_sample (same hash, same bin()-length bit
+    quantization, same (weight desc, id) tie-break)."""
+    t = tokens_sql(text_col)
+    k = k_expr or f"(SELECT CAST(ceil(COUNT(*) / 4.0) AS BIGINT) FROM {table})"
+    return f"""
+WITH toks AS (SELECT {id_col}, {t} AS t FROM {table}),
+uni AS (SELECT {id_col}, unnest(t) AS g FROM toks),
+bg AS (
+  SELECT {id_col}, t[i] || ' ' || t[i + 1] AS g
+  FROM toks, LATERAL unnest(range(1, len(t))) AS u(i)
+  WHERE len(t) >= 2),
+feats AS (
+  SELECT {id_col}, {portable_hash_sql('g')} % {buckets} AS bucket FROM uni
+  UNION ALL
+  SELECT {id_col}, {portable_hash_sql('g')} % {buckets} AS bucket FROM bg),
+tgt_ids AS (SELECT {id_col} FROM {table} WHERE {target_where}),
+raw AS (SELECT bucket, COUNT(*) AS rc FROM feats GROUP BY bucket),
+tgt AS (SELECT bucket, COUNT(*) AS tc
+        FROM feats JOIN tgt_ids USING ({id_col}) GROUP BY bucket),
+wtab AS (
+  SELECT raw.bucket,
+         CAST(length(bin(COALESCE(tc, 0) + 1)) - length(bin(rc + 1)) AS BIGINT) AS w
+  FROM raw LEFT JOIN tgt ON raw.bucket = tgt.bucket),
+scored AS (
+  SELECT feats.{id_col} AS sid, SUM(w) AS wt
+  FROM feats JOIN wtab ON feats.bucket = wtab.bucket
+  GROUP BY feats.{id_col})
+SELECT d.{id_col}, CAST(COALESCE(wt, 0) AS BIGINT) AS dsir_weight
+FROM {table} d LEFT JOIN scored ON d.{id_col} = scored.sid
+ORDER BY dsir_weight DESC, d.{id_col}
+LIMIT {k}
+"""

@@ -835,3 +835,36 @@ def test_remove_spans_applies_contamination(spark):
     spans = dd.substring_contamination_spans(train, eval_df, min_tokens=16)
     out = dd.remove_spans(train, spans).collect()[0]
     assert out["clean_text"] == pre and out["n_removed"] == 20
+
+
+def test_dsir_prefers_target_like_documents(spark):
+    """DSIR (tx.dsir_sample): documents sharing the TARGET slice's n-grams
+    must outweigh documents that only share raw-common n-grams — the
+    importance log-ratio (bit-quantized) is positive for target-heavy
+    buckets and negative for raw-only ones."""
+    rows = [
+        # target slice: distinctive vocabulary
+        (0, "quantum flux harmonics resonate across quantum flux lattices", "tgt"),
+        (1, "flux lattices entangle quantum harmonics in resonant flux", "tgt"),
+        # raw-only: vocabulary absent from the target
+        (2, "mundane ledger entries balance mundane ledger accounts", "raw"),
+        (3, "ledger accounts reconcile mundane balance sheets daily", "raw"),
+        # mixed: half target-ish
+        (4, "quantum ledger harmonics balance flux accounts", "raw"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string, grp string")
+    target = d.filter(F.col("grp") == "tgt")
+    w = {r["doc_id"]: r["dsir_weight"] for r in tx.dsir_weights(d, target).collect()}
+    assert w[0] > w[4] > w[2] and w[1] > w[4] > w[3]
+    # deterministic top-k keeps the target-like docs first
+    top = [r["doc_id"] for r in tx.dsir_sample(d, target, k=3).collect()]
+    assert set(top[:2]) == {0, 1} and top[2] == 4
+
+
+def test_dsir_weights_cover_all_docs(spark):
+    """Token-less documents weight 0 via the left join (never dropped)."""
+    d = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, ""), (3, None)], "doc_id long, text string"
+    )
+    w = {r["doc_id"]: r["dsir_weight"] for r in tx.dsir_weights(d, d.limit(1)).collect()}
+    assert set(w) == {1, 2, 3} and w[2] == 0 and w[3] == 0
