@@ -2619,6 +2619,26 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.decode_image_meta(payload, fake=True)
 
 
+def q_ivfpq_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF-PQ index maintenance (sim.ivfpq_index_append): the
+    index is TRAINED AND BUILT on the even half of the corpus only, the odd
+    half is appended with frozen codebooks (the crawl-ingest pattern), and
+    planted twins drawn from BOTH halves (vec_id % 25 == 0 — multiples of 25
+    alternate even/odd) must all resolve at rank 1 through the same
+    cell-pruned ADC + exact re-rank path. A twin from the appended half can
+    only win if append encoded it into the right cell with the frozen
+    quantizer — the gate fails if appended codes are missing, mis-celled, or
+    the union breaks pruning."""
+    emb = demo.load(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 2 == 0)
+    index = sim.ivfpq_index(base, "vec_id", "embedding")
+    index, _stale = sim.ivfpq_index_append(index, emb.filter(F.col("vec_id") % 2 == 1))
+    queries_df = emb.filter(F.col("vec_id") % 25 == 0).withColumn(
+        "vec_id", F.col("vec_id") + 100_000
+    )
+    return sim.ivfpq_index_topk(index, queries_df, "vec_id", "embedding", k=1, rerank_with=emb)
+
+
 def q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance resampling (Xie et al. 2023; tx.dsir_sample): hashed
     unigram+bigram features, target = the English slice of documents, raw =
@@ -2755,6 +2775,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new this round (driver rows needed) ------------------------------
         "binlog_file_parse": q_binlog_file_parse,
         "dsir_sample": q_dsir_sample,
+        "ivfpq_append": q_ivfpq_append,
         "substring_dedup": q_substring_dedup,
         "substring_dedup_clean": q_substring_dedup_clean,
         "ann_ivfpq": q_ann_ivfpq,
@@ -3776,6 +3797,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT epoch_ms(MAX(ts)) AS max_event_ms, COUNT(*) AS n_events FROM events
         """,
         "dsir_sample": tx.dsir_sample_sql(),
+        "ivfpq_append": """
+            SELECT vec_id + 100000 AS query_id, vec_id AS neighbor_id, 1 AS rank
+            FROM embeddings WHERE vec_id % 25 = 0
+        """,
         "binlog_file_parse": """
             SELECT o_orderkey, o_custkey,
                    CASE WHEN o_orderkey % 3 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,

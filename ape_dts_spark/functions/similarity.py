@@ -1158,9 +1158,30 @@ def ivfpq_index(
 
     cent = _train_centroids(corpus, id_col, vec_col, n_lists)
     books = _train_residual_books(corpus, id_col, vec_col, cent, m, ks)
-    sub = books.shape[2]
+
+    encoded = (
+        corpus.select(id_col, vec_col)
+        .mapInPandas(_ivfpq_encoder(cent, books, m, id_col, vec_col), schema=_IVFPQ_CODES_SCHEMA)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    encoded.count()
+    return cent, books, encoded
+
+
+_IVFPQ_CODES_SCHEMA = "id long, cell int, codes array<int>, err double"
+
+
+def _ivfpq_encoder(cent, books, m: int, id_col: str, vec_col: str):
+    """mapInPandas closure encoding vectors against FROZEN centroids +
+    residual codebooks. ``err`` is each vector's squared residual
+    reconstruction error — the quantization quality the codebooks were
+    trained to minimize, recorded so index maintenance can measure drift."""
 
     def _encode(batches):
+        import numpy as np
+        import pandas as pd
+
+        sub = books.shape[2]
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -1168,21 +1189,67 @@ def ivfpq_index(
             lists = np.argmax(vecs @ cent.T, axis=1)
             resid = vecs - cent[lists]
             codes = np.empty((len(vecs), m), dtype=np.int32)
+            recon = np.empty_like(resid)
             for j in range(m):
                 s = resid[:, j * sub : (j + 1) * sub]
                 d2 = ((s[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
                 codes[:, j] = np.argmin(d2, axis=1)
+                recon[:, j * sub : (j + 1) * sub] = books[j][codes[:, j]]
+            err = ((resid - recon) ** 2).sum(axis=1)
             yield pd.DataFrame(
-                {"id": pdf[id_col].to_numpy(), "cell": lists, "codes": list(codes)}
+                {
+                    "id": pdf[id_col].to_numpy(),
+                    "cell": lists,
+                    "codes": list(codes),
+                    "err": err,
+                }
             )
 
-    encoded = (
-        corpus.select(id_col, vec_col)
-        .mapInPandas(_encode, schema="id long, cell int, codes array<int>")
+    return _encode
+
+
+def ivfpq_index_append(
+    index,
+    new_batch: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Append a batch to a served IVF-PQ index WITHOUT retraining: encode the
+    new vectors with the FROZEN centroids + residual codebooks and union the
+    cell-partitioned codes — the production serving pattern for continuous
+    crawl ingestion (the dedup side's minhash_index/minhash_incremental_pairs
+    analogue, functions/dedup.py). At 100 TB this is an append of new
+    partition files into the cell-partitioned codes table; nothing existing
+    is rewritten and queries see the union via the same cell pruning.
+
+    Returns ``(new_index, staleness)`` where staleness = {mean_err_base,
+    mean_err_appended, staleness_ratio}: the appended batch's mean squared
+    residual quantization error over the trained base's. The codebooks were
+    trained to minimize base error, so a drifting ingest distribution shows
+    up as ratio >> 1 — the retrain signal (quantizer no longer fits the
+    data), measured from the err column alone: no vector is re-read.
+    """
+    from pyspark import StorageLevel
+
+    cent, books, encoded = index
+    m = books.shape[0]
+    appended = (
+        new_batch.select(id_col, vec_col)
+        .mapInPandas(_ivfpq_encoder(cent, books, m, id_col, vec_col), schema=_IVFPQ_CODES_SCHEMA)
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    encoded.count()
-    return cent, books, encoded
+    base_err = encoded.agg(F.avg("err")).first()[0]
+    new_err = appended.agg(F.avg("err")).first()[0]
+    union = encoded.unionByName(appended).persist(StorageLevel.MEMORY_AND_DISK)
+    union.count()
+    staleness = {
+        "mean_err_base": float(base_err) if base_err is not None else 0.0,
+        "mean_err_appended": float(new_err) if new_err is not None else 0.0,
+        "staleness_ratio": (
+            float(new_err) / float(base_err) if base_err else float("inf")
+        ),
+    }
+    return (cent, books, union), staleness
 
 
 def ivfpq_index_topk(

@@ -868,3 +868,57 @@ def test_dsir_weights_cover_all_docs(spark):
     )
     w = {r["doc_id"]: r["dsir_weight"] for r in tx.dsir_weights(d, d.limit(1)).collect()}
     assert set(w) == {1, 2, 3} and w[2] == 0 and w[3] == 0
+
+
+def test_ivfpq_index_append_matches_full_build_and_signals_staleness(spark, sf_dir):
+    """Append with frozen codebooks: (a) planted twins from the APPENDED half
+    resolve at rank 1 through the served path; (b) recall@5 of the
+    half-train+append index stays above the served-index floor; (c) the
+    staleness metric is ~1 for in-distribution appends and >> 1 for a
+    shifted batch (the retrain signal)."""
+    emb = demo.load(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 2 == 0)
+    rest = emb.filter(F.col("vec_id") % 2 == 1)
+    index = sim.ivfpq_index(base, "vec_id", "embedding")
+    index, stale = sim.ivfpq_index_append(index, rest)
+    # (c) in-distribution: appended error comparable to trained error
+    assert 0.5 < stale["staleness_ratio"] < 2.0, stale
+    # (a) twins from the appended (odd) half hit rank 1
+    odd_twins = emb.filter((F.col("vec_id") % 2 == 1) & (F.col("vec_id") % 25 == 0))
+    queries = odd_twins.withColumn("vec_id", F.col("vec_id") + 100_000)
+    hits = sim.ivfpq_index_topk(index, queries, "vec_id", "embedding", k=1, rerank_with=emb)
+    got = {(r["query_id"], r["neighbor_id"]) for r in hits.collect()}
+    want = {(r["vec_id"] + 100_000, r["vec_id"]) for r in odd_twins.collect()}
+    assert got == want
+    # (b) recall@5 of the appended index >= the served-index floor
+    q5 = emb.filter(F.col("vec_id") % 50 == 0).withColumn("vec_id", F.col("vec_id") + 100_000)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim.cosine_topk(q5, emb, "vec_id", "embedding", k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim.ivfpq_index_topk(index, q5, "vec_id", "embedding", k=5, rerank_with=emb).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.25, f"appended-index recall@5 {recall:.2f}"
+    # (c') drift detection needs a trained manifold: build on tight clusters
+    # around 4 one-hot axes (tiny quantization error), then append uniform
+    # all-ones vectors far off every axis — the ratio must scream retrain.
+    # (The random sf corpus can't show this: near-uniform unit vectors are
+    # already at max quantization error, so nothing can drift "worse".)
+    def clustered(i):
+        axis = (i % 4) * 4
+        return [
+            1.0 if j == axis else 0.001 * ((i * 31 + j) % 7) for j in range(16)
+        ]
+
+    tight = spark.createDataFrame(
+        [(i, clustered(i)) for i in range(200)], "vec_id long, embedding array<float>"
+    )
+    flat = spark.createDataFrame(
+        [(1000 + i, [0.25] * 16) for i in range(50)], "vec_id long, embedding array<float>"
+    )
+    manifold_idx = sim.ivfpq_index(tight, "vec_id", "embedding", n_lists=4, m=4, ks=4)
+    _, drift = sim.ivfpq_index_append(manifold_idx, flat)
+    assert drift["staleness_ratio"] > 2.0, drift
