@@ -2762,164 +2762,167 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The external driver gates only the FIRST 50 dict entries, so ordering is
-    # load-bearing. Round-6 rotation policy: (1) queries that are NEW or whose
-    # CODE changed this round lead (8 new + minhash_incremental, whose
-    # signature profile changed), (2) then the 50-slot window fills with the
-    # STALEST driver rows (all 41 queries last green in r03, then the oldest
-    # r04 row), (3) everything after slot 50 stays ordered by
-    # staleness so the next rotation is a prefix cut. Before any rotation
-    # ships, the FULL (non --window) tools/check.py run must be green —
-    # rotated-out queries keep local-gate + pytest coverage (cumulative goal:
-    # every query's driver row at most ~2 rounds old).
+    # load-bearing. Round-7 rotation policy: (1) queries that are NEW or whose
+    # CODE changed this round lead (binlog_file_parse, dsir_sample,
+    # ivfpq_append + ann_ivfpq_index, whose encoder was refactored), (2) then
+    # the 50-slot window fills with the STALEST driver rows (all 39 queries
+    # last green in r04, then the 7 oldest r05 rows), (3) everything after
+    # slot 50 stays ordered by staleness so the next rotation is a prefix
+    # cut. Before any rotation ships, the FULL (non --window) tools/check.py
+    # run must be green — rotated-out queries keep local-gate + pytest
+    # coverage (cumulative goal: every query's driver row at most ~2 rounds
+    # old). This literal is machine-regenerated from the CORRECTNESS_r*
+    # staleness data each rotation; duplicates are structurally impossible.
     return {
         # -- new this round (driver rows needed) ------------------------------
         "binlog_file_parse": q_binlog_file_parse,
         "dsir_sample": q_dsir_sample,
         "ivfpq_append": q_ivfpq_append,
+        # -- code changed this round (ivfpq encoder refactor + err column) ----
+        "ann_ivfpq_index": q_ann_ivfpq_index,
+        # -- stalest driver rows (last green r04) re-certify this round -------
+        "ann_ivf_index": q_ann_ivf_index,
+        "ann_lsh": q_ann_lsh,
+        "asof_attribution": q_asof_attribution,
+        "bpe_pairs": q_bpe_pairs,
+        "clf_score": q_clf_score,
+        "contamination": q_contamination,
+        "contamination_bloom": q_contamination_bloom,
+        "corpus_pipeline": q_corpus_pipeline,
+        "cosine_topk_np": q_cosine_topk_np,
+        "doc_chunks": q_doc_chunks,
+        "embedding_dedup_keep": q_embedding_dedup_keep,
+        "event_pivot": q_event_pivot,
+        "fk_apply_order": q_fk_apply_order,
+        "fluid_roundtrip": q_fluid_roundtrip,
+        "gtid_coalesce": q_gtid_coalesce,
+        "interval_join_errors": q_interval_join_errors,
+        "json_extract": q_json_extract,
+        "lang_id": q_lang_id,
+        "length_quantiles": q_length_quantiles,
+        "multimodal_decode": q_multimodal_decode,
+        "multimodal_frames": q_multimodal_frames,
+        "multimodal_meta": q_multimodal_meta,
+        "order_gaps": q_order_gaps,
+        "pii_redact": q_pii_redact,
+        "quality_score": q_quality_score,
+        "redis_rdb": q_redis_rdb,
+        "rep_stats": q_rep_stats,
+        "sequence_packing": q_sequence_packing,
+        "session_windows": q_session_windows,
+        "shuffle_shards": q_shuffle_shards,
+        "snapshot_chunked": q_snapshot_chunked,
+        "snapshot_scan": q_snapshot_scan,
+        "stratified_sample": q_stratified_sample,
+        "struct_ddl": q_struct_ddl,
+        "subscription_feed": q_subscription_feed,
+        "token_mix": q_token_mix,
+        "vocab_topk": q_vocab_topk,
+        "waiting_suppliers": q_waiting_suppliers,
+        "windowed_counts": q_windowed_counts,
+        # -- oldest r05 rows fill the window to slot 50 -----------------------
+        "ddl_parse": q_ddl_parse,
+        "dcl_parse": q_dcl_parse,
+        "topic_route": q_topic_route,
+        "monitor_rollup": q_monitor_rollup,
+        "heartbeat_lag": q_heartbeat_lag,
+        "partition_lanes": q_partition_lanes,
+        "binlog_order": q_binlog_order,
+        # ---------------------------- slot 50 ends here ----------------------
+        # -- driver-green in r05/r06; local gate + pytest keep them, ordered --
+        #    by staleness so the next rotation is a prefix cut ----------------
+        "ann_pq": q_ann_pq,
+        "ann_pq_index": q_ann_pq_index,
+        "bigram_lm_score": q_bigram_lm_score,
+        "ccnet_buckets": q_ccnet_buckets,
+        "cdc_apply_state": q_cdc_apply_state,
+        "cheapest_shipment": q_cheapest_shipment,
+        "checker_diff": q_checker_diff,
+        "continuous_rollup": q_continuous_rollup,
+        "cosine_dup_pairs": q_cosine_dup_pairs,
+        "cosine_topk": q_cosine_topk,
+        "curation_v2": q_curation_v2,
+        "ddl_in_stream": q_ddl_in_stream,
+        "dead_letter": q_dead_letter,
+        "dedup_cluster": q_dedup_cluster,
+        "dedup_cluster_star": q_dedup_cluster_star,
+        "dedup_exact": q_dedup_exact,
+        "disjunctive_revenue": q_disjunctive_revenue,
+        "gopher_rules": q_gopher_rules,
+        "important_parts": q_important_parts,
+        "large_orders": q_large_orders,
+        "merge_compact": q_merge_compact,
+        "minhash_lsh": q_minhash_lsh,
+        "multimodal_features": q_multimodal_features,
+        "multimodal_resize": q_multimodal_resize,
+        "nation_trade_flows": q_nation_trade_flows,
+        "ngram_minhash": q_ngram_minhash,
+        "orc_roundtrip": q_orc_roundtrip,
+        "pricing_summary": q_pricing_summary,
+        "salted_join": q_salted_join,
+        "semantic_dedup": q_semantic_dedup,
+        "simhash_pairs": q_simhash_pairs,
+        "sliding_counts": q_sliding_counts,
+        "source_caps": q_source_caps,
+        "span_dedup": q_span_dedup,
+        "stateful_dedup": q_stateful_dedup,
+        "stream_e2e": q_stream_e2e,
+        "stream_join": q_stream_join,
+        "struct_check_report": q_struct_check_report,
+        "struct_objects": q_struct_objects,
+        "temperature_mix": q_temperature_mix,
+        "tfidf_topterms": q_tfidf_topterms,
+        "top_supplier": q_top_supplier,
+        "ann_ivf": q_ann_ivf,
+        "ann_ivfpq": q_ann_ivfpq,
+        "avro_roundtrip": q_avro_roundtrip,
+        "checker_summary": q_checker_summary,
+        "customer_set_ops": q_customer_set_ops,
+        "data_marker_filter": q_data_marker_filter,
+        "ddl_split": q_ddl_split,
+        "doc_fingerprint": q_doc_fingerprint,
+        "event_filter": q_event_filter,
+        "jaccard_pairs": q_jaccard_pairs,
+        "lapsed_customers": q_lapsed_customers,
+        "merge_spill": q_merge_spill,
+        "minhash_incremental": q_minhash_incremental,
+        "mongo_compact": q_mongo_compact,
+        "mongo_statements": q_mongo_statements,
+        "ngram_jaccard": q_ngram_jaccard,
+        "order_count_histogram": q_order_count_histogram,
+        "parts_never_shipped": q_parts_never_shipped,
+        "priority_grouping_sets": q_priority_grouping_sets,
+        "priority_with_returns": q_priority_with_returns,
+        "py_transform": q_py_transform,
+        "redis_big_keys": q_redis_big_keys,
+        "redis_compact": q_redis_compact,
+        "redis_slot_stats": q_redis_slot_stats,
+        "redis_statements": q_redis_statements,
+        "revenue_by_nation": q_revenue_by_nation,
+        "reverse_events": q_reverse_events,
+        "review": q_review,
+        "revise": q_revise,
+        "route_rename": q_route_rename,
+        "script_transform": q_script_transform,
+        "segment_rollup": q_segment_rollup,
+        "small_order_parts": q_small_order_parts,
+        "snapshot_resume": q_snapshot_resume,
+        "snapshot_sample": q_snapshot_sample,
+        "soft_delete_apply": q_soft_delete_apply,
+        "struct_revise": q_struct_revise,
+        "substring_contamination": q_substring_contamination,
         "substring_dedup": q_substring_dedup,
         "substring_dedup_clean": q_substring_dedup_clean,
-        "ann_ivfpq": q_ann_ivfpq,
-        "ann_ivfpq_index": q_ann_ivfpq_index,
-        "ddl_split": q_ddl_split,
-        "substring_contamination": q_substring_contamination,
-        "struct_revise": q_struct_revise,
-        # -- code changed this round (cheap signature profile) ----------------
-        "minhash_incremental": q_minhash_incremental,
-        # -- stalest driver rows (last green r03) re-certify this round -------
-        "snapshot_resume": q_snapshot_resume,
-        "merge_spill": q_merge_spill,
-        "checker_summary": q_checker_summary,
-        "revise": q_revise,
-        "review": q_review,
+        "table_stats": q_table_stats,
+        "time_filter": q_time_filter,
+        "token_stats": q_token_stats,
+        "top_orders_per_cust": q_top_orders_per_cust,
+        "update_split": q_update_split,
+        "upsert_sql_batch": q_upsert_sql_batch,
         "upsert_sql_mysql": q_upsert_sql_mysql,
         "upsert_sql_pg": q_upsert_sql_pg,
         "wire_roundtrip": q_wire_roundtrip,
-        "avro_roundtrip": q_avro_roundtrip,
-        "py_transform": q_py_transform,
-        "soft_delete_apply": q_soft_delete_apply,
-        "data_marker_filter": q_data_marker_filter,
-        "mongo_compact": q_mongo_compact,
-        "redis_compact": q_redis_compact,
-        "jaccard_pairs": q_jaccard_pairs,
-        "ngram_jaccard": q_ngram_jaccard,
-        "snapshot_sample": q_snapshot_sample,
-        "upsert_sql_batch": q_upsert_sql_batch,
-        "event_filter": q_event_filter,
-        "time_filter": q_time_filter,
-        "route_rename": q_route_rename,
-        "reverse_events": q_reverse_events,
-        "update_split": q_update_split,
-        "script_transform": q_script_transform,
-        "mongo_statements": q_mongo_statements,
-        "redis_statements": q_redis_statements,
-        "redis_slot_stats": q_redis_slot_stats,
-        "redis_big_keys": q_redis_big_keys,
-        "revenue_by_nation": q_revenue_by_nation,
-        "top_orders_per_cust": q_top_orders_per_cust,
-        "priority_with_returns": q_priority_with_returns,
-        "parts_never_shipped": q_parts_never_shipped,
-        "segment_rollup": q_segment_rollup,
-        "customer_set_ops": q_customer_set_ops,
-        "priority_grouping_sets": q_priority_grouping_sets,
-        "table_stats": q_table_stats,
-        "small_order_parts": q_small_order_parts,
-        "order_count_histogram": q_order_count_histogram,
-        "lapsed_customers": q_lapsed_customers,
-        "doc_fingerprint": q_doc_fingerprint,
-        "token_stats": q_token_stats,
-        # -- stalest r04-era rows fill the window to slot 50 ------------------
-        "ann_ivf": q_ann_ivf,
-        "ann_lsh": q_ann_lsh,
-        "contamination_bloom": q_contamination_bloom,
-        "clf_score": q_clf_score,
-        "lang_id": q_lang_id,
-        "sequence_packing": q_sequence_packing,
-        # ---------------------------- slot 50 ends here ----------------------
-        # -- driver-green in r04/r05; local gate + pytest keep them, ordered --
-        #    by staleness so the next rotation is a prefix cut ----------------
-        "token_mix": q_token_mix,
-        "fluid_roundtrip": q_fluid_roundtrip,
-        "subscription_feed": q_subscription_feed,
-        "struct_ddl": q_struct_ddl,
-        "cosine_topk_np": q_cosine_topk_np,
-        "quality_score": q_quality_score,
-        "pii_redact": q_pii_redact,
-        "stratified_sample": q_stratified_sample,
-        "multimodal_frames": q_multimodal_frames,
-        "windowed_counts": q_windowed_counts,
-        "rep_stats": q_rep_stats,
-        "length_quantiles": q_length_quantiles,
-        "session_windows": q_session_windows,
-        "fk_apply_order": q_fk_apply_order,
-        "multimodal_meta": q_multimodal_meta,
-        "multimodal_decode": q_multimodal_decode,
-        "json_extract": q_json_extract,
-        "redis_rdb": q_redis_rdb,
-        "contamination": q_contamination,
-        "shuffle_shards": q_shuffle_shards,
-        "vocab_topk": q_vocab_topk,
-        "embedding_dedup_keep": q_embedding_dedup_keep,
-        "ann_ivf_index": q_ann_ivf_index,
-        "doc_chunks": q_doc_chunks,
-        "bpe_pairs": q_bpe_pairs,
-        "corpus_pipeline": q_corpus_pipeline,
-        "asof_attribution": q_asof_attribution,
-        "interval_join_errors": q_interval_join_errors,
-        "event_pivot": q_event_pivot,
-        "waiting_suppliers": q_waiting_suppliers,
-        "order_gaps": q_order_gaps,
-        "gtid_coalesce": q_gtid_coalesce,
-        "snapshot_scan": q_snapshot_scan,
-        "snapshot_chunked": q_snapshot_chunked,
-        "important_parts": q_important_parts,
-        "top_supplier": q_top_supplier,
-        "bigram_lm_score": q_bigram_lm_score,
-        "source_caps": q_source_caps,
-        "binlog_order": q_binlog_order,
-        "topic_route": q_topic_route,
-        "monitor_rollup": q_monitor_rollup,
-        "partition_lanes": q_partition_lanes,
-        "ddl_parse": q_ddl_parse,
-        "dcl_parse": q_dcl_parse,
-        "tfidf_topterms": q_tfidf_topterms,
-        "heartbeat_lag": q_heartbeat_lag,
-        "nation_trade_flows": q_nation_trade_flows,
-        "salted_join": q_salted_join,
-        "ddl_in_stream": q_ddl_in_stream,
-        "sliding_counts": q_sliding_counts,
-        "stream_e2e": q_stream_e2e,
-        "stateful_dedup": q_stateful_dedup,
-        "struct_objects": q_struct_objects,
-        "orc_roundtrip": q_orc_roundtrip,
-        "large_orders": q_large_orders,
-        "disjunctive_revenue": q_disjunctive_revenue,
-        "continuous_rollup": q_continuous_rollup,
-        "struct_check_report": q_struct_check_report,
-        "multimodal_features": q_multimodal_features,
-        "multimodal_resize": q_multimodal_resize,
-        "dedup_cluster_star": q_dedup_cluster_star,
-        "ccnet_buckets": q_ccnet_buckets,
-        "temperature_mix": q_temperature_mix,
-        "ann_pq": q_ann_pq,
-        "ann_pq_index": q_ann_pq_index,
-        "gopher_rules": q_gopher_rules,
-        "cheapest_shipment": q_cheapest_shipment,
-        "stream_join": q_stream_join,
-        "curation_v2": q_curation_v2,
-        "dead_letter": q_dead_letter,
-        "pricing_summary": q_pricing_summary,
-        "checker_diff": q_checker_diff,
-        "merge_compact": q_merge_compact,
-        "cdc_apply_state": q_cdc_apply_state,
-        "dedup_exact": q_dedup_exact,
-        "minhash_lsh": q_minhash_lsh,
-        "ngram_minhash": q_ngram_minhash,
-        "simhash_pairs": q_simhash_pairs,
-        "dedup_cluster": q_dedup_cluster,
-        "semantic_dedup": q_semantic_dedup,
-        "span_dedup": q_span_dedup,
-        "cosine_dup_pairs": q_cosine_dup_pairs,
-        "cosine_topk": q_cosine_topk,
+
     }
 
 

@@ -337,7 +337,9 @@ def _query_payload(schema: str, query: str) -> bytes:
 # ---------------------------------------------------------------------------
 
 
-def parse_binlog_bytes(data: bytes, tables: dict, file_name: str = "") -> list[dict]:
+def parse_binlog_bytes(
+    data: bytes, tables: dict, file_name: str = "", start_pos: int = 0
+) -> list[dict]:
     """Parse one binlog file's bytes into canonical change dicts.
 
     ``tables``: (schema, tb) -> BinlogTable supplying column NAMES and type
@@ -347,6 +349,12 @@ def parse_binlog_bytes(data: bytes, tables: dict, file_name: str = "") -> list[d
     Verifies per-event CRC32 when the FORMAT_DESCRIPTION declares it.
     Emits insert/update/delete rows plus 'ddl' (QUERY) and 'commit' (XID)
     markers, each stamped with (file, pos=next_event_position, gtid).
+
+    ``start_pos``: checkpoint resume (the reference's
+    StartPosition::BinlogPosition, mysql_cdc_extractor.rs:144-145) — events
+    whose end position is <= start_pos are decoded for CONTEXT (TABLE_MAP /
+    GTID state must be warm) but not emitted, so a resumed parse replays
+    nothing the checkpoint already covers.
     """
     if data[:4] != BINLOG_MAGIC:
         raise ValueError("not a binlog file: bad magic")
@@ -358,6 +366,9 @@ def parse_binlog_bytes(data: bytes, tables: dict, file_name: str = "") -> list[d
 
     def emit(pos, ts, row_type, schema, tb, before, after, xid=None):
         nonlocal seq
+        if pos <= start_pos:
+            seq += 1  # seq stays aligned with the unresumed parse
+            return
         out.append(
             {
                 "file": file_name, "pos": pos, "seq": seq, "ts": ts, "gtid": gtid,
@@ -499,15 +510,30 @@ def _parse_rows(body: bytes, type_code: int, table_map: dict, tables: dict):
 # ---------------------------------------------------------------------------
 
 
-def read_binlog_files(spark: SparkSession, path: str, tables: dict) -> DataFrame:
+def read_binlog_files(
+    spark: SparkSession,
+    path: str,
+    tables: dict,
+    start_file: str | None = None,
+    start_pos: int = 0,
+) -> DataFrame:
     """Distributed binlog scan: ``binaryFile`` over a directory of binlog
     files, one whole file per task (the rotation chain is the parallelism;
     each file decodes independently). ``seq`` is globalized as
     (file index << 33) | within-file event seq so a single ORDER BY seq
-    reproduces (file, pos) replication order — MysqlCdcPosition.sort_key."""
+    reproduces (file, pos) replication order — MysqlCdcPosition.sort_key.
+
+    ``(start_file, start_pos)``: checkpoint resume — files before
+    ``start_file`` in rotation order are skipped entirely (partition pruning
+    on the file index), and within ``start_file`` only events past
+    ``start_pos`` are emitted."""
     import re
 
     import pandas as pd
+
+    from ape_dts_spark.model.position import MysqlCdcPosition
+
+    start_idx = MysqlCdcPosition(start_file, start_pos).file_index() if start_file else -1
 
     files = spark.read.format("binaryFile").load(path).select("path", "content")
 
@@ -518,7 +544,12 @@ def read_binlog_files(spark: SparkSession, path: str, tables: dict) -> DataFrame
                 name = p.rsplit("/", 1)[-1]
                 m = re.search(r"\.(\d+)$", name)
                 fidx = int(m.group(1)) if m else 0
-                for r in parse_binlog_bytes(bytes(content), tables, file_name=name):
+                if fidx < start_idx:
+                    continue
+                pos0 = start_pos if fidx == start_idx else 0
+                for r in parse_binlog_bytes(
+                    bytes(content), tables, file_name=name, start_pos=pos0
+                ):
                     r["seq"] = (fidx << 33) | r["seq"]
                     rows.append(r)
             yield pd.DataFrame(

@@ -211,3 +211,31 @@ def test_replay_equivalence_through_apply_path(spark, tmp_path):
     for i in range(5, 21, 5):
         del expected[i]
     assert state == expected
+
+
+def test_resume_from_checkpoint_position(spark, tmp_path):
+    """StartPosition::BinlogPosition parity (mysql_cdc_extractor.rs:144-145):
+    a parse resumed from a checkpoint (file, pos) emits exactly the events
+    the full parse has after that position — context (TABLE_MAP/GTID) stays
+    warm across the skipped prefix, earlier files are pruned entirely."""
+    txns = [[(("db", "users"), "insert", None, dict(ROW1, id=i))] for i in range(1, 10)]
+    out = str(tmp_path / "logs")
+    os.makedirs(out)
+    bf.write_binlog_files(txns, TABLES, out, per_file=3)
+
+    full = bf.read_binlog_files(spark, out, TABLES).collect()
+    full_by_seq = {r["seq"]: r for r in full}
+    # checkpoint = the commit of txn 5 (file 2): resume must yield only later
+    ckpt = next(
+        r for r in sorted(full, key=lambda r: r["seq"])
+        if r["row_type"] == "commit" and r["xid"] == 5
+    )
+    resumed = bf.read_binlog_files(
+        spark, out, TABLES, start_file=ckpt["file"], start_pos=ckpt["pos"]
+    ).collect()
+    got = sorted(r["seq"] for r in resumed)
+    want = sorted(s for s, r in full_by_seq.items() if s > ckpt["seq"])
+    assert got == want
+    # inserts 6..9 present with warm table-map context, 1..5 absent
+    ids = sorted(int(r["after"]["id"]) for r in resumed if r["row_type"] == "insert")
+    assert ids == [6, 7, 8, 9]

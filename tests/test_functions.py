@@ -179,10 +179,11 @@ def test_ann_family_recall_at_5(spark, sf_dir):
     kernels = {
         "lsh": (lambda: sim.lsh_ann_topk(queries, emb, "vec_id", "embedding", dim=64, k=5), 0.30),
         "ivf": (lambda: sim.ivf_topk(queries, emb, "vec_id", "embedding", k=5), 0.55),
-        "pq": (lambda: sim.pq_topk(queries, emb, "vec_id", "embedding", m=8, ks=16, k=5), 0.45),
-        # composite IVF-PQ: fused (exact in-batch re-rank, measured 0.70)
-        # and served+reranked (ADC-bounded candidates, measured 0.44)
-        "ivfpq": (lambda: sim.ivfpq_topk(queries, emb, "vec_id", "embedding", k=5), 0.45),
+        "pq": (lambda: sim.pq_topk(queries, emb, "vec_id", "embedding", m=8, ks=16, k=5), 0.50),
+        # composite IVF-PQ: fused (exact in-batch re-rank, measured 0.70 —
+        # floor tightened r7 per VERDICT: a halving of real recall must
+        # fail, wide-margin variants only; lsh stays slack at 0.30)
+        "ivfpq": (lambda: sim.ivfpq_topk(queries, emb, "vec_id", "embedding", k=5), 0.55),
         "ivfpq_index": (
             lambda: sim.ivfpq_index_topk(
                 ivfpq_idx, queries, "vec_id", "embedding", k=5, rerank_with=emb

@@ -38,6 +38,9 @@ QUERIES = [
     "bigram_lm_score",
     "minhash_lsh",
     "jaccard_pairs",
+    # exact char-shingle PPJoin — the one exact kernel whose candidate stage
+    # scales with distinct-content pair density (VERDICT r6 asked for its row)
+    "ngram_jaccard",
     "ngram_minhash",
     "simhash_pairs",
     "cosine_dup_pairs",
@@ -51,6 +54,8 @@ QUERIES = [
     "contamination_bloom",
     # round-6 addition: exact-substring dedup (Lee et al. dup-span finder)
     "substring_dedup",
+    # round-7 addition: DSIR importance resampling (bucket-table aggs)
+    "dsir_sample",
 ]
 
 
