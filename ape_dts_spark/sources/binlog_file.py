@@ -54,9 +54,15 @@ MYSQL_TYPE_FLOAT = 4
 MYSQL_TYPE_DOUBLE = 5
 MYSQL_TYPE_LONGLONG = 8
 MYSQL_TYPE_INT24 = 9
+MYSQL_TYPE_DATE = 10
 MYSQL_TYPE_VARCHAR = 15
 MYSQL_TYPE_TIMESTAMP2 = 17
+MYSQL_TYPE_DATETIME2 = 18
+MYSQL_TYPE_NEWDECIMAL = 246
 MYSQL_TYPE_BLOB = 252
+
+# digits -> bytes for one NEWDECIMAL group (public decimal binary format)
+_DEC_DIG2BYTES = (0, 1, 1, 2, 2, 3, 3, 4, 4, 4)
 
 _HEADER = struct.Struct("<IBIIIH")  # ts, type, server_id, event_size, log_pos, flags
 HEADER_LEN = 19
@@ -122,13 +128,78 @@ def _bit(bm: bytes, i: int) -> bool:
 
 def _meta_bytes(type_code: int, meta: int) -> bytes:
     """Per-type metadata encoding in TABLE_MAP (2-byte LE for VARCHAR,
-    1 byte for FLOAT/DOUBLE size, BLOB length-size and TIMESTAMP2 fsp,
-    none for the fixed-width integers)."""
+    1 byte for FLOAT/DOUBLE size, BLOB length-size and TIMESTAMP2/DATETIME2
+    fsp, 2 separate bytes (precision, scale) for NEWDECIMAL — packed here as
+    precision << 8 | scale — none for the fixed-width integers)."""
     if type_code == MYSQL_TYPE_VARCHAR:
         return struct.pack("<H", meta)
-    if type_code in (MYSQL_TYPE_FLOAT, MYSQL_TYPE_DOUBLE, MYSQL_TYPE_BLOB, MYSQL_TYPE_TIMESTAMP2):
+    if type_code == MYSQL_TYPE_NEWDECIMAL:
+        return bytes([meta >> 8, meta & 0xFF])
+    if type_code in (
+        MYSQL_TYPE_FLOAT, MYSQL_TYPE_DOUBLE, MYSQL_TYPE_BLOB,
+        MYSQL_TYPE_TIMESTAMP2, MYSQL_TYPE_DATETIME2,
+    ):
         return bytes([meta])
     return b""
+
+
+def _dec_group_count(digits: int) -> int:
+    """Byte length of one decimal side (full 9-digit groups + leftover)."""
+    full, rest = divmod(digits, 9)
+    return full * 4 + _DEC_DIG2BYTES[rest]
+
+
+def _enc_decimal(v, precision: int, scale: int) -> bytes:
+    """MySQL NEWDECIMAL binary image: both sides split big-endian into
+    9-digit groups (1-4 bytes each), sign carried by inverting all bytes for
+    negatives, MSB of the first byte always flipped."""
+    from decimal import Decimal
+
+    d = Decimal(str(v)).scaleb(scale).to_integral_value()
+    neg = d < 0
+    digits = str(abs(int(d))).rjust(precision, "0")
+    intg = precision - scale
+    out = bytearray()
+    for side, width in ((digits[:intg], intg), (digits[intg:], scale)):
+        rest = width % 9
+        pos = 0
+        if rest:
+            out += int(side[:rest] or "0").to_bytes(_DEC_DIG2BYTES[rest], "big")
+            pos = rest
+        while pos < width:
+            out += int(side[pos : pos + 9]).to_bytes(4, "big")
+            pos += 9
+    if neg:
+        out = bytearray(b ^ 0xFF for b in out)
+    out[0] ^= 0x80
+    return bytes(out)
+
+
+def _dec_decimal(b: bytes, i: int, precision: int, scale: int) -> tuple[str, int]:
+    intg = precision - scale
+    n = _dec_group_count(intg) + _dec_group_count(scale)
+    raw = bytearray(b[i : i + n])
+    neg = not (raw[0] & 0x80)
+    raw[0] ^= 0x80
+    if neg:
+        raw = bytearray(x ^ 0xFF for x in raw)
+    digits = ""
+    pos = 0
+    for width in (intg, scale):
+        rest = width % 9
+        if rest:
+            nb = _DEC_DIG2BYTES[rest]
+            digits += str(int.from_bytes(raw[pos : pos + nb], "big")).rjust(rest, "0")
+            pos += nb
+        for _ in range(width // 9):
+            digits += str(int.from_bytes(raw[pos : pos + 4], "big")).rjust(9, "0")
+            pos += 4
+    ip = digits[:intg].lstrip("0") or "0"
+    fp = digits[intg:]
+    text = f"{ip}.{fp}" if scale else ip
+    if neg and any(c != "0" for c in digits):
+        text = "-" + text
+    return text, i + n
 
 
 # ---------------------------------------------------------------------------
@@ -167,6 +238,28 @@ def _enc_value(type_code: int, meta: int, v) -> bytes:
         if fsp_bytes:
             out += (frac // (10 ** (6 - meta))).to_bytes(fsp_bytes, "big")
         return out
+    if type_code == MYSQL_TYPE_DATE:
+        # 3-byte LE packed: day | month << 5 | year << 9; value 'YYYY-MM-DD'
+        y, mo, d = (int(p) for p in str(v).split("-"))
+        return (d | (mo << 5) | (y << 9)).to_bytes(3, "little")
+    if type_code == MYSQL_TYPE_DATETIME2:
+        # 5-byte big-endian packed calendar fields + fractional like TS2;
+        # value 'YYYY-MM-DD HH:MM:SS[.ffffff]'
+        datepart, timepart = str(v).split(" ")
+        y, mo, d = (int(p) for p in datepart.split("-"))
+        hms, _, fracs = timepart.partition(".")
+        h, mi, s = (int(p) for p in hms.split(":"))
+        packed = (
+            (1 << 39) | ((y * 13 + mo) << 22) | (d << 17) | (h << 12) | (mi << 6) | s
+        )
+        out = packed.to_bytes(5, "big")
+        fsp_bytes = (meta + 1) // 2
+        if fsp_bytes:
+            frac = int(fracs.ljust(6, "0")[:6]) if fracs else 0
+            out += (frac // (10 ** (6 - meta))).to_bytes(fsp_bytes, "big")
+        return out
+    if type_code == MYSQL_TYPE_NEWDECIMAL:
+        return _enc_decimal(v, meta >> 8, meta & 0xFF)
     raise NotImplementedError(f"binlog writer: unsupported column type {type_code}")
 
 
@@ -208,6 +301,25 @@ def _dec_value(type_code: int, meta: int, b: bytes, i: int) -> tuple[str, int]:
             frac = int.from_bytes(b[i : i + fsp_bytes], "big") * (10 ** (6 - meta))
             i += fsp_bytes
         return str(sec * 1_000_000 + frac), i
+    if type_code == MYSQL_TYPE_DATE:
+        ymd = int.from_bytes(b[i : i + 3], "little")
+        return f"{ymd >> 9:04d}-{(ymd >> 5) & 15:02d}-{ymd & 31:02d}", i + 3
+    if type_code == MYSQL_TYPE_DATETIME2:
+        packed = int.from_bytes(b[i : i + 5], "big")
+        i += 5
+        ym = (packed >> 22) & ((1 << 17) - 1)
+        text = (
+            f"{ym // 13:04d}-{ym % 13:02d}-{(packed >> 17) & 31:02d} "
+            f"{(packed >> 12) & 31:02d}:{(packed >> 6) & 63:02d}:{packed & 63:02d}"
+        )
+        fsp_bytes = (meta + 1) // 2
+        if fsp_bytes:
+            frac = int.from_bytes(b[i : i + fsp_bytes], "big") * (10 ** (6 - meta))
+            i += fsp_bytes
+            text += f".{frac:06d}"
+        return text, i
+    if type_code == MYSQL_TYPE_NEWDECIMAL:
+        return _dec_decimal(b, i, meta >> 8, meta & 0xFF)
     raise NotImplementedError(f"binlog parser: unsupported column type {type_code}")
 
 
@@ -445,7 +557,13 @@ def _parse_table_map(body: bytes) -> dict:
         if code == MYSQL_TYPE_VARCHAR:
             cols.append((code, struct.unpack_from("<H", meta_block, k)[0]))
             k += 2
-        elif code in (MYSQL_TYPE_FLOAT, MYSQL_TYPE_DOUBLE, MYSQL_TYPE_BLOB, MYSQL_TYPE_TIMESTAMP2):
+        elif code == MYSQL_TYPE_NEWDECIMAL:
+            cols.append((code, (meta_block[k] << 8) | meta_block[k + 1]))
+            k += 2
+        elif code in (
+            MYSQL_TYPE_FLOAT, MYSQL_TYPE_DOUBLE, MYSQL_TYPE_BLOB,
+            MYSQL_TYPE_TIMESTAMP2, MYSQL_TYPE_DATETIME2,
+        ):
             cols.append((code, meta_block[k]))
             k += 1
         else:

@@ -98,7 +98,7 @@ def test_bad_magic_rejected():
 
 
 def test_unsupported_type_is_honest():
-    t = bf.BinlogTable("db", "t", (("d", 246, 0),), 7)  # NEWDECIMAL
+    t = bf.BinlogTable("db", "t", (("d", 255, 0),), 7)  # GEOMETRY
     with pytest.raises(NotImplementedError):
         bf.encode_binlog_file([[(("db", "t"), "insert", None, {"d": 1})]], {("db", "t"): t}, "b.1")
 
@@ -239,3 +239,46 @@ def test_resume_from_checkpoint_position(spark, tmp_path):
     # inserts 6..9 present with warm table-map context, 1..5 absent
     ids = sorted(int(r["after"]["id"]) for r in resumed if r["row_type"] == "insert")
     assert ids == [6, 7, 8, 9]
+
+
+def test_decimal_date_datetime_codecs_roundtrip():
+    """NEWDECIMAL (9-digit group packing, sign inversion), DATE (3-byte
+    packed) and DATETIME2 (5-byte packed calendar + fractional) round-trip
+    bit-exactly, including negatives, signed zero-scale edges, fsp 0 and 6 —
+    the remaining common types of the reference's column convertor
+    (MysqlColValueConvertor::from_binlog)."""
+    t = bf.BinlogTable(
+        "db", "pricing",
+        (
+            ("id", bf.MYSQL_TYPE_LONGLONG, 0),
+            ("price", bf.MYSQL_TYPE_NEWDECIMAL, (12 << 8) | 2),
+            ("rate", bf.MYSQL_TYPE_NEWDECIMAL, (20 << 8) | 10),
+            ("day", bf.MYSQL_TYPE_DATE, 0),
+            ("at6", bf.MYSQL_TYPE_DATETIME2, 6),
+            ("at0", bf.MYSQL_TYPE_DATETIME2, 0),
+        ),
+        7,
+    )
+    tables = {("db", "pricing"): t}
+    cases = [
+        {"id": 1, "price": "1234567890.12", "rate": "0.0000000001",
+         "day": "1997-03-05", "at6": "2024-02-29 23:59:59.123456",
+         "at0": "1970-01-01 00:00:00"},
+        {"id": 2, "price": "-987.65", "rate": "-3.1415926535",
+         "day": "2000-01-01", "at6": "1999-12-31 00:00:01.000001",
+         "at0": "2038-01-19 03:14:07"},
+        {"id": 3, "price": "0.00", "rate": "0.0000000000",
+         "day": "2024-12-31", "at6": "2001-01-01 01:01:01.000000",
+         "at0": "2001-01-01 01:01:01"},
+        {"id": 4, "price": "-0.01", "rate": "123456789.9999999999",
+         "day": "1992-07-14", "at6": "2010-06-15 12:30:45.500000",
+         "at0": "2010-06-15 12:30:45"},
+    ]
+    txns = [[(("db", "pricing"), "insert", None, c)] for c in cases]
+    data = bf.encode_binlog_file(txns, tables, "binlog.000001")
+    evs = [
+        e for e in bf.parse_binlog_bytes(data, tables, "binlog.000001")
+        if e["row_type"] == "insert"
+    ]
+    for c, e in zip(cases, evs):
+        assert e["after"] == {k: str(v) for k, v in c.items()}
