@@ -2750,6 +2750,282 @@ def q_binlog_file_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pgoutput_file_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PG pgoutput captured-stream round trip (sources/pgoutput_file.py —
+    the at-rest half of the PG native-CDC story; the reference consumes the
+    same message stream over a replication socket, pg_cdc_extractor.rs:
+    169-224): a deterministic change history for a subset of customer
+    (insert all keys c_custkey%19==2, then update c_mktsegment->'X' for
+    %3==0, then delete %5==0) is encoded into REAL pgoutput bytes —
+    XLogData-framed Begin/Relation/Insert/Update/Delete/Commit messages,
+    big-endian wire ints, text-format tuples, replica-identity-default old
+    images, LSNs continuous across a 3-segment chain — then re-read with the
+    distributed binaryFile scan and replayed to final state (one window
+    shuffle keyed on c_custkey). The oracle computes the same final state
+    straight from customer, so any byte-level encode/decode error,
+    mis-ordered commit, lost row image or broken LSN continuity diverges.
+    The fixture collect is the bounded key subset (fixture generator, like
+    q_binlog_file_parse)."""
+    import hashlib
+    import inspect
+    import tempfile
+
+    from ape_dts_spark.sources import pgoutput_file as pgf
+
+    t = pgf.PgTable(
+        "public", "customer",
+        (
+            ("c_custkey", 20, True),
+            ("c_name", 25, False),
+            ("c_nationkey", 20, False),
+            ("c_acctbal", 701, False),
+            ("c_mktsegment", 25, False),
+        ),
+        rel_id=501,
+    )
+    tables = {("public", "customer"): t}
+    data_sig = "|".join(
+        f"{f}:{os.path.getmtime(p)}:{os.path.getsize(p)}"
+        for f in sorted(os.listdir(sf_dir))
+        if os.path.isfile(p := os.path.join(sf_dir, f))
+    )
+    tag = hashlib.sha1(
+        (sf_dir + data_sig + inspect.getsource(pgf) + inspect.getsource(q_pgoutput_file_parse)).encode()
+    ).hexdigest()[:10]
+    log_dir = os.path.join(tempfile.gettempdir(), f"ape_pgwal_{tag}")
+    if not (os.path.isdir(log_dir) and os.listdir(log_dir)):
+        rows = (
+            demo.load(spark, sf_dir, "customer")
+            .filter(F.col("c_custkey") % 19 == 2)
+            .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+            .orderBy("c_custkey")
+            .collect()
+        )
+        images = {
+            r["c_custkey"]: {
+                "c_custkey": r["c_custkey"], "c_name": r["c_name"],
+                "c_nationkey": r["c_nationkey"], "c_acctbal": r["c_acctbal"],
+                "c_mktsegment": r["c_mktsegment"],
+            }
+            for r in rows
+        }
+        tkey = ("public", "customer")
+        ops = [(tkey, "insert", None, img) for img in images.values()]
+        for k in sorted(images):
+            if k % 3 == 0:
+                before = images[k]
+                images[k] = dict(before, c_mktsegment="X")
+                ops.append((tkey, "update", before, images[k]))
+        for k in sorted(images):
+            if k % 5 == 0:
+                ops.append((tkey, "delete", images[k], None))
+        txns = [ops[i : i + 50] for i in range(0, len(ops), 50)]
+        os.makedirs(log_dir, exist_ok=True)
+        pgf.write_pgoutput_files(txns, tables, log_dir, per_file=8)
+    dml = pgf.read_pgoutput_files(spark, log_dir).filter(
+        F.col("row_type").isin("insert", "update", "delete")
+    )
+    k = F.coalesce(F.col("after")["c_custkey"], F.col("before")["c_custkey"]).cast("bigint")
+    last = (
+        dml.withColumn("k", k)
+        .withColumn("rn", F.row_number().over(W.partitionBy("k").orderBy(F.col("seq").desc())))
+        .filter(F.col("rn") == 1)
+        .filter(F.col("row_type") != "delete")
+    )
+    return last.select(
+        F.col("after")["c_custkey"].cast("bigint").alias("c_custkey"),
+        F.col("after")["c_name"].alias("c_name"),
+        F.col("after")["c_nationkey"].cast("bigint").alias("c_nationkey"),
+        F.col("after")["c_acctbal"].cast("double").alias("c_acctbal"),
+        F.col("after")["c_mktsegment"].alias("c_mktsegment"),
+    )
+
+
+def q_oplog_file_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mongo oplog dump round trip (sources/oplog_file.py + bson_codec.py —
+    the at-rest half of the Mongo native-CDC story; the reference tails the
+    same entries over a live cursor, mongo_cdc_extractor.rs:341-446): a
+    deterministic change history for a subset of part (insert docs for all
+    keys p_partkey%17==3, then $v:2-diff update p_brand->'X' for %3==0 and
+    $unset p_type for %4==0, then delete %5==0 — the %10==0 subset via
+    a single applyOps deleteMany 'c' entry, the rest as plain 'd' entries)
+    is encoded into REAL BSON oplog bytes (concatenated-document mongodump
+    framing), re-read with the distributed binaryFile scan, and folded to
+    final per-document state (one shuffle keyed on _id). The oracle computes
+    the same final state straight from part, so any BSON codec error,
+    mis-flattened $v:2 diff, lost applyOps item or broken (ts, inc) order
+    diverges. The fixture collect is the bounded key subset (fixture
+    generator, like q_binlog_file_parse / q_pgoutput_file_parse)."""
+    import hashlib
+    import inspect
+    import tempfile
+
+    from ape_dts_spark.sources import bson_codec as bcodec
+    from ape_dts_spark.sources import oplog_file as ofl
+
+    data_sig = "|".join(
+        f"{f}:{os.path.getmtime(p)}:{os.path.getsize(p)}"
+        for f in sorted(os.listdir(sf_dir))
+        if os.path.isfile(p := os.path.join(sf_dir, f))
+    )
+    tag = hashlib.sha1(
+        (sf_dir + data_sig + inspect.getsource(ofl) + inspect.getsource(bcodec)
+         + inspect.getsource(q_oplog_file_parse)).encode()
+    ).hexdigest()[:10]
+    dump_dir = os.path.join(tempfile.gettempdir(), f"ape_oplog_{tag}")
+    if not (os.path.isdir(dump_dir) and os.listdir(dump_dir)):
+        rows = (
+            demo.load(spark, sf_dir, "part")
+            .filter(F.col("p_partkey") % 17 == 3)
+            .select("p_partkey", "p_name", "p_brand", "p_size", "p_type", "p_retailprice")
+            .orderBy("p_partkey")
+            .collect()
+        )
+        T = bcodec.Timestamp
+        entries, t = [], 100
+        for r in rows:
+            entries.append(ofl.entry_insert("tpch.part", {
+                "_id": r["p_partkey"], "p_name": r["p_name"],
+                "p_brand": r["p_brand"], "p_size": r["p_size"],
+                "p_type": r["p_type"], "p_retailprice": r["p_retailprice"],
+            }, T(t, 1)))
+            t += 1
+        for r in rows:
+            k = r["p_partkey"]
+            diff = {}
+            if k % 3 == 0:
+                diff["u"] = {"p_brand": "X"}
+            if k % 4 == 0:
+                diff["d"] = {"p_type": False}
+            if diff:
+                entries.append(ofl.entry_update_v2("tpch.part", k, diff, T(t, 1)))
+                t += 1
+        many = [r["p_partkey"] for r in rows if r["p_partkey"] % 10 == 0]
+        if many:
+            entries.append(ofl.entry_delete_many("tpch.part", many, T(t, 1)))
+            t += 1
+        for r in rows:
+            k = r["p_partkey"]
+            if k % 5 == 0 and k % 10 != 0:
+                entries.append(ofl.entry_delete("tpch.part", k, T(t, 1)))
+                t += 1
+        os.makedirs(dump_dir, exist_ok=True)
+        ofl.write_oplog_files(entries, dump_dir, per_file=40)
+    state = ofl.fold_oplog_state(ofl.read_oplog_files(spark, dump_dir))
+    return state.select(
+        F.get_json_object("doc", "$._id").cast("bigint").alias("p_partkey"),
+        F.get_json_object("doc", "$.p_name").alias("p_name"),
+        F.get_json_object("doc", "$.p_brand").alias("p_brand"),
+        F.get_json_object("doc", "$.p_size").cast("bigint").alias("p_size"),
+        F.get_json_object("doc", "$.p_type").alias("p_type"),
+        F.get_json_object("doc", "$.p_retailprice").cast("double").alias("p_retailprice"),
+    )
+
+
+def q_kafka_segment_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kafka log-segment round trip (sources/kafka_segment.py — the at-rest
+    half of the Kafka-source story; the reference consumes the same records
+    from a live broker and feeds each payload to its envelope decoder,
+    kafka_extractor.rs:38-86): a deterministic change history for a subset
+    of orders (insert all keys o_orderkey%29==4, then update
+    o_orderpriority->'X' for %3==0, then delete %7==0) is encoded as JSON
+    envelopes into REAL record-batch-v2 segment bytes — CRC32C, ZigZag
+    varint records, gzip-compressed batches, broker directory layout, two
+    partitions keyed by o_orderkey parity — then re-read with the
+    distributed segment scan, envelope-decoded (wire_format.decode_events),
+    and replayed to final state with per-partition offsets ordering (one
+    window shuffle keyed on o_orderkey). The oracle computes the same final
+    state straight from orders, so any CRC/varint/compression error, lost
+    record, or cross-partition mis-order diverges. The fixture collect is
+    the bounded key subset (fixture generator, like q_binlog_file_parse)."""
+    import hashlib
+    import inspect
+    import json
+    import tempfile
+
+    from ape_dts_spark.sources import kafka_segment as ksg
+
+    data_sig = "|".join(
+        f"{f}:{os.path.getmtime(p)}:{os.path.getsize(p)}"
+        for f in sorted(os.listdir(sf_dir))
+        if os.path.isfile(p := os.path.join(sf_dir, f))
+    )
+    tag = hashlib.sha1(
+        (sf_dir + data_sig + inspect.getsource(ksg) + inspect.getsource(q_kafka_segment_parse)).encode()
+    ).hexdigest()[:10]
+    seg_dir = os.path.join(tempfile.gettempdir(), f"ape_kseg_{tag}")
+    if not (os.path.isdir(seg_dir) and os.listdir(seg_dir)):
+        rows = (
+            demo.load(spark, sf_dir, "orders")
+            .filter(F.col("o_orderkey") % 29 == 4)
+            .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+            .orderBy("o_orderkey")
+            .collect()
+        )
+        images = {
+            r["o_orderkey"]: {
+                "o_orderkey": r["o_orderkey"], "o_custkey": r["o_custkey"],
+                "o_orderstatus": r["o_orderstatus"], "o_totalprice": r["o_totalprice"],
+                "o_orderpriority": r["o_orderpriority"],
+            }
+            for r in rows
+        }
+        ops = [("insert", None, img) for img in images.values()]
+        for k in sorted(images):
+            if k % 3 == 0:
+                before = images[k]
+                images[k] = dict(before, o_orderpriority="X")
+                ops.append(("update", before, images[k]))
+        for k in sorted(images):
+            if k % 7 == 0:
+                ops.append(("delete", images[k], None))
+        # per-table key -> partition by key parity (per-key ordering holds
+        # within a partition, the guarantee Kafka actually gives)
+        per_part: dict[int, list] = {0: [], 1: []}
+        for seq, (op, before, after) in enumerate(ops):
+            key = (after or before)["o_orderkey"]
+            env = {"schema": "tpch", "tb": "orders", "operation": op,
+                   "before": before, "after": after, "seq": seq}
+            per_part[key % 2].append((b"tpch.orders", json.dumps(env).encode(), None))
+        os.makedirs(seg_dir, exist_ok=True)
+        for part, msgs in per_part.items():
+            ksg.write_segment_files(
+                msgs, seg_dir, "cdc", part, per_batch=64, per_segment=256,
+                compression="gzip",
+            )
+    from pyspark.sql import types as T
+
+    from ape_dts_spark.sinks.wire_format import decode_events
+
+    payload = T.StructType([
+        T.StructField("o_orderkey", T.LongType()),
+        T.StructField("o_custkey", T.LongType()),
+        T.StructField("o_orderstatus", T.StringType()),
+        T.StructField("o_totalprice", T.DoubleType()),
+        T.StructField("o_orderpriority", T.StringType()),
+    ])
+    raw = ksg.read_kafka_segments(spark, seg_dir).withColumn(
+        "value", F.col("value").cast("string")
+    )
+    # envelope seq carries the global apply order (Kafka only guarantees
+    # per-partition order; the reference restores cross-partition order from
+    # the envelope too — the compact path keys on it)
+    dml = decode_events(raw.select("partition", "offset", "value"), payload)
+    last = (
+        dml.withColumn("k", F.coalesce(F.col("after")["o_orderkey"], F.col("before")["o_orderkey"]))
+        .withColumn("rn", F.row_number().over(W.partitionBy("k").orderBy(F.col("seq").desc())))
+        .filter(F.col("rn") == 1)
+        .filter(F.col("row_type") != "delete")
+    )
+    return last.select(
+        F.col("after")["o_orderkey"].alias("o_orderkey"),
+        F.col("after")["o_custkey"].alias("o_custkey"),
+        F.col("after")["o_orderstatus"].alias("o_orderstatus"),
+        F.col("after")["o_totalprice"].alias("o_totalprice"),
+        F.col("after")["o_orderpriority"].alias("o_orderpriority"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -2776,6 +3052,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- new this round (driver rows needed) ------------------------------
         "binlog_file_parse": q_binlog_file_parse,
+        "pgoutput_file_parse": q_pgoutput_file_parse,
+        "oplog_file_parse": q_oplog_file_parse,
+        "kafka_segment_parse": q_kafka_segment_parse,
         "dsir_sample": q_dsir_sample,
         "ivfpq_append": q_ivfpq_append,
         # -- code changed this round (ivfpq encoder refactor + err column) ----
@@ -2825,12 +3104,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dcl_parse": q_dcl_parse,
         "topic_route": q_topic_route,
         "monitor_rollup": q_monitor_rollup,
-        "heartbeat_lag": q_heartbeat_lag,
-        "partition_lanes": q_partition_lanes,
-        "binlog_order": q_binlog_order,
         # ---------------------------- slot 50 ends here ----------------------
         # -- driver-green in r05/r06; local gate + pytest keep them, ordered --
         #    by staleness so the next rotation is a prefix cut ----------------
+        "heartbeat_lag": q_heartbeat_lag,
+        "partition_lanes": q_partition_lanes,
+        "binlog_order": q_binlog_order,
         "ann_pq": q_ann_pq,
         "ann_pq_index": q_ann_pq_index,
         "bigram_lm_score": q_bigram_lm_score,
@@ -3812,6 +4091,28 @@ def oracle_sql() -> dict[str, str]:
                    o_orderpriority
             FROM orders
             WHERE o_orderkey % 23 = 1 AND o_orderkey % 5 <> 0
+        """,
+        "kafka_segment_parse": """
+            SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                   CASE WHEN o_orderkey % 3 = 0 THEN 'X' ELSE o_orderpriority END AS o_orderpriority
+            FROM orders
+            WHERE o_orderkey % 29 = 4 AND o_orderkey % 7 <> 0
+        """,
+        "oplog_file_parse": """
+            SELECT p_partkey, p_name,
+                   CASE WHEN p_partkey % 3 = 0 THEN 'X' ELSE p_brand END AS p_brand,
+                   CAST(p_size AS BIGINT) AS p_size,
+                   CASE WHEN p_partkey % 4 = 0 THEN NULL ELSE p_type END AS p_type,
+                   p_retailprice
+            FROM part
+            WHERE p_partkey % 17 = 3 AND p_partkey % 5 <> 0
+        """,
+        "pgoutput_file_parse": """
+            SELECT c_custkey, c_name, c_nationkey,
+                   c_acctbal,
+                   CASE WHEN c_custkey % 3 = 0 THEN 'X' ELSE c_mktsegment END AS c_mktsegment
+            FROM customer
+            WHERE c_custkey % 19 = 2 AND c_custkey % 5 <> 0
         """,
         "struct_revise": """
             WITH cols AS (

@@ -1,0 +1,545 @@
+"""PostgreSQL ``pgoutput`` logical-replication stream parsing (at rest) + a
+deterministic writer.
+
+Parses captured logical-replication segments — the public, documented
+``pgoutput`` logical replication message format (PostgreSQL docs, "Logical
+Replication Message Formats") framed in XLogData records — into the same
+canonical change rows the Debezium-envelope path produces: ``(file, lsn, seq,
+ts, xid, schema, tb, row_type, before, after)`` with before/after as
+``map<string,string>`` images. This completes the at-rest half of the PG
+native-CDC story the way sources/binlog_file.py does for MySQL binlog files
+and sources/redis_rdb.py does for Redis RDB. The writer emits
+spec-conformant bytes (Begin/Relation/Insert/Update/Delete/Truncate/Origin/
+Commit messages, big-endian wire ints, text-format tuples) and is the
+fixture generator for the gate and tests.
+
+Segment framing: each record is ``u32 big-endian length`` + one XLogData
+message (``'w'`` + wal_start u64 + wal_end u64 + send-time i64 + pgoutput
+payload) — i.e. the CopyData payloads of the streaming replication protocol
+captured verbatim with a length prefix, the natural at-rest dump of the
+stream the reference consumes live.
+
+Unlike MySQL binlog files, pgoutput is SELF-DESCRIBING: Relation ('R')
+messages carry schema, table, and column names in-stream, so the parser
+needs no external table registry (the reference feeds decode_relation into
+its meta_manager for exactly this reason).
+
+Scale shape: a replication stream is one server's serialized transaction
+log — inherently sequential — so the unit of parallelism is the SEGMENT
+(confirmed-flush checkpoints produce many): scanned with ``binaryFile`` and
+decoded inside an Arrow-batched ``mapInPandas`` (each task parses whole
+segments; no driver-side byte handling). Total order across segments =
+(segment index, commit LSN, seq) — ``model/position.PgCdcPosition.sort_key``.
+
+Reference parity (dt-connector/src/extractor/pg/pg_cdc_extractor.rs):
+- event dispatch loop 169-224 (Relation/Begin/Commit/Insert/Update/Delete;
+  Begin is NOT pushed downstream; Commit is pushed as a commit marker with
+  the txn's xid; position carries the last txn's end_lsn),
+- decode_update 354-393: before-image preference old_tuple > key_tuple >
+  id-cols-projected-from-after > empty,
+- decode_delete 395-426: old_tuple > key_tuple > empty,
+- parse_row_data 483-524: Null -> None, Text -> convertor, UnchangedToast
+  kept as an explicit marker value,
+- DDL capture 428-480: inserts into the ``ape_dts_ddl_command`` event-trigger
+  table are re-emitted as 'ddl' rows instead of data rows.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+# seconds between the Unix epoch and the PostgreSQL epoch (2000-01-01)
+SECS_FROM_1970_TO_2000 = 946_684_800
+
+# value kept for TupleData::UnchangedToast (reference keeps an explicit
+# marker, pg_cdc_extractor.rs:512-520; the apply path treats it as
+# "column not sent — keep the target's current value")
+UNCHANGED_TOAST = "\x00unchanged-toast\x00"
+
+# the event-trigger DDL capture table (pg_cdc_extractor.rs:443-459)
+DDL_META_TB = "ape_dts_ddl_command"
+
+CHANGE_SCHEMA = (
+    "file string, lsn string, seq long, ts long, xid long, "
+    "schema string, tb string, row_type string, "
+    "before map<string,string>, after map<string,string>"
+)
+
+
+@dataclass(frozen=True)
+class PgTable:
+    """Table shape for the WRITER only (the parser reads names/types from
+    the in-stream Relation messages). ``cols``: tuple of (name, type_oid,
+    is_key). replident: 'd' default (keys only in old images), 'f' full
+    (whole old row), 'n' nothing, 'i' index."""
+
+    schema: str
+    tb: str
+    cols: tuple
+    rel_id: int
+    replident: str = "d"
+
+
+def lsn_text(v: int) -> str:
+    """Integer LSN -> the textual X/Y form PgCdcPosition carries."""
+    return f"{v >> 32:X}/{v & 0xFFFFFFFF:X}"
+
+
+# ---------------------------------------------------------------------------
+# message encoding (writer)
+# ---------------------------------------------------------------------------
+
+
+def _cstr(s: str) -> bytes:
+    return s.encode() + b"\x00"
+
+
+def _tuple_data(t: PgTable, image: dict | None) -> bytes:
+    """TupleData: ncols u16be then per column 'n' | 'u' | 't' + len + text.
+    A column absent from ``image`` is sent as NULL; the sentinel
+    UNCHANGED_TOAST renders as 'u'."""
+    out = bytearray(struct.pack(">H", len(t.cols)))
+    image = image or {}
+    for name, _oid, _key in t.cols:
+        if name not in image or image[name] is None:
+            out += b"n"
+        elif image[name] == UNCHANGED_TOAST:
+            out += b"u"
+        else:
+            v = _pg_text(image[name])
+            out += b"t" + struct.pack(">i", len(v)) + v
+    return bytes(out)
+
+
+def _pg_text(v) -> bytes:
+    """Render a Python value the way PG's text output format would."""
+    if isinstance(v, bool):
+        return b"t" if v else b"f"
+    if isinstance(v, bytes):
+        return b"\\x" + v.hex().encode()
+    if isinstance(v, float):
+        return repr(v).encode()  # round-trips exactly
+    return str(v).encode()
+
+
+def _key_image(t: PgTable, image: dict) -> dict:
+    return {n: image.get(n) for n, _o, k in t.cols if k}
+
+
+def encode_relation(t: PgTable) -> bytes:
+    body = struct.pack(">I", t.rel_id) + _cstr(t.schema) + _cstr(t.tb)
+    body += t.replident.encode() + struct.pack(">H", len(t.cols))
+    for name, oid, is_key in t.cols:
+        body += bytes([1 if is_key else 0]) + _cstr(name) + struct.pack(">Ii", oid, -1)
+    return b"R" + body
+
+
+def encode_begin(final_lsn: int, commit_ts_us: int, xid: int) -> bytes:
+    return b"B" + struct.pack(">QqI", final_lsn, commit_ts_us, xid)
+
+
+def encode_commit(commit_lsn: int, end_lsn: int, commit_ts_us: int) -> bytes:
+    return b"C" + bytes([0]) + struct.pack(">QQq", commit_lsn, end_lsn, commit_ts_us)
+
+
+def encode_insert(t: PgTable, after: dict) -> bytes:
+    return b"I" + struct.pack(">I", t.rel_id) + b"N" + _tuple_data(t, after)
+
+
+def encode_update(t: PgTable, before: dict | None, after: dict) -> bytes:
+    """Replica identity governs the old image exactly as a live server would:
+    'f' sends the full old row as 'O', 'd' sends a 'K' key tuple only when a
+    key column changed (otherwise no old tuple at all), 'n' never sends one."""
+    body = struct.pack(">I", t.rel_id)
+    if before is not None and t.replident == "f":
+        body += b"O" + _tuple_data(t, before)
+    elif before is not None and t.replident == "d":
+        kb, ka = _key_image(t, before), _key_image(t, after)
+        if kb != ka:
+            body += b"K" + _tuple_data(t, kb)
+    return b"U" + body + b"N" + _tuple_data(t, after)
+
+
+def encode_delete(t: PgTable, before: dict) -> bytes:
+    body = struct.pack(">I", t.rel_id)
+    if t.replident == "f":
+        body += b"O" + _tuple_data(t, before)
+    else:
+        body += b"K" + _tuple_data(t, _key_image(t, before))
+    return b"D" + body
+
+
+def encode_truncate(rel_ids: list[int], cascade: bool = False, restart_identity: bool = False) -> bytes:
+    opt = (1 if cascade else 0) | (2 if restart_identity else 0)
+    body = struct.pack(">IB", len(rel_ids), opt)
+    for r in rel_ids:
+        body += struct.pack(">I", r)
+    return b"T" + body
+
+
+def encode_origin(origin_lsn: int, name: str) -> bytes:
+    return b"O" + struct.pack(">Q", origin_lsn) + _cstr(name)
+
+
+def encode_type(oid: int, schema: str, name: str) -> bytes:
+    return b"Y" + struct.pack(">I", oid) + _cstr(schema) + _cstr(name)
+
+
+class _SegmentWriter:
+    """Frames pgoutput messages into XLogData records; LSNs advance by
+    payload size the way WAL positions advance by record size."""
+
+    def __init__(self, start_lsn: int, clock_us: int):
+        self.buf = bytearray()
+        self.lsn = start_lsn
+        self.clock = clock_us
+
+    def record(self, payload: bytes) -> int:
+        at = self.lsn
+        xd = b"w" + struct.pack(">QQq", at, at + len(payload), self.clock) + payload
+        self.buf += struct.pack(">I", len(xd)) + xd
+        self.lsn += len(payload)
+        return at
+
+
+def encode_segment(
+    txns: list,
+    tables: dict,
+    start_lsn: int = 0x1_0000_0000,
+    start_xid: int = 1000,
+    base_ts_us: int = 760_000_000_000_000,  # µs since PG epoch
+) -> tuple[bytes, int]:
+    """Encode transactions into one captured-stream segment.
+
+    ``txns``: list of transactions; each a list of ops
+    ``(table_key, row_type, before, after)`` with row_type
+    insert/update/delete/truncate (truncate's table_key may be a list of
+    keys). ``tables``: table_key -> PgTable. Emits Relation lazily before a
+    table's first row message (live servers re-send Relation per connection;
+    once per segment keeps each file self-describing). Returns
+    ``(bytes, next_lsn)`` so rotation chains LSNs continuously."""
+    w = _SegmentWriter(start_lsn, base_ts_us)
+    sent_rel: set = set()
+
+    def _rel(key):
+        if key not in sent_rel:
+            w.record(encode_relation(tables[key]))
+            sent_rel.add(key)
+
+    xid = start_xid
+    for txn in txns:
+        ts = w.clock
+        # final_lsn in Begin = the commit record's LSN, known only after the
+        # ops are sized — encode ops first (two-pass; Begin is fixed-width).
+        ops_buf: list[bytes] = []
+
+        def _need_rel(key):
+            if key not in sent_rel:
+                ops_buf.append(encode_relation(tables[key]))
+                sent_rel.add(key)
+
+        for table_key, row_type, before, after in txn:
+            if row_type == "truncate":
+                keys = table_key if isinstance(table_key, list) else [table_key]
+                for k in keys:
+                    _need_rel(k)
+                ops_buf.append(encode_truncate([tables[k].rel_id for k in keys]))
+                continue
+            _need_rel(table_key)
+            t = tables[table_key]
+            if row_type == "insert":
+                ops_buf.append(encode_insert(t, after))
+            elif row_type == "update":
+                ops_buf.append(encode_update(t, before, after))
+            elif row_type == "delete":
+                ops_buf.append(encode_delete(t, before))
+            else:
+                raise ValueError(f"unknown row_type {row_type!r}")
+        begin_len = len(encode_begin(0, ts, xid))
+        commit_at = w.lsn + begin_len + sum(len(m) for m in ops_buf)
+        w.record(encode_begin(commit_at, ts, xid))
+        for m in ops_buf:
+            w.record(m)
+        end_lsn = commit_at + len(encode_commit(0, 0, 0))
+        at = w.record(encode_commit(commit_at, end_lsn, ts))
+        assert at == commit_at  # Begin.final_lsn = the commit record's LSN
+        xid += 1
+        w.clock += 1_000_000
+    return bytes(w.buf), w.lsn
+
+
+# ---------------------------------------------------------------------------
+# parser
+# ---------------------------------------------------------------------------
+
+
+def _read_cstr(b: bytes, i: int) -> tuple[str, int]:
+    j = b.index(0, i)
+    return b[i:j].decode(), j + 1
+
+
+def _parse_tuple(b: bytes, i: int, cols: list[str]) -> tuple[dict, int]:
+    (n,) = struct.unpack_from(">H", b, i)
+    i += 2
+    out = {}
+    for c in range(n):
+        kind = b[i : i + 1]
+        i += 1
+        name = cols[c] if c < len(cols) else f"_col{c}"
+        if kind == b"n":
+            out[name] = None
+        elif kind == b"u":
+            out[name] = UNCHANGED_TOAST
+        elif kind in (b"t", b"b"):
+            (ln,) = struct.unpack_from(">i", b, i)
+            i += 4
+            out[name] = b[i : i + ln].decode("utf-8", "replace")
+            i += ln
+        else:
+            raise ValueError(f"bad TupleData kind {kind!r}")
+    return out, i
+
+
+def parse_pgoutput_bytes(
+    data: bytes,
+    file_name: str = "",
+    start_lsn: int = 0,
+    ddl_meta_tb: str = DDL_META_TB,
+) -> list[dict]:
+    """Parse one captured segment into canonical change dicts.
+
+    Self-describing: Relation messages register (rel_id -> schema, tb,
+    col names, key cols, replident) in-stream; row messages resolve against
+    that registry (reference: decode_relation -> meta_manager,
+    pg_cdc_extractor.rs:279-318).
+
+    Emits insert/update/delete/truncate rows plus 'commit' markers (Begin is
+    consumed for position/xid context only — the reference does not push it,
+    rs:177-187). Each row is stamped with the transaction's commit position
+    semantics: ``lsn`` = the LAST COMMITTED txn's end_lsn at the time the
+    row was produced (rs:178 get_position(&last_tx_end_lsn, ..)), ``ts`` =
+    commit timestamp in unix µs, ``xid`` = the txn's xid.
+
+    Update before-image preference: old('O') > key('K') > key-cols projected
+    from the new image > empty (rs:370-382). Delete: old > key > empty.
+    UnchangedToast columns carry the UNCHANGED_TOAST sentinel.
+
+    Inserts into ``ddl_meta_tb`` become row_type 'ddl' with the captured
+    statement in after['query'] and the event-trigger's schema field
+    (rs:428-459, decode_insert -> decode_ddl).
+
+    ``start_lsn``: confirmed-flush checkpoint resume — transactions whose
+    commit end_lsn is <= start_lsn are decoded for CONTEXT (Relation state
+    must be warm) but not emitted."""
+    rels: dict[int, dict] = {}
+    rows: list[dict] = []
+    pending: list[dict] = []
+    seq = 0
+    last_tx_end = 0
+    cur_xid = 0
+    cur_ts = 0
+    i = 0
+    n = len(data)
+    while i < n:
+        (rec_len,) = struct.unpack_from(">I", data, i)
+        i += 4
+        rec = data[i : i + rec_len]
+        i += rec_len
+        if rec[0:1] != b"w":  # keepalive etc. — ignore at rest
+            continue
+        payload = rec[25:]
+        tag = payload[0:1]
+        p = 1
+        if tag == b"R":
+            (rel_id,) = struct.unpack_from(">I", payload, p)
+            p += 4
+            schema, p = _read_cstr(payload, p)
+            tb, p = _read_cstr(payload, p)
+            replident = payload[p : p + 1].decode()
+            p += 1
+            (ncols,) = struct.unpack_from(">H", payload, p)
+            p += 2
+            cols, keys = [], []
+            for _ in range(ncols):
+                flags = payload[p]
+                p += 1
+                name, p = _read_cstr(payload, p)
+                p += 8  # type oid + typmod
+                cols.append(name)
+                if flags & 1:
+                    keys.append(name)
+            rels[rel_id] = {
+                "schema": schema, "tb": tb, "cols": cols,
+                "keys": keys, "replident": replident,
+            }
+        elif tag == b"B":
+            final_lsn, ts_us, xid = struct.unpack_from(">QqI", payload, p)
+            cur_xid = xid
+            cur_ts = ts_us + SECS_FROM_1970_TO_2000 * 1_000_000  # -> unix µs
+            pending = []
+        elif tag == b"C":
+            _flags = payload[p]
+            p += 1
+            commit_lsn, end_lsn, _ts = struct.unpack_from(">QQq", payload, p)
+            emit_lsn = lsn_text(last_tx_end)
+            if end_lsn > start_lsn:
+                for r in pending:
+                    r["lsn"] = emit_lsn
+                    r["seq"] = seq
+                    seq += 1
+                    rows.append(r)
+                rows.append({
+                    "file": file_name, "lsn": lsn_text(end_lsn), "seq": seq,
+                    "ts": cur_ts, "xid": cur_xid, "schema": None, "tb": None,
+                    "row_type": "commit", "before": None, "after": None,
+                })
+                seq += 1
+            pending = []
+            last_tx_end = end_lsn
+        elif tag in (b"I", b"U", b"D"):
+            (rel_id,) = struct.unpack_from(">I", payload, p)
+            p += 4
+            rel = rels[rel_id]
+            before = after = None
+            if tag == b"I":
+                assert payload[p : p + 1] == b"N"
+                after, p = _parse_tuple(payload, p + 1, rel["cols"])
+                row_type = "insert"
+            elif tag == b"U":
+                if payload[p : p + 1] in (b"K", b"O"):
+                    before, p = _parse_tuple(payload, p + 1, rel["cols"])
+                assert payload[p : p + 1] == b"N"
+                after, p = _parse_tuple(payload, p + 1, rel["cols"])
+                if before is None:
+                    if rel["keys"]:
+                        before = {k: after.get(k) for k in rel["keys"]}
+                    else:
+                        before = {}
+                row_type = "update"
+            else:
+                kind = payload[p : p + 1]
+                if kind in (b"K", b"O"):
+                    before, p = _parse_tuple(payload, p + 1, rel["cols"])
+                else:
+                    before = {}
+                row_type = "delete"
+            if row_type == "insert" and rel["tb"] == ddl_meta_tb:
+                pending.append({
+                    "file": file_name, "ts": cur_ts, "xid": cur_xid,
+                    "schema": (after or {}).get("schema") or rel["schema"],
+                    "tb": None, "row_type": "ddl", "before": None,
+                    "after": {"query": (after or {}).get("ddl_text", "")},
+                })
+                continue
+            pending.append({
+                "file": file_name, "ts": cur_ts, "xid": cur_xid,
+                "schema": rel["schema"], "tb": rel["tb"], "row_type": row_type,
+                "before": before, "after": after,
+            })
+        elif tag == b"T":
+            nrels, _opt = struct.unpack_from(">IB", payload, p)
+            p += 5
+            for _ in range(nrels):
+                (rel_id,) = struct.unpack_from(">I", payload, p)
+                p += 4
+                rel = rels[rel_id]
+                pending.append({
+                    "file": file_name, "ts": cur_ts, "xid": cur_xid,
+                    "schema": rel["schema"], "tb": rel["tb"],
+                    "row_type": "truncate", "before": None, "after": None,
+                })
+        elif tag in (b"O", b"Y", b"M"):
+            pass  # Origin / Type / Message: consumed, not emitted (rs:199-203)
+        else:
+            raise ValueError(f"unknown pgoutput message {tag!r}")
+    return rows
+
+
+# ---------------------------------------------------------------------------
+# distributed scan
+# ---------------------------------------------------------------------------
+
+
+def read_pgoutput_files(
+    spark: SparkSession,
+    path: str,
+    start_lsn: str | None = None,
+) -> DataFrame:
+    """Distributed captured-stream scan: ``binaryFile`` over a directory of
+    segments, one whole segment per task. ``seq`` is globalized as
+    (segment index << 33) | within-segment seq so ORDER BY seq reproduces
+    commit order — PgCdcPosition.sort_key over the textual LSNs agrees
+    because LSNs are monotone across the chain.
+
+    ``start_lsn`` (textual X/Y): confirmed-flush resume — transactions at or
+    below it are suppressed wherever they sit in the chain (segments are
+    self-describing, so later segments never depend on suppressed ones for
+    Relation state beyond what they re-send; encode_segment re-sends Relation
+    per segment)."""
+    import re
+
+    import pandas as pd
+
+    from ape_dts_spark.model.position import PgCdcPosition
+
+    start_v = PgCdcPosition(start_lsn).lsn_value() if start_lsn else 0
+
+    files = spark.read.format("binaryFile").load(path).select("path", "content")
+
+    def _parse(batches):
+        for pdf in batches:
+            rows = []
+            for pth, content in zip(pdf["path"], pdf["content"]):
+                name = pth.rsplit("/", 1)[-1]
+                m = re.search(r"\.(\d+)$", name)
+                fidx = int(m.group(1)) if m else 0
+                for r in parse_pgoutput_bytes(
+                    bytes(content), file_name=name, start_lsn=start_v
+                ):
+                    r["seq"] = (fidx << 33) | r["seq"]
+                    rows.append(r)
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "file", "lsn", "seq", "ts", "xid",
+                    "schema", "tb", "row_type", "before", "after",
+                ],
+            )
+
+    return files.mapInPandas(_parse, schema=CHANGE_SCHEMA)
+
+
+def write_pgoutput_files(
+    txns: list,
+    tables: dict,
+    out_dir: str,
+    base_name: str = "pgwal",
+    per_file: int = 0,
+    start_lsn: int = 0x1_0000_0000,
+) -> list[str]:
+    """Write a segment chain: ``txns`` split into files of ``per_file``
+    transactions (0 = single segment), LSNs and xids continuous across the
+    chain (each segment re-sends Relation so every file is self-describing)."""
+    import os
+
+    chunks = [txns] if not per_file else [
+        txns[i : i + per_file] for i in range(0, len(txns), per_file)
+    ]
+    names = [f"{base_name}.{i + 1:06d}" for i in range(len(chunks))]
+    paths = []
+    lsn = start_lsn
+    xid = 1000
+    for i, chunk in enumerate(chunks):
+        data, lsn = encode_segment(
+            chunk, tables, start_lsn=lsn, start_xid=xid,
+            base_ts_us=760_000_000_000_000 + xid * 1_000_000,
+        )
+        xid += len(chunk)
+        p = os.path.join(out_dir, names[i])
+        with open(p, "wb") as f:
+            f.write(data)
+        paths.append(p)
+    return paths
