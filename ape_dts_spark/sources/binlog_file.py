@@ -654,6 +654,16 @@ def read_binlog_files(
     start_idx = MysqlCdcPosition(start_file, start_pos).file_index() if start_file else -1
 
     files = spark.read.format("binaryFile").load(path).select("path", "content")
+    return files.mapInPandas(
+        _make_file_parser(tables, start_idx, start_pos), schema=CHANGE_SCHEMA
+    )
+
+
+def _make_file_parser(tables: dict, start_idx: int, start_pos: int):
+    """The shared whole-file decode kernel for the batch and streaming scans."""
+    import re
+
+    import pandas as pd
 
     def _parse(batches):
         for pdf in batches:
@@ -678,7 +688,30 @@ def read_binlog_files(
                 ],
             )
 
-    return files.mapInPandas(_parse, schema=CHANGE_SCHEMA)
+    return _parse
+
+
+def stream_binlog_files(
+    spark: SparkSession,
+    path: str,
+    tables: dict,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Structured-Streaming tail of a binlog rotation directory: the live
+    half of the at-rest story — new files appearing in ``path`` (a
+    rotation, an uploaded chunk) flow through the same whole-file decode as
+    the batch scan and into the standard CdcPipeline via foreachBatch; the
+    stream checkpoint makes the tail resumable exactly like the reference's
+    StartPosition. This is how the reference's always-on binlog client maps
+    onto Spark's execution model: file arrival = event-stream progress,
+    micro-batch = transaction batch (mysql_cdc_extractor.rs:195-216)."""
+    reader = spark.readStream.format("binaryFile").schema(
+        "path string, modificationTime timestamp, length long, content binary"
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    files = reader.load(path).select("path", "content")
+    return files.mapInPandas(_make_file_parser(tables, -1, 0), schema=CHANGE_SCHEMA)
 
 
 def write_binlog_files(

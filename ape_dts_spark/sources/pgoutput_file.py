@@ -488,6 +488,15 @@ def read_pgoutput_files(
     start_v = PgCdcPosition(start_lsn).lsn_value() if start_lsn else 0
 
     files = spark.read.format("binaryFile").load(path).select("path", "content")
+    return files.mapInPandas(_make_file_parser(start_v), schema=CHANGE_SCHEMA)
+
+
+def _make_file_parser(start_v: int):
+    """The shared whole-segment decode kernel for the batch and streaming
+    scans."""
+    import re
+
+    import pandas as pd
 
     def _parse(batches):
         for pdf in batches:
@@ -509,7 +518,27 @@ def read_pgoutput_files(
                 ],
             )
 
-    return files.mapInPandas(_parse, schema=CHANGE_SCHEMA)
+    return _parse
+
+
+def stream_pgoutput_files(
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Structured-Streaming tail of a captured-stream segment directory:
+    segments appearing in ``path`` (each flush of the replication slot)
+    flow through the same whole-segment decode as the batch scan and into
+    CdcPipeline via foreachBatch; the stream checkpoint is the
+    confirmed-flush cursor (keep_alive_ack parity,
+    pg_cdc_extractor.rs:246-276)."""
+    reader = spark.readStream.format("binaryFile").schema(
+        "path string, modificationTime timestamp, length long, content binary"
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    files = reader.load(path).select("path", "content")
+    return files.mapInPandas(_make_file_parser(0), schema=CHANGE_SCHEMA)
 
 
 def write_pgoutput_files(

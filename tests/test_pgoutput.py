@@ -226,3 +226,60 @@ def test_pg_text_rendering():
     assert pg._pg_text(b"\x01\xff") == b"\\x01ff"
     assert float(pg._pg_text(0.1).decode()) == 0.1
     assert pg._pg_text(-7) == b"-7"
+
+
+def test_streaming_tail_of_segment_dir(spark, tmp_path):
+    """stream_pgoutput_files: a readStream tail of the segment directory
+    drives CdcPipeline — segments present at start apply, segments arriving
+    later apply from the SAME checkpoint without re-applying (the
+    confirmed-flush cursor mapped onto the stream checkpoint)."""
+    from ape_dts_spark.sinks.parquet_table import ParquetTable
+    from ape_dts_spark.streaming.cdc import CdcPipeline
+
+    out = str(tmp_path / "wal")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(out)
+    txns1 = [[(("public", "users"), "insert", None, dict(ROW1, id=i))]
+             for i in range(1, 6)]
+    pg.write_pgoutput_files(txns1, TABLES, out, per_file=0)
+
+    payload = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("bal", T.DoubleType()),
+    ])
+
+    def typed(colname):
+        s = F.struct(
+            *[F.col(colname)[f.name].cast(f.dataType).alias(f.name) for f in payload.fields]
+        )
+        return F.when(F.col(colname).isNotNull(), s).alias(colname)
+
+    def changes():
+        return (
+            pg.stream_pgoutput_files(spark, out)
+            .filter(F.col("row_type").isin("insert", "update", "delete"))
+            .select(
+                "schema", "tb", "row_type", "seq",
+                F.timestamp_micros(F.col("ts")).alias("ts"),
+                typed("before"), typed("after"),
+            )
+        )
+
+    table = ParquetTable(spark, str(tmp_path / "tgt"), payload)
+    pipe = CdcPipeline(spark, table, key_cols=["id"], stream_id="pg-tail")
+    pipe.run(changes(), ckpt)
+    assert sorted(r["id"] for r in table.current().collect()) == [1, 2, 3, 4, 5]
+
+    # a later flush arrives (continuous LSNs): update id=2, delete id=4
+    row2 = dict(ROW1, id=2)
+    txns2 = [
+        [(("public", "users"), "update", row2, dict(row2, name="late"))],
+        [(("public", "users"), "delete", dict(ROW1, id=4), None)],
+    ]
+    data, _ = pg.encode_segment(txns2, TABLES, start_lsn=0x9_0000_0000, start_xid=2000)
+    with open(os.path.join(out, "pgwal.000002"), "wb") as f:
+        f.write(data)
+    pipe.run(changes(), ckpt)
+    state = {r["id"]: r["name"] for r in table.current().collect()}
+    assert state[2] == "late" and 4 not in state and len(state) == 4
