@@ -230,3 +230,20 @@ def test_substring_dedup_hash_join_partial_agg(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
     assert "partial_count" in plan or "partial" in plan.lower()
     assert "n_chars" not in plan  # column pruning reached the parquet scan
+
+
+def test_at_rest_cdc_parsers_single_key_window(spark, sf_dir):
+    """The four at-rest transport gates share one scale shape: binaryFile
+    scan -> Arrow whole-file decode (MapInPandas) -> exactly one shuffle
+    for the key-ordered replay. No nested loop, no Cartesian, no extra
+    exchanges before the window."""
+    for name in ("binlog_file_parse", "pgoutput_file_parse", "kafka_segment_parse"):
+        plan = _plan(spark, sf_dir, name)
+        assert "MapInPandas" in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan, name
+        # one replay window -> one hashpartitioning exchange on the key
+        assert plan.count("Exchange hashpartitioning") == 1, name
+    plan = _plan(spark, sf_dir, "oplog_file_parse")
+    assert "FlatMapGroupsInPandas" in plan  # per-_id fold is the Arrow group kernel
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1

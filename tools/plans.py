@@ -70,6 +70,14 @@ AUDITED = [
     "ann_ivfpq",          # Arrow residual-ADC scan, corpus never shuffles
     "ann_ivfpq_index",    # cell-pruned codes scan + broadcast survivor re-rank
     "ddl_split",          # Arrow parser kernel, per-target explode
+    # round 7: at-rest CDC transports — binaryFile scan -> Arrow whole-file
+    # decode -> one key-window replay; no shuffle before the key window
+    "binlog_file_parse",
+    "pgoutput_file_parse",
+    "oplog_file_parse",   # + per-_id Arrow fold (applyInPandas)
+    "kafka_segment_parse",  # + envelope from_json decode
+    "dsir_sample",        # hashed-feature aggs + broadcast LM + one top-k window
+    "ivfpq_append",       # frozen-codebook Arrow encode + cell-partition union
 ]
 
 # queries whose plan legitimately contains a BroadcastNestedLoopJoin: the
