@@ -343,3 +343,52 @@ def test_streaming_tail_of_binlog_dir(spark, tmp_path):
     assert state[3] == ("late", 9.0) and 5 not in state and 6 in state
     # checkpoint really skipped the first file: exactly one more applied batch
     assert table._read_meta()["version"] > v1
+
+
+def test_binlog_ddl_barrier_evolves_target_schema(spark, tmp_path):
+    """A QUERY(ALTER TABLE ... ADD COLUMN) event inside the binlog stream
+    reaches CdcPipeline's DDL barrier: DML before the DDL applies against
+    the old schema, the DDL evolves the target (NULL-filled schema-on-read),
+    and later DML lands with the new column — end-to-end from real binlog
+    bytes (mysql_cdc_extractor.rs:396-456 -> apply_ddl)."""
+    from ape_dts_spark.sinks.parquet_table import ParquetTable
+    from ape_dts_spark.streaming.cdc import CdcPipeline
+
+    out = str(tmp_path / "logs")
+    os.makedirs(out)
+    txns = [
+        [(("db", "users"), "insert", None, dict(ROW1, id=1))],
+        [(("db", "users"), "ddl", None,
+          {"query": "ALTER TABLE users ADD COLUMN note VARCHAR(32)"})],
+        [(("db", "users"), "insert", None, dict(ROW1, id=2))],
+    ]
+    bf.write_binlog_files(txns, TABLES, out)
+
+    payload = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("name", T.StringType()),
+    ])
+
+    def typed(colname):
+        s = F.struct(
+            *[F.col(colname)[f.name].cast(f.dataType).alias(f.name) for f in payload.fields]
+        )
+        return F.when(F.col(colname).isNotNull(), s).alias(colname)
+
+    batch = (
+        bf.read_binlog_files(spark, out, TABLES)
+        .filter(F.col("row_type").isin("insert", "update", "delete", "ddl"))
+        .select(
+            "schema", "tb", "row_type", "seq",
+            F.col("ts").cast("timestamp").alias("ts"),
+            typed("before"), typed("after"),
+            F.when(F.col("row_type") == "ddl", F.col("after")["query"]).alias("ddl"),
+        )
+    )
+    table = ParquetTable(spark, str(tmp_path / "tgt"), payload)
+    pipe = CdcPipeline(spark, table, key_cols=["id"], stream_id="binlog-ddl")
+    pipe.apply_batch(batch, batch_id=0)
+    cur = table.current()
+    assert "note" in cur.columns  # DDL evolved the read schema
+    assert sorted(r["id"] for r in cur.collect()) == [1, 2]
+    assert all(r["note"] is None for r in cur.collect())

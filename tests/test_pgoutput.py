@@ -283,3 +283,54 @@ def test_streaming_tail_of_segment_dir(spark, tmp_path):
     pipe.run(changes(), ckpt)
     state = {r["id"]: r["name"] for r in table.current().collect()}
     assert state[2] == "late" and 4 not in state and len(state) == 4
+
+
+def test_multi_table_stream_fans_per_target(spark, tmp_path):
+    """pgoutput is self-describing, so ONE segment stream carries many
+    tables; MultiTableCdcPipeline fans the micro-batch per (schema, tb) and
+    merge-applies each target independently (table_parallelizer.rs
+    topology) — straight from real segment bytes."""
+    from ape_dts_spark.sinks.parquet_table import ParquetTable
+    from ape_dts_spark.streaming.cdc import MultiTableCdcPipeline
+
+    out = str(tmp_path / "wal")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(out)
+    txns = [
+        [(("public", "users"), "insert", None, dict(ROW1, id=1))],
+        [(("public", "users_full"), "insert", None, dict(ROW1, id=7, name="acct"))],
+        [(("public", "users"), "update", dict(ROW1, id=1), dict(ROW1, id=1, bal=12.0))],
+    ]
+    pg.write_pgoutput_files(txns, TABLES, out, per_file=0)
+
+    payload = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("bal", T.DoubleType()),
+    ])
+
+    def typed(colname):
+        s = F.struct(
+            *[F.col(colname)[f.name].cast(f.dataType).alias(f.name) for f in payload.fields]
+        )
+        return F.when(F.col(colname).isNotNull(), s).alias(colname)
+
+    changes = (
+        pg.stream_pgoutput_files(spark, out)
+        .filter(F.col("row_type").isin("insert", "update", "delete"))
+        .select(
+            "schema", "tb", "row_type", "seq",
+            F.timestamp_micros(F.col("ts")).alias("ts"),
+            typed("before"), typed("after"),
+        )
+    )
+    users = ParquetTable(spark, str(tmp_path / "users"), payload)
+    accounts = ParquetTable(spark, str(tmp_path / "accounts"), payload)
+    pipe = MultiTableCdcPipeline(
+        spark,
+        targets={"public.users": (users, ["id"]),
+                 "public.users_full": (accounts, ["id"])},
+    )
+    pipe.run(changes, ckpt)
+    assert {r["id"]: r["bal"] for r in users.current().collect()} == {1: 12.0}
+    assert [r["name"] for r in accounts.current().collect()] == ["acct"]
