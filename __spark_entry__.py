@@ -3027,6 +3027,191 @@ def q_kafka_segment_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# TPC-H completion set (round 7): the remaining classic shapes, adapted to
+# the testdata's columns (no partsupp table; ps_supplycost-dependent terms
+# drop out of Q9). All money math follows the Q1 decimal-exact rule:
+# DECIMAL internally, final aggregate cast to DOUBLE on both engines.
+# ---------------------------------------------------------------------------
+
+_DEC = 'decimal(18,2)'
+
+
+def _rev():
+    return (F.col("l_extendedprice").cast(_DEC)
+            * (F.lit(1).cast(_DEC) - F.col("l_discount").cast(_DEC)))
+
+
+_REV_SQL = ("CAST(l_extendedprice AS DECIMAL(18,2)) * "
+            "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))")
+
+
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: unshipped-order revenue for one market segment —
+    customer (filtered, broadcast) ⋈ orders (date-pruned) ⋈ lineitem, one
+    group shuffle on the order key. No LIMIT (row-set must be deterministic
+    for the value-hash gate); the date filters bound the result instead."""
+    c = demo.load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = demo.load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1996-03-15").cast("timestamp")
+    )
+    l = demo.load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1996-03-15").cast("timestamp")
+    )
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(_rev()).cast("decimal(28,4)").cast("double").alias("revenue"))
+    )
+
+
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue where supplier and customer share a nation,
+    one region, one year — the 6-table join with every dimension broadcast
+    and the c_nationkey = s_nationkey co-location predicate."""
+    c = demo.load(spark, sf_dir, "customer")
+    o = demo.load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    l = demo.load(spark, sf_dir, "lineitem")
+    s = demo.load(spark, sf_dir, "supplier")
+    n = demo.load(spark, sf_dir, "nation")
+    r = demo.load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(s), l["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(c), (o["o_custkey"] == c["c_custkey"])
+              & (c["c_nationkey"] == s["s_nationkey"]))
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("n_name")
+        .agg(F.sum(_rev()).cast("decimal(28,4)").cast("double").alias("revenue"))
+    )
+
+
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: the pure-scan aggregate — every predicate pushes to
+    the parquet scan, no join, no shuffle beyond the final 1-row agg."""
+    l = demo.load(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount").cast(_DEC).between(
+                F.lit("0.05").cast(_DEC), F.lit("0.07").cast(_DEC)))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(F.col("l_extendedprice").cast(_DEC) * F.col("l_discount").cast(_DEC))
+            .cast("decimal(28,4)").cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of regional revenue per order
+    year for one part type. Share = two decimal-exact sums divided as
+    DOUBLE — identical IEEE op on both engines."""
+    p = demo.load(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    l = demo.load(spark, sf_dir, "lineitem")
+    o = demo.load(spark, sf_dir, "orders")
+    s = demo.load(spark, sf_dir, "supplier")
+    n = demo.load(spark, sf_dir, "nation")
+    r = demo.load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    c = demo.load(spark, sf_dir, "customer")
+    joined = (
+        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        .join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n.alias("cn")), F.col("c_nationkey") == F.col("cn.n_nationkey"))
+        .join(F.broadcast(r), F.col("cn.n_regionkey") == r["r_regionkey"])
+        .join(F.broadcast(s), l["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n.alias("sn")), s["s_nationkey"] == F.col("sn.n_nationkey"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            _rev().alias("volume"),
+            F.col("sn.n_name").alias("supp_nation"),
+        )
+    )
+    return (
+        joined.groupBy("o_year")
+        .agg(
+            (F.sum(F.when(F.col("supp_nation") == "NATION_7", F.col("volume"))
+                   .otherwise(F.lit(0).cast(_DEC)))
+             .cast("decimal(28,4)").cast("double")
+             / F.sum("volume").cast("decimal(28,4)").cast("double"))
+            .alias("mkt_share"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape, adapted (testdata has no partsupp, so the
+    ps_supplycost term drops and profit = discounted revenue): per
+    (supplier nation, order year) profit over parts matching a name
+    fragment. The LIKE prunes the broadcast part dim before the fact join."""
+    p = demo.load(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    l = demo.load(spark, sf_dir, "lineitem")
+    o = demo.load(spark, sf_dir, "orders")
+    s = demo.load(spark, sf_dir, "supplier")
+    n = demo.load(spark, sf_dir, "nation")
+    return (
+        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        .join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(s), l["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(F.sum(_rev()).cast("decimal(28,4)").cast("double").alias("profit"))
+    )
+
+
+def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: lost revenue from returned items per customer for
+    one quarter — fact-fact join on the order key, broadcast customer and
+    nation dims, one group shuffle on the customer key."""
+    c = demo.load(spark, sf_dir, "customer")
+    o = demo.load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    l = demo.load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = demo.load(spark, sf_dir, "nation")
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(_rev()).cast("decimal(28,4)").cast("double").alias("revenue"))
+    )
+
+
+def q_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue share for one month — conditional
+    aggregate ratio over the part-type broadcast join, computed as two
+    decimal-exact sums divided as DOUBLE."""
+    p = demo.load(spark, sf_dir, "part")
+    l = demo.load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    return (
+        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        .agg(
+            (F.lit(100.0)
+             * F.sum(F.when(F.col("p_type") == "PROMO", _rev())
+                     .otherwise(F.lit(0).cast(_DEC)))
+             .cast("decimal(28,4)").cast("double")
+             / F.sum(_rev()).cast("decimal(28,4)").cast("double"))
+            .alias("promo_revenue_pct"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 
@@ -3105,6 +3290,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topic_route": q_topic_route,
         "monitor_rollup": q_monitor_rollup,
         # ---------------------------- slot 50 ends here ----------------------
+        # -- NEW round-7 TPC-H completion set: locally gated (full
+        #    tools/check.py), first in line for the r8 window rotation -------
+        "shipping_priority": q_shipping_priority,
+        "local_supplier_volume": q_local_supplier_volume,
+        "forecast_revenue": q_forecast_revenue,
+        "market_share": q_market_share,
+        "product_profit": q_product_profit,
+        "returned_items": q_returned_items,
+        "promo_effect": q_promo_effect,
         # -- driver-green in r05/r06; local gate + pytest keep them, ordered --
         #    by staleness so the next rotation is a prefix cut ----------------
         "heartbeat_lag": q_heartbeat_lag,
@@ -4091,6 +4285,82 @@ def oracle_sql() -> dict[str, str]:
                    o_orderpriority
             FROM orders
             WHERE o_orderkey % 23 = 1 AND o_orderkey % 5 <> 0
+        """,
+        "shipping_priority": """
+            SELECT l_orderkey, o_orderdate,
+                   CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(28,4)) AS DOUBLE) AS revenue
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                          JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1996-03-15 00:00:00'
+              AND l_shipdate > TIMESTAMP '1996-03-15 00:00:00'
+            GROUP BY l_orderkey, o_orderdate
+        """,
+        "local_supplier_volume": """
+            SELECT n_name,
+                   CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(28,4)) AS DOUBLE) AS revenue
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                          JOIN supplier ON l_suppkey = s_suppkey
+                          JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+                          JOIN nation ON s_nationkey = n_nationkey
+                          JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+            GROUP BY n_name
+        """,
+        "forecast_revenue": """
+            SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,4)) AS DOUBLE) AS revenue,
+                   COUNT(*) AS n_items
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+              AND CAST(l_discount AS DECIMAL(18,2)) BETWEEN CAST('0.05' AS DECIMAL(18,2)) AND CAST('0.07' AS DECIMAL(18,2))
+              AND l_quantity < 24
+        """,
+        "market_share": """
+            SELECT EXTRACT(YEAR FROM o_orderdate) AS o_year,
+                   CAST(CAST(SUM(CASE WHEN sn.n_name = 'NATION_7' THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(28,4)) AS DOUBLE)
+                   / CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(28,4)) AS DOUBLE) AS mkt_share,
+                   COUNT(*) AS n_rows
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+                          JOIN orders ON l_orderkey = o_orderkey
+                          JOIN customer ON o_custkey = c_custkey
+                          JOIN nation cn ON c_nationkey = cn.n_nationkey
+                          JOIN region ON cn.n_regionkey = r_regionkey
+                          JOIN supplier ON l_suppkey = s_suppkey
+                          JOIN nation sn ON s_nationkey = sn.n_nationkey
+            WHERE p_type = 'ECONOMY' AND r_name = 'EUROPE'
+            GROUP BY EXTRACT(YEAR FROM o_orderdate)
+        """,
+        "product_profit": """
+            SELECT n_name AS nation, EXTRACT(YEAR FROM o_orderdate) AS o_year,
+                   CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(28,4)) AS DOUBLE) AS profit
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+                          JOIN orders ON l_orderkey = o_orderkey
+                          JOIN supplier ON l_suppkey = s_suppkey
+                          JOIN nation ON s_nationkey = n_nationkey
+            WHERE p_name LIKE '%red%'
+            GROUP BY n_name, EXTRACT(YEAR FROM o_orderdate)
+        """,
+        "returned_items": """
+            SELECT c_custkey, c_name, c_acctbal, n_name,
+                   CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(28,4)) AS DOUBLE) AS revenue
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                          JOIN customer ON o_custkey = c_custkey
+                          JOIN nation ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+              AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+            GROUP BY c_custkey, c_name, c_acctbal, n_name
+        """,
+        "promo_effect": """
+            SELECT 100.0 * CAST(CAST(SUM(CASE WHEN p_type = 'PROMO' THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(28,4)) AS DOUBLE)
+                   / CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(28,4)) AS DOUBLE) AS promo_revenue_pct,
+                   COUNT(*) AS n_items
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'
         """,
         "kafka_segment_parse": """
             SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
