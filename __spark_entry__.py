@@ -3026,6 +3026,72 @@ def q_kafka_segment_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_aof_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redis 7 multi-part AOF directory round trip (sources/aof_manifest.py
+    — the at-rest analogue of the reference's PSYNC full-resync shape: RDB
+    payload then command stream, redis_psync_extractor.rs): the demo command
+    log is SPLIT — the prefix is compacted and persisted as the base RDB,
+    the suffix becomes two incremental RESP .aof chunks, and a manifest
+    lists them — then the directory is recovered with read_aof_manifest
+    (base bridged below every incr seq) + compact_entries. The oracle is
+    the SAME full-stream REDIS_STATE computation, so the gate proves the
+    composition law the format exists for: state(base ⊕ incr) ==
+    state(full replay), across tombstones, member updates, list push order
+    and TTL resets. The fixture collects are the bounded prefix state and
+    suffix command list (fixture generator, like q_redis_rdb)."""
+    import hashlib
+    import inspect
+    import tempfile
+
+    from ape_dts_spark.sources import aof_manifest as am
+    from ape_dts_spark.sources.redis import commands_from_lines, commands_to_entries, compact_entries
+
+    base_ms = 1_700_000_000_000
+    data_sig = "|".join(
+        f"{f}:{os.path.getmtime(p)}:{os.path.getsize(p)}"
+        for f in sorted(os.listdir(sf_dir))
+        if os.path.isfile(p := os.path.join(sf_dir, f))
+    )
+    tag = hashlib.sha1(
+        (sf_dir + data_sig + inspect.getsource(am) + inspect.getsource(q_aof_manifest)).encode()
+    ).hexdigest()[:10]
+    aof_dir = os.path.join(tempfile.gettempdir(), f"ape_aofdir_{tag}")
+    if not os.path.isfile(os.path.join(aof_dir, "appendonly.aof.manifest")):
+        cmds = commands_from_lines(demo.redis_command_lines(spark, sf_dir))
+        max_seq = cmds.agg(F.max("seq")).first()[0]
+        cut = max_seq * 3 // 5
+        prefix_state = compact_entries(
+            commands_to_entries(cmds.filter(F.col("seq") <= cut))
+        ).collect()
+        base_entries = [
+            {
+                "db_id": r["db_id"], "key": r["key"], "entry_type": r["entry_type"],
+                "member": r["member"], "value": r["value"], "ord": r["ord"],
+                "expire_ms": base_ms + int(r["expire"].split(":", 1)[1])
+                if r["expire"] is not None else None,
+            }
+            for r in prefix_state
+        ]
+        suffix = [
+            r["argv"]
+            for r in cmds.filter(F.col("seq") > cut).orderBy("seq").collect()
+        ]
+        half = len(suffix) // 2
+        am.write_manifest_dir(base_entries, [suffix[:half], suffix[half:]], aof_dir)
+    entries = am.read_aof_manifest(spark, aof_dir, expire_base_ms=base_ms)
+    state = compact_entries(entries)
+    return state.select(
+        "db_id", "key", "entry_type", "member", "value",
+        F.when(
+            F.col("entry_type") == "list",
+            F.row_number().over(
+                W.partitionBy("key").orderBy("ord")
+            ).cast("long") - 1,
+        ).otherwise(F.lit(0)).alias("ord"),
+        "expire",
+    )
+
+
 # ---------------------------------------------------------------------------
 # TPC-H completion set (round 7): the remaining classic shapes, adapted to
 # the testdata's columns (no partsupp table; ps_supplycost-dependent terms
@@ -3292,6 +3358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---------------------------- slot 50 ends here ----------------------
         # -- NEW round-7 TPC-H completion set: locally gated (full
         #    tools/check.py), first in line for the r8 window rotation -------
+        "aof_manifest": q_aof_manifest,
         "shipping_priority": q_shipping_priority,
         "local_supplier_volume": q_local_supplier_volume,
         "forecast_revenue": q_forecast_revenue,
@@ -4285,6 +4352,15 @@ def oracle_sql() -> dict[str, str]:
                    o_orderpriority
             FROM orders
             WHERE o_orderkey % 23 = 1 AND o_orderkey % 5 <> 0
+        """,
+        "aof_manifest": f"""
+            {demo.REDIS_STATE_SQL}
+            SELECT db_id, key, entry_type, member, value,
+                   CASE WHEN entry_type = 'list'
+                        THEN ROW_NUMBER() OVER (PARTITION BY key ORDER BY ord) - 1
+                        ELSE 0 END AS ord,
+                   expire
+            FROM redis_state
         """,
         "shipping_priority": """
             SELECT l_orderkey, o_orderdate,
