@@ -337,6 +337,15 @@ def read_kafka_segments(
                 keep.add(p)
         files = files.filter(files["path"].isin(list(keep)))
 
+    return files.mapInPandas(_make_segment_parser(start_offsets), schema=MESSAGE_SCHEMA)
+
+
+def _make_segment_parser(start_offsets: dict):
+    """The shared whole-segment decode kernel for batch and streaming scans."""
+    import re
+
+    import pandas as pd
+
     def _parse(batches):
         for pdf in batches:
             rows = []
@@ -353,4 +362,24 @@ def read_kafka_segments(
                 columns=["topic", "partition", "offset", "ts", "key", "value", "headers"],
             )
 
-    return files.mapInPandas(_parse, schema=MESSAGE_SCHEMA)
+    return _parse
+
+
+def stream_kafka_segments(
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Structured-Streaming tail of a segment directory tree: the broker
+    rolls segments as it writes; each rolled (closed) segment appearing
+    under ``<path>/<topic>-<partition>/`` flows through the same decode as
+    the batch scan. The stream checkpoint replaces the consumer-group
+    offset commit (Position::Kafka, kafka_extractor.rs:43-52) at segment
+    granularity."""
+    reader = spark.readStream.format("binaryFile").schema(
+        "path string, modificationTime timestamp, length long, content binary"
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    files = reader.load(path + "/*/*.log").select("path", "content")
+    return files.mapInPandas(_make_segment_parser({}), schema=MESSAGE_SCHEMA)

@@ -267,6 +267,16 @@ def read_oplog_files(
     import pandas as pd
 
     files = spark.read.format("binaryFile").load(path).select("path", "content")
+    return files.mapInPandas(
+        _make_file_parser(start_time, start_inc), schema=CHANGE_SCHEMA
+    )
+
+
+def _make_file_parser(start_time: int, start_inc: int):
+    """The shared whole-file decode kernel for the batch and streaming scans."""
+    import re
+
+    import pandas as pd
 
     def _parse(batches):
         for pdf in batches:
@@ -287,7 +297,26 @@ def read_oplog_files(
                          "row_type", "id", "doc", "diff"],
             )
 
-    return files.mapInPandas(_parse, schema=CHANGE_SCHEMA)
+    return _parse
+
+
+def stream_oplog_files(
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Structured-Streaming tail of an oplog dump directory: new dump chunks
+    appearing in ``path`` flow through the same whole-file decode as the
+    batch scan — the at-rest analogue of the reference's TailableAwait
+    cursor (mongo_cdc_extractor.rs:350-353), with the stream checkpoint as
+    the resume token."""
+    reader = spark.readStream.format("binaryFile").schema(
+        "path string, modificationTime timestamp, length long, content binary"
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    files = reader.load(path).select("path", "content")
+    return files.mapInPandas(_make_file_parser(0, 0), schema=CHANGE_SCHEMA)
 
 
 def _apply_set_unset(state: dict, upd: dict) -> None:

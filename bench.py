@@ -43,6 +43,14 @@ BENCH_QUERIES = [
     "nation_trade_flows",
     "large_orders",
     "disjunctive_revenue",
+    # round-7 TPC-H completion set (broadcast-dim joins + decimal aggs)
+    "shipping_priority",
+    "local_supplier_volume",
+    "forecast_revenue",
+    "market_share",
+    "product_profit",
+    "returned_items",
+    "promo_effect",
     "salted_join",
     "update_split",
     "snapshot_resume",
@@ -56,6 +64,12 @@ BENCH_QUERIES = [
     "mongo_compact",
     "redis_rdb",
     "binlog_file_parse",
+    # round-7 at-rest transports (fixture cached after first run; the
+    # measured op is the distributed parse + replay)
+    "pgoutput_file_parse",
+    "oplog_file_parse",
+    "kafka_segment_parse",
+    "aof_manifest",
     "orc_roundtrip",
     "struct_objects",
     "struct_check_report",

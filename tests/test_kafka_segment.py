@@ -130,3 +130,34 @@ def test_chains_into_envelope_decode(spark, tmp_path):
     decoded = decode_events(raw, payload)
     got = sorted((r["after"]["id"], r["after"]["v"]) for r in decoded.collect())
     assert got == [(i, f"x{i}") for i in range(30)]
+
+
+def test_streaming_tail_of_segment_tree(spark, tmp_path):
+    """stream_kafka_segments: rolled segments appearing under the topic
+    tree drain through the stream checkpoint without re-consuming."""
+    out = str(tmp_path / "kafka")
+    ckpt = str(tmp_path / "ckpt")
+    ks.write_segment_files(_msgs(30), out, "t", 0, per_batch=10, per_segment=30)
+    seen = []
+
+    def run():
+        q = (
+            ks.stream_kafka_segments(spark, out)
+            .writeStream.foreachBatch(
+                lambda b, _id: seen.extend(r["offset"] for r in b.collect())
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run()
+    assert sorted(seen) == list(range(30))
+    # the broker rolls a new segment
+    import os as _os
+
+    with open(_os.path.join(out, "t-0", ks.segment_file_name(30)), "wb") as f:
+        f.write(ks.encode_batch(_msgs(5, 30), 30, 999))
+    run()
+    assert sorted(seen) == list(range(35))

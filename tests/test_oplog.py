@@ -111,3 +111,37 @@ def test_distributed_scan_and_fold(spark, tmp_path):
     # global order: seq strictly increasing along (op_time, op_inc)
     rows = changes.orderBy("op_time", "op_inc").collect()
     assert [int(r["id"]) for r in rows] == [1, 2, 3, 1, 2, 3]
+
+
+def test_streaming_tail_of_dump_dir(spark, tmp_path):
+    """stream_oplog_files: a readStream tail of the dump directory — chunks
+    present at start drain, chunks arriving later apply from the SAME
+    checkpoint without re-emitting (the TailableAwait cursor analogue)."""
+    out = str(tmp_path / "dump")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(out)
+    of.write_oplog_files(
+        [of.entry_insert("db.u", {"_id": i}, T(1, i)) for i in range(1, 4)],
+        out, per_file=0,
+    )
+    seen = []
+
+    def run():
+        q = (
+            of.stream_oplog_files(spark, out)
+            .writeStream.foreachBatch(
+                lambda b, _id: seen.extend(r["id"] for r in b.collect())
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run()
+    assert sorted(seen) == ["1", "2", "3"]
+    # a later chunk arrives with its own file index
+    with open(os.path.join(out, "oplog.000002.bson"), "wb") as f:
+        f.write(bc.encode_document(of.entry_insert("db.u", {"_id": 9}, T(2, 1))))
+    run()
+    assert sorted(seen) == ["1", "2", "3", "9"]  # no re-emit of 1..3
