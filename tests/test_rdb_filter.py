@@ -84,3 +84,52 @@ def test_case_sensitive_identifiers():
     g = RdbFilter(do_tbs="Upper_Case_DB.Upper_Case_TB")
     assert not g.filter_tb("Upper_Case_DB", "Upper_Case_TB")
     assert g.filter_tb("Upper_Case_DB", "upper_case_tb")  # wrong-case table
+
+
+def test_special_character_in_name_suite_parity():
+    """The reference's special_character_in_name_test, byte for byte
+    (dt-tests/tests/mysql_to_mysql/cdc/special_character_in_name_test/
+    task_config.ini + filtered_tbs.txt): database/table names containing
+    wildcards ('*', '?'), '&', '^', '@' and DOTS, escaped with backticks in
+    every filter list — escaped identifiers must match exactly (wildcards
+    literal), unescaped dots must not split inside escapes
+    (rdb_filter.rs match_token + ConfigTokenParser)."""
+    from ape_dts_spark.config.rdb_filter import RdbFilter
+
+    f = RdbFilter(
+        do_schemas="`*.*_test_db`,`&.&_test_db`",
+        ignore_schemas="`test_db_*.*`,`test_db_&.&`",
+        do_tbs="`test_db_^.^`.`one_pk_no_uk_2_^.^`,`test_db_@.@`.`one_pk_no_uk_2_@.@`",
+        ignore_tbs="`*.*_test_db`.`one_pk_no_uk_1_*.*`,`&.&_test_db`.`one_pk_no_uk_1_&.&`",
+        do_events="insert,update,delete",
+    )
+    # the suite's filtered_tbs.txt, unescaped: every one must be filtered
+    filtered = [
+        ("test_db_*.*", "one_pk_no_uk_1_*.*"),
+        ("test_db_*.*", "one_pk_no_uk_2_*.*"),
+        ("test_db_&.&", "one_pk_no_uk_1_&.&"),
+        ("test_db_&.&", "one_pk_no_uk_2_&.&"),
+        ("test_db_^.^", "one_pk_no_uk_1_^.^"),
+        ("test_db_@.@", "one_pk_no_uk_1_@.@"),
+        ("*.*_test_db", "one_pk_no_uk_1_*.*"),
+        ("&.&_test_db", "one_pk_no_uk_1_&.&"),
+        ("^.^_test_db", "one_pk_no_uk_1_^.^"),
+        ("^.^_test_db", "one_pk_no_uk_2_^.^"),
+        ("@.@_test_db", "one_pk_no_uk_1_@.@"),
+        ("@.@_test_db", "one_pk_no_uk_2_@.@"),
+    ]
+    for db, tb in filtered:
+        assert f.filter_tb(db, tb), f"{db}.{tb} must be filtered"
+    # the suite's replicated survivors: do_dbs members not in ignore_tbs,
+    # plus the two do_tbs entries
+    kept = [
+        ("*.*_test_db", "one_pk_no_uk_2_*.*"),
+        ("&.&_test_db", "one_pk_no_uk_2_&.&"),
+        ("test_db_^.^", "one_pk_no_uk_2_^.^"),
+        ("test_db_@.@", "one_pk_no_uk_2_@.@"),
+    ]
+    for db, tb in kept:
+        assert not f.filter_tb(db, tb), f"{db}.{tb} must replicate"
+    # escaped wildcards stay literal: a db the pattern would match as a
+    # wildcard but not as a literal is filtered
+    assert f.filter_tb("anything_test_db", "one_pk_no_uk_2_x")

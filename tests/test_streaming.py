@@ -638,3 +638,44 @@ def test_charset_roundtrip_through_pipeline(spark, dirs):
     )
     st = state_dict(table)
     assert {st[i][0] for i in range(len(names))} == set(names)
+
+
+def test_two_way_star_topology_no_echo(spark, tmp_path):
+    """cycle_star_test parity (dt-tests mysql_to_mysql/cdc/cycle_star_test):
+    hub-and-spoke two-way sync — a spoke-born event applies at the hub and
+    every OTHER spoke, and is dropped when the hub relays it back toward its
+    birth spoke; a hub-born event applies at every spoke. Same data-marker
+    mechanism as the ring, different fan-out shape."""
+    def node(name):
+        d = tmp_path / name
+        (d / "in").mkdir(parents=True)
+        table = ParquetTable(spark, str(d / "tbl"), PAYLOAD)
+        pipe = CdcPipeline(spark, table, key_cols=["id"], ignore_origin_nodes=(name,))
+        return {"t": table, "p": pipe, "in": str(d / "in"), "ck": str(d / "ckpt")}
+
+    hub = node("H")
+    spokes = {n: node(n) for n in ("S1", "S2", "S3")}
+
+    # S1-born event -> hub applies
+    born = [ev("c", after={"id": 1, "name": "fromS1", "bal": 1}, seq=1, origin="S1")]
+    write_debezium_jsonl(born, os.path.join(hub["in"], "b1.jsonl"))
+    hub["p"].run(read_json_change_stream(spark, hub["in"], PAYLOAD), hub["ck"])
+    assert set(state_dict(hub["t"])) == {1}
+    # hub relays to every spoke, origin preserved: S2/S3 apply, S1 drops
+    for n, s in spokes.items():
+        write_debezium_jsonl(born, os.path.join(s["in"], "relay1.jsonl"))
+        s["p"].run(read_json_change_stream(spark, s["in"], PAYLOAD), s["ck"])
+    assert set(state_dict(spokes["S2"]["t"])) == {1}
+    assert set(state_dict(spokes["S3"]["t"])) == {1}
+    assert state_dict(spokes["S1"]["t"]) == {}  # no echo at the birth spoke
+
+    # hub-born event fans out to all spokes
+    hub_born = [ev("c", after={"id": 2, "name": "fromH", "bal": 2}, seq=2, origin="H")]
+    for n, s in spokes.items():
+        write_debezium_jsonl(hub_born, os.path.join(s["in"], "relay2.jsonl"))
+        s["p"].run(read_json_change_stream(spark, s["in"], PAYLOAD), s["ck"])
+        assert 2 in state_dict(s["t"]), n
+    # ...and is dropped if a spoke reflects it back at the hub
+    write_debezium_jsonl(hub_born, os.path.join(hub["in"], "b2.jsonl"))
+    hub["p"].run(read_json_change_stream(spark, hub["in"], PAYLOAD), hub["ck"])
+    assert 2 not in state_dict(hub["t"])
