@@ -58,6 +58,7 @@ MYSQL_TYPE_DATE = 10
 MYSQL_TYPE_VARCHAR = 15
 MYSQL_TYPE_TIMESTAMP2 = 17
 MYSQL_TYPE_DATETIME2 = 18
+MYSQL_TYPE_JSON = 245
 MYSQL_TYPE_NEWDECIMAL = 246
 MYSQL_TYPE_BLOB = 252
 
@@ -85,6 +86,10 @@ class BinlogTable:
     tb: str
     cols: tuple  # of (name, type_code, metadata) — metadata per-type, see _META_LEN
     table_id: int
+    # column character set for VARCHAR cells (the reference resolves it from
+    # column meta and converts, charset_test suite; binlog stores raw bytes
+    # in the COLUMN charset, not utf-8)
+    charset: str = "utf-8"
 
 
 # ---------------------------------------------------------------------------
@@ -137,7 +142,7 @@ def _meta_bytes(type_code: int, meta: int) -> bytes:
         return bytes([meta >> 8, meta & 0xFF])
     if type_code in (
         MYSQL_TYPE_FLOAT, MYSQL_TYPE_DOUBLE, MYSQL_TYPE_BLOB,
-        MYSQL_TYPE_TIMESTAMP2, MYSQL_TYPE_DATETIME2,
+        MYSQL_TYPE_TIMESTAMP2, MYSQL_TYPE_DATETIME2, MYSQL_TYPE_JSON,
     ):
         return bytes([meta])
     return b""
@@ -203,11 +208,196 @@ def _dec_decimal(b: bytes, i: int, precision: int, scale: int) -> tuple[str, int
 
 
 # ---------------------------------------------------------------------------
+# MySQL binary JSON (type 245) — the public json_binary format
+# (mysql/sql/json_binary.h layout; the reference decodes it in
+# dt-common/src/meta/mysql json handling for the json_test suite)
+# ---------------------------------------------------------------------------
+
+_J_SMALL_OBJ = 0x00
+_J_LARGE_OBJ = 0x01
+_J_SMALL_ARR = 0x02
+_J_LARGE_ARR = 0x03
+_J_LITERAL = 0x04
+_J_INT16 = 0x05
+_J_UINT16 = 0x06
+_J_INT32 = 0x07
+_J_UINT32 = 0x08
+_J_INT64 = 0x09
+_J_UINT64 = 0x0A
+_J_DOUBLE = 0x0B
+_J_STRING = 0x0C
+
+_J_LIT_NULL, _J_LIT_TRUE, _J_LIT_FALSE = 0x00, 0x01, 0x02
+
+
+def _j_varlen_enc(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _j_varlen_dec(b: bytes, i: int) -> tuple[int, int]:
+    n = shift = 0
+    while True:
+        x = b[i]
+        i += 1
+        n |= (x & 0x7F) << shift
+        if not x & 0x80:
+            return n, i
+        shift += 7
+
+
+def _j_type_and_payload(v) -> tuple[int, bytes, int | None]:
+    """Python value -> (type, payload bytes, inlined small-value or None).
+    Inlinable types (literal/int16/uint16) carry their value in the entry's
+    offset field of small documents instead of the data section."""
+    if v is None:
+        return _J_LITERAL, b"", _J_LIT_NULL
+    if isinstance(v, bool):
+        return _J_LITERAL, b"", _J_LIT_TRUE if v else _J_LIT_FALSE
+    if isinstance(v, int):
+        if -(1 << 15) <= v < (1 << 15):
+            return _J_INT16, b"", v & 0xFFFF
+        if -(1 << 31) <= v < (1 << 31):
+            return _J_INT32, struct.pack("<i", v), None
+        return _J_INT64, struct.pack("<q", v), None
+    if isinstance(v, float):
+        return _J_DOUBLE, struct.pack("<d", v), None
+    if isinstance(v, str):
+        raw = v.encode()
+        return _J_STRING, _j_varlen_enc(len(raw)) + raw, None
+    if isinstance(v, dict):
+        return _J_SMALL_OBJ, _j_doc_payload(v), None
+    if isinstance(v, list):
+        return _J_SMALL_ARR, _j_doc_payload(v), None
+    raise TypeError(f"unsupported JSON value type {type(v).__name__}")
+
+
+def _j_doc_payload(doc) -> bytes:
+    """Small object/array payload: count u16, size u16, [key entries],
+    value entries, [keys], values — offsets relative to the payload start.
+    MySQL sorts object keys by (length, bytes)."""
+    is_obj = isinstance(doc, dict)
+    if is_obj:
+        items = sorted(doc.items(), key=lambda kv: (len(kv[0].encode()), kv[0].encode()))
+        keys = [k.encode() for k, _ in items]
+        vals = [v for _, v in items]
+    else:
+        keys, vals = [], list(doc)
+    n = len(vals)
+    head = 4 + (4 * n if is_obj else 0) + 3 * n
+    key_section = b"".join(keys)
+    data = bytearray()
+    entries = []
+    for v in vals:
+        t, payload, inline = _j_type_and_payload(v)
+        if inline is not None:
+            entries.append((t, inline, None))
+        else:
+            entries.append((t, None, len(data)))
+            data += payload
+    size = head + len(key_section) + len(data)
+    out = bytearray(struct.pack("<HH", n, size))
+    if is_obj:
+        koff = head
+        for k in keys:
+            out += struct.pack("<HH", koff, len(k))
+            koff += len(k)
+    data_base = head + len(key_section)
+    for t, inline, off in entries:
+        out += bytes([t]) + struct.pack("<H", inline if inline is not None else data_base + off)
+    out += key_section + data
+    return bytes(out)
+
+
+def _enc_json_binary(v) -> bytes:
+    """Top-level document: type byte + payload (scalars included)."""
+    t, payload, inline = _j_type_and_payload(v)
+    if inline is not None:
+        if t == _J_LITERAL:
+            return bytes([t, inline])
+        return bytes([t]) + struct.pack("<h", struct.unpack("<h", struct.pack("<H", inline))[0])
+    return bytes([t]) + payload
+
+
+def _j_read_value(t: int, b: bytes, i: int):
+    if t == _J_LITERAL:
+        lit = b[i]
+        return {_J_LIT_NULL: None, _J_LIT_TRUE: True, _J_LIT_FALSE: False}[lit]
+    if t == _J_INT16:
+        return struct.unpack_from("<h", b, i)[0]
+    if t == _J_UINT16:
+        return struct.unpack_from("<H", b, i)[0]
+    if t == _J_INT32:
+        return struct.unpack_from("<i", b, i)[0]
+    if t == _J_UINT32:
+        return struct.unpack_from("<I", b, i)[0]
+    if t == _J_INT64:
+        return struct.unpack_from("<q", b, i)[0]
+    if t == _J_UINT64:
+        return struct.unpack_from("<Q", b, i)[0]
+    if t == _J_DOUBLE:
+        return struct.unpack_from("<d", b, i)[0]
+    if t == _J_STRING:
+        n, j = _j_varlen_dec(b, i)
+        return b[j : j + n].decode()
+    if t in (_J_SMALL_OBJ, _J_SMALL_ARR, _J_LARGE_OBJ, _J_LARGE_ARR):
+        return _j_read_doc(t, b, i)
+    raise ValueError(f"unsupported binary-JSON type 0x{t:02x}")
+
+
+def _j_read_doc(t: int, b: bytes, base: int):
+    large = t in (_J_LARGE_OBJ, _J_LARGE_ARR)
+    is_obj = t in (_J_SMALL_OBJ, _J_LARGE_OBJ)
+    w = 4 if large else 2
+    fmt = "<I" if large else "<H"
+    n = struct.unpack_from(fmt, b, base)[0]
+    i = base + 2 * w
+    keys = []
+    if is_obj:
+        for _ in range(n):
+            koff = struct.unpack_from(fmt, b, i)[0]
+            klen = struct.unpack_from("<H", b, i + w)[0]
+            keys.append(b[base + koff : base + koff + klen].decode())
+            i += w + 2
+    vals = []
+    inline_types = (_J_LITERAL, _J_INT16, _J_UINT16) if not large else (
+        _J_LITERAL, _J_INT16, _J_UINT16, _J_INT32, _J_UINT32)
+    for _ in range(n):
+        vt = b[i]
+        if vt in inline_types:
+            # the offset field IS the value
+            vals.append(_j_read_value(vt, b, i + 1))
+        else:
+            off = struct.unpack_from(fmt, b, i + 1)[0]
+            vals.append(_j_read_value(vt, b, base + off))
+        i += 1 + w
+    return dict(zip(keys, vals)) if is_obj else vals
+
+
+def _dec_json_binary(b: bytes) -> object:
+    if not b:
+        return None
+    t = b[0]
+    if t == _J_LITERAL:
+        return _j_read_value(t, b, 1)
+    if t in (_J_INT16, _J_UINT16):
+        return _j_read_value(t, b, 1)
+    return _j_read_value(t, b, 1)
+
+
+# ---------------------------------------------------------------------------
 # value codecs (one row image cell)
 # ---------------------------------------------------------------------------
 
 
-def _enc_value(type_code: int, meta: int, v) -> bytes:
+def _enc_value(type_code: int, meta: int, v, charset: str = "utf-8") -> bytes:
     if type_code == MYSQL_TYPE_TINY:
         return struct.pack("<b", int(v))
     if type_code == MYSQL_TYPE_SHORT:
@@ -223,7 +413,7 @@ def _enc_value(type_code: int, meta: int, v) -> bytes:
     if type_code == MYSQL_TYPE_DOUBLE:
         return struct.pack("<d", float(v))
     if type_code == MYSQL_TYPE_VARCHAR:
-        raw = v.encode() if isinstance(v, str) else bytes(v)
+        raw = v.encode(charset) if isinstance(v, str) else bytes(v)
         pre = struct.pack("<B", len(raw)) if meta < 256 else struct.pack("<H", len(raw))
         return pre + raw
     if type_code == MYSQL_TYPE_BLOB:
@@ -260,10 +450,16 @@ def _enc_value(type_code: int, meta: int, v) -> bytes:
         return out
     if type_code == MYSQL_TYPE_NEWDECIMAL:
         return _enc_decimal(v, meta >> 8, meta & 0xFF)
+    if type_code == MYSQL_TYPE_JSON:
+        import json as _json
+
+        doc = _json.loads(v) if isinstance(v, str) else v
+        body = _enc_json_binary(doc)
+        return len(body).to_bytes(meta, "little") + body
     raise NotImplementedError(f"binlog writer: unsupported column type {type_code}")
 
 
-def _dec_value(type_code: int, meta: int, b: bytes, i: int) -> tuple[str, int]:
+def _dec_value(type_code: int, meta: int, b: bytes, i: int, charset: str = "utf-8") -> tuple[str, int]:
     """Decode one cell -> (string rendering, next offset). Strings are the
     uniform cell type of the schema-fluid change model (parse_debezium_fluid);
     integers render bare, floats via repr (exact round-trip), TIMESTAMP2 as
@@ -287,7 +483,7 @@ def _dec_value(type_code: int, meta: int, b: bytes, i: int) -> tuple[str, int]:
             n, i = b[i], i + 1
         else:
             n, i = struct.unpack_from("<H", b, i)[0], i + 2
-        return b[i : i + n].decode(), i + n
+        return b[i : i + n].decode(charset), i + n
     if type_code == MYSQL_TYPE_BLOB:
         n = int.from_bytes(b[i : i + meta], "little")
         i += meta
@@ -320,6 +516,13 @@ def _dec_value(type_code: int, meta: int, b: bytes, i: int) -> tuple[str, int]:
         return text, i
     if type_code == MYSQL_TYPE_NEWDECIMAL:
         return _dec_decimal(b, i, meta >> 8, meta & 0xFF)
+    if type_code == MYSQL_TYPE_JSON:
+        import json as _json
+
+        n = int.from_bytes(b[i : i + meta], "little")
+        i += meta
+        doc = _dec_json_binary(b[i : i + n])
+        return _json.dumps(doc, sort_keys=True, separators=(",", ":")), i + n
     raise NotImplementedError(f"binlog parser: unsupported column type {type_code}")
 
 
@@ -368,7 +571,7 @@ def _row_image(t: BinlogTable, image: dict) -> bytes:
     out = bytearray(_bitmap(nulls))
     for (name, code, meta), is_null in zip(t.cols, nulls):
         if not is_null:
-            out += _enc_value(code, meta, image[name])
+            out += _enc_value(code, meta, image[name], t.charset)
     return bytes(out)
 
 
@@ -562,7 +765,7 @@ def _parse_table_map(body: bytes) -> dict:
             k += 2
         elif code in (
             MYSQL_TYPE_FLOAT, MYSQL_TYPE_DOUBLE, MYSQL_TYPE_BLOB,
-            MYSQL_TYPE_TIMESTAMP2, MYSQL_TYPE_DATETIME2,
+            MYSQL_TYPE_TIMESTAMP2, MYSQL_TYPE_DATETIME2, MYSQL_TYPE_JSON,
         ):
             cols.append((code, meta_block[k]))
             k += 1
@@ -603,7 +806,7 @@ def _parse_rows(body: bytes, type_code: int, table_map: dict, tables: dict):
                 image[names[c]] = None
             else:
                 code, meta = cols[c]
-                image[names[c]], j = _dec_value(code, meta, body, j)
+                image[names[c]], j = _dec_value(code, meta, body, j, reg.charset)
             pi += 1
         return image, j
 
