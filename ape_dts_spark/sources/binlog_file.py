@@ -45,6 +45,7 @@ UPDATE_ROWS_EVENT_V2 = 31
 DELETE_ROWS_EVENT_V2 = 32
 GTID_EVENT = 33
 PREVIOUS_GTIDS_EVENT = 35
+TRANSACTION_PAYLOAD_EVENT = 40
 
 # column type codes (MySQL protocol)
 MYSQL_TYPE_TINY = 1
@@ -545,6 +546,33 @@ class _FileWriter:
         self.buf += ev
 
 
+def _inner_event(ts: int, type_code: int, payload: bytes) -> bytes:
+    """One event INSIDE a TRANSACTION_PAYLOAD: headered, no CRC trailer,
+    log_pos 0 (positions are carried by the wrapping event, per the public
+    transaction-payload format — inner events are not checksummed)."""
+    size = HEADER_LEN + len(payload)
+    return _HEADER.pack(ts, type_code, _SERVER_ID, size, 0, 0) + payload
+
+
+# transaction-payload TLV field types (public mysql OTW codes)
+_OTW_END = 0
+_OTW_PAYLOAD_SIZE = 1
+_OTW_COMPRESSION_TYPE = 2
+_OTW_UNCOMPRESSED_SIZE = 3
+_COMPRESS_ZSTD = 0
+_COMPRESS_NONE = 255
+
+
+def _payload_event(inner: bytes) -> bytes:
+    """TRANSACTION_PAYLOAD body: TLV header (compression NONE + payload
+    size + end mark) followed by the concatenated inner events."""
+    tlv = bytearray()
+    tlv += _packed(_OTW_COMPRESSION_TYPE) + _packed(len(_packed(_COMPRESS_NONE))) + _packed(_COMPRESS_NONE)
+    tlv += _packed(_OTW_PAYLOAD_SIZE) + _packed(len(_packed(len(inner)))) + _packed(len(inner))
+    tlv += _packed(_OTW_END)
+    return bytes(tlv) + inner
+
+
 def _fde_payload() -> bytes:
     # binlog_version(2) server_version(50, nul-padded) create_ts(4)
     # header_len(1) post-header-length array (one byte per known event type)
@@ -598,6 +626,7 @@ def encode_binlog_file(
     server_uuid: str = "3e11fa47-71ca-11e1-9e33-c80aa9429562",
     start_gno: int = 1,
     base_ts: int = 1_700_000_000,
+    payload_wrap: bool = False,
 ) -> bytes:
     """Encode transactions into one binlog file's bytes.
 
@@ -616,6 +645,35 @@ def encode_binlog_file(
         gtid = b"\x01" + sid + struct.pack("<q", gno)
         gtid += b"\x02" + struct.pack("<q", gno - 1) + struct.pack("<q", gno)  # logical ts
         w.event(GTID_EVENT, gtid)
+        if payload_wrap:
+            # MySQL 8.0.20+ binlog_transaction_compression: the whole txn
+            # (BEGIN .. XID) rides ONE TRANSACTION_PAYLOAD event. Inner
+            # events are headered but not checksummed; compression NONE
+            # here (zstd is not in this container — parser raises honestly)
+            inner = bytearray(_inner_event(w.ts, QUERY_EVENT, _query_payload("", "BEGIN")))
+            for table_key, row_type, before, after in txn:
+                if row_type == "ddl":
+                    sch = tables[table_key].schema if table_key in tables else ""
+                    inner += _inner_event(w.ts, QUERY_EVENT, _query_payload(sch, after["query"]))
+                    continue
+                t = tables[table_key]
+                inner += _inner_event(w.ts, TABLE_MAP_EVENT, _table_map_payload(t))
+                if row_type == "insert":
+                    inner += _inner_event(w.ts, WRITE_ROWS_EVENT_V2,
+                                          _rows_payload(t, WRITE_ROWS_EVENT_V2, [after]))
+                elif row_type == "update":
+                    inner += _inner_event(w.ts, UPDATE_ROWS_EVENT_V2,
+                                          _rows_payload(t, UPDATE_ROWS_EVENT_V2, [(before, after)]))
+                elif row_type == "delete":
+                    inner += _inner_event(w.ts, DELETE_ROWS_EVENT_V2,
+                                          _rows_payload(t, DELETE_ROWS_EVENT_V2, [before]))
+                else:
+                    raise ValueError(f"unknown row_type {row_type!r}")
+            inner += _inner_event(w.ts, XID_EVENT, struct.pack("<Q", gno))
+            w.event(TRANSACTION_PAYLOAD_EVENT, _payload_event(bytes(inner)))
+            gno += 1
+            w.ts += 1
+            continue
         w.event(QUERY_EVENT, _query_payload("", "BEGIN"))
         for table_key, row_type, before, after in txn:
             if row_type == "ddl":
@@ -693,19 +751,8 @@ def parse_binlog_bytes(
         )
         seq += 1
 
-    while i < len(data):
-        ts, type_code, _server, size, log_pos, _flags = _HEADER.unpack_from(data, i)
-        ev = data[i : i + size]
-        body = ev[HEADER_LEN:]
-        if type_code == FORMAT_DESCRIPTION_EVENT:
-            checksummed = body[-5] == 1
-            i += size
-            continue
-        if checksummed:
-            want = struct.unpack_from("<I", ev, size - 4)[0]
-            if zlib.crc32(ev[: size - 4]) != want:
-                raise ValueError(f"binlog CRC mismatch at offset {i}")
-            body = body[:-4]
+    def handle(type_code, body, log_pos, ts):
+        nonlocal gtid
         if type_code == GTID_EVENT:
             sid = body[1:17].hex()
             sid = f"{sid[:8]}-{sid[8:12]}-{sid[12:16]}-{sid[16:20]}-{sid[20:]}"
@@ -735,7 +782,51 @@ def parse_binlog_bytes(
         elif type_code == ROTATE_EVENT:
             nxt = body[8:].decode()
             emit(log_pos, ts, "rotate", None, None, None, {"next_file": nxt})
+        elif type_code == TRANSACTION_PAYLOAD_EVENT:
+            # TLV header, then concatenated UNCHECKSUMMED inner events; all
+            # inner rows carry the WRAPPING event's position (checkpoint
+            # granularity = the outer event, like the reference's
+            # TransactionPayload handling)
+            p = 0
+            compression = _COMPRESS_NONE
+            payload_len = None
+            while True:
+                ftype, p = _read_packed(body, p)
+                if ftype == _OTW_END:
+                    break
+                flen, p = _read_packed(body, p)
+                fval = body[p : p + flen]
+                p += flen
+                if ftype == _OTW_COMPRESSION_TYPE:
+                    compression, _ = _read_packed(fval, 0)
+                elif ftype == _OTW_PAYLOAD_SIZE:
+                    payload_len, _ = _read_packed(fval, 0)
+            if compression != _COMPRESS_NONE:
+                raise NotImplementedError(
+                    "transaction payload compression zstd not available in this environment"
+                )
+            inner = body[p : p + payload_len] if payload_len is not None else body[p:]
+            k = 0
+            while k < len(inner):
+                its, itype, _isrv, isize, _ipos, _ifl = _HEADER.unpack_from(inner, k)
+                handle(itype, inner[k + HEADER_LEN : k + isize], log_pos, its)
+                k += isize
         # PREVIOUS_GTIDS / unknown maintenance events: positions advance, no rows
+
+    while i < len(data):
+        ts, type_code, _server, size, log_pos, _flags = _HEADER.unpack_from(data, i)
+        ev = data[i : i + size]
+        body = ev[HEADER_LEN:]
+        if type_code == FORMAT_DESCRIPTION_EVENT:
+            checksummed = body[-5] == 1
+            i += size
+            continue
+        if checksummed:
+            want = struct.unpack_from("<I", ev, size - 4)[0]
+            if zlib.crc32(ev[: size - 4]) != want:
+                raise ValueError(f"binlog CRC mismatch at offset {i}")
+            body = body[:-4]
+        handle(type_code, body, log_pos, ts)
         i += size
     return out
 

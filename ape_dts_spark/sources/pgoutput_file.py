@@ -180,6 +180,80 @@ def encode_truncate(rel_ids: list[int], cascade: bool = False, restart_identity:
     return b"T" + body
 
 
+def encode_stream_start(xid: int, first_segment: bool = True) -> bytes:
+    return b"S" + struct.pack(">IB", xid, 1 if first_segment else 0)
+
+
+def encode_stream_stop() -> bytes:
+    return b"E"
+
+
+def encode_stream_commit(xid: int, commit_lsn: int, end_lsn: int, ts_us: int) -> bytes:
+    return b"c" + struct.pack(">IB", xid, 0) + struct.pack(">QQq", commit_lsn, end_lsn, ts_us)
+
+
+def encode_stream_abort(xid: int, subxid: int | None = None) -> bytes:
+    return b"A" + struct.pack(">II", xid, subxid if subxid is not None else xid)
+
+
+def encode_streamed_segment(
+    stream_txns: list,
+    tables: dict,
+    start_lsn: int = 0x2_0000_0000,
+    base_ts_us: int = 760_000_000_000_000,
+    interleave: bool = True,
+) -> tuple[bytes, int]:
+    """Protocol-v2 streamed (in-progress) transactions: each txn is
+    ``(xid, ops, outcome)`` with outcome 'commit' | 'abort'. Per the public
+    format, large transactions stream as StreamStart('S') segments whose
+    row messages carry a leading xid, closed by StreamStop('E'), and
+    resolve with StreamCommit('c') or StreamAbort('A'). ``interleave=True``
+    round-robins one-op segments across transactions — the wire condition
+    that makes per-message xids necessary."""
+    w = _SegmentWriter(start_lsn, base_ts_us)
+    sent_rel: set = set()
+    queues = {xid: list(ops) for xid, ops, _ in stream_txns}
+
+    def _op_msg(table_key, row_type, before, after, xid):
+        t = tables[table_key]
+        pre = []
+        if table_key not in sent_rel:
+            pre.append(b"R" + struct.pack(">I", xid) + encode_relation(t)[1:])
+            sent_rel.add(table_key)
+        if row_type == "insert":
+            m = encode_insert(t, after)
+        elif row_type == "update":
+            m = encode_update(t, before, after)
+        elif row_type == "delete":
+            m = encode_delete(t, before)
+        else:
+            raise ValueError(f"unknown row_type {row_type!r}")
+        return pre + [m[0:1] + struct.pack(">I", xid) + m[1:]]
+
+    opened: set = set()
+    while any(queues.values()):
+        for xid, _ops, _out in stream_txns:
+            if not queues[xid]:
+                continue
+            take = 1 if interleave else len(queues[xid])
+            w.record(encode_stream_start(xid, first_segment=xid not in opened))
+            opened.add(xid)
+            for _ in range(take):
+                if not queues[xid]:
+                    break
+                for m in _op_msg(*queues[xid].pop(0), xid):
+                    w.record(m)
+            w.record(encode_stream_stop())
+    for xid, _ops, outcome in stream_txns:
+        if outcome == "commit":
+            at = w.lsn
+            w.record(encode_stream_commit(xid, at, at + 31, w.clock))
+        else:
+            w.record(encode_stream_abort(xid))
+        w.clock += 1_000_000
+    return bytes(w.buf), w.lsn
+
+
 def encode_origin(origin_lsn: int, name: str) -> bytes:
     return b"O" + struct.pack(">Q", origin_lsn) + _cstr(name)
 
@@ -333,10 +407,19 @@ def parse_pgoutput_bytes(
 
     ``start_lsn``: confirmed-flush checkpoint resume — transactions whose
     commit end_lsn is <= start_lsn are decoded for CONTEXT (Relation state
-    must be warm) but not emitted."""
+    must be warm) but not emitted.
+
+    Protocol-v2 streamed transactions (PG 14+; the reference's loop ignores
+    them, rs:222 `_ => {}` — supported here as added breadth): StreamStart
+    ('S') opens a segment whose row messages carry a leading xid, StreamStop
+    ('E') closes it, StreamCommit ('c') emits the buffered rows in arrival
+    order, StreamAbort ('A') discards them — interleaved segments of
+    different transactions buffer independently by that per-message xid."""
     rels: dict[int, dict] = {}
     rows: list[dict] = []
     pending: list[dict] = []
+    stream_bufs: dict[int, list] = {}
+    in_stream = False
     seq = 0
     last_tx_end = 0
     cur_xid = 0
@@ -353,6 +436,47 @@ def parse_pgoutput_bytes(
         payload = rec[25:]
         tag = payload[0:1]
         p = 1
+        msg_xid = None
+        if in_stream and tag in (b"R", b"I", b"U", b"D", b"T"):
+            # streamed messages carry a leading xid (protocol v2)
+            (msg_xid,) = struct.unpack_from(">I", payload, p)
+            p += 4
+        if tag == b"S":
+            (sxid,) = struct.unpack_from(">I", payload, p)
+            stream_bufs.setdefault(sxid, [])
+            in_stream = True
+            continue
+        if tag == b"E":
+            in_stream = False
+            continue
+        if tag == b"c":
+            (sxid,) = struct.unpack_from(">IB", payload, p)[0:1]
+            p += 5
+            commit_lsn, end_lsn, ts_us = struct.unpack_from(">QQq", payload, p)
+            emit_lsn = lsn_text(last_tx_end)
+            sts = (ts_us + SECS_FROM_1970_TO_2000 * 1_000_000)
+            if end_lsn > start_lsn:
+                for r in stream_bufs.pop(sxid, []):
+                    r["lsn"] = emit_lsn
+                    r["xid"] = sxid
+                    r["ts"] = sts
+                    r["seq"] = seq
+                    seq += 1
+                    rows.append(r)
+                rows.append({
+                    "file": file_name, "lsn": lsn_text(end_lsn), "seq": seq,
+                    "ts": sts, "xid": sxid, "schema": None, "tb": None,
+                    "row_type": "commit", "before": None, "after": None,
+                })
+                seq += 1
+            else:
+                stream_bufs.pop(sxid, None)
+            last_tx_end = end_lsn
+            continue
+        if tag == b"A":
+            (sxid,) = struct.unpack_from(">I", payload, p)
+            stream_bufs.pop(sxid, None)
+            continue
         if tag == b"R":
             (rel_id,) = struct.unpack_from(">I", payload, p)
             p += 4
@@ -426,15 +550,16 @@ def parse_pgoutput_bytes(
                 else:
                     before = {}
                 row_type = "delete"
+            sink = stream_bufs[msg_xid] if msg_xid is not None else pending
             if row_type == "insert" and rel["tb"] == ddl_meta_tb:
-                pending.append({
+                sink.append({
                     "file": file_name, "ts": cur_ts, "xid": cur_xid,
                     "schema": (after or {}).get("schema") or rel["schema"],
                     "tb": None, "row_type": "ddl", "before": None,
                     "after": {"query": (after or {}).get("ddl_text", "")},
                 })
                 continue
-            pending.append({
+            sink.append({
                 "file": file_name, "ts": cur_ts, "xid": cur_xid,
                 "schema": rel["schema"], "tb": rel["tb"], "row_type": row_type,
                 "before": before, "after": after,
@@ -442,11 +567,12 @@ def parse_pgoutput_bytes(
         elif tag == b"T":
             nrels, _opt = struct.unpack_from(">IB", payload, p)
             p += 5
+            sink = stream_bufs[msg_xid] if msg_xid is not None else pending
             for _ in range(nrels):
                 (rel_id,) = struct.unpack_from(">I", payload, p)
                 p += 4
                 rel = rels[rel_id]
-                pending.append({
+                sink.append({
                     "file": file_name, "ts": cur_ts, "xid": cur_xid,
                     "schema": rel["schema"], "tb": rel["tb"],
                     "row_type": "truncate", "before": None, "after": None,

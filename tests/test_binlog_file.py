@@ -470,3 +470,44 @@ def test_json_binary_column_roundtrip():
     # inline int16 boundary + string varint > 127 bytes
     edge = {"n": 32767, "m": -32768, "s": "y" * 200}
     assert bf._dec_json_binary(bf._enc_json_binary(edge)) == edge
+
+
+def test_transaction_payload_wrap_roundtrip(spark, tmp_path):
+    """TRANSACTION_PAYLOAD (event 40, MySQL 8.0.20+ transaction
+    compression): a whole BEGIN..XID transaction rides one wrapping event
+    as TLV header + unchecksummed inner events. The reference dispatches
+    TransactionPayload the same way (SURVEY §2 MySQL CDC row). Parse output
+    must equal the unwrapped encoding of the same history; zstd payloads
+    raise honestly."""
+    txns = _basic_txns()
+    plain = bf.parse_binlog_bytes(
+        bf.encode_binlog_file(txns, TABLES, "binlog.000001"), TABLES, "b")
+    wrapped_bytes = bf.encode_binlog_file(
+        txns, TABLES, "binlog.000001", payload_wrap=True)
+    wrapped = bf.parse_binlog_bytes(wrapped_bytes, TABLES, "b")
+
+    def strip(rows):
+        return [
+            (r["row_type"], r["schema"], r["tb"], r["gtid"], r["xid"],
+             r["before"], r["after"])
+            for r in rows
+        ]
+
+    assert strip(wrapped) == strip(plain)
+    # all inner rows share the wrapping event's position
+    by_gtid = {}
+    for r in wrapped:
+        by_gtid.setdefault(r["gtid"], set()).add(r["pos"])
+    assert all(len(v) == 1 for v in by_gtid.values())
+
+    # zstd compression marker raises, not garbage
+    import struct as _st
+
+    inner = bf._inner_event(0, bf.XID_EVENT, _st.pack("<Q", 1))
+    tlv = (bf._packed(bf._OTW_COMPRESSION_TYPE) + bf._packed(1) + bf._packed(bf._COMPRESS_ZSTD)
+           + bf._packed(bf._OTW_END))
+    w = bf._FileWriter(0)
+    w.event(bf.FORMAT_DESCRIPTION_EVENT, bf._fde_payload())
+    w.event(bf.TRANSACTION_PAYLOAD_EVENT, tlv + inner)
+    with pytest.raises(NotImplementedError, match="zstd"):
+        bf.parse_binlog_bytes(bytes(w.buf), TABLES, "b")

@@ -334,3 +334,45 @@ def test_multi_table_stream_fans_per_target(spark, tmp_path):
     pipe.run(changes, ckpt)
     assert {r["id"]: r["bal"] for r in users.current().collect()} == {1: 12.0}
     assert [r["name"] for r in accounts.current().collect()] == ["acct"]
+
+
+def test_streamed_transactions_v2():
+    """Protocol-v2 streamed in-progress transactions (PG 14+): interleaved
+    StreamStart segments buffer per the leading per-message xid; a
+    StreamCommit emits that transaction's rows in arrival order with the
+    commit's xid/ts, a StreamAbort discards them entirely."""
+    ops_a = [(("public", "users"), "insert", None, dict(ROW1, id=i))
+             for i in (1, 2, 3)]
+    ops_b = [(("public", "users"), "insert", None, dict(ROW1, id=i))
+             for i in (10, 11)]
+    data, _ = pg.encode_streamed_segment(
+        [(900, ops_a, "commit"), (901, ops_b, "abort")],
+        TABLES, interleave=True,
+    )
+    rows = pg.parse_pgoutput_bytes(data)
+    ins = [r for r in rows if r["row_type"] == "insert"]
+    # only the committed stream's rows, in their arrival order
+    assert [r["after"]["id"] for r in ins] == ["1", "2", "3"]
+    assert all(r["xid"] == 900 for r in ins)
+    commits = [r for r in rows if r["row_type"] == "commit"]
+    assert len(commits) == 1 and commits[0]["xid"] == 900
+    # resume past the stream commit suppresses it
+    from ape_dts_spark.model.position import PgCdcPosition
+
+    cut = PgCdcPosition(commits[0]["lsn"]).lsn_value()
+    assert pg.parse_pgoutput_bytes(data, start_lsn=cut) == []
+
+
+def test_streamed_and_plain_transactions_interleave():
+    """A plain Begin/Commit transaction between stream segments stays on the
+    non-streamed path (no xid prefix) while the stream buffers around it."""
+    plain, _ = pg.encode_segment(
+        [[(("public", "users_full"), "insert", None, dict(ROW1, id=50))]], TABLES
+    )
+    streamed, _ = pg.encode_streamed_segment(
+        [(902, [(("public", "users"), "insert", None, dict(ROW1, id=60))], "commit")],
+        TABLES,
+    )
+    rows = pg.parse_pgoutput_bytes(streamed + plain)
+    ids = [r["after"]["id"] for r in rows if r["row_type"] == "insert"]
+    assert sorted(ids) == ["50", "60"]
