@@ -3026,6 +3026,65 @@ def q_kafka_segment_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_load_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """StarRocks Stream Load request building (sinks/stream_load.py —
+    starrocks_sinker.rs:100-277): a deterministic change history over orders
+    (insert %13==6, update o_orderpriority->'X' for %4==0, delete %6==0)
+    serializes to the EXACT per-request rows a thin HTTP loop would PUT:
+    JSON-array bodies with the hidden sign/version columns, hard-delete
+    batches under __op='delete', seq-ordered and chunked at 50. The oracle
+    reconstructs the byte-identical bodies in SQL (DuckDB's
+    to_json(struct_pack) renders like Spark's to_json), so any field-order,
+    null-rendering, batching or version-bump drift diverges."""
+    from pyspark.sql import types as T
+
+    from ape_dts_spark.sinks.stream_load import stream_load_batches
+
+    o = demo.load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 13 == 6)
+    img = F.struct(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        F.col("o_orderstatus").alias("o_orderstatus"),
+        F.col("o_orderpriority").alias("o_orderpriority"),
+    )
+    img_x = F.struct(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        F.col("o_orderstatus").alias("o_orderstatus"),
+        F.lit("X").alias("o_orderpriority"),
+    )
+    null_img = F.lit(None).cast(
+        T.StructType([
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("o_orderpriority", T.StringType()),
+        ])
+    )
+    base = [F.lit("tpch").alias("schema"), F.lit("orders").alias("tb")]
+    ins = o.select(*base, F.lit("insert").alias("row_type"),
+                   F.col("o_orderkey").cast("long").alias("seq"),
+                   null_img.alias("before"), img.alias("after"))
+    upd = o.filter(F.col("o_orderkey") % 4 == 0).select(
+        *base, F.lit("update").alias("row_type"),
+        (F.col("o_orderkey") + 1_000_000_000).cast("long").alias("seq"),
+        img.alias("before"), img_x.alias("after"))
+    dele = o.filter(F.col("o_orderkey") % 6 == 0).select(
+        *base, F.lit("delete").alias("row_type"),
+        (F.col("o_orderkey") + 2_000_000_000).cast("long").alias("seq"),
+        F.when(F.col("o_orderkey") % 4 == 0, img_x).otherwise(img).alias("before"),
+        null_img.alias("after"))
+    changes = ins.unionByName(upd).unionByName(dele)
+    batches = stream_load_batches(
+        changes, ["o_orderkey", "o_orderstatus", "o_orderpriority"],
+        db_type="starrocks", hard_delete=True, batch_size=50,
+    )
+    return batches.select(
+        "schema", "tb", "op", "batch_seq", "url_path", "n_rows", "body",
+        F.concat_ws(",", F.array_sort(F.transform(
+            F.map_entries("headers"),
+            lambda e: F.concat(e["key"], F.lit("="), e["value"]),
+        ))).alias("headers_str"),
+    )
+
+
 def q_aof_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Redis 7 multi-part AOF directory round trip (sources/aof_manifest.py
     — the at-rest analogue of the reference's PSYNC full-resync shape: RDB
@@ -3359,6 +3418,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- NEW round-7 TPC-H completion set: locally gated (full
         #    tools/check.py), first in line for the r8 window rotation -------
         "aof_manifest": q_aof_manifest,
+        "stream_load_payload": q_stream_load_payload,
         "shipping_priority": q_shipping_priority,
         "local_supplier_volume": q_local_supplier_volume,
         "forecast_revenue": q_forecast_revenue,
@@ -4352,6 +4412,47 @@ def oracle_sql() -> dict[str, str]:
                    o_orderpriority
             FROM orders
             WHERE o_orderkey % 23 = 1 AND o_orderkey % 5 <> 0
+        """,
+        "stream_load_payload": """
+            WITH keys AS (
+              SELECT o_orderkey, o_orderstatus, o_orderpriority
+              FROM orders WHERE o_orderkey % 13 = 6),
+            rows AS (
+              SELECT CAST(o_orderkey AS BIGINT) AS seq, o_orderkey, o_orderstatus,
+                     o_orderpriority, 0 AS sign, '' AS op
+              FROM keys
+              UNION ALL
+              SELECT CAST(o_orderkey + 1000000000 AS BIGINT), o_orderkey, o_orderstatus,
+                     'X', 0, ''
+              FROM keys WHERE o_orderkey % 4 = 0
+              UNION ALL
+              SELECT CAST(o_orderkey + 2000000000 AS BIGINT), o_orderkey, o_orderstatus,
+                     CASE WHEN o_orderkey % 4 = 0 THEN 'X' ELSE o_orderpriority END,
+                     1, 'delete'
+              FROM keys WHERE o_orderkey % 6 = 0),
+            batched AS (
+              SELECT *, (ROW_NUMBER() OVER (PARTITION BY op ORDER BY seq) - 1) // 50 AS batch_seq
+              FROM rows),
+            js AS (
+              SELECT op, batch_seq, seq,
+                     to_json(struct_pack(
+                       o_orderkey := CAST(o_orderkey AS BIGINT),
+                       o_orderstatus := o_orderstatus,
+                       o_orderpriority := o_orderpriority,
+                       _ape_dts_is_deleted := sign,
+                       _ape_dts_timestamp := 1700000000000 + batch_seq)) AS j
+              FROM batched)
+            SELECT 'tpch' AS schema, 'orders' AS tb, op,
+                   CAST(batch_seq AS BIGINT) AS batch_seq,
+                   '/api/tpch/orders/_stream_load' AS url_path,
+                   COUNT(*) AS n_rows,
+                   concat('[', string_agg(j, ',' ORDER BY seq), ']') AS body,
+                   CASE WHEN op = 'delete'
+                        THEN concat('columns=__op=', chr(39), 'delete', chr(39),
+                                    ',format=json,strip_outer_array=true,timezone=UTC')
+                        ELSE 'format=json,strip_outer_array=true,timezone=UTC'
+                   END AS headers_str
+            FROM js GROUP BY op, batch_seq
         """,
         "aof_manifest": f"""
             {demo.REDIS_STATE_SQL}
