@@ -243,6 +243,11 @@ class CdcPipeline:
     # optional task-telemetry registry (monitor.py): per-batch counters in
     # the reference's monitor.log inventory ride along when provided
     monitor: object | None = None
+    # optional limiter.PipelineLimiter: micro-batch admission against the
+    # max_rps/max_mbps token buckets ([extractor]/[sinker] max_rps keys,
+    # dt-common/src/limiter/buffer_limiter.rs) — the batch acquires its
+    # record count before applying, sleeping out any overdraft
+    limiter: object | None = None
     # optional position.log protocol (model/position.PositionLog): after
     # every applied batch a checkpoint_position line is written with the
     # position `position_of` derives from the batch metrics (the batch
@@ -371,6 +376,9 @@ class CdcPipeline:
                 f"target table was dropped (DROP TABLE barrier); cannot apply batch {batch_id}"
             )
         batch = self._prepare(batch)
+        throttle_sec = 0.0
+        if self.limiter is not None:
+            throttle_sec = self.limiter.acquire(batch.count())
         ddls = (
             batch.filter(F.col("row_type") == "ddl").orderBy("seq").collect()
             if "ddl" in batch.columns
@@ -410,6 +418,7 @@ class CdcPipeline:
                 "n_events": n_events,
                 "max_seq": max_ts["m"],
                 "lag_sec": lag,
+                "throttle_sec": throttle_sec,
                 "at": time.time(),
                 **check,
             }

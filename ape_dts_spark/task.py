@@ -182,6 +182,8 @@ def run_task(spark: SparkSession, cfg: TaskConfig, registry: dict[str, list[str]
             from ape_dts_spark.operators.transform import script_processor
 
             transform = lambda d: script_processor(d, code)  # noqa: E731
+        from ape_dts_spark.limiter import from_config as limiter_from_config
+
         pipe = CdcPipeline(
             spark,
             table,
@@ -189,6 +191,7 @@ def run_task(spark: SparkSession, cfg: TaskConfig, registry: dict[str, list[str]
             transform=transform,
             time_window=(cfg.extractor.get("start_time_utc"), cfg.extractor.get("end_time_utc")),
             rdb_filter=cfg.filter,
+            limiter=limiter_from_config(cfg.extractor) or limiter_from_config(cfg.sinker),
         )
         changes = read_json_change_stream(spark, src_dir, payload)
         pipe.run(changes, checkpoint_dir=cfg.pipeline.get("checkpoint_dir", os.path.join(dst_dir, "_ckpt")))

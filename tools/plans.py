@@ -78,6 +78,8 @@ AUDITED = [
     "kafka_segment_parse",  # + envelope from_json decode
     "dsir_sample",        # hashed-feature aggs + broadcast LM + one top-k window
     "ivfpq_append",       # frozen-codebook Arrow encode + cell-partition union
+    "aof_manifest",       # base-RDB + incr-RESP union -> one compact pass
+    "stream_load_payload",  # one batch window + one groupBy body build
 ]
 
 # queries whose plan legitimately contains a BroadcastNestedLoopJoin: the
