@@ -3349,22 +3349,26 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The external driver gates only the FIRST 50 dict entries, so ordering is
     # load-bearing. Round-7 rotation policy: (1) queries that are NEW or whose
-    # CODE changed this round lead (binlog_file_parse, dsir_sample,
-    # ivfpq_append + ann_ivfpq_index, whose encoder was refactored), (2) then
-    # the 50-slot window fills with the STALEST driver rows (all 39 queries
-    # last green in r04, then the 7 oldest r05 rows), (3) everything after
-    # slot 50 stays ordered by staleness so the next rotation is a prefix
-    # cut. Before any rotation ships, the FULL (non --window) tools/check.py
-    # run must be green — rotated-out queries keep local-gate + pytest
-    # coverage (cumulative goal: every query's driver row at most ~2 rounds
-    # old). This literal is machine-regenerated from the CORRECTNESS_r*
-    # staleness data each rotation; duplicates are structurally impossible.
+    # CODE changed this round lead (the six at-rest transport/payload gates,
+    # dsir_sample, ivfpq_append + ann_ivfpq_index whose encoder was
+    # refactored), (2) then the 50-slot window fills with the STALEST driver
+    # rows (all 39 queries last green in r04, then the oldest r05 rows that
+    # fit — ddl_parse, dcl_parse), (3) everything after slot 50 stays ordered
+    # by staleness (displaced r05 rows first, then the round-7 TPC-H
+    # completion set) so the next rotation is a prefix cut. Before any
+    # rotation ships, the FULL (non --window) tools/check.py run must be
+    # green — rotated-out queries keep local-gate + pytest coverage
+    # (cumulative goal: every query's driver row at most ~2 rounds old).
+    # This literal is machine-regenerated from the CORRECTNESS_r* staleness
+    # data each rotation; duplicates are structurally impossible.
     return {
         # -- new this round (driver rows needed) ------------------------------
         "binlog_file_parse": q_binlog_file_parse,
         "pgoutput_file_parse": q_pgoutput_file_parse,
         "oplog_file_parse": q_oplog_file_parse,
         "kafka_segment_parse": q_kafka_segment_parse,
+        "aof_manifest": q_aof_manifest,
+        "stream_load_payload": q_stream_load_payload,
         "dsir_sample": q_dsir_sample,
         "ivfpq_append": q_ivfpq_append,
         # -- code changed this round (ivfpq encoder refactor + err column) ----
@@ -3412,13 +3416,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- oldest r05 rows fill the window to slot 50 -----------------------
         "ddl_parse": q_ddl_parse,
         "dcl_parse": q_dcl_parse,
-        "topic_route": q_topic_route,
-        "monitor_rollup": q_monitor_rollup,
+
         # ---------------------------- slot 50 ends here ----------------------
         # -- NEW round-7 TPC-H completion set: locally gated (full
         #    tools/check.py), first in line for the r8 window rotation -------
-        "aof_manifest": q_aof_manifest,
-        "stream_load_payload": q_stream_load_payload,
+        "topic_route": q_topic_route,
+        "monitor_rollup": q_monitor_rollup,
         "shipping_priority": q_shipping_priority,
         "local_supplier_volume": q_local_supplier_volume,
         "forecast_revenue": q_forecast_revenue,
