@@ -243,6 +243,10 @@ class CdcPipeline:
     # optional task-telemetry registry (monitor.py): per-batch counters in
     # the reference's monitor.log inventory ride along when provided
     monitor: object | None = None
+    # optional plans/meta_center.MetaCenter: every applied DDL statement is
+    # recorded centrally so consumers can reconstruct schema-at-position
+    # ([metacenter] config, ddl_meta_center_test suite)
+    meta_center: object | None = None
     # optional limiter.PipelineLimiter: micro-batch admission against the
     # max_rps/max_mbps token buckets ([extractor]/[sinker] max_rps keys,
     # dt-common/src/limiter/buffer_limiter.rs) — the batch acquires its
@@ -314,6 +318,11 @@ class CdcPipeline:
         # delivered on table a's channel would rename the target twice)
         env_schema = ddl_row["schema"] if "schema" in ddl_row else None
         env_tb = ddl_row["tb"] if "tb" in ddl_row else None
+        if self.meta_center is not None:
+            self.meta_center.record_ddl(
+                env_schema, env_tb, text,
+                seq=ddl_row["seq"] if "seq" in ddl_row else 0,
+            )
         # the target's current logical name (rename_table updates it) also
         # identifies this pipeline — a post-rename DDL names the new table
         # while the envelope may still carry the original channel name

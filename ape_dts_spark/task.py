@@ -184,6 +184,14 @@ def run_task(spark: SparkSession, cfg: TaskConfig, registry: dict[str, list[str]
             transform = lambda d: script_processor(d, code)  # noqa: E731
         from ape_dts_spark.limiter import from_config as limiter_from_config
 
+        # [metacenter] section: central DDL/schema history (the reference's
+        # MetaCenterConfig, type=dbengine + url; here url = a jsonl path)
+        meta_center = None
+        mc = cfg.extra.get("metacenter", {})
+        if mc.get("url"):
+            from ape_dts_spark.plans.meta_center import MetaCenter
+
+            meta_center = MetaCenter(mc["url"])
         pipe = CdcPipeline(
             spark,
             table,
@@ -192,6 +200,7 @@ def run_task(spark: SparkSession, cfg: TaskConfig, registry: dict[str, list[str]
             time_window=(cfg.extractor.get("start_time_utc"), cfg.extractor.get("end_time_utc")),
             rdb_filter=cfg.filter,
             limiter=limiter_from_config(cfg.extractor) or limiter_from_config(cfg.sinker),
+            meta_center=meta_center,
         )
         changes = read_json_change_stream(spark, src_dir, payload)
         pipe.run(changes, checkpoint_dir=cfg.pipeline.get("checkpoint_dir", os.path.join(dst_dir, "_ckpt")))
