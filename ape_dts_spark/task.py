@@ -192,6 +192,27 @@ def run_task(spark: SparkSession, cfg: TaskConfig, registry: dict[str, list[str]
             from ape_dts_spark.plans.meta_center import MetaCenter
 
             meta_center = MetaCenter(mc["url"])
+        # [data_marker] section: two-way-sync topology (data_marker_config.rs)
+        # — ignore_nodes drives the origin filter; src_node is what a relay
+        # stage stamps via wire_format.mark_origin
+        dm = cfg.extra.get("data_marker", {})
+        ignore_nodes = tuple(
+            n.strip() for n in dm.get("ignore_nodes", "").split(",") if n.strip()
+        )
+        # [resumer] section: position.log protocol (resumer_config.rs
+        # FromLog{log_dir}) — every applied batch checkpoints the
+        # file-stream offset position; restart recovery reads the log
+        position_log = position_of = None
+        rs = cfg.extra.get("resumer", {})
+        if rs.get("resume_from_log", "").lower() == "true" or rs.get("resume_log_dir"):
+            from ape_dts_spark.model.position import KafkaPosition, PositionLog
+
+            log_dir = rs.get("resume_log_dir") or os.path.join(dst_dir, "_position")
+            os.makedirs(log_dir, exist_ok=True)
+            position_log = PositionLog(os.path.join(log_dir, "position.log"))
+            position_of = lambda m: KafkaPosition(  # noqa: E731
+                topic=src_dir, partition=0, offset=int(m["max_seq"] or 0)
+            )
         pipe = CdcPipeline(
             spark,
             table,
@@ -199,8 +220,11 @@ def run_task(spark: SparkSession, cfg: TaskConfig, registry: dict[str, list[str]
             transform=transform,
             time_window=(cfg.extractor.get("start_time_utc"), cfg.extractor.get("end_time_utc")),
             rdb_filter=cfg.filter,
+            ignore_origin_nodes=ignore_nodes,
             limiter=limiter_from_config(cfg.extractor) or limiter_from_config(cfg.sinker),
             meta_center=meta_center,
+            position_log=position_log,
+            position_of=position_of,
         )
         changes = read_json_change_stream(spark, src_dir, payload)
         pipe.run(changes, checkpoint_dir=cfg.pipeline.get("checkpoint_dir", os.path.join(dst_dir, "_ckpt")))

@@ -309,3 +309,76 @@ region=r_regionkey
     )
     res = run_task(spark, cfg)  # no explicit registry: the ini section drives it
     assert "region" in res.outputs
+
+
+def test_cdc_task_wires_marker_resumer_metacenter(spark, tmp_path):
+    """The [data_marker]/[resumer]/[metacenter] ini sections reach the
+    pipeline: origin-marked echoes are dropped, a position.log checkpoint
+    line lands per batch, and applied DDL is recorded centrally
+    (data_marker_config.rs / resumer_config.rs FromLog /
+    meta_center_config.rs key parity)."""
+    import json as _json
+    import os as _os
+
+    from ape_dts_spark.config.task_config import TaskConfig
+    from ape_dts_spark.model.position import PositionLog
+    from ape_dts_spark.plans.meta_center import MetaCenter
+    from ape_dts_spark.streaming.cdc import write_debezium_jsonl
+    from ape_dts_spark.task import run_task
+
+    src = tmp_path / "src"
+    dst = tmp_path / "dst"
+    src.mkdir()
+    dst.mkdir()
+    sample = tmp_path / "payload.parquet"
+    spark.createDataFrame([(1, "a", 2)], "id long, name string, bal long").write.parquet(str(sample))
+
+    events = [
+        {"op": "c", "before": None, "after": {"id": 1, "name": "a", "bal": 1},
+         "source": {"db": "d", "table": "users", "ts_ms": 1_700_000_000_000, "seq": 1}},
+        # an echo from THIS node's own origin must be dropped
+        {"op": "c", "before": None, "after": {"id": 2, "name": "echo", "bal": 2},
+         "source": {"db": "d", "table": "users", "ts_ms": 1_700_000_000_001, "seq": 2,
+                    "origin_node": "node_a"}},
+        {"op": "ddl", "ddl": "ALTER TABLE users ADD COLUMN note VARCHAR(8)",
+         "source": {"db": "d", "table": "users", "ts_ms": 1_700_000_000_002, "seq": 3}},
+    ]
+    write_debezium_jsonl(events, _os.path.join(str(src), "b.jsonl"))
+    meta_path = str(tmp_path / "meta.jsonl")
+    MetaCenter(meta_path).register_base(
+        "d", "users", [("id", "BIGINT"), ("name", "TEXT"), ("bal", "BIGINT")])
+    cfg = TaskConfig.from_string(f"""
+[extractor]
+db_type=mysql
+extract_type=cdc
+url={src}
+tb=users
+payload_sample={sample}
+[sinker]
+db_type=mysql
+sink_type=parquet
+url={dst}
+[filter]
+[router]
+[pipeline]
+[parallelizer]
+[runtime]
+[registry]
+users=id
+[data_marker]
+topo_name=star
+src_node=node_a
+ignore_nodes=node_a
+[resumer]
+resume_from_log=true
+resume_log_dir={tmp_path}/poslog
+[metacenter]
+type=dbengine
+url={meta_path}
+""")
+    result = run_task(spark, cfg)
+    state = {r["id"] for r in result.tables["users"].collect()}
+    assert state == {1}  # the echo was origin-filtered
+    got = PositionLog(str(tmp_path / "poslog" / "position.log")).latest()
+    assert got is not None and got.offset == 3
+    assert MetaCenter(meta_path).schema_at("d", "users")[-1] == ("note", "VARCHAR(8)")
