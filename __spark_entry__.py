@@ -3026,6 +3026,19 @@ def q_kafka_segment_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_unimax_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax language sampling (functions/mixing.py unimax_sample — Chung
+    et al. 2023): integer-exact water-filling allocates a 700-doc budget
+    over the 5 languages with a 2-epoch repetition cap — tail languages
+    saturate and repeat (epoch 1 rows), head languages cap at the common
+    water level. The oracle runs the identical BIGINT water-fill in DuckDB;
+    any drift in the saturation index, level division, remainder spread or
+    scramble rank diverges."""
+    from ape_dts_spark.functions.mixing import unimax_sample
+
+    return unimax_sample(demo.load(spark, sf_dir, "documents"))
+
+
 def q_stream_load_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
     """StarRocks Stream Load request building (sinks/stream_load.py —
     starrocks_sinker.rs:100-277): a deterministic change history over orders
@@ -3422,6 +3435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    tools/check.py), first in line for the r8 window rotation -------
         "topic_route": q_topic_route,
         "monitor_rollup": q_monitor_rollup,
+        "unimax_mix": q_unimax_mix,
         "shipping_priority": q_shipping_priority,
         "local_supplier_volume": q_local_supplier_volume,
         "forecast_revenue": q_forecast_revenue,
@@ -4416,6 +4430,7 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             WHERE o_orderkey % 23 = 1 AND o_orderkey % 5 <> 0
         """,
+        "unimax_mix": __import__("ape_dts_spark.functions.mixing", fromlist=["m"]).unimax_sample_sql(),
         "stream_load_payload": """
             WITH keys AS (
               SELECT o_orderkey, o_orderstatus, o_orderpriority

@@ -446,3 +446,152 @@ SELECT {id_col}, r.{group_col}, rk, quota
 FROM ranked r JOIN quota q ON r.{group_col} = q.{group_col}
 WHERE rk <= quota
 """
+
+
+def unimax_sample(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    budget: int = 700,
+    max_epochs: int = 2,
+    seed: int = 0,
+) -> DataFrame:
+    """UniMax language sampling (Chung et al. 2023, "UniMax: Fairer and More
+    Effective Language Sampling for Large-Scale Multilingual Pretraining"):
+    allocate a document budget across languages by WATER-FILLING — budget is
+    distributed as uniformly as possible, except no language may exceed
+    ``max_epochs`` passes over its own corpus. Head languages cap at the
+    common water level L, tail languages saturate at max_epochs * n_l and
+    repeat up to that many epochs. The paper's argument: temperature
+    sampling over-repeats the tail and starves the head; an explicit epoch
+    cap bounds repetition directly.
+
+    Integer-exact water level so the cross-engine gate holds: with caps
+    K_l = max_epochs * n_l sorted ascending (prefix sums P_i, n languages),
+    the saturated set is the largest i0 with P_i0 + K_i0 * (n - i0) <=
+    budget; the level is L = (budget - P_i0) div m over the m = n - i0
+    unsaturated languages, remainder r spread +1 over the first r of them
+    in (cap, lang) order, clamped to the cap (a rare 1-doc shortfall beats
+    a float level). Pure BIGINT arithmetic end to end.
+
+    Output: (id, lang, epoch, rk, alloc) — rk is the per-language sample
+    rank in seeded-scramble order, epoch = (rk-1) div n_l (0-based pass
+    number; epoch > 0 rows are the paper's bounded repetitions).
+
+    Scale shape: one per-language count agg; the water level solves on the
+    DRIVER-SMALL language table (n_languages rows — broadcast); one
+    per-language window ranks membership. One data shuffle end to end, same
+    as temperature_mix; the same megadomain-skew note applies.
+    """
+    counts = df.groupBy(lang_col).agg(F.count(F.lit(1)).alias("n"))
+    caps = counts.withColumn("cap", F.expr(f"n * {max_epochs}"))
+    w_sort = Window.orderBy(F.col("cap").asc(), F.col(lang_col).asc())
+    ordered = (
+        caps.withColumn("i", F.row_number().over(w_sort).cast("long"))
+        .withColumn("pfx", F.sum("cap").over(
+            w_sort.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("nl", F.count(F.lit(1)).over(
+            Window.orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing)))
+    )
+    sat = ordered.agg(
+        F.max(F.when(
+            F.col("pfx") + F.col("cap") * (F.col("nl") - F.col("i")) <= budget,
+            F.col("i"),
+        )).alias("i0")
+    )
+    params = (
+        ordered.join(F.broadcast(sat))
+        .withColumn("i0", F.coalesce(F.col("i0"), F.lit(0)))
+        .withColumn("p0", F.coalesce(
+            F.max(F.when(F.col("i") == F.col("i0"), F.col("pfx"))).over(
+                Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)),
+            F.lit(0)))
+        .withColumn("m", F.col("nl") - F.col("i0"))
+        .withColumn("lvl", F.when(F.col("m") > 0,
+                                  F.expr(f"({budget} - p0) div m")).otherwise(F.lit(0)))
+        .withColumn("rem", F.when(F.col("m") > 0,
+                                  F.expr(f"({budget} - p0) % m")).otherwise(F.lit(0)))
+        .withColumn(
+            "alloc",
+            F.when(F.col("i") <= F.col("i0"), F.col("cap")).otherwise(
+                F.least(
+                    F.col("cap"),
+                    F.col("lvl") + F.when(
+                        F.col("i") - F.col("i0") <= F.col("rem"), F.lit(1)
+                    ).otherwise(F.lit(0)),
+                )
+            ),
+        )
+        .select(lang_col, "n", "alloc")
+    )
+    h = _scramble_expr(id_col, seed)
+    w = Window.partitionBy(lang_col).orderBy(F.expr(h).asc(), F.col(id_col).asc())
+    ranked = (
+        df.select(lang_col, id_col)
+        .withColumn("base_rk", F.row_number().over(w).cast("long"))
+    )
+    return (
+        ranked.join(F.broadcast(params), lang_col)
+        .filter(F.col("base_rk") <= F.col("alloc"))
+        .withColumn("epoch", F.explode(F.sequence(
+            F.lit(0), F.expr("CAST((alloc - base_rk) div n AS INT)"))))
+        .select(
+            id_col, lang_col,
+            F.col("epoch").cast("long").alias("epoch"),
+            (F.col("base_rk") + F.col("epoch") * F.col("n")).alias("rk"),
+            "alloc",
+        )
+    )
+
+
+def unimax_sample_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    budget: int = 700,
+    max_epochs: int = 2,
+    seed: int = 0,
+) -> str:
+    """DuckDB twin of unimax_sample (identical integer water-filling)."""
+    h = _scramble_expr(id_col, seed)
+    return f"""
+WITH counts AS (
+  SELECT {lang_col}, COUNT(*) AS n FROM {table} GROUP BY {lang_col}),
+ordered AS (
+  SELECT {lang_col}, n, n * {max_epochs} AS cap,
+         CAST(ROW_NUMBER() OVER (ORDER BY n * {max_epochs} ASC, {lang_col} ASC) AS BIGINT) AS i,
+         SUM(n * {max_epochs}) OVER (ORDER BY n * {max_epochs} ASC, {lang_col} ASC
+             ROWS UNBOUNDED PRECEDING) AS pfx,
+         COUNT(*) OVER () AS nl
+  FROM counts),
+sat AS (
+  SELECT COALESCE(MAX(CASE WHEN pfx + cap * (nl - i) <= {budget} THEN i END), 0) AS i0
+  FROM ordered),
+params AS (
+  SELECT o.{lang_col}, o.n, o.cap, o.i, s.i0,
+         COALESCE((SELECT pfx FROM ordered WHERE i = s.i0), 0) AS p0,
+         o.nl - s.i0 AS m
+  FROM ordered o, sat s),
+alloc AS (
+  SELECT {lang_col}, n,
+         CASE WHEN i <= i0 THEN cap
+              ELSE LEAST(cap,
+                   ({budget} - p0) // m
+                   + CASE WHEN i - i0 <= ({budget} - p0) % m THEN 1 ELSE 0 END)
+         END AS alloc
+  FROM params),
+ranked AS (
+  SELECT {id_col}, {lang_col},
+         CAST(ROW_NUMBER() OVER (PARTITION BY {lang_col}
+              ORDER BY {h} ASC, {id_col} ASC) AS BIGINT) AS base_rk
+  FROM {table})
+SELECT r.{id_col}, r.{lang_col},
+       CAST(e.epoch AS BIGINT) AS epoch,
+       CAST(r.base_rk + e.epoch * a.n AS BIGINT) AS rk,
+       CAST(a.alloc AS BIGINT) AS alloc
+FROM ranked r
+JOIN alloc a ON r.{lang_col} = a.{lang_col}
+CROSS JOIN (SELECT UNNEST(range(0, {max_epochs})) AS epoch) e
+WHERE r.base_rk + e.epoch * a.n <= a.alloc
+"""

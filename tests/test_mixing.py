@@ -179,3 +179,28 @@ def test_source_caps_two_level_identical_to_plain(spark):
               for r in source_caps(df, cap=40, seed=5, two_level=True).collect()}
     assert salted == plain
     assert sum(1 for d, s, _ in plain if s == "mega") == 40
+
+
+def test_unimax_water_filling(spark):
+    """Hand-computed UniMax (Chung et al. 2023) water-fill: caps = 2*n,
+    budget between saturation points — tail languages saturate and repeat,
+    head languages sit at the integer level; budget above total capacity
+    saturates everyone."""
+    from ape_dts_spark.functions.mixing import unimax_sample
+
+    rows = [(i, "tail") for i in range(3)] + [(100 + i, "head") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    # caps: tail 6, head 40. budget 20: i0=1 (6 + 6*1 = 12 <= 20), level =
+    # (20-6)/1 = 14 for head -> alloc tail 6 (2 epochs), head 14 (epoch 0)
+    out = unimax_sample(df, budget=20, max_epochs=2)
+    per = {(r["lang"], r["epoch"]) for r in out.collect()}
+    alloc = {r["lang"]: r["alloc"] for r in out.collect()}
+    assert alloc == {"tail": 6, "head": 14}
+    assert ("tail", 1) in per and ("head", 1) not in per
+    assert out.count() == 20
+    # budget >= total capacity: everyone saturates at max_epochs
+    full = unimax_sample(df, budget=100, max_epochs=2)
+    assert full.count() == 46  # 6 + 40
+    # remainder spread: budget 21 -> head gets 15 (the +1), total exact
+    odd = unimax_sample(df, budget=21, max_epochs=2)
+    assert odd.count() == 21
