@@ -3026,6 +3026,34 @@ def q_kafka_segment_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-7 curation recipe, gated end-to-end against one composed
+    SQL oracle (the curation_v2 pattern, upgraded to this round's
+    published-method operators): exact-substring dedup span REMOVAL (Lee et
+    al. 2022 — every copy of every >=16-token duplicated span dropped, text
+    reassembled) -> DSIR importance resampling toward the English target
+    distribution on the CLEANED text (Xie et al. 2023, integer-exact
+    bit-quantized weights, top-250) -> UniMax water-filled language mixing
+    with a 2-epoch repetition cap over the selected pool (Chung et al.
+    2023, budget 150). An error in any stage — span grouping, token
+    reassembly, hashed-feature weights, saturation index, scramble rank —
+    shifts the final (doc_id, lang, epoch, rk) assignment."""
+    from ape_dts_spark.functions import dedup as ddp
+    from ape_dts_spark.functions import mixing as mxg
+    from ape_dts_spark.functions import text as txt
+
+    d = demo.load(spark, sf_dir, "documents")
+    cleaned = (
+        ddp.remove_dup_spans(d, "doc_id", "text", min_tokens=16)
+        .join(d.select("doc_id", "lang"), "doc_id")
+        .select("doc_id", F.col("clean_text").alias("text"), "lang")
+    )
+    target = cleaned.filter(F.col("lang") == "en")
+    selected = txt.dsir_sample(cleaned, target, k=250)
+    pool = cleaned.join(selected.select("doc_id"), "doc_id")
+    return mxg.unimax_sample(pool, budget=150, max_epochs=2)
+
+
 def q_unimax_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UniMax language sampling (functions/mixing.py unimax_sample — Chung
     et al. 2023): integer-exact water-filling allocates a 700-doc budget
@@ -3436,6 +3464,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topic_route": q_topic_route,
         "monitor_rollup": q_monitor_rollup,
         "unimax_mix": q_unimax_mix,
+        "curation_v3": q_curation_v3,
         "shipping_priority": q_shipping_priority,
         "local_supplier_volume": q_local_supplier_volume,
         "forecast_revenue": q_forecast_revenue,
@@ -3810,6 +3839,24 @@ WHERE d.o_orderkey IS NULL OR s.o_orderkey IS NULL
    OR s.o_totalprice IS DISTINCT FROM d.o_totalprice
    OR s.o_orderdate IS DISTINCT FROM d.o_orderdate
    OR s.o_orderpriority IS DISTINCT FROM d.o_orderpriority
+"""
+
+
+def _curation_v3_oracle() -> str:
+    """Composed DuckDB oracle for q_curation_v3: the three stage twins
+    chained as CTEs (inner WITHs wrapped as subqueries)."""
+    from ape_dts_spark.functions.dedup import remove_dup_spans_sql
+    from ape_dts_spark.functions.mixing import unimax_sample_sql
+    from ape_dts_spark.functions.text import dsir_sample_sql
+
+    return f"""
+WITH cleaned AS (
+  SELECT c.doc_id, c.clean_text AS text, d.lang
+  FROM ({remove_dup_spans_sql('documents', min_tokens=16)}) c
+  JOIN documents d USING (doc_id)),
+sel AS ({dsir_sample_sql('cleaned', target_where="lang = 'en'", k_expr='250')}),
+pool AS (SELECT cleaned.* FROM cleaned JOIN sel USING (doc_id))
+SELECT * FROM ({unimax_sample_sql('pool', budget=150, max_epochs=2)})
 """
 
 
@@ -4431,6 +4478,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE o_orderkey % 23 = 1 AND o_orderkey % 5 <> 0
         """,
         "unimax_mix": __import__("ape_dts_spark.functions.mixing", fromlist=["m"]).unimax_sample_sql(),
+        "curation_v3": _curation_v3_oracle(),
         "stream_load_payload": """
             WITH keys AS (
               SELECT o_orderkey, o_orderstatus, o_orderpriority
