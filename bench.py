@@ -113,6 +113,8 @@ BENCH_QUERIES = [
     "corpus_pipeline",
     "curation_v2",
     "token_mix",
+    "unimax_mix",
+    "curation_v3",
     "sequence_packing",
     "contamination",
     "contamination_bloom",

@@ -80,6 +80,8 @@ AUDITED = [
     "ivfpq_append",       # frozen-codebook Arrow encode + cell-partition union
     "aof_manifest",       # base-RDB + incr-RESP union -> one compact pass
     "stream_load_payload",  # one batch window + one groupBy body build
+    "unimax_mix",         # count agg + broadcast level table + one rank window
+    "curation_v3",        # span-removal -> DSIR -> UniMax composed chain
 ]
 
 # queries whose plan legitimately contains a BroadcastNestedLoopJoin: the

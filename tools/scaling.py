@@ -56,6 +56,10 @@ QUERIES = [
     "substring_dedup",
     # round-7 addition: DSIR importance resampling (bucket-table aggs)
     "dsir_sample",
+    # round-7: UniMax water-fill (count agg + driver-small level solve) and
+    # the composed 3-stage curation chain
+    "unimax_mix",
+    "curation_v3",
 ]
 
 
