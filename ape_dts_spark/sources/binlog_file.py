@@ -56,9 +56,13 @@ MYSQL_TYPE_DOUBLE = 5
 MYSQL_TYPE_LONGLONG = 8
 MYSQL_TYPE_INT24 = 9
 MYSQL_TYPE_DATE = 10
+MYSQL_TYPE_YEAR = 13
 MYSQL_TYPE_VARCHAR = 15
 MYSQL_TYPE_TIMESTAMP2 = 17
 MYSQL_TYPE_DATETIME2 = 18
+MYSQL_TYPE_TIME2 = 19
+MYSQL_TYPE_ENUM = 247
+MYSQL_TYPE_SET = 248
 MYSQL_TYPE_JSON = 245
 MYSQL_TYPE_NEWDECIMAL = 246
 MYSQL_TYPE_BLOB = 252
@@ -143,7 +147,8 @@ def _meta_bytes(type_code: int, meta: int) -> bytes:
         return bytes([meta >> 8, meta & 0xFF])
     if type_code in (
         MYSQL_TYPE_FLOAT, MYSQL_TYPE_DOUBLE, MYSQL_TYPE_BLOB,
-        MYSQL_TYPE_TIMESTAMP2, MYSQL_TYPE_DATETIME2, MYSQL_TYPE_JSON,
+        MYSQL_TYPE_TIMESTAMP2, MYSQL_TYPE_DATETIME2, MYSQL_TYPE_TIME2,
+        MYSQL_TYPE_JSON, MYSQL_TYPE_ENUM, MYSQL_TYPE_SET,
     ):
         return bytes([meta])
     return b""
@@ -457,6 +462,36 @@ def _enc_value(type_code: int, meta: int, v, charset: str = "utf-8") -> bytes:
         doc = _json.loads(v) if isinstance(v, str) else v
         body = _enc_json_binary(doc)
         return len(body).to_bytes(meta, "little") + body
+    if type_code == MYSQL_TYPE_YEAR:
+        # 1 byte, value - 1900 (0 = 0000)
+        y = int(v)
+        return bytes([0 if y == 0 else y - 1900])
+    if type_code == MYSQL_TYPE_ENUM:
+        # meta = index byte width (1 or 2); value = the 1-based enum index
+        # (names live in the server catalog, not the binlog — the reference
+        # resolves them via meta_manager; the index is what the wire carries)
+        return int(v).to_bytes(meta, "little")
+    if type_code == MYSQL_TYPE_SET:
+        # meta = bitmask byte width (1-8); value = the member bitmask
+        return int(v).to_bytes(meta, "little")
+    if type_code == MYSQL_TYPE_TIME2:
+        # 3-byte big-endian packed: sign(1) | hour(10) | min(6) | sec(6),
+        # biased by 0x800000; value '[-]HH:MM:SS[.ffffff]'; frac like DT2
+        text = str(v)
+        neg = text.startswith("-")
+        if neg:
+            text = text[1:]
+        hms, _, fracs = text.partition(".")
+        h, mi, sec = (int(p) for p in hms.split(":"))
+        packed = 0x800000 + (h << 12) + (mi << 6) + sec
+        if neg:
+            packed = 0x1000000 - packed  # two's complement in 24 bits
+        out = packed.to_bytes(3, "big")
+        fsp_bytes = (meta + 1) // 2
+        if fsp_bytes:
+            frac = int(fracs.ljust(6, "0")[:6]) if fracs else 0
+            out += (frac // (10 ** (6 - meta))).to_bytes(fsp_bytes, "big")
+        return out
     raise NotImplementedError(f"binlog writer: unsupported column type {type_code}")
 
 
@@ -524,6 +559,26 @@ def _dec_value(type_code: int, meta: int, b: bytes, i: int, charset: str = "utf-
         i += meta
         doc = _dec_json_binary(b[i : i + n])
         return _json.dumps(doc, sort_keys=True, separators=(",", ":")), i + n
+    if type_code == MYSQL_TYPE_YEAR:
+        y = b[i]
+        return str(1900 + y if y else 0), i + 1
+    if type_code in (MYSQL_TYPE_ENUM, MYSQL_TYPE_SET):
+        return str(int.from_bytes(b[i : i + meta], "little")), i + meta
+    if type_code == MYSQL_TYPE_TIME2:
+        packed = int.from_bytes(b[i : i + 3], "big")
+        i += 3
+        neg = packed < 0x800000
+        if neg:
+            packed = 0x1000000 - packed
+        packed -= 0x800000
+        h, mi, sec = (packed >> 12) & 0x3FF, (packed >> 6) & 0x3F, packed & 0x3F
+        text = f"{'-' if neg else ''}{h:02d}:{mi:02d}:{sec:02d}"
+        fsp_bytes = (meta + 1) // 2
+        if fsp_bytes:
+            stored = int.from_bytes(b[i : i + fsp_bytes], "big")
+            i += fsp_bytes
+            text += f".{stored:0{meta}d}"
+        return text, i
     raise NotImplementedError(f"binlog parser: unsupported column type {type_code}")
 
 
@@ -856,7 +911,8 @@ def _parse_table_map(body: bytes) -> dict:
             k += 2
         elif code in (
             MYSQL_TYPE_FLOAT, MYSQL_TYPE_DOUBLE, MYSQL_TYPE_BLOB,
-            MYSQL_TYPE_TIMESTAMP2, MYSQL_TYPE_DATETIME2, MYSQL_TYPE_JSON,
+            MYSQL_TYPE_TIMESTAMP2, MYSQL_TYPE_DATETIME2, MYSQL_TYPE_TIME2,
+            MYSQL_TYPE_JSON, MYSQL_TYPE_ENUM, MYSQL_TYPE_SET,
         ):
             cols.append((code, meta_block[k]))
             k += 1

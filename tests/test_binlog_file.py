@@ -511,3 +511,29 @@ def test_transaction_payload_wrap_roundtrip(spark, tmp_path):
     w.event(bf.TRANSACTION_PAYLOAD_EVENT, tlv + inner)
     with pytest.raises(NotImplementedError, match="zstd"):
         bf.parse_binlog_bytes(bytes(w.buf), TABLES, "b")
+
+
+def test_enum_set_time2_year_codecs():
+    """The remaining common column codecs (charset_test/basic_test column
+    inventory): YEAR (1 byte, 1900-biased), ENUM (1/2-byte 1-based index —
+    names live in the catalog, not the binlog), SET (1-8 byte bitmask),
+    TIME2 (sign-biased 24-bit pack + DATETIME2-style fractional), incl. the
+    negative and 838-hour TIME extremes."""
+    t = bf.BinlogTable(
+        "db", "k",
+        (("id", bf.MYSQL_TYPE_LONGLONG, 0),
+         ("y", bf.MYSQL_TYPE_YEAR, 0),
+         ("e", bf.MYSQL_TYPE_ENUM, 1),
+         ("s", bf.MYSQL_TYPE_SET, 8),
+         ("t0", bf.MYSQL_TYPE_TIME2, 0),
+         ("t6", bf.MYSQL_TYPE_TIME2, 6)),
+        401,
+    )
+    tables = {("db", "k"): t}
+    row = {"id": 1, "y": "2024", "e": "3", "s": str((1 << 50) | 5),
+           "t0": "-838:59:59", "t6": "03:04:05.123456"}
+    data = bf.encode_binlog_file([[(("db", "k"), "insert", None, row)]],
+                                 tables, "binlog.000001")
+    ins = [e for e in bf.parse_binlog_bytes(data, tables, "b")
+           if e["row_type"] == "insert"][0]
+    assert ins["after"] == {k: str(v) for k, v in row.items()}
