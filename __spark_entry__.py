@@ -2235,6 +2235,25 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.dup_spans(demo.load(spark, sf_dir, "documents"), "doc_id", "text", min_tokens=16)
 
 
+def q_substring_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ExactSubstr (dd.substring_incremental_spans — the
+    crawl-increment policy: each new batch is cleaned against the
+    accumulated corpus's window-hash COUNT index, dd.substring_index):
+    index over doc_id%4!=0, incremental spans on the %4==0 batch. The
+    oracle is the FULL-corpus raw-text dup-span computation restricted to
+    the new docs — the exact equivalence c_old + c_new >= 2 <=>
+    (c_old >= 1 or c_new >= 2) the incremental path relies on, so any
+    drift in the index counts, union-dedup of keys, or island merge
+    diverges."""
+    docs = demo.load(spark, sf_dir, "documents")
+    idx = dd.substring_index(
+        docs.filter(F.col("doc_id") % 4 != 0), "doc_id", "text", min_tokens=16
+    )
+    return dd.substring_incremental_spans(
+        idx, docs.filter(F.col("doc_id") % 4 == 0), "doc_id", "text", min_tokens=16
+    )
+
+
 def q_substring_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The removal half of exact-substring dedup: drop EVERY copy of every
     duplicated >= 16-token span (the paper's policy — no occurrence is
@@ -3465,6 +3484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "monitor_rollup": q_monitor_rollup,
         "unimax_mix": q_unimax_mix,
         "curation_v3": q_curation_v3,
+        "substring_incremental": q_substring_incremental,
         "shipping_priority": q_shipping_priority,
         "local_supplier_volume": q_local_supplier_volume,
         "forecast_revenue": q_forecast_revenue,
@@ -5028,6 +5048,10 @@ def oracle_sql() -> dict[str, str]:
         "bpe_pairs": tx.bpe_pair_counts_sql("documents", "text", 200),
         "span_dedup": dd.span_dedup_sql("documents", "doc_id", "text", 16),
         "substring_dedup": dd.dup_spans_sql("documents", "doc_id", "text", 16),
+        "substring_incremental": (
+            "SELECT * FROM (" + dd.dup_spans_sql("documents", "doc_id", "text", 16)
+            + ") WHERE doc_id % 4 = 0"
+        ),
         "substring_dedup_clean": dd.remove_dup_spans_sql("documents", "doc_id", "text", 16),
         "substring_contamination": dd.substring_contamination_sql(
             "documents", "doc_id % 7 <> 0", "doc_id % 7 = 0", "doc_id", "text", 16

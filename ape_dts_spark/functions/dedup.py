@@ -1289,3 +1289,77 @@ def minhash_incremental_pairs(
         )
     )
     return within.unionByName(cross).distinct()
+
+
+def substring_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 16,
+) -> DataFrame:
+    """Persistent ExactSubstr window-hash index: the (g1, g2, c) count
+    relation of every ``min_tokens``-token window in the corpus — the
+    at-rest fingerprint an incremental pass dedups new batches against
+    (the dedup-family analogue of minhash_index; Lee et al. 2022 semantics
+    carried by counts, no positions stored, so index size is bounded by
+    DISTINCT window content, not corpus length)."""
+    from pyspark import StorageLevel
+
+    grams = _gram_relation(df, id_col, text_col, min_tokens)
+    idx = grams.groupBy("g1", "g2").agg(F.count(F.lit(1)).alias("c"))
+    idx = idx.persist(StorageLevel.MEMORY_AND_DISK)
+    idx.count()
+    return idx
+
+
+def substring_incremental_spans(
+    index: DataFrame,
+    new_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 16,
+) -> DataFrame:
+    """Incremental ExactSubstr: dup spans in the NEW batch only — a new
+    window is duplicated iff it already exists in the indexed corpus
+    (c >= 1) OR repeats within the batch (new count >= 2). EXACTLY the
+    full-corpus dup_spans run restricted to new documents: total count
+    c_old + c_new >= 2 <=> c_old >= 1 or c_new >= 2. The standard
+    crawl-increment policy follows: each new batch is cleaned against the
+    accumulated corpus; already-ingested documents are not re-opened (the
+    count index keeps no positions — old-side spans would need them).
+
+    Cost scales with |new batch| + the equi-join against the index — never
+    with corpus length. Combine with ``substring_index_append`` to roll the
+    index forward after the batch is admitted."""
+    n = min_tokens
+    grams = _gram_relation(new_df, id_col, text_col, n)
+    new_dups = (
+        grams.groupBy("g1", "g2")
+        .agg(F.count(F.lit(1)).alias("_nc"))
+        .filter(F.col("_nc") >= 2)
+        .select("g1", "g2")
+    )
+    in_index = index.select("g1", "g2")
+    dup_keys = new_dups.unionByName(in_index).distinct()
+    seeds = grams.join(dup_keys, ["g1", "g2"]).select("_id", "pos")
+    return _merge_islands(seeds, n, id_col)
+
+
+def substring_index_append(
+    index: DataFrame,
+    new_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 16,
+) -> DataFrame:
+    """Roll the window-hash index forward with an admitted batch: summed
+    counts, one groupBy — the result equals substring_index over the
+    concatenated corpus (count addition is associative)."""
+    add = _gram_relation(new_df, id_col, text_col, min_tokens).groupBy(
+        "g1", "g2"
+    ).agg(F.count(F.lit(1)).alias("c"))
+    return (
+        index.unionByName(add)
+        .groupBy("g1", "g2")
+        .agg(F.sum("c").alias("c"))
+    )

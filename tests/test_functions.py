@@ -923,3 +923,47 @@ def test_ivfpq_index_append_matches_full_build_and_signals_staleness(spark, sf_d
     manifold_idx = sim.ivfpq_index(tight, "vec_id", "embedding", n_lists=4, m=4, ks=4)
     _, drift = sim.ivfpq_index_append(manifold_idx, flat)
     assert drift["staleness_ratio"] > 2.0, drift
+
+
+def test_substring_incremental_equals_full_restricted(spark, sf_dir):
+    """Incremental ExactSubstr == the full-corpus dup_spans run restricted
+    to the new batch (c_old + c_new >= 2 <=> c_old >= 1 or c_new >= 2), and
+    the appended index == the index built over the concatenated corpus."""
+    from ape_dts_spark.functions import dedup as dd
+
+    docs = demo.load(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 4 != 0)
+    new = docs.filter(F.col("doc_id") % 4 == 0)
+
+    idx = dd.substring_index(old, "doc_id", "text", min_tokens=16)
+    inc = dd.substring_incremental_spans(idx, new, "doc_id", "text", min_tokens=16)
+    full = dd.dup_spans(docs, "doc_id", "text", min_tokens=16).filter(
+        F.col("doc_id") % 4 == 0
+    )
+    key = lambda r: (r["doc_id"], r["span_start"], r["span_end"])  # noqa: E731
+    assert {key(r) for r in inc.collect()} == {key(r) for r in full.collect()}
+
+    rolled = dd.substring_index_append(idx, new, "doc_id", "text", min_tokens=16)
+    direct = dd.substring_index(docs, "doc_id", "text", min_tokens=16)
+    assert {(r["g1"], r["g2"], r["c"]) for r in rolled.collect()} == \
+        {(r["g1"], r["g2"], r["c"]) for r in direct.collect()}
+
+
+def test_substring_incremental_planted_cross_batch(spark):
+    """A 20-token span planted once in the OLD corpus and once in a NEW doc
+    surfaces as a dup span of the new doc even though it appears only once
+    per side — the cross-batch case a batch-local dedup misses."""
+    from ape_dts_spark.functions import dedup as dd
+
+    span = " ".join(f"tok{i}" for i in range(20))
+    filler = lambda s: " ".join(f"{s}w{i}" for i in range(30))  # noqa: E731
+    old = spark.createDataFrame(
+        [(1, filler("a") + " " + span), (2, filler("b"))], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(10, span + " " + filler("c")), (11, filler("d"))], "doc_id long, text string"
+    )
+    idx = dd.substring_index(old, "doc_id", "text", min_tokens=16)
+    got = dd.substring_incremental_spans(idx, new, "doc_id", "text", min_tokens=16).collect()
+    assert len(got) == 1 and got[0]["doc_id"] == 10
+    assert got[0]["span_start"] == 0 and got[0]["span_tokens"] >= 20
