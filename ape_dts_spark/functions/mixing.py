@@ -485,14 +485,14 @@ def unimax_sample(
     """
     counts = df.groupBy(lang_col).agg(F.count(F.lit(1)).alias("n"))
     caps = counts.withColumn("cap", F.expr(f"n * {max_epochs}"))
+    # the language table is driver-small (n_languages rows); the global-sort
+    # windows and cross joins below all run on it, never on the corpus
     w_sort = Window.orderBy(F.col("cap").asc(), F.col(lang_col).asc())
     ordered = (
         caps.withColumn("i", F.row_number().over(w_sort).cast("long"))
         .withColumn("pfx", F.sum("cap").over(
             w_sort.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .withColumn("nl", F.count(F.lit(1)).over(
-            Window.orderBy(F.lit(1)).rowsBetween(
-                Window.unboundedPreceding, Window.unboundedFollowing)))
+        .join(F.broadcast(caps.agg(F.count(F.lit(1)).alias("nl"))))
     )
     sat = ordered.agg(
         F.max(F.when(

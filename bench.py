@@ -125,6 +125,7 @@ BENCH_QUERIES = [
     "span_dedup",
     "substring_dedup",
     "substring_dedup_clean",
+    "substring_incremental",
     "substring_contamination",
     "semantic_dedup",
     "multimodal_meta",

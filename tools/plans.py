@@ -82,6 +82,7 @@ AUDITED = [
     "stream_load_payload",  # one batch window + one groupBy body build
     "unimax_mix",         # count agg + broadcast level table + one rank window
     "curation_v3",        # span-removal -> DSIR -> UniMax composed chain
+    "substring_incremental",  # index equi-join + batch-local agg + island merge
 ]
 
 # queries whose plan legitimately contains a BroadcastNestedLoopJoin: the

@@ -60,6 +60,7 @@ QUERIES = [
     # the composed 3-stage curation chain
     "unimax_mix",
     "curation_v3",
+    "substring_incremental",
 ]
 
 
