@@ -86,9 +86,11 @@ AUDITED = [
 ]
 
 # queries whose plan legitimately contains a BroadcastNestedLoopJoin: the
-# joined side is a SINGLE aggregate row (global total), the canonical
-# decorrelated-scalar-subquery shape — O(N), not a plan bug
-BNLJ_SANCTIONED = {"important_parts", "temperature_mix", "curation_v2"}
+# joined side is a SINGLE aggregate row (global total / saturation index /
+# language count), the canonical decorrelated-scalar-subquery shape — O(N),
+# not a plan bug
+BNLJ_SANCTIONED = {"important_parts", "temperature_mix", "curation_v2",
+                   "unimax_mix", "curation_v3"}
 
 MARKS = [
     ("PushedFilters: \\[[^]]*IsNotNull", "filter pushdown reaches the scan"),
