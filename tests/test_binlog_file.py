@@ -537,3 +537,68 @@ def test_enum_set_time2_year_codecs():
     ins = [e for e in bf.parse_binlog_bytes(data, tables, "b")
            if e["row_type"] == "insert"][0]
     assert ins["after"] == {k: str(v) for k, v in row.items()}
+
+
+def test_snapshot_then_binlog_file_cutover(spark, tmp_path):
+    """The documented no-data-loss migration composed with the at-rest
+    transport: capture the binlog position BEFORE the snapshot, bulk-load a
+    snapshot that already includes some post-position changes (the overlap),
+    then tail the binlog DIRECTORY from the captured position — overlap
+    replay converges, the genuinely-new tail applies, final state equals a
+    direct full replay (snapshot_and_cdc_without_data_loss.md +
+    stream_binlog_files)."""
+    from ape_dts_spark.streaming.cdc import snapshot_then_cdc
+    from ape_dts_spark.sinks.parquet_table import ParquetTable
+
+    out = str(tmp_path / "logs")
+    os.makedirs(out)
+    # history: inserts 1..10, update id=4, delete id=7, insert 11
+    txns = [[(("db", "users"), "insert", None, dict(ROW1, id=i, name=f"u{i}"))]
+            for i in range(1, 11)]
+    txns.append([(("db", "users"), "update", dict(ROW1, id=4, name="u4"),
+                  dict(ROW1, id=4, name="u4x"))])
+    txns.append([(("db", "users"), "delete", dict(ROW1, id=7, name="u7"), None)])
+    txns.append([(("db", "users"), "insert", None, dict(ROW1, id=11, name="u11"))])
+    bf.write_binlog_files(txns, TABLES, out, per_file=5)
+
+    payload = T.StructType([
+        T.StructField("id", T.LongType()), T.StructField("name", T.StringType()),
+    ])
+
+    def typed(colname):
+        s = F.struct(
+            *[F.col(colname)[f.name].cast(f.dataType).alias(f.name) for f in payload.fields]
+        )
+        return F.when(F.col(colname).isNotNull(), s).alias(colname)
+
+    parsed = (
+        bf.read_binlog_files(spark, out, TABLES)
+        .filter(F.col("row_type").isin("insert", "update", "delete"))
+        .select("schema", "tb", "row_type", "seq",
+                F.col("ts").cast("timestamp").alias("ts"),
+                typed("before"), typed("after"))
+    )
+    all_rows = sorted(parsed.collect(), key=lambda r: r["seq"])
+    # position captured before the snapshot = after insert 6; the snapshot
+    # is consistent as of insert 8 (so 7 and 8 are the overlap)
+    start_seq = all_rows[5]["seq"]
+    snap_rows = [(r["after"]["id"], r["after"]["name"]) for r in all_rows[:8]]
+    snapshot_df = spark.createDataFrame(snap_rows, "id long, name string")
+
+    stream = (
+        bf.stream_binlog_files(spark, out, TABLES)
+        .filter(F.col("row_type").isin("insert", "update", "delete"))
+        .select("schema", "tb", "row_type", "seq",
+                F.col("ts").cast("timestamp").alias("ts"),
+                typed("before"), typed("after"))
+    )
+    table = ParquetTable(spark, str(tmp_path / "tgt"), payload)
+    snapshot_then_cdc(
+        spark, table, ["id"], snapshot_df, stream,
+        str(tmp_path / "ckpt"), start_seq, schema="db", tb="users",
+    )
+    state = {r["id"]: r["name"] for r in table.current().collect()}
+    want = {i: f"u{i}" for i in range(1, 12)}
+    want[4] = "u4x"
+    del want[7]
+    assert state == want
