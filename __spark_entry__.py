@@ -2067,6 +2067,19 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantization ANN (faiss SQ8 shape; functions/similarity.py
+    sq8_topk), planted-twin gate: queries are exact copies of every 50th
+    corpus vector (ids +100000). The twin's dequantized vector is the
+    nearest quantization of the query itself, and the exact re-rank breaks
+    quantization ties in its favor — rank 1 must be the original."""
+    emb = demo.load(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 50 == 0).withColumn(
+        "vec_id", F.col("vec_id") + 100_000
+    )
+    return sim.sq8_topk(queries_df, emb, "vec_id", "embedding", k=1)
+
+
 def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (ADC + exact re-rank), planted-twin gate:
     queries are exact copies of every 50th corpus vector (ids +100000). The
@@ -3485,6 +3498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unimax_mix": q_unimax_mix,
         "curation_v3": q_curation_v3,
         "substring_incremental": q_substring_incremental,
+        "ann_sq8": q_ann_sq8,
         "shipping_priority": q_shipping_priority,
         "local_supplier_volume": q_local_supplier_volume,
         "forecast_revenue": q_forecast_revenue,
@@ -5106,6 +5120,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT node AS vec_id, MIN(reach) AS rep_id FROM walk GROUP BY node
         """,
         "ann_ivf": """
+            SELECT vec_id + 100000 AS query_id, vec_id AS neighbor_id, 1 AS rank
+            FROM embeddings WHERE vec_id % 50 = 0
+        """,
+        "ann_sq8": """
             SELECT vec_id + 100000 AS query_id, vec_id AS neighbor_id, 1 AS rank
             FROM embeddings WHERE vec_id % 50 = 0
         """,

@@ -1364,3 +1364,80 @@ def ivfpq_index_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )
+
+
+def sq8_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    rerank: int = 4,
+) -> DataFrame:
+    """Scalar-quantization ANN (the faiss SQ8 shape): every dimension maps
+    to one uint8 against per-dimension [min, max] bounds trained on the
+    corpus — 8x memory compression over float64 (one code byte per
+    dimension) with far better per-dimension fidelity than PQ's shared
+    subspace codebooks; the classic middle ground between raw floats and
+    product codes.
+
+    Shape mirrors pq_topk: per-dimension bounds come from ONE map-side
+    combined aggregate (2*dim scalars, broadcast in the task closure); an
+    Arrow-batched scan encodes each batch, scores queries against the
+    DEQUANTIZED batch (numpy GEMM), and exact-re-ranks the top k*rerank
+    survivors with the in-hand full vectors — which is what makes the
+    planted-twin gate exact: the twin's dequantized vector is the nearest
+    quantization of the query itself, and exact re-rank breaks any
+    quantization tie in the twin's favor. One tiny top-k shuffle; the
+    corpus is scanned once and never shuffled."""
+    import numpy as np
+    import pandas as pd
+
+    dim = len(corpus.select(vec_col).first()[0])
+    bounds_row = corpus.agg(
+        *[F.min(F.col(vec_col)[i]).alias(f"lo{i}") for i in range(dim)],
+        *[F.max(F.col(vec_col)[i]).alias(f"hi{i}") for i in range(dim)],
+    ).collect()[0]
+    lo = np.array([bounds_row[f"lo{i}"] for i in range(dim)], dtype=np.float64)
+    hi = np.array([bounds_row[f"hi{i}"] for i in range(dim)], dtype=np.float64)
+    span = np.where(hi > lo, hi - lo, 1.0)
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([int(r[id_col]) for r in q_rows])
+    q_mat = _unit_rows(np.array([r[vec_col] for r in q_rows], dtype=np.float64))
+
+    def _score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            c_ids = pdf[id_col].to_numpy()
+            c_mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            codes = np.clip(np.rint((c_mat - lo) / span * 255.0), 0, 255).astype(np.uint8)
+            deq = _unit_rows(lo + codes.astype(np.float64) * span / 255.0)
+            approx = deq @ q_mat.T  # (n, nq) dequantized cosine
+            cand = min(k * rerank + 1, len(c_mat))
+            idx = np.argpartition(-approx, cand - 1, axis=0)[:cand].T  # (nq, cand)
+            exact = _unit_rows(c_mat)
+            rows = []
+            for qi in range(len(q_ids)):
+                sel = idx[qi]
+                cos = exact[sel] @ q_mat[qi]
+                rows.append(pd.DataFrame({
+                    "query_id": np.full(len(sel), q_ids[qi]),
+                    "neighbor_id": c_ids[sel],
+                    "cosine": cos,
+                }))
+            out = pd.concat(rows, ignore_index=True)
+            yield out[out["query_id"] != out["neighbor_id"]]
+
+    from pyspark.sql import Window as W
+
+    partial = corpus.select(id_col, vec_col).mapInPandas(
+        _score, schema="query_id long, neighbor_id long, cosine double"
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )

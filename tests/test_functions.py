@@ -190,6 +190,9 @@ def test_ann_family_recall_at_5(spark, sf_dir):
             ),
             0.25,
         ),
+        # SQ8 keeps per-dimension fidelity: measured ~0.95 on this corpus,
+        # floored well below like the rest of the family
+        "sq8": (lambda: sim.sq8_topk(queries, emb, "vec_id", "embedding", k=5), 0.70),
     }
     for name, (fn, floor) in kernels.items():
         approx = {(r["query_id"], r["neighbor_id"]) for r in fn().collect()}
