@@ -157,6 +157,7 @@ BENCH_QUERIES = [
     "ccnet_buckets",
     "ann_pq",
     "ann_pq_index",
+    "ann_sq8",
     "ann_ivfpq",
     "ann_ivfpq_index",
     "ivfpq_append",

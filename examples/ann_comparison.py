@@ -61,6 +61,7 @@ def main() -> None:
                                     n_lists=16, n_probe=4, k=k),
         "pq": lambda: sim.pq_topk(queries, emb, "vec_id", "embedding",
                                   m=8, ks=16, k=k),
+        "sq8": lambda: sim.sq8_topk(queries, emb, "vec_id", "embedding", k=k),
         "ivfpq": lambda: sim.ivfpq_topk(queries, emb, "vec_id", "embedding", k=k),
         "ivfpq_ix": lambda: sim.ivfpq_index_topk(
             sim.ivfpq_index(emb, "vec_id", "embedding"), queries,
