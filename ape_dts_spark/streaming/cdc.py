@@ -512,6 +512,12 @@ class MultiTableCdcPipeline:
     targets: dict[str, tuple[ParquetTable, list[str]]]
     stream_id: str = "cdc_multi"
     metrics: list[dict] = field(default_factory=list)
+    # the single-table pipeline's knobs apply to the multi-table topology
+    # too: ONE limiter admits the whole epoch (the reference's buffer
+    # limiter sits on the shared pipeline buffer, not per sinker), one
+    # meta center records every table's applied DDL
+    limiter: object | None = None
+    meta_center: object | None = None
 
     def apply_batch(self, batch: DataFrame, batch_id: int) -> None:
         # One materialization per epoch: the source plan (stream parse /
@@ -524,6 +530,8 @@ class MultiTableCdcPipeline:
         # topology).
         staged = batch.repartition(F.col("schema"), F.col("tb")).persist()
         try:
+            if self.limiter is not None:
+                self.limiter.acquire(staged.count())
             present = [
                 (r["schema"], r["tb"])
                 for r in staged.select("schema", "tb").distinct().collect()
@@ -540,7 +548,9 @@ class MultiTableCdcPipeline:
                 # target's typed payload (runtime schema discovery end-to-end)
                 if dict(sub.dtypes).get("after", "").startswith("map<"):
                     sub = fluid_to_typed(sub, table.payload_schema)
-                pipe = CdcPipeline(self.spark, table, key_cols, stream_id=self.stream_id)
+                pipe = CdcPipeline(self.spark, table, key_cols,
+                                   stream_id=self.stream_id,
+                                   meta_center=self.meta_center)
                 pipe.apply_batch(sub, batch_id)
                 self.metrics.extend(
                     {**m, "table": key} for m in pipe.metrics

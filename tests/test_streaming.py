@@ -679,3 +679,55 @@ def test_two_way_star_topology_no_echo(spark, tmp_path):
     write_debezium_jsonl(hub_born, os.path.join(hub["in"], "b2.jsonl"))
     hub["p"].run(read_json_change_stream(spark, hub["in"], PAYLOAD), hub["ck"])
     assert 2 not in state_dict(hub["t"])
+
+
+def test_multi_table_limiter_and_meta_center(spark, dirs, tmp_path):
+    """The multi-table topology carries the single-table knobs: one limiter
+    admits the whole epoch (the reference's buffer limiter sits on the
+    shared pipeline buffer), and every table's applied DDL lands in the one
+    meta center."""
+    from ape_dts_spark.limiter import PipelineLimiter
+    from ape_dts_spark.plans.meta_center import MetaCenter
+    from ape_dts_spark.streaming.cdc import MultiTableCdcPipeline
+
+    src, target_dir, ckpt = dirs
+
+    class Clock:
+        def __init__(self):
+            self.t, self.slept = 100.0, []
+
+        def now(self):
+            return self.t
+
+        def sleep(self, s):
+            self.slept.append(s)
+            self.t += s
+
+    c = Clock()
+    mc = MetaCenter(str(tmp_path / "meta.jsonl"))
+    mc.register_base("default", "users", [("id", "BIGINT"), ("name", "TEXT"), ("bal", "BIGINT")])
+    events = [
+        ev("c", after={"id": 1, "name": "a", "bal": 1}, seq=1, table="users"),
+        ev("c", after={"id": 2, "name": "b", "bal": 2}, seq=2, table="accounts"),
+        {"op": "ddl", "ddl": "ALTER TABLE users ADD COLUMN note VARCHAR(4)",
+         "source": {"db": "default", "table": "users",
+                    "ts_ms": 1_700_000_000_002, "seq": 3}},
+    ]
+    write_debezium_jsonl(events, os.path.join(src, "b1.jsonl"))
+    users = ParquetTable(spark, os.path.join(target_dir, "users"), PAYLOAD)
+    accounts = ParquetTable(spark, os.path.join(target_dir, "accounts"), PAYLOAD)
+    pipe = MultiTableCdcPipeline(
+        spark,
+        targets={"default.users": (users, ["id"]), "default.accounts": (accounts, ["id"])},
+        limiter=PipelineLimiter(max_rps=1, clock=c.now, sleep=c.sleep),
+        meta_center=mc,
+    )
+    pipe.run(read_json_change_stream(spark, src, PAYLOAD), ckpt)
+    assert set(state_dict(users)) == {1} and set(state_dict(accounts)) == {2}
+    assert "note" in users.current().columns
+    assert mc.schema_at("default", "users")[-1] == ("note", "VARCHAR(4)")
+    # second batch overdraws the 1-rps bucket -> the epoch slept
+    write_debezium_jsonl([ev("c", after={"id": 9, "name": "z", "bal": 9}, seq=9,
+                             table="users")], os.path.join(src, "b2.jsonl"))
+    pipe.run(read_json_change_stream(spark, src, PAYLOAD), ckpt)
+    assert c.slept and 9 in state_dict(users)
