@@ -2080,6 +2080,20 @@ def q_ann_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.sq8_topk(queries_df, emb, "vec_id", "embedding", k=1)
 
 
+def q_ann_sq8_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Served SQ8 index (sq8_index + sq8_index_topk): the build-once code
+    relation is scanned instead of raw vectors; survivors re-rank exactly
+    against the vector store. Planted-twin gate like the fused variant —
+    the twin's stored code dequantizes nearest to the query, exact re-rank
+    seals rank 1."""
+    emb = demo.load(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 50 == 0).withColumn(
+        "vec_id", F.col("vec_id") + 100_000
+    )
+    idx = sim.sq8_index(emb, "vec_id", "embedding")
+    return sim.sq8_index_topk(idx, queries_df, "vec_id", "embedding", k=1, rerank_with=emb)
+
+
 def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (ADC + exact re-rank), planted-twin gate:
     queries are exact copies of every 50th corpus vector (ids +100000). The
@@ -3499,6 +3513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_v3": q_curation_v3,
         "substring_incremental": q_substring_incremental,
         "ann_sq8": q_ann_sq8,
+        "ann_sq8_index": q_ann_sq8_index,
         "shipping_priority": q_shipping_priority,
         "local_supplier_volume": q_local_supplier_volume,
         "forecast_revenue": q_forecast_revenue,
@@ -5124,6 +5139,10 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings WHERE vec_id % 50 = 0
         """,
         "ann_sq8": """
+            SELECT vec_id + 100000 AS query_id, vec_id AS neighbor_id, 1 AS rank
+            FROM embeddings WHERE vec_id % 50 = 0
+        """,
+        "ann_sq8_index": """
             SELECT vec_id + 100000 AS query_id, vec_id AS neighbor_id, 1 AS rank
             FROM embeddings WHERE vec_id % 50 = 0
         """,

@@ -1441,3 +1441,132 @@ def sq8_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )
+
+
+def sq8_index(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple:
+    """Build-once SQ8 index: per-dimension [min, max] bounds (driver-tiny,
+    2*dim floats) + the uint8 code relation (id, codes array<int>) — the
+    8x-compressed stored form a serving tier reads instead of raw vectors
+    (the family's build-once/serve pattern next to pq_index/ivfpq_index).
+    Returns (bounds, codes_df); codes persist eagerly like the other
+    served indexes."""
+    import numpy as np
+    from pyspark import StorageLevel
+
+    dim = len(corpus.select(vec_col).first()[0])
+    bounds_row = corpus.agg(
+        *[F.min(F.col(vec_col)[i]).alias(f"lo{i}") for i in range(dim)],
+        *[F.max(F.col(vec_col)[i]).alias(f"hi{i}") for i in range(dim)],
+    ).collect()[0]
+    lo = np.array([bounds_row[f"lo{i}"] for i in range(dim)], dtype=np.float64)
+    hi = np.array([bounds_row[f"hi{i}"] for i in range(dim)], dtype=np.float64)
+    span = np.where(hi > lo, hi - lo, 1.0)
+
+    def _encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            c_mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            codes = np.clip(np.rint((c_mat - lo) / span * 255.0), 0, 255).astype(np.int64)
+            yield pd.DataFrame({
+                id_col: pdf[id_col].to_numpy(),
+                "codes": list(codes),
+            })
+
+    codes = corpus.select(id_col, vec_col).mapInPandas(
+        _encode, schema=f"{id_col} long, codes array<long>"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    codes.count()
+    return (lo, span), codes
+
+
+def sq8_index_topk(
+    index: tuple,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    rerank: int = 4,
+    rerank_with: DataFrame | None = None,
+) -> DataFrame:
+    """Serve from the stored SQ8 codes: dequantized-GEMM scan over the code
+    relation (never touches raw vectors), then an exact re-rank of the
+    top-k*rerank survivors against ``rerank_with`` (the deployed
+    fetch-survivor-vectors stage; None = approx ranks ship as-is)."""
+    import numpy as np
+    import pandas as pd
+
+    (lo, span), codes = index
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([int(r[id_col]) for r in q_rows])
+    q_mat = _unit_rows(np.array([r[vec_col] for r in q_rows], dtype=np.float64))
+
+    def _score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            c_ids = pdf[id_col].to_numpy()
+            code_mat = np.array(pdf["codes"].tolist(), dtype=np.float64)
+            deq = _unit_rows(lo + code_mat * span / 255.0)
+            approx = deq @ q_mat.T
+            cand = min(k * rerank + 1, len(c_ids))
+            idx = np.argpartition(-approx, cand - 1, axis=0)[:cand].T
+            rows = []
+            for qi in range(len(q_ids)):
+                sel = idx[qi]
+                rows.append(pd.DataFrame({
+                    "query_id": np.full(len(sel), q_ids[qi]),
+                    "neighbor_id": c_ids[sel],
+                    "cosine": approx[sel, qi],
+                }))
+            out = pd.concat(rows, ignore_index=True)
+            yield out[out["query_id"] != out["neighbor_id"]]
+
+    from pyspark.sql import Window as W
+
+    partial = codes.mapInPandas(_score, schema="query_id long, neighbor_id long, cosine double")
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    survivors = (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k * rerank)
+        .drop("rank")
+    )
+    if rerank_with is None:
+        w2 = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+        return (
+            survivors.withColumn("rank", F.row_number().over(w2))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank")
+        )
+    vec = rerank_with.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("c_vec"),
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("q_vec"),
+    )
+    nq = with_norm(qv.withColumnRenamed("q_vec", "embedding"), "embedding", "q_norm").select(
+        "query_id", F.col("embedding").alias("q_vec"), "q_norm"
+    )
+    nc = with_norm(vec.withColumnRenamed("c_vec", "embedding"), "embedding", "c_norm").select(
+        "neighbor_id", F.col("embedding").alias("c_vec"), "c_norm"
+    )
+    exact = (
+        survivors.select("query_id", "neighbor_id")
+        .join(nc, "neighbor_id")
+        .join(F.broadcast(nq), "query_id")
+        .withColumn("cos", F.expr(_dot("q_vec", "c_vec")) / (F.col("q_norm") * F.col("c_norm")))
+    )
+    w3 = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(w3))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )

@@ -158,6 +158,7 @@ BENCH_QUERIES = [
     "ann_pq",
     "ann_pq_index",
     "ann_sq8",
+    "ann_sq8_index",
     "ann_ivfpq",
     "ann_ivfpq_index",
     "ivfpq_append",

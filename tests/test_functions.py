@@ -193,6 +193,13 @@ def test_ann_family_recall_at_5(spark, sf_dir):
         # SQ8 keeps per-dimension fidelity: measured ~0.95 on this corpus,
         # floored well below like the rest of the family
         "sq8": (lambda: sim.sq8_topk(queries, emb, "vec_id", "embedding", k=5), 0.70),
+        "sq8_index": (
+            lambda: sim.sq8_index_topk(
+                sim.sq8_index(emb, "vec_id", "embedding"), queries,
+                "vec_id", "embedding", k=5, rerank_with=emb
+            ),
+            0.70,
+        ),
     }
     for name, (fn, floor) in kernels.items():
         approx = {(r["query_id"], r["neighbor_id"]) for r in fn().collect()}

@@ -61,6 +61,7 @@ QUERIES = [
     "unimax_mix",
     "curation_v3",
     "substring_incremental",
+    "ann_sq8",
 ]
 
 
