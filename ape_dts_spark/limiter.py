@@ -78,6 +78,27 @@ class PipelineLimiter:
         slept += self._bytes.acquire(n_bytes)
         return slept
 
+    @property
+    def wants_bytes(self) -> bool:
+        return self.max_mbps > 0
+
+    def admit_batch(self, batch) -> float:
+        """Admit a micro-batch DataFrame: one agg computes (records, bytes)
+        and both buckets acquire together (buffer_limiter.rs:79-99). Bytes =
+        serialized-JSON row size — the same order of magnitude as the
+        reference's malloc-size accounting on DtData. The bytes agg only
+        runs when max_mbps is configured; a pure max_rps limiter stays a
+        single count."""
+        from pyspark.sql import functions as F
+
+        if not self.wants_bytes:
+            return self.acquire(batch.count())
+        row = batch.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.length(F.to_json(F.struct(*batch.columns)))).alias("b"),
+        ).collect()[0]
+        return self.acquire(int(row["n"]), int(row["b"] or 0))
+
     def reader_options(self, trigger_secs: float = 1.0) -> dict:
         """Static source-side caps so one trigger cannot overdraw more than
         ~one budget interval (maps the reference's buffer_size admission to

@@ -475,23 +475,40 @@ def _enc_value(type_code: int, meta: int, v, charset: str = "utf-8") -> bytes:
         # meta = bitmask byte width (1-8); value = the member bitmask
         return int(v).to_bytes(meta, "little")
     if type_code == MYSQL_TYPE_TIME2:
-        # 3-byte big-endian packed: sign(1) | hour(10) | min(6) | sec(6),
-        # biased by 0x800000; value '[-]HH:MM:SS[.ffffff]'; frac like DT2
+        # MySQL TIME2 storage (my_time.c my_time_packed_to_binary): the
+        # packed quantity nr = ±(((h<<12)|(mi<<6)|s) << 24 | usec) is stored
+        # per-fsp — dec 0: 3-byte int part + 0x800000; dec 1-2: int part +
+        # SIGNED byte usec/10^4; dec 3-4: int part + SIGNED int16 usec/10^2;
+        # dec 5-6: the whole nr + 0x800000000000 in 6 bytes — so negative
+        # fractional TIME is two's-complement over the COMBINED value
+        # (ADVICE r7: a separate unsigned frac field only round-tripped
+        # against this writer, not a genuine server binlog).
         text = str(v)
         neg = text.startswith("-")
         if neg:
             text = text[1:]
-        hms, _, fracs = text.partition(".")
-        h, mi, sec = (int(p) for p in hms.split(":"))
-        packed = 0x800000 + (h << 12) + (mi << 6) + sec
+        hms_s, _, fracs = text.partition(".")
+        h, mi, sec = (int(p) for p in hms_s.split(":"))
+        frac = int(fracs.ljust(6, "0")[:6]) if fracs else 0
+        if meta:
+            frac -= frac % (10 ** (6 - meta))  # truncate to fsp
+        else:
+            frac = 0
+        nr = (((h << 12) | (mi << 6) | sec) << 24) + frac
         if neg:
-            packed = 0x1000000 - packed  # two's complement in 24 bits
-        out = packed.to_bytes(3, "big")
-        fsp_bytes = (meta + 1) // 2
-        if fsp_bytes:
-            frac = int(fracs.ljust(6, "0")[:6]) if fracs else 0
-            out += (frac // (10 ** (6 - meta))).to_bytes(fsp_bytes, "big")
-        return out
+            nr = -nr
+        if meta >= 5:
+            return (nr + 0x800000000000).to_bytes(6, "big")
+        int_part = nr >> 24  # Python floor shift == C arithmetic shift
+        out = (0x800000 + int_part).to_bytes(3, "big")
+        if meta == 0:
+            return out
+        # C trunc-toward-zero remainder, then scale; exact by construction
+        fp = nr % (1 << 24) if nr >= 0 else -((-nr) % (1 << 24))
+        if meta <= 2:
+            return out + bytes([(fp // 10000 if fp >= 0 else -((-fp) // 10000)) & 0xFF])
+        scaled = fp // 100 if fp >= 0 else -((-fp) // 100)
+        return out + (scaled & 0xFFFF).to_bytes(2, "big")
     raise NotImplementedError(f"binlog writer: unsupported column type {type_code}")
 
 
@@ -565,19 +582,39 @@ def _dec_value(type_code: int, meta: int, b: bytes, i: int, charset: str = "utf-
     if type_code in (MYSQL_TYPE_ENUM, MYSQL_TYPE_SET):
         return str(int.from_bytes(b[i : i + meta], "little")), i + meta
     if type_code == MYSQL_TYPE_TIME2:
-        packed = int.from_bytes(b[i : i + 3], "big")
-        i += 3
-        neg = packed < 0x800000
+        # inverse of the writer's my_time_packed_to_binary encoding
+        # (my_time.c my_time_binary_to_packed): negative fractional TIME is
+        # two's complement over the combined (int part, frac) quantity
+        if meta >= 5:
+            nr = int.from_bytes(b[i : i + 6], "big") - 0x800000000000
+            i += 6
+        else:
+            intpart = int.from_bytes(b[i : i + 3], "big") - 0x800000
+            i += 3
+            if meta == 0:
+                nr = intpart << 24
+            elif meta <= 2:
+                frac = b[i]
+                i += 1
+                if intpart < 0 and frac:
+                    intpart += 1
+                    frac -= 0x100
+                nr = (intpart << 24) + frac * 10000
+            else:
+                frac = int.from_bytes(b[i : i + 2], "big")
+                i += 2
+                if intpart < 0 and frac:
+                    intpart += 1
+                    frac -= 0x10000
+                nr = (intpart << 24) + frac * 100
+        neg = nr < 0
         if neg:
-            packed = 0x1000000 - packed
-        packed -= 0x800000
-        h, mi, sec = (packed >> 12) & 0x3FF, (packed >> 6) & 0x3F, packed & 0x3F
+            nr = -nr
+        hms, frac_us = nr >> 24, nr & 0xFFFFFF
+        h, mi, sec = (hms >> 12) & 0x3FF, (hms >> 6) & 0x3F, hms & 0x3F
         text = f"{'-' if neg else ''}{h:02d}:{mi:02d}:{sec:02d}"
-        fsp_bytes = (meta + 1) // 2
-        if fsp_bytes:
-            stored = int.from_bytes(b[i : i + fsp_bytes], "big")
-            i += fsp_bytes
-            text += f".{stored:0{meta}d}"
+        if meta:
+            text += f".{frac_us // (10 ** (6 - meta)):0{meta}d}"
         return text, i
     raise NotImplementedError(f"binlog parser: unsupported column type {type_code}")
 

@@ -107,14 +107,14 @@ def mongo_statements(compacted: DataFrame, shard_key: str | None = None) -> Data
 
     ``get_json_object`` strips the quotes off extracted JSON strings AND
     erases the type (a string field holding ``"123"`` extracts identically
-    to the number ``123``), so whether to re-quote is decided by probing the
-    RAW image for the quote character that follows ``"<key>":`` — a string
-    value is re-quoted (with ``"`` and ``\\`` escaped) no matter what it
-    looks like, scalars and object/array renderings pass verbatim. The probe
-    reads the first occurrence of the key, which is the top-level shard-key
-    field for every document the sharding contract allows.
+    to the number ``123``), so whether to re-quote is decided by a real JSON
+    parse: ``schema_of_variant(variant_get(parse_json(image), '$.key'))`` is
+    ``STRING`` exactly when the TOP-LEVEL shard-key value is a JSON string —
+    a same-named key nested in an earlier sub-document cannot fool it the
+    way a first-occurrence regex probe could (ADVICE r7). String values are
+    re-quoted (with ``"`` and ``\\`` escaped); scalars and object/array
+    renderings pass verbatim, preserving the original lexeme.
     """
-    import re as _re
 
     def _filter(image_col: str):
         base = [F.lit('{"_id": '), F.col("_id")]
@@ -125,10 +125,12 @@ def mongo_statements(compacted: DataFrame, shard_key: str | None = None) -> Data
                 F.regexp_replace(val, r'(["\\])', r"\\$1"),
                 F.lit('"'),
             )
-            first_char = F.regexp_extract(
-                F.col(image_col), '"' + _re.escape(shard_key) + r'"\s*:\s*(.)', 1
+            top_type = F.schema_of_variant(
+                F.try_variant_get(
+                    F.try_parse_json(F.col(image_col)), f"$.{shard_key}", "variant"
+                )
             )
-            rendered = F.when(first_char == F.lit('"'), quoted).otherwise(val)
+            rendered = F.when(top_type == F.lit("STRING"), quoted).otherwise(val)
             base += [
                 F.when(
                     val.isNotNull(),

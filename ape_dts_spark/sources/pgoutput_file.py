@@ -209,12 +209,21 @@ def encode_streamed_segment(
     row messages carry a leading xid, closed by StreamStop('E'), and
     resolve with StreamCommit('c') or StreamAbort('A'). ``interleave=True``
     round-robins one-op segments across transactions — the wire condition
-    that makes per-message xids necessary."""
+    that makes per-message xids necessary.
+
+    Subtransactions: an op tuple may carry a 5th element ``subxid`` — the
+    row message is then stamped with that xid (as a real server stamps
+    streamed rows with the subtransaction that made the change) while
+    StreamStart/StreamCommit keep the top-level xid; a txn entry may carry a
+    4th element, a list of subxids to StreamAbort(xid, subxid) before the
+    final resolution."""
     w = _SegmentWriter(start_lsn, base_ts_us)
     sent_rel: set = set()
-    queues = {xid: list(ops) for xid, ops, _ in stream_txns}
+    stream_txns = [t if len(t) == 4 else (*t, []) for t in stream_txns]
+    queues = {xid: list(ops) for xid, ops, _, _ in stream_txns}
 
-    def _op_msg(table_key, row_type, before, after, xid):
+    def _op_msg(table_key, row_type, before, after, xid, subxid=None):
+        msg_xid = subxid if subxid is not None else xid
         t = tables[table_key]
         pre = []
         if table_key not in sent_rel:
@@ -228,11 +237,11 @@ def encode_streamed_segment(
             m = encode_delete(t, before)
         else:
             raise ValueError(f"unknown row_type {row_type!r}")
-        return pre + [m[0:1] + struct.pack(">I", xid) + m[1:]]
+        return pre + [m[0:1] + struct.pack(">I", msg_xid) + m[1:]]
 
     opened: set = set()
     while any(queues.values()):
-        for xid, _ops, _out in stream_txns:
+        for xid, _ops, _out, _sa in stream_txns:
             if not queues[xid]:
                 continue
             take = 1 if interleave else len(queues[xid])
@@ -241,10 +250,14 @@ def encode_streamed_segment(
             for _ in range(take):
                 if not queues[xid]:
                     break
-                for m in _op_msg(*queues[xid].pop(0), xid):
+                op = queues[xid].pop(0)
+                sub = op[4] if len(op) > 4 else None
+                for m in _op_msg(*op[:4], xid, sub):
                     w.record(m)
             w.record(encode_stream_stop())
-    for xid, _ops, outcome in stream_txns:
+    for xid, _ops, outcome, sub_aborts in stream_txns:
+        for sub in sub_aborts:
+            w.record(encode_stream_abort(xid, sub))
         if outcome == "commit":
             at = w.lsn
             w.record(encode_stream_commit(xid, at, at + 31, w.clock))
@@ -414,12 +427,17 @@ def parse_pgoutput_bytes(
     ('S') opens a segment whose row messages carry a leading xid, StreamStop
     ('E') closes it, StreamCommit ('c') emits the buffered rows in arrival
     order, StreamAbort ('A') discards them — interleaved segments of
-    different transactions buffer independently by that per-message xid."""
+    different transactions buffer independently. Row messages may carry a
+    SUBtransaction xid while StreamStart/StreamCommit carry the top-level
+    xid, so rows are buffered under the OPEN SEGMENT's top-level xid and
+    tagged with their per-message xid; StreamAbort(xid, subxid) with
+    subxid != xid discards just that subtransaction's rows (ADVICE r7)."""
     rels: dict[int, dict] = {}
     rows: list[dict] = []
     pending: list[dict] = []
     stream_bufs: dict[int, list] = {}
     in_stream = False
+    cur_stream_xid = None
     seq = 0
     last_tx_end = 0
     cur_xid = 0
@@ -445,6 +463,7 @@ def parse_pgoutput_bytes(
             (sxid,) = struct.unpack_from(">I", payload, p)
             stream_bufs.setdefault(sxid, [])
             in_stream = True
+            cur_stream_xid = sxid
             continue
         if tag == b"E":
             in_stream = False
@@ -457,6 +476,7 @@ def parse_pgoutput_bytes(
             sts = (ts_us + SECS_FROM_1970_TO_2000 * 1_000_000)
             if end_lsn > start_lsn:
                 for r in stream_bufs.pop(sxid, []):
+                    r.pop("_subxid", None)
                     r["lsn"] = emit_lsn
                     r["xid"] = sxid
                     r["ts"] = sts
@@ -474,8 +494,16 @@ def parse_pgoutput_bytes(
             last_tx_end = end_lsn
             continue
         if tag == b"A":
-            (sxid,) = struct.unpack_from(">I", payload, p)
-            stream_bufs.pop(sxid, None)
+            # StreamAbort carries (top-level xid, subxid); subxid == xid
+            # aborts the whole streamed txn, otherwise only that
+            # subtransaction's buffered rows are discarded.
+            sxid, sub = struct.unpack_from(">II", payload, p)
+            if sub == sxid:
+                stream_bufs.pop(sxid, None)
+            elif sxid in stream_bufs:
+                stream_bufs[sxid] = [
+                    r for r in stream_bufs[sxid] if r.get("_subxid") != sub
+                ]
             continue
         if tag == b"R":
             (rel_id,) = struct.unpack_from(">I", payload, p)
@@ -550,33 +578,50 @@ def parse_pgoutput_bytes(
                 else:
                     before = {}
                 row_type = "delete"
-            sink = stream_bufs[msg_xid] if msg_xid is not None else pending
+            sink = (
+                stream_bufs.setdefault(cur_stream_xid, [])
+                if msg_xid is not None
+                else pending
+            )
             if row_type == "insert" and rel["tb"] == ddl_meta_tb:
-                sink.append({
+                rec_d = {
                     "file": file_name, "ts": cur_ts, "xid": cur_xid,
                     "schema": (after or {}).get("schema") or rel["schema"],
                     "tb": None, "row_type": "ddl", "before": None,
                     "after": {"query": (after or {}).get("ddl_text", "")},
-                })
+                }
+                if msg_xid is not None:
+                    rec_d["_subxid"] = msg_xid
+                sink.append(rec_d)
                 continue
-            sink.append({
+            rec_d = {
                 "file": file_name, "ts": cur_ts, "xid": cur_xid,
                 "schema": rel["schema"], "tb": rel["tb"], "row_type": row_type,
                 "before": before, "after": after,
-            })
+            }
+            if msg_xid is not None:
+                rec_d["_subxid"] = msg_xid
+            sink.append(rec_d)
         elif tag == b"T":
             nrels, _opt = struct.unpack_from(">IB", payload, p)
             p += 5
-            sink = stream_bufs[msg_xid] if msg_xid is not None else pending
+            sink = (
+                stream_bufs.setdefault(cur_stream_xid, [])
+                if msg_xid is not None
+                else pending
+            )
             for _ in range(nrels):
                 (rel_id,) = struct.unpack_from(">I", payload, p)
                 p += 4
                 rel = rels[rel_id]
-                sink.append({
+                rec_d = {
                     "file": file_name, "ts": cur_ts, "xid": cur_xid,
                     "schema": rel["schema"], "tb": rel["tb"],
                     "row_type": "truncate", "before": None, "after": None,
-                })
+                }
+                if msg_xid is not None:
+                    rec_d["_subxid"] = msg_xid
+                sink.append(rec_d)
         elif tag in (b"O", b"Y", b"M"):
             pass  # Origin / Type / Message: consumed, not emitted (rs:199-203)
         else:

@@ -387,7 +387,11 @@ class CdcPipeline:
         batch = self._prepare(batch)
         throttle_sec = 0.0
         if self.limiter is not None:
-            throttle_sec = self.limiter.acquire(batch.count())
+            throttle_sec = (
+                self.limiter.admit_batch(batch)
+                if hasattr(self.limiter, "admit_batch")
+                else self.limiter.acquire(batch.count())
+            )
         ddls = (
             batch.filter(F.col("row_type") == "ddl").orderBy("seq").collect()
             if "ddl" in batch.columns
@@ -531,7 +535,10 @@ class MultiTableCdcPipeline:
         staged = batch.repartition(F.col("schema"), F.col("tb")).persist()
         try:
             if self.limiter is not None:
-                self.limiter.acquire(staged.count())
+                if hasattr(self.limiter, "admit_batch"):
+                    self.limiter.admit_batch(staged)
+                else:
+                    self.limiter.acquire(staged.count())
             present = [
                 (r["schema"], r["tb"])
                 for r in staged.select("schema", "tb").distinct().collect()

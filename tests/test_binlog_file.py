@@ -531,12 +531,31 @@ def test_enum_set_time2_year_codecs():
     )
     tables = {("db", "k"): t}
     row = {"id": 1, "y": "2024", "e": "3", "s": str((1 << 50) | 5),
-           "t0": "-838:59:59", "t6": "03:04:05.123456"}
+           "t0": "-838:59:59", "t6": "-03:04:05.123456"}
     data = bf.encode_binlog_file([[(("db", "k"), "insert", None, row)]],
                                  tables, "binlog.000001")
     ins = [e for e in bf.parse_binlog_bytes(data, tables, "b")
            if e["row_type"] == "insert"][0]
     assert ins["after"] == {k: str(v) for k, v in row.items()}
+
+
+def test_time2_negative_fractional_spec_encoding():
+    """Negative TIME with fsp>0 stores the COMBINED packed+frac quantity in
+    two's complement (my_time.c my_time_packed_to_binary), not a separate
+    unsigned frac field (ADVICE r7) — byte-level checks against the known
+    server encodings, then round-trips across every fsp."""
+    # -00:00:00.000001 @ fsp 6 is the canonical probe: one µs below the
+    # offset midpoint of the combined 6-byte form
+    assert bf._enc_value(bf.MYSQL_TYPE_TIME2, 6, "-00:00:00.000001").hex() == "7fffffffffff"
+    assert bf._enc_value(bf.MYSQL_TYPE_TIME2, 0, "00:00:00").hex() == "800000"
+    # fsp 2: int part shifts down by one, frac byte is 0x100 - centis
+    assert bf._enc_value(bf.MYSQL_TYPE_TIME2, 2, "-00:00:01.50").hex() == "7ffffe" + "ce"
+    for fsp, v in [(1, "-00:00:01.5"), (2, "-01:02:03.99"), (3, "-01:02:03.999"),
+                   (4, "-01:02:03.0001"), (5, "-11:22:33.00001"),
+                   (6, "-838:59:58.999999"), (6, "10:20:30.000001")]:
+        enc = bf._enc_value(bf.MYSQL_TYPE_TIME2, fsp, v)
+        dec, off = bf._dec_value(bf.MYSQL_TYPE_TIME2, fsp, enc, 0)
+        assert dec == v and off == len(enc), (v, fsp, enc.hex(), dec)
 
 
 def test_snapshot_then_binlog_file_cutover(spark, tmp_path):

@@ -109,3 +109,20 @@ def test_cdc_pipeline_throttles_batches(spark, tmp_path):
     pipe.apply_batch(batch.withColumn("seq", F.col("seq") + 10), batch_id=1)
     assert pipe.metrics[-1]["throttle_sec"] > 0.0  # bucket drained -> slept
     assert sorted(r["id"] for r in table.current().collect()) == [1, 2]
+
+
+def test_admit_batch_charges_bytes(spark):
+    """max_mbps-only limiter must deduct real batch bytes (ADVICE r7: bytes
+    bucket was silently a no-op when only max_mbps was set)."""
+    c = Clock()
+    lim = PipelineLimiter(max_rps=0, max_mbps=1, clock=c.now, sleep=c.sleep)
+    # ~3 MiB of JSON payload -> 2 MiB overdraft at 1 MiB/s after the full
+    # initial bucket -> ~2 s sleep
+    import pyspark.sql.functions as F
+
+    df = spark.range(3).select(F.lit("x" * (1024 * 1024)).alias("payload"))
+    slept = lim.admit_batch(df)
+    assert slept > 1.5, slept
+    # rps-only limiter stays a plain count (no bytes agg)
+    lim2 = PipelineLimiter(max_rps=1, max_mbps=0, clock=c.now, sleep=c.sleep)
+    assert lim2.admit_batch(df) >= 0.0 and not lim2.wants_bytes

@@ -141,3 +141,29 @@ def test_mongo_statements_string_shard_key(spark):
         filt = stmt.removeprefix("db.c1.replaceOne(").split(', {"_id"')[0]
         parsed = json.loads(filt)
         assert "region" in parsed
+
+
+def test_mongo_statements_nested_same_named_key(spark):
+    """A same-named key nested in an earlier-sorted sub-document must not
+    fool the string-vs-scalar probe: the TOP-LEVEL shard-key value's type
+    decides re-quoting (ADVICE r7 — first-occurrence regex probe read the
+    nested value's first char)."""
+    from ape_dts_spark.sources.mongo import mongo_statements
+
+    rows = [
+        # nested numeric "region" before a top-level STRING "region"
+        ("db1", "c1", 1, "upsert",
+         ('{"_id": 1, "address": {"region": 1}, "region": "east"}',), 1),
+        # nested string "region" before a top-level NUMERIC "region"
+        ("db1", "c1", 2, "upsert",
+         ('{"_id": 2, "address": {"region": "x"}, "region": 42}',), 2),
+    ]
+    compacted = spark.createDataFrame(
+        rows,
+        "schema string, tb string, _id long, op string, "
+        "after struct<doc: string>, seq long",
+    )
+    out = {r["_id"]: r["stmt"]
+           for r in mongo_statements(compacted, shard_key="region").collect()}
+    assert out[1].startswith('db.c1.replaceOne({"_id": 1, "region": "east"}, ')
+    assert out[2].startswith('db.c1.replaceOne({"_id": 2, "region": 42}, ')

@@ -376,3 +376,29 @@ def test_streamed_and_plain_transactions_interleave():
     rows = pg.parse_pgoutput_bytes(streamed + plain)
     ids = [r["after"]["id"] for r in rows if r["row_type"] == "insert"]
     assert sorted(ids) == ["50", "60"]
+
+
+def test_streamed_subtransactions_route_to_toplevel_xid():
+    """Streamed row messages stamped with SUBtransaction xids (as PG emits
+    when a streamed txn contains SAVEPOINTs) buffer under the open segment's
+    top-level xid — no KeyError — and StreamAbort(xid, subxid) discards just
+    that subtransaction's rows (ADVICE r7)."""
+    ops = [
+        (("public", "users"), "insert", None, dict(ROW1, id=1)),        # top xid
+        (("public", "users"), "insert", None, dict(ROW1, id=2), 951),   # subxid 951
+        (("public", "users"), "insert", None, dict(ROW1, id=3), 952),   # subxid 952
+    ]
+    data, _ = pg.encode_streamed_segment(
+        [(950, ops, "commit", [952])], TABLES, interleave=False,
+    )
+    rows = pg.parse_pgoutput_bytes(data)
+    ins = [r for r in rows if r["row_type"] == "insert"]
+    # subxid 952's row aborted; the rest commit in arrival order under 950
+    assert [r["after"]["id"] for r in ins] == ["1", "2"]
+    assert all(r["xid"] == 950 for r in ins)
+    assert all("_subxid" not in r for r in rows)
+    # aborting the top-level xid itself discards everything
+    data2, _ = pg.encode_streamed_segment(
+        [(960, ops, "abort")], TABLES, interleave=False,
+    )
+    assert [r for r in pg.parse_pgoutput_bytes(data2) if r["row_type"] == "insert"] == []
