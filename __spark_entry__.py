@@ -2711,8 +2711,14 @@ def q_binlog_file_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     and replayed to final state (one window shuffle keyed on o_orderkey).
     The oracle computes the same final state straight from orders, so any
     byte-level encode/decode error, mis-ordered event, lost row image or
-    broken rotation/GTID continuity diverges. The fixture collect is the
-    bounded key subset (the fixture generator, like q_redis_rdb)."""
+    broken rotation/GTID continuity diverges. Round 8 widens the column
+    surface with the sysbench/spatial tail: an UNSIGNED BIGINT published
+    through the TABLE_MAP optional-metadata SIGNEDNESS bitmap (MySQL >=
+    8.0.1; the reference resolves signedness from table meta,
+    mysql_col_type.rs:85,172), a 12-bit MYSQL_TYPE_BIT mask, and a
+    MYSQL_TYPE_GEOMETRY cell carrying a real SRID+WKB point payload. The
+    fixture collect is the bounded key subset (the fixture generator, like
+    q_redis_rdb)."""
     import hashlib
     import inspect
     import tempfile
@@ -2729,8 +2735,12 @@ def q_binlog_file_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ("o_totalprice", bf.MYSQL_TYPE_DOUBLE, 8),
                 ("o_orderdate_us", bf.MYSQL_TYPE_TIMESTAMP2, 6),
                 ("o_orderpriority", bf.MYSQL_TYPE_VARCHAR, 255),
+                ("o_ukey", bf.MYSQL_TYPE_LONGLONG, 0),
+                ("o_flags", bf.MYSQL_TYPE_BIT, 12),
+                ("o_geo", bf.MYSQL_TYPE_GEOMETRY, 4),
             ),
             table_id=101,
+            unsigned=("o_ukey",),
         )
     }
     data_sig = "|".join(
@@ -2760,6 +2770,9 @@ def q_binlog_file_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "o_orderkey": r["o_orderkey"], "o_custkey": r["o_custkey"],
                 "o_orderstatus": r["o_orderstatus"], "o_totalprice": r["o_totalprice"],
                 "o_orderdate_us": r["o_orderdate_us"], "o_orderpriority": r["o_orderpriority"],
+                "o_ukey": 18446744073709551615 - r["o_orderkey"],
+                "o_flags": r["o_orderkey"] % 4096,
+                "o_geo": _BINLOG_GEO_WKB[r["o_orderkey"] % 4],
             }
             for r in rows
         }
@@ -2793,7 +2806,21 @@ def q_binlog_file_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("after")["o_totalprice"].cast("double").alias("o_totalprice"),
         F.col("after")["o_orderdate_us"].cast("bigint").alias("o_orderdate_us"),
         F.col("after")["o_orderpriority"].alias("o_orderpriority"),
+        F.col("after")["o_ukey"].alias("o_ukey"),
+        F.col("after")["o_flags"].cast("bigint").alias("o_flags"),
+        F.col("after")["o_geo"].alias("o_geo"),
     )
+
+
+# SRID 4326 + WKB POINT payloads for the binlog GEOMETRY column: 4 fixed
+# shapes indexed by o_orderkey % 4, so the DuckDB oracle can state them as
+# literals (points (1,2),(3,4),(-5,6),(7,-8))
+_BINLOG_GEO_WKB = (
+    "e61000000101000000000000000000f03f0000000000000040",
+    "e6100000010100000000000000000008400000000000001040",
+    "e6100000010100000000000000000014c00000000000001840",
+    "e610000001010000000000000000001c4000000000000020c0",
+)
 
 
 def q_pgoutput_file_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4517,12 +4544,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id + 100000 AS query_id, vec_id AS neighbor_id, 1 AS rank
             FROM embeddings WHERE vec_id % 25 = 0
         """,
-        "binlog_file_parse": """
+        "binlog_file_parse": f"""
             SELECT o_orderkey, o_custkey,
                    CASE WHEN o_orderkey % 3 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
                    o_totalprice,
                    epoch_us(o_orderdate) AS o_orderdate_us,
-                   o_orderpriority
+                   o_orderpriority,
+                   CAST(CAST(18446744073709551615 AS UBIGINT)
+                        - CAST(o_orderkey AS UBIGINT) AS VARCHAR) AS o_ukey,
+                   o_orderkey % 4096 AS o_flags,
+                   CASE CAST(o_orderkey % 4 AS INT)
+                        WHEN 0 THEN '{_BINLOG_GEO_WKB[0]}'
+                        WHEN 1 THEN '{_BINLOG_GEO_WKB[1]}'
+                        WHEN 2 THEN '{_BINLOG_GEO_WKB[2]}'
+                        ELSE '{_BINLOG_GEO_WKB[3]}' END AS o_geo
             FROM orders
             WHERE o_orderkey % 23 = 1 AND o_orderkey % 5 <> 0
         """,

@@ -57,6 +57,7 @@ MYSQL_TYPE_LONGLONG = 8
 MYSQL_TYPE_INT24 = 9
 MYSQL_TYPE_DATE = 10
 MYSQL_TYPE_YEAR = 13
+MYSQL_TYPE_BIT = 16
 MYSQL_TYPE_VARCHAR = 15
 MYSQL_TYPE_TIMESTAMP2 = 17
 MYSQL_TYPE_DATETIME2 = 18
@@ -66,6 +67,17 @@ MYSQL_TYPE_SET = 248
 MYSQL_TYPE_JSON = 245
 MYSQL_TYPE_NEWDECIMAL = 246
 MYSQL_TYPE_BLOB = 252
+MYSQL_TYPE_GEOMETRY = 255
+
+# the numeric set the TABLE_MAP optional-metadata SIGNEDNESS bitmap covers,
+# in column order (rows_event.cc is_numeric_type; MySQL >= 8.0.1)
+_NUMERIC_TYPES = frozenset({
+    MYSQL_TYPE_TINY, MYSQL_TYPE_SHORT, MYSQL_TYPE_LONG, MYSQL_TYPE_FLOAT,
+    MYSQL_TYPE_DOUBLE, MYSQL_TYPE_LONGLONG, MYSQL_TYPE_INT24,
+    MYSQL_TYPE_NEWDECIMAL,
+})
+# optional-metadata TLV field type codes (public table-map format)
+_OPTMETA_SIGNEDNESS = 1
 
 # digits -> bytes for one NEWDECIMAL group (public decimal binary format)
 _DEC_DIG2BYTES = (0, 1, 1, 2, 2, 3, 3, 4, 4, 4)
@@ -95,6 +107,11 @@ class BinlogTable:
     # column meta and converts, charset_test suite; binlog stores raw bytes
     # in the COLUMN charset, not utf-8)
     charset: str = "utf-8"
+    # names of UNSIGNED numeric columns: the writer publishes them in the
+    # TABLE_MAP optional-metadata SIGNEDNESS bitmap (MySQL >= 8.0.1) and the
+    # parser decodes those cells unsigned — the reference resolves
+    # signedness from table meta instead (mysql_col_type.rs:85,172)
+    unsigned: tuple = ()
 
 
 # ---------------------------------------------------------------------------
@@ -145,10 +162,14 @@ def _meta_bytes(type_code: int, meta: int) -> bytes:
         return struct.pack("<H", meta)
     if type_code == MYSQL_TYPE_NEWDECIMAL:
         return bytes([meta >> 8, meta & 0xFF])
+    if type_code == MYSQL_TYPE_BIT:
+        # meta = total bit width; wire meta = (bits % 8, bits / 8)
+        return bytes([meta % 8, meta // 8])
     if type_code in (
         MYSQL_TYPE_FLOAT, MYSQL_TYPE_DOUBLE, MYSQL_TYPE_BLOB,
         MYSQL_TYPE_TIMESTAMP2, MYSQL_TYPE_DATETIME2, MYSQL_TYPE_TIME2,
         MYSQL_TYPE_JSON, MYSQL_TYPE_ENUM, MYSQL_TYPE_SET,
+        MYSQL_TYPE_GEOMETRY,
     ):
         return bytes([meta])
     return b""
@@ -403,17 +424,26 @@ def _dec_json_binary(b: bytes) -> object:
 # ---------------------------------------------------------------------------
 
 
-def _enc_value(type_code: int, meta: int, v, charset: str = "utf-8") -> bytes:
+def _enc_value(type_code: int, meta: int, v, charset: str = "utf-8",
+               unsigned: bool = False) -> bytes:
     if type_code == MYSQL_TYPE_TINY:
-        return struct.pack("<b", int(v))
+        return struct.pack("<B" if unsigned else "<b", int(v))
     if type_code == MYSQL_TYPE_SHORT:
-        return struct.pack("<h", int(v))
+        return struct.pack("<H" if unsigned else "<h", int(v))
     if type_code == MYSQL_TYPE_INT24:
-        return int(v).to_bytes(3, "little", signed=True)
+        return int(v).to_bytes(3, "little", signed=not unsigned)
     if type_code == MYSQL_TYPE_LONG:
-        return struct.pack("<i", int(v))
+        return struct.pack("<I" if unsigned else "<i", int(v))
     if type_code == MYSQL_TYPE_LONGLONG:
-        return struct.pack("<q", int(v))
+        return struct.pack("<Q" if unsigned else "<q", int(v))
+    if type_code == MYSQL_TYPE_BIT:
+        # ((bits + 7) / 8) bytes, big-endian; value = the integer bit pattern
+        return int(v).to_bytes((meta + 7) // 8, "big")
+    if type_code == MYSQL_TYPE_GEOMETRY:
+        # BLOB-shaped: meta-byte little-endian length prefix; payload =
+        # 4-byte LE SRID + WKB, carried as a hex string
+        raw = bytes.fromhex(v) if isinstance(v, str) else bytes(v)
+        return len(raw).to_bytes(meta, "little") + raw
     if type_code == MYSQL_TYPE_FLOAT:
         return struct.pack("<f", float(v))
     if type_code == MYSQL_TYPE_DOUBLE:
@@ -512,21 +542,29 @@ def _enc_value(type_code: int, meta: int, v, charset: str = "utf-8") -> bytes:
     raise NotImplementedError(f"binlog writer: unsupported column type {type_code}")
 
 
-def _dec_value(type_code: int, meta: int, b: bytes, i: int, charset: str = "utf-8") -> tuple[str, int]:
+def _dec_value(type_code: int, meta: int, b: bytes, i: int, charset: str = "utf-8",
+               unsigned: bool = False) -> tuple[str, int]:
     """Decode one cell -> (string rendering, next offset). Strings are the
     uniform cell type of the schema-fluid change model (parse_debezium_fluid);
     integers render bare, floats via repr (exact round-trip), TIMESTAMP2 as
     epoch microseconds."""
     if type_code == MYSQL_TYPE_TINY:
-        return str(struct.unpack_from("<b", b, i)[0]), i + 1
+        return str(struct.unpack_from("<B" if unsigned else "<b", b, i)[0]), i + 1
     if type_code == MYSQL_TYPE_SHORT:
-        return str(struct.unpack_from("<h", b, i)[0]), i + 2
+        return str(struct.unpack_from("<H" if unsigned else "<h", b, i)[0]), i + 2
     if type_code == MYSQL_TYPE_INT24:
-        return str(int.from_bytes(b[i : i + 3], "little", signed=True)), i + 3
+        return str(int.from_bytes(b[i : i + 3], "little", signed=not unsigned)), i + 3
     if type_code == MYSQL_TYPE_LONG:
-        return str(struct.unpack_from("<i", b, i)[0]), i + 4
+        return str(struct.unpack_from("<I" if unsigned else "<i", b, i)[0]), i + 4
     if type_code == MYSQL_TYPE_LONGLONG:
-        return str(struct.unpack_from("<q", b, i)[0]), i + 8
+        return str(struct.unpack_from("<Q" if unsigned else "<q", b, i)[0]), i + 8
+    if type_code == MYSQL_TYPE_BIT:
+        n = (meta + 7) // 8
+        return str(int.from_bytes(b[i : i + n], "big")), i + n
+    if type_code == MYSQL_TYPE_GEOMETRY:
+        n = int.from_bytes(b[i : i + meta], "little")
+        i += meta
+        return b[i : i + n].hex(), i + n
     if type_code == MYSQL_TYPE_FLOAT:
         return repr(struct.unpack_from("<f", b, i)[0]), i + 4
     if type_code == MYSQL_TYPE_DOUBLE:
@@ -683,6 +721,15 @@ def _table_map_payload(t: BinlogTable) -> bytes:
     meta = b"".join(_meta_bytes(c[1], c[2]) for c in t.cols)
     p += _packed(len(meta)) + meta
     p += _bitmap([True] * len(t.cols))  # all columns nullable
+    # optional metadata (MySQL >= 8.0.1): SIGNEDNESS TLV — one bit per
+    # NUMERIC column in column order, MSB-first, set = UNSIGNED
+    numeric = [c for c in t.cols if c[1] in _NUMERIC_TYPES]
+    if numeric:
+        bm = bytearray((len(numeric) + 7) // 8)
+        for idx, c in enumerate(numeric):
+            if c[0] in t.unsigned:
+                bm[idx // 8] |= 1 << (7 - idx % 8)
+        p += bytes([_OPTMETA_SIGNEDNESS]) + _packed(len(bm)) + bytes(bm)
     return p
 
 
@@ -691,7 +738,8 @@ def _row_image(t: BinlogTable, image: dict) -> bytes:
     out = bytearray(_bitmap(nulls))
     for (name, code, meta), is_null in zip(t.cols, nulls):
         if not is_null:
-            out += _enc_value(code, meta, image[name], t.charset)
+            out += _enc_value(code, meta, image[name], t.charset,
+                              unsigned=name in t.unsigned)
     return bytes(out)
 
 
@@ -950,11 +998,30 @@ def _parse_table_map(body: bytes) -> dict:
             MYSQL_TYPE_FLOAT, MYSQL_TYPE_DOUBLE, MYSQL_TYPE_BLOB,
             MYSQL_TYPE_TIMESTAMP2, MYSQL_TYPE_DATETIME2, MYSQL_TYPE_TIME2,
             MYSQL_TYPE_JSON, MYSQL_TYPE_ENUM, MYSQL_TYPE_SET,
+            MYSQL_TYPE_GEOMETRY,
         ):
             cols.append((code, meta_block[k]))
             k += 1
+        elif code == MYSQL_TYPE_BIT:
+            cols.append((code, meta_block[k] + meta_block[k + 1] * 8))
+            k += 2
         else:
             cols.append((code, 0))
+    j += meta_len
+    j += (n_cols + 7) // 8  # nullability bitmap
+    # optional metadata TLVs (>= 8.0.1): consume SIGNEDNESS, skip others
+    unsigned_flags = [False] * n_cols
+    while j < len(body):
+        ftype = body[j]
+        flen, j = _read_packed(body, j + 1)
+        fval = body[j : j + flen]
+        j += flen
+        if ftype == _OPTMETA_SIGNEDNESS:
+            numeric_idx = [c for c, code in enumerate(codes) if code in _NUMERIC_TYPES]
+            for bit_i, col_i in enumerate(numeric_idx):
+                if bit_i // 8 < len(fval) and fval[bit_i // 8] & (1 << (7 - bit_i % 8)):
+                    unsigned_flags[col_i] = True
+    cols = [(code, meta, unsigned_flags[c]) for c, (code, meta) in enumerate(cols)]
     return {table_id: (schema, tb, cols)}
 
 
@@ -989,8 +1056,9 @@ def _parse_rows(body: bytes, type_code: int, table_map: dict, tables: dict):
             if _bit(nulls, pi):
                 image[names[c]] = None
             else:
-                code, meta = cols[c]
-                image[names[c]], j = _dec_value(code, meta, body, j, reg.charset)
+                code, meta, uns = cols[c]
+                image[names[c]], j = _dec_value(code, meta, body, j, reg.charset,
+                                                unsigned=uns)
             pi += 1
         return image, j
 

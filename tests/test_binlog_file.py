@@ -98,7 +98,7 @@ def test_bad_magic_rejected():
 
 
 def test_unsupported_type_is_honest():
-    t = bf.BinlogTable("db", "t", (("d", 255, 0),), 7)  # GEOMETRY
+    t = bf.BinlogTable("db", "t", (("d", 11, 0),), 7)  # legacy pre-5.6 TIME
     with pytest.raises(NotImplementedError):
         bf.encode_binlog_file([[(("db", "t"), "insert", None, {"d": 1})]], {("db", "t"): t}, "b.1")
 
@@ -621,3 +621,52 @@ def test_snapshot_then_binlog_file_cutover(spark, tmp_path):
     want[4] = "u4x"
     del want[7]
     assert state == want
+
+
+def test_unsigned_bit_geometry_codecs():
+    """MySQL 8.0.1+ TABLE_MAP optional metadata: the SIGNEDNESS bitmap (one
+    MSB-first bit per numeric column, set = UNSIGNED) governs integer decode
+    — the reference gets signedness from table meta instead
+    (mysql_col_type.rs:85,172). Plus MYSQL_TYPE_BIT (2-byte meta = bit
+    width, big-endian cell) and MYSQL_TYPE_GEOMETRY (BLOB-shaped, 4-byte
+    SRID + WKB payload, hex rendering) — the sysbench/spatial schema tail."""
+    import struct as _s
+
+    # WKB POINT(1 2) with SRID 4326
+    wkb = _s.pack("<I", 4326) + b"\x01" + _s.pack("<I", 1) + _s.pack("<dd", 1.0, 2.0)
+    t = bf.BinlogTable(
+        "db", "u",
+        (("id", bf.MYSQL_TYPE_LONGLONG, 0),
+         ("u8", bf.MYSQL_TYPE_TINY, 0),
+         ("s8", bf.MYSQL_TYPE_TINY, 0),
+         ("u16", bf.MYSQL_TYPE_SHORT, 0),
+         ("u24", bf.MYSQL_TYPE_INT24, 0),
+         ("u32", bf.MYSQL_TYPE_LONG, 0),
+         ("u64", bf.MYSQL_TYPE_LONGLONG, 0),
+         ("flags", bf.MYSQL_TYPE_BIT, 12),
+         ("geo", bf.MYSQL_TYPE_GEOMETRY, 4)),
+        402,
+        unsigned=("u8", "u16", "u24", "u32", "u64"),
+    )
+    tables = {("db", "u"): t}
+    row = {"id": 1, "u8": 255, "s8": -128, "u16": 65535, "u24": 16777215,
+           "u32": 4294967295, "u64": 18446744073709551615,
+           "flags": 0b101010101010, "geo": wkb.hex()}
+    data = bf.encode_binlog_file([[(("db", "u"), "insert", None, row)]],
+                                 tables, "binlog.000001")
+    ins = [e for e in bf.parse_binlog_bytes(data, tables, "b")
+           if e["row_type"] == "insert"][0]
+    assert ins["after"] == {k: str(v) for k, v in row.items()}
+    # signedness travels in the TABLE_MAP bitmap, not the registry the
+    # PARSER was handed: decoding against a signed-only registry still
+    # yields the unsigned renderings because the bitmap rules
+    t_signed = bf.BinlogTable("db", "u", t.cols, 402)
+    ins2 = [e for e in bf.parse_binlog_bytes(data, {("db", "u"): t_signed}, "b")
+            if e["row_type"] == "insert"][0]
+    assert ins2["after"]["u64"] == "18446744073709551615"
+    # a writer without unsigned= rejects out-of-range ints instead of
+    # silently wrapping
+    import pytest as _pt
+    with _pt.raises(Exception):
+        bf.encode_binlog_file([[(("db", "u"), "insert", None, row)]],
+                              {("db", "u"): t_signed}, "binlog.000001")
