@@ -3462,80 +3462,23 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The external driver gates only the FIRST 50 dict entries, so ordering is
-    # load-bearing. Round-7 rotation policy: (1) queries that are NEW or whose
-    # CODE changed this round lead (the six at-rest transport/payload gates,
-    # dsir_sample, ivfpq_append + ann_ivfpq_index whose encoder was
-    # refactored), (2) then the 50-slot window fills with the STALEST driver
-    # rows (all 39 queries last green in r04, then the oldest r05 rows that
-    # fit — ddl_parse, dcl_parse), (3) everything after slot 50 stays ordered
-    # by staleness (displaced r05 rows first, then the round-7 TPC-H
-    # completion set) so the next rotation is a prefix cut. Before any
-    # rotation ships, the FULL (non --window) tools/check.py run must be
-    # green — rotated-out queries keep local-gate + pytest coverage
-    # (cumulative goal: every query's driver row at most ~2 rounds old).
-    # This literal is machine-regenerated from the CORRECTNESS_r* staleness
-    # data each rotation; duplicates are structurally impossible.
+    # load-bearing. Round-8 rotation policy: (1) queries that are NEW or whose
+    # CODE changed this round lead (binlog_file_parse codec widening, plus any
+    # round-8 additions prepended as they land), (2) the 12 round-7 queries
+    # that have never held a driver row come next, (3) the 50-slot window
+    # fills with the STALEST driver rows (last green r05), (4) everything
+    # after slot 50 stays ordered by staleness (displaced r05 rows, then r06,
+    # then r07) so the next rotation is a prefix cut. Before any rotation
+    # ships, the FULL (non --window) tools/check.py run must be green —
+    # rotated-out queries keep local-gate + pytest coverage (cumulative goal:
+    # every query's driver row at most ~2 rounds old). This literal is
+    # machine-regenerated from the CORRECTNESS_r* staleness data each
+    # rotation; duplicates are structurally impossible.
     return {
-        # -- new this round (driver rows needed) ------------------------------
+        # -- code changed this round (unsigned/BIT/GEOMETRY codec widening) ---
         "binlog_file_parse": q_binlog_file_parse,
-        "pgoutput_file_parse": q_pgoutput_file_parse,
-        "oplog_file_parse": q_oplog_file_parse,
-        "kafka_segment_parse": q_kafka_segment_parse,
-        "aof_manifest": q_aof_manifest,
-        "stream_load_payload": q_stream_load_payload,
-        "dsir_sample": q_dsir_sample,
-        "ivfpq_append": q_ivfpq_append,
-        # -- code changed this round (ivfpq encoder refactor + err column) ----
-        "ann_ivfpq_index": q_ann_ivfpq_index,
-        # -- stalest driver rows (last green r04) re-certify this round -------
-        "ann_ivf_index": q_ann_ivf_index,
-        "ann_lsh": q_ann_lsh,
-        "asof_attribution": q_asof_attribution,
-        "bpe_pairs": q_bpe_pairs,
-        "clf_score": q_clf_score,
-        "contamination": q_contamination,
-        "contamination_bloom": q_contamination_bloom,
-        "corpus_pipeline": q_corpus_pipeline,
-        "cosine_topk_np": q_cosine_topk_np,
-        "doc_chunks": q_doc_chunks,
-        "embedding_dedup_keep": q_embedding_dedup_keep,
-        "event_pivot": q_event_pivot,
-        "fk_apply_order": q_fk_apply_order,
-        "fluid_roundtrip": q_fluid_roundtrip,
-        "gtid_coalesce": q_gtid_coalesce,
-        "interval_join_errors": q_interval_join_errors,
-        "json_extract": q_json_extract,
-        "lang_id": q_lang_id,
-        "length_quantiles": q_length_quantiles,
-        "multimodal_decode": q_multimodal_decode,
-        "multimodal_frames": q_multimodal_frames,
-        "multimodal_meta": q_multimodal_meta,
-        "order_gaps": q_order_gaps,
-        "pii_redact": q_pii_redact,
-        "quality_score": q_quality_score,
-        "redis_rdb": q_redis_rdb,
-        "rep_stats": q_rep_stats,
-        "sequence_packing": q_sequence_packing,
-        "session_windows": q_session_windows,
-        "shuffle_shards": q_shuffle_shards,
-        "snapshot_chunked": q_snapshot_chunked,
-        "snapshot_scan": q_snapshot_scan,
-        "stratified_sample": q_stratified_sample,
-        "struct_ddl": q_struct_ddl,
-        "subscription_feed": q_subscription_feed,
-        "token_mix": q_token_mix,
-        "vocab_topk": q_vocab_topk,
-        "waiting_suppliers": q_waiting_suppliers,
-        "windowed_counts": q_windowed_counts,
-        # -- oldest r05 rows fill the window to slot 50 -----------------------
-        "ddl_parse": q_ddl_parse,
-        "dcl_parse": q_dcl_parse,
-
-        # ---------------------------- slot 50 ends here ----------------------
-        # -- NEW round-7 TPC-H completion set: locally gated (full
-        #    tools/check.py), first in line for the r8 window rotation -------
-        "topic_route": q_topic_route,
-        "monitor_rollup": q_monitor_rollup,
+        # -- never driver-gated (round-7 additions): lead until each holds a
+        #    CORRECTNESS row ------------------------------------------------
         "unimax_mix": q_unimax_mix,
         "curation_v3": q_curation_v3,
         "substring_incremental": q_substring_incremental,
@@ -3548,14 +3491,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "product_profit": q_product_profit,
         "returned_items": q_returned_items,
         "promo_effect": q_promo_effect,
-        # -- driver-green in r05/r06; local gate + pytest keep them, ordered --
-        #    by staleness so the next rotation is a prefix cut ----------------
-        "heartbeat_lag": q_heartbeat_lag,
-        "partition_lanes": q_partition_lanes,
-        "binlog_order": q_binlog_order,
+        # -- stalest driver rows (last green r05) fill the window to slot 50 --
         "ann_pq": q_ann_pq,
         "ann_pq_index": q_ann_pq_index,
         "bigram_lm_score": q_bigram_lm_score,
+        "binlog_order": q_binlog_order,
         "ccnet_buckets": q_ccnet_buckets,
         "cdc_apply_state": q_cdc_apply_state,
         "cheapest_shipment": q_cheapest_shipment,
@@ -3571,21 +3511,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "disjunctive_revenue": q_disjunctive_revenue,
         "gopher_rules": q_gopher_rules,
+        "heartbeat_lag": q_heartbeat_lag,
         "important_parts": q_important_parts,
         "large_orders": q_large_orders,
         "merge_compact": q_merge_compact,
         "minhash_lsh": q_minhash_lsh,
+        "monitor_rollup": q_monitor_rollup,
         "multimodal_features": q_multimodal_features,
         "multimodal_resize": q_multimodal_resize,
         "nation_trade_flows": q_nation_trade_flows,
         "ngram_minhash": q_ngram_minhash,
         "orc_roundtrip": q_orc_roundtrip,
+        "partition_lanes": q_partition_lanes,
         "pricing_summary": q_pricing_summary,
         "salted_join": q_salted_join,
         "semantic_dedup": q_semantic_dedup,
         "simhash_pairs": q_simhash_pairs,
         "sliding_counts": q_sliding_counts,
         "source_caps": q_source_caps,
+
+        # ---------------------------- slot 50 ends here ----------------------
+        # -- displaced r05 rows: local gate + pytest keep them; first in line
+        #    for the next rotation ------------------------------------------
         "span_dedup": q_span_dedup,
         "stateful_dedup": q_stateful_dedup,
         "stream_e2e": q_stream_e2e,
@@ -3595,6 +3542,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mix": q_temperature_mix,
         "tfidf_topterms": q_tfidf_topterms,
         "top_supplier": q_top_supplier,
+        "topic_route": q_topic_route,
+        # -- last green r06, ordered for the next prefix cut ------------------
         "ann_ivf": q_ann_ivf,
         "ann_ivfpq": q_ann_ivfpq,
         "avro_roundtrip": q_avro_roundtrip,
@@ -3644,6 +3593,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "upsert_sql_mysql": q_upsert_sql_mysql,
         "upsert_sql_pg": q_upsert_sql_pg,
         "wire_roundtrip": q_wire_roundtrip,
+        # -- last green r07 (freshest) ---------------------------------------
+        "ann_ivf_index": q_ann_ivf_index,
+        "ann_ivfpq_index": q_ann_ivfpq_index,
+        "ann_lsh": q_ann_lsh,
+        "aof_manifest": q_aof_manifest,
+        "asof_attribution": q_asof_attribution,
+        "bpe_pairs": q_bpe_pairs,
+        "clf_score": q_clf_score,
+        "contamination": q_contamination,
+        "contamination_bloom": q_contamination_bloom,
+        "corpus_pipeline": q_corpus_pipeline,
+        "cosine_topk_np": q_cosine_topk_np,
+        "dcl_parse": q_dcl_parse,
+        "ddl_parse": q_ddl_parse,
+        "doc_chunks": q_doc_chunks,
+        "dsir_sample": q_dsir_sample,
+        "embedding_dedup_keep": q_embedding_dedup_keep,
+        "event_pivot": q_event_pivot,
+        "fk_apply_order": q_fk_apply_order,
+        "fluid_roundtrip": q_fluid_roundtrip,
+        "gtid_coalesce": q_gtid_coalesce,
+        "interval_join_errors": q_interval_join_errors,
+        "ivfpq_append": q_ivfpq_append,
+        "json_extract": q_json_extract,
+        "kafka_segment_parse": q_kafka_segment_parse,
+        "lang_id": q_lang_id,
+        "length_quantiles": q_length_quantiles,
+        "multimodal_decode": q_multimodal_decode,
+        "multimodal_frames": q_multimodal_frames,
+        "multimodal_meta": q_multimodal_meta,
+        "oplog_file_parse": q_oplog_file_parse,
+        "order_gaps": q_order_gaps,
+        "pgoutput_file_parse": q_pgoutput_file_parse,
+        "pii_redact": q_pii_redact,
+        "quality_score": q_quality_score,
+        "redis_rdb": q_redis_rdb,
+        "rep_stats": q_rep_stats,
+        "sequence_packing": q_sequence_packing,
+        "session_windows": q_session_windows,
+        "shuffle_shards": q_shuffle_shards,
+        "snapshot_chunked": q_snapshot_chunked,
+        "snapshot_scan": q_snapshot_scan,
+        "stratified_sample": q_stratified_sample,
+        "stream_load_payload": q_stream_load_payload,
+        "struct_ddl": q_struct_ddl,
+        "subscription_feed": q_subscription_feed,
+        "token_mix": q_token_mix,
+        "vocab_topk": q_vocab_topk,
+        "waiting_suppliers": q_waiting_suppliers,
+        "windowed_counts": q_windowed_counts,
 
     }
 
