@@ -3450,6 +3450,71 @@ def q_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_precheck_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-prerequisite prechecks as pure functions over captured
+    server-variable snapshots (mysql_prechecker.rs:40-145 version regex +
+    log_bin/binlog_format/binlog_row_image; pg_prechecker.rs:46-160
+    server_version_num + wal_level/max_replication_slots/max_wal_senders +
+    slot headroom; mongo_prechecker.rs:38-114 version + replica-set-primary
+    hello probe). Run distributed with mapInPandas over a per-nation fleet
+    of snapshot fixtures — at scale a precheck sweep covers thousands of
+    shard endpoints, so the sweep itself is a DataFrame job (one output row
+    per (server, db_type, check item); diagnostics match the reference's
+    message strings byte-for-byte, including its 'max_wel_senders'
+    spelling)."""
+    import pandas as pd
+
+    from ape_dts_spark.precheck import run_cdc_prechecks
+
+    nation = demo.load(spark, sf_dir, "nation").select("n_nationkey")
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for k in pdf["n_nationkey"].astype(int):
+                k = int(k)
+                my_vars = {
+                    "log_bin": "ON" if k % 2 == 0 else "OFF",
+                    "binlog_format": "ROW" if k % 3 != 1 else "STATEMENT",
+                    "binlog_row_image": "FULL" if k % 5 != 2 else "MINIMAL",
+                }
+                my_ver = "8.0.36" if k % 4 != 3 else "10.6.1"
+                pg_vars = {
+                    "wal_level": "logical" if k % 2 == 0 else "replica",
+                    "max_replication_slots": k % 4,
+                    "max_wal_senders": (k + 1) % 3,
+                }
+                pg_slots = [f"slot_{i}" for i in range(k % 5)]
+                pg_ver = 90600 if k % 6 == 5 else 120000 + k
+                if k % 7 == 6:
+                    hello = {"ok": 0.0}
+                elif k % 11 == 10:
+                    hello = {"ok": 1.0, "msg": "isdbgrid"}
+                elif k % 3 == 2:
+                    hello = {"ok": 1.0}
+                else:
+                    hello = {
+                        "ok": 1.0,
+                        "primary": "h1:27017",
+                        "me": "h1:27017" if k % 2 == 0 else "h2:27017",
+                    }
+                mg_ver = "6.0.6" if k % 5 != 4 else "3.6.9"
+                for db_type, kw in (
+                    ("mysql", dict(variables=my_vars, version=my_ver)),
+                    ("pg", dict(variables=pg_vars, existing_slots=pg_slots, version=pg_ver)),
+                    ("mongo", dict(variables={}, hello=hello, version=mg_ver)),
+                ):
+                    for r in run_cdc_prechecks(db_type, **kw):
+                        rows.append((k, db_type, r.check, int(r.ok), r.detail))
+            yield pd.DataFrame(
+                rows, columns=["server_key", "db_type", "check_item", "ok", "detail"]
+            )
+
+    return nation.mapInPandas(
+        kernel, "server_key int, db_type string, check_item string, ok int, detail string"
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -3475,6 +3540,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # machine-regenerated from the CORRECTNESS_r* staleness data each
     # rotation; duplicates are structurally impossible.
     return {
+        # -- new this round (driver rows needed) ------------------------------
+        "precheck_cdc": q_precheck_cdc,
         # -- code changed this round (unsigned/BIT/GEOMETRY codec widening) ---
         "binlog_file_parse": q_binlog_file_parse,
         # -- never driver-gated (round-7 additions): lead until each holds a
@@ -3528,11 +3595,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "simhash_pairs": q_simhash_pairs,
         "sliding_counts": q_sliding_counts,
-        "source_caps": q_source_caps,
 
         # ---------------------------- slot 50 ends here ----------------------
         # -- displaced r05 rows: local gate + pytest keep them; first in line
         #    for the next rotation ------------------------------------------
+        "source_caps": q_source_caps,
         "span_dedup": q_span_dedup,
         "stateful_dedup": q_stateful_dedup,
         "stream_e2e": q_stream_e2e,
@@ -4542,6 +4609,63 @@ def oracle_sql() -> dict[str, str]:
         "ivfpq_append": """
             SELECT vec_id + 100000 AS query_id, vec_id AS neighbor_id, 1 AS rank
             FROM embeddings WHERE vec_id % 25 = 0
+        """,
+        # precheck_cdc: the oracle restates the prechecker spec (version
+        # regex, variable gates, slot headroom, hello probe) as independent
+        # CASE logic over the same per-nation fixture derivation; message
+        # literals mirror mysql_prechecker.rs:101-122, pg_prechecker.rs:
+        # 110-151, mongo_prechecker.rs:92-101 (concat_ws drops NULL branches
+        # on both engines, so pass rows hash as '')
+        "precheck_cdc": """
+            WITH k AS (SELECT n_nationkey AS k FROM nation)
+            SELECT k AS server_key, 'mysql' AS db_type,
+                   'database_version' AS check_item,
+                   CASE WHEN k % 4 <> 3 THEN 1 ELSE 0 END AS ok,
+                   CASE WHEN k % 4 <> 3 THEN ''
+                        ELSE 'mysql version:[10.6.1] is invalid.' END AS detail
+            FROM k
+            UNION ALL
+            SELECT k, 'mysql', 'cdc_supported',
+                   CASE WHEN k%2=0 AND k%3<>1 AND k%5<>2 THEN 1 ELSE 0 END,
+                   concat_ws(';',
+                     CASE WHEN k%2<>0 THEN 'log_bin setting:[off] is not ''on''.' END,
+                     CASE WHEN k%3=1 THEN 'binlog_format setting:[statement] is not ''row''.' END,
+                     CASE WHEN k%5=2 THEN 'binlog_row_image setting:[minimal] is not ''full''' END)
+            FROM k
+            UNION ALL
+            SELECT k, 'pg', 'database_version',
+                   CASE WHEN k%6=5 THEN 0 ELSE 1 END,
+                   CASE WHEN k%6=5 THEN 'version:90600 is not supported yet' ELSE '' END
+            FROM k
+            UNION ALL
+            SELECT k, 'pg', 'cdc_supported',
+                   CASE WHEN k%2=0 AND k%4<>0 AND (k+1)%3<>0 AND k%4 <> k%5
+                        THEN 1 ELSE 0 END,
+                   concat_ws(';',
+                     CASE WHEN k%2<>0 THEN 'wal_level should not be ''replica'', need to be ''logical''.' END,
+                     CASE WHEN k%4=0 THEN 'max_replication_slots needs to be greater than 0. current is ''0''' END,
+                     CASE WHEN (k+1)%3=0 THEN 'max_wel_senders needs to be greater than 0, current is ''0''' END,
+                     CASE WHEN k%2=0 AND k%4<>0 AND (k+1)%3<>0 AND k%4 = k%5
+                          THEN 'the current number of slots:[' || (k%4) ||
+                               '] has reached max_replication_slots, and new slots cannot be created' END)
+            FROM k
+            UNION ALL
+            SELECT k, 'mongo', 'database_version',
+                   CASE WHEN k%5=4 THEN 0 ELSE 1 END,
+                   CASE WHEN k%5=4 THEN 'mongo version:[3.6.9] is invalid.' ELSE '' END
+            FROM k
+            UNION ALL
+            SELECT k, 'mongo', 'cdc_supported',
+                   CASE WHEN k%7=6 THEN 0
+                        WHEN k%11=10 THEN 1
+                        WHEN k%3=2 THEN 0
+                        WHEN k%2=1 THEN 0 ELSE 1 END,
+                   CASE WHEN k%7=6 THEN 'fetching mongodb instance status with ''db.hello()'' failed.'
+                        WHEN k%11=10 THEN ''
+                        WHEN k%3=2 THEN 'mongodb is not a replicaSet architecture.'
+                        WHEN k%2=1 THEN 'the mongodb instance is not a master.'
+                        ELSE '' END
+            FROM k
         """,
         "binlog_file_parse": f"""
             SELECT o_orderkey, o_custkey,

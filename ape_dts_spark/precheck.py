@@ -33,6 +33,9 @@ class CheckResult:
     object: str
     ok: bool
     detail: str = ""
+    # non-fatal advisory (the reference's CheckResult carries a separate
+    # warn error, check_result.rs: build_with_err(err, warn))
+    warn: str = ""
 
 
 def check_source_readable(spark: SparkSession, sf_dir: str, tables: list[str]) -> list[CheckResult]:
@@ -314,3 +317,270 @@ def run_prechecks(
     if cdc_source_dir is not None:
         results += check_cdc_source(spark, cdc_source_dir)
     return results
+
+
+# ---------------------------------------------------------------------------
+# CDC-prerequisite prechecks as pure functions over a CAPTURED server-variable
+# snapshot (round 8). The reference's precheckers pull these with live
+# ``SHOW VARIABLES`` / ``SHOW [settings]`` / ``db.hello()`` queries
+# (dt-precheck/src/fetcher/*); this sandbox has no live servers, so the check
+# logic — the part with actual semantics — operates on the dict those fetches
+# would produce. Message strings mirror the reference byte-for-byte (incl.
+# its 'max_wel_senders' typo) so a user reading a precheck log sees the same
+# diagnostics; multi-variable errors join with ';' in the fetch-list order
+# (the reference iterates a HashMap, so its order is unspecified — we pin the
+# cdc_configs declaration order, mysql_prechecker.rs:92).
+# ---------------------------------------------------------------------------
+
+import re as _re
+
+# mysql_prechecker.rs:17
+MYSQL_SUPPORT_DB_VERSION_REGEX = r"5\..*|8\..*"
+# pg_prechecker.rs:18 (server_version_num form, e.g. 120000 = v12)
+PG_SUPPORT_DB_VERSION_NUM_MIN = 120000
+# mongo_prechecker.rs:14
+MONGO_SUPPORTED_VERSION_REGEX = r"4.*|5.0.*|6.0.*|7.0.*"
+
+# advise strings shown beside a failed check (check_result.rs:54-55)
+CDC_ADVISE = {
+    "mysql": "(1)open 'log_bin' configuration. (2)set 'binlog_format' configuration to 'row'. (3)set 'binlog_row_image' configuration to 'full'.",
+    "pg": "(1)set 'wal_level' configuration to 'logical'. (2)make sure that the number of 'max_replication_slots' configured is sufficient. (3)make sure that the number of 'max_wal_senders' configured is sufficient.",
+    "mongo": "make sure that the configured link address is the master node under a replica set architecture.",
+}
+
+
+def check_mysql_version(version: str) -> CheckResult:
+    """MySQL 5.x / 8.x support gate (mysql_prechecker.rs:40-68)."""
+    if not version:
+        return CheckResult("database_version", "mysql", False, "found no version info.")
+    if not _re.match(MYSQL_SUPPORT_DB_VERSION_REGEX, version):
+        return CheckResult(
+            "database_version", "mysql", False, f"mysql version:[{version}] is invalid."
+        )
+    return CheckResult("database_version", "mysql", True)
+
+
+def check_mysql_cdc_vars(variables: dict, is_source: bool = True) -> CheckResult:
+    """log_bin/binlog_format/binlog_row_image prerequisites over a captured
+    ``SHOW VARIABLES`` snapshot (mysql_prechecker.rs:77-145). Target-side is
+    a no-op like the reference (line 80-89)."""
+    if not is_source:
+        return CheckResult("cdc_supported", "mysql", True, "target: not checked")
+    errs = []
+    for k in ("log_bin", "binlog_format", "binlog_row_image"):
+        v = str(variables.get(k, "")).lower()
+        if k == "log_bin" and v != "on":
+            errs.append(f"log_bin setting:[{v}] is not 'on'.")
+        elif k == "binlog_format" and v != "row":
+            errs.append(f"binlog_format setting:[{v}] is not 'row'.")
+        elif k == "binlog_row_image" and v != "full":
+            errs.append(f"binlog_row_image setting:[{v}] is not 'full'")
+    return CheckResult(
+        "cdc_supported", "mysql", not errs, ";".join(errs),
+        warn="" if not errs else CDC_ADVISE["mysql"],
+    )
+
+
+def check_pg_version(version_num: int | str) -> CheckResult:
+    """PG >= 12 support gate over server_version_num (pg_prechecker.rs:46-74)."""
+    if version_num in ("", None):
+        return CheckResult("database_version", "pg", False, "found no version info")
+    n = int(version_num)
+    if n < PG_SUPPORT_DB_VERSION_NUM_MIN:
+        return CheckResult(
+            "database_version", "pg", False, f"version:{n} is not supported yet"
+        )
+    return CheckResult("database_version", "pg", True)
+
+
+def check_pg_cdc_vars(
+    variables: dict, existing_slots: list | None = None, is_source: bool = True
+) -> CheckResult:
+    """wal_level/max_replication_slots/max_wal_senders prerequisites plus the
+    slot-headroom probe over captured settings + ``pg_replication_slots``
+    names (pg_prechecker.rs:83-160). The 'max_wel_senders' spelling is the
+    reference's own (pg_prechecker.rs:130)."""
+    if not is_source:
+        return CheckResult("cdc_supported", "pg", True, "target: not checked")
+    errs = []
+    wal_level = str(variables.get("wal_level", "")).lower()
+    if wal_level != "logical":
+        errs.append(
+            f"wal_level should not be '{variables.get('wal_level', '')}', need to be 'logical'."
+        )
+    max_slots = int(variables.get("max_replication_slots", 0))
+    if max_slots < 1:
+        errs.append(
+            f"max_replication_slots needs to be greater than 0. current is '{max_slots}'"
+        )
+    max_senders = int(variables.get("max_wal_senders", 0))
+    if max_senders < 1:
+        errs.append(
+            f"max_wel_senders needs to be greater than 0, current is '{max_senders}'"
+        )
+    if not errs and existing_slots is not None and max_slots == len(existing_slots):
+        errs.append(
+            f"the current number of slots:[{max_slots}] has reached max_replication_slots,"
+            " and new slots cannot be created"
+        )
+    return CheckResult(
+        "cdc_supported", "pg", not errs, ";".join(errs),
+        warn="" if not errs else CDC_ADVISE["pg"],
+    )
+
+
+def check_mongo_version(version: str) -> CheckResult:
+    """Mongo 4.x/5.0/6.0/7.0 support gate (mongo_prechecker.rs:14,38-58)."""
+    if not version:
+        return CheckResult("database_version", "mongo", False, "found no version info.")
+    if not _re.match(MONGO_SUPPORTED_VERSION_REGEX, version):
+        return CheckResult(
+            "database_version", "mongo", False, f"mongo version:[{version}] is invalid."
+        )
+    return CheckResult("database_version", "mongo", True)
+
+
+def check_mongo_cdc(hello: dict, is_source: bool = True) -> CheckResult:
+    """Replica-set-primary prerequisite over a captured ``db.hello()``
+    document (mongo_prechecker.rs:64-114): oplog tailing needs a replicaSet
+    and the configured address must be the master; mongos ('isdbgrid') is
+    accepted as-is."""
+    if not is_source:
+        return CheckResult("cdc_supported", "mongo", True, "target: not checked")
+    ok = float(hello.get("ok", 0.0)) >= 1.0
+    primary = str(hello.get("primary", "") or "")
+    me = str(hello.get("me", "") or "")
+    is_mongos = hello.get("msg") == "isdbgrid"
+    err = ""
+    if not ok:
+        err = "fetching mongodb instance status with 'db.hello()' failed."
+    elif is_mongos:
+        err = ""
+    elif not primary or not me:
+        err = "mongodb is not a replicaSet architecture."
+    elif primary != me:
+        err = "the mongodb instance is not a master."
+    return CheckResult(
+        "cdc_supported", "mongo", not err, err,
+        warn="" if not err else CDC_ADVISE["mongo"],
+    )
+
+
+def _scope_names(filt: RdbFilter) -> bool:
+    """True when the filter uses wildcard/regex patterns — the reference
+    skips struct existence/supportability checks for pattern filters
+    (basic.rs:is_filter_pattern; mysql_prechecker.rs:161-173)."""
+    specs = [filt.do_schemas, filt.ignore_schemas, filt.do_tbs, filt.ignore_tbs]
+    for spec in specs:
+        for p in _split_patterns_pure(spec):
+            name = p[1:-1] if len(p) >= 2 and p[0] == "`" and p[-1] == "`" else None
+            if name is not None:
+                continue  # escaped identifier: literal
+            if p.startswith("r#") or "*" in p or "?" in p:
+                return True
+    return False
+
+
+def _split_patterns_pure(spec: str) -> list:
+    from ape_dts_spark.config.rdb_filter import _split_patterns
+
+    return _split_patterns(spec)
+
+
+def check_struct_existed(
+    filt: RdbFilter,
+    current_dbs: set,
+    current_tbs: set,
+    is_source: bool = True,
+    do_struct_init: bool = True,
+) -> CheckResult:
+    """Existence of every configured db / db.tb against a captured catalog
+    listing (mysql_prechecker.rs:147-254). Target-side with struct-init on is
+    a no-op (the task will create them); a pattern filter downgrades to a
+    warning like the reference (lines 163-173). ``current_tbs`` holds
+    'db.tb' strings."""
+    if not is_source and do_struct_init:
+        return CheckResult("struct_existed", "sink", True, "struct_init will create")
+    if _scope_names(filt):
+        return CheckResult(
+            "struct_existed", "filter", True,
+            warn="CheckIfStructExisted with filter in pattern is not supported.",
+        )
+    err_msgs = []
+    want_tbs = [p for p in _split_patterns_pure(filt.do_tbs)]
+    want_dbs = [p for p in _split_patterns_pure(filt.do_schemas)]
+    missing_tbs = sorted(t for t in want_tbs if t not in current_tbs)
+    if want_tbs and missing_tbs:
+        err_msgs.append("tables not existed: [%s]" % ";".join(missing_tbs))
+    need_dbs = set(want_dbs) | {t.split(".", 1)[0] for t in want_tbs}
+    missing_dbs = sorted(d for d in need_dbs if d not in current_dbs)
+    if missing_dbs:
+        err_msgs.append("databases not existed: [%s]" % ";".join(missing_dbs))
+    return CheckResult(
+        "struct_existed", "source" if is_source else "sink",
+        not err_msgs, ".".join(err_msgs),
+    )
+
+
+def check_table_structs(
+    filt: RdbFilter,
+    tables: list,
+    constraints: list,
+    is_source: bool = True,
+    do_struct_init: bool = True,
+) -> CheckResult:
+    """Struct supportability over a captured constraint catalog
+    (mysql_prechecker.rs:256-396; same shape pg_prechecker.rs): FK-referenced
+    tables outside the replication scope are a hard error (apply order cannot
+    be honoured), tables with no PK/UK are a warning (merge degrades to
+    serial whole-row apply). ``tables`` = ['db.tb', ...] in scope;
+    ``constraints`` = [(constraint_type, db, tb, rel_db, rel_tb), ...] with
+    rel_* empty for non-FK rows."""
+    if not is_source and do_struct_init:
+        return CheckResult("table_structs", "sink", True, "struct_init will create")
+    if _scope_names(filt):
+        return CheckResult(
+            "table_structs", "filter", True,
+            warn="CheckIfTableStructSupported with filter in pattern is not supported.",
+        )
+    has_pkuk, fkref_out_of_scope = set(), set()
+    for ctype, db, tb, rel_db, rel_tb in constraints:
+        if ctype in ("PRIMARY KEY", "UNIQUE"):
+            has_pkuk.add(f"{db}.{tb}")
+        elif ctype == "FOREIGN KEY" and rel_db and rel_tb:
+            if filt.filter_tb(rel_db, rel_tb):
+                fkref_out_of_scope.add(f"{rel_db}.{rel_tb}")
+    no_pkuk = sorted(t for t in tables if t not in has_pkuk)
+    err = ""
+    if fkref_out_of_scope:
+        err = (
+            "the following foreign key dependent tables are not defined in the replication object:[%s]"
+            % ";".join(sorted(fkref_out_of_scope))
+        )
+    warn = ""
+    if no_pkuk:
+        warn = (
+            "primary key or unique key are needed, but these tables don't have any:[%s]"
+            % ";".join(no_pkuk)
+        )
+    return CheckResult("table_structs", "source", not err, err, warn=warn)
+
+
+def run_cdc_prechecks(
+    db_type: str,
+    variables: dict,
+    existing_slots: list | None = None,
+    hello: dict | None = None,
+    version: str | int = "",
+    is_source: bool = True,
+) -> list:
+    """One-call CDC prerequisite bundle per db_type over captured snapshots
+    (the reference's Prechecker trait sequence: version then cdc_supported,
+    dt-precheck/src/prechecker/traits.rs)."""
+    if db_type == "mysql":
+        return [check_mysql_version(str(version)), check_mysql_cdc_vars(variables, is_source)]
+    if db_type == "pg":
+        return [check_pg_version(version), check_pg_cdc_vars(variables, existing_slots, is_source)]
+    if db_type == "mongo":
+        return [check_mongo_version(str(version)), check_mongo_cdc(hello or {}, is_source)]
+    raise ValueError(f"unknown db_type {db_type!r}")
