@@ -3450,6 +3450,16 @@ def q_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterated BPE merge learning (tx.bpe_learn, Sennrich et al. 2016): 6
+    deterministic merge steps over the documents corpus — count pairs, pick
+    top (freq desc / lexicographic tie-break), greedy re-segment, repeat.
+    Corpus compresses to the distinct-word relation up front so every
+    iteration is O(vocab); the oracle unrolls the same loop as 6 chained
+    DuckDB CTEs with its own list_reduce fold encoding."""
+    return tx.bpe_learn(demo.load(spark, sf_dir, "documents"), "text", k=6)
+
+
 def q_precheck_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC-prerequisite prechecks as pure functions over captured
     server-variable snapshots (mysql_prechecker.rs:40-145 version regex +
@@ -3542,6 +3552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- new this round (driver rows needed) ------------------------------
         "precheck_cdc": q_precheck_cdc,
+        "bpe_learn": q_bpe_learn,
         # -- code changed this round (unsigned/BIT/GEOMETRY codec widening) ---
         "binlog_file_parse": q_binlog_file_parse,
         # -- never driver-gated (round-7 additions): lead until each holds a
@@ -3594,11 +3605,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_join": q_salted_join,
         "semantic_dedup": q_semantic_dedup,
         "simhash_pairs": q_simhash_pairs,
-        "sliding_counts": q_sliding_counts,
 
         # ---------------------------- slot 50 ends here ----------------------
         # -- displaced r05 rows: local gate + pytest keep them; first in line
         #    for the next rotation ------------------------------------------
+        "sliding_counts": q_sliding_counts,
         "source_caps": q_source_caps,
         "span_dedup": q_span_dedup,
         "stateful_dedup": q_stateful_dedup,
@@ -4610,6 +4621,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id + 100000 AS query_id, vec_id AS neighbor_id, 1 AS rank
             FROM embeddings WHERE vec_id % 25 = 0
         """,
+        "bpe_learn": tx.bpe_learn_sql("documents", "text", k=6),
         # precheck_cdc: the oracle restates the prechecker spec (version
         # regex, variable gates, slot headroom, hello probe) as independent
         # CASE logic over the same per-nation fixture derivation; message

@@ -1203,3 +1203,128 @@ FROM {table} d LEFT JOIN scored ON d.{id_col} = scored.sid
 ORDER BY dsir_weight DESC, d.{id_col}
 LIMIT {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# Iterated BPE merge learning (round 8)
+# ---------------------------------------------------------------------------
+
+BPE_END_OF_WORD = "</w>"
+
+
+def _bpe_merge_fold(syms_col: str, a: str, b: str) -> Column:
+    """Greedy left-to-right merge of adjacent pair (a, b) as a JVM array
+    fold: walking the symbol list once, replacing [.., a, b, ..] with
+    [.., ab, ..]; because the merged token 'ab' never equals the bare 'a'
+    again, the fold reproduces exact non-overlapping greedy semantics
+    ('aaaa' + (a,a) -> [aa, aa], not [aa, a, a]). Symbols come from
+    tokens_expr ([a-z0-9]+ plus the '</w>' marker), so literal injection is
+    moot — but the pair still travels via F.lit, never f-string SQL."""
+    return F.aggregate(
+        F.col(syms_col),
+        F.expr("CAST(array() AS array<string>)"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0) & (F.element_at(acc, -1) == F.lit(a)) & (x == F.lit(b)),
+            F.concat(F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(F.lit(a + b))),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def bpe_learn(df: DataFrame, text_col: str = "text", k: int = 6) -> DataFrame:
+    """Iterated BPE tokenizer training (Sennrich et al. 2016): K
+    deterministic merge steps, each = count adjacent symbol pairs -> pick the
+    most frequent (ties: lexicographic on left then right symbol) -> merge it
+    greedily in every word -> repeat. bpe_pair_counts is one counting pass;
+    this is the production loop around it.
+
+    Scale shape: the corpus first compresses to the distinct-WORD relation
+    with counts (one shuffle; 100 TB of text -> the word vocabulary), and
+    every subsequent iteration is O(vocab), not O(corpus): pair counting is
+    a map-side-combined hash agg over exploded adjacent pairs weighted by
+    word count (state = distinct pair vocabulary), the merge is a
+    whole-stage-codegen array fold per word, and only the single winning
+    pair row crosses to the driver per step (sanctioned scalar collect).
+    localCheckpoint per iteration truncates the K-deep fold lineage, same
+    pattern as dedup_cluster. Output: the learned merge table
+    (step, left_sym, right_sym, freq) — k rows.
+    """
+    words = (
+        df.select(F.explode(F.expr(tokens_expr(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    syms = words.select(
+        "word",
+        "cnt",
+        F.concat(
+            F.expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"),
+            F.array(F.lit(BPE_END_OF_WORD)),
+        ).alias("syms"),
+    ).localCheckpoint()
+    merges = []
+    for step in range(1, k + 1):
+        pairs = syms.select(
+            "cnt",
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(syms) < 2 THEN array() ELSE "
+                    "transform(sequence(1, size(syms) - 1), "
+                    "i -> struct(element_at(syms, i) AS a, element_at(syms, i + 1) AS b)) END"
+                )
+            ).alias("p"),
+        )
+        top = (
+            pairs.groupBy("p.a", "p.b")
+            .agg(F.sum("cnt").alias("freq"))
+            .orderBy(F.col("freq").desc(), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b, freq = top[0]["a"], top[0]["b"], int(top[0]["freq"])
+        merges.append((step, a, b, freq))
+        syms = syms.withColumn("syms", _bpe_merge_fold("syms", a, b)).localCheckpoint()
+    return df.sparkSession.createDataFrame(
+        merges, "step int, left_sym string, right_sym string, freq bigint"
+    )
+
+
+def bpe_learn_sql(table: str = "documents", text_col: str = "text", k: int = 6) -> str:
+    """DuckDB twin of bpe_learn: the K iterations unroll into K chained CTE
+    pairs (p{i} = winning pair of iteration i, it{i+1} = re-segmented
+    vocabulary), with the merge expressed as DuckDB's own list_reduce fold
+    over single-element lists (its lambda fold needs acc and element to share
+    a type). Independent restatement: different fold encoding, same greedy
+    semantics."""
+    parts = [
+        f"""
+WITH w AS (SELECT unnest({tokens_sql(text_col)}) AS word FROM {table}),
+wc AS (SELECT word, COUNT(*) AS cnt FROM w GROUP BY word),
+it0 AS (SELECT word, cnt,
+               list_append(list_transform(range(1, length(word) + 1), i -> word[i:i]),
+                           '{BPE_END_OF_WORD}') AS syms
+        FROM wc)"""
+    ]
+    for s in range(k):
+        parts.append(
+            f""",
+p{s} AS (
+  SELECT a, b, freq FROM (
+    SELECT syms[i] AS a, syms[i + 1] AS b, SUM(cnt) AS freq
+    FROM it{s}, LATERAL unnest(range(1, len(syms))) AS u(i)
+    GROUP BY 1, 2)
+  ORDER BY freq DESC, a, b LIMIT 1),
+it{s + 1} AS (
+  SELECT word, cnt,
+    list_reduce(list_transform(syms, e -> [e]),
+      (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = p{s}.a AND x[1] = p{s}.b
+                  THEN acc[1:len(acc) - 1] || [p{s}.a || p{s}.b]
+                  ELSE acc || x END) AS syms
+  FROM it{s}, p{s})"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT {i + 1} AS step, a AS left_sym, b AS right_sym, CAST(freq AS BIGINT) AS freq FROM p{i}"
+        for i in range(k)
+    )
+    return "".join(parts) + "\n" + union

@@ -977,3 +977,39 @@ def test_substring_incremental_planted_cross_batch(spark):
     got = dd.substring_incremental_spans(idx, new, "doc_id", "text", min_tokens=16).collect()
     assert len(got) == 1 and got[0]["doc_id"] == 10
     assert got[0]["span_start"] == 0 and got[0]["span_tokens"] >= 20
+
+
+def test_bpe_learn_sennrich_corpus(spark):
+    """The classic BPE walkthrough corpus (Sennrich et al. 2016 §3.2 shape):
+    low x5, lower x2, newest x6, widest x3 — the first six merges are
+    hand-computable, including the freq-9 three-way tie broken
+    lexicographically (e,s) < (es,t) < (est,</w>) and the greedy
+    re-segmentation between steps."""
+    rows = [(i, w) for i, w in enumerate(
+        ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = [(r["step"], r["left_sym"], r["right_sym"], r["freq"])
+           for r in tx.bpe_learn(docs, "text", k=6).orderBy("step").collect()]
+    assert out == [
+        (1, "e", "s", 9),
+        (2, "es", "t", 9),
+        (3, "est", "</w>", 9),
+        (4, "l", "o", 7),
+        (5, "lo", "w", 7),
+        (6, "e", "w", 6),
+    ]
+
+
+def test_bpe_learn_empty_and_greedy_runs(spark):
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    assert tx.bpe_learn(docs, "text", k=3).count() == 0
+    # run of equal symbols merges greedily left-to-right: 'aaaa' -> aa aa
+    docs = spark.createDataFrame([(1, "aaaa aaaa aaaa")], "doc_id long, text string")
+    out = [(r["left_sym"], r["right_sym"], r["freq"])
+           for r in tx.bpe_learn(docs, "text", k=2).orderBy("step").collect()]
+    # distinct-word relation: word 'aaaa' cnt 3; syms [a,a,a,a,</w>] holds
+    # (a,a) x3 (overlapping pairs all count) + (a,</w>) x1 -> freq 3*3=9
+    assert out[0] == ("a", "a", 9)
+    # greedy re-segment: [aa, aa, </w>]; (aa,aa) and (aa,</w>) tie at 3 and
+    # '<' sorts before 'a', so the lexicographic tie-break picks (aa,</w>)
+    assert out[1] == ("aa", "</w>", 3)
