@@ -3589,6 +3589,17 @@ def q_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.bpe_learn(demo.load(spark, sf_dir, "documents"), "text", k=6)
 
 
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLY (tx.bpe_encode): encode the corpus with its 6 learned
+    BPE merges and emit the resulting token frequency table — the vocabulary
+    the trained tokenizer actually produces, with corpus counts. Encoding
+    replays the merges over the weighted distinct-word relation (Sennrich's
+    apply_bpe identity), so it costs ONE extra O(vocab) hash agg after
+    training, never a second pass over the raw corpus. The oracle unrolls
+    the same chain and explodes the final vocabulary."""
+    return tx.bpe_encode(demo.load(spark, sf_dir, "documents"), "text", k=6)
+
+
 def q_precheck_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC-prerequisite prechecks as pure functions over captured
     server-variable snapshots (mysql_prechecker.rs:40-145 version regex +
@@ -3682,6 +3693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new this round (driver rows needed) ------------------------------
         "precheck_cdc": q_precheck_cdc,
         "bpe_learn": q_bpe_learn,
+        "bpe_encode": q_bpe_encode,
         "checker_retry": q_checker_retry,
         "late_shipments": q_late_shipments,
         "part_supplier_counts": q_part_supplier_counts,
@@ -4755,6 +4767,7 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings WHERE vec_id % 25 = 0
         """,
         "bpe_learn": tx.bpe_learn_sql("documents", "text", k=6),
+        "bpe_encode": tx.bpe_encode_sql("documents", "text", k=6),
         # checker_retry: the oracle states the PERMANENT inconsistency set
         # directly (real miss %97==0; real price diff %89==1); every
         # transient row must have converged, so any false miss/diff breaks

@@ -1248,6 +1248,18 @@ def bpe_learn(df: DataFrame, text_col: str = "text", k: int = 6) -> DataFrame:
     pattern as dedup_cluster. Output: the learned merge table
     (step, left_sym, right_sym, freq) — k rows.
     """
+    merges, _ = _bpe_train(df, text_col, k)
+    return df.sparkSession.createDataFrame(
+        merges, "step int, left_sym string, right_sym string, freq bigint"
+    )
+
+
+def _bpe_train(df: DataFrame, text_col: str, k: int):
+    """The shared K-step merge loop: returns (merges list, final per-word
+    symbol relation). bpe_learn reports the merge table; bpe_encode keeps the
+    re-segmented vocabulary — which IS the encoder output, because applying a
+    BPE merge list to a corpus equals replaying the merges over its word
+    vocabulary (Sennrich et al. 2016 apply_bpe)."""
     words = (
         df.select(F.explode(F.expr(tokens_expr(text_col))).alias("word"))
         .groupBy("word")
@@ -1285,8 +1297,27 @@ def bpe_learn(df: DataFrame, text_col: str = "text", k: int = 6) -> DataFrame:
         a, b, freq = top[0]["a"], top[0]["b"], int(top[0]["freq"])
         merges.append((step, a, b, freq))
         syms = syms.withColumn("syms", _bpe_merge_fold("syms", a, b)).localCheckpoint()
-    return df.sparkSession.createDataFrame(
-        merges, "step int, left_sym string, right_sym string, freq bigint"
+    return merges, syms
+
+
+def bpe_encode(df: DataFrame, text_col: str = "text", k: int = 6) -> DataFrame:
+    """Tokenizer APPLY — encode the corpus with its K learned BPE merges and
+    return the resulting token frequency table ``(token, freq)``: the
+    vocabulary a trained tokenizer would actually emit, with corpus counts.
+
+    Scale shape: training already reduced the corpus to the weighted distinct
+    -word relation, and encoding a corpus with a merge list is exactly
+    replaying those merges over that relation — so the encode step adds ONE
+    map-side-combined hash agg over the exploded final symbols (O(vocab)),
+    zero extra passes over the raw text. Per-document token counts (the
+    packing/budgeting input) come from joining documents' words to this
+    relation — see tests; the corpus-frequency view is the gated surface.
+    """
+    _, syms = _bpe_train(df, text_col, k)
+    return (
+        syms.select("cnt", F.explode("syms").alias("token"))
+        .groupBy("token")
+        .agg(F.sum("cnt").alias("freq"))
     )
 
 
@@ -1297,6 +1328,25 @@ def bpe_learn_sql(table: str = "documents", text_col: str = "text", k: int = 6) 
     over single-element lists (its lambda fold needs acc and element to share
     a type). Independent restatement: different fold encoding, same greedy
     semantics."""
+    union = "\nUNION ALL\n".join(
+        f"SELECT {i + 1} AS step, a AS left_sym, b AS right_sym, CAST(freq AS BIGINT) AS freq FROM p{i}"
+        for i in range(k)
+    )
+    return _bpe_chain_sql(table, text_col, k) + "\n" + union
+
+
+def bpe_encode_sql(table: str = "documents", text_col: str = "text", k: int = 6) -> str:
+    """DuckDB twin of bpe_encode: the same unrolled merge chain, then the
+    final vocabulary it{k} explodes into tokens weighted by word count."""
+    return (
+        _bpe_chain_sql(table, text_col, k)
+        + f""",
+tok AS (SELECT unnest(syms) AS token, cnt FROM it{k})
+SELECT token, CAST(SUM(cnt) AS BIGINT) AS freq FROM tok GROUP BY token"""
+    )
+
+
+def _bpe_chain_sql(table: str, text_col: str, k: int) -> str:
     parts = [
         f"""
 WITH w AS (SELECT unnest({tokens_sql(text_col)}) AS word FROM {table}),
@@ -1323,8 +1373,4 @@ it{s + 1} AS (
                   ELSE acc || x END) AS syms
   FROM it{s}, p{s})"""
         )
-    union = "\nUNION ALL\n".join(
-        f"SELECT {i + 1} AS step, a AS left_sym, b AS right_sym, CAST(freq AS BIGINT) AS freq FROM p{i}"
-        for i in range(k)
-    )
-    return "".join(parts) + "\n" + union
+    return "".join(parts)

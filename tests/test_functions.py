@@ -1013,3 +1013,28 @@ def test_bpe_learn_empty_and_greedy_runs(spark):
     # greedy re-segment: [aa, aa, </w>]; (aa,aa) and (aa,</w>) tie at 3 and
     # '<' sorts before 'a', so the lexicographic tie-break picks (aa,</w>)
     assert out[1] == ("aa", "</w>", 3)
+
+
+def test_bpe_encode_sennrich_corpus(spark):
+    """Encoding the walkthrough corpus with its own 6 learned merges: after
+    (e,s)(es,t)(est,</w>)(l,o)(lo,w)(e,w) the four words segment as
+    low -> [low, </w>], lower -> [low, e, r, </w>], newest -> [n, ew,
+    est</w>], widest -> [w, i, d, est</w>]; token freqs follow from the word
+    counts (low x5, lower x2, newest x6, widest x3)."""
+    rows = [(i, w) for i, w in enumerate(
+        ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["token"]: r["freq"] for r in tx.bpe_encode(docs, "text", k=6).collect()}
+    assert out == {
+        "low": 7,          # low x5 + lower x2
+        "</w>": 7,         # low x5 (after 'low') + lower x2
+        "e": 2, "r": 2,    # lower tail
+        "n": 6, "ew": 6,   # newest
+        "est</w>": 9,      # newest x6 + widest x3
+        "w": 3, "i": 3, "d": 3,  # widest
+    }
+
+
+def test_bpe_encode_empty(spark):
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    assert tx.bpe_encode(docs, "text", k=3).count() == 0

@@ -63,7 +63,9 @@ QUERIES = [
     "substring_incremental",
     "ann_sq8",
     # round-8: iterated BPE merge learning (K passes of count->pick->resegment)
+    # and the tokenizer-apply encode built on the same vocabulary replay
     "bpe_learn",
+    "bpe_encode",
     # round-8 (VERDICT r7 item 4): the three heaviest STREAMING gates. Their
     # 12-20 s at sf0.1 should be flat session/trigger overhead (fixed
     # micro-batch count x per-trigger scheduling), not data growth — expected
