@@ -3450,6 +3450,77 @@ def q_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode, no codec library (functions/media_codec.py): a
+    deterministic spec-conformant PNG writer (zlib IDAT, CRC-32 chunks,
+    per-scanline filters 0-4 cycling by key — so the parser's full filter
+    reconstruction is exercised, including Average's floor-divide and the
+    Paeth predictor) generates one image per part row DISTRIBUTED in a
+    mapInPandas pass; the parser then walks chunks, verifies every CRC,
+    inflates, reconstructs scanlines, and emits exact integer pixel
+    statistics. Keys %3==0 are RGB (color type 2), the rest grayscale.
+    The oracle restates the pixel-generation formula directly — matching
+    px_sum/min/max proves the decode recovered every sample value. One
+    map pass, no shuffle; the same kernel consumes binaryFile sources
+    (test_media_codec)."""
+    from ape_dts_spark.functions import media_codec as mc
+
+    p = demo.load(spark, sf_dir, "part").select("p_partkey")
+
+    def _gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for k in pdf["p_partkey"]:
+                k = int(k)
+                w, h = k % 13 + 4, k % 7 + 3
+                ch = 3 if k % 3 == 0 else 1
+                vals = ((k * 31 + np.arange(w * h * ch)) % 256).astype(np.uint8)
+                px = vals.reshape((h, w, 3) if ch == 3 else (h, w))
+                ids.append(k)
+                payloads.append(mc.encode_png(px, filter_type=k % 5))
+            yield pd.DataFrame({"id": ids, "payload": payloads})
+
+    payloads = p.mapInPandas(_gen, "id long, payload binary")
+    return mc.decode_png(payloads)
+
+
+def q_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode, no codec library: a PCM16 WAV writer (RIFF/WAVE,
+    fmt + data chunks, mono/stereo interleaving by key) generates one clip
+    per selected order row in a distributed mapInPandas pass; the parser
+    walks RIFF chunks (skipping unknown ones with word alignment), validates
+    the fmt contract, numpy-decodes the samples and emits exact integer
+    sample statistics. The oracle restates the sample formula — matching
+    sum_abs/peak_abs proves every sample decoded to the right value."""
+    from ape_dts_spark.functions import media_codec as mc
+
+    o = demo.load(spark, sf_dir, "orders").select("o_orderkey").filter(
+        F.col("o_orderkey") % 4 == 1
+    )
+
+    def _gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for k in pdf["o_orderkey"]:
+                k = int(k)
+                frames = k % 37 + 10
+                chans = 1 + k % 2
+                rate = (8000, 16000, 44100)[k % 3]
+                s = ((k * 7 + 13 * np.arange(frames * chans)) % 4001) - 2000
+                ids.append(k)
+                payloads.append(mc.encode_wav(s.astype(np.int16), rate, chans))
+            yield pd.DataFrame({"id": ids, "payload": payloads})
+
+    payloads = o.mapInPandas(_gen, "id long, payload binary")
+    return mc.decode_wav(payloads)
+
+
 def q_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q12 shape, adapted (testdata has no l_shipmode/l_receiptdate:
     l_linestatus stands in for the ship mode and 'late' means shipped more
@@ -3695,6 +3766,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_learn": q_bpe_learn,
         "bpe_encode": q_bpe_encode,
         "checker_retry": q_checker_retry,
+        "png_decode": q_png_decode,
+        "wav_decode": q_wav_decode,
         "late_shipments": q_late_shipments,
         "part_supplier_counts": q_part_supplier_counts,
         "excess_suppliers": q_excess_suppliers,
@@ -4980,6 +5053,42 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem JOIN part ON l_partkey = p_partkey
             WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
               AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'
+        """,
+        "png_decode": """
+            WITH base AS (
+              SELECT p_partkey AS id,
+                     p_partkey % 13 + 4 AS w,
+                     p_partkey % 7 + 3 AS h,
+                     CASE WHEN p_partkey % 3 = 0 THEN 3 ELSE 1 END AS ch
+              FROM part),
+            vals AS (
+              SELECT id, w, h, ch, (id * 31 + i) % 256 AS v
+              FROM base, LATERAL unnest(range(0, w * h * ch)) AS u(i))
+            SELECT id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+                   CAST(8 AS INT) AS bit_depth,
+                   CAST(CASE WHEN ch = 3 THEN 2 ELSE 0 END AS INT) AS color_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_px,
+                   CAST(SUM(v) AS BIGINT) AS px_sum,
+                   CAST(MIN(v) AS INT) AS px_min,
+                   CAST(MAX(v) AS INT) AS px_max
+            FROM vals GROUP BY id, w, h, ch
+        """,
+        "wav_decode": """
+            WITH base AS (
+              SELECT o_orderkey AS id,
+                     o_orderkey % 37 + 10 AS frames,
+                     1 + o_orderkey % 2 AS ch,
+                     CASE o_orderkey % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100 END AS rate
+              FROM orders WHERE o_orderkey % 4 = 1),
+            vals AS (
+              SELECT id, frames, ch, rate, ABS((id * 7 + 13 * i) % 4001 - 2000) AS av
+              FROM base, LATERAL unnest(range(0, frames * ch)) AS u(i))
+            SELECT id, CAST(rate AS INT) AS sample_rate, CAST(ch AS INT) AS n_channels,
+                   CAST(16 AS INT) AS bits_per_sample,
+                   CAST(frames AS BIGINT) AS n_samples,
+                   CAST(MAX(av) AS BIGINT) AS peak_abs,
+                   CAST(SUM(av) AS BIGINT) AS sum_abs
+            FROM vals GROUP BY id, frames, ch, rate
         """,
         "late_shipments": """
             SELECT l_linestatus,

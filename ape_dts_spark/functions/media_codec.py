@@ -1,0 +1,287 @@
+"""REAL media decoders for the container-decodable formats: PNG and WAV.
+
+The multimodal module (functions/multimodal.py) keeps honest stubs for
+formats that need external codec libraries (JPEG entropy decode, ffmpeg
+video). PNG and WAV need none of that: PNG is zlib (stdlib) + per-scanline
+filter reconstruction, WAV PCM is raw little-endian samples — both fully
+decodable with the Python stdlib + numpy. This module implements them for
+real, following the repo's at-rest parser pattern (binlog/pgoutput/oplog/
+RDB): a deterministic spec-conformant WRITER (doubles as the fixture
+generator), a distributed Arrow-batched PARSER over `mapInPandas`, oracle
+gates on exact integer pixel/sample statistics, and hand-computed spec
+vectors in tests (every PNG filter type reconstructed by hand).
+
+Scale shape: one mapInPandas pass, no shuffle — partition count = files /
+batch size; each executor decodes whole Arrow batches. Real corpora arrive
+via ``spark.read.format("binaryFile")`` (or its readStream tail); the gate
+queries generate payloads in-DataFrame so the oracle can state the expected
+statistics from the generating formula.
+
+PNG spec: https://www.w3.org/TR/png-3/ (chunks, CRC-32, filter types 0-4).
+WAV/RIFF: the canonical PCM layout (RIFF/WAVE, fmt , data chunks).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from binascii import crc32
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+
+# ---------------------------------------------------------------------------
+# PNG writer (deterministic, spec-conformant; fixture generator)
+# ---------------------------------------------------------------------------
+
+
+def _chunk(tag: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def _filter_scanline(ftype: int, raw: np.ndarray, prior: np.ndarray, bpp: int) -> bytes:
+    """Apply PNG filter ``ftype`` to one raw scanline (the WRITER side of the
+    spec's reconstruction functions). All arithmetic is mod 256."""
+    n = raw.shape[0]
+    left = np.zeros(n, dtype=np.int32)
+    left[bpp:] = raw[:-bpp]
+    up = prior.astype(np.int32)
+    if ftype == 0:  # None
+        out = raw.astype(np.int32)
+    elif ftype == 1:  # Sub
+        out = raw.astype(np.int32) - left
+    elif ftype == 2:  # Up
+        out = raw.astype(np.int32) - up
+    elif ftype == 3:  # Average
+        out = raw.astype(np.int32) - (left + up) // 2
+    elif ftype == 4:  # Paeth
+        ul = np.zeros(n, dtype=np.int32)
+        ul[bpp:] = prior[:-bpp]
+        out = raw.astype(np.int32) - _paeth(left, up, ul)
+    else:
+        raise ValueError(f"unknown PNG filter type {ftype}")
+    return bytes([ftype]) + (out % 256).astype(np.uint8).tobytes()
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def encode_png(pixels: np.ndarray, filter_type: int = 0) -> bytes:
+    """Encode an 8-bit image to PNG bytes. ``pixels`` is (h, w) grayscale
+    (color type 0) or (h, w, 3) RGB (color type 2), dtype uint8. Every
+    scanline uses ``filter_type`` — exercising the parser's full filter
+    reconstruction, not just the identity path."""
+    if pixels.ndim == 2:
+        color_type, bpp = 0, 1
+        h, w = pixels.shape
+        rows = pixels
+    elif pixels.ndim == 3 and pixels.shape[2] == 3:
+        color_type, bpp = 2, 3
+        h, w = pixels.shape[:2]
+        rows = pixels.reshape(h, w * 3)
+    else:
+        raise ValueError("pixels must be (h,w) grayscale or (h,w,3) RGB uint8")
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    prior = np.zeros(rows.shape[1], dtype=np.uint8)
+    filtered = bytearray()
+    for y in range(h):
+        raw = rows[y].astype(np.uint8)
+        filtered += _filter_scanline(filter_type, raw, prior, bpp)
+        prior = raw
+    return (
+        PNG_SIGNATURE
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(filtered), 6))
+        + _chunk(b"IEND", b"")
+    )
+
+
+# ---------------------------------------------------------------------------
+# PNG parser (single-payload core + distributed mapInPandas wrapper)
+# ---------------------------------------------------------------------------
+
+
+def parse_png(payload: bytes) -> dict:
+    """Full PNG decode: signature, chunk walk with CRC-32 verification, IHDR,
+    zlib-inflate of the concatenated IDAT stream, and per-scanline filter
+    reconstruction (all five filter types). Returns header fields plus exact
+    integer pixel statistics (count / sum / min / max) — the cross-engine-
+    comparable surface of a real decode."""
+    if payload[:8] != PNG_SIGNATURE:
+        raise ValueError("not a PNG: bad signature")
+    pos, ihdr, idat, seen_end = 8, None, bytearray(), False
+    while pos < len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+        if crc32(tag + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"CRC mismatch in {tag!r} chunk")
+        pos += 12 + length
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            seen_end = True
+            break
+    if ihdr is None or not seen_end:
+        raise ValueError("missing IHDR or IEND")
+    w, h, bit_depth, color_type, comp, filt, interlace = ihdr
+    if bit_depth != 8 or color_type not in (0, 2) or comp or filt or interlace:
+        raise NotImplementedError(
+            "supported: 8-bit grayscale/RGB, deflate, non-interlaced "
+            f"(got depth={bit_depth} color={color_type} interlace={interlace})"
+        )
+    bpp = 1 if color_type == 0 else 3
+    stride = w * bpp
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError("IDAT length does not match dimensions")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    for y in range(h):
+        ftype = raw[y * (stride + 1)]
+        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1).astype(np.int32)
+        left = np.zeros(stride, dtype=np.int32)
+        up = out[y - 1].astype(np.int32) if y else np.zeros(stride, dtype=np.int32)
+        if ftype == 0:
+            rec = line
+        elif ftype == 2:
+            rec = line + up
+        elif ftype in (1, 3, 4):
+            # left-dependent filters reconstruct sequentially per pixel
+            ul = np.zeros(stride, dtype=np.int32)
+            if y:
+                ul[bpp:] = out[y - 1][:-bpp]
+            rec = line.copy()
+            for x in range(stride):
+                a = rec[x - bpp] if x >= bpp else 0
+                if ftype == 1:
+                    rec[x] += a
+                elif ftype == 3:
+                    rec[x] += (a + up[x]) // 2
+                else:
+                    rec[x] += int(_paeth(np.array([a]), up[x : x + 1], ul[x : x + 1])[0])
+                # reduce NOW: later pixels read this byte through Average's
+                # floor-divide and Paeth's magnitude compares, neither of
+                # which is invariant under deferred mod-256
+                rec[x] %= 256
+        else:
+            raise ValueError(f"unknown filter type {ftype}")
+        out[y] = (rec % 256).astype(np.uint8)
+    px = out.astype(np.int64)
+    return {
+        "width": w,
+        "height": h,
+        "bit_depth": bit_depth,
+        "color_type": color_type,
+        "n_px": int(px.size),
+        "px_sum": int(px.sum()),
+        "px_min": int(px.min()),
+        "px_max": int(px.max()),
+    }
+
+
+PNG_DECODED_SCHEMA = (
+    "id long, width int, height int, bit_depth int, color_type int, "
+    "n_px long, px_sum long, px_min int, px_max int"
+)
+
+
+def decode_png(df: DataFrame, payload_col: str = "payload", id_col: str = "id") -> DataFrame:
+    """Distributed PNG decode: one Arrow-batched mapInPandas pass, no
+    shuffle. Corrupt payloads raise (route through a dead-letter filter
+    upstream if quarantine semantics are wanted — streaming/cdc.py pattern)."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = [parse_png(bytes(b)) for b in pdf[payload_col]]
+            out = pd.DataFrame(recs)
+            out.insert(0, "id", pdf[id_col].values)
+            yield out
+
+    return df.mapInPandas(_decode, schema=PNG_DECODED_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# WAV writer + parser
+# ---------------------------------------------------------------------------
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int, n_channels: int = 1) -> bytes:
+    """PCM16 little-endian WAV writer. ``samples`` is int16, frame-major
+    (interleaved when n_channels > 1)."""
+    data = samples.astype("<i2").tobytes()
+    byte_rate = sample_rate * n_channels * 2
+    fmt = struct.pack("<HHIIHH", 1, n_channels, sample_rate, byte_rate, n_channels * 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt + b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def parse_wav(payload: bytes) -> dict:
+    """RIFF/WAVE parse + PCM16 sample decode: chunk walk (fmt before data,
+    unknown chunks skipped per spec), then numpy-decoded samples with exact
+    integer statistics (count / peak magnitude / sum of |s|)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    (riff_len,) = struct.unpack_from("<I", payload, 4)
+    if riff_len != len(payload) - 8:
+        raise ValueError("RIFF length mismatch")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        tag = payload[pos : pos + 4]
+        (length,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + length]
+        pos += 8 + length + (length & 1)  # chunks are word-aligned
+        if tag == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif tag == b"data":
+            data = body
+    if fmt is None or data is None:
+        raise ValueError("missing fmt or data chunk")
+    audio_format, n_channels, sample_rate, byte_rate, block_align, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise NotImplementedError(f"supported: PCM16 (got format={audio_format} bits={bits})")
+    if byte_rate != sample_rate * n_channels * 2 or block_align != n_channels * 2:
+        raise ValueError("inconsistent fmt chunk")
+    s = np.frombuffer(data, dtype="<i2").astype(np.int64)
+    return {
+        "sample_rate": sample_rate,
+        "n_channels": n_channels,
+        "bits_per_sample": bits,
+        "n_samples": int(s.size // n_channels),
+        "peak_abs": int(np.abs(s).max()) if s.size else 0,
+        "sum_abs": int(np.abs(s).sum()),
+    }
+
+
+WAV_DECODED_SCHEMA = (
+    "id long, sample_rate int, n_channels int, bits_per_sample int, "
+    "n_samples long, peak_abs long, sum_abs long"
+)
+
+
+def decode_wav(df: DataFrame, payload_col: str = "payload", id_col: str = "id") -> DataFrame:
+    """Distributed WAV decode — same single-pass mapInPandas shape as
+    decode_png."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = [parse_wav(bytes(b)) for b in pdf[payload_col]]
+            out = pd.DataFrame(recs)
+            out.insert(0, "id", pdf[id_col].values)
+            yield out
+
+    return df.mapInPandas(_decode, schema=WAV_DECODED_SCHEMA)

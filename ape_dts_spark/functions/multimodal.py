@@ -7,11 +7,18 @@ resize / frame-sample run as Arrow-batched pandas functions over
 round-trips — the right shape for CPU-bound media work at 100 TB (partition
 count = media files / target batch size; no shuffle).
 
-The actual codecs (PIL/ffmpeg/librosa) are NOT in this container, so the
-decode kernel is stubbed: `decode_image_meta` raises NotImplementedError
-unless `fake=True`, in which case it produces a deterministic fake decode
-(dimensions derived from the payload hash) — the Spark-side plumbing (schema,
-batching, UDF signatures) is real and tested either way.
+The external codec libraries (PIL/ffmpeg/librosa) are NOT in this container,
+so THIS module's generic decode kernel is stubbed: `decode_image_meta` raises
+NotImplementedError unless `fake=True`, in which case it produces a
+deterministic fake decode (dimensions derived from the payload hash) — the
+Spark-side plumbing (schema, batching, UDF signatures) is real and tested
+either way.
+
+For the formats decodable with the stdlib alone the decode IS real: see
+functions/media_codec.py — a full PNG decoder (zlib inflate, CRC-verified
+chunk walk, all five filter-type reconstructions) and a PCM16 WAV decoder,
+each with a spec-conformant writer, oracle-gated pixel/sample statistics
+(`png_decode` / `wav_decode`), and hand-computed spec vectors in tests.
 """
 
 from __future__ import annotations
