@@ -3450,6 +3450,41 @@ def q_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_zero_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MySQL zero-date recovery (mysql_col_value_convertor.rs:551-584, the
+    apecloud/ape-dts#328 fix): extraction surfaces '0000-00-00 00:00:00' as
+    NULL (no driver/chrono representation), and a NULL in a NOT NULL
+    temporal column can only be a zero-date — so those columns re-materialize
+    the reference's exact literal instead of writing a NULL the target would
+    reject. The fixture NULLs o_orderdate (declared NOT NULL datetime) on
+    %13 keys and ship_date (NOT NULL date) on %17 keys — both restored;
+    delivered_at is NULLABLE, so its %3 NULLs are genuine and must pass
+    through untouched. Pure JVM column expressions, no shuffle."""
+    from ape_dts_spark.model.types import restore_zero_dates
+
+    o = demo.load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    k = F.col("o_orderkey")
+    img = o.select(
+        "o_orderkey",
+        F.when(k % 13 == 0, F.lit(None).cast("timestamp"))
+        .otherwise(F.col("o_orderdate"))
+        .alias("o_orderdate"),
+        F.when(k % 17 == 0, F.lit(None).cast("date"))
+        .otherwise(F.col("o_orderdate").cast("date"))
+        .alias("ship_date"),
+        F.when(k % 3 == 0, F.lit(None).cast("timestamp"))
+        .otherwise(F.col("o_orderdate"))
+        .alias("delivered_at"),
+    )
+    out = restore_zero_dates(img, {"o_orderdate": "datetime", "ship_date": "date"})
+    return out.select(
+        "o_orderkey",
+        "o_orderdate",
+        "ship_date",
+        F.date_format("delivered_at", "yyyy-MM-dd HH:mm:ss").alias("delivered_at"),
+    )
+
+
 def q_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode, no codec library (functions/media_codec.py): a
     deterministic spec-conformant PNG writer (zlib IDAT, CRC-32 chunks,
@@ -3766,6 +3801,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_learn": q_bpe_learn,
         "bpe_encode": q_bpe_encode,
         "checker_retry": q_checker_retry,
+        "zero_dates": q_zero_dates,
         "png_decode": q_png_decode,
         "wav_decode": q_wav_decode,
         "late_shipments": q_late_shipments,
@@ -5053,6 +5089,16 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem JOIN part ON l_partkey = p_partkey
             WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
               AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'
+        """,
+        "zero_dates": """
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 13 = 0 THEN '0000-00-00 00:00:00'
+                        ELSE strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') END AS o_orderdate,
+                   CASE WHEN o_orderkey % 17 = 0 THEN '0000-00-00'
+                        ELSE strftime(o_orderdate, '%Y-%m-%d') END AS ship_date,
+                   CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                        ELSE strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') END AS delivered_at
+            FROM orders
         """,
         "png_decode": """
             WITH base AS (

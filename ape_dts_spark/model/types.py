@@ -31,7 +31,7 @@ from __future__ import annotations
 
 import re
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -128,3 +128,32 @@ def saturating_unsigned(col: Column, bits: int) -> Column:
     hi = F.lit((1 << bits) - 1).cast("decimal(20,0)")
     v = col.cast("decimal(20,0)")
     return F.when(v < 0, F.lit(0).cast("decimal(20,0)")).when(v > hi, hi).otherwise(v)
+
+
+# -- MySQL zero-date recovery (issue apecloud/ape-dts#328) --------------------
+
+ZERO_DATETIME = "0000-00-00 00:00:00"
+ZERO_DATE = "0000-00-00"
+
+
+def restore_zero_dates(df: DataFrame, not_null_temporals: dict[str, str]) -> DataFrame:
+    """Zero-date recovery for NOT NULL temporal columns
+    (mysql_col_value_convertor.rs:551-584, the fix for apecloud/ape-dts#328):
+    MySQL's '0000-00-00' / '0000-00-00 00:00:00' have no driver-side
+    representation, so extraction surfaces them as NULL — and a NULL in a
+    NOT NULL temporal column can ONLY be a zero-date, so the reference
+    re-materializes the literal string rather than writing a NULL the target
+    would reject. Same move here: ``not_null_temporals`` maps column ->
+    declared source type ('date' / 'datetime' / 'timestamp', from the table
+    registry); each listed column is emitted as its canonical STRING image
+    (Spark temporals cannot hold zero-dates either, same constraint as
+    chrono) with NULLs replaced by the reference's exact literal. Nullable
+    temporal columns must NOT be listed — their NULLs are genuine."""
+    out = df
+    for c, t in not_null_temporals.items():
+        kind = t.strip().lower()
+        is_date = kind.startswith("date") and not kind.startswith("datetime")
+        sentinel = ZERO_DATE if is_date else ZERO_DATETIME
+        fmt = "yyyy-MM-dd" if is_date else "yyyy-MM-dd HH:mm:ss"
+        out = out.withColumn(c, F.coalesce(F.date_format(F.col(c), fmt), F.lit(sentinel)))
+    return out

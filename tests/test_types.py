@@ -82,3 +82,32 @@ def test_saturating_unsigned(spark):
     df = spark.createDataFrame([(-5,), (300,), (100,)], "v long")
     out = [int(r[0]) for r in df.select(saturating_unsigned(F.col("v"), 8)).collect()]
     assert out == [0, 255, 100]
+
+
+def test_restore_zero_dates(spark):
+    from pyspark.sql import Row
+
+    from ape_dts_spark.model.types import ZERO_DATE, ZERO_DATETIME, restore_zero_dates
+
+    df = spark.createDataFrame(
+        [Row(id=1, dt=None, d=None, opt=None)],
+        "id long, dt timestamp, d date, opt timestamp",
+    )
+    out = restore_zero_dates(df, {"dt": "datetime", "d": "date"}).collect()[0]
+    # NOT NULL temporals re-materialize the reference's exact literals
+    assert out["dt"] == ZERO_DATETIME and out["d"] == ZERO_DATE
+    # a nullable temporal is untouched: its NULL is genuine
+    assert out["opt"] is None
+
+
+def test_restore_zero_dates_real_values_format(spark):
+    import datetime
+
+    from ape_dts_spark.model.types import restore_zero_dates
+
+    df = spark.createDataFrame(
+        [(1, datetime.datetime(1999, 12, 31, 23, 58, 57), datetime.date(2001, 2, 3))],
+        "id long, dt timestamp, d date",
+    )
+    out = restore_zero_dates(df, {"dt": "timestamp", "d": "date"}).collect()[0]
+    assert out["dt"] == "1999-12-31 23:58:57" and out["d"] == "2001-02-03"
