@@ -3556,6 +3556,76 @@ def q_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mc.decode_wav(payloads)
 
 
+def q_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-format REAL image decode (media_codec.parse_image): one binary
+    column carries PNG (grayscale, filters cycling by key) and BMP (24-bit
+    RGB, bottom-up padded rows) payloads interleaved by key parity — the
+    magic-sniffing dispatcher routes each to its full decoder in one
+    Arrow-batched pass, the shape of a real heterogeneous media ingest.
+    Exact pixel statistics prove both decoders recover every sample."""
+    from ape_dts_spark.functions import media_codec as mc
+
+    c = demo.load(spark, sf_dir, "customer").select("c_custkey")
+
+    def _gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for k in pdf["c_custkey"]:
+                k = int(k)
+                w, h = k % 11 + 3, k % 5 + 2
+                if k % 2:
+                    vals = ((k * 17 + np.arange(w * h * 3)) % 256).astype(np.uint8)
+                    payloads.append(mc.encode_bmp(vals.reshape(h, w, 3)))
+                else:
+                    vals = ((k * 17 + np.arange(w * h)) % 256).astype(np.uint8)
+                    payloads.append(mc.encode_png(vals.reshape(h, w), filter_type=k % 5))
+                ids.append(k)
+            yield pd.DataFrame({"id": ids, "payload": payloads})
+
+    payloads = c.mapInPandas(_gen, "id long, payload binary")
+    return mc.decode_image(payloads)
+
+
+def q_jpeg_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JPEG header-metadata decode (media_codec.parse_jpeg_meta): the marker
+    walk over structurally-valid JFIF streams — SOI, length-framed segments,
+    SOF0/SOF2 frame headers (baseline vs progressive by key), entropy-scan
+    skip that honors 0xFF00 stuffing and RSTn markers. Pixel recovery needs
+    an entropy decoder (external codec) and stays honestly out of scope; the
+    header surface is what dataset curation actually filters on (dims,
+    component count, progressive flag)."""
+    from ape_dts_spark.functions import media_codec as mc
+
+    c = demo.load(spark, sf_dir, "customer").select("c_custkey").filter(
+        F.col("c_custkey") % 3 == 1
+    )
+
+    def _gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for k in pdf["c_custkey"]:
+                k = int(k)
+                payloads.append(
+                    mc.encode_jpeg_headers(
+                        width=k % 500 + 16,
+                        height=k % 300 + 16,
+                        n_components=3 if k % 4 else 1,
+                        scan_bytes=bytes([k % 256, 0xFF, 0x00, (k * 3) % 256]),
+                        progressive=k % 5 == 0,
+                    )
+                )
+                ids.append(k)
+            yield pd.DataFrame({"id": ids, "payload": payloads})
+
+    payloads = c.mapInPandas(_gen, "id long, payload binary")
+    return mc.decode_jpeg_meta(payloads)
+
+
 def q_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q12 shape, adapted (testdata has no l_shipmode/l_receiptdate:
     l_linestatus stands in for the ship mode and 'late' means shipped more
@@ -3803,6 +3873,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "checker_retry": q_checker_retry,
         "zero_dates": q_zero_dates,
         "png_decode": q_png_decode,
+        "image_decode": q_image_decode,
+        "jpeg_meta": q_jpeg_meta,
         "wav_decode": q_wav_decode,
         "late_shipments": q_late_shipments,
         "part_supplier_counts": q_part_supplier_counts,
@@ -5099,6 +5171,36 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN o_orderkey % 3 = 0 THEN NULL
                         ELSE strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') END AS delivered_at
             FROM orders
+        """,
+        "image_decode": """
+            WITH base AS (
+              SELECT c_custkey AS id,
+                     c_custkey % 11 + 3 AS w,
+                     c_custkey % 5 + 2 AS h,
+                     CASE WHEN c_custkey % 2 = 1 THEN 3 ELSE 1 END AS ch
+              FROM customer),
+            vals AS (
+              SELECT id, w, h, ch, (id * 17 + i) % 256 AS v
+              FROM base, LATERAL unnest(range(0, w * h * ch)) AS u(i))
+            SELECT id,
+                   CASE WHEN ch = 3 THEN 'bmp' ELSE 'png' END AS format,
+                   CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+                   CAST(8 AS INT) AS bit_depth,
+                   CAST(CASE WHEN ch = 3 THEN 2 ELSE 0 END AS INT) AS color_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_px,
+                   CAST(SUM(v) AS BIGINT) AS px_sum,
+                   CAST(MIN(v) AS INT) AS px_min,
+                   CAST(MAX(v) AS INT) AS px_max
+            FROM vals GROUP BY id, w, h, ch
+        """,
+        "jpeg_meta": """
+            SELECT c_custkey AS id,
+                   CAST(8 AS INT) AS precision,
+                   CAST(c_custkey % 500 + 16 AS INT) AS width,
+                   CAST(c_custkey % 300 + 16 AS INT) AS height,
+                   CAST(CASE WHEN c_custkey % 4 = 0 THEN 1 ELSE 3 END AS INT) AS n_components,
+                   c_custkey % 5 = 0 AS progressive
+            FROM customer WHERE c_custkey % 3 = 1
         """,
         "png_decode": """
             WITH base AS (

@@ -1,4 +1,5 @@
-"""REAL media decoders for the container-decodable formats: PNG and WAV.
+"""REAL media decoders for the container-decodable formats: PNG, BMP, WAV,
+and JPEG header metadata.
 
 The multimodal module (functions/multimodal.py) keeps honest stubs for
 formats that need external codec libraries (JPEG entropy decode, ffmpeg
@@ -285,3 +286,194 @@ def decode_wav(df: DataFrame, payload_col: str = "payload", id_col: str = "id") 
             yield out
 
     return df.mapInPandas(_decode, schema=WAV_DECODED_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# BMP writer + full decoder (BI_RGB 24-bit: raw BGR rows, 4-byte row padding)
+# ---------------------------------------------------------------------------
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """24-bit uncompressed BMP writer: BITMAPFILEHEADER + BITMAPINFOHEADER +
+    bottom-up BGR rows padded to 4 bytes. ``pixels`` is (h, w, 3) RGB uint8."""
+    if pixels.ndim != 3 or pixels.shape[2] != 3:
+        raise ValueError("pixels must be (h,w,3) RGB uint8")
+    h, w = pixels.shape[:2]
+    row_len = (w * 3 + 3) & ~3
+    pad = b"\0" * (row_len - w * 3)
+    body = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up
+        body += pixels[y, :, ::-1].astype(np.uint8).tobytes() + pad  # RGB -> BGR
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(body), 0, 0, 14 + 40)
+    return header + info + bytes(body)
+
+
+def parse_bmp(payload: bytes) -> dict:
+    """Full BMP decode (BI_RGB 24-bit, bottom-up or top-down): header
+    validation, padded-row walk, BGR->RGB, exact integer pixel statistics —
+    the same comparable surface as parse_png."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP: bad magic")
+    _, file_size, _, _, data_off = struct.unpack_from("<2sIHHI", payload, 0)
+    if file_size != len(payload):
+        raise ValueError("BMP file size mismatch")
+    hdr_size, w, h, planes, bpp, compression = struct.unpack_from("<IiiHHI", payload, 14)
+    if hdr_size < 40 or planes != 1:
+        raise ValueError("unsupported BMP header")
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(f"supported: 24-bit BI_RGB (got bpp={bpp} comp={compression})")
+    top_down = h < 0
+    h = abs(h)
+    row_len = (w * 3 + 3) & ~3
+    rows = []
+    for i in range(h):
+        y = i if top_down else h - 1 - i
+        off = data_off + y * row_len
+        row = np.frombuffer(payload, dtype=np.uint8, count=w * 3, offset=off).reshape(w, 3)
+        rows.append(row[:, ::-1])  # BGR -> RGB
+    px = np.stack(rows).astype(np.int64)
+    return {
+        "width": w,
+        "height": h,
+        "bit_depth": 8,
+        "color_type": 2,
+        "n_px": int(px.size),
+        "px_sum": int(px.sum()),
+        "px_min": int(px.min()),
+        "px_max": int(px.max()),
+    }
+
+
+# ---------------------------------------------------------------------------
+# JPEG header metadata (marker walk; NO entropy decode — that needs a codec
+# library, so pixel recovery stays honestly out of scope here)
+# ---------------------------------------------------------------------------
+
+
+def encode_jpeg_headers(
+    width: int, height: int, n_components: int = 3, scan_bytes: bytes = b"",
+    progressive: bool = False,
+) -> bytes:
+    """Minimal structurally-valid JFIF byte stream: SOI, APP0, DQT, SOF0,
+    SOS + opaque scan bytes, EOI. The scan payload is NOT real entropy-coded
+    data (writing that needs a real encoder); this writer exists to fixture
+    the HEADER parser, which is the honestly-buildable half of JPEG here."""
+    app0 = b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+    dqt = bytes([0]) + bytes(64)
+    sof = struct.pack(">BHHB", 8, height, width, n_components) + b"".join(
+        struct.pack(">BBB", i + 1, 0x11, 0) for i in range(n_components)
+    )
+    sos = bytes([n_components]) + b"".join(struct.pack(">BB", i + 1, 0) for i in range(n_components)) + bytes([0, 63, 0])
+    sof_marker = 0xC2 if progressive else 0xC0
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    return (
+        b"\xff\xd8"  # SOI
+        + seg(0xE0, app0)
+        + seg(0xDB, dqt)
+        + seg(sof_marker, sof)
+        + seg(0xDA, sos)
+        + scan_bytes
+        + b"\xff\xd9"  # EOI
+    )
+
+
+def parse_jpeg_meta(payload: bytes) -> dict:
+    """JPEG HEADER metadata via the marker walk (SOI, length-framed segments,
+    0xFF00 stuffing-aware scan skip, standalone RSTn/EOI): precision, width,
+    height, component count, progressive flag from SOF0/SOF2. This is the
+    stdlib-decodable half of JPEG — pixel recovery needs an entropy decoder
+    (external codec library), and stays honestly unimplemented
+    (functions/multimodal.py contract)."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG: missing SOI")
+    pos = 2
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"marker sync lost at {pos}")
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        if 0xD0 <= marker <= 0xD7:  # standalone RSTn
+            pos += 2
+            continue
+        (seg_len,) = struct.unpack_from(">H", payload, pos + 2)
+        body = payload[pos + 4 : pos + 2 + seg_len]
+        if marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            precision, height, width, n_comp = struct.unpack_from(">BHHB", body, 0)
+            return {
+                "precision": precision,
+                "width": width,
+                "height": height,
+                "n_components": n_comp,
+                "progressive": marker == 0xC2,
+            }
+        if marker == 0xDA:  # SOS: skip entropy-coded data to next real marker
+            pos += 2 + seg_len
+            while pos + 1 < len(payload) and not (
+                payload[pos] == 0xFF and payload[pos + 1] != 0 and not (0xD0 <= payload[pos + 1] <= 0xD7)
+            ):
+                pos += 1
+            continue
+        pos += 2 + seg_len
+    raise ValueError("no SOF0/SOF2 frame header found")
+
+
+# ---------------------------------------------------------------------------
+# Format-dispatching distributed decoders
+# ---------------------------------------------------------------------------
+
+IMAGE_DECODED_SCHEMA = (
+    "id long, format string, width int, height int, bit_depth int, "
+    "color_type int, n_px long, px_sum long, px_min int, px_max int"
+)
+
+
+def parse_image(payload: bytes) -> dict:
+    """Magic-sniffing image decode: PNG or BMP (the two fully-decodable
+    formats here) -> the common pixel-statistics record + a format tag.
+    JPEG payloads raise toward parse_jpeg_meta (header-only surface)."""
+    if payload[:8] == PNG_SIGNATURE:
+        return {"format": "png", **parse_png(payload)}
+    if payload[:2] == b"BM":
+        return {"format": "bmp", **parse_bmp(payload)}
+    if payload[:2] == b"\xff\xd8":
+        raise NotImplementedError("JPEG pixel decode needs an entropy decoder; use parse_jpeg_meta")
+    raise ValueError("unrecognized image magic")
+
+
+def decode_image(df: DataFrame, payload_col: str = "payload", id_col: str = "id") -> DataFrame:
+    """Distributed mixed-format image decode — sniffs each payload's magic
+    and routes to the right parser in one Arrow-batched pass, the shape of a
+    real ingest where one binary column carries heterogeneous formats."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = [parse_image(bytes(b)) for b in pdf[payload_col]]
+            out = pd.DataFrame(recs)
+            out.insert(0, "id", pdf[id_col].values)
+            yield out
+
+    return df.mapInPandas(_decode, schema=IMAGE_DECODED_SCHEMA)
+
+
+JPEG_META_SCHEMA = (
+    "id long, precision int, width int, height int, n_components int, progressive boolean"
+)
+
+
+def decode_jpeg_meta(df: DataFrame, payload_col: str = "payload", id_col: str = "id") -> DataFrame:
+    """Distributed JPEG header-metadata decode (marker walk; honest about
+    not recovering pixels — see parse_jpeg_meta)."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = [parse_jpeg_meta(bytes(b)) for b in pdf[payload_col]]
+            out = pd.DataFrame(recs)
+            out.insert(0, "id", pdf[id_col].values)
+            yield out
+
+    return df.mapInPandas(_decode, schema=JPEG_META_SCHEMA)

@@ -199,3 +199,95 @@ def test_decode_wav_via_binaryfile_source(spark, tmp_path):
     )
     out = mc.decode_wav(payloads).collect()
     assert len(out) == 6 and all(r["n_samples"] == 30 for r in out)
+
+
+# ---------------------------------------------------------------------------
+# BMP
+# ---------------------------------------------------------------------------
+
+
+def test_bmp_hand_bytes():
+    # 2x1 RGB: pixels (10,20,30), (40,50,60); BMP stores BGR bottom-up with
+    # row padding to 4 bytes (2*3=6 -> pad 2)
+    row = bytes([30, 20, 10, 60, 50, 40, 0, 0])
+    info = struct.pack("<IiiHHIIiiII", 40, 2, 1, 1, 24, 0, len(row), 2835, 2835, 0, 0)
+    hdr = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(row), 0, 0, 54)
+    out = mc.parse_bmp(hdr + info + row)
+    assert (out["width"], out["height"], out["n_px"]) == (2, 1, 6)
+    assert (out["px_sum"], out["px_min"], out["px_max"]) == (210, 10, 60)
+
+
+def test_bmp_roundtrip_and_bottom_up():
+    px = ((np.arange(7 * 5 * 3) * 17) % 256).astype(np.uint8).reshape(5, 7, 3)
+    out = mc.parse_bmp(mc.encode_bmp(px))
+    assert out["px_sum"] == int(px.astype(np.int64).sum())
+    assert out["px_min"] == int(px.min()) and out["px_max"] == int(px.max())
+
+
+def test_bmp_rejects():
+    with pytest.raises(ValueError, match="magic"):
+        mc.parse_bmp(b"XX" + b"\0" * 60)
+    px = np.zeros((1, 1, 3), dtype=np.uint8)
+    b = bytearray(mc.encode_bmp(px))
+    b[28] = 8  # bpp=8 palette image
+    with pytest.raises(NotImplementedError):
+        mc.parse_bmp(bytes(b))
+
+
+# ---------------------------------------------------------------------------
+# JPEG header metadata
+# ---------------------------------------------------------------------------
+
+
+def test_jpeg_meta_baseline_and_progressive():
+    out = mc.parse_jpeg_meta(mc.encode_jpeg_headers(640, 480, 3))
+    assert out == {"precision": 8, "width": 640, "height": 480,
+                   "n_components": 3, "progressive": False}
+    out = mc.parse_jpeg_meta(mc.encode_jpeg_headers(31, 17, 1, progressive=True))
+    assert out["progressive"] is True and out["n_components"] == 1
+
+
+def test_jpeg_meta_scan_skip_with_stuffing_and_rst():
+    # SOF placed AFTER a scan whose bytes contain stuffed 0xFF00 and an RST
+    # marker — the skip must not mistake either for a real marker
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    sos = seg(0xDA, bytes([1, 1, 0, 0, 63, 0]))
+    scan = b"\x12\xff\x00\x34" + b"\xff\xd3" + b"\x56"  # stuffing + RST3
+    sof = seg(0xC0, struct.pack(">BHHB", 8, 7, 9, 1) + struct.pack(">BBB", 1, 0x11, 0))
+    jpeg = b"\xff\xd8" + sos + scan + sof + b"\xff\xd9"
+    out = mc.parse_jpeg_meta(jpeg)
+    assert (out["width"], out["height"]) == (9, 7)
+
+
+def test_jpeg_meta_rejects():
+    with pytest.raises(ValueError, match="SOI"):
+        mc.parse_jpeg_meta(b"\x89PNG")
+    with pytest.raises(ValueError, match="SOF"):
+        mc.parse_jpeg_meta(b"\xff\xd8\xff\xd9")
+
+
+def test_parse_image_dispatch_and_jpeg_refusal():
+    px = np.full((2, 2), 9, dtype=np.uint8)
+    assert mc.parse_image(mc.encode_png(px))["format"] == "png"
+    rgb = np.full((2, 2, 3), 9, dtype=np.uint8)
+    assert mc.parse_image(mc.encode_bmp(rgb))["format"] == "bmp"
+    with pytest.raises(NotImplementedError, match="entropy"):
+        mc.parse_image(mc.encode_jpeg_headers(4, 4))
+    with pytest.raises(ValueError, match="magic"):
+        mc.parse_image(b"????")
+
+
+def test_decode_image_mixed_distributed(spark):
+    rows = []
+    for k in range(16):
+        if k % 2:
+            px = ((np.arange(3 * 4 * 3) + k) % 256).astype(np.uint8).reshape(4, 3, 3)
+            rows.append((k, bytearray(mc.encode_bmp(px))))
+        else:
+            px = ((np.arange(3 * 4) + k) % 256).astype(np.uint8).reshape(4, 3)
+            rows.append((k, bytearray(mc.encode_png(px, filter_type=k % 5))))
+    df = spark.createDataFrame(rows, "id long, payload binary").repartition(3)
+    out = {r["id"]: r["format"] for r in mc.decode_image(df).collect()}
+    assert all(out[k] == ("bmp" if k % 2 else "png") for k in range(16))
