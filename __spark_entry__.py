@@ -3921,6 +3921,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_compact": q_merge_compact,
         "minhash_lsh": q_minhash_lsh,
         "monitor_rollup": q_monitor_rollup,
+
+        # ---------------------------- slot 50 ends here ----------------------
+        # -- displaced r05 rows: local gate + pytest keep them; first in line
+        #    for the next rotation ------------------------------------------
         "multimodal_features": q_multimodal_features,
         "multimodal_resize": q_multimodal_resize,
         "nation_trade_flows": q_nation_trade_flows,
@@ -3930,10 +3934,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "salted_join": q_salted_join,
         "semantic_dedup": q_semantic_dedup,
-
-        # ---------------------------- slot 50 ends here ----------------------
-        # -- displaced r05 rows: local gate + pytest keep them; first in line
-        #    for the next rotation ------------------------------------------
         "simhash_pairs": q_simhash_pairs,
         "sliding_counts": q_sliding_counts,
         "source_caps": q_source_caps,

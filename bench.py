@@ -51,6 +51,11 @@ BENCH_QUERIES = [
     "product_profit",
     "returned_items",
     "promo_effect",
+    # round-8 TPC-H completion (Q12/Q16/Q20) + zero-date recovery projection
+    "late_shipments",
+    "part_supplier_counts",
+    "excess_suppliers",
+    "zero_dates",
     "salted_join",
     "update_split",
     "snapshot_resume",
@@ -70,6 +75,12 @@ BENCH_QUERIES = [
     "oplog_file_parse",
     "kafka_segment_parse",
     "aof_manifest",
+    # round-8: checker retry loop + real media decodes (writer+parse passes)
+    "checker_retry",
+    "png_decode",
+    "wav_decode",
+    "image_decode",
+    "jpeg_meta",
     "orc_roundtrip",
     "struct_objects",
     "struct_check_report",
@@ -122,6 +133,8 @@ BENCH_QUERIES = [
     "vocab_topk",
     "doc_chunks",
     "bpe_pairs",
+    "bpe_learn",
+    "bpe_encode",
     "span_dedup",
     "substring_dedup",
     "substring_dedup_clean",

@@ -83,6 +83,15 @@ AUDITED = [
     "unimax_mix",         # count agg + broadcast level table + one rank window
     "curation_v3",        # span-removal -> DSIR -> UniMax composed chain
     "substring_incremental",  # index equi-join + batch-local agg + island merge
+    # round 8
+    "checker_retry",      # full diff then broadcast-semi re-checks (pending set)
+    "late_shipments",     # Q12: one fact-fact hash join, CASE agg map-combined
+    "part_supplier_counts",  # Q16: pair-distinct shuffle + broadcast anti NOT-IN
+    "excess_suppliers",   # Q20: grouped DECIMAL threshold -> semi-join chain
+    "bpe_encode",         # vocabulary replay + one exploded-symbol hash agg
+    "png_decode",         # Arrow writer pass -> Arrow decode pass, no shuffle
+    "image_decode",       # magic-dispatch mixed-format decode, no shuffle
+    "zero_dates",         # pure JVM projection, no shuffle
 ]
 
 # queries whose plan legitimately contains a BroadcastNestedLoopJoin: the
