@@ -3626,6 +3626,202 @@ def q_jpeg_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mc.decode_jpeg_meta(payloads)
 
 
+def q_warc_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC ingestion (sources/warc.py, ISO 28500 — the Common Crawl format
+    that fronts every web-scale text pipeline): a spec-conformant writer
+    builds one member-gzipped WARC per document (warcinfo + HTTP-response
+    records, Content-Length framing, CRLF terminators) distributed in a
+    mapInPandas pass; read_warc then inflates the gzip members, walks the
+    record framing, parses WARC headers, and unwraps the HTTP envelope
+    (status line, case-insensitive headers, body). The oracle restates every
+    field from the generation formulas — matching bodies prove the
+    Content-Length framing survived payloads containing CRLF-CRLF. Whole-file
+    decode per payload, no shuffle (WARC.gz is not splittable mid-member;
+    partition = file, the binaryFile shape)."""
+    from ape_dts_spark.sources import warc
+
+    docs = demo.load(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def _gen(batches):
+        from datetime import datetime, timedelta
+
+        import pandas as pd
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for k, text in zip(pdf["doc_id"], pdf["text"]):
+                k = int(k)
+                date = (datetime(2024, 1, 1) + timedelta(seconds=k % 86400)).strftime(
+                    "%Y-%m-%dT%H:%M:%SZ"
+                )
+                status = 404 if k % 7 == 0 else 200
+                http = warc.encode_http_response(text.encode("utf-8"), status=status)
+                info = warc.encode_warc_record(
+                    "warcinfo", f"i{k}", date, b"software: fixture",
+                    content_type="application/warc-fields",
+                )
+                resp = warc.encode_warc_record(
+                    "response", f"r{k}", date, http,
+                    target_uri=f"https://example.org/doc/{k}",
+                    content_type="application/http;msgtype=response",
+                )
+                ids.append(k)
+                payloads.append(warc.encode_warc([info, resp], gzip_members=True))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    payloads = docs.mapInPandas(_gen, "doc_id long, payload binary")
+    return warc.read_warc(payloads, id_col="doc_id").filter(
+        F.col("warc_type") == "response"
+    )
+
+
+def _doc_page_html(k: int, text: str) -> str:
+    """Deterministic page template shared by the html_extract and
+    web_pipeline gates — its expected extraction is SQL-stateable: title,
+    h1 (entity), collapsed escaped body, tail (escaped angle brackets);
+    style/script/comment decoys must vanish."""
+    import html as html_mod
+
+    return (
+        f"<html><head><title>Doc {k}</title><style>p{{color:red}}</style>"
+        f'<script>var s = "<p>decoy</p>";</script></head>'
+        f"<body><h1>Doc &amp; {k}</h1><p>{html_mod.escape(text)}</p>"
+        f"<!-- <div>ghost</div> --><div>tail &lt;{k}&gt;</div></body></html>"
+    )
+
+
+def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML -> text extraction (functions/html_text.py): the step between
+    WARC ingestion and the text operators — real parsing via the stdlib
+    tolerant HTML parser (script/style CDATA dropped, comments dropped,
+    entities decoded, block-level flushes, whitespace collapse per the
+    module contract). Each document wraps into a deterministic page template
+    (title + h1 with an entity, escaped body paragraph, a comment, a div
+    with escaped angle brackets, style+script decoys); the oracle restates
+    the expected extraction — title, h1, collapsed body, tail — directly in
+    SQL. Two Arrow passes (wrap, extract), no shuffle."""
+    from ape_dts_spark.functions.html_text import html_to_text
+
+    docs = demo.load(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def _gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            htmls = [_doc_page_html(int(k), t) for k, t in zip(pdf["doc_id"], pdf["text"])]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "html": htmls})
+
+    pages = docs.mapInPandas(_gen, "doc_id long, html string")
+    return html_to_text(pages)
+
+
+def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (functions/web.normalize_url, RFC 3986 §5.2.4
+    dot-segment resolution + the standard crawl-dedup canon: lowercase
+    scheme/host, strip default ports and fragments, sort query params, drop
+    tracking params). Messy URLs are constructed from key formulas with
+    JVM expressions; the kernel canonicalizes; the oracle restates both the
+    messy input AND the canonical answer per formula — covering the
+    scheme-dependent default-port cases and the utm strip."""
+    from ape_dts_spark.functions.web import normalize_urls
+
+    c = demo.load(spark, sf_dir, "customer").select("c_custkey")
+    k = F.col("c_custkey")
+    scheme = F.when(k % 2 == 0, F.lit("HTTP")).otherwise(F.lit("https"))
+    port = F.when(k % 3 == 0, F.lit(80)).when(k % 3 == 1, F.lit(443)).otherwise(F.lit(8080))
+    url = F.concat(
+        scheme, F.lit("://WWW.Shop"), (k % 10).cast("string"), F.lit(".COM:"),
+        port.cast("string"), F.lit("/a/./b/../p"), k.cast("string"),
+        F.lit("?b="), k.cast("string"), F.lit("&utm_source=x&a=1#sec"),
+        k.cast("string"),
+    )
+    return normalize_urls(c.select(k.alias("c_custkey"), url.alias("url")), id_col="c_custkey")
+
+
+def q_web_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed Common-Crawl front door, end to end: page template ->
+    charset-ENCODED bytes (utf-8 / iso-8859-1 / utf-16le cycling by key) ->
+    HTTP response with the charset in Content-Type -> member-gzipped WARC ->
+    read_warc(raw_body) -> charset picked out of the parsed Content-Type ->
+    decode_charset transcode -> html_to_text extraction. Every stage is the
+    real operator; the oracle states the final extraction and metadata
+    directly from the generation formulas — a wrong byte anywhere in the
+    chain (framing, gzip, HTTP split, transcode, tag strip) breaks the hash.
+    utf-16 bodies would mojibake under a naive utf-8 read; raw_body + the
+    transcode stage is what makes the chain correct."""
+    from ape_dts_spark.functions.html_text import html_to_text
+    from ape_dts_spark.functions.web import decode_charset
+    from ape_dts_spark.sources import warc as warc_mod
+
+    docs = demo.load(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def _gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for k, t in zip(pdf["doc_id"], pdf["text"]):
+                k = int(k)
+                label = ("utf-8", "iso-8859-1", "utf-16le")[k % 3]
+                codec = {"utf-8": "utf-8", "iso-8859-1": "latin-1", "utf-16le": "utf-16-le"}[label]
+                body = _doc_page_html(k, t).encode(codec)
+                http = warc_mod.encode_http_response(
+                    body, content_type=f"text/html; charset={label}"
+                )
+                rec = warc_mod.encode_warc_record(
+                    "response", f"r{k}", "2024-01-01T00:00:00Z", http,
+                    target_uri=f"https://example.org/doc/{k}",
+                    content_type="application/http;msgtype=response",
+                )
+                ids.append(k)
+                payloads.append(warc_mod.encode_warc([rec], gzip_members=True))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    payloads = docs.mapInPandas(_gen, "doc_id long, payload binary")
+    recs = warc_mod.read_warc(payloads, id_col="doc_id", raw_body=True).filter(
+        F.col("warc_type") == "response"
+    )
+    recs = recs.select(
+        F.col("id").alias("doc_id"),
+        F.col("target_uri").alias("url"),
+        F.regexp_extract("http_content_type", r"charset=([A-Za-z0-9_\-]+)", 1).alias("charset"),
+        F.col("body"),
+    )
+    extracted = html_to_text(
+        decode_charset(recs, payload_col="body", charset_col="charset", out_col="html"),
+        html_col="html",
+    )
+    return extracted.join(recs.select("doc_id", "url", "charset"), "doc_id")
+
+
+def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-policy filtering (functions/web.robots_allowed): real Robots
+    Exclusion Protocol evaluation via the stdlib parser — per-domain
+    robots.txt carried beside each URL (at scale: a broadcast join from the
+    tiny domains table onto pages), verdicts in one Arrow pass with a
+    per-partition parsed-robots cache. The fixture cycles allowed /
+    Disallowed-prefix / per-domain-Disallowed paths; the oracle states the
+    verdict from the key formula."""
+    from ape_dts_spark.functions.web import robots_allowed
+
+    c = demo.load(spark, sf_dir, "customer").select("c_custkey")
+    k = F.col("c_custkey")
+    d = (k % 10).cast("string")
+    robots = F.concat(
+        F.lit("User-agent: *\nDisallow: /private/\nDisallow: /tmp"), d, F.lit("/\n")
+    )
+    path = (
+        F.when(k % 3 == 0, F.concat(F.lit("/public/p"), k.cast("string")))
+        .when(k % 3 == 1, F.concat(F.lit("/private/p"), k.cast("string")))
+        .otherwise(F.concat(F.lit("/tmp"), d, F.lit("/x"), k.cast("string")))
+    )
+    url = F.concat(F.lit("https://shop"), d, F.lit(".example.com"), path)
+    fixture = c.select(
+        k.alias("c_custkey"), url.alias("url"), robots.alias("robots_txt")
+    )
+    return robots_allowed(fixture, id_col="c_custkey")
+
+
 def q_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q12 shape, adapted (testdata has no l_shipmode/l_receiptdate:
     l_linestatus stands in for the ship mode and 'late' means shipped more
@@ -3876,6 +4072,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_decode": q_image_decode,
         "jpeg_meta": q_jpeg_meta,
         "wav_decode": q_wav_decode,
+        "warc_parse": q_warc_parse,
+        "html_extract": q_html_extract,
+        "url_normalize": q_url_normalize,
+        "web_pipeline": q_web_pipeline,
+        "robots_filter": q_robots_filter,
         "late_shipments": q_late_shipments,
         "part_supplier_counts": q_part_supplier_counts,
         "excess_suppliers": q_excess_suppliers,
@@ -3916,15 +4117,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "disjunctive_revenue": q_disjunctive_revenue,
         "gopher_rules": q_gopher_rules,
         "heartbeat_lag": q_heartbeat_lag,
+        # ---------------------------- slot 50 ends here ----------------------
+        # -- displaced r05 rows: local gate + pytest keep them; first in line
+        #    for the next rotation ------------------------------------------
         "important_parts": q_important_parts,
         "large_orders": q_large_orders,
         "merge_compact": q_merge_compact,
         "minhash_lsh": q_minhash_lsh,
         "monitor_rollup": q_monitor_rollup,
-
-        # ---------------------------- slot 50 ends here ----------------------
-        # -- displaced r05 rows: local gate + pytest keep them; first in line
-        #    for the next rotation ------------------------------------------
         "multimodal_features": q_multimodal_features,
         "multimodal_resize": q_multimodal_resize,
         "nation_trade_flows": q_nation_trade_flows,
@@ -5237,6 +5437,67 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(av) AS BIGINT) AS peak_abs,
                    CAST(SUM(av) AS BIGINT) AS sum_abs
             FROM vals GROUP BY id, frames, ch, rate
+        """,
+        "robots_filter": """
+            SELECT c_custkey AS doc_id,
+                   'https://shop' || (c_custkey % 10) || '.example.com' ||
+                   CASE WHEN c_custkey % 3 = 0 THEN '/public/p' || c_custkey
+                        WHEN c_custkey % 3 = 1 THEN '/private/p' || c_custkey
+                        ELSE '/tmp' || (c_custkey % 10) || '/x' || c_custkey END AS url,
+                   c_custkey % 3 = 0 AS allowed
+            FROM customer
+        """,
+        "url_normalize": """
+            SELECT c_custkey AS doc_id,
+                   CASE WHEN c_custkey % 2 = 0 THEN 'HTTP' ELSE 'https' END
+                   || '://WWW.Shop' || (c_custkey % 10) || '.COM:'
+                   || CASE WHEN c_custkey % 3 = 0 THEN 80 WHEN c_custkey % 3 = 1 THEN 443 ELSE 8080 END
+                   || '/a/./b/../p' || c_custkey || '?b=' || c_custkey
+                   || '&utm_source=x&a=1#sec' || c_custkey AS url,
+                   CASE WHEN c_custkey % 2 = 0 THEN 'http' ELSE 'https' END
+                   || '://www.shop' || (c_custkey % 10) || '.com'
+                   || CASE WHEN c_custkey % 2 = 0 AND c_custkey % 3 = 0 THEN ''
+                           WHEN c_custkey % 2 = 1 AND c_custkey % 3 = 1 THEN ''
+                           WHEN c_custkey % 3 = 0 THEN ':80'
+                           WHEN c_custkey % 3 = 1 THEN ':443'
+                           ELSE ':8080' END
+                   || '/a/p' || c_custkey || '?a=1&b=' || c_custkey AS canonical
+            FROM customer
+        """,
+        "web_pipeline": """
+            SELECT doc_id,
+                   'Doc ' || doc_id || chr(10) ||
+                   'Doc & ' || doc_id || chr(10) ||
+                   CASE WHEN t <> '' THEN t || chr(10) ELSE '' END ||
+                   'tail <' || doc_id || '>' AS extracted,
+                   'https://example.org/doc/' || doc_id AS url,
+                   CASE doc_id % 3 WHEN 0 THEN 'utf-8' WHEN 1 THEN 'iso-8859-1'
+                        ELSE 'utf-16le' END AS charset
+            FROM (SELECT doc_id,
+                         trim(regexp_replace(text, '[ \t\r\n\f\v]+', ' ', 'g')) AS t
+                  FROM documents)
+        """,
+        "html_extract": """
+            SELECT doc_id,
+                   'Doc ' || doc_id || chr(10) ||
+                   'Doc & ' || doc_id || chr(10) ||
+                   CASE WHEN t <> '' THEN t || chr(10) ELSE '' END ||
+                   'tail <' || doc_id || '>' AS extracted
+            FROM (SELECT doc_id,
+                         trim(regexp_replace(text, '[ \t\r\n\f\v]+', ' ', 'g')) AS t
+                  FROM documents)
+        """,
+        "warc_parse": """
+            SELECT doc_id AS id, CAST(1 AS INT) AS rec_idx,
+                   'response' AS warc_type,
+                   '<urn:uuid:r' || doc_id || '>' AS record_id,
+                   strftime(TIMESTAMP '2024-01-01 00:00:00' + to_seconds(doc_id % 86400),
+                            '%Y-%m-%dT%H:%M:%SZ') AS warc_date,
+                   'https://example.org/doc/' || doc_id AS target_uri,
+                   CAST(CASE WHEN doc_id % 7 = 0 THEN 404 ELSE 200 END AS INT) AS http_status,
+                   'text/plain; charset=utf-8' AS http_content_type,
+                   text AS body
+            FROM documents
         """,
         "late_shipments": """
             SELECT l_linestatus,

@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "oplog_file_parse",
     "kafka_segment_parse",
     "aof_manifest",
+    "warc_parse",
     # round-8: checker retry loop + real media decodes (writer+parse passes)
     "checker_retry",
     "png_decode",

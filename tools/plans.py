@@ -92,6 +92,11 @@ AUDITED = [
     "png_decode",         # Arrow writer pass -> Arrow decode pass, no shuffle
     "image_decode",       # magic-dispatch mixed-format decode, no shuffle
     "zero_dates",         # pure JVM projection, no shuffle
+    "warc_parse",         # Arrow writer pass -> Arrow record explode, no shuffle
+    "html_extract",       # Arrow wrap pass -> Arrow extract pass, no shuffle
+    "url_normalize",      # JVM url construction -> Arrow canonicalize, no shuffle
+    "web_pipeline",       # composed WARC->transcode->extract chain + one id join
+    "robots_filter",      # JVM fixture construction -> Arrow REP evaluation
 ]
 
 # queries whose plan legitimately contains a BroadcastNestedLoopJoin: the
