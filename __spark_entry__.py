@@ -3822,6 +3822,30 @@ def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return robots_allowed(fixture, id_col="c_custkey")
 
 
+def q_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC canonicalization (tx.nfc_normalize_text): decomposed
+    combining sequences (single acute / diaeresis+acute by key) are
+    constructed with JVM expressions, normalized in the Arrow kernel via
+    Python's unicodedata, and compared against DuckDB's utf8proc-backed
+    nfc_normalize building the SAME decomposed strings with chr() — two
+    independent NFC implementations must agree byte-for-byte, and the
+    length columns prove composition actually happened (raw_len > nfc_len
+    on every row)."""
+    c = demo.load(spark, sf_dir, "customer").select("c_custkey")
+    k = F.col("c_custkey")
+    base = (
+        F.when(k % 3 == 0, F.lit("e")).when(k % 3 == 1, F.lit("a")).otherwise(F.lit("o"))
+    )
+    marks = F.when(k % 2 == 0, F.lit("́")).otherwise(F.lit("̈́"))
+    raw = F.concat(F.lit("w"), k.cast("string"), F.lit(" "), base, marks, F.lit(" end"))
+    fixture = c.select(k.alias("doc_id"), raw.alias("text"), F.length(raw).alias("raw_len"))
+    out = tx.nfc_normalize_text(fixture)
+    return (
+        out.join(fixture.select("doc_id", "raw_len"), "doc_id")
+        .select("doc_id", "raw_len", "nfc", F.length("nfc").alias("nfc_len"))
+    )
+
+
 def q_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q12 shape, adapted (testdata has no l_shipmode/l_receiptdate:
     l_linestatus stands in for the ship mode and 'late' means shipped more
@@ -4077,6 +4101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_normalize": q_url_normalize,
         "web_pipeline": q_web_pipeline,
         "robots_filter": q_robots_filter,
+        "unicode_nfc": q_unicode_nfc,
         "late_shipments": q_late_shipments,
         "part_supplier_counts": q_part_supplier_counts,
         "excess_suppliers": q_excess_suppliers,
@@ -4116,8 +4141,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "disjunctive_revenue": q_disjunctive_revenue,
         "gopher_rules": q_gopher_rules,
-        "heartbeat_lag": q_heartbeat_lag,
         # ---------------------------- slot 50 ends here ----------------------
+        "heartbeat_lag": q_heartbeat_lag,
         # -- displaced r05 rows: local gate + pytest keep them; first in line
         #    for the next rotation ------------------------------------------
         "important_parts": q_important_parts,
@@ -5437,6 +5462,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(av) AS BIGINT) AS peak_abs,
                    CAST(SUM(av) AS BIGINT) AS sum_abs
             FROM vals GROUP BY id, frames, ch, rate
+        """,
+        "unicode_nfc": """
+            WITH f AS (
+              SELECT c_custkey AS doc_id,
+                     'w' || c_custkey || ' ' ||
+                     CASE WHEN c_custkey % 3 = 0 THEN 'e'
+                          WHEN c_custkey % 3 = 1 THEN 'a' ELSE 'o' END ||
+                     CASE WHEN c_custkey % 2 = 0 THEN chr(769)
+                          ELSE chr(776) || chr(769) END ||
+                     ' end' AS raw
+              FROM customer)
+            SELECT doc_id,
+                   CAST(length(raw) AS INT) AS raw_len,
+                   nfc_normalize(raw) AS nfc,
+                   CAST(length(nfc_normalize(raw)) AS INT) AS nfc_len
+            FROM f
         """,
         "robots_filter": """
             SELECT c_custkey AS doc_id,

@@ -1374,3 +1374,26 @@ it{s + 1} AS (
   FROM it{s}, p{s})"""
         )
     return "".join(parts)
+
+
+def nfc_normalize_text(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Unicode NFC normalization — the canonicalization step before exact
+    dedup and fingerprinting (decomposed 'e'+U+0301 and composed U+00E9 must
+    hash identically or every dedup op silently misses). Arrow-batched
+    kernel over Python's unicodedata; the gate compares it against DuckDB's
+    utf8proc-backed nfc_normalize — two INDEPENDENT NFC implementations
+    agreeing byte-for-byte on constructed decomposed fixtures."""
+    import unicodedata
+
+    def _norm(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "nfc": [unicodedata.normalize("NFC", t) for t in pdf[text_col]],
+                }
+            )
+
+    return df.mapInPandas(_norm, schema="doc_id long, nfc string")

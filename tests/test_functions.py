@@ -1038,3 +1038,19 @@ def test_bpe_encode_sennrich_corpus(spark):
 def test_bpe_encode_empty(spark):
     docs = spark.createDataFrame([], "doc_id long, text string")
     assert tx.bpe_encode(docs, "text", k=3).count() == 0
+
+
+def test_nfc_normalize_text(spark):
+    import unicodedata
+
+    rows = [
+        (1, "caf" + "e\u0301"),            # e + combining acute -> e-acute
+        (2, "A\u0308\u0301bc"),            # A + diaeresis + acute composes
+        (3, "already \u00e9 composed"),
+        (4, "plain ascii"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["nfc"] for r in tx.nfc_normalize_text(df).collect()}
+    for k, raw in rows:
+        assert out[k] == unicodedata.normalize("NFC", raw)
+    assert out[1] == "caf\u00e9" and len(out[1]) == 4  # actually composed

@@ -97,6 +97,7 @@ AUDITED = [
     "url_normalize",      # JVM url construction -> Arrow canonicalize, no shuffle
     "web_pipeline",       # composed WARC->transcode->extract chain + one id join
     "robots_filter",      # JVM fixture construction -> Arrow REP evaluation
+    "unicode_nfc",        # JVM construction -> Arrow unicodedata kernel + id join
 ]
 
 # queries whose plan legitimately contains a BroadcastNestedLoopJoin: the
