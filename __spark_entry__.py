@@ -3846,6 +3846,38 @@ def q_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL dedup with a quality keep policy — the crawl-side dedup
+    that runs BEFORE any content hashing: messy URL variants (scheme/host
+    case, default port, dot segments, tracking params) are canonicalized by
+    the real normalizer, grouped, and each canonical keeps its best document
+    (longest content, ties to the smallest id). docs collapse ~10-per-canonical
+    by construction (lcm(5,50)=50 canonicals). One window shuffle keyed on the canonical;
+    the oracle states the canonical by formula and replicates the keep
+    window."""
+    from ape_dts_spark.functions.web import normalize_urls
+
+    docs = demo.load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    k = F.col("doc_id")
+    messy = F.concat(
+        F.lit("HTTP://Site"), (k % 5).cast("string"),
+        F.lit(".COM:80/a/../page"), (k % 50).cast("string"),
+        F.lit("?utm_source=x"),
+    )
+    canon = normalize_urls(docs.select("doc_id", messy.alias("url")), id_col="doc_id")
+    joined = canon.join(docs, "doc_id")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("canonical")
+    rn = F.row_number().over(w.orderBy(F.col("n_chars").desc(), "doc_id"))
+    return (
+        joined.withColumn("n_dups", F.count(F.lit(1)).over(w))
+        .withColumn("_rn", rn)
+        .filter(F.col("_rn") == 1)
+        .select("canonical", F.col("doc_id").alias("keep_id"), "n_dups")
+    )
+
+
 def q_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q12 shape, adapted (testdata has no l_shipmode/l_receiptdate:
     l_linestatus stands in for the ship mode and 'late' means shipped more
@@ -4102,6 +4134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_pipeline": q_web_pipeline,
         "robots_filter": q_robots_filter,
         "unicode_nfc": q_unicode_nfc,
+        "url_dedup": q_url_dedup,
         "late_shipments": q_late_shipments,
         "part_supplier_counts": q_part_supplier_counts,
         "excess_suppliers": q_excess_suppliers,
@@ -4140,8 +4173,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cluster_star": q_dedup_cluster_star,
         "dedup_exact": q_dedup_exact,
         "disjunctive_revenue": q_disjunctive_revenue,
-        "gopher_rules": q_gopher_rules,
         # ---------------------------- slot 50 ends here ----------------------
+        "gopher_rules": q_gopher_rules,
         "heartbeat_lag": q_heartbeat_lag,
         # -- displaced r05 rows: local gate + pytest keep them; first in line
         #    for the next rotation ------------------------------------------
@@ -5462,6 +5495,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(av) AS BIGINT) AS peak_abs,
                    CAST(SUM(av) AS BIGINT) AS sum_abs
             FROM vals GROUP BY id, frames, ch, rate
+        """,
+        "url_dedup": """
+            WITH base AS (
+              SELECT doc_id, n_chars,
+                     'http://site' || (doc_id % 5) || '.com/page' || (doc_id % 50) AS canonical
+              FROM documents)
+            SELECT canonical,
+                   CAST(doc_id AS BIGINT) AS keep_id,
+                   CAST(cnt AS BIGINT) AS n_dups
+            FROM (SELECT *, COUNT(*) OVER (PARTITION BY canonical) AS cnt,
+                         ROW_NUMBER() OVER (PARTITION BY canonical
+                                            ORDER BY n_chars DESC, doc_id) AS rn
+                  FROM base)
+            WHERE rn = 1
         """,
         "unicode_nfc": """
             WITH f AS (

@@ -98,6 +98,7 @@ AUDITED = [
     "web_pipeline",       # composed WARC->transcode->extract chain + one id join
     "robots_filter",      # JVM fixture construction -> Arrow REP evaluation
     "unicode_nfc",        # JVM construction -> Arrow unicodedata kernel + id join
+    "url_dedup",          # Arrow canonicalize -> one window shuffle on canonical
 ]
 
 # queries whose plan legitimately contains a BroadcastNestedLoopJoin: the
