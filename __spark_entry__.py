@@ -3878,6 +3878,17 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (mx.hash_split): membership is a
+    pure function of (salt, doc_id) via JVM-side md5 — reproducible across
+    cluster sizes and immune to partitioning, so documents can never leak
+    between train and eval across runs. No shuffle, whole-stage codegen.
+    The oracle recomputes the same md5 bucket in DuckDB ('0x' hex cast) —
+    two engines' md5 + hex arithmetic agreeing on every assignment."""
+    docs = demo.load(spark, sf_dir, "documents").select("doc_id")
+    return mx.hash_split(docs)
+
+
 def q_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q12 shape, adapted (testdata has no l_shipmode/l_receiptdate:
     l_linestatus stands in for the ship mode and 'late' means shipped more
@@ -4135,6 +4146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_filter": q_robots_filter,
         "unicode_nfc": q_unicode_nfc,
         "url_dedup": q_url_dedup,
+        "hash_split": q_hash_split,
         "late_shipments": q_late_shipments,
         "part_supplier_counts": q_part_supplier_counts,
         "excess_suppliers": q_excess_suppliers,
@@ -4172,8 +4184,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cluster": q_dedup_cluster,
         "dedup_cluster_star": q_dedup_cluster_star,
         "dedup_exact": q_dedup_exact,
-        "disjunctive_revenue": q_disjunctive_revenue,
         # ---------------------------- slot 50 ends here ----------------------
+        "disjunctive_revenue": q_disjunctive_revenue,
         "gopher_rules": q_gopher_rules,
         "heartbeat_lag": q_heartbeat_lag,
         # -- displaced r05 rows: local gate + pytest keep them; first in line
@@ -5495,6 +5507,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(av) AS BIGINT) AS peak_abs,
                    CAST(SUM(av) AS BIGINT) AS sum_abs
             FROM vals GROUP BY id, frames, ch, rate
+        """,
+        "hash_split": """
+            SELECT doc_id,
+                   CAST(CAST('0x' || substr(md5('split-v1-' || doc_id), 1, 8) AS BIGINT) % 100 AS BIGINT) AS bucket,
+                   CASE WHEN CAST('0x' || substr(md5('split-v1-' || doc_id), 1, 8) AS BIGINT) % 100 < 5 THEN 'val'
+                        WHEN CAST('0x' || substr(md5('split-v1-' || doc_id), 1, 8) AS BIGINT) % 100 < 10 THEN 'test'
+                        ELSE 'train' END AS split
+            FROM documents
         """,
         "url_dedup": """
             WITH base AS (

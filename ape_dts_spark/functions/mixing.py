@@ -595,3 +595,31 @@ JOIN alloc a ON r.{lang_col} = a.{lang_col}
 CROSS JOIN (SELECT UNNEST(range(0, {max_epochs})) AS epoch) e
 WHERE r.base_rk + e.epoch * a.n <= a.alloc
 """
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    salt: str = "split-v1",
+    val_pct: int = 5,
+    test_pct: int = 5,
+) -> DataFrame:
+    """Deterministic train/val/test assignment — the split every training
+    pipeline needs to be REPRODUCIBLE and LEAK-FREE: membership depends only
+    on (salt, id), never on partitioning, row order, or cluster size, so
+    re-running on 10 machines or 1000 yields byte-identical splits and a
+    document can never migrate between train and eval across runs. Bucket =
+    first 8 hex digits of md5(salt || '-' || id) mod 100 (JVM-side md5 —
+    whole-stage codegen, no shuffle, no Python). val gets [0, val_pct),
+    test [val_pct, val_pct+test_pct), train the rest."""
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat_ws("-", F.lit(salt), F.col(id_col).cast("string"))), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < val_pct, F.lit("val"))
+        .when(bucket < val_pct + test_pct, F.lit("test"))
+        .otherwise(F.lit("train"))
+    )
+    return df.withColumn("bucket", bucket).withColumn("split", split)

@@ -204,3 +204,28 @@ def test_unimax_water_filling(spark):
     # remainder spread: budget 21 -> head gets 15 (the +1), total exact
     odd = unimax_sample(df, budget=21, max_epochs=2)
     assert odd.count() == 21
+
+
+def test_hash_split_deterministic_and_partition_invariant(spark):
+    from ape_dts_spark.functions.mixing import hash_split
+
+    df = spark.createDataFrame([(i,) for i in range(2000)], "doc_id long")
+    a = {r["doc_id"]: r["split"] for r in hash_split(df).collect()}
+    b = {r["doc_id"]: r["split"] for r in hash_split(df.repartition(17)).collect()}
+    assert a == b  # partitioning can never move a doc between splits
+    # ratios land near 90/5/5 (md5 is uniform; 2000 docs -> generous bounds)
+    from collections import Counter
+
+    c = Counter(a.values())
+    assert 0.03 * 2000 < c["val"] < 0.08 * 2000
+    assert 0.03 * 2000 < c["test"] < 0.08 * 2000
+    assert c["train"] > 0.85 * 2000
+
+
+def test_hash_split_salt_changes_assignment(spark):
+    from ape_dts_spark.functions.mixing import hash_split
+
+    df = spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
+    a = {r["doc_id"]: r["bucket"] for r in hash_split(df, salt="v1").collect()}
+    b = {r["doc_id"]: r["bucket"] for r in hash_split(df, salt="v2").collect()}
+    assert a != b

@@ -99,6 +99,7 @@ AUDITED = [
     "robots_filter",      # JVM fixture construction -> Arrow REP evaluation
     "unicode_nfc",        # JVM construction -> Arrow unicodedata kernel + id join
     "url_dedup",          # Arrow canonicalize -> one window shuffle on canonical
+    "hash_split",         # pure JVM md5 bucket projection, no shuffle
 ]
 
 # queries whose plan legitimately contains a BroadcastNestedLoopJoin: the
