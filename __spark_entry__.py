@@ -3889,6 +3889,17 @@ def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mx.hash_split(docs)
 
 
+def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher n-gram repetition filters (tx.gopher_repetition, Rae et al.
+    2021 §A1.1.3 adapted to token fractions): per doc, the token share of
+    the single most frequent {2,3,4}-gram and of all duplicated {5,10}-grams
+    — the boilerplate/spam signals token-level dup_ratio misses. One
+    exploded (doc, n, gram) relation for all n, two hash aggs, one
+    conditional-agg pivot; the oracle is an independent DuckDB
+    implementation over lateral range unnests."""
+    return tx.gopher_repetition(demo.load(spark, sf_dir, "documents"))
+
+
 def q_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q12 shape, adapted (testdata has no l_shipmode/l_receiptdate:
     l_linestatus stands in for the ship mode and 'late' means shipped more
@@ -4147,6 +4158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unicode_nfc": q_unicode_nfc,
         "url_dedup": q_url_dedup,
         "hash_split": q_hash_split,
+        "gopher_repetition": q_gopher_repetition,
         "late_shipments": q_late_shipments,
         "part_supplier_counts": q_part_supplier_counts,
         "excess_suppliers": q_excess_suppliers,
@@ -4183,8 +4195,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dead_letter": q_dead_letter,
         "dedup_cluster": q_dedup_cluster,
         "dedup_cluster_star": q_dedup_cluster_star,
-        "dedup_exact": q_dedup_exact,
         # ---------------------------- slot 50 ends here ----------------------
+        "dedup_exact": q_dedup_exact,
         "disjunctive_revenue": q_disjunctive_revenue,
         "gopher_rules": q_gopher_rules,
         "heartbeat_lag": q_heartbeat_lag,
@@ -5508,6 +5520,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(av) AS BIGINT) AS sum_abs
             FROM vals GROUP BY id, frames, ch, rate
         """,
+        "gopher_repetition": tx.gopher_repetition_sql(),
         "hash_split": """
             SELECT doc_id,
                    CAST(CAST('0x' || substr(md5('split-v1-' || doc_id), 1, 8) AS BIGINT) % 100 AS BIGINT) AS bucket,

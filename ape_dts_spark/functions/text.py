@@ -1397,3 +1397,106 @@ def nfc_normalize_text(df: DataFrame, text_col: str = "text", id_col: str = "doc
             )
 
     return df.mapInPandas(_norm, schema="doc_id long, nfc string")
+
+
+def gopher_repetition(
+    df: DataFrame, id_col: str = "doc_id", col: str = "text",
+    top_ns: tuple = (2, 3, 4), dup_ns: tuple = (5, 10),
+) -> DataFrame:
+    """The Gopher paper's n-gram repetition filters (Rae et al. 2021 §A1.1.3,
+    adapted from char- to token-fractions so both engines compute it exactly):
+    for each small n, the share of tokens covered by the single most frequent
+    n-gram (top{n}_share = max_cnt * n / n_tokens); for each large n, the
+    share covered by ALL duplicated n-grams (dup{n}_frac = sum of counts>=2
+    * n / n_tokens). High values flag boilerplate/spam that token-level
+    dup_ratio (repetition_stats) misses.
+
+    Plan shape: ONE exploded (doc, n, gram) relation across all requested n
+    (grams built JVM-side: array_join over token slices), one hash agg on
+    (doc, n, gram), one on (doc, n), then a pinned pivot — two shuffles
+    total regardless of how many n's. State never exceeds one document's
+    n-gram vocabulary; ratios divide identical BIGINTs as DOUBLE."""
+    ns = sorted(set(top_ns) | set(dup_ns))
+    toks = df.select(
+        F.col(id_col), F.expr(tokens_expr(col)).alias("toks")
+    ).select(F.col(id_col), "toks", F.size("toks").alias("n_tokens"))
+    grams = toks.select(
+        F.col(id_col),
+        "n_tokens",
+        F.explode(
+            F.expr(
+                "flatten(transform(array(%s), n -> "
+                "CASE WHEN size(toks) >= n THEN transform(sequence(1, size(toks) - n + 1), "
+                "i -> struct(n AS n, array_join(slice(toks, i, n), ' ') AS gram)) "
+                "ELSE array() END))" % ",".join(str(n) for n in ns)
+            )
+        ).alias("g"),
+    )
+    per_gram = grams.groupBy(id_col, "n_tokens", "g.n", "g.gram").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    per_n = per_gram.groupBy(id_col, "n_tokens", "n").agg(
+        F.max("cnt").alias("max_cnt"),
+        F.sum(F.when(F.col("cnt") >= 2, F.col("cnt")).otherwise(F.lit(0))).alias("dup_cnt"),
+    )
+    shares = per_n.groupBy(id_col).agg(
+        *[
+            F.max(
+                F.when(F.col("n") == n, F.col("max_cnt") * n / F.col("n_tokens"))
+            ).alias(f"top{n}_share")
+            for n in top_ns
+        ],
+        *[
+            F.max(
+                F.when(F.col("n") == n, F.col("dup_cnt") * n / F.col("n_tokens"))
+            ).alias(f"dup{n}_frac")
+            for n in dup_ns
+        ],
+    )
+    out = toks.select(id_col, "n_tokens").join(shares, id_col, "left")
+    # docs shorter than n tokens have no n-grams at all: coverage 0 by definition
+    fills = {f"top{n}_share": 0.0 for n in top_ns}
+    fills.update({f"dup{n}_frac": 0.0 for n in dup_ns})
+    return out.fillna(fills)
+
+
+def gopher_repetition_sql(
+    table: str = "documents", id_col: str = "doc_id", col: str = "text",
+    top_ns: tuple = (2, 3, 4), dup_ns: tuple = (5, 10),
+) -> str:
+    """DuckDB twin: same exploded n-gram relation via lateral range unnest."""
+    ns = sorted(set(top_ns) | set(dup_ns))
+    top_cols = ",\n       ".join(
+        f"COALESCE(MAX(CASE WHEN n = {n} THEN CAST(max_cnt * {n} AS DOUBLE) / CAST(pn_tokens AS DOUBLE) END), 0.0) AS top{n}_share"
+        for n in top_ns
+    )
+    dup_cols = ",\n       ".join(
+        f"COALESCE(MAX(CASE WHEN n = {n} THEN CAST(dup_cnt * {n} AS DOUBLE) / CAST(pn_tokens AS DOUBLE) END), 0.0) AS dup{n}_frac"
+        for n in dup_ns
+    )
+    return f"""
+WITH base AS (
+  SELECT {id_col}, {tokens_sql(col)} AS toks FROM {table}),
+tokcnt AS (
+  SELECT {id_col}, toks, len(toks) AS n_tokens FROM base),
+grams AS (
+  SELECT {id_col}, n_tokens, nn AS n,
+         array_to_string(toks[i:i + nn - 1], ' ') AS gram
+  FROM tokcnt,
+       LATERAL unnest(ARRAY[{",".join(str(n) for n in ns)}]) AS tn(nn),
+       LATERAL unnest(range(1, len(toks) + 1)) AS tu(i)
+  WHERE i + nn - 1 <= len(toks)),
+per_gram AS (
+  SELECT {id_col}, n_tokens, n, gram, COUNT(*) AS cnt
+  FROM grams GROUP BY ALL),
+per_n AS (
+  SELECT {id_col}, n_tokens AS pn_tokens, n, MAX(cnt) AS max_cnt,
+         SUM(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) AS dup_cnt
+  FROM per_gram GROUP BY ALL)
+SELECT t.{id_col},
+       CAST(t.n_tokens AS INT) AS n_tokens,
+       {top_cols},
+       {dup_cols}
+FROM tokcnt t LEFT JOIN per_n p ON t.{id_col} = p.{id_col}
+GROUP BY t.{id_col}, t.n_tokens
+"""

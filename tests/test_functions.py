@@ -1054,3 +1054,19 @@ def test_nfc_normalize_text(spark):
     for k, raw in rows:
         assert out[k] == unicodedata.normalize("NFC", raw)
     assert out[1] == "caf\u00e9" and len(out[1]) == 4  # actually composed
+
+
+def test_gopher_repetition_hand_case(spark):
+    # "a b a b a b c" -> 7 tokens; top 2-gram "a b" occurs 3x -> 6/7;
+    # duplicated 5-grams: "a b a b a" (1x) "b a b a b" (1x) "a b a b c" (1x)
+    # -> none duplicated -> dup5_frac 0. Second doc: the same 5 tokens
+    # repeated twice -> the 5-gram "x y z w v" occurs 2x at positions 1,6
+    # -> dup5_frac = 2*5/10 = 1.0.
+    rows = [(1, "a b a b a b c"), (2, "x y z w v x y z w v"), (3, "q")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in tx.gopher_repetition(df).collect()}
+    assert abs(out[1]["top2_share"] - 6 / 7) < 1e-12
+    assert out[1]["dup5_frac"] == 0.0
+    assert out[2]["dup5_frac"] == 1.0
+    # 1-token doc has no 2-grams: all shares 0 by definition
+    assert out[3]["top2_share"] == 0.0 and out[3]["dup10_frac"] == 0.0

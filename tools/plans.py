@@ -100,6 +100,7 @@ AUDITED = [
     "unicode_nfc",        # JVM construction -> Arrow unicodedata kernel + id join
     "url_dedup",          # Arrow canonicalize -> one window shuffle on canonical
     "hash_split",         # pure JVM md5 bucket projection, no shuffle
+    "gopher_repetition",  # one exploded (doc,n,gram) relation, two hash aggs
 ]
 
 # queries whose plan legitimately contains a BroadcastNestedLoopJoin: the
