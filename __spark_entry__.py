@@ -3900,6 +3900,41 @@ def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.gopher_repetition(demo.load(spark, sf_dir, "documents"))
 
 
+def q_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus data card (Gebru et al. 2021 'Datasheets for Datasets'): the
+    per-(source, lang) release manifest — volumes (docs/chars/tokens), an
+    exact median length (percentile_disc: row values, no interpolation),
+    quality ratios, and the exact-duplicate rate from content fingerprints.
+    Float-safe by construction: every ratio divides INTEGER aggregates
+    (alpha chars, stopword hits, distinct fingerprints) as DOUBLE, so
+    summation order cannot perturb a bit. One grouped aggregation over
+    per-doc JVM expressions; group count is tiny (sources x langs)."""
+    d = demo.load(spark, sf_dir, "documents")
+    t = tx.tokens_expr("text")
+    all_stop = tuple(w for ws in tx.STOPWORDS.values() for w in ws)
+    stop_hits = tx._stopword_score(t, all_stop)
+    per_doc = d.select(
+        "source",
+        "lang",
+        "n_chars",
+        F.expr(f"size({t})").alias("n_tokens"),
+        F.expr("length(regexp_replace(text, '[^a-zA-Z]', ''))").alias("alpha_chars"),
+        F.length("text").alias("len_chars"),
+        F.expr(stop_hits).alias("stop_hits"),
+        F.expr(tx.fingerprint_expr("text")).alias("fp"),
+    )
+    return per_doc.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars)").cast("int").alias("median_chars"),
+        (F.sum("alpha_chars").cast("double") / F.sum("len_chars").cast("double")).alias("alpha_ratio"),
+        (F.sum("stop_hits").cast("double") / F.sum("n_tokens").cast("double")).alias("stopword_ratio"),
+        ((F.count(F.lit(1)) - F.countDistinct("fp")).cast("double")
+         / F.count(F.lit(1)).cast("double")).alias("dup_rate"),
+    )
+
+
 def q_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q12 shape, adapted (testdata has no l_shipmode/l_receiptdate:
     l_linestatus stands in for the ship mode and 'late' means shipped more
@@ -4159,6 +4194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup": q_url_dedup,
         "hash_split": q_hash_split,
         "gopher_repetition": q_gopher_repetition,
+        "data_card": q_data_card,
         "late_shipments": q_late_shipments,
         "part_supplier_counts": q_part_supplier_counts,
         "excess_suppliers": q_excess_suppliers,
@@ -4194,8 +4230,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ddl_in_stream": q_ddl_in_stream,
         "dead_letter": q_dead_letter,
         "dedup_cluster": q_dedup_cluster,
-        "dedup_cluster_star": q_dedup_cluster_star,
         # ---------------------------- slot 50 ends here ----------------------
+        "dedup_cluster_star": q_dedup_cluster_star,
         "dedup_exact": q_dedup_exact,
         "disjunctive_revenue": q_disjunctive_revenue,
         "gopher_rules": q_gopher_rules,
@@ -5521,6 +5557,25 @@ def oracle_sql() -> dict[str, str]:
             FROM vals GROUP BY id, frames, ch, rate
         """,
         "gopher_repetition": tx.gopher_repetition_sql(),
+        "data_card": """
+            WITH per_doc AS (
+              SELECT source, lang, n_chars,
+                     len(list_filter(regexp_split_to_array(lower(regexp_replace(text, '[^ -~]', '', 'g')), '[^a-z0-9]+'), x -> x <> '')) AS n_tokens,
+                     length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha_chars,
+                     length(text) AS len_chars,
+                     len(list_filter(list_filter(regexp_split_to_array(lower(regexp_replace(text, '[^ -~]', '', 'g')), '[^a-z0-9]+'), x -> x <> ''), x -> x IN ('the', 'and', 'of', 'to', 'is', 'in', 'that', 'it', 'el', 'la', 'de', 'que', 'y', 'los', 'es', 'un', 'der', 'die', 'und', 'das', 'ist', 'nicht', 'ein', 'zu', 'le', 'la', 'de', 'et', 'les', 'des', 'est', 'une'))) AS stop_hits,
+                     CASE WHEN length(trim(regexp_replace(lower(regexp_replace(text, '[^ -~]', '', 'g')), '[ ]+', ' ', 'g'))) = 0 THEN 0 ELSE list_reduce(list_transform(string_split(trim(regexp_replace(lower(regexp_replace(text, '[^ -~]', '', 'g')), '[ ]+', ' ', 'g')), ''), ch -> ascii(ch)), (acc, c) -> (CAST(acc AS BIGINT) * 31 + c) % 2147483647) END AS fp
+              FROM documents)
+            SELECT source, lang,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+                   CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+                   CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars) AS INT) AS median_chars,
+                   CAST(SUM(alpha_chars) AS DOUBLE) / CAST(SUM(len_chars) AS DOUBLE) AS alpha_ratio,
+                   CAST(SUM(stop_hits) AS DOUBLE) / CAST(SUM(n_tokens) AS DOUBLE) AS stopword_ratio,
+                   CAST(COUNT(*) - COUNT(DISTINCT fp) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS dup_rate
+            FROM per_doc GROUP BY source, lang
+        """,
         "hash_split": """
             SELECT doc_id,
                    CAST(CAST('0x' || substr(md5('split-v1-' || doc_id), 1, 8) AS BIGINT) % 100 AS BIGINT) AS bucket,

@@ -117,8 +117,6 @@ def test_read_warc_raw_body_preserves_bytes(spark):
 def test_stream_warc_files_tail(spark, tmp_path):
     import os
 
-    from pyspark.sql import functions as F
-
     from ape_dts_spark.sources.warc import stream_warc_files
 
     src = tmp_path / "warcs"
@@ -132,35 +130,32 @@ def test_stream_warc_files_tail(spark, tmp_path):
         with open(src / f"{k}.warc.gz", "wb") as fh:
             fh.write(warc.encode_warc([rec], gzip_members=True))
 
-    stream = stream_warc_files(spark, str(src), max_files_per_trigger=1)
-    qname = "warc_tail_out"
-    (
-        stream.writeStream.format("memory")
-        .queryName(qname)
-        .outputMode("append")
-        .option("checkpointLocation", str(tmp_path / "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
-    out = {r["id"]: r for r in spark.table(qname).collect()}
-    assert set(out) == {0, 1, 2, 3}
-    assert all(out[k]["body"] == f"page {k}" for k in out)
+    got = []
 
-    # a NEW file after the first drain is picked up on resume (checkpoint)
+    def drain():
+        (
+            stream_warc_files(spark, str(src), max_files_per_trigger=1)
+            .writeStream.foreachBatch(
+                lambda batch, _bid: got.extend(
+                    (r["id"], r["body"]) for r in batch.collect()
+                )
+            )
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    drain()
+    assert {(k, f"page {k}") for k in range(4)} == set(got)
+
+    # a NEW file after the first drain is picked up on resume (checkpoint);
+    # already-seen files do not replay
     http = warc.encode_http_response(b"page 9")
     rec = warc.encode_warc_record("response", "r9", "2024-01-01T00:00:01Z", http,
                                   target_uri="https://e.org/9")
     with open(src / "9.warc.gz", "wb") as fh:
         fh.write(warc.encode_warc([rec], gzip_members=True))
-    (
-        stream_warc_files(spark, str(src)).writeStream.format("memory")
-        .queryName(qname)
-        .outputMode("append")
-        .option("checkpointLocation", str(tmp_path / "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
-    ids = {r["id"] for r in spark.table(qname).collect()}
-    assert 9 in ids and len(ids) == 5  # only the new file replayed
+    before = len(got)
+    drain()
+    assert got[before:] == [(9, "page 9")]

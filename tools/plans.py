@@ -101,6 +101,7 @@ AUDITED = [
     "url_dedup",          # Arrow canonicalize -> one window shuffle on canonical
     "hash_split",         # pure JVM md5 bucket projection, no shuffle
     "gopher_repetition",  # one exploded (doc,n,gram) relation, two hash aggs
+    "data_card",          # per-doc JVM exprs -> one tiny grouped agg
 ]
 
 # queries whose plan legitimately contains a BroadcastNestedLoopJoin: the
