@@ -3935,6 +3935,46 @@ def q_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_charset_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Charset sniffing for bodies whose HTTP header omits the charset
+    (functions/web.sniff_charset — the WHATWG order reduced to its
+    deterministic core: transport header > BOM > <meta> scan > utf-8):
+    fixtures cycle a BOM'd utf-16 body, both <meta> declaration syntaxes
+    (iso-8859-1 / gbk with a CJK marker), and a bare utf-8 default; the
+    kernel must both DETECT the right label and DECODE every byte (the
+    non-ASCII markers differ per charset, so a wrong codec breaks the
+    hash). One Arrow pass."""
+    from ape_dts_spark.functions.web import sniff_decode
+
+    c = demo.load(spark, sf_dir, "customer").select("c_custkey")
+
+    def _gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for k in pdf["c_custkey"]:
+                k = int(k)
+                v = k % 4
+                if v == 0:
+                    b = ("﻿" + f"B{k} é end").encode("utf-16-le")
+                elif v == 1:
+                    b = f'<meta charset="ISO-8859-1">B{k} é end'.encode("latin-1")
+                elif v == 2:
+                    b = (
+                        '<meta http-equiv="Content-Type" content="text/html; charset=gbk">'
+                        f"B{k} 中 end"
+                    ).encode("gbk")
+                else:
+                    b = f"B{k} plain end".encode("utf-8")
+                ids.append(k)
+                payloads.append(b)
+            yield pd.DataFrame({"doc_id": ids, "body": payloads})
+
+    payloads = c.mapInPandas(_gen, "doc_id long, body binary")
+    return sniff_decode(payloads)
+
+
 def q_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q12 shape, adapted (testdata has no l_shipmode/l_receiptdate:
     l_linestatus stands in for the ship mode and 'late' means shipped more
@@ -4195,6 +4235,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": q_hash_split,
         "gopher_repetition": q_gopher_repetition,
         "data_card": q_data_card,
+        "charset_sniff": q_charset_sniff,
         "late_shipments": q_late_shipments,
         "part_supplier_counts": q_part_supplier_counts,
         "excess_suppliers": q_excess_suppliers,
@@ -4229,8 +4270,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_v2": q_curation_v2,
         "ddl_in_stream": q_ddl_in_stream,
         "dead_letter": q_dead_letter,
-        "dedup_cluster": q_dedup_cluster,
         # ---------------------------- slot 50 ends here ----------------------
+        "dedup_cluster": q_dedup_cluster,
         "dedup_cluster_star": q_dedup_cluster_star,
         "dedup_exact": q_dedup_exact,
         "disjunctive_revenue": q_disjunctive_revenue,
@@ -5557,6 +5598,18 @@ def oracle_sql() -> dict[str, str]:
             FROM vals GROUP BY id, frames, ch, rate
         """,
         "gopher_repetition": tx.gopher_repetition_sql(),
+        "charset_sniff": """
+            SELECT c_custkey AS doc_id,
+                   CASE c_custkey % 4 WHEN 0 THEN 'utf-16'
+                        WHEN 1 THEN 'iso-8859-1'
+                        WHEN 2 THEN 'gbk' ELSE 'utf-8' END AS charset,
+                   CASE c_custkey % 4
+                        WHEN 0 THEN 'B' || c_custkey || ' ' || chr(233) || ' end'
+                        WHEN 1 THEN '<meta charset="ISO-8859-1">B' || c_custkey || ' ' || chr(233) || ' end'
+                        WHEN 2 THEN '<meta http-equiv="Content-Type" content="text/html; charset=gbk">B' || c_custkey || ' ' || chr(20013) || ' end'
+                        ELSE 'B' || c_custkey || ' plain end' END AS text
+            FROM customer
+        """,
         "data_card": """
             WITH per_doc AS (
               SELECT source, lang, n_chars,

@@ -28,6 +28,7 @@ _CHARSET_ALIASES = {
     "gbk": "gbk",
     "gb2312": "gbk",  # the common mislabel: GB2312-tagged pages use GBK
     "utf-16": "utf-16",
+    "utf-8-sig": "utf-8-sig",
     "utf-16le": "utf-16-le",
     "utf-16be": "utf-16-be",
 }
@@ -158,3 +159,58 @@ def robots_allowed(
             )
 
     return df.mapInPandas(_eval, schema="doc_id long, url string, allowed boolean")
+
+
+import re as _re
+
+_META_CHARSET = _re.compile(
+    rb"""<meta[^>]+?(?:charset\s*=\s*["']?([A-Za-z0-9_\-]+)|content\s*=\s*["'][^"']*charset=([A-Za-z0-9_\-]+))""",
+    _re.IGNORECASE,
+)
+
+
+def sniff_charset(payload: bytes, http_charset: str | None = None) -> str:
+    """Charset resolution in the order a browser applies it (WHATWG encoding
+    sniffing, reduced to the deterministic core): the transport-level HTTP
+    charset wins; else a BOM; else an ASCII-scan of the first 1024 bytes for
+    ``<meta charset=..>`` / ``http-equiv Content-Type``; else utf-8. Returns
+    a label decode_bytes accepts ('utf-16' / 'utf-8-sig' consume the BOM)."""
+    if http_charset:
+        return http_charset
+    if payload[:3] == b"\xef\xbb\xbf":
+        return "utf-8-sig"
+    if payload[:2] in (b"\xff\xfe", b"\xfe\xff"):
+        return "utf-16"
+    m = _META_CHARSET.search(payload[:1024])
+    if m:
+        return (m.group(1) or m.group(2)).decode("ascii").lower()
+    return "utf-8"
+
+
+def decode_html_bytes(payload: bytes, http_charset: str | None = None) -> tuple[str, str]:
+    """(detected charset label, decoded text) — the sniff + transcode step
+    for response bodies whose Content-Type omits the charset."""
+    label = sniff_charset(payload, http_charset)
+    return label, decode_bytes(payload, label)
+
+
+def sniff_decode(
+    df: DataFrame, payload_col: str = "body", id_col: str = "doc_id",
+    http_charset_col: str | None = None,
+) -> DataFrame:
+    """Distributed sniff + transcode for bodies whose HTTP header may omit
+    the charset: one Arrow pass emitting (id, detected charset, text)."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            heads = pdf[http_charset_col] if http_charset_col else [None] * len(pdf)
+            out = [decode_html_bytes(bytes(b), h) for b, h in zip(pdf[payload_col], heads)]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "charset": [c for c, _ in out],
+                    "text": [t for _, t in out],
+                }
+            )
+
+    return df.mapInPandas(_decode, schema="doc_id long, charset string, text string")

@@ -76,3 +76,28 @@ def test_robots_agent_specific():
     rp.parse("User-agent: badbot\nDisallow: /\nUser-agent: *\nDisallow:\n".splitlines())
     assert rp.can_fetch("*", "https://d.com/x") is True
     assert rp.can_fetch("badbot", "https://d.com/x") is False
+
+
+def test_sniff_charset_priority_order():
+    from ape_dts_spark.functions.web import sniff_charset
+
+    meta = b'<meta charset="gbk">x'
+    # transport header beats everything
+    assert sniff_charset(meta, "utf-8") == "utf-8"
+    # BOM beats meta
+    assert sniff_charset(b"\xef\xbb\xbf" + meta) == "utf-8-sig"
+    assert sniff_charset(b"\xff\xfe" + b"a\x00") == "utf-16"
+    # meta (both syntaxes) beats default
+    assert sniff_charset(meta) == "gbk"
+    assert sniff_charset(b'<meta http-equiv="Content-Type" content="text/html; charset=ISO-8859-1">') == "iso-8859-1"
+    # default
+    assert sniff_charset(b"nothing here") == "utf-8"
+
+
+def test_decode_html_bytes_consumes_boms():
+    from ape_dts_spark.functions.web import decode_html_bytes
+
+    label, text = decode_html_bytes("﻿héllo".encode("utf-16-le"))
+    assert label == "utf-16" and text == "héllo"
+    label, text = decode_html_bytes(b"\xef\xbb\xbf" + "héllo".encode("utf-8"))
+    assert label == "utf-8-sig" and text == "héllo"

@@ -102,6 +102,7 @@ AUDITED = [
     "hash_split",         # pure JVM md5 bucket projection, no shuffle
     "gopher_repetition",  # one exploded (doc,n,gram) relation, two hash aggs
     "data_card",          # per-doc JVM exprs -> one tiny grouped agg
+    "charset_sniff",      # Arrow generate pass -> Arrow sniff+decode pass
 ]
 
 # queries whose plan legitimately contains a BroadcastNestedLoopJoin: the
