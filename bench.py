@@ -76,6 +76,9 @@ BENCH_QUERIES = [
     "kafka_segment_parse",
     "aof_manifest",
     "warc_parse",
+    "html_extract",
+    "charset_sniff",
+    "web_pipeline",
     # round-8: checker retry loop + real media decodes (writer+parse passes)
     "checker_retry",
     "png_decode",
@@ -109,6 +112,13 @@ BENCH_QUERIES = [
     # training-data pipeline extensions (BASELINE.json north star)
     "dedup_exact",
     "doc_fingerprint",
+    "unicode_nfc",
+    "url_normalize",
+    "url_dedup",
+    "robots_filter",
+    "hash_split",
+    "gopher_repetition",
+    "data_card",
     "token_stats",
     "lang_id",
     "quality_score",
