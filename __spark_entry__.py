@@ -3975,6 +3975,20 @@ def q_charset_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sniff_decode(payloads)
 
 
+def q_perceptron_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine classifier TRAINING (tx.perceptron_train): 4 full-batch
+    perceptron iterations over hashed bag-of-words on documents, label =
+    English. Integer arithmetic end to end (counts, +-1 labels, integer
+    weights) — no float accumulation to diverge, so the oracle's unrolled
+    K-update CTE chain must match the learned weight vector bit-for-bit.
+    Scale shape: the feature relation builds once (one shuffle) and each
+    iteration is two map-side-combined hash aggs + a dim-sized driver
+    collect, exactly bpe_learn's loop discipline."""
+    return tx.perceptron_train(
+        demo.load(spark, sf_dir, "documents"), label_expr="lang = 'en'"
+    )
+
+
 def q_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q12 shape, adapted (testdata has no l_shipmode/l_receiptdate:
     l_linestatus stands in for the ship mode and 'late' means shipped more
@@ -4236,6 +4250,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_repetition": q_gopher_repetition,
         "data_card": q_data_card,
         "charset_sniff": q_charset_sniff,
+        "perceptron_train": q_perceptron_train,
         "late_shipments": q_late_shipments,
         "part_supplier_counts": q_part_supplier_counts,
         "excess_suppliers": q_excess_suppliers,
@@ -4269,8 +4284,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "curation_v2": q_curation_v2,
         "ddl_in_stream": q_ddl_in_stream,
-        "dead_letter": q_dead_letter,
         # ---------------------------- slot 50 ends here ----------------------
+        "dead_letter": q_dead_letter,
         "dedup_cluster": q_dedup_cluster,
         "dedup_cluster_star": q_dedup_cluster_star,
         "dedup_exact": q_dedup_exact,
@@ -5598,6 +5613,7 @@ def oracle_sql() -> dict[str, str]:
             FROM vals GROUP BY id, frames, ch, rate
         """,
         "gopher_repetition": tx.gopher_repetition_sql(),
+        "perceptron_train": tx.perceptron_train_sql("documents", "lang = 'en'"),
         "charset_sniff": """
             SELECT c_custkey AS doc_id,
                    CASE c_custkey % 4 WHEN 0 THEN 'utf-16'

@@ -1500,3 +1500,95 @@ SELECT t.{id_col},
 FROM tokcnt t LEFT JOIN per_n p ON t.{id_col} = p.{id_col}
 GROUP BY t.{id_col}, t.n_tokens
 """
+
+
+def perceptron_train(
+    df: DataFrame, label_expr: str, id_col: str = "doc_id",
+    text_col: str = "text", dim: int = 32, iters: int = 4,
+) -> DataFrame:
+    """In-engine quality-classifier TRAINING (the learning half of the
+    fastText-shape scorer, clf_score): a full-batch perceptron over hashed
+    bag-of-words features, run as K deterministic DataFrame iterations.
+    INTEGER arithmetic throughout (counts, +-1 labels, integer weights), so
+    unlike gradient descent there is no float accumulation to diverge
+    across engines — the oracle unrolls the same K updates in SQL and must
+    match bit-for-bit.
+
+    Per iteration: score every doc against the broadcast weight vector
+    (dim integers riding the closure — the sanctioned driver-small scalar,
+    like bpe_learn's winning pair), collect the per-bucket update
+    sum(y * cnt) over misclassified docs (y * score <= 0), add it in. The
+    feature relation is built once, localCheckpointed, and re-scanned K
+    times; each iteration is two map-side-combined hash aggs. Returns the
+    learned (bucket, weight) table — dim rows."""
+    t = tokens_expr(text_col)
+    y = f"CASE WHEN {label_expr} THEN 1 ELSE -1 END"
+    feats = (
+        df.select(
+            F.col(id_col).alias("_doc"),
+            F.expr(y).alias("y"),
+            F.explode(F.expr(t)).alias("tok"),
+        )
+        .select("_doc", "y", (F.expr(portable_hash_expr("tok")) % dim).cast("int").alias("bucket"))
+        .groupBy("_doc", "y", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint()
+    )
+    w = [0] * dim
+    for _ in range(iters):
+        w_arr = F.array(*[F.lit(int(x)) for x in w])
+        scored = feats.groupBy("_doc", "y").agg(
+            F.sum(F.col("cnt") * F.element_at(w_arr, F.col("bucket") + 1)).alias("score")
+        )
+        upd = (
+            feats.join(
+                scored.filter(F.col("y") * F.col("score") <= 0).select("_doc"),
+                "_doc",
+                "left_semi",
+            )
+            .groupBy("bucket")
+            .agg(F.sum(F.col("y") * F.col("cnt")).alias("upd"))
+            .collect()
+        )
+        for r in upd:
+            w[r["bucket"]] += int(r["upd"])
+    return df.sparkSession.createDataFrame(
+        [(b, int(w[b])) for b in range(dim)], "bucket int, weight long"
+    )
+
+
+def perceptron_train_sql(
+    table: str = "documents", label_expr: str = "lang = 'en'",
+    id_col: str = "doc_id", text_col: str = "text", dim: int = 32, iters: int = 4,
+) -> str:
+    """DuckDB twin: the K updates unroll into chained CTEs (s{k} scores
+    against w{k-1}, u{k} aggregates misclassified updates, w{k} adds them)."""
+    t = tokens_sql(text_col)
+    h = portable_hash_sql("tok")
+    parts = [
+        f"""
+WITH toks AS (
+  SELECT {id_col} AS d, CASE WHEN {label_expr} THEN 1 ELSE -1 END AS y,
+         unnest({t}) AS tok
+  FROM {table}),
+feats AS (
+  SELECT d, y, CAST({h} % {dim} AS INT) AS bucket, COUNT(*) AS cnt
+  FROM toks GROUP BY ALL),
+w0 AS (SELECT CAST(i AS INT) AS bucket, CAST(0 AS BIGINT) AS w
+       FROM range({dim}) t(i))"""
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f""",
+s{k} AS (
+  SELECT f.d, f.y, SUM(f.cnt * w.w) AS score
+  FROM feats f JOIN w{k - 1} w USING (bucket) GROUP BY f.d, f.y),
+u{k} AS (
+  SELECT f.bucket, SUM(f.y * f.cnt) AS upd
+  FROM feats f JOIN s{k} s ON f.d = s.d
+  WHERE s.y * s.score <= 0 GROUP BY f.bucket),
+w{k} AS (
+  SELECT w.bucket, w.w + COALESCE(u.upd, 0) AS w
+  FROM w{k - 1} w LEFT JOIN u{k} u USING (bucket))"""
+        )
+    return "".join(parts) + f"\nSELECT bucket, CAST(w AS BIGINT) AS weight FROM w{iters}"

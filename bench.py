@@ -118,6 +118,7 @@ BENCH_QUERIES = [
     "robots_filter",
     "hash_split",
     "gopher_repetition",
+    "perceptron_train",
     "data_card",
     "token_stats",
     "lang_id",

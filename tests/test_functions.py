@@ -1070,3 +1070,29 @@ def test_gopher_repetition_hand_case(spark):
     assert out[2]["dup5_frac"] == 1.0
     # 1-token doc has no 2-grams: all shares 0 by definition
     assert out[3]["top2_share"] == 0.0 and out[3]["dup10_frac"] == 0.0
+
+
+def test_perceptron_train_separates_and_is_partition_invariant(spark):
+    # trivially separable: positive docs use disjoint vocabulary from negative
+    rows = [(i, "en", "good clean text " * 3) for i in range(20)]
+    rows += [(100 + i, "xx", "zzz spam junk " * 3) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    w = {r["bucket"]: r["weight"] for r in tx.perceptron_train(df, "lang = 'en'").collect()}
+    w2 = {r["bucket"]: r["weight"] for r in tx.perceptron_train(df.repartition(7), "lang = 'en'").collect()}
+    assert w == w2  # full-batch updates: partitioning cannot change the model
+    # the learned model must score the two classes on opposite sides
+    from ape_dts_spark.functions.text import portable_hash_expr, tokens_expr
+
+    feats = (
+        df.select("doc_id", "lang", F.explode(F.expr(tokens_expr("text"))).alias("tok"))
+        .select("doc_id", "lang", (F.expr(portable_hash_expr("tok")) % 32).cast("int").alias("b"))
+    )
+    wmap = F.create_map(*[x for b, wt in w.items() for x in (F.lit(b), F.lit(wt))])
+    scores = feats.groupBy("doc_id", "lang").agg(F.sum(wmap[F.col("b")]).alias("s")).collect()
+    assert all((r["s"] > 0) == (r["lang"] == "en") for r in scores)
+
+
+def test_perceptron_train_zero_iters_is_zero_model(spark):
+    df = spark.createDataFrame([(1, "en", "a b c")], "doc_id long, lang string, text string")
+    w = tx.perceptron_train(df, "lang = 'en'", iters=0).collect()
+    assert all(r["weight"] == 0 for r in w) and len(w) == 32

@@ -103,6 +103,7 @@ AUDITED = [
     "gopher_repetition",  # one exploded (doc,n,gram) relation, two hash aggs
     "data_card",          # per-doc JVM exprs -> one tiny grouped agg
     "charset_sniff",      # Arrow generate pass -> Arrow sniff+decode pass
+    "perceptron_train",   # feature relation built once; per-iter two hash aggs
 ]
 
 # queries whose plan legitimately contains a BroadcastNestedLoopJoin: the
