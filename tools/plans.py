@@ -103,7 +103,9 @@ AUDITED = [
     "gopher_repetition",  # one exploded (doc,n,gram) relation, two hash aggs
     "data_card",          # per-doc JVM exprs -> one tiny grouped agg
     "charset_sniff",      # Arrow generate pass -> Arrow sniff+decode pass
-    "perceptron_train",   # feature relation built once; per-iter two hash aggs
+    # (perceptron_train / bpe_learn run their loops inside the query function
+    # and return driver-built weight tables — nothing to audit in the final
+    # plan; their shuffle discipline is documented in the docstrings)
 ]
 
 # queries whose plan legitimately contains a BroadcastNestedLoopJoin: the
