@@ -43,6 +43,13 @@ BENCH_QUERIES = [
     "nation_trade_flows",
     "large_orders",
     "disjunctive_revenue",
+    # round-9: previously-excluded cheap real relational queries
+    "parts_never_shipped",
+    "priority_with_returns",
+    "segment_rollup",
+    "json_extract",
+    "gtid_coalesce",
+    "snapshot_chunked",
     # round-7 TPC-H completion set (broadcast-dim joins + decimal aggs)
     "shipping_priority",
     "local_supplier_volume",
@@ -192,6 +199,37 @@ BENCH_QUERIES = [
     "dedup_cluster_star",
 ]
 
+# queries() entries intentionally NOT benched: config/string-builder gates
+# whose callables assemble driver-side statements or parse fixed literals —
+# they execute no meaningful distributed plan, so timing them measures JVM
+# round-trip overhead, not the engine. Anything in queries() that is neither
+# here nor in BENCH_QUERIES is reported as `not_benched` in the JSON line
+# (self-audit: the round-8 incident silently dropped 10 bench entries).
+CONFIG_GATE_ALLOWLIST = {
+    "data_marker_filter",
+    "ddl_split",
+    "event_filter",
+    "merge_spill",
+    "mongo_statements",
+    "precheck_cdc",
+    "redis_big_keys",
+    "redis_compact",
+    "redis_slot_stats",
+    "redis_statements",
+    "reverse_events",
+    "review",
+    "revise",
+    "route_rename",
+    "script_transform",
+    "snapshot_sample",
+    "stream_load_payload",
+    "struct_ddl",
+    "time_filter",
+    "upsert_sql_batch",
+    "upsert_sql_mysql",
+    "upsert_sql_pg",
+}
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -202,6 +240,9 @@ def main() -> None:
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
     qs = entrymod.queries()
+    # self-audit: every executable queries() entry must be benched or on the
+    # declared config-gate allowlist — surfaced in the output, never silent
+    not_benched = sorted(set(qs) - set(BENCH_QUERIES) - CONFIG_GATE_ALLOWLIST)
     times: dict[str, float] = {}
     n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
     # the machine shows bursty external load; guarantee the JSON line is
@@ -257,6 +298,7 @@ def main() -> None:
                 "total_sec": total,
                 "queries": times,
                 "skipped": skipped,
+                "not_benched": not_benched,
                 "sf": sf,
             }
         )
@@ -275,6 +317,7 @@ def main() -> None:
                 "total_sec": total,
                 "n_queries": len(times),
                 "skipped": len(skipped),
+                "not_benched": not_benched,
                 "sf": sf,
             }
         )

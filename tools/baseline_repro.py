@@ -14,8 +14,10 @@ cost under test is scan/shuffle/merge planning and execution).
 
 Usage: python tools/baseline_repro.py [rows_per_table] [n_updates]
        (defaults: 5_000_000 and 3_200_000 — the published scale)
-Prints one JSON line; append the result to SCALING.md by hand or via
---write-md.
+Prints one JSON line AND persists it to /root/repo/BASELINE_REPRO.json —
+tools/scaling.py renders its SCALING.md appendix from that artifact, so a
+SCALING regeneration can never silently drop the published-scale numbers
+again (this artifact was hand-pasted and lost twice: rounds 7 and 8).
 """
 
 from __future__ import annotations
@@ -128,7 +130,22 @@ def main() -> int:
         "baseline_snapshot_rps_4c8g": 126582,
         "baseline_cdc_rps_4c8g": 19450,
     }
+    import subprocess
+
+    out["code_commit"] = (
+        subprocess.run(
+            ["git", "-C", "/root/repo", "rev-parse", "--short", "HEAD"],
+            capture_output=True,
+            text=True,
+        ).stdout.strip()
+        or "unknown"
+    )
     print(json.dumps(out))
+    # durable artifact — only write it for full published-scale runs so a
+    # quick smoke invocation can't overwrite the real measurement
+    if n_rows >= 5_000_000 and n_updates >= 3_200_000:
+        with open("/root/repo/BASELINE_REPRO.json", "w") as fh:
+            json.dump(out, fh, indent=1)
     shutil.rmtree(BASE, ignore_errors=True)
     return 0
 

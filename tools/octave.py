@@ -12,7 +12,9 @@ time; the overhead floor can't hide that).
 Corpus construction matches tools/scaling.py exactly (rewritten-content
 replication at constant duplicate density; id-shifted replication for the
 row-stream tables). Usage: python tools/octave.py [sf_dir]
-Prints one JSON line; results are folded into SCALING.md by hand.
+Prints one JSON line AND persists /root/repo/OCTAVE.json — tools/scaling.py
+renders its x16-octave appendix from that artifact so a SCALING
+regeneration can never drop the measurement.
 """
 
 from __future__ import annotations
@@ -122,6 +124,18 @@ def main() -> int:
         print(f"core x{f}: cdc {rps} rows/s, snapshot {snap} rows/s", flush=True)
 
     print(json.dumps(out))
+    artifact = {
+        "round": os.environ.get("SPARK_GRAFT_ROUND", "unknown"),
+        "queries": {q: out[q] for q in QUERIES},
+        "core": {
+            "cdc_x1_rps": out["core_x1"]["cdc_rps"],
+            "cdc_x16_rps": out[f"core_x{FACTOR}"]["cdc_rps"],
+            "snapshot_x1_rps": out["core_x1"]["snapshot_rps"],
+            "snapshot_x16_rps": out[f"core_x{FACTOR}"]["snapshot_rps"],
+        },
+    }
+    with open("/root/repo/OCTAVE.json", "w") as fh:
+        json.dump(artifact, fh, indent=1)
     return 0
 
 

@@ -18,6 +18,7 @@ Writes SCALING.md (default) with per-query times and exponents.
 
 from __future__ import annotations
 
+import json
 import math
 import os
 import shutil
@@ -142,6 +143,76 @@ def build_corpus(spark, sf_dir: str, factor: int, dest: str) -> None:
     events_n.write.mode("overwrite").parquet(os.path.join(dest, "events.parquet"))
 
 
+def appendix_sections() -> list[str]:
+    """Render the published-scale and x16-octave appendices from their
+    durable JSON artifacts. Hand-pasted appendix text was silently dropped
+    by SCALING regeneration twice (rounds 7 and 8); rendering from artifacts
+    makes the loss structurally impossible — a missing artifact produces a
+    visible MISSING marker, never an absent section."""
+    lines: list[str] = []
+
+    lines.append("## Published-scale baseline reproduction (tools/baseline_repro.py)")
+    lines.append("")
+    try:
+        with open("/root/repo/BASELINE_REPRO.json") as fh:
+            br = json.load(fh)
+        snap_x = br["snapshot_rps"] / br["baseline_snapshot_rps_4c8g"]
+        cdc_x = br["cdc_apply_rps"] / br["baseline_cdc_rps_4c8g"]
+        lines += [
+            f"{br['tables']} sysbench-shape tables x {br['rows_per_table']:,} rows +",
+            f"{br['n_updates']:,} keyed updates (BASELINE.md's own recipe), code",
+            f"commit `{br.get('code_commit', 'unknown')}`: snapshot copy"
+            f" **{br['snapshot_rps']:,.0f} rows/s**",
+            f"(reference 4c8g: {br['baseline_snapshot_rps_4c8g']:,} — {snap_x:.0f}x),"
+            " CDC compact+MERGE apply",
+            f"**{br['cdc_apply_rps']:,.0f} rows/s** (reference:"
+            f" {br['baseline_cdc_rps_4c8g']:,} — {cdc_x:.1f}x).",
+            "Caveat as prior rounds: local[32]/128 GiB with parquet/noop endpoints",
+            "vs a 4c8g task node with live MySQL — read as \"the Spark plans are",
+            "nowhere near the bottleneck at the reference's published scale\".",
+        ]
+    except (OSError, KeyError, ValueError):
+        lines.append(
+            "**MISSING** — run `python tools/baseline_repro.py` to produce"
+            " `BASELINE_REPRO.json`."
+        )
+    lines.append("")
+
+    lines.append("## x16 octave (tools/octave.py)")
+    lines.append("")
+    try:
+        with open("/root/repo/OCTAVE.json") as fh:
+            oc = json.load(fh)
+        qparts = []
+        for q, r in oc.get("queries", {}).items():
+            qparts.append(
+                f"`{q}` x1 {r['x1_s']:.2f}s -> x16 {r['x16_s']:.2f}s"
+                f" (alpha {r['alpha']:.2f})"
+            )
+        lines += [
+            "The hardest operators probed four doublings past the table (a",
+            "disguised alpha=2 operator would run 256x its x1 time here, which",
+            f"no overhead floor can hide), measured round {oc.get('round', '?')}: "
+            + "; ".join(qparts) + ".",
+        ]
+        core = oc.get("core", {})
+        if core:
+            lines.append(
+                f"Core paths on x16 data: CDC compact+apply"
+                f" {core['cdc_x1_rps']:,.0f} -> {core['cdc_x16_rps']:,.0f} rows/s"
+                f" ({core['cdc_x16_rps'] / core['cdc_x1_rps']:.1f}x throughput on"
+                f" 16x data); snapshot {core['snapshot_x1_rps']:,.0f} ->"
+                f" {core['snapshot_x16_rps']:,.0f} rows/s"
+                f" ({core['snapshot_x16_rps'] / core['snapshot_x1_rps']:.1f}x)."
+            )
+    except (OSError, KeyError, ValueError):
+        lines.append(
+            "**MISSING** — run `python tools/octave.py` to produce `OCTAVE.json`."
+        )
+    lines.append("")
+    return lines
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     out_md = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/SCALING.md"
@@ -210,6 +281,7 @@ def main() -> int:
         "  where watermarks bound state.",
         "",
     ]
+    lines += appendix_sections()
     with open(out_md, "w") as fh:
         fh.write("\n".join(lines))
     print(f"wrote {out_md}")
