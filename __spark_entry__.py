@@ -3003,8 +3003,10 @@ def q_kafka_segment_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     of orders (insert all keys o_orderkey%29==4, then update
     o_orderpriority->'X' for %3==0, then delete %7==0) is encoded as JSON
     envelopes into REAL record-batch-v2 segment bytes — CRC32C, ZigZag
-    varint records, gzip-compressed batches, broker directory layout, two
-    partitions keyed by o_orderkey parity — then re-read with the
+    varint records, broker directory layout, three partitions keyed by
+    o_orderkey%3 with ONE CODEC PER PARTITION (gzip / from-scratch
+    snappy-java framing / from-scratch LZ4 frame; sources/compression.py),
+    so every supported batch codec is on the gated path — then re-read with the
     distributed segment scan, envelope-decoded (wire_format.decode_events),
     and replayed to final state with per-partition offsets ordering (one
     window shuffle keyed on o_orderkey). The oracle computes the same final
@@ -3052,19 +3054,20 @@ def q_kafka_segment_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         for k in sorted(images):
             if k % 7 == 0:
                 ops.append(("delete", images[k], None))
-        # per-table key -> partition by key parity (per-key ordering holds
-        # within a partition, the guarantee Kafka actually gives)
-        per_part: dict[int, list] = {0: [], 1: []}
+        # per-table key -> partition by key%3 (per-key ordering holds
+        # within a partition, the guarantee Kafka actually gives); each
+        # partition exercises a different batch codec
+        per_part: dict[int, list] = {0: [], 1: [], 2: []}
         for seq, (op, before, after) in enumerate(ops):
             key = (after or before)["o_orderkey"]
             env = {"schema": "tpch", "tb": "orders", "operation": op,
                    "before": before, "after": after, "seq": seq}
-            per_part[key % 2].append((b"tpch.orders", json.dumps(env).encode(), None))
+            per_part[key % 3].append((b"tpch.orders", json.dumps(env).encode(), None))
         os.makedirs(seg_dir, exist_ok=True)
         for part, msgs in per_part.items():
             ksg.write_segment_files(
                 msgs, seg_dir, "cdc", part, per_batch=64, per_segment=256,
-                compression="gzip",
+                compression=("gzip", "snappy", "lz4")[part],
             )
     from pyspark.sql import types as T
 

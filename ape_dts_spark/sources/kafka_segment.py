@@ -24,8 +24,10 @@ Wire format parity (per the public spec):
   value | headerCount varint | [hKeyLen varint | hKey | hValLen varint |
   hVal]...  (all varints ZigZag),
 - attributes bits 0-2: compression codec over the records block — 0 none,
-  1 gzip (both supported here via zlib); snappy/lz4/zstd raise an honest
-  error (their codecs aren't in this container),
+  1 gzip (zlib), 2 snappy (from-scratch block codec + the snappy-java
+  stream framing the Java producer emits), 3 lz4 (from-scratch LZ4
+  block+frame codec) — see sources/compression.py; 4 zstd raises an
+  honest error (FSE/Huffman entropy coding isn't hand-buildable here),
 - CRC32C (Castagnoli), NOT the zlib CRC32 — table-driven implementation
   below,
 - segment file name = 20-digit base offset + ".log"; directory name =
@@ -46,6 +48,13 @@ import struct
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ape_dts_spark.sources.compression import (
+    lz4_frame_compress,
+    lz4_frame_decompress,
+    snappy_java_frame,
+    snappy_java_unframe,
+)
+
 MESSAGE_SCHEMA = (
     "topic string, partition int, offset long, ts long, "
     "key binary, value binary, headers map<string,binary>"
@@ -54,6 +63,8 @@ MESSAGE_SCHEMA = (
 _ATTR_CODEC_MASK = 0x07
 _CODEC_NONE = 0
 _CODEC_GZIP = 1
+_CODEC_SNAPPY = 2
+_CODEC_LZ4 = 3
 _CODEC_NAMES = {2: "snappy", 3: "lz4", 4: "zstd"}
 
 # ---------------------------------------------------------------------------
@@ -164,6 +175,12 @@ def encode_batch(
     if compression == "gzip":
         attrs = _CODEC_GZIP
         rec_bytes = _gzip.compress(rec_bytes, mtime=0)
+    elif compression == "snappy":
+        attrs = _CODEC_SNAPPY
+        rec_bytes = snappy_java_frame(rec_bytes)
+    elif compression == "lz4":
+        attrs = _CODEC_LZ4
+        rec_bytes = lz4_frame_compress(rec_bytes)
     elif compression != "none":
         raise ValueError(f"unsupported compression {compression!r}")
     after_crc = struct.pack(
@@ -210,6 +227,10 @@ def parse_segment_bytes(
         rec_bytes = after_crc[40:]
         if codec == _CODEC_GZIP:
             rec_bytes = _gzip.decompress(rec_bytes)
+        elif codec == _CODEC_SNAPPY:
+            rec_bytes = snappy_java_unframe(rec_bytes)
+        elif codec == _CODEC_LZ4:
+            rec_bytes = lz4_frame_decompress(rec_bytes)
         elif codec != _CODEC_NONE:
             name = _CODEC_NAMES.get(codec, str(codec))
             raise NotImplementedError(
