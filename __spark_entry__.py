@@ -42,6 +42,16 @@ from ape_dts_spark.sources.resume import keyset_predicate
 from ape_dts_spark.sources.snapshot import SnapshotSource, chunk_bounds, with_chunk_id
 
 
+def _spread(df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Round-robin repartition to the session's shuffle parallelism. The
+    media/codec fixture generators are CPU-bound Python kernels; the small
+    dim tables they key off arrive as ONE parquet partition, which would
+    serialize the whole encode+decode on one core (and on one executor at
+    cluster scale). The shuffled payload is just the id column — negligible
+    next to the per-row codec work it parallelizes."""
+    return df.repartition(int(spark.conf.get("spark.sql.shuffle.partitions", "32")))
+
+
 def _flatten_stream(df: DataFrame) -> DataFrame:
     """Change stream -> flat columns (structs render differently across engines)."""
     return df.select(
@@ -3521,8 +3531,51 @@ def q_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 payloads.append(mc.encode_png(px, filter_type=k % 5))
             yield pd.DataFrame({"id": ids, "payload": payloads})
 
-    payloads = p.mapInPandas(_gen, "id long, payload binary")
+    payloads = _spread(p, spark).mapInPandas(_gen, "id long, payload binary")
     return mc.decode_png(payloads)
+
+
+def q_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG pixel decode, stdlib+numpy only
+    (functions/media_codec.py: stream-declared quant + canonical Huffman
+    tables, DC-predictor restart handling, byte-unstuffing, IDCT): one
+    32x32 grayscale image per part row, generated DISTRIBUTED as a 4x4
+    grid of flat 8x8 blocks with DC value (7*id + 31*bi + 13*bj) % 256 and
+    encoded with restart_interval=2 — so the entropy decoder must chain DC
+    differences across blocks (both signs, categories up to 8), reset
+    predictors at each of the 7 RSTn markers, and hit EOB per block. The
+    decode is lossy ONLY through quantization, and for flat blocks the
+    whole pipeline is closed-form: qv = floor(dc/Q + 1/2) (odd Q makes the
+    half boundary unreachable), decoded = clip(floor((qv*Q + 1028)/8)).
+    The oracle restates exactly that integer formula — matching
+    px_sum/min/max proves Huffman decode, dequantization, IDCT and clip
+    all recovered every block's value. One map pass, no shuffle; same
+    kernel consumes binaryFile corpora. Parity: the reference treats media
+    as opaque binary (BASELINE.json multimodal north star) — this gate is
+    the curation-path decode it can't do."""
+    from ape_dts_spark.functions import media_codec as mc
+
+    p = demo.load(spark, sf_dir, "part").select("p_partkey")
+
+    def _gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for k in pdf["p_partkey"]:
+                k = int(k)
+                tile = np.empty((4, 4), np.uint8)
+                for bi in range(4):
+                    for bj in range(4):
+                        tile[bi, bj] = (7 * k + 31 * bi + 13 * bj) % 256
+                img = np.kron(tile, np.ones((8, 8), np.uint8))
+                ids.append(k)
+                payloads.append(mc.encode_jpeg(img, restart_interval=2))
+            yield pd.DataFrame({"id": ids, "payload": payloads})
+
+    payloads = _spread(p, spark).mapInPandas(_gen, "id long, payload binary")
+    return mc.decode_jpeg_df(payloads)
 
 
 def q_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3555,7 +3608,7 @@ def q_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 payloads.append(mc.encode_wav(s.astype(np.int16), rate, chans))
             yield pd.DataFrame({"id": ids, "payload": payloads})
 
-    payloads = o.mapInPandas(_gen, "id long, payload binary")
+    payloads = _spread(o, spark).mapInPandas(_gen, "id long, payload binary")
     return mc.decode_wav(payloads)
 
 
@@ -3588,7 +3641,7 @@ def q_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ids.append(k)
             yield pd.DataFrame({"id": ids, "payload": payloads})
 
-    payloads = c.mapInPandas(_gen, "id long, payload binary")
+    payloads = _spread(c, spark).mapInPandas(_gen, "id long, payload binary")
     return mc.decode_image(payloads)
 
 
@@ -3625,7 +3678,7 @@ def q_jpeg_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ids.append(k)
             yield pd.DataFrame({"id": ids, "payload": payloads})
 
-    payloads = c.mapInPandas(_gen, "id long, payload binary")
+    payloads = _spread(c, spark).mapInPandas(_gen, "id long, payload binary")
     return mc.decode_jpeg_meta(payloads)
 
 
@@ -4233,6 +4286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rotation; duplicates are structurally impossible.
     return {
         # -- new this round (driver rows needed) ------------------------------
+        "jpeg_decode": q_jpeg_decode,
         "precheck_cdc": q_precheck_cdc,
         "bpe_learn": q_bpe_learn,
         "bpe_encode": q_bpe_encode,
@@ -4286,8 +4340,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_dup_pairs": q_cosine_dup_pairs,
         "cosine_topk": q_cosine_topk,
         "curation_v2": q_curation_v2,
-        "ddl_in_stream": q_ddl_in_stream,
         # ---------------------------- slot 50 ends here ----------------------
+        "ddl_in_stream": q_ddl_in_stream,
         "dead_letter": q_dead_letter,
         "dedup_cluster": q_dedup_cluster,
         "dedup_cluster_star": q_dedup_cluster_star,
@@ -5578,6 +5632,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN c_custkey % 4 = 0 THEN 1 ELSE 3 END AS INT) AS n_components,
                    c_custkey % 5 = 0 AS progressive
             FROM customer WHERE c_custkey % 3 = 1
+        """,
+        "jpeg_decode": """
+            WITH base AS (SELECT p_partkey AS id FROM part),
+            blocks AS (
+              SELECT id, (7 * id + 31 * bi + 13 * bj) % 256 AS v
+              FROM base,
+                   LATERAL unnest(range(0, 4)) AS u1(bi),
+                   LATERAL unnest(range(0, 4)) AS u2(bj)),
+            -- closed-form DC-only JPEG: quantize round-half-up with odd
+            -- Q=11 (boundary unreachable), dequantize + IDCT of a flat
+            -- block = qv*Q/8 + 128, round half up, clip to [0, 255]
+            dec AS (
+              SELECT id,
+                LEAST(255, GREATEST(0, CAST(FLOOR(
+                  (CAST(FLOOR((2 * (8 * (v - 128)) + 11) / 22.0) AS BIGINT)
+                   * 11 + 1028) / 8.0) AS BIGINT))) AS px
+              FROM blocks)
+            SELECT id, CAST(32 AS INT) AS width, CAST(32 AS INT) AS height,
+                   CAST(1 AS INT) AS color_type,
+                   CAST(1024 AS BIGINT) AS n_px,
+                   CAST(SUM(px) * 64 AS BIGINT) AS px_sum,
+                   CAST(MIN(px) AS INT) AS px_min,
+                   CAST(MAX(px) AS INT) AS px_max
+            FROM dec GROUP BY id
         """,
         "png_decode": """
             WITH base AS (

@@ -114,7 +114,7 @@ def encode_png(pixels: np.ndarray, filter_type: int = 0) -> bytes:
 # ---------------------------------------------------------------------------
 
 
-def parse_png(payload: bytes) -> dict:
+def parse_png(payload: bytes, return_pixels: bool = False) -> dict:
     """Full PNG decode: signature, chunk walk with CRC-32 verification, IHDR,
     zlib-inflate of the concatenated IDAT stream, and per-scanline filter
     reconstruction (all five filter types). Returns header fields plus exact
@@ -183,7 +183,7 @@ def parse_png(payload: bytes) -> dict:
             raise ValueError(f"unknown filter type {ftype}")
         out[y] = (rec % 256).astype(np.uint8)
     px = out.astype(np.int64)
-    return {
+    rec = {
         "width": w,
         "height": h,
         "bit_depth": bit_depth,
@@ -193,6 +193,9 @@ def parse_png(payload: bytes) -> dict:
         "px_min": int(px.min()),
         "px_max": int(px.max()),
     }
+    if return_pixels:
+        rec["pixels"] = out.reshape((h, w) if bpp == 1 else (h, w, 3))
+    return rec
 
 
 PNG_DECODED_SCHEMA = (
@@ -309,7 +312,7 @@ def encode_bmp(pixels: np.ndarray) -> bytes:
     return header + info + bytes(body)
 
 
-def parse_bmp(payload: bytes) -> dict:
+def parse_bmp(payload: bytes, return_pixels: bool = False) -> dict:
     """Full BMP decode (BI_RGB 24-bit, bottom-up or top-down): header
     validation, padded-row walk, BGR->RGB, exact integer pixel statistics —
     the same comparable surface as parse_png."""
@@ -333,7 +336,7 @@ def parse_bmp(payload: bytes) -> dict:
         row = np.frombuffer(payload, dtype=np.uint8, count=w * 3, offset=off).reshape(w, 3)
         rows.append(row[:, ::-1])  # BGR -> RGB
     px = np.stack(rows).astype(np.int64)
-    return {
+    rec = {
         "width": w,
         "height": h,
         "bit_depth": 8,
@@ -343,6 +346,9 @@ def parse_bmp(payload: bytes) -> dict:
         "px_min": int(px.min()),
         "px_max": int(px.max()),
     }
+    if return_pixels:
+        rec["pixels"] = px.astype(np.uint8)
+    return rec
 
 
 # ---------------------------------------------------------------------------
@@ -423,6 +429,618 @@ def parse_jpeg_meta(payload: bytes) -> dict:
 
 
 # ---------------------------------------------------------------------------
+# Baseline JPEG (SOF0): full encoder + pixel decoder, stdlib + numpy.
+#
+# Spec: ITU-T T.81 / ISO 10918-1 (public). The encoder is the fixture
+# generator (writer-as-fixture-generator pattern): real FDCT, quantization,
+# canonical Huffman DC/AC coding, 0xFF byte stuffing, optional restart
+# markers, grayscale / 4:4:4 / 4:2:0 sampling. The decoder is the genuine
+# article: DQT/DHT/SOF0/DRI/SOS marker parse, canonical Huffman decode
+# (F.2.2.3 MINCODE/MAXCODE/VALPTR), DC-predictor restart handling,
+# dequantize + inverse zigzag + float IDCT, nearest-neighbor chroma
+# upsampling, YCbCr->RGB. Rounding at every lossy step is ROUND HALF UP
+# (floor(x + 0.5)) so decode results are stateable as integer formulas in
+# a SQL oracle (the jpeg_decode gate uses per-block-flat images whose
+# DC-only path is closed-form; odd quantizer entries keep every half-up
+# boundary unreachable). Huffman tables are built canonically from the
+# symbols actually used (optimized tables — any spec-valid DHT is legal;
+# the decoder reads whatever tables the stream declares).
+#
+# The reference treats media payloads as opaque bytes; full decode here
+# serves the multimodal curation path (functions/multimodal.py), replacing
+# the last honest media stub. Progressive (SOF2) and arithmetic coding stay
+# out of scope: raise, never guess.
+# ---------------------------------------------------------------------------
+
+_ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+# orthonormal 8-point DCT-II basis: C[k,n] = s_k cos((2n+1) k pi / 16)
+_DCT_C = np.zeros((8, 8))
+for _k in range(8):
+    _s = np.sqrt(1 / 8) if _k == 0 else np.sqrt(2 / 8)
+    for _n in range(8):
+        _DCT_C[_k, _n] = _s * np.cos((2 * _n + 1) * _k * np.pi / 16)
+
+# deterministic default quantization tables. ALL ENTRIES ODD: with round-
+# half-up quantization, an odd divisor makes the .5 boundary unreachable
+# for the integer-valued DC of flat blocks (2*dc = q*(2m+1) has no solution
+# with even LHS and odd q), so float FDCT noise (~1e-12) can never flip a
+# rounding decision the oracle states in exact integer arithmetic.
+_QTABLE_LUMA = np.full((8, 8), 17, dtype=np.int64)
+_QTABLE_LUMA[0, 0] = 11
+_QTABLE_CHROMA = np.full((8, 8), 23, dtype=np.int64)
+_QTABLE_CHROMA[0, 0] = 13
+
+
+def _round_half_up(x: np.ndarray) -> np.ndarray:
+    """floor(x + 0.5), with a 1e-9 guard so values that are EXACTLY on the
+    half boundary in exact arithmetic (e.g. dequantized DC/8 with
+    qv*Q = 4 mod 8) round up deterministically despite ~1e-12 float-DCT
+    noise — keeping the decode stateable as integer formulas in SQL."""
+    return np.floor(x + 0.5 + 1e-9).astype(np.int64)
+
+
+def _fdct_quant(block: np.ndarray, qtable: np.ndarray) -> np.ndarray:
+    """Level-shifted 8x8 block -> quantized coefficient matrix (int)."""
+    coef = _DCT_C @ (block.astype(np.float64) - 128.0) @ _DCT_C.T
+    return _round_half_up(coef / qtable)
+
+
+def _dequant_idct(qcoef: np.ndarray, qtable: np.ndarray) -> np.ndarray:
+    """Quantized coefficients -> clipped uint8 spatial block."""
+    spatial = _DCT_C.T @ (qcoef * qtable).astype(np.float64) @ _DCT_C
+    return np.clip(_round_half_up(spatial + 128.0), 0, 255).astype(np.uint8)
+
+
+def _bit_category(v: int) -> int:
+    return int(abs(v)).bit_length()
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, length: int) -> None:
+        if length == 0:
+            return
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.nbits -= 8
+            self.out.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.out.append(0x00)
+
+    def pad_to_byte(self) -> None:
+        if self.nbits:
+            self.write((1 << (8 - self.nbits)) - 1, 8 - self.nbits)
+
+
+def _canonical_table(symbols: list[int]) -> tuple[list[int], list[int], dict[int, tuple[int, int]]]:
+    """Build a canonical Huffman table giving every used symbol the same
+    code length L (2^L > n keeps the all-ones code unused, as T.81
+    requires). Returns (BITS[1..16], HUFFVAL, {symbol: (code, length)})."""
+    syms = sorted(set(symbols))
+    n = len(syms)
+    if n == 0:
+        syms, n = [0], 1  # a table must define at least one symbol
+    length = max(2, (n + 1 - 1).bit_length())
+    while (1 << length) <= n:
+        length += 1
+    if n > 255:  # DHT's per-length count is one byte; split the tail symbol
+        bits = [0] * 16
+        bits[length - 1] = 255
+        bits[length] = n - 255
+    else:
+        bits = [0] * 16
+        bits[length - 1] = n
+    codes: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for li, cnt in enumerate(bits, start=1):
+        for _ in range(cnt):
+            codes[syms[k]] = (code, li)
+            code += 1
+            k += 1
+        code <<= 1
+    return bits, syms, codes
+
+
+def _encode_coef_block(qcoef: np.ndarray, pred: int, dc_codes, ac_codes,
+                       bw: _BitWriter) -> int:
+    """Huffman-encode one quantized block (F.1.2): DC difference then AC
+    run-length pairs. Returns the new DC predictor."""
+    zz = qcoef.flatten()[_ZIGZAG]
+    dc = int(zz[0])
+    diff = dc - pred
+    cat = _bit_category(diff)
+    code, ln = dc_codes[cat]
+    bw.write(code, ln)
+    if cat:
+        bw.write(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
+    run = 0
+    last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+    for i in range(1, 64):
+        v = int(zz[i])
+        if i > last_nz:
+            break
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_codes[0xF0]  # ZRL
+            bw.write(code, ln)
+            run -= 16
+        cat = _bit_category(v)
+        code, ln = ac_codes[(run << 4) | cat]
+        bw.write(code, ln)
+        bw.write(v if v >= 0 else v + (1 << cat) - 1, cat)
+        run = 0
+    if last_nz < 63:
+        code, ln = ac_codes[0x00]  # EOB
+        bw.write(code, ln)
+    return dc
+
+
+def _rgb_to_ycbcr(px: np.ndarray) -> np.ndarray:
+    """JFIF color transform, round half up (decoder inverts with the same
+    rounding so both directions are integer-stateable)."""
+    r = px[..., 0].astype(np.float64)
+    g = px[..., 1].astype(np.float64)
+    b = px[..., 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    return np.clip(_round_half_up(np.stack([y, cb, cr], axis=-1)), 0, 255).astype(np.uint8)
+
+
+def _ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
+    yf = y.astype(np.float64)
+    cbf = cb.astype(np.float64) - 128.0
+    crf = cr.astype(np.float64) - 128.0
+    r = yf + 1.402 * crf
+    g = yf - 0.344136 * cbf - 0.714136 * crf
+    b = yf + 1.772 * cbf
+    return np.clip(_round_half_up(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
+
+
+def _plane_blocks(plane: np.ndarray) -> tuple[int, int, np.ndarray]:
+    """Pad a component plane to 8-multiples by edge replication and split
+    into (by, bx, 8, 8) blocks."""
+    h, w = plane.shape
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    padded = np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
+    by, bx = ph // 8, pw // 8
+    blocks = padded.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3)
+    return by, bx, blocks
+
+
+def encode_jpeg(
+    pixels: np.ndarray,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """Real baseline JFIF encoder. ``pixels`` is (h, w) grayscale or
+    (h, w, 3) RGB uint8; ``subsampling`` is '444' or '420' (color only);
+    ``restart_interval`` emits DRI + RSTn every N MCUs when > 0."""
+    pixels = np.asarray(pixels, dtype=np.uint8)
+    gray = pixels.ndim == 2
+    h, w = pixels.shape[:2]
+    if gray:
+        planes = [pixels.astype(np.int64)]
+        samp = [(1, 1)]
+        qids = [0]
+    else:
+        ycc = _rgb_to_ycbcr(pixels)
+        yp = ycc[..., 0].astype(np.int64)
+        cbp = ycc[..., 1].astype(np.int64)
+        crp = ycc[..., 2].astype(np.int64)
+        if subsampling == "420":
+            # 2x2 mean, round half up, edge-padded to even dims first
+            def _down(p: np.ndarray) -> np.ndarray:
+                ph, pw = -(-p.shape[0] // 2) * 2, -(-p.shape[1] // 2) * 2
+                p2 = np.pad(p, ((0, ph - p.shape[0]), (0, pw - p.shape[1])), mode="edge")
+                s = p2.reshape(ph // 2, 2, pw // 2, 2).sum(axis=(1, 3))
+                return _round_half_up(s / 4.0)
+
+            planes = [yp, _down(cbp), _down(crp)]
+            samp = [(2, 2), (1, 1), (1, 1)]
+        elif subsampling == "444":
+            planes = [yp, cbp, crp]
+            samp = [(1, 1), (1, 1), (1, 1)]
+        else:
+            raise ValueError(f"unsupported subsampling {subsampling!r}")
+        qids = [0, 1, 1]
+    qtables = {0: _QTABLE_LUMA, 1: _QTABLE_CHROMA}
+
+    # quantized blocks per component
+    comp_blocks = []
+    for plane, qid in zip(planes, qids):
+        by, bx, blocks = _plane_blocks(plane)
+        q = np.empty((by, bx, 8, 8), dtype=np.int64)
+        for i in range(by):
+            for j in range(bx):
+                q[i, j] = _fdct_quant(blocks[i, j], qtables[qid])
+        comp_blocks.append(q)
+
+    # MCU geometry
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    # components may need block padding up to the MCU grid
+    for ci, (sh, sv) in enumerate(samp):
+        need_y, need_x = mcus_y * sv, mcus_x * sh
+        q = comp_blocks[ci]
+        if q.shape[0] < need_y or q.shape[1] < need_x:
+            comp_blocks[ci] = np.pad(
+                q, ((0, need_y - q.shape[0]), (0, need_x - q.shape[1]), (0, 0), (0, 0)),
+                mode="edge",
+            )
+
+    # gather used Huffman symbols (two table pairs: luma=0, chroma=1)
+    dc_syms: dict[int, list[int]] = {0: [], 1: []}
+    ac_syms: dict[int, list[int]] = {0: [], 1: []}
+
+    def _collect(qcoef: np.ndarray, pred: int, tid: int) -> int:
+        zz = qcoef.flatten()[_ZIGZAG]
+        dc = int(zz[0])
+        dc_syms[tid].append(_bit_category(dc - pred))
+        run = 0
+        last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+        for i in range(1, 64):
+            if i > last_nz:
+                break
+            v = int(zz[i])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                ac_syms[tid].append(0xF0)
+                run -= 16
+            ac_syms[tid].append((run << 4) | _bit_category(v))
+            run = 0
+        if last_nz < 63:
+            ac_syms[tid].append(0x00)
+        return dc
+
+    tids = [0] + [1] * (len(planes) - 1)
+    preds = [0] * len(planes)
+    mcu_idx = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_idx and mcu_idx % restart_interval == 0:
+                preds = [0] * len(planes)
+            for ci, (sh, sv) in enumerate(samp):
+                for byy in range(sv):
+                    for bxx in range(sh):
+                        preds[ci] = _collect(
+                            comp_blocks[ci][my * sv + byy, mx * sh + bxx],
+                            preds[ci], tids[ci],
+                        )
+            mcu_idx += 1
+
+    tables = {}
+    for tid in set(tids):
+        tables[("dc", tid)] = _canonical_table(dc_syms[tid])
+        tables[("ac", tid)] = _canonical_table(ac_syms[tid])
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
+    for qid in sorted(set(qids)):
+        zz = qtables[qid].flatten()[_ZIGZAG].astype(np.uint8)
+        out += seg(0xDB, bytes([qid]) + zz.tobytes())
+    sof = struct.pack(">BHHB", 8, h, w, len(planes))
+    for ci, (sh, sv) in enumerate(samp):
+        sof += struct.pack(">BBB", ci + 1, (sh << 4) | sv, qids[ci])
+    out += seg(0xC0, sof)
+    for (cls, tid), (bits, vals, _codes) in sorted(tables.items()):
+        body = bytes([((0 if cls == "dc" else 1) << 4) | tid])
+        body += bytes(bits) + bytes(vals)
+        out += seg(0xC4, body)
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytes([len(planes)])
+    for ci in range(len(planes)):
+        sos += struct.pack(">BB", ci + 1, (tids[ci] << 4) | tids[ci])
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, sos)
+
+    bw = _BitWriter()
+    preds = [0] * len(planes)
+    mcu_idx = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_idx and mcu_idx % restart_interval == 0:
+                bw.pad_to_byte()
+                out += bw.out
+                bw = _BitWriter()
+                rst = (mcu_idx // restart_interval - 1) % 8
+                out += bytes([0xFF, 0xD0 + rst])
+                preds = [0] * len(planes)
+            for ci, (sh, sv) in enumerate(samp):
+                dc_codes = tables[("dc", tids[ci])][2]
+                ac_codes = tables[("ac", tids[ci])][2]
+                for byy in range(sv):
+                    for bxx in range(sh):
+                        preds[ci] = _encode_coef_block(
+                            comp_blocks[ci][my * sv + byy, mx * sh + bxx],
+                            preds[ci], dc_codes, ac_codes, bw,
+                        )
+            mcu_idx += 1
+    bw.pad_to_byte()
+    out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+class _BitReader:
+    """Entropy-segment bit reader: un-stuffs 0xFF00, stops at markers."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        b = self.data[self.pos]
+        if b == 0xFF:
+            nxt = self.data[self.pos + 1]
+            if nxt == 0x00:  # stuffed literal 0xFF
+                self.pos += 2
+            else:
+                raise _MarkerHit(nxt)
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def read(self, n: int) -> int:
+        while self.nbits < n:
+            self._fill()
+        v = (self.acc >> (self.nbits - n)) & ((1 << n) - 1)
+        self.nbits -= n
+        return v
+
+    def align_and_expect_rst(self) -> None:
+        self.nbits = 0  # discard pad bits
+        if self.data[self.pos] != 0xFF or not (0xD0 <= self.data[self.pos + 1] <= 0xD7):
+            raise ValueError("expected restart marker")
+        self.pos += 2
+
+
+class _MarkerHit(Exception):
+    def __init__(self, marker: int) -> None:
+        self.marker = marker
+
+
+class _HuffDecoder:
+    """Canonical Huffman decode per T.81 F.2.2.3 (MINCODE/MAXCODE/VALPTR)."""
+
+    def __init__(self, bits: list[int], vals: list[int]) -> None:
+        self.mincode = [0] * 17
+        self.maxcode = [-1] * 17
+        self.valptr = [0] * 17
+        self.vals = vals
+        code = 0
+        k = 0
+        for li in range(1, 17):
+            if bits[li - 1]:
+                self.valptr[li] = k
+                self.mincode[li] = code
+                code += bits[li - 1]
+                k += bits[li - 1]
+                self.maxcode[li] = code - 1
+            code <<= 1
+
+    def decode(self, br: _BitReader) -> int:
+        code = br.read(1)
+        li = 1
+        while li <= 16 and code > self.maxcode[li]:
+            code = (code << 1) | br.read(1)
+            li += 1
+        if li > 16:
+            raise ValueError("invalid Huffman code")
+        return self.vals[self.valptr[li] + code - self.mincode[li]]
+
+
+def _extend(v: int, cat: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map ``cat`` magnitude bits to a signed value."""
+    if cat == 0:
+        return 0
+    return v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
+
+
+def decode_jpeg(payload: bytes) -> dict:
+    """Full baseline JPEG pixel decode: marker walk, stream-declared
+    quant/Huffman tables, entropy decode with restart handling, IDCT,
+    chroma upsample, YCbCr->RGB. Returns the common pixel-statistics
+    record (+ the pixel array under 'pixels'). Progressive/arithmetic
+    streams raise honestly."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG: missing SOI")
+    qtables: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], _HuffDecoder] = {}
+    restart_interval = 0
+    frame = None
+    pos = 2
+    while True:
+        if payload[pos] != 0xFF:
+            raise ValueError(f"marker sync lost at {pos}")
+        marker = payload[pos + 1]
+        if marker == 0xD9:
+            raise ValueError("no scan data before EOI")
+        (seg_len,) = struct.unpack_from(">H", payload, pos + 2)
+        body = payload[pos + 4 : pos + 2 + seg_len]
+        pos += 2 + seg_len
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            i = 0
+            while i < len(body):
+                prec, tid = body[i] >> 4, body[i] & 0xF
+                i += 1
+                if prec:
+                    vals = np.frombuffer(body[i : i + 128], dtype=">u2").astype(np.int64)
+                    i += 128
+                else:
+                    vals = np.frombuffer(body[i : i + 64], dtype=np.uint8).astype(np.int64)
+                    i += 64
+                t = np.zeros(64, dtype=np.int64)
+                t[_ZIGZAG] = vals
+                qtables[tid] = t.reshape(8, 8)
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(body):
+                cls, tid = body[i] >> 4, body[i] & 0xF
+                bits = list(body[i + 1 : i + 17])
+                n = sum(bits)
+                vals = list(body[i + 17 : i + 17 + n])
+                huff[(cls, tid)] = _HuffDecoder(bits, vals)
+                i += 17 + n
+        elif marker in (0xC1, 0xC0):  # SOF0/1 baseline
+            precision, h, w, n_comp = struct.unpack_from(">BHHB", body, 0)
+            comps = []
+            for c in range(n_comp):
+                cid, sampv, qid = struct.unpack_from(">BBB", body, 6 + 3 * c)
+                comps.append({"id": cid, "h": sampv >> 4, "v": sampv & 0xF, "q": qid})
+            frame = {"precision": precision, "h": h, "w": w, "comps": comps}
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"only baseline sequential (SOF0/1) supported, got SOF marker {marker:#x}"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA:  # SOS -> entropy-coded data follows
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            n_scan = body[0]
+            scan_tables = {}
+            for c in range(n_scan):
+                cid, tsel = struct.unpack_from(">BB", body, 1 + 2 * c)
+                scan_tables[cid] = (tsel >> 4, tsel & 0xF)
+            break
+    comps = frame["comps"]
+    h, w = frame["h"], frame["w"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    planes = {}
+    for c in comps:
+        planes[c["id"]] = np.zeros(
+            (mcus_y * c["v"] * 8, mcus_x * c["h"] * 8), dtype=np.uint8
+        )
+    br = _BitReader(payload, pos)
+    preds = {c["id"]: 0 for c in comps}
+    mcu_idx = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_idx and mcu_idx % restart_interval == 0:
+                br.align_and_expect_rst()
+                preds = {c["id"]: 0 for c in comps}
+            for c in comps:
+                dc_key = (0, scan_tables[c["id"]][0])
+                ac_key = (1, scan_tables[c["id"]][1])
+                if dc_key not in huff or ac_key not in huff:
+                    raise ValueError("scan references undefined Huffman table")
+                if c["q"] not in qtables:
+                    raise ValueError("frame references undefined quant table")
+                dc_t = huff[dc_key]
+                ac_t = huff[ac_key]
+                qt = qtables[c["q"]]
+                for byy in range(c["v"]):
+                    for bxx in range(c["h"]):
+                        zz = np.zeros(64, dtype=np.int64)
+                        cat = dc_t.decode(br)
+                        diff = _extend(br.read(cat), cat) if cat else 0
+                        preds[c["id"]] += diff
+                        zz[0] = preds[c["id"]]
+                        k = 1
+                        while k < 64:
+                            sym = ac_t.decode(br)
+                            if sym == 0x00:  # EOB
+                                break
+                            if sym == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            k += sym >> 4
+                            cat = sym & 0xF
+                            if k > 63:
+                                raise ValueError("AC index overrun")
+                            zz[k] = _extend(br.read(cat), cat)
+                            k += 1
+                        qcoef = np.zeros(64, dtype=np.int64)
+                        qcoef[_ZIGZAG] = zz
+                        block = _dequant_idct(qcoef.reshape(8, 8), qt)
+                        y0 = (my * c["v"] + byy) * 8
+                        x0 = (mx * c["h"] + bxx) * 8
+                        planes[c["id"]][y0 : y0 + 8, x0 : x0 + 8] = block
+            mcu_idx += 1
+    if len(comps) == 1:
+        px = planes[comps[0]["id"]][:h, :w]
+        out_px = px
+    else:
+        up = {}
+        for c in comps:
+            p = planes[c["id"]]
+            fy, fx = vmax // c["v"], hmax // c["h"]
+            if fy > 1 or fx > 1:  # nearest-neighbor upsample
+                p = np.repeat(np.repeat(p, fy, axis=0), fx, axis=1)
+            up[c["id"]] = p[:h, :w]
+        ids = [c["id"] for c in comps]
+        out_px = _ycbcr_to_rgb(up[ids[0]], up[ids[1]], up[ids[2]])
+        px = out_px
+    flat = px.astype(np.int64)
+    return {
+        "width": w,
+        "height": h,
+        "bit_depth": 8,
+        "color_type": len(comps),
+        "n_px": int(flat.size),
+        "px_sum": int(flat.sum()),
+        "px_min": int(flat.min()),
+        "px_max": int(flat.max()),
+        "pixels": out_px,
+    }
+
+
+JPEG_DECODED_SCHEMA = (
+    "id long, width int, height int, color_type int, "
+    "n_px long, px_sum long, px_min int, px_max int"
+)
+
+
+def decode_jpeg_df(df: DataFrame, payload_col: str = "payload", id_col: str = "id") -> DataFrame:
+    """Distributed full-pixel JPEG decode -> exact integer pixel statistics.
+    One Arrow-batched mapInPandas pass, no shuffle (partition = files)."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for b in pdf[payload_col]:
+                rec = decode_jpeg(bytes(b))
+                rec.pop("pixels")
+                rec.pop("bit_depth")
+                recs.append(rec)
+            out = pd.DataFrame(recs)
+            out.insert(0, "id", pdf[id_col].values)
+            yield out
+
+    return df.mapInPandas(_decode, schema=JPEG_DECODED_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
 # Format-dispatching distributed decoders
 # ---------------------------------------------------------------------------
 
@@ -433,15 +1051,17 @@ IMAGE_DECODED_SCHEMA = (
 
 
 def parse_image(payload: bytes) -> dict:
-    """Magic-sniffing image decode: PNG or BMP (the two fully-decodable
-    formats here) -> the common pixel-statistics record + a format tag.
-    JPEG payloads raise toward parse_jpeg_meta (header-only surface)."""
+    """Magic-sniffing image decode: PNG, BMP, or baseline JPEG -> the
+    common pixel-statistics record + a format tag. Progressive JPEG
+    (SOF2) still raises from decode_jpeg (entropy structure differs)."""
     if payload[:8] == PNG_SIGNATURE:
         return {"format": "png", **parse_png(payload)}
     if payload[:2] == b"BM":
         return {"format": "bmp", **parse_bmp(payload)}
     if payload[:2] == b"\xff\xd8":
-        raise NotImplementedError("JPEG pixel decode needs an entropy decoder; use parse_jpeg_meta")
+        rec = decode_jpeg(payload)
+        rec.pop("pixels")
+        return {"format": "jpeg", **rec}
     raise ValueError("unrecognized image magic")
 
 

@@ -7,18 +7,18 @@ resize / frame-sample run as Arrow-batched pandas functions over
 round-trips — the right shape for CPU-bound media work at 100 TB (partition
 count = media files / target batch size; no shuffle).
 
-The external codec libraries (PIL/ffmpeg/librosa) are NOT in this container,
-so THIS module's generic decode kernel is stubbed: `decode_image_meta` raises
-NotImplementedError unless `fake=True`, in which case it produces a
-deterministic fake decode (dimensions derived from the payload hash) — the
-Spark-side plumbing (schema, batching, UDF signatures) is real and tested
-either way.
-
-For the formats decodable with the stdlib alone the decode IS real: see
-functions/media_codec.py — a full PNG decoder (zlib inflate, CRC-verified
-chunk walk, all five filter-type reconstructions) and a PCM16 WAV decoder,
-each with a spec-conformant writer, oracle-gated pixel/sample statistics
-(`png_decode` / `wav_decode`), and hand-computed spec vectors in tests.
+For image payloads the kernels are REAL: functions/media_codec.py fully
+decodes PNG (zlib inflate, CRC-verified chunk walk, all five filter-type
+reconstructions), BMP, and baseline JPEG (stream-declared Huffman/quant
+tables, restart handling, IDCT, chroma upsample, YCbCr->RGB) — so
+`decode_image_meta` returns true dimensions, `extract_features` computes
+real pixel-grid intensity features, and `resize_payload` does a genuine
+decode -> nearest-neighbor resample -> lossless PNG re-encode. The
+`fake=True` kernels remain ONLY for payloads in formats that need
+external codec libraries (ffmpeg video, progressive JPEG, model-based
+embeddings): deterministic stand-ins that keep the distributed plumbing
+(schema, batching, UDF signatures) testable; without fake such payloads
+raise honestly.
 """
 
 from __future__ import annotations
@@ -54,32 +54,62 @@ def binary_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     )
 
 
-def decode_image_meta(df: DataFrame, payload_col: str = "payload", fake: bool = False) -> DataFrame:
-    """'Decode' each payload to (width, height, channels) via mapInPandas.
+def _sniff_image(payload: bytes) -> bool:
+    import struct
 
-    Real decoders (PIL etc.) are unavailable in this environment; with
-    fake=True a deterministic stand-in derives dimensions from the byte
-    content so tests can exercise the full distributed plumbing. The batch
-    shape, Arrow transfer, and output schema are exactly what a real decoder
-    kernel would use.
+    from ape_dts_spark.functions import media_codec as mc
+
+    if payload[:8] == mc.PNG_SIGNATURE or payload[:2] == b"\xff\xd8":
+        return True  # 0x89 / 0xFF lead bytes can never open valid UTF-8
+    if payload[:2] == b"BM" and len(payload) >= 54:
+        # "BM" is printable ASCII, so a text payload can start with it —
+        # corroborate with the header's file-size field before dispatching
+        return struct.unpack_from("<I", payload, 2)[0] == len(payload)
+    return False
+
+
+def decode_image_meta(df: DataFrame, payload_col: str = "payload", fake: bool = False) -> DataFrame:
+    """Decode each payload to (width, height, channels) via mapInPandas.
+
+    PNG/BMP/baseline-JPEG payloads get a REAL decode (media_codec full
+    pixel parsers — true dimensions, channels from the stream). Other
+    payloads need external codecs: with fake=True a deterministic
+    stand-in derives dimensions from the byte content so tests can
+    exercise the distributed plumbing; without it they raise honestly.
     """
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ape_dts_spark.functions import media_codec as mc
+
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "image decode requires PIL/opencv, not present in this container; "
-                    "pass fake=True for the deterministic test kernel"
-                )
-            payloads = pdf[payload_col]
-            n = payloads.map(len)
+            ids, widths, heights, chans, oks = [], [], [], [], []
+            for rid, raw in zip(pdf["id"], pdf[payload_col]):
+                b = bytes(raw)
+                if _sniff_image(b):
+                    rec = mc.parse_image(b)
+                    w, h = rec["width"], rec["height"]
+                    c = 3 if rec["color_type"] in (2, 3) else 1
+                elif fake:
+                    n = len(b)
+                    w, h, c = n % 640 + 16, n % 480 + 16, (n % 2) * 2 + 1
+                else:
+                    raise NotImplementedError(
+                        "payload is not a PNG/BMP/baseline-JPEG; other formats "
+                        "need external codecs — pass fake=True for the "
+                        "deterministic test kernel"
+                    )
+                ids.append(rid)
+                widths.append(w)
+                heights.append(h)
+                chans.append(c)
+                oks.append(True)
             yield pd.DataFrame(
                 {
-                    "id": pdf["id"],
-                    "width": (n % 640 + 16).astype("int32"),
-                    "height": (n % 480 + 16).astype("int32"),
-                    "n_channels": ((n % 2) * 2 + 1).astype("int32"),
-                    "ok": True,
+                    "id": pd.Series(ids, dtype="int64"),
+                    "width": pd.Series(widths, dtype="int32"),
+                    "height": pd.Series(heights, dtype="int32"),
+                    "n_channels": pd.Series(chans, dtype="int32"),
+                    "ok": oks,
                 }
             )
 
@@ -93,57 +123,124 @@ RESIZED_SCHEMA = "id long, n_bytes int, resized binary, ok boolean"
 def extract_features(
     df: DataFrame, payload_col: str = "payload", dim: int = 8, fake: bool = False
 ) -> DataFrame:
-    """Feature extraction plumbing: payload bytes -> fixed-dim embedding via
-    mapInPandas (the CLIP/wav2vec slot in a real pipeline; model runtimes are
-    absent here, so the fake kernel is deterministic byte arithmetic).
+    """Feature extraction: payload bytes -> fixed-dim embedding via
+    mapInPandas.
 
-    Fake kernel: feature_i = (sum of bytes at positions ≡ i (mod dim)
-    modulo 1000) / 1000.0 — integer ops then one exact double divide, so the
-    whole pipeline has a bit-exact cross-engine oracle. Output embeds
-    straight into the similarity operators (cosine_topk/ann_*), wiring the
-    multimodal path into the ANN stack."""
+    For PNG/BMP/baseline-JPEG payloads the features are REAL: the image is
+    fully pixel-decoded (media_codec) and feature_i = band_sum_i /
+    (band_count_i * 255) over ``dim`` horizontal pixel bands (band of row r
+    = r*dim//h; color images sum all channels) — the classic intensity-
+    profile descriptor, and integer sums + one exact double divide, so the
+    pipeline keeps a bit-exact cross-engine oracle. Other payloads (the
+    CLIP/wav2vec slot — model runtimes absent here) use the deterministic
+    byte-arithmetic kernel with fake=True, else raise honestly. Output
+    embeds straight into the similarity operators (cosine_topk/ann_*),
+    wiring the multimodal path into the ANN stack."""
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ape_dts_spark.functions import media_codec as mc
+
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "feature extraction requires a model runtime (CLIP/wav2vec), "
-                    "not present in this container; pass fake=True for the "
-                    "deterministic test kernel"
-                )
             feats = []
             for b in pdf[payload_col]:
-                sums = [0] * dim
-                for pos, byte in enumerate(b):
-                    sums[pos % dim] += byte
-                feats.append([(s % 1000) / 1000.0 for s in sums])
+                b = bytes(b)
+                if _sniff_image(b):
+                    if b[:8] == mc.PNG_SIGNATURE:
+                        px = mc.parse_png(b, return_pixels=True)["pixels"]
+                    elif b[:2] == b"BM":
+                        px = mc.parse_bmp(b, return_pixels=True)["pixels"]
+                    else:
+                        px = mc.decode_jpeg(b)["pixels"]
+                    px = px.astype(np.int64)
+                    if px.ndim == 3:
+                        px = px.sum(axis=2)
+                        scale = 3 * 255
+                    else:
+                        scale = 255
+                    h = px.shape[0]
+                    band = np.arange(h) * dim // h
+                    sums = np.zeros(dim, dtype=np.int64)
+                    cnts = np.zeros(dim, dtype=np.int64)
+                    np.add.at(sums, band, px.sum(axis=1))
+                    np.add.at(cnts, band, px.shape[1])
+                    feats.append([
+                        float(s) / (int(c) * scale) if c else 0.0
+                        for s, c in zip(sums, cnts)
+                    ])
+                elif fake:
+                    sums = [0] * dim
+                    for pos, byte in enumerate(b):
+                        sums[pos % dim] += byte
+                    feats.append([(s % 1000) / 1000.0 for s in sums])
+                else:
+                    raise NotImplementedError(
+                        "payload is not a decodable image; model-based feature "
+                        "extraction (CLIP/wav2vec) is not present in this "
+                        "container — pass fake=True for the test kernel"
+                    )
             yield pd.DataFrame({"id": pdf["id"], "features": feats})
 
     return df.mapInPandas(_extract, schema=FEATURES_SCHEMA)
 
 
 def resize_payload(
-    df: DataFrame, payload_col: str = "payload", target_bytes: int = 256, fake: bool = False
+    df: DataFrame, payload_col: str = "payload", target_bytes: int = 256,
+    fake: bool = False, target_px: int = 16,
 ) -> DataFrame:
-    """Resize plumbing: payload -> bounded-size payload via mapInPandas (the
-    image-resize / audio-downsample slot). The fake kernel truncates to
-    ``target_bytes`` — deterministic, so the byte lengths (and content) have
-    an exact oracle; a real kernel would decode-resize-reencode per batch."""
+    """Resize: payload -> bounded-size payload via mapInPandas.
+
+    PNG/BMP/baseline-JPEG payloads get a REAL resize: full pixel decode
+    (media_codec), deterministic nearest-neighbor resample so the longest
+    side becomes min(longest, target_px) (source index = floor(i*src/dst) —
+    integer-exact, no interpolation rounding ambiguity), then a lossless
+    PNG re-encode, so the output is decodable and the resample has an
+    exact oracle. Non-image payloads: the fake kernel truncates to
+    ``target_bytes`` (deterministic plumbing stand-in), else raise."""
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ape_dts_spark.functions import media_codec as mc
+
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "resize requires PIL/ffmpeg, not present in this container; "
-                    "pass fake=True for the deterministic test kernel"
-                )
-            resized = pdf[payload_col].map(lambda b: bytes(b[:target_bytes]))
+            ids, blobs, oks = [], [], []
+            for rid, raw in zip(pdf["id"], pdf[payload_col]):
+                b = bytes(raw)
+                if _sniff_image(b):
+                    if b[:8] == mc.PNG_SIGNATURE:
+                        px = mc.parse_png(b, return_pixels=True)["pixels"]
+                    elif b[:2] == b"BM":
+                        px = mc.parse_bmp(b, return_pixels=True)["pixels"]
+                    else:
+                        px = mc.decode_jpeg(b)["pixels"]
+                    h, w = px.shape[:2]
+                    longest = max(h, w)
+                    if longest > target_px:
+                        nh = max(1, h * target_px // longest)
+                        nw = max(1, w * target_px // longest)
+                        yi = np.arange(nh) * h // nh
+                        xi = np.arange(nw) * w // nw
+                        px = px[yi][:, xi]
+                    out = mc.encode_png(np.ascontiguousarray(px))
+                elif fake:
+                    out = b[:target_bytes]
+                else:
+                    raise NotImplementedError(
+                        "payload is not a decodable image; non-image resize "
+                        "needs external codecs — pass fake=True for the "
+                        "deterministic test kernel"
+                    )
+                ids.append(rid)
+                blobs.append(out)
+                oks.append(True)
             yield pd.DataFrame(
                 {
-                    "id": pdf["id"],
-                    "n_bytes": resized.map(len).astype("int32"),
-                    "resized": resized,
-                    "ok": True,
+                    "id": pd.Series(ids, dtype="int64"),
+                    "n_bytes": pd.Series([len(x) for x in blobs], dtype="int32"),
+                    "resized": blobs,
+                    "ok": oks,
                 }
             )
 
