@@ -795,8 +795,12 @@ class _BitReader:
         self.nbits = 0
 
     def _fill(self) -> None:
+        if self.pos >= len(self.data):
+            raise ValueError("entropy-coded data truncated before scan complete")
         b = self.data[self.pos]
         if b == 0xFF:
+            if self.pos + 1 >= len(self.data):
+                raise ValueError("entropy-coded data truncated at 0xFF")
             nxt = self.data[self.pos + 1]
             if nxt == 0x00:  # stuffed literal 0xFF
                 self.pos += 2
@@ -821,8 +825,13 @@ class _BitReader:
         self.pos += 2
 
 
-class _MarkerHit(Exception):
+class _MarkerHit(ValueError):
+    """A non-stuffed marker inside entropy data: always corrupt/truncated
+    input for baseline scans, so it must surface to callers as a ValueError
+    (not a private message-less signal)."""
+
     def __init__(self, marker: int) -> None:
+        super().__init__(f"unexpected marker 0x{marker:02x} in entropy-coded data")
         self.marker = marker
 
 
@@ -941,6 +950,12 @@ def decode_jpeg(payload: bytes) -> dict:
         planes[c["id"]] = np.zeros(
             (mcus_y * c["v"] * 8, mcus_x * c["h"] * 8), dtype=np.uint8
         )
+    # T.81 defines the interleave by SOS scan-component order, not SOF frame
+    # order — iterate components as the scan declares them (B.2.3).
+    scan_order = {cid: i for i, cid in enumerate(scan_tables)}
+    if set(scan_order) != {c["id"] for c in comps}:
+        raise ValueError("SOS component set does not match SOF frame components")
+    comps_scan = sorted(comps, key=lambda c: scan_order[c["id"]])
     br = _BitReader(payload, pos)
     preds = {c["id"]: 0 for c in comps}
     mcu_idx = 0
@@ -949,7 +964,7 @@ def decode_jpeg(payload: bytes) -> dict:
             if restart_interval and mcu_idx and mcu_idx % restart_interval == 0:
                 br.align_and_expect_rst()
                 preds = {c["id"]: 0 for c in comps}
-            for c in comps:
+            for c in comps_scan:
                 dc_key = (0, scan_tables[c["id"]][0])
                 ac_key = (1, scan_tables[c["id"]][1])
                 if dc_key not in huff or ac_key not in huff:

@@ -71,11 +71,15 @@ def _sniff_image(payload: bytes) -> bool:
 def decode_image_meta(df: DataFrame, payload_col: str = "payload", fake: bool = False) -> DataFrame:
     """Decode each payload to (width, height, channels) via mapInPandas.
 
-    PNG/BMP/baseline-JPEG payloads get a REAL decode (media_codec full
-    pixel parsers — true dimensions, channels from the stream). Other
+    PNG/BMP payloads get a REAL pixel decode (media_codec full parsers);
+    JPEG payloads get REAL header metadata via the marker walk — which
+    reads SOF2 as well, so progressive JPEGs report true dimensions here
+    even though pixel decode (decode_jpeg) honestly raises on them. Other
     payloads need external codecs: with fake=True a deterministic
     stand-in derives dimensions from the byte content so tests can
-    exercise the distributed plumbing; without it they raise honestly.
+    exercise the distributed plumbing (and sniffed-but-corrupt payloads
+    fall through to it instead of crashing the job); without it they
+    raise honestly.
     """
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -85,10 +89,30 @@ def decode_image_meta(df: DataFrame, payload_col: str = "payload", fake: bool = 
             ids, widths, heights, chans, oks = [], [], [], [], []
             for rid, raw in zip(pdf["id"], pdf[payload_col]):
                 b = bytes(raw)
-                if _sniff_image(b):
-                    rec = mc.parse_image(b)
-                    w, h = rec["width"], rec["height"]
-                    c = 3 if rec["color_type"] in (2, 3) else 1
+                dims = None
+                if b[:2] == b"\xff\xd8":
+                    # metadata needs only the header marker walk, which reads
+                    # SOF2 too — so meta stays REAL for progressive JPEGs even
+                    # though pixel decode honestly raises on them
+                    try:
+                        jrec = mc.parse_jpeg_meta(b)
+                        dims = (jrec["width"], jrec["height"], jrec["n_components"])
+                    except ValueError:
+                        if not fake:
+                            raise
+                elif _sniff_image(b):
+                    try:
+                        rec = mc.parse_image(b)
+                        c = 3 if rec["color_type"] in (2, 3) else 1
+                        dims = (rec["width"], rec["height"], c)
+                    except (NotImplementedError, ValueError):
+                        # sniffed-but-undecodable (corrupt stream): with
+                        # fake=True a mixed corpus must fall through to the
+                        # stand-in, not crash the job
+                        if not fake:
+                            raise
+                if dims is not None:
+                    w, h, c = dims
                 elif fake:
                     n = len(b)
                     w, h, c = n % 640 + 16, n % 480 + 16, (n % 2) * 2 + 1
@@ -146,13 +170,19 @@ def extract_features(
             feats = []
             for b in pdf[payload_col]:
                 b = bytes(b)
+                px = None
                 if _sniff_image(b):
-                    if b[:8] == mc.PNG_SIGNATURE:
-                        px = mc.parse_png(b, return_pixels=True)["pixels"]
-                    elif b[:2] == b"BM":
-                        px = mc.parse_bmp(b, return_pixels=True)["pixels"]
-                    else:
-                        px = mc.decode_jpeg(b)["pixels"]
+                    try:
+                        if b[:8] == mc.PNG_SIGNATURE:
+                            px = mc.parse_png(b, return_pixels=True)["pixels"]
+                        elif b[:2] == b"BM":
+                            px = mc.parse_bmp(b, return_pixels=True)["pixels"]
+                        else:
+                            px = mc.decode_jpeg(b)["pixels"]
+                    except (NotImplementedError, ValueError):
+                        if not fake:  # fake=True: fall through to stand-in
+                            raise
+                if px is not None:
                     px = px.astype(np.int64)
                     if px.ndim == 3:
                         px = px.sum(axis=2)
@@ -208,13 +238,19 @@ def resize_payload(
             ids, blobs, oks = [], [], []
             for rid, raw in zip(pdf["id"], pdf[payload_col]):
                 b = bytes(raw)
+                px = None
                 if _sniff_image(b):
-                    if b[:8] == mc.PNG_SIGNATURE:
-                        px = mc.parse_png(b, return_pixels=True)["pixels"]
-                    elif b[:2] == b"BM":
-                        px = mc.parse_bmp(b, return_pixels=True)["pixels"]
-                    else:
-                        px = mc.decode_jpeg(b)["pixels"]
+                    try:
+                        if b[:8] == mc.PNG_SIGNATURE:
+                            px = mc.parse_png(b, return_pixels=True)["pixels"]
+                        elif b[:2] == b"BM":
+                            px = mc.parse_bmp(b, return_pixels=True)["pixels"]
+                        else:
+                            px = mc.decode_jpeg(b)["pixels"]
+                    except (NotImplementedError, ValueError):
+                        if not fake:  # fake=True: fall through to stand-in
+                            raise
+                if px is not None:
                     h, w = px.shape[:2]
                     longest = max(h, w)
                     if longest > target_px:

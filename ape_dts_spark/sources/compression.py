@@ -360,6 +360,10 @@ def lz4_frame_decompress(data: bytes) -> bytes:
     block_checksum = bool(flg & 0x10)
     content_size = bool(flg & 0x08)
     content_checksum = bool(flg & 0x04)
+    if flg & 0x01:
+        # DictID shifts the descriptor by 4 bytes; no dictionary support, and
+        # silently ignoring the bit would misdiagnose as a checksum mismatch.
+        raise ValueError("LZ4 dictionary frames unsupported (FLG DictID bit set)")
     i = 6
     desc_end = 6 + (8 if content_size else 0)
     hc = data[desc_end]

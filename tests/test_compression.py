@@ -148,3 +148,12 @@ def test_kafka_zstd_still_honest():
     data[21:] = after
     with pytest.raises(NotImplementedError, match="zstd"):
         ks.parse_segment_bytes(bytes(data))
+
+
+def test_lz4_frame_dictid_rejected_explicitly():
+    # r10 (ADVICE r9): the FLG DictID bit shifts the descriptor — reject it
+    # with a precise error instead of a misleading checksum mismatch
+    fr = bytearray(C.lz4_frame_compress(b"payload " * 40))
+    fr[4] |= 0x01
+    with pytest.raises(ValueError, match="dictionary frames unsupported"):
+        C.lz4_frame_decompress(bytes(fr))

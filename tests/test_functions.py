@@ -1151,3 +1151,39 @@ def test_multimodal_real_jpeg_features_no_fake(spark):
     topk = sim.cosine_topk(emb.limit(2), emb, "vec_id", "embedding", k=3)
     got = topk.groupBy("query_id").count().collect()
     assert all(r["count"] == 3 for r in got)
+
+
+def test_multimodal_progressive_meta_and_fake_fallback(spark):
+    """r10: metadata is REAL for progressive JPEG (marker walk reads SOF2),
+    and with fake=True a sniffed-but-undecodable payload falls through to
+    the deterministic stand-in instead of crashing the job (ADVICE r9)."""
+    import numpy as np
+
+    from ape_dts_spark.functions import media_codec as mc
+    from ape_dts_spark.functions import multimodal as mm
+
+    prog = bytes(mc.encode_jpeg_headers(31, 17, 3, progressive=True))
+    corrupt = b"\xff\xd8" + b"\x00" * 40  # sniffs as JPEG, cannot decode
+    png = bytes(mc.encode_png(np.full((5, 7), 9, np.uint8)))
+    df = spark.createDataFrame(
+        [(1, bytearray(prog)), (2, bytearray(corrupt)), (3, bytearray(png))],
+        "id long, payload binary",
+    )
+    # meta: progressive dims are real even without fake
+    meta = {r["id"]: r for r in mm.decode_image_meta(df.filter("id != 2")).collect()}
+    assert (meta[1]["width"], meta[1]["height"], meta[1]["n_channels"]) == (31, 17, 3)
+    assert (meta[3]["width"], meta[3]["height"]) == (7, 5)
+    # corrupt payload: raises without fake, falls back with fake=True
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        mm.decode_image_meta(df.filter("id = 2")).collect()
+    fb = mm.decode_image_meta(df.filter("id = 2"), fake=True).collect()
+    assert len(fb) == 1 and fb[0]["width"] == 42 % 640 + 16
+    # feature/resize fallback on the progressive payload (no pixel decode)
+    f = mm.extract_features(df.filter("id = 1"), dim=4, fake=True).collect()
+    assert len(f) == 1 and len(f[0]["features"]) == 4
+    with _pytest.raises(Exception):
+        mm.extract_features(df.filter("id = 1"), dim=4).collect()
+    r = mm.resize_payload(df.filter("id = 1"), target_bytes=8, fake=True).collect()
+    assert len(r) == 1 and r[0]["n_bytes"] == 8

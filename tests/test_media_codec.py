@@ -416,3 +416,33 @@ def test_jpeg_decode_df_distributed(spark):
         img = ((np.arange(256).reshape(16, 16) * (k + 1)) % 256).astype(np.uint8)
         exp = _direct_gray(img).astype(np.int64)
         assert got[k]["px_sum"] == int(exp.sum()) and got[k]["n_px"] == 256
+
+
+def test_jpeg_entropy_truncation_is_valueerror():
+    # r10: corrupt/truncated entropy segments must surface as ValueError,
+    # never as a private message-less signal (ADVICE r9)
+    img = np.arange(256, dtype=np.uint8).reshape(16, 16)
+    jp = mc.encode_jpeg(img)
+    with pytest.raises(ValueError, match="truncated"):
+        mc.decode_jpeg(jp[:-6])
+    # EOI reached mid-scan -> the in-band marker hit, also a ValueError now
+    # (exact message depends on where the cut lands relative to a stuffed 0xFF)
+    with pytest.raises(ValueError, match="unexpected marker|truncated"):
+        mc.decode_jpeg(jp[: len(jp) - 20] + b"\xff\xd9")
+    # direct in-band marker: _MarkerHit must be a catchable ValueError
+    from ape_dts_spark.functions.media_codec import _BitReader
+
+    br = _BitReader(b"\xff\xc4", 0)
+    with pytest.raises(ValueError, match="unexpected marker 0xc4"):
+        br.read(8)
+
+
+def test_jpeg_sos_frame_component_mismatch_rejected():
+    # byte-edit the SOS component id so the scan set != frame set
+    img = np.full((8, 8), 77, np.uint8)
+    jp = bytearray(mc.encode_jpeg(img))
+    i = jp.find(b"\xff\xda")
+    assert i > 0
+    jp[i + 5] = 9  # first scan component id (was 1)
+    with pytest.raises(ValueError, match="SOS component set"):
+        mc.decode_jpeg(bytes(jp))
