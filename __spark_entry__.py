@@ -4031,6 +4031,54 @@ def q_charset_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sniff_decode(payloads)
 
 
+#: class list for the in-engine language-ID trainer — a model hyperparameter
+#: (like dim/iters), stated literally so the DuckDB oracle can unroll the
+#: one-vs-rest chains per class.
+LANGID_CLASSES = ("de", "en", "es", "fr", "zh")
+
+
+def q_langid_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine language-ID TRAINING (tx.langid_train): one-vs-rest integer
+    perceptrons over hashed char 3-grams — fastText's architecture (Joulin
+    et al. 2016) with perceptron_train's integer-exact discipline. The
+    feature relation is built once (one shuffle, localCheckpointed); each
+    class x iteration is two map-side-combined hash aggs with only dim
+    integers crossing to the driver. Oracle unrolls every class's update
+    chain and must match the learned weights bit-for-bit."""
+    return tx.langid_train(demo.load(spark, sf_dir, "documents"), LANGID_CLASSES)
+
+
+def q_langid_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-then-predict (tx.langid_score): score every document against
+    every class (features join broadcast weights, one hash agg), argmax with
+    deterministic (score desc, lang asc) tie-break, 'unknown' fallback for
+    featureless or non-positive-best docs — the lang_id_expr contract,
+    now backed by a trained model instead of stopword heuristics."""
+    docs = demo.load(spark, sf_dir, "documents")
+    return tx.langid_score(docs, tx.langid_train(docs, LANGID_CLASSES))
+
+
+def q_unigram_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM (SentencePiece-style) tokenizer TRAINING (tx.unigram_learn,
+    Kudo 2018): seed substring-candidate vocabulary, 2 hard-EM rounds
+    (Viterbi E-step / recount M-step) with pruning to the target size.
+    Integer-exact log2-quantized scoring (piece cost = bitlen(TOT)+1 -
+    bitlen(freq), computed as length(bin(x)) in BOTH engines) so the DuckDB
+    twin — which unrolls the EM rounds and each round's Viterbi DP over word
+    positions — matches bit-for-bit. Corpus compresses once to the distinct
+    word-chunk relation; every EM pass is O(vocab)."""
+    return tx.unigram_learn(demo.load(spark, sf_dir, "documents"), "text")
+
+
+def q_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram tokenizer APPLY (tx.unigram_encode): Viterbi-encode the corpus
+    under the trained vocabulary and emit the (token, freq) table — one more
+    E-step over the already-reduced chunk relation, zero extra passes over
+    raw text (bpe_encode's shape). Oracle = the training chain plus one more
+    unrolled DP pass."""
+    return tx.unigram_encode(demo.load(spark, sf_dir, "documents"), "text")
+
+
 def q_perceptron_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """In-engine classifier TRAINING (tx.perceptron_train): 4 full-batch
     perceptron iterations over hashed bag-of-words on documents, label =
@@ -4286,6 +4334,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rotation; duplicates are structurally impossible.
     return {
         # -- new this round (driver rows needed) ------------------------------
+        "unigram_learn": q_unigram_learn,
+        "unigram_encode": q_unigram_encode,
+        "langid_train": q_langid_train,
+        "langid_apply": q_langid_apply,
         "jpeg_decode": q_jpeg_decode,
         "precheck_cdc": q_precheck_cdc,
         "bpe_learn": q_bpe_learn,
@@ -5380,6 +5432,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bpe_learn": tx.bpe_learn_sql("documents", "text", k=6),
         "bpe_encode": tx.bpe_encode_sql("documents", "text", k=6),
+        "unigram_learn": tx.unigram_learn_sql("documents", "text"),
+        "unigram_encode": tx.unigram_encode_sql("documents", "text"),
+        "langid_train": tx.langid_train_sql("documents", LANGID_CLASSES),
+        "langid_apply": tx.langid_apply_sql("documents", LANGID_CLASSES),
         # checker_retry: the oracle states the PERMANENT inconsistency set
         # directly (real miss %97==0; real price diff %89==1); every
         # transient row must have converged, so any false miss/diff breaks

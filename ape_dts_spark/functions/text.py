@@ -1592,3 +1592,500 @@ w{k} AS (
   FROM w{k - 1} w LEFT JOIN u{k} u USING (bucket))"""
         )
     return "".join(parts) + f"\nSELECT bucket, CAST(w AS BIGINT) AS weight FROM w{iters}"
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM (SentencePiece-style) tokenizer — Kudo 2018, "Subword
+# Regularization". Production trainer structure: seed a large candidate
+# vocabulary from substring counts, then alternate hard-EM rounds (E-step =
+# Viterbi-best segmentation of every word under current piece probabilities,
+# M-step = recount piece usage) with pruning down to the target vocabulary.
+#
+# Integer-exact variant (the bpe_learn discipline): the real algorithm
+# maximizes sum(log p(piece)) = sum(log freq) - |seg| * log(TOT), which is
+# float. We quantize log2 to integer bit-lengths — piece cost =
+# bitlen(TOT) + 1 - bitlen(freq) (>= 1), unknown/unseen = bitlen(TOT) + 1 —
+# and Viterbi minimizes (total_cost, n_pieces, seg) lexicographically, so
+# every comparison is integers + ASCII strings and the DuckDB twin matches
+# bit-for-bit (bitlen computed as length(bin(x)) in BOTH engines). The
+# quantization keeps the objective's shape (frequent pieces cheap, every
+# extra piece pays ~log TOT) while removing cross-engine float risk.
+#
+# Scale shape: the corpus compresses once to the distinct word-chunk relation
+# with counts (one shuffle; 100 TB of text -> the word vocabulary, the same
+# reduction bpe_learn rides); every EM pass is then one whole-stage-codegen
+# DP fold per distinct chunk plus one map-side-combined recount agg —
+# O(vocab), never O(corpus). The piece-cost table rides the DP expression as
+# a map literal (bounded by the vocab_size contract, like perceptron_train's
+# dim-sized weight vector); at production vocab sizes (>=10k pieces) the
+# lookup becomes a broadcast join building a per-word cost array instead —
+# see SCALING.md. Words longer than max_word are split into max_word-char
+# windows up front (SentencePiece's own long-token escape hatch), bounding
+# DP depth.
+# ---------------------------------------------------------------------------
+
+
+def _unigram_chunks(df: DataFrame, text_col: str, max_word: int) -> DataFrame:
+    """Corpus -> distinct word-chunk relation (word, cnt, wlen): the single
+    corpus-scale pass. Words longer than max_word split into fixed windows."""
+    return (
+        df.select(F.explode(F.expr(tokens_expr(text_col))).alias("w"))
+        .select(
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, length(w), {max_word}), s -> substring(w, s, {max_word}))"
+                )
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("wlen", F.length("word"))
+    )
+
+
+def _unigram_cost_map(vocab: dict[str, int]) -> tuple[str, int]:
+    """(map-literal SQL expr, UNK cost) from a {piece: freq} vocab. Costs are
+    bitlen(TOT) + 1 - bitlen(freq); pieces are [a-z0-9]+ so quoting is safe."""
+    tot = sum(vocab.values())
+    unk = tot.bit_length() + 1
+    items = ", ".join(
+        f"'{p}', {unk - f.bit_length()}" for p, f in sorted(vocab.items())
+    )
+    return (f"map({items})" if items else "map('', 0)"), unk
+
+
+def _unigram_segment(chunks: DataFrame, vocab: dict[str, int], max_piece: int) -> DataFrame:
+    """E-step: Viterbi-best segmentation of every chunk under the current
+    vocab — one JVM aggregate() fold per word (array_min over candidate
+    structs; ordering = cost, n_pieces, seg lexicographic). Adds `seg`."""
+    m, unk = _unigram_cost_map(vocab)
+    dp = f"""
+      element_at(aggregate(
+        sequence(1, wlen),
+        array(struct(0 as c, 0 as n, cast(array() as array<string>) as s)),
+        (acc, i) -> concat(acc, array(array_min(transform(
+          sequence(1, least(i, {max_piece})),
+          k -> struct(
+            element_at(acc, i - k + 1).c
+              + coalesce(element_at({m}, substring(word, i - k + 1, k)), {unk}) as c,
+            element_at(acc, i - k + 1).n + 1 as n,
+            concat(element_at(acc, i - k + 1).s,
+                   array(substring(word, i - k + 1, k))) as s)))))
+      ), wlen + 1).s"""
+    return chunks.withColumn("seg", F.expr(dp))
+
+
+def _unigram_recount(segmented: DataFrame) -> dict[str, int]:
+    """M-step: piece usage frequencies from the Viterbi segmentations.
+    Collect is bounded by the vocab-size contract (<= seed vocab rows)."""
+    rows = (
+        segmented.select("cnt", F.explode("seg").alias("piece"))
+        .groupBy("piece")
+        .agg(F.sum("cnt").alias("freq"))
+        .collect()
+    )
+    return {r["piece"]: int(r["freq"]) for r in rows}
+
+
+def _unigram_train(
+    df: DataFrame, text_col: str, vocab_size: int, rounds: int,
+    max_piece: int, max_word: int,
+):
+    """Shared trainer: returns (final vocab dict, chunks DF, char alphabet).
+    Pruning schedule: seed 4x target, shrink linearly to vocab_size by the
+    last round; the char alphabet is never pruned (coverage floor, as in
+    SentencePiece's required character set)."""
+    chunks = _unigram_chunks(df, text_col, max_word).localCheckpoint()
+    seed_size = 4 * vocab_size
+    cand = (
+        chunks.select(
+            "cnt",
+            F.explode(
+                F.expr(
+                    f"flatten(transform(sequence(1, wlen), i -> "
+                    f"transform(sequence(1, least({max_piece}, wlen - i + 1)), "
+                    f"k -> substring(word, i, k))))"
+                )
+            ).alias("piece"),
+        )
+        .groupBy("piece")
+        .agg(F.sum("cnt").alias("freq"))
+    )
+    chars = {
+        r["piece"]: int(r["freq"])
+        for r in cand.filter(F.length("piece") == 1).collect()
+    }
+    multi = [
+        (r["piece"], int(r["freq"]))
+        for r in cand.filter(F.length("piece") > 1)
+        .orderBy(F.col("freq").desc(), "piece")
+        .limit(seed_size)
+        .collect()
+    ]
+    vocab = dict(chars)
+    vocab.update(multi)
+    for r in range(1, rounds + 1):
+        keep = max(vocab_size, -(-seed_size * (rounds - r) // rounds))
+        re = _unigram_recount(_unigram_segment(chunks, vocab, max_piece))
+        new_multi = sorted(
+            ((p, f) for p, f in re.items() if len(p) > 1 and f > 0),
+            key=lambda x: (-x[1], x[0]),
+        )[:keep]
+        vocab = {c: re.get(c, 0) for c in chars}
+        vocab.update(new_multi)
+    return vocab, chunks
+
+
+def unigram_learn(
+    df: DataFrame, text_col: str = "text", vocab_size: int = 12,
+    rounds: int = 2, max_piece: int = 4, max_word: int = 10,
+) -> DataFrame:
+    """Unigram-LM tokenizer TRAINING (Kudo 2018): returns the learned
+    vocabulary (piece, freq) — the char alphabet (freq-0 chars kept as the
+    coverage floor) plus the top vocab_size multi-char pieces by final
+    EM-round usage. Integer-exact: see module comment above."""
+    vocab, _ = _unigram_train(df, text_col, vocab_size, rounds, max_piece, max_word)
+    return df.sparkSession.createDataFrame(
+        sorted(vocab.items()), "piece string, freq bigint"
+    )
+
+
+def unigram_encode(
+    df: DataFrame, text_col: str = "text", vocab_size: int = 12,
+    rounds: int = 2, max_piece: int = 4, max_word: int = 10,
+) -> DataFrame:
+    """Unigram-LM tokenizer APPLY: Viterbi-encode the corpus with the trained
+    vocabulary and return the emitted token frequency table (token, freq) —
+    one more E-step over the already-reduced chunk relation (O(vocab)), zero
+    extra passes over raw text, exactly bpe_encode's shape."""
+    vocab, chunks = _unigram_train(df, text_col, vocab_size, rounds, max_piece, max_word)
+    return (
+        _unigram_segment(chunks, vocab, max_piece)
+        .select("cnt", F.explode("seg").alias("token"))
+        .groupBy("token")
+        .agg(F.sum("cnt").alias("freq"))
+    )
+
+
+def _unigram_chain_sql(
+    table: str, text_col: str, vocab_size: int, rounds: int,
+    max_piece: int, max_word: int, passes: int,
+) -> str:
+    """DuckDB twin of the trainer: the EM rounds unroll into chained CTEs and
+    each round's Viterbi DP unrolls over word positions 1..max_word (d{p}_{i}
+    = best (cost, n_pieces, seg) for each word's i-prefix, argmin via a
+    window over the <=max_piece extension branches). Independent restatement:
+    Spark folds the DP with aggregate()/array_min, the twin materializes it
+    positionally — same integer costs, same (cost, np, seg) tie order."""
+    seed_size = 4 * vocab_size
+    parts = [
+        f"""
+WITH toks AS MATERIALIZED (SELECT unnest({tokens_sql(text_col)}) AS w FROM {table}),
+chw AS MATERIALIZED (SELECT substr(w, CAST(s AS INT), {max_word}) AS word
+        FROM toks, LATERAL unnest(range(1, length(w) + 1, {max_word})) u(s)),
+chunks AS MATERIALIZED (SELECT word, COUNT(*) AS cnt, length(word) AS wlen FROM chw GROUP BY 1),
+cand AS MATERIALIZED (SELECT substr(word, CAST(i AS INT), CAST(k AS INT)) AS piece, SUM(cnt) AS freq
+         FROM chunks,
+              LATERAL unnest(range(1, wlen + 1)) u(i),
+              LATERAL unnest(range(1, {max_piece} + 1)) v(k)
+         WHERE i + k - 1 <= wlen GROUP BY 1),
+chars AS MATERIALIZED (SELECT piece FROM cand WHERE length(piece) = 1),
+v1 AS MATERIALIZED (SELECT piece, CAST(freq AS BIGINT) AS freq FROM cand WHERE length(piece) = 1
+       UNION ALL
+       SELECT piece, CAST(freq AS BIGINT) AS freq FROM (
+         SELECT piece, freq FROM cand WHERE length(piece) > 1
+         ORDER BY freq DESC, piece LIMIT {seed_size}))"""
+    ]
+    for p in range(1, passes + 1):
+        parts.append(
+            f""",
+t{p} AS MATERIALIZED (SELECT CASE WHEN COALESCE(SUM(freq), 0) <= 0 THEN 0
+                     ELSE length(bin(CAST(SUM(freq) AS BIGINT))) END + 1 AS unk
+         FROM v{p}),
+c{p} AS MATERIALIZED (SELECT v.piece,
+                t.unk - (CASE WHEN v.freq <= 0 THEN 0
+                              ELSE length(bin(v.freq)) END) AS cost
+         FROM v{p} v, t{p} t),
+d{p}_0 AS MATERIALIZED (SELECT word, cnt, wlen, 0 AS cost, 0 AS np,
+                  CAST([] AS VARCHAR[]) AS seg FROM chunks)"""
+        )
+        for i in range(1, max_word + 1):
+            branches = []
+            for k in range(1, min(max_piece, i) + 1):
+                branches.append(
+                    f"""
+      SELECT d.word, d.cnt, d.wlen,
+             d.cost + COALESCE(c.cost, t.unk) AS cost, d.np + 1 AS np,
+             list_append(d.seg, substr(d.word, {i - k + 1}, {k})) AS seg
+      FROM d{p}_{i - k} d CROSS JOIN t{p} t
+      LEFT JOIN c{p} c ON c.piece = substr(d.word, {i - k + 1}, {k})
+      WHERE d.wlen >= {i}"""
+                )
+            union = "\n      UNION ALL".join(branches)
+            parts.append(
+                f""",
+d{p}_{i} AS MATERIALIZED (
+  SELECT word, cnt, wlen, cost, np, seg FROM (
+    SELECT *, row_number() OVER (PARTITION BY word ORDER BY cost, np, seg) AS rn
+    FROM ({union})) WHERE rn = 1)"""
+            )
+        fin_union = "\n  UNION ALL ".join(
+            f"SELECT word, cnt, seg FROM d{p}_{i} WHERE wlen = {i}"
+            for i in range(1, max_word + 1)
+        )
+        parts.append(
+            f""",
+fin{p} AS MATERIALIZED ({fin_union}),
+re{p} AS MATERIALIZED (SELECT u.piece, CAST(SUM(f.cnt) AS BIGINT) AS freq
+          FROM fin{p} f, LATERAL unnest(f.seg) AS u(piece) GROUP BY 1)"""
+        )
+        if p < passes:
+            keep = max(vocab_size, -(-seed_size * (rounds - p) // rounds)) if p < rounds else vocab_size
+            parts.append(
+                f""",
+v{p + 1} AS MATERIALIZED (SELECT ch.piece, CAST(COALESCE(re.freq, 0) AS BIGINT) AS freq
+             FROM chars ch LEFT JOIN re{p} re USING (piece)
+             UNION ALL
+             SELECT piece, freq FROM (
+               SELECT piece, freq FROM re{p}
+               WHERE length(piece) > 1 AND freq > 0
+               ORDER BY freq DESC, piece LIMIT {keep}))"""
+            )
+    return "".join(parts)
+
+
+def unigram_learn_sql(
+    table: str = "documents", text_col: str = "text", vocab_size: int = 12,
+    rounds: int = 2, max_piece: int = 4, max_word: int = 10,
+) -> str:
+    """DuckDB twin of unigram_learn: unroll `rounds` EM passes, emit the
+    post-prune vocabulary after the last (chars at recounted freq incl. 0,
+    plus top vocab_size multi-char pieces)."""
+    chain = _unigram_chain_sql(
+        table, text_col, vocab_size, rounds, max_piece, max_word, passes=rounds
+    )
+    p = rounds
+    keep = vocab_size
+    return (
+        chain
+        + f"""
+SELECT ch.piece, CAST(COALESCE(re.freq, 0) AS BIGINT) AS freq
+FROM chars ch LEFT JOIN re{p} re USING (piece)
+UNION ALL
+SELECT piece, freq FROM (
+  SELECT piece, freq FROM re{p}
+  WHERE length(piece) > 1 AND freq > 0
+  ORDER BY freq DESC, piece LIMIT {keep})"""
+    )
+
+
+def unigram_encode_sql(
+    table: str = "documents", text_col: str = "text", vocab_size: int = 12,
+    rounds: int = 2, max_piece: int = 4, max_word: int = 10,
+) -> str:
+    """DuckDB twin of unigram_encode: the trainer chain plus one more Viterbi
+    pass under the final vocabulary; emitted tokens with corpus counts."""
+    chain = _unigram_chain_sql(
+        table, text_col, vocab_size, rounds, max_piece, max_word, passes=rounds + 1
+    )
+    return chain + f"\nSELECT piece AS token, freq FROM re{rounds + 1}"
+
+
+# ---------------------------------------------------------------------------
+# In-engine language-ID TRAINING — fastText's architecture (Joulin et al.
+# 2016, "Bag of Tricks for Efficient Text Classification"): a linear
+# classifier over hashed character n-gram features, trained one-vs-rest per
+# language. Same integer-exact discipline as perceptron_train (its binary
+# ancestor above): counts, +-1 labels and integer weights only, so the
+# DuckDB twin's unrolled update chain matches bit-for-bit. The heuristic
+# lang_id_expr stays as the zero-shot fallback; langid_score applies a
+# trained table.
+# ---------------------------------------------------------------------------
+
+
+def langid_features(
+    df: DataFrame, id_col: str = "doc_id", label_col: str = "lang",
+    text_col: str = "text", n: int = 3, dim: int = 64,
+) -> DataFrame:
+    """Hashed char n-gram bag per document: (_doc, lang, bucket, cnt).
+    One corpus pass (normalize -> shingle -> portable-hash -> hash agg);
+    built once and re-scanned by every class x iteration."""
+    return (
+        df.select(
+            F.col(id_col).alias("_doc"),
+            F.col(label_col).alias("lang"),
+            F.expr(norm_text_expr(text_col)).alias("_nt"),
+        )
+        .select(
+            "_doc", "lang",
+            F.explode(F.expr(shingles_expr("_nt", n))).alias("g"),
+        )
+        .select(
+            "_doc", "lang",
+            (F.expr(portable_hash_expr("g")) % dim).cast("int").alias("bucket"),
+        )
+        .groupBy("_doc", "lang", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def langid_train(
+    df: DataFrame, langs: tuple[str, ...], id_col: str = "doc_id",
+    label_col: str = "lang", text_col: str = "text",
+    n: int = 3, dim: int = 64, iters: int = 3,
+) -> DataFrame:
+    """Multiclass one-vs-rest integer perceptrons over hashed char n-grams:
+    for each language c, y = +1 iff lang = c, then `iters` full-batch
+    perceptron updates (score docs against the broadcast dim-integer weight
+    vector; add sum(y*cnt) per bucket over misclassified docs). Returns the
+    trained (lang, bucket, weight) table — len(langs) x dim rows.
+
+    Scale shape: the feature relation is built once (one shuffle) and
+    localCheckpointed; each class x iteration is two map-side-combined hash
+    aggs, and only dim integers cross to the driver per update (the
+    perceptron_train contract). Classes are a user-supplied tuple (a model
+    hyperparameter, like dim) so the oracle can unroll them."""
+    feats = langid_features(df, id_col, label_col, text_col, n, dim).localCheckpoint()
+    out = []
+    for c in langs:
+        w = [0] * dim
+        fy = feats.withColumn(
+            "y", F.when(F.col("lang") == c, F.lit(1)).otherwise(F.lit(-1))
+        )
+        for _ in range(iters):
+            w_arr = F.array(*[F.lit(int(x)) for x in w])
+            scored = fy.groupBy("_doc", "y").agg(
+                F.sum(F.col("cnt") * F.element_at(w_arr, F.col("bucket") + 1)).alias("score")
+            )
+            upd = (
+                fy.join(
+                    scored.filter(F.col("y") * F.col("score") <= 0).select("_doc"),
+                    "_doc",
+                    "left_semi",
+                )
+                .groupBy("bucket")
+                .agg(F.sum(F.col("y") * F.col("cnt")).alias("upd"))
+                .collect()
+            )
+            for r in upd:
+                w[r["bucket"]] += int(r["upd"])
+        out.extend((c, b, int(w[b])) for b in range(dim))
+    return df.sparkSession.createDataFrame(out, "lang string, bucket int, weight long")
+
+
+def langid_score(
+    df: DataFrame, weights: DataFrame, id_col: str = "doc_id",
+    text_col: str = "text", n: int = 3, dim: int = 64,
+) -> DataFrame:
+    """Apply a trained langid table: score every document against every
+    class (features join broadcast weights, one hash agg), argmax with
+    deterministic lexicographic tie-break; docs with no features (or all
+    scores <= 0) predict 'unknown' — mirroring lang_id_expr's contract.
+    Returns (doc_id, pred_lang)."""
+    feats = (
+        df.select(F.col(id_col).alias("_doc"), F.expr(norm_text_expr(text_col)).alias("_nt"))
+        .select("_doc", F.explode(F.expr(shingles_expr("_nt", n))).alias("g"))
+        .select("_doc", (F.expr(portable_hash_expr("g")) % dim).cast("int").alias("bucket"))
+        .groupBy("_doc", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    scores = (
+        feats.join(F.broadcast(weights), "bucket")
+        .groupBy("_doc", "lang")
+        .agg(F.sum(F.col("cnt") * F.col("weight")).alias("score"))
+    )
+    from pyspark.sql import Window
+
+    rn = F.row_number().over(
+        Window.partitionBy("_doc").orderBy(F.col("score").desc(), F.col("lang"))
+    )
+    pred = (
+        scores.withColumn("_rn", rn)
+        .filter(F.col("_rn") == 1)
+        .select(
+            "_doc",
+            F.when(F.col("score") > 0, F.col("lang")).otherwise(F.lit("unknown")).alias("pred_lang"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("_doc"))
+        .join(pred, "_doc", "left")
+        .select(
+            F.col("_doc").alias(id_col),
+            F.coalesce("pred_lang", F.lit("unknown")).alias("pred_lang"),
+        )
+    )
+
+
+def langid_train_sql(
+    table: str = "documents", langs: tuple[str, ...] = (),
+    id_col: str = "doc_id", label_col: str = "lang", text_col: str = "text",
+    n: int = 3, dim: int = 64, iters: int = 3,
+) -> str:
+    """DuckDB twin: one shared feature CTE, then per class the same unrolled
+    score/update/weight chain as perceptron_train_sql; classes UNION ALL at
+    the end."""
+    chain, union = _langid_chain_sql(table, langs, id_col, label_col, text_col, n, dim, iters)
+    return chain + "\n" + union
+
+
+def langid_apply_sql(
+    table: str = "documents", langs: tuple[str, ...] = (),
+    id_col: str = "doc_id", label_col: str = "lang", text_col: str = "text",
+    n: int = 3, dim: int = 64, iters: int = 3,
+) -> str:
+    """DuckDB twin of train-then-langid_score: the training chain, then score
+    every document against every class and argmax (score desc, lang asc);
+    no-feature or non-positive-best docs fall back to 'unknown'."""
+    chain, union = _langid_chain_sql(table, langs, id_col, label_col, text_col, n, dim, iters)
+    return (
+        chain
+        + f""",
+wall AS ({union}),
+sc AS (SELECT f.d, w.lang, SUM(f.cnt * w.weight) AS score
+       FROM feats f JOIN wall w USING (bucket) GROUP BY ALL),
+pr AS (SELECT d, CASE WHEN score > 0 THEN lang ELSE 'unknown' END AS pred_lang,
+              row_number() OVER (PARTITION BY d ORDER BY score DESC, lang) AS rn
+       FROM sc)
+SELECT t.{id_col}, COALESCE(p.pred_lang, 'unknown') AS pred_lang
+FROM {table} t LEFT JOIN (SELECT d, pred_lang FROM pr WHERE rn = 1) p ON t.{id_col} = p.d"""
+    )
+
+
+def _langid_chain_sql(
+    table: str, langs: tuple[str, ...], id_col: str, label_col: str,
+    text_col: str, n: int, dim: int, iters: int,
+) -> tuple[str, str]:
+    nt = norm_text_sql(text_col)
+    h = portable_hash_sql("g")
+    parts = [
+        f"""
+WITH normed AS (SELECT {id_col} AS d, {label_col} AS lang, {nt} AS _nt FROM {table}),
+grams AS (SELECT d, lang, unnest({shingles_sql('_nt', n)}) AS g FROM normed),
+feats AS MATERIALIZED (
+  SELECT d, lang, CAST({h} % {dim} AS INT) AS bucket, COUNT(*) AS cnt
+  FROM grams GROUP BY ALL),
+winit AS (SELECT CAST(i AS INT) AS bucket, CAST(0 AS BIGINT) AS w FROM range({dim}) t(i))"""
+    ]
+    for ci, c in enumerate(langs):
+        prev = "winit"
+        for k in range(1, iters + 1):
+            parts.append(
+                f""",
+s{ci}_{k} AS MATERIALIZED (
+  SELECT f.d, CASE WHEN f.lang = '{c}' THEN 1 ELSE -1 END AS y, SUM(f.cnt * w.w) AS score
+  FROM feats f JOIN {prev} w USING (bucket) GROUP BY ALL),
+u{ci}_{k} AS (
+  SELECT f.bucket, SUM(CASE WHEN f.lang = '{c}' THEN 1 ELSE -1 END * f.cnt) AS upd
+  FROM feats f JOIN s{ci}_{k} s ON f.d = s.d
+  WHERE s.y * s.score <= 0 GROUP BY f.bucket),
+w{ci}_{k} AS MATERIALIZED (
+  SELECT w.bucket, w.w + COALESCE(u.upd, 0) AS w
+  FROM {prev} w LEFT JOIN u{ci}_{k} u USING (bucket))"""
+            )
+            prev = f"w{ci}_{k}"
+    union = "\nUNION ALL\n".join(
+        f"SELECT '{c}' AS lang, bucket, CAST(w AS BIGINT) AS weight FROM w{ci}_{iters}"
+        for ci, c in enumerate(langs)
+    )
+    return "".join(parts), union

@@ -1187,3 +1187,97 @@ def test_multimodal_progressive_meta_and_fake_fallback(spark):
         mm.extract_features(df.filter("id = 1"), dim=4).collect()
     r = mm.resize_payload(df.filter("id = 1"), target_bytes=8, fake=True).collect()
     assert len(r) == 1 and r[0]["n_bytes"] == 8
+
+
+def test_unigram_learn_hand_trace(spark):
+    """Hand-computable unigram-LM EM on 'abab abab ab': seed substring freqs
+    a=5 b=5 ab=5 aba=2 abab=2 ba=2 bab=2 (TOT=26, unk cost 6; freq-5 pieces
+    cost 3, freq-2 cost 4), so Viterbi picks [abab] (cost 4) over [ab,ab]
+    (cost 6) and [ab] (3) over [a,b] (6). Recount: abab=2, ab=1; with
+    vocab_size=2 / rounds=1 the learned vocab is the char floor at freq 0
+    plus exactly those two pieces."""
+    docs = spark.createDataFrame([(1, "abab abab ab")], "doc_id long, text string")
+    out = sorted(
+        (r["piece"], r["freq"])
+        for r in tx.unigram_learn(docs, "text", vocab_size=2, rounds=1).collect()
+    )
+    assert out == [("a", 0), ("ab", 1), ("abab", 2), ("b", 0)]
+    enc = sorted(
+        (r["token"], r["freq"])
+        for r in tx.unigram_encode(docs, "text", vocab_size=2, rounds=1).collect()
+    )
+    # encode under the final vocab: both 'abab' words stay whole, 'ab' stays whole
+    assert enc == [("ab", 1), ("abab", 2)]
+
+
+def test_unigram_encode_covers_corpus_exactly(spark):
+    """Viterbi segmentation is a partition of every word-chunk: the emitted
+    token characters must add up to the corpus characters exactly, even when
+    words exceed max_word and get window-chunked."""
+    docs = spark.createDataFrame(
+        [(1, "tokenizer tokenizer supercalifragilistic ab"), (2, "token izer ab ab")],
+        "doc_id long, text string",
+    )
+    enc = tx.unigram_encode(docs, "text", vocab_size=4, rounds=2, max_word=10).collect()
+    got_chars = sum(len(r["token"]) * r["freq"] for r in enc)
+    want_chars = sum(
+        len(w) for _, t in docs.collect() for w in t.split()
+    )
+    assert got_chars == want_chars
+    assert all(len(r["token"]) <= 4 for r in enc)  # max_piece bound
+
+
+def test_unigram_partition_invariance_and_empty(spark):
+    docs = spark.createDataFrame(
+        [(i, "spark shuffle spark scan shuffle") for i in range(6)],
+        "doc_id long, text string",
+    )
+    a = sorted(map(tuple, tx.unigram_learn(docs, "text", vocab_size=3).collect()))
+    b = sorted(map(tuple, tx.unigram_learn(docs.repartition(7), "text", vocab_size=3).collect()))
+    assert a == b and len(a) > 0
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert tx.unigram_learn(empty, "text", vocab_size=2).count() == 0
+    assert tx.unigram_encode(empty, "text", vocab_size=2).count() == 0
+
+
+def test_langid_train_recovers_planted_languages(spark):
+    """Three synthetic languages with disjoint character statistics: the
+    one-vs-rest hashed-ngram perceptrons (fastText architecture, Joulin et
+    al. 2016) must recover every label via langid_score, and training must
+    be partition-invariant (integer full-batch updates)."""
+    vocab = {"aa": ["kato", "miza", "pelu", "rona"],
+             "bb": ["strg", "brzn", "krvt", "dlzn"],
+             "cc": ["qixu", "xuqi", "quxi", "xiqu"]}
+    rows, i = [], 0
+    for lang, ws in vocab.items():
+        for rep in range(20):
+            rows.append((i, " ".join(ws[(rep + j) % 4] for j in range(8)), lang))
+            i += 1
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    w = tx.langid_train(df, ("aa", "bb", "cc"), dim=32, iters=4)
+    pred = tx.langid_score(df, w, dim=32)
+    assert pred.join(df, "doc_id").filter("pred_lang = lang").count() == 60
+    w2 = tx.langid_train(df.repartition(7), ("aa", "bb", "cc"), dim=32, iters=4)
+    assert sorted(map(tuple, w.collect())) == sorted(map(tuple, w2.collect()))
+
+
+def test_langid_score_unknown_fallback(spark):
+    """Docs with no features (empty after normalization) and docs whose best
+    score is <= 0 both predict 'unknown' — the lang_id_expr contract."""
+    train = spark.createDataFrame(
+        [(1, "kato kato kato", "aa"), (2, "strg strg strg", "bb")],
+        "doc_id long, text string, lang string",
+    )
+    w = tx.langid_train(train, ("aa", "bb"), dim=16, iters=3)
+    probe = spark.createDataFrame(
+        [(10, "kato kato"), (11, ""), (12, "éé")],  # non-ASCII strips to empty
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["pred_lang"] for r in tx.langid_score(probe, w, dim=16).collect()}
+    assert got[10] == "aa" and got[11] == "unknown" and got[12] == "unknown"
+
+
+def test_langid_train_zero_iters_is_zero_model(spark):
+    df = spark.createDataFrame([(1, "abc", "aa")], "doc_id long, text string, lang string")
+    w = tx.langid_train(df, ("aa", "bb"), dim=8, iters=0).collect()
+    assert len(w) == 16 and all(r["weight"] == 0 for r in w)
