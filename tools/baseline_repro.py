@@ -117,6 +117,23 @@ def main() -> int:
     cdc_secs = time.time() - t0
     cdc_rps = n_updates / cdc_secs
 
+    # -- CHECK: the reference's flagship task at published scale -----------
+    # Full-outer-join diff of one 5M-row pair (base vs post-CDC state, so
+    # ~per_table real diffs exist): the exact operators/checker.py plan the
+    # check_diff/checker_retry gates run at sf0.01/0.1, now timed at the
+    # reference's own table size. checker_rps = SOURCE rows checked per
+    # second (conservative: the join also scans the 5M-row target side).
+    from ape_dts_spark.operators.checker import check_diff
+
+    t0 = time.time()
+    flagged = check_diff(
+        spark.read.parquet(f"{BASE}/sbtest1"),
+        spark.read.parquet(f"{BASE}/sbtest1_v2"),
+        ["id"],
+    ).count()
+    check_secs = time.time() - t0
+    checker_rps = n_rows / check_secs
+
     out = {
         "workload": "BASELINE.md reproduction (sysbench shape)",
         "tables": N_TABLES,
@@ -127,6 +144,9 @@ def main() -> int:
         "distinct_update_keys": total_distinct,
         "cdc_apply_rps": round(cdc_rps, 1),
         "cdc_secs": round(cdc_secs, 1),
+        "checker_rps": round(checker_rps, 1),
+        "check_secs": round(check_secs, 1),
+        "check_rows_flagged": flagged,
         "baseline_snapshot_rps_4c8g": 126582,
         "baseline_cdc_rps_4c8g": 19450,
     }

@@ -103,9 +103,18 @@ AUDITED = [
     "gopher_repetition",  # one exploded (doc,n,gram) relation, two hash aggs
     "data_card",          # per-doc JVM exprs -> one tiny grouped agg
     "charset_sniff",      # Arrow generate pass -> Arrow sniff+decode pass
-    # (perceptron_train / bpe_learn run their loops inside the query function
-    # and return driver-built weight tables — nothing to audit in the final
-    # plan; their shuffle discipline is documented in the docstrings)
+    # round 9
+    "jpeg_decode",        # Arrow encode pass -> Arrow pixel-decode pass, no shuffle
+    # round 10
+    "unigram_encode",     # chunk-relation Viterbi fold (JVM aggregate/array_min)
+                          # + one exploded-token hash agg — final-pass plan;
+                          # the EM loop's per-pass shape is identical
+    "langid_apply",       # feature hash agg + broadcast weights join + rank window
+    # (perceptron_train / bpe_learn / unigram_learn / langid_train run their
+    # loops inside the query function and return driver-built weight/vocab
+    # tables — nothing to audit in the final plan; their shuffle discipline
+    # is documented in the docstrings and the apply twins above share the
+    # per-pass plan shape)
 ]
 
 # queries whose plan legitimately contains a BroadcastNestedLoopJoin: the
