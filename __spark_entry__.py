@@ -22,6 +22,7 @@ from ape_dts_spark.functions import dedup as dd
 from ape_dts_spark.functions import mixing as mx
 from ape_dts_spark.functions import multimodal as mm
 from ape_dts_spark.functions import similarity as sim
+from ape_dts_spark.functions import sketches as sk
 from ape_dts_spark.functions import text as tx
 from ape_dts_spark.model.changes import reverse_events, split_updates
 from ape_dts_spark.operators.check_log import review as review_check
@@ -4058,6 +4059,61 @@ def q_langid_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.langid_score(docs, tx.langid_train(docs, LANGID_CLASSES))
 
 
+def q_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-count sketch STATE (sk.hll_registers, Flajolet
+    et al. 2007): md5-derived register index + leading-zero rank, one
+    map-side-combined MAX agg — 256 integers summarize any corpus. The gate
+    checks the integer register table bit-for-bit (both engines fold the
+    same md5 hex digits); the float estimator readout is pytest-bounded
+    against true distinct counts instead."""
+    return sk.hll_registers(demo.load(spark, sf_dir, "customer"), "c_name")
+
+
+def q_hll_shard_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HLL merge law as a gate: per-table sketches (customer names +
+    supplier names) merged by per-register MAX must equal the direct sketch
+    of the unioned column — the property that lets shard/day sketches
+    combine into a global distinct count without moving rows. The oracle
+    computes the direct union sketch; bit-equality IS the law."""
+    cust = demo.load(spark, sf_dir, "customer")
+    supp = demo.load(spark, sf_dir, "supplier")
+    return sk.hll_merge(
+        [sk.hll_registers(cust, "c_name"), sk.hll_registers(supp, "s_name")]
+    )
+
+
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min heavy hitters over document tokens (sk.cms_heavy_hitters,
+    Cormode & Muthukrishnan 2005): depth x width integer counters (one hash
+    agg), point query = min over rows of the salted-md5 cell, keep >= 500.
+    One-sided error: no true heavy hitter can be missed. Counters and
+    readout are integer sums — fully oracle-gated."""
+    docs = demo.load(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.expr(tx.tokens_expr("text"))).alias("tok"))
+    return sk.cms_heavy_hitters(toks, "tok", 500)
+
+
+def q_wordpiece_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece tokenizer TRAINING (tx.wordpiece_learn, Schuster & Nakajima
+    2012 / BERT): K agglomerative merges like BPE but the winner maximizes
+    likelihood gain freq(pair)/(freq(a)*freq(b)), computed as 10^8
+    fixed-point BIGINT division in BOTH engines (exact; ties lexicographic),
+    with '##' continuation symbols. Corpus compresses once to the weighted
+    distinct-word relation; each step is two hash aggs + a one-row driver
+    collect. Oracle unrolls the K steps with per-step symbol-frequency CTEs."""
+    return tx.wordpiece_learn(demo.load(spark, sf_dir, "documents"), "text", k=6)
+
+
+def q_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece APPLY (tx.wordpiece_encode): greedy longest-match-first
+    against the trained vocabulary (alphabet + merge products), '##'
+    continuation matching, whole-word [UNK] fallback. One codegen pass
+    precomputes the longest match at every word position, a second fold
+    walks them greedily; one exploded hash agg. Oracle mirrors both passes
+    (its greedy cursor folds over a flat VARCHAR[] state)."""
+    return tx.wordpiece_encode(demo.load(spark, sf_dir, "documents"), "text", k=6)
+
+
 def q_unigram_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM (SentencePiece-style) tokenizer TRAINING (tx.unigram_learn,
     Kudo 2018): seed substring-candidate vocabulary, 2 hard-EM rounds
@@ -4335,6 +4391,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # data each rotation; duplicates are structurally impossible.
     return {
         # -- new this round (r10) + changed-fixture rotation lead ------------
+        "hll_registers": q_hll_registers,
+        "hll_shard_merge": q_hll_shard_merge,
+        "cms_heavy_hitters": q_cms_heavy_hitters,
+        "wordpiece_learn": q_wordpiece_learn,
+        "wordpiece_encode": q_wordpiece_encode,
         "unigram_learn": q_unigram_learn,
         "unigram_encode": q_unigram_encode,
         "langid_train": q_langid_train,
@@ -5428,6 +5489,18 @@ def oracle_sql() -> dict[str, str]:
         "bpe_encode": tx.bpe_encode_sql("documents", "text", k=6),
         "unigram_learn": tx.unigram_learn_sql("documents", "text"),
         "unigram_encode": tx.unigram_encode_sql("documents", "text"),
+        "wordpiece_learn": tx.wordpiece_learn_sql("documents", "text", k=6),
+        "wordpiece_encode": tx.wordpiece_encode_sql("documents", "text", k=6),
+        "hll_registers": sk.hll_registers_sql("customer", "c_name"),
+        "hll_shard_merge": sk.hll_registers_sql(
+            "(SELECT c_name AS n FROM customer UNION ALL SELECT s_name AS n FROM supplier)",
+            "n",
+        ),
+        "cms_heavy_hitters": sk.cms_heavy_hitters_sql(
+            f"(SELECT unnest({tx.tokens_sql('text')}) AS tok FROM documents)",
+            "tok",
+            500,
+        ),
         "langid_train": tx.langid_train_sql("documents", LANGID_CLASSES),
         "langid_apply": tx.langid_apply_sql("documents", LANGID_CLASSES),
         # checker_retry: the oracle states the PERMANENT inconsistency set

@@ -1,0 +1,224 @@
+"""Mergeable sketch operators — the fixed-size summaries a 100 TB engine
+ships between stages instead of raw data:
+
+- HyperLogLog (Flajolet et al. 2007) distinct-count registers, p=8/m=256
+  by default. The DISTRIBUTED artifact is the register table (register,
+  max_rank): it merges across partitions, shards and days by per-register
+  MAX — a sketch of 100 TB is 256 small integers. The float estimate is a
+  driver-side readout (`hll_estimate`); the registers themselves are pure
+  integers and cross-engine bit-exact, so the driver gate checks the sketch
+  STATE and the merge law, while pytest bounds the estimate's error against
+  true distinct counts.
+- Count-Min (Cormode & Muthukrishnan 2005) frequency counters, depth x
+  width, plus the point-query/heavy-hitter readout min_i(counter[h_i(x)]).
+  Counters and readouts are integer sums — fully oracle-gateable, including
+  the classic one-sided error guarantee (estimate >= true count).
+
+Portability: both engines hash with md5 (hex) and fold hex digits to a
+BIGINT — Spark via conv(), DuckDB via an explicit base-16 list_reduce —
+so register indexes and ranks agree bit-for-bit. All expressions are
+JVM-side whole-stage codegen; one hash agg per sketch, no other shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+HLL_P = 8  # 2^8 = 256 registers; standard error 1.04/sqrt(256) ~ 6.5%
+HLL_RANK_BITS = 48  # rank window: 12 hex chars -> exact in BIGINT
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+
+
+def _hll_exprs(col: str) -> tuple[str, str]:
+    """(register, rank) SQL exprs over md5(col). Register = first 2 hex
+    chars (0..255); rank = leading zeros + 1 in the next 48 bits (1..49)."""
+    m_hex = HLL_P // 4  # hex chars for the register index
+    idx = f"CAST(conv(substring(md5({col}), 1, {m_hex}), 16, 10) AS INT)"
+    win = f"CAST(conv(substring(md5({col}), {m_hex + 1}, {HLL_RANK_BITS // 4}), 16, 10) AS BIGINT)"
+    rank = (
+        f"CASE WHEN {win} = 0 THEN {HLL_RANK_BITS + 1} "
+        f"ELSE {HLL_RANK_BITS} - (length(bin({win})) - 1) END"
+    )
+    return idx, rank
+
+
+def _hll_exprs_sql(col: str) -> tuple[str, str]:
+    """DuckDB twins (conv() replaced by an explicit base-16 fold)."""
+    m_hex = HLL_P // 4
+
+    def hex2int(expr: str) -> str:
+        return (
+            f"list_reduce(list_transform(string_split({expr}, ''), ch -> "
+            f"CAST(CASE WHEN ch BETWEEN '0' AND '9' THEN ascii(ch) - 48 "
+            f"ELSE ascii(ch) - 87 END AS BIGINT)), (acc, c) -> acc * 16 + c)"
+        )
+
+    idx = f"CAST({hex2int(f'substr(md5({col}), 1, {m_hex})')} AS INT)"
+    win = hex2int(f"substr(md5({col}), {m_hex + 1}, {HLL_RANK_BITS // 4})")
+    rank = (
+        f"CASE WHEN {win} = 0 THEN {HLL_RANK_BITS + 1} "
+        f"ELSE {HLL_RANK_BITS} - (length(bin({win})) - 1) END"
+    )
+    return idx, rank
+
+
+def hll_registers(df: DataFrame, col: str) -> DataFrame:
+    """HyperLogLog sketch STATE of a column: (register, max_rank), only
+    registers that were hit (sparse form — absent register = rank 0).
+    One map-side-combined MAX agg; merging two sketches = union + MAX."""
+    idx, rank = _hll_exprs(col)
+    return (
+        df.select(F.expr(idx).alias("register"), F.expr(rank).alias("rank"))
+        .groupBy("register")
+        .agg(F.max("rank").alias("max_rank"))
+    )
+
+
+def hll_registers_sql(table: str, col: str) -> str:
+    idx, rank = _hll_exprs_sql(col)
+    return f"""
+SELECT {idx} AS register, CAST(MAX({rank}) AS INT) AS max_rank
+FROM {table} GROUP BY 1"""
+
+
+def hll_merge(sketches: list[DataFrame]) -> DataFrame:
+    """Merge sketch states: union + per-register MAX. The algebraic point of
+    HLL — sketches built per partition/shard/day combine losslessly, so a
+    100 TB distinct count moves 256 integers per shard, never rows."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("register").agg(F.max("max_rank").alias("max_rank"))
+
+
+def hll_estimate(registers: DataFrame) -> float:
+    """Driver-side readout of a register table: the standard HLL estimator
+    with linear-counting small-range correction. Float by nature — bounded
+    by pytest against true distinct counts, not oracle-gated (the gated
+    artifact is the integer register state)."""
+    import math
+
+    m = 1 << HLL_P
+    regs = {r["register"]: r["max_rank"] for r in registers.collect()}
+    s = sum(2.0 ** -regs.get(i, 0) for i in range(m))
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / s
+    zeros = m - len(regs)
+    if est <= 2.5 * m and zeros > 0:
+        est = m * math.log(m / zeros)
+    return est
+
+
+def _cms_exprs(col: str, row: int, width: int) -> str:
+    """Counter index of `col` in CMS row `row`: md5 over a row-salted key."""
+    return (
+        f"CAST(conv(substring(md5(concat('{row}', ':', {col})), 1, 8), 16, 10) "
+        f"% {width} AS INT)"
+    )
+
+
+def _cms_exprs_sql(col: str, row: int, width: int) -> str:
+    return (
+        f"CAST(list_reduce(list_transform(string_split("
+        f"substr(md5('{row}' || ':' || {col}), 1, 8), ''), ch -> "
+        f"CAST(CASE WHEN ch BETWEEN '0' AND '9' THEN ascii(ch) - 48 "
+        f"ELSE ascii(ch) - 87 END AS BIGINT)), (acc, c) -> acc * 16 + c) "
+        f"% {width} AS INT)"
+    )
+
+
+def cms_table(
+    df: DataFrame, col: str, depth: int = CMS_DEPTH, width: int = CMS_WIDTH
+) -> DataFrame:
+    """Count-Min sketch of a column: sparse (sketch_row, idx, cnt) counters.
+    One exploded projection + one hash agg; the dense sketch is depth x
+    width integers regardless of corpus size, and two sketches merge by
+    per-cell SUM."""
+    cells = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("sketch_row"),
+                        F.expr(_cms_exprs(col, r, width)).alias("idx"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("c")
+    )
+    return (
+        cells.select("c.sketch_row", "c.idx")
+        .groupBy("sketch_row", "idx")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_table_sql(table: str, col: str, depth: int = CMS_DEPTH, width: int = CMS_WIDTH) -> str:
+    branches = "\nUNION ALL\n".join(
+        f"SELECT {r} AS sketch_row, {_cms_exprs_sql(col, r, width)} AS idx FROM {table}"
+        for r in range(depth)
+    )
+    return f"""
+WITH cells AS ({branches})
+SELECT sketch_row, idx, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM cells GROUP BY 1, 2"""
+
+
+def cms_heavy_hitters(
+    df: DataFrame, col: str, threshold: int,
+    depth: int = CMS_DEPTH, width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Heavy hitters via the CMS point query: est(x) = min over rows of
+    counter[h_row(x)], keep est >= threshold. The estimate is one-sided
+    (est >= true count, Cormode & Muthukrishnan 2005 Thm 1), so no true
+    heavy hitter is missed; collisions can only promote light items.
+    Plan: sketch agg + distinct candidates join the (broadcast, depth x
+    width-bounded) counters and take a grouped MIN — never a second
+    corpus pass per row."""
+    sketch = cms_table(df, col, depth, width)
+    cand = df.select(F.col(col).alias("item")).distinct()
+    probes = cand.select(
+        "item",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("sketch_row"),
+                        F.expr(_cms_exprs("item", r, width)).alias("idx"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("p"),
+    ).select("item", "p.sketch_row", "p.idx")
+    est = (
+        probes.join(F.broadcast(sketch), ["sketch_row", "idx"])
+        .groupBy("item")
+        .agg(F.min("cnt").alias("est_cnt"))
+    )
+    return est.filter(F.col("est_cnt") >= threshold)
+
+
+def cms_heavy_hitters_sql(
+    table: str, col: str, threshold: int,
+    depth: int = CMS_DEPTH, width: int = CMS_WIDTH,
+) -> str:
+    probe_branches = "\nUNION ALL\n".join(
+        f"SELECT item, {r} AS sketch_row, {_cms_exprs_sql('item', r, width)} AS idx FROM cand"
+        for r in range(depth)
+    )
+    cell_branches = "\nUNION ALL\n".join(
+        f"SELECT {r} AS sketch_row, {_cms_exprs_sql(col, r, width)} AS idx FROM {table}"
+        for r in range(depth)
+    )
+    return f"""
+WITH cells AS ({cell_branches}),
+sk AS MATERIALIZED (SELECT sketch_row, idx, COUNT(*) AS cnt FROM cells GROUP BY 1, 2),
+cand AS MATERIALIZED (SELECT DISTINCT {col} AS item FROM {table}),
+probes AS ({probe_branches}),
+est AS (SELECT p.item, CAST(MIN(sk.cnt) AS BIGINT) AS est_cnt
+        FROM probes p JOIN sk USING (sketch_row, idx) GROUP BY 1)
+SELECT item, est_cnt FROM est WHERE est_cnt >= {threshold}"""

@@ -2089,3 +2089,296 @@ w{ci}_{k} AS MATERIALIZED (
         for ci, c in enumerate(langs)
     )
     return "".join(parts), union
+
+
+# ---------------------------------------------------------------------------
+# WordPiece tokenizer — Schuster & Nakajima 2012 ("Japanese and Korean voice
+# search"), the BERT tokenizer family; training loop as published in the
+# Hugging Face tokenizers documentation: BPE's agglomerative structure but
+# the merged pair maximizes LIKELIHOOD GAIN, score = freq(pair) /
+# (freq(left) * freq(right)), and non-word-initial symbols carry the '##'
+# continuation prefix. Encoding is greedy longest-match-first with
+# whole-word [UNK] fallback.
+#
+# Integer-exact discipline: the rational score comparison is quantized to
+# fixed point — score_q = (freq(pair) * 10^8) DIV (freq(left) * freq(right))
+# in pure BIGINT arithmetic (exact in both engines; ties after quantization
+# break lexicographically on the pair). Exact for corpora with symbol
+# frequencies below ~9x10^10 (10^8-scaled numerator must fit int64); at
+# larger scales swap the scale constant down or the arithmetic to
+# DECIMAL(38,0)/HUGEINT — disclosed, not silent.
+#
+# Scale shape: identical to bpe_learn — corpus compresses once to the
+# weighted distinct-word relation, each merge step is one map-side-combined
+# pair-count agg + symbol-count agg with only the winning pair crossing to
+# the driver; encode adds one greedy fold pass + one hash agg (O(vocab)).
+# ---------------------------------------------------------------------------
+
+WORDPIECE_SCALE = 100_000_000  # 10^8 fixed-point score quantum
+WORDPIECE_UNK = "[UNK]"
+
+
+def _wordpiece_syms(df: DataFrame, text_col: str) -> DataFrame:
+    """Corpus -> weighted distinct-word relation with the initial WordPiece
+    symbol split: first char bare, every later char '##'-prefixed."""
+    return (
+        df.select(F.explode(F.expr(tokens_expr(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "word",
+            "cnt",
+            F.expr(
+                "transform(sequence(1, length(word)), "
+                "i -> IF(i = 1, substring(word, 1, 1), concat('##', substring(word, i, 1))))"
+            ).alias("syms"),
+        )
+    )
+
+
+def _wordpiece_merge_fold(col: str, a: str, b: str) -> Column:
+    """Greedy left-to-right merge of adjacent (a, b) into a || strip_##(b) —
+    bpe's fold with the continuation prefix stripped off the right symbol."""
+    merged = a + (b[2:] if b.startswith("##") else b)
+    qa, qb, qm = a.replace("'", "''"), b.replace("'", "''"), merged.replace("'", "''")
+    return F.expr(
+        f"""aggregate({col}, cast(array() as array<string>),
+            (acc, x) -> IF(size(acc) > 0 AND element_at(acc, -1) = '{qa}' AND x = '{qb}',
+                           concat(slice(acc, 1, size(acc) - 1), array('{qm}')),
+                           concat(acc, array(x))))"""
+    )
+
+
+def _wordpiece_train(df: DataFrame, text_col: str, k: int):
+    """Shared K-merge loop: returns (merge list, final per-word symbol
+    relation). Each step: symbol freqs + adjacent-pair freqs (two hash
+    aggs), winner = max fixed-point likelihood score (ties: lexicographic),
+    greedy re-segment. Only the single winning row hits the driver."""
+    syms = _wordpiece_syms(df, text_col).localCheckpoint()
+    merges = []
+    for step in range(1, k + 1):
+        symfreq = (
+            syms.select("cnt", F.explode("syms").alias("s"))
+            .groupBy("s")
+            .agg(F.sum("cnt").alias("f"))
+        )
+        pairs = (
+            syms.select(
+                "cnt",
+                F.explode(
+                    F.expr(
+                        "CASE WHEN size(syms) < 2 THEN array() ELSE "
+                        "transform(sequence(1, size(syms) - 1), "
+                        "i -> struct(element_at(syms, i) AS a, element_at(syms, i + 1) AS b)) END"
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("cnt").alias("pf"))
+        )
+        scored = (
+            pairs.join(symfreq.select(F.col("s").alias("a"), F.col("f").alias("fa")), "a")
+            .join(symfreq.select(F.col("s").alias("b"), F.col("f").alias("fb")), "b")
+            .select(
+                "a", "b", "pf",
+                F.expr(f"(pf * {WORDPIECE_SCALE}) div (fa * fb)").alias("score_q"),
+            )
+        )
+        top = scored.orderBy(F.col("score_q").desc(), "a", "b").limit(1).collect()
+        if not top:
+            break
+        a, b = top[0]["a"], top[0]["b"]
+        merges.append((step, a, b, int(top[0]["pf"]), int(top[0]["score_q"])))
+        syms = syms.withColumn("syms", _wordpiece_merge_fold("syms", a, b)).localCheckpoint()
+    return merges, syms
+
+
+def wordpiece_learn(df: DataFrame, text_col: str = "text", k: int = 6) -> DataFrame:
+    """WordPiece tokenizer TRAINING: K deterministic likelihood-gain merges.
+    Returns the merge table (step, left_sym, right_sym, freq, score_q) —
+    score_q is the 10^8-fixed-point likelihood score the winner was chosen
+    by, recorded so the selection criterion is auditable."""
+    merges, _ = _wordpiece_train(df, text_col, k)
+    return df.sparkSession.createDataFrame(
+        merges, "step int, left_sym string, right_sym string, freq bigint, score_q bigint"
+    )
+
+
+def wordpiece_encode(
+    df: DataFrame, text_col: str = "text", k: int = 6,
+    train_df: DataFrame | None = None,
+) -> DataFrame:
+    """WordPiece tokenizer APPLY — greedy longest-match-first against the
+    trained vocabulary (initial alphabet + one token per merge, the
+    published construction), '##' continuation matching after position 1,
+    and BERT's whole-word [UNK] fallback when any position has no match.
+    Trains on `train_df` when given (the production apply-to-new-corpus
+    shape — that is where [UNK] becomes reachable, since self-encoding
+    always has its own alphabet in vocabulary), else self-trains on `df`.
+    Returns (token, freq).
+
+    Plan shape: the vocabulary is driver-built from the merge list (bounded
+    by k + alphabet, the bpe-winner contract) and rides the greedy fold as
+    two membership sets; per distinct word ONE whole-stage-codegen pass
+    precomputes the longest-match length at every position, a second fold
+    walks them greedily; then one exploded hash agg. No second pass over
+    raw text."""
+    merges, _ = _wordpiece_train(train_df if train_df is not None else df, text_col, k)
+    trained = _wordpiece_syms(train_df if train_df is not None else df, text_col)
+    init = trained if train_df is None else _wordpiece_syms(df, text_col)
+    vocab = {r["s"] for r in trained.select(F.explode("syms").alias("s")).distinct().collect()}
+    for _, a, b, _, _ in merges:
+        vocab.add(a + (b[2:] if b.startswith("##") else b))
+    raw = sorted(v for v in vocab if not v.startswith("##"))
+    cont = sorted(v[2:] for v in vocab if v.startswith("##"))
+    max_len = max((len(v) for v in raw + cont), default=1)
+
+    def inlist(vs: list[str]) -> str:
+        return ", ".join("'" + v.replace("'", "''") + "'" for v in vs) or "''"
+
+    # pass 1: bestk[i] = longest vocab match starting at i (raw set at the
+    # word start, '##'-continuation set after), NULL when nothing matches
+    bestk = f"""
+      transform(sequence(1, length(word)), i ->
+        array_max(filter(transform(
+          sequence(1, least({max_len}, length(word) - i + 1)),
+          k -> IF(IF(i = 1, substring(word, i, k) IN ({inlist(raw)}),
+                     substring(word, i, k) IN ({inlist(cont)})), k, cast(null as int))),
+          x -> x is not null)))"""
+    # pass 2: greedy walk — only the step where pos == i consumes; a NULL
+    # bestk at a consuming position poisons the word to [UNK]
+    dp = f"""
+      aggregate(
+        sequence(1, length(word)),
+        struct(1 as pos, cast(array() as array<string>) as toks, false as unk),
+        (acc, i) -> IF(acc.unk OR acc.pos <> i, acc,
+          IF(element_at(bk, i) IS NULL,
+             named_struct('pos', acc.pos, 'toks', acc.toks, 'unk', true),
+             named_struct(
+               'pos', acc.pos + element_at(bk, i),
+               'toks', concat(acc.toks, array(
+                 IF(i = 1, '', '##') || substring(word, i, element_at(bk, i)))),
+               'unk', false))),
+        acc -> IF(acc.unk, array('{WORDPIECE_UNK}'), acc.toks))"""
+    out = (
+        init.withColumn("bk", F.expr(bestk))
+        .select("cnt", F.explode(F.expr(dp)).alias("token"))
+    )
+    return out.groupBy("token").agg(F.sum("cnt").alias("freq"))
+
+
+def _wordpiece_chain_sql(table: str, text_col: str, k: int) -> str:
+    """DuckDB twin of the K-merge WordPiece trainer: bpe's unrolled CTE
+    chain, but each step adds a symbol-frequency CTE and the winner is the
+    max 10^8-fixed-point likelihood score (pf*SCALE // (fa*fb)), ties
+    lexicographic — the same pure-BIGINT arithmetic as the Spark side.
+    Like the bpe twin, assumes the corpus has >= k mergeable pairs (a p{s}
+    going empty would empty the chain — gate corpora are far past that)."""
+    parts = [
+        f"""
+WITH w AS (SELECT unnest({tokens_sql(text_col)}) AS word FROM {table}),
+wc AS MATERIALIZED (SELECT word, COUNT(*) AS cnt FROM w GROUP BY word),
+it0 AS MATERIALIZED (SELECT word, cnt,
+            list_transform(range(1, length(word) + 1),
+                           i -> CASE WHEN i = 1 THEN word[1:1]
+                                     ELSE '##' || word[CAST(i AS INT):CAST(i AS INT)] END) AS syms
+        FROM wc)"""
+    ]
+    for s in range(k):
+        parts.append(
+            f""",
+sf{s} AS MATERIALIZED (
+  SELECT u.sym, CAST(SUM(cnt) AS BIGINT) AS f
+  FROM it{s}, LATERAL unnest(syms) AS u(sym) GROUP BY 1),
+pf{s} AS (
+  SELECT syms[i] AS a, syms[i + 1] AS b, CAST(SUM(cnt) AS BIGINT) AS pf
+  FROM it{s}, LATERAL unnest(range(1, len(syms))) AS u(i)
+  GROUP BY 1, 2),
+p{s} AS MATERIALIZED (
+  SELECT a, b, pf, (pf * {WORDPIECE_SCALE}) // (fa.f * fb.f) AS score_q
+  FROM pf{s}
+  JOIN sf{s} fa ON fa.sym = pf{s}.a
+  JOIN sf{s} fb ON fb.sym = pf{s}.b
+  ORDER BY score_q DESC, a, b LIMIT 1),
+it{s + 1} AS MATERIALIZED (
+  SELECT word, cnt,
+    list_reduce(list_transform(syms, e -> [e]),
+      (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = p{s}.a AND x[1] = p{s}.b
+                  THEN acc[1:len(acc) - 1] ||
+                       [p{s}.a || (CASE WHEN p{s}.b LIKE '##%' THEN p{s}.b[3:]
+                                        ELSE p{s}.b END)]
+                  ELSE acc || x END) AS syms
+  FROM it{s}, p{s})"""
+        )
+    return "".join(parts)
+
+
+def wordpiece_learn_sql(table: str = "documents", text_col: str = "text", k: int = 6) -> str:
+    """DuckDB twin of wordpiece_learn: the unrolled chain, merge rows out."""
+    union = "\nUNION ALL\n".join(
+        f"SELECT {s + 1} AS step, a AS left_sym, b AS right_sym, pf AS freq,"
+        f" CAST(score_q AS BIGINT) AS score_q FROM p{s}"
+        for s in range(k)
+    )
+    return _wordpiece_chain_sql(table, text_col, k) + "\n" + union
+
+
+def wordpiece_encode_sql(table: str = "documents", text_col: str = "text", k: int = 6) -> str:
+    """DuckDB twin of wordpiece_encode: vocabulary = initial alphabet + one
+    token per merge; per word a longest-match table at every position, then
+    the greedy cursor fold (list_reduce over an init-prepended state list),
+    whole-word [UNK] on any gap."""
+    prods = "\nUNION\n".join(
+        f"SELECT a || (CASE WHEN b LIKE '##%' THEN b[3:] ELSE b END) AS piece FROM p{s}"
+        for s in range(k)
+    )
+    return (
+        _wordpiece_chain_sql(table, text_col, k)
+        + f""",
+al AS (SELECT DISTINCT CASE WHEN i = 1 THEN word[1:1]
+                            ELSE '##' || word[CAST(i AS INT):CAST(i AS INT)] END AS piece
+       FROM wc, LATERAL unnest(range(1, length(word) + 1)) u(i)),
+voc AS MATERIALIZED (SELECT piece FROM al UNION {prods}),
+vraw AS MATERIALIZED (SELECT piece FROM voc WHERE piece NOT LIKE '##%'),
+vcont AS MATERIALIZED (SELECT piece[3:] AS piece FROM voc WHERE piece LIKE '##%'),
+ml AS (SELECT GREATEST(
+         (SELECT COALESCE(MAX(length(piece)), 1) FROM vraw),
+         (SELECT COALESCE(MAX(length(piece)), 1) FROM vcont)) AS m),
+mt AS MATERIALIZED (
+  SELECT wc.word, CAST(i AS INT) AS i, MAX(CAST(k AS INT)) AS bk
+  FROM wc, ml,
+       LATERAL unnest(range(1, length(word) + 1)) u(i),
+       LATERAL unnest(range(1, ml.m + 1)) v(k)
+  WHERE i + k - 1 <= length(word)
+    AND ((i = 1 AND substr(word, CAST(i AS INT), CAST(k AS INT)) IN (SELECT piece FROM vraw))
+      OR (i > 1 AND substr(word, CAST(i AS INT), CAST(k AS INT)) IN (SELECT piece FROM vcont)))
+  GROUP BY 1, 2),
+bk AS MATERIALIZED (
+  SELECT wc.word, wc.cnt, list(mt.bk ORDER BY u.i) AS bks
+  FROM wc
+  LEFT JOIN LATERAL unnest(range(1, length(wc.word) + 1)) u(i) ON true
+  LEFT JOIN mt ON mt.word = wc.word AND mt.i = u.i
+  GROUP BY 1, 2),
+seg AS MATERIALIZED (
+  SELECT word, cnt,
+    -- flat VARCHAR[] state [cursor, unk_flag, tok...]: DuckDB 1.0's
+    -- list_reduce drops appends when the accumulator is a STRUCT holding a
+    -- list (verified minimal repro), so the greedy cursor folds over the
+    -- same plain-list shape the bpe twin uses
+    list_reduce(
+      [['1', '0']] ||
+      list_transform(range(1, length(word) + 1), i -> [CAST(i AS VARCHAR)]),
+      (acc, x) -> CASE
+        WHEN acc[2] = '1' OR acc[1] <> x[1] THEN acc
+        WHEN bks[CAST(x[1] AS INT)] IS NULL THEN [acc[1], '1'] || acc[3:]
+        ELSE [CAST(CAST(acc[1] AS INT) + bks[CAST(x[1] AS INT)] AS VARCHAR), '0']
+             || acc[3:]
+             || [(CASE WHEN x[1] = '1' THEN '' ELSE '##' END)
+                 || substr(word, CAST(x[1] AS INT), bks[CAST(x[1] AS INT)])]
+        END) AS st
+  FROM bk),
+toks AS (
+  SELECT cnt, u.token
+  FROM seg, LATERAL unnest(CASE WHEN st[2] = '1' THEN ['{WORDPIECE_UNK}'] ELSE st[3:] END) AS u(token))
+SELECT token, CAST(SUM(cnt) AS BIGINT) AS freq FROM toks GROUP BY token"""
+    )

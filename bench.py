@@ -156,11 +156,17 @@ BENCH_QUERIES = [
     "bpe_pairs",
     "bpe_learn",
     "bpe_encode",
-    # round-10: unigram-LM tokenizer + in-engine language-ID training
+    # round-10: unigram-LM + WordPiece tokenizers, in-engine language-ID
     "unigram_learn",
     "unigram_encode",
+    "wordpiece_learn",
+    "wordpiece_encode",
     "langid_train",
     "langid_apply",
+    # round-10: mergeable sketches (HLL registers + merge law, CMS readout)
+    "hll_registers",
+    "hll_shard_merge",
+    "cms_heavy_hitters",
     "span_dedup",
     "substring_dedup",
     "substring_dedup_clean",

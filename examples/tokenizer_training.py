@@ -4,7 +4,10 @@ arithmetic (so every one has a bit-exact DuckDB oracle in the gate suite):
 
   1. BPE tokenizer          tx.bpe_learn / bpe_encode     (Sennrich 2016)
   2. Unigram-LM tokenizer   tx.unigram_learn / unigram_encode  (Kudo 2018)
-  3. Language-ID classifier tx.langid_train / langid_score (fastText shape,
+  3. WordPiece tokenizer    tx.wordpiece_learn / wordpiece_encode (Schuster
+                            & Nakajima 2012 — the BERT family; likelihood-
+                            gain merges, '##' continuations, [UNK] fallback)
+  4. Language-ID classifier tx.langid_train / langid_score (fastText shape,
                             Joulin et al. 2016 — one-vs-rest perceptrons
                             over hashed char 3-grams)
 
@@ -53,7 +56,16 @@ def main() -> int:
     top = enc.orderBy("freq", ascending=False).limit(5).collect()
     print("  top emitted tokens:", [(r["token"], r["freq"]) for r in top])
 
-    print("== 3. Language-ID: train one-vs-rest perceptrons, score the corpus ==")
+    print("== 3. WordPiece: likelihood-gain merges ==")
+    t0 = time.time()
+    for r in tx.wordpiece_learn(docs, "text", k=6).orderBy("step").collect():
+        print(f"  step {r['step']}: {r['left_sym']!r} + {r['right_sym']!r}"
+              f"  (pair freq {r['freq']}, score_q {r['score_q']})")
+    print(f"  [{time.time() - t0:.1f}s]  top encoded tokens:")
+    for r in tx.wordpiece_encode(docs, "text", k=6).orderBy("freq", ascending=False).limit(5).collect():
+        print(f"    {r['token']!r}: {r['freq']}")
+
+    print("== 4. Language-ID: train one-vs-rest perceptrons, score the corpus ==")
     langs = tuple(sorted(r["lang"] for r in docs.select("lang").distinct().collect()))
     t0 = time.time()
     weights = tx.langid_train(docs, langs)

@@ -1281,3 +1281,56 @@ def test_langid_train_zero_iters_is_zero_model(spark):
     df = spark.createDataFrame([(1, "abc", "aa")], "doc_id long, text string, lang string")
     w = tx.langid_train(df, ("aa", "bb"), dim=8, iters=0).collect()
     assert len(w) == 16 and all(r["weight"] == 0 for r in w)
+
+
+def test_wordpiece_learn_hand_trace(spark):
+    """Hand-computed likelihood-gain merges on hug*4 pug*2 pun*3 bun*1
+    hugs*1 xq*1 (symbol freqs h5 p5 b1 x1 ##u11 ##g7 ##n4 ##s1 ##q1):
+    step1 (x,##q) score 1/(1*1); step2 (##g,##s) 1/(7*1); step3 six-way tie
+    at 9090909 after 10^8 quantization broken lexicographically to
+    (##u,##g); step4 (##u,##gs) 1/(5*1) after ##u's count drops to 5."""
+    docs = spark.createDataFrame(
+        [(1, "hug hug hug pug pun bun hugs"), (2, "hug pug pun pun xq")],
+        "doc_id long, text string",
+    )
+    out = [(r["step"], r["left_sym"], r["right_sym"], r["freq"], r["score_q"])
+           for r in tx.wordpiece_learn(docs, "text", k=4).orderBy("step").collect()]
+    assert out == [
+        (1, "x", "##q", 1, 100000000),
+        (2, "##g", "##s", 1, 14285714),
+        (3, "##u", "##g", 6, 9090909),
+        (4, "##u", "##gs", 1, 20000000),
+    ]
+    enc = sorted(map(tuple, tx.wordpiece_encode(docs, "text", k=4).collect()))
+    assert enc == [("##n", 4), ("##u", 4), ("##ug", 6), ("##ugs", 1),
+                   ("b", 1), ("h", 5), ("p", 5), ("xq", 1)]
+    # greedy fold partitions every word: token chars must equal corpus chars
+    assert sum(len(t.replace("##", "")) * f for t, f in enc) == sum(
+        len(w) for _, txt in docs.collect() for w in txt.split())
+
+
+def test_wordpiece_encode_unknown_word(spark):
+    """Applying a trained vocabulary to a corpus with out-of-alphabet words:
+    any unmatchable position poisons the WHOLE word to [UNK] (BERT
+    semantics), while in-vocabulary words still segment greedily."""
+    train = spark.createDataFrame([(1, "hug hug pug")], "doc_id long, text string")
+    probe = spark.createDataFrame([(2, "hug zebra hug")], "doc_id long, text string")
+    enc = {r["token"]: r["freq"]
+           for r in tx.wordpiece_encode(probe, "text", k=2, train_df=train).collect()}
+    assert enc[tx.WORDPIECE_UNK] == 1
+    assert sum(f for t, f in enc.items() if t != tx.WORDPIECE_UNK) > 0
+    # 'zebra' contributed no partial tokens
+    assert not any(t.startswith("z") or "e" in t.replace("##", "") for t in enc)
+
+
+def test_wordpiece_partition_invariance_and_empty(spark):
+    docs = spark.createDataFrame(
+        [(i, "spark shuffle spark scan shuffle") for i in range(6)],
+        "doc_id long, text string",
+    )
+    a = sorted(map(tuple, tx.wordpiece_learn(docs, "text", k=3).collect()))
+    b = sorted(map(tuple, tx.wordpiece_learn(docs.repartition(7), "text", k=3).collect()))
+    assert a == b and len(a) == 3
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert tx.wordpiece_learn(empty, "text", k=3).count() == 0
+    assert tx.wordpiece_encode(empty, "text", k=3).count() == 0

@@ -1,0 +1,65 @@
+"""Mergeable sketches: HyperLogLog registers + estimator accuracy, the
+sketch merge law, Count-Min one-sided error and planted heavy hitters."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ape_dts_spark.functions import sketches as sk
+
+
+def test_hll_estimate_within_error_bound(spark):
+    """Standard error at m=256 is ~6.5%; assert 3 sigma on a corpus with
+    heavy duplication (true distinct = 5000 from 50000 rows)."""
+    df = spark.range(50_000).select(
+        F.concat(F.lit("item-"), (F.col("id") % 5000).cast("string")).alias("v")
+    )
+    regs = sk.hll_registers(df, "v")
+    est = sk.hll_estimate(regs)
+    assert abs(est - 5000) / 5000 < 0.20
+    # registers are a pure function of the value set: dup-blind + partition-invariant
+    regs2 = sk.hll_registers(df.repartition(13).distinct(), "v")
+    assert sorted(map(tuple, regs.collect())) == sorted(map(tuple, regs2.collect()))
+
+
+def test_hll_merge_law(spark):
+    """sketch(A) + sketch(B) merged by per-register MAX equals
+    sketch(A union B) exactly — the property that lets shard/day sketches
+    combine without touching rows."""
+    a = spark.range(0, 3000).select(F.col("id").cast("string").alias("v"))
+    b = spark.range(2000, 6000).select(F.col("id").cast("string").alias("v"))
+    merged = sk.hll_merge([sk.hll_registers(a, "v"), sk.hll_registers(b, "v")])
+    direct = sk.hll_registers(a.unionByName(b), "v")
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, direct.collect()))
+
+
+def test_hll_small_range_linear_counting(spark):
+    """With distinct << m the raw estimator biases low; the linear-counting
+    correction must bring a 30-distinct corpus within ~15%."""
+    df = spark.range(30).select(F.concat(F.lit("x"), F.col("id").cast("string")).alias("v"))
+    est = sk.hll_estimate(sk.hll_registers(df, "v"))
+    assert abs(est - 30) / 30 < 0.15
+
+
+def test_cms_one_sided_error_and_planted_heavy_hitter(spark):
+    """CMS point estimates never undercount (Cormode & Muthukrishnan Thm 1);
+    a planted heavy item is always reported at its true count or above, and
+    light items can only FALSELY appear (never vanish)."""
+    rows = [("whale",)] * 900 + [(f"minnow-{i}",) for i in range(2000)]
+    df = spark.createDataFrame(rows, "item string")
+    hh = {r["item"]: r["est_cnt"] for r in sk.cms_heavy_hitters(df, "item", 500).collect()}
+    assert hh.get("whale", 0) >= 900
+    true = {r["item"]: r["cnt"] for r in df.groupBy("item").agg(F.count("*").alias("cnt")).collect()}
+    est_all = {
+        r["item"]: r["est_cnt"]
+        for r in sk.cms_heavy_hitters(df, "item", 1).collect()
+    }
+    assert all(est_all[i] >= c for i, c in true.items())
+
+
+def test_cms_sketch_size_is_bounded(spark):
+    """The dense sketch never exceeds depth x width cells no matter the
+    corpus — the reason it ships between stages at 100 TB."""
+    df = spark.range(20_000).select(F.col("id").cast("string").alias("v"))
+    n = sk.cms_table(df, "v").count()
+    assert n <= sk.CMS_DEPTH * sk.CMS_WIDTH

@@ -110,6 +110,10 @@ AUDITED = [
                           # + one exploded-token hash agg — final-pass plan;
                           # the EM loop's per-pass shape is identical
     "langid_apply",       # feature hash agg + broadcast weights join + rank window
+    "wordpiece_encode",   # two codegen folds (longest-match table + greedy walk)
+                          # + one exploded hash agg, no shuffle before it
+    "hll_registers",      # md5 register/rank projection + one MAX hash agg
+    "cms_heavy_hitters",  # sketch agg + distinct probes + broadcast cell join
     # (perceptron_train / bpe_learn / unigram_learn / langid_train run their
     # loops inside the query function and return driver-built weight/vocab
     # tables — nothing to audit in the final plan; their shuffle discipline

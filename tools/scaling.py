@@ -80,8 +80,13 @@ QUERIES = [
     # and the one-vs-rest language-ID trainer (per class x iteration hash aggs)
     "unigram_learn",
     "unigram_encode",
+    "wordpiece_learn",
+    "wordpiece_encode",
     "langid_train",
     "langid_apply",
+    # round-10 sketches: fixed-size summaries — cost should be the scan
+    "hll_registers",
+    "cms_heavy_hitters",
 ]
 
 
@@ -308,6 +313,13 @@ def main() -> int:
         "  built once per run (one shuffle) and re-scanned per class x",
         "  iteration as map-side-combined hash aggs; driver traffic is dim",
         "  integers per update. Cost ~ corpus token volume x classes.",
+        "- `wordpiece_learn`/`wordpiece_encode`: bpe_learn's shape (distinct",
+        "  word relation, O(vocab) per merge step) plus one symbol-frequency",
+        "  agg per step; encode is two codegen folds per distinct word.",
+        "- `hll_registers`/`cms_heavy_hitters`: fixed-size sketch states",
+        "  (256 registers / depth x width counters) — cost is the scan plus",
+        "  one map-side-combined agg, alpha ~ scan growth; the sketch that",
+        "  crosses stage boundaries never grows with the corpus.",
         "",
     ]
     lines += appendix_sections()
