@@ -401,3 +401,105 @@ def test_dup_spans_equals_brute_force(spark, texts, n):
         kept = [t for p, t in enumerate(ts) if p not in covered[i]]
         assert clean[i]["clean_text"] == " ".join(kept)
         assert clean[i]["n_removed"] == len(covered[i])
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer trio (round 10): a pure-Python WordPiece reimplementation races
+# the Spark codegen folds on random corpora — THREE independent
+# implementations must agree (Spark fold, DuckDB twin in the gate, and this
+# one), and the Viterbi/greedy segmentations must exactly cover the corpus.
+# ---------------------------------------------------------------------------
+
+_words = st.lists(
+    st.text(alphabet="abcd", min_size=1, max_size=6), min_size=1, max_size=12
+)
+
+
+def _py_wordpiece(words: list[str], k: int):
+    """Independent greedy-merge reference (dicts and loops, no SQL)."""
+    from collections import Counter
+
+    from ape_dts_spark.functions.text import WORDPIECE_SCALE, WORDPIECE_UNK
+
+    wc = Counter(words)
+    syms = {w: [w[0]] + ["##" + c for c in w[1:]] for w in wc}
+    merges = []
+    for step in range(k):
+        sf: Counter = Counter()
+        pf: Counter = Counter()
+        for w, cnt in wc.items():
+            for s in syms[w]:
+                sf[s] += cnt
+            for a, b in zip(syms[w], syms[w][1:]):
+                pf[(a, b)] += cnt
+        if not pf:
+            break
+        best = min(
+            pf.items(),
+            key=lambda kv: (-(kv[1] * WORDPIECE_SCALE // (sf[kv[0][0]] * sf[kv[0][1]])), kv[0]),
+        )
+        (a, b), f = best
+        merges.append((step + 1, a, b, f, kv_s(f, sf[a], sf[b])))
+        m = a + (b[2:] if b.startswith("##") else b)
+        for w in syms:
+            out, i = [], 0
+            s = syms[w]
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(m)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = out
+    vocab = {s for w in wc for s in ([w[0]] + ["##" + c for c in w[1:]])}
+    vocab |= {s + (t[2:] if t.startswith("##") else t) for _, s, t, _, _ in merges}
+    toks: Counter = Counter()
+    for w, cnt in wc.items():
+        i, out, unk = 0, [], False
+        while i < len(w):
+            for klen in range(len(w) - i, 0, -1):
+                piece = w[i : i + klen]
+                if (piece if i == 0 else "##" + piece) in vocab:
+                    out.append(("" if i == 0 else "##") + piece)
+                    i += klen
+                    break
+            else:
+                unk = True
+                break
+        for t in [WORDPIECE_UNK] if unk else out:
+            toks[t] += cnt
+    return merges, dict(toks)
+
+
+def kv_s(f, fa, fb):
+    from ape_dts_spark.functions.text import WORDPIECE_SCALE
+
+    return f * WORDPIECE_SCALE // (fa * fb)
+
+
+@given(_words)
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+def test_wordpiece_matches_python_reference(spark, words):
+    from ape_dts_spark.functions import text as tx
+
+    docs = spark.createDataFrame([(1, " ".join(words))], "doc_id long, text string")
+    got_m = [
+        (r["step"], r["left_sym"], r["right_sym"], r["freq"], r["score_q"])
+        for r in tx.wordpiece_learn(docs, "text", k=3).orderBy("step").collect()
+    ]
+    got_e = {r["token"]: r["freq"] for r in tx.wordpiece_encode(docs, "text", k=3).collect()}
+    want_m, want_e = _py_wordpiece(words, 3)
+    assert got_m == want_m
+    assert got_e == want_e
+
+
+@given(_words)
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+def test_unigram_encode_covers_corpus(spark, words):
+    from ape_dts_spark.functions import text as tx
+
+    docs = spark.createDataFrame([(1, " ".join(words))], "doc_id long, text string")
+    enc = tx.unigram_encode(docs, "text", vocab_size=4, rounds=1, max_word=8).collect()
+    got = sum(len(r["token"]) * r["freq"] for r in enc)
+    assert got == sum(len(w) for w in words)
