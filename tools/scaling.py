@@ -84,8 +84,9 @@ QUERIES = [
     "wordpiece_encode",
     "langid_train",
     "langid_apply",
-    # round-10 sketches: fixed-size summaries — cost should be the scan
-    "hll_registers",
+    # round-10 sketch: fixed-size summary — cost should be the scan
+    # (cms_heavy_hitters reads the scaled documents corpus; hll_registers is
+    # gated over customer, which build_corpus does not replicate)
     "cms_heavy_hitters",
 ]
 
