@@ -4082,6 +4082,32 @@ def q_hll_shard_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-k / KMV distinct sketch STATE (sk.kmv_sketch, Bar-Yossef et
+    al. 2002): the 128 smallest distinct 48-bit md5 hashes of customer
+    names. orderBy+limit compiles to per-partition top-k heaps + a k-value
+    driver merge — never a global sort. The integer hash list is the gated
+    artifact; the (k-1)*2^48/h_k estimator readout is pytest-bounded."""
+    return sk.kmv_sketch(demo.load(spark, sf_dir, "customer"), "c_name", 128)
+
+
+def q_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-similarity from sketches (Beyer et al. 2007 §4): Jaccard between
+    URGENT-order and HIGH-order customer key sets (true J ~ 0.76 at
+    sf0.01), estimated by intersecting bottom-k samples inside the bottom-k
+    of the union — the set question HLL registers cannot answer. k_used and
+    inter are integers; est_jaccard divides those identical BIGINTs as
+    DOUBLE, so it stays cross-engine bit-exact."""
+    orders = demo.load(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").cast("string").alias("ck")
+    )
+    b = orders.filter(F.col("o_orderpriority") == "2-HIGH").select(
+        F.col("o_custkey").cast("string").alias("ck")
+    )
+    return sk.kmv_jaccard(a, "ck", b, "ck", 256)
+
+
 def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min heavy hitters over document tokens (sk.cms_heavy_hitters,
     Cormode & Muthukrishnan 2005): depth x width integer counters (one hash
@@ -4394,6 +4420,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_registers": q_hll_registers,
         "hll_shard_merge": q_hll_shard_merge,
         "cms_heavy_hitters": q_cms_heavy_hitters,
+        "kmv_sketch": q_kmv_sketch,
+        "kmv_jaccard": q_kmv_jaccard,
         "wordpiece_learn": q_wordpiece_learn,
         "wordpiece_encode": q_wordpiece_encode,
         "unigram_learn": q_unigram_learn,
@@ -5500,6 +5528,16 @@ def oracle_sql() -> dict[str, str]:
             f"(SELECT unnest({tx.tokens_sql('text')}) AS tok FROM documents)",
             "tok",
             500,
+        ),
+        "kmv_sketch": sk.kmv_sketch_sql("customer", "c_name", 128),
+        "kmv_jaccard": sk.kmv_jaccard_sql(
+            "(SELECT CAST(o_custkey AS VARCHAR) AS ck FROM orders"
+            " WHERE o_orderpriority = '1-URGENT')",
+            "ck",
+            "(SELECT CAST(o_custkey AS VARCHAR) AS ck FROM orders"
+            " WHERE o_orderpriority = '2-HIGH')",
+            "ck",
+            256,
         ),
         "langid_train": tx.langid_train_sql("documents", LANGID_CLASSES),
         "langid_apply": tx.langid_apply_sql("documents", LANGID_CLASSES),

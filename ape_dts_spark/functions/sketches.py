@@ -222,3 +222,108 @@ probes AS ({probe_branches}),
 est AS (SELECT p.item, CAST(MIN(sk.cnt) AS BIGINT) AS est_cnt
         FROM probes p JOIN sk USING (sketch_row, idx) GROUP BY 1)
 SELECT item, est_cnt FROM est WHERE est_cnt >= {threshold}"""
+
+
+# ---------------------------------------------------------------------------
+# KMV / bottom-k sketch (Bar-Yossef et al. 2002; Beyer et al. 2007 "On
+# synopses for distinct-value estimation"): keep the k smallest distinct
+# hash values of a column. Complements HLL: the same integer sketch state
+# also answers SET questions — Jaccard and intersection estimates fall out
+# of comparing bottom-k samples, which register sketches cannot do. State
+# and merge law are pure integers (bit-exact across engines); the distinct
+# estimator (k-1) * 2^48 / h_k is a driver readout, pytest-bounded.
+# ---------------------------------------------------------------------------
+
+KMV_K = 256
+
+
+def _kmv_hash(col: str) -> str:
+    return f"CAST(conv(substring(md5({col}), 1, {HLL_RANK_BITS // 4}), 16, 10) AS BIGINT)"
+
+
+def _kmv_hash_sql(col: str) -> str:
+    return (
+        f"list_reduce(list_transform(string_split(substr(md5({col}), 1, "
+        f"{HLL_RANK_BITS // 4}), ''), ch -> CAST(CASE WHEN ch BETWEEN '0' AND '9' "
+        f"THEN ascii(ch) - 48 ELSE ascii(ch) - 87 END AS BIGINT)), "
+        f"(acc, c) -> acc * 16 + c)"
+    )
+
+
+def kmv_sketch(df: DataFrame, col: str, k: int = KMV_K) -> DataFrame:
+    """Bottom-k sketch STATE: the k smallest distinct 48-bit hashes of the
+    column, as (hkey) rows. orderBy+limit compiles to Spark's TakeOrdered
+    top-k (per-partition heaps + driver merge of k values), never a global
+    sort; merging sketches = k smallest of the distinct union."""
+    return (
+        df.select(F.expr(_kmv_hash(col)).alias("hkey"))
+        .distinct()
+        .orderBy("hkey")
+        .limit(k)
+    )
+
+
+def kmv_sketch_sql(table: str, col: str, k: int = KMV_K) -> str:
+    return f"""
+SELECT DISTINCT {_kmv_hash_sql(col)} AS hkey
+FROM {table} ORDER BY hkey LIMIT {k}"""
+
+
+def kmv_merge(sketches: list[DataFrame], k: int = KMV_K) -> DataFrame:
+    """Merge law: bottom-k of the distinct union of the sketches."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.distinct().orderBy("hkey").limit(k)
+
+
+def kmv_estimate(sketch: DataFrame, k: int = KMV_K) -> float:
+    """Distinct-count readout: exact when the sketch holds fewer than k
+    hashes (every distinct value is present), else (k-1) * 2^48 / h_k."""
+    rows = sorted(r["hkey"] for r in sketch.collect())
+    if len(rows) < k:
+        return float(len(rows))
+    return (k - 1) * float(1 << HLL_RANK_BITS) / float(rows[k - 1])
+
+
+def kmv_jaccard(
+    dfa: DataFrame, cola: str, dfb: DataFrame, colb: str, k: int = KMV_K
+) -> DataFrame:
+    """Jaccard estimate between two columns from their bottom-k sketches
+    (Beyer et al. 2007 §4): within the bottom-k of the UNION — a uniform
+    sample of A union B — count hashes present in both sides.
+    Returns one row (k_used, inter, est_jaccard); est_jaccard divides the
+    two identical BIGINTs as DOUBLE, so it stays cross-engine bit-exact."""
+    sa = kmv_sketch(dfa, cola, k)
+    sb = kmv_sketch(dfb, colb, k)
+    u = kmv_merge([sa, sb], k)
+    both = u.join(sa, "hkey", "left_semi").join(sb, "hkey", "left_semi")
+    return (
+        u.agg(F.count(F.lit(1)).alias("k_used"))
+        .crossJoin(both.agg(F.count(F.lit(1)).alias("inter")))
+        .select(
+            "k_used",
+            "inter",
+            (F.col("inter").cast("double") / F.col("k_used").cast("double")).alias(
+                "est_jaccard"
+            ),
+        )
+    )
+
+
+def kmv_jaccard_sql(
+    table_a: str, col_a: str, table_b: str, col_b: str, k: int = KMV_K
+) -> str:
+    return f"""
+WITH sa AS MATERIALIZED ({kmv_sketch_sql(table_a, col_a, k)}),
+sb AS MATERIALIZED ({kmv_sketch_sql(table_b, col_b, k)}),
+u AS MATERIALIZED (
+  SELECT hkey FROM (SELECT hkey FROM sa UNION SELECT hkey FROM sb)
+  ORDER BY hkey LIMIT {k}),
+inter AS (
+  SELECT COUNT(*) AS inter FROM u
+  WHERE hkey IN (SELECT hkey FROM sa) AND hkey IN (SELECT hkey FROM sb))
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM u) AS k_used,
+       CAST(inter AS BIGINT) AS inter,
+       CAST(inter AS DOUBLE) / CAST((SELECT COUNT(*) FROM u) AS DOUBLE) AS est_jaccard
+FROM inter"""

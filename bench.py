@@ -167,6 +167,8 @@ BENCH_QUERIES = [
     "hll_registers",
     "hll_shard_merge",
     "cms_heavy_hitters",
+    "kmv_sketch",
+    "kmv_jaccard",
     "span_dedup",
     "substring_dedup",
     "substring_dedup_clean",

@@ -63,3 +63,32 @@ def test_cms_sketch_size_is_bounded(spark):
     df = spark.range(20_000).select(F.col("id").cast("string").alias("v"))
     n = sk.cms_table(df, "v").count()
     assert n <= sk.CMS_DEPTH * sk.CMS_WIDTH
+
+
+def test_kmv_estimate_and_merge_law(spark):
+    """Bottom-k estimator within tolerance at k=128 (expected error
+    ~1/sqrt(k) ~ 9%); exact below k; merge law = bottom-k of distinct union."""
+    df = spark.range(40_000).select((F.col("id") % 4000).cast("string").alias("v"))
+    est = sk.kmv_estimate(sk.kmv_sketch(df, "v", 128), 128)
+    assert abs(est - 4000) / 4000 < 0.30
+    small = spark.range(50).select(F.col("id").cast("string").alias("v"))
+    assert sk.kmv_estimate(sk.kmv_sketch(small, "v", 128), 128) == 50.0
+    a = spark.range(0, 2000).select(F.col("id").cast("string").alias("v"))
+    b = spark.range(1500, 3500).select(F.col("id").cast("string").alias("v"))
+    m = sk.kmv_merge([sk.kmv_sketch(a, "v", 128), sk.kmv_sketch(b, "v", 128)], 128)
+    direct = sk.kmv_sketch(a.unionByName(b), "v", 128)
+    assert sorted(r["hkey"] for r in m.collect()) == sorted(r["hkey"] for r in direct.collect())
+
+
+def test_kmv_jaccard_accuracy(spark):
+    """Planted overlap: |A|=3000, |B|=3000, |A intersect B|=1500 ->
+    true J = 1500/4500 = 1/3; the bottom-k sample estimate at k=256 must
+    land within ~3 sigma of it (sigma ~ sqrt(J(1-J)/k) ~ 0.03)."""
+    a = spark.range(0, 3000).select(F.col("id").cast("string").alias("v"))
+    b = spark.range(1500, 4500).select(F.col("id").cast("string").alias("v"))
+    row = sk.kmv_jaccard(a, "v", b, "v", 256).collect()[0]
+    assert row["k_used"] == 256
+    assert abs(row["est_jaccard"] - 1 / 3) < 0.10
+    # duplicates in the input must not change the sketch (distinct-based)
+    row2 = sk.kmv_jaccard(a.unionByName(a), "v", b, "v", 256).collect()[0]
+    assert row2["est_jaccard"] == row["est_jaccard"]

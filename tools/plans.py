@@ -114,6 +114,7 @@ AUDITED = [
                           # + one exploded hash agg, no shuffle before it
     "hll_registers",      # md5 register/rank projection + one MAX hash agg
     "cms_heavy_hitters",  # sketch agg + distinct probes + broadcast cell join
+    "kmv_jaccard",        # two top-k sketch heaps + semi-joins inside the union
     # (perceptron_train / bpe_learn / unigram_learn / langid_train run their
     # loops inside the query function and return driver-built weight/vocab
     # tables — nothing to audit in the final plan; their shuffle discipline
