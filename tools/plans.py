@@ -127,7 +127,9 @@ AUDITED = [
 # language count), the canonical decorrelated-scalar-subquery shape — O(N),
 # not a plan bug
 BNLJ_SANCTIONED = {"important_parts", "temperature_mix", "curation_v2",
-                   "unimax_mix", "curation_v3"}
+                   "unimax_mix", "curation_v3",
+                   # crossJoin of two SINGLE-ROW aggregates (k_used x inter)
+                   "kmv_jaccard"}
 
 MARKS = [
     ("PushedFilters: \\[[^]]*IsNotNull", "filter pushdown reaches the scan"),
