@@ -4038,6 +4038,18 @@ def q_charset_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
 LANGID_CLASSES = ("de", "en", "es", "fr", "zh")
 
 
+def q_unigram_doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counts under the TRAINED unigram tokenizer
+    (tx.unigram_doc_tokens) — the budgeting/packing input a production
+    pipeline computes with its real tokenizer instead of whitespace counts.
+    One extra pass after training: explode (doc, chunk), equi-join the
+    segmented relation's word -> piece-count map, one hash agg; token-less
+    docs kept at 0. Oracle = the encode chain's final segmented relation
+    joined back per document. Invariant (tested): SUM over docs equals the
+    encode table's total token freq."""
+    return tx.unigram_doc_tokens(demo.load(spark, sf_dir, "documents"))
+
+
 def q_langid_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """In-engine language-ID TRAINING (tx.langid_train): one-vs-rest integer
     perceptrons over hashed char 3-grams — fastText's architecture (Joulin
@@ -4426,6 +4438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wordpiece_encode": q_wordpiece_encode,
         "unigram_learn": q_unigram_learn,
         "unigram_encode": q_unigram_encode,
+        "unigram_doc_tokens": q_unigram_doc_tokens,
         "langid_train": q_langid_train,
         "langid_apply": q_langid_apply,
         "kafka_segment_parse": q_kafka_segment_parse,
@@ -5517,6 +5530,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_encode": tx.bpe_encode_sql("documents", "text", k=6),
         "unigram_learn": tx.unigram_learn_sql("documents", "text"),
         "unigram_encode": tx.unigram_encode_sql("documents", "text"),
+        "unigram_doc_tokens": tx.unigram_doc_tokens_sql("documents", "text"),
         "wordpiece_learn": tx.wordpiece_learn_sql("documents", "text", k=6),
         "wordpiece_encode": tx.wordpiece_encode_sql("documents", "text", k=6),
         "hll_registers": sk.hll_registers_sql("customer", "c_name"),

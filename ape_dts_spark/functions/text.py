@@ -2382,3 +2382,68 @@ toks AS (
   FROM seg, LATERAL unnest(CASE WHEN st[2] = '1' THEN ['{WORDPIECE_UNK}'] ELSE st[3:] END) AS u(token))
 SELECT token, CAST(SUM(cnt) AS BIGINT) AS freq FROM toks GROUP BY token"""
     )
+
+
+def unigram_doc_tokens(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    vocab_size: int = 12, rounds: int = 2, max_piece: int = 4, max_word: int = 10,
+) -> DataFrame:
+    """Per-DOCUMENT token counts under the TRAINED unigram tokenizer — the
+    budgeting/packing input (token_mix, sequence_packing, data cards count
+    tokens; a production pipeline counts them with its real tokenizer, not
+    whitespace). Returns (doc_id, n_tokens), 0 for token-less docs.
+
+    Plan shape: training reduces the corpus to the chunk relation as usual;
+    the per-doc readout is ONE extra pass — explode (doc, chunk), equi-join
+    the segmented relation's (word -> piece count) map, one hash agg. The
+    join's right side is the chunk vocabulary (Heaps-law bounded; broadcast
+    at gate scale, shuffle equi-join beyond)."""
+    vocab, chunks = _unigram_train(df, text_col, vocab_size, rounds, max_piece, max_word)
+    sizes = _unigram_segment(chunks, vocab, max_piece).select(
+        "word", F.size("seg").alias("_n")
+    )
+    dw = (
+        df.select(F.col(id_col), F.explode(F.expr(tokens_expr(text_col))).alias("w"))
+        .select(
+            id_col,
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, length(w), {max_word}), s -> substring(w, s, {max_word}))"
+                )
+            ).alias("word"),
+        )
+    )
+    counts = (
+        dw.join(sizes, "word")
+        .groupBy(id_col)
+        .agg(F.sum("_n").alias("n_tokens"))
+    )
+    return (
+        df.select(id_col)
+        .join(counts, id_col, "left")
+        .select(id_col, F.coalesce("n_tokens", F.lit(0)).cast("bigint").alias("n_tokens"))
+    )
+
+
+def unigram_doc_tokens_sql(
+    table: str = "documents", text_col: str = "text", id_col: str = "doc_id",
+    vocab_size: int = 12, rounds: int = 2, max_piece: int = 4, max_word: int = 10,
+) -> str:
+    """DuckDB twin: the encode chain's final segmented relation joined back
+    to per-document chunks."""
+    chain = _unigram_chain_sql(
+        table, text_col, vocab_size, rounds, max_piece, max_word, passes=rounds + 1
+    )
+    p = rounds + 1
+    return (
+        chain
+        + f""",
+sizes AS MATERIALIZED (SELECT word, len(seg) AS n FROM fin{p}),
+dtoks AS (SELECT {id_col}, unnest({tokens_sql(text_col)}) AS w FROM {table}),
+dw AS (SELECT {id_col}, substr(w, CAST(s AS INT), {max_word}) AS word
+       FROM dtoks, LATERAL unnest(range(1, length(w) + 1, {max_word})) u(s)),
+cnts AS (SELECT d.{id_col}, SUM(s.n) AS n_tokens
+         FROM dw d JOIN sizes s USING (word) GROUP BY 1)
+SELECT t.{id_col}, CAST(COALESCE(c.n_tokens, 0) AS BIGINT) AS n_tokens
+FROM {table} t LEFT JOIN cnts c ON t.{id_col} = c.{id_col}"""
+    )

@@ -159,6 +159,7 @@ BENCH_QUERIES = [
     # round-10: unigram-LM + WordPiece tokenizers, in-engine language-ID
     "unigram_learn",
     "unigram_encode",
+    "unigram_doc_tokens",
     "wordpiece_learn",
     "wordpiece_encode",
     "langid_train",

@@ -1334,3 +1334,22 @@ def test_wordpiece_partition_invariance_and_empty(spark):
     empty = spark.createDataFrame([], "doc_id long, text string")
     assert tx.wordpiece_learn(empty, "text", k=3).count() == 0
     assert tx.wordpiece_encode(empty, "text", k=3).count() == 0
+
+
+def test_unigram_doc_tokens_invariants(spark):
+    """Per-doc counts under the trained tokenizer: (a) their corpus total
+    equals the encode table's total emitted-token frequency, (b) token-less
+    docs report 0 instead of vanishing."""
+    docs = spark.createDataFrame(
+        [(1, "abab abab ab"), (2, "abab"), (3, ""), (4, "ab ab")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["n_tokens"]
+           for r in tx.unigram_doc_tokens(docs, vocab_size=2, rounds=1).collect()}
+    assert got[3] == 0 and len(got) == 4
+    enc_total = sum(
+        r["freq"] for r in tx.unigram_encode(docs, vocab_size=2, rounds=1).collect())
+    assert sum(got.values()) == enc_total
+    # hand values from the test_unigram_learn_hand_trace vocab: abab + ab
+    # stay whole -> doc1 = 3 tokens, doc2 = 1, doc4 = 2
+    assert (got[1], got[2], got[4]) == (3, 1, 2)
