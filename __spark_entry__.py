@@ -2693,7 +2693,15 @@ def q_ivfpq_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries_df = emb.filter(F.col("vec_id") % 25 == 0).withColumn(
         "vec_id", F.col("vec_id") + 100_000
     )
-    return sim.ivfpq_index_topk(index, queries_df, "vec_id", "embedding", k=1, rerank_with=emb)
+    # rerank=16: with k=1 the survivor list is k*rerank deep, and cross-cell
+    # ADC underestimation (the published IVFADC trade — foreign cells score
+    # against a different residual origin) can crowd a true twin out of a
+    # 4-deep list once the appended half doubles per-cell candidates (seen
+    # at sf0.1: 1/80 twins missed). Survivor depth is the standard IVFADC
+    # recall knob; 16 survivors per query is still a query-bounded relation.
+    return sim.ivfpq_index_topk(
+        index, queries_df, "vec_id", "embedding", k=1, rerank_with=emb, rerank=16
+    )
 
 
 def q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
