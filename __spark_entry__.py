@@ -1877,7 +1877,11 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keep-list clustering: every doc mapped to the min-id representative of
     its near-dup connected component (minhash pairs at J>=0.95) — the output
     shape a training pipeline consumes (keep WHERE doc_id = rep_id), linear
-    in docs where the pair list is quadratic in group size."""
+    in docs where the pair list is quadratic in group size. Engine is
+    auto-routed: dense graphs (>=50k edges; sf0.1's near-clique 186k-edge
+    graph qualifies) run the large-star/small-star engine whose edge set
+    shrinks per round, sparse graphs the min-label pointer-jumping path —
+    identical contract, same oracle."""
     d = demo.load(spark, sf_dir, "documents")
     pairs = dd.minhash_lsh_pairs(d, "doc_id", "text", threshold=0.95)
     return dd.keep_representatives(d, "doc_id", pairs)

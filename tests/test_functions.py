@@ -612,6 +612,29 @@ def test_star_components_matches_jump_engine(spark):
                     8: 8, 9: 8, 10: 10, 11: 10}
 
 
+def test_keep_representatives_engine_routing(spark):
+    """engine= forcing and the auto edge-count threshold all land on the same
+    labels; a tiny threshold provably routes auto through the star core."""
+    docs = spark.createDataFrame([(i,) for i in range(1, 12)], ["doc_id"])
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (6, 7), (7, 5), (9, 8), (10, 11), (2, 1)],
+        ["id_a", "id_b"],
+    )
+    want = {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5, 7: 5, 8: 8, 9: 8, 10: 10, 11: 10}
+    for kw in (
+        {"engine": "minlabel"},
+        {"engine": "star"},
+        {"engine": "auto", "star_edge_threshold": 1},  # auto -> star core
+        {"engine": "auto", "star_edge_threshold": 10**9},  # auto -> minlabel
+    ):
+        got = {r["doc_id"]: r["rep_id"] for r in
+               dd.keep_representatives(docs, "doc_id", pairs, **kw).collect()}
+        assert got == want, kw
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        dd.keep_representatives(docs, "doc_id", pairs, engine="boop")
+
+
 def test_star_components_long_path_round_bound(spark):
     """A 10k-node path graph converges in ~log rounds, nowhere near the
     diameter — the 100-TB adversarial-graph property the jump engine lacks
