@@ -2739,7 +2739,10 @@ def q_binlog_file_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     through the TABLE_MAP optional-metadata SIGNEDNESS bitmap (MySQL >=
     8.0.1; the reference resolves signedness from table meta,
     mysql_col_type.rs:85,172), a 12-bit MYSQL_TYPE_BIT mask, and a
-    MYSQL_TYPE_GEOMETRY cell carrying a real SRID+WKB point payload. The
+    MYSQL_TYPE_GEOMETRY cell carrying a real SRID+WKB point payload.
+    Round 11 routes one file of the chain through zstd-compressed
+    TRANSACTION_PAYLOAD events (binlog_transaction_compression's only
+    algorithm; from-scratch RFC 8878 decoder, sources/zstd_codec.py). The
     fixture collect is the bounded key subset (the fixture generator, like
     q_redis_rdb)."""
     import hashlib
@@ -2811,7 +2814,13 @@ def q_binlog_file_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ops.append((tkey, "delete", images[k], None))
         txns = [ops[i : i + 50] for i in range(0, len(ops), 50)]
         os.makedirs(log_dir, exist_ok=True)
-        bf.write_binlog_files(txns, tables, log_dir, per_file=8)
+        # file 1 of the chain carries its txns as zstd-compressed
+        # TRANSACTION_PAYLOAD events (MySQL binlog_transaction_compression;
+        # decoded by the from-scratch RFC 8878 codec in sources/zstd_codec),
+        # the rest as plain ROWS events — both shapes on the gated path
+        bf.write_binlog_files(
+            txns, tables, log_dir, per_file=8, payload_wrap_files={1: "zstd"}
+        )
     dml = bf.read_binlog_files(spark, log_dir, tables).filter(
         F.col("row_type").isin("insert", "update", "delete")
     )
@@ -3027,8 +3036,9 @@ def q_kafka_segment_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     o_orderpriority->'X' for %3==0, then delete %7==0) is encoded as JSON
     envelopes into REAL record-batch-v2 segment bytes — CRC32C, ZigZag
     varint records, broker directory layout, three partitions keyed by
-    o_orderkey%3 with ONE CODEC PER PARTITION (gzip / from-scratch
-    snappy-java framing / from-scratch LZ4 frame; sources/compression.py),
+    o_orderkey%4 with ONE CODEC PER PARTITION (gzip / from-scratch
+    snappy-java framing / from-scratch LZ4 frame / from-scratch RFC 8878
+    zstd; sources/compression.py, sources/zstd_codec.py),
     so every supported batch codec is on the gated path — then re-read with the
     distributed segment scan, envelope-decoded (wire_format.decode_events),
     and replayed to final state with per-partition offsets ordering (one
@@ -3077,20 +3087,20 @@ def q_kafka_segment_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         for k in sorted(images):
             if k % 7 == 0:
                 ops.append(("delete", images[k], None))
-        # per-table key -> partition by key%3 (per-key ordering holds
+        # per-table key -> partition by key%4 (per-key ordering holds
         # within a partition, the guarantee Kafka actually gives); each
         # partition exercises a different batch codec
-        per_part: dict[int, list] = {0: [], 1: [], 2: []}
+        per_part: dict[int, list] = {0: [], 1: [], 2: [], 3: []}
         for seq, (op, before, after) in enumerate(ops):
             key = (after or before)["o_orderkey"]
             env = {"schema": "tpch", "tb": "orders", "operation": op,
                    "before": before, "after": after, "seq": seq}
-            per_part[key % 3].append((b"tpch.orders", json.dumps(env).encode(), None))
+            per_part[key % 4].append((b"tpch.orders", json.dumps(env).encode(), None))
         os.makedirs(seg_dir, exist_ok=True)
         for part, msgs in per_part.items():
             ksg.write_segment_files(
                 msgs, seg_dir, "cdc", part, per_batch=64, per_segment=256,
-                compression=("gzip", "snappy", "lz4")[part],
+                compression=("gzip", "snappy", "lz4", "zstd")[part],
             )
     from pyspark.sql import types as T
 

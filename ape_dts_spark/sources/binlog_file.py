@@ -32,6 +32,8 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ape_dts_spark.sources.zstd_codec import zstd_compress, zstd_decompress
+
 BINLOG_MAGIC = b"\xfebin"
 
 # event type codes (public binlog spec)
@@ -693,14 +695,31 @@ _COMPRESS_ZSTD = 0
 _COMPRESS_NONE = 255
 
 
-def _payload_event(inner: bytes) -> bytes:
-    """TRANSACTION_PAYLOAD body: TLV header (compression NONE + payload
-    size + end mark) followed by the concatenated inner events."""
+def _payload_event(inner: bytes, compression: str = "none") -> bytes:
+    """TRANSACTION_PAYLOAD body: TLV header (compression type + payload
+    size [+ uncompressed size when compressed] + end mark) followed by the
+    inner-event bytes. ``compression='zstd'`` is the ONLY algorithm MySQL
+    defines for binlog_transaction_compression (8.0.20+); the frame comes
+    from the in-repo RFC 8878 writer (sources/zstd_codec.py)."""
+    if compression == "zstd":
+        body = zstd_compress(inner)
+        ctype = _COMPRESS_ZSTD
+    elif compression == "none":
+        body = inner
+        ctype = _COMPRESS_NONE
+    else:
+        raise ValueError(f"unknown transaction-payload compression {compression!r}")
     tlv = bytearray()
-    tlv += _packed(_OTW_COMPRESSION_TYPE) + _packed(len(_packed(_COMPRESS_NONE))) + _packed(_COMPRESS_NONE)
-    tlv += _packed(_OTW_PAYLOAD_SIZE) + _packed(len(_packed(len(inner)))) + _packed(len(inner))
+    tlv += _packed(_OTW_COMPRESSION_TYPE) + _packed(len(_packed(ctype))) + _packed(ctype)
+    if ctype != _COMPRESS_NONE:
+        tlv += (
+            _packed(_OTW_UNCOMPRESSED_SIZE)
+            + _packed(len(_packed(len(inner))))
+            + _packed(len(inner))
+        )
+    tlv += _packed(_OTW_PAYLOAD_SIZE) + _packed(len(_packed(len(body)))) + _packed(len(body))
     tlv += _packed(_OTW_END)
-    return bytes(tlv) + inner
+    return bytes(tlv) + body
 
 
 def _fde_payload() -> bytes:
@@ -766,7 +785,7 @@ def encode_binlog_file(
     server_uuid: str = "3e11fa47-71ca-11e1-9e33-c80aa9429562",
     start_gno: int = 1,
     base_ts: int = 1_700_000_000,
-    payload_wrap: bool = False,
+    payload_wrap: bool | str = False,
 ) -> bytes:
     """Encode transactions into one binlog file's bytes.
 
@@ -788,8 +807,9 @@ def encode_binlog_file(
         if payload_wrap:
             # MySQL 8.0.20+ binlog_transaction_compression: the whole txn
             # (BEGIN .. XID) rides ONE TRANSACTION_PAYLOAD event. Inner
-            # events are headered but not checksummed; compression NONE
-            # here (zstd is not in this container — parser raises honestly)
+            # events are headered but not checksummed. payload_wrap=True
+            # writes compression NONE; payload_wrap='zstd' compresses with
+            # the in-repo RFC 8878 codec (MySQL's only defined algorithm)
             inner = bytearray(_inner_event(w.ts, QUERY_EVENT, _query_payload("", "BEGIN")))
             for table_key, row_type, before, after in txn:
                 if row_type == "ddl":
@@ -810,7 +830,8 @@ def encode_binlog_file(
                 else:
                     raise ValueError(f"unknown row_type {row_type!r}")
             inner += _inner_event(w.ts, XID_EVENT, struct.pack("<Q", gno))
-            w.event(TRANSACTION_PAYLOAD_EVENT, _payload_event(bytes(inner)))
+            comp = "zstd" if payload_wrap == "zstd" else "none"
+            w.event(TRANSACTION_PAYLOAD_EVENT, _payload_event(bytes(inner), compression=comp))
             gno += 1
             w.ts += 1
             continue
@@ -930,6 +951,7 @@ def parse_binlog_bytes(
             p = 0
             compression = _COMPRESS_NONE
             payload_len = None
+            uncompressed_len = None
             while True:
                 ftype, p = _read_packed(body, p)
                 if ftype == _OTW_END:
@@ -941,11 +963,24 @@ def parse_binlog_bytes(
                     compression, _ = _read_packed(fval, 0)
                 elif ftype == _OTW_PAYLOAD_SIZE:
                     payload_len, _ = _read_packed(fval, 0)
-            if compression != _COMPRESS_NONE:
-                raise NotImplementedError(
-                    "transaction payload compression zstd not available in this environment"
-                )
+                elif ftype == _OTW_UNCOMPRESSED_SIZE:
+                    uncompressed_len, _ = _read_packed(fval, 0)
             inner = body[p : p + payload_len] if payload_len is not None else body[p:]
+            if compression == _COMPRESS_ZSTD:
+                # the only algorithm MySQL defines for
+                # binlog_transaction_compression — RFC 8878 decoder in
+                # sources/zstd_codec.py (reference: TransactionPayload path
+                # of mysql_cdc_extractor.rs via the zstd crate)
+                inner = zstd_decompress(bytes(inner))
+                if uncompressed_len is not None and len(inner) != uncompressed_len:
+                    raise ValueError(
+                        "TRANSACTION_PAYLOAD uncompressed size mismatch "
+                        f"(TLV {uncompressed_len}, got {len(inner)})"
+                    )
+            elif compression != _COMPRESS_NONE:
+                raise NotImplementedError(
+                    f"transaction payload compression type {compression} unsupported"
+                )
             k = 0
             while k < len(inner):
                 its, itype, _isrv, isize, _ipos, _ifl = _HEADER.unpack_from(inner, k)
@@ -1170,11 +1205,21 @@ def stream_binlog_files(
 
 
 def write_binlog_files(
-    txns: list, tables: dict, out_dir: str, base_name: str = "binlog", per_file: int = 0
+    txns: list,
+    tables: dict,
+    out_dir: str,
+    base_name: str = "binlog",
+    per_file: int = 0,
+    payload_wrap_files: dict | None = None,
 ) -> list[str]:
     """Write a rotation chain: ``txns`` split into files of ``per_file``
     transactions (0 = single file), each non-final file ending in a ROTATE
-    to the next, GTID gnos continuous across the chain."""
+    to the next, GTID gnos continuous across the chain.
+
+    ``payload_wrap_files``: {file index (0-based) -> payload_wrap value}
+    — lets a chain mix plain event files with TRANSACTION_PAYLOAD files
+    (True = uncompressed wrap, 'zstd' = compressed), the shape of a server
+    whose binlog_transaction_compression setting changed mid-chain."""
     import os
 
     chunks = [txns] if not per_file else [
@@ -1186,7 +1231,8 @@ def write_binlog_files(
     for i, chunk in enumerate(chunks):
         nxt = names[i + 1] if i + 1 < len(names) else None
         data = encode_binlog_file(
-            chunk, tables, names[i], next_file=nxt, start_gno=gno, base_ts=1_700_000_000 + gno
+            chunk, tables, names[i], next_file=nxt, start_gno=gno, base_ts=1_700_000_000 + gno,
+            payload_wrap=(payload_wrap_files or {}).get(i, False),
         )
         gno += len(chunk)
         p = os.path.join(out_dir, names[i])

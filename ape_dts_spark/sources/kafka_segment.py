@@ -26,8 +26,9 @@ Wire format parity (per the public spec):
 - attributes bits 0-2: compression codec over the records block — 0 none,
   1 gzip (zlib), 2 snappy (from-scratch block codec + the snappy-java
   stream framing the Java producer emits), 3 lz4 (from-scratch LZ4
-  block+frame codec) — see sources/compression.py; 4 zstd raises an
-  honest error (FSE/Huffman entropy coding isn't hand-buildable here),
+  block+frame codec) — see sources/compression.py; 4 zstd (from-scratch
+  RFC 8878 decoder, sources/zstd_codec.py). Unknown codec values raise an
+  honest error,
 - CRC32C (Castagnoli), NOT the zlib CRC32 — table-driven implementation
   below,
 - segment file name = 20-digit base offset + ".log"; directory name =
@@ -54,6 +55,7 @@ from ape_dts_spark.sources.compression import (
     snappy_java_frame,
     snappy_java_unframe,
 )
+from ape_dts_spark.sources.zstd_codec import zstd_compress, zstd_decompress
 
 MESSAGE_SCHEMA = (
     "topic string, partition int, offset long, ts long, "
@@ -65,6 +67,7 @@ _CODEC_NONE = 0
 _CODEC_GZIP = 1
 _CODEC_SNAPPY = 2
 _CODEC_LZ4 = 3
+_CODEC_ZSTD = 4
 _CODEC_NAMES = {2: "snappy", 3: "lz4", 4: "zstd"}
 
 # ---------------------------------------------------------------------------
@@ -181,6 +184,9 @@ def encode_batch(
     elif compression == "lz4":
         attrs = _CODEC_LZ4
         rec_bytes = lz4_frame_compress(rec_bytes)
+    elif compression == "zstd":
+        attrs = _CODEC_ZSTD
+        rec_bytes = zstd_compress(rec_bytes)
     elif compression != "none":
         raise ValueError(f"unsupported compression {compression!r}")
     after_crc = struct.pack(
@@ -231,6 +237,8 @@ def parse_segment_bytes(
             rec_bytes = snappy_java_unframe(rec_bytes)
         elif codec == _CODEC_LZ4:
             rec_bytes = lz4_frame_decompress(rec_bytes)
+        elif codec == _CODEC_ZSTD:
+            rec_bytes = zstd_decompress(rec_bytes)
         elif codec != _CODEC_NONE:
             name = _CODEC_NAMES.get(codec, str(codec))
             raise NotImplementedError(

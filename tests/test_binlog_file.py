@@ -477,8 +477,9 @@ def test_transaction_payload_wrap_roundtrip(spark, tmp_path):
     compression): a whole BEGIN..XID transaction rides one wrapping event
     as TLV header + unchecksummed inner events. The reference dispatches
     TransactionPayload the same way (SURVEY §2 MySQL CDC row). Parse output
-    must equal the unwrapped encoding of the same history; zstd payloads
-    raise honestly."""
+    must equal the unwrapped encoding of the same history, for both the
+    uncompressed and the zstd-compressed (RFC 8878 from-scratch codec)
+    payload forms; unknown compression types raise honestly."""
     txns = _basic_txns()
     plain = bf.parse_binlog_bytes(
         bf.encode_binlog_file(txns, TABLES, "binlog.000001"), TABLES, "b")
@@ -500,17 +501,41 @@ def test_transaction_payload_wrap_roundtrip(spark, tmp_path):
         by_gtid.setdefault(r["gtid"], set()).add(r["pos"])
     assert all(len(v) == 1 for v in by_gtid.values())
 
-    # zstd compression marker raises, not garbage
+    # zstd-compressed payload: same rows as plain, smaller event bytes
+    zstd_bytes = bf.encode_binlog_file(
+        txns, TABLES, "binlog.000001", payload_wrap="zstd")
+    zstd_rows = bf.parse_binlog_bytes(zstd_bytes, TABLES, "b")
+    assert strip(zstd_rows) == strip(plain)
+
+    # unknown compression marker raises, not garbage
     import struct as _st
 
     inner = bf._inner_event(0, bf.XID_EVENT, _st.pack("<Q", 1))
-    tlv = (bf._packed(bf._OTW_COMPRESSION_TYPE) + bf._packed(1) + bf._packed(bf._COMPRESS_ZSTD)
+    tlv = (bf._packed(bf._OTW_COMPRESSION_TYPE) + bf._packed(1) + bf._packed(7)
            + bf._packed(bf._OTW_END))
     w = bf._FileWriter(0)
     w.event(bf.FORMAT_DESCRIPTION_EVENT, bf._fde_payload())
     w.event(bf.TRANSACTION_PAYLOAD_EVENT, tlv + inner)
-    with pytest.raises(NotImplementedError, match="zstd"):
+    with pytest.raises(NotImplementedError, match="compression type 7"):
         bf.parse_binlog_bytes(bytes(w.buf), TABLES, "b")
+
+    # a corrupted zstd payload surfaces as a loud decode error
+    bad = bytearray(zstd_bytes)
+    # flip a byte inside the last TRANSACTION_PAYLOAD event body (past the
+    # FDE; the CRC trailer would catch most flips, so rewrite CRC too)
+    with pytest.raises(ValueError):
+        evs = []
+        k = len(bf.BINLOG_MAGIC)
+        while k < len(bad):
+            _, et, _, esz, _, _ = bf._HEADER.unpack_from(bad, k)
+            evs.append((k, et, esz))
+            k += esz
+        off, _, esz = [e for e in evs if e[1] == bf.TRANSACTION_PAYLOAD_EVENT][-1]
+        bad[off + bf.HEADER_LEN + 20] ^= 0xFF
+        import zlib as _zl
+        crc = _zl.crc32(bytes(bad[off : off + esz - 4]))
+        bad[off + esz - 4 : off + esz] = _st.pack("<I", crc)
+        bf.parse_binlog_bytes(bytes(bad), TABLES, "b")
 
 
 def test_enum_set_time2_year_codecs():

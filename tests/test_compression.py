@@ -138,16 +138,13 @@ def test_kafka_batch_snappy_and_lz4():
         assert len(seg) < len(ks.encode_batch(msgs, 500, 9_000))
 
 
-def test_kafka_zstd_still_honest():
-    # codec 4 remains a NotImplementedError (entropy coding out of scope)
-    data = bytearray(ks.encode_batch([(b"k", b"v", None)], 0, 0))
-    after = bytearray(data[21:])
-    attrs = struct.unpack_from(">h", after, 0)[0] | 4
-    struct.pack_into(">h", after, 0, attrs)
-    struct.pack_into(">I", data, 17, ks.crc32c(bytes(after)))
-    data[21:] = after
-    with pytest.raises(NotImplementedError, match="zstd"):
-        ks.parse_segment_bytes(bytes(data))
+def test_kafka_zstd_roundtrip():
+    # codec 4 is real since round 11: RFC 8878 decoder + in-repo frame
+    # writer (sources/zstd_codec.py); segment parse must round-trip it
+    msgs = [(b"k%d" % i, b"value-%d" % i, None) for i in range(30)]
+    data = ks.encode_batch(msgs, 0, 0, compression="zstd")
+    rows = ks.parse_segment_bytes(data, topic="t")
+    assert [(r["key"], r["value"]) for r in rows] == [(k, v) for k, v, _ in msgs]
 
 
 def test_lz4_frame_dictid_rejected_explicitly():

@@ -1,0 +1,187 @@
+"""From-scratch Zstandard (RFC 8878) codec tests — sources/zstd_codec.py.
+
+Vector discipline mirrors the LZ4/xxHash32 work (test_compression.py):
+- xxHash64 published spec vectors (Cyan4973/xxHash xxhash_spec.md);
+- REAL reference-encoder byte vectors: the ``_VECTORS`` frames below were
+  produced by the reference ``zstd`` CLI (v1.5.x) at several levels and
+  are embedded verbatim, with their plaintexts rebuilt deterministically
+  here — they exercise predefined-FSE sequences, FSE-compressed tables,
+  direct and FSE-compressed Huffman weights, 1- and 4-stream literals,
+  Raw/RLE blocks, repeat offsets and the content checksum;
+- a CLI-gated property sweep (skipped when no ``zstd`` binary is present)
+  re-derives fresh vectors at random levels/shapes;
+- structural/error cases straight from the RFC (magic, reserved bits,
+  skippable frames, dictionary refusal, checksum mismatch);
+- the in-repo Raw/RLE writer round-trips through our decoder and (when the
+  CLI is present) through the reference decoder.
+"""
+
+from __future__ import annotations
+
+import base64
+import random
+import shutil
+import struct
+
+import pytest
+
+from ape_dts_spark.sources.zstd_codec import (
+    ZSTD_MAGIC,
+    xxhash64,
+    zstd_compress,
+    zstd_decompress,
+)
+
+_ZSTD_CLI = shutil.which("zstd")
+
+
+def _plain_hello() -> bytes:
+    return b"hello world, hello zstd, hello hello hello\n" * 10
+
+
+def _plain_semi(n: int = 600) -> bytes:
+    return b"".join(("row-%d,value=%d;" % (i % 97, (i * i) % 413)).encode() for i in range(n))
+
+
+def _plain_mixed() -> bytes:
+    rng = random.Random(1234)
+    return bytes(rng.choice(b"abcdefgh \n") for _ in range(4096))
+
+
+# (plaintext builder, base64 of the reference-CLI frame, CLI level used)
+_VECTORS = {
+    "empty_l3": (lambda: b"", "KLUv/SQAAQAAmenYUQ==", "-3"),
+    "hello_l1": (
+        _plain_hello,
+        "KLUv/QRITQEA4GhlbGxvIHdvcmxkLCBoZWxsbyB6c3RoZWxsbwoEAHpOKQD4gqG9KE1pCSsv",
+        "-1",
+    ),
+    "rle_l3": (
+        lambda: b"\xabZ" + b"\x00" * 5000,
+        "KLUv/QRYVQAAGKtaAAEAhNODIWCjVUg=",
+        "-3",
+    ),
+    "nocheck_l5": (
+        lambda: _plain_semi()[:1000],
+        "KLUv/QBYvQcAIo0eE7Cn2Jg4MVqSxmpl75QyvfswegIUEAyFwQEgRByFEaiaO9nt9Zvuzu+3"
+        "PZF8OXN5ey7N5Tm5t4123dQci413oU3VqXev1K1d35JerUUcvpxO0UgLh3pm7azO4el8VJuU"
+        "mbEz2bmodJ7GV3OGOAojIAKCoTA4AIQ4CiN1qHFo3P0zgKMkbhA6pt0G4DG7DZpZfyTn53l7"
+        "z/6qXAzNJyYitwlNxiDSWZHdaXZjPbutJ68KwiJhR+Kdxtbi1Jo5j7ntY5pFRy+yQFy1KQyl"
+        "XWc8yicOrRqPK9P1gpmsUt3srlUXtGTsGM4SDLxf3QdJCb+vEMPHKg==",
+        "-5 --no-check",
+    ),
+}
+
+# the two larger entropy-heavy vectors, kept separate for readability
+_VECTORS_LARGE_KEYS = ("semi_l19", "mixed_l9")
+
+
+def _load_large_vectors():
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "fixtures", "zstd_vectors.bin")
+    with open(path, "rb") as f:
+        raw = f.read()
+    out = {}
+    i = 0
+    for key in _VECTORS_LARGE_KEYS:
+        (ln,) = struct.unpack_from("<I", raw, i)
+        i += 4
+        out[key] = raw[i : i + ln]
+        i += ln
+    return out
+
+
+def test_xxhash64_spec_vectors():
+    # Cyan4973/xxHash xxhash_spec.md published sanity values
+    assert xxhash64(b"") == 0xEF46DB3751D8E999
+    assert xxhash64(b"", seed=2654435761) == 0xAC75FDA2929B17EF
+    # published one-shot examples for prime-seeded buffers are keyed to the
+    # spec's test buffer; cross-check the Python against its own invariants
+    assert xxhash64(b"a") != xxhash64(b"b")
+    assert xxhash64(b"x" * 31) != xxhash64(b"x" * 32)
+
+
+def test_reference_cli_vectors_decode():
+    for name, (plain_fn, b64, _lvl) in _VECTORS.items():
+        comp = base64.b64decode(b64)
+        assert zstd_decompress(comp) == plain_fn(), name
+
+
+def test_reference_cli_vectors_large():
+    large = _load_large_vectors()
+    assert zstd_decompress(large["semi_l19"]) == _plain_semi()
+    assert zstd_decompress(large["mixed_l9"]) == _plain_mixed()
+
+
+def test_writer_roundtrip_and_frame_shape():
+    for data in (b"", b"a", b"\x00" * 300000, _plain_semi(), bytes(range(256)) * 600):
+        frame = zstd_compress(data)
+        (magic,) = struct.unpack_from("<I", frame, 0)
+        assert magic == ZSTD_MAGIC
+        assert zstd_decompress(frame) == data
+        # no-checksum form too
+        assert zstd_decompress(zstd_compress(data, checksum=False)) == data
+
+
+def test_multi_frame_and_skippable():
+    f1 = zstd_compress(b"frame one ")
+    skip = struct.pack("<II", 0x184D2A50, 9) + b"skippable"
+    f2 = zstd_compress(b"frame two")
+    assert zstd_decompress(f1 + skip + f2) == b"frame one frame two"
+
+
+def test_error_cases():
+    with pytest.raises(ValueError, match="bad magic"):
+        zstd_decompress(b"\x00\x00\x00\x00rest")
+    with pytest.raises(ValueError, match="truncated"):
+        zstd_decompress(b"\x28\xb5")
+    good = bytearray(zstd_compress(b"payload payload payload"))
+    # corrupt one content byte -> checksum mismatch
+    bad = bytearray(good)
+    bad[10] ^= 0x55
+    with pytest.raises(ValueError):
+        zstd_decompress(bytes(bad))
+    # reserved frame-header bit
+    bad = bytearray(good)
+    bad[4] |= 0x08
+    with pytest.raises(ValueError, match="reserved frame-header bit"):
+        zstd_decompress(bytes(bad))
+    # dictionary frames are refused, not mis-decoded: build a header with
+    # dict-ID flag 1 and a nonzero ID
+    hdr = struct.pack("<I", ZSTD_MAGIC) + bytes([0x01 | 0x20 | (0 << 6)]) + b"\x07"
+    with pytest.raises(ValueError, match="dictionary"):
+        zstd_decompress(hdr + b"\x00" * 8)
+
+
+def test_frame_content_size_is_checked():
+    frame = bytearray(zstd_compress(b"12345678", checksum=False))
+    # FCS is the 8 LE bytes after magic+descriptor; lie about it
+    struct.pack_into("<Q", frame, 5, 9)
+    with pytest.raises(ValueError, match="content size mismatch"):
+        zstd_decompress(bytes(frame))
+
+
+@pytest.mark.skipif(_ZSTD_CLI is None, reason="no reference zstd CLI in PATH")
+def test_property_sweep_against_reference_cli():
+    import subprocess
+
+    rng = random.Random(20260815)
+    for t in range(25):
+        kind = t % 4
+        sz = rng.randrange(0, 120000)
+        if kind == 0:
+            d = bytes(rng.randrange(256) for _ in range(min(sz, 20000)))
+        elif kind == 1:
+            d = bytes(rng.choice(b"abcdefgh \n") for _ in range(sz))
+        elif kind == 2:
+            d = b"".join(("%d:%s;" % (i, "v" * rng.randrange(1, 20))).encode() for i in range(sz // 100))
+        else:
+            d = (b"pattern" * 1000 + bytes([rng.randrange(256)]))[: sz or 1]
+        lvl = rng.choice(["-1", "-3", "-7", "-12", "-19"])
+        comp = subprocess.run([_ZSTD_CLI, lvl, "-c"], input=d, capture_output=True).stdout
+        assert zstd_decompress(comp) == d, (t, kind, sz, lvl)
+        # and the reference decoder accepts our writer's frames
+        mine = zstd_compress(d)
+        p = subprocess.run([_ZSTD_CLI, "-d", "-c"], input=mine, capture_output=True)
+        assert p.returncode == 0 and p.stdout == d, (t, "writer")
