@@ -4436,72 +4436,25 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The external driver gates only the FIRST 50 dict entries, so ordering is
-    # load-bearing. Rotation policy (round-10 rotation applied): (1) queries
-    # NEW this round or whose CODE/fixture changed lead (unigram_*, langid_*,
-    # kafka_segment_parse whose gate fixture gained snappy/LZ4 partitions in
-    # r9 commit 00e208a after the r9 window froze), (2) the window fills with
-    # the STALEST driver rows (displaced r05/r06-era rows, in their queued
-    # order), (3) everything after slot 50 stays ordered by staleness —
-    # remaining stale rows first, then the 50 queries green in the r09 window
-    # (the freshest) — so the next rotation is a prefix cut. Before any
-    # rotation ships, the FULL (non --window) tools/check.py run must be
-    # green — rotated-out queries keep local-gate + pytest coverage
-    # (cumulative goal: every query's driver row at most ~2 rounds old).
-    # This literal is machine-regenerated from the CORRECTNESS_r* staleness
-    # data each rotation; duplicates are structurally impossible.
+    # load-bearing. Rotation policy (r11 rotation applied): (1) the stalest
+    # driver rows lead — all 47 queries whose last external gate row was r06 —
+    # (2) plus the queries whose code or fixture changed this round and must
+    # re-attest externally (kafka_segment_parse: zstd partition; binlog_file_
+    # parse: zstd TRANSACTION_PAYLOAD file; dedup_cluster: engine routing),
+    # (3) everything after slot 50 stays ordered by staleness (r07, then r09,
+    # then r10) so the next rotation is a prefix cut. Before any rotation
+    # ships, the FULL (non --window) tools/check.py run must be green —
+    # rotated-out queries keep local-gate + pytest coverage. After r11 the
+    # stalest remaining driver row is r07 (45 rows), which the r12 rotation
+    # should lead with. This literal is machine-regenerated from the
+    # CORRECTNESS_r* staleness data each rotation; duplicates are
+    # structurally impossible.
     return {
-        # -- new this round (r10) + changed-fixture rotation lead ------------
-        "hll_registers": q_hll_registers,
-        "hll_shard_merge": q_hll_shard_merge,
-        "cms_heavy_hitters": q_cms_heavy_hitters,
-        "kmv_sketch": q_kmv_sketch,
-        "kmv_jaccard": q_kmv_jaccard,
-        "wordpiece_learn": q_wordpiece_learn,
-        "wordpiece_encode": q_wordpiece_encode,
-        "unigram_learn": q_unigram_learn,
-        "unigram_encode": q_unigram_encode,
-        "unigram_doc_tokens": q_unigram_doc_tokens,
-        "langid_train": q_langid_train,
-        "langid_apply": q_langid_apply,
-        "kafka_segment_parse": q_kafka_segment_parse,
-        # -- stalest driver rows (displaced r05/r06 era) fill the window -----
-        "ddl_in_stream": q_ddl_in_stream,
-        "dead_letter": q_dead_letter,
-        "dedup_cluster": q_dedup_cluster,
-        "dedup_cluster_star": q_dedup_cluster_star,
-        "dedup_exact": q_dedup_exact,
-        "disjunctive_revenue": q_disjunctive_revenue,
-        "gopher_rules": q_gopher_rules,
-        "heartbeat_lag": q_heartbeat_lag,
-        "important_parts": q_important_parts,
-        "large_orders": q_large_orders,
-        "merge_compact": q_merge_compact,
-        "minhash_lsh": q_minhash_lsh,
-        "monitor_rollup": q_monitor_rollup,
-        "multimodal_features": q_multimodal_features,
-        "multimodal_resize": q_multimodal_resize,
-        "nation_trade_flows": q_nation_trade_flows,
-        "ngram_minhash": q_ngram_minhash,
-        "orc_roundtrip": q_orc_roundtrip,
-        "partition_lanes": q_partition_lanes,
-        "pricing_summary": q_pricing_summary,
-        "salted_join": q_salted_join,
-        "semantic_dedup": q_semantic_dedup,
-        "simhash_pairs": q_simhash_pairs,
-        "sliding_counts": q_sliding_counts,
-        "source_caps": q_source_caps,
-        "span_dedup": q_span_dedup,
-        "stateful_dedup": q_stateful_dedup,
-        "stream_e2e": q_stream_e2e,
-        "stream_join": q_stream_join,
-        "struct_check_report": q_struct_check_report,
-        "struct_objects": q_struct_objects,
-        "temperature_mix": q_temperature_mix,
-        "tfidf_topterms": q_tfidf_topterms,
-        "top_supplier": q_top_supplier,
-        "topic_route": q_topic_route,
-        "ann_ivf": q_ann_ivf,
-        "ann_ivfpq": q_ann_ivfpq,
+        # -- r11 window: the 47 r06-era rows (the stalest external gate
+        # -- attestations) + the three queries whose code/fixture changed
+        # -- this round (zstd partitions in the kafka fixture, a zstd
+        # -- TRANSACTION_PAYLOAD file in the binlog chain, the dedup_cluster
+        # -- engine auto-routing) -------------------------------------------
         "avro_roundtrip": q_avro_roundtrip,
         "checker_summary": q_checker_summary,
         "customer_set_ops": q_customer_set_ops,
@@ -4510,7 +4463,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "event_filter": q_event_filter,
         "jaccard_pairs": q_jaccard_pairs,
-        # ---------------------------- slot 50 ends here ----------------------
         "lapsed_customers": q_lapsed_customers,
         "merge_spill": q_merge_spill,
         "minhash_incremental": q_minhash_incremental,
@@ -4550,6 +4502,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "upsert_sql_mysql": q_upsert_sql_mysql,
         "upsert_sql_pg": q_upsert_sql_pg,
         "wire_roundtrip": q_wire_roundtrip,
+        "kafka_segment_parse": q_kafka_segment_parse,
+        "binlog_file_parse": q_binlog_file_parse,
+        "dedup_cluster": q_dedup_cluster,
+        # ---------------------------- slot 50 ends here ----------------------
+        # remaining entries ordered by driver-row staleness (r07 first, then
+        # r09, then r10) so the next rotation is again a prefix cut
         "ann_ivf_index": q_ann_ivf_index,
         "ann_ivfpq_index": q_ann_ivfpq_index,
         "ann_lsh": q_ann_lsh,
@@ -4598,57 +4556,103 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": q_vocab_topk,
         "waiting_suppliers": q_waiting_suppliers,
         "windowed_counts": q_windowed_counts,
-        # -- freshest: green in the r09 driver window; last in rotation line --
-        "jpeg_decode": q_jpeg_decode,
-        "precheck_cdc": q_precheck_cdc,
-        "bpe_learn": q_bpe_learn,
-        "bpe_encode": q_bpe_encode,
-        "checker_retry": q_checker_retry,
-        "zero_dates": q_zero_dates,
-        "png_decode": q_png_decode,
-        "image_decode": q_image_decode,
-        "jpeg_meta": q_jpeg_meta,
-        "wav_decode": q_wav_decode,
-        "warc_parse": q_warc_parse,
-        "html_extract": q_html_extract,
-        "url_normalize": q_url_normalize,
-        "web_pipeline": q_web_pipeline,
-        "robots_filter": q_robots_filter,
-        "unicode_nfc": q_unicode_nfc,
-        "url_dedup": q_url_dedup,
-        "hash_split": q_hash_split,
-        "gopher_repetition": q_gopher_repetition,
-        "data_card": q_data_card,
-        "charset_sniff": q_charset_sniff,
-        "perceptron_train": q_perceptron_train,
-        "late_shipments": q_late_shipments,
-        "part_supplier_counts": q_part_supplier_counts,
-        "excess_suppliers": q_excess_suppliers,
-        "binlog_file_parse": q_binlog_file_parse,
-        "unimax_mix": q_unimax_mix,
-        "curation_v3": q_curation_v3,
-        "substring_incremental": q_substring_incremental,
-        "ann_sq8": q_ann_sq8,
-        "ann_sq8_index": q_ann_sq8_index,
-        "shipping_priority": q_shipping_priority,
-        "local_supplier_volume": q_local_supplier_volume,
-        "forecast_revenue": q_forecast_revenue,
-        "market_share": q_market_share,
-        "product_profit": q_product_profit,
-        "returned_items": q_returned_items,
-        "promo_effect": q_promo_effect,
         "ann_pq": q_ann_pq,
         "ann_pq_index": q_ann_pq_index,
+        "ann_sq8": q_ann_sq8,
+        "ann_sq8_index": q_ann_sq8_index,
         "bigram_lm_score": q_bigram_lm_score,
         "binlog_order": q_binlog_order,
+        "bpe_encode": q_bpe_encode,
+        "bpe_learn": q_bpe_learn,
         "ccnet_buckets": q_ccnet_buckets,
         "cdc_apply_state": q_cdc_apply_state,
+        "charset_sniff": q_charset_sniff,
         "cheapest_shipment": q_cheapest_shipment,
         "checker_diff": q_checker_diff,
+        "checker_retry": q_checker_retry,
         "continuous_rollup": q_continuous_rollup,
         "cosine_dup_pairs": q_cosine_dup_pairs,
         "cosine_topk": q_cosine_topk,
         "curation_v2": q_curation_v2,
+        "curation_v3": q_curation_v3,
+        "data_card": q_data_card,
+        "excess_suppliers": q_excess_suppliers,
+        "forecast_revenue": q_forecast_revenue,
+        "gopher_repetition": q_gopher_repetition,
+        "hash_split": q_hash_split,
+        "html_extract": q_html_extract,
+        "image_decode": q_image_decode,
+        "jpeg_decode": q_jpeg_decode,
+        "jpeg_meta": q_jpeg_meta,
+        "late_shipments": q_late_shipments,
+        "local_supplier_volume": q_local_supplier_volume,
+        "market_share": q_market_share,
+        "part_supplier_counts": q_part_supplier_counts,
+        "perceptron_train": q_perceptron_train,
+        "png_decode": q_png_decode,
+        "precheck_cdc": q_precheck_cdc,
+        "product_profit": q_product_profit,
+        "promo_effect": q_promo_effect,
+        "returned_items": q_returned_items,
+        "robots_filter": q_robots_filter,
+        "shipping_priority": q_shipping_priority,
+        "substring_incremental": q_substring_incremental,
+        "unicode_nfc": q_unicode_nfc,
+        "unimax_mix": q_unimax_mix,
+        "url_dedup": q_url_dedup,
+        "url_normalize": q_url_normalize,
+        "warc_parse": q_warc_parse,
+        "wav_decode": q_wav_decode,
+        "web_pipeline": q_web_pipeline,
+        "zero_dates": q_zero_dates,
+        "ann_ivf": q_ann_ivf,
+        "ann_ivfpq": q_ann_ivfpq,
+        "cms_heavy_hitters": q_cms_heavy_hitters,
+        "ddl_in_stream": q_ddl_in_stream,
+        "dead_letter": q_dead_letter,
+        "dedup_cluster_star": q_dedup_cluster_star,
+        "dedup_exact": q_dedup_exact,
+        "disjunctive_revenue": q_disjunctive_revenue,
+        "gopher_rules": q_gopher_rules,
+        "heartbeat_lag": q_heartbeat_lag,
+        "hll_registers": q_hll_registers,
+        "hll_shard_merge": q_hll_shard_merge,
+        "important_parts": q_important_parts,
+        "kmv_jaccard": q_kmv_jaccard,
+        "kmv_sketch": q_kmv_sketch,
+        "langid_apply": q_langid_apply,
+        "langid_train": q_langid_train,
+        "large_orders": q_large_orders,
+        "merge_compact": q_merge_compact,
+        "minhash_lsh": q_minhash_lsh,
+        "monitor_rollup": q_monitor_rollup,
+        "multimodal_features": q_multimodal_features,
+        "multimodal_resize": q_multimodal_resize,
+        "nation_trade_flows": q_nation_trade_flows,
+        "ngram_minhash": q_ngram_minhash,
+        "orc_roundtrip": q_orc_roundtrip,
+        "partition_lanes": q_partition_lanes,
+        "pricing_summary": q_pricing_summary,
+        "salted_join": q_salted_join,
+        "semantic_dedup": q_semantic_dedup,
+        "simhash_pairs": q_simhash_pairs,
+        "sliding_counts": q_sliding_counts,
+        "source_caps": q_source_caps,
+        "span_dedup": q_span_dedup,
+        "stateful_dedup": q_stateful_dedup,
+        "stream_e2e": q_stream_e2e,
+        "stream_join": q_stream_join,
+        "struct_check_report": q_struct_check_report,
+        "struct_objects": q_struct_objects,
+        "temperature_mix": q_temperature_mix,
+        "tfidf_topterms": q_tfidf_topterms,
+        "top_supplier": q_top_supplier,
+        "topic_route": q_topic_route,
+        "unigram_doc_tokens": q_unigram_doc_tokens,
+        "unigram_encode": q_unigram_encode,
+        "unigram_learn": q_unigram_learn,
+        "wordpiece_encode": q_wordpiece_encode,
+        "wordpiece_learn": q_wordpiece_learn,
     }
 
 

@@ -924,9 +924,12 @@ def decode_jpeg(payload: bytes) -> dict:
                 cid, sampv, qid = struct.unpack_from(">BBB", body, 6 + 3 * c)
                 comps.append({"id": cid, "h": sampv >> 4, "v": sampv & 0xF, "q": qid})
             frame = {"precision": precision, "h": h, "w": w, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker == 0xC2:  # SOF2 progressive -> multi-scan path (r11)
+            return _decode_progressive(payload)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"only baseline sequential (SOF0/1) supported, got SOF marker {marker:#x}"
+                f"only baseline (SOF0/1) and progressive (SOF2) supported, "
+                f"got SOF marker {marker:#x}"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", body, 0)
@@ -1002,6 +1005,12 @@ def decode_jpeg(payload: bytes) -> dict:
                         x0 = (mx * c["h"] + bxx) * 8
                         planes[c["id"]][y0 : y0 + 8, x0 : x0 + 8] = block
             mcu_idx += 1
+    return _finish_planes(comps, planes, h, w, hmax, vmax)
+
+
+def _finish_planes(comps, planes, h, w, hmax, vmax) -> dict:
+    """Shared decode tail: crop, chroma upsample, color convert, stats —
+    identical for the baseline and progressive paths."""
     if len(comps) == 1:
         px = planes[comps[0]["id"]][:h, :w]
         out_px = px
