@@ -3601,6 +3601,49 @@ def q_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mc.decode_jpeg_df(payloads)
 
 
+def q_jpeg_progressive_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL progressive-JPEG (SOF2) pixel decode, stdlib+numpy only
+    (functions/media_codec.py, T.81 Annex G): each part row generates a
+    32x32 grayscale image of flat 8x8 blocks with DC (11*id+17*bi+29*bj)
+    % 256, encoded with the full default scan script — interleaved DC
+    first scan at Al=1, spectral AC bands 1-5 / 6-63 at Al=2, an AC
+    successive-approximation refinement chain 2->1->0, a DC refinement
+    scan — plus restart_interval=3, so the decoder must accumulate
+    coefficients across six scans, chain EOB runs over all-zero AC bands,
+    reassemble the DC value from its SA bit planes ((dc>>1)<<1 | bit0),
+    and resync at RSTn markers in every scan. Flat blocks keep the decode
+    closed-form: qv = round-half-up(dc/Q) with odd Q=11, decoded =
+    clip(floor((qv*Q + 1028)/8)) — the SAME formula as the baseline gate,
+    because successive approximation is lossless on the quantized
+    coefficients. The oracle restates that integer formula; matching
+    px_sum/min/max proves every scan's entropy decode landed every bit.
+    One map pass, no shuffle. Parity: the reference treats media as
+    opaque binary — this gate is curation-path decode beyond it."""
+    from ape_dts_spark.functions import media_codec as mc
+
+    p = demo.load(spark, sf_dir, "part").select("p_partkey")
+
+    def _gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for k in pdf["p_partkey"]:
+                k = int(k)
+                tile = np.empty((4, 4), np.uint8)
+                for bi in range(4):
+                    for bj in range(4):
+                        tile[bi, bj] = (11 * k + 17 * bi + 29 * bj) % 256
+                img = np.kron(tile, np.ones((8, 8), np.uint8))
+                ids.append(k)
+                payloads.append(mc.encode_jpeg_progressive(img, restart_interval=3))
+            yield pd.DataFrame({"id": ids, "payload": payloads})
+
+    payloads = _spread(p, spark).mapInPandas(_gen, "id long, payload binary")
+    return mc.decode_jpeg_df(payloads)
+
+
 def q_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode, no codec library: a PCM16 WAV writer (RIFF/WAVE,
     fmt + data chunks, mono/stereo interleaving by key) generates one clip
@@ -4584,6 +4627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_decode": q_image_decode,
         "jpeg_decode": q_jpeg_decode,
         "jpeg_meta": q_jpeg_meta,
+        "jpeg_progressive_decode": q_jpeg_progressive_decode,
         "late_shipments": q_late_shipments,
         "local_supplier_volume": q_local_supplier_volume,
         "market_share": q_market_share,
@@ -5844,6 +5888,29 @@ def oracle_sql() -> dict[str, str]:
             -- closed-form DC-only JPEG: quantize round-half-up with odd
             -- Q=11 (boundary unreachable), dequantize + IDCT of a flat
             -- block = qv*Q/8 + 128, round half up, clip to [0, 255]
+            dec AS (
+              SELECT id,
+                LEAST(255, GREATEST(0, CAST(FLOOR(
+                  (CAST(FLOOR((2 * (8 * (v - 128)) + 11) / 22.0) AS BIGINT)
+                   * 11 + 1028) / 8.0) AS BIGINT))) AS px
+              FROM blocks)
+            SELECT id, CAST(32 AS INT) AS width, CAST(32 AS INT) AS height,
+                   CAST(1 AS INT) AS color_type,
+                   CAST(1024 AS BIGINT) AS n_px,
+                   CAST(SUM(px) * 64 AS BIGINT) AS px_sum,
+                   CAST(MIN(px) AS INT) AS px_min,
+                   CAST(MAX(px) AS INT) AS px_max
+            FROM dec GROUP BY id
+        """,
+        "jpeg_progressive_decode": """
+            WITH base AS (SELECT p_partkey AS id FROM part),
+            blocks AS (
+              SELECT id, (11 * id + 17 * bi + 29 * bj) % 256 AS v
+              FROM base,
+                   LATERAL unnest(range(0, 4)) AS u1(bi),
+                   LATERAL unnest(range(0, 4)) AS u2(bj)),
+            -- identical closed form to the baseline gate: successive
+            -- approximation is lossless on the quantized coefficients
             dec AS (
               SELECT id,
                 LEAST(255, GREATEST(0, CAST(FLOOR(

@@ -500,6 +500,7 @@ def jaccard_pairs(
     threshold: float = 0.6,
     max_df: int | None = None,
     tokens: str | None = None,
+    max_candidate_fanout: int | None = 200_000_000,
 ) -> DataFrame:
     """All document pairs with token-set Jaccard >= threshold — **exact**, via
     prefix filtering (AllPairs/PPJoin): under a global token order (by
@@ -528,6 +529,19 @@ def jaccard_pairs(
     `tokens` overrides the tokenizer with any SQL expression returning
     array<string> (e.g. text.shingles_expr over a materialized normalized
     column for character-n-gram Jaccard); default is word tokens.
+
+    **Density guard** (`max_candidate_fanout`): the prefix-filter join is
+    pair-density quadratic — Σ over prefix tokens of C(df_prefix, 2) rows
+    before the PPJoin filters. On high-df shingle corpora that sum grows
+    ~quadratically with corpus size (SCALING alpha 1.77 for the ngram gate),
+    so a 100× caller would silently run a scale-killer. Before the join, the
+    guard computes that sum with one cheap aggregate over the (persisted)
+    prefix relation and RAISES when it exceeds the cap, naming the
+    banding-bounded sibling (minhash_lsh_pairs / ngram_minhash, alpha < 1)
+    and the semantics-preserving knobs (higher threshold, max_df). It
+    raises rather than auto-routing because MinHash recall is probabilistic
+    — silently swapping engines would change answers. Pass ``None`` to run
+    dense anyway (the exact-oracle calibration use case).
     """
     # fan out only for custom tokenizers (shingles): their tokenize is the
     # CPU-heavy stage that single-threads on one input split; for cheap word
@@ -572,6 +586,25 @@ def jaccard_pairs(
         ranked.filter(F.col("_pos") <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1)
         .select("_rep", "token", "_pos", "n")
     )
+    if max_candidate_fanout is not None:
+        # persist so the estimate pass and the join share the ranked prefix
+        prefix = prefix.persist(StorageLevel.MEMORY_AND_DISK)
+        est = (
+            prefix.groupBy("token")
+            .agg(F.count(F.lit(1)).alias("_pdf"))
+            .agg(F.sum(F.col("_pdf") * (F.col("_pdf") - 1) / 2).alias("_e"))
+            .collect()[0]["_e"]
+        )
+        if est is not None and est > max_candidate_fanout:
+            raise RuntimeError(
+                f"jaccard_pairs: prefix-filter candidate fan-out ~{int(est):,} "
+                f"exceeds max_candidate_fanout={max_candidate_fanout:,} — the "
+                "exact PPJoin kernel is pair-density quadratic at this scale. "
+                "Use the banding-bounded MinHash sibling (minhash_lsh_pairs / "
+                "the ngram_minhash recipe), raise `threshold`, prune hot "
+                "tokens with `max_df`, or pass max_candidate_fanout=None to "
+                "force the dense run."
+            )
     a = prefix.select(
         F.col("_rep").alias("rep_a"), "token", F.col("_pos").alias("pos_a"), F.col("n").alias("sz_a")
     )
@@ -904,11 +937,32 @@ def keep_representatives(
         .localCheckpoint()
     )
     labels = nodes.select("node", F.col("node").alias("label")).localCheckpoint()
-    # Labels only ever DECREASE (pure min fold + least() jump), so the exact
-    # decimal sum of labels is a strictly-decreasing convergence witness:
-    # unchanged sum <=> no label changed. One aggregate per round instead of
-    # the old join-old-vs-new + filter + count (a full |V| shuffle per round).
-    prev_sum = labels.agg(F.sum(F.col("label").cast("decimal(38,0)")).alias("s")).collect()[0]["s"]
+    # Convergence witness, one aggregate per round instead of the old
+    # join-old-vs-new + filter + count (a full |V| shuffle per round).
+    # Numeric ids: labels only ever DECREASE (pure min fold + least() jump),
+    # so the exact decimal sum is strictly decreasing and unchanged sum <=>
+    # no label changed — a PROOF, not a probability. Non-numeric ids (string
+    # doc keys): the decimal cast would go NULL (sum None every round -> a
+    # false stop after one iteration, ADVICE r11) and lexicographic min
+    # breaks the monotone-sum argument even for numeric strings — use the
+    # order-free xxhash64 signature over (node, label) instead, the same
+    # driver-side witness _star_keep uses (never lands in query output, so
+    # engine portability of xxhash64 is moot here).
+    from pyspark.sql.types import NumericType
+
+    id_numeric = isinstance(df.schema[id_col].dataType, NumericType)
+
+    def _witness(lb: DataFrame):
+        if id_numeric:
+            row = lb.agg(F.sum(F.col("label").cast("decimal(38,0)")).alias("s")).collect()[0]
+            return ("sum", row["s"])
+        row = lb.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(node, label))").alias("h"),
+        ).collect()[0]
+        return ("sig", row["n"], row["h"])
+
+    prev_sum = _witness(labels)
     for _ in range(max_iter):
         neigh = edges.join(
             labels.select(F.col("node").alias("dst"), F.col("label")), "dst"
@@ -927,9 +981,7 @@ def keep_representatives(
             .select("node", F.least("label", "_l2").alias("label"))
             .localCheckpoint()
         )
-        cur_sum = new_labels.agg(
-            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
-        ).collect()[0]["s"]
+        cur_sum = _witness(new_labels)
         labels = new_labels
         if cur_sum == prev_sum:
             break

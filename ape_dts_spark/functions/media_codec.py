@@ -623,14 +623,14 @@ def _plane_blocks(plane: np.ndarray) -> tuple[int, int, np.ndarray]:
     return by, bx, blocks
 
 
-def encode_jpeg(
-    pixels: np.ndarray,
-    subsampling: str = "444",
-    restart_interval: int = 0,
-) -> bytes:
-    """Real baseline JFIF encoder. ``pixels`` is (h, w) grayscale or
-    (h, w, 3) RGB uint8; ``subsampling`` is '444' or '420' (color only);
-    ``restart_interval`` emits DRI + RSTn every N MCUs when > 0."""
+def _prepare_blocks(
+    pixels: np.ndarray, subsampling: str
+) -> tuple[int, int, list[np.ndarray], list[tuple[int, int]], list[int], int, int]:
+    """Shared encoder front half (baseline + progressive): color transform,
+    chroma decimation, FDCT + quantization, MCU-grid block padding. Returns
+    (h, w, comp_blocks, samp, qids, mcus_x, mcus_y) where comp_blocks[ci]
+    is the (by, bx, 8, 8) quantized-coefficient grid padded to the MCU
+    grid."""
     pixels = np.asarray(pixels, dtype=np.uint8)
     gray = pixels.ndim == 2
     h, w = pixels.shape[:2]
@@ -685,6 +685,20 @@ def encode_jpeg(
                 q, ((0, need_y - q.shape[0]), (0, need_x - q.shape[1]), (0, 0), (0, 0)),
                 mode="edge",
             )
+    return h, w, comp_blocks, samp, qids, mcus_x, mcus_y
+
+
+def encode_jpeg(
+    pixels: np.ndarray,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """Real baseline JFIF encoder. ``pixels`` is (h, w) grayscale or
+    (h, w, 3) RGB uint8; ``subsampling`` is '444' or '420' (color only);
+    ``restart_interval`` emits DRI + RSTn every N MCUs when > 0."""
+    h, w, comp_blocks, samp, qids, mcus_x, mcus_y = _prepare_blocks(pixels, subsampling)
+    planes = comp_blocks  # one entry per component from here on
+    qtables = {0: _QTABLE_LUMA, 1: _QTABLE_CHROMA}
 
     # gather used Huffman symbols (two table pairs: luma=0, chroma=1)
     dc_syms: dict[int, list[int]] = {0: [], 1: []}
@@ -785,6 +799,281 @@ def encode_jpeg(
     return bytes(out)
 
 
+# ---------------------------------------------------------------------------
+# Progressive JPEG (SOF2): full encoder + decoder, T.81 Annex G.
+#
+# Spectral selection (per-scan Ss..Se coefficient bands), successive
+# approximation (point transform Al with refinement passes Ah -> Al),
+# EOB-run coding (G.1.2.2), and the refinement correction-bit protocol
+# (G.1.2.3: buffered correction bits ride behind ZRL / newly-nonzero
+# symbols or fold into the pending EOB run). The encoder is the fixture
+# generator (writer-as-fixture-generator pattern, same as baseline); its
+# default scan script exercises every decoder path: interleaved DC first
+# scan with Al=1, per-component spectral AC bands with Al=2, an AC
+# refinement chain (Ah=2->Al=1 then Ah=1->Al=0), and a DC refinement
+# scan. Entropy coding is lossless, so progressive decode of an image
+# must equal baseline decode of the same image bit-for-bit — pytest
+# asserts exactly that, and the oracle gate reuses the baseline DC-only
+# closed form (successive approximation recovers the DC coefficient
+# exactly: (dc >> 1) << 1 | bit0 == dc).
+# ---------------------------------------------------------------------------
+
+
+def _default_scan_script(n_comp: int) -> list[tuple[list[int], int, int, int, int]]:
+    """The classic progressive scan script (scans as (comps, Ss, Se, Ah, Al)):
+    DC first (interleaved, Al=1), per-component spectral AC bands at Al=2,
+    AC successive-approximation refinements 2->1 and 1->0, DC refinement."""
+    scans: list[tuple[list[int], int, int, int, int]] = [
+        (list(range(n_comp)), 0, 0, 0, 1),
+    ]
+    for ci in range(n_comp):
+        scans.append(([ci], 1, 5, 0, 2))
+        scans.append(([ci], 6, 63, 0, 2))
+    for ci in range(n_comp):
+        scans.append(([ci], 1, 63, 2, 1))
+    scans.append((list(range(n_comp)), 0, 0, 1, 0))
+    for ci in range(n_comp):
+        scans.append(([ci], 1, 63, 1, 0))
+    return scans
+
+
+def _prog_scan_ops(
+    scan: tuple[list[int], int, int, int, int],
+    coefs: list[np.ndarray],
+    samp: list[tuple[int, int]],
+    nb: list[tuple[int, int]],
+    mcus_x: int,
+    mcus_y: int,
+    tids: list[int],
+    restart_interval: int,
+) -> list[tuple]:
+    """Encode one progressive scan to a symbolic op list:
+    ("sym", class, tid, symbol) / ("bits", value, nbits) / ("rst", n).
+    Two-pass rendering (collect symbols -> build canonical tables -> write
+    bits) falls out of this representation for free."""
+    comps_idx, ss, se, ah, al = scan
+    ops: list[tuple] = []
+    if ss == 0:  # DC scan (interleaved when >1 component)
+        if se != 0:
+            raise ValueError("progressive DC scan must have Se=0")
+        if len(comps_idx) > 1:
+            units = []
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    blocks = []
+                    for ci in comps_idx:
+                        sh, sv = samp[ci]
+                        for byy in range(sv):
+                            for bxx in range(sh):
+                                blocks.append((ci, my * sv + byy, mx * sh + bxx))
+                    units.append(blocks)
+        else:
+            ci = comps_idx[0]
+            by_n, bx_n = nb[ci]
+            units = [[(ci, by, bx)] for by in range(by_n) for bx in range(bx_n)]
+        preds = {ci: 0 for ci in comps_idx}
+        nrst = 0
+        for ui, blocks in enumerate(units):
+            if restart_interval and ui and ui % restart_interval == 0:
+                ops.append(("rst", nrst % 8))
+                nrst += 1
+                preds = {ci: 0 for ci in comps_idx}
+            for ci, by, bx in blocks:
+                dc = int(coefs[ci][by, bx, 0])
+                if ah == 0:
+                    v = dc >> al  # DC point transform: arithmetic shift
+                    diff = v - preds[ci]
+                    preds[ci] = v
+                    cat = _bit_category(diff)
+                    ops.append(("sym", 0, tids[ci], cat))
+                    if cat:
+                        ops.append(("bits", diff if diff >= 0 else diff + (1 << cat) - 1, cat))
+                else:  # DC refinement: one raw bit per block, no Huffman
+                    ops.append(("bits", (dc >> al) & 1, 1))
+        return ops
+
+    # AC scan: single component only (T.81 G.1.1)
+    if len(comps_idx) != 1:
+        raise ValueError("progressive AC scan must be single-component")
+    ci = comps_idx[0]
+    tid = tids[ci]
+    by_n, bx_n = nb[ci]
+    eobrun = 0
+    eob_bits: list[int] = []  # correction bits folded into the pending EOB run
+
+    def flush_eob() -> None:
+        nonlocal eobrun
+        if eobrun == 0:
+            return
+        nbits = eobrun.bit_length() - 1
+        ops.append(("sym", 1, tid, nbits << 4))
+        if nbits:
+            ops.append(("bits", eobrun, nbits))  # low nbits; top bit implicit
+        for b in eob_bits:
+            ops.append(("bits", b, 1))
+        eob_bits.clear()
+        eobrun = 0
+
+    nrst = 0
+    ui = 0
+    for by in range(by_n):
+        for bx in range(bx_n):
+            if restart_interval and ui and ui % restart_interval == 0:
+                flush_eob()
+                ops.append(("rst", nrst % 8))
+                nrst += 1
+            ui += 1
+            band = [int(v) for v in coefs[ci][by, bx, ss : se + 1]]
+            if ah == 0:  # first scan of this band: AC point transform
+                t = [v >> al if v >= 0 else -((-v) >> al) for v in band]
+                nz = [i for i, v in enumerate(t) if v]
+                if not nz:
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush_eob()
+                    continue
+                flush_eob()
+                r = 0
+                for i in range(nz[-1] + 1):
+                    v = t[i]
+                    if v == 0:
+                        r += 1
+                        continue
+                    while r > 15:
+                        ops.append(("sym", 1, tid, 0xF0))  # ZRL
+                        r -= 16
+                    s = _bit_category(v)
+                    ops.append(("sym", 1, tid, (r << 4) | s))
+                    ops.append(("bits", v if v >= 0 else v + (1 << s) - 1, s))
+                    r = 0
+                if nz[-1] < len(t) - 1:
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush_eob()
+            else:  # refinement scan (G.1.2.3)
+                absv = [abs(v) >> al for v in band]
+                eob_k = -1  # index of the last newly-nonzero coefficient
+                for i, a in enumerate(absv):
+                    if a == 1:
+                        eob_k = i
+                r = 0
+                br_bits: list[int] = []  # correction bits awaiting a symbol
+                for i, a in enumerate(absv):
+                    if a == 0:
+                        r += 1
+                        continue
+                    # fold ZRLs only while more newly-nonzero coefs follow;
+                    # otherwise the tail rides the EOB run
+                    while r > 15 and i <= eob_k:
+                        flush_eob()
+                        ops.append(("sym", 1, tid, 0xF0))
+                        r -= 16
+                        for b in br_bits:
+                            ops.append(("bits", b, 1))
+                        br_bits = []
+                    if a > 1:  # already nonzero: buffer its correction bit
+                        br_bits.append(a & 1)
+                        continue
+                    flush_eob()
+                    ops.append(("sym", 1, tid, (r << 4) | 1))
+                    ops.append(("bits", 1 if band[i] > 0 else 0, 1))  # sign
+                    for b in br_bits:
+                        ops.append(("bits", b, 1))
+                    br_bits = []
+                    r = 0
+                if r > 0 or br_bits:
+                    eobrun += 1
+                    eob_bits.extend(br_bits)
+                    if eobrun == 0x7FFF or len(eob_bits) > 900:
+                        flush_eob()
+    flush_eob()
+    return ops
+
+
+def encode_jpeg_progressive(
+    pixels: np.ndarray,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+    scans: list[tuple[list[int], int, int, int, int]] | None = None,
+) -> bytes:
+    """Real progressive (SOF2) JFIF encoder sharing the baseline front half
+    (color transform / FDCT / quantization), so progressive and baseline
+    streams of the same image carry IDENTICAL quantized coefficients —
+    decode equality against the baseline path is the strongest possible
+    round-trip check. ``scans`` overrides the default scan script; each
+    entry is (component_indexes, Ss, Se, Ah, Al). Huffman tables are
+    rebuilt and re-declared per scan (legal per T.81, and it exercises the
+    decoder's table-redefinition path)."""
+    h, w, comp_blocks, samp, qids, mcus_x, mcus_y = _prepare_blocks(pixels, subsampling)
+    n_comp = len(comp_blocks)
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    tids = [0] + [1] * (n_comp - 1)
+    qtables = {0: _QTABLE_LUMA, 1: _QTABLE_CHROMA}
+    # zigzag-ordered coefficient grids: (by, bx, 64)
+    coefs = [
+        cb.reshape(cb.shape[0], cb.shape[1], 64)[:, :, _ZIGZAG] for cb in comp_blocks
+    ]
+    # non-interleaved per-component block grids (T.81 A.2.2: ceil of the
+    # scaled dimensions, NOT the MCU-padded grid)
+    nb = []
+    for sh, sv in samp:
+        cw, ch = -(-w * sh // hmax), -(-h * sv // vmax)
+        nb.append((-(-ch // 8), -(-cw // 8)))
+    if scans is None:
+        scans = _default_scan_script(n_comp)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
+    for qid in sorted(set(qids)):
+        zz = qtables[qid].flatten()[_ZIGZAG].astype(np.uint8)
+        out += seg(0xDB, bytes([qid]) + zz.tobytes())
+    sof = struct.pack(">BHHB", 8, h, w, n_comp)
+    for ci, (sh, sv) in enumerate(samp):
+        sof += struct.pack(">BBB", ci + 1, (sh << 4) | sv, qids[ci])
+    out += seg(0xC2, sof)
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+
+    for scan in scans:
+        comps_idx, ss, se, ah, al = scan
+        ops = _prog_scan_ops(scan, coefs, samp, nb, mcus_x, mcus_y, tids, restart_interval)
+        # per-scan canonical tables from the symbols the scan actually uses
+        syms: dict[tuple[int, int], list[int]] = {}
+        for op in ops:
+            if op[0] == "sym":
+                syms.setdefault((op[1], op[2]), []).append(op[3])
+        tables = {key: _canonical_table(v) for key, v in sorted(syms.items())}
+        for (cls, tid), (bits, vals, _codes) in tables.items():
+            out += seg(0xC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals))
+        sos = bytes([len(comps_idx)])
+        for ci in comps_idx:
+            td = tids[ci] if (ss == 0 and ah == 0) else 0
+            ta = tids[ci] if ss > 0 else 0
+            sos += struct.pack(">BB", ci + 1, (td << 4) | ta)
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += seg(0xDA, sos)
+        bw = _BitWriter()
+        for op in ops:
+            if op[0] == "sym":
+                code, ln = tables[(op[1], op[2])][2][op[3]]
+                bw.write(code, ln)
+            elif op[0] == "bits":
+                bw.write(op[1], op[2])
+            else:  # ("rst", n)
+                bw.pad_to_byte()
+                out += bw.out
+                bw = _BitWriter()
+                out += bytes([0xFF, 0xD0 + op[1]])
+        bw.pad_to_byte()
+        out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 class _BitReader:
     """Entropy-segment bit reader: un-stuffs 0xFF00, stops at markers."""
 
@@ -876,8 +1165,9 @@ def decode_jpeg(payload: bytes) -> dict:
     """Full baseline JPEG pixel decode: marker walk, stream-declared
     quant/Huffman tables, entropy decode with restart handling, IDCT,
     chroma upsample, YCbCr->RGB. Returns the common pixel-statistics
-    record (+ the pixel array under 'pixels'). Progressive/arithmetic
-    streams raise honestly."""
+    record (+ the pixel array under 'pixels'). Progressive (SOF2) streams
+    route to the full multi-scan decoder; arithmetic coding raises
+    honestly."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG: missing SOI")
     qtables: dict[int, np.ndarray] = {}
@@ -1039,6 +1329,273 @@ def _finish_planes(comps, planes, h, w, hmax, vmax) -> dict:
     }
 
 
+def _refine_nonzero(blk: np.ndarray, k: int, br: _BitReader, p1: int, m1: int) -> None:
+    """AC refinement correction bit for an already-nonzero coefficient
+    (G.1.2.3 / T.81 figure G.7): if the bit is 1 and magnitude bit Al is
+    still 0, bump the magnitude by 1<<Al toward the coefficient's sign."""
+    if br.read(1) and not (int(blk[k]) & p1):
+        blk[k] += p1 if blk[k] >= 0 else m1
+
+
+def _decode_prog_scan(
+    payload: bytes,
+    pos: int,
+    frame: dict,
+    coefs: dict[int, np.ndarray],
+    huff: dict[tuple[int, int], _HuffDecoder],
+    restart_interval: int,
+    scomps: list[tuple[int, int, int]],
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+) -> int:
+    """Decode one progressive scan's entropy segment into the coefficient
+    grids (zigzag order). Returns the byte offset of the next marker."""
+    comps = {c["id"]: c for c in frame["comps"]}
+    br = _BitReader(payload, pos)
+    if ss == 0:  # DC scan
+        if se != 0:
+            raise ValueError("progressive DC scan must have Se=0")
+        if len(scomps) > 1:
+            units = []
+            for my in range(frame["mcus_y"]):
+                for mx in range(frame["mcus_x"]):
+                    blocks = []
+                    for cid, td, _ta in scomps:
+                        c = comps[cid]
+                        for byy in range(c["v"]):
+                            for bxx in range(c["h"]):
+                                blocks.append((cid, my * c["v"] + byy, mx * c["h"] + bxx, td))
+                    units.append(blocks)
+        else:
+            cid, td, _ta = scomps[0]
+            by_n, bx_n = frame["nb"][cid]
+            units = [[(cid, by, bx, td)] for by in range(by_n) for bx in range(bx_n)]
+        preds = {cid: 0 for cid, _td, _ta in scomps}
+        for ui, blocks in enumerate(units):
+            if restart_interval and ui and ui % restart_interval == 0:
+                br.align_and_expect_rst()
+                preds = {cid: 0 for cid, _td, _ta in scomps}
+            for cid, by, bx, td in blocks:
+                blk = coefs[cid][by, bx]
+                if ah == 0:
+                    if (0, td) not in huff:
+                        raise ValueError("scan references undefined Huffman table")
+                    cat = huff[(0, td)].decode(br)
+                    diff = _extend(br.read(cat), cat) if cat else 0
+                    preds[cid] += diff
+                    blk[0] = preds[cid] << al
+                else:  # DC refinement: one raw bit, OR into magnitude bit Al
+                    if br.read(1):
+                        blk[0] = int(blk[0]) | (1 << al)
+    else:  # AC scan: single component
+        if len(scomps) != 1:
+            raise ValueError("progressive AC scan must be single-component")
+        cid, _td, ta = scomps[0]
+        if (1, ta) not in huff:
+            raise ValueError("scan references undefined Huffman table")
+        ac = huff[(1, ta)]
+        by_n, bx_n = frame["nb"][cid]
+        arr = coefs[cid]
+        p1, m1 = 1 << al, -(1 << al)
+        eobrun = 0
+        ui = 0
+        for by in range(by_n):
+            for bx in range(bx_n):
+                if restart_interval and ui and ui % restart_interval == 0:
+                    br.align_and_expect_rst()
+                    eobrun = 0
+                ui += 1
+                blk = arr[by, bx]
+                if ah == 0:  # first scan of this band
+                    if eobrun:
+                        eobrun -= 1
+                        continue
+                    k = ss
+                    while k <= se:
+                        sym = ac.decode(br)
+                        r, s = sym >> 4, sym & 15
+                        if s == 0:
+                            if r == 15:  # ZRL
+                                k += 16
+                                continue
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += br.read(r)
+                            break
+                        k += r
+                        if k > se:
+                            raise ValueError("AC index overrun")
+                        blk[k] = _extend(br.read(s), s) << al
+                        k += 1
+                else:  # refinement scan
+                    k = ss
+                    if eobrun == 0:
+                        while k <= se:
+                            sym = ac.decode(br)
+                            r, s = sym >> 4, sym & 15
+                            val = 0
+                            if s:
+                                if s != 1:
+                                    raise ValueError(
+                                        "invalid magnitude in AC refinement scan"
+                                    )
+                                val = p1 if br.read(1) else m1
+                            elif r != 15:  # EOB run (ZRL keeps r=15, val=0)
+                                eobrun = 1 << r
+                                if r:
+                                    eobrun += br.read(r)
+                                break
+                            # advance over r zero-history coefficients,
+                            # applying correction bits at nonzero ones
+                            while k <= se:
+                                if blk[k]:
+                                    _refine_nonzero(blk, k, br, p1, m1)
+                                else:
+                                    if r == 0:
+                                        break
+                                    r -= 1
+                                k += 1
+                            if val:
+                                if k > se:
+                                    raise ValueError("AC index overrun")
+                                blk[k] = val
+                            k += 1
+                    if eobrun:
+                        # rest of the band rides the EOB run: correction
+                        # bits only, for coefficients already nonzero
+                        while k <= se:
+                            if blk[k]:
+                                _refine_nonzero(blk, k, br, p1, m1)
+                            k += 1
+                        eobrun -= 1
+    # skip pad bits; the next marker starts the next scan segment
+    p = br.pos
+    while p + 1 < len(payload) and not (payload[p] == 0xFF and payload[p + 1] != 0x00):
+        p += 1
+    if p + 1 >= len(payload):
+        raise ValueError("entropy-coded data truncated before scan complete")
+    return p
+
+
+def _decode_progressive(payload: bytes) -> dict:
+    """Full progressive (SOF2) JPEG decode: multi-scan marker walk,
+    coefficient accumulation across spectral-selection and successive-
+    approximation scans, then one dequantize+IDCT pass and the shared
+    finish (crop / upsample / color convert / stats)."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG: missing SOI")
+    qtables: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], _HuffDecoder] = {}
+    restart_interval = 0
+    frame = None
+    coefs: dict[int, np.ndarray] = {}
+    saw_scan = False
+    pos = 2
+    while True:
+        if pos + 2 > len(payload):
+            raise ValueError("truncated before EOI")
+        if payload[pos] != 0xFF:
+            raise ValueError(f"marker sync lost at {pos}")
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        if 0xD0 <= marker <= 0xD7:  # stray RSTn between segments: corrupt
+            raise ValueError("restart marker outside entropy-coded data")
+        (seg_len,) = struct.unpack_from(">H", payload, pos + 2)
+        body = payload[pos + 4 : pos + 2 + seg_len]
+        pos += 2 + seg_len
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(body):
+                prec, tid = body[i] >> 4, body[i] & 0xF
+                i += 1
+                if prec:
+                    vals = np.frombuffer(body[i : i + 128], dtype=">u2").astype(np.int64)
+                    i += 128
+                else:
+                    vals = np.frombuffer(body[i : i + 64], dtype=np.uint8).astype(np.int64)
+                    i += 64
+                t = np.zeros(64, dtype=np.int64)
+                t[_ZIGZAG] = vals
+                qtables[tid] = t.reshape(8, 8)
+        elif marker == 0xC4:  # DHT (tables may be redefined between scans)
+            i = 0
+            while i < len(body):
+                cls, tid = body[i] >> 4, body[i] & 0xF
+                bits = list(body[i + 1 : i + 17])
+                n = sum(bits)
+                vals = list(body[i + 17 : i + 17 + n])
+                huff[(cls, tid)] = _HuffDecoder(bits, vals)
+                i += 17 + n
+        elif marker == 0xC2:  # SOF2
+            if frame is not None:
+                raise ValueError("multiple SOF markers")
+            precision, h, w, n_comp = struct.unpack_from(">BHHB", body, 0)
+            comps = []
+            for c in range(n_comp):
+                cid, sampv, qid = struct.unpack_from(">BBB", body, 6 + 3 * c)
+                comps.append({"id": cid, "h": sampv >> 4, "v": sampv & 0xF, "q": qid})
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcus_x = -(-w // (8 * hmax))
+            mcus_y = -(-h // (8 * vmax))
+            nb = {}
+            for c in comps:
+                cw, ch = -(-w * c["h"] // hmax), -(-h * c["v"] // vmax)
+                nb[c["id"]] = (-(-ch // 8), -(-cw // 8))
+                coefs[c["id"]] = np.zeros(
+                    (mcus_y * c["v"], mcus_x * c["h"], 64), dtype=np.int64
+                )
+            frame = {
+                "precision": precision, "h": h, "w": w, "comps": comps,
+                "hmax": hmax, "vmax": vmax, "mcus_x": mcus_x, "mcus_y": mcus_y,
+                "nb": nb,
+            }
+        elif marker in (0xC0, 0xC1):
+            raise ValueError("baseline SOF in progressive decode path")
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            n_scan = body[0]
+            scomps = []
+            for c in range(n_scan):
+                cid, tsel = struct.unpack_from(">BB", body, 1 + 2 * c)
+                if cid not in coefs:
+                    raise ValueError("SOS component not declared in SOF frame")
+                scomps.append((cid, tsel >> 4, tsel & 0xF))
+            ss, se, ahal = body[1 + 2 * n_scan : 4 + 2 * n_scan]
+            pos = _decode_prog_scan(
+                payload, pos, frame, coefs, huff, restart_interval,
+                scomps, ss, se, ahal >> 4, ahal & 0xF,
+            )
+            saw_scan = True
+        # other segments (APPn, COM) are skipped
+    if frame is None or not saw_scan:
+        raise ValueError("no scan data before EOI")
+    comps = frame["comps"]
+    planes = {}
+    for c in comps:
+        if c["q"] not in qtables:
+            raise ValueError("frame references undefined quant table")
+        qt = qtables[c["q"]]
+        arr = coefs[c["id"]]
+        by, bx = arr.shape[:2]
+        plane = np.zeros((by * 8, bx * 8), dtype=np.uint8)
+        for i in range(by):
+            for j in range(bx):
+                qcoef = np.zeros(64, dtype=np.int64)
+                qcoef[_ZIGZAG] = arr[i, j]
+                plane[i * 8 : i * 8 + 8, j * 8 : j * 8 + 8] = _dequant_idct(
+                    qcoef.reshape(8, 8), qt
+                )
+        planes[c["id"]] = plane
+    return _finish_planes(comps, planes, frame["h"], frame["w"], frame["hmax"], frame["vmax"])
+
+
 JPEG_DECODED_SCHEMA = (
     "id long, width int, height int, color_type int, "
     "n_px long, px_sum long, px_min int, px_max int"
@@ -1075,9 +1632,8 @@ IMAGE_DECODED_SCHEMA = (
 
 
 def parse_image(payload: bytes) -> dict:
-    """Magic-sniffing image decode: PNG, BMP, or baseline JPEG -> the
-    common pixel-statistics record + a format tag. Progressive JPEG
-    (SOF2) still raises from decode_jpeg (entropy structure differs)."""
+    """Magic-sniffing image decode: PNG, BMP, or JPEG (baseline or
+    progressive) -> the common pixel-statistics record + a format tag."""
     if payload[:8] == PNG_SIGNATURE:
         return {"format": "png", **parse_png(payload)}
     if payload[:2] == b"BM":

@@ -91,9 +91,8 @@ def decode_image_meta(df: DataFrame, payload_col: str = "payload", fake: bool = 
                 b = bytes(raw)
                 dims = None
                 if b[:2] == b"\xff\xd8":
-                    # metadata needs only the header marker walk, which reads
-                    # SOF2 too — so meta stays REAL for progressive JPEGs even
-                    # though pixel decode honestly raises on them
+                    # metadata needs only the header marker walk (reads SOF2
+                    # too), so meta never pays for a pixel decode
                     try:
                         jrec = mc.parse_jpeg_meta(b)
                         dims = (jrec["width"], jrec["height"], jrec["n_components"])

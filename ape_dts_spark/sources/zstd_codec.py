@@ -358,6 +358,10 @@ def _huf_decode_stream(table: _HufTable, buf: bytes, count: int) -> bytearray:
         idx = bits.peek(tl)
         out[i] = symbol[idx]
         bits.consume(num_bits[idx])
+    # a valid stream ends with exactly 0 bits left: overdraw means truncated
+    # input decoded zero-padded garbage, leftovers mean symbol-count mismatch
+    if bits.overflowed or bits.bits != 0:
+        raise ValueError("zstd: Huffman literal stream length mismatch")
     return out
 
 
@@ -448,8 +452,13 @@ def _read_seq_table(kind: str, mode: int, src: bytes, pos: int, ctx: _FrameCtx, 
     return prev, pos
 
 
-def _decode_block(src: bytes, ctx: _FrameCtx, window: bytearray) -> None:
-    """Decode one Compressed block; appends regenerated bytes to window."""
+def _decode_block(
+    src: bytes, ctx: _FrameCtx, window: bytearray, frame_start: int = 0
+) -> None:
+    """Decode one Compressed block; appends regenerated bytes to window.
+    ``frame_start`` is the window offset where the current frame began —
+    matches must not reach into a previous frame's output (RFC 8878 §3.1:
+    the window is per-frame)."""
     # ---- literals section -------------------------------------------------
     h0 = src[0]
     lit_type = h0 & 3
@@ -487,7 +496,9 @@ def _decode_block(src: bytes, ctx: _FrameCtx, window: bytearray) -> None:
             regen = (h >> 4) & 0x3FFFF
             comp = (h >> 22) & 0x3FFFF
             pos = 5
-        four = not (lit_type == 2 and size_format == 0)
+        # RFC 8878 §3.1.1.3.1.1: Size_Format 00 means a single stream for
+        # BOTH Compressed and Treeless literals; 01/10/11 mean 4 streams
+        four = size_format != 0
         section = src[pos : pos + comp]
         pos += comp
         if lit_type == 2:
@@ -554,8 +565,8 @@ def _decode_block(src: bytes, ctx: _FrameCtx, window: bytearray) -> None:
             raise ValueError("zstd: zero match offset")
         window += literals[lit_pos : lit_pos + ll]
         lit_pos += ll
-        if offset > len(window):
-            raise ValueError("zstd: match offset beyond window start")
+        if offset > len(window) - frame_start:
+            raise ValueError("zstd: match offset beyond frame start")
         if offset >= ml:
             start = len(window) - offset
             window += window[start : start + ml]
@@ -583,8 +594,13 @@ def zstd_decompress(data: bytes) -> bytes:
         (magic,) = struct.unpack_from("<I", data, i)
         i += 4
         if _SKIPPABLE_LO <= magic <= _SKIPPABLE_HI:
+            if n - i < 4:
+                raise ValueError("zstd: truncated skippable frame header")
             (skip,) = struct.unpack_from("<I", data, i)
-            i += 4 + skip
+            i += 4
+            if i + skip > n:
+                raise ValueError("zstd: skippable frame exceeds input")
+            i += skip
             continue
         if magic != ZSTD_MAGIC:
             raise ValueError(f"zstd: bad magic {magic:#010x}")
@@ -633,7 +649,7 @@ def zstd_decompress(data: bytes) -> bytes:
                 out += data[i : i + 1] * bsize
                 i += 1
             elif btype == 2:
-                _decode_block(data[i : i + bsize], ctx, out)
+                _decode_block(data[i : i + bsize], ctx, out, frame_start)
                 i += bsize
             else:
                 raise ValueError("zstd: reserved block type")

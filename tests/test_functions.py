@@ -272,6 +272,36 @@ def test_ngram_jaccard_finds_planted_duplicates(spark, sf_dir):
         assert planted.get((oid, oid + 100_000)) == 1.0
 
 
+def test_jaccard_dense_guard_fires_and_sparse_passes(spark):
+    """VERDICT r11: the exact PPJoin kernel is pair-density quadratic; the
+    in-code guard must RAISE on a dense corpus (every doc shares every
+    token -> prefix df ~ corpus size) instead of silently running the
+    scale-killer, and stay silent on sparse inputs under the default cap."""
+    import pytest as _pytest
+
+    # DISTINCT token sets (so identical-set collapse can't save us) that all
+    # share hot tokens: the shared tokens land in every prefix with df=40
+    dense = spark.createDataFrame(
+        [(i, f"common words shared by every single document u{i}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    with _pytest.raises(RuntimeError, match="candidate fan-out"):
+        dd.jaccard_pairs(dense, "doc_id", threshold=0.6, max_candidate_fanout=100)
+    # explicit opt-out still runs dense (the oracle-calibration use case)
+    n = dd.jaccard_pairs(
+        dense, "doc_id", threshold=0.6, max_candidate_fanout=None
+    ).count()
+    assert n == 40 * 39 // 2
+    # sparse corpus under the default cap: guard silent, answers unchanged
+    sparse = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    got = {(r["id_a"], r["id_b"]) for r in
+           dd.jaccard_pairs(sparse, "doc_id", threshold=0.9).collect()}
+    assert got == {(1, 2)}
+
+
 def test_shingles_expr_short_and_empty_strings(spark):
     df = spark.createDataFrame([("abcd",), ("ab",), ("",)], "s string")
     out = df.select(F.expr(tx.shingles_expr("s", 3)).alias("sh")).collect()
@@ -593,6 +623,29 @@ def test_keep_representatives_long_chain_converges(spark):
     out = {r["doc_id"]: r["rep_id"] for r in
            dd.keep_representatives(docs, "doc_id", pairs, max_iter=15).collect()}
     assert all(v == 0 for v in out.values())
+
+
+def test_keep_representatives_string_ids_converge(spark):
+    """ADVICE r11: with string doc ids the decimal-cast sum witness went
+    NULL and stopped after ONE round (None == None), silently returning
+    unconverged clusters. The witness now routes by id type: a 6-hop chain
+    of string ids — including numeric strings, where lexicographic min
+    ordering ('10' < '9') breaks the monotone-sum argument — must still
+    fully converge to the lexicographic component min."""
+    ids = ["d-%02d" % i for i in range(7)]
+    docs = spark.createDataFrame([(i,) for i in ids], ["doc_id"])
+    pairs = spark.createDataFrame(
+        [(ids[i], ids[i + 1]) for i in range(6)], ["id_a", "id_b"]
+    )
+    out = {r["doc_id"]: r["rep_id"] for r in
+           dd.keep_representatives(docs, "doc_id", pairs).collect()}
+    assert all(v == "d-00" for v in out.values()), out
+    # numeric strings: min is LEXICOGRAPHIC ('10' < '2' < '9')
+    docs2 = spark.createDataFrame([("9",), ("10",), ("2",)], ["doc_id"])
+    pairs2 = spark.createDataFrame([("9", "10"), ("10", "2")], ["id_a", "id_b"])
+    out2 = {r["doc_id"]: r["rep_id"] for r in
+            dd.keep_representatives(docs2, "doc_id", pairs2).collect()}
+    assert out2 == {"9": "10", "10": "10", "2": "10"}, out2
 
 
 def test_star_components_matches_jump_engine(spark):

@@ -398,11 +398,81 @@ def test_jpeg_flat_color_exact_chain():
     assert len({tuple(p) for p in a.reshape(-1, 3)}) == 1  # still flat
 
 
-def test_jpeg_progressive_and_truncation_rejected():
-    with pytest.raises(NotImplementedError, match="baseline"):
+def test_jpeg_malformed_and_arithmetic_rejected():
+    # structurally-progressive but garbage scan (Se=63 on a DC scan, no
+    # DHT): corrupt stream -> ValueError, which the multimodal fake=True
+    # fallback catches (a mixed corpus must never crash on one bad file)
+    with pytest.raises(ValueError):
         mc.decode_jpeg(mc.encode_jpeg_headers(8, 8, progressive=True))
     with pytest.raises(ValueError, match="SOI"):
         mc.decode_jpeg(b"\x00\x00")
+    # arithmetic-coded SOF9 stays an honest NotImplementedError
+    arith = bytearray(mc.encode_jpeg(np.zeros((8, 8), np.uint8)))
+    sof_at = bytes(arith).find(b"\xff\xc0")
+    arith[sof_at + 1] = 0xC9
+    with pytest.raises(NotImplementedError, match="SOF"):
+        mc.decode_jpeg(bytes(arith))
+
+
+def test_jpeg_progressive_roundtrip_equals_baseline():
+    # entropy coding is lossless and both paths share the FDCT/quant front
+    # half, so progressive decode must equal baseline decode EXACTLY
+    rng = np.random.RandomState(11)
+    cases = [
+        (np.add.outer(np.arange(24) * 4, np.arange(32) * 3).astype(np.uint8) % 256, "444"),
+        (rng.randint(0, 256, (19, 23, 3)).astype(np.uint8), "444"),
+        (rng.randint(0, 256, (17, 19, 3)).astype(np.uint8), "420"),  # odd dims: MCU pad
+    ]
+    for img, sub in cases:
+        base = mc.decode_jpeg(mc.encode_jpeg(img, sub))
+        prog = mc.decode_jpeg(mc.encode_jpeg_progressive(img, sub))
+        assert (base["pixels"] == prog["pixels"]).all(), sub
+        assert base["px_sum"] == prog["px_sum"]
+
+
+def test_jpeg_progressive_restarts_and_custom_scans():
+    rng = np.random.RandomState(5)
+    img = rng.randint(0, 256, (33, 41, 3)).astype(np.uint8)
+    base = mc.decode_jpeg(mc.encode_jpeg(img, "420"))["pixels"]
+    # RSTn every 1/3 units resets DC predictors and EOB runs mid-scan
+    for ri in (1, 3):
+        got = mc.decode_jpeg(mc.encode_jpeg_progressive(img, "420", restart_interval=ri))
+        assert (base == got["pixels"]).all(), ri
+    # spectral-selection-only script (Ah=Al=0 throughout, no refinement)
+    scans = [([0, 1, 2], 0, 0, 0, 0)] + [([ci], 1, 63, 0, 0) for ci in range(3)]
+    got = mc.decode_jpeg(mc.encode_jpeg_progressive(img, "420", scans=scans))
+    assert (base == got["pixels"]).all()
+    # per-component DC scans (non-interleaved DC) + split AC bands
+    scans = (
+        [([ci], 0, 0, 0, 1) for ci in range(3)]
+        + [([0], 1, 2, 0, 1), ([0], 3, 63, 0, 1), ([1], 1, 63, 0, 1), ([2], 1, 63, 0, 1)]
+        + [([ci], 0, 0, 1, 0) for ci in range(3)]
+        + [([ci], 1, 63, 1, 0) for ci in range(3)]
+    )
+    got = mc.decode_jpeg(mc.encode_jpeg_progressive(img, "420", scans=scans))
+    assert (base == got["pixels"]).all()
+
+
+def test_jpeg_progressive_meta_and_mixed_decode(spark):
+    rng = np.random.RandomState(9)
+    img = rng.randint(0, 256, (12, 20, 3)).astype(np.uint8)
+    p = mc.encode_jpeg_progressive(img, "444")
+    m = mc.parse_jpeg_meta(p)
+    assert m["progressive"] and (m["width"], m["height"]) == (20, 12)
+    # parse_image sniffs and decodes progressive payloads like any JPEG
+    rec = mc.parse_image(p)
+    assert rec["format"] == "jpeg" and rec["n_px"] == 12 * 20 * 3
+    # truncated progressive scan -> ValueError, never silent garbage
+    with pytest.raises(ValueError, match="truncated|marker"):
+        mc.decode_jpeg(p[:-20])
+    # the distributed mixed-format kernel handles baseline + progressive
+    rows = [
+        (0, bytearray(mc.encode_jpeg(img))),
+        (1, bytearray(mc.encode_jpeg_progressive(img))),
+    ]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    got = {r["id"]: r for r in mc.decode_image(df).collect()}
+    assert got[0]["px_sum"] == got[1]["px_sum"]  # identical coefficients
 
 
 def test_jpeg_decode_df_distributed(spark):

@@ -72,8 +72,21 @@ _VECTORS = {
     ),
 }
 
-# the two larger entropy-heavy vectors, kept separate for readability
-_VECTORS_LARGE_KEYS = ("semi_l19", "mixed_l9")
+def _plain_words() -> bytes:
+    """Word soup whose CLI frame (level 3) contains a TREELESS literals
+    block with Size_Format 0 — the single-stream reuse path a multi-block
+    producer (Kafka codec 4, binlog TRANSACTION_PAYLOAD) actually emits
+    (ADVICE r11: the earlier vectors never exercised it)."""
+    rng = random.Random(3)
+    words = [
+        bytes(rng.choice(b"etaoinshr") for _ in range(rng.randint(2, 9)))
+        for _ in range(50)
+    ]
+    return b" ".join(rng.choice(words) for _ in range(40000))
+
+
+# the larger entropy-heavy vectors, kept separate for readability
+_VECTORS_LARGE_KEYS = ("semi_l19", "mixed_l9", "treeless_sf0_l3")
 
 
 def _load_large_vectors():
@@ -112,6 +125,37 @@ def test_reference_cli_vectors_large():
     large = _load_large_vectors()
     assert zstd_decompress(large["semi_l19"]) == _plain_semi()
     assert zstd_decompress(large["mixed_l9"]) == _plain_mixed()
+    assert zstd_decompress(large["treeless_sf0_l3"]) == _plain_words()
+
+
+def test_treeless_single_stream_vector_shape():
+    """Prove the treeless_sf0_l3 vector really contains a Treeless literals
+    block with Size_Format 0 (single stream), so the RFC 8878 §3.1.1.3.1.1
+    fix stays exercised even if the fixture is ever regenerated."""
+    frame = _load_large_vectors()["treeless_sf0_l3"]
+    i = 4  # magic
+    fhd = frame[i]
+    i += 1
+    if not (fhd & 0x20):
+        i += 1  # window descriptor
+    i += (0, 1, 2, 4)[fhd & 3]
+    fcs_flag = fhd >> 6
+    i += (1 if (fhd & 0x20) else 0, 2, 4, 8)[fcs_flag]
+    shapes = []
+    while True:
+        bh = int.from_bytes(frame[i : i + 3], "little")
+        i += 3
+        last, btype, bsize = bh & 1, (bh >> 1) & 3, bh >> 3
+        if btype == 2:
+            h0 = frame[i]
+            shapes.append((h0 & 3, (h0 >> 2) & 3))  # (lit_type, size_format)
+            i += bsize
+        else:
+            shapes.append((None, None))
+            i += 1 if btype == 1 else bsize
+        if last:
+            break
+    assert (3, 0) in shapes, shapes  # Treeless, Size_Format 00
 
 
 def test_writer_roundtrip_and_frame_shape():
