@@ -4479,78 +4479,25 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The external driver gates only the FIRST 50 dict entries, so ordering is
-    # load-bearing. Rotation policy (r11 rotation applied): (1) the stalest
-    # driver rows lead — all 47 queries whose last external gate row was r06 —
-    # (2) plus the queries whose code or fixture changed this round and must
-    # re-attest externally (kafka_segment_parse: zstd partition; binlog_file_
-    # parse: zstd TRANSACTION_PAYLOAD file; dedup_cluster: engine routing),
-    # (3) everything after slot 50 stays ordered by staleness (r07, then r09,
-    # then r10) so the next rotation is a prefix cut. Before any rotation
+    # load-bearing. Rotation policy (r12 rotation applied): (1) the stalest
+    # driver rows lead — all 48 queries whose last external gate row was r07 —
+    # (2) plus never-gated new queries (jpeg_progressive_decode) and queries
+    # whose executed plan changed this round and must re-attest externally
+    # (jaccard_pairs: prefix persist + candidate-density guard), (3)
+    # everything after slot 50 stays ordered by staleness (r09, then r10,
+    # then r11) so the next rotation is a prefix cut. Before any rotation
     # ships, the FULL (non --window) tools/check.py run must be green —
-    # rotated-out queries keep local-gate + pytest coverage. After r11 the
-    # stalest remaining driver row is r07 (45 rows), which the r12 rotation
-    # should lead with. This literal is machine-regenerated from the
+    # rotated-out queries keep local-gate + pytest coverage. After r12 the
+    # stalest remaining driver rows are the 49 r09-era ones, which the r13
+    # rotation should lead with. This literal is machine-regenerated from the
     # CORRECTNESS_r* staleness data each rotation; duplicates are
     # structurally impossible.
     return {
-        # -- r11 window: the 47 r06-era rows (the stalest external gate
-        # -- attestations) + the three queries whose code/fixture changed
-        # -- this round (zstd partitions in the kafka fixture, a zstd
-        # -- TRANSACTION_PAYLOAD file in the binlog chain, the dedup_cluster
-        # -- engine auto-routing) -------------------------------------------
-        "avro_roundtrip": q_avro_roundtrip,
-        "checker_summary": q_checker_summary,
-        "customer_set_ops": q_customer_set_ops,
-        "data_marker_filter": q_data_marker_filter,
-        "ddl_split": q_ddl_split,
-        "doc_fingerprint": q_doc_fingerprint,
-        "event_filter": q_event_filter,
-        "jaccard_pairs": q_jaccard_pairs,
-        "lapsed_customers": q_lapsed_customers,
-        "merge_spill": q_merge_spill,
-        "minhash_incremental": q_minhash_incremental,
-        "mongo_compact": q_mongo_compact,
-        "mongo_statements": q_mongo_statements,
-        "ngram_jaccard": q_ngram_jaccard,
-        "order_count_histogram": q_order_count_histogram,
-        "parts_never_shipped": q_parts_never_shipped,
-        "priority_grouping_sets": q_priority_grouping_sets,
-        "priority_with_returns": q_priority_with_returns,
-        "py_transform": q_py_transform,
-        "redis_big_keys": q_redis_big_keys,
-        "redis_compact": q_redis_compact,
-        "redis_slot_stats": q_redis_slot_stats,
-        "redis_statements": q_redis_statements,
-        "revenue_by_nation": q_revenue_by_nation,
-        "reverse_events": q_reverse_events,
-        "review": q_review,
-        "revise": q_revise,
-        "route_rename": q_route_rename,
-        "script_transform": q_script_transform,
-        "segment_rollup": q_segment_rollup,
-        "small_order_parts": q_small_order_parts,
-        "snapshot_resume": q_snapshot_resume,
-        "snapshot_sample": q_snapshot_sample,
-        "soft_delete_apply": q_soft_delete_apply,
-        "struct_revise": q_struct_revise,
-        "substring_contamination": q_substring_contamination,
-        "substring_dedup": q_substring_dedup,
-        "substring_dedup_clean": q_substring_dedup_clean,
-        "table_stats": q_table_stats,
-        "time_filter": q_time_filter,
-        "token_stats": q_token_stats,
-        "top_orders_per_cust": q_top_orders_per_cust,
-        "update_split": q_update_split,
-        "upsert_sql_batch": q_upsert_sql_batch,
-        "upsert_sql_mysql": q_upsert_sql_mysql,
-        "upsert_sql_pg": q_upsert_sql_pg,
-        "wire_roundtrip": q_wire_roundtrip,
-        "kafka_segment_parse": q_kafka_segment_parse,
-        "binlog_file_parse": q_binlog_file_parse,
-        "dedup_cluster": q_dedup_cluster,
-        # ---------------------------- slot 50 ends here ----------------------
-        # remaining entries ordered by driver-row staleness (r07 first, then
-        # r09, then r10) so the next rotation is again a prefix cut
+        # -- r12 window: the 48 r07-era rows (the stalest external gate
+        # -- attestations, regenerated from CORRECTNESS_r*.json), plus the
+        # -- never-gated jpeg_progressive_decode (new this round) and
+        # -- jaccard_pairs (its executed plan changed: prefix persist +
+        # -- candidate-density estimate) ------------------------------------
         "ann_ivf_index": q_ann_ivf_index,
         "ann_ivfpq_index": q_ann_ivfpq_index,
         "ann_lsh": q_ann_lsh,
@@ -4599,6 +4546,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": q_vocab_topk,
         "waiting_suppliers": q_waiting_suppliers,
         "windowed_counts": q_windowed_counts,
+        "jpeg_progressive_decode": q_jpeg_progressive_decode,
+        "jaccard_pairs": q_jaccard_pairs,
+        # ---------------------------- slot 50 ends here ----------------------
+        # remaining entries ordered by driver-row staleness (r09, r10, r11)
+        # so the next rotation is again a prefix cut
+        # -- last gated r09 --
         "ann_pq": q_ann_pq,
         "ann_pq_index": q_ann_pq_index,
         "ann_sq8": q_ann_sq8,
@@ -4627,7 +4580,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_decode": q_image_decode,
         "jpeg_decode": q_jpeg_decode,
         "jpeg_meta": q_jpeg_meta,
-        "jpeg_progressive_decode": q_jpeg_progressive_decode,
         "late_shipments": q_late_shipments,
         "local_supplier_volume": q_local_supplier_volume,
         "market_share": q_market_share,
@@ -4649,6 +4601,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wav_decode": q_wav_decode,
         "web_pipeline": q_web_pipeline,
         "zero_dates": q_zero_dates,
+        # -- last gated r10 --
         "ann_ivf": q_ann_ivf,
         "ann_ivfpq": q_ann_ivfpq,
         "cms_heavy_hitters": q_cms_heavy_hitters,
@@ -4697,6 +4650,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_learn": q_unigram_learn,
         "wordpiece_encode": q_wordpiece_encode,
         "wordpiece_learn": q_wordpiece_learn,
+        # -- last gated r11 --
+        "avro_roundtrip": q_avro_roundtrip,
+        "binlog_file_parse": q_binlog_file_parse,
+        "checker_summary": q_checker_summary,
+        "customer_set_ops": q_customer_set_ops,
+        "data_marker_filter": q_data_marker_filter,
+        "ddl_split": q_ddl_split,
+        "dedup_cluster": q_dedup_cluster,
+        "doc_fingerprint": q_doc_fingerprint,
+        "event_filter": q_event_filter,
+        "kafka_segment_parse": q_kafka_segment_parse,
+        "lapsed_customers": q_lapsed_customers,
+        "merge_spill": q_merge_spill,
+        "minhash_incremental": q_minhash_incremental,
+        "mongo_compact": q_mongo_compact,
+        "mongo_statements": q_mongo_statements,
+        "ngram_jaccard": q_ngram_jaccard,
+        "order_count_histogram": q_order_count_histogram,
+        "parts_never_shipped": q_parts_never_shipped,
+        "priority_grouping_sets": q_priority_grouping_sets,
+        "priority_with_returns": q_priority_with_returns,
+        "py_transform": q_py_transform,
+        "redis_big_keys": q_redis_big_keys,
+        "redis_compact": q_redis_compact,
+        "redis_slot_stats": q_redis_slot_stats,
+        "redis_statements": q_redis_statements,
+        "revenue_by_nation": q_revenue_by_nation,
+        "reverse_events": q_reverse_events,
+        "review": q_review,
+        "revise": q_revise,
+        "route_rename": q_route_rename,
+        "script_transform": q_script_transform,
+        "segment_rollup": q_segment_rollup,
+        "small_order_parts": q_small_order_parts,
+        "snapshot_resume": q_snapshot_resume,
+        "snapshot_sample": q_snapshot_sample,
+        "soft_delete_apply": q_soft_delete_apply,
+        "struct_revise": q_struct_revise,
+        "substring_contamination": q_substring_contamination,
+        "substring_dedup": q_substring_dedup,
+        "substring_dedup_clean": q_substring_dedup_clean,
+        "table_stats": q_table_stats,
+        "time_filter": q_time_filter,
+        "token_stats": q_token_stats,
+        "top_orders_per_cust": q_top_orders_per_cust,
+        "update_split": q_update_split,
+        "upsert_sql_batch": q_upsert_sql_batch,
+        "upsert_sql_mysql": q_upsert_sql_mysql,
+        "upsert_sql_pg": q_upsert_sql_pg,
+        "wire_roundtrip": q_wire_roundtrip,
+
     }
 
 

@@ -22,7 +22,12 @@ specification (RFC 8878 / facebook/zstd `zstd_compression_format.md`):
   Predefined / RLE / FSE_Compressed / Repeat, interleaved-state backward
   bitstream, three-slot repeat-offset history with the literals_length==0
   special case, overlapping match copy;
-- content checksum: xxHash64 (from the public xxhash_spec.md), low 32 bits.
+- content checksum: xxHash64 (from the public xxhash_spec.md), low 32 bits;
+- dictionaries (RFC 8878 §5): magic 0xEC30A437, entropy-table seeding
+  (Huffman literals + OF/ML/LL FSE as the first block's 'previous' tables),
+  stored repeat-offset history, and content as the virtual match window —
+  gated against ``zstd --train`` + ``zstd -D`` CLI vectors, including the
+  ``--no-dictID`` form.
 
 The encoder side is intentionally minimal — spec-conformant Raw/RLE-block
 frames (a legal zstd stream any decoder accepts; compression ratio is not
@@ -424,12 +429,66 @@ _MAX_AL = {"ll": 9, "of": 8, "ml": 9}
 class _FrameCtx:
     """Cross-block state within one frame: the last Huffman table (Treeless
     literals), the last LL/OF/ML FSE tables (Repeat mode) and the three-slot
-    repeat-offset history (persists across blocks, RFC 8878 §3.1.1.4)."""
+    repeat-offset history (persists across blocks, RFC 8878 §3.1.1.4).
+    A dictionary seeds all three (RFC 8878 §5: its entropy tables act as the
+    'previous' tables for the first block, its stored offsets replace the
+    {1, 4, 8} default history)."""
 
-    def __init__(self):
-        self.huf: _HufTable | None = None
-        self.fse: dict[str, _FseTable | None] = {"ll": None, "of": None, "ml": None}
-        self.rep = [1, 4, 8]
+    def __init__(self, dictionary: "ZstdDictionary | None" = None):
+        if dictionary is None:
+            self.huf: _HufTable | None = None
+            self.fse: dict[str, _FseTable | None] = {"ll": None, "of": None, "ml": None}
+            self.rep = [1, 4, 8]
+        else:
+            self.huf = dictionary.huf
+            self.fse = dict(dictionary.fse)
+            self.rep = list(dictionary.rep)
+
+
+ZSTD_DICT_MAGIC = 0xEC30A437
+
+
+class ZstdDictionary:
+    """A parsed zstd dictionary (RFC 8878 §5): entropy tables + repeat
+    offsets + raw content (the virtual 'past' matches may copy from)."""
+
+    __slots__ = ("dict_id", "huf", "fse", "rep", "content")
+
+    def __init__(self, dict_id, huf, fse, rep, content):
+        self.dict_id = dict_id
+        self.huf = huf
+        self.fse = fse
+        self.rep = rep
+        self.content = content
+
+
+def zstd_parse_dictionary(data: bytes) -> ZstdDictionary:
+    """Parse a zstd dictionary blob (e.g. the output of ``zstd --train``):
+    magic, Dictionary_ID, entropy tables (Huffman literals, then FSE tables
+    for offsets / match lengths / literals lengths), three little-endian
+    repeat offsets, then the content."""
+    if len(data) < 8:
+        raise ValueError("zstd: dictionary too short")
+    (magic,) = struct.unpack_from("<I", data, 0)
+    if magic != ZSTD_DICT_MAGIC:
+        raise ValueError(f"zstd: bad dictionary magic {magic:#010x}")
+    (dict_id,) = struct.unpack_from("<I", data, 4)
+    pos = 8
+    huf, consumed = _huf_read_tree(data[pos:])
+    pos += consumed
+    fse: dict[str, _FseTable] = {}
+    for kind in ("of", "ml", "ll"):  # RFC 8878 §5 table order
+        fwd = _FwdBits(data[pos:])
+        accuracy_log, freqs = _fse_read_distribution(fwd, _MAX_AL[kind])
+        fse[kind] = _fse_build_table(accuracy_log, freqs)
+        pos += fwd.byte_align_pos()
+    rep = list(struct.unpack_from("<III", data, pos))
+    pos += 12
+    content = bytes(data[pos:])
+    for r in rep:
+        if r == 0 or r > len(content):
+            raise ValueError("zstd: dictionary repeat offset out of range")
+    return ZstdDictionary(dict_id, huf, fse, rep, content)
 
 
 def _read_seq_table(kind: str, mode: int, src: bytes, pos: int, ctx: _FrameCtx, predef):
@@ -582,9 +641,13 @@ def _decode_block(
     window += literals[lit_pos:]
 
 
-def zstd_decompress(data: bytes) -> bytes:
+def zstd_decompress(data: bytes, dictionary: ZstdDictionary | None = None) -> bytes:
     """Decode a (possibly multi-frame) zstd stream; verifies frame magic,
-    reserved bits and, when present, the xxh64 content checksum."""
+    reserved bits and, when present, the xxh64 content checksum.
+    ``dictionary`` (from :func:`zstd_parse_dictionary`) seeds entropy
+    tables, repeat offsets and the match window for frames that declare a
+    Dictionary_ID — and is also applied to did=0 frames when provided
+    (``zstd -D --no-dictID`` emits those)."""
     out = bytearray()
     i = 0
     n = len(data)
@@ -619,7 +682,16 @@ def zstd_decompress(data: bytes) -> bytes:
             did = int.from_bytes(data[i : i + did_len], "little")
             i += did_len
             if did:
-                raise ValueError(f"zstd: frame requires dictionary {did} (unsupported)")
+                if dictionary is None:
+                    raise ValueError(
+                        f"zstd: frame requires dictionary {did} — pass the "
+                        "parsed dictionary (zstd_parse_dictionary)"
+                    )
+                if dictionary.dict_id != did:
+                    raise ValueError(
+                        f"zstd: frame requires dictionary {did}, "
+                        f"got {dictionary.dict_id}"
+                    )
         fcs = None
         if fcs_flag == 0:
             if single_segment:
@@ -634,8 +706,16 @@ def zstd_decompress(data: bytes) -> bytes:
         else:
             fcs = int.from_bytes(data[i : i + 8], "little")
             i += 8
-        ctx = _FrameCtx()
-        frame_start = len(out)
+        ctx = _FrameCtx(dictionary)
+        if dictionary is not None:
+            # dictionary content is the virtual past: decode into a local
+            # window prefixed with it so matches can reach into it
+            # (frame_start=0 bounds offsets by prefix+frame, per RFC 8878 §5)
+            win = bytearray(dictionary.content)
+            base, frame_start = len(win), 0
+        else:
+            win = out
+            base = frame_start = len(out)
         while True:
             bh = int.from_bytes(data[i : i + 3], "little")
             i += 3
@@ -643,19 +723,21 @@ def zstd_decompress(data: bytes) -> bytes:
             btype = (bh >> 1) & 3
             bsize = bh >> 3
             if btype == 0:  # Raw
-                out += data[i : i + bsize]
+                win += data[i : i + bsize]
                 i += bsize
             elif btype == 1:  # RLE: bsize = regenerated count, 1 content byte
-                out += data[i : i + 1] * bsize
+                win += data[i : i + 1] * bsize
                 i += 1
             elif btype == 2:
-                _decode_block(data[i : i + bsize], ctx, out, frame_start)
+                _decode_block(data[i : i + bsize], ctx, win, frame_start)
                 i += bsize
             else:
                 raise ValueError("zstd: reserved block type")
             if last:
                 break
-        content = bytes(out[frame_start:])
+        content = bytes(win[base:])
+        if dictionary is not None:
+            out += content
         if fcs is not None and len(content) != fcs:
             raise ValueError(
                 f"zstd: frame content size mismatch (header {fcs}, got {len(content)})"

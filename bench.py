@@ -94,6 +94,8 @@ BENCH_QUERIES = [
     "jpeg_meta",
     # round-9: full baseline-JPEG pixel decode (CPU-bound Arrow kernel)
     "jpeg_decode",
+    # round-12: progressive (SOF2) multi-scan pixel decode
+    "jpeg_progressive_decode",
     "orc_roundtrip",
     "struct_objects",
     "struct_check_report",
@@ -256,18 +258,20 @@ CONFIG_GATE_ALLOWLIST = {
 # ~2 extra runs x ~10 queries ~= 2-3 min; the headline RPS metrics already
 # have their own best-of-N treatment.
 MEDIAN3_QUERIES = {
+    # r12: capped at 8 (VERDICT r11 item 2 — the 12-query median-3 overhead
+    # ate the 560s budget and shed the 5 PQ/SQ8 gates; ~50s of extra samples
+    # on low-controversy queries bought nothing). Kept: the engine-defining
+    # CC/curation/langid rows + the quadratic calibrator. Added: the two
+    # r10->r11 regression suspects (VERDICT item 6) so this round's numbers
+    # settle whether they were host noise.
     "dedup_cluster",
     "dedup_cluster_star",
-    "langid_train",
     "langid_apply",
     "curation_v3",
     "ngram_jaccard",
-    "ngram_minhash",
     "embedding_dedup_keep",
-    "minhash_lsh",
-    "jaccard_pairs",
-    "minhash_incremental",
-    "substring_dedup",
+    "substring_dedup_clean",
+    "cosine_dup_pairs",
 }
 
 

@@ -11,7 +11,9 @@ Vector discipline mirrors the LZ4/xxHash32 work (test_compression.py):
 - a CLI-gated property sweep (skipped when no ``zstd`` binary is present)
   re-derives fresh vectors at random levels/shapes;
 - structural/error cases straight from the RFC (magic, reserved bits,
-  skippable frames, dictionary refusal, checksum mismatch);
+  skippable frames, dictionary id mismatch, checksum mismatch);
+- dictionary frames: a real ``zstd --train`` dictionary + ``zstd -D``
+  frames (with and without Dictionary_ID) decoded through the §5 path;
 - the in-repo Raw/RLE writer round-trips through our decoder and (when the
   CLI is present) through the reference decoder.
 """
@@ -26,6 +28,7 @@ import struct
 import pytest
 
 from ape_dts_spark.sources.zstd_codec import (
+    zstd_parse_dictionary,
     ZSTD_MAGIC,
     xxhash64,
     zstd_compress,
@@ -103,6 +106,65 @@ def _load_large_vectors():
         out[key] = raw[i : i + ln]
         i += ln
     return out
+
+
+def _plain_dict_payload() -> bytes:
+    """The payload the dictionary vectors compress: word soup drawn from the
+    same vocabulary the CLI-trained dictionary saw (random seeds 99/1234)."""
+    rng = random.Random(99)
+    words = [
+        bytes(rng.choice(b"abcdefghijklmnop") for _ in range(rng.randint(3, 10)))
+        for _ in range(80)
+    ]
+    r2 = random.Random(1234)
+    return b" ".join(r2.choice(words) for _ in range(500))
+
+
+def _load_dict_vectors():
+    """(dictionary blob from ``zstd --train --maxdict=2048``, a -19 frame
+    declaring its Dictionary_ID, a -5 --no-dictID frame)."""
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "fixtures", "zstd_dict_vectors.bin")
+    with open(path, "rb") as f:
+        raw = f.read()
+    out = []
+    i = 0
+    while i < len(raw):
+        (ln,) = struct.unpack_from("<I", raw, i)
+        i += 4
+        out.append(raw[i : i + ln])
+        i += ln
+    return out
+
+
+def test_dictionary_frames_decode():
+    """RFC 8878 §5: dictionary entropy tables seed the first block's Repeat
+    modes, its offsets replace the {1,4,8} history, and its content is the
+    virtual past for matches. Vectors are real CLI output (zstd --train +
+    zstd -D), including the --no-dictID form (did=0 frame, dict required)."""
+    dictblob, c19, cnoid = _load_dict_vectors()
+    d = zstd_parse_dictionary(dictblob)
+    assert d.dict_id != 0 and len(d.content) > 0
+    payload = _plain_dict_payload()
+    assert zstd_decompress(c19, dictionary=d) == payload
+    assert zstd_decompress(cnoid, dictionary=d) == payload
+
+
+def test_dictionary_error_paths():
+    dictblob, c19, _cnoid = _load_dict_vectors()
+    d = zstd_parse_dictionary(dictblob)
+    with pytest.raises(ValueError, match="requires dictionary"):
+        zstd_decompress(c19)  # frame declares a dict id, none passed
+    d.dict_id += 1
+    with pytest.raises(ValueError, match="requires dictionary"):
+        zstd_decompress(c19, dictionary=d)  # id mismatch
+    with pytest.raises(ValueError, match="dictionary magic"):
+        zstd_parse_dictionary(b"\x00" * 16)
+    # plain frames (no dict id) still decode when a dictionary is supplied
+    d2 = zstd_parse_dictionary(dictblob)
+    frame = zstd_compress(b"plain payload, no dictionary involved")
+    assert zstd_decompress(frame, dictionary=d2) == b"plain payload, no dictionary involved"
 
 
 def test_xxhash64_spec_vectors():
