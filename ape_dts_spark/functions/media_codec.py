@@ -352,6 +352,301 @@ def parse_bmp(payload: bytes, return_pixels: bool = False) -> dict:
 
 
 # ---------------------------------------------------------------------------
+# GIF (87a/89a): full LZW codec, stdlib + numpy.
+#
+# Spec: the public GIF89a specification (CompuServe, reproduced by W3C).
+# Writer-as-fixture-generator like PNG/JPEG: encode_gif emits real
+# variable-width LZW (early-change code growth, 12-bit cap with mid-stream
+# clear), optional interlace, multi-frame animations with Graphic Control
+# Extensions and per-frame local color tables. parse_gif is the genuine
+# decoder: logical screen descriptor, global/local color tables, extension
+# skip, sub-block reassembly, LZW decode (deferred-clear tolerant),
+# 4-pass de-interlace. Ground truth in tests: real GIFs shipped with
+# CPython (idlelib icons) decode to their known dimensions with exact
+# pixel counts — a wrong code-width rule derails the LZW stream within a
+# few codes, so exact-count termination on foreign files pins the
+# semantics encoder round-trips alone could miss.
+# ---------------------------------------------------------------------------
+
+
+def _lzw_encode_gif(indices: np.ndarray, mcs: int) -> bytes:
+    """GIF variable-width LZW: emit clear, build the string table greedily,
+    grow the code width when the next free code would not fit (early
+    change), reset the table at 4096 entries, end with EOI."""
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits  # LSB-first packing
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    width = mcs + 1
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    emit(clear, width)
+    w = b""
+    for v in indices.tolist():
+        c = bytes([v])
+        if w + c in table:
+            w += c
+            continue
+        emit(table[w], width)
+        if next_code < 4096:
+            table[w + c] = next_code
+            next_code += 1
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+        else:  # table full: clear and restart
+            emit(clear, width)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = end + 1
+            width = mcs + 1
+        w = c
+    if w:
+        emit(table[w], width)
+    emit(end, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode_gif(data: bytes, mcs: int, expected: int) -> bytes:
+    """Decode exactly ``expected`` GIF-LZW indices; raises on truncation,
+    bad codes, or a stream that disagrees about its own length."""
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    width = mcs + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    out = bytearray()
+    bitpos = 0
+    total = len(data) * 8
+    prev: bytes | None = None
+    while True:
+        if bitpos + width > total:
+            raise ValueError("gif: LZW stream truncated before end code")
+        bi = bitpos >> 3
+        chunk = int.from_bytes(data[bi : bi + 3], "little")
+        code = (chunk >> (bitpos & 7)) & ((1 << width) - 1)
+        bitpos += width
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = mcs + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("gif: first LZW code after clear out of range")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+        elif code == len(table):
+            entry = prev + prev[:1]
+        else:
+            raise ValueError("gif: LZW code beyond string table")
+        out += entry
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            # early change: grow when the NEXT code would not fit
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+        if len(out) > expected:
+            raise ValueError("gif: LZW decoded more pixels than the frame holds")
+    if len(out) != expected:
+        raise ValueError(
+            f"gif: LZW decoded {len(out)} pixels, frame declares {expected}"
+        )
+    return bytes(out)
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _interlace_order(h: int) -> list[int]:
+    rows: list[int] = []
+    for start, step in _GIF_INTERLACE_PASSES:
+        rows.extend(range(start, h, step))
+    return rows
+
+
+def encode_gif(
+    frames: np.ndarray | list[np.ndarray],
+    palette: np.ndarray,
+    interlace: bool = False,
+    delay_cs: int = 4,
+) -> bytes:
+    """Encode one (h, w) uint8 index array — or a list of them for an
+    animated GIF — against an (n, 3) uint8 palette. Real LZW compression;
+    multi-frame output carries NETSCAPE2.0 looping + per-frame Graphic
+    Control Extensions, exercising the decoder's extension walk."""
+    if isinstance(frames, np.ndarray):
+        frames = [frames]
+    frames = [np.asarray(f, dtype=np.uint8) for f in frames]
+    palette = np.asarray(palette, dtype=np.uint8)
+    n_colors = palette.shape[0]
+    if not 2 <= n_colors <= 256:
+        raise ValueError("gif: palette must hold 2..256 colors")
+    if any(int(f.max(initial=0)) >= n_colors for f in frames):
+        raise ValueError("gif: index exceeds palette size")
+    gct_bits = max(1, (n_colors - 1).bit_length())
+    gct_n = 1 << gct_bits
+    h, w = frames[0].shape
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out.append(0x80 | ((gct_bits - 1) & 7))  # GCT flag + size
+    out += bytes([0, 0])  # bg index, aspect
+    pal = np.zeros((gct_n, 3), dtype=np.uint8)
+    pal[:n_colors] = palette
+    out += pal.tobytes()
+    if len(frames) > 1:  # NETSCAPE looping application extension
+        out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    for f in frames:
+        fh, fw = f.shape
+        if len(frames) > 1:  # Graphic Control Extension per frame
+            out += b"\x21\xf9\x04" + bytes([0]) + struct.pack("<H", delay_cs) + b"\x00\x00"
+        out += b"\x2c" + struct.pack("<HHHH", 0, 0, fw, fh)
+        out.append(0x40 if interlace else 0x00)  # no LCT in the writer
+        mcs = max(2, gct_bits)
+        out.append(mcs)
+        idx = f[_interlace_order(fh)] if interlace else f
+        lzw = _lzw_encode_gif(idx.reshape(-1), mcs)
+        for off in range(0, len(lzw), 255):
+            chunk = lzw[off : off + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)  # block terminator
+    out.append(0x3B)  # trailer
+    return bytes(out)
+
+
+def parse_gif(payload: bytes, return_frames: bool = False) -> dict:
+    """Full GIF decode: header version, logical screen descriptor, global /
+    local color tables, extension sub-block walk, LZW decompression per
+    frame, de-interlacing. Returns screen dims, frame count, and exact
+    integer statistics over every frame's palette indices AND their RGB
+    expansions (idx_sum proves the LZW stream, rgb_sum proves the color
+    table mapping)."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF: bad signature")
+    w, h = struct.unpack_from("<HH", payload, 6)
+    packed = payload[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 7)
+        gct = np.frombuffer(payload, dtype=np.uint8, count=n * 3, offset=pos).reshape(n, 3)
+        pos += n * 3
+    frames = []
+    idx_sum = 0
+    rgb_sum = 0
+    n_px = 0
+    rgb_min, rgb_max = 255, 0
+    while True:
+        if pos >= len(payload):
+            raise ValueError("gif: missing trailer")
+        b0 = payload[pos]
+        pos += 1
+        if b0 == 0x3B:  # trailer
+            break
+        if b0 == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while pos < len(payload) and payload[pos] != 0:
+                pos += 1 + payload[pos]
+            if pos >= len(payload):
+                raise ValueError("gif: truncated extension block")
+            pos += 1
+        elif b0 == 0x2C:  # image descriptor
+            _left, _top, fw, fh = struct.unpack_from("<HHHH", payload, pos)
+            pos += 8
+            fpacked = payload[pos]
+            pos += 1
+            table = gct
+            if fpacked & 0x80:  # local color table
+                n = 2 << (fpacked & 7)
+                table = np.frombuffer(
+                    payload, dtype=np.uint8, count=n * 3, offset=pos
+                ).reshape(n, 3)
+                pos += n * 3
+            if table is None:
+                raise ValueError("gif: frame has neither local nor global color table")
+            mcs = payload[pos]
+            pos += 1
+            if not 2 <= mcs <= 11:
+                raise ValueError(f"gif: bad LZW minimum code size {mcs}")
+            lzw = bytearray()
+            while pos < len(payload) and payload[pos] != 0:
+                ln = payload[pos]
+                if pos + 1 + ln > len(payload):
+                    raise ValueError("gif: truncated image data sub-block")
+                lzw += payload[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            if pos >= len(payload):
+                raise ValueError("gif: truncated image data sub-block")
+            pos += 1
+            idx = np.frombuffer(
+                _lzw_decode_gif(bytes(lzw), mcs, fw * fh), dtype=np.uint8
+            ).reshape(fh, fw)
+            if fpacked & 0x40:  # de-interlace
+                de = np.empty_like(idx)
+                de[_interlace_order(fh)] = idx
+                idx = de
+            if int(idx.max(initial=0)) >= table.shape[0]:
+                raise ValueError("gif: pixel index beyond color table")
+            n_px += idx.size
+            idx_sum += int(idx.astype(np.int64).sum())
+            rgb = table.astype(np.int64)[idx]
+            rgb_sum += int(rgb.sum())
+            rgb_min = min(rgb_min, int(rgb.min()))
+            rgb_max = max(rgb_max, int(rgb.max()))
+            frames.append(idx)
+        else:
+            raise ValueError(f"gif: unknown block introducer {b0:#04x}")
+    if not frames:
+        raise ValueError("gif: no image data before trailer")
+    rec = {
+        "width": int(w),
+        "height": int(h),
+        "n_frames": len(frames),
+        "n_px": int(n_px),
+        "idx_sum": idx_sum,
+        "rgb_sum": rgb_sum,
+        "rgb_min": rgb_min,
+        "rgb_max": rgb_max,
+    }
+    if return_frames:
+        rec["frames"] = frames
+    return rec
+
+
+GIF_DECODED_SCHEMA = (
+    "id long, width int, height int, n_frames int, "
+    "n_px long, idx_sum long, rgb_sum long, rgb_min int, rgb_max int"
+)
+
+
+def decode_gif(df: DataFrame, payload_col: str = "payload", id_col: str = "id") -> DataFrame:
+    """Distributed GIF decode -> exact index/RGB statistics per file. One
+    Arrow-batched mapInPandas pass, no shuffle (partition = files)."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = [parse_gif(bytes(b)) for b in pdf[payload_col]]
+            out = pd.DataFrame(recs)
+            out.insert(0, "id", pdf[id_col].values)
+            yield out
+
+    return df.mapInPandas(_decode, schema=GIF_DECODED_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
 # JPEG header metadata (marker walk; NO entropy decode — that needs a codec
 # library, so pixel recovery stays honestly out of scope here)
 # ---------------------------------------------------------------------------
@@ -1632,12 +1927,27 @@ IMAGE_DECODED_SCHEMA = (
 
 
 def parse_image(payload: bytes) -> dict:
-    """Magic-sniffing image decode: PNG, BMP, or JPEG (baseline or
-    progressive) -> the common pixel-statistics record + a format tag."""
+    """Magic-sniffing image decode: PNG, BMP, GIF, or JPEG (baseline or
+    progressive) -> the common pixel-statistics record + a format tag.
+    GIF stats are over the palette-mapped RGB samples of ALL frames
+    (color_type 3 = palette, mirroring PNG's type numbering)."""
     if payload[:8] == PNG_SIGNATURE:
         return {"format": "png", **parse_png(payload)}
     if payload[:2] == b"BM":
         return {"format": "bmp", **parse_bmp(payload)}
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        g = parse_gif(payload)
+        return {
+            "format": "gif",
+            "width": g["width"],
+            "height": g["height"],
+            "bit_depth": 8,
+            "color_type": 3,
+            "n_px": g["n_px"] * 3,  # RGB samples, like the PNG color path
+            "px_sum": g["rgb_sum"],
+            "px_min": g["rgb_min"],
+            "px_max": g["rgb_max"],
+        }
     if payload[:2] == b"\xff\xd8":
         rec = decode_jpeg(payload)
         rec.pop("pixels")

@@ -61,6 +61,8 @@ def _sniff_image(payload: bytes) -> bool:
 
     if payload[:8] == mc.PNG_SIGNATURE or payload[:2] == b"\xff\xd8":
         return True  # 0x89 / 0xFF lead bytes can never open valid UTF-8
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return True  # 6-byte versioned magic: unambiguous enough
     if payload[:2] == b"BM" and len(payload) >= 54:
         # "BM" is printable ASCII, so a text payload can start with it —
         # corroborate with the header's file-size field before dispatching

@@ -94,8 +94,9 @@ BENCH_QUERIES = [
     "jpeg_meta",
     # round-9: full baseline-JPEG pixel decode (CPU-bound Arrow kernel)
     "jpeg_decode",
-    # round-12: progressive (SOF2) multi-scan pixel decode
+    # round-12: progressive (SOF2) multi-scan pixel decode + GIF/LZW
     "jpeg_progressive_decode",
+    "gif_decode",
     "orc_roundtrip",
     "struct_objects",
     "struct_check_report",

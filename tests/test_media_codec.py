@@ -235,6 +235,102 @@ def test_bmp_rejects():
 
 
 # ---------------------------------------------------------------------------
+# GIF / LZW
+# ---------------------------------------------------------------------------
+
+_FIXTURES = __import__("os").path.join(__import__("os").path.dirname(__file__), "fixtures")
+
+
+def test_gif_lzw_hand_trace():
+    """Hand-traced LZW for indices [0,0,1,1,0] at mcs=2 (clear=4, end=5,
+    width starts 3). Greedy parse: emit CLEAR; w=0; [0,0] miss -> emit 0,
+    add [0,0]=6; w=0; [0,1] miss -> emit 0, add [0,1]=7; w=1; [1,1] miss
+    -> emit 1 (still 3 bits: growth happens when the NEXT free code 8
+    would not fit, i.e. after next_code reaches 9), add [1,1]=8 -> width
+    now 4; w=1; [1,0] miss -> emit 1 (4 bits), add [1,0]=9; w=0; input
+    ends -> emit 0, emit END. LSB-first packing gives 0x04 0x12 0x50."""
+    import numpy as np
+
+    data = mc._lzw_encode_gif(np.array([0, 0, 1, 1, 0], np.uint8), 2)
+    assert data == bytes.fromhex("041250")
+    bits = []
+    for code, width in ((4, 3), (0, 3), (0, 3), (1, 3), (1, 4), (0, 4), (5, 4)):
+        for i in range(width):
+            bits.append((code >> i) & 1)
+    want = bytearray()
+    for i in range(0, len(bits), 8):
+        byte = 0
+        for j, b in enumerate(bits[i : i + 8]):
+            byte |= b << j
+        want.append(byte)
+    assert data == bytes(want)
+    assert mc._lzw_decode_gif(data, 2, 5) == bytes([0, 0, 1, 1, 0])
+
+
+def test_gif_roundtrip_paths():
+    rng = np.random.RandomState(8)
+    pal = rng.randint(0, 256, (7, 3)).astype(np.uint8)
+    for shape in ((5, 7), (33, 9), (1, 1)):
+        img = rng.randint(0, 7, shape).astype(np.uint8)
+        for il in (False, True):
+            rec = mc.parse_gif(mc.encode_gif(img, pal, interlace=il), return_frames=True)
+            assert (rec["frames"][0] == img).all(), (shape, il)
+    # animated: GCE + NETSCAPE extensions walked, frames all recovered
+    frames = [rng.randint(0, 7, (10, 12)).astype(np.uint8) for _ in range(4)]
+    rec = mc.parse_gif(mc.encode_gif(frames, pal), return_frames=True)
+    assert rec["n_frames"] == 4
+    assert all((a == b).all() for a, b in zip(rec["frames"], frames))
+    # 256-color noise image: forces 12-bit codes + a mid-stream table clear
+    pal256 = rng.randint(0, 256, (256, 3)).astype(np.uint8)
+    big = rng.randint(0, 256, (120, 170)).astype(np.uint8)
+    rec = mc.parse_gif(mc.encode_gif(big, pal256), return_frames=True)
+    assert (rec["frames"][0] == big).all()
+
+
+def test_gif_real_files_decode_exactly():
+    """Real GIFs shipped with CPython: a wrong LZW width rule derails the
+    stream within a few codes, so exact pixel-count termination against
+    foreign encoders pins the early-change semantics."""
+    import os
+
+    for name, (w, h) in (("idle_16.gif", (16, 16)), ("idle_48.gif", (48, 48)),
+                         ("python.gif", (16, 16))):
+        rec = mc.parse_gif(open(os.path.join(_FIXTURES, name), "rb").read())
+        assert (rec["width"], rec["height"]) == (w, h), name
+        assert rec["n_px"] == w * h and rec["n_frames"] == 1
+    # and through the mixed-format dispatch
+    img = mc.parse_image(open(os.path.join(_FIXTURES, "python.gif"), "rb").read())
+    assert img["format"] == "gif" and img["n_px"] == 16 * 16 * 3
+
+
+def test_gif_rejects():
+    rng = np.random.RandomState(1)
+    pal = rng.randint(0, 256, (4, 3)).astype(np.uint8)
+    g = bytearray(mc.encode_gif(rng.randint(0, 4, (9, 9)).astype(np.uint8), pal))
+    with pytest.raises(ValueError, match="signature"):
+        mc.parse_gif(b"NOTAGIF" + bytes(g))
+    with pytest.raises(ValueError, match="truncated|trailer|range"):
+        mc.parse_gif(bytes(g[:-8]))
+    with pytest.raises(ValueError):
+        mc.encode_gif(np.full((2, 2), 9, np.uint8), pal)  # index > palette
+
+
+def test_gif_decode_df_distributed(spark):
+    rng = np.random.RandomState(2)
+    pal = rng.randint(0, 256, (16, 3)).astype(np.uint8)
+    rows = []
+    for k in range(6):
+        img = ((np.arange(120).reshape(10, 12) * (k + 3)) % 16).astype(np.uint8)
+        rows.append((k, bytearray(mc.encode_gif(img, pal, interlace=k % 2 == 1))))
+    df = spark.createDataFrame(rows, "id long, payload binary").repartition(3)
+    got = {r["id"]: r for r in mc.decode_gif(df).collect()}
+    for k in range(6):
+        img = ((np.arange(120).reshape(10, 12) * (k + 3)) % 16).astype(np.int64)
+        assert got[k]["idx_sum"] == int(img.sum()) and got[k]["n_px"] == 120
+        assert got[k]["rgb_sum"] == int(pal.astype(np.int64)[img].sum())
+
+
+# ---------------------------------------------------------------------------
 # JPEG header metadata
 # ---------------------------------------------------------------------------
 
