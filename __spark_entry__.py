@@ -3649,6 +3649,49 @@ def q_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL animated-frame sampling (multimodal.sample_gif_frames over the
+    from-scratch GIF/LZW decoder): each selected orders row generates an
+    animation of 1 + id%4 frames ((id%5+3) x (id%9+4), frame f pixel i =
+    (13*id + 7*f + i) % 16), and the sampler decodes every frame but emits
+    every SECOND one (frame 0 always) with exact per-frame index sums —
+    the distributed shape of video frame extraction, now with a real
+    container decode instead of the byte-stride stand-in. The oracle
+    restates the generating formula per sampled frame. One map pass, no
+    shuffle; per-frame rows explode inside the Arrow kernel."""
+    from ape_dts_spark.functions import media_codec as mc
+    from ape_dts_spark.functions import multimodal as mm
+
+    o = demo.load(spark, sf_dir, "orders").select("o_orderkey").filter(
+        F.col("o_orderkey") % 8 == 3
+    )
+
+    def _gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        pal = np.array(
+            [[(37 * c + 29 * j + 5) % 256 for j in range(3)] for c in range(16)],
+            dtype=np.uint8,
+        )
+        for pdf in batches:
+            ids, payloads = [], []
+            for k in pdf["o_orderkey"]:
+                k = int(k)
+                h, w = k % 5 + 3, k % 9 + 4
+                frames = [
+                    ((13 * k + 7 * f + np.arange(h * w)) % 16)
+                    .astype(np.uint8).reshape(h, w)
+                    for f in range(1 + k % 4)
+                ]
+                ids.append(k)
+                payloads.append(mc.encode_gif(frames, pal))
+            yield pd.DataFrame({"id": ids, "payload": payloads})
+
+    payloads = _spread(o, spark).mapInPandas(_gen, "id long, payload binary")
+    return mm.sample_gif_frames(payloads, every_n=2)
+
+
 def q_jpeg_progressive_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL progressive-JPEG (SOF2) pixel decode, stdlib+numpy only
     (functions/media_codec.py, T.81 Annex G): each part row generates a
@@ -4528,11 +4571,13 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The external driver gates only the FIRST 50 dict entries, so ordering is
     # load-bearing. Rotation policy (r12 rotation applied): (1) the stalest
-    # driver rows lead — all 48 queries whose last external gate row was r07 —
-    # (2) plus the two never-gated new queries (jpeg_progressive_decode,
-    # gif_decode; a never-gated row outranks any re-attest), (3) everything
-    # after slot 50 stays ordered by staleness (r09, then r10, then r11) so
-    # the next rotation is a prefix cut. Before any rotation
+    # driver rows lead — 47 of the 48 queries whose last external gate row
+    # was r07 (waiting_suppliers, the most-stable plain-SQL row, defers to
+    # r13) — (2) plus the three never-gated new queries
+    # (jpeg_progressive_decode, gif_decode, gif_frames; a never-gated row
+    # outranks any re-attest), (3) everything after slot 50 stays ordered by
+    # staleness (the r07 leftover, then r09, r10, r11) so the next rotation
+    # is a prefix cut. Before any rotation
     # ships, the FULL (non --window) tools/check.py run must be green —
     # rotated-out queries keep local-gate + pytest coverage. After r12 the
     # stalest remaining driver rows are the 49 r09-era ones, which the r13
@@ -4540,10 +4585,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # CORRECTNESS_r* staleness data each rotation; duplicates are
     # structurally impossible.
     return {
-        # -- r12 window: the 48 r07-era rows (the stalest external gate
+        # -- r12 window: 47 r07-era rows (the stalest external gate
         # -- attestations, regenerated from CORRECTNESS_r*.json), plus the
-        # -- two never-gated queries new this round (jpeg_progressive_decode,
-        # -- gif_decode) -----------------------------------------------------
+        # -- three never-gated queries new this round (jpeg_progressive_
+        # -- decode, gif_decode, gif_frames) ---------------------------------
         "ann_ivf_index": q_ann_ivf_index,
         "ann_ivfpq_index": q_ann_ivfpq_index,
         "ann_lsh": q_ann_lsh,
@@ -4590,13 +4635,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "subscription_feed": q_subscription_feed,
         "token_mix": q_token_mix,
         "vocab_topk": q_vocab_topk,
-        "waiting_suppliers": q_waiting_suppliers,
         "windowed_counts": q_windowed_counts,
         "jpeg_progressive_decode": q_jpeg_progressive_decode,
         "gif_decode": q_gif_decode,
+        "gif_frames": q_gif_frames,
         # ---------------------------- slot 50 ends here ----------------------
-        # remaining entries ordered by driver-row staleness (r09, r10, r11)
-        # so the next rotation is again a prefix cut
+        # remaining entries ordered by driver-row staleness (r07 leftover,
+        # r09, r10, r11) so the next rotation is again a prefix cut
+        # -- last gated r07 (deferred from the window for the never-gated
+        # -- gif_frames; re-leads the r13 rotation) --
+        "waiting_suppliers": q_waiting_suppliers,
         # -- last gated r09 --
         "ann_pq": q_ann_pq,
         "ann_pq_index": q_ann_pq_index,
@@ -5977,6 +6025,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(c) AS BIGINT) AS idx_sum,
                    CAST(SUM(rv) AS BIGINT) AS rgb_sum
             FROM rgb GROUP BY id, w, h, nf
+        """,
+        "gif_frames": """
+            WITH base AS (
+              SELECT o_orderkey AS id,
+                     o_orderkey % 5 + 3 AS h,
+                     o_orderkey % 9 + 4 AS w,
+                     1 + o_orderkey % 4 AS nf
+              FROM orders WHERE o_orderkey % 8 = 3),
+            fr AS (
+              SELECT id, h, w, nf, f
+              FROM base, LATERAL unnest(range(0, nf)) AS u1(f)
+              WHERE f % 2 = 0),
+            px AS (
+              SELECT id, h, w, nf, f, (13 * id + 7 * f + i) % 16 AS c
+              FROM fr, LATERAL unnest(range(0, h * w)) AS u2(i))
+            SELECT id, CAST(f AS INT) AS frame_idx, CAST(nf AS INT) AS n_frames,
+                   CAST(h AS INT) AS height, CAST(w AS INT) AS width,
+                   CAST(SUM(c) AS BIGINT) AS idx_sum
+            FROM px GROUP BY id, f, nf, h, w
         """,
         "jpeg_progressive_decode": """
             WITH base AS (SELECT p_partkey AS id FROM part),

@@ -284,10 +284,53 @@ def resize_payload(
     return df.mapInPandas(_resize, schema=RESIZED_SCHEMA)
 
 
+def sample_gif_frames(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "id",
+    every_n: int = 1,
+) -> DataFrame:
+    """REAL video-style frame sampling over animated GIFs: decode each
+    payload's animation (media_codec.parse_gif — from-scratch LZW) and emit
+    one row per sampled frame (every ``every_n``-th, always including frame
+    0) with exact per-frame index statistics. This replaces the byte-stride
+    stand-in (:func:`sample_frames`) for the one video-like container that
+    is honestly decodable here; ffmpeg-class codecs stay out of scope.
+    One Arrow-batched mapInPandas pass, no shuffle (partition = files);
+    per-frame rows explode inside the kernel so no driver data motion."""
+    import numpy as np
+
+    from ape_dts_spark.functions import media_codec as mc
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fidx, nf, h, w, isum = [], [], [], [], [], []
+            for rid, raw in zip(pdf[id_col], pdf[payload_col]):
+                rec = mc.parse_gif(bytes(raw), return_frames=True)
+                frames = rec["frames"]
+                for i in range(0, len(frames), every_n):
+                    ids.append(rid)
+                    fidx.append(i)
+                    nf.append(len(frames))
+                    h.append(frames[i].shape[0])
+                    w.append(frames[i].shape[1])
+                    isum.append(int(frames[i].astype(np.int64).sum()))
+            yield pd.DataFrame(
+                {"id": ids, "frame_idx": fidx, "n_frames": nf,
+                 "height": h, "width": w, "idx_sum": isum}
+            )
+
+    return df.mapInPandas(
+        _frames,
+        schema="id long, frame_idx int, n_frames int, height int, width int, idx_sum long",
+    )
+
+
 def sample_frames(df: DataFrame, payload_col: str = "payload", every_n_bytes: int = 1024) -> DataFrame:
     """Frame-sampling plumbing: split each payload into fixed-size 'frames'
     (posexplode over byte ranges) — the distributed shape of video frame
-    extraction (one row per sampled frame, order-preserving)."""
+    extraction (one row per sampled frame, order-preserving). For a REAL
+    decodable animation container see :func:`sample_gif_frames`."""
     return df.select(
         "id",
         F.posexplode(

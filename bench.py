@@ -97,6 +97,7 @@ BENCH_QUERIES = [
     # round-12: progressive (SOF2) multi-scan pixel decode + GIF/LZW
     "jpeg_progressive_decode",
     "gif_decode",
+    "gif_frames",
     "orc_roundtrip",
     "struct_objects",
     "struct_check_report",

@@ -1265,6 +1265,27 @@ def test_multimodal_progressive_meta_and_fake_fallback(spark):
     assert len(r) == 1 and r[0]["n_bytes"] == 8
 
 
+def test_multimodal_gif_frame_sampling(spark):
+    """sample_gif_frames: REAL animated decode, every-n sampling (frame 0
+    always), exact per-frame index sums — the video-frame-extraction shape
+    with an honestly decodable container."""
+    import numpy as np
+
+    from ape_dts_spark.functions import media_codec as mc
+    from ape_dts_spark.functions import multimodal as mm
+
+    pal = np.arange(48, dtype=np.uint8).reshape(16, 3)
+    frames = [np.full((4, 6), f % 16, np.uint8) for f in range(5)]
+    df = spark.createDataFrame(
+        [(7, bytearray(mc.encode_gif(frames, pal)))], "id long, payload binary"
+    )
+    got = {r["frame_idx"]: r for r in mm.sample_gif_frames(df, every_n=2).collect()}
+    assert sorted(got) == [0, 2, 4]
+    for f in (0, 2, 4):
+        assert got[f]["idx_sum"] == f * 24 and got[f]["n_frames"] == 5
+        assert (got[f]["height"], got[f]["width"]) == (4, 6)
+
+
 def test_unigram_learn_hand_trace(spark):
     """Hand-computable unigram-LM EM on 'abab abab ab': seed substring freqs
     a=5 b=5 ab=5 aba=2 abab=2 ba=2 bab=2 (TOT=26, unk cost 6; freq-5 pieces
