@@ -98,6 +98,7 @@ BENCH_QUERIES = [
     "jpeg_progressive_decode",
     "gif_decode",
     "gif_frames",
+    "media_pipeline",
     "orc_roundtrip",
     "struct_objects",
     "struct_check_report",
