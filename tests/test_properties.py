@@ -503,3 +503,62 @@ def test_unigram_encode_covers_corpus(spark, words):
     enc = tx.unigram_encode(docs, "text", vocab_size=4, rounds=1, max_word=8).collect()
     got = sum(len(r["token"]) * r["freq"] for r in enc)
     assert got == sum(len(w) for w in words)
+
+
+# ---------------------------------------------------------------------------
+# r12 media codecs: progressive JPEG and GIF/LZW (pure CPU, no Spark)
+# ---------------------------------------------------------------------------
+
+_img_shape = st.tuples(st.integers(1, 40), st.integers(1, 40))
+
+
+@given(
+    shape=_img_shape,
+    seed=st.integers(0, 2**31 - 1),
+    gray=st.booleans(),
+    sub=st.sampled_from(["444", "420"]),
+    ri=st.sampled_from([0, 1, 3]),
+)
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+def test_progressive_jpeg_equals_baseline(shape, seed, gray, sub, ri):
+    """Entropy coding is lossless and both encoders share the FDCT/quant
+    front half, so progressive decode must equal baseline decode exactly
+    for ANY image, subsampling, and restart interval."""
+    import numpy as np
+
+    from ape_dts_spark.functions import media_codec as mc
+
+    rng = np.random.RandomState(seed % 2**31)
+    h, w = shape
+    img = rng.randint(0, 256, (h, w) if gray else (h, w, 3)).astype(np.uint8)
+    base = mc.decode_jpeg(mc.encode_jpeg(img, "444" if gray else sub))
+    prog = mc.decode_jpeg(
+        mc.encode_jpeg_progressive(img, "444" if gray else sub, restart_interval=ri)
+    )
+    assert (base["pixels"] == prog["pixels"]).all()
+
+
+@given(
+    shape=_img_shape,
+    seed=st.integers(0, 2**31 - 1),
+    n_colors=st.integers(2, 256),
+    interlace=st.booleans(),
+    n_frames=st.integers(1, 4),
+)
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+def test_gif_lzw_roundtrip_any_palette(shape, seed, n_colors, interlace, n_frames):
+    """encode_gif -> parse_gif is the identity on indices for any palette
+    size (2..256 spans every LZW minimum-code-size branch), frame count,
+    and interlace flag."""
+    import numpy as np
+
+    from ape_dts_spark.functions import media_codec as mc
+
+    rng = np.random.RandomState(seed % 2**31)
+    h, w = shape
+    pal = rng.randint(0, 256, (n_colors, 3)).astype(np.uint8)
+    frames = [rng.randint(0, n_colors, (h, w)).astype(np.uint8) for _ in range(n_frames)]
+    rec = mc.parse_gif(mc.encode_gif(frames, pal, interlace=interlace), return_frames=True)
+    assert rec["n_frames"] == n_frames
+    for a, b in zip(rec["frames"], frames):
+        assert (a == b).all()

@@ -115,6 +115,12 @@ AUDITED = [
     "hll_registers",      # md5 register/rank projection + one MAX hash agg
     "cms_heavy_hitters",  # sketch agg + distinct probes + broadcast cell join
     "kmv_jaccard",        # two top-k sketch heaps + semi-joins inside the union
+    # round 12
+    "jpeg_progressive_decode",  # Arrow multi-scan encode pass -> Arrow decode
+                                # pass, no shuffle (same shape as jpeg_decode)
+    "gif_decode",         # Arrow LZW encode pass -> Arrow decode pass, no shuffle
+    "gif_frames",         # Arrow decode + in-kernel frame explode, no shuffle
+    "media_pipeline",     # one mixed-format Arrow decode pass -> tiny grouped agg
     # (perceptron_train / bpe_learn / unigram_learn / langid_train run their
     # loops inside the query function and return driver-built weight/vocab
     # tables — nothing to audit in the final plan; their shuffle discipline

@@ -292,10 +292,14 @@ def main() -> int:
         "",
         "- `ngram_jaccard` is the intentionally-EXACT PPJoin baseline — its",
         "  candidate stage scales with verified-pair density, hence the",
-        "  super-linear alpha. Route shingle workloads to `ngram_minhash`",
-        "  (same shingles, banded MinHash, sub-linear alpha in this table)",
-        "  at scale; the exact kernel exists to calibrate the approximate",
-        "  one's recall.",
+        "  super-linear alpha. Since r12 this is ENFORCED IN CODE, not just",
+        "  advised: jaccard_pairs estimates the candidate fan-out (one cheap",
+        "  aggregate over the persisted prefix relation) and RAISES past",
+        "  max_candidate_fanout (default 2e8), naming the banding-bounded",
+        "  default path `ngram_minhash` (same shingles, banded MinHash,",
+        "  sub-linear alpha in this table). The exact kernel exists to",
+        "  calibrate the approximate one's recall; forcing it at scale now",
+        "  takes an explicit max_candidate_fanout=None.",
         "- `continuous_rollup` / `stream_join` / `stateful_dedup` run a real",
         "  micro-batch loop with a FIXED file count per corpus, so their",
         "  cost is dominated by per-trigger scheduling (expected alpha ~ 0",
