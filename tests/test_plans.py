@@ -247,3 +247,21 @@ def test_at_rest_cdc_parsers_single_key_window(spark, sf_dir):
     assert "FlatMapGroupsInPandas" in plan  # per-_id fold is the Arrow group kernel
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_media_decode_kernels_no_shuffle(spark, sf_dir):
+    """r12 media gates: generate + decode are chained Arrow map passes —
+    any Exchange before the decode kernel would mean the planner inserted
+    a pointless shuffle between two narrow transforms."""
+    for name in ("jpeg_progressive_decode", "gif_decode", "gif_frames"):
+        plan = _plan(spark, sf_dir, name)
+        assert "MapInPandas" in plan, name
+        assert "Exchange hashpartitioning" not in plan, name
+
+
+def test_media_pipeline_one_agg_shuffle(spark, sf_dir):
+    """The composed mixed-format pipeline shuffles exactly once: the tiny
+    per-format rollup after the single decode pass."""
+    plan = _plan(spark, sf_dir, "media_pipeline")
+    assert "MapInPandas" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
