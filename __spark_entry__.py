@@ -3660,6 +3660,57 @@ def q_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_png_full_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r12 FULL-matrix PNG decode (media_codec.parse_png now covers
+    every color type, bit depths 1-16, and Adam7): each part row generates
+    one of four variants cycling by key — (0) 4-bit grayscale ADAM7-
+    interlaced with filter k%5, (1) 8-bit PALETTE against the fixed
+    16-color table (23c+31j+7)%256, (2) RGBA interlaced, (3) 16-bit
+    grayscale — and the parser reconstructs pass geometry, unpacks sub-byte
+    samples, expands PLTE, and emits exact integer sample statistics. The
+    oracle restates each variant's generating formula; real foreign files
+    with the same features are pytest-gated (CPython/Jupyter/rustdoc
+    assets). One map pass, no shuffle."""
+    from ape_dts_spark.functions import media_codec as mc
+
+    p = demo.load(spark, sf_dir, "part").select("p_partkey")
+
+    def _gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        pal = np.array(
+            [[(23 * c + 31 * j + 7) % 256 for j in range(3)] for c in range(16)],
+            dtype=np.uint8,
+        )
+        for pdf in batches:
+            ids, payloads = [], []
+            for k in pdf["p_partkey"]:
+                k = int(k)
+                m = k % 4
+                h, w = k % 6 + 3, k % 9 + 3
+                if m == 0:
+                    img = ((k + np.arange(h * w)) % 16).astype(np.int64).reshape(h, w)
+                    payload = mc.encode_png(
+                        img, filter_type=k % 5, bit_depth=4, interlace=True
+                    )
+                elif m == 1:
+                    idx = ((3 * k + np.arange(h * w)) % 16).astype(np.int64).reshape(h, w)
+                    payload = mc.encode_png(idx, palette=pal, filter_type=k % 5)
+                elif m == 2:
+                    img = ((5 * k + np.arange(h * w * 4)) % 256).astype(np.int64).reshape(h, w, 4)
+                    payload = mc.encode_png(img, filter_type=k % 5, interlace=True)
+                else:
+                    img = ((257 * k + np.arange(h * w)) % 65536).astype(np.int64).reshape(h, w)
+                    payload = mc.encode_png(img, filter_type=k % 5, bit_depth=16)
+                ids.append(k)
+                payloads.append(payload)
+            yield pd.DataFrame({"id": ids, "payload": payloads})
+
+    payloads = _spread(p, spark).mapInPandas(_gen, "id long, payload binary")
+    return mc.decode_png(payloads)
+
+
 def q_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL animated-frame sampling (multimodal.sample_gif_frames over the
     from-scratch GIF/LZW decoder): each selected orders row generates an
@@ -4731,6 +4782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- never gated (r12 additions past the window) + the r07 leftover
         # -- deferred for gif_frames: together these lead the r13 rotation --
         "media_pipeline": q_media_pipeline,
+        "png_full_decode": q_png_full_decode,
         "waiting_suppliers": q_waiting_suppliers,
         # -- last gated r09 --
         "ann_pq": q_ann_pq,
@@ -6112,6 +6164,38 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(c) AS BIGINT) AS idx_sum,
                    CAST(SUM(rv) AS BIGINT) AS rgb_sum
             FROM rgb GROUP BY id, w, h, nf
+        """,
+        "png_full_decode": """
+            WITH base AS (
+              SELECT p_partkey AS id, p_partkey % 4 AS m,
+                     p_partkey % 6 + 3 AS h, p_partkey % 9 + 3 AS w
+              FROM part),
+            g4 AS (  -- 4-bit grayscale, 1 sample/px
+              SELECT id, h, w, 4 AS bd, 0 AS ct, (id + i) % 16 AS v
+              FROM base, LATERAL unnest(range(0, h * w)) AS u(i) WHERE m = 0),
+            palv AS (  -- palette expanded through (23c+31j+7)%256, 3/px
+              SELECT id, h, w, 8 AS bd, 3 AS ct,
+                     (23 * ((3 * id + i) % 16) + 31 * j + 7) % 256 AS v
+              FROM base,
+                   LATERAL unnest(range(0, h * w)) AS u1(i),
+                   LATERAL unnest(range(0, 3)) AS u2(j)
+              WHERE m = 1),
+            rgba AS (  -- 4 samples/px
+              SELECT id, h, w, 8 AS bd, 6 AS ct, (5 * id + i) % 256 AS v
+              FROM base, LATERAL unnest(range(0, h * w * 4)) AS u(i) WHERE m = 2),
+            g16 AS (  -- 16-bit grayscale
+              SELECT id, h, w, 16 AS bd, 0 AS ct, (257 * id + i) % 65536 AS v
+              FROM base, LATERAL unnest(range(0, h * w)) AS u(i) WHERE m = 3),
+            allv AS (
+              SELECT * FROM g4 UNION ALL SELECT * FROM palv
+              UNION ALL SELECT * FROM rgba UNION ALL SELECT * FROM g16)
+            SELECT id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+                   CAST(bd AS INT) AS bit_depth, CAST(ct AS INT) AS color_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_px,
+                   CAST(SUM(v) AS BIGINT) AS px_sum,
+                   CAST(MIN(v) AS INT) AS px_min,
+                   CAST(MAX(v) AS INT) AS px_max
+            FROM allv GROUP BY id, w, h, bd, ct
         """,
         "gif_frames": """
             WITH base AS (

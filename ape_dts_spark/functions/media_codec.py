@@ -79,32 +79,113 @@ def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
     return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
 
 
-def encode_png(pixels: np.ndarray, filter_type: int = 0) -> bytes:
-    """Encode an 8-bit image to PNG bytes. ``pixels`` is (h, w) grayscale
-    (color type 0) or (h, w, 3) RGB (color type 2), dtype uint8. Every
+# (channels per color type; 3 = palette indices, expanded via PLTE)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+_PNG_VALID_DEPTHS = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+                     4: (8, 16), 6: (8, 16)}
+# Adam7 pass geometry: (x_start, y_start, x_step, y_step)
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+
+def _pack_row(samples: np.ndarray, bit_depth: int) -> bytes:
+    """Pack one row of integer samples into PNG scanline bytes (big-endian
+    within bytes for sub-8 depths, big-endian u16 pairs for depth 16)."""
+    if bit_depth == 8:
+        return samples.astype(np.uint8).tobytes()
+    if bit_depth == 16:
+        return samples.astype(">u2").tobytes()
+    per_byte = 8 // bit_depth
+    n = samples.shape[0]
+    padded = np.zeros(-(-n // per_byte) * per_byte, dtype=np.int64)
+    padded[:n] = samples
+    out = np.zeros(padded.shape[0] // per_byte, dtype=np.int64)
+    for k in range(per_byte):
+        out |= padded[k::per_byte] << (8 - (k + 1) * bit_depth)
+    return out.astype(np.uint8).tobytes()
+
+
+def _unpack_row(data: np.ndarray, bit_depth: int, n: int) -> np.ndarray:
+    """Inverse of _pack_row: scanline bytes -> n integer samples."""
+    if bit_depth == 8:
+        return data[:n].astype(np.int64)
+    if bit_depth == 16:
+        return data[: 2 * n].view(">u2").astype(np.int64)
+    per_byte = 8 // bit_depth
+    mask = (1 << bit_depth) - 1
+    cols = [(data.astype(np.int64) >> (8 - (k + 1) * bit_depth)) & mask
+            for k in range(per_byte)]
+    return np.stack(cols, axis=1).reshape(-1)[:n]
+
+
+def _png_filter_pass(rows: np.ndarray, bit_depth: int, channels: int,
+                     filter_type: int) -> bytes:
+    """Filter one (ph, pw*channels) sample grid into PNG scanline bytes."""
+    ph = rows.shape[0]
+    fbpp = max(1, channels * bit_depth // 8)
+    packed = [np.frombuffer(_pack_row(rows[y], bit_depth), dtype=np.uint8)
+              for y in range(ph)]
+    out = bytearray()
+    prior = np.zeros(packed[0].shape[0], dtype=np.uint8)
+    for y in range(ph):
+        out += _filter_scanline(filter_type, packed[y], prior, fbpp)
+        prior = packed[y]
+    return bytes(out)
+
+
+def encode_png(
+    pixels: np.ndarray,
+    filter_type: int = 0,
+    palette: np.ndarray | None = None,
+    bit_depth: int = 8,
+    interlace: bool = False,
+) -> bytes:
+    """Encode an image to PNG bytes. ``pixels`` is (h, w) grayscale /
+    palette indices (with ``palette`` = (n, 3) uint8 -> color type 3),
+    (h, w, 2) gray+alpha, (h, w, 3) RGB, or (h, w, 4) RGBA. ``bit_depth``
+    supports 1/2/4 (gray or palette), 8, and 16 (values must fit).
+    ``interlace`` emits Adam7 (each pass filtered independently). Every
     scanline uses ``filter_type`` — exercising the parser's full filter
     reconstruction, not just the identity path."""
+    pixels = np.asarray(pixels)
     if pixels.ndim == 2:
-        color_type, bpp = 0, 1
-        h, w = pixels.shape
-        rows = pixels
-    elif pixels.ndim == 3 and pixels.shape[2] == 3:
-        color_type, bpp = 2, 3
-        h, w = pixels.shape[:2]
-        rows = pixels.reshape(h, w * 3)
+        channels = 1
+        color_type = 3 if palette is not None else 0
+    elif pixels.ndim == 3 and pixels.shape[2] in (2, 3, 4):
+        channels = pixels.shape[2]
+        color_type = {2: 4, 3: 2, 4: 6}[channels]
     else:
-        raise ValueError("pixels must be (h,w) grayscale or (h,w,3) RGB uint8")
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
-    prior = np.zeros(rows.shape[1], dtype=np.uint8)
-    filtered = bytearray()
-    for y in range(h):
-        raw = rows[y].astype(np.uint8)
-        filtered += _filter_scanline(filter_type, raw, prior, bpp)
-        prior = raw
+        raise ValueError("pixels must be (h,w)[,2|3|4 channels]")
+    if bit_depth not in _PNG_VALID_DEPTHS[color_type]:
+        raise ValueError(f"bit depth {bit_depth} invalid for color type {color_type}")
+    if int(pixels.max(initial=0)) >= (1 << bit_depth):
+        raise ValueError("sample exceeds bit depth")
+    h, w = pixels.shape[:2]
+    rows = pixels.reshape(h, w * channels).astype(np.int64)
+    ihdr = struct.pack(">IIBBBBB", w, h, bit_depth, color_type, 0, 0,
+                       1 if interlace else 0)
+    body = bytearray()
+    if interlace:
+        for x0, y0, dx, dy in _ADAM7:
+            sub = pixels[y0::dy, x0::dx]
+            if sub.size == 0:
+                continue
+            sh, sw = sub.shape[:2]
+            body += _png_filter_pass(
+                sub.reshape(sh, sw * channels).astype(np.int64),
+                bit_depth, channels, filter_type,
+            )
+    else:
+        body += _png_filter_pass(rows, bit_depth, channels, filter_type)
+    out = PNG_SIGNATURE + _chunk(b"IHDR", ihdr)
+    if color_type == 3:
+        pal = np.asarray(palette, dtype=np.uint8)
+        if int(pixels.max(initial=0)) >= pal.shape[0]:
+            raise ValueError("palette index out of range")
+        out += _chunk(b"PLTE", pal.tobytes())
     return (
-        PNG_SIGNATURE
-        + _chunk(b"IHDR", ihdr)
-        + _chunk(b"IDAT", zlib.compress(bytes(filtered), 6))
+        out
+        + _chunk(b"IDAT", zlib.compress(bytes(body), 6))
         + _chunk(b"IEND", b"")
     )
 
@@ -114,48 +195,20 @@ def encode_png(pixels: np.ndarray, filter_type: int = 0) -> bytes:
 # ---------------------------------------------------------------------------
 
 
-def parse_png(payload: bytes, return_pixels: bool = False) -> dict:
-    """Full PNG decode: signature, chunk walk with CRC-32 verification, IHDR,
-    zlib-inflate of the concatenated IDAT stream, and per-scanline filter
-    reconstruction (all five filter types). Returns header fields plus exact
-    integer pixel statistics (count / sum / min / max) — the cross-engine-
-    comparable surface of a real decode."""
-    if payload[:8] != PNG_SIGNATURE:
-        raise ValueError("not a PNG: bad signature")
-    pos, ihdr, idat, seen_end = 8, None, bytearray(), False
-    while pos < len(payload):
-        (length,) = struct.unpack_from(">I", payload, pos)
-        tag = payload[pos + 4 : pos + 8]
-        body = payload[pos + 8 : pos + 8 + length]
-        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
-        if crc32(tag + body) & 0xFFFFFFFF != crc:
-            raise ValueError(f"CRC mismatch in {tag!r} chunk")
-        pos += 12 + length
-        if tag == b"IHDR":
-            ihdr = struct.unpack(">IIBBBBB", body)
-        elif tag == b"IDAT":
-            idat += body
-        elif tag == b"IEND":
-            seen_end = True
-            break
-    if ihdr is None or not seen_end:
-        raise ValueError("missing IHDR or IEND")
-    w, h, bit_depth, color_type, comp, filt, interlace = ihdr
-    if bit_depth != 8 or color_type not in (0, 2) or comp or filt or interlace:
-        raise NotImplementedError(
-            "supported: 8-bit grayscale/RGB, deflate, non-interlaced "
-            f"(got depth={bit_depth} color={color_type} interlace={interlace})"
-        )
-    bpp = 1 if color_type == 0 else 3
-    stride = w * bpp
-    raw = zlib.decompress(bytes(idat))
-    if len(raw) != h * (stride + 1):
+def _png_recon_pass(
+    raw: bytes, offset: int, ph: int, stride: int, fbpp: int
+) -> tuple[np.ndarray, int]:
+    """Reconstruct one pass's scanlines (all five filter types) from the
+    inflated stream at ``offset``. Returns the (ph, stride) byte grid and
+    the new offset."""
+    need = ph * (stride + 1)
+    if offset + need > len(raw):
         raise ValueError("IDAT length does not match dimensions")
-    out = np.zeros((h, stride), dtype=np.uint8)
-    for y in range(h):
-        ftype = raw[y * (stride + 1)]
-        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1).astype(np.int32)
-        left = np.zeros(stride, dtype=np.int32)
+    out = np.zeros((ph, stride), dtype=np.uint8)
+    for y in range(ph):
+        base = offset + y * (stride + 1)
+        ftype = raw[base]
+        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=base + 1).astype(np.int32)
         up = out[y - 1].astype(np.int32) if y else np.zeros(stride, dtype=np.int32)
         if ftype == 0:
             rec = line
@@ -165,10 +218,10 @@ def parse_png(payload: bytes, return_pixels: bool = False) -> dict:
             # left-dependent filters reconstruct sequentially per pixel
             ul = np.zeros(stride, dtype=np.int32)
             if y:
-                ul[bpp:] = out[y - 1][:-bpp]
+                ul[fbpp:] = out[y - 1][:-fbpp]
             rec = line.copy()
             for x in range(stride):
-                a = rec[x - bpp] if x >= bpp else 0
+                a = rec[x - fbpp] if x >= fbpp else 0
                 if ftype == 1:
                     rec[x] += a
                 elif ftype == 3:
@@ -182,7 +235,74 @@ def parse_png(payload: bytes, return_pixels: bool = False) -> dict:
         else:
             raise ValueError(f"unknown filter type {ftype}")
         out[y] = (rec % 256).astype(np.uint8)
-    px = out.astype(np.int64)
+    return out, offset + need
+
+
+def parse_png(payload: bytes, return_pixels: bool = False) -> dict:
+    """Full PNG decode: signature, chunk walk with CRC-32 verification,
+    IHDR/PLTE, zlib-inflate of the concatenated IDAT stream, per-scanline
+    filter reconstruction (all five filter types), every color type
+    (grayscale, RGB, palette, gray+alpha, RGBA), bit depths 1/2/4/8/16,
+    and Adam7 de-interlacing. Returns header fields plus exact integer
+    SAMPLE statistics (count / sum / min / max over every channel value;
+    palette images are expanded through PLTE first) — the cross-engine-
+    comparable surface of a real decode."""
+    if payload[:8] != PNG_SIGNATURE:
+        raise ValueError("not a PNG: bad signature")
+    pos, ihdr, idat, seen_end, plte = 8, None, bytearray(), False, None
+    while pos + 12 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+        if crc32(tag + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"CRC mismatch in {tag!r} chunk")
+        pos += 12 + length
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"PLTE":
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            seen_end = True
+            break
+    if ihdr is None or not seen_end:
+        raise ValueError("missing IHDR or IEND")
+    w, h, bit_depth, color_type, comp, filt, interlace = ihdr
+    if comp or filt or interlace not in (0, 1):
+        raise ValueError(
+            f"invalid IHDR (compression={comp} filter={filt} interlace={interlace})"
+        )
+    if color_type not in _PNG_CHANNELS or bit_depth not in _PNG_VALID_DEPTHS[color_type]:
+        raise ValueError(f"invalid depth/color combination {bit_depth}/{color_type}")
+    if color_type == 3 and plte is None:
+        raise ValueError("palette image without PLTE chunk")
+    channels = _PNG_CHANNELS[color_type]
+    raw = zlib.decompress(bytes(idat))
+    samples = np.zeros((h, w, channels), dtype=np.int64)
+    passes = _ADAM7 if interlace else ((0, 0, 1, 1),)
+    offset = 0
+    for x0, y0, dx, dy in passes:
+        pw = len(range(x0, w, dx))
+        ph = len(range(y0, h, dy))
+        if pw == 0 or ph == 0:
+            continue
+        stride = -(-pw * channels * bit_depth // 8)
+        fbpp = max(1, channels * bit_depth // 8)
+        grid, offset = _png_recon_pass(raw, offset, ph, stride, fbpp)
+        for yy in range(ph):
+            row = _unpack_row(grid[yy], bit_depth, pw * channels)
+            samples[y0 + yy * dy, x0::dx] = row.reshape(pw, channels)
+    if offset != len(raw):
+        raise ValueError("IDAT length does not match dimensions")
+    if color_type == 3:
+        idx = samples[:, :, 0]
+        if int(idx.max(initial=0)) >= plte.shape[0]:
+            raise ValueError("palette index beyond PLTE")
+        px = plte.astype(np.int64)[idx]  # (h, w, 3) expanded RGB
+    else:
+        px = samples
     rec = {
         "width": w,
         "height": h,
@@ -194,7 +314,10 @@ def parse_png(payload: bytes, return_pixels: bool = False) -> dict:
         "px_max": int(px.max()),
     }
     if return_pixels:
-        rec["pixels"] = out.reshape((h, w) if bpp == 1 else (h, w, 3))
+        if color_type == 0:
+            rec["pixels"] = px.reshape(h, w)
+        else:
+            rec["pixels"] = px.reshape(h, w, px.shape[-1])
     return rec
 
 

@@ -104,7 +104,9 @@ def decode_image_meta(df: DataFrame, payload_col: str = "payload", fake: bool = 
                 elif _sniff_image(b):
                     try:
                         rec = mc.parse_image(b)
-                        c = 3 if rec["color_type"] in (2, 3) else 1
+                        # PNG color-type numbering (parse_image maps GIF to
+                        # 3 = palette-expanded RGB, BMP to 2)
+                        c = {0: 1, 2: 3, 3: 3, 4: 2, 6: 4}.get(rec["color_type"], 1)
                         dims = (rec["width"], rec["height"], c)
                     except (NotImplementedError, ValueError):
                         # sniffed-but-undecodable (corrupt stream): with

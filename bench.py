@@ -99,6 +99,7 @@ BENCH_QUERIES = [
     "gif_decode",
     "gif_frames",
     "media_pipeline",
+    "png_full_decode",
     "orc_roundtrip",
     "struct_objects",
     "struct_check_report",
@@ -266,7 +267,11 @@ MEDIAN3_QUERIES = {
     # on low-controversy queries bought nothing). Kept: the engine-defining
     # CC/curation/langid rows + the quadratic calibrator. Added: the two
     # r10->r11 regression suspects (VERDICT item 6) so this round's numbers
-    # settle whether they were host noise.
+    # settle whether they were host noise. SETTLED (r12 quiet-host median-3):
+    # substring_dedup_clean [0.367, 0.43, 0.355] ~= the r10 0.38s and
+    # cosine_dup_pairs [1.325, 1.166, 1.156] < the r10 1.43s — the r11
+    # single-sample 1.30s / 2.12s readings were host-load bursts, no code
+    # regression (neither code path changed r10->r11; see git log).
     "dedup_cluster",
     "dedup_cluster_star",
     "langid_apply",

@@ -106,13 +106,77 @@ def test_png_crc_corruption_detected():
         mc.parse_png(bytes(b))
 
 
-def test_png_bad_signature_and_unsupported():
+def test_png_bad_signature_and_invalid_combos():
     with pytest.raises(ValueError, match="signature"):
         mc.parse_png(b"JFIF" + b"\0" * 20)
-    # 16-bit depth is honestly unsupported, not silently wrong
-    ihdr16 = _hand_png(1, 1, bytes([0, 1, 2]), bit_depth=16)
-    with pytest.raises(NotImplementedError):
-        mc.parse_png(ihdr16)
+    # 16-bit gray is real now: hand bytes [filter 0, 0x01 0x02] = 258
+    out = mc.parse_png(_hand_png(1, 1, bytes([0, 1, 2]), bit_depth=16))
+    assert out["px_sum"] == 258 and out["bit_depth"] == 16
+    # spec-invalid combination (16-bit palette) rejects, never guesses
+    with pytest.raises(ValueError, match="combination"):
+        mc.parse_png(_hand_png(1, 1, bytes([0, 1]), color_type=3, bit_depth=16))
+    # palette image without PLTE
+    with pytest.raises(ValueError, match="PLTE"):
+        mc.parse_png(_hand_png(1, 1, bytes([0, 1]), color_type=3, bit_depth=8))
+
+
+def test_png_sub8_hand_bytes():
+    """Hand vector for bit unpacking: 2-bit gray, w=5 -> 10 bits -> 2 bytes
+    per row. Row bytes 0b11_00_10_01, 0b01_000000 = samples 3,0,2,1,1."""
+    out = mc.parse_png(
+        _hand_png(5, 1, bytes([0, 0b11001001, 0b01000000]), bit_depth=2),
+        return_pixels=True,
+    )
+    assert out["pixels"].tolist() == [[3, 0, 2, 1, 1]]
+
+
+def test_png_full_matrix_roundtrip():
+    rng = np.random.RandomState(10)
+    # gray at every legal depth, all filters, both interlace modes
+    for depth in (1, 2, 4, 8, 16):
+        img = rng.randint(0, 1 << depth, (11, 13)).astype(np.int64)
+        for ft in range(5):
+            for il in (False, True):
+                rec = mc.parse_png(
+                    mc.encode_png(img, filter_type=ft, bit_depth=depth, interlace=il),
+                    return_pixels=True,
+                )
+                assert (rec["pixels"] == img).all(), (depth, ft, il)
+    # palette (PLTE expansion), gray+alpha, RGB, RGBA, incl. 16-bit
+    pal = rng.randint(0, 256, (16, 3)).astype(np.uint8)
+    idx = rng.randint(0, 16, (9, 14)).astype(np.int64)
+    for depth in (4, 8):
+        rec = mc.parse_png(
+            mc.encode_png(idx, palette=pal, bit_depth=depth, interlace=True, filter_type=3),
+            return_pixels=True,
+        )
+        assert (rec["pixels"] == pal.astype(np.int64)[idx]).all(), depth
+    for ch in (2, 3, 4):
+        img = rng.randint(0, 256, (7, 9, ch)).astype(np.int64)
+        rec = mc.parse_png(mc.encode_png(img, filter_type=4, interlace=True), return_pixels=True)
+        assert (rec["pixels"] == img).all(), ch
+        img16 = rng.randint(0, 65536, (5, 6, ch)).astype(np.int64)
+        rec = mc.parse_png(mc.encode_png(img16, bit_depth=16), return_pixels=True)
+        assert (rec["pixels"] == img16).all(), ch
+    # 1x1 interlaced: six of the seven Adam7 passes are empty
+    rec = mc.parse_png(mc.encode_png(np.array([[200]], np.uint8), interlace=True), return_pixels=True)
+    assert rec["pixels"][0, 0] == 200
+
+
+def test_png_real_files_all_color_types():
+    """Real PNGs (CPython / Jupyter / rustdoc assets) spanning palette,
+    gray+alpha and RGBA: exact dimension + sample-count termination pins
+    the pass geometry and bit unpacking against foreign encoders."""
+    import os
+
+    for name, (w, h, ct, ch) in (
+        ("idle_16.png", (16, 16, 3, 3)),        # palette -> RGB expansion
+        ("favicon-32x32.png", (32, 32, 4, 2)),  # gray+alpha
+        ("logo-32x32.png", (32, 32, 6, 4)),     # RGBA
+    ):
+        rec = mc.parse_png(open(os.path.join(_FIXTURES, name), "rb").read())
+        assert (rec["width"], rec["height"], rec["color_type"]) == (w, h, ct), name
+        assert rec["n_px"] == w * h * ch, name
 
 
 # ---------------------------------------------------------------------------

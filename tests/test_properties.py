@@ -562,3 +562,34 @@ def test_gif_lzw_roundtrip_any_palette(shape, seed, n_colors, interlace, n_frame
     assert rec["n_frames"] == n_frames
     for a, b in zip(rec["frames"], frames):
         assert (a == b).all()
+
+
+@given(
+    shape=_img_shape,
+    seed=st.integers(0, 2**31 - 1),
+    depth=st.sampled_from([1, 2, 4, 8, 16]),
+    channels=st.sampled_from([1, 2, 3, 4]),
+    filter_type=st.integers(0, 4),
+    interlace=st.booleans(),
+)
+@settings(max_examples=14, deadline=None, suppress_health_check=list(HealthCheck))
+def test_png_full_matrix_roundtrip_property(shape, seed, depth, channels,
+                                            filter_type, interlace):
+    """encode_png -> parse_png is the identity across the full legal
+    (depth, channels, filter, Adam7) matrix; spec-invalid combinations are
+    skipped (sub-8 depths are gray/palette-only)."""
+    import numpy as np
+
+    from ape_dts_spark.functions import media_codec as mc
+
+    if depth < 8 and channels != 1:
+        return  # spec-invalid combination
+    rng = np.random.RandomState(seed % 2**31)
+    h, w = shape
+    dims = (h, w) if channels == 1 else (h, w, channels)
+    img = rng.randint(0, 1 << depth, dims).astype(np.int64)
+    rec = mc.parse_png(
+        mc.encode_png(img, filter_type=filter_type, bit_depth=depth, interlace=interlace),
+        return_pixels=True,
+    )
+    assert (rec["pixels"] == img).all()
