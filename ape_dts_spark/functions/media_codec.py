@@ -419,26 +419,152 @@ def decode_wav(df: DataFrame, payload_col: str = "payload", id_col: str = "id") 
 # ---------------------------------------------------------------------------
 
 
-def encode_bmp(pixels: np.ndarray) -> bytes:
-    """24-bit uncompressed BMP writer: BITMAPFILEHEADER + BITMAPINFOHEADER +
-    bottom-up BGR rows padded to 4 bytes. ``pixels`` is (h, w, 3) RGB uint8."""
-    if pixels.ndim != 3 or pixels.shape[2] != 3:
-        raise ValueError("pixels must be (h,w,3) RGB uint8")
+def _rle8_encode(row: np.ndarray) -> bytes:
+    """One row of 8-bit indices -> BI_RLE8 runs (encoded mode only) + EOL."""
+    out = bytearray()
+    i = 0
+    n = row.shape[0]
+    while i < n:
+        v = int(row[i])
+        run = 1
+        while i + run < n and row[i + run] == v and run < 255:
+            run += 1
+        out += bytes([run, v])
+        i += run
+    out += b"\x00\x00"  # end of line
+    return bytes(out)
+
+
+def encode_bmp(
+    pixels: np.ndarray,
+    palette: np.ndarray | None = None,
+    rle: bool = False,
+    alpha: bool = False,
+) -> bytes:
+    """BMP writer: 24-bit BGR (default, (h, w, 3) RGB uint8), 32-bit BGRA
+    (``alpha=True``, (h, w, 4) RGBA), or 8-bit palettized ((h, w) indices +
+    ``palette`` (n, 3)), optionally BI_RLE8-compressed. Bottom-up rows
+    padded to 4 bytes; BITMAPFILEHEADER + BITMAPINFOHEADER."""
+    pixels = np.asarray(pixels)
     h, w = pixels.shape[:2]
-    row_len = (w * 3 + 3) & ~3
-    pad = b"\0" * (row_len - w * 3)
-    body = bytearray()
-    for y in range(h - 1, -1, -1):  # bottom-up
-        body += pixels[y, :, ::-1].astype(np.uint8).tobytes() + pad  # RGB -> BGR
-    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
-    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(body), 0, 0, 14 + 40)
-    return header + info + bytes(body)
+    pal_bytes = b""
+    if palette is not None:
+        if pixels.ndim != 2:
+            raise ValueError("palette BMP needs (h,w) index pixels")
+        pal = np.asarray(palette, dtype=np.uint8)
+        if int(pixels.max(initial=0)) >= pal.shape[0]:
+            raise ValueError("palette index out of range")
+        bgrx = np.zeros((pal.shape[0], 4), dtype=np.uint8)
+        bgrx[:, :3] = pal[:, ::-1]  # RGB -> BGR0
+        pal_bytes = bgrx.tobytes()
+        bpp, comp = 8, (1 if rle else 0)
+        body = bytearray()
+        if rle:
+            for y in range(h - 1, -1, -1):
+                body += _rle8_encode(pixels[y].astype(np.uint8))
+            body = body[:-2] + b"\x00\x01"  # last EOL -> end of bitmap
+        else:
+            row_len = (w + 3) & ~3
+            pad = b"\0" * (row_len - w)
+            for y in range(h - 1, -1, -1):
+                body += pixels[y].astype(np.uint8).tobytes() + pad
+        n_colors = pal.shape[0]
+    elif alpha:
+        if pixels.ndim != 3 or pixels.shape[2] != 4:
+            raise ValueError("alpha BMP needs (h,w,4) RGBA uint8")
+        bpp, comp, n_colors = 32, 0, 0
+        body = bytearray()
+        for y in range(h - 1, -1, -1):
+            bgra = pixels[y][:, [2, 1, 0, 3]].astype(np.uint8)
+            body += bgra.tobytes()  # 32-bit rows are naturally aligned
+    else:
+        if pixels.ndim != 3 or pixels.shape[2] != 3:
+            raise ValueError("pixels must be (h,w,3) RGB uint8")
+        bpp, comp, n_colors = 24, 0, 0
+        row_len = (w * 3 + 3) & ~3
+        pad = b"\0" * (row_len - w * 3)
+        body = bytearray()
+        for y in range(h - 1, -1, -1):  # bottom-up
+            body += pixels[y, :, ::-1].astype(np.uint8).tobytes() + pad  # RGB -> BGR
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, bpp, comp, len(body), 2835, 2835, n_colors, 0
+    )
+    data_off = 14 + 40 + len(pal_bytes)
+    header = struct.pack("<2sIHHI", b"BM", data_off + len(body), 0, 0, data_off)
+    return header + info + pal_bytes + bytes(body)
+
+
+def _bmp_rle_decode(data: bytes, w: int, h: int, four_bit: bool) -> np.ndarray:
+    """BI_RLE8 / BI_RLE4 decode -> (h, w) index grid in BOTTOM-UP row
+    order (caller flips). Handles encoded runs, absolute mode with word
+    padding, end-of-line/bitmap, and delta escapes."""
+    out = np.zeros((h, w), dtype=np.uint8)
+    x = y = 0  # y counts bottom-up rows as stored
+    i = 0
+    n = len(data)
+    while i + 1 < n:
+        cnt, val = data[i], data[i + 1]
+        i += 2
+        if cnt > 0:  # encoded mode
+            if four_bit:
+                pair = [(val >> 4) & 0xF, val & 0xF]
+                for k in range(cnt):
+                    if x < w and y < h:
+                        out[y, x] = pair[k % 2]
+                    x += 1
+            else:
+                end = min(x + cnt, w)
+                if y < h:
+                    out[y, x:end] = val
+                x += cnt
+        elif val == 0:  # end of line
+            x, y = 0, y + 1
+        elif val == 1:  # end of bitmap
+            return out
+        elif val == 2:  # delta
+            if i + 2 > n:
+                raise ValueError("BMP RLE delta truncated")
+            x += data[i]
+            y += data[i + 1]
+            i += 2
+        else:  # absolute mode: val literal indices, padded to a word
+            if four_bit:
+                nbytes = (val + 1) // 2
+                for k in range(val):
+                    b = data[i + (k >> 1)]
+                    v = (b >> 4) & 0xF if k % 2 == 0 else b & 0xF
+                    if x < w and y < h:
+                        out[y, x] = v
+                    x += 1
+                i += nbytes + (nbytes & 1)
+            else:
+                for k in range(val):
+                    if x < w and y < h:
+                        out[y, x] = data[i + k]
+                    x += 1
+                i += val + (val & 1)
+    return out
+
+
+def _mask_extract(vals: np.ndarray, mask: int) -> np.ndarray:
+    """Extract a bitfield channel and scale it to 8 bits."""
+    if mask == 0:
+        return np.full(vals.shape, 255, dtype=np.int64)
+    shift = (mask & -mask).bit_length() - 1
+    width_max = mask >> shift
+    chan = (vals >> shift) & width_max
+    if width_max == 255:
+        return chan
+    return chan * 255 // width_max
 
 
 def parse_bmp(payload: bytes, return_pixels: bool = False) -> dict:
-    """Full BMP decode (BI_RGB 24-bit, bottom-up or top-down): header
-    validation, padded-row walk, BGR->RGB, exact integer pixel statistics —
-    the same comparable surface as parse_png."""
+    """Full BMP decode: BI_RGB 24-bit / 32-bit, 32-bit BI_BITFIELDS with
+    header-declared channel masks (scaled to 8 bits), palettized 1/4/8-bit
+    with the BGRX color table expanded to RGB, and BI_RLE8 / BI_RLE4
+    compression (encoded + absolute + delta escapes). Bottom-up or
+    top-down; exact integer sample statistics — the same comparable
+    surface as parse_png."""
     if payload[:2] != b"BM":
         raise ValueError("not a BMP: bad magic")
     _, file_size, _, _, data_off = struct.unpack_from("<2sIHHI", payload, 0)
@@ -447,23 +573,74 @@ def parse_bmp(payload: bytes, return_pixels: bool = False) -> dict:
     hdr_size, w, h, planes, bpp, compression = struct.unpack_from("<IiiHHI", payload, 14)
     if hdr_size < 40 or planes != 1:
         raise ValueError("unsupported BMP header")
-    if bpp != 24 or compression != 0:
-        raise NotImplementedError(f"supported: 24-bit BI_RGB (got bpp={bpp} comp={compression})")
+    (colors_used,) = struct.unpack_from("<I", payload, 46)
     top_down = h < 0
     h = abs(h)
-    row_len = (w * 3 + 3) & ~3
-    rows = []
-    for i in range(h):
-        y = i if top_down else h - 1 - i
-        off = data_off + y * row_len
-        row = np.frombuffer(payload, dtype=np.uint8, count=w * 3, offset=off).reshape(w, 3)
-        rows.append(row[:, ::-1])  # BGR -> RGB
-    px = np.stack(rows).astype(np.int64)
+    alpha = False
+    if bpp in (1, 4, 8):
+        if compression not in (0, 1, 2):
+            raise NotImplementedError(f"palette BMP compression {compression}")
+        n_colors = colors_used or (1 << bpp)
+        pal_off = 14 + hdr_size
+        if pal_off + n_colors * 4 > len(payload):
+            raise ValueError("BMP color table truncated")
+        table = np.frombuffer(
+            payload, dtype=np.uint8, count=n_colors * 4, offset=pal_off
+        ).reshape(n_colors, 4)[:, 2::-1]  # BGRX -> RGB
+        if compression:  # BI_RLE8 (8bpp) / BI_RLE4 (4bpp), always bottom-up
+            if (compression == 1) != (bpp == 8):
+                raise ValueError("BMP RLE mode does not match bit depth")
+            idx = _bmp_rle_decode(payload[data_off:], w, h, compression == 2)[::-1]
+        else:
+            row_len = (w * bpp + 31) // 32 * 4
+            idx = np.zeros((h, w), dtype=np.uint8)
+            for i in range(h):
+                y = i if top_down else h - 1 - i
+                rb = np.frombuffer(payload, dtype=np.uint8, count=row_len, offset=data_off + y * row_len)
+                idx[i] = _unpack_row(rb, bpp, w).astype(np.uint8)
+        if int(idx.max(initial=0)) >= n_colors:
+            raise ValueError("BMP palette index beyond color table")
+        px = table.astype(np.int64)[idx]
+        color_type = 3
+    elif bpp == 24 and compression == 0:
+        row_len = (w * 3 + 3) & ~3
+        rows = []
+        for i in range(h):
+            y = i if top_down else h - 1 - i
+            off = data_off + y * row_len
+            row = np.frombuffer(payload, dtype=np.uint8, count=w * 3, offset=off).reshape(w, 3)
+            rows.append(row[:, ::-1])  # BGR -> RGB
+        px = np.stack(rows).astype(np.int64)
+        color_type = 2
+    elif bpp == 32 and compression in (0, 3):
+        if compression == 3:
+            # masks follow the 40-byte info header (also the V4/V5 layout)
+            rm, gm, bm = struct.unpack_from("<III", payload, 54)
+            am = struct.unpack_from("<I", payload, 66)[0] if hdr_size >= 56 else 0
+        else:
+            rm, gm, bm, am = 0x00FF0000, 0x0000FF00, 0x000000FF, 0xFF000000
+        rows = []
+        for i in range(h):
+            y = i if top_down else h - 1 - i
+            vals = np.frombuffer(
+                payload, dtype="<u4", count=w, offset=data_off + y * w * 4
+            ).astype(np.int64)
+            chans = [_mask_extract(vals, m) for m in (rm, gm, bm)]
+            if am:
+                chans.append(_mask_extract(vals, am))
+            rows.append(np.stack(chans, axis=1))
+        px = np.stack(rows).astype(np.int64)
+        alpha = bool(am)
+        color_type = 6 if alpha else 2
+    else:
+        raise NotImplementedError(
+            f"unsupported BMP variant (bpp={bpp} comp={compression})"
+        )
     rec = {
         "width": w,
         "height": h,
         "bit_depth": 8,
-        "color_type": 2,
+        "color_type": color_type,
         "n_px": int(px.size),
         "px_sum": int(px.sum()),
         "px_min": int(px.min()),

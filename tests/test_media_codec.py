@@ -293,8 +293,11 @@ def test_bmp_rejects():
         mc.parse_bmp(b"XX" + b"\0" * 60)
     px = np.zeros((1, 1, 3), dtype=np.uint8)
     b = bytearray(mc.encode_bmp(px))
-    b[28] = 8  # bpp=8 palette image
+    b[28] = 16  # bpp=16 stays honestly unsupported
     with pytest.raises(NotImplementedError):
+        mc.parse_bmp(bytes(b))
+    b[28] = 8  # claims palette but carries no color table -> clean reject
+    with pytest.raises(ValueError, match="color table"):
         mc.parse_bmp(bytes(b))
 
 
@@ -676,3 +679,49 @@ def test_jpeg_sos_frame_component_mismatch_rejected():
     jp[i + 5] = 9  # first scan component id (was 1)
     with pytest.raises(ValueError, match="SOS component set"):
         mc.decode_jpeg(bytes(jp))
+
+
+def test_bmp_palette_rle_and_bitfields():
+    """r12 BMP matrix: 8-bit palettized (raw + BI_RLE8 with encoded runs and
+    end-of-line/bitmap escapes), 32-bit BGRA, and a REAL 32-bit
+    BI_BITFIELDS file (CPython's python.bmp) decoded through the
+    header-declared channel masks."""
+    import os
+
+    rng = np.random.RandomState(12)
+    pal = rng.randint(0, 256, (16, 3)).astype(np.uint8)
+    idx = rng.randint(0, 16, (11, 13)).astype(np.uint8)
+    for rle in (False, True):
+        rec = mc.parse_bmp(mc.encode_bmp(idx, palette=pal, rle=rle), return_pixels=True)
+        assert (rec["pixels"] == pal[idx]).all(), rle
+        assert rec["color_type"] == 3 and rec["n_px"] == 11 * 13 * 3
+    img4 = rng.randint(0, 256, (6, 5, 4)).astype(np.uint8)
+    rec = mc.parse_bmp(mc.encode_bmp(img4, alpha=True), return_pixels=True)
+    assert (rec["pixels"] == img4).all() and rec["color_type"] == 6
+    real = open(os.path.join(_FIXTURES, "python.bmp"), "rb").read()
+    rec = mc.parse_bmp(real)
+    assert (rec["width"], rec["height"], rec["color_type"]) == (16, 16, 6)
+    assert rec["n_px"] == 16 * 16 * 4
+
+
+def test_bmp_rle_absolute_and_delta_hand():
+    """Hand-assembled RLE8 stream: encoded run, absolute mode (word-padded),
+    delta escape, end-of-line, end-of-bitmap."""
+    # 4x3 image, palette = identity grayscale
+    pal = np.stack([np.arange(256)] * 3, axis=1).astype(np.uint8)
+    # bottom-up rows: row0(y=2 visual): [5,5,1,2]; row1: skip via delta to
+    # x=1 then run; row2: absolute 3 literals
+    rle = bytes(
+        [2, 5, 1, 1, 1, 2, 0, 0]      # run 2x5, 1x1, 1x2, EOL
+        + [0, 2, 1, 0, 3, 9, 0, 0]    # delta +1,+0 then run 3x9, EOL
+        + [0, 3, 7, 8, 6, 0, 0, 1]    # absolute [7,8,6] + pad, EOB
+    )
+    bgrx = np.zeros((256, 4), np.uint8)
+    bgrx[:, :3] = pal[:, ::-1]
+    info = struct.pack("<IiiHHIIiiII", 40, 4, 3, 1, 8, 1, len(rle), 0, 0, 256, 0)
+    off = 14 + 40 + 1024
+    hdr = struct.pack("<2sIHHI", b"BM", off + len(rle), 0, 0, off)
+    rec = mc.parse_bmp(hdr + info + bgrx.tobytes() + rle, return_pixels=True)
+    got = rec["pixels"][:, :, 0]  # grayscale palette: all channels equal
+    # stored bottom-up: y0=[5,5,1,2], y1=[0,9,9,9], y2=[7,8,6,0] -> flipped
+    assert got.tolist() == [[7, 8, 6, 0], [0, 9, 9, 9], [5, 5, 1, 2]]
