@@ -347,20 +347,189 @@ def decode_png(df: DataFrame, payload_col: str = "payload", id_col: str = "id") 
 # ---------------------------------------------------------------------------
 
 
-def encode_wav(samples: np.ndarray, sample_rate: int, n_channels: int = 1) -> bytes:
-    """PCM16 little-endian WAV writer. ``samples`` is int16, frame-major
-    (interleaved when n_channels > 1)."""
-    data = samples.astype("<i2").tobytes()
-    byte_rate = sample_rate * n_channels * 2
-    fmt = struct.pack("<HHIIHH", 1, n_channels, sample_rate, byte_rate, n_channels * 2, 16)
+def encode_wav(
+    samples: np.ndarray, sample_rate: int, n_channels: int = 1, bits: int = 16
+) -> bytes:
+    """PCM little-endian WAV writer at 8 (unsigned), 16, 24, or 32 bits.
+    ``samples`` is signed frame-major (interleaved when n_channels > 1);
+    8-bit input is signed -128..127 and stored re-centered at 128."""
+    s = np.asarray(samples, dtype=np.int64)
+    if bits == 16:
+        data = s.astype("<i2").tobytes()
+    elif bits == 8:
+        data = (s + 128).astype(np.uint8).tobytes()
+    elif bits == 32:
+        data = s.astype("<i4").tobytes()
+    elif bits == 24:
+        u = np.where(s < 0, s + (1 << 24), s).astype(np.int64)
+        b3 = np.stack([u & 0xFF, (u >> 8) & 0xFF, (u >> 16) & 0xFF], axis=1)
+        data = b3.astype(np.uint8).tobytes()
+    else:
+        raise ValueError(f"unsupported PCM bit width {bits}")
+    width = bits // 8
+    byte_rate = sample_rate * n_channels * width
+    fmt = struct.pack(
+        "<HHIIHH", 1, n_channels, sample_rate, byte_rate, n_channels * width, bits
+    )
     body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt + b"data" + struct.pack("<I", len(data)) + data
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+def encode_wav_ima(
+    samples: np.ndarray, sample_rate: int, n_channels: int = 1,
+    samples_per_block: int = 505,
+) -> tuple[bytes, np.ndarray]:
+    """IMA-ADPCM (WAVE format 0x11) writer. ``samples`` is int16
+    frame-major. Returns (wav_bytes, reconstructed) where ``reconstructed``
+    is the decoder-exact signal the nibble stream represents (ADPCM is
+    lossy; the encoder tracks the decoded predictor, so parse_wav on the
+    output must reproduce ``reconstructed`` bit-for-bit)."""
+    s = np.asarray(samples, dtype=np.int64).reshape(-1, n_channels)
+    if (samples_per_block - 1) % 8:
+        raise ValueError("samples_per_block must be 1 + multiple of 8")
+    groups_per_chan = (samples_per_block - 1) // 8
+    block_align = 4 * n_channels + 4 * n_channels * groups_per_chan
+    # pad the tail block by repeating the final frame
+    n = s.shape[0]
+    n_blocks = -(-max(n, 1) // samples_per_block)
+    pad = n_blocks * samples_per_block - n
+    if pad:
+        s = np.vstack([s, np.repeat(s[-1:], pad, axis=0)])
+    data = bytearray()
+    recon = np.zeros_like(s)
+    for b in range(n_blocks):
+        blk = s[b * samples_per_block : (b + 1) * samples_per_block]
+        chan_state = []
+        for c in range(n_channels):
+            pred = int(blk[0, c])
+            index = 0
+            data += struct.pack("<hBB", pred, index, 0)
+            recon[b * samples_per_block, c] = pred
+            chan_state.append([pred, index])
+        # encode 8-sample groups per channel, round-robin 4-byte groups
+        nibbles: list[list[int]] = [[] for _ in range(n_channels)]
+        for c in range(n_channels):
+            pred, index = chan_state[c]
+            for i in range(1, samples_per_block):
+                step = _IMA_STEPS[index]
+                delta = int(blk[i, c]) - pred
+                nib = 0
+                if delta < 0:
+                    nib = 8
+                    delta = -delta
+                if delta >= step:
+                    nib |= 4
+                    delta -= step
+                if delta >= step >> 1:
+                    nib |= 2
+                    delta -= step >> 1
+                if delta >= step >> 2:
+                    nib |= 1
+                # decoder-exact reconstruction update
+                diff = step >> 3
+                if nib & 1:
+                    diff += step >> 2
+                if nib & 2:
+                    diff += step >> 1
+                if nib & 4:
+                    diff += step
+                pred = pred - diff if nib & 8 else pred + diff
+                pred = max(-32768, min(32767, pred))
+                index = max(0, min(88, index + _IMA_INDEX_ADJ[nib & 7]))
+                nibbles[c].append(nib)
+                recon[b * samples_per_block + i, c] = pred
+        for g in range(groups_per_chan):
+            for c in range(n_channels):
+                for k in range(4):
+                    lo = nibbles[c][g * 8 + 2 * k]
+                    hi = nibbles[c][g * 8 + 2 * k + 1]
+                    data.append(lo | (hi << 4))
+    byte_rate = sample_rate * block_align // samples_per_block
+    fmt = struct.pack(
+        "<HHIIHHHH", 0x11, n_channels, sample_rate, byte_rate, block_align, 4,
+        2, samples_per_block,  # cbSize + wSamplesPerBlock extension
+    )
+    body = (
+        b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + bytes(data)
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body, recon[: n_blocks * samples_per_block]
+
+
+# IMA-ADPCM tables (IMA ADPCM spec / Microsoft WAVE format 0x11)
+_IMA_INDEX_ADJ = [-1, -1, -1, -1, 2, 4, 6, 8]
+_IMA_STEPS = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894, 6484,
+    7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289, 16818,
+    18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+
+
+def _ima_decode_channel(pred: int, index: int, nibbles: list[int]) -> list[int]:
+    """Decode one channel's nibble stream: standard IMA step update with
+    the divide-free magnitude expansion and int16 clamping."""
+    out = []
+    for nib in nibbles:
+        step = _IMA_STEPS[index]
+        diff = step >> 3
+        if nib & 1:
+            diff += step >> 2
+        if nib & 2:
+            diff += step >> 1
+        if nib & 4:
+            diff += step
+        pred = pred - diff if nib & 8 else pred + diff
+        pred = max(-32768, min(32767, pred))
+        index = max(0, min(88, index + _IMA_INDEX_ADJ[nib & 7]))
+        out.append(pred)
+    return out
+
+
+def _ima_adpcm_decode(data: bytes, n_channels: int, block_align: int) -> np.ndarray:
+    """IMA-ADPCM 'data' chunk -> interleaved int16 samples. Each block:
+    per-channel 4-byte header (predictor int16 + step index), then 4-byte
+    per-channel nibble groups (8 samples per group per channel)."""
+    samples_per_block = (block_align - 4 * n_channels) * 2 // n_channels + 1
+    out: list[list[int]] = []
+    for boff in range(0, len(data) - block_align + 1, block_align):
+        block = data[boff : boff + block_align]
+        chans = []
+        for c in range(n_channels):
+            pred, index = struct.unpack_from("<hB", block, c * 4)
+            if index > 88:
+                raise ValueError("IMA-ADPCM step index out of range")
+            chans.append([[pred], pred, index])  # samples, pred, index
+        pos = 4 * n_channels
+        # nibble region: alternating 4-byte groups per channel
+        groups = [[] for _ in range(n_channels)]
+        gi = 0
+        while pos + 4 <= len(block):
+            groups[gi % n_channels].extend(block[pos : pos + 4])
+            pos += 4
+            gi += 1
+        for c in range(n_channels):
+            nibs = []
+            for byte in groups[c]:
+                nibs.append(byte & 0xF)
+                nibs.append(byte >> 4)
+            nibs = nibs[: samples_per_block - 1]
+            chans[c][0].extend(_ima_decode_channel(chans[c][1], chans[c][2], nibs))
+        # interleave channels
+        for i in range(samples_per_block):
+            out.append([chans[c][0][i] for c in range(n_channels)])
+    return np.array(out, dtype=np.int64).reshape(-1)
+
+
 def parse_wav(payload: bytes) -> dict:
-    """RIFF/WAVE parse + PCM16 sample decode: chunk walk (fmt before data,
-    unknown chunks skipped per spec), then numpy-decoded samples with exact
-    integer statistics (count / peak magnitude / sum of |s|)."""
+    """RIFF/WAVE parse + sample decode: chunk walk (fmt before data, unknown
+    chunks skipped per spec), then numpy-decoded samples with exact integer
+    statistics (count / peak magnitude / sum of |s|). Formats: PCM at
+    8 (unsigned, re-centered), 16, 24 (3-byte LE), and 32 bits, plus
+    IMA-ADPCM (format 0x11, block headers + nibble expansion)."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE file")
     (riff_len,) = struct.unpack_from("<I", payload, 4)
@@ -379,11 +548,34 @@ def parse_wav(payload: bytes) -> dict:
     if fmt is None or data is None:
         raise ValueError("missing fmt or data chunk")
     audio_format, n_channels, sample_rate, byte_rate, block_align, bits = fmt
-    if audio_format != 1 or bits != 16:
-        raise NotImplementedError(f"supported: PCM16 (got format={audio_format} bits={bits})")
-    if byte_rate != sample_rate * n_channels * 2 or block_align != n_channels * 2:
-        raise ValueError("inconsistent fmt chunk")
-    s = np.frombuffer(data, dtype="<i2").astype(np.int64)
+    if audio_format == 1 and bits in (8, 16, 24, 32):
+        width = bits // 8
+        if byte_rate != sample_rate * n_channels * width or block_align != n_channels * width:
+            raise ValueError("inconsistent fmt chunk")
+        usable = len(data) - len(data) % width
+        if bits == 8:  # unsigned, center 128
+            s = np.frombuffer(data, dtype=np.uint8).astype(np.int64) - 128
+        elif bits == 16:
+            s = np.frombuffer(data, dtype="<i2").astype(np.int64)
+        elif bits == 32:
+            s = np.frombuffer(data, dtype="<i4").astype(np.int64)
+        else:  # 24-bit: widen 3-byte LE to 4 with sign extension
+            b3 = np.frombuffer(data, dtype=np.uint8, count=usable).reshape(-1, 3)
+            s = (
+                b3[:, 0].astype(np.int64)
+                | (b3[:, 1].astype(np.int64) << 8)
+                | (b3[:, 2].astype(np.int64) << 16)
+            )
+            s = np.where(s >= 1 << 23, s - (1 << 24), s)
+    elif audio_format == 0x11:  # IMA ADPCM
+        if bits != 4:
+            raise ValueError(f"IMA-ADPCM requires 4 bits/sample, got {bits}")
+        s = _ima_adpcm_decode(data, n_channels, block_align)
+        bits = 4
+    else:
+        raise NotImplementedError(
+            f"supported: PCM 8/16/24/32 + IMA-ADPCM (got format={audio_format} bits={bits})"
+        )
     return {
         "sample_rate": sample_rate,
         "n_channels": n_channels,

@@ -725,3 +725,49 @@ def test_bmp_rle_absolute_and_delta_hand():
     got = rec["pixels"][:, :, 0]  # grayscale palette: all channels equal
     # stored bottom-up: y0=[5,5,1,2], y1=[0,9,9,9], y2=[7,8,6,0] -> flipped
     assert got.tolist() == [[7, 8, 6, 0], [0, 9, 9, 9], [5, 5, 1, 2]]
+
+
+def test_wav_pcm_widths_and_real_files():
+    """r12: PCM 8 (unsigned recentered) / 24 (3-byte LE sign-extended) / 32;
+    real CPython audio files cross-checked against the stdlib wave module's
+    frame/channel/rate/width params."""
+    import os
+    import wave
+
+    rng = np.random.RandomState(5)
+    for bits, lim in ((8, 128), (16, 32768), (24, 1 << 23), (32, 1 << 31)):
+        s = rng.randint(-lim, lim, 64 * 2).astype(np.int64)
+        rec = mc.parse_wav(mc.encode_wav(s, 8000, 2, bits=bits))
+        assert rec["sum_abs"] == int(np.abs(s).sum()), bits
+        assert rec["bits_per_sample"] == bits and rec["n_samples"] == 64
+    for name in ("pluck-pcm8.wav", "pluck-pcm24.wav"):
+        p = os.path.join(_FIXTURES, name)
+        w = wave.open(p)
+        params = (w.getnframes(), w.getnchannels(), w.getframerate(), w.getsampwidth() * 8)
+        w.close()
+        rec = mc.parse_wav(open(p, "rb").read())
+        assert (rec["n_samples"], rec["n_channels"], rec["sample_rate"],
+                rec["bits_per_sample"]) == params, name
+
+
+def test_wav_ima_adpcm_decoder_exact():
+    """IMA-ADPCM is lossy, but the nibble stream defines ONE reconstruction:
+    parse_wav must reproduce the encoder's tracked predictor bit-for-bit,
+    and that reconstruction must track the source within ADPCM noise."""
+    t = np.arange(1500)
+    sig = (8000 * np.sin(t / 20) + 3000 * np.sin(t / 7)).astype(np.int64)
+    for ch in (1, 2):
+        x = sig if ch == 1 else np.stack([sig, -sig], axis=1).reshape(-1)
+        wav, recon = mc.encode_wav_ima(x, 8000, ch)
+        rec = mc.parse_wav(wav)
+        assert rec["bits_per_sample"] == 4 and rec["n_channels"] == ch
+        assert rec["sum_abs"] == int(np.abs(recon).sum()), ch
+        err = np.abs(recon.reshape(-1)[: x.size] - x).mean()
+        assert err < 200, err  # tracks the source, not garbage
+    # corrupt step index rejects
+    wav2, _ = mc.encode_wav_ima(sig, 8000, 1)
+    b = bytearray(wav2)
+    data_at = bytes(b).find(b"data") + 8
+    b[data_at + 2] = 99  # step index > 88
+    with pytest.raises(ValueError, match="step index"):
+        mc.parse_wav(bytes(b))
