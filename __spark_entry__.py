@@ -3873,23 +3873,26 @@ def q_jpeg_progressive_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL audio decode, no codec library: a PCM16 WAV writer (RIFF/WAVE,
-    fmt + data chunks, mono/stereo interleaving by key) generates one clip
-    per selected order row in a distributed mapInPandas pass; the parser
-    walks RIFF chunks (skipping unknown ones with word alignment), validates
-    the fmt contract, numpy-decodes the samples and emits exact integer
-    sample statistics. The oracle restates the sample formula — matching
-    sum_abs/peak_abs proves every sample decoded to the right value."""
+    """REAL audio decode, no codec library, across the FULL PCM width
+    matrix (r12): a WAV writer (RIFF/WAVE, fmt + data chunks, mono/stereo
+    interleaving by key) generates one clip per order row at 16 / 8
+    (unsigned, recentered) / 24 (3-byte LE, sign-extended) / 32 bits
+    cycling by key, amplitude range scaled to each width; the parser walks
+    RIFF chunks (skipping unknown ones with word alignment), validates the
+    fmt contract, numpy-decodes the samples and emits exact integer sample
+    statistics. The oracle restates the per-width sample formula — matching
+    sum_abs/peak_abs proves every sample of every width decoded to the
+    right value. (IMA-ADPCM decode is pytest-gated: its step-table
+    recursion is not SQL-stateable.)"""
     from ape_dts_spark.functions import media_codec as mc
 
-    o = demo.load(spark, sf_dir, "orders").select("o_orderkey").filter(
-        F.col("o_orderkey") % 4 == 1
-    )
+    o = demo.load(spark, sf_dir, "orders").select("o_orderkey")
 
     def _gen(batches):
         import numpy as np
         import pandas as pd
 
+        bits_m = {1: (16, 4001), 2: (8, 256), 3: (24, 16000001), 0: (32, 4000000001)}
         for pdf in batches:
             ids, payloads = [], []
             for k in pdf["o_orderkey"]:
@@ -3897,9 +3900,10 @@ def q_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 frames = k % 37 + 10
                 chans = 1 + k % 2
                 rate = (8000, 16000, 44100)[k % 3]
-                s = ((k * 7 + 13 * np.arange(frames * chans)) % 4001) - 2000
+                bits, m = bits_m[k % 4]
+                s = ((k * 7 + 13 * np.arange(frames * chans)) % m) - m // 2
                 ids.append(k)
-                payloads.append(mc.encode_wav(s.astype(np.int16), rate, chans))
+                payloads.append(mc.encode_wav(s, rate, chans, bits=bits))
             yield pd.DataFrame({"id": ids, "payload": payloads})
 
     payloads = _spread(o, spark).mapInPandas(_gen, "id long, payload binary")
@@ -6308,17 +6312,22 @@ def oracle_sql() -> dict[str, str]:
               SELECT o_orderkey AS id,
                      o_orderkey % 37 + 10 AS frames,
                      1 + o_orderkey % 2 AS ch,
-                     CASE o_orderkey % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100 END AS rate
-              FROM orders WHERE o_orderkey % 4 = 1),
+                     CASE o_orderkey % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100 END AS rate,
+                     CASE o_orderkey % 4 WHEN 1 THEN 16 WHEN 2 THEN 8
+                                         WHEN 3 THEN 24 ELSE 32 END AS bits,
+                     CASE o_orderkey % 4 WHEN 1 THEN 4001 WHEN 2 THEN 256
+                                         WHEN 3 THEN 16000001 ELSE 4000000001 END AS m
+              FROM orders),
             vals AS (
-              SELECT id, frames, ch, rate, ABS((id * 7 + 13 * i) % 4001 - 2000) AS av
+              SELECT id, frames, ch, rate, bits,
+                     ABS((id * 7 + 13 * i) % m - m // 2) AS av
               FROM base, LATERAL unnest(range(0, frames * ch)) AS u(i))
             SELECT id, CAST(rate AS INT) AS sample_rate, CAST(ch AS INT) AS n_channels,
-                   CAST(16 AS INT) AS bits_per_sample,
+                   CAST(bits AS INT) AS bits_per_sample,
                    CAST(frames AS BIGINT) AS n_samples,
                    CAST(MAX(av) AS BIGINT) AS peak_abs,
                    CAST(SUM(av) AS BIGINT) AS sum_abs
-            FROM vals GROUP BY id, frames, ch, rate
+            FROM vals GROUP BY id, frames, ch, rate, bits
         """,
         "gopher_repetition": tx.gopher_repetition_sql(),
         "perceptron_train": tx.perceptron_train_sql("documents", "lang = 'en'"),
