@@ -1037,6 +1037,7 @@ def parse_gif(payload: bytes, return_frames: bool = False) -> dict:
         gct = np.frombuffer(payload, dtype=np.uint8, count=n * 3, offset=pos).reshape(n, 3)
         pos += n * 3
     frames = []
+    frames_rgb = []
     idx_sum = 0
     rgb_sum = 0
     n_px = 0
@@ -1099,6 +1100,8 @@ def parse_gif(payload: bytes, return_frames: bool = False) -> dict:
             rgb_min = min(rgb_min, int(rgb.min()))
             rgb_max = max(rgb_max, int(rgb.max()))
             frames.append(idx)
+            if return_frames:
+                frames_rgb.append(rgb)
         else:
             raise ValueError(f"gif: unknown block introducer {b0:#04x}")
     if not frames:
@@ -1115,6 +1118,7 @@ def parse_gif(payload: bytes, return_frames: bool = False) -> dict:
     }
     if return_frames:
         rec["frames"] = frames
+        rec["frames_rgb"] = frames_rgb  # color-table-expanded (h, w, 3) int64
     return rec
 
 

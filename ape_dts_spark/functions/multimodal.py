@@ -174,12 +174,19 @@ def extract_features(
             for b in pdf[payload_col]:
                 b = bytes(b)
                 px = None
+                smax = 255
                 if _sniff_image(b):
                     try:
                         if b[:8] == mc.PNG_SIGNATURE:
-                            px = mc.parse_png(b, return_pixels=True)["pixels"]
+                            rec = mc.parse_png(b, return_pixels=True)
+                            px = rec["pixels"]
+                            if rec["color_type"] != 3:  # palette expands to 8-bit RGB
+                                smax = (1 << rec["bit_depth"]) - 1
                         elif b[:2] == b"BM":
                             px = mc.parse_bmp(b, return_pixels=True)["pixels"]
+                        elif b[:6] in (b"GIF87a", b"GIF89a"):
+                            # first frame, color-table expanded to RGB
+                            px = mc.parse_gif(b, return_frames=True)["frames_rgb"][0]
                         else:
                             px = mc.decode_jpeg(b)["pixels"]
                     except (NotImplementedError, ValueError):
@@ -188,10 +195,10 @@ def extract_features(
                 if px is not None:
                     px = px.astype(np.int64)
                     if px.ndim == 3:
+                        scale = px.shape[2] * smax  # all channels, incl. alpha
                         px = px.sum(axis=2)
-                        scale = 3 * 255
                     else:
-                        scale = 255
+                        scale = smax
                     h = px.shape[0]
                     band = np.arange(h) * dim // h
                     sums = np.zeros(dim, dtype=np.int64)
@@ -248,12 +255,18 @@ def resize_payload(
                             px = mc.parse_png(b, return_pixels=True)["pixels"]
                         elif b[:2] == b"BM":
                             px = mc.parse_bmp(b, return_pixels=True)["pixels"]
+                        elif b[:6] in (b"GIF87a", b"GIF89a"):
+                            # first frame, color-table expanded to RGB
+                            px = mc.parse_gif(b, return_frames=True)["frames_rgb"][0]
                         else:
                             px = mc.decode_jpeg(b)["pixels"]
                     except (NotImplementedError, ValueError):
                         if not fake:  # fake=True: fall through to stand-in
                             raise
                 if px is not None:
+                    px = np.asarray(px, dtype=np.int64)
+                    if int(px.max(initial=0)) > 255:  # 16-bit source -> 8-bit
+                        px = px >> 8
                     h, w = px.shape[:2]
                     longest = max(h, w)
                     if longest > target_px:

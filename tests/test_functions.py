@@ -1286,6 +1286,29 @@ def test_multimodal_gif_frame_sampling(spark):
         assert (got[f]["height"], got[f]["width"]) == (4, 6)
 
 
+def test_multimodal_gif_features_and_resize(spark):
+    """r12: GIF payloads get REAL features (first frame, color-table
+    expanded) and a REAL resize to a decodable PNG — no fake flag."""
+    import numpy as np
+
+    from ape_dts_spark.functions import media_codec as mc
+    from ape_dts_spark.functions import multimodal as mm
+
+    pal = np.stack([np.arange(0, 256, 16)] * 3, axis=1).astype(np.uint8)  # gray ramp
+    top = np.zeros((16, 20), np.uint8)        # palette 0 -> rgb 0
+    top[8:] = 15                              # palette 15 -> rgb 240
+    df = spark.createDataFrame(
+        [(1, bytearray(mc.encode_gif(top, pal)))], "id long, payload binary"
+    )
+    f = mm.extract_features(df, dim=2).collect()[0]["features"]
+    assert f[0] == 0.0 and abs(f[1] - 240 / 255) < 1e-12, f
+    r = mm.resize_payload(df, target_px=8).collect()[0]
+    assert r["ok"]
+    out = mc.parse_png(bytes(r["resized"]), return_pixels=True)
+    assert out["width"] == 8  # longest side capped, aspect kept (16x20 -> 6x8)
+    assert out["height"] == 6
+
+
 def test_unigram_learn_hand_trace(spark):
     """Hand-computable unigram-LM EM on 'abab abab ab': seed substring freqs
     a=5 b=5 ab=5 aba=2 abab=2 ba=2 bab=2 (TOT=26, unk cost 6; freq-5 pieces
