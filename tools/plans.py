@@ -121,6 +121,8 @@ AUDITED = [
     "gif_decode",         # Arrow LZW encode pass -> Arrow decode pass, no shuffle
     "gif_frames",         # Arrow decode + in-kernel frame explode, no shuffle
     "media_pipeline",     # one mixed-format Arrow decode pass -> tiny grouped agg
+    "png_full_decode",    # Arrow encode pass -> Arrow full-matrix decode, no shuffle
+    "wav_decode",         # Arrow encode pass -> Arrow PCM-width decode, no shuffle
     # (perceptron_train / bpe_learn / unigram_learn / langid_train run their
     # loops inside the query function and return driver-built weight/vocab
     # tables — nothing to audit in the final plan; their shuffle discipline
