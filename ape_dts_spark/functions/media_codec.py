@@ -249,7 +249,7 @@ def parse_png(payload: bytes, return_pixels: bool = False) -> dict:
     comparable surface of a real decode."""
     if payload[:8] != PNG_SIGNATURE:
         raise ValueError("not a PNG: bad signature")
-    pos, ihdr, idat, seen_end, plte = 8, None, bytearray(), False, None
+    pos, ihdr, idat, seen_end, plte, trns = 8, None, bytearray(), False, None, None
     while pos + 12 <= len(payload):
         (length,) = struct.unpack_from(">I", payload, pos)
         tag = payload[pos + 4 : pos + 8]
@@ -262,6 +262,8 @@ def parse_png(payload: bytes, return_pixels: bool = False) -> dict:
             ihdr = struct.unpack(">IIBBBBB", body)
         elif tag == b"PLTE":
             plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif tag == b"tRNS":
+            trns = np.frombuffer(body, dtype=np.uint8)
         elif tag == b"IDAT":
             idat += body
         elif tag == b"IEND":
@@ -301,6 +303,12 @@ def parse_png(payload: bytes, return_pixels: bool = False) -> dict:
         if int(idx.max(initial=0)) >= plte.shape[0]:
             raise ValueError("palette index beyond PLTE")
         px = plte.astype(np.int64)[idx]  # (h, w, 3) expanded RGB
+        if trns is not None:
+            # tRNS on a palette image: per-index alpha, default 255 for
+            # entries past the chunk -> expand to RGBA like a real decoder
+            alpha = np.full(plte.shape[0], 255, dtype=np.int64)
+            alpha[: trns.shape[0]] = trns[: plte.shape[0]]
+            px = np.concatenate([px, alpha[idx][:, :, None]], axis=2)
     else:
         px = samples
     rec = {

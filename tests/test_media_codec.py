@@ -170,7 +170,7 @@ def test_png_real_files_all_color_types():
     import os
 
     for name, (w, h, ct, ch) in (
-        ("idle_16.png", (16, 16, 3, 3)),        # palette -> RGB expansion
+        ("idle_16.png", (16, 16, 3, 4)),        # palette + tRNS -> RGBA expansion
         ("favicon-32x32.png", (32, 32, 4, 2)),  # gray+alpha
         ("logo-32x32.png", (32, 32, 6, 4)),     # RGBA
     ):
