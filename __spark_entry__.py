@@ -3910,6 +3910,110 @@ def q_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mc.decode_wav(payloads)
 
 
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio feature extraction (multimodal.extract_audio_features):
+    each order row synthesizes a pure integer-quantized cosine at an exact
+    FFT bin j = 1 + id % 120 (frame length 256 divides the tone period
+    evenly, so there is zero spectral leakage by construction), mono/stereo
+    by parity, PCM-16 WAV-encoded — then the framed numpy real-FFT feature
+    kernel must recover: peak_bin == j (frame-averaged magnitude argmax),
+    round(centroid) == j, narrowband == true (bandwidth < 2 bins — the
+    quantization-noise floor stays ~1 bin at amplitude >= 12000), peak_hz
+    == j*rate/256 (exact: rate*j is an integer, /256 is a power-of-two
+    division), and parseval_ok == true (per-frame time-domain energy equals
+    folded one-sided spectral energy to 1e-9 — the transform conserved the
+    signal). The oracle restates every feature closed-form from the key
+    arithmetic: a wrong FFT fold, frame boundary, channel mix, or centroid
+    weighting shifts at least one integer/boolean column. One Arrow map
+    pass, no shuffle (invariants verified exhaustively over the full
+    (j, amplitude, length) parameter space in tests). Parity: reference
+    ships audio as opaque bytes (BASELINE.json names audio features as the
+    extension surface)."""
+    o = demo.load(spark, sf_dir, "orders").select("o_orderkey")
+
+    def _gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from ape_dts_spark.functions import media_codec as mc
+
+        t_max = np.arange(512 + 36 * 64)
+        for pdf in batches:
+            ids, payloads = [], []
+            for k in pdf["o_orderkey"]:
+                k = int(k)
+                j = 1 + k % 120
+                n = 512 + (k % 37) * 64
+                amp = 12000 + (k % 11) * 200
+                ch = 1 + k % 2
+                rate = (8000, 16000, 44100)[k % 3]
+                tone = np.round(
+                    amp * np.cos(2 * np.pi * j * t_max[:n] / 256.0)
+                ).astype(np.int64)
+                ids.append(k)
+                payloads.append(mc.encode_wav(np.repeat(tone, ch), rate, ch, bits=16))
+            yield pd.DataFrame({"id": ids, "payload": payloads})
+
+    payloads = _spread(o, spark).mapInPandas(_gen, "id long, payload binary")
+    feats = mm.extract_audio_features(payloads, n_fft=256)
+    return feats.select(
+        "id",
+        "sample_rate",
+        "n_channels",
+        "n_samples",
+        "n_fft",
+        "n_frames",
+        "peak_bin",
+        "peak_hz",
+        F.round("centroid_bin").cast("int").alias("centroid_round"),
+        "narrowband",
+        "parseval_ok",
+    )
+
+
+def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame sampling (multimodal.sample_video_frames): each
+    customer row synthesizes a 2-5 frame AVI container — RIFF hdrl
+    (avih/strh/strf), movi with raw-DIB '00db' frames (bottom-up BGR,
+    4-byte row padding), spec-shaped idx1 — whose pixel bytes follow
+    (17*id + 31*frame + i) % 256; the parser must walk the RIFF tree,
+    cross-check idx1 against actual chunk offsets, un-pad and re-order
+    every DIB row, and emit one row per sampled frame (every 2nd,
+    frame 0 always) with exact pixel statistics. The oracle regenerates
+    the same bytes arithmetically — a wrong stride, row order, channel
+    swap, or index offset shifts px_sum/min/max. The MJPG ('00dc', full
+    baseline JFIF per frame) container path is pytest-gated
+    (tests/test_media_codec.py) since JPEG quantization has no closed
+    SQL form. One Arrow map pass, no shuffle; frame fan-out explodes
+    inside the kernel. Parity: reference ships video as opaque bytes
+    (BASELINE.json names frame sampling as the extension surface)."""
+    from ape_dts_spark.functions import media_codec as mc
+
+    c = demo.load(spark, sf_dir, "customer").select("c_custkey")
+
+    def _gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for k in pdf["c_custkey"]:
+                k = int(k)
+                h, w, nf = k % 5 + 2, k % 7 + 3, 2 + k % 4
+                frames = [
+                    ((17 * k + 31 * f + np.arange(h * w * 3)) % 256)
+                    .astype(np.uint8)
+                    .reshape(h, w, 3)
+                    for f in range(nf)
+                ]
+                ids.append(k)
+                payloads.append(mc.encode_avi(frames, fps=10, codec="dib"))
+            yield pd.DataFrame({"id": ids, "payload": payloads})
+
+    payloads = _spread(c, spark).mapInPandas(_gen, "id long, payload binary")
+    return mm.sample_video_frames(payloads, every_n=2)
+
+
 def q_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mixed-format REAL image decode (media_codec.parse_image): one binary
     column carries PNG (grayscale, filters cycling by key) and BMP (24-bit
@@ -4391,6 +4495,35 @@ def q_hll_shard_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hdr_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HDR-histogram quantile sketch (sk.hdr_sketch, Tene's HdrHistogram /
+    Prometheus native-histogram bucketing), completing the mergeable-sketch
+    family: distinct=HLL, frequency=CMS, similarity=KMV, quantiles=HDR.
+    lineitem prices (as DECIMAL(18,2) cents — integers) sketch into
+    exponent+5-mantissa-bit buckets via INTEGER-ONLY arithmetic (no log():
+    bin-string length gives floor(log2), shifts give the mantissa — so
+    bucket ids are cross-engine bit-exact, unlike any ln()-based DDSketch
+    binning). Shards are keyed per (returnflag, linenumber), then merged by
+    the groupBy-SUM merge law down to per-returnflag sketches; the p25/p50/
+    p90/p99 readout is a window cumsum over the ~400-bucket relation —
+    ceil(q*n) first-bucket-reached, the percentile_disc convention, with
+    <= 2^-5 relative error by construction (pytest bounds it against exact
+    percentiles). The oracle sketches per-returnflag DIRECTLY, so equality
+    proves the shard-merge law AND the readout in one gate. 100 TB shape:
+    one map-side-combined hash agg over the data; everything after is
+    sketch-sized."""
+    li = demo.load(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_linenumber",
+        F.expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    shards = sk.hdr_sketch(li, "cents", by=["l_returnflag", "l_linenumber"])
+    merged = sk.hdr_merge([shards.drop("l_linenumber")])
+    return sk.hdr_quantiles(merged, [0.25, 0.5, 0.9, 0.99])
+
+
 def q_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bottom-k / KMV distinct sketch STATE (sk.kmv_sketch, Bar-Yossef et
     al. 2002): the 128 smallest distinct 48-bit md5 hashes of customer
@@ -4787,6 +4920,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- deferred for gif_frames: together these lead the r13 rotation --
         "media_pipeline": q_media_pipeline,
         "png_full_decode": q_png_full_decode,
+        "audio_features": q_audio_features,
+        "video_frames": q_video_frames,
+        "hdr_quantiles": q_hdr_quantiles,
         "waiting_suppliers": q_waiting_suppliers,
         # -- last gated r09 --
         "ann_pq": q_ann_pq,
@@ -6328,6 +6464,57 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(av) AS BIGINT) AS peak_abs,
                    CAST(SUM(av) AS BIGINT) AS sum_abs
             FROM vals GROUP BY id, frames, ch, rate, bits
+        """,
+        "hdr_quantiles": sk.hdr_quantiles_sql(
+            sk.hdr_sketch_sql(
+                "(SELECT l_returnflag, CAST(CAST(l_extendedprice AS DECIMAL(18,2))"
+                " * 100 AS BIGINT) AS cents FROM lineitem)",
+                "cents",
+                by=["l_returnflag"],
+            ),
+            [0.25, 0.5, 0.9, 0.99],
+            by=["l_returnflag"],
+        ),
+        "video_frames": """
+            WITH base AS (
+              SELECT c_custkey AS id,
+                     c_custkey % 5 + 2 AS h,
+                     c_custkey % 7 + 3 AS w,
+                     2 + c_custkey % 4 AS nf
+              FROM customer),
+            frames AS (
+              SELECT id, h, w, nf, f
+              FROM base, LATERAL unnest(range(0, nf)) AS uf(f)
+              WHERE f % 2 = 0),
+            px AS (
+              SELECT id, f, nf, h, w, (17 * id + 31 * f + i) % 256 AS v
+              FROM frames, LATERAL unnest(range(0, h * w * 3)) AS ui(i))
+            SELECT id, CAST(f AS INT) AS frame_idx, CAST(nf AS INT) AS n_frames,
+                   'dib' AS codec, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+                   CAST(h * w * 3 AS BIGINT) AS n_px, CAST(SUM(v) AS BIGINT) AS px_sum,
+                   CAST(MIN(v) AS INT) AS px_min, CAST(MAX(v) AS INT) AS px_max
+            FROM px GROUP BY id, f, nf, h, w
+        """,
+        "audio_features": """
+            WITH base AS (
+              SELECT o_orderkey AS id,
+                     1 + o_orderkey % 120 AS j,
+                     512 + (o_orderkey % 37) * 64 AS n,
+                     CASE o_orderkey % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                                         ELSE 44100 END AS rate
+              FROM orders)
+            SELECT id,
+                   CAST(rate AS INT) AS sample_rate,
+                   CAST(1 + id % 2 AS INT) AS n_channels,
+                   CAST(n AS BIGINT) AS n_samples,
+                   CAST(256 AS INT) AS n_fft,
+                   CAST(n // 256 AS BIGINT) AS n_frames,
+                   CAST(j AS INT) AS peak_bin,
+                   CAST(j * rate AS DOUBLE) / 256 AS peak_hz,
+                   CAST(j AS INT) AS centroid_round,
+                   TRUE AS narrowband,
+                   TRUE AS parseval_ok
+            FROM base
         """,
         "gopher_repetition": tx.gopher_repetition_sql(),
         "perceptron_train": tx.perceptron_train_sql("documents", "lang = 'en'"),

@@ -532,12 +532,12 @@ def _ima_adpcm_decode(data: bytes, n_channels: int, block_align: int) -> np.ndar
     return np.array(out, dtype=np.int64).reshape(-1)
 
 
-def parse_wav(payload: bytes) -> dict:
-    """RIFF/WAVE parse + sample decode: chunk walk (fmt before data, unknown
-    chunks skipped per spec), then numpy-decoded samples with exact integer
-    statistics (count / peak magnitude / sum of |s|). Formats: PCM at
-    8 (unsigned, re-centered), 16, 24 (3-byte LE), and 32 bits, plus
-    IMA-ADPCM (format 0x11, block headers + nibble expansion)."""
+def wav_samples(payload: bytes) -> tuple[dict, np.ndarray]:
+    """RIFF/WAVE parse + sample decode, returning (meta, samples): chunk
+    walk (fmt before data, unknown chunks skipped per spec), then
+    numpy-decoded interleaved int64 samples. Formats: PCM at 8 (unsigned,
+    re-centered), 16, 24 (3-byte LE), and 32 bits, plus IMA-ADPCM
+    (format 0x11, block headers + nibble expansion)."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE file")
     (riff_len,) = struct.unpack_from("<I", payload, 4)
@@ -584,14 +584,93 @@ def parse_wav(payload: bytes) -> dict:
         raise NotImplementedError(
             f"supported: PCM 8/16/24/32 + IMA-ADPCM (got format={audio_format} bits={bits})"
         )
-    return {
+    meta = {
         "sample_rate": sample_rate,
         "n_channels": n_channels,
         "bits_per_sample": bits,
-        "n_samples": int(s.size // n_channels),
+    }
+    return meta, s
+
+
+def parse_wav(payload: bytes) -> dict:
+    """WAV parse + decode to exact integer sample statistics (count / peak
+    magnitude / sum of |s|) over :func:`wav_samples`."""
+    meta, s = wav_samples(payload)
+    return {
+        **meta,
+        "n_samples": int(s.size // meta["n_channels"]),
         "peak_abs": int(np.abs(s).max()) if s.size else 0,
         "sum_abs": int(np.abs(s).sum()),
     }
+
+
+def audio_spectrum(payload: bytes, n_fft: int = 256) -> dict:
+    """Framed spectral analysis over a decoded WAV clip — the audio half of
+    the multimodal feature-extract surface (reference treats audio as an
+    opaque payload; this gives it real, queryable features). Channels are
+    integer-summed to a mono mix, framed into non-overlapping rectangular
+    windows of ``n_fft`` samples (partial tail dropped), and each frame runs
+    a numpy real FFT. Emitted features:
+
+    - ``peak_bin`` / ``peak_hz``: argmax of the frame-averaged magnitude
+      spectrum (ties break to the lowest bin) and its frequency.
+    - ``centroid_bin``: spectral centroid in bin units (float).
+    - ``bandwidth_bin``: magnitude-weighted standard deviation around the
+      centroid; ``narrowband`` flags bandwidth < 2 bins (a pure tone).
+    - ``parseval_ok``: per-frame Parseval identity
+      ``sum(x^2) == (|X_0|^2 + 2*sum|X_k|^2 + |X_{N/2}|^2) / N`` holds to
+      1e-9 relative on every frame — an internal proof that the transform
+      actually conserved the signal's energy.
+
+    Clips shorter than one frame return ``n_frames=0`` with zeroed spectral
+    fields (``parseval_ok`` vacuously true, ``narrowband`` false).
+    """
+    if n_fft < 2 or n_fft & (n_fft - 1):
+        raise ValueError(f"n_fft must be a power of two >= 2, got {n_fft}")
+    meta, s = wav_samples(payload)
+    ch = meta["n_channels"]
+    mono = s.reshape(-1, ch).sum(axis=1)
+    n_frames = mono.size // n_fft
+    rec = {
+        **meta,
+        "n_samples": int(mono.size),
+        "n_fft": n_fft,
+        "n_frames": int(n_frames),
+        "peak_bin": 0,
+        "peak_hz": 0.0,
+        "centroid_bin": 0.0,
+        "bandwidth_bin": 0.0,
+        "narrowband": False,
+        "parseval_ok": True,
+    }
+    if n_frames == 0:
+        return rec
+    frames = mono[: n_frames * n_fft].reshape(n_frames, n_fft).astype(np.float64)
+    spec = np.fft.rfft(frames, axis=1)
+    p2 = np.abs(spec) ** 2
+    # Parseval per frame (rectangular window, real FFT one-sided fold)
+    spec_energy = (p2[:, 0] + 2.0 * p2[:, 1:-1].sum(axis=1) + p2[:, -1]) / n_fft
+    time_energy = (frames**2).sum(axis=1)
+    tol = 1e-9 * np.maximum(time_energy, 1.0)
+    parseval_ok = bool(np.all(np.abs(spec_energy - time_energy) <= tol))
+    mag = np.abs(spec).mean(axis=0)
+    k = np.arange(mag.size, dtype=np.float64)
+    total = mag.sum()
+    if total > 0.0:
+        centroid = float((mag * k).sum() / total)
+        bandwidth = float(np.sqrt((mag * (k - centroid) ** 2).sum() / total))
+    else:
+        centroid = bandwidth = 0.0
+    peak_bin = int(np.argmax(mag))
+    rec.update(
+        peak_bin=peak_bin,
+        peak_hz=float(peak_bin * meta["sample_rate"] / n_fft),
+        centroid_bin=centroid,
+        bandwidth_bin=bandwidth,
+        narrowband=bool(total > 0.0 and bandwidth < 2.0),
+        parseval_ok=parseval_ok,
+    )
+    return rec
 
 
 WAV_DECODED_SCHEMA = (
@@ -2491,3 +2570,205 @@ def decode_jpeg_meta(df: DataFrame, payload_col: str = "payload", id_col: str = 
             yield out
 
     return df.mapInPandas(_decode, schema=JPEG_META_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# AVI (RIFF) video container: writer + parser. Two in-container codecs:
+# '00db' raw DIB frames (BI_RGB bottom-up BGR, 4-byte row padding —
+# byte-exact) and '00dc' MJPG (each frame a standalone baseline JFIF
+# stream decoded by decode_jpeg). This gives the multimodal "video" column
+# a real, decodable container the way GIF covers animation — ffmpeg-class
+# inter-frame codecs (H.264 etc.) stay honestly out of scope.
+# Layout per the AVI RIFF form: RIFF('AVI ' LIST('hdrl' avih LIST('strl'
+# strh strf)) LIST('movi' 00db/00dc...) idx1), OpenDML not required.
+# ---------------------------------------------------------------------------
+
+
+def _riff_chunk(tag: bytes, body: bytes) -> bytes:
+    return tag + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+
+
+def _riff_list(list_type: bytes, body: bytes) -> bytes:
+    return _riff_chunk(b"LIST", list_type + body)
+
+
+def encode_avi(frames: list[np.ndarray], fps: int = 10, codec: str = "dib") -> bytes:
+    """AVI writer over same-sized frames. ``codec='dib'``: frames are
+    (h, w, 3) uint8 RGB, stored as raw bottom-up BGR DIB rows with 4-byte
+    padding in '00db' chunks (lossless). ``codec='mjpg'``: frames are
+    (h, w) grayscale or (h, w, 3) RGB uint8, each encoded as a standalone
+    baseline JFIF stream (encode_jpeg) in '00dc' chunks. Writes a
+    spec-shaped idx1 index (offsets relative to the 'movi' fourcc,
+    AVIIF_KEYFRAME on every frame — both codecs are intra-only)."""
+    if not frames:
+        raise ValueError("AVI needs at least one frame")
+    f0 = np.asarray(frames[0])
+    h, w = int(f0.shape[0]), int(f0.shape[1])
+    if codec == "dib":
+        ckid = b"00db"
+        handler = b"DIB "
+        compression = 0
+        stride = (w * 3 + 3) & ~3
+        payloads = []
+        for fr in frames:
+            fr = np.asarray(fr, dtype=np.uint8)
+            if fr.shape != (h, w, 3):
+                raise ValueError("dib frames must all be (h, w, 3) RGB")
+            rows = np.zeros((h, stride), dtype=np.uint8)
+            rows[:, : w * 3] = fr[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
+            payloads.append(rows.tobytes())
+    elif codec == "mjpg":
+        ckid = b"00dc"
+        handler = b"MJPG"
+        compression = struct.unpack("<I", b"MJPG")[0]
+        stride = (w * 3 + 3) & ~3
+        payloads = []
+        for fr in frames:
+            fr = np.asarray(fr, dtype=np.uint8)
+            if fr.shape[:2] != (h, w):
+                raise ValueError("mjpg frames must share dimensions")
+            payloads.append(encode_jpeg(fr))
+    else:
+        raise ValueError(f"codec must be 'dib' or 'mjpg', got {codec!r}")
+
+    max_len = max(len(p) for p in payloads)
+    avih = struct.pack(
+        "<14I",
+        1_000_000 // fps,  # microseconds per frame
+        max_len * fps,  # max bytes per second
+        0,  # padding granularity
+        0x10,  # AVIF_HASINDEX
+        len(frames), 0, 1, max_len, w, h, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + handler
+        + struct.pack("<IHHIIIIIIiI", 0, 0, 0, 0, 1, fps, 0, len(frames), max_len, -1, 0)
+        + struct.pack("<4H", 0, 0, w, h)
+    )
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, compression, stride * h, 0, 0, 0, 0)
+    hdrl = _riff_list(
+        b"hdrl",
+        _riff_chunk(b"avih", avih)
+        + _riff_list(b"strl", _riff_chunk(b"strh", strh) + _riff_chunk(b"strf", strf)),
+    )
+    movi_body = b""
+    idx = b""
+    for p in payloads:
+        # idx1 offsets point at the chunk header, relative to the 'movi'
+        # fourcc (the common muxer convention): first chunk lands at 4.
+        idx += ckid + struct.pack("<III", 0x10, 4 + len(movi_body), len(p))
+        movi_body += _riff_chunk(ckid, p)
+    body = b"AVI " + hdrl + _riff_list(b"movi", movi_body) + _riff_chunk(b"idx1", idx)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def parse_avi(payload: bytes, return_frames: bool = False) -> dict:
+    """AVI parse + per-frame pixel decode: RIFF walk (hdrl: avih/strh/strf,
+    movi: frame chunks, idx1 cross-checked against actual chunk offsets when
+    present), then each frame decoded by its in-container codec — raw DIB
+    rows un-padded bottom-up BGR->RGB, or MJPG through the full baseline
+    JFIF decoder. Returns container meta + exact pixel statistics over all
+    frames (and the frame arrays under 'frames' when ``return_frames``)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI file")
+    (riff_len,) = struct.unpack_from("<I", payload, 4)
+    if riff_len != len(payload) - 8:
+        raise ValueError("RIFF length mismatch")
+    avih = strh = strf = None
+    chunks: list[tuple[bytes, int, bytes]] = []  # (ckid, offset_in_movi, body)
+    idx1 = None
+
+    def walk_hdrl(body: bytes) -> None:
+        nonlocal avih, strh, strf
+        p = 0
+        while p + 8 <= len(body):
+            tag = body[p : p + 4]
+            (ln,) = struct.unpack_from("<I", body, p + 4)
+            sub = body[p + 8 : p + 8 + ln]
+            p += 8 + ln + (ln & 1)
+            if tag == b"avih":
+                avih = struct.unpack_from("<14I", sub, 0)
+            elif tag == b"LIST" and sub[:4] == b"strl":
+                q = 4
+                while q + 8 <= len(sub):
+                    stag = sub[q : q + 4]
+                    (sln,) = struct.unpack_from("<I", sub, q + 4)
+                    sbody = sub[q + 8 : q + 8 + sln]
+                    q += 8 + sln + (sln & 1)
+                    if stag == b"strh" and strh is None:
+                        strh = sbody
+                    elif stag == b"strf" and strf is None:
+                        strf = sbody
+
+    pos = 12
+    while pos + 8 <= len(payload):
+        tag = payload[pos : pos + 4]
+        (ln,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + ln]
+        if len(body) != ln:
+            raise ValueError("truncated AVI chunk")
+        pos += 8 + ln + (ln & 1)
+        if tag == b"LIST" and body[:4] == b"hdrl":
+            walk_hdrl(body[4:])
+        elif tag == b"LIST" and body[:4] == b"movi":
+            p = 4
+            while p + 8 <= len(body):
+                ckid = body[p : p + 4]
+                (cln,) = struct.unpack_from("<I", body, p + 4)
+                if ckid[2:4] in (b"db", b"dc") and ckid[:2].isdigit():
+                    chunks.append((ckid, p, body[p + 8 : p + 8 + cln]))
+                p += 8 + cln + (cln & 1)
+        elif tag == b"idx1":
+            idx1 = body
+    if avih is None or strh is None or strf is None:
+        raise ValueError("missing avih/strh/strf header")
+    if strh[:4] != b"vids":
+        raise ValueError(f"first stream is not video: {strh[:4]!r}")
+    scale, rate = struct.unpack_from("<II", strh, 20)
+    biw, bih, _planes, _bits, compression = struct.unpack_from("<iiHHI", strf, 4)
+    w, h = int(biw), abs(int(bih))
+    if idx1 is not None:
+        if len(idx1) != 16 * len(chunks):
+            raise ValueError("idx1 entry count != movi frame count")
+        for i, (ckid, off, body_) in enumerate(chunks):
+            eck, _fl, eoff, eln = (
+                idx1[16 * i : 16 * i + 4],
+                *struct.unpack_from("<III", idx1, 16 * i + 4),
+            )
+            if eck != ckid or eoff != off or eln != len(body_):
+                raise ValueError(f"idx1 entry {i} disagrees with movi chunk")
+    frames = []
+    for ckid, _off, body_ in chunks:
+        if ckid[2:4] == b"db":  # raw DIB, bottom-up BGR, padded rows
+            if compression != 0:
+                raise ValueError("00db chunk in a non-BI_RGB stream")
+            stride = (w * 3 + 3) & ~3
+            if len(body_) != stride * h:
+                raise ValueError("DIB frame size mismatch")
+            rows = np.frombuffer(body_, dtype=np.uint8).reshape(h, stride)
+            frames.append(rows[:, : w * 3].reshape(h, w, 3)[::-1, :, ::-1].copy())
+        else:  # 00dc: MJPG — each frame is a standalone baseline JFIF stream
+            if compression != struct.unpack("<I", b"MJPG")[0]:
+                raise NotImplementedError(
+                    f"only MJPG '00dc' streams supported (compression={compression:#x})"
+                )
+            frames.append(decode_jpeg(body_)["pixels"])
+    flat = (
+        np.concatenate([f.reshape(-1).astype(np.int64) for f in frames])
+        if frames
+        else np.zeros(0, dtype=np.int64)
+    )
+    rec = {
+        "codec": "dib" if compression == 0 else "mjpg",
+        "width": w,
+        "height": h,
+        "n_frames": len(frames),
+        "fps": float(rate) / float(scale or 1),
+        "n_px": int(flat.size),
+        "px_sum": int(flat.sum()),
+        "px_min": int(flat.min()) if flat.size else 0,
+        "px_max": int(flat.max()) if flat.size else 0,
+    }
+    if return_frames:
+        rec["frames"] = frames
+    return rec

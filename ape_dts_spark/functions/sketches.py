@@ -327,3 +327,130 @@ SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM u) AS k_used,
        CAST(inter AS BIGINT) AS inter,
        CAST(inter AS DOUBLE) / CAST((SELECT COUNT(*) FROM u) AS DOUBLE) AS est_jaccard
 FROM inter"""
+
+
+# ---------------------------------------------------------------------------
+# HDR-histogram quantile sketch (Tene, HdrHistogram; same exponent+mantissa
+# bucketing as Prometheus native histograms). Completes the mergeable-sketch
+# family: HLL = distinct, CMS = frequency, KMV = similarity, HDR = quantiles.
+#
+# Bucketing is INTEGER-ONLY (no log()/ln() — float transcendentals disagree
+# across engines at bucket boundaries): for a positive integer v,
+#   exp    = floor(log2 v)            -- via length(bin(v)) - 1
+#   shift  = max(exp - SUB_BITS, 0)
+#   bucket = (v >> shift) + shift * 2^(SUB_BITS+1)   -- disjoint, monotone
+#   lo     = (v >> shift) << shift                   -- bucket lower bound
+# Values below 2^(SUB_BITS+1) get singleton buckets (EXACT small quantiles);
+# larger buckets have width 2^shift <= lo * 2^-SUB_BITS, so every quantile
+# readout carries <= 2^-SUB_BITS relative error (3.125% at the default 5).
+# Non-positive values clamp to bucket 0 (HdrHistogram's "below lowest
+# discernible" bucket). The sketch STATE is (group..., bucket, lo, cnt):
+# one hash agg over the raw data, then merging across partitions / shards /
+# days is groupBy(bucket) SUM — the 100 TB shape (ship 100s of integer rows,
+# never re-read data). The quantile readout runs a window cumsum over the
+# BUCKET relation (sketch-sized, not data-sized): estimate for q is the lo
+# of the first bucket whose cumulative count reaches ceil(q * n) — the
+# percentile_disc convention, fully integer once ceil() lands.
+# ---------------------------------------------------------------------------
+
+HDR_SUB_BITS = 5  # bucket width / value <= 2^-5: 3.125% max relative error
+
+
+def _hdr_exprs(col: str) -> tuple[str, str]:
+    """(bucket, lo) Spark SQL exprs over a BIGINT column (v >= 1 binned,
+    v < 1 clamps to bucket 0)."""
+    shift = f"greatest(length(bin({col})) - 1 - {HDR_SUB_BITS}, 0)"
+    bucket = (
+        f"CASE WHEN {col} < 1 THEN CAST(0 AS BIGINT) ELSE "
+        f"shiftright({col}, {shift}) + CAST({shift} AS BIGINT) * {1 << (HDR_SUB_BITS + 1)} END"
+    )
+    lo = (
+        f"CASE WHEN {col} < 1 THEN CAST(0 AS BIGINT) ELSE "
+        f"shiftleft(shiftright({col}, {shift}), {shift}) END"
+    )
+    return bucket, lo
+
+
+def _hdr_exprs_sql(col: str) -> tuple[str, str]:
+    """DuckDB twins (>> / << operators; same bin() semantics)."""
+    shift = f"greatest(length(bin({col})) - 1 - {HDR_SUB_BITS}, 0)"
+    bucket = (
+        f"CASE WHEN {col} < 1 THEN CAST(0 AS BIGINT) ELSE "
+        f"CAST(({col} >> {shift}) + {shift} * {1 << (HDR_SUB_BITS + 1)} AS BIGINT) END"
+    )
+    lo = (
+        f"CASE WHEN {col} < 1 THEN CAST(0 AS BIGINT) ELSE "
+        f"CAST((({col} >> {shift}) << {shift}) AS BIGINT) END"
+    )
+    return bucket, lo
+
+
+def hdr_sketch(df: DataFrame, col: str, by: list[str] | None = None) -> DataFrame:
+    """HDR quantile-sketch STATE over a BIGINT expression: one hash agg to
+    (by..., bucket, lo, cnt). Map-side partial aggregation does the heavy
+    lifting; the shuffled relation is bucket-sized, not data-sized."""
+    bucket, lo = _hdr_exprs(col)
+    keys = list(by or [])
+    return (
+        df.select(*keys, F.expr(bucket).alias("bucket"), F.expr(lo).alias("lo"))
+        .groupBy(*keys, "bucket", "lo")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def hdr_sketch_sql(table: str, col: str, by: list[str] | None = None) -> str:
+    bucket, lo = _hdr_exprs_sql(col)
+    keys = "".join(f"{k}, " for k in (by or []))
+    return f"""
+SELECT {keys}{bucket} AS bucket, {lo} AS lo, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM {table} GROUP BY {keys}bucket, lo"""
+
+
+def hdr_merge(sketches: list[DataFrame]) -> DataFrame:
+    """Merge law: counts add per bucket (lo is functional in bucket). Any
+    column that isn't bucket/lo/cnt is treated as a group key, so sharded
+    and grouped sketches merge the same way."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    keys = [c for c in out.columns if c not in ("bucket", "lo", "cnt")]
+    return out.groupBy(*keys, "bucket", "lo").agg(F.sum("cnt").alias("cnt"))
+
+
+def hdr_quantiles(sketch: DataFrame, qs: list[float]) -> DataFrame:
+    """Quantile readout from sketch STATE: for each group and each q, the
+    lo of the first bucket whose cumulative count reaches ceil(q * n).
+    Pure relational — a window cumsum over the (small) bucket relation —
+    so it is cross-engine exact and stays on the JVM."""
+    from pyspark.sql import Window as W
+
+    keys = [c for c in sketch.columns if c not in ("bucket", "lo", "cnt")]
+    w_cum = W.partitionBy(*keys).orderBy("bucket") if keys else W.orderBy("bucket")
+    w_all = W.partitionBy(*keys) if keys else W.partitionBy(F.lit(1))
+    cum = (
+        sketch.withColumn("cum", F.sum("cnt").over(w_cum))
+        .withColumn("n", F.sum("cnt").over(w_all))
+        .withColumn("q", F.explode(F.array(*[F.lit(float(q)) for q in qs])))
+    )
+    return (
+        cum.filter(F.col("cum") >= F.ceil(F.col("q") * F.col("n")))
+        .groupBy(*keys, "q")
+        .agg(F.min("lo").alias("q_value"), F.min("n").alias("n"))
+    )
+
+
+def hdr_quantiles_sql(sketch_sql: str, qs: list[float], by: list[str] | None = None) -> str:
+    keys = list(by or [])
+    part = ("PARTITION BY " + ", ".join(keys)) if keys else ""
+    sel = "".join(f"{k}, " for k in keys)
+    qvals = ", ".join(f"(CAST({float(q)} AS DOUBLE))" for q in qs)
+    return f"""
+WITH sk AS MATERIALIZED ({sketch_sql}),
+cum AS (
+  SELECT *, SUM(cnt) OVER ({part} ORDER BY bucket) AS cum,
+         SUM(cnt) OVER ({part}) AS n
+  FROM sk)
+SELECT {sel}q, CAST(MIN(lo) AS BIGINT) AS q_value, CAST(MIN(n) AS BIGINT) AS n
+FROM cum, (VALUES {qvals}) AS qt(q)
+WHERE cum >= CEIL(q * n)
+GROUP BY {sel}q"""

@@ -100,6 +100,9 @@ BENCH_QUERIES = [
     "gif_frames",
     "media_pipeline",
     "png_full_decode",
+    # round-12b: AVI container frame sampling + framed-FFT audio features
+    "video_frames",
+    "audio_features",
     "orc_roundtrip",
     "struct_objects",
     "struct_check_report",
@@ -176,6 +179,8 @@ BENCH_QUERIES = [
     "cms_heavy_hitters",
     "kmv_sketch",
     "kmv_jaccard",
+    # round-12b: HDR quantile sketch (one hash agg + sketch-sized readout)
+    "hdr_quantiles",
     "span_dedup",
     "substring_dedup",
     "substring_dedup_clean",

@@ -1473,3 +1473,58 @@ def test_unigram_doc_tokens_invariants(spark):
     # hand values from the test_unigram_learn_hand_trace vocab: abab + ab
     # stay whole -> doc1 = 3 tokens, doc2 = 1, doc4 = 2
     assert (got[1], got[2], got[4]) == (3, 1, 2)
+
+
+def test_multimodal_video_frame_sampling(spark):
+    """sample_video_frames: AVI parse + per-codec decode distributed — DIB
+    frames byte-exact, MJPG frames matching a direct JPEG decode, every-n
+    sampling with frame 0 always present."""
+    import numpy as np
+
+    from ape_dts_spark.functions import media_codec as mc
+    from ape_dts_spark.functions import multimodal as mm
+
+    dib = [((3 * f + np.arange(4 * 5 * 3)) % 256).astype(np.uint8).reshape(4, 5, 3)
+           for f in range(5)]
+    gray = [np.full((8, 8), 10 * f, np.uint8) for f in range(3)]
+    df = spark.createDataFrame(
+        [(1, bytearray(mc.encode_avi(dib, codec="dib"))),
+         (2, bytearray(mc.encode_avi(gray, codec="mjpg")))],
+        "id long, payload binary",
+    )
+    rows = mm.sample_video_frames(df, every_n=2).collect()
+    got = {(r["id"], r["frame_idx"]): r for r in rows}
+    assert sorted(got) == [(1, 0), (1, 2), (1, 4), (2, 0), (2, 2)]
+    for f in (0, 2, 4):
+        r = got[(1, f)]
+        assert r["codec"] == "dib" and r["n_frames"] == 5
+        assert (r["height"], r["width"], r["n_px"]) == (4, 5, 60)
+        assert r["px_sum"] == int(dib[f].astype(np.int64).sum())
+    for f in (0, 2):
+        r = got[(2, f)]
+        direct = mc.decode_jpeg(mc.encode_jpeg(gray[f]))["pixels"].astype(np.int64)
+        assert r["codec"] == "mjpg" and r["px_sum"] == int(direct.sum())
+
+
+def test_multimodal_audio_features(spark):
+    """extract_audio_features: framed FFT features distributed — pure tones
+    land on their exact bins, mixed content is broadband, Parseval holds."""
+    import numpy as np
+
+    from ape_dts_spark.functions import media_codec as mc
+    from ape_dts_spark.functions import multimodal as mm
+
+    t = np.arange(1024)
+    tone = np.round(12000 * np.cos(2 * np.pi * 50 * t / 256.0)).astype(np.int64)
+    two = np.round(9000 * np.cos(2 * np.pi * 20 * t / 256.0)
+                   + 5000 * np.cos(2 * np.pi * 100 * t / 256.0)).astype(np.int64)
+    df = spark.createDataFrame(
+        [(1, bytearray(mc.encode_wav(tone, 16000, 1, bits=16))),
+         (2, bytearray(mc.encode_wav(np.repeat(two, 2), 44100, 2, bits=16)))],
+        "id long, payload binary",
+    )
+    got = {r["id"]: r for r in mm.extract_audio_features(df, n_fft=256).collect()}
+    assert got[1]["peak_bin"] == 50 and got[1]["narrowband"] and got[1]["parseval_ok"]
+    assert got[1]["peak_hz"] == 50 * 16000 / 256 and got[1]["n_frames"] == 4
+    assert got[2]["peak_bin"] == 20 and not got[2]["narrowband"]
+    assert got[2]["parseval_ok"] and got[2]["n_channels"] == 2

@@ -771,3 +771,95 @@ def test_wav_ima_adpcm_decoder_exact():
     b[data_at + 2] = 99  # step index > 88
     with pytest.raises(ValueError, match="step index"):
         mc.parse_wav(bytes(b))
+
+
+def test_audio_spectrum_pure_tone_invariants():
+    """audio_spectrum: a pure integer-quantized cosine at an exact FFT bin
+    must come back as that bin (peak, rounded centroid), narrowband, with
+    the per-frame Parseval identity holding — across widths and channels."""
+    t = np.arange(1024)
+    for j, amp, ch, bits in ((3, 12000, 1, 16), (97, 13000, 2, 16),
+                             (40, 100, 1, 8), (11, 4000000, 1, 32)):
+        tone = np.round(amp * np.cos(2 * np.pi * j * t / 256.0)).astype(np.int64)
+        wav = mc.encode_wav(np.repeat(tone, ch), 16000, ch, bits=bits)
+        r = mc.audio_spectrum(wav, n_fft=256)
+        assert r["peak_bin"] == j and round(r["centroid_bin"]) == j, (j, r)
+        assert r["parseval_ok"], r
+        # narrowband needs amplitude headroom over the quantization-noise
+        # floor; the amp=100 8-bit tone is honestly broadband-noisy
+        assert r["narrowband"] == (amp >= 12000), r
+        assert r["n_frames"] == 4 and r["n_samples"] == 1024
+        assert r["peak_hz"] == j * 16000 / 256
+
+
+def test_audio_spectrum_two_tone_and_edges():
+    """Two tones: peak is the stronger, centroid sits between, broadband.
+    Short clips return n_frames=0; non-power-of-two n_fft rejects; the
+    IMA-ADPCM decode path feeds the same spectral kernel."""
+    t = np.arange(2048)
+    sig = np.round(
+        9000 * np.cos(2 * np.pi * 30 * t / 256.0)
+        + 5000 * np.cos(2 * np.pi * 90 * t / 256.0)
+    ).astype(np.int64)
+    r = mc.audio_spectrum(mc.encode_wav(sig, 44100, 1, bits=16))
+    assert r["peak_bin"] == 30 and 30 < r["centroid_bin"] < 90
+    assert not r["narrowband"] and r["parseval_ok"]
+
+    short = mc.audio_spectrum(mc.encode_wav(np.arange(100), 8000, 1, bits=16))
+    assert short["n_frames"] == 0 and short["parseval_ok"] and not short["narrowband"]
+    with pytest.raises(ValueError, match="power of two"):
+        mc.audio_spectrum(mc.encode_wav(np.arange(512), 8000, 1, bits=16), n_fft=100)
+    # ADPCM container: lossy but still a strong line at the source bin
+    tone16 = np.round(9000 * np.cos(2 * np.pi * 25 * t / 256.0)).astype(np.int64)
+    wav_ima, _ = mc.encode_wav_ima(tone16, 8000, 1)
+    r2 = mc.audio_spectrum(wav_ima)
+    assert r2["peak_bin"] == 25 and r2["parseval_ok"]
+
+
+def test_avi_dib_roundtrip_and_idx1_validation():
+    """AVI DIB: byte-exact frame recovery through bottom-up BGR padded rows;
+    idx1 entries are cross-checked against actual movi offsets; header and
+    size corruption raise."""
+    frames = [
+        ((7 * f + np.arange(5 * 6 * 3)) % 256).astype(np.uint8).reshape(5, 6, 3)
+        for f in range(4)
+    ]
+    avi = mc.encode_avi(frames, fps=12, codec="dib")
+    rec = mc.parse_avi(avi, return_frames=True)
+    assert (rec["codec"], rec["n_frames"], rec["width"], rec["height"], rec["fps"]) == (
+        "dib", 4, 6, 5, 12.0)
+    for f, d in zip(frames, rec["frames"]):
+        assert (f == d).all()
+    assert rec["n_px"] == 4 * 5 * 6 * 3
+    assert rec["px_sum"] == sum(int(f.astype(np.int64).sum()) for f in frames)
+
+    b = bytearray(avi)
+    idx_at = bytes(b).rfind(b"idx1")
+    b[idx_at + 8 + 8] ^= 1  # flip a bit in entry 0's offset
+    with pytest.raises(ValueError, match="idx1 entry"):
+        mc.parse_avi(bytes(b))
+    with pytest.raises(ValueError, match="not a RIFF/AVI"):
+        mc.parse_avi(b"RIFF\x04\x00\x00\x00WAVE")
+    with pytest.raises(ValueError, match="RIFF length"):
+        mc.parse_avi(avi[:-2])
+    with pytest.raises(ValueError, match="at least one frame"):
+        mc.encode_avi([], codec="dib")
+    with pytest.raises(ValueError, match="codec must be"):
+        mc.encode_avi(frames, codec="h264")
+
+
+def test_avi_mjpg_frames_match_direct_jpeg_decode():
+    """AVI MJPG: every '00dc' frame decodes bit-identically to running the
+    baseline JFIF decoder on the same encoded frame directly — the container
+    adds framing, not loss. Grayscale and RGB frames both ride."""
+    gray = [((11 * f + np.arange(32 * 32)) % 256).astype(np.uint8).reshape(32, 32)
+            for f in range(3)]
+    rgb = [((5 * f + np.arange(16 * 16 * 3)) % 256).astype(np.uint8).reshape(16, 16, 3)
+           for f in range(2)]
+    for frames in (gray, rgb):
+        avi = mc.encode_avi(frames, fps=5, codec="mjpg")
+        rec = mc.parse_avi(avi, return_frames=True)
+        assert rec["codec"] == "mjpg" and rec["n_frames"] == len(frames)
+        for f, d in zip(frames, rec["frames"]):
+            direct = mc.decode_jpeg(mc.encode_jpeg(f))["pixels"]
+            assert (d == direct).all()

@@ -92,3 +92,56 @@ def test_kmv_jaccard_accuracy(spark):
     # duplicates in the input must not change the sketch (distinct-based)
     row2 = sk.kmv_jaccard(a.unionByName(a), "v", b, "v", 256).collect()[0]
     assert row2["est_jaccard"] == row["est_jaccard"]
+
+
+def test_hdr_quantile_error_bound_and_exact_small(spark):
+    """HDR sketch: every quantile readout lands within 2^-SUB_BITS relative
+    error of the exact percentile_disc value; values below 64 get singleton
+    buckets so small-domain quantiles are EXACT; non-positive values clamp
+    to bucket 0."""
+    import math
+
+    vals = [int(1.5 ** i) + j for i in range(2, 30) for j in range(3)]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    sketch = sk.hdr_sketch(df, "v")
+    got = {r["q"]: r for r in sk.hdr_quantiles(sketch, [0.1, 0.5, 0.9, 0.99]).collect()}
+    svals = sorted(vals)
+    for q, row in got.items():
+        exact = svals[math.ceil(q * len(svals)) - 1]
+        assert row["n"] == len(svals)
+        assert abs(row["q_value"] - exact) <= exact * 2 ** -sk.HDR_SUB_BITS + 1, (q, row, exact)
+
+    small = spark.createDataFrame([(v,) for v in range(1, 64)], "v long")
+    s2 = sk.hdr_sketch(small, "v")
+    med = sk.hdr_quantiles(s2, [0.5]).collect()[0]
+    assert med["q_value"] == 32  # exact: singleton buckets below 2^6
+
+    clamped = sk.hdr_sketch(
+        spark.createDataFrame([(-5,), (0,), (7,)], "v long"), "v"
+    ).collect()
+    assert {(r["bucket"], r["cnt"]) for r in clamped} == {(0, 2), (7, 1)}
+
+
+def test_hdr_merge_law_equals_direct_sketch(spark):
+    """Sharded sketches merged by groupBy-SUM must equal the direct sketch
+    of the whole relation, bit for bit — grouped variant included."""
+    df = spark.range(1, 5000).select(
+        (F.col("id") % 3).alias("g"), (F.col("id") * 37 % 100000 + 1).alias("v")
+    )
+    direct = sk.hdr_sketch(df, "v", by=["g"])
+    shard_a = sk.hdr_sketch(df.filter("id % 2 = 0"), "v", by=["g"])
+    shard_b = sk.hdr_sketch(df.filter("id % 2 = 1"), "v", by=["g"])
+    merged = sk.hdr_merge([shard_a, shard_b])
+    key = lambda r: (r["g"], r["bucket"])
+    assert sorted(map(tuple, merged.collect()), key=str) == sorted(
+        map(tuple, direct.collect()), key=str
+    )
+    # lo is functional in bucket: shift = bucket // 2^(SUB+1) (mantissa keeps
+    # its leading bit, so it never wraps into the next shift band), and
+    # lo = mantissa << shift reconstructs exactly
+    for r in direct.collect():
+        if r["bucket"] == 0:
+            continue
+        shift = r["bucket"] >> (sk.HDR_SUB_BITS + 1)
+        mant = r["bucket"] - (shift << (sk.HDR_SUB_BITS + 1))
+        assert r["lo"] == mant << shift, r
