@@ -2082,6 +2082,46 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_C4_SYNTH_LINES = [
+    # every CASE arm exercises a specific C4 rule branch; NULL arms vanish
+    # under concat_ws in BOTH engines
+    (
+        "CASE WHEN doc_id % 13 = 0 THEN 'tiny intro line goes here.' ELSE "
+        "'alpha data row ' || doc_id || ' runs fine. beta table joins well. "
+        "gamma scan reads pages. delta sort spills rarely. epsilon merge "
+        "wins.' END"
+    ),
+    "'short line'",  # < 5 words, no terminal punct -> line dropped
+    "CASE WHEN doc_id % 3 = 0 THEN 'please enable javascript to view this page.' END",
+    "CASE WHEN doc_id % 5 = 0 THEN 'fragment without punctuation end' END",
+    "'another good sentence appears right here number ' || doc_id || '!'",
+    "CASE WHEN doc_id % 7 = 0 THEN 'config { block }' END",  # page drop: brace
+    "CASE WHEN doc_id % 11 = 0 THEN 'Lorem ipsum dolor sit amet.' END",
+    "CASE WHEN doc_id % 17 = 0 THEN 'contains xxxspamxxx token here today.' END",
+]
+
+
+def q_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleaning rules (Raffel et al. 2020 §2.2, functions/text.py
+    c4_rules): line-level keep (terminal punctuation + >= 5 words + no
+    'javascript') and page-level drops ('{', 'lorem ipsum', bad-word,
+    < 5 sentences after cleaning). The documents table has no line
+    structure, so each doc synthesizes a deterministic multi-line page from
+    doc_id arithmetic with every rule branch planted on its own residue
+    class (k%3 javascript line, k%5 unterminated fragment, k%7 code brace,
+    k%11 lorem ipsum, k%13 short page failing the sentence minimum, k%17
+    bad word); the oracle regenerates the identical page in SQL and
+    restates the rule pipeline — exact string ops end to end. The
+    three-sentence-span dedup half of C4 is the span_dedup gate. No
+    shuffle; scan prunes to doc_id."""
+    d = demo.load(spark, sf_dir, "documents").select("doc_id")
+    synth = d.select(
+        "doc_id",
+        F.expr("concat_ws('\\n', " + ", ".join(_C4_SYNTH_LINES) + ")").alias("text"),
+    )
+    return tx.c4_rules(synth)
+
+
 def q_ann_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar-quantization ANN (faiss SQ8 shape; functions/similarity.py
     sq8_topk), planted-twin gate: queries are exact copies of every 50th
@@ -4923,6 +4963,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_features": q_audio_features,
         "video_frames": q_video_frames,
         "hdr_quantiles": q_hdr_quantiles,
+        "c4_rules": q_c4_rules,
         "waiting_suppliers": q_waiting_suppliers,
         # -- last gated r09 --
         "ann_pq": q_ann_pq,
@@ -6465,6 +6506,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(av) AS BIGINT) AS sum_abs
             FROM vals GROUP BY id, frames, ch, rate, bits
         """,
+        "c4_rules": (
+            "WITH synth AS (SELECT doc_id, concat_ws(chr(10), "
+            + ", ".join(_C4_SYNTH_LINES)
+            + ") AS text FROM documents)"
+            + tx.c4_rules_sql("synth").replace("WITH counted", ", counted", 1)
+        ),
         "hdr_quantiles": sk.hdr_quantiles_sql(
             sk.hdr_sketch_sql(
                 "(SELECT l_returnflag, CAST(CAST(l_extendedprice AS DECIMAL(18,2))"

@@ -2474,3 +2474,112 @@ cnts AS (SELECT d.{id_col}, SUM(s.n) AS n_tokens
 SELECT t.{id_col}, CAST(COALESCE(c.n_tokens, 0) AS BIGINT) AS n_tokens
 FROM {table} t LEFT JOIN cnts c ON t.{id_col} = c.{id_col}"""
     )
+
+
+# ---------------------------------------------------------------------------
+# C4 cleaning rules (Raffel et al. 2020, "Exploring the Limits of Transfer
+# Learning with a Unified Text-to-Text Transformer", JMLR — §2.2)
+# ---------------------------------------------------------------------------
+
+# The paper filters against an external profanity list; the engine takes the
+# list as a parameter and ships a neutral stand-in default so the RULE is
+# testable without vendoring that list.
+C4_BADWORDS = ("xxxspamxxx",)
+
+
+def _c4_counts_exprs(col: str, badwords: tuple[str, ...]) -> dict[str, str]:
+    """Shared Spark-SQL count expressions for the C4 rule bundle. Line keep =
+    ends in terminal punctuation (. ! ? \") AND >= 5 words AND no
+    'javascript' (all from §2.2); doc drop = '{' anywhere (code), 'lorem
+    ipsum', a bad word, or < 5 sentences in the CLEANED text (sentences
+    counted as terminal punctuation marks). Every output is an integer or a
+    boolean on exact string ops — bit-exact cross-engine."""
+    lines = f"split({col}, '\\n')"
+    keepf = (
+        "x -> trim(x) rlike '[.!?\"]$' AND "
+        "size(filter(split(trim(x), '\\\\s+'), w -> w != '')) >= 5 AND "
+        "NOT contains(lower(x), 'javascript')"
+    )
+    kept = f"filter({lines}, {keepf})"
+    cleaned = f"array_join({kept}, '\\n')"
+    bad = " OR ".join(f"contains(lower({col}), '{w}')" for w in badwords) or "false"
+    return {
+        "n_lines": f"size({lines})",
+        "n_kept": f"size({kept})",
+        "kept_chars": f"length({cleaned})",
+        "n_sentences": (
+            f"length({cleaned}) - length(translate({cleaned}, '.!?', ''))"
+        ),
+        "has_brace": f"contains({col}, '{{')",
+        "has_lorem": f"contains(lower({col}), 'lorem ipsum')",
+        "has_badword": f"({bad})",
+    }
+
+
+def c4_rules(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    col: str = "text",
+    badwords: tuple[str, ...] = C4_BADWORDS,
+) -> DataFrame:
+    """C4 cleaning (Raffel et al. 2020 §2.2) as one pure-JVM projection:
+    line-level cleaning (terminal punctuation, >= 5 words, no 'javascript')
+    and page-level drops ('{', 'lorem ipsum', bad words, < 5 sentences after
+    cleaning). Returns per-doc rule booleans + integer counts and the final
+    keep verdict; the three-sentence-span dedup half of C4 is span_dedup.
+    Scale: embarrassingly parallel per document, no shuffle, scan prunes to
+    (id, text)."""
+    c = _c4_counts_exprs(col, badwords)
+    counted = df.select(F.col(id_col), *[F.expr(e).alias(n) for n, e in c.items()])
+    return counted.select(
+        id_col,
+        "n_lines",
+        "n_kept",
+        "kept_chars",
+        "n_sentences",
+        (~F.col("has_brace")).alias("r_brace"),
+        (~F.col("has_lorem")).alias("r_lorem"),
+        (~F.col("has_badword")).alias("r_badword"),
+        (F.col("n_sentences") >= 5).alias("r_sentences"),
+    ).withColumn(
+        "keep", F.expr("r_brace AND r_lorem AND r_badword AND r_sentences")
+    )
+
+
+def c4_rules_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    col: str = "text",
+    badwords: tuple[str, ...] = C4_BADWORDS,
+) -> str:
+    """DuckDB twin of c4_rules (same exact string ops and counts)."""
+    lines = f"string_split({col}, chr(10))"
+    keepf = (
+        "x -> regexp_matches(trim(x), '[.!?\"]$') AND "
+        "len(list_filter(regexp_split_to_array(trim(x), '\\s+'), w -> w <> '')) >= 5 "
+        "AND NOT contains(lower(x), 'javascript')"
+    )
+    kept = f"list_filter({lines}, {keepf})"
+    cleaned = f"array_to_string({kept}, chr(10))"
+    bad = " OR ".join(f"contains(lower({col}), '{w}')" for w in badwords) or "false"
+    return f"""
+WITH counted AS (
+  SELECT {id_col},
+         CAST(len({lines}) AS INT) AS n_lines,
+         CAST(len({kept}) AS INT) AS n_kept,
+         CAST(length({cleaned}) AS INT) AS kept_chars,
+         CAST(length({cleaned}) - length(translate({cleaned}, '.!?', '')) AS INT)
+           AS n_sentences,
+         contains({col}, '{{') AS has_brace,
+         contains(lower({col}), 'lorem ipsum') AS has_lorem,
+         ({bad}) AS has_badword
+  FROM {table})
+SELECT {id_col}, n_lines, n_kept, kept_chars, n_sentences,
+       NOT has_brace AS r_brace,
+       NOT has_lorem AS r_lorem,
+       NOT has_badword AS r_badword,
+       n_sentences >= 5 AS r_sentences,
+       NOT has_brace AND NOT has_lorem AND NOT has_badword
+         AND n_sentences >= 5 AS keep
+FROM counted
+"""

@@ -20,6 +20,31 @@ from dataclasses import dataclass
 _ID = r'[`"]?([\w$]+)[`"]?'
 _QID = rf"(?:{_ID}\.)?{_ID}"  # [schema.]name
 
+# C-style block comments and -- line comments, removed before matching like
+# the reference does (ddl_parser.rs:77-81: binlogs carry statements like
+# "create /*comment*/ table ..." from migration tools); MySQL's # line
+# comments too. A trailing -- comment without a final newline is also
+# stripped (the reference regex requires the \n and misses that case).
+_COMMENTS = re.compile(r"(/\*([^*]|\*+[^*/])*\*+/)|(--[^\n]*(\n|$))|(#[^\n]*(\n|$))")
+
+# Trailing MySQL online-DDL hints on ALTER TABLE / CREATE INDEX / DROP INDEX
+# (https://dev.mysql.com/doc/refman/8.4/en/alter-table.html): ALGORITHM [=]
+# DEFAULT|INPLACE|COPY|INSTANT and LOCK [=] DEFAULT|NONE|SHARED|EXCLUSIVE.
+# Values are anchored to the documented enums so a real column named `lock`
+# can never be eaten. The reference leaves these in `unparsed`; stripping
+# them keeps the typed add/modify/drop recognition clean.
+_HINTS = re.compile(
+    r"(?:\s*,?\s*(?:ALGORITHM\s*=?\s*(?:DEFAULT|INPLACE|COPY|INSTANT)"
+    r"|LOCK\s*=?\s*(?:DEFAULT|NONE|SHARED|EXCLUSIVE)))+\s*(;?)\s*$",
+    re.IGNORECASE,
+)
+
+
+def _normalize(text: str) -> str:
+    """Comment removal + trailing online-DDL-hint strip."""
+    text = _COMMENTS.sub(" ", text)
+    return _HINTS.sub(r"\1", text)
+
 
 def _clean(s: str | None) -> str | None:
     return s if s else None
@@ -178,9 +203,13 @@ _PATTERNS: list[tuple[str, re.Pattern]] = [
 
 
 def parse_ddl(text: str | None) -> DdlStatement:
-    """Recognize a DDL statement's kind and targets; 'other' when unknown."""
+    """Recognize a DDL statement's kind and targets; 'other' when unknown.
+    Comments are removed and trailing ALGORITHM/LOCK online-DDL hints
+    stripped first (ddl_parser.rs:77-81 removes comments the same way; its
+    own drop-index tests carry ``algorithm=default`` tails)."""
     if not text or not text.strip():
         return DdlStatement("other")
+    text = _normalize(text)
     for kind, pat in _PATTERNS:
         m = pat.match(text)
         if not m:
@@ -246,14 +275,61 @@ _MULTI_TRUNCATE = re.compile(
 )
 
 
+# MySQL multi-action ALTER TABLE: actions separated by TOP-LEVEL commas
+# (never inside type parens like DECIMAL(10,2) or ENUM('a','b')), each
+# starting with an action keyword. The reference leaves the whole action
+# list `unparsed` (ddl_parser.rs:410-465); splitting to typed singles is
+# what target-side schema evolution actually needs.
+_ALTER_HEAD = re.compile(rf"^\s*ALTER\s+TABLE\s+{_QID}\s+", re.IGNORECASE)
+_ACTION_KEYWORDS = ("ADD", "DROP", "MODIFY", "CHANGE", "ALTER", "RENAME", "SET")
+
+
+def _split_alter_actions(body: str) -> list[str]:
+    """Split an ALTER action list on top-level commas followed by an action
+    keyword. Returns [body] when there is nothing to split."""
+    parts: list[str] = []
+    depth = 0
+    start = 0
+    in_str: str | None = None
+    i = 0
+    while i < len(body):
+        ch = body[i]
+        if in_str:
+            if ch == in_str:
+                in_str = None
+        elif ch in ("'", '"', "`"):
+            in_str = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            rest = body[i + 1 :].lstrip()
+            head = rest.split(None, 1)[0].upper() if rest else ""
+            if head in _ACTION_KEYWORDS:
+                parts.append(body[start:i].strip())
+                start = i + 1
+        i += 1
+    parts.append(body[start:].strip().rstrip(";").strip())
+    return [p for p in parts if p]
+
+
 def split_ddl(text: str | None) -> list[DdlStatement]:
     """Parse a DDL statement, splitting multi-target forms into one
     DdlStatement per target like the reference's ``split_to_multi`` — a
     router/filter operates per (schema, table), so a two-table RENAME must
-    produce two routable events. Single-target text degrades to
-    ``[parse_ddl(text)]``."""
+    produce two routable events — plus MySQL multi-action ALTER TABLE
+    (ADD ..., DROP ..., ...) into one typed statement per action.
+    Single-target text degrades to ``[parse_ddl(text)]``."""
     if not text or not text.strip():
         return [DdlStatement("other")]
+    text = _normalize(text)
+    m = _ALTER_HEAD.match(text)
+    if m:
+        head = text[: m.end(0)].rstrip()
+        actions = _split_alter_actions(text[m.end(0) :])
+        if len(actions) > 1:
+            return [parse_ddl(f"{head} {a}") for a in actions]
     m = _MULTI_DROP_TABLE.match(text)
     if m:
         if_exists = "IF EXISTS " if m.group(1) else ""

@@ -211,6 +211,7 @@ BENCH_QUERIES = [
     # round-5 additions: quality/mixing projections are cheap; PQ and the
     # star-CC engine are the heavy tails
     "gopher_rules",
+    "c4_rules",
     "temperature_mix",
     "cheapest_shipment",
     "ccnet_buckets",

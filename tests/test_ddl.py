@@ -402,3 +402,54 @@ def test_struct_revise_type_fix_restates_not_null():
     assert any(s.startswith("ALTER TABLE `app`.`t` MODIFY COLUMN `qty` ") and s.endswith(" NOT NULL") for s in my)
     ck = struct_revise_plan(src, dst, "clickhouse")
     assert any("MODIFY COLUMN" in s and not s.endswith("NOT NULL") for s in ck)
+
+
+def test_parse_ddl_comments_and_online_hints():
+    """r12b grammar breadth: comment removal before matching (the reference
+    strips /* */ and -- the same way, ddl_parser.rs:77-81 — binlogs carry
+    gh-ost/pt-osc-style comment prefixes) and MySQL online-DDL ALGORITHM/
+    LOCK hint tails (the reference's own drop-index tests carry
+    `algorithm=default`)."""
+    s = parse_ddl("create /*gh-ost*/ table/*x*/ `d1`.`t1` (a int)")
+    assert (s.kind, s.schema, s.table) == ("create_table", "d1", "t1")
+    s = parse_ddl("-- migration 42\nALTER TABLE t ADD COLUMN c INT")
+    assert (s.kind, s.table, s.args) == ("add_column", "t", ("c", "INT"))
+    s = parse_ddl("ALTER TABLE t DROP COLUMN c -- trailing, no newline")
+    assert (s.kind, s.args) == ("drop_column", ("c",))
+    s = parse_ddl("# mysql line comment\nTRUNCATE TABLE d.t")
+    assert (s.kind, s.schema, s.table) == ("truncate_table", "d", "t")
+
+    s = parse_ddl("drop index `index1` on `d1`.`t1` algorithm=default;")
+    assert (s.kind, s.schema, s.table, s.args) == ("drop_index", "d1", "t1", ("index1",))
+    s = parse_ddl("ALTER TABLE t ADD COLUMN c INT, ALGORITHM=INPLACE, LOCK=NONE")
+    assert (s.kind, s.args) == ("add_column", ("c", "INT"))
+    s = parse_ddl("ALTER TABLE t MODIFY c DECIMAL(10,2) LOCK SHARED;")
+    assert (s.kind, s.args) == ("modify_column", ("c", "DECIMAL(10,2)"))
+    # hint values are anchored to the documented enums: a column named
+    # `lock` is a column, not a hint
+    s = parse_ddl("ALTER TABLE t ADD COLUMN lock INT")
+    assert (s.kind, s.args) == ("add_column", ("lock", "INT"))
+
+
+def test_split_ddl_multi_action_alter():
+    """MySQL multi-action ALTER TABLE splits into one typed statement per
+    action (the reference keeps the list `unparsed`; target-side schema
+    evolution needs the singles). Commas inside type parens / quoted
+    enums never split."""
+    from ape_dts_spark.plans.ddl_parse import split_ddl
+
+    out = split_ddl(
+        "ALTER TABLE d.t ADD COLUMN a DECIMAL(10,2), DROP COLUMN b,"
+        " RENAME COLUMN c TO d2, ALGORITHM=INPLACE"
+    )
+    assert [x.kind for x in out] == ["add_column", "drop_column", "rename_column"]
+    assert all(x.schema == "d" and x.table == "t" for x in out)
+    assert out[0].args == ("a", "DECIMAL(10,2)")
+
+    out = split_ddl("ALTER TABLE t ADD COLUMN e ENUM('a','b','c')")
+    assert len(out) == 1 and out[0].kind == "add_column"
+    out = split_ddl("ALTER TABLE t ADD COLUMN a INT, ADD COLUMN b TEXT")
+    assert [(x.kind, x.args) for x in out] == [
+        ("add_column", ("a", "INT")),
+        ("add_column", ("b", "TEXT")),
+    ]

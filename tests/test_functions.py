@@ -1528,3 +1528,30 @@ def test_multimodal_audio_features(spark):
     assert got[1]["peak_hz"] == 50 * 16000 / 256 and got[1]["n_frames"] == 4
     assert got[2]["peak_bin"] == 20 and not got[2]["narrowband"]
     assert got[2]["parseval_ok"] and got[2]["n_channels"] == 2
+
+
+def test_c4_rules_branches(spark):
+    """C4 cleaning (Raffel et al. 2020 §2.2): each rule branch on a planted
+    page — line keep wants terminal punct + >=5 words + no javascript;
+    page drops on brace / lorem ipsum / bad word / <5 sentences."""
+    from ape_dts_spark.functions import text as tx
+
+    good = ("one fine sentence sits here. two more words follow now. "
+            "third sentence lands cleanly. fourth one works too. fifth ends it!")
+    docs = [
+        (1, good + "\nshort line\nno terminal punctuation here at all"),
+        (2, good + "\nplease enable javascript to view this page."),
+        (3, good + "\nconfig { block }"),
+        (4, good + "\nLorem ipsum dolor sit amet."),
+        (5, "tiny intro line goes here.\nanother small one lands now."),
+        (6, good + "\ncontains xxxspamxxx token here today."),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in tx.c4_rules(df).collect()}
+    assert got[1]["keep"] and got[1]["n_kept"] == 1 and got[1]["n_lines"] == 3
+    assert got[1]["n_sentences"] == 5
+    assert got[2]["keep"] and got[2]["n_kept"] == 1  # js line dropped, page fine
+    assert not got[3]["keep"] and not got[3]["r_brace"]
+    assert not got[4]["keep"] and not got[4]["r_lorem"]
+    assert not got[5]["keep"] and not got[5]["r_sentences"] and got[5]["n_kept"] == 2
+    assert not got[6]["keep"] and not got[6]["r_badword"]
