@@ -19,6 +19,7 @@ from pyspark.sql import Window as W
 from ape_dts_spark import demo
 from ape_dts_spark.config.rdb_filter import RdbFilter
 from ape_dts_spark.functions import dedup as dd
+from ape_dts_spark.functions import graph as gr
 from ape_dts_spark.functions import mixing as mx
 from ape_dts_spark.functions import multimodal as mm
 from ape_dts_spark.functions import similarity as sim
@@ -2080,6 +2081,27 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         "r_wordcount", "r_meanlen", "r_symbol", "r_bullet", "r_ellipsis",
         "r_alpha", "r_stop", "keep",
     )
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point integer PageRank (functions/graph.py, Page et al. 1999)
+    — the page-quality prior behind web-corpus seed selection, bit-exact
+    across engines because every operation is an integer sum or floor
+    division (float PageRank can never hash-match: distributed sums add in
+    shuffle order). The link graph derives from orders (src = customer,
+    dst = o_orderkey % 2000 + 1), which naturally plants hubs, parallel
+    edges (rank mass multiplies per link), and dangling nodes (ids with no
+    out-edges) — the dangling mass redistributes uniformly per the standard
+    correction. Six iterations of the canonical join-agg loop; the oracle
+    unrolls the same six iterations as a DuckDB CTE chain. 100 TB shape:
+    per-iteration one shuffle join on src + one hash agg on dst, edge
+    relation pre-partitionable by src; rank checkpointing every few
+    iterations truncates lineage in a real deployment."""
+    o = demo.load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("src"),
+        (F.col("o_orderkey") % 2000 + 1).alias("dst"),
+    )
+    return gr.pagerank(o, iterations=6)
 
 
 _C4_SYNTH_LINES = [
@@ -4964,6 +4986,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_frames": q_video_frames,
         "hdr_quantiles": q_hdr_quantiles,
         "c4_rules": q_c4_rules,
+        "pagerank": q_pagerank,
         "waiting_suppliers": q_waiting_suppliers,
         # -- last gated r09 --
         "ann_pq": q_ann_pq,
@@ -6506,6 +6529,10 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(av) AS BIGINT) AS sum_abs
             FROM vals GROUP BY id, frames, ch, rate, bits
         """,
+        "pagerank": gr.pagerank_sql(
+            "SELECT o_custkey AS src, o_orderkey % 2000 + 1 AS dst FROM orders",
+            iterations=6,
+        ),
         "c4_rules": (
             "WITH synth AS (SELECT doc_id, concat_ws(chr(10), "
             + ", ".join(_C4_SYNTH_LINES)

@@ -180,7 +180,9 @@ BENCH_QUERIES = [
     "kmv_sketch",
     "kmv_jaccard",
     # round-12b: HDR quantile sketch (one hash agg + sketch-sized readout)
+    # + fixed-point PageRank (6 checkpointed join-agg iterations)
     "hdr_quantiles",
+    "pagerank",
     "span_dedup",
     "substring_dedup",
     "substring_dedup_clean",
