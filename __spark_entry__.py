@@ -2104,6 +2104,32 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gr.pagerank(o, iterations=6)
 
 
+# Shared by audio_features (WAV container) and avi_audio_features (AVI
+# container): the tone parameters and therefore every feature are identical —
+# the container is the only thing under test that differs.
+_AUDIO_FEATURES_ORACLE = """
+    WITH base AS (
+      SELECT o_orderkey AS id,
+             1 + o_orderkey % 120 AS j,
+             512 + (o_orderkey % 37) * 64 AS n,
+             CASE o_orderkey % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                                 ELSE 44100 END AS rate
+      FROM orders)
+    SELECT id,
+           CAST(rate AS INT) AS sample_rate,
+           CAST(1 + id % 2 AS INT) AS n_channels,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(256 AS INT) AS n_fft,
+           CAST(n // 256 AS BIGINT) AS n_frames,
+           CAST(j AS INT) AS peak_bin,
+           CAST(j * rate AS DOUBLE) / 256 AS peak_hz,
+           CAST(j AS INT) AS centroid_round,
+           TRUE AS narrowband,
+           TRUE AS parseval_ok
+    FROM base
+"""
+
+
 _C4_SYNTH_LINES = [
     # every CASE arm exercises a specific C4 rule branch; NULL arms vanish
     # under concat_ws in BOTH engines
@@ -4033,6 +4059,69 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_avi_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The A/V-interleaved multimodal path end to end: each order row muxes
+    a real AVI container — two raw-DIB video frames PLUS a PCM16 audio
+    track cut into per-video-frame '01wb' chunks (the standard AVI
+    interleave, idx1 covering both streams) — carrying the same pure
+    integer-quantized cosine as the audio_features gate. The extractor must
+    walk the two-strl header, reassemble the audio chunks across the
+    interleave, and run the framed-FFT kernel: every spectral feature stays
+    closed-form (peak == centroid-round == j, narrowband, Parseval,
+    peak_hz exact). A wrong chunk split, byte order, or stream dispatch
+    shifts at least one integer column. One Arrow map pass, no shuffle."""
+    o = demo.load(spark, sf_dir, "orders").select("o_orderkey")
+
+    def _gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from ape_dts_spark.functions import media_codec as mc
+
+        frames = [
+            ((11 * f + np.arange(4 * 4 * 3)) % 256).astype(np.uint8).reshape(4, 4, 3)
+            for f in range(2)
+        ]
+        t_max = np.arange(512 + 36 * 64)
+        for pdf in batches:
+            ids, payloads = [], []
+            for k in pdf["o_orderkey"]:
+                k = int(k)
+                j = 1 + k % 120
+                n = 512 + (k % 37) * 64
+                amp = 12000 + (k % 11) * 200
+                ch = 1 + k % 2
+                rate = (8000, 16000, 44100)[k % 3]
+                tone = np.round(
+                    amp * np.cos(2 * np.pi * j * t_max[:n] / 256.0)
+                ).astype(np.int64)
+                ids.append(k)
+                payloads.append(
+                    mc.encode_avi(
+                        frames, fps=10, codec="dib",
+                        audio=np.repeat(tone, ch),
+                        audio_rate=rate, audio_channels=ch,
+                    )
+                )
+            yield pd.DataFrame({"id": ids, "payload": payloads})
+
+    payloads = _spread(o, spark).mapInPandas(_gen, "id long, payload binary")
+    feats = mm.extract_audio_features(payloads, n_fft=256)
+    return feats.select(
+        "id",
+        "sample_rate",
+        "n_channels",
+        "n_samples",
+        "n_fft",
+        "n_frames",
+        "peak_bin",
+        "peak_hz",
+        F.round("centroid_bin").cast("int").alias("centroid_round"),
+        "narrowband",
+        "parseval_ok",
+    )
+
+
 def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL video frame sampling (multimodal.sample_video_frames): each
     customer row synthesizes a 2-5 frame AVI container — RIFF hdrl
@@ -4987,6 +5076,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hdr_quantiles": q_hdr_quantiles,
         "c4_rules": q_c4_rules,
         "pagerank": q_pagerank,
+        "avi_audio_features": q_avi_audio_features,
         "waiting_suppliers": q_waiting_suppliers,
         # -- last gated r09 --
         "ann_pq": q_ann_pq,
@@ -6569,27 +6659,8 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MIN(v) AS INT) AS px_min, CAST(MAX(v) AS INT) AS px_max
             FROM px GROUP BY id, f, nf, h, w
         """,
-        "audio_features": """
-            WITH base AS (
-              SELECT o_orderkey AS id,
-                     1 + o_orderkey % 120 AS j,
-                     512 + (o_orderkey % 37) * 64 AS n,
-                     CASE o_orderkey % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
-                                         ELSE 44100 END AS rate
-              FROM orders)
-            SELECT id,
-                   CAST(rate AS INT) AS sample_rate,
-                   CAST(1 + id % 2 AS INT) AS n_channels,
-                   CAST(n AS BIGINT) AS n_samples,
-                   CAST(256 AS INT) AS n_fft,
-                   CAST(n // 256 AS BIGINT) AS n_frames,
-                   CAST(j AS INT) AS peak_bin,
-                   CAST(j * rate AS DOUBLE) / 256 AS peak_hz,
-                   CAST(j AS INT) AS centroid_round,
-                   TRUE AS narrowband,
-                   TRUE AS parseval_ok
-            FROM base
-        """,
+        "audio_features": _AUDIO_FEATURES_ORACLE,
+        "avi_audio_features": _AUDIO_FEATURES_ORACLE,
         "gopher_repetition": tx.gopher_repetition_sql(),
         "perceptron_train": tx.perceptron_train_sql("documents", "lang = 'en'"),
         "charset_sniff": """

@@ -605,7 +605,8 @@ def parse_wav(payload: bytes) -> dict:
 
 
 def audio_spectrum(payload: bytes, n_fft: int = 256) -> dict:
-    """Framed spectral analysis over a decoded WAV clip — the audio half of
+    """Framed spectral analysis over a decoded audio clip — a WAV payload,
+    or the PCM16 audio track of an AVI container (RIFF form sniffed) — the audio half of
     the multimodal feature-extract surface (reference treats audio as an
     opaque payload; this gives it real, queryable features). Channels are
     integer-summed to a mono mix, framed into non-overlapping rectangular
@@ -627,7 +628,19 @@ def audio_spectrum(payload: bytes, n_fft: int = 256) -> dict:
     """
     if n_fft < 2 or n_fft & (n_fft - 1):
         raise ValueError(f"n_fft must be a power of two >= 2, got {n_fft}")
-    meta, s = wav_samples(payload)
+    form = payload[8:12] if payload[:4] == b"RIFF" else b""
+    if form == b"AVI ":  # audio track of an AVI container
+        rec_avi = parse_avi(payload, return_frames=True)
+        if not rec_avi["has_audio"]:
+            raise ValueError("AVI payload has no audio stream")
+        meta = {
+            "sample_rate": rec_avi["audio_rate"],
+            "n_channels": rec_avi["audio_channels"],
+            "bits_per_sample": 16,
+        }
+        s = rec_avi["audio"]
+    else:
+        meta, s = wav_samples(payload)
     ch = meta["n_channels"]
     mono = s.reshape(-1, ch).sum(axis=1)
     n_frames = mono.size // n_fft
@@ -2592,14 +2605,27 @@ def _riff_list(list_type: bytes, body: bytes) -> bytes:
     return _riff_chunk(b"LIST", list_type + body)
 
 
-def encode_avi(frames: list[np.ndarray], fps: int = 10, codec: str = "dib") -> bytes:
+def encode_avi(
+    frames: list[np.ndarray],
+    fps: int = 10,
+    codec: str = "dib",
+    audio: np.ndarray | None = None,
+    audio_rate: int = 16000,
+    audio_channels: int = 1,
+) -> bytes:
     """AVI writer over same-sized frames. ``codec='dib'``: frames are
     (h, w, 3) uint8 RGB, stored as raw bottom-up BGR DIB rows with 4-byte
     padding in '00db' chunks (lossless). ``codec='mjpg'``: frames are
     (h, w) grayscale or (h, w, 3) RGB uint8, each encoded as a standalone
     baseline JFIF stream (encode_jpeg) in '00dc' chunks. Writes a
     spec-shaped idx1 index (offsets relative to the 'movi' fourcc,
-    AVIIF_KEYFRAME on every frame — both codecs are intra-only)."""
+    AVIIF_KEYFRAME on every frame — both codecs are intra-only).
+
+    ``audio`` adds a second stream (stream 01, 'auds', PCM16 int samples,
+    frame-major interleaved when ``audio_channels`` > 1): samples are cut
+    into per-video-frame '01wb' chunks (rate//fps frames each, remainder on
+    the last chunk) interleaved after each video chunk — the standard AVI
+    A/V interleave."""
     if not frames:
         raise ValueError("AVI needs at least one frame")
     f0 = np.asarray(frames[0])
@@ -2631,6 +2657,34 @@ def encode_avi(frames: list[np.ndarray], fps: int = 10, codec: str = "dib") -> b
     else:
         raise ValueError(f"codec must be 'dib' or 'mjpg', got {codec!r}")
 
+    audio_chunks: list[bytes] = []
+    audio_strl = b""
+    if audio is not None:
+        s = np.asarray(audio, dtype=np.int64).reshape(-1, audio_channels)
+        n_aframes = s.shape[0]
+        spf = audio_rate // fps  # audio frames per video frame
+        for i in range(len(frames)):
+            lo = i * spf
+            hi = (i + 1) * spf if i < len(frames) - 1 else n_aframes
+            audio_chunks.append(s[lo:hi].astype("<i2").tobytes())
+        block_align = 2 * audio_channels
+        a_strh = (
+            b"auds" + b"\x00" * 4
+            + struct.pack(
+                "<IHHIIIIIIiI",
+                0, 0, 0, 0, 1, audio_rate, 0, n_aframes,
+                max((len(c) for c in audio_chunks), default=0), -1, block_align,
+            )
+            + struct.pack("<4H", 0, 0, 0, 0)
+        )
+        a_strf = struct.pack(
+            "<HHIIHH", 1, audio_channels, audio_rate,
+            audio_rate * block_align, block_align, 16,
+        )
+        audio_strl = _riff_list(
+            b"strl", _riff_chunk(b"strh", a_strh) + _riff_chunk(b"strf", a_strf)
+        )
+
     max_len = max(len(p) for p in payloads)
     avih = struct.pack(
         "<14I",
@@ -2638,7 +2692,7 @@ def encode_avi(frames: list[np.ndarray], fps: int = 10, codec: str = "dib") -> b
         max_len * fps,  # max bytes per second
         0,  # padding granularity
         0x10,  # AVIF_HASINDEX
-        len(frames), 0, 1, max_len, w, h, 0, 0, 0, 0,
+        len(frames), 0, 2 if audio is not None else 1, max_len, w, h, 0, 0, 0, 0,
     )
     strh = (
         b"vids" + handler
@@ -2649,15 +2703,20 @@ def encode_avi(frames: list[np.ndarray], fps: int = 10, codec: str = "dib") -> b
     hdrl = _riff_list(
         b"hdrl",
         _riff_chunk(b"avih", avih)
-        + _riff_list(b"strl", _riff_chunk(b"strh", strh) + _riff_chunk(b"strf", strf)),
+        + _riff_list(b"strl", _riff_chunk(b"strh", strh) + _riff_chunk(b"strf", strf))
+        + audio_strl,
     )
     movi_body = b""
     idx = b""
-    for p in payloads:
+    for i, p in enumerate(payloads):
         # idx1 offsets point at the chunk header, relative to the 'movi'
         # fourcc (the common muxer convention): first chunk lands at 4.
         idx += ckid + struct.pack("<III", 0x10, 4 + len(movi_body), len(p))
         movi_body += _riff_chunk(ckid, p)
+        if audio_chunks:
+            a = audio_chunks[i]
+            idx += b"01wb" + struct.pack("<III", 0x10, 4 + len(movi_body), len(a))
+            movi_body += _riff_chunk(b"01wb", a)
     body = b"AVI " + hdrl + _riff_list(b"movi", movi_body) + _riff_chunk(b"idx1", idx)
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
@@ -2674,12 +2733,13 @@ def parse_avi(payload: bytes, return_frames: bool = False) -> dict:
     (riff_len,) = struct.unpack_from("<I", payload, 4)
     if riff_len != len(payload) - 8:
         raise ValueError("RIFF length mismatch")
-    avih = strh = strf = None
+    avih = None
+    streams: list[list[bytes | None]] = []  # per-strl [strh, strf]
     chunks: list[tuple[bytes, int, bytes]] = []  # (ckid, offset_in_movi, body)
     idx1 = None
 
     def walk_hdrl(body: bytes) -> None:
-        nonlocal avih, strh, strf
+        nonlocal avih
         p = 0
         while p + 8 <= len(body):
             tag = body[p : p + 4]
@@ -2689,16 +2749,18 @@ def parse_avi(payload: bytes, return_frames: bool = False) -> dict:
             if tag == b"avih":
                 avih = struct.unpack_from("<14I", sub, 0)
             elif tag == b"LIST" and sub[:4] == b"strl":
+                pair: list[bytes | None] = [None, None]
                 q = 4
                 while q + 8 <= len(sub):
                     stag = sub[q : q + 4]
                     (sln,) = struct.unpack_from("<I", sub, q + 4)
                     sbody = sub[q + 8 : q + 8 + sln]
                     q += 8 + sln + (sln & 1)
-                    if stag == b"strh" and strh is None:
-                        strh = sbody
-                    elif stag == b"strf" and strf is None:
-                        strf = sbody
+                    if stag == b"strh" and pair[0] is None:
+                        pair[0] = sbody
+                    elif stag == b"strf" and pair[1] is None:
+                        pair[1] = sbody
+                streams.append(pair)
 
     pos = 12
     while pos + 8 <= len(payload):
@@ -2715,18 +2777,28 @@ def parse_avi(payload: bytes, return_frames: bool = False) -> dict:
             while p + 8 <= len(body):
                 ckid = body[p : p + 4]
                 (cln,) = struct.unpack_from("<I", body, p + 4)
-                if ckid[2:4] in (b"db", b"dc") and ckid[:2].isdigit():
+                if ckid[2:4] in (b"db", b"dc", b"wb") and ckid[:2].isdigit():
                     chunks.append((ckid, p, body[p + 8 : p + 8 + cln]))
                 p += 8 + cln + (cln & 1)
         elif tag == b"idx1":
             idx1 = body
-    if avih is None or strh is None or strf is None:
+    if avih is None or not streams or streams[0][0] is None or streams[0][1] is None:
         raise ValueError("missing avih/strh/strf header")
+    strh, strf = streams[0]
     if strh[:4] != b"vids":
         raise ValueError(f"first stream is not video: {strh[:4]!r}")
     scale, rate = struct.unpack_from("<II", strh, 20)
     biw, bih, _planes, _bits, compression = struct.unpack_from("<iiHHI", strf, 4)
     w, h = int(biw), abs(int(bih))
+    audio_fmt = None
+    if len(streams) > 1 and streams[1][0] is not None and streams[1][0][:4] == b"auds":
+        if streams[1][1] is None:
+            raise ValueError("auds stream missing strf")
+        audio_fmt = struct.unpack_from("<HHIIHH", streams[1][1], 0)
+        if audio_fmt[0] != 1 or audio_fmt[5] != 16:
+            raise NotImplementedError(
+                f"AVI audio: only PCM16 supported (format={audio_fmt[0]} bits={audio_fmt[5]})"
+            )
     if idx1 is not None:
         if len(idx1) != 16 * len(chunks):
             raise ValueError("idx1 entry count != movi frame count")
@@ -2738,7 +2810,13 @@ def parse_avi(payload: bytes, return_frames: bool = False) -> dict:
             if eck != ckid or eoff != off or eln != len(body_):
                 raise ValueError(f"idx1 entry {i} disagrees with movi chunk")
     frames = []
+    audio_parts: list[bytes] = []
     for ckid, _off, body_ in chunks:
+        if ckid[2:4] == b"wb":  # PCM16 audio chunk (stream 01)
+            if audio_fmt is None:
+                raise ValueError("audio chunk without an auds stream header")
+            audio_parts.append(body_)
+            continue
         if ckid[2:4] == b"db":  # raw DIB, bottom-up BGR, padded rows
             if compression != 0:
                 raise ValueError("00db chunk in a non-BI_RGB stream")
@@ -2758,6 +2836,11 @@ def parse_avi(payload: bytes, return_frames: bool = False) -> dict:
         if frames
         else np.zeros(0, dtype=np.int64)
     )
+    audio = (
+        np.frombuffer(b"".join(audio_parts), dtype="<i2").astype(np.int64)
+        if audio_parts
+        else np.zeros(0, dtype=np.int64)
+    )
     rec = {
         "codec": "dib" if compression == 0 else "mjpg",
         "width": w,
@@ -2768,7 +2851,12 @@ def parse_avi(payload: bytes, return_frames: bool = False) -> dict:
         "px_sum": int(flat.sum()),
         "px_min": int(flat.min()) if flat.size else 0,
         "px_max": int(flat.max()) if flat.size else 0,
+        "has_audio": audio_fmt is not None,
+        "audio_rate": int(audio_fmt[2]) if audio_fmt else 0,
+        "audio_channels": int(audio_fmt[1]) if audio_fmt else 0,
+        "audio_samples": int(audio.size // audio_fmt[1]) if audio_fmt else 0,
     }
     if return_frames:
         rec["frames"] = frames
+        rec["audio"] = audio
     return rec

@@ -404,8 +404,9 @@ def extract_audio_features(
     id_col: str = "id",
     n_fft: int = 256,
 ) -> DataFrame:
-    """REAL audio feature extraction: decode each WAV payload
-    (media_codec.wav_samples — from-scratch RIFF/PCM/IMA-ADPCM) and run a
+    """REAL audio feature extraction: decode each payload — a WAV file
+    (media_codec.wav_samples — from-scratch RIFF/PCM/IMA-ADPCM) or the
+    PCM16 audio track of an AVI container (RIFF form sniffed) — and run a
     framed numpy real-FFT spectral analysis (media_codec.audio_spectrum):
     peak bin/frequency, spectral centroid, bandwidth, a narrowband flag, and
     a per-frame Parseval energy-conservation proof. One Arrow-batched

@@ -103,6 +103,7 @@ BENCH_QUERIES = [
     # round-12b: AVI container frame sampling + framed-FFT audio features
     "video_frames",
     "audio_features",
+    "avi_audio_features",
     "orc_roundtrip",
     "struct_objects",
     "struct_check_report",

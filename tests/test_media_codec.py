@@ -863,3 +863,39 @@ def test_avi_mjpg_frames_match_direct_jpeg_decode():
         for f, d in zip(frames, rec["frames"]):
             direct = mc.decode_jpeg(mc.encode_jpeg(f))["pixels"]
             assert (d == direct).all()
+
+
+def test_avi_audio_track_interleave_and_spectrum():
+    """AVI '01wb' PCM audio: per-video-frame chunk split reassembles to the
+    exact sample stream (mono + stereo), idx1 covers both streams, the
+    spectral kernel dispatches on the RIFF form, and non-PCM16 audio or
+    audio-less containers raise."""
+    frames = [((7 * f + np.arange(4 * 5 * 3)) % 256).astype(np.uint8).reshape(4, 5, 3)
+              for f in range(3)]
+    t = np.arange(1024)
+    tone = np.round(12000 * np.cos(2 * np.pi * 40 * t / 256.0)).astype(np.int64)
+
+    avi = mc.encode_avi(frames, fps=8, codec="dib", audio=tone, audio_rate=16000)
+    rec = mc.parse_avi(avi, return_frames=True)
+    assert rec["has_audio"] and rec["audio_rate"] == 16000
+    assert rec["audio_samples"] == 1024 and (rec["audio"] == tone).all()
+    assert rec["n_frames"] == 3  # video stats untouched by the audio track
+    sp = mc.audio_spectrum(avi)
+    assert sp["peak_bin"] == 40 and sp["narrowband"] and sp["parseval_ok"]
+
+    st = np.repeat(tone, 2)
+    avi2 = mc.encode_avi(frames, fps=8, codec="mjpg", audio=st,
+                         audio_rate=44100, audio_channels=2)
+    rec2 = mc.parse_avi(avi2, return_frames=True)
+    assert rec2["audio_channels"] == 2 and rec2["audio_samples"] == 1024
+    sp2 = mc.audio_spectrum(avi2)
+    assert sp2["peak_bin"] == 40 and sp2["n_channels"] == 2
+
+    with pytest.raises(ValueError, match="no audio stream"):
+        mc.audio_spectrum(mc.encode_avi(frames, codec="dib"))
+    # idx1 must cover the interleaved audio chunks too
+    b = bytearray(avi)
+    idx_at = bytes(b).rfind(b"idx1")
+    b[idx_at + 8 + 16 + 8] ^= 1  # corrupt entry 1 (first audio chunk) offset
+    with pytest.raises(ValueError, match="idx1 entry"):
+        mc.parse_avi(bytes(b))
