@@ -265,3 +265,41 @@ def test_media_pipeline_one_agg_shuffle(spark, sf_dir):
     plan = _plan(spark, sf_dir, "media_pipeline")
     assert "MapInPandas" in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_bucketed_join_eliminates_shuffle(spark, tmp_path):
+    """Bucketing is the co-location lever for repeated big-big joins at
+    100 TB: two tables bucketed+sorted by the join key must join with ZERO
+    Exchange in the physical plan (and no broadcast — this is the big-big
+    path). The unbucketed twin of the same join MUST shuffle, proving the
+    bucket metadata (not table size) is what eliminated the exchanges."""
+    db = f"bucketdemo_{abs(hash(str(tmp_path))) % 10**8}"
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+    try:
+        orders = spark.range(0, 10000).selectExpr(
+            "id AS o_orderkey", "id % 997 AS o_custkey", "id * 7 % 1000 AS amount"
+        )
+        lines = spark.range(0, 30000).selectExpr(
+            "id % 10000 AS l_orderkey", "id % 50 AS qty"
+        )
+        for name, df, key in (("bo", orders, "o_orderkey"), ("bl", lines, "l_orderkey")):
+            (df.write.bucketBy(8, key).sortBy(key).format("parquet")
+               .mode("overwrite").saveAsTable(f"{db}.{name}"))
+        bo, bl = spark.table(f"{db}.bo"), spark.table(f"{db}.bl")
+        joined = bo.hint("merge").join(bl, bo["o_orderkey"] == bl["l_orderkey"])
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan  # co-located: no shuffle at all
+        assert joined.count() == 30000
+
+        # unbucketed twin: same data, same hint -> must exchange both sides
+        orders.createOrReplaceTempView("ubo")
+        lines.createOrReplaceTempView("ubl")
+        un = spark.sql(
+            "SELECT /*+ MERGE(ubl) */ * FROM ubo JOIN ubl"
+            " ON ubo.o_orderkey = ubl.l_orderkey"
+        )
+        un_plan = un._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" in un_plan
+    finally:
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
