@@ -4059,6 +4059,49 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-TIFF decode (media_codec.parse_tiff): each supplier row
+    writes a TIFF cycling the full container matrix by key — both byte
+    orders ('II'/'MM', with SHORT values left-justified in the 4-byte IFD
+    field: the classic big-endian writer bug, pinned), grayscale
+    (BlackIsZero / WhiteIsZero inversion) vs RGB, Compression 1 (none) vs
+    32773 (PackBits RLE), multi-strip reassembly at 3 rows per strip —
+    routed through the parse_image magic sniff (II*/MM*). Pixels follow
+    (13*id + i) % 256, so the oracle restates exact statistics: a wrong
+    strip boundary, endian read, RLE run, or inversion shifts px_sum.
+    One Arrow map pass, no shuffle. LZW/JPEG-in-TIFF raise honestly."""
+    from ape_dts_spark.functions import media_codec as mc
+
+    s = demo.load(spark, sf_dir, "supplier").select("s_suppkey")
+
+    def _gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for k in pdf["s_suppkey"]:
+                k = int(k)
+                h, w = k % 6 + 3, k % 9 + 4
+                spp = 3 if k % 2 else 1
+                vals = ((13 * k + np.arange(h * w * spp)) % 256).astype(np.uint8)
+                px = vals.reshape((h, w, 3) if spp == 3 else (h, w))
+                ids.append(k)
+                payloads.append(
+                    mc.encode_tiff(
+                        px,
+                        big_endian=k % 3 == 0,
+                        packbits=k % 5 < 2,
+                        rows_per_strip=3,
+                        white_is_zero=(spp == 1 and k % 7 == 0),
+                    )
+                )
+            yield pd.DataFrame({"id": ids, "payload": payloads})
+
+    payloads = _spread(s, spark).mapInPandas(_gen, "id long, payload binary")
+    return mc.decode_image(payloads)
+
+
 def q_avi_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The A/V-interleaved multimodal path end to end: each order row muxes
     a real AVI container — two raw-DIB video frames PLUS a PCM16 audio
@@ -5077,6 +5120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_rules": q_c4_rules,
         "pagerank": q_pagerank,
         "avi_audio_features": q_avi_audio_features,
+        "tiff_decode": q_tiff_decode,
         "waiting_suppliers": q_waiting_suppliers,
         # -- last gated r09 --
         "ann_pq": q_ann_pq,
@@ -6661,6 +6705,26 @@ def oracle_sql() -> dict[str, str]:
         """,
         "audio_features": _AUDIO_FEATURES_ORACLE,
         "avi_audio_features": _AUDIO_FEATURES_ORACLE,
+        "tiff_decode": """
+            WITH base AS (
+              SELECT s_suppkey AS id,
+                     s_suppkey % 6 + 3 AS h,
+                     s_suppkey % 9 + 4 AS w,
+                     CASE WHEN s_suppkey % 2 = 1 THEN 3 ELSE 1 END AS spp
+              FROM supplier),
+            vals AS (
+              SELECT id, w, h, spp, (13 * id + i) % 256 AS v
+              FROM base, LATERAL unnest(range(0, h * w * spp)) AS u(i))
+            SELECT id, 'tiff' AS format,
+                   CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+                   CAST(8 AS INT) AS bit_depth,
+                   CAST(CASE WHEN spp = 3 THEN 2 ELSE 0 END AS INT) AS color_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_px,
+                   CAST(SUM(v) AS BIGINT) AS px_sum,
+                   CAST(MIN(v) AS INT) AS px_min,
+                   CAST(MAX(v) AS INT) AS px_max
+            FROM vals GROUP BY id, w, h, spp
+        """,
         "gopher_repetition": tx.gopher_repetition_sql(),
         "perceptron_train": tx.perceptron_train_sql("documents", "lang = 'en'"),
         "charset_sniff": """

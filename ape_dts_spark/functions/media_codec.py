@@ -580,9 +580,15 @@ def wav_samples(payload: bytes) -> tuple[dict, np.ndarray]:
             raise ValueError(f"IMA-ADPCM requires 4 bits/sample, got {bits}")
         s = _ima_adpcm_decode(data, n_channels, block_align)
         bits = 4
+    elif audio_format in (6, 7):  # G.711 A-law / mu-law (one byte/sample)
+        if bits != 8:
+            raise ValueError(f"G.711 requires 8 bits/sample, got {bits}")
+        codes = np.frombuffer(data, dtype=np.uint8).astype(np.int64)
+        s = _alaw_decode(codes) if audio_format == 6 else _ulaw_decode(codes)
     else:
         raise NotImplementedError(
-            f"supported: PCM 8/16/24/32 + IMA-ADPCM (got format={audio_format} bits={bits})"
+            "supported: PCM 8/16/24/32 + IMA-ADPCM + G.711 A-law/mu-law "
+            f"(got format={audio_format} bits={bits})"
         )
     meta = {
         "sample_rate": sample_rate,
@@ -590,6 +596,80 @@ def wav_samples(payload: bytes) -> tuple[dict, np.ndarray]:
         "bits_per_sample": bits,
     }
     return meta, s
+
+
+# ---------------------------------------------------------------------------
+# G.711 mu-law / A-law (ITU-T G.711; the classic telephony companders).
+# Vectorized decode via the standard segment+mantissa expansion, encoders via
+# the usual Sun-audio segment search — both deterministic and table-free.
+# ---------------------------------------------------------------------------
+
+
+def _ulaw_decode(codes: np.ndarray) -> np.ndarray:
+    u = ~codes & 0xFF
+    sign = (u & 0x80) != 0
+    exp = (u >> 4) & 7
+    mant = u & 0x0F
+    mag = (((mant << 3) + 0x84) << exp) - 0x84
+    return np.where(sign, -mag, mag).astype(np.int64)
+
+
+def _ulaw_encode(samples: np.ndarray) -> np.ndarray:
+    s = np.asarray(samples, dtype=np.int64)
+    sign = s < 0
+    mag = np.minimum(np.abs(s), 32635) + 0x84
+    exp = np.clip(np.floor(np.log2(mag)).astype(np.int64) - 7, 0, 7)
+    mant = (mag >> (exp + 3)) & 0x0F
+    code = ~((sign.astype(np.int64) << 7) | (exp << 4) | mant) & 0xFF
+    return code.astype(np.uint8)
+
+
+def _alaw_decode(codes: np.ndarray) -> np.ndarray:
+    a = codes ^ 0x55
+    sign = (a & 0x80) != 0
+    exp = (a >> 4) & 7
+    mant = a & 0x0F
+    mag = np.where(exp > 0, ((mant << 4) + 0x108) << np.maximum(exp - 1, 0), (mant << 4) + 8)
+    # after the 0x55 toggle, bit 7 SET means positive (G.711 A-law sign
+    # convention is inverted relative to mu-law)
+    return np.where(sign, mag, -mag).astype(np.int64)
+
+
+def _alaw_encode(samples: np.ndarray) -> np.ndarray:
+    s = np.asarray(samples, dtype=np.int64)
+    sign = s >= 0
+    mag = np.minimum(np.where(s >= 0, s, -s - 1), 32767)
+    exp = np.maximum(np.floor(np.log2(np.maximum(mag, 1))).astype(np.int64) - 7, 0)
+    mant = np.where(exp > 0, (mag >> (exp + 3)) & 0x0F, (mag >> 4) & 0x0F)
+    code = ((sign.astype(np.int64) << 7) | (exp << 4) | mant) ^ 0x55
+    return code.astype(np.uint8)
+
+
+def encode_wav_g711(
+    samples: np.ndarray, sample_rate: int, n_channels: int = 1, law: str = "ulaw"
+) -> tuple[bytes, np.ndarray]:
+    """G.711 WAV writer (format 7 = mu-law, 6 = A-law). Returns
+    (wav_bytes, reconstructed): G.711 is lossy, so the decoder-exact
+    reconstruction ships alongside, like encode_wav_ima."""
+    s = np.asarray(samples, dtype=np.int64)
+    if law == "ulaw":
+        fmt_code, codes = 7, _ulaw_encode(s)
+        recon = _ulaw_decode(codes.astype(np.int64))
+    elif law == "alaw":
+        fmt_code, codes = 6, _alaw_encode(s)
+        recon = _alaw_decode(codes.astype(np.int64))
+    else:
+        raise ValueError(f"law must be 'ulaw' or 'alaw', got {law!r}")
+    data = codes.tobytes()
+    fmt = struct.pack(
+        "<HHIIHH", fmt_code, n_channels, sample_rate,
+        sample_rate * n_channels, n_channels, 8,
+    )
+    body = (
+        b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body, recon
 
 
 def parse_wav(payload: bytes) -> dict:
@@ -2523,8 +2603,8 @@ IMAGE_DECODED_SCHEMA = (
 
 
 def parse_image(payload: bytes) -> dict:
-    """Magic-sniffing image decode: PNG, BMP, GIF, or JPEG (baseline or
-    progressive) -> the common pixel-statistics record + a format tag.
+    """Magic-sniffing image decode: PNG, BMP, GIF, TIFF, or JPEG (baseline
+    or progressive) -> the common pixel-statistics record + a format tag.
     GIF stats are over the palette-mapped RGB samples of ALL frames
     (color_type 3 = palette, mirroring PNG's type numbering)."""
     if payload[:8] == PNG_SIGNATURE:
@@ -2548,6 +2628,8 @@ def parse_image(payload: bytes) -> dict:
         rec = decode_jpeg(payload)
         rec.pop("pixels")
         return {"format": "jpeg", **rec}
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        return {"format": "tiff", **parse_tiff(payload)}
     raise ValueError("unrecognized image magic")
 
 
@@ -2859,4 +2941,241 @@ def parse_avi(payload: bytes, return_frames: bool = False) -> dict:
     if return_frames:
         rec["frames"] = frames
         rec["audio"] = audio
+    return rec
+
+
+# ---------------------------------------------------------------------------
+# TIFF (baseline TIFF 6.0): writer + decoder. Both byte orders ('II'/'MM'),
+# grayscale (BlackIsZero/WhiteIsZero) and RGB, strip organization, and
+# Compression = 1 (none) or 32773 (PackBits RLE). The other common dataset
+# container besides PNG/BMP/GIF/JPEG; LZW/JPEG-in-TIFF stay out of scope
+# honestly (parse raises on unknown Compression values).
+# ---------------------------------------------------------------------------
+
+_TIFF_TAGS = {
+    256: "width", 257: "height", 258: "bits", 259: "compression",
+    262: "photometric", 273: "strip_offsets", 277: "spp",
+    278: "rows_per_strip", 279: "strip_counts",
+}
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    """PackBits (TIFF 6.0 §9): runs >= 2 as (1-n, byte), literals batched."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        run = 1
+        while i + run < n and data[i + run] == data[i] and run < 128:
+            run += 1
+        if run >= 2:
+            out += bytes([256 - (run - 1) & 0xFF, data[i]])
+            i += run
+            continue
+        lit_start = i
+        i += 1
+        while i < n and run < 128:
+            nxt = 1
+            while i + nxt < n and data[i + nxt] == data[i] and nxt < 128:
+                nxt += 1
+            if nxt >= 2:
+                break
+            i += 1
+            run += 1
+        out += bytes([run - 1]) + data[lit_start : lit_start + run]
+    return bytes(out)
+
+
+def _packbits_decode(data: bytes, expected: int) -> bytes:
+    out = bytearray()
+    i = 0
+    while len(out) < expected:
+        if i >= len(data):
+            raise ValueError("PackBits stream exhausted before row end")
+        n = data[i]
+        i += 1
+        if n < 128:  # literal run of n+1
+            out += data[i : i + n + 1]
+            i += n + 1
+        elif n > 128:  # repeat next byte 257-n times
+            out += bytes([data[i]]) * (257 - n)
+            i += 1
+        # n == 128: noop
+    if len(out) != expected:
+        raise ValueError("PackBits output overruns the strip")
+    return bytes(out)
+
+
+def encode_tiff(
+    pixels: np.ndarray,
+    big_endian: bool = False,
+    packbits: bool = False,
+    rows_per_strip: int = 4,
+    white_is_zero: bool = False,
+) -> bytes:
+    """Baseline TIFF writer: (h, w) grayscale or (h, w, 3) RGB uint8,
+    strip-organized, optional PackBits compression, either byte order."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w = px.shape[:2]
+    spp = 1 if px.ndim == 2 else px.shape[2]
+    if white_is_zero:
+        if spp != 1:
+            raise ValueError("WhiteIsZero applies to grayscale only")
+        px = 255 - px
+    bo = ">" if big_endian else "<"
+    raw_rows = px.reshape(h, w * spp)
+    strips = []
+    for r0 in range(0, h, rows_per_strip):
+        raw = raw_rows[r0 : r0 + rows_per_strip].tobytes()
+        strips.append(_packbits_encode(raw) if packbits else raw)
+
+    def entry(tag: int, typ: int, count: int, value: int) -> bytes:
+        # inline values are LEFT-justified in the 4-byte field (TIFF 6.0
+        # §2): a count-1 SHORT occupies the first two bytes in file order
+        head = struct.pack(f"{bo}HHI", tag, typ, count)
+        if typ == 3:
+            return head + struct.pack(f"{bo}H", value) + b"\x00\x00"
+        return head + struct.pack(f"{bo}I", value)
+
+    n_strips = len(strips)
+    # layout: header(8) + IFD + [bits array if spp=3] + strip tables + strips
+    n_entries = 9
+    ifd_size = 2 + n_entries * 12 + 4
+    pos = 8 + ifd_size
+    bits_off = pos
+    if spp == 3:
+        pos += 6  # three SHORTs
+    so_off, sc_off = pos, pos
+    if n_strips > 1:
+        so_off = pos
+        sc_off = so_off + 4 * n_strips
+        pos = sc_off + 4 * n_strips
+    data_off = pos
+    offsets, counts = [], []
+    for s in strips:
+        offsets.append(pos)
+        counts.append(len(s))
+        pos += len(s)
+
+    photometric = 2 if spp == 3 else (0 if white_is_zero else 1)
+    entries = [
+        entry(256, 4, 1, w),
+        entry(257, 4, 1, h),
+        (
+            entry(258, 3, 1, 8)
+            if spp == 1
+            else struct.pack(f"{bo}HHI", 258, 3, 3) + struct.pack(f"{bo}I", bits_off)
+        ),
+        entry(259, 3, 1, 32773 if packbits else 1),
+        entry(262, 3, 1, photometric),
+        (
+            entry(273, 4, 1, offsets[0])
+            if n_strips == 1
+            else struct.pack(f"{bo}HHI", 273, 4, n_strips) + struct.pack(f"{bo}I", so_off)
+        ),
+        entry(277, 3, 1, spp),
+        entry(278, 4, 1, rows_per_strip),
+        (
+            entry(279, 4, 1, counts[0])
+            if n_strips == 1
+            else struct.pack(f"{bo}HHI", 279, 4, n_strips) + struct.pack(f"{bo}I", sc_off)
+        ),
+    ]
+    ifd = struct.pack(f"{bo}H", n_entries) + b"".join(entries) + struct.pack(f"{bo}I", 0)
+    out = bytearray()
+    out += (b"MM" if big_endian else b"II") + struct.pack(f"{bo}H", 42)
+    out += struct.pack(f"{bo}I", 8)
+    out += ifd
+    if spp == 3:
+        out += struct.pack(f"{bo}3H", 8, 8, 8)
+    if n_strips > 1:
+        out += b"".join(struct.pack(f"{bo}I", o) for o in offsets)
+        out += b"".join(struct.pack(f"{bo}I", c) for c in counts)
+    for s in strips:
+        out += s
+    return bytes(out)
+
+
+def parse_tiff(payload: bytes, return_pixels: bool = False) -> dict:
+    """Baseline TIFF decode: header/byte-order, first-IFD walk (SHORT/LONG
+    entry types, inline vs offset values), strip reassembly with PackBits
+    expansion, WhiteIsZero inversion, RGB or grayscale. Returns the common
+    pixel-statistics record."""
+    if payload[:2] == b"II":
+        bo = "<"
+    elif payload[:2] == b"MM":
+        bo = ">"
+    else:
+        raise ValueError("not a TIFF: bad byte-order mark")
+    (magic,) = struct.unpack_from(f"{bo}H", payload, 2)
+    if magic != 42:
+        raise ValueError(f"not a TIFF: magic {magic} != 42")
+    (ifd_off,) = struct.unpack_from(f"{bo}I", payload, 4)
+    (n_entries,) = struct.unpack_from(f"{bo}H", payload, ifd_off)
+    tags: dict[str, list[int]] = {}
+    for i in range(n_entries):
+        base = ifd_off + 2 + 12 * i
+        tag, typ, count = struct.unpack_from(f"{bo}HHI", payload, base)
+        name = _TIFF_TAGS.get(tag)
+        if name is None:
+            continue  # unknown tags are skippable per spec
+        if typ == 3:  # SHORT
+            if count <= 2:
+                vals = list(struct.unpack_from(f"{bo}{count}H", payload, base + 8))
+            else:
+                (off,) = struct.unpack_from(f"{bo}I", payload, base + 8)
+                vals = list(struct.unpack_from(f"{bo}{count}H", payload, off))
+        elif typ == 4:  # LONG
+            if count == 1:
+                vals = list(struct.unpack_from(f"{bo}I", payload, base + 8))
+            else:
+                (off,) = struct.unpack_from(f"{bo}I", payload, base + 8)
+                vals = list(struct.unpack_from(f"{bo}{count}I", payload, off))
+        else:
+            raise ValueError(f"unsupported TIFF entry type {typ} for tag {tag}")
+        tags[name] = vals
+    for req in ("width", "height", "strip_offsets", "strip_counts"):
+        if req not in tags:
+            raise ValueError(f"TIFF missing required tag: {req}")
+    w, h = tags["width"][0], tags["height"][0]
+    spp = tags.get("spp", [1])[0]
+    bits = tags.get("bits", [8])
+    if any(b != 8 for b in bits):
+        raise NotImplementedError(f"only 8-bit TIFF samples supported (got {bits})")
+    comp = tags.get("compression", [1])[0]
+    if comp not in (1, 32773):
+        raise NotImplementedError(
+            f"TIFF compression {comp} unsupported (only none/PackBits)"
+        )
+    photometric = tags.get("photometric", [1])[0]
+    rps = tags.get("rows_per_strip", [h])[0]
+    raw = bytearray()
+    for i, (off, cnt) in enumerate(zip(tags["strip_offsets"], tags["strip_counts"])):
+        strip = payload[off : off + cnt]
+        if len(strip) != cnt:
+            raise ValueError("truncated TIFF strip")
+        rows = min(rps, h - i * rps)
+        expected = rows * w * spp
+        raw += _packbits_decode(strip, expected) if comp == 32773 else strip
+    if len(raw) != h * w * spp:
+        raise ValueError("TIFF strip data does not cover the image")
+    px = np.frombuffer(bytes(raw), dtype=np.uint8).reshape(
+        (h, w) if spp == 1 else (h, w, spp)
+    )
+    if photometric == 0:  # WhiteIsZero
+        if spp != 1:
+            raise ValueError("WhiteIsZero with multi-sample pixels")
+        px = 255 - px
+    flat = px.astype(np.int64).reshape(-1)
+    rec = {
+        "width": int(w),
+        "height": int(h),
+        "bit_depth": 8,
+        "color_type": 2 if spp == 3 else 0,
+        "n_px": int(flat.size),
+        "px_sum": int(flat.sum()),
+        "px_min": int(flat.min()) if flat.size else 0,
+        "px_max": int(flat.max()) if flat.size else 0,
+    }
+    if return_pixels:
+        rec["pixels"] = px
     return rec

@@ -104,6 +104,7 @@ BENCH_QUERIES = [
     "video_frames",
     "audio_features",
     "avi_audio_features",
+    "tiff_decode",
     "orc_roundtrip",
     "struct_objects",
     "struct_check_report",

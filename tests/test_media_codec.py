@@ -899,3 +899,77 @@ def test_avi_audio_track_interleave_and_spectrum():
     b[idx_at + 8 + 16 + 8] ^= 1  # corrupt entry 1 (first audio chunk) offset
     with pytest.raises(ValueError, match="idx1 entry"):
         mc.parse_avi(bytes(b))
+
+
+def test_g711_codes_and_wav_roundtrip():
+    """G.711 mu-law/A-law: full-code idempotency (encode(decode(c)) == c for
+    all 256 codes except mu-law's canonical negative-zero collapse), ITU
+    extreme values, WAV format-6/7 decode with decoder-exact reconstruction,
+    and companding error bounded by the segment-0 step."""
+    codes = np.arange(256, dtype=np.int64)
+    assert mc._ulaw_decode(np.array([0x80]))[0] == 32124
+    assert mc._ulaw_decode(np.array([0x00]))[0] == -32124
+    assert mc._ulaw_decode(np.array([0xFF]))[0] == 0
+    assert mc._alaw_decode(np.array([0xAA]))[0] == 32256
+    assert mc._alaw_decode(np.array([0xD5]))[0] == 8
+
+    back_u = mc._ulaw_encode(mc._ulaw_decode(codes)).astype(np.int64)
+    assert (back_u != codes).sum() == 1 and back_u[127] == 255  # -0 -> +0
+    back_a = mc._alaw_encode(mc._alaw_decode(codes)).astype(np.int64)
+    assert (back_a == codes).all()
+
+    t = np.arange(3000)
+    sig = (9000 * np.sin(t / 15) + 2500 * np.sin(t / 4)).astype(np.int64)
+    for law in ("ulaw", "alaw"):
+        for ch in (1, 2):
+            x = sig if ch == 1 else np.repeat(sig, 2)
+            wav, recon = mc.encode_wav_g711(x, 8000, ch, law=law)
+            rec = mc.parse_wav(wav)
+            assert (rec["bits_per_sample"], rec["n_channels"], rec["n_samples"]) == (8, ch, 3000)
+            assert rec["sum_abs"] == int(np.abs(recon).sum()), law
+            err = np.abs(recon - x)
+            rel = err / np.maximum(np.abs(x), 1)
+            # segment-0 step is 8 (mu) / 16 (A): small samples err <= 8,
+            # everything else within the ~1/24 mantissa granularity
+            assert np.all((err <= 8) | (rel <= 0.05)), (law, ch)
+        sp = mc.audio_spectrum(mc.encode_wav_g711(sig, 8000, 1, law=law)[0])
+        assert sp["parseval_ok"]
+    with pytest.raises(ValueError, match="law must be"):
+        mc.encode_wav_g711(sig, 8000, 1, law="dpcm")
+
+
+def test_tiff_full_matrix_and_dispatch():
+    """Baseline TIFF: both byte orders (SHORT values left-justified in the
+    IFD value field — the classic MM-writer bug, pinned), gray/RGB,
+    PackBits vs none, WhiteIsZero inversion, multi-strip reassembly, the
+    TIFF 6.0 §9 PackBits spec vector, and parse_image magic routing."""
+    rng = np.random.RandomState(3)
+    for be in (False, True):
+        for pb in (False, True):
+            for shape in ((7, 9), (5, 6, 3)):
+                px = rng.randint(0, 256, shape).astype(np.uint8)
+                t = mc.encode_tiff(px, big_endian=be, packbits=pb, rows_per_strip=3)
+                rec = mc.parse_tiff(t, return_pixels=True)
+                assert (rec["pixels"] == px).all(), (be, pb, shape)
+    g = rng.randint(0, 256, (4, 5)).astype(np.uint8)
+    rec = mc.parse_tiff(mc.encode_tiff(g, white_is_zero=True), return_pixels=True)
+    assert (rec["pixels"] == g).all()
+
+    spec_in = bytes([0xAA, 0xAA, 0xAA, 0x80, 0x00, 0x2A, 0xAA, 0xAA, 0xAA, 0xAA,
+                     0x80, 0x00, 0x2A, 0x22, 0xAA, 0xAA, 0xAA, 0xAA, 0xAA, 0xAA,
+                     0xAA, 0xAA, 0xAA, 0xAA])
+    spec_out = bytes([0xFE, 0xAA, 0x02, 0x80, 0x00, 0x2A, 0xFD, 0xAA, 0x03, 0x80,
+                      0x00, 0x2A, 0x22, 0xF7, 0xAA])
+    assert mc._packbits_decode(spec_out, len(spec_in)) == spec_in
+    assert mc._packbits_decode(mc._packbits_encode(spec_in), len(spec_in)) == spec_in
+
+    out = mc.parse_image(mc.encode_tiff(g, big_endian=True))
+    assert out["format"] == "tiff" and out["px_sum"] == int(g.astype(np.int64).sum())
+    with pytest.raises(NotImplementedError, match="compression"):
+        bad = bytearray(mc.encode_tiff(g))
+        # compression tag value lives in the 4th IFD entry; flip to LZW (5)
+        ifd = 8 + 2
+        bad[ifd + 3 * 12 + 8] = 5
+        mc.parse_tiff(bytes(bad))
+    with pytest.raises(ValueError, match="byte-order"):
+        mc.parse_tiff(b"XX\x2a\x00")
