@@ -5048,8 +5048,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # is a prefix cut. Before any rotation
     # ships, the FULL (non --window) tools/check.py run must be green —
     # rotated-out queries keep local-gate + pytest coverage. After r12 the
-    # stalest remaining driver rows are the 49 r09-era ones, which the r13
-    # rotation should lead with. This literal is machine-regenerated from the
+    # stalest remaining driver rows are the 49 r09-era ones; together with
+    # the seven never-gated r12b additions (audio_features, video_frames,
+    # avi_audio_features, tiff_decode, hdr_quantiles, c4_rules, pagerank —
+    # registered past the window, full-sweep + pytest green) they lead the
+    # r13 rotation. This literal is machine-regenerated from the
     # CORRECTNESS_r* staleness data each rotation; duplicates are
     # structurally impossible.
     return {

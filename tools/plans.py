@@ -123,6 +123,21 @@ AUDITED = [
     "media_pipeline",     # one mixed-format Arrow decode pass -> tiny grouped agg
     "png_full_decode",    # Arrow encode pass -> Arrow full-matrix decode, no shuffle
     "wav_decode",         # Arrow encode pass -> Arrow PCM-width decode, no shuffle
+    # round 12b
+    "audio_features",     # Arrow tone-encode pass -> Arrow framed-FFT kernel,
+                          # no shuffle; vectorized rfft across frames
+    "avi_audio_features", # same kernel through the AVI A/V-interleave parse
+    "video_frames",       # Arrow AVI mux pass -> Arrow parse + in-kernel
+                          # frame explode, no shuffle
+    "tiff_decode",        # Arrow TIFF encode pass -> magic-dispatch decode
+    "hdr_quantiles",      # one map-side-combined hash agg over the data;
+                          # merge + window cumsum run on the ~400-bucket
+                          # sketch relation, never on rows
+    "c4_rules",           # pure JVM projection (line filters as array exprs),
+                          # no shuffle
+    # pagerank: the returned plan is a scan of the final checkpointed rank
+    # relation (lineage truncated by design) — per-iteration shape is one
+    # shuffle join + one hash agg, locked in test_graph semantics instead
     # (perceptron_train / bpe_learn / unigram_learn / langid_train run their
     # loops inside the query function and return driver-built weight/vocab
     # tables — nothing to audit in the final plan; their shuffle discipline
