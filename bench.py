@@ -272,24 +272,23 @@ CONFIG_GATE_ALLOWLIST = {
 # ~2 extra runs x ~10 queries ~= 2-3 min; the headline RPS metrics already
 # have their own best-of-N treatment.
 MEDIAN3_QUERIES = {
-    # r12: capped at 8 (VERDICT r11 item 2 — the 12-query median-3 overhead
-    # ate the 560s budget and shed the 5 PQ/SQ8 gates; ~50s of extra samples
-    # on low-controversy queries bought nothing). Kept: the engine-defining
-    # CC/curation/langid rows + the quadratic calibrator. Added: the two
-    # r10->r11 regression suspects (VERDICT item 6) so this round's numbers
-    # settle whether they were host noise. SETTLED (r12 quiet-host median-3):
+    # r12b: trimmed to 4 — a quiet-host audit showed the 8-query median-3
+    # overhead (~128s: curation_v3 alone costs 41s of extra samples, the
+    # langid chain 20s) is exactly what pushed the query loop past the 560s
+    # budget and shed the 7-query ANN tail AGAIN after the r12 trim to 8.
+    # Kept: the two CC engine rows (the r9->r11 controversy this machinery
+    # exists for) and the two near-dup kernels whose r10->r11 deltas needed
+    # settling. Dropped as SETTLED or stable: curation_v3 / langid_apply
+    # (costly, three rounds of consistent readings — their single-sample
+    # noise band is documented in VERDICT r11's plan audit),
     # substring_dedup_clean [0.367, 0.43, 0.355] ~= the r10 0.38s and
     # cosine_dup_pairs [1.325, 1.166, 1.156] < the r10 1.43s — the r11
     # single-sample 1.30s / 2.12s readings were host-load bursts, no code
     # regression (neither code path changed r10->r11; see git log).
     "dedup_cluster",
     "dedup_cluster_star",
-    "langid_apply",
-    "curation_v3",
     "ngram_jaccard",
     "embedding_dedup_keep",
-    "substring_dedup_clean",
-    "cosine_dup_pairs",
 }
 
 
