@@ -2104,6 +2104,27 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gr.pagerank(o, iterations=6)
 
 
+def q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counting (functions/graph.py triangle_counts, Suri
+    & Vassilvitskii 2011) — the local-clustering signal behind link-spam
+    and community detection in web-corpus curation. Degree-ordered
+    orientation makes each triangle appear as exactly one wedge and bounds
+    hub fan-out by oriented out-degree (no last-reducer blowup). The edge
+    list derives from orders as a dense 300-node graph (o_custkey % 300 ->
+    o_orderkey % 300 — two independent key columns, so edges are NOT a
+    single-valued function of the source and ~100k triangles exist at
+    sf0.01) with heavy parallel-edge duplication the operator must
+    collapse, plus self-loops to drop; the oracle mirrors the same
+    orientation and joins in DuckDB — all integer counts, bit-exact.
+    Scale shape: two hash joins + one semi-join + one agg, every one an
+    equi-join on node ids."""
+    o = demo.load(spark, sf_dir, "orders").select(
+        (F.col("o_custkey") % 300).alias("src"),
+        (F.col("o_orderkey") % 300).alias("dst"),
+    )
+    return gr.triangle_counts(o)
+
+
 # Shared by audio_features (WAV container) and avi_audio_features (AVI
 # container): the tone parameters and therefore every feature are identical —
 # the container is the only thing under test that differs.
@@ -5124,6 +5145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "avi_audio_features": q_avi_audio_features,
         "tiff_decode": q_tiff_decode,
+        "triangle_counts": q_triangle_counts,
         "waiting_suppliers": q_waiting_suppliers,
         # -- last gated r09 --
         "ann_pq": q_ann_pq,
@@ -6666,6 +6688,9 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(av) AS BIGINT) AS sum_abs
             FROM vals GROUP BY id, frames, ch, rate, bits
         """,
+        "triangle_counts": gr.triangle_counts_sql(
+            "SELECT o_custkey % 300 AS src, o_orderkey % 300 AS dst FROM orders"
+        ),
         "pagerank": gr.pagerank_sql(
             "SELECT o_custkey AS src, o_orderkey % 2000 + 1 AS dst FROM orders",
             iterations=6,

@@ -185,6 +185,7 @@ BENCH_QUERIES = [
     # + fixed-point PageRank (6 checkpointed join-agg iterations)
     "hdr_quantiles",
     "pagerank",
+    "triangle_counts",
     "span_dedup",
     "substring_dedup",
     "substring_dedup_clean",

@@ -55,3 +55,48 @@ def test_pagerank_parallel_edges_weigh_double(spark):
     r1 = {r["node"]: r["rank_fp"] for r in G.pagerank(e1, iterations=4).collect()}
     r2 = {r["node"]: r["rank_fp"] for r in G.pagerank(e2, iterations=4).collect()}
     assert r2[2] > r1[2] and r2[3] < r1[3]
+
+
+def _tri_reference(edges):
+    import itertools
+
+    und = set()
+    for a, b in edges:
+        if a != b:
+            und.add((min(a, b), max(a, b)))
+    nodes = sorted({x for ab in und for x in ab})
+    adj = {v: set() for v in nodes}
+    for a, b in und:
+        adj[a].add(b)
+        adj[b].add(a)
+    counts: dict[int, int] = {}
+    for x, y, z in itertools.combinations(nodes, 3):
+        if y in adj[x] and z in adj[x] and z in adj[y]:
+            for v in (x, y, z):
+                counts[v] = counts.get(v, 0) + 1
+    return counts
+
+
+def test_triangle_counts_three_way_exact(spark):
+    """triangle_counts == DuckDB twin == brute-force reference on a graph
+    with a hub, parallel edges (deduped), self-loops (dropped), and nodes
+    in no triangle (absent from the output)."""
+    import duckdb
+
+    edges = [(1, 2), (2, 3), (3, 1), (1, 4), (4, 2), (4, 4), (2, 1), (5, 6),
+             (1, 5), (5, 2), (6, 1), (3, 4)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["tri_cnt"] for r in G.triangle_counts(e).collect()}
+    sql = G.triangle_counts_sql(
+        "SELECT * FROM (VALUES "
+        + ", ".join(f"({a},{b})" for a, b in edges)
+        + ") AS t(src,dst)"
+    )
+    oracle = {r[0]: r[1] for r in duckdb.sql(sql).fetchall()}
+    ref = _tri_reference(edges)
+    assert got == oracle == ref and got, got
+    # K4 sanity: complete graph on 4 nodes = 4 triangles, 3 per node
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    got4 = {r["node"]: r["tri_cnt"] for r in G.triangle_counts(
+        spark.createDataFrame(k4, "src long, dst long")).collect()}
+    assert got4 == {0: 3, 1: 3, 2: 3, 3: 3}

@@ -135,6 +135,8 @@ AUDITED = [
                           # sketch relation, never on rows
     "c4_rules",           # pure JVM projection (line filters as array exprs),
                           # no shuffle
+    "triangle_counts",    # degree-oriented wedge join + semi-join close +
+                          # one agg — every join an equi-join on node ids
     # pagerank: the returned plan is a scan of the final checkpointed rank
     # relation (lineage truncated by design) — per-iteration shape is one
     # shuffle join + one hash agg, locked in test_graph semantics instead
