@@ -24,6 +24,7 @@ WAV/RIFF: the canonical PCM layout (RIFF/WAVE, fmt , data chunks).
 
 from __future__ import annotations
 
+import functools
 import struct
 import zlib
 from binascii import crc32
@@ -34,6 +35,70 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+
+
+class MediaCodecError(ValueError):
+    """Malformed / truncated media payload.
+
+    The codecs' explicit validity checks raise ValueError with a message;
+    this subclass is the *normalized* error surface for everything a
+    truncated or bit-flipped real-corpus file can trigger mid-parse
+    (``struct.error`` from a short header read, ``zlib.error`` from a cut
+    DEFLATE stream, ``IndexError``/``KeyError`` from a corrupt table, …).
+    Being a ValueError, it flows through the multimodal ``fake=True``
+    corrupt-tolerance catch (functions/multimodal.py) and ``decode_image``'s
+    ``errors="null"`` quarantine path — one bad row must never crash a
+    mixed-corpus job (the checker-grade robustness contract of the
+    reference's base_checker.rs, applied to media)."""
+
+
+# Exception types a malformed payload can surface from the stdlib/numpy
+# guts of a parser. NotImplementedError (honest capability boundaries) and
+# plain ValueError (explicit validity checks) pass through untouched.
+_MALFORMED_ERRORS = (
+    struct.error,
+    zlib.error,
+    IndexError,
+    KeyError,
+    EOFError,
+    OverflowError,
+    UnicodeDecodeError,
+    MemoryError,
+)
+
+# One file is decoded in one executor's memory: cap declared dimensions so a
+# bit-flipped width/height field raises instead of attempting a multi-GiB
+# allocation (2^28 samples ≈ 256 MiB int8 plane — generous for any fixture
+# or real crawl image, tiny next to executor memory).
+_MAX_DIM = 1 << 24
+_MAX_PIXELS = 1 << 28
+
+
+def _check_dims(w: int, h: int, fmt: str) -> None:
+    if not (0 < w <= _MAX_DIM and 0 < h <= _MAX_DIM and w * h <= _MAX_PIXELS):
+        raise MediaCodecError(f"malformed {fmt} payload: implausible dimensions {w}x{h}")
+
+
+def _codec_guard(fmt: str):
+    """Normalize a parser's error surface: any low-level exception escaping
+    the explicit validity checks is re-raised as MediaCodecError so callers
+    (multimodal fake=True, decode_image errors=) need exactly one catch."""
+
+    def deco(fn):
+        @functools.wraps(fn)
+        def wrapper(payload, *args, **kwargs):
+            try:
+                return fn(payload, *args, **kwargs)
+            except (MediaCodecError, NotImplementedError):
+                raise
+            except _MALFORMED_ERRORS as exc:
+                raise MediaCodecError(
+                    f"malformed {fmt} payload: {type(exc).__name__}: {exc}"
+                ) from exc
+
+        return wrapper
+
+    return deco
 
 # ---------------------------------------------------------------------------
 # PNG writer (deterministic, spec-conformant; fixture generator)
@@ -238,6 +303,7 @@ def _png_recon_pass(
     return out, offset + need
 
 
+@_codec_guard("png")
 def parse_png(payload: bytes, return_pixels: bool = False) -> dict:
     """Full PNG decode: signature, chunk walk with CRC-32 verification,
     IHDR/PLTE, zlib-inflate of the concatenated IDAT stream, per-scanline
@@ -272,6 +338,7 @@ def parse_png(payload: bytes, return_pixels: bool = False) -> dict:
     if ihdr is None or not seen_end:
         raise ValueError("missing IHDR or IEND")
     w, h, bit_depth, color_type, comp, filt, interlace = ihdr
+    _check_dims(w, h, "png")
     if comp or filt or interlace not in (0, 1):
         raise ValueError(
             f"invalid IHDR (compression={comp} filter={filt} interlace={interlace})"
@@ -532,6 +599,7 @@ def _ima_adpcm_decode(data: bytes, n_channels: int, block_align: int) -> np.ndar
     return np.array(out, dtype=np.int64).reshape(-1)
 
 
+@_codec_guard("wav")
 def wav_samples(payload: bytes) -> tuple[dict, np.ndarray]:
     """RIFF/WAVE parse + sample decode, returning (meta, samples): chunk
     walk (fmt before data, unknown chunks skipped per spec), then
@@ -672,6 +740,7 @@ def encode_wav_g711(
     return b"RIFF" + struct.pack("<I", len(body)) + body, recon
 
 
+@_codec_guard("wav")
 def parse_wav(payload: bytes) -> dict:
     """WAV parse + decode to exact integer sample statistics (count / peak
     magnitude / sum of |s|) over :func:`wav_samples`."""
@@ -684,6 +753,7 @@ def parse_wav(payload: bytes) -> dict:
     }
 
 
+@_codec_guard("wav")
 def audio_spectrum(payload: bytes, n_fft: int = 256) -> dict:
     """Framed spectral analysis over a decoded audio clip — a WAV payload,
     or the PCM16 audio track of an AVI container (RIFF form sniffed) — the audio half of
@@ -930,6 +1000,7 @@ def _mask_extract(vals: np.ndarray, mask: int) -> np.ndarray:
     return chan * 255 // width_max
 
 
+@_codec_guard("bmp")
 def parse_bmp(payload: bytes, return_pixels: bool = False) -> dict:
     """Full BMP decode: BI_RGB 24-bit / 32-bit, 32-bit BI_BITFIELDS with
     header-declared channel masks (scaled to 8 bits), palettized 1/4/8-bit
@@ -943,6 +1014,7 @@ def parse_bmp(payload: bytes, return_pixels: bool = False) -> dict:
     if file_size != len(payload):
         raise ValueError("BMP file size mismatch")
     hdr_size, w, h, planes, bpp, compression = struct.unpack_from("<IiiHHI", payload, 14)
+    _check_dims(w, abs(h), "bmp")
     if hdr_size < 40 or planes != 1:
         raise ValueError("unsupported BMP header")
     (colors_used,) = struct.unpack_from("<I", payload, 46)
@@ -1199,6 +1271,7 @@ def encode_gif(
     return bytes(out)
 
 
+@_codec_guard("gif")
 def parse_gif(payload: bytes, return_frames: bool = False) -> dict:
     """Full GIF decode: header version, logical screen descriptor, global /
     local color tables, extension sub-block walk, LZW decompression per
@@ -1209,6 +1282,7 @@ def parse_gif(payload: bytes, return_frames: bool = False) -> dict:
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF: bad signature")
     w, h = struct.unpack_from("<HH", payload, 6)
+    _check_dims(w, h, "gif")
     packed = payload[10]
     pos = 13
     gct = None
@@ -1238,6 +1312,7 @@ def parse_gif(payload: bytes, return_frames: bool = False) -> dict:
             pos += 1
         elif b0 == 0x2C:  # image descriptor
             _left, _top, fw, fh = struct.unpack_from("<HHHH", payload, pos)
+            _check_dims(fw, fh, "gif")
             pos += 8
             fpacked = payload[pos]
             pos += 1
@@ -1358,6 +1433,7 @@ def encode_jpeg_headers(
     )
 
 
+@_codec_guard("jpeg")
 def parse_jpeg_meta(payload: bytes) -> dict:
     """JPEG HEADER metadata via the marker walk (SOI, length-framed segments,
     0xFF00 stuffing-aware scan skip, standalone RSTn/EOI): precision, width,
@@ -1381,6 +1457,7 @@ def parse_jpeg_meta(payload: bytes) -> dict:
         body = payload[pos + 4 : pos + 2 + seg_len]
         if marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             precision, height, width, n_comp = struct.unpack_from(">BHHB", body, 0)
+            _check_dims(width, height, "jpeg")
             return {
                 "precision": precision,
                 "width": width,
@@ -2132,6 +2209,7 @@ def _extend(v: int, cat: int) -> int:
     return v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
 
 
+@_codec_guard("jpeg")
 def decode_jpeg(payload: bytes) -> dict:
     """Full baseline JPEG pixel decode: marker walk, stream-declared
     quant/Huffman tables, entropy decode with restart handling, IDCT,
@@ -2180,6 +2258,7 @@ def decode_jpeg(payload: bytes) -> dict:
                 i += 17 + n
         elif marker in (0xC1, 0xC0):  # SOF0/1 baseline
             precision, h, w, n_comp = struct.unpack_from(">BHHB", body, 0)
+            _check_dims(w, h, "jpeg")
             comps = []
             for c in range(n_comp):
                 cid, sampv, qid = struct.unpack_from(">BBB", body, 6 + 3 * c)
@@ -2504,6 +2583,7 @@ def _decode_progressive(payload: bytes) -> dict:
             if frame is not None:
                 raise ValueError("multiple SOF markers")
             precision, h, w, n_comp = struct.unpack_from(">BHHB", body, 0)
+            _check_dims(w, h, "jpeg")
             comps = []
             for c in range(n_comp):
                 cid, sampv, qid = struct.unpack_from(">BBB", body, 6 + 3 * c)
@@ -2602,6 +2682,7 @@ IMAGE_DECODED_SCHEMA = (
 )
 
 
+@_codec_guard("image")
 def parse_image(payload: bytes) -> dict:
     """Magic-sniffing image decode: PNG, BMP, GIF, TIFF, or JPEG (baseline
     or progressive) -> the common pixel-statistics record + a format tag.
@@ -2633,19 +2714,64 @@ def parse_image(payload: bytes) -> dict:
     raise ValueError("unrecognized image magic")
 
 
-def decode_image(df: DataFrame, payload_col: str = "payload", id_col: str = "id") -> DataFrame:
+_IMAGE_FIELDS = [
+    "format", "width", "height", "bit_depth", "color_type",
+    "n_px", "px_sum", "px_min", "px_max",
+]
+
+
+def decode_image(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "id",
+    errors: str = "raise",
+) -> DataFrame:
     """Distributed mixed-format image decode — sniffs each payload's magic
     and routes to the right parser in one Arrow-batched pass, the shape of a
-    real ingest where one binary column carries heterogeneous formats."""
+    real ingest where one binary column carries heterogeneous formats.
+
+    ``errors`` is the per-row quarantine policy for corrupt / truncated /
+    unsupported payloads (MediaCodecError, ValueError, NotImplementedError):
+
+    - ``"raise"`` (default): fail the job — the strict-fixture mode.
+    - ``"null"``: keep the row with null decode fields and the exception
+      message in an extra ``error string`` column — the dead-letter
+      relation shape (filter ``error IS NOT NULL`` to quarantine, mirroring
+      streaming/cdc.py's dead_letter path); good rows carry ``error=NULL``.
+    - ``"skip"``: drop bad rows (same extra ``error`` column, always NULL
+      in the output, so both tolerant modes share one schema).
+
+    A 100 TB crawl corpus WILL contain truncated files; the tolerant modes
+    are why one bad byte never loses the other 99.999% of a batch."""
+    if errors not in ("raise", "null", "skip"):
+        raise ValueError(f"errors must be raise/null/skip, got {errors!r}")
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            recs = [parse_image(bytes(b)) for b in pdf[payload_col]]
-            out = pd.DataFrame(recs)
-            out.insert(0, "id", pdf[id_col].values)
+            if errors == "raise":
+                recs = [parse_image(bytes(b)) for b in pdf[payload_col]]
+                out = pd.DataFrame(recs)
+                out.insert(0, "id", pdf[id_col].values)
+                yield out
+                continue
+            rows, ids = [], []
+            for rid, b in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    rec = parse_image(bytes(b))
+                    rec["error"] = None
+                except (ValueError, NotImplementedError) as exc:
+                    if errors == "skip":
+                        continue
+                    rec = dict.fromkeys(_IMAGE_FIELDS)
+                    rec["error"] = f"{type(exc).__name__}: {exc}"
+                rows.append(rec)
+                ids.append(rid)
+            out = pd.DataFrame(rows, columns=_IMAGE_FIELDS + ["error"])
+            out.insert(0, "id", ids)
             yield out
 
-    return df.mapInPandas(_decode, schema=IMAGE_DECODED_SCHEMA)
+    schema = IMAGE_DECODED_SCHEMA if errors == "raise" else IMAGE_DECODED_SCHEMA + ", error string"
+    return df.mapInPandas(_decode, schema=schema)
 
 
 JPEG_META_SCHEMA = (
@@ -2803,6 +2929,7 @@ def encode_avi(
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+@_codec_guard("avi")
 def parse_avi(payload: bytes, return_frames: bool = False) -> dict:
     """AVI parse + per-frame pixel decode: RIFF walk (hdrl: avih/strh/strf,
     movi: frame chunks, idx1 cross-checked against actual chunk offsets when
@@ -2872,6 +2999,7 @@ def parse_avi(payload: bytes, return_frames: bool = False) -> dict:
     scale, rate = struct.unpack_from("<II", strh, 20)
     biw, bih, _planes, _bits, compression = struct.unpack_from("<iiHHI", strf, 4)
     w, h = int(biw), abs(int(bih))
+    _check_dims(w, h, "avi")
     audio_fmt = None
     if len(streams) > 1 and streams[1][0] is not None and streams[1][0][:4] == b"auds":
         if streams[1][1] is None:
@@ -3095,6 +3223,7 @@ def encode_tiff(
     return bytes(out)
 
 
+@_codec_guard("tiff")
 def parse_tiff(payload: bytes, return_pixels: bool = False) -> dict:
     """Baseline TIFF decode: header/byte-order, first-IFD walk (SHORT/LONG
     entry types, inline vs offset values), strip reassembly with PackBits
@@ -3137,6 +3266,7 @@ def parse_tiff(payload: bytes, return_pixels: bool = False) -> dict:
         if req not in tags:
             raise ValueError(f"TIFF missing required tag: {req}")
     w, h = tags["width"][0], tags["height"][0]
+    _check_dims(w, h, "tiff")
     spp = tags.get("spp", [1])[0]
     bits = tags.get("bits", [8])
     if any(b != 8 for b in bits):

@@ -2031,6 +2031,58 @@ def langid_score(
     )
 
 
+def langid_fixture_weights(
+    spark, langs: tuple[str, ...], dim: int = 64
+) -> DataFrame:
+    """Deterministic stand-in for a persisted trained langid model: weight
+    (lang ci, bucket b) = ((b + 1) * (7 * ci + 3)) % 17 - 8 — a closed-form
+    both engines compute exactly, serving the apply path the way the
+    ann_*_index gates serve a built index. len(langs) x dim rows, a
+    driver-side literal like any loaded model checkpoint."""
+    rows = [
+        (c, b, ((b + 1) * (7 * ci + 3)) % 17 - 8)
+        for ci, c in enumerate(langs)
+        for b in range(dim)
+    ]
+    return spark.createDataFrame(rows, "lang string, bucket int, weight long")
+
+
+def langid_fixture_weights_sql(langs: tuple[str, ...], dim: int = 64) -> str:
+    """DuckDB twin of langid_fixture_weights (a single CTE body)."""
+    selects = [
+        f"SELECT '{c}' AS lang, CAST(i AS INT) AS bucket, "
+        f"CAST((i + 1) * {7 * ci + 3} % 17 - 8 AS BIGINT) AS weight "
+        f"FROM range({dim}) t(i)"
+        for ci, c in enumerate(langs)
+    ]
+    return "\nUNION ALL\n".join(selects)
+
+
+def langid_score_sql(
+    table: str = "documents", langs: tuple[str, ...] = (),
+    id_col: str = "doc_id", text_col: str = "text",
+    n: int = 3, dim: int = 64,
+) -> str:
+    """DuckDB twin of langid_score over the fixture model: the same score /
+    argmax (score desc, lang asc) / 'unknown'-fallback chain as
+    langid_apply_sql, minus the training CTEs."""
+    nt = norm_text_sql(text_col)
+    h = portable_hash_sql("g")
+    return f"""
+WITH normed AS (SELECT {id_col} AS d, {nt} AS _nt FROM {table}),
+grams AS (SELECT d, unnest({shingles_sql('_nt', n)}) AS g FROM normed),
+feats AS (SELECT d, CAST({h} % {dim} AS INT) AS bucket, COUNT(*) AS cnt
+          FROM grams GROUP BY ALL),
+wall AS ({langid_fixture_weights_sql(langs, dim)}),
+sc AS (SELECT f.d, w.lang, SUM(f.cnt * w.weight) AS score
+       FROM feats f JOIN wall w USING (bucket) GROUP BY ALL),
+pr AS (SELECT d, CASE WHEN score > 0 THEN lang ELSE 'unknown' END AS pred_lang,
+              row_number() OVER (PARTITION BY d ORDER BY score DESC, lang) AS rn
+       FROM sc)
+SELECT t.{id_col}, COALESCE(p.pred_lang, 'unknown') AS pred_lang
+FROM {table} t LEFT JOIN (SELECT d, pred_lang FROM pr WHERE rn = 1) p ON t.{id_col} = p.d"""
+
+
 def langid_train_sql(
     table: str = "documents", langs: tuple[str, ...] = (),
     id_col: str = "doc_id", label_col: str = "lang", text_col: str = "text",

@@ -19,13 +19,57 @@ from dataclasses import dataclass
 
 _ID = r'[`"]?([\w$]+)[`"]?'
 _QID = rf"(?:{_ID}\.)?{_ID}"  # [schema.]name
+# CREATE TABLE modifiers (PG UNLOGGED, [GLOBAL|LOCAL] TEMPORARY/TEMP)
+_CT_MODS = r"(?:(?:GLOBAL\s+|LOCAL\s+)?TEMP(?:ORARY)?\s+|UNLOGGED\s+)?"
 
-# C-style block comments and -- line comments, removed before matching like
-# the reference does (ddl_parser.rs:77-81: binlogs carry statements like
-# "create /*comment*/ table ..." from migration tools); MySQL's # line
-# comments too. A trailing -- comment without a final newline is also
-# stripped (the reference regex requires the \n and misses that case).
-_COMMENTS = re.compile(r"(/\*([^*]|\*+[^*/])*\*+/)|(--[^\n]*(\n|$))|(#[^\n]*(\n|$))")
+def _strip_comments(text: str) -> str:
+    """String-aware comment removal (r13, ADVICE r12: the old regex pass
+    stripped '#'/'--'/'/*' sequences INSIDE string literals, truncating
+    e.g. ``DEFAULT 'a#b'`` and ``COMMENT 'issue #42'``). A character scan
+    tracks '/"/backtick string state — with MySQL backslash escapes and
+    doubled quotes — and removes comments only OUTSIDE strings: C-style
+    ``/* */`` blocks, ``--`` line comments, and MySQL ``#`` line comments
+    (ddl_parser.rs:77-81 removes the first two the same blind-regex way;
+    string-awareness is strictly safer). A trailing line comment without a
+    final newline is also stripped. An unterminated string keeps the
+    remainder verbatim (nothing after it can be a comment we can prove)."""
+    out: list[str] = []
+    i, n = 0, len(text)
+    in_str: str | None = None
+    while i < n:
+        ch = text[i]
+        if in_str:
+            out.append(ch)
+            if ch == "\\" and in_str in ("'", '"') and i + 1 < n:
+                out.append(text[i + 1])
+                i += 2
+                continue
+            if ch == in_str:
+                if i + 1 < n and text[i + 1] == in_str:  # '' "" `` doubling
+                    out.append(text[i + 1])
+                    i += 2
+                    continue
+                in_str = None
+            i += 1
+            continue
+        if ch in ("'", '"', "`"):
+            in_str = ch
+            out.append(ch)
+            i += 1
+            continue
+        if text[i : i + 2] == "/*":
+            end = text.find("*/", i + 2)
+            out.append(" ")
+            i = n if end < 0 else end + 2
+            continue
+        if text[i : i + 2] == "--" or ch == "#":
+            end = text.find("\n", i)
+            out.append(" ")
+            i = n if end < 0 else end + 1
+            continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
 
 # Trailing MySQL online-DDL hints on ALTER TABLE / CREATE INDEX / DROP INDEX
 # (https://dev.mysql.com/doc/refman/8.4/en/alter-table.html): ALGORITHM [=]
@@ -42,7 +86,7 @@ _HINTS = re.compile(
 
 def _normalize(text: str) -> str:
     """Comment removal + trailing online-DDL-hint strip."""
-    text = _COMMENTS.sub(" ", text)
+    text = _strip_comments(text)
     return _HINTS.sub(r"\1", text)
 
 
@@ -57,7 +101,8 @@ class DdlStatement:
     kind: add_column | drop_column | rename_column | modify_column |
           truncate_table | rename_table | drop_table | create_table |
           create_index | drop_index | create_database | drop_database |
-          alter_database | set_schema | alter_table | other
+          alter_database | set_schema | alter_table | alter_partition |
+          other
     schema/table: target identifiers when present in the text.
     args: kind-specific payload (column names, types, new names).
     """
@@ -70,12 +115,28 @@ class DdlStatement:
 
 _PATTERNS: list[tuple[str, re.Pattern]] = [
     (
+        # MySQL partition maintenance (r13 grammar breadth): ALTER TABLE t
+        # {ADD|DROP|TRUNCATE|COALESCE|REORGANIZE|EXCHANGE|ANALYZE|OPTIMIZE|
+        # REBUILD|REPAIR|DISCARD|IMPORT} PARTITION ..., plus PARTITION BY
+        # <method> (...) repartitioning and REMOVE PARTITIONING. Must sit
+        # BEFORE add_column/drop_column so ADD PARTITION / DROP PARTITION
+        # never parse as a column named 'PARTITION'.
+        "alter_partition",
+        re.compile(
+            rf"^\s*ALTER\s+TABLE\s+{_QID}\s+"
+            rf"(?:((?:ADD|DROP|TRUNCATE|COALESCE|REORGANIZE|EXCHANGE|ANALYZE|OPTIMIZE"
+            rf"|REBUILD|REPAIR|DISCARD|IMPORT)\s+PARTITION|PARTITION\s+BY"
+            rf"|REMOVE\s+PARTITIONING)\b\s*(.*?))\s*;?\s*$",
+            re.IGNORECASE | re.DOTALL,
+        ),
+    ),
+    (
         # the lookahead keeps ADD CONSTRAINT/INDEX/KEY/... out of add_column
         # (they fall through to the generic alter_table recognizer)
         "add_column",
         re.compile(
             rf"^\s*ALTER\s+TABLE\s+{_QID}\s+ADD\s+(?:COLUMN\s+)?"
-            rf"(?!CONSTRAINT\b|INDEX\b|KEY\b|PRIMARY\b|UNIQUE\b|FOREIGN\b|CHECK\b|FULLTEXT\b|SPATIAL\b)"
+            rf"(?!CONSTRAINT\b|INDEX\b|KEY\b|PRIMARY\b|UNIQUE\b|FOREIGN\b|CHECK\b|FULLTEXT\b|SPATIAL\b|PARTITION\b)"
             rf"{_ID}\s+(.+?)\s*;?\s*$",
             re.IGNORECASE | re.DOTALL,
         ),
@@ -84,7 +145,7 @@ _PATTERNS: list[tuple[str, re.Pattern]] = [
         "drop_column",
         re.compile(
             rf"^\s*ALTER\s+TABLE\s+{_QID}\s+DROP\s+(?:COLUMN\s+)?"
-            rf"(?!CONSTRAINT\b|INDEX\b|KEY\b|PRIMARY\b|UNIQUE\b|FOREIGN\b|CHECK\b)"
+            rf"(?!CONSTRAINT\b|INDEX\b|KEY\b|PRIMARY\b|UNIQUE\b|FOREIGN\b|CHECK\b|PARTITION\b)"
             rf"{_ID}\s*;?\s*$",
             re.IGNORECASE,
         ),
@@ -144,9 +205,12 @@ _PATTERNS: list[tuple[str, re.Pattern]] = [
         ),
     ),
     (
+        # modifiers per the reference's own corpus (ddl_parser.rs
+        # test_create_table_with_temporary_pg): TEMPORARY/TEMP with optional
+        # GLOBAL/LOCAL, and PG UNLOGGED
         "create_table",
         re.compile(
-            rf"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?{_QID}\s*\(.*$",
+            rf"^\s*CREATE\s+{_CT_MODS}TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?{_QID}\s*\(.*$",
             re.IGNORECASE | re.DOTALL,
         ),
     ),
@@ -154,8 +218,19 @@ _PATTERNS: list[tuple[str, re.Pattern]] = [
         # MySQL CREATE TABLE new LIKE template (clones structure)
         "create_table",
         re.compile(
-            rf"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?{_QID}\s+(?:\(\s*)?LIKE\s+{_QID}\s*\)?\s*;?\s*$",
+            rf"^\s*CREATE\s+{_CT_MODS}TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?{_QID}\s+(?:\(\s*)?LIKE\s+{_QID}\s*\)?\s*;?\s*$",
             re.IGNORECASE,
+        ),
+    ),
+    (
+        # CTAS (r13 grammar breadth): CREATE TABLE t AS SELECT ... — MySQL
+        # also allows omitting AS; PG allows AS TABLE other and a
+        # parenthesized subquery
+        "create_table",
+        re.compile(
+            rf"^\s*CREATE\s+{_CT_MODS}TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?{_QID}\s+"
+            rf"(?:AS\s+)?(?:\(\s*)?(?:SELECT|TABLE)\b.*$",
+            re.IGNORECASE | re.DOTALL,
         ),
     ),
     (
@@ -245,6 +320,9 @@ def parse_ddl(text: str | None) -> DdlStatement:
             return DdlStatement(kind, g[0], None, (g[1].strip(),))
         if kind == "set_schema":
             return DdlStatement(kind, g[0], g[1], (g[2],))
+        if kind == "alter_partition":
+            op = re.sub(r"\s+", " ", g[2].strip().upper())
+            return DdlStatement(kind, g[0], g[1], (op, (g[3] or "").strip()))
         if kind == "alter_table":
             return DdlStatement(kind, g[0], g[1], (g[2].strip(),))
     return DdlStatement("other")
@@ -286,16 +364,27 @@ _ACTION_KEYWORDS = ("ADD", "DROP", "MODIFY", "CHANGE", "ALTER", "RENAME", "SET")
 
 def _split_alter_actions(body: str) -> list[str]:
     """Split an ALTER action list on top-level commas followed by an action
-    keyword. Returns [body] when there is nothing to split."""
+    keyword. Returns [body] when there is nothing to split. The string
+    scanner honors MySQL backslash escapes and doubled quotes (r13, ADVICE
+    r12: ``DEFAULT 'x\\'y, DROP z'`` must not split inside the literal);
+    if the scan ends still inside a string the text is malformed-or-beyond
+    this splitter, so it bails to the single-statement path unsplit."""
     parts: list[str] = []
     depth = 0
     start = 0
     in_str: str | None = None
     i = 0
-    while i < len(body):
+    n = len(body)
+    while i < n:
         ch = body[i]
         if in_str:
+            if ch == "\\" and in_str in ("'", '"'):
+                i += 2  # MySQL backslash escape: skip the escaped char
+                continue
             if ch == in_str:
+                if i + 1 < n and body[i + 1] == in_str:  # doubled quote
+                    i += 2
+                    continue
                 in_str = None
         elif ch in ("'", '"', "`"):
             in_str = ch
@@ -310,6 +399,8 @@ def _split_alter_actions(body: str) -> list[str]:
                 parts.append(body[start:i].strip())
                 start = i + 1
         i += 1
+    if in_str is not None:
+        return [body.strip()]
     parts.append(body[start:].strip().rstrip(";").strip())
     return [p for p in parts if p]
 

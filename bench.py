@@ -290,6 +290,10 @@ MEDIAN3_QUERIES = {
     "dedup_cluster_star",
     "ngram_jaccard",
     "embedding_dedup_keep",
+    # r13 (VERDICT r12 item 2): re-admitted — the r12 single-run read 8.23s
+    # vs r11's 3.86s with zero code change on the path; OCTAVE's fresh x1
+    # probe (4.4s) contradicted it, so settle it with samples in-artifact.
+    "minhash_lsh",
 }
 
 
@@ -320,39 +324,48 @@ def main() -> None:
     # each position: the host shows multi-second external load bursts, and a
     # burst landing inside one short measurement once recorded a 50x-low
     # headline.
-    def measure_cdc(attempts: int) -> float:
-        best = 0.0
+    # r13 (VERDICT r12 item 2): the headline was already best-of-N, but the
+    # artifact recorded only the max — so the r12 warm dip (-19% with zero
+    # code change on the path) could not be settled from BENCH_r12.json
+    # alone. Record every per-attempt sample under "headline_runs" so a
+    # host-load burst is visible as spread IN the artifact.
+    headline_runs: dict[str, list[float]] = {}
+
+    def measure_cdc(attempts: int, tag: str) -> float:
+        samples = []
         for _ in range(attempts):
             cdc_secs = 0.0
             for name in ("merge_compact", "soft_delete_apply"):
                 t0 = time.time()
                 qs[name](spark, sf_dir).count()
                 cdc_secs += time.time() - t0
-            best = max(best, round(2 * n_events / cdc_secs, 1) if cdc_secs else 0.0)
+            samples.append(round(2 * n_events / cdc_secs, 1) if cdc_secs else 0.0)
         clear_spark_blocks(spark)
-        return best
+        headline_runs[tag] = samples
+        return max(samples)
 
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     n_li = li.count()
 
-    def measure_snapshot(attempts: int) -> float:
+    def measure_snapshot(attempts: int, tag: str) -> float:
         # snapshot copy throughput (full lineitem scan -> noop sink), the
         # BASELINE.md snapshot-RPS workload shape (read + write, no filter)
-        best = 0.0
+        samples = []
         for _ in range(attempts):
             t0 = time.time()
             li.write.format("noop").mode("overwrite").save()
-            best = max(best, round(n_li / (time.time() - t0), 1))
+            samples.append(round(n_li / (time.time() - t0), 1))
         clear_spark_blocks(spark)
-        return best
+        headline_runs[tag] = samples
+        return max(samples)
 
     for name in ("merge_compact", "soft_delete_apply"):
         qs[name](spark, sf_dir).count()  # warm pass, untimed
     # 7 CDC attempts: a focused probe this round saw consecutive identical
     # runs span 0.9s..4.9s (the host burst problem) — at ~2s/attempt more
     # samples are the cheapest variance reduction available
-    cdc_fresh = measure_cdc(7)
-    snapshot_fresh = measure_snapshot(5)
+    cdc_fresh = measure_cdc(7, "cdc_rps_fresh")
+    snapshot_fresh = measure_snapshot(5, "snapshot_rps_fresh")
 
     # the machine shows bursty external load; guarantee the JSON line is
     # always emitted by skipping the remaining (heaviest-last) queries once
@@ -385,9 +398,11 @@ def main() -> None:
             runs[name] = samples
     total = round(sum(times.values()), 3)
 
-    # re-measure at deep-JIT steady state (see the headline comment above)
-    cdc_warm = measure_cdc(5)
-    snapshot_warm = measure_snapshot(3)
+    # re-measure at deep-JIT steady state (see the headline comment above);
+    # r13: warm attempts 5->7 / 3->5 (~6s extra) — the r12 dip was largest
+    # on the warm numbers, which had the fewest samples
+    cdc_warm = measure_cdc(7, "cdc_rps_warm")
+    snapshot_warm = measure_snapshot(5, "snapshot_rps_warm")
     rps = max(cdc_fresh, cdc_warm)
     snapshot_rps = max(snapshot_fresh, snapshot_warm)
     headline_detail = {
@@ -406,6 +421,7 @@ def main() -> None:
                 "total_sec": total,
                 "queries": times,
                 "runs": runs,
+                "headline_runs": headline_runs,
                 "skipped": skipped,
                 "not_benched": not_benched,
                 "sf": sf,
@@ -429,6 +445,7 @@ def main() -> None:
                 "skipped": len(skipped),
                 "not_benched": not_benched,
                 "sf": sf,
+                "headline_runs": headline_runs,
                 **headline_detail,
             }
         )

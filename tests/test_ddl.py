@@ -8,7 +8,7 @@ import os
 import pytest
 from pyspark.sql import types as T
 
-from ape_dts_spark.plans.ddl_parse import parse_ddl
+from ape_dts_spark.plans.ddl_parse import parse_ddl, split_ddl
 from ape_dts_spark.sinks.parquet_table import ParquetTable
 from ape_dts_spark.streaming.cdc import CdcPipeline, parse_debezium, write_debezium_jsonl
 
@@ -453,3 +453,84 @@ def test_split_ddl_multi_action_alter():
         ("add_column", ("a", "INT")),
         ("add_column", ("b", "TEXT")),
     ]
+
+
+def test_comment_stripping_is_string_aware():
+    # ADVICE r12: '#' / '--' / '/*' sequences inside string literals must
+    # survive comment removal
+    s = parse_ddl("CREATE TABLE t (c VARCHAR(20) DEFAULT 'a#b')")
+    assert (s.kind, s.table) == ("create_table", "t")
+    s = parse_ddl("ALTER TABLE t ADD c VARCHAR(9) COMMENT 'issue #42'")
+    assert (s.kind, s.args) == ("add_column", ("c", "VARCHAR(9) COMMENT 'issue #42'"))
+    s = parse_ddl("ALTER TABLE t ADD c VARCHAR(9) DEFAULT 'a--b /*x*/ c'")
+    assert s.args == ("c", "VARCHAR(9) DEFAULT 'a--b /*x*/ c'")
+    # comments outside strings still stripped (reference ddl_parser.rs:77-81)
+    s = parse_ddl("create /*inline*/ table x (id int) -- tail")
+    assert (s.kind, s.table) == ("create_table", "x")
+    s = parse_ddl("# leading\nDROP TABLE y")
+    assert (s.kind, s.table) == ("drop_table", "y")
+
+
+def test_split_alter_honors_escapes_and_doubled_quotes():
+    # ADVICE r12 repro: backslash-escaped quote inside a DEFAULT literal
+    parts = split_ddl(
+        "ALTER TABLE t ADD a VARCHAR(9) DEFAULT 'x\\'y, DROP z', ADD b INT"
+    )
+    assert [p.kind for p in parts] == ["add_column", "add_column"]
+    assert parts[0].args == ("a", "VARCHAR(9) DEFAULT 'x\\'y, DROP z'")
+    assert parts[1].args == ("b", "INT")
+    # SQL-standard doubled quote
+    parts = split_ddl(
+        "ALTER TABLE t ADD a VARCHAR(9) DEFAULT 'x''y, DROP z', ADD b INT"
+    )
+    assert [p.kind for p in parts] == ["add_column", "add_column"]
+    assert parts[1].args == ("b", "INT")
+    # unterminated string: bail to the single-statement path, never missplit
+    parts = split_ddl("ALTER TABLE t ADD a VARCHAR(9) DEFAULT 'oops, DROP z")
+    assert len(parts) == 1 and parts[0].kind == "add_column"
+
+
+def test_partition_maintenance_kinds():
+    cases = [
+        ("ALTER TABLE demo.t ADD PARTITION (PARTITION p1 VALUES LESS THAN (100))",
+         ("ADD PARTITION", "(PARTITION p1 VALUES LESS THAN (100))")),
+        ("ALTER TABLE t DROP PARTITION p0, p1", ("DROP PARTITION", "p0, p1")),
+        ("ALTER TABLE t TRUNCATE PARTITION p0", ("TRUNCATE PARTITION", "p0")),
+        ("ALTER TABLE t COALESCE PARTITION 2", ("COALESCE PARTITION", "2")),
+        ("ALTER TABLE t REORGANIZE PARTITION p0 INTO (PARTITION pa VALUES LESS THAN (5))",
+         ("REORGANIZE PARTITION", "p0 INTO (PARTITION pa VALUES LESS THAN (5))")),
+        ("ALTER TABLE t PARTITION BY HASH(id) PARTITIONS 4",
+         ("PARTITION BY", "HASH(id) PARTITIONS 4")),
+        ("ALTER TABLE t REMOVE PARTITIONING", ("REMOVE PARTITIONING", "")),
+    ]
+    for sql, args in cases:
+        s = parse_ddl(sql)
+        assert s.kind == "alter_partition", sql
+        assert s.args == args, sql
+    # never misparsed as a column named PARTITION
+    s = parse_ddl("ALTER TABLE t ADD PARTITION (PARTITION p VALUES LESS THAN (1))")
+    assert s.kind != "add_column"
+    # partitioned CREATE stays create_table
+    s = parse_ddl(
+        "CREATE TABLE t (id int) PARTITION BY RANGE (id) "
+        "(PARTITION p0 VALUES LESS THAN (10))"
+    )
+    assert (s.kind, s.table) == ("create_table", "t")
+
+
+def test_ctas_like_and_temp_modifiers():
+    for sql, schema, table in [
+        ("CREATE TABLE t2 AS SELECT * FROM t1", None, "t2"),
+        ("CREATE TABLE t2 SELECT * FROM t1", None, "t2"),  # MySQL, no AS
+        ("CREATE TABLE IF NOT EXISTS s.t2 AS (SELECT a FROM t1)", "s", "t2"),
+        ("CREATE TABLE t2 AS TABLE t1", None, "t2"),  # PG
+        ("CREATE TABLE s.t2 LIKE s.t1", "s", "t2"),
+        # reference corpus: ddl_parser.rs test_create_table_with_temporary_pg
+        ("create UNLOGGED table tb_1(ts TIMESTAMP);", None, "tb_1"),
+        ("create TEMPORARY table tb_2(ts TIMESTAMP);", None, "tb_2"),
+        ("create temp table tb_3(ts TIMESTAMP);", None, "tb_3"),
+        ("create GLOBAL TEMPORARY table tb_4(ts TIMESTAMP) ON COMMIT DELETE ROWS;", None, "tb_4"),
+        ("create local temp table tb_5(ts TIMESTAMP);", None, "tb_5"),
+    ]:
+        s = parse_ddl(sql)
+        assert (s.kind, s.schema, s.table) == ("create_table", schema, table), sql

@@ -1555,3 +1555,31 @@ def test_c4_rules_branches(spark):
     assert not got[4]["keep"] and not got[4]["r_lorem"]
     assert not got[5]["keep"] and not got[5]["r_sentences"] and got[5]["n_kept"] == 2
     assert not got[6]["keep"] and not got[6]["r_badword"]
+
+
+def test_langid_trained_apply_matches_duckdb_oracle(spark):
+    """The trained-model apply chain (langid_train + langid_score) against
+    its unrolled DuckDB twin (tx.langid_apply_sql) on a small planted
+    corpus — keeps full oracle coverage of the trained path now that the
+    langid_apply GATE serves the deterministic fixture model (r13, so the
+    bench row measures apply alone)."""
+    import duckdb
+
+    rows = [
+        (i, ["aa", "bb", "cc"][i % 3],
+         " ".join(["the cat sat", "le chat noir", "der hund lief"][i % 3].split()[j % 3]
+                  for j in range(4 + i % 5)))
+        for i in range(30)
+    ] + [(100, "aa", ""), (101, "bb", "zzzz qqqq")]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    w = tx.langid_train(df, ("aa", "bb", "cc"), dim=16, iters=2)
+    got = {
+        r["doc_id"]: r["pred_lang"]
+        for r in tx.langid_score(df, w, dim=16).collect()
+    }
+    con = duckdb.connect()
+    con.register("documents", __import__("pandas").DataFrame(
+        rows, columns=["doc_id", "lang", "text"]))
+    sql = tx.langid_apply_sql("documents", ("aa", "bb", "cc"), dim=16, iters=2)
+    want = {r[0]: r[1] for r in con.sql(sql).fetchall()}
+    assert got == want
