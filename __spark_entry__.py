@@ -20,6 +20,7 @@ from ape_dts_spark import demo
 from ape_dts_spark.config.rdb_filter import RdbFilter
 from ape_dts_spark.functions import dedup as dd
 from ape_dts_spark.functions import graph as gr
+from ape_dts_spark.functions import layout as ly
 from ape_dts_spark.functions import mixing as mx
 from ape_dts_spark.functions import multimodal as mm
 from ape_dts_spark.functions import similarity as sim
@@ -1113,6 +1114,38 @@ def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering key + locality proof (r13, functions/layout.py —
+    the data-skipping layout op behind Delta OPTIMIZE ZORDER BY / Iceberg
+    sort orders; the reference leaves layout to the target store, and
+    struct_migration.py:372 points Spark targets at exactly this): every
+    order row gets the Morton key of (o_custkey % 1024, o_orderkey % 1024)
+    — a pure shift/mask codegen expression, NO UDF — then rows aggregate
+    per 64-wide curve segment (zkey >> 14): count, per-dimension min/max
+    (the per-file statistics a Z-ordered write would carry), and the key
+    sum. All integer arithmetic with an identical DuckDB expression, so a
+    single mis-interleaved bit shifts a segment's sum. Scale shape: one
+    projection + one hash agg; the layout rewriter (ly.zorder_layout) adds
+    only the one range exchange any clustered write pays."""
+    o = demo.load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_custkey") % 1024).alias("d0"),
+        (F.col("o_orderkey") % 1024).alias("d1"),
+    )
+    keyed = ly.with_morton_key(o, ["d0", "d1"], bits=10)
+    return (
+        keyed.groupBy(F.expr("zkey div 16384").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("d0").alias("d0_min"),
+            F.max("d0").alias("d0_max"),
+            F.min("d1").alias("d1_min"),
+            F.max("d1").alias("d1_max"),
+            F.sum("zkey").alias("zkey_sum"),
         )
     )
 
@@ -3947,6 +3980,80 @@ def q_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_pipeline_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """media_pipeline with PLANTED CORRUPTION (r13, VERDICT r12 item 7):
+    the same four-format mixed corpus, but ids with k % 11 == 0 ship
+    truncated to 16 bytes (every format's header walk must fail) and ids
+    with k % 11 == 7 ship as non-image garbage — decoded with
+    ``decode_image(errors="null")`` so bad rows land in a dead-letter
+    bucket (format NULL, error message carried) instead of crashing the
+    job, mirroring streaming/cdc.py's dead_letter path. The rollup groups
+    by coalesce(format, 'quarantined'): the oracle states the exact
+    quarantine count AND that the clean per-format statistics are untouched
+    by the bad rows — the corrupt-tolerance contract a real 100 TB crawl
+    decode needs, provable because corruption is deterministic by key."""
+    from ape_dts_spark.functions import media_codec as mc
+
+    p = demo.load(spark, sf_dir, "part").select("p_partkey")
+
+    def _gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        gif_pal = np.array(
+            [[(37 * c + 29 * j + 5) % 256 for j in range(3)] for c in range(16)],
+            dtype=np.uint8,
+        )
+        for pdf in batches:
+            ids, payloads = [], []
+            for k in pdf["p_partkey"]:
+                k = int(k)
+                m = k % 4
+                if m == 0:
+                    h, w = k % 7 + 3, k % 13 + 4
+                    px = ((31 * k + np.arange(h * w)) % 256).astype(np.uint8).reshape(h, w)
+                    payload = mc.encode_png(px, filter_type=k % 5)
+                elif m == 1:
+                    h, w = k % 6 + 4, k % 11 + 5
+                    frames = [
+                        ((13 * k + 7 * f + np.arange(h * w)) % 16)
+                        .astype(np.uint8).reshape(h, w)
+                        for f in range(1 + k % 3)
+                    ]
+                    payload = mc.encode_gif(frames, gif_pal, interlace=k % 2 == 1)
+                else:
+                    a, b, c = (7, 31, 13) if m == 2 else (11, 17, 29)
+                    tile = np.empty((4, 4), np.uint8)
+                    for bi in range(4):
+                        for bj in range(4):
+                            tile[bi, bj] = (a * k + b * bi + c * bj) % 256
+                    img = np.kron(tile, np.ones((8, 8), np.uint8))
+                    payload = (
+                        mc.encode_jpeg(img, restart_interval=2) if m == 2
+                        else mc.encode_jpeg_progressive(img, restart_interval=3)
+                    )
+                if k % 11 == 0:  # truncation: the real-corpus failure mode
+                    payload = payload[:16]
+                elif k % 11 == 7:  # not an image at all
+                    payload = (b"\x00corrupt-blob-%d" % k) * 2
+                ids.append(k)
+                payloads.append(payload)
+            yield pd.DataFrame({"id": ids, "payload": payloads})
+
+    payloads = _spread(p, spark).mapInPandas(_gen, "id long, payload binary")
+    decoded = mc.decode_image(payloads, errors="null")
+    return (
+        decoded.filter(F.col("error").isNotNull() | (F.col("width") >= 8))
+        .withColumn("bucket", F.coalesce("format", F.lit("quarantined")))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum(F.coalesce("n_px", F.lit(0))).alias("total_px"),
+            F.sum(F.coalesce("px_sum", F.lit(0))).alias("total_sum"),
+        )
+    )
+
+
 def q_jpeg_progressive_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL progressive-JPEG (SOF2) pixel decode, stdlib+numpy only
     (functions/media_codec.py, T.81 Annex G): each part row generates a
@@ -4095,11 +4202,13 @@ def q_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders ('II'/'MM', with SHORT values left-justified in the 4-byte IFD
     field: the classic big-endian writer bug, pinned), grayscale
     (BlackIsZero / WhiteIsZero inversion) vs RGB, Compression 1 (none) vs
-    32773 (PackBits RLE), multi-strip reassembly at 3 rows per strip —
-    routed through the parse_image magic sniff (II*/MM*). Pixels follow
-    (13*id + i) % 256, so the oracle restates exact statistics: a wrong
-    strip boundary, endian read, RLE run, or inversion shifts px_sum.
-    One Arrow map pass, no shuffle. LZW/JPEG-in-TIFF raise honestly."""
+    32773 (per-row PackBits RLE) vs 5 (LZW §13 with early-change code
+    widths, r13 — alone and with the horizontal-differencing Predictor,
+    tag 317), multi-strip reassembly at 3 rows per strip — routed through
+    the parse_image magic sniff (II*/MM*). Pixels follow (13*id + i) % 256,
+    so the oracle restates exact statistics: a wrong strip boundary, endian
+    read, RLE run, LZW width change, predictor cumsum, or inversion shifts
+    px_sum. One Arrow map pass, no shuffle. JPEG-in-TIFF raises honestly."""
     from ape_dts_spark.functions import media_codec as mc
 
     s = demo.load(spark, sf_dir, "supplier").select("s_suppkey")
@@ -4122,6 +4231,8 @@ def q_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                         px,
                         big_endian=k % 3 == 0,
                         packbits=k % 5 < 2,
+                        lzw=k % 5 >= 3,
+                        predictor=2 if k % 5 == 4 else 1,
                         rows_per_strip=3,
                         white_is_zero=(spp == 1 and k % 7 == 0),
                     )
@@ -5074,95 +5185,37 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The external driver gates only the FIRST 50 dict entries, so ordering is
-    # load-bearing. Rotation policy (r12 rotation applied): (1) the stalest
-    # driver rows lead — 47 of the 48 queries whose last external gate row
-    # was r07 (waiting_suppliers, the most-stable plain-SQL row, defers to
-    # r13) — (2) plus the three never-gated new queries
-    # (jpeg_progressive_decode, gif_decode, gif_frames; a never-gated row
-    # outranks any re-attest), (3) everything after slot 50 stays ordered by
-    # staleness (the r07 leftover, then r09, r10, r11) so the next rotation
-    # is a prefix cut. Before any rotation
-    # ships, the FULL (non --window) tools/check.py run must be green —
-    # rotated-out queries keep local-gate + pytest coverage. After r12 the
-    # stalest remaining driver rows are the 49 r09-era ones; together with
-    # the seven never-gated r12b additions (audio_features, video_frames,
-    # avi_audio_features, tiff_decode, hdr_quantiles, c4_rules, pagerank —
-    # registered past the window, full-sweep + pytest green) they lead the
-    # r13 rotation. This literal is machine-regenerated from the
-    # CORRECTNESS_r* staleness data each rotation; duplicates are
-    # structurally impossible.
+    # load-bearing. Rotation policy (r13 rotation applied; VERDICT r12 item
+    # 3 with the corrected arithmetic): (1) every never-gated query leads —
+    # the 12 rows with no CORRECTNESS_r* attestation at all, including
+    # media_pipeline_quarantine and zorder_key (new r13) — a never-gated
+    # row outranks any re-attest; (2) then waiting_suppliers (last gated
+    # r07, the stalest driver row); (3) then the 37 alphabetically-first
+    # of the 49 r09-era rows. The 12 remaining r09 rows lead the r14
+    # rotation, followed by r10/r11/r12 in staleness order, so the next
+    # rotation is again a prefix cut. Before any rotation ships, the FULL
+    # (non --window) tools/check.py run must be green — rotated-out queries
+    # keep local-gate + pytest coverage. This literal is machine-regenerated
+    # from the CORRECTNESS_r*.json staleness data each rotation (the r12
+    # hand-written plan miscounted the never-gated set; generating the
+    # block from the files is the fix); duplicates are structurally
+    # impossible.
     return {
-        # -- r12 window: 47 r07-era rows (the stalest external gate
-        # -- attestations, regenerated from CORRECTNESS_r*.json), plus the
-        # -- three never-gated queries new this round (jpeg_progressive_
-        # -- decode, gif_decode, gif_frames) ---------------------------------
-        "ann_ivf_index": q_ann_ivf_index,
-        "ann_ivfpq_index": q_ann_ivfpq_index,
-        "ann_lsh": q_ann_lsh,
-        "aof_manifest": q_aof_manifest,
-        "asof_attribution": q_asof_attribution,
-        "bpe_pairs": q_bpe_pairs,
-        "clf_score": q_clf_score,
-        "contamination": q_contamination,
-        "contamination_bloom": q_contamination_bloom,
-        "corpus_pipeline": q_corpus_pipeline,
-        "cosine_topk_np": q_cosine_topk_np,
-        "dcl_parse": q_dcl_parse,
-        "ddl_parse": q_ddl_parse,
-        "doc_chunks": q_doc_chunks,
-        "dsir_sample": q_dsir_sample,
-        "embedding_dedup_keep": q_embedding_dedup_keep,
-        "event_pivot": q_event_pivot,
-        "fk_apply_order": q_fk_apply_order,
-        "fluid_roundtrip": q_fluid_roundtrip,
-        "gtid_coalesce": q_gtid_coalesce,
-        "interval_join_errors": q_interval_join_errors,
-        "ivfpq_append": q_ivfpq_append,
-        "json_extract": q_json_extract,
-        "lang_id": q_lang_id,
-        "length_quantiles": q_length_quantiles,
-        "multimodal_decode": q_multimodal_decode,
-        "multimodal_frames": q_multimodal_frames,
-        "multimodal_meta": q_multimodal_meta,
-        "oplog_file_parse": q_oplog_file_parse,
-        "order_gaps": q_order_gaps,
-        "pgoutput_file_parse": q_pgoutput_file_parse,
-        "pii_redact": q_pii_redact,
-        "quality_score": q_quality_score,
-        "redis_rdb": q_redis_rdb,
-        "rep_stats": q_rep_stats,
-        "sequence_packing": q_sequence_packing,
-        "session_windows": q_session_windows,
-        "shuffle_shards": q_shuffle_shards,
-        "snapshot_chunked": q_snapshot_chunked,
-        "snapshot_scan": q_snapshot_scan,
-        "stratified_sample": q_stratified_sample,
-        "stream_load_payload": q_stream_load_payload,
-        "struct_ddl": q_struct_ddl,
-        "subscription_feed": q_subscription_feed,
-        "token_mix": q_token_mix,
-        "vocab_topk": q_vocab_topk,
-        "windowed_counts": q_windowed_counts,
-        "jpeg_progressive_decode": q_jpeg_progressive_decode,
-        "gif_decode": q_gif_decode,
-        "gif_frames": q_gif_frames,
-        # ---------------------------- slot 50 ends here ----------------------
-        # remaining entries ordered by driver-row staleness (r07 leftover,
-        # r09, r10, r11) so the next rotation is again a prefix cut
-        # -- never gated (r12 additions past the window) + the r07 leftover
-        # -- deferred for gif_frames: together these lead the r13 rotation --
-        "media_pipeline": q_media_pipeline,
-        "png_full_decode": q_png_full_decode,
+        # -- r13 window: 12 never-gated + waiting_suppliers (r07) + 37
+        # -- stalest r09 rows --------------------------------------------
         "audio_features": q_audio_features,
-        "video_frames": q_video_frames,
-        "hdr_quantiles": q_hdr_quantiles,
-        "c4_rules": q_c4_rules,
-        "pagerank": q_pagerank,
         "avi_audio_features": q_avi_audio_features,
+        "c4_rules": q_c4_rules,
+        "hdr_quantiles": q_hdr_quantiles,
+        "media_pipeline": q_media_pipeline,
+        "media_pipeline_quarantine": q_media_pipeline_quarantine,
+        "pagerank": q_pagerank,
+        "png_full_decode": q_png_full_decode,
         "tiff_decode": q_tiff_decode,
         "triangle_counts": q_triangle_counts,
+        "video_frames": q_video_frames,
+        "zorder_key": q_zorder_key,
         "waiting_suppliers": q_waiting_suppliers,
-        # -- last gated r09 --
         "ann_pq": q_ann_pq,
         "ann_pq_index": q_ann_pq_index,
         "ann_sq8": q_ann_sq8,
@@ -5200,6 +5253,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "precheck_cdc": q_precheck_cdc,
         "product_profit": q_product_profit,
         "promo_effect": q_promo_effect,
+        # ---------------------------- slot 50 ends here ----------------------
+        # -- r09 remainder (12 rows): leads the r14 window ---------------
         "returned_items": q_returned_items,
         "robots_filter": q_robots_filter,
         "shipping_priority": q_shipping_priority,
@@ -5312,7 +5367,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "upsert_sql_mysql": q_upsert_sql_mysql,
         "upsert_sql_pg": q_upsert_sql_pg,
         "wire_roundtrip": q_wire_roundtrip,
-
+        # -- last gated r12 --
+        "ann_ivf_index": q_ann_ivf_index,
+        "ann_ivfpq_index": q_ann_ivfpq_index,
+        "ann_lsh": q_ann_lsh,
+        "aof_manifest": q_aof_manifest,
+        "asof_attribution": q_asof_attribution,
+        "bpe_pairs": q_bpe_pairs,
+        "clf_score": q_clf_score,
+        "contamination": q_contamination,
+        "contamination_bloom": q_contamination_bloom,
+        "corpus_pipeline": q_corpus_pipeline,
+        "cosine_topk_np": q_cosine_topk_np,
+        "dcl_parse": q_dcl_parse,
+        "ddl_parse": q_ddl_parse,
+        "doc_chunks": q_doc_chunks,
+        "dsir_sample": q_dsir_sample,
+        "embedding_dedup_keep": q_embedding_dedup_keep,
+        "event_pivot": q_event_pivot,
+        "fk_apply_order": q_fk_apply_order,
+        "fluid_roundtrip": q_fluid_roundtrip,
+        "gif_decode": q_gif_decode,
+        "gif_frames": q_gif_frames,
+        "gtid_coalesce": q_gtid_coalesce,
+        "interval_join_errors": q_interval_join_errors,
+        "ivfpq_append": q_ivfpq_append,
+        "jpeg_progressive_decode": q_jpeg_progressive_decode,
+        "json_extract": q_json_extract,
+        "lang_id": q_lang_id,
+        "length_quantiles": q_length_quantiles,
+        "multimodal_decode": q_multimodal_decode,
+        "multimodal_frames": q_multimodal_frames,
+        "multimodal_meta": q_multimodal_meta,
+        "oplog_file_parse": q_oplog_file_parse,
+        "order_gaps": q_order_gaps,
+        "pgoutput_file_parse": q_pgoutput_file_parse,
+        "pii_redact": q_pii_redact,
+        "quality_score": q_quality_score,
+        "redis_rdb": q_redis_rdb,
+        "rep_stats": q_rep_stats,
+        "sequence_packing": q_sequence_packing,
+        "session_windows": q_session_windows,
+        "shuffle_shards": q_shuffle_shards,
+        "snapshot_chunked": q_snapshot_chunked,
+        "snapshot_scan": q_snapshot_scan,
+        "stratified_sample": q_stratified_sample,
+        "stream_load_payload": q_stream_load_payload,
+        "struct_ddl": q_struct_ddl,
+        "subscription_feed": q_subscription_feed,
+        "token_mix": q_token_mix,
+        "vocab_topk": q_vocab_topk,
+        "windowed_counts": q_windowed_counts,
     }
 
 
@@ -6183,6 +6288,22 @@ def oracle_sql() -> dict[str, str]:
                         THEN after_user_id % 5 END AS tier
             FROM last_v1 WHERE rn = 1 AND is_set = 1
         """,
+        "zorder_key": f"""
+            WITH keyed AS (
+              SELECT o_orderkey,
+                     o_custkey % 1024 AS d0,
+                     o_orderkey % 1024 AS d1,
+                     {ly.morton_key_sql(['(o_custkey % 1024)', '(o_orderkey % 1024)'], 10)} AS zkey
+              FROM orders)
+            SELECT zkey // 16384 AS segment,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(MIN(d0) AS BIGINT) AS d0_min,
+                   CAST(MAX(d0) AS BIGINT) AS d0_max,
+                   CAST(MIN(d1) AS BIGINT) AS d1_min,
+                   CAST(MAX(d1) AS BIGINT) AS d1_max,
+                   CAST(SUM(zkey) AS BIGINT) AS zkey_sum
+            FROM keyed GROUP BY segment
+        """,
         "salted_join": """
             SELECT c_mktsegment, event_type, COUNT(*) AS n,
                    COUNT(DISTINCT user_id) AS n_users
@@ -6638,6 +6759,55 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(v) AS INT) AS max_px
             FROM allpx WHERE w >= 8
             GROUP BY fmt
+        """,
+        "media_pipeline_quarantine": """
+            WITH base AS (SELECT p_partkey AS id, p_partkey % 4 AS m FROM part
+                          WHERE p_partkey % 11 NOT IN (0, 7)),
+            png AS (
+              SELECT id, 'png' AS fmt, id % 13 + 4 AS w,
+                     (id * 31 + i) % 256 AS v, 1 AS wt
+              FROM base,
+                   LATERAL unnest(range(0, (id % 7 + 3) * (id % 13 + 4))) AS u(i)
+              WHERE m = 0),
+            gif AS (
+              SELECT id, 'gif' AS fmt, id % 11 + 5 AS w,
+                     (37 * ((13 * id + 7 * f + i) % 16) + 29 * j + 5) % 256 AS v,
+                     1 AS wt
+              FROM base,
+                   LATERAL unnest(range(0, 1 + id % 3)) AS u1(f),
+                   LATERAL unnest(range(0, (id % 6 + 4) * (id % 11 + 5))) AS u2(i),
+                   LATERAL unnest(range(0, 3)) AS u3(j)
+              WHERE m = 1),
+            jblocks AS (
+              SELECT id, CASE WHEN m = 2 THEN (7 * id + 31 * bi + 13 * bj) % 256
+                              ELSE (11 * id + 17 * bi + 29 * bj) % 256 END AS dc
+              FROM base,
+                   LATERAL unnest(range(0, 4)) AS u1(bi),
+                   LATERAL unnest(range(0, 4)) AS u2(bj)
+              WHERE m IN (2, 3)),
+            jdec AS (
+              SELECT id, 'jpeg' AS fmt, 32 AS w,
+                     LEAST(255, GREATEST(0, CAST(FLOOR(
+                       (CAST(FLOOR((2 * (8 * (dc - 128)) + 11) / 22.0) AS BIGINT)
+                        * 11 + 1028) / 8.0) AS BIGINT))) AS v,
+                     64 AS wt
+              FROM jblocks),
+            allpx AS (
+              SELECT * FROM png UNION ALL SELECT * FROM gif
+              UNION ALL SELECT * FROM jdec),
+            clean AS (
+              SELECT fmt AS bucket,
+                     CAST(COUNT(DISTINCT id) AS BIGINT) AS n_files,
+                     CAST(SUM(wt) AS BIGINT) AS total_px,
+                     CAST(SUM(v * wt) AS BIGINT) AS total_sum
+              FROM allpx WHERE w >= 8 GROUP BY fmt),
+            quarantined AS (
+              SELECT 'quarantined' AS bucket,
+                     CAST(COUNT(*) AS BIGINT) AS n_files,
+                     CAST(0 AS BIGINT) AS total_px,
+                     CAST(0 AS BIGINT) AS total_sum
+              FROM part WHERE p_partkey % 11 IN (0, 7))
+            SELECT * FROM clean UNION ALL SELECT * FROM quarantined
         """,
         "jpeg_progressive_decode": """
             WITH base AS (SELECT p_partkey AS id FROM part),

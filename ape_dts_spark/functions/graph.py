@@ -68,6 +68,10 @@ def pagerank(
     # N is a driver-side scalar: one tiny count, read once, reused each
     # iteration (keeps every iteration's plan free of an extra join)
     n = nodes.count()
+    if n == 0:
+        # empty edge relation: an empty (node, rank_fp) result, not a
+        # ZeroDivisionError (r13, ADVICE r12)
+        return nodes.withColumn("rank_fp", F.lit(0).cast("long"))
     teleport = (PR_SCALE * (PR_DAMP_DEN - PR_DAMP_NUM)) // PR_DAMP_DEN // n
     ranks = nodes.withColumn(
         "rank_fp", F.lit(PR_SCALE // n).cast("long")
@@ -120,7 +124,7 @@ def pagerank_sql(
         "nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e)",
         "outdeg AS MATERIALIZED (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src)",
         "n AS (SELECT COUNT(*) AS n FROM nodes)",
-        f"r0 AS (SELECT node, CAST({scale} // (SELECT n FROM n) AS BIGINT) AS rank_fp FROM nodes)",
+        f"r0 AS (SELECT node, CAST({scale} // NULLIF((SELECT n FROM n), 0) AS BIGINT) AS rank_fp FROM nodes)",
     ]
     prev = "r0"
     for k in range(1, iterations + 1):
@@ -130,11 +134,11 @@ def pagerank_sql(
   FROM e JOIN {prev} r ON e.src = r.node JOIN outdeg o ON e.src = o.src
   GROUP BY e.dst),
 d{k} AS (
-  SELECT COALESCE(SUM(r.rank_fp), 0) // (SELECT n FROM n) AS share
+  SELECT COALESCE(SUM(r.rank_fp), 0) // NULLIF((SELECT n FROM n), 0) AS share
   FROM {prev} r LEFT JOIN outdeg o ON r.node = o.src WHERE o.src IS NULL),
 r{k} AS (
   SELECT nodes.node,
-         CAST({scale} * {damp_d - damp_n} // {damp_d} // (SELECT n FROM n)
+         CAST({scale} * {damp_d - damp_n} // {damp_d} // NULLIF((SELECT n FROM n), 0)
               + (COALESCE(c{k}.contrib, 0) + (SELECT share FROM d{k}))
                 * {damp_n} // {damp_d} AS BIGINT) AS rank_fp
   FROM nodes LEFT JOIN c{k} ON nodes.node = c{k}.dst)"""

@@ -2991,56 +2991,73 @@ def parse_avi(payload: bytes, return_frames: bool = False) -> dict:
                 p += 8 + cln + (cln & 1)
         elif tag == b"idx1":
             idx1 = body
-    if avih is None or not streams or streams[0][0] is None or streams[0][1] is None:
+    if avih is None or not streams:
         raise ValueError("missing avih/strh/strf header")
-    strh, strf = streams[0]
-    if strh[:4] != b"vids":
-        raise ValueError(f"first stream is not video: {strh[:4]!r}")
+    # dispatch streams by their strl POSITION (the two-digit chunk-id prefix
+    # is the strl index, AVI RIFF spec) — r13, ADVICE r12: video need not be
+    # stream 00 and audio need not be stream 01
+    video_idx = next(
+        (i for i, (sh, _sf) in enumerate(streams) if sh and sh[:4] == b"vids"), None
+    )
+    if video_idx is None or streams[video_idx][1] is None:
+        raise ValueError("no complete vids stream (strh+strf) in hdrl")
+    strh, strf = streams[video_idx]
     scale, rate = struct.unpack_from("<II", strh, 20)
     biw, bih, _planes, _bits, compression = struct.unpack_from("<iiHHI", strf, 4)
     w, h = int(biw), abs(int(bih))
     _check_dims(w, h, "avi")
+    audio_idx = next(
+        (i for i, (sh, _sf) in enumerate(streams) if sh and sh[:4] == b"auds"), None
+    )
     audio_fmt = None
-    if len(streams) > 1 and streams[1][0] is not None and streams[1][0][:4] == b"auds":
-        if streams[1][1] is None:
+    if audio_idx is not None:
+        if streams[audio_idx][1] is None:
             raise ValueError("auds stream missing strf")
-        audio_fmt = struct.unpack_from("<HHIIHH", streams[1][1], 0)
+        audio_fmt = struct.unpack_from("<HHIIHH", streams[audio_idx][1], 0)
         if audio_fmt[0] != 1 or audio_fmt[5] != 16:
             raise NotImplementedError(
                 f"AVI audio: only PCM16 supported (format={audio_fmt[0]} bits={audio_fmt[5]})"
             )
     if idx1 is not None:
-        if len(idx1) != 16 * len(chunks):
-            raise ValueError("idx1 entry count != movi frame count")
-        for i, (ckid, off, body_) in enumerate(chunks):
-            eck, _fl, eoff, eln = (
-                idx1[16 * i : 16 * i + 4],
-                *struct.unpack_from("<III", idx1, 16 * i + 4),
-            )
-            if eck != ckid or eoff != off or eln != len(body_):
-                raise ValueError(f"idx1 entry {i} disagrees with movi chunk")
+        # validate the entries that are PRESENT (r13, ADVICE r12: legal
+        # files may index a subset, e.g. keyframes only); every entry must
+        # agree with the movi chunk at its stated offset
+        if len(idx1) % 16:
+            raise ValueError("idx1 length not a multiple of 16")
+        by_off = {off: (ckid, len(body_)) for ckid, off, body_ in chunks}
+        for i in range(len(idx1) // 16):
+            eck = idx1[16 * i : 16 * i + 4]
+            _fl, eoff, eln = struct.unpack_from("<III", idx1, 16 * i + 4)
+            known = by_off.get(eoff)
+            if known is None or known[0] != eck or known[1] != eln:
+                raise ValueError(f"idx1 entry {i} disagrees with movi chunks")
     frames = []
     audio_parts: list[bytes] = []
     for ckid, _off, body_ in chunks:
-        if ckid[2:4] == b"wb":  # PCM16 audio chunk (stream 01)
-            if audio_fmt is None:
-                raise ValueError("audio chunk without an auds stream header")
+        sn = int(ckid[:2])  # two-digit stream number -> strl index
+        if sn == audio_idx:
+            if ckid[2:4] != b"wb":
+                raise ValueError(f"unexpected chunk {ckid!r} on the audio stream")
             audio_parts.append(body_)
             continue
+        if sn != video_idx:
+            continue  # other streams (text, midi...) are skippable payload
         if ckid[2:4] == b"db":  # raw DIB, bottom-up BGR, padded rows
             if compression != 0:
-                raise ValueError("00db chunk in a non-BI_RGB stream")
+                raise ValueError(f"{ckid!r} chunk in a non-BI_RGB stream")
             stride = (w * 3 + 3) & ~3
             if len(body_) != stride * h:
                 raise ValueError("DIB frame size mismatch")
             rows = np.frombuffer(body_, dtype=np.uint8).reshape(h, stride)
             frames.append(rows[:, : w * 3].reshape(h, w, 3)[::-1, :, ::-1].copy())
-        else:  # 00dc: MJPG — each frame is a standalone baseline JFIF stream
+        elif ckid[2:4] == b"dc":  # MJPG — standalone baseline JFIF streams
             if compression != struct.unpack("<I", b"MJPG")[0]:
                 raise NotImplementedError(
                     f"only MJPG '00dc' streams supported (compression={compression:#x})"
                 )
             frames.append(decode_jpeg(body_)["pixels"])
+        else:
+            raise ValueError(f"unexpected chunk {ckid!r} on the video stream")
     flat = (
         np.concatenate([f.reshape(-1).astype(np.int64) for f in frames])
         if frames
@@ -3075,16 +3092,134 @@ def parse_avi(payload: bytes, return_frames: bool = False) -> dict:
 # ---------------------------------------------------------------------------
 # TIFF (baseline TIFF 6.0): writer + decoder. Both byte orders ('II'/'MM'),
 # grayscale (BlackIsZero/WhiteIsZero) and RGB, strip organization, and
-# Compression = 1 (none) or 32773 (PackBits RLE). The other common dataset
-# container besides PNG/BMP/GIF/JPEG; LZW/JPEG-in-TIFF stay out of scope
-# honestly (parse raises on unknown Compression values).
+# Compression = 1 (none), 32773 (PackBits RLE), or 5 (LZW, TIFF 6.0 §13
+# with the early-change code-width quirk and the optional horizontal-
+# differencing Predictor, tag 317) — the three forms real scanned corpora
+# actually carry. JPEG-in-TIFF stays out of scope honestly (parse raises on
+# unknown Compression values).
 # ---------------------------------------------------------------------------
 
 _TIFF_TAGS = {
     256: "width", 257: "height", 258: "bits", 259: "compression",
     262: "photometric", 273: "strip_offsets", 277: "spp",
-    278: "rows_per_strip", 279: "strip_counts",
+    278: "rows_per_strip", 279: "strip_counts", 317: "predictor",
 }
+
+_LZW_CLEAR, _LZW_EOI = 256, 257
+
+
+def _lzw_encode_tiff(data: bytes) -> bytes:
+    """TIFF 6.0 §13 LZW: MSB-first bit packing, 9->12 bit codes with the
+    spec's EARLY code-width change (width grows when the next table slot
+    reaches 2^w - 1, one code earlier than generic LZW), ClearCode emitted
+    at start and whenever the table reaches slot 4094."""
+    acc = 0
+    nbits = 0
+    out = bytearray()
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            nbits -= 8
+            out.append((acc >> nbits) & 0xFF)
+
+    def fresh() -> tuple[dict[bytes, int], int, int]:
+        return {bytes([i]): i for i in range(256)}, 258, 9
+
+    table, nxt, width = fresh()
+    emit(_LZW_CLEAR, width)
+    w = b""
+    for b in data:
+        wc = w + bytes([b])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w], width)
+        table[wc] = nxt
+        nxt += 1
+        if nxt == (1 << width) - 1 and width < 12:
+            width += 1
+        if nxt == 4094:
+            emit(_LZW_CLEAR, width)
+            table, nxt, width = fresh()
+        w = bytes([b])
+    if w:
+        emit(table[w], width)
+    emit(_LZW_EOI, width)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode_tiff(data: bytes, expected: int) -> bytes:
+    """Inverse of _lzw_encode_tiff. The decoder's table trails the
+    encoder's by one entry, so its early width change fires at slot
+    2^w - 2."""
+    out = bytearray()
+    pos = 0  # bit cursor
+    total = len(data) * 8
+
+    def read(width: int) -> int:
+        nonlocal pos
+        if pos + width > total:
+            raise ValueError("LZW stream exhausted mid-code")
+        end = (pos + width + 7) // 8
+        chunk = int.from_bytes(data[pos // 8 : end], "big")
+        val = (chunk >> (end * 8 - pos - width)) & ((1 << width) - 1)
+        pos += width
+        return val
+
+    def fresh() -> tuple[dict[int, bytes], int, int]:
+        return {i: bytes([i]) for i in range(256)}, 258, 9
+
+    table, nxt, width = fresh()
+    prev: bytes | None = None
+    while len(out) < expected:
+        code = read(width)
+        if code == _LZW_EOI:
+            break
+        if code == _LZW_CLEAR:
+            table, nxt, width = fresh()
+            prev = None
+            continue
+        if prev is None:
+            if code >= 256:
+                raise ValueError(f"LZW: non-literal first code {code}")
+            entry = table[code]
+        elif code in table:
+            entry = table[code]
+        elif code == nxt:  # the KwKwK case
+            entry = prev + prev[:1]
+        else:
+            raise ValueError(f"LZW: code {code} beyond table ({nxt})")
+        out += entry
+        if prev is not None:
+            table[nxt] = prev + entry[:1]
+            nxt += 1
+            if nxt == (1 << width) - 2 and width < 12:
+                width += 1
+        prev = entry
+    if len(out) != expected:
+        raise ValueError("LZW output does not match the expected strip size")
+    return bytes(out)
+
+
+def _predict_diff(rows: np.ndarray, spp: int) -> np.ndarray:
+    """Horizontal differencing (TIFF Predictor=2): per row, per channel,
+    value - left-neighbor, mod 256."""
+    px = rows.reshape(rows.shape[0], -1, spp).astype(np.int16)
+    d = px.copy()
+    d[:, 1:, :] = (px[:, 1:, :] - px[:, :-1, :]) % 256
+    return d.astype(np.uint8).reshape(rows.shape)
+
+
+def _predict_undiff(rows: np.ndarray, spp: int) -> np.ndarray:
+    px = rows.reshape(rows.shape[0], -1, spp).astype(np.int64)
+    return (
+        np.cumsum(px, axis=1) % 256
+    ).astype(np.uint8).reshape(rows.shape)
 
 
 def _packbits_encode(data: bytes) -> bytes:
@@ -3139,9 +3274,20 @@ def encode_tiff(
     packbits: bool = False,
     rows_per_strip: int = 4,
     white_is_zero: bool = False,
+    lzw: bool = False,
+    predictor: int = 1,
 ) -> bytes:
     """Baseline TIFF writer: (h, w) grayscale or (h, w, 3) RGB uint8,
-    strip-organized, optional PackBits compression, either byte order."""
+    strip-organized, either byte order. Compression: none, PackBits
+    (compressed PER ROW within each strip per TIFF 6.0 §9 — runs never
+    cross row boundaries), or LZW (§13, early-change widths), optionally
+    with the horizontal-differencing Predictor (tag 317, LZW only)."""
+    if packbits and lzw:
+        raise ValueError("choose one of packbits/lzw")
+    if predictor not in (1, 2):
+        raise ValueError(f"predictor must be 1 or 2, got {predictor}")
+    if predictor == 2 and not lzw:
+        raise ValueError("Predictor=2 is written with LZW compression only")
     px = np.asarray(pixels, dtype=np.uint8)
     h, w = px.shape[:2]
     spp = 1 if px.ndim == 2 else px.shape[2]
@@ -3151,10 +3297,20 @@ def encode_tiff(
         px = 255 - px
     bo = ">" if big_endian else "<"
     raw_rows = px.reshape(h, w * spp)
+    if predictor == 2:
+        raw_rows = _predict_diff(raw_rows, spp)
     strips = []
     for r0 in range(0, h, rows_per_strip):
-        raw = raw_rows[r0 : r0 + rows_per_strip].tobytes()
-        strips.append(_packbits_encode(raw) if packbits else raw)
+        block = raw_rows[r0 : r0 + rows_per_strip]
+        if packbits:
+            # per-row streams concatenated: §9 requires each row compressed
+            # independently (decode side reads to the expected byte count,
+            # so concatenated row streams parse identically)
+            strips.append(b"".join(_packbits_encode(r.tobytes()) for r in block))
+        elif lzw:
+            strips.append(_lzw_encode_tiff(block.tobytes()))
+        else:
+            strips.append(block.tobytes())
 
     def entry(tag: int, typ: int, count: int, value: int) -> bytes:
         # inline values are LEFT-justified in the 4-byte field (TIFF 6.0
@@ -3165,8 +3321,9 @@ def encode_tiff(
         return head + struct.pack(f"{bo}I", value)
 
     n_strips = len(strips)
+    compression = 32773 if packbits else (5 if lzw else 1)
     # layout: header(8) + IFD + [bits array if spp=3] + strip tables + strips
-    n_entries = 9
+    n_entries = 9 + (1 if predictor == 2 else 0)
     ifd_size = 2 + n_entries * 12 + 4
     pos = 8 + ifd_size
     bits_off = pos
@@ -3193,7 +3350,7 @@ def encode_tiff(
             if spp == 1
             else struct.pack(f"{bo}HHI", 258, 3, 3) + struct.pack(f"{bo}I", bits_off)
         ),
-        entry(259, 3, 1, 32773 if packbits else 1),
+        entry(259, 3, 1, compression),
         entry(262, 3, 1, photometric),
         (
             entry(273, 4, 1, offsets[0])
@@ -3208,6 +3365,10 @@ def encode_tiff(
             else struct.pack(f"{bo}HHI", 279, 4, n_strips) + struct.pack(f"{bo}I", sc_off)
         ),
     ]
+    if predictor == 2:
+        entries.append(entry(317, 3, 1, 2))
+    # IFD entries must be sorted by tag (TIFF 6.0 §2) — 317 > 279, so the
+    # append order is already sorted
     ifd = struct.pack(f"{bo}H", n_entries) + b"".join(entries) + struct.pack(f"{bo}I", 0)
     out = bytearray()
     out += (b"MM" if big_endian else b"II") + struct.pack(f"{bo}H", 42)
@@ -3272,10 +3433,13 @@ def parse_tiff(payload: bytes, return_pixels: bool = False) -> dict:
     if any(b != 8 for b in bits):
         raise NotImplementedError(f"only 8-bit TIFF samples supported (got {bits})")
     comp = tags.get("compression", [1])[0]
-    if comp not in (1, 32773):
+    if comp not in (1, 5, 32773):
         raise NotImplementedError(
-            f"TIFF compression {comp} unsupported (only none/PackBits)"
+            f"TIFF compression {comp} unsupported (only none/LZW/PackBits)"
         )
+    predictor = tags.get("predictor", [1])[0]
+    if predictor not in (1, 2):
+        raise NotImplementedError(f"TIFF predictor {predictor} unsupported")
     photometric = tags.get("photometric", [1])[0]
     rps = tags.get("rows_per_strip", [h])[0]
     raw = bytearray()
@@ -3285,12 +3449,19 @@ def parse_tiff(payload: bytes, return_pixels: bool = False) -> dict:
             raise ValueError("truncated TIFF strip")
         rows = min(rps, h - i * rps)
         expected = rows * w * spp
-        raw += _packbits_decode(strip, expected) if comp == 32773 else strip
+        if comp == 32773:
+            raw += _packbits_decode(strip, expected)
+        elif comp == 5:
+            raw += _lzw_decode_tiff(strip, expected)
+        else:
+            raw += strip
     if len(raw) != h * w * spp:
         raise ValueError("TIFF strip data does not cover the image")
     px = np.frombuffer(bytes(raw), dtype=np.uint8).reshape(
         (h, w) if spp == 1 else (h, w, spp)
     )
+    if predictor == 2:
+        px = _predict_undiff(px.reshape(h, w * spp), spp).reshape(px.shape)
     if photometric == 0:  # WhiteIsZero
         if spp != 1:
             raise ValueError("WhiteIsZero with multi-sample pixels")

@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "excess_suppliers",
     "zero_dates",
     "salted_join",
+    "zorder_key",
     "update_split",
     "snapshot_resume",
     "wire_roundtrip",
@@ -99,6 +100,7 @@ BENCH_QUERIES = [
     "gif_decode",
     "gif_frames",
     "media_pipeline",
+    "media_pipeline_quarantine",
     "png_full_decode",
     # round-12b: AVI container frame sampling + framed-FFT audio features
     "video_frames",

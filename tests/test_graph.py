@@ -100,3 +100,15 @@ def test_triangle_counts_three_way_exact(spark):
     got4 = {r["node"]: r["tri_cnt"] for r in G.triangle_counts(
         spark.createDataFrame(k4, "src long, dst long")).collect()}
     assert got4 == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_pagerank_empty_edges(spark):
+    # ADVICE r12: an empty edge relation returns an empty (node, rank_fp)
+    # result instead of ZeroDivisionError
+    e = spark.createDataFrame([], "src long, dst long")
+    out = G.pagerank(e, iterations=2)
+    assert out.columns == ["node", "rank_fp"] and out.count() == 0
+    # the SQL twin stays runnable on empty edges too
+    import duckdb
+    sql = G.pagerank_sql("SELECT CAST(NULL AS BIGINT) AS src, CAST(NULL AS BIGINT) AS dst WHERE 1=0", iterations=2)
+    assert duckdb.sql(sql).fetchall() == []

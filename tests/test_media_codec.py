@@ -967,9 +967,117 @@ def test_tiff_full_matrix_and_dispatch():
     assert out["format"] == "tiff" and out["px_sum"] == int(g.astype(np.int64).sum())
     with pytest.raises(NotImplementedError, match="compression"):
         bad = bytearray(mc.encode_tiff(g))
-        # compression tag value lives in the 4th IFD entry; flip to LZW (5)
+        # compression tag value lives in the 4th IFD entry; flip to
+        # JPEG-in-TIFF (7), still honestly unsupported (LZW is real now)
         ifd = 8 + 2
-        bad[ifd + 3 * 12 + 8] = 5
+        bad[ifd + 3 * 12 + 8] = 7
         mc.parse_tiff(bytes(bad))
     with pytest.raises(ValueError, match="byte-order"):
         mc.parse_tiff(b"XX\x2a\x00")
+
+
+def test_tiff_lzw_roundtrip_matrix():
+    """TIFF 6.0 §13 LZW (MSB-first, early-change 9->12 bit widths, table
+    reset at slot 4094) alone and with the horizontal-differencing
+    Predictor (tag 317), both byte orders, gray + RGB."""
+    rng = np.random.RandomState(5)
+    for be in (False, True):
+        for pred in (1, 2):
+            for shape in ((7, 9), (5, 6, 3), (33, 40)):
+                px = rng.randint(0, 256, shape).astype(np.uint8)
+                t = mc.encode_tiff(px, big_endian=be, lzw=True, predictor=pred,
+                                   rows_per_strip=4)
+                rec = mc.parse_tiff(t, return_pixels=True)
+                assert (rec["pixels"] == px).all(), (be, pred, shape)
+    # gradient rows: predictor=2 makes LZW dramatically smaller (the point)
+    grad = np.add.outer(np.arange(60), np.arange(200) * 3).astype(np.uint8)
+    plain = mc.encode_tiff(grad, lzw=True, rows_per_strip=60)
+    packed = mc.encode_tiff(grad, lzw=True, predictor=2, rows_per_strip=60)
+    assert len(packed) < len(plain)
+    assert (mc.parse_tiff(packed, return_pixels=True)["pixels"] == grad).all()
+
+
+def test_tiff_lzw_kernel_table_reset_and_widths():
+    # >4094 dictionary entries forces ClearCode reset mid-stream; tiled
+    # data drives every code width 9..12
+    rng = np.random.RandomState(6)
+    for n in (0, 1, 257, 70000):
+        data = rng.randint(0, 256, n).astype(np.uint8).tobytes()
+        assert mc._lzw_decode_tiff(mc._lzw_encode_tiff(data), n) == data
+        tiled = bytes(np.tile(np.arange(97, dtype=np.uint8), n // 97 + 1)[:n])
+        assert mc._lzw_decode_tiff(mc._lzw_encode_tiff(tiled), n) == tiled
+    # KwKwK case: aaa...a produces the code-just-added pattern immediately
+    run = b"\xAA" * 500
+    assert mc._lzw_decode_tiff(mc._lzw_encode_tiff(run), 500) == run
+
+
+def test_tiff_packbits_is_per_row():
+    # TIFF 6.0 §9: each row compressed independently — a run spanning two
+    # rows must produce two row streams, i.e. decoding exactly one row's
+    # worth from the strip head consumes the first stream completely
+    two = np.frombuffer(b"\xAA" * 20, dtype=np.uint8).reshape(2, 10)
+    t = mc.encode_tiff(two, packbits=True, rows_per_strip=2)
+    rec = mc.parse_tiff(t, return_pixels=True)
+    assert (rec["pixels"] == two).all()
+    # locate the strip (single strip, offset from tag 273)
+    off = mc.parse_tiff(t)["width"]  # just sanity; decode path asserts shape
+    # a whole-strip run of 20 would be 2 bytes; per-row it is 2 x 2 bytes
+    # find strip bytes: the last 4 bytes of the file are the two row streams
+    assert t[-4:] == bytes([256 - 9, 0xAA]) * 2
+
+
+def test_avi_streams_dispatch_by_number_not_position():
+    """AVI spec: the two-digit chunk-id prefix is the strl INDEX — audio as
+    stream 00 with video as stream 01 is legal, and idx1 may index a subset
+    of chunks (e.g. keyframes only)."""
+    import struct as st
+
+    rng = np.random.RandomState(9)
+    frames = [rng.randint(0, 256, (6, 5, 3)).astype(np.uint8) for _ in range(2)]
+    samples = rng.randint(-1000, 1000, 320).astype(np.int64)
+    w, h, fps, rate = 5, 6, 10, 1600
+    stride = (w * 3 + 3) & ~3
+    payloads = []
+    for fr in frames:
+        rows = np.zeros((h, stride), dtype=np.uint8)
+        rows[:, : w * 3] = fr[::-1, :, ::-1].reshape(h, w * 3)
+        payloads.append(rows.tobytes())
+    spf = rate // fps
+    audio_chunks = [samples[:spf].astype("<i2").tobytes(),
+                    samples[spf:].astype("<i2").tobytes()]
+    a_strh = (b"auds" + b"\x00" * 4
+              + st.pack("<IHHIIIIIIiI", 0, 0, 0, 0, 1, rate, 0, len(samples),
+                        max(len(c) for c in audio_chunks), -1, 2)
+              + st.pack("<4H", 0, 0, 0, 0))
+    a_strf = st.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    v_strh = (b"vids" + b"DIB "
+              + st.pack("<IHHIIIIIIiI", 0, 0, 0, 0, 1, fps, 0, len(frames),
+                        max(len(p) for p in payloads), -1, 0)
+              + st.pack("<4H", 0, 0, w, h))
+    v_strf = st.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, stride * h, 0, 0, 0, 0)
+    avih = st.pack("<14I", 1_000_000 // fps, max(len(p) for p in payloads) * fps,
+                   0, 0x10, len(frames), 0, 2, max(len(p) for p in payloads),
+                   w, h, 0, 0, 0, 0)
+    # AUDIO strl first: audio is stream 00, video is stream 01
+    hdrl = mc._riff_list(
+        b"hdrl",
+        mc._riff_chunk(b"avih", avih)
+        + mc._riff_list(b"strl", mc._riff_chunk(b"strh", a_strh) + mc._riff_chunk(b"strf", a_strf))
+        + mc._riff_list(b"strl", mc._riff_chunk(b"strh", v_strh) + mc._riff_chunk(b"strf", v_strf)),
+    )
+    movi_body = b""
+    idx = b""
+    for i, p in enumerate(payloads):
+        # idx1 indexes ONLY the video chunks (legal subset)
+        idx += b"01db" + st.pack("<III", 0x10, 4 + len(movi_body), len(p))
+        movi_body += mc._riff_chunk(b"01db", p)
+        movi_body += mc._riff_chunk(b"00wb", audio_chunks[i])
+    body = (b"AVI " + hdrl + mc._riff_list(b"movi", movi_body)
+            + mc._riff_chunk(b"idx1", idx))
+    avi = b"RIFF" + st.pack("<I", len(body)) + body
+
+    rec = mc.parse_avi(avi, return_frames=True)
+    assert rec["n_frames"] == 2 and rec["width"] == w and rec["height"] == h
+    assert all((rec["frames"][i] == frames[i]).all() for i in range(2))
+    assert rec["has_audio"] and rec["audio_samples"] == len(samples)
+    assert (rec["audio"] == samples).all()

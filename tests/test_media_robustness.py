@@ -42,6 +42,7 @@ PAYLOADS = {
     "wav": (mc.encode_wav(_SAMPLES, 8000), mc.parse_wav),
     "avi": (mc.encode_avi(_FRAMES, audio=_SAMPLES[:300]), mc.parse_avi),
     "tiff": (mc.encode_tiff(_PX, packbits=True), mc.parse_tiff),
+    "tiff_lzw": (mc.encode_tiff(_PX, lzw=True, predictor=2), mc.parse_tiff),
 }
 
 
