@@ -299,11 +299,17 @@ def resize_payload(
     return df.mapInPandas(_resize, schema=RESIZED_SCHEMA)
 
 
+def _quarantine_policy(errors: str) -> None:
+    if errors not in ("raise", "null", "skip"):
+        raise ValueError(f"errors must be raise/null/skip, got {errors!r}")
+
+
 def sample_gif_frames(
     df: DataFrame,
     payload_col: str = "payload",
     id_col: str = "id",
     every_n: int = 1,
+    errors: str = "raise",
 ) -> DataFrame:
     """REAL video-style frame sampling over animated GIFs: decode each
     payload's animation (media_codec.parse_gif — from-scratch LZW) and emit
@@ -312,33 +318,50 @@ def sample_gif_frames(
     stand-in (:func:`sample_frames`) for the one video-like container that
     is honestly decodable here; ffmpeg-class codecs stay out of scope.
     One Arrow-batched mapInPandas pass, no shuffle (partition = files);
-    per-frame rows explode inside the kernel so no driver data motion."""
+    per-frame rows explode inside the kernel so no driver data motion.
+
+    ``errors`` (r13) is the corrupt-payload policy, same contract as
+    media_codec.decode_image: ``"raise"`` fails the job, ``"skip"`` drops
+    the bad payload, ``"null"`` keeps one dead-letter row per bad payload
+    (null frame fields, message in an extra ``error`` column)."""
     import numpy as np
 
     from ape_dts_spark.functions import media_codec as mc
 
+    _quarantine_policy(errors)
+
     def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, fidx, nf, h, w, isum = [], [], [], [], [], []
+            rows: list[tuple] = []
             for rid, raw in zip(pdf[id_col], pdf[payload_col]):
-                rec = mc.parse_gif(bytes(raw), return_frames=True)
+                try:
+                    rec = mc.parse_gif(bytes(raw), return_frames=True)
+                except (ValueError, NotImplementedError) as exc:
+                    if errors == "raise":
+                        raise
+                    if errors == "null":
+                        rows.append((rid, None, None, None, None, None,
+                                     f"{type(exc).__name__}: {exc}"))
+                    continue
                 frames = rec["frames"]
                 for i in range(0, len(frames), every_n):
-                    ids.append(rid)
-                    fidx.append(i)
-                    nf.append(len(frames))
-                    h.append(frames[i].shape[0])
-                    w.append(frames[i].shape[1])
-                    isum.append(int(frames[i].astype(np.int64).sum()))
-            yield pd.DataFrame(
-                {"id": ids, "frame_idx": fidx, "n_frames": nf,
-                 "height": h, "width": w, "idx_sum": isum}
+                    rows.append(
+                        (rid, i, len(frames), frames[i].shape[0],
+                         frames[i].shape[1],
+                         int(frames[i].astype(np.int64).sum()), None)
+                    )
+            out = pd.DataFrame(
+                rows, columns=["id", "frame_idx", "n_frames", "height",
+                               "width", "idx_sum", "error"]
             )
+            if errors == "raise":
+                out = out.drop(columns=["error"])
+            yield out
 
-    return df.mapInPandas(
-        _frames,
-        schema="id long, frame_idx int, n_frames int, height int, width int, idx_sum long",
-    )
+    schema = "id long, frame_idx int, n_frames int, height int, width int, idx_sum long"
+    if errors != "raise":
+        schema += ", error string"
+    return df.mapInPandas(_frames, schema=schema)
 
 
 VIDEO_FRAMES_SCHEMA = (
@@ -352,6 +375,7 @@ def sample_video_frames(
     payload_col: str = "payload",
     id_col: str = "id",
     every_n: int = 1,
+    errors: str = "raise",
 ) -> DataFrame:
     """REAL video frame sampling over AVI containers: parse each payload's
     RIFF structure (media_codec.parse_avi — from-scratch, idx1
@@ -363,31 +387,45 @@ def sample_video_frames(
     inside the kernel, so frame fan-out costs no driver or shuffle data
     motion — the 100 TB shape of frame extraction. Parity: the reference
     ships video as opaque bytes; BASELINE.json names frame sampling as the
-    extension surface."""
+    extension surface. ``errors`` (r13): raise/skip/null corrupt-payload
+    policy, same contract as decode_image (null = one dead-letter row per
+    bad payload with the message in an ``error`` column)."""
     import numpy as np
 
     from ape_dts_spark.functions import media_codec as mc
+
+    _quarantine_policy(errors)
+    cols = ["id", "frame_idx", "n_frames", "codec", "width",
+            "height", "n_px", "px_sum", "px_min", "px_max", "error"]
 
     def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows: list[tuple] = []
             for rid, raw in zip(pdf[id_col], pdf[payload_col]):
-                rec = mc.parse_avi(bytes(raw), return_frames=True)
+                try:
+                    rec = mc.parse_avi(bytes(raw), return_frames=True)
+                except (ValueError, NotImplementedError) as exc:
+                    if errors == "raise":
+                        raise
+                    if errors == "null":
+                        rows.append((rid,) + (None,) * 9
+                                    + (f"{type(exc).__name__}: {exc}",))
+                    continue
                 frames = rec["frames"]
                 for i in range(0, len(frames), every_n):
                     px = frames[i].astype(np.int64)
                     rows.append(
                         (rid, i, len(frames), rec["codec"], rec["width"],
                          rec["height"], int(px.size), int(px.sum()),
-                         int(px.min()), int(px.max()))
+                         int(px.min()), int(px.max()), None)
                     )
-            yield pd.DataFrame(
-                rows,
-                columns=["id", "frame_idx", "n_frames", "codec", "width",
-                         "height", "n_px", "px_sum", "px_min", "px_max"],
-            )
+            out = pd.DataFrame(rows, columns=cols)
+            if errors == "raise":
+                out = out.drop(columns=["error"])
+            yield out
 
-    return df.mapInPandas(_frames, schema=VIDEO_FRAMES_SCHEMA)
+    schema = VIDEO_FRAMES_SCHEMA + (", error string" if errors != "raise" else "")
+    return df.mapInPandas(_frames, schema=schema)
 
 
 AUDIO_FEATURES_SCHEMA = (
@@ -403,6 +441,7 @@ def extract_audio_features(
     payload_col: str = "payload",
     id_col: str = "id",
     n_fft: int = 256,
+    errors: str = "raise",
 ) -> DataFrame:
     """REAL audio feature extraction: decode each payload — a WAV file
     (media_codec.wav_samples — from-scratch RIFF/PCM/IMA-ADPCM) or the
@@ -414,20 +453,38 @@ def extract_audio_features(
     vectorized across frames inside the kernel. This is the audio analog of
     :func:`extract_features` — the reference treats audio as an opaque blob
     (ape-dts moves bytes; BASELINE.json names audio features as the
-    extension surface)."""
+    extension surface). ``errors`` (r13): raise/skip/null corrupt-payload
+    policy, same contract as decode_image (null = dead-letter row with null
+    features and the message in an ``error`` column)."""
     from ape_dts_spark.functions import media_codec as mc
+
+    _quarantine_policy(errors)
+    fields = [f.split()[0] for f in AUDIO_FEATURES_SCHEMA.split(", ")][1:]
 
     def _features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            recs = [
-                mc.audio_spectrum(bytes(raw), n_fft=n_fft)
-                for raw in pdf[payload_col]
-            ]
-            out = pd.DataFrame(recs)
-            out.insert(0, "id", pdf[id_col].values)
+            recs, ids = [], []
+            for rid, raw in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    rec = mc.audio_spectrum(bytes(raw), n_fft=n_fft)
+                    rec["error"] = None
+                except (ValueError, NotImplementedError) as exc:
+                    if errors == "raise":
+                        raise
+                    if errors == "skip":
+                        continue
+                    rec = dict.fromkeys(fields)
+                    rec["error"] = f"{type(exc).__name__}: {exc}"
+                recs.append(rec)
+                ids.append(rid)
+            out = pd.DataFrame(recs, columns=fields + ["error"])
+            if errors == "raise":
+                out = out.drop(columns=["error"])
+            out.insert(0, "id", ids)
             yield out
 
-    return df.mapInPandas(_features, schema=AUDIO_FEATURES_SCHEMA)
+    schema = AUDIO_FEATURES_SCHEMA + (", error string" if errors != "raise" else "")
+    return df.mapInPandas(_features, schema=schema)
 
 
 def sample_frames(df: DataFrame, payload_col: str = "payload", every_n_bytes: int = 1024) -> DataFrame:

@@ -183,3 +183,45 @@ def test_decode_image_errors_raise_default(spark):
     from py4j.protocol import Py4JJavaError
     with pytest.raises(Exception):
         mc.decode_image(df).collect()
+
+
+def test_audio_video_gif_quarantine_modes(spark):
+    """r13: the audio/video/GIF sampling paths carry the same errors=
+    raise/skip/null contract as decode_image."""
+    wav = mc.encode_wav(_SAMPLES, 8000)
+    avi = mc.encode_avi(_FRAMES, audio=_SAMPLES[:300])
+    gif = PAYLOADS["gif"][0]
+
+    adf = spark.createDataFrame(
+        [(1, wav), (2, avi), (3, wav[:30]), (4, b"not audio")],
+        "id long, payload binary",
+    )
+    rows = mm.extract_audio_features(adf, errors="null").orderBy("id").collect()
+    assert [r["id"] for r in rows] == [1, 2, 3, 4]
+    assert rows[0]["error"] is None and rows[1]["error"] is None
+    assert rows[2]["error"] is not None and rows[2]["sample_rate"] is None
+    assert rows[3]["error"] is not None
+    kept = mm.extract_audio_features(adf, errors="skip").select("id").collect()
+    assert sorted(r["id"] for r in kept) == [1, 2]
+    with pytest.raises(Exception):
+        mm.extract_audio_features(adf).collect()
+
+    vdf = spark.createDataFrame(
+        [(1, avi), (2, avi[:40]), (3, b"RIFFxxxxAVI garbage")],
+        "id long, payload binary",
+    )
+    vrows = mm.sample_video_frames(vdf, errors="null").collect()
+    good = [r for r in vrows if r["error"] is None]
+    bad = [r for r in vrows if r["error"] is not None]
+    assert {r["id"] for r in good} == {1} and len(good) == 3
+    assert sorted(r["id"] for r in bad) == [2, 3]
+    assert {r["id"] for r in mm.sample_video_frames(vdf, errors="skip").collect()} == {1}
+
+    gdf = spark.createDataFrame(
+        [(1, gif), (2, gif[:25]), (3, b"GIF89a" + b"\xff" * 4)],
+        "id long, payload binary",
+    )
+    grows = mm.sample_gif_frames(gdf, errors="null").collect()
+    assert {r["id"] for r in grows if r["error"] is None} == {1}
+    assert sorted(r["id"] for r in grows if r["error"] is not None) == [2, 3]
+    assert {r["id"] for r in mm.sample_gif_frames(gdf, errors="skip").collect()} == {1}
