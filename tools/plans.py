@@ -137,6 +137,11 @@ AUDITED = [
                           # no shuffle
     "triangle_counts",    # degree-oriented wedge join + semi-join close +
                           # one agg — every join an equi-join on node ids
+    # round 13
+    "media_pipeline_quarantine",  # mixed decode with errors=null dead-letter
+                          # columns, still one Arrow pass -> tiny grouped agg
+    "zorder_key",         # Morton key as pure codegen shift/mask expression
+                          # (no Python), one projection + one hash agg
     # pagerank: the returned plan is a scan of the final checkpointed rank
     # relation (lineage truncated by design) — per-iteration shape is one
     # shuffle join + one hash agg, locked in test_graph semantics instead
