@@ -234,22 +234,36 @@ _PATTERNS: list[tuple[str, re.Pattern]] = [
         ),
     ),
     (
+        # reference-corpus breadth (ddl_parser.rs test_create_index_*): PG
+        # CONCURRENTLY / IF NOT EXISTS / anonymous index / ON ONLY, MySQL
+        # USING <type> before ON; expression index columns ride verbatim
         "create_index",
         re.compile(
-            rf"^\s*CREATE\s+(?:UNIQUE\s+)?INDEX\s+{_ID}\s+ON\s+{_QID}\s*\((.+?)\)\s*;?\s*$",
-            re.IGNORECASE,
+            rf"^\s*CREATE\s+(?:UNIQUE\s+)?INDEX\s+(?:CONCURRENTLY\s+)?"
+            rf"(?:IF\s+NOT\s+EXISTS\s+)?(?:{_ID}\s+)?(?:USING\s+\w+\s+)?"
+            rf"ON\s+(?:ONLY\s+)?{_QID}\s*\((.+?)\)\s*;?\s*$",
+            re.IGNORECASE | re.DOTALL,
         ),
     ),
     (
         "drop_index",
         re.compile(
-            rf"^\s*DROP\s+INDEX\s+(?:CONCURRENTLY\s+)?(?:IF\s+EXISTS\s+)?{_ID}(?:\s+ON\s+{_QID})?\s*;?\s*$",
+            rf"^\s*DROP\s+INDEX\s+(?:CONCURRENTLY\s+)?(?:IF\s+EXISTS\s+)?{_ID}"
+            rf"(?:\s+ON\s+{_QID})?(?:\s+CASCADE|\s+RESTRICT)?\s*;?\s*$",
             re.IGNORECASE,
         ),
     ),
     (
+        # PG allows CREATE SCHEMA [IF NOT EXISTS] name [AUTHORIZATION role]
+        # and the name-less CREATE SCHEMA AUTHORIZATION role (schema named
+        # after the role) — both in the reference's own corpus
+        # (ddl_parser.rs test_create_schema_pg)
         "create_database",
-        re.compile(rf"^\s*CREATE\s+(?:DATABASE|SCHEMA)\s+(?:IF\s+NOT\s+EXISTS\s+)?{_ID}\s*;?\s*$", re.IGNORECASE),
+        re.compile(
+            rf"^\s*CREATE\s+(?:DATABASE|SCHEMA)\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+            rf"(?:AUTHORIZATION\s+)?{_ID}(?:\s+AUTHORIZATION\s+[\w$`\"]+)?\s*;?\s*$",
+            re.IGNORECASE,
+        ),
     ),
     (
         "drop_database",
@@ -342,7 +356,8 @@ _MULTI_RENAME_TABLE = re.compile(
     r"^\s*RENAME\s+TABLE\s+(.+\bTO\b.+,.+\bTO\b.+?)\s*;?\s*$", re.IGNORECASE | re.DOTALL
 )
 _MULTI_DROP_INDEX = re.compile(
-    r"^\s*DROP\s+INDEX\s+(?:CONCURRENTLY\s+)?(IF\s+EXISTS\s+)?([^;]+,[^;]+?)\s*;?\s*$",
+    r"^\s*DROP\s+INDEX\s+(?:CONCURRENTLY\s+)?(IF\s+EXISTS\s+)?([^;]+,[^;]+?)"
+    r"(?:\s+CASCADE|\s+RESTRICT)?\s*;?\s*$",
     re.IGNORECASE,
 )
 # PG: TRUNCATE [TABLE] a, b [RESTART IDENTITY | CONTINUE IDENTITY] [CASCADE]

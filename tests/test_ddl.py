@@ -534,3 +534,30 @@ def test_ctas_like_and_temp_modifiers():
     ]:
         s = parse_ddl(sql)
         assert (s.kind, s.schema, s.table) == ("create_table", schema, table), sql
+
+
+def test_create_schema_authorization_forms():
+    # reference corpus (ddl_parser.rs test_create_schema_pg)
+    s = parse_ddl("create schema authorization aaa")
+    assert (s.kind, s.schema) == ("create_database", "aaa")
+    s = parse_ddl("create schema if not exists match authorization hehe")
+    assert (s.kind, s.schema) == ("create_database", "match")
+    s = parse_ddl('create /*some comments,*/schema/*c*/ if  not  exists    "aaa"  ')
+    assert (s.kind, s.schema) == ("create_database", "aaa")
+
+
+def test_index_forms_from_reference_corpus():
+    # ddl_parser.rs test_create_index_mysql / _pg / test_drop_index_pg
+    s = parse_ddl("create unique index `idx2` using  btree  on `d1`.`t1`((col1 + col2), (col1 - col2), col1);")
+    assert (s.kind, s.schema, s.table, s.args[0]) == ("create_index", "d1", "t1", "idx2")
+    s = parse_ddl('create index on "tb_1"(id);')  # anonymous PG index
+    assert (s.kind, s.table, s.args[0]) == ("create_index", "tb_1", None)
+    s = parse_ddl(
+        'create\nunique\nindex\nconcurrently -- some comments\n'
+        'if not\nexists\n"idx3"\non\nonly\n"tb_1"(a);'
+    )
+    assert (s.kind, s.table, s.args[0]) == ("create_index", "tb_1", "idx3")
+    s = parse_ddl("drop index CONCURRENTLY if exists tb_1_id_idx3 RESTRICT;")
+    assert (s.kind, s.args) == ("drop_index", ("tb_1_id_idx3",))
+    parts = split_ddl("drop index if exists tb_1_id_idx,tb_1_id_idx1 RESTRICT;")
+    assert [p.args[0] for p in parts] == ["tb_1_id_idx", "tb_1_id_idx1"]
