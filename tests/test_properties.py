@@ -593,3 +593,32 @@ def test_png_full_matrix_roundtrip_property(shape, seed, depth, channels,
         return_pixels=True,
     )
     assert (rec["pixels"] == img).all()
+
+
+# ---------------------------------------------------------------------------
+# DDL scanner string-awareness (r13): for ANY column type + string literal
+# content (including comment starters, commas, action keywords, escapes),
+# an assembled two-action ALTER must split into exactly its two actions
+# with the literal intact.
+# ---------------------------------------------------------------------------
+
+_lit_chars = st.text(
+    alphabet="ab#-/*, DROPx'\\`\"",
+    min_size=0,
+    max_size=12,
+)
+
+
+@given(lit=_lit_chars)
+@settings(max_examples=200, deadline=None)
+def test_ddl_split_survives_any_default_literal(lit):
+    from ape_dts_spark.plans.ddl_parse import split_ddl
+
+    # escape for a single-quoted MySQL literal: backslash-escape the two
+    # characters that would end or escape the string
+    esc = lit.replace("\\", "\\\\").replace("'", "\\'")
+    sql = f"ALTER TABLE t ADD a VARCHAR(30) DEFAULT '{esc}', ADD b INT"
+    parts = split_ddl(sql)
+    assert [p.kind for p in parts] == ["add_column", "add_column"], (sql, parts)
+    assert parts[0].args[0] == "a" and parts[1].args == ("b", "INT")
+    assert parts[0].args[1] == f"VARCHAR(30) DEFAULT '{esc}'", (sql, parts)
