@@ -61,7 +61,7 @@ def with_morton_key(
 
 
 def with_rank_buckets(
-    df: DataFrame, col: str, bits: int = 10, out: str | None = None,
+    df: DataFrame, col: str, bits: int = 8, out: str | None = None,
     relative_error: float = 0.001,
 ) -> DataFrame:
     """Quantile-bucket a numeric column into [0, 2^bits) so it can feed the
@@ -71,7 +71,11 @@ def with_rank_buckets(
     from one ``approxQuantile`` pass (Greenwald-Khanna, driver gets 2^bits
     scalars — tiny); the bucket id is ``cardinality(filter(boundaries,
     b -> b <= x))`` over the broadcast literal array — a vectorized
-    higher-order function, pure JVM, no join and no extra shuffle."""
+    higher-order function, pure JVM, no join and no extra shuffle. The
+    filter is linear in 2^bits per row, so the default stays at 8 (256
+    comparisons); layout keys rarely benefit from finer than 10. NULL
+    values get a NULL bucket — filter them to a dedicated file instead of
+    feeding them to the curve."""
     n_buckets = 1 << bits
     bounds = df.stat.approxQuantile(
         col, [i / n_buckets for i in range(1, n_buckets)], relative_error

@@ -3471,7 +3471,10 @@ def parse_tiff(payload: bytes, return_pixels: bool = False) -> dict:
         "width": int(w),
         "height": int(h),
         "bit_depth": 8,
-        "color_type": 2 if spp == 3 else 0,
+        # PNG color-type numbering, like the rest of the image family:
+        # gray=0, RGB=2, gray+alpha=4, RGBA=6 (real RGBA TIFFs exist —
+        # CPython's python.tiff is photometric-2 spp-4 with ExtraSamples)
+        "color_type": {1: 0, 2: 4, 3: 2, 4: 6}.get(spp, 0),
         "n_px": int(flat.size),
         "px_sum": int(flat.sum()),
         "px_min": int(flat.min()) if flat.size else 0,

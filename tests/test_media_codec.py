@@ -1081,3 +1081,19 @@ def test_avi_streams_dispatch_by_number_not_position():
     assert all((rec["frames"][i] == frames[i]).all() for i in range(2))
     assert rec["has_audio"] and rec["audio_samples"] == len(samples)
     assert (rec["audio"] == samples).all()
+
+
+def test_tiff_real_rgba_file():
+    """Real foreign TIFF (CPython's test asset python.tiff): little-endian,
+    uncompressed, photometric RGB with spp=4 (alpha via ExtraSamples),
+    SHORT bits array of count 4 read via offset. Pins RGBA dispatch
+    (PNG-style color_type 6) and the spp=4 sample accounting against a
+    foreign writer."""
+    import os
+
+    rec = mc.parse_tiff(open(os.path.join(_FIXTURES, "python.tiff"), "rb").read())
+    assert (rec["width"], rec["height"], rec["color_type"]) == (16, 16, 6)
+    assert rec["n_px"] == 16 * 16 * 4
+    assert rec["px_min"] >= 0 and rec["px_max"] <= 255
+    out = mc.parse_image(open(os.path.join(_FIXTURES, "python.tiff"), "rb").read())
+    assert out["format"] == "tiff" and out["color_type"] == 6

@@ -303,3 +303,12 @@ def test_bucketed_join_eliminates_shuffle(spark, tmp_path):
         assert "Exchange" in un_plan
     finally:
         spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+
+
+def test_zorder_key_pure_codegen_single_agg_shuffle(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "zorder_key")
+    # the Morton key is a JVM shift/mask expression (no Python eval), over a
+    # two-column pruned scan, with exactly the one aggregation exchange
+    assert "Python" not in plan
+    assert "ReadSchema: struct<o_orderkey:bigint,o_custkey:bigint>" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
