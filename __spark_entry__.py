@@ -4054,6 +4054,46 @@ def q_media_pipeline_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_netpbm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Netpbm decode across all six formats (r13, media_codec.parse_netpbm
+    — the classic vision-dataset interchange family): each supplier row
+    writes one of P1/P2/P3/P4/P5/P6 cycling by key — ASCII and raw bodies,
+    1-bit bitmaps with MSB-first row padding (P4) and separator-free ASCII
+    digits (P1), 16-bit big-endian samples on the P2 residue — routed
+    through the parse_image magic sniff. Pixels follow (17*id + i) %
+    (maxval+1), so the oracle restates exact statistics; a wrong pad bit,
+    byte order, or token split shifts px_sum. One Arrow map pass, no
+    shuffle."""
+    from ape_dts_spark.functions import media_codec as mc
+
+    s = demo.load(spark, sf_dir, "supplier").select("s_suppkey")
+
+    def _gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for k in pdf["s_suppkey"]:
+                k = int(k)
+                m = k % 6
+                h, w = k % 6 + 3, k % 9 + 4
+                bitmap = m in (0, 3)
+                rgb = m in (2, 5)
+                maxval = 1 if bitmap else (65535 if m == 1 else 255)
+                n = h * w * (3 if rgb else 1)
+                vals = ((17 * k + np.arange(n)) % (maxval + 1)).astype(np.int64)
+                px = vals.reshape((h, w, 3) if rgb else (h, w))
+                ids.append(k)
+                payloads.append(
+                    mc.encode_netpbm(px, ascii_format=m <= 2, maxval=maxval)
+                )
+            yield pd.DataFrame({"id": ids, "payload": payloads})
+
+    payloads = _spread(s, spark).mapInPandas(_gen, "id long, payload binary")
+    return mc.decode_image(payloads)
+
+
 def q_jpeg_progressive_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL progressive-JPEG (SOF2) pixel decode, stdlib+numpy only
     (functions/media_codec.py, T.81 Annex G): each part row generates a
@@ -5187,21 +5227,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The external driver gates only the FIRST 50 dict entries, so ordering is
     # load-bearing. Rotation policy (r13 rotation applied; VERDICT r12 item
     # 3 with the corrected arithmetic): (1) every never-gated query leads —
-    # the 12 rows with no CORRECTNESS_r* attestation at all, including
-    # media_pipeline_quarantine and zorder_key (new r13) — a never-gated
-    # row outranks any re-attest; (2) then waiting_suppliers (last gated
-    # r07, the stalest driver row); (3) then the 37 alphabetically-first
-    # of the 49 r09-era rows. The 12 remaining r09 rows lead the r14
-    # rotation, followed by r10/r11/r12 in staleness order, so the next
-    # rotation is again a prefix cut. Before any rotation ships, the FULL
-    # (non --window) tools/check.py run must be green — rotated-out queries
-    # keep local-gate + pytest coverage. This literal is machine-regenerated
-    # from the CORRECTNESS_r*.json staleness data each rotation (the r12
-    # hand-written plan miscounted the never-gated set; generating the
-    # block from the files is the fix); duplicates are structurally
-    # impossible.
+    # the 13 rows with no CORRECTNESS_r* attestation at all, including
+    # media_pipeline_quarantine, zorder_key and netpbm_decode (new r13) —
+    # a never-gated row outranks any re-attest; (2) then waiting_suppliers
+    # (last gated r07, the stalest driver row); (3) then the 36
+    # alphabetically-first of the 49 r09-era rows. The 13 remaining r09
+    # rows lead the r14 rotation, followed by r10/r11/r12 in staleness
+    # order, so the next rotation is again a prefix cut. Before any
+    # rotation ships, the FULL (non --window) tools/check.py run must be
+    # green — rotated-out queries keep local-gate + pytest coverage. This
+    # literal is machine-regenerated from the CORRECTNESS_r*.json staleness
+    # data each rotation (the r12 hand-written plan miscounted the
+    # never-gated set; generating the block from the files is the fix);
+    # duplicates are structurally impossible.
     return {
-        # -- r13 window: 12 never-gated + waiting_suppliers (r07) + 37
+        # -- r13 window: 13 never-gated + waiting_suppliers (r07) + 36
         # -- stalest r09 rows --------------------------------------------
         "audio_features": q_audio_features,
         "avi_audio_features": q_avi_audio_features,
@@ -5209,6 +5249,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hdr_quantiles": q_hdr_quantiles,
         "media_pipeline": q_media_pipeline,
         "media_pipeline_quarantine": q_media_pipeline_quarantine,
+        "netpbm_decode": q_netpbm_decode,
         "pagerank": q_pagerank,
         "png_full_decode": q_png_full_decode,
         "tiff_decode": q_tiff_decode,
@@ -5252,9 +5293,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "png_decode": q_png_decode,
         "precheck_cdc": q_precheck_cdc,
         "product_profit": q_product_profit,
-        "promo_effect": q_promo_effect,
         # ---------------------------- slot 50 ends here ----------------------
-        # -- r09 remainder (12 rows): leads the r14 window ---------------
+        # -- r09 remainder (13 rows): leads the r14 window ---------------
+        "promo_effect": q_promo_effect,
         "returned_items": q_returned_items,
         "robots_filter": q_robots_filter,
         "shipping_priority": q_shipping_priority,
@@ -6808,6 +6849,32 @@ def oracle_sql() -> dict[str, str]:
                      CAST(0 AS BIGINT) AS total_sum
               FROM part WHERE p_partkey % 11 IN (0, 7))
             SELECT * FROM clean UNION ALL SELECT * FROM quarantined
+        """,
+        "netpbm_decode": """
+            WITH base AS (
+              SELECT s_suppkey AS id, s_suppkey % 6 AS m,
+                     s_suppkey % 6 + 3 AS h, s_suppkey % 9 + 4 AS w
+              FROM supplier),
+            shaped AS (
+              SELECT id, m, h, w,
+                     CASE WHEN m IN (0, 3) THEN 1
+                          WHEN m = 1 THEN 65535 ELSE 255 END AS maxval,
+                     CASE WHEN m IN (2, 5) THEN 3 ELSE 1 END AS ch
+              FROM base),
+            vals AS (
+              SELECT id, m, h, w, maxval, ch,
+                     (17 * id + i) % (maxval + 1) AS v
+              FROM shaped, LATERAL unnest(range(0, h * w * ch)) AS u(i))
+            SELECT id, 'netpbm' AS format,
+                   CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+                   CAST(CASE WHEN maxval = 1 THEN 1
+                             WHEN maxval = 65535 THEN 16 ELSE 8 END AS INT) AS bit_depth,
+                   CAST(CASE WHEN ch = 3 THEN 2 ELSE 0 END AS INT) AS color_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_px,
+                   CAST(SUM(v) AS BIGINT) AS px_sum,
+                   CAST(MIN(v) AS INT) AS px_min,
+                   CAST(MAX(v) AS INT) AS px_max
+            FROM vals GROUP BY id, w, h, maxval, ch
         """,
         "jpeg_progressive_decode": """
             WITH base AS (SELECT p_partkey AS id FROM part),

@@ -2676,6 +2676,134 @@ def decode_jpeg_df(df: DataFrame, payload_col: str = "payload", id_col: str = "i
 # Format-dispatching distributed decoders
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# Netpbm (PBM/PGM/PPM, http://netpbm.sourceforge.net/doc/): P1/P4 bitmaps,
+# P2/P5 graymaps, P3/P6 pixmaps — ASCII and binary ("raw") variants. The
+# classic vision-dataset interchange format; trivially real with stdlib +
+# numpy (binary bodies are raw samples; 2-byte big-endian when maxval>255).
+# ---------------------------------------------------------------------------
+
+
+def encode_netpbm(pixels: np.ndarray, ascii_format: bool = False, maxval: int = 255) -> bytes:
+    """Netpbm writer: (h, w) int array -> PGM (P2/P5) or PBM (P1/P4 when
+    ``maxval == 1``), (h, w, 3) -> PPM (P3/P6). Binary ("raw") by default;
+    ``maxval > 255`` writes 2-byte big-endian samples per spec."""
+    px = np.asarray(pixels)
+    h, w = px.shape[:2]
+    rgb = px.ndim == 3
+    if rgb and px.shape[2] != 3:
+        raise ValueError("PPM needs (h, w, 3)")
+    if maxval == 1 and not rgb:
+        magic = b"P1" if ascii_format else b"P4"
+        header = magic + b"\n%d %d\n" % (w, h)
+        if ascii_format:
+            body = b"\n".join(
+                b" ".join(b"%d" % v for v in row) for row in px.astype(np.uint8)
+            ) + b"\n"
+            return header + body
+        return header + b"".join(
+            np.packbits(row.astype(np.uint8)).tobytes() for row in px
+        )
+    magic = (b"P3" if ascii_format else b"P6") if rgb else (b"P2" if ascii_format else b"P5")
+    header = magic + b"\n%d %d\n%d\n" % (w, h, maxval)
+    flat = px.reshape(-1).astype(np.int64)
+    if ascii_format:
+        return header + b" ".join(b"%d" % v for v in flat) + b"\n"
+    dt = ">u2" if maxval > 255 else np.uint8
+    return header + flat.astype(dt).tobytes()
+
+
+@_codec_guard("netpbm")
+def parse_netpbm(payload: bytes, return_pixels: bool = False) -> dict:
+    """Netpbm decode, all six formats: tokenized header (whitespace runs +
+    '#' comments, per spec legal anywhere in the header), raw or ASCII
+    sample bodies, P4 rows padded to byte boundaries MSB-first. Returns the
+    common pixel-statistics record (PBM reports the raw bits, bit_depth 1;
+    color_type follows the PNG numbering like the rest of the family)."""
+    magic = payload[:2]
+    if magic not in (b"P1", b"P2", b"P3", b"P4", b"P5", b"P6"):
+        raise ValueError("not a Netpbm file: bad magic")
+    kind = magic[1] - 0x30
+    bitmap = kind in (1, 4)
+    rgb = kind in (3, 6)
+    ascii_format = kind <= 3
+    pos = 2
+    fields: list[int] = []
+    need = 2 if bitmap else 3
+
+    def _skip_ws(p: int) -> int:
+        while p < len(payload):
+            c = payload[p : p + 1]
+            if c == b"#":
+                nl = payload.find(b"\n", p)
+                p = len(payload) if nl < 0 else nl + 1
+            elif c.isspace():
+                p += 1
+            else:
+                break
+        return p
+
+    while len(fields) < need:
+        pos = _skip_ws(pos)
+        start = pos
+        while pos < len(payload) and payload[pos : pos + 1].isdigit():
+            pos += 1
+        if start == pos:
+            raise ValueError("malformed Netpbm header")
+        fields.append(int(payload[start:pos]))
+    w, h = fields[0], fields[1]
+    _check_dims(w, h, "netpbm")
+    maxval = 1 if bitmap else fields[2]
+    if not 0 < maxval < 65536:
+        raise ValueError(f"Netpbm maxval {maxval} out of range")
+    n = w * h * (3 if rgb else 1)
+    if ascii_format:
+        body = payload[pos:].split(b"#")[0] if b"#" in payload[pos:] else payload[pos:]
+        if kind == 1:
+            # P1 pixels need no separators ("0110" is four pixels)
+            digits = [c - 0x30 for c in body if c in (0x30, 0x31)]
+            if len(digits) < n:
+                raise ValueError("PBM ASCII body too short")
+            samples = np.array(digits[:n], dtype=np.int64)
+        else:
+            vals = body.split()
+            if len(vals) < n:
+                raise ValueError("Netpbm ASCII body too short")
+            samples = np.array([int(v) for v in vals[:n]], dtype=np.int64)
+    elif kind == 4:
+        pos += 1  # exactly one whitespace byte after the header per spec
+        stride = -(-w // 8)
+        if len(payload) < pos + stride * h:
+            raise ValueError("truncated PBM body")
+        rows = np.frombuffer(payload, dtype=np.uint8, count=stride * h, offset=pos)
+        bits = np.unpackbits(rows.reshape(h, stride), axis=1)[:, :w]
+        samples = bits.reshape(-1).astype(np.int64)
+    else:
+        pos += 1
+        dt = ">u2" if maxval > 255 else np.uint8
+        width_b = 2 if maxval > 255 else 1
+        if len(payload) < pos + n * width_b:
+            raise ValueError("truncated Netpbm body")
+        samples = np.frombuffer(
+            payload, dtype=dt, count=n, offset=pos
+        ).astype(np.int64)
+    if samples.size and int(samples.max()) > maxval:
+        raise ValueError("Netpbm sample exceeds declared maxval")
+    rec = {
+        "width": w,
+        "height": h,
+        "bit_depth": 1 if bitmap else (16 if maxval > 255 else 8),
+        "color_type": 2 if rgb else 0,
+        "n_px": int(samples.size),
+        "px_sum": int(samples.sum()),
+        "px_min": int(samples.min()) if samples.size else 0,
+        "px_max": int(samples.max()) if samples.size else 0,
+    }
+    if return_pixels:
+        rec["pixels"] = samples.reshape((h, w, 3) if rgb else (h, w))
+    return rec
+
+
 IMAGE_DECODED_SCHEMA = (
     "id long, format string, width int, height int, bit_depth int, "
     "color_type int, n_px long, px_sum long, px_min int, px_max int"
@@ -2711,6 +2839,8 @@ def parse_image(payload: bytes) -> dict:
         return {"format": "jpeg", **rec}
     if payload[:4] in (b"II*\x00", b"MM\x00*"):
         return {"format": "tiff", **parse_tiff(payload)}
+    if payload[:1] == b"P" and payload[1:2] in b"123456" and payload[2:3].isspace():
+        return {"format": "netpbm", **parse_netpbm(payload)}
     raise ValueError("unrecognized image magic")
 
 

@@ -107,6 +107,7 @@ BENCH_QUERIES = [
     "audio_features",
     "avi_audio_features",
     "tiff_decode",
+    "netpbm_decode",
     "orc_roundtrip",
     "struct_objects",
     "struct_check_report",

@@ -1097,3 +1097,30 @@ def test_tiff_real_rgba_file():
     assert rec["px_min"] >= 0 and rec["px_max"] <= 255
     out = mc.parse_image(open(os.path.join(_FIXTURES, "python.tiff"), "rb").read())
     assert out["format"] == "tiff" and out["color_type"] == 6
+
+
+def test_netpbm_all_six_formats():
+    """Netpbm roundtrip matrix: ASCII + raw, bitmap/gray/RGB, 16-bit
+    big-endian samples, P4 MSB-first row padding at non-multiple-of-8
+    widths, P1 separator-free digits, header comments."""
+    rng = np.random.RandomState(4)
+    for shape, maxval in [((7, 9), 255), ((5, 6, 3), 255), ((7, 9), 65535),
+                          ((5, 6, 3), 1000), ((9, 13), 1)]:
+        px = rng.randint(0, maxval + 1, shape)
+        for af in (False, True):
+            if maxval == 1 and len(shape) == 3:
+                continue
+            b = mc.encode_netpbm(px, ascii_format=af, maxval=maxval)
+            rec = mc.parse_netpbm(b, return_pixels=True)
+            assert (rec["pixels"] == px).all(), (shape, maxval, af)
+            assert mc.parse_image(b)["format"] == "netpbm"
+    # P1 pixels need no separators; comments legal in the header
+    rec = mc.parse_netpbm(b"P1\n# comment\n4 2\n0110\n1001\n", return_pixels=True)
+    assert rec["pixels"].tolist() == [[0, 1, 1, 0], [1, 0, 0, 1]]
+    # P4 pads each row to a byte boundary
+    px = rng.randint(0, 2, (3, 11))
+    rec = mc.parse_netpbm(mc.encode_netpbm(px, maxval=1), return_pixels=True)
+    assert (rec["pixels"] == px).all()
+    # declared-maxval violation rejects
+    with pytest.raises(ValueError, match="maxval"):
+        mc.parse_netpbm(b"P2\n2 1\n10\n11 5\n")

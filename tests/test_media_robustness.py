@@ -43,6 +43,8 @@ PAYLOADS = {
     "avi": (mc.encode_avi(_FRAMES, audio=_SAMPLES[:300]), mc.parse_avi),
     "tiff": (mc.encode_tiff(_PX, packbits=True), mc.parse_tiff),
     "tiff_lzw": (mc.encode_tiff(_PX, lzw=True, predictor=2), mc.parse_tiff),
+    "netpbm_raw": (mc.encode_netpbm(_PX), mc.parse_netpbm),
+    "netpbm_ascii": (mc.encode_netpbm(_GRAY, ascii_format=True), mc.parse_netpbm),
 }
 
 
