@@ -4054,6 +4054,58 @@ def q_media_pipeline_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_audio_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-duplicate detection via constellation fingerprints (r13,
+    mm.audio_fingerprints + mm.audio_dup_pairs — Wang 2003, the audio
+    analog of MinHash): every order key synthesizes a WAV clip of 12 pure
+    tones whose bins derive from the key; keys with k % 101 == 0 are
+    PLANTED duplicates (content from a 20-class group key) time-shifted by
+    k % 3 silent frames. The pipeline decodes each clip, takes per-frame
+    FFT peak bins, hashes bin TRIPLES per anchor/gap, equi-joins on the
+    hash (bucketed, never all-pairs) and counts OFFSET-CONSISTENT matches
+    — planted pairs surface with all 18 matches at dt = shift difference.
+    The oracle reproduces the whole relational pipeline from the clip
+    CONSTRUCTION (tone bin == FFT peak bin, the audio_features gate's
+    proven identity), so one wrong peak, hash, or dt shifts a count."""
+    o = demo.load(spark, sf_dir, "orders").select("o_orderkey")
+
+    def _gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from ape_dts_spark.functions import media_codec as mc
+
+        cos_tab = {
+            b: np.rint(1000 * np.cos(2 * np.pi * b * np.arange(256) / 256)).astype("<i2")
+            for b in range(8, 104)
+        }
+        silent = np.zeros(256, dtype="<i2")
+        for pdf in batches:
+            ids, payloads = [], []
+            for k in pdf["o_orderkey"]:
+                k = int(k)
+                s = k % 3
+                if k % 1009 == 0:
+                    ck = (k // 1009) % 20
+                    bins = [(ck * 7919 + j * 40503) % 96 + 8 for j in range(12)]
+                else:
+                    # multiplicative hash mod a prime > any orderkey: organic
+                    # sequences collide only for k ≡ k' (mod 10000019) —
+                    # never at gate scale — and partial hash overlap stays
+                    # Poisson-thin, keeping the fp join linear
+                    bins = [
+                        (k * (2654435761 + j * 40503)) % 10000019 % 96 + 8
+                        for j in range(12)
+                    ]
+                frames = [silent] * s + [cos_tab[b] for b in bins]
+                ids.append(k)
+                payloads.append(mc.encode_wav(np.concatenate(frames), 8000))
+            yield pd.DataFrame({"id": ids, "payload": payloads})
+
+    payloads = _spread(o, spark).mapInPandas(_gen, "id long, payload binary")
+    return mm.audio_dup_pairs(mm.audio_fingerprints(payloads), min_matches=10)
+
+
 def q_netpbm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Netpbm decode across all six formats (r13, media_codec.parse_netpbm
     — the classic vision-dataset interchange family): each supplier row
@@ -5227,22 +5279,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The external driver gates only the FIRST 50 dict entries, so ordering is
     # load-bearing. Rotation policy (r13 rotation applied; VERDICT r12 item
     # 3 with the corrected arithmetic): (1) every never-gated query leads —
-    # the 13 rows with no CORRECTNESS_r* attestation at all, including
-    # media_pipeline_quarantine, zorder_key and netpbm_decode (new r13) —
-    # a never-gated row outranks any re-attest; (2) then waiting_suppliers
-    # (last gated r07, the stalest driver row); (3) then the 36
-    # alphabetically-first of the 49 r09-era rows. The 13 remaining r09
-    # rows lead the r14 rotation, followed by r10/r11/r12 in staleness
-    # order, so the next rotation is again a prefix cut. Before any
-    # rotation ships, the FULL (non --window) tools/check.py run must be
-    # green — rotated-out queries keep local-gate + pytest coverage. This
-    # literal is machine-regenerated from the CORRECTNESS_r*.json staleness
-    # data each rotation (the r12 hand-written plan miscounted the
-    # never-gated set; generating the block from the files is the fix);
-    # duplicates are structurally impossible.
+    # the 14 rows with no CORRECTNESS_r* attestation at all, including
+    # the new-this-round media_pipeline_quarantine, zorder_key,
+    # netpbm_decode and audio_dup_pairs — a never-gated row outranks any
+    # re-attest; (2) then waiting_suppliers (last gated r07, the stalest
+    # driver row); (3) then the 35 alphabetically-first of the 49 r09-era
+    # rows. The 14 remaining r09 rows lead the r14 rotation, followed by
+    # r10/r11/r12 in staleness order, so the next rotation is again a
+    # prefix cut. Before any rotation ships, the FULL (non --window)
+    # tools/check.py run must be green — rotated-out queries keep
+    # local-gate + pytest coverage. This literal is machine-regenerated
+    # from the CORRECTNESS_r*.json staleness data each rotation (the r12
+    # hand-written plan miscounted the never-gated set; generating the
+    # block from the files is the fix); duplicates are structurally
+    # impossible.
     return {
-        # -- r13 window: 13 never-gated + waiting_suppliers (r07) + 36
+        # -- r13 window: 14 never-gated + waiting_suppliers (r07) + 35
         # -- stalest r09 rows --------------------------------------------
+        "audio_dup_pairs": q_audio_dup_pairs,
         "audio_features": q_audio_features,
         "avi_audio_features": q_avi_audio_features,
         "c4_rules": q_c4_rules,
@@ -5292,9 +5346,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perceptron_train": q_perceptron_train,
         "png_decode": q_png_decode,
         "precheck_cdc": q_precheck_cdc,
-        "product_profit": q_product_profit,
         # ---------------------------- slot 50 ends here ----------------------
-        # -- r09 remainder (13 rows): leads the r14 window ---------------
+        # -- r09 remainder (14 rows): leads the r14 window ---------------
+        "product_profit": q_product_profit,
         "promo_effect": q_promo_effect,
         "returned_items": q_returned_items,
         "robots_filter": q_robots_filter,
@@ -6849,6 +6903,33 @@ def oracle_sql() -> dict[str, str]:
                      CAST(0 AS BIGINT) AS total_sum
               FROM part WHERE p_partkey % 11 IN (0, 7))
             SELECT * FROM clean UNION ALL SELECT * FROM quarantined
+        """,
+        "audio_dup_pairs": """
+            WITH ks AS (SELECT o_orderkey AS id FROM orders),
+            shaped AS (
+              SELECT id, id % 3 AS s,
+                     CASE WHEN id % 1009 = 0 THEN 1 ELSE 0 END AS pl,
+                     CASE WHEN id % 1009 = 0 THEN (id // 1009) % 20 ELSE id END AS ck
+              FROM ks),
+            frames AS (
+              SELECT id, s + j AS t,
+                     CASE WHEN pl = 1 THEN (ck * 7919 + j * 40503) % 96 + 8
+                          ELSE (ck * (2654435761 + j * 40503)) % 10000019 % 96 + 8
+                     END AS b
+              FROM shaped, LATERAL unnest(range(0, 12)) AS u(j)),
+            fp AS (
+              SELECT f1.id, f1.t,
+                     ((f1.b * 129 + f2.b) * 129 + f3.b) * 2 + dd.di AS fp
+              FROM frames f1
+              CROSS JOIN (VALUES (0, 1), (1, 2)) AS dd(di, d)
+              JOIN frames f2 ON f2.id = f1.id AND f2.t = f1.t + dd.d
+              JOIN frames f3 ON f3.id = f1.id AND f3.t = f1.t + 2 * dd.d)
+            SELECT a.id AS id_a, b.id AS id_b,
+                   CAST(a.t - b.t AS INT) AS dt,
+                   CAST(COUNT(*) AS BIGINT) AS n_matches
+            FROM fp a JOIN fp b ON a.fp = b.fp AND a.id < b.id
+            GROUP BY 1, 2, 3
+            HAVING COUNT(*) >= 10
         """,
         "netpbm_decode": """
             WITH base AS (

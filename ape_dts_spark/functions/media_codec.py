@@ -842,6 +842,36 @@ WAV_DECODED_SCHEMA = (
 )
 
 
+@_codec_guard("wav")
+def audio_peak_sequence(payload: bytes, n_fft: int = 256) -> list[tuple[int, int]]:
+    """Per-frame dominant spectral bin over a WAV payload or an AVI audio
+    track (RIFF form sniffed, same decode path as audio_spectrum): channels
+    integer-summed to mono, non-overlapping rectangular frames of ``n_fft``
+    samples, numpy real FFT, argmax magnitude per frame (ties break to the
+    lowest bin). Silent frames (all-zero mix) are skipped but keep their
+    index, so time offsets between clips survive. The constellation input
+    for audio fingerprinting (Wang 2003)."""
+    if n_fft < 2 or n_fft & (n_fft - 1):
+        raise ValueError(f"n_fft must be a power of two >= 2, got {n_fft}")
+    form = payload[8:12] if payload[:4] == b"RIFF" else b""
+    if form == b"AVI ":
+        rec = parse_avi(payload, return_frames=True)
+        if not rec["has_audio"]:
+            raise ValueError("AVI payload has no audio stream")
+        s, ch = rec["audio"], rec["audio_channels"]
+    else:
+        meta, s = wav_samples(payload)
+        ch = meta["n_channels"]
+    mono = s.reshape(-1, ch).sum(axis=1)
+    n_frames = mono.size // n_fft
+    if n_frames == 0:
+        return []
+    frames = mono[: n_frames * n_fft].reshape(n_frames, n_fft)
+    live = (frames != 0).any(axis=1)
+    peaks = np.abs(np.fft.rfft(frames.astype(np.float64), axis=1)).argmax(axis=1)
+    return [(int(t), int(peaks[t])) for t in range(n_frames) if live[t]]
+
+
 def decode_wav(df: DataFrame, payload_col: str = "payload", id_col: str = "id") -> DataFrame:
     """Distributed WAV decode — same single-pass mapInPandas shape as
     decode_png."""

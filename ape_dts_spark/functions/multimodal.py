@@ -487,6 +487,82 @@ def extract_audio_features(
     return df.mapInPandas(_features, schema=schema)
 
 
+def audio_fingerprints(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "id",
+    n_fft: int = 256,
+    deltas: tuple[int, ...] = (1, 2),
+    errors: str = "raise",
+) -> DataFrame:
+    """Constellation audio fingerprints (Wang 2003, the Shazam scheme —
+    the audio analog of MinHash shingles): each clip's per-frame dominant-
+    bin sequence (media_codec.audio_peak_sequence) emits one hash per
+    anchor frame and gap, ``fp = ((b[t]*B + b[t+d])*B + b[t+2*d]) * D + di``
+    over the B = n_fft/2+1 bin alphabet — a bin TRIPLE per hash, so the
+    fingerprint space (~4.3M at the default) keeps self-join fan-out at
+    ~1 even on 100k-clip corpora. Returns (id, t, fp) — the relation
+    :func:`audio_dup_pairs` matches on. One Arrow pass, no shuffle.
+    ``errors``: the standard raise/skip/null corrupt-payload policy (null
+    keeps one dead-letter row with a NULL fp and the message)."""
+    from ape_dts_spark.functions import media_codec as mc
+
+    _quarantine_policy(errors)
+    n_bins = n_fft // 2 + 1
+
+    def _fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[tuple] = []
+            for rid, raw in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    seq = mc.audio_peak_sequence(bytes(raw), n_fft)
+                except (ValueError, NotImplementedError) as exc:
+                    if errors == "raise":
+                        raise
+                    if errors == "null":
+                        rows.append((rid, None, None, f"{type(exc).__name__}: {exc}"))
+                    continue
+                at = dict(seq)
+                for t, b1 in seq:
+                    for di, d in enumerate(deltas):
+                        b2 = at.get(t + d)
+                        b3 = at.get(t + 2 * d)
+                        if b2 is None or b3 is None:
+                            continue
+                        fp = ((b1 * n_bins + b2) * n_bins + b3) * len(deltas) + di
+                        rows.append((rid, t, fp, None))
+            out = pd.DataFrame(rows, columns=["id", "t", "fp", "error"])
+            if errors == "raise":
+                out = out.drop(columns=["error"])
+            yield out
+
+    schema = "id long, t int, fp long" + (", error string" if errors != "raise" else "")
+    return df.mapInPandas(_fp, schema=schema)
+
+
+def audio_dup_pairs(fps: DataFrame, min_matches: int = 10) -> DataFrame:
+    """Audio near-duplicate pairs from a fingerprint relation: equi-join on
+    the hash (bucketed — NEVER all-pairs; a pair is only considered where
+    it shares a concrete hash), then OFFSET-CONSISTENT vote counting —
+    group by (id_a, id_b, t_a - t_b) so only matches agreeing on one time
+    shift accumulate, the property that separates a true duplicate (all
+    matches at dt = shift difference) from incidental hash collisions
+    (scattered dt). Scale shape: one shuffle on fp + one hash agg; the
+    triple-hash space keeps per-fp multiplicity ~1 outside real duplicate
+    clusters, so the join output is linear in corpus size plus the true
+    duplicate mass. Returns (id_a, id_b, dt, n_matches) with id_a < id_b
+    and n_matches >= min_matches."""
+    a = fps.select(F.col("id").alias("id_a"), F.col("t").alias("t_a"), "fp")
+    b = fps.select(F.col("id").alias("id_b"), F.col("t").alias("t_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", (F.col("t_a") - F.col("t_b")).alias("dt"))
+        .agg(F.count(F.lit(1)).alias("n_matches"))
+        .filter(F.col("n_matches") >= min_matches)
+    )
+
+
 def sample_frames(df: DataFrame, payload_col: str = "payload", every_n_bytes: int = 1024) -> DataFrame:
     """Frame-sampling plumbing: split each payload into fixed-size 'frames'
     (posexplode over byte ranges) — the distributed shape of video frame

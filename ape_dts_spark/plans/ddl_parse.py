@@ -291,6 +291,107 @@ _PATTERNS: list[tuple[str, re.Pattern]] = [
 ]
 
 
+_CONSTRAINT_STARTERS = (
+    "PRIMARY", "UNIQUE", "KEY", "INDEX", "CONSTRAINT", "FOREIGN", "CHECK",
+    "FULLTEXT", "SPATIAL", "EXCLUDE", "LIKE", "PERIOD",
+)
+
+
+def parse_create_columns(text: str | None) -> tuple[tuple[str, str], ...]:
+    """Extract the (name, type+attrs) column pairs from a CREATE TABLE
+    statement's parenthesized body (r13). The body is located and split
+    with the same string-aware scanner as the ALTER splitter, so commas
+    inside DECIMAL(10,2) / ENUM('a','b') / DEFAULT 'x,y' never split, and
+    table-level constraint entries (PRIMARY KEY (..), CONSTRAINT ...,
+    KEY idx (..), LIKE tpl, ...) are skipped. Returns () when there is no
+    column list (CTAS / LIKE forms) — the typed surface target-side schema
+    bootstrap needs, one step past the reference (ddl_parser.rs keeps the
+    whole body `unparsed`)."""
+    if not text:
+        return ()
+    text = _normalize(text)
+    m = re.match(
+        rf"^\s*CREATE\s+{_CT_MODS}TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?{_QID}\s*\(",
+        text,
+        re.IGNORECASE,
+    )
+    if not m:
+        return ()
+    # walk to the matching close paren, string-aware
+    depth = 1
+    i = m.end(0)
+    start = i
+    in_str: str | None = None
+    n = len(text)
+    while i < n and depth:
+        ch = text[i]
+        if in_str:
+            if ch == "\\" and in_str in ("'", '"'):
+                i += 2
+                continue
+            if ch == in_str:
+                if i + 1 < n and text[i + 1] == in_str:
+                    i += 2
+                    continue
+                in_str = None
+        elif ch in ("'", '"', "`"):
+            in_str = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        i += 1
+    if depth:
+        return ()  # unbalanced: not a parseable column list
+    body = text[start : i - 1]
+    cols: list[tuple[str, str]] = []
+    for entry in _split_top_level_commas(body):
+        entry = entry.strip()
+        if not entry:
+            continue
+        head = entry.split(None, 1)
+        word = head[0].strip('`"').upper()
+        if word in _CONSTRAINT_STARTERS:
+            continue
+        name = head[0].strip('`"')
+        cols.append((name, head[1].strip() if len(head) > 1 else ""))
+    return tuple(cols)
+
+
+def _split_top_level_commas(body: str) -> list[str]:
+    """Split on commas at paren depth 0, outside string literals (MySQL
+    backslash escapes and doubled quotes honored)."""
+    parts: list[str] = []
+    depth = 0
+    start = 0
+    in_str: str | None = None
+    i = 0
+    n = len(body)
+    while i < n:
+        ch = body[i]
+        if in_str:
+            if ch == "\\" and in_str in ("'", '"'):
+                i += 2
+                continue
+            if ch == in_str:
+                if i + 1 < n and body[i + 1] == in_str:
+                    i += 2
+                    continue
+                in_str = None
+        elif ch in ("'", '"', "`"):
+            in_str = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(body[start:i])
+            start = i + 1
+        i += 1
+    parts.append(body[start:])
+    return parts
+
+
 def parse_ddl(text: str | None) -> DdlStatement:
     """Recognize a DDL statement's kind and targets; 'other' when unknown.
     Comments are removed and trailing ALGORITHM/LOCK online-DDL hints

@@ -247,6 +247,37 @@ class ParquetTable:
         meta.setdefault("ddl_log", []).append({"ddl": ddl_text, "op": "drop_table"})
         self._write_meta(meta)
 
+    def recreate(self, fields: list[T.StructField], ddl_text: str = "") -> None:
+        """CREATE TABLE re-registration (r13) — the other half of
+        mark_dropped's documented drop -> create cycle: clears the tombstone,
+        installs the typed schema from the parsed column list, and commits an
+        empty version so the next merge_apply starts from a clean, correctly
+        typed state. Refuses to clobber a LIVE table (a CREATE for an
+        existing non-dropped table is a no-op upstream too — MySQL errors,
+        IF NOT EXISTS no-ops; either way the target data must survive)."""
+        meta = self._read_meta()
+        if not meta.get("dropped") and meta["version"] >= 0:
+            meta.setdefault("ddl_log", []).append(
+                {"ddl": ddl_text, "op": "create_table_noop"}
+            )
+            self._write_meta(meta)
+            return
+        self.payload_schema = T.StructType(list(fields))
+        meta.pop("dropped", None)
+        version = meta["version"] + 1
+        empty = self.spark.createDataFrame([], self.payload_schema)
+        empty.write.mode("overwrite").parquet(os.path.join(self.path, f"v{version}"))
+        meta["version"] = version
+        meta["committed_at"] = time.time()
+        meta.setdefault("ddl_log", []).append(
+            {
+                "ddl": ddl_text,
+                "op": "create_table",
+                "columns": [f.name for f in self.payload_schema.fields],
+            }
+        )
+        self._write_meta(meta)
+
     # -- apply ---------------------------------------------------------------
 
     def merge_apply(

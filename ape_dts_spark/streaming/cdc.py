@@ -359,6 +359,19 @@ class CdcPipeline:
                 self.target.rename_table(st.args[1], text)
             elif st.kind == "drop_table":
                 self.target.mark_dropped(text)
+            elif st.kind == "create_table":
+                from ape_dts_spark.plans.ddl_parse import parse_create_columns
+
+                cols = parse_create_columns(text)
+                if cols:
+                    self.target.recreate(
+                        [T.StructField(n, spark_type_for(t)) for n, t in cols],
+                        text,
+                    )
+                else:  # CTAS / LIKE: no typed column list to install
+                    meta = self.target._read_meta()
+                    meta.setdefault("ddl_log", []).append({"ddl": text, "op": st.kind})
+                    self.target._write_meta(meta)
             else:
                 meta = self.target._read_meta()
                 meta.setdefault("ddl_log", []).append({"ddl": text, "op": st.kind})
@@ -380,10 +393,6 @@ class CdcPipeline:
         """
         if self.target.last_applied(self.stream_id) >= batch_id:
             return
-        if self.target._read_meta().get("dropped"):
-            raise ValueError(
-                f"target table was dropped (DROP TABLE barrier); cannot apply batch {batch_id}"
-            )
         batch = self._prepare(batch)
         throttle_sec = 0.0
         if self.limiter is not None:
@@ -398,21 +407,32 @@ class CdcPipeline:
             else []
         )
         dml = batch.filter(F.col("row_type") != "ddl") if ddls else batch
+        # DROP TABLE barrier: while the tombstone stands, DML is an error —
+        # but DDL still applies, because the only legal continuation of a
+        # dropped table IS a CREATE TABLE re-registration (ParquetTable.
+        # recreate clears the tombstone; mark_dropped documents the cycle).
+        # A batch with rows and no re-registering DDL ahead of them fails
+        # exactly like the old batch-level check did.
         bounds = [d["seq"] for d in ddls] + [None]
         lo = None
         for i, hi in enumerate(bounds):
-            if self.target._read_meta().get("dropped"):
-                break  # DROP TABLE barrier: nothing after it can apply
             seg = dml
             if lo is not None:
                 seg = seg.filter(F.col("seq") > lo)
             if hi is not None:
                 seg = seg.filter(F.col("seq") < hi)
-            compacted, spilled = compact_changes(seg, self.key_cols)
             seg_epoch = batch_id - 1 + (i + 1) / len(bounds)
-            self.target.merge_apply(
-                compacted, spilled, self.key_cols, stream_id=self.stream_id, batch_id=seg_epoch
-            )
+            if self.target._read_meta().get("dropped"):
+                if seg.limit(1).count():
+                    raise ValueError(
+                        "target table was dropped (DROP TABLE barrier); "
+                        f"cannot apply rows in batch {batch_id}"
+                    )
+            else:
+                compacted, spilled = compact_changes(seg, self.key_cols)
+                self.target.merge_apply(
+                    compacted, spilled, self.key_cols, stream_id=self.stream_id, batch_id=seg_epoch
+                )
             if hi is not None:
                 self.apply_ddl(ddls[i])
             lo = hi

@@ -108,6 +108,7 @@ BENCH_QUERIES = [
     "avi_audio_features",
     "tiff_decode",
     "netpbm_decode",
+    "audio_dup_pairs",
     "orc_roundtrip",
     "struct_objects",
     "struct_check_report",

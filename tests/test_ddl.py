@@ -561,3 +561,60 @@ def test_index_forms_from_reference_corpus():
     assert (s.kind, s.args) == ("drop_index", ("tb_1_id_idx3",))
     parts = split_ddl("drop index if exists tb_1_id_idx,tb_1_id_idx1 RESTRICT;")
     assert [p.args[0] for p in parts] == ["tb_1_id_idx", "tb_1_id_idx1"]
+
+
+def test_parse_create_columns_typed():
+    from ape_dts_spark.plans.ddl_parse import parse_create_columns
+
+    cols = parse_create_columns(
+        "CREATE TABLE t (id INT PRIMARY KEY, v DECIMAL(10,2), "
+        "e ENUM('a','b') DEFAULT 'a,b', PRIMARY KEY (id), KEY ix (v), "
+        "CONSTRAINT fk FOREIGN KEY (v) REFERENCES u(x))"
+    )
+    assert cols == (
+        ("id", "INT PRIMARY KEY"),
+        ("v", "DECIMAL(10,2)"),
+        ("e", "ENUM('a','b') DEFAULT 'a,b'"),
+    )
+    # CTAS / LIKE forms have no column list
+    from ape_dts_spark.plans.ddl_parse import parse_ddl
+    assert parse_create_columns("CREATE TABLE t2 AS SELECT * FROM t1") == ()
+    assert parse_create_columns("CREATE TABLE t LIKE u") == ()
+    # partition suffix after the body doesn't confuse the paren walk
+    assert parse_create_columns(
+        "CREATE TABLE t (id int) PARTITION BY RANGE (id) "
+        "(PARTITION p0 VALUES LESS THAN (10))"
+    ) == (("id", "int"),)
+
+
+def test_drop_then_create_reregisters_table(spark, tmp_path):
+    """mark_dropped's documented drop -> create cycle: a CREATE TABLE event
+    after the tombstone re-registers the target with the parsed typed
+    schema; a CREATE against a LIVE table never clobbers data."""
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    table = ParquetTable(spark, str(tmp_path / "tgt"), PAYLOAD)
+
+    _apply(spark, src, table, [
+        ev("c", after={"id": 1, "name": "a", "bal": 10}, seq=1),
+        # CREATE against the live table: no-op logged, data survives
+        ddl("CREATE TABLE IF NOT EXISTS default.users (id BIGINT, name VARCHAR(10), bal BIGINT)", seq=2),
+        ev("c", after={"id": 2, "name": "b", "bal": 20}, seq=3),
+    ], PAYLOAD, batch_id=0)
+    assert {r["id"] for r in table.current().collect()} == {1, 2}
+    assert table._read_meta()["ddl_log"][-1]["op"] == "create_table_noop"
+
+    _apply(spark, src, table, [ddl("DROP TABLE default.users", seq=4)], PAYLOAD, batch_id=1)
+    with pytest.raises(ValueError, match="dropped"):
+        _apply(spark, src, table, [ev("c", after={"id": 3, "name": "c", "bal": 1}, seq=5)], PAYLOAD, batch_id=2)
+
+    # the re-registration: typed schema installed, tombstone cleared,
+    # subsequent DML applies against the fresh empty state
+    _apply(spark, src, table, [
+        ddl("CREATE TABLE default.users (id BIGINT PRIMARY KEY, name VARCHAR(20), bal BIGINT NOT NULL)", seq=6),
+        ev("c", after={"id": 7, "name": "n", "bal": 70}, seq=7),
+    ], PAYLOAD, batch_id=3)
+    assert not table._read_meta().get("dropped")
+    assert [f.name for f in table.payload_schema.fields] == ["id", "name", "bal"]
+    rows = {r["id"]: r["bal"] for r in table.current().collect()}
+    assert rows == {7: 70}

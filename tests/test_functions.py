@@ -1583,3 +1583,45 @@ def test_langid_trained_apply_matches_duckdb_oracle(spark):
     sql = tx.langid_apply_sql("documents", ("aa", "bb", "cc"), dim=16, iters=2)
     want = {r[0]: r[1] for r in con.sql(sql).fetchall()}
     assert got == want
+
+
+def test_audio_fingerprint_dup_pairs(spark):
+    """Constellation fingerprints find a planted time-shifted duplicate
+    with offset-consistent matches and never pair unrelated clips."""
+    import numpy as np
+
+    from ape_dts_spark.functions import media_codec as mc
+    from ape_dts_spark.functions import multimodal as mm
+
+    def clip(bins, shift):
+        cos = lambda b: np.rint(
+            1000 * np.cos(2 * np.pi * b * np.arange(256) / 256)
+        ).astype("<i2")
+        frames = [np.zeros(256, "<i2")] * shift + [cos(b) for b in bins]
+        return mc.encode_wav(np.concatenate(frames), 8000)
+
+    seq_a = [10, 30, 50, 70, 20, 40, 60, 80, 25, 45, 65, 85]
+    seq_b = [11, 31, 51, 71, 21, 41, 61, 81, 26, 46, 66, 86]
+    df = spark.createDataFrame(
+        [
+            (1, clip(seq_a, 0)),
+            (2, clip(seq_a, 2)),   # same content, shifted 2 frames
+            (3, clip(seq_b, 1)),   # different content
+        ],
+        "id long, payload binary",
+    )
+    fps = mm.audio_fingerprints(df)
+    # per-frame peak == tone bin: 12 frames -> (12-2) + (12-4) = 18 hashes
+    counts = {r["id"]: r["n"] for r in fps.groupBy("id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == {1: 18, 2: 18, 3: 18}
+    pairs = mm.audio_dup_pairs(fps, min_matches=10).collect()
+    assert len(pairs) == 1
+    p = pairs[0]
+    assert (p["id_a"], p["id_b"], p["dt"], p["n_matches"]) == (1, 2, -2, 18)
+    # corrupt payload quarantine on the fingerprint path
+    bad = spark.createDataFrame(
+        [(1, clip(seq_a, 0)), (9, b"not audio")], "id long, payload binary"
+    )
+    rows = mm.audio_fingerprints(bad, errors="null").collect()
+    assert sum(r["error"] is not None for r in rows) == 1
+    assert {r["id"] for r in mm.audio_fingerprints(bad, errors="skip").collect()} == {1}
