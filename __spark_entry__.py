@@ -4067,7 +4067,13 @@ def q_audio_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle reproduces the whole relational pipeline from the clip
     CONSTRUCTION (tone bin == FFT peak bin, the audio_features gate's
     proven identity), so one wrong peak, hash, or dt shifts a count."""
-    o = demo.load(spark, sf_dir, "orders").select("o_orderkey")
+    # deterministic corpus cap: the clip generator (WAV encode + FFT per
+    # key) is the gate's dominant cost and scales with the orders table;
+    # 30k clips keeps the sf0.1 bench row bounded while sf0.01 (15k keys,
+    # all < 30000) is unaffected. The oracle applies the same predicate.
+    o = demo.load(spark, sf_dir, "orders").select("o_orderkey").filter(
+        F.col("o_orderkey") < 30000
+    )
 
     def _gen(batches):
         import numpy as np
@@ -4085,16 +4091,20 @@ def q_audio_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             for k in pdf["o_orderkey"]:
                 k = int(k)
                 s = k % 3
-                if k % 1009 == 0:
-                    ck = (k // 1009) % 20
+                if k % 199 == 0:
+                    ck = (k // 199) % 20
                     bins = [(ck * 7919 + j * 40503) % 96 + 8 for j in range(12)]
                 else:
-                    # multiplicative hash mod a prime > any orderkey: organic
-                    # sequences collide only for k ≡ k' (mod 10000019) —
-                    # never at gate scale — and partial hash overlap stays
-                    # Poisson-thin, keeping the fp join linear
+                    # multiplicative hash with a NONLINEAR-in-j multiplier
+                    # mod a prime: a linear step made organic sequences
+                    # arithmetic progressions, i.e. genuinely shifted
+                    # duplicates of every same-step key (caught by this very
+                    # operator!) — the quadratic term kills the shift
+                    # structure, so organic overlap stays Poisson-thin and
+                    # the fp join linear
                     bins = [
-                        (k * (2654435761 + j * 40503)) % 10000019 % 96 + 8
+                        (k * ((2654435761 * (j + 1) + 40503 * j * j) % 10000019))
+                        % 10000019 % 96 + 8
                         for j in range(12)
                     ]
                 frames = [silent] * s + [cos_tab[b] for b in bins]
@@ -6905,16 +6915,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM clean UNION ALL SELECT * FROM quarantined
         """,
         "audio_dup_pairs": """
-            WITH ks AS (SELECT o_orderkey AS id FROM orders),
+            WITH ks AS (SELECT o_orderkey AS id FROM orders WHERE o_orderkey < 30000),
             shaped AS (
               SELECT id, id % 3 AS s,
-                     CASE WHEN id % 1009 = 0 THEN 1 ELSE 0 END AS pl,
-                     CASE WHEN id % 1009 = 0 THEN (id // 1009) % 20 ELSE id END AS ck
+                     CASE WHEN id % 199 = 0 THEN 1 ELSE 0 END AS pl,
+                     CASE WHEN id % 199 = 0 THEN (id // 199) % 20 ELSE id END AS ck
               FROM ks),
             frames AS (
               SELECT id, s + j AS t,
                      CASE WHEN pl = 1 THEN (ck * 7919 + j * 40503) % 96 + 8
-                          ELSE (ck * (2654435761 + j * 40503)) % 10000019 % 96 + 8
+                          ELSE (ck * ((2654435761 * (j + 1) + 40503 * j * j) % 10000019))
+                               % 10000019 % 96 + 8
                      END AS b
               FROM shaped, LATERAL unnest(range(0, 12)) AS u(j)),
             fp AS (

@@ -142,6 +142,11 @@ AUDITED = [
                           # columns, still one Arrow pass -> tiny grouped agg
     "zorder_key",         # Morton key as pure codegen shift/mask expression
                           # (no Python), one projection + one hash agg
+    "netpbm_decode",      # Arrow writer pass -> Arrow six-format decode,
+                          # no shuffle
+    "audio_dup_pairs",    # constellation fingerprints: Arrow FFT-peak
+                          # kernel -> fp equi-join (bucketed, never
+                          # all-pairs) -> one (pair, dt) hash agg
     # pagerank: the returned plan is a scan of the final checkpointed rank
     # relation (lineage truncated by design) — per-iteration shape is one
     # shuffle join + one hash agg, locked in test_graph semantics instead
