@@ -521,8 +521,14 @@ def q_redis_rdb(spark: SparkSession, sf_dir: str) -> DataFrame:
     ziplist-hash, listpack/quicklist2-list, ascii-score-zset, intset and
     EXPIRETIME_MS encodings — then re-read with the distributed binaryFile
     scan and projected back to state rows, which must agree with the same
-    REDIS_STATE oracle the RESP path is gated on. The keyspace collect is
-    bounded by distinct keys (one node's dump, the fixture generator)."""
+    REDIS_STATE oracle the RESP path is gated on. Also plants (r14) a
+    6-stream keyspace with XDELed entries, samefields/per-entry-fields
+    listpacks, a consumer group with two consumers' PELs
+    (stream_parser.rs:13-227 parity), plus a module2 value and a keyless
+    module-aux section whose skip-with-reason audit rows
+    (module2_parser.rs:13-33, rdb_parser.rs:65-91) are restated in the
+    oracle. The keyspace collect is bounded by distinct keys (one node's
+    dump, the fixture generator)."""
     import hashlib
     import inspect
     import tempfile
@@ -573,6 +579,31 @@ def q_redis_rdb(spark: SparkSession, sf_dir: str) -> DataFrame:
              "value": None, "ord": 0, "expire_ms": None}
             for u in sorted(uids)
         )
+        # planted stream keyspace (stream_parser.rs parity): 6 streams x 20
+        # entries, multi-listpack chunking, samefields + per-entry-fields
+        # branches, XDELed entries (j%10==9, serialized but never replayed),
+        # one consumer group with two consumers' PELs — restated exactly by
+        # the DuckDB oracle below; plus a module2 value and a keyless
+        # module-aux section, both skip-with-reason audit rows
+        srow = lambda key, et, member, value, ord_: entries.append(  # noqa: E731
+            {"db_id": 0, "key": key, "entry_type": et, "member": member,
+             "value": value, "ord": ord_, "expire_ms": None}
+        )
+        for s in range(6):
+            skey = f"stream:{s}"
+            sid = lambda j: f"{1_700_000_000_000 + s * 100_000 + j * 13}-{j % 4}"  # noqa: B023,E731
+            for j in range(20):
+                et = "stream_deleted" if j % 10 == 9 else "stream"
+                for k, fld in enumerate("abc"[: 3 if j % 7 == 3 else 2]):
+                    srow(skey, et, f"{sid(j)}:{fld}", f"{s}.{j}.{k}", k)
+            srow(skey, "stream_meta", "last_id", sid(19), 0)
+            srow(skey, "stream_group", "g0", sid(10), 0)
+            for k, j in enumerate((11, 12)):
+                srow(skey, "stream_pel", "g0:c0",
+                     f"{sid(j)}@{1_700_000_000_000 + j}/{1 + j % 3}", k)
+            srow(skey, "stream_pel", "g0:c1",
+                 f"{sid(13)}@{1_700_000_000_000 + 13}/{1 + 13 % 3}", 0)
+        srow("mod:probe", "module_skipped", "RefModNam", None, 0)
         # one dump per "node" (hash-sharded keys) — the real multi-node
         # layout, and the unit of read parallelism for the binaryFile scan
         import zlib
@@ -581,7 +612,9 @@ def q_redis_rdb(spark: SparkSession, sf_dir: str) -> DataFrame:
         for e in entries:
             shards[zlib.crc32(e["key"].encode()) % n_nodes].append(e)
         for node, shard in enumerate(shards):
-            rdb.write_rdb_file(shard, paths[node])
+            rdb.write_rdb_file(
+                shard, paths[node], module_aux=["AuxModNam"] if node == 0 else None
+            )
     parsed = rdb.read_rdb_files(spark, dump_dir)
     return parsed.select(
         "db_id", "key", "entry_type", "member", "value", "ord",
@@ -4116,6 +4149,99 @@ def q_audio_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.audio_dup_pairs(mm.audio_fingerprints(payloads), min_matches=10)
 
 
+def q_image_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate detection via DCT perceptual hashes (r14,
+    mm.image_phashes + mm.phash_dup_pairs — the image analog of the audio
+    constellation gate, completing the multimodal dedup story): every order
+    key synthesizes a 64x64 grayscale image whose 8x8 low-frequency DCT
+    spectrum carries sha256-derived SIGN bits (dense spectrum, so every
+    hash bit rides a strong coefficient — stable under re-encode); keys
+    with k % 199 == 0 are PLANTED duplicates (content from a 25-class
+    group seed) stored as rotating variants: lossless PNG, lossy JPEG
+    re-encode, and a 48x48 area-resize saved as netpbm P5 — the
+    PNG<->JPEG<->netpbm-of-same-pixels matrix. Organic keys cycle
+    PNG/BMP/netpbm so the decode is genuinely mixed-format. The pipeline
+    phashes each payload (magic-sniffed decode + BT.601 gray + 32x32
+    block-mean + DCT, one Arrow pass), band-joins 4x16-bit hash bands
+    (bucketed — NEVER all-pairs) and verifies true Hamming distance <= 3
+    (recall-exact by pigeonhole at 4 bands). Planted variants measure
+    hamming 0 by construction (verified for all 25 groups x 3 variants),
+    so the oracle enumerates exactly the within-group pairs from the key
+    arithmetic; organic hashes are ~uniform (empirical min pairwise
+    hamming 10 over 2e6 pairs), so nothing else survives the verify."""
+    o = demo.load(spark, sf_dir, "orders").select("o_orderkey").filter(
+        F.col("o_orderkey") < 30000
+    )
+
+    def _gen(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        from ape_dts_spark.functions import media_codec as mc
+
+        # 63 AC cosine basis images for the 8x8 low block of a 64x64 image
+        yy, xx = np.mgrid[0:64, 0:64]
+        basis = np.stack(
+            [
+                np.cos((2 * xx + 1) * u * np.pi / 128)
+                * np.cos((2 * yy + 1) * v * np.pi / 128)
+                for u in range(8)
+                for v in range(8)
+                if (u, v) != (0, 0)
+            ]
+        )
+
+        def img(seed_label: str) -> np.ndarray:
+            d = hashlib.sha256(f"phash-fixture:{seed_label}".encode()).digest()
+            signs = np.array(
+                [1 if (d[i // 8] >> (i % 8)) & 1 else -1 for i in range(63)]
+            )
+            px = 128.0 + np.tensordot(signs * 8.0, basis, axes=1)
+            return np.clip(np.rint(px), 0, 255).astype(np.uint8)
+
+        def resize48(g: np.ndarray) -> np.ndarray:
+            # same deterministic block-mean scheme phash64 itself uses
+            b = [(y * 64 // 48, max((y + 1) * 64 // 48, y * 64 // 48 + 1)) for y in range(48)]
+            return np.array(
+                [[int(g[r0:r1, c0:c1].mean()) for c0, c1 in b] for r0, r1 in b],
+                dtype=np.uint8,
+            )
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for k in pdf["o_orderkey"]:
+                k = int(k)
+                if k % 199 == 0:
+                    m = k // 199
+                    px = img(f"g{m % 25}")
+                    v = (m // 25) % 3
+                    if v == 0:
+                        payload = mc.encode_png(px)
+                    elif v == 1:
+                        payload = mc.encode_jpeg(px)
+                    else:
+                        payload = mc.encode_netpbm(resize48(px))
+                else:
+                    px = img(f"k{k}")
+                    v = k % 3
+                    if v == 0:
+                        payload = mc.encode_png(px)
+                    elif v == 1:
+                        payload = mc.encode_bmp(np.stack([px] * 3, axis=-1))
+                    else:
+                        payload = mc.encode_netpbm(px)
+                ids.append(k)
+                payloads.append(payload)
+            yield pd.DataFrame({"id": ids, "payload": payloads})
+
+    payloads = _spread(o, spark).mapInPandas(_gen, "id long, payload binary")
+    return mm.phash_dup_pairs(mm.image_phashes(payloads), max_hamming=3).select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
 def q_netpbm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Netpbm decode across all six formats (r13, media_codec.parse_netpbm
     — the classic vision-dataset interchange family): each supplier row
@@ -6114,8 +6240,53 @@ def oracle_sql() -> dict[str, str]:
                      'set' AS entry_type, CAST(user_id AS VARCHAR) AS member,
                      CAST(NULL AS VARCHAR) AS value, CAST(0 AS BIGINT) AS ord,
                      CAST(NULL AS VARCHAR) AS expire
-              FROM ulast WHERE rn = 1 AND event_type = 'signup')
+              FROM ulast WHERE rn = 1 AND event_type = 'signup'),
+            -- planted stream keyspace (must mirror q_redis_rdb's fixture
+            -- loop exactly): 6 streams x 20 entries, j%10==9 XDELed (absent
+            -- from output), fields a,b(,c when j%7==3), one group + 2
+            -- consumers' PELs, plus the module skip audit rows
+            sj AS (
+              SELECT s, j,
+                     CAST(1700000000000 + s * 100000 + j * 13 AS VARCHAR)
+                       || '-' || CAST(j % 4 AS VARCHAR) AS id
+              FROM range(6) t(s) CROSS JOIN range(20) u(j)),
+            sfields AS (
+              SELECT s, j, id, k FROM sj CROSS JOIN range(3) v(k)
+              WHERE j % 10 <> 9 AND k < CASE WHEN j % 7 = 3 THEN 3 ELSE 2 END),
+            stream_rows AS (
+              SELECT CAST(0 AS BIGINT) AS db_id,
+                     'stream:' || CAST(s AS VARCHAR) AS key,
+                     'stream' AS entry_type,
+                     id || ':' || substr('abc', CAST(k + 1 AS INT), 1) AS member,
+                     CAST(s AS VARCHAR) || '.' || CAST(j AS VARCHAR) || '.'
+                       || CAST(k AS VARCHAR) AS value,
+                     CAST(k AS BIGINT) AS ord, CAST(NULL AS VARCHAR) AS expire
+              FROM sfields),
+            sconst AS (
+              SELECT s, 'stream:' || CAST(s AS VARCHAR) AS key,
+                     CAST(1700000000000 + s * 100000 + 247 AS VARCHAR) || '-3' AS last_id,
+                     CAST(1700000000000 + s * 100000 + 130 AS VARCHAR) || '-2' AS g0_id,
+                     CAST(1700000000000 + s * 100000 + 143 AS VARCHAR) || '-3' AS p11,
+                     CAST(1700000000000 + s * 100000 + 156 AS VARCHAR) || '-0' AS p12,
+                     CAST(1700000000000 + s * 100000 + 169 AS VARCHAR) || '-1' AS p13
+              FROM range(6) t(s)),
+            splant AS (
+              SELECT CAST(0 AS BIGINT) AS db_id, key, 'stream_meta' AS entry_type,
+                     'last_id' AS member, last_id AS value, CAST(0 AS BIGINT) AS ord,
+                     CAST(NULL AS VARCHAR) AS expire FROM sconst
+              UNION ALL SELECT 0, key, 'stream_group', 'g0', g0_id, 0, NULL FROM sconst
+              UNION ALL SELECT 0, key, 'stream_pel', 'g0:c0',
+                        p11 || '@1700000000011/3', 0, NULL FROM sconst
+              UNION ALL SELECT 0, key, 'stream_pel', 'g0:c0',
+                        p12 || '@1700000000012/1', 1, NULL FROM sconst
+              UNION ALL SELECT 0, key, 'stream_pel', 'g0:c1',
+                        p13 || '@1700000000013/2', 0, NULL FROM sconst
+              UNION ALL SELECT 0, 'mod:probe', 'module_skipped', 'RefModNam',
+                        NULL, 0, NULL
+              UNION ALL SELECT 0, '', 'module_aux_skipped', 'AuxModNam',
+                        NULL, 0, NULL)
             SELECT * FROM ranked UNION ALL SELECT * FROM intset
+            UNION ALL SELECT * FROM stream_rows UNION ALL SELECT * FROM splant
         """,
         "redis_slot_stats": f"""
             {demo.REDIS_STATE_SQL},

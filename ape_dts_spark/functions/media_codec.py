@@ -2880,6 +2880,82 @@ _IMAGE_FIELDS = [
 ]
 
 
+def parse_image_pixels(payload: bytes) -> np.ndarray:
+    """Magic-sniffing decode to the pixel ARRAY ((h, w) gray or (h, w, c)
+    color uint8) for the perceptual-hash path — same format routing as
+    :func:`parse_image`, but returning samples instead of statistics.
+    GIF is excluded (multi-frame; use sample_gif_frames)."""
+    if payload[:8] == PNG_SIGNATURE:
+        return parse_png(payload, return_pixels=True)["pixels"]
+    if payload[:2] == b"BM":
+        return parse_bmp(payload, return_pixels=True)["pixels"]
+    if payload[:2] == b"\xff\xd8":
+        return decode_jpeg(payload)["pixels"]
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        return parse_tiff(payload, return_pixels=True)["pixels"]
+    if payload[:1] == b"P" and payload[1:2] in b"123456" and payload[2:3].isspace():
+        return parse_netpbm(payload, return_pixels=True)["pixels"]
+    raise ValueError("unrecognized image magic for pixel decode")
+
+
+# orthonormal 32-point DCT-II basis for the perceptual hash (same
+# construction as the 8-point _DCT_C the JPEG codec uses)
+_PHASH_SIZE = 32
+_DCT_C32 = np.zeros((_PHASH_SIZE, _PHASH_SIZE))
+for _k in range(_PHASH_SIZE):
+    _s = np.sqrt(1 / _PHASH_SIZE) if _k == 0 else np.sqrt(2 / _PHASH_SIZE)
+    for _n in range(_PHASH_SIZE):
+        _DCT_C32[_k, _n] = _s * np.cos((2 * _n + 1) * _k * np.pi / (2 * _PHASH_SIZE))
+
+
+def phash64(px: np.ndarray) -> int:
+    """DCT perceptual hash of a decoded image: integer BT.601 grayscale ->
+    deterministic block-mean resample to 32x32 -> 2D DCT-II -> keep the
+    top-left 8x8 low-frequency block -> one bit per AC coefficient, its
+    SIGN (coef > 0) — 63 bits, row-major, MSB-aligned below an always-zero
+    top bit, returned as a Spark long. The sign variant (robust-hashing
+    literature) is chosen over classic pHash's median threshold
+    deliberately: a median split forces ~2 borderline bits to sit exactly
+    at the threshold, so ANY re-encode perturbation flips them, while a
+    sign bit only flips when its coefficient crosses zero — measurably
+    hamming-0 under lossless re-encode (PNG<->BMP<->netpbm), JPEG
+    re-encode, and mild resize for spectra whose low band carries real
+    energy. The image analog of the audio constellation fingerprint."""
+    px = np.asarray(px)
+    if px.ndim == 3:
+        if px.shape[2] == 4:
+            px = px[:, :, :3]
+        if px.shape[2] == 2:  # gray + alpha
+            g = px[:, :, 0].astype(np.int64)
+        else:
+            p = px.astype(np.int64)
+            g = (p[:, :, 0] * 299 + p[:, :, 1] * 587 + p[:, :, 2] * 114) // 1000
+    else:
+        g = px.astype(np.int64)
+    h, w = g.shape
+    if h == 0 or w == 0:
+        raise ValueError("empty image for phash")
+    s = _PHASH_SIZE
+    # block-mean resample: cell (y, x) averages rows [y*h//s, (y+1)*h//s)
+    # (at least one), same for columns — integer boundaries, no kernel
+    small = np.empty((s, s), dtype=np.float64)
+    rb = [max((y * h) // s, 0) for y in range(s + 1)]
+    cb = [max((x * w) // s, 0) for x in range(s + 1)]
+    for y in range(s):
+        r0, r1 = rb[y], max(rb[y + 1], rb[y] + 1)
+        row = g[min(r0, h - 1) : min(r1, h)]
+        for x in range(s):
+            c0, c1 = cb[x], max(cb[x + 1], cb[x] + 1)
+            small[y, x] = row[:, min(c0, w - 1) : min(c1, w)].mean()
+    coef = _DCT_C32 @ small @ _DCT_C32.T
+    low = coef[:8, :8].flatten()
+    med = float(np.median(low[1:]))
+    bits = 0
+    for v in low:
+        bits = (bits << 1) | (1 if v > med else 0)
+    return bits - (1 << 64) if bits >= 1 << 63 else bits
+
+
 def decode_image(
     df: DataFrame,
     payload_col: str = "payload",

@@ -563,6 +563,90 @@ def audio_dup_pairs(fps: DataFrame, min_matches: int = 10) -> DataFrame:
     )
 
 
+def image_phashes(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "id",
+    errors: str = "raise",
+) -> DataFrame:
+    """Per-image 64-bit DCT perceptual hashes (media_codec.phash64) over a
+    mixed-format binary column — magic-sniffed decode (PNG/BMP/JPEG/TIFF/
+    netpbm) + grayscale + 32x32 block-mean + DCT in ONE Arrow pass, no
+    shuffle before decode (the media-pipeline plan shape). Returns
+    (id, phash long). ``errors``: the standard raise/null/skip per-row
+    quarantine policy."""
+    from ape_dts_spark.functions import media_codec as mc
+
+    _quarantine_policy(errors)
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[tuple] = []
+            for rid, raw in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    rows.append((rid, mc.phash64(mc.parse_image_pixels(bytes(raw))), None))
+                except (ValueError, NotImplementedError) as exc:
+                    if errors == "raise":
+                        raise
+                    if errors == "null":
+                        rows.append((rid, None, f"{type(exc).__name__}: {exc}"))
+            out = pd.DataFrame(rows, columns=["id", "phash", "error"])
+            if errors == "raise":
+                out = out.drop(columns=["error"])
+            yield out
+
+    schema = "id long, phash long" + (", error string" if errors != "raise" else "")
+    return df.mapInPandas(_hash, schema=schema)
+
+
+def phash_dup_pairs(
+    hashes: DataFrame, max_hamming: int = 3, n_bands: int = 4
+) -> DataFrame:
+    """Image near-duplicate pairs from a phash relation: split each 64-bit
+    hash into ``n_bands`` equal bit-bands, equi-join per band (BUCKETED —
+    never all-pairs: a pair is only a candidate where some band matches
+    exactly), then verify on TRUE Hamming distance over the full hash.
+    By pigeonhole the banding is recall-exact for hamming < n_bands (the
+    default 3 < 4); larger thresholds trade recall like any LSH banding —
+    raise n_bands to restore the guarantee. Scale shape: one shuffle on the
+    band key + one pair-dedup agg; organic 16-bit band collisions are
+    ~n_bands * 2^-16 per pair, so the join output stays linear in corpus
+    size plus the true duplicate mass (the same argument as minhash_lsh's
+    band join). Returns (id_a, id_b, hamming) with id_a < id_b."""
+    if not 64 % n_bands == 0:
+        raise ValueError(f"n_bands must divide 64, got {n_bands}")
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    band_key = F.explode(
+        F.array(
+            *[
+                F.shiftrightunsigned(F.col("phash"), b * width)
+                .bitwiseAND(F.lit(mask))
+                .bitwiseOR(F.lit(b << width))
+                for b in range(n_bands)
+            ]
+        )
+    ).alias("band_key")
+    banded = hashes.select("id", "phash", band_key)
+    a = banded.select(
+        F.col("id").alias("id_a"), F.col("phash").alias("ph_a"), "band_key"
+    )
+    b = banded.select(
+        F.col("id").alias("id_b"), F.col("phash").alias("ph_b"), "band_key"
+    )
+    return (
+        a.join(b, "band_key")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")  # dedup pairs matching in several bands
+        .agg(
+            F.bit_count(
+                F.first("ph_a").bitwiseXOR(F.first("ph_b"))
+            ).alias("hamming")
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def sample_frames(df: DataFrame, payload_col: str = "payload", every_n_bytes: int = 1024) -> DataFrame:
     """Frame-sampling plumbing: split each payload into fixed-size 'frames'
     (posexplode over byte ranges) — the distributed shape of video frame

@@ -36,18 +36,24 @@ T_LIST = 1
 T_SET = 2
 T_ZSET = 3
 T_HASH = 4
+T_MODULE = 6  # module v1: no length prefix, undecodable without the module
+T_MODULE_2 = 7  # module v2: self-describing opcode stream -> skippable
 T_HASH_ZIPMAP = 9
 T_LIST_ZIPLIST = 10
 T_SET_INTSET = 11
 T_ZSET_ZIPLIST = 12
 T_HASH_ZIPLIST = 13
 T_LIST_QUICKLIST = 14
+T_STREAM_LISTPACKS = 15
 T_HASH_LISTPACK = 16
 T_ZSET_LISTPACK = 17
 T_LIST_QUICKLIST2 = 18
+T_STREAM_LISTPACKS_2 = 19
 T_SET_LISTPACK = 20
+T_STREAM_LISTPACKS_3 = 21
 
-OP_MODULE_AUX = 0xF7  # unsupported (module payloads are opaque) -> error
+OP_SLOT_INFO = 0xF4  # Redis 7.4+ cluster slot hint: 3 lengths, skipped
+OP_MODULE_AUX = 0xF7  # module aux payload: opcode-walk skip (no key attached)
 OP_IDLE = 0xF8  # LRU idle hint: length-encoded, skipped
 OP_FREQ = 0xF9  # LFU frequency hint: 1 byte, skipped
 OP_AUX = 0xFA
@@ -258,6 +264,169 @@ def _read_ascii_double(b: bytes, i: int) -> tuple[str, int]:
     return b[i + 1 : i + 1 + n].decode(), i + 1 + n
 
 
+_MODULE_NAME_CHARSET = (
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789-_"
+)
+
+
+def _module_name(module_id: int) -> str:
+    """Module type-id -> 9-char name: the top 54 bits hold nine 6-bit chars
+    (low 10 bits are the encoding version), most-significant char first
+    (module2_parser.rs:35-45 / Redis moduleTypeNameByID)."""
+    chars = []
+    mid = module_id >> 10
+    for _ in range(9):
+        chars.append(_MODULE_NAME_CHARSET[mid & 63])
+        mid >>= 6
+    return "".join(reversed(chars))
+
+
+def _module_id(name: str, version: int = 0) -> int:
+    """Inverse of _module_name: 9-char name + 10-bit encoding version -> the
+    64-bit module type id (writer side, for planting module fixtures)."""
+    if len(name) != 9:
+        raise ValueError("module names are exactly 9 chars")
+    mid = 0
+    for ch in name:
+        mid = (mid << 6) | _MODULE_NAME_CHARSET.index(ch)
+    return (mid << 10) | (version & 0x3FF)
+
+
+def _skip_module_float(b: bytes, i: int) -> int:
+    """RDB float: 1-byte length + ascii, 253/254/255 = nan/+inf/-inf
+    (reader/float.rs:8-22); value discarded, returns next offset."""
+    n = b[i]
+    return i + 1 if n >= 253 else i + 1 + n
+
+
+def _skip_module_data(b: bytes, i: int) -> int:
+    """Walk module2's self-describing opcode stream to its EOF opcode
+    (module2_parser.rs:47-72, rdb_parser.rs:22-27): 1|2 = length int,
+    3 = ascii float, 4 = 8-byte LE double, 5 = string, 0 = end."""
+    opcode, _, i = _read_len(b, i)
+    while opcode != 0:
+        if opcode in (1, 2):
+            _, _, i = _read_len(b, i)
+        elif opcode == 3:
+            i = _skip_module_float(b, i)
+        elif opcode == 4:
+            i += 8
+        elif opcode == 5:
+            _, i = _read_string(b, i)
+        else:
+            raise ValueError(f"unknown module opcode {opcode}")
+        opcode, _, i = _read_len(b, i)
+    return i
+
+
+def _stream_id(ms: int, seq: int) -> str:
+    return f"{ms}-{seq}"
+
+
+def _parse_stream(b: bytes, i: int, vtype: int, key: bytes, emit) -> int:
+    """Stream object (RDB_TYPE_STREAM_LISTPACKS v1/v2/v3) -> typed rows
+    (stream_parser.rs:13-227). Rows mirror the reference's replay-command
+    families one-to-one:
+
+    - ``stream``       one row per live-entry field pair (XADD): member =
+      ``ms-seq:field``, value = the field's value, ord = field index.
+      Deleted entries (flags bit 0) are decoded and dropped, exactly like
+      the reference skips emitting their XADD.
+    - ``stream_meta``  member ``last_id``, value = last entry id (XSETID —
+      emitted even when the last entry was XDELed).
+    - ``stream_group`` member = group name, value = group last-delivered id
+      (XGROUP CREATE).
+    - ``stream_pel``   member = ``group:consumer``, value =
+      ``id@delivery_time/delivery_count``, ord = index in that consumer's
+      PEL (XCLAIM ... TIME t RETRYCOUNT n JUSTID FORCE).
+
+    The reference's empty-stream `XADD MAXLEN 0` trick collapses to just the
+    ``stream_meta`` row here: this is a state model, and an empty stream IS
+    only its last-id."""
+    n_listpack, _, i = _read_len(b, i)
+    for _ in range(n_listpack):
+        lp_key, i = _read_string(b, i)
+        master_ms = struct.unpack_from(">q", lp_key, 0)[0]
+        master_seq = struct.unpack_from(">q", lp_key, 8)[0]
+        payload, i = _read_string(b, i)
+        elements = _parse_listpack(payload)
+        inx = 0
+
+        def nxt() -> bytes:
+            nonlocal inx
+            e = elements[inx]
+            inx += 1
+            return e
+
+        count = int(nxt())
+        deleted = int(nxt())
+        num_fields = int(nxt())
+        master_fields = [elements[inx + k] for k in range(num_fields)]
+        inx += num_fields
+        if nxt() != b"0":
+            raise ValueError("stream master entry not terminated by zero")
+
+        while count != 0 or deleted != 0:
+            flags = int(nxt())
+            entry_ms = int(nxt())
+            entry_seq = int(nxt())
+            sid = _stream_id(entry_ms + master_ms, entry_seq + master_seq)
+            if flags & 2:  # samefields: listpack stores values only
+                fields = [(f, nxt()) for f in master_fields]
+            else:
+                num = int(nxt())
+                fields = [(nxt(), nxt()) for _ in range(num)]
+            nxt()  # lp_count (backward-traversal aid; parsers skip it)
+            if flags & 1:  # entry was XDELed: decoded but not replayed
+                deleted -= 1
+            else:
+                count -= 1
+                for k, (f_, v) in enumerate(fields):
+                    emit(key, "stream", sid.encode() + b":" + f_, v, k)
+
+    _, _, i = _read_len(b, i)  # total live items
+    last_ms, _, i = _read_len(b, i)
+    last_seq, _, i = _read_len(b, i)
+    emit(key, "stream_meta", b"last_id", _stream_id(last_ms, last_seq).encode(), 0)
+    if vtype >= T_STREAM_LISTPACKS_2:
+        for _ in range(5):  # first ms/seq, max-deleted ms/seq, entries-added
+            _, _, i = _read_len(b, i)
+
+    n_groups, _, i = _read_len(b, i)
+    for _ in range(n_groups):
+        gname, i = _read_string(b, i)
+        g_ms, _, i = _read_len(b, i)
+        g_seq, _, i = _read_len(b, i)
+        emit(key, "stream_group", gname, _stream_id(g_ms, g_seq).encode(), 0)
+        if vtype >= T_STREAM_LISTPACKS_2:
+            _, _, i = _read_len(b, i)  # group read-offset
+        n_pel, _, i = _read_len(b, i)
+        pel: dict[str, tuple[int, int]] = {}
+        for _ in range(n_pel):
+            ms, seq = struct.unpack_from(">QQ", b, i)
+            i += 16
+            delivery_time = struct.unpack_from("<Q", b, i)[0]
+            i += 8
+            delivery_count, _, i = _read_len(b, i)
+            pel[_stream_id(ms, seq)] = (delivery_time, delivery_count)
+        n_consumers, _, i = _read_len(b, i)
+        for _ in range(n_consumers):
+            cname, i = _read_string(b, i)
+            i += 8  # last-seen time (LE ms)
+            if vtype >= T_STREAM_LISTPACKS_3:
+                i += 8  # active time (LE ms)
+            n_cpel, _, i = _read_len(b, i)
+            for k in range(n_cpel):
+                ms, seq = struct.unpack_from(">QQ", b, i)
+                i += 16
+                sid = _stream_id(ms, seq)
+                if sid not in pel:
+                    raise ValueError(f"consumer PEL id {sid} missing from group PEL")
+                t, c = pel[sid]
+                emit(key, "stream_pel", gname + b":" + cname, f"{sid}@{t}/{c}".encode(), k)
+    return i
+
+
 # ---------------------------------------------------------------------------
 # object -> entry rows
 # ---------------------------------------------------------------------------
@@ -269,7 +438,21 @@ def _pairs(flat: list[bytes]) -> list[tuple[bytes, bytes]]:
 
 def parse_rdb_bytes(data: bytes) -> list[dict]:
     """One RDB dump -> typed entry dicts ``(db_id, key, entry_type, member,
-    value, ord, expire_ms)``; ord orders list elements, 0 elsewhere."""
+    value, ord, expire_ms)``; ord orders list elements, 0 elsewhere.
+
+    Corruption contract: any malformed input (truncated at any byte, any
+    flipped byte) raises ``ValueError`` — never IndexError/struct.error —
+    so distributed scans can quarantine bad dumps uniformly (same contract
+    as the media codec family's MediaCodecError)."""
+    try:
+        return _parse_rdb_entries(data)
+    except ValueError:
+        raise
+    except (IndexError, KeyError, OverflowError, MemoryError, struct.error, UnicodeDecodeError) as e:
+        raise ValueError(f"corrupt RDB dump: {type(e).__name__}: {e}") from e
+
+
+def _parse_rdb_entries(data: bytes) -> list[dict]:
     if data[:5] != b"REDIS":
         raise ValueError("not an RDB dump (missing REDIS header)")
     i = 9
@@ -326,6 +509,21 @@ def parse_rdb_bytes(data: bytes) -> list[dict]:
             continue
         if op == OP_FREQ:
             i += 2
+            continue
+        if op == OP_SLOT_INFO:
+            i += 1
+            for _ in range(3):  # slot id, slot size, expires slot size
+                _, _, i = _read_len(data, i)
+            continue
+        if op == OP_MODULE_AUX:
+            # rdb_parser.rs:65-91: module id + when-opcode + when, then the
+            # same self-describing opcode walk as module2 values. Skipped
+            # with the module name recorded as an audit row (no key).
+            module_id, _, i = _read_len(data, i + 1)
+            _, _, i = _read_len(data, i)  # when_opcode
+            _, _, i = _read_len(data, i)  # when
+            i = _skip_module_data(data, i)
+            emit(b"", "module_aux_skipped", _module_name(module_id).encode(), None, 0)
             continue
 
         vtype = op
@@ -404,6 +602,21 @@ def parse_rdb_bytes(data: bytes) -> list[dict]:
                 for v in flat:
                     emit(key, "list", None, v, k)
                     k += 1
+        elif vtype in (T_STREAM_LISTPACKS, T_STREAM_LISTPACKS_2, T_STREAM_LISTPACKS_3):
+            i = _parse_stream(data, i, vtype, key, emit)
+        elif vtype == T_MODULE_2:
+            # Self-describing opcode stream: skip the payload, keep an audit
+            # row naming the module so a migration reports WHAT it dropped
+            # (module2_parser.rs:26-32 returns an empty object + log line).
+            module_id, _, i = _read_len(data, i)
+            i = _skip_module_data(data, i)
+            emit(key, "module_skipped", _module_name(module_id).encode(), None, 0)
+        elif vtype == T_MODULE:
+            # v1 module payloads have no framing — undecodable without the
+            # module itself (module2_parser.rs:19-24 bails identically)
+            raise ValueError(
+                f"module type v1 is not supported, key={key.decode('utf-8', 'replace')!r}"
+            )
         else:
             raise ValueError(f"unsupported RDB value type {vtype}")
         expire_ms = None  # expiry applies to exactly one following key
@@ -506,6 +719,118 @@ def _enc_ziplist(items: list[bytes]) -> bytes:
     return struct.pack("<IIH", zlbytes, zlbytes - 1, min(len(items), 0xFFFF)) + bytes(body) + b"\xff"
 
 
+def _parse_sid(s: str) -> tuple[int, int]:
+    ms, seq = s.rsplit("-", 1)
+    return int(ms), int(seq)
+
+
+def _enc_stream(rows: list[dict], version: int = 3) -> tuple[int, bytes]:
+    """Stream entry rows (the families _parse_stream emits, plus
+    ``stream_deleted`` for XDELed-but-still-serialized entries) -> the RDB
+    stream value payload. Returns (type_byte, payload). ``version`` selects
+    RDB_TYPE_STREAM_LISTPACKS v1/v2/v3 framing so all three parse paths are
+    exercisable. Layout mirrors what stream_parser.rs:13-227 consumes:
+    3-entry listpack nodes with per-node master entry + ms/seq delta
+    encoding, samefields compression when an entry's field list matches the
+    node master's, consumer groups with global + per-consumer PELs."""
+    type_byte = {1: T_STREAM_LISTPACKS, 2: T_STREAM_LISTPACKS_2, 3: T_STREAM_LISTPACKS_3}[version]
+
+    # regroup field rows into entries: member = "ms-seq:field"
+    entries: dict[tuple[int, int], dict] = {}
+    last_id = None
+    groups: dict[str, str] = {}
+    pels: dict[str, list[tuple[str, str]]] = {}  # "g:c" -> [(id, "t/c"), ...] in ord order
+    for r in sorted(rows, key=lambda r: r["ord"]):
+        et = r["entry_type"]
+        if et in ("stream", "stream_deleted"):
+            sid, field = r["member"].split(":", 1)
+            e = entries.setdefault(_parse_sid(sid), {"deleted": et == "stream_deleted", "fields": []})
+            e["fields"].append((field.encode(), r["value"].encode()))
+        elif et == "stream_meta":
+            last_id = r["value"]
+        elif et == "stream_group":
+            groups[r["member"]] = r["value"]
+        elif et == "stream_pel":
+            pels.setdefault(r["member"], []).append(tuple(r["value"].split("@", 1)))
+        else:
+            raise ValueError(f"unsupported stream row entry_type {et!r}")
+
+    ordered = sorted(entries)
+    out = bytearray()
+    nodes = [ordered[k : k + 3] for k in range(0, len(ordered), 3)]
+    out += _enc_len(len(nodes))
+    for node in nodes:
+        m_ms, m_seq = node[0]
+        master_fields = [f for f, _ in entries[node[0]]["fields"]]
+        live = sum(1 for sid in node if not entries[sid]["deleted"])
+        dead = len(node) - live
+        elements: list[bytes] = [
+            str(live).encode(),
+            str(dead).encode(),
+            str(len(master_fields)).encode(),
+            *master_fields,
+            b"0",
+        ]
+        for sid in node:
+            e = entries[sid]
+            fields = e["fields"]
+            samefields = [f for f, _ in fields] == master_fields
+            flags = (2 if samefields else 0) | (1 if e["deleted"] else 0)
+            ent: list[bytes] = [
+                str(flags).encode(),
+                str(sid[0] - m_ms).encode(),
+                str(sid[1] - m_seq).encode(),
+            ]
+            if samefields:
+                ent += [v for _, v in fields]
+            else:
+                ent.append(str(len(fields)).encode())
+                for f_, v in fields:
+                    ent += [f_, v]
+            ent.append(str(len(ent) + 1).encode())  # lp_count (skipped on read)
+            elements += ent
+        out += _enc_string(struct.pack(">qq", m_ms, m_seq))
+        out += _enc_string(_enc_listpack(elements))
+
+    live_ids = [sid for sid in ordered if not entries[sid]["deleted"]]
+    dead_ids = [sid for sid in ordered if entries[sid]["deleted"]]
+    last = _parse_sid(last_id) if last_id else (ordered[-1] if ordered else (0, 0))
+    out += _enc_len(len(live_ids))
+    out += _enc_len(last[0]) + _enc_len(last[1])
+    if version >= 2:
+        first = live_ids[0] if live_ids else (0, 0)
+        max_del = max(dead_ids) if dead_ids else (0, 0)
+        out += _enc_len(first[0]) + _enc_len(first[1])
+        out += _enc_len(max_del[0]) + _enc_len(max_del[1])
+        out += _enc_len(len(ordered))  # entries-added counter
+
+    out += _enc_len(len(groups))
+    for gname in sorted(groups):
+        g_ms, g_seq = _parse_sid(groups[gname])
+        out += _enc_string(gname.encode()) + _enc_len(g_ms) + _enc_len(g_seq)
+        if version >= 2:
+            out += _enc_len(0)  # group read-offset
+        consumers = sorted(c.split(":", 1)[1] for c in pels if c.split(":", 1)[0] == gname)
+        gpel: list[tuple[tuple[int, int], int, int]] = []
+        for c in consumers:
+            for sid_s, tc in pels[f"{gname}:{c}"]:
+                t, cnt = tc.split("/", 1)
+                gpel.append((_parse_sid(sid_s), int(t), int(cnt)))
+        out += _enc_len(len(gpel))
+        for sid, t, cnt in sorted(gpel):
+            out += struct.pack(">QQ", *sid) + struct.pack("<Q", t) + _enc_len(cnt)
+        out += _enc_len(len(consumers))
+        for c in consumers:
+            out += _enc_string(c.encode()) + struct.pack("<Q", 0)  # last-seen
+            if version >= 3:
+                out += struct.pack("<Q", 0)  # active time
+            cpel = pels[f"{gname}:{c}"]
+            out += _enc_len(len(cpel))
+            for sid_s, _tc in cpel:
+                out += struct.pack(">QQ", *_parse_sid(sid_s))
+    return type_byte, bytes(out)
+
+
 def _enc_intset(values: list[int]) -> bytes:
     width = 8 if any(not -(1 << 31) <= v < 1 << 31 for v in values) else (
         4 if any(not -(1 << 15) <= v < 1 << 15 for v in values) else 2
@@ -517,7 +842,11 @@ def _enc_intset(values: list[int]) -> bytes:
     return out
 
 
-def encode_rdb(entries: list[dict]) -> bytes:
+def encode_rdb(
+    entries: list[dict],
+    stream_version: int = 3,
+    module_aux: list[str] | None = None,
+) -> bytes:
     """Entry rows (same shape parse_rdb_bytes emits) -> one RDB dump.
 
     Encoding choices mirror Redis' own thresholds in spirit (small containers
@@ -532,6 +861,10 @@ def encode_rdb(entries: list[dict]) -> bytes:
 
     out = bytearray(RDB_HEADER)
     out += bytes([OP_AUX]) + _enc_string(b"redis-ver") + _enc_string(b"7.4.0")
+    for name in module_aux or []:  # keyless module aux sections (0xF7)
+        out += bytes([OP_MODULE_AUX]) + _enc_len(_module_id(name))
+        out += _enc_len(2) + _enc_len(1)  # when_opcode, when
+        out += _enc_len(5) + _enc_string(b"aux-payload") + _enc_len(0)
     for db_id in sorted(by_db):
         keys = by_db[db_id]
         out += bytes([OP_SELECTDB]) + _enc_len(db_id)
@@ -577,6 +910,21 @@ def encode_rdb(entries: list[dict]) -> bytes:
                 for node in nodes:
                     out += _enc_len(2) + _enc_string(_enc_listpack(node))
                 continue
+            elif etype == "module_skipped":
+                # plant a T_MODULE_2 object (member = 9-char module name):
+                # one of each opcode kind then EOF — parsers must walk past
+                # it and keep only the audit row
+                out += bytes([T_MODULE_2]) + _enc_string(kb)
+                out += _enc_len(_module_id(rows[0]["member"]))
+                out += _enc_len(2) + _enc_len(42)  # uint
+                out += _enc_len(1) + _enc_len(7)  # sint
+                out += _enc_len(3) + bytes([4]) + b"1.25"  # ascii float
+                out += _enc_len(4) + struct.pack("<d", -2.5)  # LE double
+                out += _enc_len(5) + _enc_string(b"opaque-module-payload")
+                out += _enc_len(0)  # module EOF
+            elif etype.startswith("stream"):
+                type_byte, payload = _enc_stream(rows, stream_version)
+                out += bytes([type_byte]) + _enc_string(kb) + payload
             elif etype == "set":
                 members = sorted(r["member"].encode() for r in rows)
                 ints = [_int_form(m) for m in members]
@@ -616,10 +964,10 @@ def read_rdb_files(spark: SparkSession, path: str) -> DataFrame:
     return files.mapInPandas(_parse, schema=ENTRY_SCHEMA)
 
 
-def write_rdb_file(entries: list[dict], path: str) -> str:
+def write_rdb_file(entries: list[dict], path: str, **kwargs) -> str:
     os.makedirs(os.path.dirname(path), exist_ok=True)
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
-        f.write(encode_rdb(entries))
+        f.write(encode_rdb(entries, **kwargs))
     os.replace(tmp, path)
     return path

@@ -362,3 +362,183 @@ def test_rdb_invalid_length_byte_raises():
 
     with _pytest.raises(ValueError, match="length encoding"):
         rdb._read_len(bytes([0x83, 0, 0]), 0)
+
+
+# -- Redis Stream + Module2 RDB objects (stream_parser.rs, module2_parser.rs)
+
+
+def _stream_fixture_rows(n_streams=2, n_entries=8):
+    """Deterministic stream keyspace: multi-listpack chunking, samefields
+    and per-entry-fields branches, planted XDELed entries, XSETID last-id,
+    one consumer group with two consumers' PELs."""
+    rows = []
+    for s in range(n_streams):
+        key = f"stream:{s}"
+        for j in range(n_entries):
+            ms = 1_700_000_000_000 + s * 1000 + j * 13
+            sid = f"{ms}-{j % 4}"
+            et = "stream_deleted" if j % 5 == 4 else "stream"
+            fields = ["a", "b", "c"] if j % 7 == 3 else ["a", "b"]
+            for k, f in enumerate(fields):
+                rows.append({"db_id": 0, "key": key, "entry_type": et,
+                             "member": f"{sid}:{f}", "value": f"{s}.{j}.{k}",
+                             "ord": k, "expire_ms": None})
+        last = f"{1_700_000_000_000 + s * 1000 + (n_entries - 1) * 13}-{(n_entries - 1) % 4}"
+        rows.append({"db_id": 0, "key": key, "entry_type": "stream_meta",
+                     "member": "last_id", "value": last, "ord": 0, "expire_ms": None})
+        rows.append({"db_id": 0, "key": key, "entry_type": "stream_group",
+                     "member": "g0", "value": f"{1_700_000_000_000 + s * 1000 + 3 * 13}-3",
+                     "ord": 0, "expire_ms": None})
+        for k, j in enumerate((5, 6)):
+            ms = 1_700_000_000_000 + s * 1000 + j * 13
+            rows.append({"db_id": 0, "key": key, "entry_type": "stream_pel",
+                         "member": "g0:c0", "value": f"{ms}-{j % 4}@{1_700_000_000_000 + j}/{1 + j % 3}",
+                         "ord": k, "expire_ms": None})
+        ms2 = 1_700_000_000_000 + s * 1000 + 2 * 13
+        rows.append({"db_id": 0, "key": key, "entry_type": "stream_pel",
+                     "member": "g0:c1", "value": f"{ms2}-2@1700000000002/2",
+                     "ord": 0, "expire_ms": None})
+    return rows
+
+
+def _visible(rows):
+    return sorted(
+        (r["key"], r["entry_type"], r["member"], r["value"], r["ord"])
+        for r in rows if r["entry_type"] != "stream_deleted"
+    )
+
+
+def test_rdb_stream_round_trip_all_versions():
+    """Stream objects survive encode->parse under all three RDB stream
+    framings (RDB_TYPE_STREAM_LISTPACKS 15/19/21); XDELed entries are
+    serialized but never replayed (stream_parser.rs:83-89)."""
+    from ape_dts_spark.sources import redis_rdb as rdb
+
+    rows = _stream_fixture_rows()
+    for ver in (1, 2, 3):
+        back = rdb.parse_rdb_bytes(rdb.encode_rdb(rows, stream_version=ver))
+        assert _visible(back) == _visible(rows), f"stream v{ver} mismatch"
+
+
+def test_rdb_stream_empty():
+    """An empty stream is just its last-id (the reference's XADD-MAXLEN-0 +
+    XSETID pair collapses to the stream_meta row in the state model)."""
+    from ape_dts_spark.sources import redis_rdb as rdb
+
+    rows = [{"db_id": 0, "key": "es", "entry_type": "stream_meta",
+             "member": "last_id", "value": "1700000000123-7", "ord": 0, "expire_ms": None}]
+    back = rdb.parse_rdb_bytes(rdb.encode_rdb(rows))
+    assert back == [{"db_id": 0, "key": "es", "entry_type": "stream_meta",
+                     "member": "last_id", "value": "1700000000123-7", "ord": 0,
+                     "expire_ms": None}]
+
+
+def test_rdb_stream_hand_built_listpack():
+    """Parser-only path: a hand-assembled v2 stream with a samefields entry,
+    a per-entry-fields entry and a deleted entry in ONE listpack — the exact
+    element walk stream_parser.rs:36-90 performs."""
+    import struct
+
+    from ape_dts_spark.sources import redis_rdb as rdb
+
+    m_ms, m_seq = 1_600_000_000_000, 5
+    elements = [
+        b"2", b"1", b"2", b"f1", b"f2", b"0",          # master: count deleted nfields fields 0
+        b"2", b"0", b"0", b"va", b"vb", b"5",          # samefields live entry @ (m_ms, m_seq)
+        b"1", b"10", b"-3", b"1", b"fx", b"vx", b"6",  # deleted entry @ (+10, -3)
+        b"0", b"20", b"1", b"1", b"g", b"h", b"7",     # per-entry-fields live @ (+20, +1)
+    ]
+    out = bytearray(rdb.RDB_HEADER)
+    out += bytes([rdb.OP_SELECTDB, 0])
+    out += bytes([rdb.T_STREAM_LISTPACKS_2]) + rdb._enc_string(b"hs")
+    out += rdb._enc_len(1)  # one listpack
+    out += rdb._enc_string(struct.pack(">qq", m_ms, m_seq))
+    out += rdb._enc_string(rdb._enc_listpack(elements))
+    out += rdb._enc_len(2)  # total live
+    out += rdb._enc_len(m_ms + 20) + rdb._enc_len(m_seq + 1)  # last id
+    for _ in range(5):  # first ms/seq, max-deleted ms/seq, entries-added
+        out += rdb._enc_len(0)
+    out += rdb._enc_len(0)  # no groups
+    out += bytes([rdb.OP_EOF]) + b"\x00" * 8
+
+    back = rdb.parse_rdb_bytes(bytes(out))
+    sid0 = f"{m_ms}-{m_seq}"
+    sid2 = f"{m_ms + 20}-{m_seq + 1}"
+    assert [(r["entry_type"], r["member"], r["value"], r["ord"]) for r in back] == [
+        ("stream", f"{sid0}:f1", "va", 0),
+        ("stream", f"{sid0}:f2", "vb", 1),
+        ("stream", f"{sid2}:g", "h", 0),
+        ("stream_meta", "last_id", sid2, 0),
+    ]
+
+
+def test_rdb_module2_and_aux_skip():
+    """Module2 values skip via the self-describing opcode walk and keep a
+    named audit row; keyless module-aux sections likewise; module v1 bails
+    exactly like module2_parser.rs:19-24."""
+    from ape_dts_spark.sources import redis_rdb as rdb
+
+    rows = [
+        {"db_id": 0, "key": "mod:1", "entry_type": "module_skipped",
+         "member": "Tst-Modu1", "value": None, "ord": 0, "expire_ms": None},
+        {"db_id": 0, "key": "k1", "entry_type": "string", "member": None,
+         "value": "v1", "ord": 0, "expire_ms": None},
+    ]
+    back = rdb.parse_rdb_bytes(rdb.encode_rdb(rows, module_aux=["AuxModNam"]))
+    kinds = {(r["entry_type"], r["member"]) for r in back}
+    assert ("module_skipped", "Tst-Modu1") in kinds
+    assert ("module_aux_skipped", "AuxModNam") in kinds
+    assert ("string", None) in kinds
+
+    import pytest as _pytest
+
+    v1 = (rdb.RDB_HEADER + bytes([rdb.OP_SELECTDB, 0])
+          + bytes([rdb.T_MODULE]) + rdb._enc_string(b"m1")
+          + bytes([rdb.OP_EOF]) + b"\x00" * 8)
+    with _pytest.raises(ValueError, match="module type v1"):
+        rdb.parse_rdb_bytes(v1)
+
+
+def test_rdb_module_name_id_roundtrip():
+    from ape_dts_spark.sources import redis_rdb as rdb
+
+    for name in ("Tst-Modu1", "AAAAAAAAA", "zzzzzzzz_", "9-_abcXYZ"):
+        assert rdb._module_name(rdb._module_id(name, version=2)) == name
+
+
+def test_rdb_slot_info_opcode_skipped():
+    """Redis 7.4 RDB_OPCODE_SLOT_INFO (0xF4) carries 3 lengths and no key
+    (rdb_parser.rs:60-64)."""
+    from ape_dts_spark.sources import redis_rdb as rdb
+
+    out = bytearray(rdb.RDB_HEADER)
+    out += bytes([rdb.OP_SELECTDB, 0])
+    out += bytes([rdb.OP_SLOT_INFO]) + rdb._enc_len(100) + rdb._enc_len(5) + rdb._enc_len(0)
+    out += bytes([rdb.T_STRING]) + rdb._enc_string(b"k") + rdb._enc_string(b"v")
+    out += bytes([rdb.OP_EOF]) + b"\x00" * 8
+    back = rdb.parse_rdb_bytes(bytes(out))
+    assert [(r["key"], r["value"]) for r in back] == [("k", "v")]
+
+
+def test_rdb_stream_corruption_confined_to_valueerror():
+    """Every truncation point and every flipped byte of a stream+module dump
+    must either parse or raise ValueError — never IndexError/struct.error
+    (the media-codec robustness contract applied to the RDB family)."""
+    from ape_dts_spark.sources import redis_rdb as rdb
+
+    rows = _stream_fixture_rows(n_streams=1, n_entries=6)
+    rows.append({"db_id": 0, "key": "mod:1", "entry_type": "module_skipped",
+                 "member": "Tst-Modu1", "value": None, "ord": 0, "expire_ms": None})
+    blob = rdb.encode_rdb(rows, module_aux=["AuxModNam"])
+    for n in range(len(blob)):
+        try:
+            rdb.parse_rdb_bytes(blob[:n])
+        except ValueError:
+            pass
+    for i in range(len(blob)):
+        mutated = bytearray(blob)
+        mutated[i] ^= 0x01
+        try:
+            rdb.parse_rdb_bytes(bytes(mutated))
+        except ValueError:
+            pass
