@@ -5433,6 +5433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- r13 window: 14 never-gated + waiting_suppliers (r07) + 35
         # -- stalest r09 rows --------------------------------------------
         "audio_dup_pairs": q_audio_dup_pairs,
+        "image_dup_pairs": q_image_dup_pairs,
         "audio_features": q_audio_features,
         "avi_audio_features": q_avi_audio_features,
         "c4_rules": q_c4_rules,
@@ -7112,6 +7113,19 @@ def oracle_sql() -> dict[str, str]:
             FROM fp a JOIN fp b ON a.fp = b.fp AND a.id < b.id
             GROUP BY 1, 2, 3
             HAVING COUNT(*) >= 10
+        """,
+        "image_dup_pairs": """
+            -- planted pHash duplicate groups: k % 199 == 0, 25 classes by
+            -- (k//199) % 25; every within-group pair surfaces with hamming
+            -- 0 (lossless + JPEG + resize variants all verified 0 for the
+            -- dense-spectrum fixture); organic sign-hashes are ~uniform
+            -- (empirical min pairwise hamming 9), so nothing else passes
+            -- the <=3 verify
+            WITH pk AS (
+              SELECT o_orderkey AS k, (o_orderkey // 199) % 25 AS g
+              FROM orders WHERE o_orderkey < 30000 AND o_orderkey % 199 = 0)
+            SELECT a.k AS id_a, b.k AS id_b, CAST(0 AS INT) AS hamming
+            FROM pk a JOIN pk b ON a.g = b.g AND a.k < b.k
         """,
         "netpbm_decode": """
             WITH base AS (

@@ -2948,12 +2948,11 @@ def phash64(px: np.ndarray) -> int:
             c0, c1 = cb[x], max(cb[x + 1], cb[x] + 1)
             small[y, x] = row[:, min(c0, w - 1) : min(c1, w)].mean()
     coef = _DCT_C32 @ small @ _DCT_C32.T
-    low = coef[:8, :8].flatten()
-    med = float(np.median(low[1:]))
+    low = coef[:8, :8].flatten()[1:]  # 63 AC coefficients, row-major
     bits = 0
     for v in low:
-        bits = (bits << 1) | (1 if v > med else 0)
-    return bits - (1 << 64) if bits >= 1 << 63 else bits
+        bits = (bits << 1) | (1 if v > 0 else 0)
+    return bits  # top bit always 0 -> fits a signed 64-bit long as-is
 
 
 def decode_image(

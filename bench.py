@@ -109,6 +109,7 @@ BENCH_QUERIES = [
     "tiff_decode",
     "netpbm_decode",
     "audio_dup_pairs",
+    "image_dup_pairs",
     "orc_roundtrip",
     "struct_objects",
     "struct_check_report",
@@ -298,6 +299,11 @@ MEDIAN3_QUERIES = {
     # vs r11's 3.86s with zero code change on the path; OCTAVE's fresh x1
     # probe (4.4s) contradicted it, so settle it with samples in-artifact.
     "minhash_lsh",
+    # r14 (VERDICT r13 item 4): the r13 single-run read 2.27s vs r12's
+    # 1.38s with zero change to similarity.py:357 and SCALING alpha 0.04 —
+    # settle the host-variance hypothesis with in-artifact samples, the
+    # same way minhash_lsh's r12 dip was settled in r13.
+    "cosine_dup_pairs",
 }
 
 

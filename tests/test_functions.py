@@ -1625,3 +1625,96 @@ def test_audio_fingerprint_dup_pairs(spark):
     rows = mm.audio_fingerprints(bad, errors="null").collect()
     assert sum(r["error"] is not None for r in rows) == 1
     assert {r["id"] for r in mm.audio_fingerprints(bad, errors="skip").collect()} == {1}
+
+
+def test_image_phash_dup_pairs(spark):
+    """DCT sign-hash pHash: lossless re-encodes and JPEG/resize variants of
+    dense-spectrum content collapse to hamming 0; unrelated content never
+    pairs; the band join is recall-exact for hamming <= 3."""
+    import hashlib
+
+    import numpy as np
+
+    from ape_dts_spark.functions import media_codec as mc
+    from ape_dts_spark.functions import multimodal as mm
+
+    yy, xx = np.mgrid[0:64, 0:64]
+    basis = np.stack(
+        [
+            np.cos((2 * xx + 1) * u * np.pi / 128) * np.cos((2 * yy + 1) * v * np.pi / 128)
+            for u in range(8)
+            for v in range(8)
+            if (u, v) != (0, 0)
+        ]
+    )
+
+    def img(lbl):
+        d = hashlib.sha256(f"t:{lbl}".encode()).digest()
+        signs = np.array([1 if (d[i // 8] >> (i % 8)) & 1 else -1 for i in range(63)])
+        return np.clip(np.rint(128.0 + np.tensordot(signs * 8.0, basis, axes=1)), 0, 255).astype(np.uint8)
+
+    def resize48(g):
+        b = [(y * 64 // 48, max((y + 1) * 64 // 48, y * 64 // 48 + 1)) for y in range(48)]
+        return np.array([[int(g[r0:r1, c0:c1].mean()) for c0, c1 in b] for r0, r1 in b], dtype=np.uint8)
+
+    a, b = img("a"), img("b")
+    df = spark.createDataFrame(
+        [
+            (1, mc.encode_png(a)),
+            (2, mc.encode_jpeg(a)),                        # lossy re-encode
+            (3, mc.encode_netpbm(resize48(a))),            # resized re-encode
+            (4, mc.encode_bmp(np.stack([a] * 3, axis=-1))),  # RGB lossless
+            (5, mc.encode_png(b)),                         # unrelated
+        ],
+        "id long, payload binary",
+    )
+    hashes = mm.image_phashes(df)
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in mm.phash_dup_pairs(hashes, max_hamming=3).collect()
+    }
+    assert set(pairs) == {(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)}
+    assert all(h == 0 for h in pairs.values())
+
+    # sign-hash determinism + 63-bit shape (top bit always clear)
+    h = mc.phash64(a)
+    assert h == mc.phash64(a) and 0 <= h < 1 << 63
+
+    # banding recall guarantee: plant hamming-3 and hamming-exceeding pairs
+    flip = lambda v, bits: v ^ sum(1 << i for i in bits)  # noqa: E731
+    hdf = spark.createDataFrame(
+        [(10, h), (11, flip(h, [0, 20, 40])), (12, flip(h, [1, 17, 33, 49]))],
+        "id long, phash long",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in mm.phash_dup_pairs(hdf, max_hamming=3).collect()
+    }
+    assert got == {(10, 11): 3}  # the 4-bit pair is filtered by the verify
+
+    # quarantine policy on the decode path
+    bad = spark.createDataFrame(
+        [(1, mc.encode_png(a)), (9, b"not an image")], "id long, payload binary"
+    )
+    rows = mm.image_phashes(bad, errors="null").collect()
+    assert sum(r["error"] is not None for r in rows) == 1
+    assert {r["id"] for r in mm.image_phashes(bad, errors="skip").collect()} == {1}
+
+
+def test_phash64_grayscale_paths():
+    """BT.601 integer grayscale: equal RGB channels reduce exactly to the
+    gray value; gray+alpha uses the gray plane; RGBA drops alpha."""
+    import hashlib
+
+    import numpy as np
+
+    from ape_dts_spark.functions import media_codec as mc
+
+    d = hashlib.sha256(b"gray").digest()
+    g = np.array([[(d[(y * 31 + x) % 32] + 7 * x + 13 * y) % 256 for x in range(40)] for y in range(24)], dtype=np.uint8)
+    h = mc.phash64(g)
+    assert mc.phash64(np.stack([g] * 3, axis=-1)) == h
+    ga = np.stack([g, np.full_like(g, 255)], axis=-1)
+    assert mc.phash64(ga) == h
+    rgba = np.stack([g] * 3 + [np.full_like(g, 128)], axis=-1)
+    assert mc.phash64(rgba) == h
