@@ -1500,6 +1500,71 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_orc_sequenced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foxlake sequence-numbered push + order-independent merge (r14,
+    sinks/orc_sequencer.py — orc_sequencer.rs counter semantics +
+    foxlake_pusher.rs meta naming + foxlake_merger.rs merge): the orders
+    table becomes a 6-push change stream (3 insert shards, an update wave
+    for k%3==1, a delete wave for k%7==0, a re-insert wave for k%21==0),
+    pushed OUT OF ORDER with one sequence DUPLICATED (the crash-retry
+    path). The merge must still converge: manifest dedupe + total order by
+    (sequencer_id, push_sequence), one distributed ORC scan with
+    input_file_name -> broadcast ordinal join, one max_by shuffle per key,
+    final DELETE filter. The oracle restates the end state directly from
+    orders — any mis-ordered or double-applied push diverges."""
+    import hashlib
+    import inspect
+    import tempfile
+
+    from ape_dts_spark.sinks import orc_sequencer as oseq
+
+    o = demo.load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), F.col("o_custkey").cast("long").alias("c")
+    )
+
+    data_sig = "|".join(
+        f"{f}:{os.path.getmtime(p)}:{os.path.getsize(p)}"
+        for f in sorted(os.listdir(sf_dir))
+        if os.path.isfile(p := os.path.join(sf_dir, f))
+    )
+    tag = hashlib.sha1(
+        (sf_dir + data_sig + inspect.getsource(oseq) + inspect.getsource(q_orc_sequenced)).encode()
+    ).hexdigest()[:10]
+    root = os.path.join(tempfile.gettempdir(), f"ape_orcseq_{tag}")
+    finished = os.path.join(root, "db", "orders_state", "meta", "finished")
+    if not os.path.exists(finished):
+        act = lambda n: F.lit(n).cast("int").alias("cdc_action")  # noqa: E731
+        batches = [
+            o.filter(F.col("k") % 3 == s).select("k", F.col("c").alias("v"), act(oseq.ACTION_INSERT))
+            for s in range(3)
+        ] + [
+            o.filter(F.col("k") % 3 == 1).select(
+                "k", (F.col("c") + 1000).alias("v"), act(oseq.ACTION_UPDATE)
+            ),
+            o.filter(F.col("k") % 7 == 0).select(
+                "k", F.lit(None).cast("long").alias("v"), act(oseq.ACTION_DELETE)
+            ),
+            o.filter(F.col("k") % 21 == 0).select(
+                "k", (F.col("c") + 5000).alias("v"), act(oseq.ACTION_INSERT)
+            ),
+        ]
+        sq = oseq.OrcSequencer(4200)
+        infos = [sq.get_sequence() for _ in batches]
+        for i in (4, 0, 5, 2, 1, 3):  # shuffled wall-clock push order
+            oseq.push_batch(
+                batches[i], root, "db", "orders_state", sq,
+                push_uuid=f"u{i}", sequence_info=infos[i],
+            )
+        # crash-retry: the update wave re-pushed under a fresh uuid — the
+        # manifest dedupe must keep exactly one application
+        oseq.push_batch(
+            batches[3], root, "db", "orders_state", sq,
+            push_uuid="retry3", sequence_info=infos[3],
+        )
+        oseq.mark_finished(root, "db", "orders_state")
+    return oseq.merge_pushes(spark, root, "db", "orders_state", ["k"])
+
+
 def q_struct_objects(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Struct-object sinker gate for the non-table object kinds
     (structure_type.rs:5-30 Udt / Udf / Rbac — plans/struct_migration.py
@@ -5526,6 +5591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_trade_flows": q_nation_trade_flows,
         "ngram_minhash": q_ngram_minhash,
         "orc_roundtrip": q_orc_roundtrip,
+        "orc_sequenced": q_orc_sequenced,
         "partition_lanes": q_partition_lanes,
         "pricing_summary": q_pricing_summary,
         "salted_join": q_salted_join,
@@ -6506,6 +6572,18 @@ def oracle_sql() -> dict[str, str]:
                OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 25)
                OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 35)
             GROUP BY p_brand
+        """,
+        "orc_sequenced": """
+            -- end state of the 6-push change stream: inserts of every key,
+            -- +1000 update wave (k%3==1), delete wave (k%7==0), +5000
+            -- re-insert wave (k%21==0, which re-creates a deleted key)
+            WITH base AS (SELECT o_orderkey AS k, CAST(o_custkey AS BIGINT) AS c FROM orders)
+            SELECT k,
+                   CASE WHEN k % 21 = 0 THEN c + 5000
+                        WHEN k % 3 = 1 THEN c + 1000
+                        ELSE c END AS v
+            FROM base
+            WHERE k % 7 <> 0 OR k % 21 = 0
         """,
         "orc_roundtrip": """
             SELECT l_returnflag, COUNT(*) AS n,

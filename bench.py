@@ -111,6 +111,7 @@ BENCH_QUERIES = [
     "audio_dup_pairs",
     "image_dup_pairs",
     "orc_roundtrip",
+    "orc_sequenced",
     "struct_objects",
     "struct_check_report",
     "struct_revise",

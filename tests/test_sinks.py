@@ -97,3 +97,71 @@ def test_charset_roundtrip_sql_and_wire(spark):
     assert "O''Brien" in sql and "\\\\" in sql and "世界" in sql and "😀" in sql
     back = decode_events(encode_events(df), payload).collect()[0]
     assert back["after"]["name"] == val
+
+
+# -- Foxlake orc sequencer (orc_sequencer.rs, foxlake_pusher.rs push/merge)
+
+
+def test_orc_sequencer_counter():
+    from ape_dts_spark.sinks.orc_sequencer import _ROLLOVER, OrcSequencer
+
+    sq = OrcSequencer(100, epoch=7)
+    a, b = sq.get_sequence(), sq.get_sequence()
+    assert (a.sequencer_id, a.push_epoch, a.push_sequence) == (100, 7, 0)
+    assert (b.sequencer_id, b.push_sequence) == (100, 1)
+    sq.update_epoch(9)
+    assert sq.get_sequence().push_epoch == 9
+    sq.sequence = _ROLLOVER
+    c = sq.get_sequence()
+    assert (c.sequencer_id, c.push_sequence) == (101, 0)  # fresh, larger id
+
+
+def test_orc_push_merge_order_independent(spark, tmp_path):
+    """Pushes replayed shuffled AND with duplicated sequence numbers merge
+    to the identical state as ordered pushes: the idempotence/total-order
+    property the reference's sequence-numbered meta files exist for."""
+    from ape_dts_spark.sinks import orc_sequencer as oseq
+
+    batches = [
+        [(1, "a", 0), (2, "b", 0), (3, "c", 0)],          # inserts
+        [(2, "b2", 1), (4, "d", 0)],                      # update 2, insert 4
+        [(1, None, 2), (3, "c2", 1)],                     # delete 1, update 3
+        [(5, "e", 0), (3, None, 2)],                      # insert 5, delete 3
+    ]
+    schema = "k long, v string, cdc_action int"
+    expect = {2: "b2", 4: "d", 5: "e"}
+
+    def push_all(root, order, dup=None, sequencer_id=500):
+        sq = oseq.OrcSequencer(sequencer_id)
+        infos = [sq.get_sequence() for _ in batches]
+        metas = {}
+        for i in order:
+            metas[i] = oseq.push_batch(
+                spark.createDataFrame(batches[i], schema),
+                str(root), "db", "t", sq,
+                push_uuid=f"u{i}", sequence_info=infos[i],
+            )
+        if dup is not None:
+            # crash-retry: same sequence re-pushed under a NEW uuid
+            oseq.push_batch(
+                spark.createDataFrame(batches[dup], schema),
+                str(root), "db", "t", sq,
+                push_uuid=f"retry{dup}", sequence_info=infos[dup],
+            )
+        oseq.mark_finished(str(root), "db", "t")
+        return metas
+
+    ordered = tmp_path / "ordered"
+    shuffled = tmp_path / "shuffled"
+    push_all(ordered, [0, 1, 2, 3])
+    metas = push_all(shuffled, [2, 0, 3, 1], dup=1)
+
+    assert metas[0]["insert_only"] is True and metas[2]["insert_only"] is False
+
+    got_o = {r["k"]: r["v"] for r in oseq.merge_pushes(spark, str(ordered), "db", "t", ["k"]).collect()}
+    got_s = {r["k"]: r["v"] for r in oseq.merge_pushes(spark, str(shuffled), "db", "t", ["k"]).collect()}
+    assert got_o == expect
+    assert got_s == expect
+
+    man = oseq.read_manifest(str(shuffled), "db", "t")
+    assert [m["push_sequence"] for m in man] == [0, 1, 2, 3]  # dup deduped
