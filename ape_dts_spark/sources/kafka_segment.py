@@ -46,6 +46,7 @@ from __future__ import annotations
 
 import gzip as _gzip
 import struct
+from zlib import error as _zlib_error
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -211,12 +212,36 @@ def parse_segment_bytes(
 
     ``start_offset``: consumer-seek parity — only messages with
     offset > start_offset are emitted; whole batches below it are skipped
-    without record decode (the broker's index-driven seek)."""
+    without record decode (the broker's index-driven seek).
+
+    Corruption contract: malformed input (truncated at any byte, any
+    flipped byte) raises ``ValueError``/``NotImplementedError`` — never
+    struct.error/IndexError — so distributed scans can quarantine bad
+    segments uniformly (the RDB/media-codec contract)."""
+    try:
+        return _parse_segment_records(data, topic, partition, start_offset, verify_crc)
+    except (ValueError, NotImplementedError):
+        raise
+    except (
+        struct.error, IndexError, KeyError, OverflowError, MemoryError,
+        UnicodeDecodeError, EOFError, OSError, _zlib_error,
+    ) as e:
+        raise ValueError(f"corrupt kafka segment: {type(e).__name__}: {e}") from e
+
+
+def _parse_segment_records(
+    data: bytes, topic: str, partition: int, start_offset: int, verify_crc: bool
+) -> list[dict]:
     rows: list[dict] = []
     i, n = 0, len(data)
     while i < n:
         base_offset, batch_len = struct.unpack_from(">qi", data, i)
         batch_end = i + 12 + batch_len
+        if batch_len < 49 or batch_end > n:
+            # v2 batch header alone is 49 bytes past the length field; a
+            # shorter (or stream-overrunning) length is corruption — and the
+            # lower bound also guarantees loop progress
+            raise ValueError(f"bad record batch length {batch_len} at {i}")
         _leader_epoch, magic = struct.unpack_from(">ib", data, i + 12)
         if magic != 2:
             raise ValueError(f"unsupported record batch magic {magic}")

@@ -143,6 +143,13 @@ def parse_resp_bytes(data: bytes) -> list[list[str]]:
                     raise ValueError(f"RESP bulk string expected at offset {i}")
                 j = data.index(b"\r\n", i)
                 ln = int(data[i + 1 : j])
+                if ln < 0:  # $-1 null bulk is the only legal negative; any
+                    # other negative would walk the cursor backwards (hang)
+                    if ln != -1:
+                        raise ValueError(f"bad RESP bulk length {ln} at offset {i}")
+                    argv.append("")
+                    i = j + 2
+                    continue
                 arg = data[j + 2 : j + 2 + ln]
                 argv.append(arg.decode("utf-8", errors="replace"))
                 i = j + 2 + ln + 2  # skip trailing \r\n

@@ -1,0 +1,99 @@
+"""Adversarial robustness matrix for the at-rest source decoders: every
+truncation point and flipped byte of a well-formed artifact must either
+parse (flips can land in payload bytes) or raise ValueError /
+NotImplementedError — never struct.error / IndexError / a hang. This is
+the same contract tests/test_media_robustness.py pins for the media codec
+family (r13), applied to the RDB/AOF/RESP/Kafka source family (r14; the
+RDB matrix itself lives in test_redis.py next to its fixtures)."""
+
+import pytest
+
+ALLOWED = (ValueError, NotImplementedError)
+
+
+def _fuzz(parse, blob: bytes, flip_stride: int = 1):
+    for n in range(len(blob)):
+        try:
+            parse(blob[:n])
+        except ALLOWED:
+            pass
+    for i in range(0, len(blob), flip_stride):
+        for x in (0x01, 0xFF):
+            mutated = bytearray(blob)
+            mutated[i] ^= x
+            try:
+                parse(bytes(mutated))
+            except ALLOWED:
+                pass
+
+
+@pytest.mark.parametrize("codec", ["none", "gzip", "snappy", "lz4", "zstd"])
+def test_kafka_segment_fuzz(codec):
+    from ape_dts_spark.sources import kafka_segment as ks
+
+    msgs = [
+        (f"k{k}".encode(), f"v{k}!".encode() * 3, {"h": b"x", "n": None})
+        for k in range(8)
+    ]
+    blob = ks.encode_batch(msgs, 0, 1_700_000_000_000, compression=codec)
+    blob += ks.encode_batch(msgs[:3], 8, 1_700_000_000_100, compression=codec)
+    _fuzz(lambda b: ks.parse_segment_bytes(b, "t", 0), blob)
+    # seek-path variant shares the decode but skips below the checkpoint
+    _fuzz(lambda b: ks.parse_segment_bytes(b, "t", 0, start_offset=5), blob)
+
+
+def test_kafka_segment_crc_and_length_guards():
+    import struct
+
+    from ape_dts_spark.sources import kafka_segment as ks
+
+    blob = ks.encode_batch([(b"k", b"v", {})], 0, 1_700_000_000_000)
+    # corrupt the batch length to a non-advancing value: must error, not hang
+    bad = bytearray(blob)
+    struct.pack_into(">i", bad, 8, -12)
+    with pytest.raises(ValueError, match="batch length"):
+        ks.parse_segment_bytes(bytes(bad))
+    # flip one payload byte: CRC32C catches it
+    bad = bytearray(blob)
+    bad[-1] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC32C"):
+        ks.parse_segment_bytes(bytes(bad))
+    # verify_crc=False still confines the damage to ValueError
+    try:
+        ks.parse_segment_bytes(bytes(bad), verify_crc=False)
+    except ALLOWED:
+        pass
+
+
+def test_resp_stream_fuzz():
+    from ape_dts_spark.sources.aof_manifest import encode_resp
+    from ape_dts_spark.sources.redis import parse_resp_bytes
+
+    blob = b"".join(
+        encode_resp([c, f"key:{i}", "v" * (i % 5 + 1)])
+        for i, c in enumerate(["SET", "HSET", "RPUSH", "DEL"] * 4)
+    ) + b"PING\r\nSET inline value\r\n"
+    _fuzz(parse_resp_bytes, blob)
+
+
+def test_resp_negative_bulk_lengths():
+    from ape_dts_spark.sources.redis import parse_resp_bytes
+
+    # $-1 null bulk is legal and must not hang or crash
+    assert parse_resp_bytes(b"*2\r\n$3\r\nGET\r\n$-1\r\n") == [["GET", ""]]
+    with pytest.raises(ValueError, match="bulk length"):
+        parse_resp_bytes(b"*1\r\n$-7\r\nxxxxxxx\r\n")
+
+
+def test_aof_manifest_fuzz():
+    from ape_dts_spark.sources.aof_manifest import parse_manifest
+
+    text = (
+        "file base.rdb seq 1 type b\n"
+        "file incr_1.aof seq 1 type i\n"
+        "file incr_2.aof seq 2 type i\n"
+    )
+    blob = text.encode()
+    ok = parse_manifest(text)
+    assert [t for _, _, t in ok] == ["b", "i", "i"]
+    _fuzz(lambda b: parse_manifest(b.decode("utf-8", errors="replace")), blob)
