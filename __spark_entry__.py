@@ -3104,6 +3104,93 @@ _BINLOG_GEO_WKB = (
 )
 
 
+def q_binlog_partial_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MySQL JSON partial-update binlog events (r14 —
+    binlog_row_value_options=PARTIAL_JSON, event 39, WL#2955; the one
+    binlog payload family the at-rest parser didn't synthesize through
+    r13): each orders key with k%17==2 inserts a JSON document, then a
+    PARTIAL_UPDATE_ROWS_EVENT rewrites it via a Json_diff_vector —
+    REPLACE/REMOVE on even keys, plus member-INSERT, array-INSERT and
+    array-REPLACE on odd keys — so decode must parse the diff wire format
+    (op byte, packed path, json_binary value), evaluate the JSON-path
+    subset, and re-apply the diffs onto the BEFORE image to reconstruct
+    the full after document. One file of the chain rides zstd
+    TRANSACTION_PAYLOAD compression. The oracle restates the final
+    canonical document text per key from the diff arithmetic — a wrong
+    op code, path step, shift semantics or canonicalization diverges."""
+    import hashlib
+    import inspect
+    import tempfile
+
+    from ape_dts_spark.sources import binlog_file as bf
+
+    tables = {
+        ("default", "j"): bf.BinlogTable(
+            "default", "j",
+            (("o_orderkey", bf.MYSQL_TYPE_LONGLONG, 0), ("doc", bf.MYSQL_TYPE_JSON, 4)),
+            table_id=103,
+        )
+    }
+    data_sig = "|".join(
+        f"{f}:{os.path.getmtime(p)}:{os.path.getsize(p)}"
+        for f in sorted(os.listdir(sf_dir))
+        if os.path.isfile(p := os.path.join(sf_dir, f))
+    )
+    tag = hashlib.sha1(
+        (sf_dir + data_sig + inspect.getsource(bf) + inspect.getsource(q_binlog_partial_json)).encode()
+    ).hexdigest()[:10]
+    log_dir = os.path.join(tempfile.gettempdir(), f"ape_binlogpj_{tag}")
+    if not (os.path.isdir(log_dir) and os.listdir(log_dir)):
+        import json as _json
+
+        rows = (
+            demo.load(spark, sf_dir, "orders")
+            .filter(F.col("o_orderkey") % 17 == 2)
+            .select("o_orderkey", "o_custkey")
+            .orderBy("o_orderkey")
+            .collect()
+        )
+        tkey = ("default", "j")
+        ops = []
+        for r in rows:
+            k, c = r["o_orderkey"], int(r["o_custkey"])
+            doc = _json.dumps(
+                {"cnt": c, "tags": ["a", "b"], "tmp": 1, "name": f"o{k}"},
+                sort_keys=True, separators=(",", ":"),
+            )
+            before = {"o_orderkey": k, "doc": doc}
+            diffs = [
+                (bf.DIFF_REPLACE, "$.cnt", c + 7),
+                (bf.DIFF_REMOVE, "$.tmp", None),
+            ]
+            if k % 2 == 1:
+                diffs += [
+                    (bf.DIFF_INSERT, "$.new", f"x{k}"),
+                    (bf.DIFF_INSERT, "$.tags[2]", "c"),
+                    (bf.DIFF_REPLACE, "$.tags[0]", "z"),
+                ]
+            ops.append((tkey, "insert", None, before))
+            ops.append((tkey, "partial_update", before,
+                        {"o_orderkey": k, "doc": bf.JsonDiffs(diffs)}))
+        txns = [ops[i : i + 50] for i in range(0, len(ops), 50)]
+        os.makedirs(log_dir, exist_ok=True)
+        bf.write_binlog_files(
+            txns, tables, log_dir, per_file=8, payload_wrap_files={1: "zstd"}
+        )
+    dml = bf.read_binlog_files(spark, log_dir, tables).filter(
+        F.col("row_type").isin("insert", "update")
+    )
+    k = F.coalesce(F.col("after")["o_orderkey"], F.col("before")["o_orderkey"]).cast("bigint")
+    last = (
+        dml.withColumn("k", k)
+        .withColumn("rn", F.row_number().over(W.partitionBy("k").orderBy(F.col("seq").desc())))
+        .filter(F.col("rn") == 1)
+    )
+    return last.select(
+        F.col("k").alias("o_orderkey"), F.col("after")["doc"].alias("doc")
+    )
+
+
 def q_pgoutput_file_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PG pgoutput captured-stream round trip (sources/pgoutput_file.py —
     the at-rest half of the PG native-CDC story; the reference consumes the
@@ -5617,6 +5704,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- last gated r11 --
         "avro_roundtrip": q_avro_roundtrip,
         "binlog_file_parse": q_binlog_file_parse,
+        "binlog_partial_json": q_binlog_partial_json,
         "checker_summary": q_checker_summary,
         "customer_set_ops": q_customer_set_ops,
         "data_marker_filter": q_data_marker_filter,
@@ -6784,6 +6872,25 @@ def oracle_sql() -> dict[str, str]:
                         WHEN k%2=1 THEN 'the mongodb instance is not a master.'
                         ELSE '' END
             FROM k
+        """,
+        "binlog_partial_json": """
+            -- canonical after-image documents reconstructed from the JSON
+            -- diff vectors: REPLACE $.cnt -> c+7 and REMOVE $.tmp on every
+            -- key; odd keys additionally INSERT $.new, INSERT $.tags[2]
+            -- and REPLACE $.tags[0] (sort_keys canonical member order)
+            WITH pk AS (
+              SELECT o_orderkey AS k, CAST(o_custkey AS BIGINT) AS c
+              FROM orders WHERE o_orderkey % 17 = 2)
+            SELECT k AS o_orderkey,
+              CASE WHEN k % 2 = 0 THEN
+                '{"cnt":' || CAST(c + 7 AS VARCHAR) || ',"name":"o'
+                  || CAST(k AS VARCHAR) || '","tags":["a","b"]}'
+              ELSE
+                '{"cnt":' || CAST(c + 7 AS VARCHAR) || ',"name":"o'
+                  || CAST(k AS VARCHAR) || '","new":"x' || CAST(k AS VARCHAR)
+                  || '","tags":["z","b","c"]}'
+              END AS doc
+            FROM pk
         """,
         "binlog_file_parse": f"""
             SELECT o_orderkey, o_custkey,

@@ -47,6 +47,7 @@ UPDATE_ROWS_EVENT_V2 = 31
 DELETE_ROWS_EVENT_V2 = 32
 GTID_EVENT = 33
 PREVIOUS_GTIDS_EVENT = 35
+PARTIAL_UPDATE_ROWS_EVENT = 39  # binlog_row_value_options=PARTIAL_JSON
 TRANSACTION_PAYLOAD_EVENT = 40
 
 # column type codes (MySQL protocol)
@@ -408,6 +409,141 @@ def _j_read_doc(t: int, b: bytes, base: int):
             vals.append(_j_read_value(vt, b, base + off))
         i += 1 + w
     return dict(zip(keys, vals)) if is_obj else vals
+
+
+# -- JSON partial updates (WL#2955: binlog_row_value_options=PARTIAL_JSON;
+# -- event 39 carries per-column Json_diff_vector blobs instead of full
+# -- after-image documents; diff wire format per json_diff.cc write_binary:
+# -- op byte (0 REPLACE / 1 INSERT / 2 REMOVE), packed path length + path,
+# -- then for non-REMOVE a packed value length + one json_binary value)
+
+
+class JsonDiffs:
+    """Writer-side marker: an after-image JSON cell given as a diff vector
+    ``[(op, path, value), ...]`` instead of a full document."""
+
+    def __init__(self, diffs: list):
+        self.diffs = list(diffs)
+
+
+DIFF_REPLACE, DIFF_INSERT, DIFF_REMOVE = 0, 1, 2
+
+
+def _enc_json_diffs(diffs: list) -> bytes:
+    out = bytearray()
+    for op, path, value in diffs:
+        out.append(op)
+        pb = path.encode()
+        out += _packed(len(pb)) + pb
+        if op != DIFF_REMOVE:
+            vb = _enc_json_binary(value)
+            out += _packed(len(vb)) + vb
+    return bytes(out)
+
+
+def _dec_json_diffs(b: bytes) -> list:
+    diffs, i = [], 0
+    while i < len(b):
+        op = b[i]
+        i += 1
+        if op > DIFF_REMOVE:
+            raise ValueError(f"unknown JSON diff operation {op}")
+        n, i = _read_packed(b, i)
+        path = b[i : i + n].decode()
+        i += n
+        value = None
+        if op != DIFF_REMOVE:
+            n, i = _read_packed(b, i)
+            value = _dec_json_binary(b[i : i + n])
+            i += n
+        diffs.append((op, path, value))
+    return diffs
+
+
+def _json_path_tokens(path: str) -> list:
+    """MySQL JSON path subset used by partial updates: ``$`` root, ``.name``
+    (bare or double-quoted) members, ``[N]`` array positions."""
+    if not path.startswith("$"):
+        raise ValueError(f"JSON path must start with $: {path!r}")
+    toks: list = []
+    i = 1
+    while i < len(path):
+        ch = path[i]
+        if ch == ".":
+            i += 1
+            if i < len(path) and path[i] == '"':
+                j = path.index('"', i + 1)
+                toks.append(path[i + 1 : j])
+                i = j + 1
+            else:
+                j = i
+                while j < len(path) and (path[j].isalnum() or path[j] in "_$"):
+                    j += 1
+                if j == i:
+                    raise ValueError(f"empty member name in JSON path {path!r}")
+                toks.append(path[i:j])
+                i = j
+        elif ch == "[":
+            j = path.index("]", i)
+            toks.append(int(path[i + 1 : j]))
+            i = j + 1
+        else:
+            raise ValueError(f"bad JSON path syntax at {i} in {path!r}")
+    return toks
+
+
+def apply_json_diffs(doc_text: str | None, diffs: list) -> str:
+    """Apply a decoded diff vector to the BEFORE-image document (canonical
+    JSON text) -> canonical after-image text. Semantics follow MySQL's
+    Json_diff apply: REPLACE requires the leaf to exist, INSERT requires a
+    member NOT to exist (array inserts shift; index past the end appends),
+    REMOVE deletes an existing leaf; any violation means the diff stream
+    does not match the image — corruption — and raises ValueError."""
+    import json as _json
+
+    doc = _json.loads(doc_text) if doc_text is not None else None
+    try:
+        for op, path, value in diffs:
+            toks = _json_path_tokens(path)
+            if not toks:
+                if op != DIFF_REPLACE:
+                    raise ValueError("only REPLACE is valid at the root path")
+                doc = value
+                continue
+            parent = doc
+            for t in toks[:-1]:
+                parent = parent[t]
+            leaf = toks[-1]
+            if isinstance(parent, list) != isinstance(leaf, int):
+                raise ValueError(f"path {path!r} step type mismatch")
+            if op == DIFF_REPLACE:
+                if isinstance(parent, list):
+                    if not 0 <= leaf < len(parent):
+                        raise ValueError(f"REPLACE at missing index {path!r}")
+                    parent[leaf] = value
+                else:
+                    if leaf not in parent:
+                        raise ValueError(f"REPLACE at missing member {path!r}")
+                    parent[leaf] = value
+            elif op == DIFF_INSERT:
+                if isinstance(parent, list):
+                    parent.insert(min(leaf, len(parent)), value)
+                else:
+                    if leaf in parent:
+                        raise ValueError(f"INSERT over existing member {path!r}")
+                    parent[leaf] = value
+            else:  # REMOVE
+                if isinstance(parent, list):
+                    if not 0 <= leaf < len(parent):
+                        raise ValueError(f"REMOVE at missing index {path!r}")
+                    del parent[leaf]
+                else:
+                    if leaf not in parent:
+                        raise ValueError(f"REMOVE at missing member {path!r}")
+                    del parent[leaf]
+    except (KeyError, IndexError, TypeError) as exc:
+        raise ValueError(f"JSON diff does not apply: {type(exc).__name__}: {exc}") from exc
+    return _json.dumps(doc, sort_keys=True, separators=(",", ":"))
 
 
 def _dec_json_binary(b: bytes) -> object:
@@ -777,6 +913,42 @@ def _rows_payload(t: BinlogTable, type_code: int, rows: list) -> bytes:
     return bytes(p)
 
 
+def _partial_after_image(t: BinlogTable, after: dict) -> bytes:
+    """After image of a PARTIAL_UPDATE_ROWS_EVENT row: value_options packed
+    int (bit 0 = PARTIAL_JSON), a partial bitmap over the table's JSON
+    columns in column order, then the usual null bitmap + cells — where a
+    partial JSON cell carries its meta-width length prefix over a
+    Json_diff_vector blob instead of a json_binary document."""
+    json_cols = [c for c in t.cols if c[1] == MYSQL_TYPE_JSON]
+    partial = [isinstance(after.get(c[0]), JsonDiffs) for c in json_cols]
+    out = bytearray(_packed(1))  # value_options: PARTIAL_JSON_UPDATES
+    if json_cols:
+        out += _bitmap(partial)
+    nulls = [after.get(c[0]) is None for c in t.cols]
+    out += _bitmap(nulls)
+    for (name, code, meta), is_null in zip(t.cols, nulls):
+        if is_null:
+            continue
+        v = after[name]
+        if isinstance(v, JsonDiffs):
+            blob = _enc_json_diffs(v.diffs)
+            out += len(blob).to_bytes(meta, "little") + blob
+        else:
+            out += _enc_value(code, meta, v, t.charset, unsigned=name in t.unsigned)
+    return bytes(out)
+
+
+def _partial_rows_payload(t: BinlogTable, rows: list) -> bytes:
+    p = bytearray(t.table_id.to_bytes(6, "little") + struct.pack("<H", 0))
+    p += struct.pack("<H", 2)
+    p += _packed(len(t.cols))
+    p += _bitmap([True] * len(t.cols))
+    p += _bitmap([True] * len(t.cols))
+    for before, after in rows:
+        p += _row_image(t, before) + _partial_after_image(t, after)
+    return bytes(p)
+
+
 def encode_binlog_file(
     txns: list,
     tables: dict,
@@ -824,6 +996,9 @@ def encode_binlog_file(
                 elif row_type == "update":
                     inner += _inner_event(w.ts, UPDATE_ROWS_EVENT_V2,
                                           _rows_payload(t, UPDATE_ROWS_EVENT_V2, [(before, after)]))
+                elif row_type == "partial_update":
+                    inner += _inner_event(w.ts, PARTIAL_UPDATE_ROWS_EVENT,
+                                          _partial_rows_payload(t, [(before, after)]))
                 elif row_type == "delete":
                     inner += _inner_event(w.ts, DELETE_ROWS_EVENT_V2,
                                           _rows_payload(t, DELETE_ROWS_EVENT_V2, [before]))
@@ -847,6 +1022,8 @@ def encode_binlog_file(
                 w.event(WRITE_ROWS_EVENT_V2, _rows_payload(t, WRITE_ROWS_EVENT_V2, [after]))
             elif row_type == "update":
                 w.event(UPDATE_ROWS_EVENT_V2, _rows_payload(t, UPDATE_ROWS_EVENT_V2, [(before, after)]))
+            elif row_type == "partial_update":
+                w.event(PARTIAL_UPDATE_ROWS_EVENT, _partial_rows_payload(t, [(before, after)]))
             elif row_type == "delete":
                 w.event(DELETE_ROWS_EVENT_V2, _rows_payload(t, DELETE_ROWS_EVENT_V2, [before]))
             else:
@@ -921,12 +1098,16 @@ def parse_binlog_bytes(
             gtid = f"{sid}:{gno}"
         elif type_code == TABLE_MAP_EVENT:
             table_map.update(_parse_table_map(body))
-        elif type_code in (WRITE_ROWS_EVENT_V2, UPDATE_ROWS_EVENT_V2, DELETE_ROWS_EVENT_V2):
+        elif type_code in (WRITE_ROWS_EVENT_V2, UPDATE_ROWS_EVENT_V2,
+                           DELETE_ROWS_EVENT_V2, PARTIAL_UPDATE_ROWS_EVENT):
             for schema, tb, before, after in _parse_rows(body, type_code, table_map, tables):
                 row_type = {
                     WRITE_ROWS_EVENT_V2: "insert",
                     UPDATE_ROWS_EVENT_V2: "update",
                     DELETE_ROWS_EVENT_V2: "delete",
+                    # partial updates surface as full updates: diffs are
+                    # re-applied onto the before image during decode
+                    PARTIAL_UPDATE_ROWS_EVENT: "update",
                 }[type_code]
                 emit(log_pos, ts, row_type, schema, tb, before, after)
         elif type_code == QUERY_EVENT:
@@ -1075,7 +1256,7 @@ def _parse_rows(body: bytes, type_code: int, table_map: dict, tables: dict):
     present = body[j : j + present_bytes]
     j += present_bytes
     present2 = None
-    if type_code == UPDATE_ROWS_EVENT_V2:
+    if type_code in (UPDATE_ROWS_EVENT_V2, PARTIAL_UPDATE_ROWS_EVENT):
         present2 = body[j : j + present_bytes]
         j += present_bytes
     n_present = sum(_bit(present, c) for c in range(width))
@@ -1097,6 +1278,42 @@ def _parse_rows(body: bytes, type_code: int, table_map: dict, tables: dict):
             pi += 1
         return image, j
 
+    def one_partial_after(j, pres, n_pres, before):
+        # WL#2955 partial row: value_options, then (when PARTIAL_JSON set) a
+        # bitmap over the present JSON columns marking which cells carry
+        # Json_diff_vector blobs; diffs re-apply onto the BEFORE image to
+        # reconstruct the full after document
+        vopts, j = _read_packed(body, j)
+        jcols = [c for c in range(width) if _bit(pres, c) and cols[c][0] == MYSQL_TYPE_JSON]
+        partial_set: set = set()
+        if vopts & 1 and jcols:
+            nb = (len(jcols) + 7) // 8
+            pbits = body[j : j + nb]
+            j += nb
+            partial_set = {c for k, c in enumerate(jcols) if _bit(pbits, k)}
+        null_bytes = (n_pres + 7) // 8
+        nulls = body[j : j + null_bytes]
+        j += null_bytes
+        image, pi = {}, 0
+        for c in range(width):
+            if not _bit(pres, c):
+                continue
+            if _bit(nulls, pi):
+                image[names[c]] = None
+            elif c in partial_set:
+                code, meta, uns = cols[c]
+                n = int.from_bytes(body[j : j + meta], "little")
+                j += meta
+                diffs = _dec_json_diffs(body[j : j + n])
+                j += n
+                image[names[c]] = apply_json_diffs(before.get(names[c]), diffs)
+            else:
+                code, meta, uns = cols[c]
+                image[names[c]], j = _dec_value(code, meta, body, j, reg.charset,
+                                                unsigned=uns)
+            pi += 1
+        return image, j
+
     rows = []
     while j < len(body):
         if type_code == WRITE_ROWS_EVENT_V2:
@@ -1108,7 +1325,10 @@ def _parse_rows(body: bytes, type_code: int, table_map: dict, tables: dict):
         else:
             n_present2 = sum(_bit(present2, c) for c in range(width))
             before, j = one_image(j, present, n_present)
-            after, j = one_image(j, present2, n_present2)
+            if type_code == PARTIAL_UPDATE_ROWS_EVENT:
+                after, j = one_partial_after(j, present2, n_present2, before)
+            else:
+                after, j = one_image(j, present2, n_present2)
             rows.append((schema, tb, before, after))
     return rows
 

@@ -110,6 +110,7 @@ BENCH_QUERIES = [
     "netpbm_decode",
     "audio_dup_pairs",
     "image_dup_pairs",
+    "binlog_partial_json",
     "orc_roundtrip",
     "orc_sequenced",
     "struct_objects",

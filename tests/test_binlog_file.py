@@ -695,3 +695,116 @@ def test_unsigned_bit_geometry_codecs():
     with _pt.raises(Exception):
         bf.encode_binlog_file([[(("db", "u"), "insert", None, row)]],
                               {("db", "u"): t_signed}, "binlog.000001")
+
+
+# -- JSON partial updates (WL#2955 PARTIAL_UPDATE_ROWS_EVENT, event 39)
+
+
+def _json_table():
+    from ape_dts_spark.sources import binlog_file as bf
+
+    return bf.BinlogTable(
+        "db", "j",
+        (("id", bf.MYSQL_TYPE_LONG, 0), ("doc", bf.MYSQL_TYPE_JSON, 4),
+         ("doc2", bf.MYSQL_TYPE_JSON, 4)),
+        table_id=91,
+    )
+
+
+def test_partial_update_roundtrip_all_ops():
+    """Diff vector wire roundtrip + apply: REPLACE member/array, INSERT
+    member/array (with shift), REMOVE; mixed partial + full JSON columns
+    in one row; plain and zstd TRANSACTION_PAYLOAD framing."""
+    import json
+
+    from ape_dts_spark.sources import binlog_file as bf
+
+    t = _json_table()
+    before = {
+        "id": 1,
+        "doc": '{"cnt":10,"tags":["a","b"],"tmp":1}',
+        "doc2": '{"v":1}',
+    }
+    after = {
+        "id": 1,
+        "doc": bf.JsonDiffs([
+            (bf.DIFF_REPLACE, "$.cnt", 17),
+            (bf.DIFF_REMOVE, "$.tmp", None),
+            (bf.DIFF_INSERT, "$.new", "xv"),
+            (bf.DIFF_INSERT, "$.tags[1]", "m"),   # shifts "b" right
+            (bf.DIFF_REPLACE, "$.tags[0]", "z"),
+        ]),
+        "doc2": '{"v":2}',  # full (non-partial) JSON cell in the same row
+    }
+    tables = {("db", "j"): t}
+    for wrap in (False, "zstd"):
+        blob = bf.encode_binlog_file(
+            [[(("db", "j"), "partial_update", before, after)]], tables,
+            "bin.000001", payload_wrap=wrap,
+        )
+        rows = [r for r in bf.parse_binlog_bytes(blob, tables) if r["row_type"] == "update"]
+        assert len(rows) == 1
+        got = rows[0]["after"]
+        assert json.loads(got["doc"]) == {
+            "cnt": 17, "new": "xv", "tags": ["z", "m", "b"],
+        }
+        assert got["doc2"] == '{"v":2}'
+        assert rows[0]["before"]["doc"] == before["doc"]
+
+
+def test_partial_update_array_append_and_root():
+    from ape_dts_spark.sources import binlog_file as bf
+
+    # array INSERT past the end appends; root REPLACE swaps the document
+    assert bf.apply_json_diffs('{"a":[1]}', [(bf.DIFF_INSERT, "$.a[9]", 5)]) == '{"a":[1,5]}'
+    assert bf.apply_json_diffs('{"x":1}', [(bf.DIFF_REPLACE, "$", {"y": 2})]) == '{"y":2}'
+    # quoted member path
+    assert bf.apply_json_diffs('{"a b":1}', [(bf.DIFF_REPLACE, '$."a b"', 2)]) == '{"a b":2}'
+
+
+def test_partial_update_apply_violations_raise():
+    import pytest as _pytest
+
+    from ape_dts_spark.sources import binlog_file as bf
+
+    cases = [
+        ('{"a":1}', [(bf.DIFF_REPLACE, "$.b", 2)]),      # replace missing
+        ('{"a":1}', [(bf.DIFF_INSERT, "$.a", 2)]),       # insert existing
+        ('{"a":1}', [(bf.DIFF_REMOVE, "$.b", None)]),    # remove missing
+        ('{"a":[1]}', [(bf.DIFF_REPLACE, "$.a[4]", 2)]),  # replace bad index
+        ('{"a":1}', [(bf.DIFF_REPLACE, "$.a.b", 2)]),    # path into scalar
+        ('{"a":[1]}', [(bf.DIFF_REPLACE, "$.a.k", 2)]),  # member step on array
+        ('{"a":1}', [(bf.DIFF_INSERT, "$", 2)]),         # non-replace at root
+    ]
+    for doc, diffs in cases:
+        with _pytest.raises(ValueError):
+            bf.apply_json_diffs(doc, diffs)
+    with _pytest.raises(ValueError):
+        bf._json_path_tokens("a.b")  # must start with $
+    with _pytest.raises(ValueError):
+        bf._json_path_tokens("$.")  # empty member
+
+
+def test_partial_update_diff_wire_vectors():
+    """Byte-level wire check: op byte, packed path length, packed value
+    length over a json_binary value; REMOVE carries no value."""
+    from ape_dts_spark.sources import binlog_file as bf
+
+    blob = bf._enc_json_diffs([(bf.DIFF_REMOVE, "$.k", None)])
+    assert blob[0] == 2 and blob[1] == 3 and blob[2:5] == b"$.k" and len(blob) == 5
+    diffs = bf._dec_json_diffs(
+        bf._enc_json_diffs([
+            (bf.DIFF_REPLACE, "$.a", 300),
+            (bf.DIFF_INSERT, "$.b[0]", {"q": [1, None, "s"]}),
+            (bf.DIFF_REMOVE, "$.c", None),
+        ])
+    )
+    assert diffs == [
+        (0, "$.a", 300),
+        (1, "$.b[0]", {"q": [1, None, "s"]}),
+        (2, "$.c", None),
+    ]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="diff operation"):
+        bf._dec_json_diffs(b"\x07\x01x")
