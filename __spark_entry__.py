@@ -625,6 +625,80 @@ def q_redis_rdb(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_redis_stream_statements(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redis Stream sinker (r14 — sinks/redis.stream_state_to_commands,
+    the replay-command twin of stream_parser.rs:54-221): the same planted
+    stream keyspace the redis_rdb gate decodes is generated here as pure
+    DataFrames (range crossJoins, fully JVM-side — no Python fixture) and
+    rewritten to the reference's exact command families — one XADD per
+    live entry with ord-ordered field pairs, XSETID after every XADD,
+    XGROUP CREATE per group, XCLAIM ... TIME t RETRYCOUNT n JUSTID FORCE
+    per pending entry — with inline + RESP renderings. The oracle restates
+    every command string from the planting arithmetic."""
+    from ape_dts_spark.sinks.redis import state_to_commands
+
+    base = F.lit(1_700_000_000_000)
+    s = spark.range(6).select(F.col("id").alias("s"))
+    j = spark.range(20).select(F.col("id").alias("j"))
+    k3 = spark.range(3).select(F.col("id").alias("k"))
+    sj = (
+        s.crossJoin(j)
+        .withColumn("ms", base + F.col("s") * 100_000 + F.col("j") * 13)
+        .withColumn("sid", F.concat_ws("-", F.col("ms"), F.col("j") % 4))
+        .withColumn("key", F.concat(F.lit("stream:"), F.col("s")))
+    )
+    live = sj.filter(F.col("j") % 10 != 9)
+    fields = live.crossJoin(k3).filter(
+        F.col("k") < F.when(F.col("j") % 7 == 3, 3).otherwise(2)
+    )
+    nulls = lambda: F.lit(None).cast("string")  # noqa: E731
+    stream_rows = fields.select(
+        F.lit(0).cast("long").alias("db_id"),
+        "key",
+        F.lit("stream").alias("entry_type"),
+        F.concat_ws(":", F.col("sid"),
+                    F.element_at(F.array(F.lit("a"), F.lit("b"), F.lit("c")), F.col("k").cast("int") + 1)).alias("member"),
+        F.concat_ws(".", F.col("s"), F.col("j"), F.col("k")).alias("value"),
+        F.col("k").alias("ord"),
+        nulls().alias("expire"),
+    )
+    sid_at = lambda jj, seq: F.concat_ws("-", base + F.col("s") * 100_000 + F.lit(jj * 13), F.lit(seq))  # noqa: E731
+    meta_rows = s.select(
+        F.lit(0).cast("long").alias("db_id"),
+        F.concat(F.lit("stream:"), F.col("s")).alias("key"),
+        F.lit("stream_meta").alias("entry_type"),
+        F.lit("last_id").alias("member"),
+        sid_at(19, 3).alias("value"),
+        F.lit(0).cast("long").alias("ord"),
+        nulls().alias("expire"),
+    )
+    group_rows = s.select(
+        F.lit(0).cast("long").alias("db_id"),
+        F.concat(F.lit("stream:"), F.col("s")).alias("key"),
+        F.lit("stream_group").alias("entry_type"),
+        F.lit("g0").alias("member"),
+        sid_at(10, 2).alias("value"),
+        F.lit(0).cast("long").alias("ord"),
+        nulls().alias("expire"),
+    )
+    pel = lambda consumer, jj, seq, cnt, ord_: s.select(  # noqa: E731
+        F.lit(0).cast("long").alias("db_id"),
+        F.concat(F.lit("stream:"), F.col("s")).alias("key"),
+        F.lit("stream_pel").alias("entry_type"),
+        F.lit(f"g0:{consumer}").alias("member"),
+        F.concat(sid_at(jj, seq), F.lit(f"@{1_700_000_000_000 + jj}/{cnt}")).alias("value"),
+        F.lit(ord_).cast("long").alias("ord"),
+        nulls().alias("expire"),
+    )
+    state = (
+        stream_rows.unionByName(meta_rows).unionByName(group_rows)
+        .unionByName(pel("c0", 11, 3, 3, 0))
+        .unionByName(pel("c0", 12, 0, 1, 1))
+        .unionByName(pel("c1", 13, 1, 2, 0))
+    )
+    return state_to_commands(state).select("db_id", "key", "ord", "inline", "resp")
+
+
 def q_redis_slot_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-slot layout of the key state: CRC16 hash-tag slots, contiguous
     slot-range node assignment for an 8-node cluster (key_parser.rs:164-212,
@@ -5729,6 +5803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redis_compact": q_redis_compact,
         "redis_slot_stats": q_redis_slot_stats,
         "redis_statements": q_redis_statements,
+        "redis_stream_statements": q_redis_stream_statements,
         "revenue_by_nation": q_revenue_by_nation,
         "reverse_events": q_reverse_events,
         "review": q_review,
@@ -6354,6 +6429,56 @@ def oracle_sql() -> dict[str, str]:
             {demo.REDIS_STATE_SQL}
             SELECT db_id, key, entry_type, member, value, ord, seq, expire
             FROM redis_state
+        """,
+        "redis_stream_statements": """
+            WITH sj AS (
+              SELECT s, j,
+                     CAST(1700000000000 + s * 100000 + j * 13 AS VARCHAR)
+                       || '-' || CAST(j % 4 AS VARCHAR) AS id,
+                     'stream:' || CAST(s AS VARCHAR) AS key,
+                     CAST(s AS VARCHAR) || '.' || CAST(j AS VARCHAR) AS vp
+              FROM range(6) t(s) CROSS JOIN range(20) u(j)),
+            xadd AS (
+              SELECT CAST(0 AS BIGINT) AS db_id, key,
+                     CAST(j - CASE WHEN j >= 10 THEN 1 ELSE 0 END AS BIGINT) AS ord,
+                     CASE WHEN j % 7 = 3 THEN
+                       list_value('XADD', key, id, 'a', vp || '.0',
+                                  'b', vp || '.1', 'c', vp || '.2')
+                     ELSE
+                       list_value('XADD', key, id, 'a', vp || '.0', 'b', vp || '.1')
+                     END AS cmd
+              FROM sj WHERE j % 10 <> 9),
+            sconst AS (
+              SELECT 'stream:' || CAST(s AS VARCHAR) AS key,
+                     CAST(1700000000000 + s * 100000 + 247 AS VARCHAR) || '-3' AS last_id,
+                     CAST(1700000000000 + s * 100000 + 130 AS VARCHAR) || '-2' AS g0_id,
+                     CAST(1700000000000 + s * 100000 + 143 AS VARCHAR) || '-3' AS p11,
+                     CAST(1700000000000 + s * 100000 + 156 AS VARCHAR) || '-0' AS p12,
+                     CAST(1700000000000 + s * 100000 + 169 AS VARCHAR) || '-1' AS p13
+              FROM range(6) t(s)),
+            others AS (
+              SELECT CAST(0 AS BIGINT) AS db_id, key, CAST(2000000 AS BIGINT) AS ord,
+                     list_value('XSETID', key, last_id) AS cmd FROM sconst
+              UNION ALL SELECT 0, key, 2000001,
+                     list_value('XGROUP', 'CREATE', key, 'g0', g0_id) FROM sconst
+              UNION ALL SELECT 0, key, 3001000,
+                     list_value('XCLAIM', key, 'g0', 'c0', '0', p11, 'TIME',
+                                '1700000000011', 'RETRYCOUNT', '3', 'JUSTID', 'FORCE') FROM sconst
+              UNION ALL SELECT 0, key, 3001001,
+                     list_value('XCLAIM', key, 'g0', 'c0', '0', p12, 'TIME',
+                                '1700000000012', 'RETRYCOUNT', '1', 'JUSTID', 'FORCE') FROM sconst
+              UNION ALL SELECT 0, key, 3002000,
+                     list_value('XCLAIM', key, 'g0', 'c1', '0', p13, 'TIME',
+                                '1700000000013', 'RETRYCOUNT', '2', 'JUSTID', 'FORCE') FROM sconst),
+            allc AS (SELECT * FROM xadd UNION ALL SELECT * FROM others)
+            SELECT db_id, key, ord,
+              array_to_string(cmd, ' ') AS inline,
+              '*' || CAST(len(cmd) AS VARCHAR) || chr(13) || chr(10) ||
+              list_reduce(
+                list_prepend('', list_transform(cmd,
+                  x -> '$' || CAST(length(x) AS VARCHAR) || chr(13) || chr(10) || x || chr(13) || chr(10))),
+                (a, b) -> a || b) AS resp
+            FROM allc
         """,
         "redis_statements": f"""
             {demo.REDIS_STATE_SQL},

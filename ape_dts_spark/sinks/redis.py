@@ -16,6 +16,7 @@ ANSI SQL, so command rendering is oracle-checked cross-engine.
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 CRLF = "\r\n"
@@ -40,6 +41,92 @@ def resp_encode_col(argv: Column) -> Column:
     )
 
 
+def stream_state_to_commands(state: DataFrame) -> DataFrame:
+    """Stream-state rows (sources/redis_rdb._parse_stream's four families)
+    -> the exact replay commands stream_parser.rs emits:
+
+        stream       -> XADD key id field value ...   (fields ord-ordered,
+                        one command per entry, entries id-ordered)
+        stream_meta  -> XSETID key last_id            (after every XADD,
+                        stream_parser.rs:114-120 — XDEL-safe last id)
+        stream_group -> XGROUP CREATE key g last_id
+        stream_pel   -> XCLAIM key g consumer 0 id TIME t RETRYCOUNT n
+                        JUSTID FORCE                  (stream_parser.rs:207-221)
+
+    Output shape matches state_to_commands; ``ord`` tiers the families so a
+    sorted replay is valid (XADDs by entry id, then XSETID, then groups,
+    then claims). One groupBy per family on (db_id, key[, id]) — map-side
+    combines, no driver loops."""
+    sid = F.substring_index(F.col("member"), ":", 1)
+    field = F.expr("substring(member, length(substring_index(member, ':', 1)) + 2)")
+    entries = (
+        state.filter(F.col("entry_type") == "stream")
+        .select(
+            "db_id", "key", sid.alias("sid"), field.alias("field"), "value", "ord",
+            # try_cast: under ANSI mode Catalyst constant-folds projection
+            # expressions into pruned-away union branches (e.g. the literal
+            # 'last_id' member of a stream_meta branch) BEFORE the
+            # entry_type filter removes them — a plain cast then fails at
+            # optimization time on rows that can never exist
+            F.substring_index(sid, "-", 1).try_cast("long").alias("ms"),
+            F.substring_index(sid, "-", -1).try_cast("long").alias("seq"),
+        )
+        .groupBy("db_id", "key", "sid")
+        .agg(
+            F.min("ms").alias("ms"),
+            F.min("seq").alias("seq"),
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("ord", "field", "value"))),
+                    lambda x: F.array(x["field"], x["value"]),
+                )
+            ).alias("fv"),
+        )
+    )
+    w_key = W.partitionBy("db_id", "key")
+    xadd = entries.select(
+        "db_id", "key",
+        (F.row_number().over(w_key.orderBy("ms", "seq")) - 1).cast("long").alias("ord"),
+        F.concat(F.array(F.lit("XADD"), F.col("key"), F.col("sid")), F.col("fv")).alias("cmd"),
+    )
+    xsetid = state.filter(F.col("entry_type") == "stream_meta").select(
+        "db_id", "key", F.lit(2_000_000).cast("long").alias("ord"),
+        F.array(F.lit("XSETID"), F.col("key"), F.col("value")).alias("cmd"),
+    )
+    xgroup = state.filter(F.col("entry_type") == "stream_group").select(
+        "db_id", "key",
+        (F.lit(2_000_000) + F.dense_rank().over(w_key.orderBy("member"))).cast("long").alias("ord"),
+        F.array(F.lit("XGROUP"), F.lit("CREATE"), F.col("key"), F.col("member"), F.col("value")).alias("cmd"),
+    )
+    pel = state.filter(F.col("entry_type") == "stream_pel").select(
+        "db_id", "key", "ord",
+        F.substring_index(F.col("member"), ":", 1).alias("grp"),
+        F.expr("substring(member, length(substring_index(member, ':', 1)) + 2)").alias("consumer"),
+        F.substring_index(F.col("value"), "@", 1).alias("sid"),
+        F.substring_index(F.substring_index(F.col("value"), "@", -1), "/", 1).alias("t"),
+        F.substring_index(F.col("value"), "/", -1).alias("n"),
+    )
+    xclaim = pel.select(
+        "db_id", "key",
+        (
+            F.lit(3_000_000)
+            + F.dense_rank().over(w_key.orderBy("grp", "consumer")) * 1000
+            + F.col("ord")
+        ).cast("long").alias("ord"),
+        F.array(
+            F.lit("XCLAIM"), F.col("key"), F.col("grp"), F.col("consumer"), F.lit("0"),
+            F.col("sid"), F.lit("TIME"), F.col("t"), F.lit("RETRYCOUNT"), F.col("n"),
+            F.lit("JUSTID"), F.lit("FORCE"),
+        ).alias("cmd"),
+    )
+    out = xadd.unionByName(xsetid).unionByName(xgroup).unionByName(xclaim)
+    return out.select(
+        "db_id", "key", "ord", "cmd",
+        F.array_join("cmd", " ").alias("inline"),
+        resp_encode_col(F.col("cmd")).alias("resp"),
+    )
+
+
 def state_to_commands(state: DataFrame) -> DataFrame:
     """Final key state (sources/redis.compact_entries output) -> one command
     row per string key / container member / list element / TTL, exactly the
@@ -61,7 +148,9 @@ def state_to_commands(state: DataFrame) -> DataFrame:
         .when(F.col("entry_type") == "zset", F.array(F.lit("ZADD"), F.col("key"), F.col("value"), F.col("member")))
         .when(F.col("entry_type") == "list", F.array(F.lit("RPUSH"), F.col("key"), F.col("value")))
     )
-    data = state.select("db_id", "key", "ord", argv.alias("cmd"))
+    data = state.filter(
+        F.col("entry_type").isin("string", "hash", "set", "zset", "list")
+    ).select("db_id", "key", "ord", argv.alias("cmd"))
 
     # one PEXPIRE per key with a live TTL, ordered after the key's data rows
     ttl = (
@@ -78,7 +167,7 @@ def state_to_commands(state: DataFrame) -> DataFrame:
         )
     )
     out = data.unionByName(ttl)
-    return out.select(
+    base = out.select(
         "db_id",
         "key",
         "ord",
@@ -86,6 +175,10 @@ def state_to_commands(state: DataFrame) -> DataFrame:
         F.array_join("cmd", " ").alias("inline"),
         resp_encode_col(F.col("cmd")).alias("resp"),
     )
+    # stream families (XADD/XSETID/XGROUP/XCLAIM) ride their own grouped
+    # rewriter; empty when the state carries no stream rows
+    streams = state.filter(F.col("entry_type").startswith("stream"))
+    return base.unionByName(stream_state_to_commands(streams))
 
 
 def big_key_stats(state: DataFrame, top_n: int = 20) -> DataFrame:

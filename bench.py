@@ -111,6 +111,7 @@ BENCH_QUERIES = [
     "audio_dup_pairs",
     "image_dup_pairs",
     "binlog_partial_json",
+    "redis_stream_statements",
     "orc_roundtrip",
     "orc_sequenced",
     "struct_objects",

@@ -542,3 +542,37 @@ def test_rdb_stream_corruption_confined_to_valueerror():
             rdb.parse_rdb_bytes(bytes(mutated))
         except ValueError:
             pass
+
+
+def test_stream_state_to_commands(spark):
+    """Stream state rows rewrite to the reference's exact replay commands
+    (XADD with ord-ordered field pairs, XSETID, XGROUP CREATE, XCLAIM ...
+    JUSTID FORCE) — and a replay sorted by ord is valid: adds, then setid,
+    then groups, then claims."""
+    from ape_dts_spark.sinks.redis import state_to_commands
+
+    rows = [
+        (0, "st", "stream", "100-1:b", "vb", 1, None),
+        (0, "st", "stream", "100-1:a", "va", 0, None),
+        (0, "st", "stream", "90-0:a", "x", 0, None),
+        (0, "st", "stream_meta", "last_id", "120-0", 0, None),
+        (0, "st", "stream_group", "g0", "100-1", 0, None),
+        (0, "st", "stream_pel", "g0:c0", "100-1@1234/5", 0, None),
+        (0, "k", "string", None, "v", 0, None),
+    ]
+    state = spark.createDataFrame(
+        rows, "db_id long, key string, entry_type string, member string, "
+              "value string, ord long, expire string"
+    )
+    got = {r["ord"]: r["inline"] for r in state_to_commands(state).filter(
+        F.col("key") == "st").collect()}
+    assert got == {
+        0: "XADD st 90-0 a x",
+        1: "XADD st 100-1 a va b vb",
+        2_000_000: "XSETID st 120-0",
+        2_000_001: "XGROUP CREATE st g0 100-1",
+        3_001_000: "XCLAIM st g0 c0 0 100-1 TIME 1234 RETRYCOUNT 5 JUSTID FORCE",
+    }
+    plain = [r["inline"] for r in state_to_commands(state).filter(
+        F.col("key") == "k").collect()]
+    assert plain == ["SET k v"]
