@@ -1051,6 +1051,21 @@ def _query_payload(schema: str, query: str) -> bytes:
 def parse_binlog_bytes(
     data: bytes, tables: dict, file_name: str = "", start_pos: int = 0
 ) -> list[dict]:
+    """Guarded entry: see _parse_binlog_events. Corruption contract: any
+    malformed input raises ValueError — never struct.error/IndexError —
+    the uniform quarantine contract of the at-rest source family."""
+    try:
+        return _parse_binlog_events(data, tables, file_name, start_pos)
+    except (ValueError, NotImplementedError):
+        raise
+    except (AssertionError, struct.error, IndexError, KeyError, OverflowError, MemoryError,
+            UnicodeDecodeError, EOFError, TypeError, zlib.error) as e:
+        raise ValueError(f"corrupt binlog file: {type(e).__name__}: {e}") from e
+
+
+def _parse_binlog_events(
+    data: bytes, tables: dict, file_name: str = "", start_pos: int = 0
+) -> list[dict]:
     """Parse one binlog file's bytes into canonical change dicts.
 
     ``tables``: (schema, tb) -> BinlogTable supplying column NAMES and type
@@ -1165,12 +1180,18 @@ def parse_binlog_bytes(
             k = 0
             while k < len(inner):
                 its, itype, _isrv, isize, _ipos, _ifl = _HEADER.unpack_from(inner, k)
+                if isize < HEADER_LEN:  # corrupted length = a stuck cursor
+                    raise ValueError(f"bad inner event size {isize} at {k}")
                 handle(itype, inner[k + HEADER_LEN : k + isize], log_pos, its)
                 k += isize
         # PREVIOUS_GTIDS / unknown maintenance events: positions advance, no rows
 
     while i < len(data):
         ts, type_code, _server, size, log_pos, _flags = _HEADER.unpack_from(data, i)
+        if size < HEADER_LEN or i + size > len(data):
+            # a corrupted (or truncated-into) length would stall the cursor
+            # or read past the stream — both are corruption, not data
+            raise ValueError(f"bad event size {size} at offset {i}")
         ev = data[i : i + size]
         body = ev[HEADER_LEN:]
         if type_code == FORMAT_DESCRIPTION_EVENT:

@@ -223,7 +223,7 @@ def parse_segment_bytes(
     except (ValueError, NotImplementedError):
         raise
     except (
-        struct.error, IndexError, KeyError, OverflowError, MemoryError,
+        AssertionError, struct.error, IndexError, KeyError, OverflowError, MemoryError,
         UnicodeDecodeError, EOFError, OSError, _zlib_error,
     ) as e:
         raise ValueError(f"corrupt kafka segment: {type(e).__name__}: {e}") from e

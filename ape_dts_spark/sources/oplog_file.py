@@ -37,6 +37,7 @@ state.
 from __future__ import annotations
 
 import json
+import struct
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -185,6 +186,24 @@ def _jdoc(d: dict) -> str:
 
 
 def parse_oplog_bytes(
+    data: bytes,
+    file_name: str = "",
+    start_time: int = 0,
+    start_inc: int = 0,
+) -> list[dict]:
+    """Guarded entry: see _parse_oplog_entries. Corruption contract:
+    malformed input raises ValueError — never struct.error/IndexError —
+    the uniform quarantine contract of the at-rest source family."""
+    try:
+        return _parse_oplog_entries(data, file_name, start_time, start_inc)
+    except (ValueError, NotImplementedError):
+        raise
+    except (AssertionError, struct.error, IndexError, KeyError, OverflowError, MemoryError,
+            UnicodeDecodeError, EOFError, TypeError) as e:
+        raise ValueError(f"corrupt oplog dump: {type(e).__name__}: {e}") from e
+
+
+def _parse_oplog_entries(
     data: bytes,
     file_name: str = "",
     start_time: int = 0,

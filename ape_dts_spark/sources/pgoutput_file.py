@@ -396,6 +396,24 @@ def parse_pgoutput_bytes(
     start_lsn: int = 0,
     ddl_meta_tb: str = DDL_META_TB,
 ) -> list[dict]:
+    """Guarded entry: see _parse_pgoutput_messages. Corruption contract:
+    malformed input raises ValueError — never struct.error/IndexError —
+    the uniform quarantine contract of the at-rest source family."""
+    try:
+        return _parse_pgoutput_messages(data, file_name, start_lsn, ddl_meta_tb)
+    except (ValueError, NotImplementedError):
+        raise
+    except (AssertionError, struct.error, IndexError, KeyError, OverflowError, MemoryError,
+            UnicodeDecodeError, EOFError, TypeError) as e:
+        raise ValueError(f"corrupt pgoutput segment: {type(e).__name__}: {e}") from e
+
+
+def _parse_pgoutput_messages(
+    data: bytes,
+    file_name: str = "",
+    start_lsn: int = 0,
+    ddl_meta_tb: str = DDL_META_TB,
+) -> list[dict]:
     """Parse one captured segment into canonical change dicts.
 
     Self-describing: Relation messages register (rel_id -> schema, tb,

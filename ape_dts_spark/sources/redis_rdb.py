@@ -448,7 +448,7 @@ def parse_rdb_bytes(data: bytes) -> list[dict]:
         return _parse_rdb_entries(data)
     except ValueError:
         raise
-    except (IndexError, KeyError, OverflowError, MemoryError, struct.error, UnicodeDecodeError) as e:
+    except (AssertionError, IndexError, KeyError, OverflowError, MemoryError, struct.error, UnicodeDecodeError) as e:
         raise ValueError(f"corrupt RDB dump: {type(e).__name__}: {e}") from e
 
 

@@ -97,3 +97,58 @@ def test_aof_manifest_fuzz():
     ok = parse_manifest(text)
     assert [t for _, _, t in ok] == ["b", "i", "i"]
     _fuzz(lambda b: parse_manifest(b.decode("utf-8", errors="replace")), blob)
+
+
+def test_binlog_fuzz():
+    """Binlog v4 files: truncation + flips confined to ValueError (CRC32
+    catches most flips; header/length corruption must not escape as
+    struct.error or hang)."""
+    from ape_dts_spark.sources import binlog_file as bf
+
+    t = bf.BinlogTable(
+        "db", "t",
+        (("id", bf.MYSQL_TYPE_LONG, 0), ("v", bf.MYSQL_TYPE_VARCHAR, 255),
+         ("d", bf.MYSQL_TYPE_JSON, 4)),
+        table_id=55,
+    )
+    tables = {("db", "t"): t}
+    txns = [[
+        (("db", "t"), "insert", None, {"id": 1, "v": "a", "d": '{"x":1}'}),
+        (("db", "t"), "partial_update", {"id": 1, "v": "a", "d": '{"x":1}'},
+         {"id": 1, "v": "b", "d": bf.JsonDiffs([(bf.DIFF_REPLACE, "$.x", 2)])}),
+        (("db", "t"), "delete", {"id": 1, "v": "b", "d": '{"x":2}'}, None),
+    ]]
+    for wrap in (False, "zstd"):
+        blob = bf.encode_binlog_file(txns, tables, "bin.000001", payload_wrap=wrap)
+        _fuzz(lambda b: bf.parse_binlog_bytes(b, tables), blob, flip_stride=2)
+
+
+def test_pgoutput_fuzz():
+    from ape_dts_spark.sources import pgoutput_file as pg
+
+    t = pg.PgTable("public", "t", (("id", 23, True), ("v", 25, False)), 16384)
+    blob, _ = pg.encode_segment(
+        [[
+            (("public", "t"), "insert", None, {"id": "1", "v": "a"}),
+            (("public", "t"), "update", {"id": "1", "v": "a"}, {"id": "1", "v": "b"}),
+            (("public", "t"), "delete", {"id": "1", "v": "b"}, None),
+        ]],
+        {("public", "t"): t},
+    )
+    _fuzz(pg.parse_pgoutput_bytes, blob, flip_stride=2)
+
+
+def test_oplog_fuzz():
+    from ape_dts_spark.sources import bson_codec as bc
+    from ape_dts_spark.sources import oplog_file as of
+
+    entries = [
+        {"ts": bc.Timestamp(1700000000, 1), "op": "i", "ns": "db.c",
+         "o": {"_id": 1, "v": "a"}},
+        {"ts": bc.Timestamp(1700000000, 2), "op": "u", "ns": "db.c",
+         "o": {"$v": 2, "diff": {"u": {"v": "b"}}}, "o2": {"_id": 1}},
+        {"ts": bc.Timestamp(1700000000, 3), "op": "d", "ns": "db.c",
+         "o": {"_id": 1}},
+    ]
+    blob = b"".join(bc.encode_document(e) for e in entries)
+    _fuzz(of.parse_oplog_bytes, blob, flip_stride=2)
