@@ -3338,7 +3338,55 @@ _TIFF_TAGS = {
     256: "width", 257: "height", 258: "bits", 259: "compression",
     262: "photometric", 273: "strip_offsets", 277: "spp",
     278: "rows_per_strip", 279: "strip_counts", 317: "predictor",
+    347: "jpeg_tables",
 }
+
+# JPEG marker surgery for TIFF compression 7 (TIFF Tech Note 2): the shared
+# JPEGTables tag holds an abbreviated table stream (SOI <tables> EOI); each
+# strip is an abbreviated image stream that decodes against it. The writer
+# shares only DQT (0xDB): quantization tables are a fixed property of the
+# encoder, while Huffman tables (DHT) are rebuilt from each strip's own
+# symbol statistics and must stay strip-local.
+_JPEG_SHARED_MARKERS = (0xDB,)
+
+
+def _split_jpeg_tables(
+    stream: bytes, shared: tuple = _JPEG_SHARED_MARKERS
+) -> tuple[bytes, bytes]:
+    """Full interchange JPEG -> (tables stream, abbreviated image stream):
+    segments with a marker in ``shared`` move into the SOI..EOI tables
+    stream, everything else (SOF/DHT/SOS/entropy data) stays in the image
+    stream."""
+    if stream[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG stream")
+    tables = bytearray()
+    rest = bytearray(b"\xff\xd8")
+    i = 2
+    while i < len(stream):
+        if stream[i] != 0xFF:
+            raise ValueError(f"bad JPEG marker alignment at {i}")
+        marker = stream[i + 1]
+        if marker == 0xDA:  # SOS: entropy data follows to EOI — copy whole
+            rest += stream[i:]
+            break
+        (seg_len,) = struct.unpack_from(">H", stream, i + 2)
+        seg = stream[i : i + 2 + seg_len]
+        if marker in shared:
+            tables += seg
+        else:
+            rest += seg
+        i += 2 + seg_len
+    return b"\xff\xd8" + bytes(tables) + b"\xff\xd9", bytes(rest)
+
+
+def _join_jpeg_tables(tables: bytes, strip: bytes) -> bytes:
+    """Abbreviated strip stream + JPEGTables -> decodable interchange
+    stream (tables spliced after the strip's SOI)."""
+    if len(tables) < 4 or tables[:2] != b"\xff\xd8" or tables[-2:] != b"\xff\xd9":
+        raise ValueError("malformed JPEGTables stream")
+    if strip[:2] != b"\xff\xd8":
+        raise ValueError("TIFF JPEG strip missing SOI")
+    return b"\xff\xd8" + tables[2:-2] + strip[2:]
 
 _LZW_CLEAR, _LZW_EOI = 256, 257
 
@@ -3511,18 +3559,23 @@ def encode_tiff(
     white_is_zero: bool = False,
     lzw: bool = False,
     predictor: int = 1,
+    jpeg: bool = False,
 ) -> bytes:
     """Baseline TIFF writer: (h, w) grayscale or (h, w, 3) RGB uint8,
     strip-organized, either byte order. Compression: none, PackBits
     (compressed PER ROW within each strip per TIFF 6.0 §9 — runs never
-    cross row boundaries), or LZW (§13, early-change widths), optionally
-    with the horizontal-differencing Predictor (tag 317, LZW only)."""
-    if packbits and lzw:
-        raise ValueError("choose one of packbits/lzw")
+    cross row boundaries), LZW (§13, early-change widths, optionally with
+    the horizontal-differencing Predictor tag 317), or new-style JPEG
+    (compression 7, TIFF Tech Note 2: per-strip abbreviated JPEG streams
+    sharing one JPEGTables tag holding the DQT/DHT segments)."""
+    if sum((packbits, lzw, jpeg)) > 1:
+        raise ValueError("choose one of packbits/lzw/jpeg")
     if predictor not in (1, 2):
         raise ValueError(f"predictor must be 1 or 2, got {predictor}")
     if predictor == 2 and not lzw:
         raise ValueError("Predictor=2 is written with LZW compression only")
+    if jpeg and white_is_zero:
+        raise ValueError("WhiteIsZero does not apply to JPEG strips")
     px = np.asarray(pixels, dtype=np.uint8)
     h, w = px.shape[:2]
     spp = 1 if px.ndim == 2 else px.shape[2]
@@ -3531,21 +3584,33 @@ def encode_tiff(
             raise ValueError("WhiteIsZero applies to grayscale only")
         px = 255 - px
     bo = ">" if big_endian else "<"
-    raw_rows = px.reshape(h, w * spp)
-    if predictor == 2:
-        raw_rows = _predict_diff(raw_rows, spp)
-    strips = []
-    for r0 in range(0, h, rows_per_strip):
-        block = raw_rows[r0 : r0 + rows_per_strip]
-        if packbits:
-            # per-row streams concatenated: §9 requires each row compressed
-            # independently (decode side reads to the expected byte count,
-            # so concatenated row streams parse identically)
-            strips.append(b"".join(_packbits_encode(r.tobytes()) for r in block))
-        elif lzw:
-            strips.append(_lzw_encode_tiff(block.tobytes()))
-        else:
-            strips.append(block.tobytes())
+    jpeg_tables = b""
+    if jpeg:
+        if spp not in (1, 3):
+            raise ValueError("JPEG strips support grayscale or RGB only")
+        strips = []
+        for r0 in range(0, h, rows_per_strip):
+            block = px[r0 : r0 + rows_per_strip]
+            tables, abbrev = _split_jpeg_tables(encode_jpeg(block))
+            jpeg_tables = tables  # identical across strips (same encoder)
+            strips.append(abbrev)
+    else:
+        raw_rows = px.reshape(h, w * spp)
+        if predictor == 2:
+            raw_rows = _predict_diff(raw_rows, spp)
+        strips = []
+        for r0 in range(0, h, rows_per_strip):
+            block = raw_rows[r0 : r0 + rows_per_strip]
+            if packbits:
+                # per-row streams concatenated: §9 requires each row
+                # compressed independently (decode side reads to the
+                # expected byte count, so concatenated row streams parse
+                # identically)
+                strips.append(b"".join(_packbits_encode(r.tobytes()) for r in block))
+            elif lzw:
+                strips.append(_lzw_encode_tiff(block.tobytes()))
+            else:
+                strips.append(block.tobytes())
 
     def entry(tag: int, typ: int, count: int, value: int) -> bytes:
         # inline values are LEFT-justified in the 4-byte field (TIFF 6.0
@@ -3556,9 +3621,10 @@ def encode_tiff(
         return head + struct.pack(f"{bo}I", value)
 
     n_strips = len(strips)
-    compression = 32773 if packbits else (5 if lzw else 1)
-    # layout: header(8) + IFD + [bits array if spp=3] + strip tables + strips
-    n_entries = 9 + (1 if predictor == 2 else 0)
+    compression = 32773 if packbits else (5 if lzw else (7 if jpeg else 1))
+    # layout: header(8) + IFD + [bits array if spp=3] + strip tables +
+    # [JPEGTables blob] + strips
+    n_entries = 9 + (1 if predictor == 2 else 0) + (1 if jpeg_tables else 0)
     ifd_size = 2 + n_entries * 12 + 4
     pos = 8 + ifd_size
     bits_off = pos
@@ -3569,6 +3635,8 @@ def encode_tiff(
         so_off = pos
         sc_off = so_off + 4 * n_strips
         pos = sc_off + 4 * n_strips
+    tables_off = pos
+    pos += len(jpeg_tables)
     data_off = pos
     offsets, counts = [], []
     for s in strips:
@@ -3576,7 +3644,9 @@ def encode_tiff(
         counts.append(len(s))
         pos += len(s)
 
-    photometric = 2 if spp == 3 else (0 if white_is_zero else 1)
+    # JPEG strips are YCbCr interchange streams (photometric 6 per TIFF/EP
+    # practice; grayscale JPEG keeps photometric 1)
+    photometric = (6 if jpeg else 2) if spp == 3 else (0 if white_is_zero else 1)
     entries = [
         entry(256, 4, 1, w),
         entry(257, 4, 1, h),
@@ -3602,8 +3672,13 @@ def encode_tiff(
     ]
     if predictor == 2:
         entries.append(entry(317, 3, 1, 2))
-    # IFD entries must be sorted by tag (TIFF 6.0 §2) — 317 > 279, so the
-    # append order is already sorted
+    if jpeg_tables:
+        entries.append(
+            struct.pack(f"{bo}HHI", 347, 7, len(jpeg_tables))
+            + struct.pack(f"{bo}I", tables_off)
+        )
+    # IFD entries must be sorted by tag (TIFF 6.0 §2) — 317 > 279 and
+    # 347 > 317, so the append order is already sorted
     ifd = struct.pack(f"{bo}H", n_entries) + b"".join(entries) + struct.pack(f"{bo}I", 0)
     out = bytearray()
     out += (b"MM" if big_endian else b"II") + struct.pack(f"{bo}H", 42)
@@ -3614,6 +3689,7 @@ def encode_tiff(
     if n_strips > 1:
         out += b"".join(struct.pack(f"{bo}I", o) for o in offsets)
         out += b"".join(struct.pack(f"{bo}I", c) for c in counts)
+    out += jpeg_tables
     for s in strips:
         out += s
     return bytes(out)
@@ -3655,6 +3731,14 @@ def parse_tiff(payload: bytes, return_pixels: bool = False) -> dict:
             else:
                 (off,) = struct.unpack_from(f"{bo}I", payload, base + 8)
                 vals = list(struct.unpack_from(f"{bo}{count}I", payload, off))
+        elif typ in (1, 7):  # BYTE / UNDEFINED: raw bytes (e.g. JPEGTables)
+            if count <= 4:
+                vals = payload[base + 8 : base + 8 + count]
+            else:
+                (off,) = struct.unpack_from(f"{bo}I", payload, base + 8)
+                vals = payload[off : off + count]
+                if len(vals) != count:
+                    raise ValueError(f"truncated byte values for TIFF tag {tag}")
         else:
             raise ValueError(f"unsupported TIFF entry type {typ} for tag {tag}")
         tags[name] = vals
@@ -3668,15 +3752,52 @@ def parse_tiff(payload: bytes, return_pixels: bool = False) -> dict:
     if any(b != 8 for b in bits):
         raise NotImplementedError(f"only 8-bit TIFF samples supported (got {bits})")
     comp = tags.get("compression", [1])[0]
-    if comp not in (1, 5, 32773):
+    if comp not in (1, 5, 7, 32773):
         raise NotImplementedError(
-            f"TIFF compression {comp} unsupported (only none/LZW/PackBits)"
+            f"TIFF compression {comp} unsupported (only none/LZW/JPEG/PackBits)"
         )
     predictor = tags.get("predictor", [1])[0]
     if predictor not in (1, 2):
         raise NotImplementedError(f"TIFF predictor {predictor} unsupported")
     photometric = tags.get("photometric", [1])[0]
     rps = tags.get("rows_per_strip", [h])[0]
+    if comp == 7:
+        # new-style JPEG (TIFF Tech Note 2): each strip is a JPEG stream,
+        # abbreviated against the shared JPEGTables tag when present; the
+        # per-strip SOF carries the strip's own height
+        tables = bytes(tags.get("jpeg_tables", b""))
+        parts = []
+        for off, cnt in zip(tags["strip_offsets"], tags["strip_counts"]):
+            strip = payload[off : off + cnt]
+            if len(strip) != cnt:
+                raise ValueError("truncated TIFF strip")
+            stream = _join_jpeg_tables(tables, strip) if tables else strip
+            spx = decode_jpeg(stream)["pixels"]
+            if spx.ndim == 2:
+                spx = spx.reshape(spx.shape[0], spx.shape[1], 1)
+            if spx.shape[1] != w or spx.shape[2] != spp:
+                raise ValueError(
+                    f"JPEG strip shape {spx.shape} disagrees with TIFF tags "
+                    f"(w={w} spp={spp})"
+                )
+            parts.append(spx)
+        px = np.concatenate(parts, axis=0)
+        if px.shape[0] < h:
+            raise ValueError("TIFF JPEG strips do not cover the image")
+        px = px[:h]  # strips may be MCU-padded past the image height
+        if spp == 1:
+            px = px.reshape(h, w)
+        flat = px.astype(np.int64).reshape(-1)
+        rec = {
+            "width": int(w), "height": int(h), "bit_depth": 8,
+            "color_type": 2 if spp == 3 else 0,
+            "n_px": int(flat.size), "px_sum": int(flat.sum()),
+            "px_min": int(flat.min()) if flat.size else 0,
+            "px_max": int(flat.max()) if flat.size else 0,
+        }
+        if return_pixels:
+            rec["pixels"] = px
+        return rec
     raw = bytearray()
     for i, (off, cnt) in enumerate(zip(tags["strip_offsets"], tags["strip_counts"])):
         strip = payload[off : off + cnt]

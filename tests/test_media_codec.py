@@ -967,10 +967,10 @@ def test_tiff_full_matrix_and_dispatch():
     assert out["format"] == "tiff" and out["px_sum"] == int(g.astype(np.int64).sum())
     with pytest.raises(NotImplementedError, match="compression"):
         bad = bytearray(mc.encode_tiff(g))
-        # compression tag value lives in the 4th IFD entry; flip to
-        # JPEG-in-TIFF (7), still honestly unsupported (LZW is real now)
+        # compression tag value lives in the 4th IFD entry; flip to Adobe
+        # Deflate (8), still honestly unsupported (LZW and JPEG are real now)
         ifd = 8 + 2
-        bad[ifd + 3 * 12 + 8] = 7
+        bad[ifd + 3 * 12 + 8] = 8
         mc.parse_tiff(bytes(bad))
     with pytest.raises(ValueError, match="byte-order"):
         mc.parse_tiff(b"XX\x2a\x00")
@@ -1124,3 +1124,50 @@ def test_netpbm_all_six_formats():
     # declared-maxval violation rejects
     with pytest.raises(ValueError, match="maxval"):
         mc.parse_netpbm(b"P2\n2 1\n10\n11 5\n")
+
+
+def test_tiff_jpeg_compression_roundtrip():
+    """TIFF compression 7 (Tech Note 2): per-strip abbreviated JPEG streams
+    against a shared JPEGTables tag (DQT only — Huffman tables are built
+    from per-strip symbol stats and stay strip-local). Decode must equal
+    the per-strip JPEG roundtrip exactly."""
+    import numpy as np
+
+    h, w = 23, 17
+    y, x = np.mgrid[0:h, 0:w]
+    rgb = np.stack(
+        [(7 * x + 3 * y) % 256, (5 * x + 11 * y) % 256, (13 * x + y) % 256], axis=-1
+    ).astype(np.uint8)
+    gray = ((3 * x + 9 * y) % 256).astype(np.uint8)
+    for px in (rgb, gray):
+        for be in (False, True):
+            blob = mc.encode_tiff(px, jpeg=True, rows_per_strip=8, big_endian=be)
+            rec = mc.parse_tiff(blob, return_pixels=True)
+            parts = []
+            for r0 in range(0, h, 8):
+                dec = mc.decode_jpeg(mc.encode_jpeg(px[r0 : r0 + 8]))["pixels"]
+                parts.append(dec.reshape(dec.shape[0], dec.shape[1], -1))
+            exp = np.concatenate(parts, axis=0)[:h]
+            assert np.array_equal(rec["pixels"].reshape(h, w, -1), exp)
+            assert rec["color_type"] == (2 if px.ndim == 3 else 0)
+    # JPEGTables tag present and abbreviated (DQT inside, no SOF)
+    blob = mc.encode_tiff(rgb, jpeg=True)
+    tables = mc.parse_image(blob)  # routes through the sniffer
+    assert tables["format"] == "tiff"
+
+
+def test_tiff_jpeg_tables_split_join():
+    import numpy as np
+
+    g = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    full = mc.encode_jpeg(g)
+    tables, abbrev = mc._split_jpeg_tables(full)
+    assert tables[:2] == b"\xff\xd8" and tables[-2:] == b"\xff\xd9"
+    assert b"\xff\xdb" in tables and b"\xff\xdb" not in abbrev
+    assert b"\xff\xc4" in abbrev  # DHT stays strip-local
+    joined = mc._join_jpeg_tables(tables, abbrev)
+    assert np.array_equal(mc.decode_jpeg(joined)["pixels"], mc.decode_jpeg(full)["pixels"])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="JPEGTables"):
+        mc._join_jpeg_tables(b"\xff\xd8", abbrev)

@@ -43,6 +43,7 @@ PAYLOADS = {
     "avi": (mc.encode_avi(_FRAMES, audio=_SAMPLES[:300]), mc.parse_avi),
     "tiff": (mc.encode_tiff(_PX, packbits=True), mc.parse_tiff),
     "tiff_lzw": (mc.encode_tiff(_PX, lzw=True, predictor=2), mc.parse_tiff),
+    "tiff_jpeg": (mc.encode_tiff(_PX, jpeg=True, rows_per_strip=8), mc.parse_tiff),
     "netpbm_raw": (mc.encode_netpbm(_PX), mc.parse_netpbm),
     "netpbm_ascii": (mc.encode_netpbm(_GRAY, ascii_format=True), mc.parse_netpbm),
 }
@@ -112,7 +113,7 @@ def test_capability_boundaries_stay_notimplemented():
     # the guard must NOT convert honest capability boundaries
     g = _GRAY[:4, :5]
     bad = bytearray(mc.encode_tiff(g))
-    bad[8 + 2 + 3 * 12 + 8] = 7  # compression -> 7 (JPEG-in-TIFF): unsupported
+    bad[8 + 2 + 3 * 12 + 8] = 8  # compression -> 8 (Adobe Deflate): unsupported
     with pytest.raises(NotImplementedError):
         mc.parse_tiff(bytes(bad))
 
