@@ -585,10 +585,19 @@ def q_redis_rdb(spark: SparkSession, sf_dir: str) -> DataFrame:
         # one consumer group with two consumers' PELs — restated exactly by
         # the DuckDB oracle below; plus a module2 value and a keyless
         # module-aux section, both skip-with-reason audit rows
-        srow = lambda key, et, member, value, ord_: entries.append(  # noqa: E731
+        srow = lambda key, et, member, value, ord_, exp=None: entries.append(  # noqa: E731
             {"db_id": 0, "key": key, "entry_type": et, "member": member,
-             "value": value, "ord": ord_, "expire_ms": None}
+             "value": value, "ord": ord_, "expire_ms": exp}
         )
+        # Redis 7.4 hash-field TTLs (r14, types 22-25 — breadth past the
+        # reference): 8 hashes, fields with alternating TTLs; each node's
+        # dump cycles through the four wire formats, output is identical
+        for hk in range(8):
+            for hf in range(5):
+                srow(
+                    f"hx:{hk}", "hash_ex", f"f{hf}", f"w{hk}.{hf}", 0,
+                    base + (hk * 100 + hf) * 1000 if (hk + hf) % 2 == 0 else None,
+                )
         for s in range(6):
             skey = f"stream:{s}"
             sid = lambda j: f"{1_700_000_000_000 + s * 100_000 + j * 13}-{j % 4}"  # noqa: B023,E731
@@ -611,9 +620,12 @@ def q_redis_rdb(spark: SparkSession, sf_dir: str) -> DataFrame:
         shards: list[list[dict]] = [[] for _ in range(n_nodes)]
         for e in entries:
             shards[zlib.crc32(e["key"].encode()) % n_nodes].append(e)
+        ttl_fmts = ("listpackex", "metadata", "listpackex_pre_ga", "metadata_pre_ga")
         for node, shard in enumerate(shards):
             rdb.write_rdb_file(
-                shard, paths[node], module_aux=["AuxModNam"] if node == 0 else None
+                shard, paths[node],
+                module_aux=["AuxModNam"] if node == 0 else None,
+                hash_field_ttl=ttl_fmts[node % 4],
             )
     parsed = rdb.read_rdb_files(spark, dump_dir)
     return parsed.select(
@@ -6564,9 +6576,24 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL SELECT 0, 'mod:probe', 'module_skipped', 'RefModNam',
                         NULL, 0, NULL
               UNION ALL SELECT 0, '', 'module_aux_skipped', 'AuxModNam',
-                        NULL, 0, NULL)
+                        NULL, 0, NULL),
+            -- Redis 7.4 hash-field TTLs: fields with (k+f)%2==0 carry
+            -- absolute per-field expiries (restated in the same
+            -- PEXPIRE:<delta> rendering the projection applies)
+            hx AS (
+              SELECT CAST(0 AS BIGINT) AS db_id,
+                     'hx:' || CAST(k AS VARCHAR) AS key,
+                     'hash_ex' AS entry_type,
+                     'f' || CAST(f AS VARCHAR) AS member,
+                     'w' || CAST(k AS VARCHAR) || '.' || CAST(f AS VARCHAR) AS value,
+                     CAST(0 AS BIGINT) AS ord,
+                     CASE WHEN (k + f) % 2 = 0
+                          THEN 'PEXPIRE:' || CAST((k * 100 + f) * 1000 AS VARCHAR)
+                          ELSE NULL END AS expire
+              FROM range(8) t(k) CROSS JOIN range(5) u(f))
             SELECT * FROM ranked UNION ALL SELECT * FROM intset
             UNION ALL SELECT * FROM stream_rows UNION ALL SELECT * FROM splant
+            UNION ALL SELECT * FROM hx
         """,
         "redis_slot_stats": f"""
             {demo.REDIS_STATE_SQL},

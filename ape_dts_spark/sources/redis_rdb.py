@@ -51,6 +51,12 @@ T_LIST_QUICKLIST2 = 18
 T_STREAM_LISTPACKS_2 = 19
 T_SET_LISTPACK = 20
 T_STREAM_LISTPACKS_3 = 21
+# Redis 7.4 hash-field-TTL formats (beyond the reference, whose decoder
+# stops at type 21 — a real 7.4 dump using HEXPIRE fails to migrate there):
+T_HASH_METADATA_PRE_GA = 22  # absolute per-field TTLs, no minExpire prefix
+T_HASH_LISTPACK_EX_PRE_GA = 23
+T_HASH_METADATA = 24  # minExpire + delta-encoded per-field TTLs
+T_HASH_LISTPACK_EX = 25  # minExpire + (field, value, ttl) listpack triples
 
 OP_SLOT_INFO = 0xF4  # Redis 7.4+ cluster slot hint: 3 lengths, skipped
 OP_MODULE_AUX = 0xF7  # module aux payload: opcode-walk skip (no key attached)
@@ -602,6 +608,43 @@ def _parse_rdb_entries(data: bytes) -> list[dict]:
                 for v in flat:
                     emit(key, "list", None, v, k)
                     k += 1
+        elif vtype in (T_HASH_METADATA_PRE_GA, T_HASH_METADATA):
+            # Redis 7.4 per-field TTLs (HEXPIRE): rows surface as
+            # entry_type 'hash_ex' with the FIELD's absolute expiry in
+            # expire_ms (0/absent -> NULL). GA (24) delta-encodes each TTL
+            # against a leading minExpire (ttl = minExpire + delta - 1,
+            # delta 0 = none); the pre-GA form (22) stores absolute TTLs.
+            min_exp = 0
+            if vtype == T_HASH_METADATA:
+                min_exp = struct.unpack_from("<q", data, i)[0]
+                i += 8
+            n, _, i = _read_len(data, i)
+            saved_exp = expire_ms
+            for _ in range(n):
+                d, _, i = _read_len(data, i)
+                f_, i = _read_string(data, i)
+                v, i = _read_string(data, i)
+                expire_ms = (
+                    None if d == 0
+                    else (d if vtype == T_HASH_METADATA_PRE_GA else min_exp + d - 1)
+                )
+                emit(key, "hash_ex", f_, v, 0)
+            expire_ms = saved_exp
+        elif vtype in (T_HASH_LISTPACK_EX_PRE_GA, T_HASH_LISTPACK_EX):
+            # listpack of (field, value, ttl) triples; ttl is an absolute
+            # ms integer, 0 = no TTL; GA (25) prefixes the node's minExpire
+            if vtype == T_HASH_LISTPACK_EX:
+                i += 8  # minExpire: derivable (min of the triples), skipped
+            payload, i = _read_string(data, i)
+            flat = _parse_listpack(payload)
+            if len(flat) % 3:
+                raise ValueError("hash listpack-ex length not a multiple of 3")
+            saved_exp = expire_ms
+            for k in range(0, len(flat), 3):
+                ttl = int(flat[k + 2])
+                expire_ms = ttl if ttl else None
+                emit(key, "hash_ex", flat[k], flat[k + 1], 0)
+            expire_ms = saved_exp
         elif vtype in (T_STREAM_LISTPACKS, T_STREAM_LISTPACKS_2, T_STREAM_LISTPACKS_3):
             i = _parse_stream(data, i, vtype, key, emit)
         elif vtype == T_MODULE_2:
@@ -846,6 +889,7 @@ def encode_rdb(
     entries: list[dict],
     stream_version: int = 3,
     module_aux: list[str] | None = None,
+    hash_field_ttl: str = "listpackex",
 ) -> bytes:
     """Entry rows (same shape parse_rdb_bytes emits) -> one RDB dump.
 
@@ -874,7 +918,7 @@ def encode_rdb(
             rows = keys[key]
             etype = rows[0]["entry_type"]
             exp = rows[0].get("expire_ms")
-            if exp is not None:
+            if exp is not None and etype != "hash_ex":  # hash_ex TTLs are per FIELD
                 out += bytes([OP_EXPIRETIME_MS]) + struct.pack("<Q", int(exp))
             kb = key.encode()
             if etype == "string":
@@ -910,6 +954,43 @@ def encode_rdb(
                 for node in nodes:
                     out += _enc_len(2) + _enc_string(_enc_listpack(node))
                 continue
+            elif etype == "hash_ex":
+                # Redis 7.4 per-field TTLs: (field, value, ttl) with ttl =
+                # the row's expire_ms (0 = none); format per hash_field_ttl
+                trips = sorted(
+                    (r["member"].encode(), r["value"].encode(), int(r.get("expire_ms") or 0))
+                    for r in rows
+                )
+                ttls = [t for _, _, t in trips if t]
+                min_exp = min(ttls) if ttls else 0
+                if hash_field_ttl in ("listpackex", "listpackex_pre_ga"):
+                    tbyte = (
+                        T_HASH_LISTPACK_EX
+                        if hash_field_ttl == "listpackex"
+                        else T_HASH_LISTPACK_EX_PRE_GA
+                    )
+                    out += bytes([tbyte]) + _enc_string(kb)
+                    if hash_field_ttl == "listpackex":
+                        out += struct.pack("<q", min_exp)
+                    flat = [x for f, v, t in trips for x in (f, v, str(t).encode())]
+                    out += _enc_string(_enc_listpack(flat))
+                elif hash_field_ttl in ("metadata", "metadata_pre_ga"):
+                    tbyte = (
+                        T_HASH_METADATA
+                        if hash_field_ttl == "metadata"
+                        else T_HASH_METADATA_PRE_GA
+                    )
+                    out += bytes([tbyte]) + _enc_string(kb)
+                    if hash_field_ttl == "metadata":
+                        out += struct.pack("<q", min_exp)
+                    out += _enc_len(len(trips))
+                    for f, v, t in trips:
+                        d = 0 if t == 0 else (
+                            t if hash_field_ttl == "metadata_pre_ga" else t - min_exp + 1
+                        )
+                        out += _enc_len(d) + _enc_string(f) + _enc_string(v)
+                else:
+                    raise ValueError(f"unknown hash_field_ttl {hash_field_ttl!r}")
             elif etype == "module_skipped":
                 # plant a T_MODULE_2 object (member = 9-char module name):
                 # one of each opcode kind then EOF — parsers must walk past

@@ -576,3 +576,42 @@ def test_stream_state_to_commands(spark):
     plain = [r["inline"] for r in state_to_commands(state).filter(
         F.col("key") == "k").collect()]
     assert plain == ["SET k v"]
+
+
+def test_rdb_hash_field_ttl_all_formats():
+    """Redis 7.4 per-field hash TTLs (HEXPIRE; RDB types 22-25 — breadth
+    past the reference, whose decoder stops at 21): all four wire formats
+    round-trip to identical 'hash_ex' rows with absolute field expiries;
+    GA metadata delta-encodes against minExpire, listpack-ex stores
+    (field, value, ttl) triples."""
+    from ape_dts_spark.sources import redis_rdb as rdb
+
+    base = 1_700_000_000_000
+    rows = [
+        {"db_id": 0, "key": "hx", "entry_type": "hash_ex", "member": f"f{f}",
+         "value": f"v{f}", "ord": 0,
+         "expire_ms": None if f % 2 else base + f * 1000}
+        for f in range(5)
+    ]
+    want = sorted((r["member"], r["value"], r["expire_ms"]) for r in rows)
+    for fmt in ("listpackex", "metadata", "listpackex_pre_ga", "metadata_pre_ga"):
+        back = rdb.parse_rdb_bytes(rdb.encode_rdb(rows, hash_field_ttl=fmt))
+        got = sorted((r["member"], r["value"], r["expire_ms"]) for r in back)
+        assert got == want, fmt
+        assert all(r["entry_type"] == "hash_ex" for r in back)
+    # no key-level 0xFC is written for hash_ex (TTLs are per field)
+    blob = rdb.encode_rdb(rows, hash_field_ttl="metadata")
+    assert rdb.OP_EXPIRETIME_MS not in blob[: blob.index(b"hx")]
+    # corruption fuzz: same ValueError confinement as every other type
+    for n in range(len(blob)):
+        try:
+            rdb.parse_rdb_bytes(blob[:n])
+        except ValueError:
+            pass
+    for i in range(len(blob)):
+        m = bytearray(blob)
+        m[i] ^= 0x01
+        try:
+            rdb.parse_rdb_bytes(bytes(m))
+        except ValueError:
+            pass
