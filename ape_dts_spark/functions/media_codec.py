@@ -3338,7 +3338,8 @@ _TIFF_TAGS = {
     256: "width", 257: "height", 258: "bits", 259: "compression",
     262: "photometric", 273: "strip_offsets", 277: "spp",
     278: "rows_per_strip", 279: "strip_counts", 317: "predictor",
-    347: "jpeg_tables",
+    322: "tile_width", 323: "tile_length", 324: "tile_offsets",
+    325: "tile_counts", 347: "jpeg_tables",
 }
 
 # JPEG marker surgery for TIFF compression 7 (TIFF Tech Note 2): the shared
@@ -3560,14 +3561,17 @@ def encode_tiff(
     lzw: bool = False,
     predictor: int = 1,
     jpeg: bool = False,
+    tiles: tuple | None = None,
 ) -> bytes:
     """Baseline TIFF writer: (h, w) grayscale or (h, w, 3) RGB uint8,
-    strip-organized, either byte order. Compression: none, PackBits
-    (compressed PER ROW within each strip per TIFF 6.0 §9 — runs never
-    cross row boundaries), LZW (§13, early-change widths, optionally with
-    the horizontal-differencing Predictor tag 317), or new-style JPEG
-    (compression 7, TIFF Tech Note 2: per-strip abbreviated JPEG streams
-    sharing one JPEGTables tag holding the DQT/DHT segments)."""
+    strip-organized (or TILED via ``tiles=(tile_w, tile_h)`` — tags
+    322/323/324/325, row-major grid, edge tiles zero-padded to full size,
+    the pyramidal/GeoTIFF layout), either byte order. Compression: none,
+    PackBits (compressed PER ROW within each strip per TIFF 6.0 §9 — runs
+    never cross row boundaries), LZW (§13, early-change widths, optionally
+    with the horizontal-differencing Predictor tag 317), or new-style JPEG
+    (compression 7, TIFF Tech Note 2: per-block abbreviated JPEG streams
+    sharing one JPEGTables tag holding the DQT segments)."""
     if sum((packbits, lzw, jpeg)) > 1:
         raise ValueError("choose one of packbits/lzw/jpeg")
     if predictor not in (1, 2):
@@ -3585,32 +3589,46 @@ def encode_tiff(
         px = 255 - px
     bo = ">" if big_endian else "<"
     jpeg_tables = b""
+
+    if tiles:
+        tw_, th_ = tiles
+        if tw_ <= 0 or th_ <= 0:
+            raise ValueError(f"bad tile geometry {tiles}")
+        nx, ny = -(-w // tw_), -(-h // th_)
+        padded = np.zeros((ny * th_, nx * tw_) + ((spp,) if spp > 1 else ()), np.uint8)
+        padded[:h, :w] = px
+        pixel_blocks = [
+            padded[yy * th_ : (yy + 1) * th_, xx * tw_ : (xx + 1) * tw_]
+            for yy in range(ny)
+            for xx in range(nx)
+        ]
+    else:
+        pixel_blocks = [px[r0 : r0 + rows_per_strip] for r0 in range(0, h, rows_per_strip)]
+
+    strips = []
     if jpeg:
         if spp not in (1, 3):
             raise ValueError("JPEG strips support grayscale or RGB only")
-        strips = []
-        for r0 in range(0, h, rows_per_strip):
-            block = px[r0 : r0 + rows_per_strip]
+        for block in pixel_blocks:
             tables, abbrev = _split_jpeg_tables(encode_jpeg(block))
-            jpeg_tables = tables  # identical across strips (same encoder)
+            jpeg_tables = tables  # DQT identical across blocks (same encoder)
             strips.append(abbrev)
     else:
-        raw_rows = px.reshape(h, w * spp)
-        if predictor == 2:
-            raw_rows = _predict_diff(raw_rows, spp)
-        strips = []
-        for r0 in range(0, h, rows_per_strip):
-            block = raw_rows[r0 : r0 + rows_per_strip]
+        for block in pixel_blocks:
+            bh = block.shape[0]
+            raw_rows = block.reshape(bh, -1)
+            if predictor == 2:
+                raw_rows = _predict_diff(raw_rows, spp)
             if packbits:
                 # per-row streams concatenated: §9 requires each row
                 # compressed independently (decode side reads to the
                 # expected byte count, so concatenated row streams parse
                 # identically)
-                strips.append(b"".join(_packbits_encode(r.tobytes()) for r in block))
+                strips.append(b"".join(_packbits_encode(r.tobytes()) for r in raw_rows))
             elif lzw:
-                strips.append(_lzw_encode_tiff(block.tobytes()))
+                strips.append(_lzw_encode_tiff(raw_rows.tobytes()))
             else:
-                strips.append(block.tobytes())
+                strips.append(raw_rows.tobytes())
 
     def entry(tag: int, typ: int, count: int, value: int) -> bytes:
         # inline values are LEFT-justified in the 4-byte field (TIFF 6.0
@@ -3622,9 +3640,11 @@ def encode_tiff(
 
     n_strips = len(strips)
     compression = 32773 if packbits else (5 if lzw else (7 if jpeg else 1))
-    # layout: header(8) + IFD + [bits array if spp=3] + strip tables +
-    # [JPEGTables blob] + strips
-    n_entries = 9 + (1 if predictor == 2 else 0) + (1 if jpeg_tables else 0)
+    # layout: header(8) + IFD + [bits array if spp=3] + strip/tile tables +
+    # [JPEGTables blob] + data blocks
+    n_entries = (10 if tiles else 9) + (1 if predictor == 2 else 0) + (
+        1 if jpeg_tables else 0
+    )
     ifd_size = 2 + n_entries * 12 + 4
     pos = 8 + ifd_size
     bits_off = pos
@@ -3647,6 +3667,13 @@ def encode_tiff(
     # JPEG strips are YCbCr interchange streams (photometric 6 per TIFF/EP
     # practice; grayscale JPEG keeps photometric 1)
     photometric = (6 if jpeg else 2) if spp == 3 else (0 if white_is_zero else 1)
+    def table_entry(tag: int, values: list, table_off: int) -> bytes:
+        if len(values) == 1:
+            return entry(tag, 4, 1, values[0])
+        return struct.pack(f"{bo}HHI", tag, 4, len(values)) + struct.pack(
+            f"{bo}I", table_off
+        )
+
     entries = [
         entry(256, 4, 1, w),
         entry(257, 4, 1, h),
@@ -3657,28 +3684,27 @@ def encode_tiff(
         ),
         entry(259, 3, 1, compression),
         entry(262, 3, 1, photometric),
-        (
-            entry(273, 4, 1, offsets[0])
-            if n_strips == 1
-            else struct.pack(f"{bo}HHI", 273, 4, n_strips) + struct.pack(f"{bo}I", so_off)
-        ),
-        entry(277, 3, 1, spp),
-        entry(278, 4, 1, rows_per_strip),
-        (
-            entry(279, 4, 1, counts[0])
-            if n_strips == 1
-            else struct.pack(f"{bo}HHI", 279, 4, n_strips) + struct.pack(f"{bo}I", sc_off)
-        ),
     ]
+    if not tiles:
+        entries.append(table_entry(273, offsets, so_off))
+    entries.append(entry(277, 3, 1, spp))
+    if not tiles:
+        entries.append(entry(278, 4, 1, rows_per_strip))
+        entries.append(table_entry(279, counts, sc_off))
     if predictor == 2:
         entries.append(entry(317, 3, 1, 2))
+    if tiles:
+        entries.append(entry(322, 4, 1, tw_))
+        entries.append(entry(323, 4, 1, th_))
+        entries.append(table_entry(324, offsets, so_off))
+        entries.append(table_entry(325, counts, sc_off))
     if jpeg_tables:
         entries.append(
             struct.pack(f"{bo}HHI", 347, 7, len(jpeg_tables))
             + struct.pack(f"{bo}I", tables_off)
         )
-    # IFD entries must be sorted by tag (TIFF 6.0 §2) — 317 > 279 and
-    # 347 > 317, so the append order is already sorted
+    # IFD entries must be sorted by tag (TIFF 6.0 §2) — 317 > 279,
+    # 322-325 > 317 and 347 > 325, so the append order is already sorted
     ifd = struct.pack(f"{bo}H", n_entries) + b"".join(entries) + struct.pack(f"{bo}I", 0)
     out = bytearray()
     out += (b"MM" if big_endian else b"II") + struct.pack(f"{bo}H", 42)
@@ -3742,7 +3768,13 @@ def parse_tiff(payload: bytes, return_pixels: bool = False) -> dict:
         else:
             raise ValueError(f"unsupported TIFF entry type {typ} for tag {tag}")
         tags[name] = vals
-    for req in ("width", "height", "strip_offsets", "strip_counts"):
+    tiled = "tile_offsets" in tags
+    required = ("width", "height") + (
+        ("tile_width", "tile_length", "tile_counts")
+        if tiled
+        else ("strip_offsets", "strip_counts")
+    )
+    for req in required:
         if req not in tags:
             raise ValueError(f"TIFF missing required tag: {req}")
     w, h = tags["width"][0], tags["height"][0]
@@ -3761,67 +3793,113 @@ def parse_tiff(payload: bytes, return_pixels: bool = False) -> dict:
         raise NotImplementedError(f"TIFF predictor {predictor} unsupported")
     photometric = tags.get("photometric", [1])[0]
     rps = tags.get("rows_per_strip", [h])[0]
+
+    if tiled:
+        tw_, th_ = tags["tile_width"][0], tags["tile_length"][0]
+        if tw_ <= 0 or th_ <= 0:
+            raise ValueError(f"bad TIFF tile geometry {tw_}x{th_}")
+        nx, ny = -(-w // tw_), -(-h // th_)
+        blocks = list(zip(tags["tile_offsets"], tags["tile_counts"]))
+        if len(blocks) != nx * ny:
+            raise ValueError(
+                f"TIFF tile table has {len(blocks)} entries, grid needs {nx * ny}"
+            )
+    else:
+        blocks = list(zip(tags["strip_offsets"], tags["strip_counts"]))
+
+    def block_bytes(off, cnt):
+        b = payload[off : off + cnt]
+        if len(b) != cnt:
+            raise ValueError("truncated TIFF strip/tile")
+        return b
+
     if comp == 7:
-        # new-style JPEG (TIFF Tech Note 2): each strip is a JPEG stream,
-        # abbreviated against the shared JPEGTables tag when present; the
-        # per-strip SOF carries the strip's own height
+        # new-style JPEG (TIFF Tech Note 2): each strip/tile is a JPEG
+        # stream, abbreviated against the shared JPEGTables tag when
+        # present; the per-block SOF carries the block's own dimensions
         tables = bytes(tags.get("jpeg_tables", b""))
-        parts = []
-        for off, cnt in zip(tags["strip_offsets"], tags["strip_counts"]):
-            strip = payload[off : off + cnt]
-            if len(strip) != cnt:
-                raise ValueError("truncated TIFF strip")
-            stream = _join_jpeg_tables(tables, strip) if tables else strip
+
+        def jpeg_block(off, cnt):
+            stream = block_bytes(off, cnt)
+            if tables:
+                stream = _join_jpeg_tables(tables, stream)
             spx = decode_jpeg(stream)["pixels"]
             if spx.ndim == 2:
                 spx = spx.reshape(spx.shape[0], spx.shape[1], 1)
-            if spx.shape[1] != w or spx.shape[2] != spp:
+            if spx.shape[2] != spp:
                 raise ValueError(
-                    f"JPEG strip shape {spx.shape} disagrees with TIFF tags "
-                    f"(w={w} spp={spp})"
+                    f"JPEG block spp {spx.shape[2]} disagrees with TIFF tag {spp}"
                 )
-            parts.append(spx)
-        px = np.concatenate(parts, axis=0)
-        if px.shape[0] < h:
-            raise ValueError("TIFF JPEG strips do not cover the image")
-        px = px[:h]  # strips may be MCU-padded past the image height
+            return spx
+
+        if tiled:
+            canvas = np.zeros((ny * th_, nx * tw_, spp), dtype=np.uint8)
+            for t, (off, cnt) in enumerate(blocks):
+                spx = jpeg_block(off, cnt)
+                if spx.shape[0] < th_ or spx.shape[1] < tw_:
+                    raise ValueError("JPEG tile smaller than the tile grid")
+                yy, xx = divmod(t, nx)
+                canvas[yy * th_ : (yy + 1) * th_, xx * tw_ : (xx + 1) * tw_] = (
+                    spx[:th_, :tw_]
+                )
+            px = canvas[:h, :w]
+        else:
+            parts = []
+            for off, cnt in blocks:
+                spx = jpeg_block(off, cnt)
+                if spx.shape[1] != w:
+                    raise ValueError(
+                        f"JPEG strip width {spx.shape[1]} disagrees with TIFF tag {w}"
+                    )
+                parts.append(spx)
+            px = np.concatenate(parts, axis=0)
+            if px.shape[0] < h:
+                raise ValueError("TIFF JPEG strips do not cover the image")
+            px = px[:h]  # strips may be MCU-padded past the image height
         if spp == 1:
             px = px.reshape(h, w)
-        flat = px.astype(np.int64).reshape(-1)
-        rec = {
-            "width": int(w), "height": int(h), "bit_depth": 8,
-            "color_type": 2 if spp == 3 else 0,
-            "n_px": int(flat.size), "px_sum": int(flat.sum()),
-            "px_min": int(flat.min()) if flat.size else 0,
-            "px_max": int(flat.max()) if flat.size else 0,
-        }
-        if return_pixels:
-            rec["pixels"] = px
-        return rec
-    raw = bytearray()
-    for i, (off, cnt) in enumerate(zip(tags["strip_offsets"], tags["strip_counts"])):
-        strip = payload[off : off + cnt]
-        if len(strip) != cnt:
-            raise ValueError("truncated TIFF strip")
-        rows = min(rps, h - i * rps)
-        expected = rows * w * spp
-        if comp == 32773:
-            raw += _packbits_decode(strip, expected)
-        elif comp == 5:
-            raw += _lzw_decode_tiff(strip, expected)
+    else:
+        def raw_block(off, cnt, expected):
+            b = block_bytes(off, cnt)
+            if comp == 32773:
+                return _packbits_decode(b, expected)
+            if comp == 5:
+                return _lzw_decode_tiff(b, expected)
+            return b
+
+        if tiled:
+            canvas = np.zeros((ny * th_, nx * tw_ * spp), dtype=np.uint8)
+            expected = th_ * tw_ * spp
+            for t, (off, cnt) in enumerate(blocks):
+                raw_t = raw_block(off, cnt, expected)
+                if len(raw_t) != expected:
+                    raise ValueError("TIFF tile data does not fill the tile")
+                tile = np.frombuffer(bytes(raw_t), dtype=np.uint8).reshape(
+                    th_, tw_ * spp
+                )
+                if predictor == 2:
+                    tile = _predict_undiff(tile, spp)
+                yy, xx = divmod(t, nx)
+                canvas[yy * th_ : (yy + 1) * th_,
+                       xx * tw_ * spp : (xx + 1) * tw_ * spp] = tile
+            full = canvas.reshape(ny * th_, nx * tw_, spp)[:h, :w]
+            px = full.reshape(h, w) if spp == 1 else full
         else:
-            raw += strip
-    if len(raw) != h * w * spp:
-        raise ValueError("TIFF strip data does not cover the image")
-    px = np.frombuffer(bytes(raw), dtype=np.uint8).reshape(
-        (h, w) if spp == 1 else (h, w, spp)
-    )
-    if predictor == 2:
-        px = _predict_undiff(px.reshape(h, w * spp), spp).reshape(px.shape)
-    if photometric == 0:  # WhiteIsZero
-        if spp != 1:
-            raise ValueError("WhiteIsZero with multi-sample pixels")
-        px = 255 - px
+            raw = bytearray()
+            for i, (off, cnt) in enumerate(blocks):
+                rows = min(rps, h - i * rps)
+                raw += raw_block(off, cnt, rows * w * spp)
+            if len(raw) != h * w * spp:
+                raise ValueError("TIFF strip data does not cover the image")
+            px = np.frombuffer(bytes(raw), dtype=np.uint8).reshape(
+                (h, w) if spp == 1 else (h, w, spp)
+            )
+            if predictor == 2:
+                px = _predict_undiff(px.reshape(h, w * spp), spp).reshape(px.shape)
+        if photometric == 0:  # WhiteIsZero
+            if spp != 1:
+                raise ValueError("WhiteIsZero with multi-sample pixels")
+            px = 255 - px
     flat = px.astype(np.int64).reshape(-1)
     rec = {
         "width": int(w),

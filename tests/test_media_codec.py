@@ -1171,3 +1171,39 @@ def test_tiff_jpeg_tables_split_join():
 
     with _pytest.raises(ValueError, match="JPEGTables"):
         mc._join_jpeg_tables(b"\xff\xd8", abbrev)
+
+
+def test_tiff_tiled_matrix():
+    """Tiled TIFF (tags 322-325, the pyramidal/GeoTIFF layout): row-major
+    grid, zero-padded edge tiles cropped on decode; every compression
+    (none/PackBits/LZW+predictor/JPEG) x byte order round-trips."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    for shape in ((13, 11, 3), (9, 14)):
+        px = rng.randint(0, 256, shape).astype(np.uint8)
+        for kw in (dict(), dict(packbits=True), dict(lzw=True, predictor=2)):
+            for be in (False, True):
+                blob = mc.encode_tiff(px, tiles=(8, 4), big_endian=be, **kw)
+                rec = mc.parse_tiff(blob, return_pixels=True)
+                assert np.array_equal(rec["pixels"], px), (shape, kw, be)
+    # JPEG tiles decode to the per-tile JPEG roundtrip exactly
+    px = rng.randint(0, 256, (13, 11, 3)).astype(np.uint8)
+    rec = mc.parse_tiff(mc.encode_tiff(px, jpeg=True, tiles=(8, 8)), return_pixels=True)
+    padded = np.zeros((16, 16, 3), np.uint8)
+    padded[:13, :11] = px
+    exp = np.zeros((16, 16, 3), np.uint8)
+    for yy in range(2):
+        for xx in range(2):
+            tile = padded[yy * 8 : (yy + 1) * 8, xx * 8 : (xx + 1) * 8]
+            exp[yy * 8 : (yy + 1) * 8, xx * 8 : (xx + 1) * 8] = mc.decode_jpeg(
+                mc.encode_jpeg(tile)
+            )["pixels"]
+    assert np.array_equal(rec["pixels"], exp[:13, :11])
+    # tile-table size mismatch is corruption, not a crash
+    import pytest as _pytest
+
+    blob = bytearray(mc.encode_tiff(px[:, :, 0], tiles=(8, 4)))
+    with _pytest.raises(ValueError):
+        # chop one tile's bytes off the end -> truncated tile
+        mc.parse_tiff(bytes(blob[:-3]))

@@ -44,6 +44,7 @@ PAYLOADS = {
     "tiff": (mc.encode_tiff(_PX, packbits=True), mc.parse_tiff),
     "tiff_lzw": (mc.encode_tiff(_PX, lzw=True, predictor=2), mc.parse_tiff),
     "tiff_jpeg": (mc.encode_tiff(_PX, jpeg=True, rows_per_strip=8), mc.parse_tiff),
+    "tiff_tiled": (mc.encode_tiff(_PX, lzw=True, tiles=(8, 8)), mc.parse_tiff),
     "netpbm_raw": (mc.encode_netpbm(_PX), mc.parse_netpbm),
     "netpbm_ascii": (mc.encode_netpbm(_GRAY, ascii_format=True), mc.parse_netpbm),
 }
