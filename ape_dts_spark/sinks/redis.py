@@ -143,18 +143,36 @@ def state_to_commands(state: DataFrame) -> DataFrame:
     """
     argv = (
         F.when(F.col("entry_type") == "string", F.array(F.lit("SET"), F.col("key"), F.col("value")))
-        .when(F.col("entry_type") == "hash", F.array(F.lit("HSET"), F.col("key"), F.col("member"), F.col("value")))
+        .when(F.col("entry_type").isin("hash", "hash_ex"), F.array(F.lit("HSET"), F.col("key"), F.col("member"), F.col("value")))
         .when(F.col("entry_type") == "set", F.array(F.lit("SADD"), F.col("key"), F.col("member")))
         .when(F.col("entry_type") == "zset", F.array(F.lit("ZADD"), F.col("key"), F.col("value"), F.col("member")))
         .when(F.col("entry_type") == "list", F.array(F.lit("RPUSH"), F.col("key"), F.col("value")))
     )
     data = state.filter(
-        F.col("entry_type").isin("string", "hash", "set", "zset", "list")
+        F.col("entry_type").isin("string", "hash", "hash_ex", "set", "zset", "list")
     ).select("db_id", "key", "ord", argv.alias("cmd"))
+    # Redis 7.4 per-field TTLs: one HPEXPIRE per hash_ex row carrying an
+    # expiry ('KIND:value' form, value = the FIELD's ms) — replayed after
+    # every data command (ord tier 4e6)
+    hpexpire = (
+        state.filter((F.col("entry_type") == "hash_ex") & F.col("expire").isNotNull())
+        .select(
+            "db_id",
+            "key",
+            (F.lit(4_000_000) + F.col("ord")).alias("ord"),
+            F.array(
+                F.lit("HPEXPIRE"), F.col("key"),
+                F.substring_index(F.col("expire"), ":", -1),
+                F.lit("FIELDS"), F.lit("1"), F.col("member"),
+            ).alias("cmd"),
+        )
+    )
+    data = data.unionByName(hpexpire)
 
     # one PEXPIRE per key with a live TTL, ordered after the key's data rows
+    # (hash_ex expiries are per FIELD -> HPEXPIRE above, never key-level)
     ttl = (
-        state.filter(F.col("expire").isNotNull())
+        state.filter(F.col("expire").isNotNull() & (F.col("entry_type") != "hash_ex"))
         .groupBy("db_id", "key")
         .agg(F.max("ord").alias("ord"), F.first("expire").alias("expire"))
         .select(

@@ -615,3 +615,24 @@ def test_rdb_hash_field_ttl_all_formats():
             rdb.parse_rdb_bytes(bytes(m))
         except ValueError:
             pass
+
+
+def test_hash_ex_state_to_commands(spark):
+    """Redis 7.4 field TTLs replay as HSET + HPEXPIRE ... FIELDS 1 <f>
+    (never a key-level PEXPIRE)."""
+    from ape_dts_spark.sinks.redis import state_to_commands
+
+    rows = [
+        (0, "hx", "hash_ex", "f0", "v0", 0, "PEXPIRE:5000"),
+        (0, "hx", "hash_ex", "f1", "v1", 0, None),
+    ]
+    state = spark.createDataFrame(
+        rows, "db_id long, key string, entry_type string, member string, "
+              "value string, ord long, expire string"
+    )
+    got = sorted(r["inline"] for r in state_to_commands(state).collect())
+    assert got == [
+        "HPEXPIRE hx 5000 FIELDS 1 f0",
+        "HSET hx f0 v0",
+        "HSET hx f1 v1",
+    ]
