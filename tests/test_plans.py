@@ -312,3 +312,21 @@ def test_zorder_key_pure_codegen_single_agg_shuffle(spark, sf_dir):
     assert "Python" not in plan
     assert "ReadSchema: struct<o_orderkey:bigint,o_custkey:bigint>" in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_phash_band_join_is_equi_hash(spark, sf_dir):
+    # the 4x16-bit band explode + self-join must hash-partition on the band
+    # key — an OR-of-bands predicate would degrade to a nested-loop product
+    plan = _plan(spark, sf_dir, "image_dup_pairs")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_orc_sequenced_broadcast_ordinal_single_maxby_shuffle(spark, sf_dir):
+    # the manifest-ordinal map must broadcast (it is push-count sized) and
+    # final-state resolution is ONE max_by shuffle on the key
+    plan = _plan(spark, sf_dir, "orc_sequenced")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
