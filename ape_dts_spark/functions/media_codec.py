@@ -2938,15 +2938,28 @@ def phash64(px: np.ndarray) -> int:
     s = _PHASH_SIZE
     # block-mean resample: cell (y, x) averages rows [y*h//s, (y+1)*h//s)
     # (at least one), same for columns — integer boundaries, no kernel
-    small = np.empty((s, s), dtype=np.float64)
-    rb = [max((y * h) // s, 0) for y in range(s + 1)]
-    cb = [max((x * w) // s, 0) for x in range(s + 1)]
-    for y in range(s):
-        r0, r1 = rb[y], max(rb[y + 1], rb[y] + 1)
-        row = g[min(r0, h - 1) : min(r1, h)]
-        for x in range(s):
-            c0, c1 = cb[x], max(cb[x + 1], cb[x] + 1)
-            small[y, x] = row[:, min(c0, w - 1) : min(c1, w)].mean()
+    if h >= s and w >= s:
+        # vectorized fast path (boundaries strictly increase when both dims
+        # cover the grid): two reduceat passes + an outer-area divide —
+        # bit-identical to the loop (tiny blocks, sequential float64 sums)
+        rs = [(y * h) // s for y in range(s)]
+        cs = [(x * w) // s for x in range(s)]
+        sums = np.add.reduceat(
+            np.add.reduceat(g.astype(np.float64), rs, axis=0), cs, axis=1
+        )
+        rh = np.diff(np.array(rs + [h]))
+        cw = np.diff(np.array(cs + [w]))
+        small = sums / np.outer(rh, cw)
+    else:
+        small = np.empty((s, s), dtype=np.float64)
+        rb = [max((y * h) // s, 0) for y in range(s + 1)]
+        cb = [max((x * w) // s, 0) for x in range(s + 1)]
+        for y in range(s):
+            r0, r1 = rb[y], max(rb[y + 1], rb[y] + 1)
+            row = g[min(r0, h - 1) : min(r1, h)]
+            for x in range(s):
+                c0, c1 = cb[x], max(cb[x + 1], cb[x] + 1)
+                small[y, x] = row[:, min(c0, w - 1) : min(c1, w)].mean()
     coef = _DCT_C32 @ small @ _DCT_C32.T
     low = coef[:8, :8].flatten()[1:]  # 63 AC coefficients, row-major
     bits = 0
