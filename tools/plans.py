@@ -147,6 +147,16 @@ AUDITED = [
     "audio_dup_pairs",    # constellation fingerprints: Arrow FFT-peak
                           # kernel -> fp equi-join (bucketed, never
                           # all-pairs) -> one (pair, dt) hash agg
+    "image_dup_pairs",    # r14: pHash Arrow kernel -> 4x16-bit band
+                          # equi-join (bucketed, never all-pairs) -> one
+                          # pair hash agg + bit_count verify
+    "orc_sequenced",      # r14: one distributed ORC scan over all pushes,
+                          # broadcast ordinal join, ONE max_by shuffle
+    "binlog_partial_json",  # r14: binaryFile scan -> Arrow binlog parse
+                          # (diff re-apply inside the kernel), one window
+                          # shuffle on the key
+    "redis_stream_statements",  # r14: JVM-side generators -> grouped XADD
+                          # rebuild + tiered command union, no Python rows
     # pagerank: the returned plan is a scan of the final checkpointed rank
     # relation (lineage truncated by design) — per-iteration shape is one
     # shuffle join + one hash agg, locked in test_graph semantics instead
@@ -164,7 +174,21 @@ AUDITED = [
 BNLJ_SANCTIONED = {"important_parts", "temperature_mix", "curation_v2",
                    "unimax_mix", "curation_v3",
                    # crossJoin of two SINGLE-ROW aggregates (k_used x inter)
-                   "kmv_jaccard"}
+                   "kmv_jaccard",
+                   # crossJoins of CONSTANT range() generators (6 x 20 x 3
+                   # rows) building the planted stream fixture JVM-side —
+                   # the data path itself is grouped aggs + unions
+                   "redis_stream_statements"}
+
+# per-name sanction text where the generic single-row-broadcast wording
+# would misdescribe the plan
+BNLJ_TEXT = {
+    "redis_stream_statements": (
+        "nested-loop join of CONSTANT range() generators (6 x 20 x 3 rows, "
+        "the planted fixture built JVM-side — sanctioned; the data path is "
+        "grouped aggs + unions)"
+    ),
+}
 
 MARKS = [
     ("PushedFilters: \\[[^]]*IsNotNull", "filter pushdown reaches the scan"),
@@ -203,12 +227,13 @@ def main() -> int:
         spark.catalog.clearCache()
         found = [label for pat, label in MARKS if re.search(pat, plan)]
         if name in BNLJ_SANCTIONED:
-            found = [
+            sanction = BNLJ_TEXT.get(
+                name,
                 "nested-loop join against a SINGLE-ROW broadcast (canonical "
-                "decorrelated scalar subquery, O(N) — sanctioned)"
-                if f.startswith("!! nested-loop")
-                else f
-                for f in found
+                "decorrelated scalar subquery, O(N) — sanctioned)",
+            )
+            found = [
+                sanction if f.startswith("!! nested-loop") else f for f in found
             ]
         out.append(f"## {name}")
         out.append("")
