@@ -5668,61 +5668,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # block from the files is the fix); duplicates are structurally
     # impossible.
     return {
-        # -- r13 window: 14 never-gated + waiting_suppliers (r07) + 35
-        # -- stalest r09 rows --------------------------------------------
-        "audio_dup_pairs": q_audio_dup_pairs,
+        # -- r14 window (machine-generated by tools/rotation.py; policy:
+        # -- 4 never-gated rows lead, then 1 force-rotated (fixture/oracle
+        # -- changed this round), then stalest-first by last-green round;
+        # -- window tail sits at r10). Run the FULL tools/check.py
+        # -- before freezing; rotated-out rows keep local-gate + pytest
+        # -- coverage. -------------------------------------------------
+        "binlog_partial_json": q_binlog_partial_json,
         "image_dup_pairs": q_image_dup_pairs,
-        "audio_features": q_audio_features,
-        "avi_audio_features": q_avi_audio_features,
-        "c4_rules": q_c4_rules,
-        "hdr_quantiles": q_hdr_quantiles,
-        "media_pipeline": q_media_pipeline,
-        "media_pipeline_quarantine": q_media_pipeline_quarantine,
-        "netpbm_decode": q_netpbm_decode,
-        "pagerank": q_pagerank,
-        "png_full_decode": q_png_full_decode,
-        "tiff_decode": q_tiff_decode,
-        "triangle_counts": q_triangle_counts,
-        "video_frames": q_video_frames,
-        "zorder_key": q_zorder_key,
-        "waiting_suppliers": q_waiting_suppliers,
-        "ann_pq": q_ann_pq,
-        "ann_pq_index": q_ann_pq_index,
-        "ann_sq8": q_ann_sq8,
-        "ann_sq8_index": q_ann_sq8_index,
-        "bigram_lm_score": q_bigram_lm_score,
-        "binlog_order": q_binlog_order,
-        "bpe_encode": q_bpe_encode,
-        "bpe_learn": q_bpe_learn,
-        "ccnet_buckets": q_ccnet_buckets,
-        "cdc_apply_state": q_cdc_apply_state,
-        "charset_sniff": q_charset_sniff,
-        "cheapest_shipment": q_cheapest_shipment,
-        "checker_diff": q_checker_diff,
-        "checker_retry": q_checker_retry,
-        "continuous_rollup": q_continuous_rollup,
-        "cosine_dup_pairs": q_cosine_dup_pairs,
-        "cosine_topk": q_cosine_topk,
-        "curation_v2": q_curation_v2,
-        "curation_v3": q_curation_v3,
-        "data_card": q_data_card,
-        "excess_suppliers": q_excess_suppliers,
-        "forecast_revenue": q_forecast_revenue,
-        "gopher_repetition": q_gopher_repetition,
-        "hash_split": q_hash_split,
-        "html_extract": q_html_extract,
-        "image_decode": q_image_decode,
-        "jpeg_decode": q_jpeg_decode,
-        "jpeg_meta": q_jpeg_meta,
-        "late_shipments": q_late_shipments,
-        "local_supplier_volume": q_local_supplier_volume,
-        "market_share": q_market_share,
-        "part_supplier_counts": q_part_supplier_counts,
-        "perceptron_train": q_perceptron_train,
-        "png_decode": q_png_decode,
-        "precheck_cdc": q_precheck_cdc,
-        # ---------------------------- slot 50 ends here ----------------------
-        # -- r09 remainder (14 rows): leads the r14 window ---------------
+        "orc_sequenced": q_orc_sequenced,
+        "redis_stream_statements": q_redis_stream_statements,
+        "redis_rdb": q_redis_rdb,
         "product_profit": q_product_profit,
         "promo_effect": q_promo_effect,
         "returned_items": q_returned_items,
@@ -5737,7 +5693,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wav_decode": q_wav_decode,
         "web_pipeline": q_web_pipeline,
         "zero_dates": q_zero_dates,
-        # -- last gated r10 --
         "ann_ivf": q_ann_ivf,
         "ann_ivfpq": q_ann_ivfpq,
         "cms_heavy_hitters": q_cms_heavy_hitters,
@@ -5764,7 +5719,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_trade_flows": q_nation_trade_flows,
         "ngram_minhash": q_ngram_minhash,
         "orc_roundtrip": q_orc_roundtrip,
-        "orc_sequenced": q_orc_sequenced,
         "partition_lanes": q_partition_lanes,
         "pricing_summary": q_pricing_summary,
         "salted_join": q_salted_join,
@@ -5787,10 +5741,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_learn": q_unigram_learn,
         "wordpiece_encode": q_wordpiece_encode,
         "wordpiece_learn": q_wordpiece_learn,
-        # -- last gated r11 --
         "avro_roundtrip": q_avro_roundtrip,
         "binlog_file_parse": q_binlog_file_parse,
-        "binlog_partial_json": q_binlog_partial_json,
         "checker_summary": q_checker_summary,
         "customer_set_ops": q_customer_set_ops,
         "data_marker_filter": q_data_marker_filter,
@@ -5815,7 +5767,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redis_compact": q_redis_compact,
         "redis_slot_stats": q_redis_slot_stats,
         "redis_statements": q_redis_statements,
-        "redis_stream_statements": q_redis_stream_statements,
         "revenue_by_nation": q_revenue_by_nation,
         "reverse_events": q_reverse_events,
         "review": q_review,
@@ -5840,7 +5791,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "upsert_sql_mysql": q_upsert_sql_mysql,
         "upsert_sql_pg": q_upsert_sql_pg,
         "wire_roundtrip": q_wire_roundtrip,
-        # -- last gated r12 --
         "ann_ivf_index": q_ann_ivf_index,
         "ann_ivfpq_index": q_ann_ivfpq_index,
         "ann_lsh": q_ann_lsh,
@@ -5877,7 +5827,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pgoutput_file_parse": q_pgoutput_file_parse,
         "pii_redact": q_pii_redact,
         "quality_score": q_quality_score,
-        "redis_rdb": q_redis_rdb,
         "rep_stats": q_rep_stats,
         "sequence_packing": q_sequence_packing,
         "session_windows": q_session_windows,
@@ -5891,6 +5840,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_mix": q_token_mix,
         "vocab_topk": q_vocab_topk,
         "windowed_counts": q_windowed_counts,
+        "ann_pq": q_ann_pq,
+        "ann_pq_index": q_ann_pq_index,
+        "ann_sq8": q_ann_sq8,
+        "ann_sq8_index": q_ann_sq8_index,
+        "audio_dup_pairs": q_audio_dup_pairs,
+        "audio_features": q_audio_features,
+        "avi_audio_features": q_avi_audio_features,
+        "bigram_lm_score": q_bigram_lm_score,
+        "binlog_order": q_binlog_order,
+        "bpe_encode": q_bpe_encode,
+        "bpe_learn": q_bpe_learn,
+        "c4_rules": q_c4_rules,
+        "ccnet_buckets": q_ccnet_buckets,
+        "cdc_apply_state": q_cdc_apply_state,
+        "charset_sniff": q_charset_sniff,
+        "cheapest_shipment": q_cheapest_shipment,
+        "checker_diff": q_checker_diff,
+        "checker_retry": q_checker_retry,
+        "continuous_rollup": q_continuous_rollup,
+        "cosine_dup_pairs": q_cosine_dup_pairs,
+        "cosine_topk": q_cosine_topk,
+        "curation_v2": q_curation_v2,
+        "curation_v3": q_curation_v3,
+        "data_card": q_data_card,
+        "excess_suppliers": q_excess_suppliers,
+        "forecast_revenue": q_forecast_revenue,
+        "gopher_repetition": q_gopher_repetition,
+        "hash_split": q_hash_split,
+        "hdr_quantiles": q_hdr_quantiles,
+        "html_extract": q_html_extract,
+        "image_decode": q_image_decode,
+        "jpeg_decode": q_jpeg_decode,
+        "jpeg_meta": q_jpeg_meta,
+        "late_shipments": q_late_shipments,
+        "local_supplier_volume": q_local_supplier_volume,
+        "market_share": q_market_share,
+        "media_pipeline": q_media_pipeline,
+        "media_pipeline_quarantine": q_media_pipeline_quarantine,
+        "netpbm_decode": q_netpbm_decode,
+        "pagerank": q_pagerank,
+        "part_supplier_counts": q_part_supplier_counts,
+        "perceptron_train": q_perceptron_train,
+        "png_decode": q_png_decode,
+        "png_full_decode": q_png_full_decode,
+        "precheck_cdc": q_precheck_cdc,
+        "tiff_decode": q_tiff_decode,
+        "triangle_counts": q_triangle_counts,
+        "video_frames": q_video_frames,
+        "waiting_suppliers": q_waiting_suppliers,
+        "zorder_key": q_zorder_key,
     }
 
 
