@@ -3575,22 +3575,24 @@ def encode_tiff(
     predictor: int = 1,
     jpeg: bool = False,
     tiles: tuple | None = None,
+    deflate: bool = False,
 ) -> bytes:
     """Baseline TIFF writer: (h, w) grayscale or (h, w, 3) RGB uint8,
     strip-organized (or TILED via ``tiles=(tile_w, tile_h)`` — tags
     322/323/324/325, row-major grid, edge tiles zero-padded to full size,
     the pyramidal/GeoTIFF layout), either byte order. Compression: none,
     PackBits (compressed PER ROW within each strip per TIFF 6.0 §9 — runs
-    never cross row boundaries), LZW (§13, early-change widths, optionally
-    with the horizontal-differencing Predictor tag 317), or new-style JPEG
+    never cross row boundaries), LZW (§13, early-change widths), Adobe
+    Deflate (8, one zlib stream per block) — LZW/Deflate optionally with
+    the horizontal-differencing Predictor tag 317 — or new-style JPEG
     (compression 7, TIFF Tech Note 2: per-block abbreviated JPEG streams
     sharing one JPEGTables tag holding the DQT segments)."""
-    if sum((packbits, lzw, jpeg)) > 1:
-        raise ValueError("choose one of packbits/lzw/jpeg")
+    if sum((packbits, lzw, jpeg, deflate)) > 1:
+        raise ValueError("choose one of packbits/lzw/jpeg/deflate")
     if predictor not in (1, 2):
         raise ValueError(f"predictor must be 1 or 2, got {predictor}")
-    if predictor == 2 and not lzw:
-        raise ValueError("Predictor=2 is written with LZW compression only")
+    if predictor == 2 and not (lzw or deflate):
+        raise ValueError("Predictor=2 is written with LZW/Deflate compression only")
     if jpeg and white_is_zero:
         raise ValueError("WhiteIsZero does not apply to JPEG strips")
     px = np.asarray(pixels, dtype=np.uint8)
@@ -3640,6 +3642,8 @@ def encode_tiff(
                 strips.append(b"".join(_packbits_encode(r.tobytes()) for r in raw_rows))
             elif lzw:
                 strips.append(_lzw_encode_tiff(raw_rows.tobytes()))
+            elif deflate:  # Adobe Deflate (8): one zlib stream per block
+                strips.append(zlib.compress(raw_rows.tobytes(), 6))
             else:
                 strips.append(raw_rows.tobytes())
 
@@ -3652,7 +3656,9 @@ def encode_tiff(
         return head + struct.pack(f"{bo}I", value)
 
     n_strips = len(strips)
-    compression = 32773 if packbits else (5 if lzw else (7 if jpeg else 1))
+    compression = 32773 if packbits else (
+        5 if lzw else (7 if jpeg else (8 if deflate else 1))
+    )
     # layout: header(8) + IFD + [bits array if spp=3] + strip/tile tables +
     # [JPEGTables blob] + data blocks
     n_entries = (10 if tiles else 9) + (1 if predictor == 2 else 0) + (
@@ -3797,9 +3803,9 @@ def parse_tiff(payload: bytes, return_pixels: bool = False) -> dict:
     if any(b != 8 for b in bits):
         raise NotImplementedError(f"only 8-bit TIFF samples supported (got {bits})")
     comp = tags.get("compression", [1])[0]
-    if comp not in (1, 5, 7, 32773):
+    if comp not in (1, 5, 7, 8, 32773):
         raise NotImplementedError(
-            f"TIFF compression {comp} unsupported (only none/LZW/JPEG/PackBits)"
+            f"TIFF compression {comp} unsupported (none/LZW/JPEG/Deflate/PackBits)"
         )
     predictor = tags.get("predictor", [1])[0]
     if predictor not in (1, 2):
@@ -3878,6 +3884,8 @@ def parse_tiff(payload: bytes, return_pixels: bool = False) -> dict:
                 return _packbits_decode(b, expected)
             if comp == 5:
                 return _lzw_decode_tiff(b, expected)
+            if comp == 8:  # Adobe Deflate: one zlib stream per strip/tile
+                return zlib.decompress(b)
             return b
 
         if tiled:

@@ -967,10 +967,10 @@ def test_tiff_full_matrix_and_dispatch():
     assert out["format"] == "tiff" and out["px_sum"] == int(g.astype(np.int64).sum())
     with pytest.raises(NotImplementedError, match="compression"):
         bad = bytearray(mc.encode_tiff(g))
-        # compression tag value lives in the 4th IFD entry; flip to Adobe
-        # Deflate (8), still honestly unsupported (LZW and JPEG are real now)
+        # compression tag value lives in the 4th IFD entry; flip to JBIG
+        # (9), still honestly unsupported (LZW/JPEG/Deflate are real now)
         ifd = 8 + 2
-        bad[ifd + 3 * 12 + 8] = 8
+        bad[ifd + 3 * 12 + 8] = 9
         mc.parse_tiff(bytes(bad))
     with pytest.raises(ValueError, match="byte-order"):
         mc.parse_tiff(b"XX\x2a\x00")
@@ -1207,3 +1207,19 @@ def test_tiff_tiled_matrix():
     with _pytest.raises(ValueError):
         # chop one tile's bytes off the end -> truncated tile
         mc.parse_tiff(bytes(blob[:-3]))
+
+
+def test_tiff_deflate_roundtrip_matrix():
+    """Adobe Deflate TIFF (compression 8): one zlib stream per strip/tile,
+    both byte orders, with and without the horizontal predictor."""
+    import numpy as np
+
+    rng = np.random.RandomState(9)
+    for shape in ((13, 11, 3), (9, 14)):
+        px = rng.randint(0, 256, shape).astype(np.uint8)
+        for kw in (dict(deflate=True), dict(deflate=True, predictor=2),
+                   dict(deflate=True, tiles=(8, 4))):
+            for be in (False, True):
+                rec = mc.parse_tiff(mc.encode_tiff(px, big_endian=be, **kw),
+                                    return_pixels=True)
+                assert np.array_equal(rec["pixels"], px), (shape, kw, be)

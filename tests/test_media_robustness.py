@@ -114,7 +114,7 @@ def test_capability_boundaries_stay_notimplemented():
     # the guard must NOT convert honest capability boundaries
     g = _GRAY[:4, :5]
     bad = bytearray(mc.encode_tiff(g))
-    bad[8 + 2 + 3 * 12 + 8] = 8  # compression -> 8 (Adobe Deflate): unsupported
+    bad[8 + 2 + 3 * 12 + 8] = 9  # compression -> 9 (JBIG): unsupported
     with pytest.raises(NotImplementedError):
         mc.parse_tiff(bytes(bad))
 
