@@ -291,7 +291,8 @@ def commands_to_entries(cmds: DataFrame, track_select: bool = False) -> DataFram
     simple_rtype = lit_map({k: v[0] for k, v in _SIMPLE.items()})
     simple_etype = lit_map({k: v[1] or "" for k, v in _SIMPLE.items()})
     a = (
-        base.filter(~F.col("_cmd").isin(*(set(_MEMBER_LIST) | set(_PAIR_LIST) | {"DEL", "UNLINK"})))
+        base.filter(~F.col("_cmd").isin(*(set(_MEMBER_LIST) | set(_PAIR_LIST)
+                                          | {"DEL", "UNLINK", "XADD", "XSETID"})))
         .select(
             F.col("_db").alias("db_id"),
             "seq",
@@ -367,7 +368,74 @@ def commands_to_entries(cmds: DataFrame, track_select: bool = False) -> DataFram
         )
     )
 
-    return a.unionByName(b).unionByName(c).unionByName(d)
+    # shape E: streams in the command path — XADD key [MAXLEN [~|=] n]
+    # [NOMKSTREAM] id field value ... and XSETID key id, emitted in the
+    # same row families the RDB stream decoder produces (entry_type
+    # 'stream' member 'id:field' / 'stream_meta' member 'last_id'), so
+    # compact's per-member last-writer replays them and the sinker's
+    # stream rewriter round-trips them. The explicit-id requirement is
+    # structural: a '*' auto-id only exists on a live server, so those
+    # XADDs surface as rtype='unknown' precheck rows instead of guessing.
+    xadd = base.filter(F.col("_cmd") == "XADD")
+    # F.get (0-based, null out-of-bounds) — element_at would raise under
+    # ANSI when no argument matches the explicit-id pattern ('*' XADDs)
+    id_pos = F.get(
+        F.filter(
+            F.transform(
+                F.sequence(F.lit(3), F.size("argv")),
+                lambda i: F.struct(i.alias("i"), F.element_at("argv", i).alias("v")),
+            ),
+            lambda s: s["v"].rlike("^[0-9]+-[0-9]+$"),
+        ),
+        0,
+    )["i"]
+    xadd = xadd.withColumn("_idp", id_pos)
+    e_rows = (
+        xadd.filter(F.col("_idp").isNotNull())
+        .select(
+            "_db", "seq", key.alias("_key"), "argv", "_idp",
+            F.explode(F.sequence(F.col("_idp") + 1, F.size("argv") - 1, F.lit(2))).alias("i"),
+        )
+        .select(
+            F.col("_db").alias("db_id"),
+            "seq",
+            F.col("_key").alias("key"),
+            F.lit("madd").alias("rtype"),
+            F.lit("stream").alias("entry_type"),
+            F.concat(
+                F.element_at("argv", F.col("_idp").cast("int")),
+                F.lit(":"),
+                F.element_at("argv", F.col("i").cast("int")),
+            ).alias("member"),
+            F.element_at("argv", F.col("i").cast("int") + 1).alias("value"),
+            ((F.col("i") - F.col("_idp") - 1) / 2).cast("int").alias("pos"),
+        )
+    )
+    e_auto = xadd.filter(F.col("_idp").isNull()).select(
+        F.col("_db").alias("db_id"),
+        "seq",
+        key.alias("key"),
+        F.lit("unknown").alias("rtype"),
+        F.lit(None).cast("string").alias("entry_type"),
+        F.lit("XADD").alias("member"),
+        F.lit(None).cast("string").alias("value"),
+        F.lit(0).alias("pos"),
+    )
+    xsetid = base.filter(F.col("_cmd") == "XSETID").select(
+        F.col("_db").alias("db_id"),
+        "seq",
+        key.alias("key"),
+        F.lit("madd").alias("rtype"),
+        F.lit("stream_meta").alias("entry_type"),
+        F.lit("last_id").alias("member"),
+        F.element_at("argv", 3).alias("value"),
+        F.lit(0).alias("pos"),
+    )
+
+    return (
+        a.unionByName(b).unionByName(c).unionByName(d)
+        .unionByName(e_rows).unionByName(e_auto).unionByName(xsetid)
+    )
 
 
 def compact_entries(entries: DataFrame) -> DataFrame:

@@ -636,3 +636,51 @@ def test_hash_ex_state_to_commands(spark):
         "HSET hx f0 v0",
         "HSET hx f1 v1",
     ]
+
+
+def test_xadd_xsetid_command_path(spark):
+    """Streams in the command/AOF path: XADD rows land in the same
+    (stream, 'id:field') / (stream_meta, 'last_id') families the RDB
+    decoder emits; MAXLEN/NOMKSTREAM arguments are skipped to the explicit
+    id; '*' auto-ids surface as precheck 'unknown' rows; XSETID is
+    last-writer; DEL tombstones the stream; the sinker round-trips the
+    compacted state back to XADD/XSETID."""
+    from ape_dts_spark.sinks.redis import state_to_commands
+
+    lines = [
+        "XADD st 100-1 a va b vb",
+        "XADD st MAXLEN ~ 1000 101-0 a x",
+        "XADD st 101-0 a y",            # same id+field: last-writer wins
+        "XSETID st 99-9",
+        "XSETID st 200-0",               # last XSETID wins
+        "XADD auto * f v",               # server-assigned id: not replayable
+        "XADD gone 5-5 k v",
+        "DEL gone",
+    ]
+    state = state_of(spark, lines)
+    rows = {(r["entry_type"], r["member"]): r["value"] for r in state.collect()}
+    assert rows == {
+        ("stream", "100-1:a"): "va",
+        ("stream", "100-1:b"): "vb",
+        ("stream", "101-0:a"): "y",
+        ("stream_meta", "last_id"): "200-0",
+    }
+    cmds = sorted(
+        r["inline"]
+        for r in state_to_commands(
+            spark.createDataFrame(
+                [(0, "st", e, m, v, 0, None) for (e, m), v in rows.items()],
+                "db_id long, key string, entry_type string, member string, "
+                "value string, ord long, expire string",
+            )
+        ).collect()
+    )
+    assert cmds == [
+        "XADD st 100-1 a va b vb",
+        "XADD st 101-0 a y",
+        "XSETID st 200-0",
+    ]
+    # the '*' XADD surfaced for precheck instead of silently vanishing
+    entries = commands_to_entries(commands_from_lines(lines_df(spark, lines)))
+    unk = entries.filter(F.col("rtype") == "unknown").collect()
+    assert [(r["key"], r["member"]) for r in unk] == [("auto", "XADD")]
