@@ -292,7 +292,7 @@ def commands_to_entries(cmds: DataFrame, track_select: bool = False) -> DataFram
     simple_etype = lit_map({k: v[1] or "" for k, v in _SIMPLE.items()})
     a = (
         base.filter(~F.col("_cmd").isin(*(set(_MEMBER_LIST) | set(_PAIR_LIST)
-                                          | {"DEL", "UNLINK", "XADD", "XSETID"})))
+                                          | {"DEL", "UNLINK", "XADD", "XSETID", "XDEL"})))
         .select(
             F.col("_db").alias("db_id"),
             "seq",
@@ -421,6 +421,20 @@ def commands_to_entries(cmds: DataFrame, track_select: bool = False) -> DataFram
         F.lit(None).cast("string").alias("value"),
         F.lit(0).alias("pos"),
     )
+    xdel = (
+        base.filter(F.col("_cmd") == "XDEL")
+        .select("_db", "seq", key.alias("_key"), F.posexplode(F.slice("argv", 3, 1_000_000)))
+        .select(
+            F.col("_db").alias("db_id"),
+            "seq",
+            F.col("_key").alias("key"),
+            F.lit("xdel").alias("rtype"),
+            F.lit("stream").alias("entry_type"),
+            F.col("col").alias("member"),  # the stream id; tombstones id:*
+            F.lit(None).cast("string").alias("value"),
+            F.col("pos").cast("int").alias("pos"),
+        )
+    )
     xsetid = base.filter(F.col("_cmd") == "XSETID").select(
         F.col("_db").alias("db_id"),
         "seq",
@@ -434,7 +448,7 @@ def commands_to_entries(cmds: DataFrame, track_select: bool = False) -> DataFram
 
     return (
         a.unionByName(b).unionByName(c).unionByName(d)
-        .unionByName(e_rows).unionByName(e_auto).unionByName(xsetid)
+        .unionByName(e_rows).unionByName(e_auto).unionByName(xdel).unionByName(xsetid)
     )
 
 
@@ -522,6 +536,23 @@ def compact_entries(entries: DataFrame) -> DataFrame:
             F.lit(0).cast("long").alias("ord"),
             F.col("m_seq").alias("seq"),
         )
+    )
+    # XDEL tombstones a whole stream entry (every id:field member of that
+    # id) without knowing its fields: join on the id prefix, keep rows that
+    # postdate the delete (an XADD re-adding the id survives, like Redis)
+    xdels = (
+        entries.filter(F.col("rtype") == "xdel")
+        .groupBy("db_id", "key", F.col("member").alias("_sid"))
+        .agg(F.max("seq").alias("xdel_seq"))
+    )
+    members = (
+        members.withColumn(
+            "_sid",
+            F.when(F.col("entry_type") == "stream", F.substring_index("member", ":", 1)),
+        )
+        .join(xdels, ["db_id", "key", "_sid"], "left")
+        .filter(F.col("xdel_seq").isNull() | (F.col("seq") > F.col("xdel_seq")))
+        .drop("_sid", "xdel_seq")
     )
 
     # lists: every surviving element in final order. Each LPUSH lands further

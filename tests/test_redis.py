@@ -684,3 +684,27 @@ def test_xadd_xsetid_command_path(spark):
     entries = commands_to_entries(commands_from_lines(lines_df(spark, lines)))
     unk = entries.filter(F.col("rtype") == "unknown").collect()
     assert [(r["key"], r["member"]) for r in unk] == [("auto", "XADD")]
+
+
+def test_xdel_command_path(spark):
+    """XDEL tombstones every field of the named entry ids without knowing
+    the fields; an XADD re-adding a deleted id survives (Redis replay
+    order); XSETID and other entries are untouched."""
+    lines = [
+        "XADD st 100-1 a va b vb",
+        "XADD st 101-0 a x",
+        "XDEL st 100-1 555-5",
+        "XADD st 100-1 a re",       # re-added after the delete: survives
+        "XADD st 102-0 c z",
+        "XDEL st 102-0",
+        "XSETID st 102-0",
+    ]
+    rows = {
+        (r["entry_type"], r["member"]): r["value"]
+        for r in state_of(spark, lines).collect()
+    }
+    assert rows == {
+        ("stream", "100-1:a"): "re",
+        ("stream", "101-0:a"): "x",
+        ("stream_meta", "last_id"): "102-0",
+    }
