@@ -3068,6 +3068,7 @@ def encode_avi(
     audio: np.ndarray | None = None,
     audio_rate: int = 16000,
     audio_channels: int = 1,
+    audio_format: int = 1,
 ) -> bytes:
     """AVI writer over same-sized frames. ``codec='dib'``: frames are
     (h, w, 3) uint8 RGB, stored as raw bottom-up BGR DIB rows with 4-byte
@@ -3116,14 +3117,21 @@ def encode_avi(
     audio_chunks: list[bytes] = []
     audio_strl = b""
     if audio is not None:
+        if audio_format not in (1, 6, 7):
+            raise ValueError(f"audio_format must be 1 (PCM16) / 6 (A-law) / 7 (mu-law), got {audio_format}")
         s = np.asarray(audio, dtype=np.int64).reshape(-1, audio_channels)
         n_aframes = s.shape[0]
         spf = audio_rate // fps  # audio frames per video frame
         for i in range(len(frames)):
             lo = i * spf
             hi = (i + 1) * spf if i < len(frames) - 1 else n_aframes
-            audio_chunks.append(s[lo:hi].astype("<i2").tobytes())
-        block_align = 2 * audio_channels
+            block = s[lo:hi]
+            if audio_format == 1:
+                audio_chunks.append(block.astype("<i2").tobytes())
+            else:  # G.711: one companded byte per sample
+                enc = _alaw_encode if audio_format == 6 else _ulaw_encode
+                audio_chunks.append(enc(block.reshape(-1)).astype(np.uint8).tobytes())
+        block_align = (2 if audio_format == 1 else 1) * audio_channels
         a_strh = (
             b"auds" + b"\x00" * 4
             + struct.pack(
@@ -3134,8 +3142,8 @@ def encode_avi(
             + struct.pack("<4H", 0, 0, 0, 0)
         )
         a_strf = struct.pack(
-            "<HHIIHH", 1, audio_channels, audio_rate,
-            audio_rate * block_align, block_align, 16,
+            "<HHIIHH", audio_format, audio_channels, audio_rate,
+            audio_rate * block_align, block_align, 16 if audio_format == 1 else 8,
         )
         audio_strl = _riff_list(
             b"strl", _riff_chunk(b"strh", a_strh) + _riff_chunk(b"strf", a_strf)
@@ -3262,9 +3270,16 @@ def parse_avi(payload: bytes, return_frames: bool = False) -> dict:
         if streams[audio_idx][1] is None:
             raise ValueError("auds stream missing strf")
         audio_fmt = struct.unpack_from("<HHIIHH", streams[audio_idx][1], 0)
-        if audio_fmt[0] != 1 or audio_fmt[5] != 16:
+        # PCM16 plus the G.711 telephony companders (same decoders the WAV
+        # path uses); IMA-ADPCM in AVI needs block-aligned chunking and
+        # stays an honest boundary
+        if not (
+            (audio_fmt[0] == 1 and audio_fmt[5] == 16)
+            or (audio_fmt[0] in (6, 7) and audio_fmt[5] == 8)
+        ):
             raise NotImplementedError(
-                f"AVI audio: only PCM16 supported (format={audio_fmt[0]} bits={audio_fmt[5]})"
+                f"AVI audio: PCM16 / G.711 A-law / mu-law supported "
+                f"(format={audio_fmt[0]} bits={audio_fmt[5]})"
             )
     if idx1 is not None:
         # validate the entries that are PRESENT (r13, ADVICE r12: legal
@@ -3311,11 +3326,15 @@ def parse_avi(payload: bytes, return_frames: bool = False) -> dict:
         if frames
         else np.zeros(0, dtype=np.int64)
     )
-    audio = (
-        np.frombuffer(b"".join(audio_parts), dtype="<i2").astype(np.int64)
-        if audio_parts
-        else np.zeros(0, dtype=np.int64)
-    )
+    if audio_parts:
+        raw_a = b"".join(audio_parts)
+        if audio_fmt[0] == 1:
+            audio = np.frombuffer(raw_a, dtype="<i2").astype(np.int64)
+        else:  # G.711: one byte per sample -> expanded PCM
+            codes = np.frombuffer(raw_a, dtype=np.uint8).astype(np.int64)
+            audio = _alaw_decode(codes) if audio_fmt[0] == 6 else _ulaw_decode(codes)
+    else:
+        audio = np.zeros(0, dtype=np.int64)
     rec = {
         "codec": "dib" if compression == 0 else "mjpg",
         "width": w,

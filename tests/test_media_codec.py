@@ -1223,3 +1223,27 @@ def test_tiff_deflate_roundtrip_matrix():
                 rec = mc.parse_tiff(mc.encode_tiff(px, big_endian=be, **kw),
                                     return_pixels=True)
                 assert np.array_equal(rec["pixels"], px), (shape, kw, be)
+
+
+def test_avi_g711_audio_tracks():
+    """AVI 'auds' streams in G.711 A-law (6) and mu-law (7): one companded
+    byte per sample, expanded through the same decoders the WAV path uses;
+    decode equals the WAV G.711 roundtrip exactly."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    frames = [rng.randint(0, 256, (8, 8, 3)).astype(np.uint8) for _ in range(3)]
+    samples = rng.randint(-2000, 2000, 600).astype(np.int16)
+    for fmt, enc, dec in ((6, mc._alaw_encode, mc._alaw_decode),
+                          (7, mc._ulaw_encode, mc._ulaw_decode)):
+        rec = mc.parse_avi(
+            mc.encode_avi(frames, audio=samples, audio_format=fmt),
+            return_frames=True,
+        )
+        exp = dec(enc(samples.astype(np.int64)).astype(np.int64))
+        assert np.array_equal(rec["audio"], exp)
+        assert rec["audio_samples"] == 600 and rec["has_audio"]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="audio_format"):
+        mc.encode_avi(frames, audio=samples, audio_format=2)
