@@ -459,6 +459,25 @@ def encode_wav_ima(
     is the decoder-exact signal the nibble stream represents (ADPCM is
     lossy; the encoder tracks the decoded predictor, so parse_wav on the
     output must reproduce ``reconstructed`` bit-for-bit)."""
+    data, block_align, recon = _ima_encode_blocks(samples, n_channels, samples_per_block)
+    byte_rate = sample_rate * block_align // samples_per_block
+    fmt = struct.pack(
+        "<HHIIHHHH", 0x11, n_channels, sample_rate, byte_rate, block_align, 4,
+        2, samples_per_block,  # cbSize + wSamplesPerBlock extension
+    )
+    body = (
+        b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + bytes(data)
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body, recon
+
+
+def _ima_encode_blocks(
+    samples: np.ndarray, n_channels: int, samples_per_block: int
+) -> tuple[bytes, int, np.ndarray]:
+    """IMA-ADPCM block encoder shared by the WAV (format 0x11) and AVI
+    ('auds' format 0x11) writers: (data_bytes, block_align, decoder-exact
+    reconstruction)."""
     s = np.asarray(samples, dtype=np.int64).reshape(-1, n_channels)
     if (samples_per_block - 1) % 8:
         raise ValueError("samples_per_block must be 1 + multiple of 8")
@@ -519,16 +538,7 @@ def encode_wav_ima(
                     lo = nibbles[c][g * 8 + 2 * k]
                     hi = nibbles[c][g * 8 + 2 * k + 1]
                     data.append(lo | (hi << 4))
-    byte_rate = sample_rate * block_align // samples_per_block
-    fmt = struct.pack(
-        "<HHIIHHHH", 0x11, n_channels, sample_rate, byte_rate, block_align, 4,
-        2, samples_per_block,  # cbSize + wSamplesPerBlock extension
-    )
-    body = (
-        b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
-        + b"data" + struct.pack("<I", len(data)) + bytes(data)
-    )
-    return b"RIFF" + struct.pack("<I", len(body)) + body, recon[: n_blocks * samples_per_block]
+    return bytes(data), block_align, recon[: n_blocks * samples_per_block]
 
 
 # IMA-ADPCM tables (IMA ADPCM spec / Microsoft WAVE format 0x11)
@@ -3117,21 +3127,32 @@ def encode_avi(
     audio_chunks: list[bytes] = []
     audio_strl = b""
     if audio is not None:
-        if audio_format not in (1, 6, 7):
-            raise ValueError(f"audio_format must be 1 (PCM16) / 6 (A-law) / 7 (mu-law), got {audio_format}")
+        if audio_format not in (1, 6, 7, 0x11):
+            raise ValueError(
+                "audio_format must be 1 (PCM16) / 6 (A-law) / 7 (mu-law) / "
+                f"0x11 (IMA-ADPCM), got {audio_format}"
+            )
         s = np.asarray(audio, dtype=np.int64).reshape(-1, audio_channels)
         n_aframes = s.shape[0]
-        spf = audio_rate // fps  # audio frames per video frame
-        for i in range(len(frames)):
-            lo = i * spf
-            hi = (i + 1) * spf if i < len(frames) - 1 else n_aframes
-            block = s[lo:hi]
-            if audio_format == 1:
-                audio_chunks.append(block.astype("<i2").tobytes())
-            else:  # G.711: one companded byte per sample
-                enc = _alaw_encode if audio_format == 6 else _ulaw_encode
-                audio_chunks.append(enc(block.reshape(-1)).astype(np.uint8).tobytes())
-        block_align = (2 if audio_format == 1 else 1) * audio_channels
+        if audio_format == 0x11:
+            # IMA-ADPCM: chunks must carry WHOLE self-contained blocks (the
+            # per-video-frame split would cut predictor state mid-block)
+            data, block_align, _recon = _ima_encode_blocks(s, audio_channels, 505)
+            audio_chunks = [
+                data[o : o + block_align] for o in range(0, len(data), block_align)
+            ]
+        else:
+            spf = audio_rate // fps  # audio frames per video frame
+            for i in range(len(frames)):
+                lo = i * spf
+                hi = (i + 1) * spf if i < len(frames) - 1 else n_aframes
+                block = s[lo:hi]
+                if audio_format == 1:
+                    audio_chunks.append(block.astype("<i2").tobytes())
+                else:  # G.711: one companded byte per sample
+                    enc = _alaw_encode if audio_format == 6 else _ulaw_encode
+                    audio_chunks.append(enc(block.reshape(-1)).astype(np.uint8).tobytes())
+            block_align = (2 if audio_format == 1 else 1) * audio_channels
         a_strh = (
             b"auds" + b"\x00" * 4
             + struct.pack(
@@ -3141,10 +3162,16 @@ def encode_avi(
             )
             + struct.pack("<4H", 0, 0, 0, 0)
         )
-        a_strf = struct.pack(
-            "<HHIIHH", audio_format, audio_channels, audio_rate,
-            audio_rate * block_align, block_align, 16 if audio_format == 1 else 8,
-        )
+        if audio_format == 0x11:
+            a_strf = struct.pack(
+                "<HHIIHHHH", 0x11, audio_channels, audio_rate,
+                audio_rate * block_align // 505, block_align, 4, 2, 505,
+            )
+        else:
+            a_strf = struct.pack(
+                "<HHIIHH", audio_format, audio_channels, audio_rate,
+                audio_rate * block_align, block_align, 16 if audio_format == 1 else 8,
+            )
         audio_strl = _riff_list(
             b"strl", _riff_chunk(b"strh", a_strh) + _riff_chunk(b"strf", a_strf)
         )
@@ -3172,15 +3199,22 @@ def encode_avi(
     )
     movi_body = b""
     idx = b""
+    def _emit_audio(a: bytes) -> None:
+        nonlocal movi_body, idx
+        idx += b"01wb" + struct.pack("<III", 0x10, 4 + len(movi_body), len(a))
+        movi_body += _riff_chunk(b"01wb", a)
+
     for i, p in enumerate(payloads):
         # idx1 offsets point at the chunk header, relative to the 'movi'
         # fourcc (the common muxer convention): first chunk lands at 4.
         idx += ckid + struct.pack("<III", 0x10, 4 + len(movi_body), len(p))
         movi_body += _riff_chunk(ckid, p)
-        if audio_chunks:
-            a = audio_chunks[i]
-            idx += b"01wb" + struct.pack("<III", 0x10, 4 + len(movi_body), len(a))
-            movi_body += _riff_chunk(b"01wb", a)
+        # interleave one audio chunk per frame while chunks remain (ADPCM
+        # block counts need not match the frame count)
+        if i < len(audio_chunks):
+            _emit_audio(audio_chunks[i])
+    for a in audio_chunks[len(payloads):]:  # leftover blocks trail the video
+        _emit_audio(a)
     body = b"AVI " + hdrl + _riff_list(b"movi", movi_body) + _riff_chunk(b"idx1", idx)
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
@@ -3276,9 +3310,10 @@ def parse_avi(payload: bytes, return_frames: bool = False) -> dict:
         if not (
             (audio_fmt[0] == 1 and audio_fmt[5] == 16)
             or (audio_fmt[0] in (6, 7) and audio_fmt[5] == 8)
+            or (audio_fmt[0] == 0x11 and audio_fmt[5] == 4)
         ):
             raise NotImplementedError(
-                f"AVI audio: PCM16 / G.711 A-law / mu-law supported "
+                f"AVI audio: PCM16 / G.711 A-law / mu-law / IMA-ADPCM supported "
                 f"(format={audio_fmt[0]} bits={audio_fmt[5]})"
             )
     if idx1 is not None:
@@ -3330,6 +3365,8 @@ def parse_avi(payload: bytes, return_frames: bool = False) -> dict:
         raw_a = b"".join(audio_parts)
         if audio_fmt[0] == 1:
             audio = np.frombuffer(raw_a, dtype="<i2").astype(np.int64)
+        elif audio_fmt[0] == 0x11:  # IMA-ADPCM: whole blocks per chunk
+            audio = _ima_adpcm_decode(raw_a, int(audio_fmt[1]), int(audio_fmt[4])).astype(np.int64).reshape(-1)
         else:  # G.711: one byte per sample -> expanded PCM
             codes = np.frombuffer(raw_a, dtype=np.uint8).astype(np.int64)
             audio = _alaw_decode(codes) if audio_fmt[0] == 6 else _ulaw_decode(codes)

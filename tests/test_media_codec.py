@@ -1247,3 +1247,24 @@ def test_avi_g711_audio_tracks():
 
     with _pytest.raises(ValueError, match="audio_format"):
         mc.encode_avi(frames, audio=samples, audio_format=2)
+
+
+def test_avi_ima_adpcm_audio_track():
+    """AVI IMA-ADPCM 'auds' streams: whole self-contained blocks per chunk
+    (a per-video-frame split would cut predictor state); decode reproduces
+    the shared block encoder's decoder-exact reconstruction bit-for-bit."""
+    import numpy as np
+
+    rng = np.random.RandomState(13)
+    frames = [rng.randint(0, 256, (8, 8, 3)).astype(np.uint8) for _ in range(3)]
+    t = np.arange(1500)
+    sig = (8000 * np.sin(t / 20) + 3000 * np.sin(t / 7)).astype(np.int64)
+    for ch in (1, 2):
+        x = sig if ch == 1 else np.stack([sig, -sig], axis=1).reshape(-1)
+        rec = mc.parse_avi(
+            mc.encode_avi(frames, audio=x, audio_channels=ch, audio_format=0x11),
+            return_frames=True,
+        )
+        _d, _ba, recon = mc._ima_encode_blocks(x, ch, 505)
+        assert np.array_equal(rec["audio"].reshape(-1), recon.reshape(-1)), ch
+        assert rec["audio_samples"] == 1515  # 3 blocks x 505, tail padded

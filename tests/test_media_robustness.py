@@ -41,6 +41,10 @@ PAYLOADS = {
     "jpeg_prog": (mc.encode_jpeg_progressive(_GRAY), mc.decode_jpeg),
     "wav": (mc.encode_wav(_SAMPLES, 8000), mc.parse_wav),
     "avi": (mc.encode_avi(_FRAMES, audio=_SAMPLES[:300]), mc.parse_avi),
+    "avi_ima": (
+        mc.encode_avi(_FRAMES, audio=_SAMPLES[:300], audio_format=0x11),
+        mc.parse_avi,
+    ),
     "tiff": (mc.encode_tiff(_PX, packbits=True), mc.parse_tiff),
     "tiff_lzw": (mc.encode_tiff(_PX, lzw=True, predictor=2), mc.parse_tiff),
     "tiff_jpeg": (mc.encode_tiff(_PX, jpeg=True, rows_per_strip=8), mc.parse_tiff),
