@@ -199,6 +199,118 @@ def state_to_commands(state: DataFrame) -> DataFrame:
     return base.unionByName(stream_state_to_commands(streams))
 
 
+def state_to_restore_commands(
+    state: DataFrame,
+    redis_version: float = 7.4,
+    stream_version: int = 3,
+    hash_field_ttl: str = "listpackex",
+) -> DataFrame:
+    """RESTORE-mode sinker (``RedisWriteMethod::Restore``): the reference's
+    second rewrite mode next to typed commands — serialize each key's value
+    to the DUMP wire format (RDB value payload + 2-byte LE RDB version 6 +
+    8-byte LE CRC-64/Jones, entry_rewriter.rs:347-386 create_value_dump)
+    and emit one ``RESTORE key ttl payload [REPLACE]`` per key
+    (redis_sinker.rs:143-147 dispatch; REPLACE from redis >= 3.0,
+    entry_rewriter.rs:353-355).
+
+    Input is the compacted key state (sources/redis.compact_entries /
+    redis_rdb entry rows) with ``expire`` as the ``KIND:ms`` string form.
+    The ttl argument mirrors the reference: the entry's expire ms, 0 when
+    none (hash_ex per-field TTLs ride inside the payload, so their ttl arg
+    is 0). The payload rides hex-encoded in the command relation — the
+    command row set is an ASCII-stable DataFrame; a live writer unhexes
+    argv[3] before the socket (RESP bulk strings are binary-safe).
+
+    Plan shape: one groupBy (db_id, key) with collect_list — a single
+    shuffle on the key, map-side combined — then one Arrow-batched
+    mapInPandas running the same encoders the RDB file writer uses. No
+    driver collect; scales with keys × partition parallelism."""
+    import pandas as pd
+
+    from ape_dts_spark.sources import redis_rdb as rdb
+
+    rows = state.select(
+        "db_id",
+        "key",
+        "entry_type",
+        "member",
+        "value",
+        "ord",
+        # 'KIND:ms' -> ms; try_cast so malformed/absent forms degrade to
+        # no-TTL instead of failing a whole partition under ANSI mode
+        F.substring_index(F.col("expire"), ":", -1).try_cast("long").alias("expire_ms"),
+    )
+    grouped = rows.groupBy("db_id", "key").agg(
+        F.collect_list(
+            F.struct("entry_type", "member", "value", "ord", "expire_ms")
+        ).alias("rows")
+    )
+
+    out_schema = (
+        "db_id long, key string, ttl_ms long, type_byte int, "
+        "payload_len int, payload_hex string"
+    )
+
+    def encode_batches(batches):
+        for pdf in batches:
+            recs = []
+            for db_id, key, rlist in zip(pdf["db_id"], pdf["key"], pdf["rows"]):
+                ents = sorted(
+                    (
+                        {
+                            "entry_type": r["entry_type"],
+                            "member": r["member"],
+                            "value": r["value"],
+                            "ord": r["ord"],
+                            "expire_ms": r["expire_ms"],
+                        }
+                        for r in rlist
+                    ),
+                    key=lambda r: (
+                        r["ord"] or 0,
+                        r["entry_type"],
+                        r["member"] or "",
+                        r["value"] or "",
+                    ),
+                )
+                etype = ents[0]["entry_type"]
+                ttl = 0
+                if etype != "hash_ex":  # hash_ex TTLs are per field, in-payload
+                    ttl = max((e["expire_ms"] or 0) for e in ents)
+                payload = rdb.dump_value(ents, stream_version, hash_field_ttl)
+                recs.append(
+                    (db_id, key, ttl, payload[0], len(payload), payload.hex())
+                )
+            yield pd.DataFrame(
+                recs,
+                columns=[
+                    "db_id", "key", "ttl_ms", "type_byte", "payload_len", "payload_hex",
+                ],
+            )
+
+    dumped = grouped.mapInPandas(encode_batches, out_schema)
+    args = [
+        F.lit("RESTORE"),
+        F.col("key"),
+        F.col("ttl_ms").cast("string"),
+        F.col("payload_hex"),
+    ]
+    if redis_version >= 3.0:  # REPLACE exists from redis 3.0 on
+        args.append(F.lit("REPLACE"))
+    cmd = F.array(*args)
+    return dumped.select(
+        "db_id",
+        "key",
+        "ttl_ms",
+        "type_byte",
+        "payload_len",
+        "payload_hex",
+        cmd.alias("cmd"),
+        F.array_join(cmd, " ").alias("inline"),
+        resp_encode_col(cmd).alias("resp"),
+    )
+
+
 def big_key_stats(state: DataFrame, top_n: int = 20) -> DataFrame:
     """Big-key statistics over the key state — the SCAN statistic extractor /
     statistic sinker analogue (redis_scan_extractor.rs:131-149 MEMORY USAGE

@@ -920,108 +920,191 @@ def encode_rdb(
             exp = rows[0].get("expire_ms")
             if exp is not None and etype != "hash_ex":  # hash_ex TTLs are per FIELD
                 out += bytes([OP_EXPIRETIME_MS]) + struct.pack("<Q", int(exp))
-            kb = key.encode()
-            if etype == "string":
-                out += bytes([T_STRING]) + _enc_string(kb) + _enc_string(rows[0]["value"].encode())
-            elif etype == "hash":
-                pairs = sorted((r["member"].encode(), r["value"].encode()) for r in rows)
-                if len(pairs) <= 2:
-                    flat = [x for p in pairs for x in p]
-                    out += bytes([T_HASH_ZIPLIST]) + _enc_string(kb) + _enc_string(
-                        _enc_ziplist(flat)
-                    )
-                else:
-                    out += bytes([T_HASH]) + _enc_string(kb) + _enc_len(len(pairs))
-                    for f_, v in pairs:
-                        out += _enc_string(f_) + _enc_string(v)
-            elif etype == "zset":
-                pairs = sorted((r["member"].encode(), r["value"].encode()) for r in rows)
-                if len(pairs) <= 2:
-                    flat = [x for p in pairs for x in p]
-                    out += bytes([T_ZSET_LISTPACK]) + _enc_string(kb) + _enc_string(
-                        _enc_listpack(flat)
-                    )
-                else:
-                    out += bytes([T_ZSET]) + _enc_string(kb) + _enc_len(len(pairs))
-                    for m, s in pairs:
-                        if len(s) > 252:  # 253/254/255 are the nan/inf markers
-                            raise ValueError(f"zset score too long for ascii encoding: {len(s)}B")
-                        out += _enc_string(m) + bytes([len(s)]) + s
-            elif etype == "list":
-                members = [r["value"].encode() for r in sorted(rows, key=lambda r: r["ord"])]
-                nodes = [members[k : k + 4] for k in range(0, len(members), 4)]
-                out += bytes([T_LIST_QUICKLIST2]) + _enc_string(kb) + _enc_len(len(nodes))
-                for node in nodes:
-                    out += _enc_len(2) + _enc_string(_enc_listpack(node))
-                continue
-            elif etype == "hash_ex":
-                # Redis 7.4 per-field TTLs: (field, value, ttl) with ttl =
-                # the row's expire_ms (0 = none); format per hash_field_ttl
-                trips = sorted(
-                    (r["member"].encode(), r["value"].encode(), int(r.get("expire_ms") or 0))
-                    for r in rows
-                )
-                ttls = [t for _, _, t in trips if t]
-                min_exp = min(ttls) if ttls else 0
-                if hash_field_ttl in ("listpackex", "listpackex_pre_ga"):
-                    tbyte = (
-                        T_HASH_LISTPACK_EX
-                        if hash_field_ttl == "listpackex"
-                        else T_HASH_LISTPACK_EX_PRE_GA
-                    )
-                    out += bytes([tbyte]) + _enc_string(kb)
-                    if hash_field_ttl == "listpackex":
-                        out += struct.pack("<q", min_exp)
-                    flat = [x for f, v, t in trips for x in (f, v, str(t).encode())]
-                    out += _enc_string(_enc_listpack(flat))
-                elif hash_field_ttl in ("metadata", "metadata_pre_ga"):
-                    tbyte = (
-                        T_HASH_METADATA
-                        if hash_field_ttl == "metadata"
-                        else T_HASH_METADATA_PRE_GA
-                    )
-                    out += bytes([tbyte]) + _enc_string(kb)
-                    if hash_field_ttl == "metadata":
-                        out += struct.pack("<q", min_exp)
-                    out += _enc_len(len(trips))
-                    for f, v, t in trips:
-                        d = 0 if t == 0 else (
-                            t if hash_field_ttl == "metadata_pre_ga" else t - min_exp + 1
-                        )
-                        out += _enc_len(d) + _enc_string(f) + _enc_string(v)
-                else:
-                    raise ValueError(f"unknown hash_field_ttl {hash_field_ttl!r}")
-            elif etype == "module_skipped":
-                # plant a T_MODULE_2 object (member = 9-char module name):
-                # one of each opcode kind then EOF — parsers must walk past
-                # it and keep only the audit row
-                out += bytes([T_MODULE_2]) + _enc_string(kb)
-                out += _enc_len(_module_id(rows[0]["member"]))
-                out += _enc_len(2) + _enc_len(42)  # uint
-                out += _enc_len(1) + _enc_len(7)  # sint
-                out += _enc_len(3) + bytes([4]) + b"1.25"  # ascii float
-                out += _enc_len(4) + struct.pack("<d", -2.5)  # LE double
-                out += _enc_len(5) + _enc_string(b"opaque-module-payload")
-                out += _enc_len(0)  # module EOF
-            elif etype.startswith("stream"):
-                type_byte, payload = _enc_stream(rows, stream_version)
-                out += bytes([type_byte]) + _enc_string(kb) + payload
-            elif etype == "set":
-                members = sorted(r["member"].encode() for r in rows)
-                ints = [_int_form(m) for m in members]
-                if all(v is not None for v in ints):
-                    out += bytes([T_SET_INTSET]) + _enc_string(kb) + _enc_string(
-                        _enc_intset([v for v in ints if v is not None])
-                    )
-                else:
-                    out += bytes([T_SET_LISTPACK]) + _enc_string(kb) + _enc_string(
-                        _enc_listpack(members)
-                    )
-                continue
-            else:
-                raise ValueError(f"unsupported entry_type {etype!r}")
+            type_byte, payload = encode_value(rows, stream_version, hash_field_ttl)
+            out += bytes([type_byte]) + _enc_string(key.encode()) + payload
     out += bytes([OP_EOF]) + b"\x00" * 8
     return bytes(out)
+
+
+def encode_value(
+    rows: list[dict],
+    stream_version: int = 3,
+    hash_field_ttl: str = "listpackex",
+) -> tuple[int, bytes]:
+    """One key's entry rows -> ``(type_byte, value_payload)`` — the bytes
+    that follow the key in the file layout, and exactly the bytes a DUMP
+    payload carries before its version/CRC footer. Shared by the file
+    writer above and the RESTORE-mode sinker (dump_value below)."""
+    etype = rows[0]["entry_type"]
+    out = bytearray()
+    if etype == "string":
+        return T_STRING, _enc_string(rows[0]["value"].encode())
+    if etype == "hash":
+        pairs = sorted((r["member"].encode(), r["value"].encode()) for r in rows)
+        if len(pairs) <= 2:
+            flat = [x for p in pairs for x in p]
+            return T_HASH_ZIPLIST, _enc_string(_enc_ziplist(flat))
+        out += _enc_len(len(pairs))
+        for f_, v in pairs:
+            out += _enc_string(f_) + _enc_string(v)
+        return T_HASH, bytes(out)
+    if etype == "zset":
+        pairs = sorted((r["member"].encode(), r["value"].encode()) for r in rows)
+        if len(pairs) <= 2:
+            flat = [x for p in pairs for x in p]
+            return T_ZSET_LISTPACK, _enc_string(_enc_listpack(flat))
+        out += _enc_len(len(pairs))
+        for m, s in pairs:
+            if len(s) > 252:  # 253/254/255 are the nan/inf markers
+                raise ValueError(f"zset score too long for ascii encoding: {len(s)}B")
+            out += _enc_string(m) + bytes([len(s)]) + s
+        return T_ZSET, bytes(out)
+    if etype == "list":
+        members = [r["value"].encode() for r in sorted(rows, key=lambda r: r["ord"])]
+        nodes = [members[k : k + 4] for k in range(0, len(members), 4)]
+        out += _enc_len(len(nodes))
+        for node in nodes:
+            out += _enc_len(2) + _enc_string(_enc_listpack(node))
+        return T_LIST_QUICKLIST2, bytes(out)
+    if etype == "hash_ex":
+        # Redis 7.4 per-field TTLs: (field, value, ttl) with ttl =
+        # the row's expire_ms (0 = none); format per hash_field_ttl
+        trips = sorted(
+            (r["member"].encode(), r["value"].encode(), int(r.get("expire_ms") or 0))
+            for r in rows
+        )
+        ttls = [t for _, _, t in trips if t]
+        min_exp = min(ttls) if ttls else 0
+        if hash_field_ttl in ("listpackex", "listpackex_pre_ga"):
+            tbyte = (
+                T_HASH_LISTPACK_EX
+                if hash_field_ttl == "listpackex"
+                else T_HASH_LISTPACK_EX_PRE_GA
+            )
+            if hash_field_ttl == "listpackex":
+                out += struct.pack("<q", min_exp)
+            flat = [x for f, v, t in trips for x in (f, v, str(t).encode())]
+            out += _enc_string(_enc_listpack(flat))
+            return tbyte, bytes(out)
+        if hash_field_ttl in ("metadata", "metadata_pre_ga"):
+            tbyte = (
+                T_HASH_METADATA
+                if hash_field_ttl == "metadata"
+                else T_HASH_METADATA_PRE_GA
+            )
+            if hash_field_ttl == "metadata":
+                out += struct.pack("<q", min_exp)
+            out += _enc_len(len(trips))
+            for f, v, t in trips:
+                d = 0 if t == 0 else (
+                    t if hash_field_ttl == "metadata_pre_ga" else t - min_exp + 1
+                )
+                out += _enc_len(d) + _enc_string(f) + _enc_string(v)
+            return tbyte, bytes(out)
+        raise ValueError(f"unknown hash_field_ttl {hash_field_ttl!r}")
+    if etype == "module_skipped":
+        # plant a T_MODULE_2 object (member = 9-char module name):
+        # one of each opcode kind then EOF — parsers must walk past
+        # it and keep only the audit row
+        out += _enc_len(_module_id(rows[0]["member"]))
+        out += _enc_len(2) + _enc_len(42)  # uint
+        out += _enc_len(1) + _enc_len(7)  # sint
+        out += _enc_len(3) + bytes([4]) + b"1.25"  # ascii float
+        out += _enc_len(4) + struct.pack("<d", -2.5)  # LE double
+        out += _enc_len(5) + _enc_string(b"opaque-module-payload")
+        out += _enc_len(0)  # module EOF
+        return T_MODULE_2, bytes(out)
+    if etype.startswith("stream"):
+        return _enc_stream(rows, stream_version)
+    if etype == "set":
+        members = sorted(r["member"].encode() for r in rows)
+        ints = [_int_form(m) for m in members]
+        if all(v is not None for v in ints):
+            return T_SET_INTSET, _enc_string(
+                _enc_intset([v for v in ints if v is not None])
+            )
+        return T_SET_LISTPACK, _enc_string(_enc_listpack(members))
+    raise ValueError(f"unsupported entry_type {etype!r}")
+
+
+# ---------------------------------------------------------------------------
+# DUMP / RESTORE payload format (RESTORE-mode sinker support)
+# ---------------------------------------------------------------------------
+
+# The reference's RESTORE rewriter stamps RDB version 6 into every DUMP
+# footer regardless of source version (entry_rewriter.rs:352) — RESTORE
+# accepts any version <= the server's, so a floor version maximizes
+# replayability; mirrored here.
+DUMP_RDB_VERSION = 6
+
+# CRC-64/Jones (redis CRC64): poly 0xad93d23594c935a9, refin/refout,
+# init 0, xorout 0. The reference embeds the 256-entry table verbatim
+# (entry_rewriter.rs:10); here it is generated from the bit-reversed
+# polynomial — same table, check value crc64(b"123456789") =
+# 0xe9c6d914c4b8d9ca.
+_CRC64_POLY_REFLECTED = 0x95AC9329AC4BC9B5
+_CRC64_TABLE: list[int] | None = None
+
+
+def crc64_jones(data: bytes, crc: int = 0) -> int:
+    """Streaming CRC-64/Jones over ``data`` (entry_rewriter.rs:388-396)."""
+    global _CRC64_TABLE
+    if _CRC64_TABLE is None:
+        tbl = []
+        for i in range(256):
+            c = i
+            for _ in range(8):
+                c = (c >> 1) ^ (_CRC64_POLY_REFLECTED if c & 1 else 0)
+            tbl.append(c)
+        _CRC64_TABLE = tbl
+    for b in data:
+        crc = _CRC64_TABLE[(crc ^ b) & 0xFF] ^ (crc >> 8)
+    return crc
+
+
+def dump_value(
+    rows: list[dict],
+    stream_version: int = 3,
+    hash_field_ttl: str = "listpackex",
+) -> bytes:
+    """One key's entry rows -> the exact DUMP/RESTORE serialized value
+    (entry_rewriter.rs:347-386 create_value_dump): type byte + RDB value
+    payload + 2-byte LE RDB version + 8-byte LE CRC-64/Jones over the
+    preceding bytes."""
+    type_byte, payload = encode_value(rows, stream_version, hash_field_ttl)
+    buf = bytes([type_byte]) + payload + struct.pack("<H", DUMP_RDB_VERSION)
+    return buf + struct.pack("<Q", crc64_jones(buf))
+
+
+def parse_dump_payload(key: str, payload: bytes, db_id: int = 0) -> list[dict]:
+    """Verify + decode a DUMP/RESTORE payload back into entry rows (the
+    RESTORE server's checks, and the round-trip witness for dump_value):
+    CRC-64 over all-but-last-8 must equal the LE footer, the RDB version
+    must be <= ours, then the (type byte, value) prefix is decoded by
+    wrapping it in a minimal single-key RDB file and reusing the file
+    parser — one decoder, no drift."""
+    if len(payload) < 11:  # type byte + version + crc is the legal minimum
+        raise ValueError(f"DUMP payload too short: {len(payload)}B")
+    body, crc_bytes = payload[:-8], payload[-8:]
+    crc = struct.unpack("<Q", crc_bytes)[0]
+    actual = crc64_jones(body)
+    if actual != crc:
+        raise ValueError(f"DUMP payload CRC mismatch: {actual:#x} != {crc:#x}")
+    version = struct.unpack("<H", body[-2:])[0]
+    our_version = int(RDB_HEADER[5:].decode())
+    if not 1 <= version <= our_version:
+        raise ValueError(f"DUMP payload RDB version {version} unsupported")
+    wrapped = (
+        RDB_HEADER
+        + bytes([OP_SELECTDB])
+        + _enc_len(db_id)
+        + body[:1]
+        + _enc_string(key.encode())
+        + body[1:-2]
+        + bytes([OP_EOF])
+        + b"\x00" * 8
+    )
+    return parse_rdb_bytes(wrapped)
 
 
 def read_rdb_files(spark: SparkSession, path: str) -> DataFrame:

@@ -708,3 +708,166 @@ def test_xdel_command_path(spark):
         ("stream", "101-0:a"): "x",
         ("stream_meta", "last_id"): "102-0",
     }
+
+
+# ---------------------------------------------------------------------------
+# DUMP / RESTORE mode (entry_rewriter.rs:347-396, redis_sinker.rs:143-147)
+# ---------------------------------------------------------------------------
+
+
+def test_crc64_jones_vectors():
+    """Table generated from the reflected Jones polynomial must match the
+    published check value and an independent bitwise implementation."""
+    from ape_dts_spark.sources.redis_rdb import crc64_jones
+
+    assert crc64_jones(b"") == 0
+    assert crc64_jones(b"123456789") == 0xE9C6D914C4B8D9CA  # CRC-64/Jones check
+
+    def bitwise(data: bytes) -> int:  # no table: fold one bit at a time
+        crc = 0
+        for b in data:
+            crc ^= b
+            for _ in range(8):
+                crc = (crc >> 1) ^ (0x95AC9329AC4BC9B5 if crc & 1 else 0)
+        return crc
+
+    for v in (b"abc", b"\x00" * 16, bytes(range(256)), b"redis DUMP"):
+        assert crc64_jones(v) == bitwise(v)
+    # streaming: crc(a+b) == crc(b, seeded with crc(a))
+    assert crc64_jones(b"world", crc64_jones(b"hello ")) == crc64_jones(b"hello world")
+
+
+def test_dump_value_round_trip_every_family():
+    from ape_dts_spark.sources import redis_rdb as rdb
+
+    def e(key, etype, member=None, value=None, ord_=0, exp=None):
+        return {"db_id": 0, "key": key, "entry_type": etype, "member": member,
+                "value": value, "ord": ord_, "expire_ms": exp}
+
+    cases = {
+        "s": [e("s", "string", value="hello")],
+        "h": [e("h", "hash", f"f{i}", f"v{i}") for i in range(3)],
+        "z": [e("z", "zset", f"m{i}", f"{i}.5") for i in range(3)],
+        "L": [e("L", "list", value=f"x{i}", ord_=i) for i in range(6)],
+        "si": [e("si", "set", str(v)) for v in (1, 2, 300000)],
+        "hx": [e("hx", "hash_ex", "f0", "v0", exp=1_700_000_001_000),
+               e("hx", "hash_ex", "f1", "v1")],
+        "mod": [e("mod", "module_skipped", "RefModNam")],
+    }
+    # a stream with two fields per entry and an XDELed one
+    st = []
+    for j in range(5):
+        sid = f"{1_700_000_000_000 + j * 13}-{j % 2}"
+        et = "stream_deleted" if j == 3 else "stream"
+        for k, fld in enumerate("ab"):
+            st.append(e("st", et, f"{sid}:{fld}", f"v{j}.{k}", ord_=k))
+    st.append(e("st", "stream_meta", "last_id", f"{1_700_000_000_000 + 4 * 13}-0"))
+    cases["st"] = st
+
+    for key, rows in cases.items():
+        payload = rdb.dump_value(rows)
+        # footer: LE u16 RDB version 6, LE u64 CRC-64/Jones of the prefix
+        assert payload[-10:-8] == b"\x06\x00"
+        assert int.from_bytes(payload[-8:], "little") == rdb.crc64_jones(payload[:-8])
+        back = rdb.parse_dump_payload(key, payload)
+        got = sorted((r["key"], r["entry_type"], r["member"], r["value"], r["ord"],
+                      r["expire_ms"]) for r in back)
+        # XDELed stream entries are serialized but never replayed; module2
+        # values come back as the skip-audit row
+        want = sorted((r["key"], r["entry_type"], r["member"], r["value"], r["ord"],
+                       r["expire_ms"]) for r in rows
+                      if r["entry_type"] not in ("module_skipped", "stream_deleted"))
+        if key == "mod":  # module2 values come back as the skip-audit row
+            assert [(r["key"], r["entry_type"]) for r in back] == [("mod", "module_skipped")]
+        else:
+            assert got == want, key
+
+
+def test_dump_payload_rejects_corruption():
+    import pytest
+
+    from ape_dts_spark.sources import redis_rdb as rdb
+
+    rows = [{"db_id": 0, "key": "k", "entry_type": "string", "member": None,
+             "value": "abc", "ord": 0, "expire_ms": None}]
+    payload = rdb.dump_value(rows)
+    # golden bytes, hand-derivable: 00=T_STRING, 03+"abc", 0600=version, CRC
+    assert payload.hex() == "000361626306004f4158bdb4279e71"
+    with pytest.raises(ValueError, match="CRC"):
+        rdb.parse_dump_payload("k", payload[:-1] + bytes([payload[-1] ^ 0xFF]))
+    with pytest.raises(ValueError, match="CRC"):  # truncation shifts the footer
+        rdb.parse_dump_payload("k", payload[:-1])
+    with pytest.raises(ValueError, match="too short"):
+        rdb.parse_dump_payload("k", payload[:8])
+    # future RDB version: CRC fixed up, version check must still refuse
+    body = payload[:-10] + (99).to_bytes(2, "little")
+    bad = body + rdb.crc64_jones(body).to_bytes(8, "little")
+    with pytest.raises(ValueError, match="version"):
+        rdb.parse_dump_payload("k", bad)
+
+
+def test_state_to_restore_commands(spark):
+    from ape_dts_spark.sinks.redis import state_to_restore_commands
+    from ape_dts_spark.sources import redis_rdb as rdb
+    from ape_dts_spark.sources.redis import parse_resp_bytes
+
+    rows = [
+        (0, "s:1", "string", None, "hello", 0, None),
+        (0, "s:2", "string", None, "42", 0, "PEXPIRE:60000"),
+        (0, "h:1", "hash", "f0", "v0", 0, None),
+        (0, "h:1", "hash", "f1", "v1", 1, None),
+        (0, "h:1", "hash", "f2", "v2", 2, None),
+        (1, "L:1", "list", None, "a", 0, None),
+        (1, "L:1", "list", None, "b", 1, None),
+        (0, "hx:1", "hash_ex", "f0", "v0", 0, "HPEXPIRE:1700000001000"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "db_id long, key string, entry_type string, member string, "
+        "value string, ord long, expire string",
+    )
+    out = {r["key"]: r for r in state_to_restore_commands(df).collect()}
+    assert len(out) == 5
+    # one RESTORE per key; TTL arg mirrors the entry's expire ms, 0 if none
+    assert out["s:2"]["ttl_ms"] == 60000 and out["s:1"]["ttl_ms"] == 0
+    assert out["hx:1"]["ttl_ms"] == 0  # hash_ex TTLs ride inside the payload
+    for key, r in out.items():
+        assert r["cmd"][0] == "RESTORE" and r["cmd"][-1] == "REPLACE"
+        assert r["payload_len"] == len(r["payload_hex"]) // 2
+        back = rdb.parse_dump_payload(key, bytes.fromhex(r["payload_hex"]),
+                                      db_id=r["db_id"])
+        want = sorted((w[2], w[3], w[4]) for w in rows if w[1] == key)
+        assert sorted((b["entry_type"], b["member"], b["value"]) for b in back) == want
+        # RESP rendering parses back to the same argv
+        parsed = parse_resp_bytes(r["resp"].encode())
+        assert parsed == [list(r["cmd"])]
+    # hash_ex field TTL survives the payload
+    hx = rdb.parse_dump_payload("hx:1", bytes.fromhex(out["hx:1"]["payload_hex"]))
+    assert {b["member"]: b["expire_ms"] for b in hx} == {"f0": 1_700_000_001_000}
+    # version < 3.0 drops REPLACE
+    old = state_to_restore_commands(df, redis_version=2.8).collect()
+    assert all(r["cmd"][-1] != "REPLACE" for r in old)
+
+
+def test_restore_round_trip_through_rdb_file(tmp_path):
+    """A whole RDB file's keyspace, re-serialized as DUMP payloads, decodes
+    back to the file parser's own rows — the two serialization paths
+    (file writer, RESTORE sinker) agree via encode_value."""
+    from ape_dts_spark.sources import redis_rdb as rdb
+
+    entries = [
+        {"db_id": 0, "key": "a", "entry_type": "string", "member": None,
+         "value": "60.00", "ord": 0, "expire_ms": 1_700_000_060_000},
+        {"db_id": 0, "key": "b", "entry_type": "set", "member": "x", "value": None,
+         "ord": 0, "expire_ms": None},
+        {"db_id": 0, "key": "b", "entry_type": "set", "member": "y", "value": None,
+         "ord": 0, "expire_ms": None},
+    ]
+    parsed = rdb.parse_rdb_bytes(rdb.encode_rdb(entries))
+    by_key: dict[str, list[dict]] = {}
+    for r in parsed:
+        by_key.setdefault(r["key"], []).append(r)
+    for key, rows in by_key.items():
+        back = rdb.parse_dump_payload(key, rdb.dump_value(rows))
+        strip = lambda r: {k: v for k, v in r.items() if k != "expire_ms"}  # noqa: E731
+        assert sorted(map(str, map(strip, back))) == sorted(map(str, map(strip, rows)))
