@@ -711,6 +711,111 @@ def q_redis_stream_statements(spark: SparkSession, sf_dir: str) -> DataFrame:
     return state_to_commands(state).select("db_id", "key", "ord", "inline", "resp")
 
 
+def _restore_fixture_rows() -> list[tuple]:
+    """Planted multi-family keyspace for the RESTORE-mode gate: state rows
+    ``(db_id, key, entry_type, member, value, ord, expire)`` covering every
+    DUMP-serializable family — int/text strings (with and without TTL),
+    ziplist + plain hashes, listpack + ascii-score zsets, quicklist2 lists,
+    intset + listpack sets, 7.4 hash-field TTLs, a stream with an XDELed
+    entry and a consumer-group PEL, and a module2 value. Shared verbatim by
+    the Spark query and the oracle generator, so both engines serialize the
+    identical keyspace."""
+    rows: list[tuple] = []
+    r = lambda key, et, member=None, value=None, ord_=0, db=0, exp=None: rows.append(  # noqa: E731
+        (db, key, et, member, value, ord_, exp)
+    )
+    for i in range(10):
+        r(f"rs:{i}", "string", None, f"val{i * 7}" if i % 3 else str(i * 1000),
+          exp=f"PEXPIRE:{1000 * (i + 1)}" if i % 2 == 0 else None)
+    for i in range(4):
+        for j in range(3 if i else 2):  # i=0 -> ziplist branch (<= 2 fields)
+            r(f"rh:{i}", "hash", f"f{j}", f"{i}.{j}", ord_=j)
+    for i in range(3):
+        for j in range(3 if i else 2):
+            r(f"rz:{i}", "zset", f"m{j}", f"{j}.25", ord_=j)
+    for i in range(3):
+        for j in range(5):
+            r(f"rl:{i}", "list", None, f"e{i}.{j}", ord_=j,
+              exp="PEXPIRE:90000" if i == 1 else None)
+    for i in range(2):
+        for j in range(4):
+            r(f"rsi:{i}", "set", str(i * 1000 + j * 37), ord_=j)
+    for m in ("alpha", "007", "42"):  # '007' stays text -> set listpack
+        r("rsx", "set", m, db=1)
+    for i in range(2):
+        for j in range(3):
+            r(f"rhx:{i}", "hash_ex", f"f{j}", f"w{i}.{j}", ord_=j,
+              exp=f"HPEXPIRE:{1_700_000_000_000 + (i * 10 + j) * 500}" if (i + j) % 2 == 0 else None)
+    for j in range(8):
+        sid = f"{1_700_000_000_000 + j * 13}-{j % 3}"
+        et = "stream_deleted" if j == 5 else "stream"
+        for k, fld in enumerate("ab" if j % 4 else "abc"):
+            r("rst:0", et, f"{sid}:{fld}", f"s{j}.{k}", ord_=k)
+    r("rst:0", "stream_meta", "last_id", f"{1_700_000_000_000 + 7 * 13}-1")
+    r("rst:0", "stream_group", "g0", f"{1_700_000_000_000 + 4 * 13}-1")
+    r("rst:0", "stream_pel", "g0:c0",
+      f"{1_700_000_000_000 + 6 * 13}-0@{1_700_000_000_000 + 6}/2")
+    r("rmod", "module_skipped", "RefModNam")
+    return rows
+
+
+_RESTORE_STATE_SCHEMA = (
+    "db_id long, key string, entry_type string, member string, value string, "
+    "ord long, expire string"
+)
+
+
+def q_redis_restore_statements(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redis RESTORE/DUMP replay mode (r15 — the reference's second rewrite
+    mode, RedisWriteMethod::Restore): each key of the planted keyspace is
+    serialized to the DUMP wire format — RDB value payload + 2-byte LE RDB
+    version 6 + 8-byte LE CRC-64/Jones (entry_rewriter.rs:347-386
+    create_value_dump, redis_sinker.rs:143-147 dispatch) — and emitted as
+    one ``RESTORE key ttl payload REPLACE`` command row, payload
+    hex-rendered for the ASCII command relation. One shuffle (groupBy key,
+    map-side-combined collect_list) + one Arrow mapInPandas over the shared
+    RDB encoders. The oracle restates every serialized payload, CRC
+    included, from an independent driver-side pass over the same fixture."""
+    from ape_dts_spark.sinks.redis import state_to_restore_commands
+
+    state = spark.createDataFrame(_restore_fixture_rows(), _RESTORE_STATE_SCHEMA)
+    return state_to_restore_commands(state).select(
+        "db_id", "key", "ttl_ms", "type_byte", "payload_len", "payload_hex", "inline"
+    )
+
+
+def _restore_oracle_sql() -> str:
+    """DuckDB restatement of q_redis_restore_statements: group the shared
+    fixture per key, run the DUMP serializer directly (no Spark), and emit
+    the expected relation as literals — hex payload incl. CRC-64 footer."""
+    from ape_dts_spark.sources.redis_rdb import dump_value
+
+    groups: dict[tuple[int, str], list[dict]] = {}
+    for db, key, et, member, value, ord_, exp in _restore_fixture_rows():
+        exp_ms = int(exp.split(":", 1)[1]) if exp is not None else None
+        groups.setdefault((db, key), []).append(
+            {"entry_type": et, "member": member, "value": value, "ord": ord_,
+             "expire_ms": exp_ms}
+        )
+    lits = []
+    for (db, key), ents in sorted(groups.items()):
+        ttl = 0
+        if ents[0]["entry_type"] != "hash_ex":
+            ttl = max(e["expire_ms"] or 0 for e in ents)
+        payload = dump_value(ents)
+        inline = f"RESTORE {key} {ttl} {payload.hex()} REPLACE"
+        lits.append(
+            f"(CAST({db} AS BIGINT), '{key}', CAST({ttl} AS BIGINT), "
+            f"{payload[0]}, {len(payload)}, '{payload.hex()}', '{inline}')"
+        )
+    rows = ",\n              ".join(lits)
+    return f"""
+            SELECT * FROM (VALUES
+              {rows}
+            ) AS t(db_id, key, ttl_ms, type_byte, payload_len, payload_hex, inline)
+        """
+
+
 def q_redis_slot_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-slot layout of the key state: CRC16 hash-tag slots, contiguous
     slot-range node assignment for an 8-node cluster (key_parser.rs:164-212,
@@ -4410,72 +4515,100 @@ def q_image_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = demo.load(spark, sf_dir, "orders").select("o_orderkey").filter(
         F.col("o_orderkey") < 30000
     )
+    payloads = _spread(o, spark).mapInPandas(_phash_fixture_gen, "id long, payload binary")
+    return mm.phash_dup_pairs(mm.image_phashes(payloads), max_hamming=3).select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    )
 
-    def _gen(batches):
-        import hashlib
 
-        import numpy as np
-        import pandas as pd
+def _phash_fixture_gen(batches):
+    """Shared pHash fixture payload generator (image_dup_pairs +
+    phash_incremental): mixed-format images with planted duplicate groups
+    at k % 199 == 0, 25 classes, 3 encode variants."""
+    import hashlib
 
-        from ape_dts_spark.functions import media_codec as mc
+    import numpy as np
+    import pandas as pd
 
-        # 63 AC cosine basis images for the 8x8 low block of a 64x64 image
-        yy, xx = np.mgrid[0:64, 0:64]
-        basis = np.stack(
-            [
-                np.cos((2 * xx + 1) * u * np.pi / 128)
-                * np.cos((2 * yy + 1) * v * np.pi / 128)
-                for u in range(8)
-                for v in range(8)
-                if (u, v) != (0, 0)
-            ]
+    from ape_dts_spark.functions import media_codec as mc
+
+    # 63 AC cosine basis images for the 8x8 low block of a 64x64 image
+    yy, xx = np.mgrid[0:64, 0:64]
+    basis = np.stack(
+        [
+            np.cos((2 * xx + 1) * u * np.pi / 128)
+            * np.cos((2 * yy + 1) * v * np.pi / 128)
+            for u in range(8)
+            for v in range(8)
+            if (u, v) != (0, 0)
+        ]
+    )
+
+    def img(seed_label: str) -> np.ndarray:
+        d = hashlib.sha256(f"phash-fixture:{seed_label}".encode()).digest()
+        signs = np.array(
+            [1 if (d[i // 8] >> (i % 8)) & 1 else -1 for i in range(63)]
+        )
+        px = 128.0 + np.tensordot(signs * 8.0, basis, axes=1)
+        return np.clip(np.rint(px), 0, 255).astype(np.uint8)
+
+    def resize48(g: np.ndarray) -> np.ndarray:
+        # same deterministic block-mean scheme phash64 itself uses
+        b = [(y * 64 // 48, max((y + 1) * 64 // 48, y * 64 // 48 + 1)) for y in range(48)]
+        return np.array(
+            [[int(g[r0:r1, c0:c1].mean()) for c0, c1 in b] for r0, r1 in b],
+            dtype=np.uint8,
         )
 
-        def img(seed_label: str) -> np.ndarray:
-            d = hashlib.sha256(f"phash-fixture:{seed_label}".encode()).digest()
-            signs = np.array(
-                [1 if (d[i // 8] >> (i % 8)) & 1 else -1 for i in range(63)]
-            )
-            px = 128.0 + np.tensordot(signs * 8.0, basis, axes=1)
-            return np.clip(np.rint(px), 0, 255).astype(np.uint8)
-
-        def resize48(g: np.ndarray) -> np.ndarray:
-            # same deterministic block-mean scheme phash64 itself uses
-            b = [(y * 64 // 48, max((y + 1) * 64 // 48, y * 64 // 48 + 1)) for y in range(48)]
-            return np.array(
-                [[int(g[r0:r1, c0:c1].mean()) for c0, c1 in b] for r0, r1 in b],
-                dtype=np.uint8,
-            )
-
-        for pdf in batches:
-            ids, payloads = [], []
-            for k in pdf["o_orderkey"]:
-                k = int(k)
-                if k % 199 == 0:
-                    m = k // 199
-                    px = img(f"g{m % 25}")
-                    v = (m // 25) % 3
-                    if v == 0:
-                        payload = mc.encode_png(px)
-                    elif v == 1:
-                        payload = mc.encode_jpeg(px)
-                    else:
-                        payload = mc.encode_netpbm(resize48(px))
+    for pdf in batches:
+        ids, payloads = [], []
+        for k in pdf["o_orderkey"]:
+            k = int(k)
+            if k % 199 == 0:
+                m = k // 199
+                px = img(f"g{m % 25}")
+                v = (m // 25) % 3
+                if v == 0:
+                    payload = mc.encode_png(px)
+                elif v == 1:
+                    payload = mc.encode_jpeg(px)
                 else:
-                    px = img(f"k{k}")
-                    v = k % 3
-                    if v == 0:
-                        payload = mc.encode_png(px)
-                    elif v == 1:
-                        payload = mc.encode_bmp(np.stack([px] * 3, axis=-1))
-                    else:
-                        payload = mc.encode_netpbm(px)
-                ids.append(k)
-                payloads.append(payload)
-            yield pd.DataFrame({"id": ids, "payload": payloads})
+                    payload = mc.encode_netpbm(resize48(px))
+            else:
+                px = img(f"k{k}")
+                v = k % 3
+                if v == 0:
+                    payload = mc.encode_png(px)
+                elif v == 1:
+                    payload = mc.encode_bmp(np.stack([px] * 3, axis=-1))
+                else:
+                    payload = mc.encode_netpbm(px)
+            ids.append(k)
+            payloads.append(payload)
+        yield pd.DataFrame({"id": ids, "payload": payloads})
 
-    payloads = _spread(o, spark).mapInPandas(_gen, "id long, payload binary")
-    return mm.phash_dup_pairs(mm.image_phashes(payloads), max_hamming=3).select(
+
+def q_phash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental image near-dup dedup (r15 — mm.phash_index +
+    mm.phash_incremental_pairs, the production daily-crawl shape matching
+    minhash_incremental's pattern): the pHash band index is built on the
+    standing corpus (orderkey % 3 != 0) of the image_dup_pairs fixture,
+    then the orderkey % 3 == 0 images arrive as a new batch — only the
+    batch is decoded+banded, candidates come from a band equi-join against
+    (index UNION batch), and the output is exactly the full-corpus
+    phash_dup_pairs run filtered to pairs touching the batch (same 4x16
+    banding, same full-hash Hamming verify; old-vs-old pairs are prior
+    runs' output, never recomputed). The oracle enumerates the planted
+    within-group pairs with a batch member. Cost scales with |batch| +
+    collision volume, never corpus size."""
+    o = demo.load(spark, sf_dir, "orders").select("o_orderkey").filter(
+        F.col("o_orderkey") < 30000
+    )
+    payloads = _spread(o, spark).mapInPandas(_phash_fixture_gen, "id long, payload binary")
+    old_hashes = mm.image_phashes(payloads.filter(F.col("id") % 3 != 0))
+    new_hashes = mm.image_phashes(payloads.filter(F.col("id") % 3 == 0))
+    index = mm.phash_index(old_hashes)  # harness clears cached blocks per query
+    return mm.phash_incremental_pairs(index, new_hashes, max_hamming=3).select(
         "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
     )
 
@@ -5674,6 +5807,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- window tail sits at r10). Run the FULL tools/check.py
         # -- before freezing; rotated-out rows keep local-gate + pytest
         # -- coverage. -------------------------------------------------
+        "redis_restore_statements": q_redis_restore_statements,
+        "phash_incremental": q_phash_incremental,
         "binlog_partial_json": q_binlog_partial_json,
         "image_dup_pairs": q_image_dup_pairs,
         "orc_sequenced": q_orc_sequenced,
@@ -6441,6 +6576,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT db_id, key, entry_type, member, value, ord, seq, expire
             FROM redis_state
         """,
+        "redis_restore_statements": _restore_oracle_sql(),
         "redis_stream_statements": """
             WITH sj AS (
               SELECT s, j,
@@ -7449,6 +7585,18 @@ def oracle_sql() -> dict[str, str]:
             FROM fp a JOIN fp b ON a.fp = b.fp AND a.id < b.id
             GROUP BY 1, 2, 3
             HAVING COUNT(*) >= 10
+        """,
+        "phash_incremental": """
+            -- the image_dup_pairs planted groups restricted to pairs
+            -- touching the new batch (orderkey % 3 = 0); organic hashes
+            -- never pass the <=3 verify (same argument as the full-corpus
+            -- gate)
+            WITH pk AS (
+              SELECT o_orderkey AS k, (o_orderkey // 199) % 25 AS g
+              FROM orders WHERE o_orderkey < 30000 AND o_orderkey % 199 = 0)
+            SELECT a.k AS id_a, b.k AS id_b, CAST(0 AS INT) AS hamming
+            FROM pk a JOIN pk b ON a.g = b.g AND a.k < b.k
+            WHERE a.k % 3 = 0 OR b.k % 3 = 0
         """,
         "image_dup_pairs": """
             -- planted pHash duplicate groups: k % 199 == 0, 25 classes by

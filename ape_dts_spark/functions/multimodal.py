@@ -647,6 +647,157 @@ def phash_dup_pairs(
     )
 
 
+def _phash_band_rows(hashes: DataFrame, n_bands: int) -> DataFrame:
+    """(id, phash) -> the exploded band relation (id, phash, band, bh{w}):
+    one row per (image, band), bh = that band's bits. The band-hash column
+    name carries the bit WIDTH (bh16 for 4 bands) so a persisted index is
+    self-describing — incremental queries validate schema-only, no scan."""
+    if not 64 % n_bands == 0:
+        raise ValueError(f"n_bands must divide 64, got {n_bands}")
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    return hashes.select(
+        "id",
+        "phash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("phash"), b * width).bitwiseAND(F.lit(mask))
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band", f"bh{width}"),
+    )
+
+
+def phash_index(hashes: DataFrame, n_bands: int = 4) -> DataFrame:
+    """Persistent pHash band index for INCREMENTAL image dedup — the
+    production shape for daily crawl increments (the image analogue of
+    dedup.minhash_index): hash the corpus ONCE, land this relation to
+    storage (parquet, bucketed by the band hash if desired), then each new
+    batch pays only its own decode+hash and a band equi-join against the
+    index instead of re-deduping the world.
+
+    Returns the persisted band relation ``(id, phash, band, bh{width})``.
+    ``n_bands`` is a BUILD parameter and part of the stored FORMAT (the
+    bh column name carries the band bit-width); incremental queries
+    validate it and raise on mismatch rather than silently mis-bucketing."""
+    from pyspark import StorageLevel
+
+    idx = _phash_band_rows(hashes, n_bands).persist(StorageLevel.MEMORY_AND_DISK)
+    idx.count()
+    return idx
+
+
+def phash_index_append(index: DataFrame, new_hashes: DataFrame, n_bands: int = 4) -> DataFrame:
+    """Roll the band index forward with an admitted batch: a pure union —
+    the result equals phash_index over the concatenated corpus (banding is
+    row-local, so append is trivially associative). Schema-validated
+    against the index's stored band width."""
+    width = 64 // n_bands
+    if f"bh{width}" not in index.columns:
+        raise ValueError(
+            f"stored phash index has columns {index.columns} but n_bands={n_bands} "
+            f"needs bh{width} — band width is part of the index format"
+        )
+    return index.unionByName(_phash_band_rows(new_hashes, n_bands))
+
+
+def phash_incremental_pairs(
+    index: DataFrame,
+    new_hashes: DataFrame,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Incremental image near-dup pairs: every (id_a, id_b, hamming) with
+    hamming <= max_hamming where AT LEAST ONE side is a new-batch image —
+    old-vs-old pairs are previous runs' output and are never recomputed.
+    Exactly phash_dup_pairs over the concatenated corpus filtered to pairs
+    touching the batch: same banding, same full-hash Hamming verify, so
+    recall stays exact for hamming < n_bands by the same pigeonhole.
+
+    Plan shape: only the NEW batch is banded; candidates come from new
+    bands equi-joined against (index UNION new bands) on (band, bh) — cost
+    scales with |new batch| + collision volume, never with corpus size.
+    One shuffle on the band key + one pair-dedup agg."""
+    width = 64 // n_bands
+    if f"bh{width}" not in index.columns:
+        raise ValueError(
+            f"stored phash index has columns {index.columns} but n_bands={n_bands} "
+            f"needs bh{width} — band width is part of the index format"
+        )
+    new_bands = _phash_band_rows(new_hashes, n_bands)
+    all_bands = index.unionByName(new_bands)
+    a = new_bands.select(
+        F.col("id").alias("id_a"), F.col("phash").alias("ph_a"), "band", f"bh{width}"
+    )
+    b = all_bands.select(
+        F.col("id").alias("id_b"), F.col("phash").alias("ph_b"), "band", f"bh{width}"
+    )
+    return (
+        a.join(b, ["band", f"bh{width}"])
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+            F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .groupBy("id_a", "id_b")  # dedup pairs matching in several bands
+        .agg(F.first("hamming").alias("hamming"))
+    )
+
+
+def audio_fp_index(fps: DataFrame) -> DataFrame:
+    """Persistent constellation-hash index for INCREMENTAL audio dedup: the
+    fingerprint relation ``(id, t, fp)`` itself, persisted — fingerprinting
+    is row-local so the index is just the landed relation (parquet at
+    scale), and append is a union. The audio analogue of phash_index."""
+    from pyspark import StorageLevel
+
+    idx = fps.select("id", "t", "fp").persist(StorageLevel.MEMORY_AND_DISK)
+    idx.count()
+    return idx
+
+
+def audio_incremental_pairs(
+    index: DataFrame, new_fps: DataFrame, min_matches: int = 10
+) -> DataFrame:
+    """Incremental audio near-dup pairs: audio_dup_pairs over the
+    concatenated corpus restricted to pairs touching the new batch — only
+    new-batch fingerprints probe the (index UNION new) side, offset-vote
+    semantics identical (group by the time shift, count, threshold). Cost
+    scales with |new batch| + true-duplicate mass, never corpus size.
+    Batch ids must be disjoint from indexed ids (the caller's ingest
+    contract, as for phash_index_append)."""
+    new_side = new_fps.select("id", "t", "fp")
+    all_side = index.select("id", "t", "fp").withColumn(
+        "_new", F.lit(False)
+    ).unionByName(new_side.withColumn("_new", F.lit(True)))
+    a = new_side.select(F.col("id").alias("id_n"), F.col("t").alias("t_n"), "fp")
+    b = all_side.select(
+        F.col("id").alias("id_o"), F.col("t").alias("t_o"), "fp", "_new"
+    )
+    return (
+        a.join(b, "fp")
+        # each unordered pair must contribute each fp match exactly ONCE,
+        # as in the full-corpus run: new-vs-old matches surface only from
+        # the new probe side; new-vs-new matches only lesser-probes-greater
+        .filter((~F.col("_new")) | (F.col("id_n") < F.col("id_o")))
+        .filter(F.col("id_n") != F.col("id_o"))
+        .select(
+            F.least("id_n", "id_o").alias("id_a"),
+            F.greatest("id_n", "id_o").alias("id_b"),
+            F.when(F.col("id_n") < F.col("id_o"), F.col("t_n") - F.col("t_o"))
+            .otherwise(F.col("t_o") - F.col("t_n"))
+            .alias("dt"),
+        )
+        .groupBy("id_a", "id_b", "dt")
+        .agg(F.count(F.lit(1)).alias("n_matches"))
+        .filter(F.col("n_matches") >= min_matches)
+    )
+
+
 def sample_frames(df: DataFrame, payload_col: str = "payload", every_n_bytes: int = 1024) -> DataFrame:
     """Frame-sampling plumbing: split each payload into fixed-size 'frames'
     (posexplode over byte ranges) — the distributed shape of video frame

@@ -110,8 +110,10 @@ BENCH_QUERIES = [
     "netpbm_decode",
     "audio_dup_pairs",
     "image_dup_pairs",
+    "phash_incremental",
     "binlog_partial_json",
     "redis_stream_statements",
+    "redis_restore_statements",
     "orc_roundtrip",
     "orc_sequenced",
     "struct_objects",
@@ -307,6 +309,15 @@ MEDIAN3_QUERIES = {
     # settle the host-variance hypothesis with in-artifact samples, the
     # same way minhash_lsh's r12 dip was settled in r13.
     "cosine_dup_pairs",
+    # r15 (VERDICT r14 item 3): the whole ANN family drifted up 1.5-2.1x in
+    # r14's single samples with similarity.py untouched (git-verified) and a
+    # quiet-host SCALING x1 probe at 1.12s contradicting them — the family
+    # runs adjacently in the bench loop, so a shared load burst explains it;
+    # settle with in-artifact samples for one round, then drop back.
+    "ann_sq8",
+    "ann_sq8_index",
+    "ann_pq",
+    "ivfpq_append",
 }
 
 
