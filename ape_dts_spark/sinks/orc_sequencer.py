@@ -144,19 +144,65 @@ def mark_finished(root: str, schema: str, tb: str) -> str:
     return path
 
 
-def read_manifest(root: str, schema: str, tb: str) -> list[dict]:
+_META_KEYS = frozenset(
+    ("sequencer_id", "push_epoch", "push_sequence", "schema", "tb",
+     "data_file_name", "insert_only")
+)
+
+
+def read_manifest(
+    root: str, schema: str, tb: str, require_finished: bool = False
+) -> list[dict]:
     """Meta dir -> push records ordered by (sequencer_id, push_sequence),
-    DEDUPLICATED on the sequence pair (first meta wins — a retried push
-    re-names the same sequence, so replay is idempotent). Driver-side
-    listing is small by contract: one meta record per pushed batch."""
+    DEDUPLICATED on the sequence pair (first meta in filename order wins —
+    a retried push re-names the same sequence, so replay is idempotent).
+    Driver-side listing is small by contract: one meta record per pushed
+    batch.
+
+    Hardened against a damaged meta directory — corruption is confined to
+    ValueError naming the offending file, never a silently wrong merge:
+    truncated/corrupt JSON, missing/mistyped fields, a filename whose
+    encoded (sequencer_id, push_sequence) disagrees with the JSON body, a
+    data_file_name that path-escapes the table dir or doesn't match the
+    pusher's naming, or (with ``require_finished``) a missing end-of-stream
+    marker. Non-conforming filenames (editor droppings, .tmp leftovers from
+    a crashed rename) are skipped — they were never commits."""
     meta_dir = os.path.join(_tb_dir(root, schema, tb), "meta")
+    if require_finished and not os.path.exists(os.path.join(meta_dir, "finished")):
+        raise ValueError(
+            f"push stream not finished: no meta/finished marker under {meta_dir}"
+        )
     records: dict[tuple[int, int], dict] = {}
     for fname in sorted(os.listdir(meta_dir)):
         m = _META_RE.match(fname)
         if not m:
-            continue
-        with open(os.path.join(meta_dir, fname)) as f:
-            meta = json.load(f)
+            continue  # 'finished', .tmp from a crashed rename, droppings
+        path = os.path.join(meta_dir, fname)
+        try:
+            with open(path) as f:
+                meta = json.load(f)
+        except (json.JSONDecodeError, UnicodeDecodeError) as exc:
+            raise ValueError(f"corrupt push meta {path}: {exc}") from exc
+        if not isinstance(meta, dict) or not _META_KEYS <= set(meta):
+            raise ValueError(
+                f"push meta {path} is missing fields "
+                f"{sorted(_META_KEYS - set(meta if isinstance(meta, dict) else ()))}"
+            )
+        if not all(isinstance(meta[k], int) for k in
+                   ("sequencer_id", "push_epoch", "push_sequence")):
+            raise ValueError(f"push meta {path} has non-integer sequence fields")
+        if (int(m.group(1)), int(m.group(2))) != (
+            meta["sequencer_id"], meta["push_sequence"]
+        ):
+            raise ValueError(
+                f"push meta {path}: filename sequence {m.group(1)}_{m.group(2)} "
+                f"disagrees with body ({meta['sequencer_id']}, "
+                f"{meta['push_sequence']})"
+            )
+        dfn = meta["data_file_name"]
+        if (not isinstance(dfn, str) or os.path.basename(dfn) != dfn
+                or not dfn.startswith("log_dml_") or not dfn.endswith(".orc")):
+            raise ValueError(f"push meta {path}: bad data_file_name {dfn!r}")
         key = (meta["sequencer_id"], meta["push_sequence"])
         records.setdefault(key, meta)
     return [records[k] for k in sorted(records)]
@@ -168,6 +214,7 @@ def merge_pushes(
     schema: str,
     tb: str,
     pk_cols: list[str],
+    require_finished: bool = False,
 ) -> DataFrame:
     """Merge every pushed file into the final table state — the Spark twin
     of foxlake_merger.rs's MERGE-over-named-files, made order-independent:
@@ -183,12 +230,15 @@ def merge_pushes(
 
     Result: the same DataFrame no matter the order files were pushed or
     how often a sequence was retried."""
-    manifest = read_manifest(root, schema, tb)
+    manifest = read_manifest(root, schema, tb, require_finished=require_finished)
     if not manifest:
         raise ValueError(f"no pushed files under {root}/{schema}/{tb}/meta")
     paths = [
         os.path.join(_tb_dir(root, schema, tb), m["data_file_name"]) for m in manifest
     ]
+    missing = [p for p in paths if not os.path.exists(p)]
+    if missing:  # fail with the manifest's story, not a mid-scan surprise
+        raise ValueError(f"manifest references missing push data: {missing}")
     ords = spark.createDataFrame(
         [(m["data_file_name"][: -len(".orc")], i) for i, m in enumerate(manifest)],
         "push_name string, push_ord long",

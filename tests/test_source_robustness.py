@@ -152,3 +152,99 @@ def test_oplog_fuzz():
     ]
     blob = b"".join(bc.encode_document(e) for e in entries)
     _fuzz(of.parse_oplog_bytes, blob, flip_stride=2)
+
+
+def test_dump_payload_fuzz():
+    """RESTORE/DUMP payloads (r15): truncations shift the CRC footer and
+    byte flips break it or land inside the checked region — every mutation
+    is confined to ValueError by the CRC/version/decoder guards."""
+    from ape_dts_spark.sources import redis_rdb as rdb
+
+    rows = [
+        {"db_id": 0, "key": "h", "entry_type": "hash", "member": f"f{i}",
+         "value": f"v{i}", "ord": i, "expire_ms": None}
+        for i in range(4)
+    ]
+    _fuzz(lambda b: rdb.parse_dump_payload("h", b), rdb.dump_value(rows))
+
+
+def test_orc_manifest_robustness(tmp_path):
+    """orc_sequencer meta-dir damage matrix: corrupt/truncated JSON, missing
+    fields, filename/body sequence disagreement, path-escaping or
+    non-conforming data_file_name, missing data files, and a missing
+    finished marker are all confined to ValueError naming the problem;
+    non-conforming filenames and .tmp leftovers are skipped as non-commits
+    — the merge never silently produces a wrong table."""
+    import json
+    import shutil
+
+    import pytest
+
+    from ape_dts_spark.sinks import orc_sequencer as oseq
+
+    def fresh(name):
+        root = tmp_path / name
+        meta = root / "db" / "t" / "meta"
+        meta.mkdir(parents=True)
+        body = {
+            "sequencer_id": 5, "push_epoch": 5, "push_sequence": 0,
+            "schema": "db", "tb": "t",
+            "data_file_name": "log_dml_0_0_u0.orc", "insert_only": True,
+        }
+        (meta / "0000000005_0000000000_log_dml_0_0_u0.json").write_text(
+            json.dumps(body)
+        )
+        return root, meta, body
+
+    # baseline parses
+    root, meta, body = fresh("ok")
+    assert len(oseq.read_manifest(str(root), "db", "t")) == 1
+
+    # skipped non-commits: finished marker, crashed-rename .tmp, droppings
+    (meta / "finished").write_text("")
+    (meta / "0000000005_0000000001_log_dml_x.json.tmp").write_text("{")
+    (meta / ".DS_Store").write_text("junk")
+    assert len(oseq.read_manifest(str(root), "db", "t")) == 1
+    assert len(oseq.read_manifest(str(root), "db", "t", require_finished=True)) == 1
+
+    # missing finished marker with require_finished
+    (meta / "finished").unlink()
+    with pytest.raises(ValueError, match="finished"):
+        oseq.read_manifest(str(root), "db", "t", require_finished=True)
+
+    def expect(name, content, match):
+        root, meta, _ = fresh(name)
+        (meta / "0000000005_0000000001_log_dml_0_0_u1.json").write_text(content)
+        with pytest.raises(ValueError, match=match):
+            oseq.read_manifest(str(root), "db", "t")
+
+    good = dict(body, push_sequence=1, data_file_name="log_dml_0_0_u1.orc")
+    expect("trunc", json.dumps(good)[:20], "corrupt push meta")
+    expect("notjson", "\xff\xfe not json", "corrupt push meta")
+    expect("missing", json.dumps({"sequencer_id": 5}), "missing fields")
+    expect("notdict", json.dumps([1, 2]), "missing fields")
+    expect("strseq", json.dumps(dict(good, push_sequence="1")),
+           "non-integer sequence")
+    expect("disagree", json.dumps(dict(good, push_sequence=7)), "disagrees")
+    expect("escape", json.dumps(dict(good, data_file_name="../../evil.orc")),
+           "bad data_file_name")
+    expect("notorc", json.dumps(dict(good, data_file_name="log_dml_0_0_u1.txt")),
+           "bad data_file_name")
+    expect("notpush", json.dumps(dict(good, data_file_name="other_u1.orc")),
+           "bad data_file_name")
+
+    # manifest names a data file that was never written -> merge refuses
+    root, meta, _ = fresh("nodata")
+    with pytest.raises(ValueError, match="missing push data"):
+        from ape_dts_spark.session import get_spark
+
+        oseq.merge_pushes(get_spark("t"), str(root), "db", "t", ["k"])
+
+    # empty meta dir
+    root = tmp_path / "empty"
+    (root / "db" / "t" / "meta").mkdir(parents=True)
+    with pytest.raises(ValueError, match="no pushed files"):
+        from ape_dts_spark.session import get_spark
+
+        oseq.merge_pushes(get_spark("t"), str(root), "db", "t", ["k"])
+    shutil.rmtree(tmp_path, ignore_errors=True)
