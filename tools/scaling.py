@@ -91,6 +91,148 @@ QUERIES = [
 ]
 
 
+# r15 (VERDICT r14 item 5): the two media near-dup pipelines, measured over
+# factor-scaled synthetic corpora. The gate fixtures themselves cannot be
+# replicated verbatim (their planted class spaces are fixed, so replication
+# would grow cross-replica duplicate mass quadratically — the adversarial
+# experiment, not data growth); here the corpus grows with FRESH organic
+# content per id and a class space that scales with the factor, keeping
+# duplicate density constant — the media analogue of the rewritten-token
+# text replicas.
+MEDIA_N_IMAGES = 30_000  # x1 sizes == the sf0.1 gate workloads
+MEDIA_N_CLIPS = 30_000
+
+
+def media_image_pairs(spark, factor: int):
+    """image_dup_pairs' pipeline (decode + pHash + band join + Hamming
+    verify) over factor x 30k mixed-format images; planted groups at
+    id % 199 == 0 across 25 x factor classes (constant per-class size)."""
+    from pyspark.sql import functions as F
+
+    from ape_dts_spark.functions import multimodal as mm
+
+    classes = 25 * factor
+
+    def _gen(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        from ape_dts_spark.functions import media_codec as mc
+
+        yy, xx = np.mgrid[0:64, 0:64]
+        basis = np.stack(
+            [
+                np.cos((2 * xx + 1) * u * np.pi / 128)
+                * np.cos((2 * yy + 1) * v * np.pi / 128)
+                for u in range(8)
+                for v in range(8)
+                if (u, v) != (0, 0)
+            ]
+        )
+
+        def img(seed_label: str) -> np.ndarray:
+            d = hashlib.sha256(f"scale-phash:{seed_label}".encode()).digest()
+            signs = np.array(
+                [1 if (d[i // 8] >> (i % 8)) & 1 else -1 for i in range(63)]
+            )
+            return np.clip(
+                np.rint(128.0 + np.tensordot(signs * 8.0, basis, axes=1)), 0, 255
+            ).astype(np.uint8)
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for k in pdf["id"]:
+                k = int(k)
+                if k % 199 == 0:
+                    m = k // 199
+                    px = img(f"g{m % classes}")
+                    v = (m // classes) % 3
+                else:
+                    px = img(f"k{k}")
+                    v = k % 3
+                if v == 0:
+                    payload = mc.encode_png(px)
+                elif v == 1:
+                    payload = mc.encode_jpeg(px)
+                else:
+                    payload = mc.encode_bmp(np.stack([px] * 3, axis=-1))
+                ids.append(k)
+                payloads.append(payload)
+            yield pd.DataFrame({"id": ids, "payload": payloads})
+
+    n = MEDIA_N_IMAGES * factor
+    ids = spark.range(n).repartition(64).select(F.col("id"))
+    payloads = ids.mapInPandas(_gen, "id long, payload binary")
+    return mm.phash_dup_pairs(mm.image_phashes(payloads), max_hamming=3)
+
+
+def media_audio_pairs(spark, factor: int):
+    """audio_dup_pairs' pipeline (WAV decode + FFT-peak constellation +
+    triple-hash join + offset votes) over factor x 30k clips; planted
+    groups at id % 199 == 0 across 20 x factor classes. Organic tone
+    sequences use the gate's nonlinear-in-j mixer so no two organic clips
+    are accidental time shifts of each other."""
+    from pyspark.sql import functions as F
+
+    from ape_dts_spark.functions import multimodal as mm
+
+    classes = 20 * factor
+
+    def _gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from ape_dts_spark.functions import media_codec as mc
+
+        cos_tab = {
+            b: np.rint(1000 * np.cos(2 * np.pi * b * np.arange(256) / 256)).astype("<i2")
+            for b in range(8, 104)
+        }
+        silent = np.zeros(256, dtype="<i2")
+        for pdf in batches:
+            ids, payloads = [], []
+            for k in pdf["id"]:
+                k = int(k)
+                s = k % 3
+                if k % 199 == 0:
+                    ck = (k // 199) % classes
+                    # quadratic-in-j term: the gate's linear-in-j class bins
+                    # make ~5% of CLASS PAIRS genuine time shifts of each
+                    # other (47*dck = 9*dt mod 96 has solutions), which is
+                    # self-consistent at the gate's fixed 20 classes but
+                    # grows quadratically when the class space scales —
+                    # 87*(2jd + d^2 + d) % 96 varies with j for every |d|<16,
+                    # so here only same-class (dt from the silent prefix)
+                    # pairs survive and planted mass stays linear
+                    bins = [
+                        (ck * 7919 + 40503 * j * j + 40503 * j) % 96 + 8
+                        for j in range(12)
+                    ]
+                else:
+                    bins = [
+                        (k * ((2654435761 * (j + 1) + 40503 * j * j) % 10000019))
+                        % 10000019 % 96 + 8
+                        for j in range(12)
+                    ]
+                frames = [silent] * s + [cos_tab[b] for b in bins]
+                ids.append(k)
+                payloads.append(mc.encode_wav(np.concatenate(frames), 8000))
+            yield pd.DataFrame({"id": ids, "payload": payloads})
+
+    n = MEDIA_N_CLIPS * factor
+    ids = spark.range(n).repartition(64).select(F.col("id"))
+    payloads = ids.mapInPandas(_gen, "id long, payload binary")
+    return mm.audio_dup_pairs(mm.audio_fingerprints(payloads), min_matches=10)
+
+
+MEDIA_QUERIES = {
+    "image_dup_pairs (scaled corpus)": media_image_pairs,
+    "audio_dup_pairs (scaled corpus)": media_audio_pairs,
+}
+
+
 def build_corpus(spark, sf_dir: str, factor: int, dest: str) -> None:
     from pyspark.sql import functions as F
 
@@ -254,13 +396,23 @@ def main() -> int:
         dirs[f] = dest
         print(f"built x{f}", flush=True)
 
-    times: dict[str, dict[int, float]] = {q: {} for q in QUERIES}
+    all_queries = list(QUERIES) + list(MEDIA_QUERIES)
+    times: dict[str, dict[int, float]] = {q: {} for q in all_queries}
     for f in FACTORS:
         for q in QUERIES:
             best = math.inf
             for _ in range(2):  # best-of-2: the host shows load bursts
                 t0 = time.time()
                 qs[q](spark, dirs[f]).count()
+                best = min(best, time.time() - t0)
+                clear_spark_blocks(spark)
+            times[q][f] = best
+            print(f"x{f} {q} {best:.2f}s", flush=True)
+        for q, fn in MEDIA_QUERIES.items():  # factor-scaled media corpora
+            best = math.inf
+            for _ in range(2):
+                t0 = time.time()
+                fn(spark, f).count()
                 best = min(best, time.time() - t0)
                 clear_spark_blocks(spark)
             times[q][f] = best
@@ -282,7 +434,7 @@ def main() -> int:
         "| query | x1 s | x2 s | x4 s | alpha |",
         "|---|---|---|---|---|",
     ]
-    for q in QUERIES:
+    for q in all_queries:
         t1, t2, t4 = times[q][1], times[q][2], times[q][4]
         alpha = math.log(t4 / t1) / math.log(4) if t1 > 0 else float("nan")
         lines.append(f"| {q} | {t1:.2f} | {t2:.2f} | {t4:.2f} | {alpha:.2f} |")
@@ -325,6 +477,14 @@ def main() -> int:
         "  (256 registers / depth x width counters) — cost is the scan plus",
         "  one map-side-combined agg, alpha ~ scan growth; the sketch that",
         "  crosses stage boundaries never grows with the corpus.",
+        "- `image_dup_pairs`/`audio_dup_pairs` (scaled corpus): the two",
+        "  media near-dup pipelines over factor-scaled synthetic corpora",
+        "  (30k images / 30k clips at x1 == the sf0.1 gate workloads) with",
+        "  class spaces scaling with the factor, so duplicate density stays",
+        "  constant (the media analogue of the rewritten-token replicas).",
+        "  Cost is decode-dominated (one Arrow pass) + a banded equi-join —",
+        "  both linear; the band-collision tail is bounded by the class",
+        "  structure, never all-pairs.",
         "",
     ]
     lines += appendix_sections()
