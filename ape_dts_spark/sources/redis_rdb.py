@@ -490,6 +490,16 @@ def _parse_rdb_entries(data: bytes) -> list[dict]:
     while i < len(data):
         op = data[i]
         if op == OP_EOF:
+            # trailing CRC-64/Jones over everything before it; all-zero =
+            # "checksum disabled" (rdbchecksum no), legal per spec
+            footer = data[i + 1 : i + 9]
+            if len(footer) == 8 and footer != b"\x00" * 8:
+                want = struct.unpack("<Q", footer)[0]
+                got = crc64_jones(data[: i + 1])
+                if got != want:
+                    raise ValueError(
+                        f"RDB checksum mismatch: {got:#x} != {want:#x}"
+                    )
             break
         if op == OP_SELECTDB:
             db_id, _, i = _read_len(data, i + 1)
@@ -890,6 +900,7 @@ def encode_rdb(
     stream_version: int = 3,
     module_aux: list[str] | None = None,
     hash_field_ttl: str = "listpackex",
+    checksum: bool = True,
 ) -> bytes:
     """Entry rows (same shape parse_rdb_bytes emits) -> one RDB dump.
 
@@ -898,7 +909,9 @@ def encode_rdb(
     fields become ziplists, zsets with <= 2 members become listpacks (else
     ascii-score T_ZSET), lists become quicklist2 with 4-element listpack
     nodes, all-integer sets become intsets (else set listpacks). Trailing
-    checksum is written as 8 zero bytes ("no checksum", legal per spec)."""
+    CRC-64/Jones checksum is real since r15 (checksum=False writes the
+    legal all-zero "disabled" form); the parser verifies non-zero
+    footers."""
     by_db: dict[int, dict[str, list[dict]]] = {}
     for e in entries:
         by_db.setdefault(int(e.get("db_id") or 0), {}).setdefault(e["key"], []).append(e)
@@ -922,7 +935,8 @@ def encode_rdb(
                 out += bytes([OP_EXPIRETIME_MS]) + struct.pack("<Q", int(exp))
             type_byte, payload = encode_value(rows, stream_version, hash_field_ttl)
             out += bytes([type_byte]) + _enc_string(key.encode()) + payload
-    out += bytes([OP_EOF]) + b"\x00" * 8
+    out += bytes([OP_EOF])
+    out += struct.pack("<Q", crc64_jones(bytes(out))) if checksum else b"\x00" * 8
     return bytes(out)
 
 

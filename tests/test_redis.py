@@ -871,3 +871,33 @@ def test_restore_round_trip_through_rdb_file(tmp_path):
         back = rdb.parse_dump_payload(key, rdb.dump_value(rows))
         strip = lambda r: {k: v for k, v in r.items() if k != "expire_ms"}  # noqa: E731
         assert sorted(map(str, map(strip, back))) == sorted(map(str, map(strip, rows)))
+
+
+def test_rdb_file_checksum():
+    """encode_rdb writes a real CRC-64/Jones footer (r15); the parser
+    verifies non-zero footers, accepts the legal all-zero 'disabled' form,
+    and reports a mismatch as ValueError."""
+    import pytest
+
+    from ape_dts_spark.sources import redis_rdb as rdb
+
+    entries = [
+        {"db_id": 0, "key": "k", "entry_type": "string", "member": None,
+         "value": "v1", "ord": 0, "expire_ms": None},
+        {"db_id": 0, "key": "h", "entry_type": "hash", "member": "f",
+         "value": "w", "ord": 0, "expire_ms": None},
+    ]
+    blob = rdb.encode_rdb(entries)
+    assert blob[-8:] != b"\x00" * 8
+    assert int.from_bytes(blob[-8:], "little") == rdb.crc64_jones(blob[:-8])
+    assert len(rdb.parse_rdb_bytes(blob)) == 2
+
+    legacy = rdb.encode_rdb(entries, checksum=False)
+    assert legacy[-8:] == b"\x00" * 8
+    assert rdb.parse_rdb_bytes(legacy) == rdb.parse_rdb_bytes(blob)
+
+    # flip a payload byte: the checksum catches what the decoder might not
+    mut = bytearray(blob)
+    mut[15] ^= 0x01
+    with pytest.raises(ValueError):
+        rdb.parse_rdb_bytes(bytes(mut))
