@@ -4613,6 +4613,71 @@ def q_phash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_video_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-duplicate detection (r15, mm.video_fingerprints +
+    mm.video_dup_pairs — per-frame pHash band join composed with the audio
+    family's offset-consistent votes, completing the multimodal dedup triad):
+    every supplier key synthesizes a 12-frame 64x64 lossless-DIB AVI clip;
+    keys with k % 7 == 0 are PLANTED duplicates — each takes a 12-frame
+    window at offset k % 3 into its class's 14-frame master sequence (class
+    (k//7) % 5, dense-spectrum DCT sign-bit frames), so same-class clips are
+    shifted/trimmed cuts of one another. The pipeline decodes + phashes
+    every frame in one Arrow pass, band-joins 4x16-bit hash bands (bucketed,
+    never all-pairs), verifies true Hamming <= 3, dedups multi-band frame
+    matches and counts matches per (pair, dt) — a true cut matches its
+    whole 12-|ds| frame overlap at the single dt = ds. The oracle restates
+    every (pair, dt, count) from the window arithmetic; organic frames are
+    ~uniform sign-hashes, so nothing else reaches the 10-match floor."""
+    s = demo.load(spark, sf_dir, "supplier").select("s_suppkey")
+
+    def _gen(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        from ape_dts_spark.functions import media_codec as mc
+
+        yy, xx = np.mgrid[0:64, 0:64]
+        basis = np.stack(
+            [
+                np.cos((2 * xx + 1) * u * np.pi / 128)
+                * np.cos((2 * yy + 1) * v * np.pi / 128)
+                for u in range(8)
+                for v in range(8)
+                if (u, v) != (0, 0)
+            ]
+        )
+
+        def frame(lbl):
+            d = hashlib.sha256(f"vid-fixture:{lbl}".encode()).digest()
+            signs = np.array(
+                [1 if (d[i // 8] >> (i % 8)) & 1 else -1 for i in range(63)]
+            )
+            g = np.clip(
+                np.rint(128.0 + np.tensordot(signs * 8.0, basis, axes=1)), 0, 255
+            ).astype(np.uint8)
+            return np.stack([g] * 3, axis=-1)
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for k in pdf["s_suppkey"]:
+                k = int(k)
+                if k % 7 == 0:
+                    c, s_ = (k // 7) % 5, k % 3
+                    frames = [frame(f"g{c}:{i}") for i in range(s_, s_ + 12)]
+                else:
+                    frames = [frame(f"k{k}:{i}") for i in range(12)]
+                ids.append(k)
+                payloads.append(mc.encode_avi(frames))
+            yield pd.DataFrame({"id": ids, "payload": payloads})
+
+    payloads = _spread(s, spark).mapInPandas(_gen, "id long, payload binary")
+    return mm.video_dup_pairs(
+        mm.video_fingerprints(payloads), max_hamming=3, min_matches=10
+    )
+
+
 def q_netpbm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Netpbm decode across all six formats (r13, media_codec.parse_netpbm
     — the classic vision-dataset interchange family): each supplier row
@@ -5809,6 +5874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- coverage. -------------------------------------------------
         "redis_restore_statements": q_redis_restore_statements,
         "phash_incremental": q_phash_incremental,
+        "video_dup_pairs": q_video_dup_pairs,
         "binlog_partial_json": q_binlog_partial_json,
         "image_dup_pairs": q_image_dup_pairs,
         "orc_sequenced": q_orc_sequenced,
@@ -7585,6 +7651,21 @@ def oracle_sql() -> dict[str, str]:
             FROM fp a JOIN fp b ON a.fp = b.fp AND a.id < b.id
             GROUP BY 1, 2, 3
             HAVING COUNT(*) >= 10
+        """,
+        "video_dup_pairs": """
+            -- planted shifted-window duplicates: keys k % 7 = 0, class
+            -- (k//7) % 5, window offset s = k % 3 into a 14-frame master;
+            -- a pair matches its 12 - |ds| overlapping frames at the single
+            -- shift dt = s_b - s_a (id_a < id_b); organic sign-hash frames
+            -- never reach the 10-match floor
+            WITH pk AS (
+              SELECT s_suppkey AS k, (s_suppkey // 7) % 5 AS g,
+                     s_suppkey % 3 AS s
+              FROM supplier WHERE s_suppkey % 7 = 0)
+            SELECT a.k AS id_a, b.k AS id_b,
+                   CAST(b.s - a.s AS BIGINT) AS dt,
+                   CAST(12 - abs(a.s - b.s) AS BIGINT) AS n_matches
+            FROM pk a JOIN pk b ON a.g = b.g AND a.k < b.k
         """,
         "phash_incremental": """
             -- the image_dup_pairs planted groups restricted to pairs

@@ -798,6 +798,108 @@ def audio_incremental_pairs(
     )
 
 
+def video_fingerprints(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "id",
+    every_n: int = 1,
+    errors: str = "raise",
+) -> DataFrame:
+    """Per-frame pHash fingerprints over AVI containers — the video
+    near-dup front half, completing the multimodal dedup triad next to the
+    audio constellation and image pHash: parse each payload's RIFF
+    structure (media_codec.parse_avi), decode every ``every_n``-th frame by
+    its in-container codec (raw DIB byte-exact, MJPG through the baseline
+    JFIF decoder) and phash64 it — all in ONE Arrow pass, no shuffle before
+    decode. Returns (id, t [frame index], phash). ``errors``: the standard
+    raise/null/skip per-payload quarantine."""
+    from ape_dts_spark.functions import media_codec as mc
+
+    _quarantine_policy(errors)
+
+    def _fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[tuple] = []
+            for rid, raw in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    frames = mc.parse_avi(bytes(raw), return_frames=True)["frames"]
+                    for t in range(0, len(frames), every_n):
+                        rows.append((rid, t, mc.phash64(frames[t]), None))
+                except (ValueError, NotImplementedError) as exc:
+                    if errors == "raise":
+                        raise
+                    if errors == "null":
+                        rows.append((rid, None, None, f"{type(exc).__name__}: {exc}"))
+            out = pd.DataFrame(rows, columns=["id", "t", "phash", "error"])
+            if errors == "raise":
+                out = out.drop(columns=["error"])
+            yield out
+
+    schema = "id long, t long, phash long" + (
+        ", error string" if errors != "raise" else ""
+    )
+    return df.mapInPandas(_fp, schema=schema)
+
+
+def video_dup_pairs(
+    fps: DataFrame,
+    max_hamming: int = 3,
+    min_matches: int = 10,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Video near-duplicate pairs from a frame-fingerprint relation: the
+    image band join composed with the audio offset-vote — per-frame pHashes
+    are band-bucketed (equi-join on a 16-bit band, NEVER all-pairs),
+    verified on full-hash Hamming <= max_hamming, deduped per frame pair
+    (several bands can match), then counted OFFSET-CONSISTENTLY: group by
+    (id_a, id_b, t_a - t_b) so only frame matches agreeing on ONE time
+    shift accumulate — a true shifted/trimmed duplicate matches all its
+    overlapping frames at a single dt; incidental near-frames scatter.
+    Scale shape: one shuffle on the band key + two hash aggs; organic
+    16-bit band collisions are ~n_bands * 2^-16 per frame pair, so join
+    output stays linear in total frame count plus true duplicate mass.
+    Returns (id_a, id_b, dt, n_matches), id_a < id_b."""
+    if not 64 % n_bands == 0:
+        raise ValueError(f"n_bands must divide 64, got {n_bands}")
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    band_key = F.explode(
+        F.array(
+            *[
+                F.shiftrightunsigned(F.col("phash"), b * width)
+                .bitwiseAND(F.lit(mask))
+                .bitwiseOR(F.lit(b << width))
+                for b in range(n_bands)
+            ]
+        )
+    ).alias("band_key")
+    banded = fps.select("id", "t", "phash", band_key)
+    a = banded.select(
+        F.col("id").alias("id_a"), F.col("t").alias("t_a"),
+        F.col("phash").alias("ph_a"), "band_key",
+    )
+    b = banded.select(
+        F.col("id").alias("id_b"), F.col("t").alias("t_b"),
+        F.col("phash").alias("ph_b"), "band_key",
+    )
+    frame_matches = (
+        a.join(b, "band_key")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))) <= max_hamming
+        )
+        .groupBy("id_a", "id_b", "t_a", "t_b")  # dedup multi-band matches
+        .agg(F.count(F.lit(1)).alias("_nb"))
+    )
+    return (
+        frame_matches.groupBy(
+            "id_a", "id_b", (F.col("t_a") - F.col("t_b")).alias("dt")
+        )
+        .agg(F.count(F.lit(1)).alias("n_matches"))
+        .filter(F.col("n_matches") >= min_matches)
+    )
+
+
 def sample_frames(df: DataFrame, payload_col: str = "payload", every_n_bytes: int = 1024) -> DataFrame:
     """Frame-sampling plumbing: split each payload into fixed-size 'frames'
     (posexplode over byte ranges) — the distributed shape of video frame

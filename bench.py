@@ -111,6 +111,7 @@ BENCH_QUERIES = [
     "audio_dup_pairs",
     "image_dup_pairs",
     "phash_incremental",
+    "video_dup_pairs",
     "binlog_partial_json",
     "redis_stream_statements",
     "redis_restore_statements",

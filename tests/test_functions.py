@@ -1828,3 +1828,58 @@ def test_audio_incremental_pairs(spark):
     assert (5, 6) in got  # within-batch pair, vote count not double-counted
     assert (1, 2) not in got  # old-vs-old never recomputed
     index.unpersist()
+
+
+def test_video_dup_pairs(spark):
+    """Per-frame pHash + offset-consistent votes find a planted
+    shifted-window duplicate clip with exact match counts and dt; unrelated
+    clips never pair; quarantine policy on the container parse."""
+    import hashlib
+
+    import numpy as np
+
+    from ape_dts_spark.functions import media_codec as mc
+    from ape_dts_spark.functions import multimodal as mm
+
+    yy, xx = np.mgrid[0:64, 0:64]
+    basis = np.stack(
+        [
+            np.cos((2 * xx + 1) * u * np.pi / 128) * np.cos((2 * yy + 1) * v * np.pi / 128)
+            for u in range(8)
+            for v in range(8)
+            if (u, v) != (0, 0)
+        ]
+    )
+
+    def frame(lbl):
+        d = hashlib.sha256(f"vid:{lbl}".encode()).digest()
+        signs = np.array([1 if (d[i // 8] >> (i % 8)) & 1 else -1 for i in range(63)])
+        g = np.clip(np.rint(128.0 + np.tensordot(signs * 8.0, basis, axes=1)), 0, 255).astype(np.uint8)
+        return np.stack([g] * 3, axis=-1)
+
+    seq = [frame(f"c0:{i}") for i in range(14)]  # one class, 14-frame master
+    clips = [
+        (1, mc.encode_avi(seq[0:12])),    # window at shift 0
+        (2, mc.encode_avi(seq[2:14])),    # same class, shift 2
+        (3, mc.encode_avi([frame(f"x:{i}") for i in range(12)])),  # unrelated
+    ]
+    df = spark.createDataFrame(clips, "id long, payload binary")
+    fps = mm.video_fingerprints(df)
+    assert fps.count() == 36  # 3 clips x 12 frames
+    pairs = mm.video_dup_pairs(fps, min_matches=10).collect()
+    assert len(pairs) == 1
+    p = pairs[0]
+    # clip 1 frame t matches clip 2 frame t-2 (master index t == (t-2)+2):
+    # dt = +2, overlap = 10 frames
+    assert (p["id_a"], p["id_b"], p["dt"], p["n_matches"]) == (1, 2, 2, 10)
+
+    # every_n sampling halves the fingerprint relation
+    assert mm.video_fingerprints(df, every_n=2).count() == 18
+
+    # quarantine on a corrupt container
+    bad = spark.createDataFrame(
+        [(1, clips[0][1]), (9, b"not an avi")], "id long, payload binary"
+    )
+    rows = mm.video_fingerprints(bad, errors="null").collect()
+    assert sum(r["error"] is not None for r in rows) == 1
+    assert {r["id"] for r in mm.video_fingerprints(bad, errors="skip").collect()} == {1}
