@@ -4629,53 +4629,76 @@ def q_video_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     every (pair, dt, count) from the window arithmetic; organic frames are
     ~uniform sign-hashes, so nothing else reaches the 10-match floor."""
     s = demo.load(spark, sf_dir, "supplier").select("s_suppkey")
-
-    def _gen(batches):
-        import hashlib
-
-        import numpy as np
-        import pandas as pd
-
-        from ape_dts_spark.functions import media_codec as mc
-
-        yy, xx = np.mgrid[0:64, 0:64]
-        basis = np.stack(
-            [
-                np.cos((2 * xx + 1) * u * np.pi / 128)
-                * np.cos((2 * yy + 1) * v * np.pi / 128)
-                for u in range(8)
-                for v in range(8)
-                if (u, v) != (0, 0)
-            ]
-        )
-
-        def frame(lbl):
-            d = hashlib.sha256(f"vid-fixture:{lbl}".encode()).digest()
-            signs = np.array(
-                [1 if (d[i // 8] >> (i % 8)) & 1 else -1 for i in range(63)]
-            )
-            g = np.clip(
-                np.rint(128.0 + np.tensordot(signs * 8.0, basis, axes=1)), 0, 255
-            ).astype(np.uint8)
-            return np.stack([g] * 3, axis=-1)
-
-        for pdf in batches:
-            ids, payloads = [], []
-            for k in pdf["s_suppkey"]:
-                k = int(k)
-                if k % 7 == 0:
-                    c, s_ = (k // 7) % 5, k % 3
-                    frames = [frame(f"g{c}:{i}") for i in range(s_, s_ + 12)]
-                else:
-                    frames = [frame(f"k{k}:{i}") for i in range(12)]
-                ids.append(k)
-                payloads.append(mc.encode_avi(frames))
-            yield pd.DataFrame({"id": ids, "payload": payloads})
-
-    payloads = _spread(s, spark).mapInPandas(_gen, "id long, payload binary")
+    payloads = _spread(s, spark).mapInPandas(_video_fixture_gen, "id long, payload binary")
     return mm.video_dup_pairs(
         mm.video_fingerprints(payloads), max_hamming=3, min_matches=10
     )
+
+
+def q_video_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental video near-dup dedup (r15, mm.video_fp_index +
+    mm.video_incremental_pairs — the video member of the incremental-index
+    triad next to phash_incremental and minhash_incremental): the per-frame
+    band index is built on the standing corpus (suppkey % 2 != 0) of the
+    video_dup_pairs fixture, then the even keys arrive as a new batch —
+    only the batch is decoded+banded, candidates come from a band equi-join
+    against (index UNION batch), and the output is exactly the full-corpus
+    video_dup_pairs run filtered to pairs touching the batch (same banding,
+    Hamming verify, frame-dedup and offset votes). The oracle restates the
+    planted window arithmetic restricted to pairs with an even member."""
+    s = demo.load(spark, sf_dir, "supplier").select("s_suppkey")
+    payloads = _spread(s, spark).mapInPandas(_video_fixture_gen, "id long, payload binary")
+    old_fps = mm.video_fingerprints(payloads.filter(F.col("id") % 2 != 0))
+    new_fps = mm.video_fingerprints(payloads.filter(F.col("id") % 2 == 0))
+    index = mm.video_fp_index(old_fps)  # harness clears cached blocks per query
+    return mm.video_incremental_pairs(index, new_fps, max_hamming=3, min_matches=10)
+
+
+def _video_fixture_gen(batches):
+    """Shared video fixture payload generator (video_dup_pairs +
+    video_incremental): 12-frame lossless-DIB AVI clips with planted
+    shifted-window duplicates at k % 7 == 0 (class (k//7) % 5, window
+    offset k % 3 into a 14-frame master)."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from ape_dts_spark.functions import media_codec as mc
+
+    yy, xx = np.mgrid[0:64, 0:64]
+    basis = np.stack(
+        [
+            np.cos((2 * xx + 1) * u * np.pi / 128)
+            * np.cos((2 * yy + 1) * v * np.pi / 128)
+            for u in range(8)
+            for v in range(8)
+            if (u, v) != (0, 0)
+        ]
+    )
+
+    def frame(lbl):
+        d = hashlib.sha256(f"vid-fixture:{lbl}".encode()).digest()
+        signs = np.array(
+            [1 if (d[i // 8] >> (i % 8)) & 1 else -1 for i in range(63)]
+        )
+        g = np.clip(
+            np.rint(128.0 + np.tensordot(signs * 8.0, basis, axes=1)), 0, 255
+        ).astype(np.uint8)
+        return np.stack([g] * 3, axis=-1)
+
+    for pdf in batches:
+        ids, payloads = [], []
+        for k in pdf["s_suppkey"]:
+            k = int(k)
+            if k % 7 == 0:
+                c, s_ = (k // 7) % 5, k % 3
+                frames = [frame(f"g{c}:{i}") for i in range(s_, s_ + 12)]
+            else:
+                frames = [frame(f"k{k}:{i}") for i in range(12)]
+            ids.append(k)
+            payloads.append(mc.encode_avi(frames))
+        yield pd.DataFrame({"id": ids, "payload": payloads})
 
 
 def q_netpbm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5875,6 +5898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redis_restore_statements": q_redis_restore_statements,
         "phash_incremental": q_phash_incremental,
         "video_dup_pairs": q_video_dup_pairs,
+        "video_incremental": q_video_incremental,
         "binlog_partial_json": q_binlog_partial_json,
         "image_dup_pairs": q_image_dup_pairs,
         "orc_sequenced": q_orc_sequenced,
@@ -7651,6 +7675,19 @@ def oracle_sql() -> dict[str, str]:
             FROM fp a JOIN fp b ON a.fp = b.fp AND a.id < b.id
             GROUP BY 1, 2, 3
             HAVING COUNT(*) >= 10
+        """,
+        "video_incremental": """
+            -- the video_dup_pairs planted window pairs restricted to pairs
+            -- touching the new batch (suppkey % 2 = 0)
+            WITH pk AS (
+              SELECT s_suppkey AS k, (s_suppkey // 7) % 5 AS g,
+                     s_suppkey % 3 AS s
+              FROM supplier WHERE s_suppkey % 7 = 0)
+            SELECT a.k AS id_a, b.k AS id_b,
+                   CAST(b.s - a.s AS BIGINT) AS dt,
+                   CAST(12 - abs(a.s - b.s) AS BIGINT) AS n_matches
+            FROM pk a JOIN pk b ON a.g = b.g AND a.k < b.k
+            WHERE a.k % 2 = 0 OR b.k % 2 = 0
         """,
         "video_dup_pairs": """
             -- planted shifted-window duplicates: keys k % 7 = 0, class

@@ -647,17 +647,21 @@ def phash_dup_pairs(
     )
 
 
-def _phash_band_rows(hashes: DataFrame, n_bands: int) -> DataFrame:
-    """(id, phash) -> the exploded band relation (id, phash, band, bh{w}):
-    one row per (image, band), bh = that band's bits. The band-hash column
-    name carries the bit WIDTH (bh16 for 4 bands) so a persisted index is
-    self-describing — incremental queries validate schema-only, no scan."""
+def _phash_band_rows(
+    hashes: DataFrame, n_bands: int, carry: tuple[str, ...] = ("id",)
+) -> DataFrame:
+    """(carry..., phash) -> the exploded band relation (carry..., phash,
+    band, bh{w}): one row per (row, band), bh = that band's bits. The
+    band-hash column name carries the bit WIDTH (bh16 for 4 bands) so a
+    persisted index is self-describing — incremental queries validate
+    schema-only, no scan. ``carry`` adds passthrough key columns (the video
+    index carries the frame index t)."""
     if not 64 % n_bands == 0:
         raise ValueError(f"n_bands must divide 64, got {n_bands}")
     width = 64 // n_bands
     mask = (1 << width) - 1
     return hashes.select(
-        "id",
+        *carry,
         "phash",
         F.posexplode(
             F.array(
@@ -887,6 +891,100 @@ def video_dup_pairs(
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(
             F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))) <= max_hamming
+        )
+        .groupBy("id_a", "id_b", "t_a", "t_b")  # dedup multi-band matches
+        .agg(F.count(F.lit(1)).alias("_nb"))
+    )
+    return (
+        frame_matches.groupBy(
+            "id_a", "id_b", (F.col("t_a") - F.col("t_b")).alias("dt")
+        )
+        .agg(F.count(F.lit(1)).alias("n_matches"))
+        .filter(F.col("n_matches") >= min_matches)
+    )
+
+
+def video_fp_index(fps: DataFrame, n_bands: int = 4) -> DataFrame:
+    """Persistent per-frame pHash band index for INCREMENTAL video dedup:
+    the exploded band relation ``(id, t, phash, band, bh{width})``,
+    persisted — the video member of the incremental-index triad next to
+    phash_index (images) and audio_fp_index (constellations). Band width is
+    part of the stored FORMAT (the bh column name), schema-validated by the
+    incremental queries."""
+    from pyspark import StorageLevel
+
+    idx = _phash_band_rows(fps, n_bands, carry=("id", "t")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    idx.count()
+    return idx
+
+
+def video_fp_index_append(
+    index: DataFrame, new_fps: DataFrame, n_bands: int = 4
+) -> DataFrame:
+    """Roll the video band index forward with an admitted batch: a pure
+    union (banding is row-local) — equals video_fp_index over the
+    concatenated corpus. Schema-validated against the stored band width."""
+    width = 64 // n_bands
+    if f"bh{width}" not in index.columns:
+        raise ValueError(
+            f"stored video index has columns {index.columns} but n_bands={n_bands} "
+            f"needs bh{width} — band width is part of the index format"
+        )
+    return index.unionByName(_phash_band_rows(new_fps, n_bands, carry=("id", "t")))
+
+
+def video_incremental_pairs(
+    index: DataFrame,
+    new_fps: DataFrame,
+    max_hamming: int = 3,
+    min_matches: int = 10,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Incremental video near-dup pairs: video_dup_pairs over the
+    concatenated corpus restricted to pairs touching the new batch — only
+    the batch is banded; candidates come from new bands equi-joined against
+    (index UNION batch); frame matches dedup per (pair, frame pair) and
+    vote per time shift exactly as the full run (an old/new marker keeps
+    each frame match counted once, so within-batch vote counts equal the
+    full run's). Batch ids must be disjoint from indexed ids. Cost scales
+    with |batch| frames + collision volume, never corpus size."""
+    width = 64 // n_bands
+    if f"bh{width}" not in index.columns:
+        raise ValueError(
+            f"stored video index has columns {index.columns} but n_bands={n_bands} "
+            f"needs bh{width} — band width is part of the index format"
+        )
+    new_bands = _phash_band_rows(new_fps, n_bands, carry=("id", "t"))
+    all_bands = index.withColumn("_new", F.lit(False)).unionByName(
+        new_bands.withColumn("_new", F.lit(True))
+    )
+    a = new_bands.select(
+        F.col("id").alias("id_n"), F.col("t").alias("t_n"),
+        F.col("phash").alias("ph_n"), "band", f"bh{width}",
+    )
+    b = all_bands.select(
+        F.col("id").alias("id_o"), F.col("t").alias("t_o"),
+        F.col("phash").alias("ph_o"), "band", f"bh{width}", "_new",
+    )
+    frame_matches = (
+        a.join(b, ["band", f"bh{width}"])
+        # each unordered frame match exactly once (the audio_incremental
+        # argument): new-vs-old only from the new probe side, new-vs-new
+        # only lesser-probes-greater
+        .filter((~F.col("_new")) | (F.col("id_n") < F.col("id_o")))
+        .filter(F.col("id_n") != F.col("id_o"))
+        .filter(
+            F.bit_count(F.col("ph_n").bitwiseXOR(F.col("ph_o"))) <= max_hamming
+        )
+        .select(
+            F.least("id_n", "id_o").alias("id_a"),
+            F.greatest("id_n", "id_o").alias("id_b"),
+            F.when(F.col("id_n") < F.col("id_o"), F.col("t_n"))
+            .otherwise(F.col("t_o")).alias("t_a"),
+            F.when(F.col("id_n") < F.col("id_o"), F.col("t_o"))
+            .otherwise(F.col("t_n")).alias("t_b"),
         )
         .groupBy("id_a", "id_b", "t_a", "t_b")  # dedup multi-band matches
         .agg(F.count(F.lit(1)).alias("_nb"))

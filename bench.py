@@ -112,6 +112,7 @@ BENCH_QUERIES = [
     "image_dup_pairs",
     "phash_incremental",
     "video_dup_pairs",
+    "video_incremental",
     "binlog_partial_json",
     "redis_stream_statements",
     "redis_restore_statements",

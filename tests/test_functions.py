@@ -1883,3 +1883,71 @@ def test_video_dup_pairs(spark):
     rows = mm.video_fingerprints(bad, errors="null").collect()
     assert sum(r["error"] is not None for r in rows) == 1
     assert {r["id"] for r in mm.video_fingerprints(bad, errors="skip").collect()} == {1}
+
+
+def test_video_incremental_pairs(spark):
+    """Incremental video dedup == video_dup_pairs over the concatenated
+    corpus restricted to pairs touching the batch, exact dt and vote
+    counts; append == fresh build; band width is format-validated."""
+    import hashlib
+
+    import numpy as np
+    import pytest
+
+    from ape_dts_spark.functions import media_codec as mc
+    from ape_dts_spark.functions import multimodal as mm
+
+    yy, xx = np.mgrid[0:64, 0:64]
+    basis = np.stack(
+        [
+            np.cos((2 * xx + 1) * u * np.pi / 128) * np.cos((2 * yy + 1) * v * np.pi / 128)
+            for u in range(8)
+            for v in range(8)
+            if (u, v) != (0, 0)
+        ]
+    )
+
+    def frame(lbl):
+        d = hashlib.sha256(f"vinc:{lbl}".encode()).digest()
+        signs = np.array([1 if (d[i // 8] >> (i % 8)) & 1 else -1 for i in range(63)])
+        g = np.clip(np.rint(128.0 + np.tensordot(signs * 8.0, basis, axes=1)), 0, 255).astype(np.uint8)
+        return np.stack([g] * 3, axis=-1)
+
+    seq_a = [frame(f"a:{i}") for i in range(14)]
+    seq_b = [frame(f"b:{i}") for i in range(14)]
+    clips = [
+        (1, mc.encode_avi(seq_a[0:12])),
+        (2, mc.encode_avi(seq_a[2:14])),   # dup of 1, indexed
+        (3, mc.encode_avi(seq_b[0:12])),
+        (4, mc.encode_avi(seq_a[1:13])),   # dup of 1 and 2, in the batch
+        (5, mc.encode_avi(seq_b[1:13])),   # dup of 3, in the batch
+        (6, mc.encode_avi(seq_b[2:14])),   # dup of 3 and 5, in the batch
+    ]
+    df = spark.createDataFrame(clips, "id long, payload binary")
+    fps = mm.video_fingerprints(df)
+    full = {
+        (r["id_a"], r["id_b"]): (r["dt"], r["n_matches"])
+        for r in mm.video_dup_pairs(fps, min_matches=10).collect()
+    }
+    new_ids = {4, 5, 6}
+    index = mm.video_fp_index(fps.filter(~F.col("id").isin(list(new_ids))))
+    got = {
+        (r["id_a"], r["id_b"]): (r["dt"], r["n_matches"])
+        for r in mm.video_incremental_pairs(
+            index, fps.filter(F.col("id").isin(list(new_ids))), min_matches=10
+        ).collect()
+    }
+    want = {p: v for p, v in full.items() if p[0] in new_ids or p[1] in new_ids}
+    assert got == want
+    assert (5, 6) in got and got[(5, 6)] == (1, 11)  # within-batch, exact votes
+    assert (1, 2) not in got  # old-vs-old never recomputed
+
+    # append == fresh full build
+    appended = mm.video_fp_index_append(index, fps.filter(F.col("id").isin(list(new_ids))))
+    fresh = mm.video_fp_index(fps)
+    key = lambda r: (r["id"], r["t"], r["phash"], r["band"], r["bh16"])  # noqa: E731
+    assert sorted(map(key, appended.collect())) == sorted(map(key, fresh.collect()))
+
+    with pytest.raises(ValueError, match="index format"):
+        mm.video_incremental_pairs(index, fps, n_bands=8)
+    index.unpersist(), fresh.unpersist()
