@@ -330,3 +330,30 @@ def test_orc_sequenced_broadcast_ordinal_single_maxby_shuffle(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_restore_sinker_single_shuffle_arrow_stage(spark, sf_dir):
+    # RESTORE-mode serialization: exactly one shuffle (the key groupBy with
+    # a map-side partial collect_list) feeding one Arrow MapInPandas stage;
+    # command rendering is pure JVM expressions above it
+    plan = _plan(spark, sf_dir, "redis_restore_statements")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("MapInPandas") == 1
+    assert "partial_collect_list" in plan
+
+
+def test_incremental_band_joins_are_equi_hash(spark, sf_dir):
+    # the incremental probes (new bands vs index UNION batch) must stay
+    # equi-hash on the band key — never a nested-loop / cartesian product
+    for gate in ("phash_incremental", "video_incremental"):
+        plan = _plan(spark, sf_dir, gate)
+        assert "BroadcastNestedLoopJoin" not in plan, gate
+        assert "CartesianProduct" not in plan, gate
+        assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan, gate
+
+
+def test_video_dup_pairs_equi_hash_no_all_pairs(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "video_dup_pairs")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
