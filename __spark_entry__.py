@@ -5889,66 +5889,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # block from the files is the fix); duplicates are structurally
     # impossible.
     return {
-        # -- r14 window (machine-generated by tools/rotation.py; policy:
+        # -- r15 window (machine-generated by tools/rotation.py; policy:
         # -- 4 never-gated rows lead, then 1 force-rotated (fixture/oracle
         # -- changed this round), then stalest-first by last-green round;
-        # -- window tail sits at r10). Run the FULL tools/check.py
+        # -- window tail sits at r11). Run the FULL tools/check.py
         # -- before freezing; rotated-out rows keep local-gate + pytest
         # -- coverage. -------------------------------------------------
-        "redis_restore_statements": q_redis_restore_statements,
         "phash_incremental": q_phash_incremental,
+        "redis_restore_statements": q_redis_restore_statements,
         "video_dup_pairs": q_video_dup_pairs,
         "video_incremental": q_video_incremental,
-        "binlog_partial_json": q_binlog_partial_json,
-        "image_dup_pairs": q_image_dup_pairs,
-        "orc_sequenced": q_orc_sequenced,
-        "redis_stream_statements": q_redis_stream_statements,
         "redis_rdb": q_redis_rdb,
-        "product_profit": q_product_profit,
-        "promo_effect": q_promo_effect,
-        "returned_items": q_returned_items,
-        "robots_filter": q_robots_filter,
-        "shipping_priority": q_shipping_priority,
-        "substring_incremental": q_substring_incremental,
-        "unicode_nfc": q_unicode_nfc,
-        "unimax_mix": q_unimax_mix,
-        "url_dedup": q_url_dedup,
-        "url_normalize": q_url_normalize,
-        "warc_parse": q_warc_parse,
-        "wav_decode": q_wav_decode,
-        "web_pipeline": q_web_pipeline,
-        "zero_dates": q_zero_dates,
-        "ann_ivf": q_ann_ivf,
-        "ann_ivfpq": q_ann_ivfpq,
-        "cms_heavy_hitters": q_cms_heavy_hitters,
-        "ddl_in_stream": q_ddl_in_stream,
-        "dead_letter": q_dead_letter,
-        "dedup_cluster_star": q_dedup_cluster_star,
-        "dedup_exact": q_dedup_exact,
-        "disjunctive_revenue": q_disjunctive_revenue,
-        "gopher_rules": q_gopher_rules,
-        "heartbeat_lag": q_heartbeat_lag,
-        "hll_registers": q_hll_registers,
-        "hll_shard_merge": q_hll_shard_merge,
-        "important_parts": q_important_parts,
-        "kmv_jaccard": q_kmv_jaccard,
-        "kmv_sketch": q_kmv_sketch,
-        "langid_apply": q_langid_apply,
-        "langid_train": q_langid_train,
-        "large_orders": q_large_orders,
-        "merge_compact": q_merge_compact,
-        "minhash_lsh": q_minhash_lsh,
-        "monitor_rollup": q_monitor_rollup,
-        "multimodal_features": q_multimodal_features,
-        "multimodal_resize": q_multimodal_resize,
-        "nation_trade_flows": q_nation_trade_flows,
-        "ngram_minhash": q_ngram_minhash,
-        "orc_roundtrip": q_orc_roundtrip,
-        "partition_lanes": q_partition_lanes,
-        "pricing_summary": q_pricing_summary,
-        "salted_join": q_salted_join,
-        "semantic_dedup": q_semantic_dedup,
-        "simhash_pairs": q_simhash_pairs,
         "sliding_counts": q_sliding_counts,
         "source_caps": q_source_caps,
         "span_dedup": q_span_dedup,
@@ -6115,6 +6066,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_frames": q_video_frames,
         "waiting_suppliers": q_waiting_suppliers,
         "zorder_key": q_zorder_key,
+        "ann_ivf": q_ann_ivf,
+        "ann_ivfpq": q_ann_ivfpq,
+        "binlog_partial_json": q_binlog_partial_json,
+        "cms_heavy_hitters": q_cms_heavy_hitters,
+        "ddl_in_stream": q_ddl_in_stream,
+        "dead_letter": q_dead_letter,
+        "dedup_cluster_star": q_dedup_cluster_star,
+        "dedup_exact": q_dedup_exact,
+        "disjunctive_revenue": q_disjunctive_revenue,
+        "gopher_rules": q_gopher_rules,
+        "heartbeat_lag": q_heartbeat_lag,
+        "hll_registers": q_hll_registers,
+        "hll_shard_merge": q_hll_shard_merge,
+        "image_dup_pairs": q_image_dup_pairs,
+        "important_parts": q_important_parts,
+        "kmv_jaccard": q_kmv_jaccard,
+        "kmv_sketch": q_kmv_sketch,
+        "langid_apply": q_langid_apply,
+        "langid_train": q_langid_train,
+        "large_orders": q_large_orders,
+        "merge_compact": q_merge_compact,
+        "minhash_lsh": q_minhash_lsh,
+        "monitor_rollup": q_monitor_rollup,
+        "multimodal_features": q_multimodal_features,
+        "multimodal_resize": q_multimodal_resize,
+        "nation_trade_flows": q_nation_trade_flows,
+        "ngram_minhash": q_ngram_minhash,
+        "orc_roundtrip": q_orc_roundtrip,
+        "orc_sequenced": q_orc_sequenced,
+        "partition_lanes": q_partition_lanes,
+        "pricing_summary": q_pricing_summary,
+        "product_profit": q_product_profit,
+        "promo_effect": q_promo_effect,
+        "redis_stream_statements": q_redis_stream_statements,
+        "returned_items": q_returned_items,
+        "robots_filter": q_robots_filter,
+        "salted_join": q_salted_join,
+        "semantic_dedup": q_semantic_dedup,
+        "shipping_priority": q_shipping_priority,
+        "simhash_pairs": q_simhash_pairs,
+        "substring_incremental": q_substring_incremental,
+        "unicode_nfc": q_unicode_nfc,
+        "unimax_mix": q_unimax_mix,
+        "url_dedup": q_url_dedup,
+        "url_normalize": q_url_normalize,
+        "warc_parse": q_warc_parse,
+        "wav_decode": q_wav_decode,
+        "web_pipeline": q_web_pipeline,
+        "zero_dates": q_zero_dates,
     }
 
 
