@@ -157,6 +157,15 @@ AUDITED = [
                           # shuffle on the key
     "redis_stream_statements",  # r14: JVM-side generators -> grouped XADD
                           # rebuild + tiered command union, no Python rows
+    "redis_restore_statements",  # r15: ONE key groupBy shuffle (map-side
+                          # partial collect_list) -> one Arrow DUMP-encode
+                          # kernel -> JVM command rendering
+    "phash_incremental",  # r15: batch-only decode+band explode, equi-join
+                          # vs (index UNION batch), one pair-dedup agg
+    "video_dup_pairs",    # r15: per-frame pHash Arrow kernel -> band
+                          # equi-join -> frame-dedup agg -> (pair, dt) agg
+    "video_incremental",  # r15: batch-only frame banding vs persisted
+                          # index union, counted-once frame matches
     # pagerank: the returned plan is a scan of the final checkpointed rank
     # relation (lineage truncated by design) — per-iteration shape is one
     # shuffle join + one hash agg, locked in test_graph semantics instead
