@@ -1,10 +1,12 @@
 """StarRocks / Doris Stream Load request building — the exact HTTP payloads
 the reference's sinkers PUT to ``/api/{db}/{tb}/_stream_load``
-(dt-connector/src/sinker/starrocks/starrocks_sinker.rs:100-277). The HTTP
-transport itself is out of scope here (no warehouse endpoint in this
-environment); everything up to the socket — row serialization, hidden
-columns, per-batch op resolution, header set, URL — is built exactly and
-deterministically, so a thin HTTP loop could POST the output rows as-is.
+(dt-connector/src/sinker/starrocks/starrocks_sinker.rs:100-277) — plus,
+since r15, the HTTP transport itself: ``execute_stream_load`` PUTs the
+built requests with basic auth and FE->BE 307-redirect handling, proven
+end-to-end against a loopback frontend/backend pair. Row serialization,
+hidden columns, per-batch op resolution, header set, and URL are built
+exactly and deterministically, so the transport is a thin distributed loop
+over finished request rows.
 
 Reference parity:
 - rows serialize as a JSON array with ``strip_outer_array`` (rs:149, 246),
@@ -148,4 +150,127 @@ def stream_load_batches(
             F.count(F.lit(1)).alias("n_rows"),
         )
         .withColumn("headers", hdr)
+    )
+
+
+def _put_stream_load(
+    endpoint: str,
+    url_path: str,
+    headers: dict[str, str],
+    body: bytes,
+    username: str,
+    password: str,
+    timeout: float,
+    max_redirects: int = 3,
+) -> dict:
+    """One Stream Load PUT over real HTTP (starrocks_sinker.rs:233-279
+    build_request + :280-318 check_response): basic auth, Expect:
+    100-continue (http.client skips the interim 1xx), the per-batch header
+    map, then follow 307/308 FE->BE redirects re-issuing the PUT — the
+    standard warehouse flow where the frontend redirects the load to a
+    backend. Returns the parsed response JSON; raises ValueError on a
+    non-200 status or Status != Success, like the reference's bail."""
+    import base64
+    import http.client
+    import json as _json
+    import urllib.parse
+
+    auth = base64.b64encode(f"{username}:{password}".encode()).decode()
+    host, port = endpoint.rsplit(":", 1)
+    path = url_path
+    for _hop in range(max_redirects + 1):
+        conn = http.client.HTTPConnection(host, int(port), timeout=timeout)
+        try:
+            send = {
+                "Authorization": f"Basic {auth}",
+                "Expect": "100-continue",
+                "Content-Length": str(len(body)),
+                **headers,
+            }
+            conn.request("PUT", path, body=body, headers=send)
+            resp = conn.getresponse()
+            text = resp.read().decode("utf-8", errors="replace")
+            if resp.status in (307, 308):
+                loc = resp.getheader("Location")
+                if not loc:
+                    raise ValueError("stream load redirect without Location")
+                parsed = urllib.parse.urlsplit(loc)
+                if parsed.netloc:
+                    host, port = parsed.hostname, parsed.port or port
+                path = parsed.path or path
+                continue
+            if resp.status != 200:
+                raise ValueError(
+                    f"data load request failed, status_code: {resp.status}, "
+                    f"response_text: {text!r}"
+                )
+            result = _json.loads(text)
+            if result.get("Status") != "Success":
+                raise ValueError(
+                    f"stream load request failed, status_code: {resp.status}, "
+                    f"load_result: {text}"
+                )
+            return result
+        finally:
+            conn.close()
+    raise ValueError(f"stream load exceeded {max_redirects} redirects")
+
+
+def execute_stream_load(
+    batches: DataFrame,
+    endpoint: str,
+    username: str = "root",
+    password: str = "",
+    timeout: float = 30.0,
+    errors: str = "raise",
+) -> DataFrame:
+    """Execute built load requests (stream_load_batches output) against a
+    live ``host:port`` warehouse frontend — the HTTP transport half that
+    completes the byte-exact request builder above. One Arrow task per
+    partition PUTs its batches sequentially (the reference's serial-per-
+    sinker-thread layout; parallelism = partitions, which
+    stream_load_batches already keys by (schema, tb, op)). Returns one
+    result row per request: ``(schema, tb, op, batch_seq, n_rows, txn_id,
+    label, loaded_rows, status, error)``.
+
+    ``errors='raise'`` propagates the first failed load (the reference's
+    bail-on-check_response); ``'collect'`` records per-batch failures in
+    the ``status``/``error`` columns and keeps going (dead-letter shape).
+    Proven end-to-end in tests/test_stream_load.py against a loopback
+    FE/BE pair speaking the real redirect + response JSON."""
+    import pandas as pd
+
+    if errors not in ("raise", "collect"):
+        raise ValueError(f"unknown errors policy {errors!r}")
+
+    def _run(batch_iter):
+        for pdf in batch_iter:
+            out = []
+            for r in pdf.itertuples(index=False):
+                status, err, result = "Success", None, {}
+                try:
+                    result = _put_stream_load(
+                        endpoint, r.url_path, dict(r.headers),
+                        r.body.encode(), username, password, timeout,
+                    )
+                except (ValueError, OSError) as exc:
+                    if errors == "raise":
+                        raise
+                    status, err = "Fail", f"{type(exc).__name__}: {exc}"
+                out.append(
+                    (r.schema, r.tb, r.op, r.batch_seq, r.n_rows,
+                     result.get("TxnId"), result.get("Label"),
+                     result.get("NumberLoadedRows"), status, err)
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["schema", "tb", "op", "batch_seq", "n_rows",
+                         "txn_id", "label", "loaded_rows", "status", "error"],
+            )
+
+    return batches.mapInPandas(
+        _run,
+        "schema string, tb string, op string, batch_seq long, n_rows long, "
+        "txn_id long, label string, loaded_rows long, status string, "
+        "error string",
     )
