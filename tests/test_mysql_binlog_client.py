@@ -1,0 +1,146 @@
+"""Live MySQL binlog client over loopback sockets: v10 handshake +
+mysql_native_password, COM_QUERY/REGISTER_SLAVE/BINLOG_DUMP, the event
+packet stream — the socket half of the reference's binlog connection proven
+against a fake server packetizing binlogs written by the repo's own at-rest
+writer, with events decoded by the same gated parser."""
+
+import pytest
+
+from ape_dts_spark.sources import binlog_file as bf
+from ape_dts_spark.sources.mysql_binlog_client import (
+    MysqlBinlogClient,
+    native_password_proof,
+    read_binlog_changes,
+)
+from tests.fake_mysql_server import FakeMysqlServer
+
+USERS = bf.BinlogTable(
+    "db", "users",
+    (("id", bf.MYSQL_TYPE_LONGLONG, 0), ("name", bf.MYSQL_TYPE_VARCHAR, 255)),
+    101,
+)
+TABLES = {("db", "users"): USERS}
+ROW1 = {"id": 1, "name": "alice"}
+ROW2 = {"id": 2, "name": "bob"}
+TXNS = [
+    [(("db", "users"), "insert", None, ROW1),
+     (("db", "users"), "insert", None, ROW2)],
+    [(("db", "users"), "update", ROW1, dict(ROW1, name="al2"))],
+    [(("db", "users"), "delete", ROW2, None)],
+]
+FILE = "binlog.000001"
+
+
+def _key(r):
+    return (r["pos"], r["gtid"], r["schema"], r["tb"], r["row_type"],
+            r["before"], r["after"])
+
+
+def test_native_password_vector():
+    """Algorithm identity: proof XOR SHA1(scramble + SHA1(SHA1(pwd))) ==
+    SHA1(pwd) — and the empty-password shortcut."""
+    import hashlib
+
+    scr = bytes(range(20))
+    proof = native_password_proof("s3cret", scr)
+    h1 = hashlib.sha1(b"s3cret").digest()
+    mask = hashlib.sha1(scr + hashlib.sha1(h1).digest()).digest()
+    assert bytes(a ^ b for a, b in zip(proof, mask)) == h1
+    assert native_password_proof("", scr) == b""
+
+
+def test_dump_matches_at_rest_parse():
+    blob = bf.encode_binlog_file(TXNS, TABLES, FILE)
+    want = [_key(r) for r in bf.parse_binlog_bytes(blob, TABLES, FILE)]
+    srv = FakeMysqlServer({FILE: blob}, password="pw")
+    srv.start()
+    client = MysqlBinlogClient("127.0.0.1", srv.port, password="pw",
+                               server_id=4242, timeout=5)
+    try:
+        client.connect()
+        assert client.server_version.startswith("8.0")
+        client.query_ok("SET @master_binlog_checksum = @@global.binlog_checksum")
+        client.register_slave()
+        client.binlog_dump(FILE)
+        got = [_key(r) for r in client.stream_changes(TABLES, FILE)]
+    finally:
+        client.close()
+        srv.stop()
+    assert got == want and len(got) > 4
+    assert srv.registered_server_ids == [4242]
+    assert srv.dump_requests == [(FILE, 4, 4242)]
+    assert "binlog_checksum" in srv.queries[0]
+
+
+def test_resume_position_skips_replayed_events():
+    """Dumping from a later position: the server re-sends the FDE then
+    events from pos; start_pos makes the parser treat earlier events as
+    context only — matching the at-rest resume contract."""
+    blob = bf.encode_binlog_file(TXNS, TABLES, FILE)
+    full = bf.parse_binlog_bytes(blob, TABLES, FILE)
+    # resume from the position right after txn 1's commit
+    commit1 = next(r for r in full if r["row_type"] == "commit")
+    resume_pos = commit1["pos"]
+    srv = FakeMysqlServer({FILE: blob})
+    srv.start()
+    client = MysqlBinlogClient("127.0.0.1", srv.port, timeout=5)
+    try:
+        client.connect()
+        client.register_slave()
+        client.binlog_dump(FILE, pos=resume_pos)
+        got = client.stream_changes(TABLES, FILE, start_pos=resume_pos)
+    finally:
+        client.close()
+        srv.stop()
+    want = [r for r in full if r["pos"] > resume_pos]
+    assert [_key(r) for r in got] == [_key(r) for r in want]
+    assert all(r["row_type"] != "insert" for r in got)  # txn1 not replayed
+
+
+def test_auth_rejected_and_unknown_file():
+    blob = bf.encode_binlog_file(TXNS, TABLES, FILE)
+    srv = FakeMysqlServer({FILE: blob}, password="right")
+    srv.start()
+    bad = MysqlBinlogClient("127.0.0.1", srv.port, password="wrong", timeout=5)
+    with pytest.raises(ValueError, match="authentication failed"):
+        bad.connect()
+    bad.close()
+    client = MysqlBinlogClient("127.0.0.1", srv.port, password="right", timeout=5)
+    try:
+        client.connect()
+        client.binlog_dump("binlog.000099")
+        with pytest.raises(ValueError, match="Could not find first log"):
+            list(client.events())
+    finally:
+        client.close()
+        srv.stop()
+
+
+def test_distributed_two_server_pull(spark):
+    """read_binlog_changes: one replica session per Arrow task; both
+    servers' changes land tagged by their file."""
+    blob_a = bf.encode_binlog_file(TXNS[:1], TABLES, "a.000001")
+    blob_b = bf.encode_binlog_file(TXNS[1:], TABLES, "b.000001", start_gno=50)
+    s_a = FakeMysqlServer({"a.000001": blob_a})
+    s_b = FakeMysqlServer({"b.000001": blob_b})
+    s_a.start(), s_b.start()
+    try:
+        df = read_binlog_changes(
+            spark,
+            [("127.0.0.1", s_a.port, "a.000001"), ("127.0.0.1", s_b.port, "b.000001")],
+            TABLES,
+            timeout=5,
+        )
+        rows = df.collect()
+        by_file = {}
+        for r in rows:
+            by_file.setdefault(r["file"], []).append(r)
+        assert sorted(r["row_type"] for r in by_file["a.000001"]) == [
+            "commit", "insert", "insert"]
+        assert sorted(r["row_type"] for r in by_file["b.000001"]) == [
+            "commit", "commit", "delete", "update"]
+        upd = next(r for r in by_file["b.000001"] if r["row_type"] == "update")
+        assert '"name": "al2"' in upd["after"] and ":50" in upd["gtid"]
+        assert df.rdd.getNumPartitions() == 2
+    finally:
+        s_a.stop(), s_b.stop()
