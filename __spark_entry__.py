@@ -514,21 +514,12 @@ def q_redis_statements(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cmds.select("db_id", "key", "ord", "inline", "resp")
 
 
-def q_redis_rdb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RDB dump-at-rest round trip (redis/rdb/** decoder parity): the
-    compacted RESP-derived keyspace, plus an all-integer set for intset
-    coverage, is encoded into a binary RDB dump — exercising int-string,
-    ziplist-hash, listpack/quicklist2-list, ascii-score-zset, intset and
-    EXPIRETIME_MS encodings — then re-read with the distributed binaryFile
-    scan and projected back to state rows, which must agree with the same
-    REDIS_STATE oracle the RESP path is gated on. Also plants (r14) a
-    6-stream keyspace with XDELed entries, samefields/per-entry-fields
-    listpacks, a consumer group with two consumers' PELs
-    (stream_parser.rs:13-227 parity), plus a module2 value and a keyless
-    module-aux section whose skip-with-reason audit rows
-    (module2_parser.rs:13-33, rdb_parser.rs:65-91) are restated in the
-    oracle. The keyspace collect is bounded by distinct keys (one node's
-    dump, the fixture generator)."""
+def _ensure_rdb_fixture(spark: SparkSession, sf_dir: str) -> tuple[list, int]:
+    """Shared fixture builder for the redis_rdb AND psync_snapshot gates:
+    the compacted RESP-derived keyspace (+ intset / stream / hash-field-TTL
+    / module plantings) encoded into per-node RDB dumps, cached on disk
+    keyed by (data, derivation code, encoder code). Returns (paths, base
+    expiry epoch). See q_redis_rdb for the full planting story."""
     import hashlib
     import inspect
     import tempfile
@@ -555,7 +546,7 @@ def q_redis_rdb(spark: SparkSession, sf_dir: str) -> DataFrame:
             + data_sig
             + inspect.getsource(rdb)
             + inspect.getsource(_redis_state)
-            + inspect.getsource(q_redis_rdb)
+            + inspect.getsource(_ensure_rdb_fixture)
         ).encode()
     ).hexdigest()[:10]
     dump_dir = os.path.join(tempfile.gettempdir(), f"ape_rdb_{tag}")
@@ -627,7 +618,122 @@ def q_redis_rdb(spark: SparkSession, sf_dir: str) -> DataFrame:
                 module_aux=["AuxModNam"] if node == 0 else None,
                 hash_field_ttl=ttl_fmts[node % 4],
             )
+    return paths, base
+
+
+def q_redis_rdb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RDB dump-at-rest round trip (redis/rdb/** decoder parity): the
+    compacted RESP-derived keyspace, plus an all-integer set for intset
+    coverage, is encoded into a binary RDB dump — exercising int-string,
+    ziplist-hash, listpack/quicklist2-list, ascii-score-zset, intset and
+    EXPIRETIME_MS encodings — then re-read with the distributed binaryFile
+    scan and projected back to state rows, which must agree with the same
+    REDIS_STATE oracle the RESP path is gated on. Also plants (r14) a
+    6-stream keyspace with XDELed entries, samefields/per-entry-fields
+    listpacks, a consumer group with two consumers' PELs
+    (stream_parser.rs:13-227 parity), plus a module2 value and a keyless
+    module-aux section whose skip-with-reason audit rows
+    (module2_parser.rs:13-33, rdb_parser.rs:65-91) are restated in the
+    oracle. The keyspace collect is bounded by distinct keys (one node's
+    dump, the fixture generator)."""
+    import os as _os
+
+    from ape_dts_spark.sources import redis_rdb as rdb
+
+    paths, base = _ensure_rdb_fixture(spark, sf_dir)
+    dump_dir = _os.path.dirname(paths[0])
     parsed = rdb.read_rdb_files(spark, dump_dir)
+    return parsed.select(
+        "db_id", "key", "entry_type", "member", "value", "ord",
+        F.when(
+            F.col("expire_ms").isNotNull(),
+            F.concat(F.lit("PEXPIRE:"), (F.col("expire_ms") - F.lit(base)).cast("string")),
+        ).alias("expire"),
+    )
+
+
+def _serve_rdb_dumps(paths: list) -> list[tuple[str, int]]:
+    """Fixture harness for the psync gate: one loopback fake master per
+    node dump, speaking the real replication bytes (REPLCONF -> +OK,
+    PSYNC ? -1 -> +FULLRESYNC + length-framed RDB payload, ACKs consumed).
+    Daemon accept loops retire after an idle timeout, so repeated gate
+    evaluations (bench reruns, count+collect) each get fresh sessions.
+    Returns the (host, port) node list. The production client under test
+    lives in sources/redis_psync.py; this is the server side only."""
+    import socket as _socket
+    import threading
+
+    from ape_dts_spark.sources.redis_psync import RespSocket
+
+    def _session(sock, blob):
+        sock.settimeout(30)
+        conn = RespSocket(sock)
+        try:
+            while True:
+                kind, v, _n = conn.read_value()
+                if kind != "array" or not v:
+                    return
+                name = (v[0] if isinstance(v[0], bytes) else str(v[0]).encode())
+                name = name.decode().lower()
+                if name == "replconf":
+                    arg1 = (v[1] if isinstance(v[1], bytes) else str(v[1]).encode())
+                    if arg1.decode().lower() == "ack":
+                        continue  # ACKs get no reply
+                    conn.send_raw(b"+OK\r\n")
+                elif name == "psync":
+                    conn.send_raw(b"+FULLRESYNC " + b"f" * 40 + b" 0\r\n")
+                    conn.send_raw(b"$" + str(len(blob)).encode() + b"\r\n")
+                    conn.send_raw(blob)
+                elif name == "ping":
+                    conn.send_raw(b"+PONG\r\n")
+                else:
+                    conn.send_raw(b"-ERR unknown command\r\n")
+        except (ValueError, OSError):
+            return
+
+    nodes = []
+    for p in paths:
+        with open(p, "rb") as f:
+            blob = f.read()
+        srv = _socket.socket(_socket.AF_INET, _socket.SOCK_STREAM)
+        srv.setsockopt(_socket.SOL_SOCKET, _socket.SO_REUSEADDR, 1)
+        srv.bind(("127.0.0.1", 0))
+        srv.listen(8)
+        srv.settimeout(600)
+
+        def _accept(srv=srv, blob=blob):
+            while True:
+                try:
+                    sock, _ = srv.accept()
+                except (_socket.timeout, OSError):
+                    try:
+                        srv.close()
+                    finally:
+                        return
+                threading.Thread(
+                    target=_session, args=(sock, blob), daemon=True
+                ).start()
+
+        threading.Thread(target=_accept, daemon=True).start()
+        nodes.append(("127.0.0.1", srv.getsockname()[1]))
+    return nodes
+
+
+def q_psync_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE Redis PSYNC full sync over real sockets (r15 —
+    sources/redis_psync.py, the socket half of redis_psync_extractor.rs):
+    the SAME per-node fixture dumps the redis_rdb gate scans at rest are
+    served by loopback fake masters speaking the replication wire bytes,
+    and one PSYNC client per Arrow task runs the handshake (REPLCONF
+    listening-port, PSYNC ? -1 -> +FULLRESYNC), receives the length-framed
+    RDB payload, acks, and decodes it with the shared at-rest parser —
+    so the gate proves handshake + framing + socket transport end-to-end
+    against the identical oracle the at-rest scan is graded on."""
+    from ape_dts_spark.sources.redis_psync import read_psync_snapshots
+
+    paths, base = _ensure_rdb_fixture(spark, sf_dir)
+    nodes = _serve_rdb_dumps(paths)
+    parsed = read_psync_snapshots(spark, nodes, tail_commands=0)
     return parsed.select(
         "db_id", "key", "entry_type", "member", "value", "ord",
         F.when(
@@ -3162,34 +3268,18 @@ def q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.dsir_sample(d, d.filter(F.col("lang") == "en"), k)
 
 
-def q_binlog_file_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MySQL binlog file-at-rest round trip (sources/binlog_file.py — the
-    at-rest half of the native-CDC story; the reference consumes the same
-    event stream over a socket, mysql_cdc_extractor.rs:195-394): a
-    deterministic change history for a subset of orders (insert all keys
-    o_orderkey%23==1, then update o_orderstatus->'X' for %3==0, then delete
-    %5==0) is encoded into REAL binlog bytes — v4 headers, CRC32 trailers,
-    GTID/BEGIN/TABLE_MAP/WRITE|UPDATE|DELETE_ROWS v2/XID per txn, a ROTATE
-    chain across files — then re-read with the distributed binaryFile scan
-    and replayed to final state (one window shuffle keyed on o_orderkey).
-    The oracle computes the same final state straight from orders, so any
-    byte-level encode/decode error, mis-ordered event, lost row image or
-    broken rotation/GTID continuity diverges. Round 8 widens the column
-    surface with the sysbench/spatial tail: an UNSIGNED BIGINT published
-    through the TABLE_MAP optional-metadata SIGNEDNESS bitmap (MySQL >=
-    8.0.1; the reference resolves signedness from table meta,
-    mysql_col_type.rs:85,172), a 12-bit MYSQL_TYPE_BIT mask, and a
-    MYSQL_TYPE_GEOMETRY cell carrying a real SRID+WKB point payload.
-    Round 11 routes one file of the chain through zstd-compressed
-    TRANSACTION_PAYLOAD events (binlog_transaction_compression's only
-    algorithm; from-scratch RFC 8878 decoder, sources/zstd_codec.py). The
-    fixture collect is the bounded key subset (the fixture generator, like
-    q_redis_rdb)."""
+def _ensure_binlog_fixture(spark: SparkSession, sf_dir: str) -> tuple:
+    """Shared fixture builder for the binlog_file_parse AND
+    mysql_binlog_live gates: the deterministic orders change history
+    encoded into a rotation chain of binlog files (one zstd
+    TRANSACTION_PAYLOAD file in the middle), cached on disk keyed by
+    (data, encoder code, this builder). Returns (log_dir, tables)."""
     import hashlib
     import inspect
     import tempfile
 
     from ape_dts_spark.sources import binlog_file as bf
+
 
     tables = {
         ("default", "orders"): bf.BinlogTable(
@@ -3215,7 +3305,7 @@ def q_binlog_file_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         if os.path.isfile(p := os.path.join(sf_dir, f))
     )
     tag = hashlib.sha1(
-        (sf_dir + data_sig + inspect.getsource(bf) + inspect.getsource(q_binlog_file_parse)).encode()
+        (sf_dir + data_sig + inspect.getsource(bf) + inspect.getsource(_ensure_binlog_fixture)).encode()
     ).hexdigest()[:10]
     log_dir = os.path.join(tempfile.gettempdir(), f"ape_binlog_{tag}")
     if not (os.path.isdir(log_dir) and os.listdir(log_dir)):
@@ -3261,6 +3351,20 @@ def q_binlog_file_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         bf.write_binlog_files(
             txns, tables, log_dir, per_file=8, payload_wrap_files={1: "zstd"}
         )
+    return log_dir, tables
+
+
+def q_binlog_file_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MySQL binlog file-at-rest round trip (sources/binlog_file.py — the
+    at-rest half of the native-CDC story; see _ensure_binlog_fixture for
+    the planting story incl. the unsigned/bit/geometry tail and the zstd
+    TRANSACTION_PAYLOAD file): the chain is re-read with the distributed
+    binaryFile scan and replayed to final state (one window shuffle keyed
+    on o_orderkey); the oracle computes the same final state straight from
+    orders."""
+    from ape_dts_spark.sources import binlog_file as bf
+
+    log_dir, tables = _ensure_binlog_fixture(spark, sf_dir)
     dml = bf.read_binlog_files(spark, log_dir, tables).filter(
         F.col("row_type").isin("insert", "update", "delete")
     )
@@ -3382,27 +3486,17 @@ def q_binlog_partial_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_pgoutput_file_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PG pgoutput captured-stream round trip (sources/pgoutput_file.py —
-    the at-rest half of the PG native-CDC story; the reference consumes the
-    same message stream over a replication socket, pg_cdc_extractor.rs:
-    169-224): a deterministic change history for a subset of customer
-    (insert all keys c_custkey%19==2, then update c_mktsegment->'X' for
-    %3==0, then delete %5==0) is encoded into REAL pgoutput bytes —
-    XLogData-framed Begin/Relation/Insert/Update/Delete/Commit messages,
-    big-endian wire ints, text-format tuples, replica-identity-default old
-    images, LSNs continuous across a 3-segment chain — then re-read with the
-    distributed binaryFile scan and replayed to final state (one window
-    shuffle keyed on c_custkey). The oracle computes the same final state
-    straight from customer, so any byte-level encode/decode error,
-    mis-ordered commit, lost row image or broken LSN continuity diverges.
-    The fixture collect is the bounded key subset (fixture generator, like
-    q_binlog_file_parse)."""
+def _ensure_pgwal_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Shared fixture builder for the pgoutput_file_parse AND
+    pg_replication_live gates: the deterministic customer change history
+    encoded into a 3-segment captured pgoutput chain, cached on disk keyed
+    by (data, encoder code, this builder). Returns the segment dir."""
     import hashlib
     import inspect
     import tempfile
 
     from ape_dts_spark.sources import pgoutput_file as pgf
+
 
     t = pgf.PgTable(
         "public", "customer",
@@ -3422,7 +3516,7 @@ def q_pgoutput_file_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         if os.path.isfile(p := os.path.join(sf_dir, f))
     )
     tag = hashlib.sha1(
-        (sf_dir + data_sig + inspect.getsource(pgf) + inspect.getsource(q_pgoutput_file_parse)).encode()
+        (sf_dir + data_sig + inspect.getsource(pgf) + inspect.getsource(_ensure_pgwal_fixture)).encode()
     ).hexdigest()[:10]
     log_dir = os.path.join(tempfile.gettempdir(), f"ape_pgwal_{tag}")
     if not (os.path.isdir(log_dir) and os.listdir(log_dir)):
@@ -3454,6 +3548,19 @@ def q_pgoutput_file_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         txns = [ops[i : i + 50] for i in range(0, len(ops), 50)]
         os.makedirs(log_dir, exist_ok=True)
         pgf.write_pgoutput_files(txns, tables, log_dir, per_file=8)
+    return log_dir
+
+
+def q_pgoutput_file_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PG pgoutput captured-stream round trip (sources/pgoutput_file.py —
+    the at-rest half of the PG native-CDC story; see _ensure_pgwal_fixture
+    for the planting story): the segment chain is re-read with the
+    distributed binaryFile scan and replayed to final state (one window
+    shuffle keyed on c_custkey); the oracle computes the same final state
+    straight from customer."""
+    from ape_dts_spark.sources import pgoutput_file as pgf
+
+    log_dir = _ensure_pgwal_fixture(spark, sf_dir)
     dml = pgf.read_pgoutput_files(spark, log_dir).filter(
         F.col("row_type").isin("insert", "update", "delete")
     )
@@ -3470,6 +3577,250 @@ def q_pgoutput_file_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("after")["c_nationkey"].cast("bigint").alias("c_nationkey"),
         F.col("after")["c_acctbal"].cast("double").alias("c_acctbal"),
         F.col("after")["c_mktsegment"].alias("c_mktsegment"),
+    )
+
+
+def _serve_pg_walsender(frames: list) -> tuple[str, int]:
+    """Fixture harness for the pg_replication_live gate: one loopback fake
+    walsender (trust auth) speaking the real v3 wire bytes — startup ->
+    AuthenticationOk/ParameterStatus/ReadyForQuery, START_REPLICATION ->
+    CopyBothResponse, the fixture's XLogData frames as CopyData, CopyDone,
+    then standby-status-update consumption. The production client under
+    test lives in sources/pg_replication.py; this is the server side only."""
+    import socket as _socket
+    import struct as _struct
+    import threading
+
+    from ape_dts_spark.sources.pg_replication import PgSocket
+
+    srv = _socket.socket(_socket.AF_INET, _socket.SOCK_STREAM)
+    srv.setsockopt(_socket.SOL_SOCKET, _socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(8)
+    srv.settimeout(600)
+
+    def _session(sock):
+        sock.settimeout(30)
+        conn = PgSocket(sock)
+        try:
+            conn.read_startup()
+            conn.send_msg(b"R", _struct.pack(">I", 0))
+            conn.send_msg(b"S", b"server_version\x0016.3\x00")
+            conn.send_msg(b"Z", b"I")
+            while True:
+                mtype, payload = conn.read_msg()
+                if mtype == b"Q" and payload.upper().startswith(b"START_REPLICATION"):
+                    conn.send_msg(b"W", b"\x00\x00\x00")
+                    for frame in frames:
+                        conn.send_msg(b"d", frame)
+                    conn.send_msg(b"c")  # CopyDone: stream drained
+                elif mtype == b"X":
+                    return
+                # 'd' standby status updates: consumed
+        except (ValueError, OSError):
+            return
+
+    def _accept():
+        while True:
+            try:
+                sock, _ = srv.accept()
+            except (_socket.timeout, OSError):
+                try:
+                    srv.close()
+                finally:
+                    return
+            threading.Thread(target=_session, args=(sock,), daemon=True).start()
+
+    threading.Thread(target=_accept, daemon=True).start()
+    return "127.0.0.1", srv.getsockname()[1]
+
+
+def q_pg_replication_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE PG logical replication over real sockets (r15 —
+    sources/pg_replication.py, the socket half of pg_cdc_extractor.rs): the
+    SAME captured-segment fixture the pgoutput_file_parse gate scans at
+    rest is served frame-by-frame by a loopback walsender speaking the v3
+    wire bytes; the client runs the replication session (startup with
+    replication=database, START_REPLICATION into CopyBoth, keepalive/status
+    bookkeeping, CopyDone end), decodes XLogData per commit with the shared
+    at-rest parser, and the replayed final state is graded against the
+    identical oracle the at-rest scan is graded on — handshake + framing +
+    transport proven end-to-end by the driver."""
+    import struct as _struct
+
+    from ape_dts_spark.sources.pg_replication import read_replication_changes
+
+    log_dir = _ensure_pgwal_fixture(spark, sf_dir)
+    frames: list[bytes] = []
+    for fname in sorted(os.listdir(log_dir)):
+        blob = open(os.path.join(log_dir, fname), "rb").read()
+        i = 0
+        while i < len(blob):
+            (ln,) = _struct.unpack_from(">I", blob, i)
+            frames.append(blob[i + 4 : i + 4 + ln])
+            i += 4 + ln
+    host, port = _serve_pg_walsender(frames)
+    dml = read_replication_changes(
+        spark, [(host, port, "ape_dts_slot")], timeout=30
+    ).filter(F.col("row_type").isin("insert", "update", "delete"))
+    k = F.coalesce(F.col("after")["c_custkey"], F.col("before")["c_custkey"]).cast("bigint")
+    last = (
+        dml.withColumn("k", k)
+        .withColumn("rn", F.row_number().over(W.partitionBy("k").orderBy(F.col("seq").desc())))
+        .filter(F.col("rn") == 1)
+        .filter(F.col("row_type") != "delete")
+    )
+    return last.select(
+        F.col("after")["c_custkey"].cast("bigint").alias("c_custkey"),
+        F.col("after")["c_name"].alias("c_name"),
+        F.col("after")["c_nationkey"].cast("bigint").alias("c_nationkey"),
+        F.col("after")["c_acctbal"].cast("double").alias("c_acctbal"),
+        F.col("after")["c_mktsegment"].alias("c_mktsegment"),
+    )
+
+
+def _serve_mysql_binlogs(log_dir: str) -> list[tuple[str, int, str]]:
+    """Fixture harness for the mysql_binlog_live gate: one loopback fake
+    MySQL server (v10 handshake, empty-password native proof, COM_QUERY /
+    REGISTER_SLAVE OKs, COM_BINLOG_DUMP packetizing the requested fixture
+    file, EOF) serving every file of the chain. Returns one
+    (host, port, file) endpoint per binlog file. The production client
+    under test lives in sources/mysql_binlog_client.py."""
+    import secrets
+    import socket as _socket
+    import struct as _struct
+    import threading
+
+    from ape_dts_spark.sources.binlog_file import BINLOG_MAGIC
+    from ape_dts_spark.sources.mysql_binlog_client import (
+        COM_BINLOG_DUMP,
+        MysqlSocket,
+        native_password_proof,
+    )
+
+    blobs = {
+        f: open(os.path.join(log_dir, f), "rb").read()
+        for f in sorted(os.listdir(log_dir))
+    }
+    OK = b"\x00\x00\x00\x02\x00\x00\x00"
+
+    def _events(blob: bytes):
+        i = 4
+        while i + 13 <= len(blob):
+            (size,) = _struct.unpack_from("<I", blob, i + 9)
+            yield blob[i : i + size]
+            i += size
+
+    def _session(sock):
+        sock.settimeout(30)
+        conn = MysqlSocket(sock)
+        try:
+            scramble = secrets.token_bytes(20)
+            greeting = (
+                b"\x0a" + b"8.0.36-fixture\x00" + _struct.pack("<I", 7)
+                + scramble[:8] + b"\x00" + _struct.pack("<H", 0xFFFF) + b"\x21"
+                + _struct.pack("<HH", 2, 0xFFFF) + bytes([21]) + b"\x00" * 10
+                + scramble[8:] + b"\x00" + b"mysql_native_password\x00"
+            )
+            conn.send_packet(greeting, seq=0)
+            resp = conn.read_packet()
+            i = 4 + 4 + 1 + 23
+            j = resp.index(0, i)
+            n = resp[j + 1]
+            if resp[j + 2 : j + 2 + n] != native_password_proof("", scramble):
+                conn.send_packet(b"\xff" + _struct.pack("<H", 1045) + b"#28000denied")
+                return
+            conn.send_packet(OK, seq=conn.seq)
+            while True:
+                conn.reset_seq()
+                pkt = conn.read_packet()
+                if not pkt:
+                    return
+                if pkt[0] == COM_BINLOG_DUMP:
+                    fname = pkt[11:].decode()
+                    blob = blobs.get(fname)
+                    if blob is None or blob[:4] != BINLOG_MAGIC:
+                        conn.send_packet(
+                            b"\xff" + _struct.pack("<H", 1236)
+                            + b"#HY000unknown binlog file")
+                        continue
+                    for ev in _events(blob):
+                        conn.send_packet(b"\x00" + ev)
+                    conn.send_packet(b"\xfe\x00\x00\x02\x00")  # EOF
+                else:  # COM_QUERY / COM_REGISTER_SLAVE session setup
+                    conn.send_packet(OK)
+        except (ValueError, OSError):
+            return
+
+    srv = _socket.socket(_socket.AF_INET, _socket.SOCK_STREAM)
+    srv.setsockopt(_socket.SOL_SOCKET, _socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(16)
+    srv.settimeout(600)
+
+    def _accept():
+        while True:
+            try:
+                sock, _ = srv.accept()
+            except (_socket.timeout, OSError):
+                try:
+                    srv.close()
+                finally:
+                    return
+            threading.Thread(target=_session, args=(sock,), daemon=True).start()
+
+    threading.Thread(target=_accept, daemon=True).start()
+    port = srv.getsockname()[1]
+    return [("127.0.0.1", port, f) for f in sorted(blobs)]
+
+
+def q_mysql_binlog_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE MySQL binlog replication over real sockets (r15 —
+    sources/mysql_binlog_client.py, the socket half of the reference's
+    binlog connection): the SAME binlog chain the binlog_file_parse gate
+    scans at rest — zstd TRANSACTION_PAYLOAD file included — is served by a
+    loopback fake server packetizing each file; one replica session per
+    Arrow task runs the v10 handshake with the native-password proof,
+    session setup, REGISTER_SLAVE and BINLOG_DUMP, reassembles the event
+    stream and decodes it with the shared gated parser; the replayed final
+    state is graded against the identical oracle the at-rest scan is graded
+    on. JSON-flattened images are projected back per column (the transport
+    relation is wire-stable strings)."""
+    from ape_dts_spark.sources.mysql_binlog_client import read_binlog_changes
+
+    log_dir, tables = _ensure_binlog_fixture(spark, sf_dir)
+    endpoints = _serve_mysql_binlogs(log_dir)
+    dml = read_binlog_changes(spark, endpoints, tables, timeout=30).filter(
+        F.col("row_type").isin("insert", "update", "delete")
+    )
+    jg = lambda col, field: F.get_json_object(F.col(col), f"$.{field}")  # noqa: E731
+    k = F.coalesce(jg("after", "o_orderkey"), jg("before", "o_orderkey")).cast("bigint")
+    # apply order: the rotation chain's file order, then in-file parse seq
+    # (strictly increasing per dump session — pos would TIE for rows inside
+    # one TRANSACTION_PAYLOAD txn, whose inner events all carry the
+    # wrapping event's position); (file, seq) is the same total order the
+    # at-rest reader globalizes
+    last = (
+        dml.withColumn("k", k)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("k").orderBy(F.col("file").desc(), F.col("seq").desc())
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .filter(F.col("row_type") != "delete")
+    )
+    return last.select(
+        jg("after", "o_orderkey").cast("bigint").alias("o_orderkey"),
+        jg("after", "o_custkey").cast("bigint").alias("o_custkey"),
+        jg("after", "o_orderstatus").alias("o_orderstatus"),
+        jg("after", "o_totalprice").cast("double").alias("o_totalprice"),
+        jg("after", "o_orderdate_us").cast("bigint").alias("o_orderdate_us"),
+        jg("after", "o_orderpriority").alias("o_orderpriority"),
+        jg("after", "o_ukey").alias("o_ukey"),
+        jg("after", "o_flags").cast("bigint").alias("o_flags"),
+        jg("after", "o_geo").alias("o_geo"),
     )
 
 
@@ -5900,6 +6251,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_dup_pairs": q_video_dup_pairs,
         "video_incremental": q_video_incremental,
         "redis_rdb": q_redis_rdb,
+        "psync_snapshot": q_psync_snapshot,
+        "pg_replication_live": q_pg_replication_live,
+        "mysql_binlog_live": q_mysql_binlog_live,
         "sliding_counts": q_sliding_counts,
         "source_caps": q_source_caps,
         "span_dedup": q_span_dedup,
@@ -6743,7 +7097,10 @@ def oracle_sql() -> dict[str, str]:
                 (a, b) -> a || b) AS resp
             FROM argv
         """,
-        "redis_rdb": f"""
+        # psync_snapshot serves the SAME fixture dumps over loopback
+        # replication sockets, so it is graded against the identical
+        # restatement (the walrus shares the string without duplicating it)
+        "redis_rdb": (_rdb_oracle := f"""
             {demo.REDIS_STATE_SQL},
             ranked AS (
               SELECT db_id, key, entry_type, member, value,
@@ -6819,7 +7176,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM ranked UNION ALL SELECT * FROM intset
             UNION ALL SELECT * FROM stream_rows UNION ALL SELECT * FROM splant
             UNION ALL SELECT * FROM hx
-        """,
+        """),
+        "psync_snapshot": _rdb_oracle,
         "redis_slot_stats": f"""
             {demo.REDIS_STATE_SQL},
             keys AS (SELECT DISTINCT key FROM redis_state),
@@ -7269,7 +7627,9 @@ def oracle_sql() -> dict[str, str]:
               END AS doc
             FROM pk
         """,
-        "binlog_file_parse": f"""
+        # mysql_binlog_live serves the SAME fixture over loopback replication
+        # sockets, so it is graded against the identical restatement
+        "binlog_file_parse": (_binlog_file_parse_oracle := f"""
             SELECT o_orderkey, o_custkey,
                    CASE WHEN o_orderkey % 3 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
                    o_totalprice,
@@ -7285,7 +7645,8 @@ def oracle_sql() -> dict[str, str]:
                         ELSE '{_BINLOG_GEO_WKB[3]}' END AS o_geo
             FROM orders
             WHERE o_orderkey % 23 = 1 AND o_orderkey % 5 <> 0
-        """,
+        """),
+        "mysql_binlog_live": _binlog_file_parse_oracle,
         "unimax_mix": __import__("ape_dts_spark.functions.mixing", fromlist=["m"]).unimax_sample_sql(),
         "curation_v3": _curation_v3_oracle(),
         "stream_load_payload": """
@@ -8067,13 +8428,16 @@ def oracle_sql() -> dict[str, str]:
             FROM part
             WHERE p_partkey % 17 = 3 AND p_partkey % 5 <> 0
         """,
-        "pgoutput_file_parse": """
+        # pg_replication_live serves the SAME fixture over loopback replication
+        # sockets, so it is graded against the identical restatement
+        "pgoutput_file_parse": (_pgoutput_file_parse_oracle := """
             SELECT c_custkey, c_name, c_nationkey,
                    c_acctbal,
                    CASE WHEN c_custkey % 3 = 0 THEN 'X' ELSE c_mktsegment END AS c_mktsegment
             FROM customer
             WHERE c_custkey % 19 = 2 AND c_custkey % 5 <> 0
-        """,
+        """),
+        "pg_replication_live": _pgoutput_file_parse_oracle,
         "struct_revise": """
             WITH cols AS (
               SELECT table_name AS tb, ordinal_position AS pos, column_name AS name, data_type AS dt

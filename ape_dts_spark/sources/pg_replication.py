@@ -359,7 +359,11 @@ def read_replication_changes(
                     for r in client.stream(max_changes=max_changes):
                         r = dict(r)
                         r["file"] = f"{host}:{port}/{slot}"
-                        rows.append({k: r.get(k) for k in cols})
+                        rec = {k: r.get(k) for k in cols}
+                        # per-chunk parses restart seq; the live stream's
+                        # apply order IS arrival order — stamp it per slot
+                        rec["seq"] = len(rows)
+                        rows.append(rec)
                 finally:
                     client.close()
             yield pd.DataFrame(rows, columns=cols)

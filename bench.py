@@ -116,6 +116,9 @@ BENCH_QUERIES = [
     "binlog_partial_json",
     "redis_stream_statements",
     "redis_restore_statements",
+    "psync_snapshot",
+    "pg_replication_live",
+    "mysql_binlog_live",
     "orc_roundtrip",
     "orc_sequenced",
     "struct_objects",
