@@ -6241,19 +6241,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # impossible.
     return {
         # -- r15 window (machine-generated by tools/rotation.py; policy:
-        # -- 4 never-gated rows lead, then 1 force-rotated (fixture/oracle
+        # -- 7 never-gated rows lead, then 1 force-rotated (fixture/oracle
         # -- changed this round), then stalest-first by last-green round;
         # -- window tail sits at r11). Run the FULL tools/check.py
         # -- before freezing; rotated-out rows keep local-gate + pytest
         # -- coverage. -------------------------------------------------
+        "mysql_binlog_live": q_mysql_binlog_live,
+        "pg_replication_live": q_pg_replication_live,
         "phash_incremental": q_phash_incremental,
+        "psync_snapshot": q_psync_snapshot,
         "redis_restore_statements": q_redis_restore_statements,
         "video_dup_pairs": q_video_dup_pairs,
         "video_incremental": q_video_incremental,
         "redis_rdb": q_redis_rdb,
-        "psync_snapshot": q_psync_snapshot,
-        "pg_replication_live": q_pg_replication_live,
-        "mysql_binlog_live": q_mysql_binlog_live,
         "sliding_counts": q_sliding_counts,
         "source_caps": q_source_caps,
         "span_dedup": q_span_dedup,
