@@ -195,8 +195,17 @@ def _put_stream_load(
                 if not loc:
                     raise ValueError("stream load redirect without Location")
                 parsed = urllib.parse.urlsplit(loc)
+                if parsed.scheme == "https":
+                    # the loopback transport only speaks plain HTTP; an
+                    # https Location must not silently downgrade
+                    raise ValueError(
+                        f"stream load redirect to https not supported: {loc}"
+                    )
                 if parsed.netloc:
-                    host, port = parsed.hostname, parsed.port or port
+                    # a Location with a host but no port means that
+                    # scheme's default port, NOT the original FE port
+                    host = parsed.hostname
+                    port = parsed.port if parsed.port is not None else 80
                 path = parsed.path or path
                 continue
             if resp.status != 200:

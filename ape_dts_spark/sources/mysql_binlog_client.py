@@ -88,18 +88,36 @@ class MysqlSocket:
         return out
 
     def read_packet(self) -> bytes:
-        head = self._read_exact(4)
-        ln = head[0] | (head[1] << 8) | (head[2] << 16)
-        self.seq = (head[3] + 1) & 0xFF
-        return self._read_exact(ln)
+        # A u24 length of exactly 0xffffff signals a split payload: the
+        # logical packet continues in the next frame(s) until one arrives
+        # with length < 0xffffff (possibly zero-length). Reassemble here so
+        # >=16MB binlog events (large JSON/BLOB rows) survive the wire.
+        out = b""
+        while True:
+            head = self._read_exact(4)
+            ln = head[0] | (head[1] << 8) | (head[2] << 16)
+            self.seq = (head[3] + 1) & 0xFF
+            out += self._read_exact(ln)
+            if ln < 0xFFFFFF:
+                return out
 
     def send_packet(self, payload: bytes, seq: int | None = None) -> None:
         if seq is None:
             seq = self.seq
-        self.sock.sendall(
-            struct.pack("<I", len(payload))[:3] + bytes([seq & 0xFF]) + payload
-        )
-        self.seq = (seq + 1) & 0xFF
+        # Split >=16MB payloads into 0xffffff-length continuation frames,
+        # ending with a final frame of length < 0xffffff (possibly empty) —
+        # the mirror of read_packet's reassembly.
+        off = 0
+        while True:
+            chunk = payload[off : off + 0xFFFFFF]
+            self.sock.sendall(
+                struct.pack("<I", len(chunk))[:3] + bytes([seq & 0xFF]) + chunk
+            )
+            seq = (seq + 1) & 0xFF
+            off += len(chunk)
+            if len(chunk) < 0xFFFFFF:
+                break
+        self.seq = seq & 0xFF
 
     def reset_seq(self) -> None:
         self.seq = 0

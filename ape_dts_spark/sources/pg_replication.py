@@ -33,6 +33,7 @@ XLogData built by the at-rest encoder, keepalive/status-update bookkeeping).
 
 from __future__ import annotations
 
+import re
 import socket
 import struct
 from typing import Iterator
@@ -133,6 +134,12 @@ class PgReplicationClient:
     ):
         self.host, self.port = host, int(port)
         self.user, self.database, self.password = user, database, password
+        # slot/publication are interpolated into walsender SQL below —
+        # refuse anything outside the safe identifier alphabet up front so
+        # a malformed operator config fails here, not as a server error
+        for label, name in (("slot", slot), ("publication", publication)):
+            if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
+                raise ValueError(f"unsafe {label} name {name!r}")
         self.slot, self.publication = slot, publication
         self.timeout = timeout
         self.parameters: dict[str, str] = {}
@@ -353,6 +360,8 @@ def read_replication_changes(
                     password=password, slot=str(slot),
                     publication=publication, timeout=timeout,
                 )
+                slot_seq = 0  # per-slot, so a second slot in this partition
+                # restarts at 0 (apply order is per-slot arrival order)
                 try:
                     client.connect()
                     client.start_replication(start_lsn)
@@ -362,7 +371,8 @@ def read_replication_changes(
                         rec = {k: r.get(k) for k in cols}
                         # per-chunk parses restart seq; the live stream's
                         # apply order IS arrival order — stamp it per slot
-                        rec["seq"] = len(rows)
+                        rec["seq"] = slot_seq
+                        slot_seq += 1
                         rows.append(rec)
                 finally:
                     client.close()

@@ -89,9 +89,15 @@ class RespSocket:
     def read_value(self) -> tuple[str, object, int]:
         """One RESP value -> (kind, value, consumed_bytes). kind in
         status/error/int/bulk/array/nil. consumed_bytes is the wire length
-        of the whole value — the replication offset currency."""
+        of the whole value — the replication offset currency. Stray bare
+        ``\\n`` keepalive bytes before a value are consumed and COUNTED
+        (masters that emit them include them in the offset stream)."""
         line = self.read_line()
         n = len(line) + 2
+        # tolerate bare-'\n' keepalives glued before the value: strip
+        # leading newline bytes, keeping them in the consumed-byte count
+        while line[:1] == b"\n":
+            line = line[1:]
         t, body = line[:1], line[1:]
         if t == b"+":
             return "status", body.decode(), n

@@ -144,3 +144,47 @@ def test_distributed_two_server_pull(spark):
         assert df.rdd.getNumPartitions() == 2
     finally:
         s_a.stop(), s_b.stop()
+
+
+@pytest.mark.parametrize("size", [0xFFFFFF - 1, 0xFFFFFF, 0xFFFFFF + 5])
+def test_packet_continuation_roundtrip(size):
+    """>=16MB payloads split into 0xffffff continuation frames (terminated
+    by a frame of length < 0xffffff, possibly empty) and reassemble on
+    read — the protocol's large-packet rule the loopback fixtures never
+    exercised before."""
+    import socket
+    import threading
+
+    from ape_dts_spark.sources.mysql_binlog_client import MysqlSocket
+
+    a, b = socket.socketpair()
+    payload = (bytes(range(256)) * (size // 256 + 1))[:size]
+    assert len(payload) == size
+    tx, rx = MysqlSocket(a), MysqlSocket(b)
+    t = threading.Thread(target=tx.send_packet, args=(payload, 0), daemon=True)
+    t.start()
+    got = rx.read_packet()
+    t.join(10)
+    assert got == payload
+    # frame count: one 0xffffff frame per full chunk + the short terminator
+    n_frames = size // 0xFFFFFF + 1
+    assert tx.seq == n_frames & 0xFF
+    assert rx.seq == n_frames & 0xFF
+    a.close(), b.close()
+
+
+def test_resp_value_tolerates_newline_keepalive():
+    """A bare '\\n' keepalive glued before a RESP value is consumed and
+    counted into the offset instead of raising (redis_psync read_value)."""
+    import socket
+
+    from ape_dts_spark.sources.redis_psync import RespSocket
+
+    a, b = socket.socketpair()
+    a.sendall(b"\n+OK\r\n:7\r\n")
+    r = RespSocket(b)
+    kind, v, n = r.read_value()
+    assert (kind, v, n) == ("status", "OK", 6)  # '\n' counted
+    kind, v, n = r.read_value()
+    assert (kind, v, n) == ("int", 7, 4)
+    a.close(), b.close()
