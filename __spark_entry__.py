@@ -743,6 +743,169 @@ def q_psync_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ensure_psync_tail_fixture(spark: SparkSession, sf_dir: str) -> list:
+    """Fixture builder for the psync_tail gate: the SAME command stream the
+    redis_compact gate parses at rest (demo.redis_command_lines), rendered
+    as RESP array bytes and sharded across 4 masters by CRC16 key slot
+    (commands for one key stay on one node, in global-seq order — so the
+    per-node compaction union equals the single-stream state). Cached on
+    disk keyed by (data, derivation code). Returns per-node .resp paths."""
+    import hashlib
+    import inspect
+    import tempfile
+
+    from ape_dts_spark.sources.redis import key_slot
+
+    n_nodes = 4
+    data_sig = "|".join(
+        f"{f}:{os.path.getmtime(p)}:{os.path.getsize(p)}"
+        for f in sorted(os.listdir(sf_dir))
+        if os.path.isfile(p := os.path.join(sf_dir, f))
+    )
+    tag = hashlib.sha1(
+        (sf_dir + data_sig + inspect.getsource(demo.redis_command_lines)
+         + inspect.getsource(_ensure_psync_tail_fixture)).encode()
+    ).hexdigest()[:10]
+    out_dir = os.path.join(tempfile.gettempdir(), f"ape_psync_tail_{tag}")
+    paths = [os.path.join(out_dir, f"node{n}.resp") for n in range(n_nodes)]
+    if not all(os.path.exists(p) and os.path.getsize(p) for p in paths):
+        lines = (
+            demo.redis_command_lines(spark, sf_dir).orderBy("seq").collect()
+        )
+        shards: list[bytearray] = [bytearray() for _ in range(n_nodes)]
+        for r in lines:
+            argv = r["line"].split()
+            node = key_slot(argv[1]) % n_nodes
+            enc = b"*%d\r\n" % len(argv) + b"".join(
+                b"$%d\r\n%s\r\n" % (len(a), a.encode()) for a in argv
+            )
+            shards[node] += enc
+        os.makedirs(out_dir, exist_ok=True)
+        for p, blob in zip(paths, shards):
+            with open(p, "wb") as f:
+                f.write(bytes(blob))
+    return paths
+
+
+def _serve_psync_tail_masters(paths: list) -> list[tuple[str, int]]:
+    """Fixture harness for the psync_tail gate: one loopback fake master per
+    node whose FIRST session answers ``PSYNC ? -1`` with +FULLRESYNC, an
+    EMPTY length-framed RDB, then only ~55% of the command bytes before
+    DROPPING the connection mid-command — forcing the client's partial
+    resync. A resume ``PSYNC <id> <offset>`` is answered ``+CONTINUE`` and
+    served the remainder FROM THE REQUESTED OFFSET (wrong offset accounting
+    replays or loses commands and diverges from the oracle), then held open
+    consuming ACKs until the client's quiet-socket timeout ends the tail.
+    The production client under test lives in sources/redis_psync.py."""
+    import socket as _socket
+    import threading
+
+    from ape_dts_spark.sources import redis_rdb as rdb
+    from ape_dts_spark.sources.redis_psync import RespSocket
+
+    repl_id = "c" * 40
+    base_offset = 1000
+    empty_rdb = rdb.encode_rdb([])
+
+    def _session(sock, blob):
+        sock.settimeout(30)
+        conn = RespSocket(sock)
+        try:
+            while True:
+                kind, v, _n = conn.read_value()
+                if kind != "array" or not v:
+                    return
+                argv = [x.decode() if isinstance(x, bytes) else str(x) for x in v]
+                name = argv[0].lower()
+                if name == "replconf":
+                    if argv[1].lower() == "ack":
+                        continue  # ACKs get no reply
+                    conn.send_raw(b"+OK\r\n")
+                elif name == "psync":
+                    if argv[1] == "?":
+                        conn.send_raw(
+                            f"+FULLRESYNC {repl_id} {base_offset}\r\n".encode()
+                        )
+                        conn.send_raw(b"$%d\r\n" % len(empty_rdb) + empty_rdb)
+                        cut = int(len(blob) * 0.55)
+                        conn.send_raw(blob[:cut])
+                        sock.close()  # mid-command drop: resume or bust
+                        return
+                    rel = int(argv[2]) - base_offset
+                    if argv[1] != repl_id or not 0 <= rel <= len(blob):
+                        conn.send_raw(b"-ERR cannot continue\r\n")
+                        return
+                    conn.send_raw(b"+CONTINUE\r\n")
+                    conn.send_raw(blob[rel:])
+                    # hold open consuming ACKs; the client's timeout ends it
+                else:
+                    conn.send_raw(b"-ERR unknown command\r\n")
+        except (ValueError, OSError):
+            return
+
+    nodes = []
+    for p in paths:
+        with open(p, "rb") as f:
+            blob = f.read()
+        srv = _socket.socket(_socket.AF_INET, _socket.SOCK_STREAM)
+        srv.setsockopt(_socket.SOL_SOCKET, _socket.SO_REUSEADDR, 1)
+        srv.bind(("127.0.0.1", 0))
+        srv.listen(8)
+        srv.settimeout(600)
+
+        def _accept(srv=srv, blob=blob):
+            while True:
+                try:
+                    sock, _ = srv.accept()
+                except (_socket.timeout, OSError):
+                    try:
+                        srv.close()
+                    finally:
+                        return
+                threading.Thread(
+                    target=_session, args=(sock, blob), daemon=True
+                ).start()
+
+        threading.Thread(target=_accept, daemon=True).start()
+        nodes.append(("127.0.0.1", srv.getsockname()[1]))
+    return nodes
+
+
+def q_psync_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE Redis PSYNC command tail + partial resync over real sockets
+    (r16 — sources/redis_psync.py tail_with_resume, the command half of
+    redis_psync_extractor.rs:282-327 receive_aof): the SAME command stream
+    the redis_compact gate parses at rest is served by 4 loopback fake
+    masters whose first session DROPS mid-command at ~55% of the bytes;
+    one client per Arrow task runs full sync (empty RDB), tails with exact
+    per-value offset accounting, reconnects with ``PSYNC <id> <offset>``
+    -> ``+CONTINUE``, finishes the tail, and the replayed commands compact
+    through the shared command->entry model to the IDENTICAL final-state
+    oracle the at-rest parse is graded on — so a lost/replayed command at
+    the resume boundary, broken offset arithmetic, or mis-sharded keys all
+    diverge."""
+    from ape_dts_spark.sources.redis import commands_to_entries, compact_entries
+    from ape_dts_spark.sources.redis_psync import read_psync_tails
+
+    paths = _ensure_psync_tail_fixture(spark, sf_dir)
+    nodes = _serve_psync_tail_masters(paths)
+    cmds = read_psync_tails(spark, nodes, timeout=3)
+    entries = commands_to_entries(cmds.select("seq", F.col("cmd").alias("argv")))
+    state = compact_entries(entries)
+    # list ord embeds the raw command seq (±seq*2^20+pos); per-node arrival
+    # seqs preserve each key's RELATIVE order but not the global numbers, so
+    # both sides grade the dense per-key position instead
+    dense = F.row_number().over(
+        W.partitionBy("db_id", "key").orderBy("ord")
+    ) - F.lit(1)
+    return state.select(
+        "db_id", "key", "entry_type", "member", "value",
+        F.when(F.col("entry_type") == "list", dense.cast("long"))
+        .otherwise(F.col("ord")).alias("ord"),
+        "expire",
+    )
+
+
 def q_redis_stream_statements(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Redis Stream sinker (r14 — sinks/redis.stream_state_to_commands,
     the replay-command twin of stream_parser.rs:54-221): the same planted
@@ -3694,7 +3857,10 @@ def _serve_mysql_binlogs(log_dir: str) -> list[tuple[str, int, str]]:
     from ape_dts_spark.sources.binlog_file import BINLOG_MAGIC
     from ape_dts_spark.sources.mysql_binlog_client import (
         COM_BINLOG_DUMP,
+        COM_BINLOG_DUMP_GTID,
         MysqlSocket,
+        decode_gtid_set,
+        gtid_set_contains,
         native_password_proof,
     )
 
@@ -3710,6 +3876,24 @@ def _serve_mysql_binlogs(log_dir: str) -> list[tuple[str, int, str]]:
             (size,) = _struct.unpack_from("<I", blob, i + 9)
             yield blob[i : i + size]
             i += size
+
+    def _events_excluding(blob: bytes, gs: dict):
+        """Real COM_BINLOG_DUMP_GTID semantics: transactions whose GTID the
+        client's set covers are withheld whole; ROTATE/FDE/PREVIOUS_GTIDS
+        always flow."""
+        skipping = False
+        for ev in _events(blob):
+            etype = ev[4]
+            if etype == 33:  # GTID event
+                raw = ev[20:36].hex()
+                uuid = f"{raw[:8]}-{raw[8:12]}-{raw[12:16]}-{raw[16:20]}-{raw[20:]}"
+                (gno,) = _struct.unpack_from("<q", ev, 36)
+                skipping = gtid_set_contains(gs, uuid, gno)
+            elif etype in (4, 15, 35):  # ROTATE / FDE / PREVIOUS_GTIDS
+                yield ev
+                continue
+            if not skipping:
+                yield ev
 
     def _session(sock):
         sock.settimeout(30)
@@ -3745,6 +3929,21 @@ def _serve_mysql_binlogs(log_dir: str) -> list[tuple[str, int, str]]:
                             + b"#HY000unknown binlog file")
                         continue
                     for ev in _events(blob):
+                        conn.send_packet(b"\x00" + ev)
+                    conn.send_packet(b"\xfe\x00\x00\x02\x00")  # EOF
+                elif pkt[0] == COM_BINLOG_DUMP_GTID:
+                    (fn_len,) = _struct.unpack_from("<I", pkt, 7)
+                    fname = pkt[11 : 11 + fn_len].decode()
+                    i = 11 + fn_len + 8
+                    (gs_len,) = _struct.unpack_from("<I", pkt, i)
+                    gs = decode_gtid_set(pkt[i + 4 : i + 4 + gs_len])
+                    blob = blobs.get(fname)
+                    if blob is None or blob[:4] != BINLOG_MAGIC:
+                        conn.send_packet(
+                            b"\xff" + _struct.pack("<H", 1236)
+                            + b"#HY000unknown binlog file")
+                        continue
+                    for ev in _events_excluding(blob, gs):
                         conn.send_packet(b"\x00" + ev)
                     conn.send_packet(b"\xfe\x00\x00\x02\x00")  # EOF
                 else:  # COM_QUERY / COM_REGISTER_SLAVE session setup
@@ -3824,21 +4023,84 @@ def q_mysql_binlog_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_oplog_file_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mongo oplog dump round trip (sources/oplog_file.py + bson_codec.py —
-    the at-rest half of the Mongo native-CDC story; the reference tails the
-    same entries over a live cursor, mongo_cdc_extractor.rs:341-446): a
-    deterministic change history for a subset of part (insert docs for all
-    keys p_partkey%17==3, then $v:2-diff update p_brand->'X' for %3==0 and
-    $unset p_type for %4==0, then delete %5==0 — the %10==0 subset via
-    a single applyOps deleteMany 'c' entry, the rest as plain 'd' entries)
-    is encoded into REAL BSON oplog bytes (concatenated-document mongodump
-    framing), re-read with the distributed binaryFile scan, and folded to
-    final per-document state (one shuffle keyed on _id). The oracle computes
-    the same final state straight from part, so any BSON codec error,
-    mis-flattened $v:2 diff, lost applyOps item or broken (ts, inc) order
-    diverges. The fixture collect is the bounded key subset (fixture
-    generator, like q_binlog_file_parse / q_pgoutput_file_parse)."""
+def q_binlog_gtid_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE GTID-mode binlog dump over real sockets (r16 —
+    COM_BINLOG_DUMP_GTID, the reference's gtid_enabled resume:
+    mysql_cdc_extractor.rs:58-59,142 StartPosition::Gtid): every file of the
+    SAME fixture chain the at-rest and position-dump gates are graded on is
+    pulled TWICE with COMPLEMENTARY GTID sets — one session's set covers the
+    file's second-half gnos (the server withholds those transactions, so it
+    yields the first half), the other covers the first half — and the union
+    must reconstruct the full change stream EXACTLY ONCE: an off-by-one in
+    interval containment, a txn not skipped whole, or a wrong wire encoding
+    double-counts or loses a transaction and diverges from the identical
+    final-state oracle. Apply order rides the GTID gno itself (globally
+    increasing across the chain), the order the reference's
+    gtid_set-position resume is built on."""
+    import struct as _struct
+
+    from ape_dts_spark.sources.mysql_binlog_client import read_binlog_changes
+
+    log_dir, tables = _ensure_binlog_fixture(spark, sf_dir)
+    uuid = "3e11fa47-71ca-11e1-9e33-c80aa9429562"
+
+    def _file_gnos(blob: bytes) -> list[int]:
+        out, i = [], 4
+        while i + 13 <= len(blob):
+            (size,) = _struct.unpack_from("<I", blob, i + 9)
+            if blob[i + 4] == 33:  # GTID event: flags u8 + 16B sid + i64 gno
+                out.append(_struct.unpack_from("<q", blob, i + 19 + 17)[0])
+            i += size
+        return out
+
+    endpoints = _serve_mysql_binlogs(log_dir)
+    eps = []
+    for host, port, fname in endpoints:
+        gnos = _file_gnos(open(os.path.join(log_dir, fname), "rb").read())
+        lo, hi, mid = min(gnos), max(gnos), (min(gnos) + max(gnos)) // 2
+        eps.append((host, port, fname,
+                    f"{uuid}:{mid + 1}-{hi}" if hi > mid else ""))
+        eps.append((host, port, fname, f"{uuid}:{lo}-{mid}"))
+    dml = read_binlog_changes(
+        spark, eps, tables, timeout=30, gtid_mode=True
+    ).filter(F.col("row_type").isin("insert", "update", "delete"))
+    jg = lambda col, field: F.get_json_object(F.col(col), f"$.{field}")  # noqa: E731
+    k = F.coalesce(jg("after", "o_orderkey"), jg("before", "o_orderkey")).cast("bigint")
+    gno = F.split(F.col("gtid"), ":").getItem(1).cast("long")
+    last = (
+        dml.withColumn("k", k)
+        .withColumn("gno", gno)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("k").orderBy(F.col("gno").desc(), F.col("seq").desc())
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .filter(F.col("row_type") != "delete")
+    )
+    return last.select(
+        jg("after", "o_orderkey").cast("bigint").alias("o_orderkey"),
+        jg("after", "o_custkey").cast("bigint").alias("o_custkey"),
+        jg("after", "o_orderstatus").alias("o_orderstatus"),
+        jg("after", "o_totalprice").cast("double").alias("o_totalprice"),
+        jg("after", "o_orderdate_us").cast("bigint").alias("o_orderdate_us"),
+        jg("after", "o_orderpriority").alias("o_orderpriority"),
+        jg("after", "o_ukey").alias("o_ukey"),
+        jg("after", "o_flags").cast("bigint").alias("o_flags"),
+        jg("after", "o_geo").alias("o_geo"),
+    )
+
+
+def _ensure_oplog_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Shared fixture builder for the oplog_file_parse AND mongo_oplog_live
+    gates: a deterministic change history for a subset of part (insert docs
+    for all keys p_partkey%17==3, then $v:2-diff update p_brand->'X' for
+    %3==0 and $unset p_type for %4==0, then delete %5==0 — the %10==0
+    subset via a single applyOps deleteMany 'c' entry, the rest as plain
+    'd' entries) encoded into REAL BSON oplog bytes (concatenated-document
+    mongodump framing), cached on disk keyed by (data, codec, builder
+    code). Returns the dump directory."""
     import hashlib
     import inspect
     import tempfile
@@ -3853,7 +4115,7 @@ def q_oplog_file_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tag = hashlib.sha1(
         (sf_dir + data_sig + inspect.getsource(ofl) + inspect.getsource(bcodec)
-         + inspect.getsource(q_oplog_file_parse)).encode()
+         + inspect.getsource(_ensure_oplog_fixture)).encode()
     ).hexdigest()[:10]
     dump_dir = os.path.join(tempfile.gettempdir(), f"ape_oplog_{tag}")
     if not (os.path.isdir(dump_dir) and os.listdir(dump_dir)):
@@ -3894,7 +4156,12 @@ def q_oplog_file_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
                 t += 1
         os.makedirs(dump_dir, exist_ok=True)
         ofl.write_oplog_files(entries, dump_dir, per_file=40)
-    state = ofl.fold_oplog_state(ofl.read_oplog_files(spark, dump_dir))
+    return dump_dir
+
+
+def _oplog_state_projection(state: DataFrame) -> DataFrame:
+    """Folded per-document state -> the part-typed columns both oplog gates
+    (at-rest scan and live tail) are graded on."""
     return state.select(
         F.get_json_object("doc", "$._id").cast("bigint").alias("p_partkey"),
         F.get_json_object("doc", "$.p_name").alias("p_name"),
@@ -3902,6 +4169,260 @@ def q_oplog_file_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object("doc", "$.p_size").cast("bigint").alias("p_size"),
         F.get_json_object("doc", "$.p_type").alias("p_type"),
         F.get_json_object("doc", "$.p_retailprice").cast("double").alias("p_retailprice"),
+    )
+
+
+def q_oplog_file_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mongo oplog dump round trip (sources/oplog_file.py + bson_codec.py —
+    the at-rest half of the Mongo native-CDC story; the reference tails the
+    same entries over a live cursor, mongo_cdc_extractor.rs:341-446): the
+    fixture change history (_ensure_oplog_fixture — $v:2 diffs, applyOps
+    deleteMany, plain deletes over a part subset) is re-read with the
+    distributed binaryFile scan and folded to final per-document state (one
+    shuffle keyed on _id). The oracle computes the same final state
+    straight from part, so any BSON codec error, mis-flattened $v:2 diff,
+    lost applyOps item or broken (ts, inc) order diverges. The fixture
+    collect is the bounded key subset (fixture generator, like
+    q_binlog_file_parse / q_pgoutput_file_parse)."""
+    from ape_dts_spark.sources import oplog_file as ofl
+
+    dump_dir = _ensure_oplog_fixture(spark, sf_dir)
+    return _oplog_state_projection(
+        ofl.fold_oplog_state(ofl.read_oplog_files(spark, dump_dir))
+    )
+
+
+def _serve_mongod(collections: dict) -> tuple[str, int]:
+    """Fixture harness for the mongo live gates: one loopback fake mongod
+    speaking real OP_MSG bytes — hello, find with the client's filter
+    shapes ({}, {ts: {$gte}}, {$expr: {$gt: ["$_id", key]}}) over stored
+    documents with BSON type-order _id sorting, getMore pages, count,
+    killCursors. ``collections``: {(db, coll): [doc, ...]} (insertion order
+    = natural order, the oplog contract). Daemon accept loop retires after
+    an idle timeout so repeated gate evaluations get fresh sessions. The
+    production client under test lives in sources/mongo_client.py; this is
+    the server side only."""
+    import secrets as _secrets
+    import socket as _socket
+    import threading
+
+    from ape_dts_spark.sources import bson_codec as bcodec
+    from ape_dts_spark.sources.mongo_client import MongoSocket, encode_op_msg
+
+    def _rank(v):
+        # BSON type-order subset: null < numbers < string < ObjectId < Timestamp
+        if v is None:
+            return (5, 0)
+        if isinstance(v, bool):
+            return (40, int(v))
+        if isinstance(v, (int, float)):
+            return (10, v)
+        if isinstance(v, str):
+            return (15, v)
+        if isinstance(v, bcodec.ObjectId):
+            return (35, v.raw)
+        if isinstance(v, bcodec.Timestamp):
+            return (50, v.sort_key())
+        return (99, str(v))
+
+    def _matches(doc, filt):
+        if not filt:
+            return True
+        if "ts" in filt and isinstance(filt.get("ts"), dict):
+            ts = doc.get("ts")
+            want = filt["ts"]["$gte"]
+            return isinstance(ts, bcodec.Timestamp) and ts.sort_key() >= want.sort_key()
+        if "$expr" in filt:
+            (_op, args), = filt["$expr"].items()
+            return _rank(doc.get("_id")) > _rank(args[1])
+        return all(doc.get(k) == v for k, v in filt.items())
+
+    def _session(sock):
+        sock.settimeout(30)
+        conn = MongoSocket(sock)
+        cursors: dict[int, tuple[str, list]] = {}
+        next_id = [_secrets.randbelow(1 << 30) + 1]
+
+        def reply(to_rid, doc):
+            rid = conn.next_request_id
+            conn.next_request_id += 1
+            sock.sendall(encode_op_msg(doc, rid, response_to=to_rid))
+
+        try:
+            while True:
+                rid, _, cmd = conn.read_msg()
+                name = next(iter(cmd))
+                if name == "hello":
+                    reply(rid, {"isWritablePrimary": True, "setName": "rs0",
+                                "maxWireVersion": 17, "minWireVersion": 0,
+                                "ok": 1.0})
+                elif name == "count":
+                    docs = collections.get((cmd["$db"], cmd["count"]), [])
+                    reply(rid, {"n": len(docs), "ok": 1.0})
+                elif name == "find":
+                    docs = [d for d in collections.get((cmd["$db"], cmd["find"]), [])
+                            if _matches(d, cmd.get("filter"))]
+                    if cmd.get("sort"):
+                        (field, direction), = cmd["sort"].items()
+                        docs = sorted(docs, key=lambda d: _rank(d.get(field)),
+                                      reverse=direction < 0)
+                    if cmd.get("limit"):
+                        docs = docs[: int(cmd["limit"])]
+                    batch = int(cmd.get("batchSize", 101))
+                    first, rest = docs[:batch], docs[batch:]
+                    cid = 0
+                    if rest:
+                        cid = next_id[0]
+                        next_id[0] += 1
+                        cursors[cid] = (cmd["find"], rest)
+                    reply(rid, {"cursor": {
+                        "firstBatch": first, "id": bcodec.Int64(cid),
+                        "ns": f"{cmd['$db']}.{cmd['find']}"}, "ok": 1.0})
+                elif name == "getMore":
+                    cid = int(getattr(cmd["getMore"], "value", cmd["getMore"]))
+                    if cid not in cursors:
+                        reply(rid, {"ok": 0.0, "code": 43,
+                                    "errmsg": f"cursor id {cid} not found"})
+                        continue
+                    coll, pending = cursors[cid]
+                    batch = int(cmd.get("batchSize", 101))
+                    out, pending = pending[:batch], pending[batch:]
+                    if pending:
+                        cursors[cid] = (coll, pending)
+                        new_id = cid
+                    else:
+                        cursors.pop(cid)
+                        new_id = 0
+                    reply(rid, {"cursor": {
+                        "nextBatch": out, "id": bcodec.Int64(new_id),
+                        "ns": f"{cmd['$db']}.{coll}"}, "ok": 1.0})
+                elif name == "killCursors":
+                    ids = [int(getattr(c, "value", c)) for c in cmd.get("cursors", [])]
+                    for cid in ids:
+                        cursors.pop(cid, None)
+                    reply(rid, {"cursorsKilled": ids, "ok": 1.0})
+                else:
+                    reply(rid, {"ok": 0.0, "code": 59,
+                                "errmsg": f"no such command: '{name}'"})
+        except (ValueError, OSError):
+            return
+
+    srv = _socket.socket(_socket.AF_INET, _socket.SOCK_STREAM)
+    srv.setsockopt(_socket.SOL_SOCKET, _socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(16)
+    srv.settimeout(600)
+
+    def _accept():
+        while True:
+            try:
+                sock, _ = srv.accept()
+            except (_socket.timeout, OSError):
+                try:
+                    srv.close()
+                finally:
+                    return
+            threading.Thread(target=_session, args=(sock,), daemon=True).start()
+
+    threading.Thread(target=_accept, daemon=True).start()
+    return "127.0.0.1", srv.getsockname()[1]
+
+
+def q_mongo_oplog_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE MongoDB oplog tail over real sockets (r16 —
+    sources/mongo_client.py, the wire half of mongo_cdc_extractor.rs:
+    327-446): the SAME oplog entries the oplog_file_parse gate scans at
+    rest are served by a loopback fake mongod speaking OP_MSG; one client
+    session per Arrow task runs the hello handshake and the tailable
+    ``{ts: {$gte}}`` find + getMore cursor on local.oplog.rs, re-frames the
+    received entries into the mongodump layout and decodes them with the
+    shared gated parser; the folded final state is graded against the
+    identical oracle the at-rest scan is graded on — handshake + framing +
+    cursor transport proven end-to-end by the driver."""
+    from ape_dts_spark.sources import bson_codec as bcodec
+    from ape_dts_spark.sources import oplog_file as ofl
+    from ape_dts_spark.sources.mongo_client import read_live_oplog_changes
+
+    dump_dir = _ensure_oplog_fixture(spark, sf_dir)
+    entries: list[dict] = []
+    for fname in sorted(os.listdir(dump_dir)):
+        blob = open(os.path.join(dump_dir, fname), "rb").read()
+        entries.extend(bcodec.iter_documents(blob))
+    host, port = _serve_mongod({("local", "oplog.rs"): entries})
+    changes = read_live_oplog_changes(spark, [(host, port)], timeout=30)
+    return _oplog_state_projection(ofl.fold_oplog_state(changes))
+
+
+def _ensure_mongo_coll_fixture(spark: SparkSession, sf_dir: str):
+    """Fixture builder for the mongo_snapshot_live gate: part keys
+    %17==3 become int-_id documents and %17==8 string-_id documents
+    ("k%07d" — zero-padded so lexical order = key order), hash-sharded into
+    4 collections by p_partkey%4. Returns (collections, resume_keys): the
+    per-collection BSON-ordered doc lists (ints before strings — the
+    mixed-type ordering the $expr resume filter exists for) and the keyset
+    checkpoint each resume session starts from (the _id at the 20%-sample
+    boundary, ceil(n*20/100) — estimated_sample_limit arithmetic)."""
+    rows = (
+        demo.load(spark, sf_dir, "part")
+        .filter((F.col("p_partkey") % 17).isin(3, 8))
+        .select("p_partkey", "p_name", "p_brand", "p_size", "p_type", "p_retailprice")
+        .orderBy("p_partkey")
+        .collect()
+    )
+    collections: dict = {}
+    for r in rows:
+        k = int(r["p_partkey"])
+        doc = {
+            "_id": k if k % 17 == 3 else f"k{k:07d}",
+            "p_name": r["p_name"], "p_brand": r["p_brand"],
+            "p_size": r["p_size"], "p_type": r["p_type"],
+            "p_retailprice": r["p_retailprice"],
+        }
+        collections.setdefault(("tpch", f"part_{k % 4}"), []).append(doc)
+    resume_keys = {}
+    for key, docs in collections.items():
+        docs.sort(key=lambda d: (isinstance(d["_id"], str), d["_id"]))
+        k_sample = (len(docs) * 20 + 99) // 100
+        resume_keys[key] = docs[k_sample - 1]["_id"]
+    return collections, resume_keys
+
+
+def q_mongo_snapshot_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE MongoDB snapshot over real sockets (r16 —
+    sources/mongo_client.py, the wire half of
+    mongo_snapshot_extractor.rs:107-244): 4 hash-sharded collections with a
+    MIXED int/string _id space are served by a loopback fake mongod; each
+    collection runs TWO cursor sessions per Arrow task — a 20% SAMPLE
+    session (count -> ceil(n*20/100) LIMIT, the estimated_sample_limit
+    path) and a RESUME session starting from the sample boundary's _id via
+    the mixed-type ``$expr $gt`` keyset filter (build_resume_filter), both
+    ordered by {_id: 1} and paged by getMore (batch 16) — and together the
+    two phases must reconstruct EXACTLY the full collection: the oracle
+    restates every document, its phase, and its in-session ordinal from
+    part arithmetic, so a wrong sample limit, a resume filter that loses
+    the cross-type boundary, a mis-sorted cursor or a dropped getMore page
+    all diverge."""
+    from ape_dts_spark.sources.mongo_client import read_mongo_collections
+
+    collections, resume_keys = _ensure_mongo_coll_fixture(spark, sf_dir)
+    host, port = _serve_mongod(collections)
+    sources = [(host, port, db, coll) for (db, coll) in sorted(collections)]
+    sample = read_mongo_collections(
+        spark, sources, batch_size=16, sample_rate=20, timeout=30
+    ).withColumn("phase", F.lit("sample"))
+    resume = read_mongo_collections(
+        spark, sources, batch_size=16, resume_keys=resume_keys, timeout=30
+    ).withColumn("phase", F.lit("resume"))
+    both = sample.unionByName(resume)
+    jg = lambda f: F.get_json_object(F.col("doc"), f"$.{f}")  # noqa: E731
+    return both.select(
+        "tb", "id",
+        jg("p_name").alias("p_name"),
+        jg("p_brand").alias("p_brand"),
+        jg("p_size").cast("bigint").alias("p_size"),
+        jg("p_type").alias("p_type"),
+        jg("p_retailprice").cast("double").alias("p_retailprice"),
+        "phase", "seq",
     )
 
 
@@ -6247,9 +6768,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- before freezing; rotated-out rows keep local-gate + pytest
         # -- coverage. -------------------------------------------------
         "mysql_binlog_live": q_mysql_binlog_live,
+        "binlog_gtid_live": q_binlog_gtid_live,
         "pg_replication_live": q_pg_replication_live,
         "phash_incremental": q_phash_incremental,
         "psync_snapshot": q_psync_snapshot,
+        "psync_tail": q_psync_tail,
         "redis_restore_statements": q_redis_restore_statements,
         "video_dup_pairs": q_video_dup_pairs,
         "video_incremental": q_video_incremental,
@@ -6353,6 +6876,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frames": q_multimodal_frames,
         "multimodal_meta": q_multimodal_meta,
         "oplog_file_parse": q_oplog_file_parse,
+        "mongo_oplog_live": q_mongo_oplog_live,
+        "mongo_snapshot_live": q_mongo_snapshot_live,
         "order_gaps": q_order_gaps,
         "pgoutput_file_parse": q_pgoutput_file_parse,
         "pii_redact": q_pii_redact,
@@ -7020,6 +7545,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT db_id, key, entry_type, member, value, ord, seq, expire
             FROM redis_state
         """,
+        # psync_tail replays the SAME command stream over live PSYNC sockets
+        # (mid-tail drop + CONTINUE resume) into the same compaction; seq is
+        # per-node arrival order, so the grade is the seq-free state with
+        # list ord densified to per-key positions on both sides
+        "psync_tail": f"""
+            {demo.REDIS_STATE_SQL}
+            SELECT db_id, key, entry_type, member, value,
+                   CASE WHEN entry_type = 'list'
+                        THEN row_number() OVER (PARTITION BY db_id, key ORDER BY ord) - 1
+                        ELSE ord END AS ord,
+                   expire
+            FROM redis_state
+        """,
         "redis_restore_statements": _restore_oracle_sql(),
         "redis_stream_statements": """
             WITH sj AS (
@@ -7647,6 +8185,9 @@ def oracle_sql() -> dict[str, str]:
             WHERE o_orderkey % 23 = 1 AND o_orderkey % 5 <> 0
         """),
         "mysql_binlog_live": _binlog_file_parse_oracle,
+        # binlog_gtid_live reconstructs the same stream from complementary
+        # GTID-filtered dumps, so it is graded against the same restatement
+        "binlog_gtid_live": _binlog_file_parse_oracle,
         "unimax_mix": __import__("ape_dts_spark.functions.mixing", fromlist=["m"]).unimax_sample_sql(),
         "curation_v3": _curation_v3_oracle(),
         "stream_load_payload": """
@@ -8419,7 +8960,9 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             WHERE o_orderkey % 29 = 4 AND o_orderkey % 7 <> 0
         """,
-        "oplog_file_parse": """
+        # mongo_oplog_live serves the SAME fixture entries over loopback
+        # OP_MSG sockets, so it is graded against the identical restatement
+        "oplog_file_parse": (_oplog_file_parse_oracle := """
             SELECT p_partkey, p_name,
                    CASE WHEN p_partkey % 3 = 0 THEN 'X' ELSE p_brand END AS p_brand,
                    CAST(p_size AS BIGINT) AS p_size,
@@ -8427,6 +8970,33 @@ def oracle_sql() -> dict[str, str]:
                    p_retailprice
             FROM part
             WHERE p_partkey % 17 = 3 AND p_partkey % 5 <> 0
+        """),
+        "mongo_oplog_live": _oplog_file_parse_oracle,
+        # mongo_snapshot_live: 4 hash-sharded collections, int ids (%17==3)
+        # sorting before string ids (%17==8, zero-padded "k%07d"); the 20%
+        # sample session covers the first ceil(n/5) docs per collection in
+        # BSON order, the resume session the rest; seq is the in-session
+        # ordinal — all restated from part arithmetic
+        "mongo_snapshot_live": """
+            WITH docs AS (
+              SELECT p_partkey, p_name, p_brand, p_size, p_type, p_retailprice,
+                     p_partkey % 4 AS shard,
+                     CASE WHEN p_partkey % 17 = 3 THEN 0 ELSE 1 END AS trank,
+                     CASE WHEN p_partkey % 17 = 3 THEN CAST(p_partkey AS VARCHAR)
+                          ELSE '"k' || lpad(CAST(p_partkey AS VARCHAR), 7, '0') || '"'
+                     END AS id
+              FROM part WHERE p_partkey % 17 IN (3, 8)),
+            pos AS (
+              SELECT *,
+                     row_number() OVER (PARTITION BY shard ORDER BY trank, p_partkey) AS pos,
+                     (count(*) OVER (PARTITION BY shard) * 20 + 99) // 100 AS k_sample
+              FROM docs)
+            SELECT 'part_' || shard AS tb, id, p_name, p_brand,
+                   CAST(p_size AS BIGINT) AS p_size, p_type, p_retailprice,
+                   CASE WHEN pos <= k_sample THEN 'sample' ELSE 'resume' END AS phase,
+                   CAST(CASE WHEN pos <= k_sample THEN pos - 1
+                             ELSE pos - 1 - k_sample END AS BIGINT) AS seq
+            FROM pos
         """,
         # pg_replication_live serves the SAME fixture over loopback replication
         # sockets, so it is graded against the identical restatement

@@ -72,6 +72,15 @@ class DateTime:
     ms: int
 
 
+@dataclass(frozen=True)
+class Int64:
+    """Forced int64 (BSON 0x12) even when the value fits int32 — the wire
+    protocol requires 64-bit cursor ids in getMore/killCursors regardless of
+    magnitude; plain ints keep the fits-int32 heuristic."""
+
+    value: int
+
+
 def _enc_element(name: str, v) -> bytes:
     key = name.encode() + b"\x00"
     if v is None:
@@ -95,6 +104,8 @@ def _enc_element(name: str, v) -> bytes:
         return b"\x09" + key + struct.pack("<q", v.ms)
     if isinstance(v, Timestamp):
         return b"\x11" + key + struct.pack("<II", v.inc, v.time)
+    if isinstance(v, Int64):
+        return b"\x12" + key + struct.pack("<q", v.value)
     if isinstance(v, int):
         if -(1 << 31) <= v < (1 << 31):
             return b"\x10" + key + struct.pack("<i", v)

@@ -42,6 +42,7 @@ import struct
 from typing import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ape_dts_spark.sources.binlog_file import BINLOG_MAGIC, parse_binlog_bytes
 
@@ -53,10 +54,81 @@ CLIENT_PLUGIN_AUTH = 0x80000
 COM_QUERY = 0x03
 COM_BINLOG_DUMP = 0x12
 COM_REGISTER_SLAVE = 0x15
+COM_BINLOG_DUMP_GTID = 0x1E
 
 BINLOG_DUMP_NON_BLOCK = 0x01
+BINLOG_THROUGH_GTID = 0x04
 
 NATIVE_PLUGIN = b"mysql_native_password"
+
+
+# -- GTID sets (the reference's gtid_enabled start path: StartPosition::Gtid
+# in mysql_cdc_extractor.rs:142-143; text + wire forms per the public MySQL
+# replication docs) --------------------------------------------------------
+
+
+def _norm_uuid(uuid: str) -> str:
+    """Lowercase dashed canonical form (accepts dashed or bare hex)."""
+    raw = uuid.strip().lower().replace("-", "")
+    if len(raw) != 32 or any(c not in "0123456789abcdef" for c in raw):
+        raise ValueError(f"malformed server uuid {uuid!r}")
+    return f"{raw[:8]}-{raw[8:12]}-{raw[12:16]}-{raw[16:20]}-{raw[20:]}"
+
+
+def parse_gtid_set(text: str) -> dict[str, list[tuple[int, int]]]:
+    """MySQL GTID-set text (``uuid:1-5:8,uuid2:3``) -> {uuid: [(start,
+    end_inclusive)]}, uuids normalized to lowercase dashed hex. An empty
+    string is the empty set (resume from the very beginning)."""
+    out: dict[str, list[tuple[int, int]]] = {}
+    for part in filter(None, (p.strip() for p in text.split(","))):
+        uuid, *intervals = part.split(":")
+        if not intervals:
+            raise ValueError(f"malformed GTID set element {part!r}")
+        uuid = _norm_uuid(uuid)
+        ivs = out.setdefault(uuid, [])
+        for iv in intervals:
+            lo, _, hi = iv.partition("-")
+            start, end = int(lo), int(hi) if hi else int(lo)
+            if end < start or start < 1:
+                raise ValueError(f"bad GTID interval {iv!r}")
+            ivs.append((start, end))
+        ivs.sort()
+    return out
+
+
+def encode_gtid_set(gs: dict[str, list[tuple[int, int]]]) -> bytes:
+    """Wire form (COM_BINLOG_DUMP_GTID payload): u64 n_sids, then per sid
+    16 raw uuid bytes + u64 n_intervals + per interval u64 start and u64
+    end EXCLUSIVE (the wire's half-open convention)."""
+    out = struct.pack("<Q", len(gs))
+    for uuid, ivs in gs.items():
+        out += bytes.fromhex(uuid.replace("-", ""))
+        out += struct.pack("<Q", len(ivs))
+        for start, end in ivs:
+            out += struct.pack("<QQ", start, end + 1)
+    return out
+
+
+def decode_gtid_set(data: bytes) -> dict[str, list[tuple[int, int]]]:
+    """Wire form -> the parse_gtid_set dict (end back to inclusive)."""
+    (n_sids,) = struct.unpack_from("<Q", data, 0)
+    i, out = 8, {}
+    for _ in range(n_sids):
+        raw = data[i : i + 16].hex()
+        uuid = f"{raw[:8]}-{raw[8:12]}-{raw[12:16]}-{raw[16:20]}-{raw[20:]}"
+        (n_ivs,) = struct.unpack_from("<Q", data, i + 16)
+        i += 24
+        ivs = []
+        for _ in range(n_ivs):
+            start, end = struct.unpack_from("<QQ", data, i)
+            ivs.append((start, end - 1))
+            i += 16
+        out[uuid] = ivs
+    return out
+
+
+def gtid_set_contains(gs: dict, uuid: str, gno: int) -> bool:
+    return any(lo <= gno <= hi for lo, hi in gs.get(_norm_uuid(uuid), ()))
 
 
 def native_password_proof(password: str, scramble: bytes) -> bytes:
@@ -233,6 +305,30 @@ class MysqlBinlogClient:
         self.conn.reset_seq()
         self.conn.send_packet(bytes([COM_BINLOG_DUMP]) + body)
 
+    def binlog_dump_gtid(
+        self,
+        gtid_set: str,
+        file_name: str = "",
+        pos: int = 4,
+        non_block: bool = True,
+    ) -> None:
+        """COM_BINLOG_DUMP_GTID — the gtid_enabled dump the reference starts
+        when resuming from a GTID set (mysql_cdc_extractor.rs:58-59,142):
+        flags BINLOG_THROUGH_GTID (+NON_BLOCK), server_id, length-prefixed
+        file name + u64 position (empty/4 = let the set decide), then the
+        encoded set of transactions the server must SKIP (already applied)."""
+        gs = parse_gtid_set(gtid_set)
+        flags = BINLOG_THROUGH_GTID | (BINLOG_DUMP_NON_BLOCK if non_block else 0)
+        fname = file_name.encode()
+        body = struct.pack("<HI", flags, self.server_id)
+        body += struct.pack("<I", len(fname)) + fname
+        body += struct.pack("<Q", pos)
+        data = encode_gtid_set(gs)
+        body += struct.pack("<I", len(data)) + data
+        assert self.conn is not None, "connect first"
+        self.conn.reset_seq()
+        self.conn.send_packet(bytes([COM_BINLOG_DUMP_GTID]) + body)
+
     def events(self, max_events: int | None = None) -> Iterator[bytes]:
         """Raw event byte strings from the dump stream: each packet is
         0x00 + event; EOF (0xfe, short) ends a non-blocking dump; a socket
@@ -272,33 +368,48 @@ class MysqlBinlogClient:
 
 def read_binlog_changes(
     spark: SparkSession,
-    endpoints: list[tuple[str, int, str]],
+    endpoints: list[tuple],
     tables: dict,
     user: str = "repl",
     password: str = "",
     server_id: int = 2001,
     max_events: int | None = None,
     timeout: float = 10.0,
+    gtid_mode: bool = False,
 ) -> DataFrame:
     """Distributed bounded pull over live servers: one Arrow task per
     (host, port, binlog_file) runs the replica session and emits canonical
     change rows — the server-per-task layout of a multi-source capture.
     Maps/payloads are JSON-flattened to the wire-stable string columns the
-    at-rest binlog scan emits."""
+    at-rest binlog scan emits.
+
+    ``gtid_mode``: endpoints are (host, port, binlog_file, gtid_set) and
+    the dump is COM_BINLOG_DUMP_GTID — the server skips transactions whose
+    GTIDs the set already covers (the reference's gtid_enabled resume)."""
     import json
 
     import pandas as pd
 
-    ep_df = spark.createDataFrame(
-        endpoints, "host string, port int, binlog_file string"
-    ).repartition(max(len(endpoints), 1))
+    if gtid_mode:
+        ep_df = spark.createDataFrame(
+            endpoints,
+            "host string, port int, binlog_file string, gtid_set string",
+        )
+    else:
+        ep_df = spark.createDataFrame(
+            [e[:3] for e in endpoints],
+            "host string, port int, binlog_file string",
+        ).withColumn("gtid_set", F.lit(None).cast("string"))
+    ep_df = ep_df.repartition(max(len(endpoints), 1))
     cols = ["file", "pos", "seq", "ts", "gtid", "schema", "tb", "row_type",
             "before", "after"]
 
     def _pull(batches):
         for pdf in batches:
             rows = []
-            for host, port, fname in zip(pdf["host"], pdf["port"], pdf["binlog_file"]):
+            for host, port, fname, gset in zip(
+                pdf["host"], pdf["port"], pdf["binlog_file"], pdf["gtid_set"]
+            ):
                 client = MysqlBinlogClient(
                     str(host), int(port), user=user, password=password,
                     server_id=server_id, timeout=timeout,
@@ -309,7 +420,12 @@ def read_binlog_changes(
                         "SET @master_binlog_checksum = @@global.binlog_checksum"
                     )
                     client.register_slave()
-                    client.binlog_dump(str(fname))
+                    if gset is not None and not (
+                        isinstance(gset, float) and gset != gset
+                    ):
+                        client.binlog_dump_gtid(str(gset), str(fname))
+                    else:
+                        client.binlog_dump(str(fname))
                     for r in client.stream_changes(
                         tables, file_name=str(fname), max_events=max_events
                     ):

@@ -265,6 +265,106 @@ class PsyncClient:
         self.ack()
 
 
+def tail_with_resume(
+    host: str,
+    port: int,
+    password: str | None = None,
+    timeout: float = 10.0,
+    max_commands: int | None = None,
+    max_resumes: int = 4,
+) -> tuple[list[tuple[int, int, list[str], int]], bytes, int]:
+    """Full sync + command tail with automatic PARTIAL-RESYNC recovery: a
+    master dropping the connection mid-tail (the failure PSYNC exists for)
+    triggers a reconnect with ``PSYNC <repl_id> <offset>`` that must answer
+    ``+CONTINUE``, and the tail resumes from the exact byte offset — the
+    client's per-value offset accounting decides where, so an off-by-one
+    replays or loses a command (redis_psync_extractor.rs:133-177 resume
+    branch). A drop with NO progress since the last one raises (a master
+    that keeps dropping at the same offset is down, not flaky). Returns
+    ``([(seq, db_id, argv, offset)], rdb_bytes, resumes_used)`` — the tail
+    ends on a quiet-socket timeout, the bounded-pull contract."""
+    client = PsyncClient(host, port, password=password, timeout=timeout)
+    if not client.start_psync():
+        raise ValueError("expected FULLRESYNC on first contact")
+    rdb = client.receive_rdb()
+    out: list[tuple[int, int, list[str], int]] = []
+    resumes = 0
+    last_fail_offset = -1
+    while True:
+        try:
+            for db_id, argv, off in client.tail(
+                max_commands=None if max_commands is None
+                else max_commands - len(out)
+            ):
+                out.append((len(out), db_id, argv, off))
+            break  # clean end: quiet socket or max_commands reached
+        except (ValueError, OSError) as e:
+            if resumes >= max_resumes:
+                raise ValueError(
+                    f"tail dropped {resumes + 1} times, giving up: {e}"
+                ) from e
+            if client.repl_offset == last_fail_offset:
+                raise ValueError(
+                    f"master drops repeatedly at offset {last_fail_offset}: {e}"
+                ) from e
+            last_fail_offset = client.repl_offset
+            prev = client
+            prev.close()
+            client = PsyncClient(host, port, password=password, timeout=timeout)
+            if client.start_psync(prev.repl_id, prev.repl_offset):
+                raise ValueError("master answered FULLRESYNC to a resume PSYNC")
+            client.now_db_id = prev.now_db_id  # SELECT state survives resume
+            resumes += 1
+    client.close()
+    return out, rdb, resumes
+
+
+def read_psync_tails(
+    spark: SparkSession,
+    nodes: list[tuple[str, int]],
+    password: str | None = None,
+    timeout: float = 10.0,
+    max_commands: int | None = None,
+    max_resumes: int = 4,
+) -> DataFrame:
+    """Distributed live command tail over live masters: one Arrow task per
+    node runs full sync (RDB payload received and discarded — snapshot rows
+    are read_psync_snapshots' job) then the replicated-command tail with
+    +CONTINUE partial-resync recovery, and emits
+    ``(host, port, seq, db_id, cmd, offset, resumes)`` rows — ``cmd`` the
+    argv array the command->entry model consumes, ``seq`` the per-node
+    arrival ordinal (replication apply order), ``offset`` the replication
+    offset AFTER the command (checkpoint currency)."""
+    import pandas as pd
+
+    node_df = spark.createDataFrame(nodes, "host string, port int").repartition(
+        max(len(nodes), 1)
+    )
+    cols = ["host", "port", "seq", "db_id", "cmd", "offset", "resumes"]
+
+    def _pull(batches):
+        for pdf in batches:
+            rows = []
+            for host, port in zip(pdf["host"], pdf["port"]):
+                tailed, _rdb, resumes = tail_with_resume(
+                    str(host), int(port), password=password, timeout=timeout,
+                    max_commands=max_commands, max_resumes=max_resumes,
+                )
+                for seq, db_id, argv, off in tailed:
+                    rows.append({
+                        "host": str(host), "port": int(port), "seq": seq,
+                        "db_id": db_id, "cmd": argv, "offset": off,
+                        "resumes": resumes,
+                    })
+            yield pd.DataFrame(rows, columns=cols)
+
+    return node_df.mapInPandas(
+        _pull,
+        "host string, port int, seq long, db_id long, cmd array<string>, "
+        "offset long, resumes int",
+    )
+
+
 def read_psync_snapshots(
     spark: SparkSession,
     nodes: list[tuple[str, int]],

@@ -117,8 +117,12 @@ BENCH_QUERIES = [
     "redis_stream_statements",
     "redis_restore_statements",
     "psync_snapshot",
+    "psync_tail",
     "pg_replication_live",
     "mysql_binlog_live",
+    "binlog_gtid_live",
+    "mongo_snapshot_live",
+    "mongo_oplog_live",
     "orc_roundtrip",
     "orc_sequenced",
     "struct_objects",

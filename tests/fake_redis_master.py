@@ -24,10 +24,20 @@ class FakeMaster(threading.Thread):
         password: str | None = None,
         keepalive_newlines: int = 2,
         max_clients: int = 4,
+        drop_after_bytes: int | None = None,
+        offset_aware: bool = False,
+        drop_resumes: bool = False,
     ):
         super().__init__(daemon=True)
         self.rdb_bytes = rdb_bytes
         self.commands = commands or []
+        # drop_after_bytes: full-sync sessions send only that many stream
+        # bytes then close (mid-command drop). offset_aware: +CONTINUE serves
+        # the stream from the REQUESTED offset (relative to master_offset)
+        # instead of replaying all commands — the real resume semantics.
+        self.drop_after_bytes = drop_after_bytes
+        self.offset_aware = offset_aware
+        self.drop_resumes = drop_resumes
         self.repl_id = repl_id or secrets.token_hex(20)
         self.master_offset = master_offset
         self.diskless = diskless
@@ -103,6 +113,14 @@ class FakeMaster(threading.Thread):
         except (ValueError, OSError):
             return  # client closed
 
+    def stream_bytes(self) -> bytes:
+        out = bytearray()
+        for cmd in self.commands:
+            out += ("*%d\r\n" % len(cmd)).encode() + b"".join(
+                b"$%d\r\n%s\r\n" % (len(a), a.encode()) for a in cmd
+            )
+        return bytes(out)
+
     def _psync(self, conn: RespSocket, argv: list[str]) -> None:
         if argv[1] == "?" or argv[2] == "-1":
             conn.send_raw(
@@ -118,8 +136,19 @@ class FakeMaster(threading.Thread):
                     b"$" + str(len(self.rdb_bytes)).encode() + b"\r\n"
                 )
                 conn.send_raw(self.rdb_bytes)
+            if self.drop_after_bytes is not None:
+                conn.send_raw(self.stream_bytes()[: self.drop_after_bytes])
+                conn.sock.close()  # mid-command drop: resume or bust
+                return
         elif argv[1] == self.repl_id:
             conn.send_raw(b"+CONTINUE\r\n")
+            if self.drop_resumes:
+                conn.sock.close()  # a master that keeps failing resumes
+                return
+            if self.offset_aware:
+                rel = int(argv[2]) - self.master_offset
+                conn.send_raw(self.stream_bytes()[rel:])
+                return
         else:
             conn.send_raw(
                 f"+FULLRESYNC {self.repl_id} {self.master_offset}\r\n".encode()

@@ -189,3 +189,71 @@ def test_malformed_master_confined_to_valueerror():
         client.receive_rdb()
     client.close()
     srv.close()
+
+
+def test_tail_with_resume_recovers_mid_command_drop():
+    """The master drops mid-command at an arbitrary byte cut; the client
+    reconnects with PSYNC <id> <offset>, gets +CONTINUE, and the union of
+    both sessions is EXACTLY the full command stream — offset accounting
+    decides the resume point, so the cut command is neither lost nor
+    doubled."""
+    from ape_dts_spark.sources.redis_psync import tail_with_resume
+
+    master = FakeMaster(
+        rdb_bytes=rdb.encode_rdb([]), commands=STREAM, repl_id="r" * 40,
+        drop_after_bytes=len(FakeMaster(commands=STREAM).stream_bytes()) // 2,
+        offset_aware=True, keepalive_newlines=0,
+    )
+    master.start()
+    try:
+        tailed, payload, resumes = tail_with_resume(
+            "127.0.0.1", master.port, timeout=2)
+        assert resumes == 1
+        assert rdb.parse_rdb_bytes(payload) == []
+        assert [argv[0] for _, _, argv, _ in tailed] == [
+            "SET", "HSET", "PING", "DEL"]
+        # db tracking survives the resume (SELECT 3 was pre-drop or post-drop
+        # depending on the cut; final db must be 3 either way)
+        assert tailed[-1][1] == 3
+        # final offset = master_offset + full stream length
+        assert tailed[-1][3] == master.master_offset + len(master.stream_bytes())
+    finally:
+        master.stop()
+
+
+@pytest.mark.parametrize("cut_frac", [0.15, 0.35, 0.8, 0.95])
+def test_tail_with_resume_any_cut_point(cut_frac):
+    from ape_dts_spark.sources.redis_psync import tail_with_resume
+
+    stream_len = len(FakeMaster(commands=STREAM).stream_bytes())
+    master = FakeMaster(
+        rdb_bytes=rdb.encode_rdb([]), commands=STREAM, repl_id="r" * 40,
+        drop_after_bytes=int(stream_len * cut_frac), offset_aware=True,
+        keepalive_newlines=0,
+    )
+    master.start()
+    try:
+        tailed, _, resumes = tail_with_resume("127.0.0.1", master.port, timeout=2)
+        assert resumes == 1
+        assert [argv[0] for _, _, argv, _ in tailed] == [
+            "SET", "HSET", "PING", "DEL"]
+    finally:
+        master.stop()
+
+
+def test_tail_with_resume_gives_up_without_progress():
+    """A master that drops every resume session at the same offset trips the
+    no-progress guard instead of looping forever."""
+    from ape_dts_spark.sources.redis_psync import tail_with_resume
+
+    master = FakeMaster(
+        rdb_bytes=rdb.encode_rdb([]), commands=STREAM, repl_id="r" * 40,
+        drop_after_bytes=0, offset_aware=True, drop_resumes=True,
+        keepalive_newlines=0, max_clients=8,
+    )
+    master.start()
+    try:
+        with pytest.raises(ValueError, match="drops repeatedly|giving up"):
+            tail_with_resume("127.0.0.1", master.port, timeout=2, max_resumes=4)
+    finally:
+        master.stop()
