@@ -360,6 +360,93 @@ def q_subscription_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_subscription_http_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE data-subscription HTTP surface over real loopback sockets (r16 —
+    streaming/subscription.serve, http_server_pipeline.rs:122-363): the SAME
+    two-batch fetch/ack/crash/replay flow the subscription_feed gate drives
+    through the object API is driven end-to-end through real GET /info,
+    GET /fetch_new, POST /ack and GET /fetch_old requests against the
+    stdlib ThreadingHTTPServer facade — including the 409 conflict for an
+    ack ahead of the fetched position — and the replayed un-acked window
+    (JSON rows over the wire) is graded against the identical oracle. The
+    HTTP facade is a consumer edge (driver-side JSON), the reference's
+    notify/pull integration shape — bulk consumers read the feed DataFrames
+    directly."""
+    import http.client
+    import json
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from ape_dts_spark.operators.merge import compact_changes
+    from ape_dts_spark.sinks.parquet_table import ParquetTable
+    from ape_dts_spark.streaming.subscription import DataSubscription
+
+    keyed = _keyed_users_stream(spark, sf_dir)
+    mid = demo.users_change_stream(spark, sf_dir).agg(F.max("seq")).first()[0] // 2
+    payload = T.StructType(
+        [T.StructField("user_id", T.LongType()), T.StructField("value", T.DoubleType())]
+    )
+    root = tempfile.mkdtemp(prefix="ape_subhttp_")
+    table = ParquetTable(spark, os.path.join(root, "users"), payload)
+    sub = DataSubscription(table, ["user_id"], os.path.join(root, "positions"),
+                           consumer="gate")
+    server, port = sub.serve()
+
+    def _req(method: str, path: str, body: dict | None = None):
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+        try:
+            payload_b = json.dumps(body).encode() if body is not None else None
+            conn.request(method, path, body=payload_b,
+                         headers={"Content-Type": "application/json"})
+            resp = conn.getresponse()
+            return resp.status, json.loads(resp.read().decode())
+        finally:
+            conn.close()
+
+    try:
+        status, info = _req("GET", "/info")
+        if status != 200 or info != {"acked": -1, "fetched": -1, "current": -1}:
+            raise ValueError(f"unexpected /info before first commit: {info}")
+
+        compacted, spilled = compact_changes(keyed.filter(F.col("seq") <= mid), ["user_id"])
+        table.merge_apply(compacted, spilled, ["user_id"])
+        # an ack ahead of fetched must 409 (the reference's position guard)
+        status, _ = _req("POST", "/ack", {"version": 99})
+        if status != 409:
+            raise ValueError(f"ack-ahead-of-fetch returned {status}, want 409")
+        status, batch1 = _req("GET", "/fetch_new")
+        _req("POST", "/ack", {"version": batch1["version"]})  # batch 1 durable
+
+        compacted, spilled = compact_changes(keyed.filter(F.col("seq") > mid), ["user_id"])
+        table.merge_apply(compacted, spilled, ["user_id"])
+        _req("GET", "/fetch_new")  # consumer crashes between fetch and ack...
+        status, replay = _req("GET", "/fetch_old")  # ...and replays over HTTP
+        if status != 200:
+            raise ValueError(f"/fetch_old returned {status}")
+        status, unknown = _req("GET", "/nope")
+        if status != 404:
+            raise ValueError(f"unknown endpoint returned {status}, want 404")
+    finally:
+        server.shutdown()
+
+    rows = [
+        (
+            r["row_type"],
+            (r.get("before") or {}).get("user_id"),
+            (r.get("before") or {}).get("value"),
+            (r.get("after") or {}).get("user_id"),
+            (r.get("after") or {}).get("value"),
+        )
+        for r in replay["events"]
+    ]
+    return spark.createDataFrame(
+        rows,
+        "row_type string, before_user_id long, before_value double, "
+        "after_user_id long, after_value double",
+    )
+
+
 def q_checker_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data check: full-outer-join miss/diff/extra classification (SURVEY §2.7)."""
     src = demo.load(spark, sf_dir, "orders")
@@ -6892,6 +6979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_load_payload": q_stream_load_payload,
         "struct_ddl": q_struct_ddl,
         "subscription_feed": q_subscription_feed,
+        "subscription_http_live": q_subscription_http_live,
         "token_mix": q_token_mix,
         "vocab_topk": q_vocab_topk,
         "windowed_counts": q_windowed_counts,
@@ -7439,6 +7527,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "checker_diff": _CHECK_DIFF_SQL,
         "subscription_feed": _SUBSCRIPTION_FEED_SQL,
+        # subscription_http_live drives the same flow through real loopback
+        # GET/POST requests, so it is graded against the identical oracle
+        "subscription_http_live": _SUBSCRIPTION_FEED_SQL,
         "checker_summary": f"""
             WITH diffs AS ({_CHECK_DIFF_SQL})
             SELECT check_class, COUNT(*) AS n FROM diffs GROUP BY check_class ORDER BY check_class

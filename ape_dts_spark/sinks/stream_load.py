@@ -173,6 +173,7 @@ def _put_stream_load(
     import base64
     import http.client
     import json as _json
+    import socket
     import urllib.parse
 
     auth = base64.b64encode(f"{username}:{password}".encode()).decode()
@@ -187,9 +188,16 @@ def _put_stream_load(
                 "Content-Length": str(len(body)),
                 **headers,
             }
-            conn.request("PUT", path, body=body, headers=send)
-            resp = conn.getresponse()
-            text = resp.read().decode("utf-8", errors="replace")
+            try:
+                conn.request("PUT", path, body=body, headers=send)
+                resp = conn.getresponse()
+                text = resp.read().decode("utf-8", errors="replace")
+            except socket.timeout:
+                raise  # the caller's bounded-wait currency
+            except (http.client.HTTPException, OSError) as e:
+                # garbage status lines / resets / refused connections all
+                # land on the uniform ValueError contract
+                raise ValueError(f"stream load transport error: {e}") from e
             if resp.status in (307, 308):
                 loc = resp.getheader("Location")
                 if not loc:

@@ -192,7 +192,10 @@ class MongoSocket:
                  sequences: dict[str, list[dict]] | None = None) -> int:
         rid = self.next_request_id
         self.next_request_id += 1
-        self.sock.sendall(encode_op_msg(doc, rid, response_to, sequences))
+        try:
+            self.sock.sendall(encode_op_msg(doc, rid, response_to, sequences))
+        except OSError as e:  # reset/refused -> the ValueError contract
+            raise ValueError(f"connection lost mid-send: {e}") from e
         return rid
 
 

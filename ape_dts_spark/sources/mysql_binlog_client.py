@@ -152,7 +152,12 @@ class MysqlSocket:
 
     def _read_exact(self, n: int) -> bytes:
         while len(self._buf) < n:
-            chunk = self.sock.recv(65536)
+            try:
+                chunk = self.sock.recv(65536)
+            except socket.timeout:
+                raise  # bounded-pull currency, handled by callers
+            except OSError as e:  # reset/refused -> the ValueError contract
+                raise ValueError(f"connection lost mid-packet: {e}") from e
             if not chunk:
                 raise ValueError("connection closed mid-packet")
             self._buf += chunk
@@ -182,9 +187,12 @@ class MysqlSocket:
         off = 0
         while True:
             chunk = payload[off : off + 0xFFFFFF]
-            self.sock.sendall(
-                struct.pack("<I", len(chunk))[:3] + bytes([seq & 0xFF]) + chunk
-            )
+            try:
+                self.sock.sendall(
+                    struct.pack("<I", len(chunk))[:3] + bytes([seq & 0xFF]) + chunk
+                )
+            except OSError as e:  # reset/refused -> the ValueError contract
+                raise ValueError(f"connection lost mid-send: {e}") from e
             seq = (seq + 1) & 0xFF
             off += len(chunk)
             if len(chunk) < 0xFFFFFF:
@@ -196,6 +204,8 @@ class MysqlSocket:
 
 
 def _err_text(payload: bytes) -> str:
+    if len(payload) < 3:  # damaged ERR frame: still the ValueError path
+        return f"ERR (malformed packet {payload!r})"
     code = struct.unpack("<H", payload[1:3])[0]
     msg = payload[3:]
     if msg[:1] == b"#":  # sql-state marker

@@ -60,22 +60,33 @@ class PgSocket:
 
     def _read_exact(self, n: int) -> bytes:
         while len(self._buf) < n:
-            chunk = self.sock.recv(65536)
+            try:
+                chunk = self.sock.recv(65536)
+            except socket.timeout:
+                raise  # bounded-pull currency, handled by callers
+            except OSError as e:  # reset/refused -> the ValueError contract
+                raise ValueError(f"connection lost mid-message: {e}") from e
             if not chunk:
                 raise ValueError("connection closed mid-message")
             self._buf += chunk
         out, self._buf = self._buf[:n], self._buf[n:]
         return out
 
+    def _sendall(self, data: bytes) -> None:
+        try:
+            self.sock.sendall(data)
+        except OSError as e:  # reset/refused -> the ValueError contract
+            raise ValueError(f"connection lost mid-send: {e}") from e
+
     def send_startup(self, params: dict[str, str]) -> None:
         body = struct.pack(">I", PG_PROTO_V3)
         for k, v in params.items():
             body += _cstr(k) + _cstr(v)
         body += b"\x00"
-        self.sock.sendall(struct.pack(">I", len(body) + 4) + body)
+        self._sendall(struct.pack(">I", len(body) + 4) + body)
 
     def send_msg(self, mtype: bytes, payload: bytes = b"") -> None:
-        self.sock.sendall(mtype + struct.pack(">I", len(payload) + 4) + payload)
+        self._sendall(mtype + struct.pack(">I", len(payload) + 4) + payload)
 
     def read_msg(self) -> tuple[bytes, bytes]:
         mtype = self._read_exact(1)

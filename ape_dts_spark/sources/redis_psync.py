@@ -55,22 +55,27 @@ class RespSocket:
         self._buf = b""
 
     # -- low-level reads ----------------------------------------------------
+    def _recv(self, where: str) -> bytes:
+        try:
+            chunk = self.sock.recv(65536)
+        except socket.timeout:
+            raise  # bounded-pull currency, handled by callers
+        except OSError as e:  # reset/refused -> the ValueError contract
+            raise ValueError(f"connection lost {where}: {e}") from e
+        if not chunk:
+            raise ValueError(f"connection closed {where}")
+        return chunk
+
     def read_exact(self, n: int) -> bytes:
         while len(self._buf) < n:
-            chunk = self.sock.recv(65536)
-            if not chunk:
-                raise ValueError("connection closed mid-frame")
-            self._buf += chunk
+            self._buf += self._recv("mid-frame")
         out, self._buf = self._buf[:n], self._buf[n:]
         return out
 
     def read_line(self) -> bytes:
         """Bytes up to and including CRLF (returned without it)."""
         while b"\r\n" not in self._buf:
-            chunk = self.sock.recv(65536)
-            if not chunk:
-                raise ValueError("connection closed mid-line")
-            self._buf += chunk
+            self._buf += self._recv("mid-line")
         line, self._buf = self._buf.split(b"\r\n", 1)
         return line
 
@@ -80,10 +85,13 @@ class RespSocket:
         for a in args:
             b = a if isinstance(a, bytes) else str(a).encode()
             out += b"$" + str(len(b)).encode() + b"\r\n" + b + b"\r\n"
-        self.sock.sendall(bytes(out))
+        self.send_raw(bytes(out))
 
     def send_raw(self, data: bytes) -> None:
-        self.sock.sendall(data)
+        try:
+            self.sock.sendall(data)
+        except OSError as e:  # reset/refused -> the ValueError contract
+            raise ValueError(f"connection lost mid-send: {e}") from e
 
     # -- RESP value decode --------------------------------------------------
     def read_value(self) -> tuple[str, object, int]:

@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "fluid_roundtrip",
     "dead_letter",
     "subscription_feed",
+    "subscription_http_live",
     "cdc_apply_state",
     "py_transform",
     "mongo_compact",

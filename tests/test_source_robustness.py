@@ -248,3 +248,244 @@ def test_orc_manifest_robustness(tmp_path):
 
         oseq.merge_pushes(get_spark("t"), str(root), "db", "t", ["k"])
     shutil.rmtree(tmp_path, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# wire clients (r16): every truncation point (server closes mid-transcript)
+# and flipped byte of a valid server transcript must end the client flow in
+# success or ValueError/NotImplementedError — never struct.error/IndexError/
+# an unhandled OSError, and never a hang (the server always closes).
+# socket.timeout is allowed: it is the clients' documented bounded-pull
+# currency and cannot hang (per-flow timeouts are short).
+# ---------------------------------------------------------------------------
+
+import socket as _socket
+import struct as _struct
+import threading as _threading
+
+WIRE_ALLOWED = (ValueError, NotImplementedError, TimeoutError)
+
+
+def _serve_script(blob: bytes):
+    """One-shot script server: accept, drain client bytes in the background,
+    send ``blob``, close. Returns the bound port."""
+    srv = _socket.socket(_socket.AF_INET, _socket.SOCK_STREAM)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+
+    def _run():
+        try:
+            sock, _ = srv.accept()
+        except OSError:
+            return
+        sock.settimeout(10)
+
+        def _drain():
+            try:
+                while sock.recv(65536):
+                    pass
+            except OSError:
+                pass
+
+        _threading.Thread(target=_drain, daemon=True).start()
+        try:
+            sock.sendall(blob)
+        except OSError:
+            pass
+        finally:
+            try:
+                sock.shutdown(_socket.SHUT_WR)
+            except OSError:
+                pass
+            import time
+
+            time.sleep(0.5)  # let the client read the tail before close
+            sock.close()
+            srv.close()
+
+    _threading.Thread(target=_run, daemon=True).start()
+    return port
+
+
+def _wire_fuzz(transcript: bytes, flow, trunc_stride: int = 13,
+               flip_stride: int = 17):
+    for n in range(0, len(transcript), trunc_stride):
+        port = _serve_script(transcript[:n])
+        try:
+            flow(port)
+        except WIRE_ALLOWED:
+            pass
+    for i in range(0, len(transcript), flip_stride):
+        mutated = bytearray(transcript)
+        mutated[i] ^= 0xFF
+        port = _serve_script(bytes(mutated))
+        try:
+            flow(port)
+        except WIRE_ALLOWED:
+            pass
+    # the unmodified transcript must complete the flow cleanly
+    flow(_serve_script(transcript))
+
+
+def test_mysql_binlog_client_wire_fuzz():
+    from ape_dts_spark.sources import binlog_file as bf
+    from ape_dts_spark.sources.mysql_binlog_client import MysqlBinlogClient
+
+    users = bf.BinlogTable(
+        "db", "users",
+        (("id", bf.MYSQL_TYPE_LONGLONG, 0), ("name", bf.MYSQL_TYPE_VARCHAR, 255)),
+        101,
+    )
+    tables = {("db", "users"): users}
+    blob = bf.encode_binlog_file(
+        [[(("db", "users"), "insert", None, {"id": 1, "name": "a"})]],
+        tables, "f.000001",
+    )
+
+    def _pkt(seq, payload):
+        return _struct.pack("<I", len(payload))[:3] + bytes([seq]) + payload
+
+    scramble = bytes(range(1, 21))
+    greeting = (
+        b"\x0a" + b"8.0.36-script\x00" + _struct.pack("<I", 7)
+        + scramble[:8] + b"\x00" + _struct.pack("<H", 0xFFFF) + b"\x21"
+        + _struct.pack("<HH", 2, 0xFFFF) + bytes([21]) + b"\x00" * 10
+        + scramble[8:] + b"\x00" + b"mysql_native_password\x00"
+    )
+    ok = b"\x00\x00\x00\x02\x00\x00\x00"
+    events = []
+    i = 4
+    while i + 13 <= len(blob):
+        (size,) = _struct.unpack_from("<I", blob, i + 9)
+        events.append(blob[i : i + size])
+        i += size
+    transcript = _pkt(0, greeting) + _pkt(2, ok) + _pkt(1, ok) + _pkt(1, ok)
+    transcript += b"".join(_pkt(1 + j, b"\x00" + ev) for j, ev in enumerate(events))
+    transcript += _pkt(len(events) + 1, b"\xfe\x00\x00\x02\x00")
+
+    def flow(port):
+        c = MysqlBinlogClient("127.0.0.1", port, timeout=5)
+        try:
+            c.connect()
+            c.query_ok("SET @master_binlog_checksum = @@global.binlog_checksum")
+            c.register_slave()
+            c.binlog_dump("f.000001")
+            c.stream_changes(tables, "f.000001")
+        finally:
+            c.close()
+
+    _wire_fuzz(transcript, flow)
+
+
+def test_pg_replication_client_wire_fuzz():
+    from ape_dts_spark.sources import pgoutput_file as pg
+    from ape_dts_spark.sources.pg_replication import PgReplicationClient
+    from tests.fake_pg_walsender import segment_to_frames
+    from tests.test_pg_replication import TABLES, TXNS
+
+    segment, _ = pg.encode_segment(TXNS, TABLES)
+
+    def _msg(mtype, payload=b""):
+        return mtype + _struct.pack(">I", len(payload) + 4) + payload
+
+    transcript = (
+        _msg(b"R", _struct.pack(">I", 0))
+        + _msg(b"S", b"server_version\x0016.3\x00")
+        + _msg(b"Z", b"I")
+        + _msg(b"W", b"\x00\x00\x00")
+        + b"".join(_msg(b"d", f) for f in segment_to_frames(segment))
+        + _msg(b"c")
+    )
+
+    def flow(port):
+        c = PgReplicationClient("127.0.0.1", port, timeout=5)
+        try:
+            c.connect()
+            c.start_replication()
+            list(c.stream())
+        finally:
+            c.close()
+
+    _wire_fuzz(transcript, flow)
+
+
+def test_redis_psync_client_wire_fuzz():
+    from ape_dts_spark.sources import redis_rdb as rdb
+    from ape_dts_spark.sources.redis_psync import PsyncClient
+
+    keyspace = [
+        {"db_id": 0, "key": "s:1", "entry_type": "string", "member": None,
+         "value": "v1", "ord": 0, "expire_ms": None},
+        {"db_id": 0, "key": "h:1", "entry_type": "hash", "member": "f",
+         "value": "w", "ord": 0, "expire_ms": None},
+    ]
+    payload = rdb.encode_rdb(keyspace)
+    cmds = [["SET", "s:1", "v2"], ["DEL", "h:1"]]
+    transcript = (
+        b"+OK\r\n+FULLRESYNC " + b"f" * 40 + b" 0\r\n"
+        + b"$" + str(len(payload)).encode() + b"\r\n" + payload
+        + b"".join(
+            ("*%d\r\n" % len(c)).encode()
+            + b"".join(b"$%d\r\n%s\r\n" % (len(a), a.encode()) for a in c)
+            for c in cmds
+        )
+    )
+
+    def flow(port):
+        c = PsyncClient("127.0.0.1", port, timeout=5)
+        try:
+            c.start_psync()
+            rdb.parse_rdb_bytes(c.receive_rdb())
+            list(c.tail(max_commands=len(cmds)))
+        finally:
+            c.close()
+
+    _wire_fuzz(transcript, flow, trunc_stride=7, flip_stride=11)
+
+
+def test_mongo_client_wire_fuzz():
+    from ape_dts_spark.sources import bson_codec as bc
+    from ape_dts_spark.sources.mongo_client import MongoWireClient, encode_op_msg
+
+    hello = encode_op_msg(
+        {"isWritablePrimary": True, "setName": "rs0", "maxWireVersion": 17,
+         "minWireVersion": 0, "ok": 1.0}, 100, response_to=1)
+    find = encode_op_msg(
+        {"cursor": {"firstBatch": [{"_id": 1, "v": "a"}, {"_id": 2, "v": "b"}],
+                    "id": bc.Int64(7), "ns": "db.c"}, "ok": 1.0},
+        101, response_to=2)
+    more = encode_op_msg(
+        {"cursor": {"nextBatch": [{"_id": 3, "v": "c"}],
+                    "id": bc.Int64(0), "ns": "db.c"}, "ok": 1.0},
+        102, response_to=3)
+    transcript = hello + find + more
+
+    def flow(port):
+        c = MongoWireClient("127.0.0.1", port, timeout=5)
+        try:
+            c.connect()
+            list(c.find_docs("db", "c", sort={"_id": 1}, batch_size=2))
+        finally:
+            c.close()
+
+    _wire_fuzz(transcript, flow, trunc_stride=7, flip_stride=11)
+
+
+def test_stream_load_transport_fuzz():
+    from ape_dts_spark.sinks.stream_load import _put_stream_load
+
+    body = (b'{"TxnId": 42, "Label": "l1", "Status": "Success", '
+            b'"NumberLoadedRows": 3}')
+    transcript = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: application/json\r\n"
+        b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n" + body
+    )
+
+    def flow(port):
+        _put_stream_load(
+            f"127.0.0.1:{port}", "/api/db/tb/_stream_load",
+            {"label": "l1"}, b"1\n", "root", "", timeout=5,
+        )
+
+    _wire_fuzz(transcript, flow, trunc_stride=5, flip_stride=7)
