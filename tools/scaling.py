@@ -227,9 +227,75 @@ def media_audio_pairs(spark, factor: int):
     return mm.audio_dup_pairs(mm.audio_fingerprints(payloads), min_matches=10)
 
 
+MEDIA_N_VIDEOS = 1_000  # x1 == the sf0.1 gate workload (supplier count)
+
+
+def media_video_pairs(spark, factor: int):
+    """video_dup_pairs' pipeline (AVI decode + per-frame pHash + band join
+    + offset-consistent votes) over factor x 1k 12-frame DIB clips; planted
+    shifted-window duplicates at id % 7 == 0 across 5 x factor classes
+    (constant per-class size — the class space scales with the factor so
+    planted pair mass stays linear, the media replication rule)."""
+    from pyspark.sql import functions as F
+
+    from ape_dts_spark.functions import multimodal as mm
+
+    classes = 5 * factor
+
+    def _gen(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        from ape_dts_spark.functions import media_codec as mc
+
+        yy, xx = np.mgrid[0:64, 0:64]
+        basis = np.stack(
+            [
+                np.cos((2 * xx + 1) * u * np.pi / 128)
+                * np.cos((2 * yy + 1) * v * np.pi / 128)
+                for u in range(8)
+                for v in range(8)
+                if (u, v) != (0, 0)
+            ]
+        )
+
+        def frame(lbl):
+            d = hashlib.sha256(f"scale-video:{lbl}".encode()).digest()
+            signs = np.array(
+                [1 if (d[i // 8] >> (i % 8)) & 1 else -1 for i in range(63)]
+            )
+            g = np.clip(
+                np.rint(128.0 + np.tensordot(signs * 8.0, basis, axes=1)), 0, 255
+            ).astype(np.uint8)
+            return np.stack([g] * 3, axis=-1)
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for k in pdf["id"]:
+                k = int(k)
+                if k % 7 == 0:
+                    c, s_ = (k // 7) % classes, k % 3
+                    frames = [frame(f"g{c}:{i}") for i in range(s_, s_ + 12)]
+                else:
+                    frames = [frame(f"k{k}:{i}") for i in range(12)]
+                ids.append(k)
+                payloads.append(mc.encode_avi(frames))
+            yield pd.DataFrame({"id": ids, "payload": payloads})
+
+    n = MEDIA_N_VIDEOS * factor
+    ids = spark.range(n).repartition(64).select(F.col("id"))
+    payloads = ids.mapInPandas(_gen, "id long, payload binary")
+    return mm.video_dup_pairs(
+        mm.video_fingerprints(payloads), max_hamming=3, min_matches=10
+    )
+
+
 MEDIA_QUERIES = {
     "image_dup_pairs (scaled corpus)": media_image_pairs,
     "audio_dup_pairs (scaled corpus)": media_audio_pairs,
+    "video_dup_pairs (scaled corpus)": media_video_pairs,
 }
 
 
@@ -477,14 +543,16 @@ def main() -> int:
         "  (256 registers / depth x width counters) — cost is the scan plus",
         "  one map-side-combined agg, alpha ~ scan growth; the sketch that",
         "  crosses stage boundaries never grows with the corpus.",
-        "- `image_dup_pairs`/`audio_dup_pairs` (scaled corpus): the two",
-        "  media near-dup pipelines over factor-scaled synthetic corpora",
-        "  (30k images / 30k clips at x1 == the sf0.1 gate workloads) with",
-        "  class spaces scaling with the factor, so duplicate density stays",
-        "  constant (the media analogue of the rewritten-token replicas).",
-        "  Cost is decode-dominated (one Arrow pass) + a banded equi-join —",
-        "  both linear; the band-collision tail is bounded by the class",
-        "  structure, never all-pairs.",
+        "- `image_dup_pairs`/`audio_dup_pairs`/`video_dup_pairs` (scaled",
+        "  corpus): the three media near-dup pipelines over factor-scaled",
+        "  synthetic corpora (30k images / 30k clips / 1k 12-frame videos",
+        "  at x1 == the sf0.1 gate workloads) with class spaces scaling",
+        "  with the factor, so duplicate density stays constant (the media",
+        "  analogue of the rewritten-token replicas). Cost is",
+        "  decode-dominated (one Arrow pass) + a banded equi-join — both",
+        "  linear; the band-collision tail is bounded by the class",
+        "  structure, never all-pairs. The video row adds the per-frame",
+        "  explosion (12x rows into the band join) and the offset-vote agg.",
         "",
     ]
     lines += appendix_sections()
