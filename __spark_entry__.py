@@ -447,6 +447,49 @@ def q_subscription_http_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_precheck_connection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE CheckDatabaseConnection prechecks (r16 —
+    precheck.run_connection_prechecks over the repo's four wire clients;
+    dt-precheck/src/fetcher/*/ build_connection + prechecker/traits.rs
+    sequence): each check opens a REAL protocol session against a loopback
+    endpoint — MySQL v10 handshake + COM_QUERY ping, PG walsender startup +
+    IDENTIFY_SYSTEM, Redis RESP PING, Mongo OP_MSG hello — and the same
+    four kinds against a dead port must land as ok=false rows (failures are
+    results, never raises). The oracle restates every (kind, ok, detail)
+    from the fixture servers' constants."""
+    import socket as _socket
+
+    from ape_dts_spark.precheck import run_connection_prechecks
+
+    log_dir, _tables = _ensure_binlog_fixture(spark, sf_dir)
+    my_host, my_port, _f = _serve_mysql_binlogs(log_dir)[0]
+    pg_host, pg_port = _serve_pg_walsender([])
+    rdb_paths, _base = _ensure_rdb_fixture(spark, sf_dir)
+    (rd_host, rd_port), = _serve_rdb_dumps(rdb_paths[:1])
+    mg_host, mg_port = _serve_mongod({})
+    s = _socket.socket()
+    s.bind(("127.0.0.1", 0))
+    dead = s.getsockname()[1]
+    s.close()
+    results = run_connection_prechecks([
+        ("mysql", my_host, my_port),
+        ("pg", pg_host, pg_port),
+        ("redis", rd_host, rd_port),
+        ("mongo", mg_host, mg_port),
+        ("mysql", "127.0.0.1", dead),
+        ("pg", "127.0.0.1", dead),
+        ("redis", "127.0.0.1", dead),
+        ("mongo", "127.0.0.1", dead),
+    ])
+    rows = [
+        (i, r.check, r.object.split(":")[0], r.ok, r.detail if r.ok else "")
+        for i, r in enumerate(results)
+    ]
+    return spark.createDataFrame(
+        rows, "slot int, check string, kind string, ok boolean, detail string"
+    )
+
+
 def q_checker_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data check: full-outer-join miss/diff/extra classification (SURVEY §2.7)."""
     src = demo.load(spark, sf_dir, "orders")
@@ -3864,6 +3907,21 @@ def _serve_pg_walsender(frames: list) -> tuple[str, int]:
                     for frame in frames:
                         conn.send_msg(b"d", frame)
                     conn.send_msg(b"c")  # CopyDone: stream drained
+                elif mtype == b"Q" and payload.upper().startswith(b"IDENTIFY_SYSTEM"):
+                    # the walsender liveness probe (precheck_connection):
+                    # one-row systemid/timeline/xlogpos/dbname result
+                    cols = [b"systemid", b"timeline", b"xlogpos", b"dbname"]
+                    t = _struct.pack(">H", len(cols))
+                    for c in cols:
+                        t += c + b"\x00" + _struct.pack(">IHIhih", 0, 0, 25, -1, -1, 0)
+                    conn.send_msg(b"T", t)
+                    vals = [b"7284066108532061456", b"1", b"0/1000000", b""]
+                    d = _struct.pack(">H", len(vals))
+                    for v in vals:
+                        d += _struct.pack(">i", len(v)) + v
+                    conn.send_msg(b"D", d)
+                    conn.send_msg(b"C", b"IDENTIFY_SYSTEM\x00")
+                    conn.send_msg(b"Z", b"I")
                 elif mtype == b"X":
                     return
                 # 'd' standby status updates: consumed
@@ -6849,63 +6907,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # impossible.
     return {
         # -- r15 window (machine-generated by tools/rotation.py; policy:
-        # -- 7 never-gated rows lead, then 1 force-rotated (fixture/oracle
+        # -- 5 never-gated rows lead, then 4 force-rotated (fixture/oracle
         # -- changed this round), then stalest-first by last-green round;
-        # -- window tail sits at r11). Run the FULL tools/check.py
+        # -- window tail sits at r12). Run the FULL tools/check.py
         # -- before freezing; rotated-out rows keep local-gate + pytest
         # -- coverage. -------------------------------------------------
-        "mysql_binlog_live": q_mysql_binlog_live,
         "binlog_gtid_live": q_binlog_gtid_live,
-        "pg_replication_live": q_pg_replication_live,
-        "phash_incremental": q_phash_incremental,
-        "psync_snapshot": q_psync_snapshot,
+        "precheck_connection": q_precheck_connection,
+        "mongo_oplog_live": q_mongo_oplog_live,
+        "mongo_snapshot_live": q_mongo_snapshot_live,
         "psync_tail": q_psync_tail,
-        "redis_restore_statements": q_redis_restore_statements,
-        "video_dup_pairs": q_video_dup_pairs,
-        "video_incremental": q_video_incremental,
-        "redis_rdb": q_redis_rdb,
-        "sliding_counts": q_sliding_counts,
-        "source_caps": q_source_caps,
-        "span_dedup": q_span_dedup,
-        "stateful_dedup": q_stateful_dedup,
-        "stream_e2e": q_stream_e2e,
-        "stream_join": q_stream_join,
-        "struct_check_report": q_struct_check_report,
-        "struct_objects": q_struct_objects,
-        "temperature_mix": q_temperature_mix,
-        "tfidf_topterms": q_tfidf_topterms,
-        "top_supplier": q_top_supplier,
-        "topic_route": q_topic_route,
-        "unigram_doc_tokens": q_unigram_doc_tokens,
-        "unigram_encode": q_unigram_encode,
-        "unigram_learn": q_unigram_learn,
-        "wordpiece_encode": q_wordpiece_encode,
-        "wordpiece_learn": q_wordpiece_learn,
-        "avro_roundtrip": q_avro_roundtrip,
-        "binlog_file_parse": q_binlog_file_parse,
-        "checker_summary": q_checker_summary,
-        "customer_set_ops": q_customer_set_ops,
-        "data_marker_filter": q_data_marker_filter,
-        "ddl_split": q_ddl_split,
-        "dedup_cluster": q_dedup_cluster,
-        "doc_fingerprint": q_doc_fingerprint,
-        "event_filter": q_event_filter,
-        "jaccard_pairs": q_jaccard_pairs,
-        "kafka_segment_parse": q_kafka_segment_parse,
-        "lapsed_customers": q_lapsed_customers,
-        "merge_spill": q_merge_spill,
-        "minhash_incremental": q_minhash_incremental,
-        "mongo_compact": q_mongo_compact,
-        "mongo_statements": q_mongo_statements,
-        "ngram_jaccard": q_ngram_jaccard,
-        "order_count_histogram": q_order_count_histogram,
-        "parts_never_shipped": q_parts_never_shipped,
-        "priority_grouping_sets": q_priority_grouping_sets,
-        "priority_with_returns": q_priority_with_returns,
-        "py_transform": q_py_transform,
-        "redis_big_keys": q_redis_big_keys,
-        "redis_compact": q_redis_compact,
-        "redis_slot_stats": q_redis_slot_stats,
+        "subscription_http_live": q_subscription_http_live,
+        "mysql_binlog_live": q_mysql_binlog_live,
+        "oplog_file_parse": q_oplog_file_parse,
+        "pg_replication_live": q_pg_replication_live,
+        "psync_snapshot": q_psync_snapshot,
         "redis_statements": q_redis_statements,
         "revenue_by_nation": q_revenue_by_nation,
         "reverse_events": q_reverse_events,
@@ -6962,9 +6978,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": q_multimodal_decode,
         "multimodal_frames": q_multimodal_frames,
         "multimodal_meta": q_multimodal_meta,
-        "oplog_file_parse": q_oplog_file_parse,
-        "mongo_oplog_live": q_mongo_oplog_live,
-        "mongo_snapshot_live": q_mongo_snapshot_live,
         "order_gaps": q_order_gaps,
         "pgoutput_file_parse": q_pgoutput_file_parse,
         "pii_redact": q_pii_redact,
@@ -6979,7 +6992,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_load_payload": q_stream_load_payload,
         "struct_ddl": q_struct_ddl,
         "subscription_feed": q_subscription_feed,
-        "subscription_http_live": q_subscription_http_live,
         "token_mix": q_token_mix,
         "vocab_topk": q_vocab_topk,
         "windowed_counts": q_windowed_counts,
@@ -7082,6 +7094,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wav_decode": q_wav_decode,
         "web_pipeline": q_web_pipeline,
         "zero_dates": q_zero_dates,
+        "avro_roundtrip": q_avro_roundtrip,
+        "binlog_file_parse": q_binlog_file_parse,
+        "checker_summary": q_checker_summary,
+        "customer_set_ops": q_customer_set_ops,
+        "data_marker_filter": q_data_marker_filter,
+        "ddl_split": q_ddl_split,
+        "dedup_cluster": q_dedup_cluster,
+        "doc_fingerprint": q_doc_fingerprint,
+        "event_filter": q_event_filter,
+        "jaccard_pairs": q_jaccard_pairs,
+        "kafka_segment_parse": q_kafka_segment_parse,
+        "lapsed_customers": q_lapsed_customers,
+        "merge_spill": q_merge_spill,
+        "minhash_incremental": q_minhash_incremental,
+        "mongo_compact": q_mongo_compact,
+        "mongo_statements": q_mongo_statements,
+        "ngram_jaccard": q_ngram_jaccard,
+        "order_count_histogram": q_order_count_histogram,
+        "parts_never_shipped": q_parts_never_shipped,
+        "phash_incremental": q_phash_incremental,
+        "priority_grouping_sets": q_priority_grouping_sets,
+        "priority_with_returns": q_priority_with_returns,
+        "py_transform": q_py_transform,
+        "redis_big_keys": q_redis_big_keys,
+        "redis_compact": q_redis_compact,
+        "redis_rdb": q_redis_rdb,
+        "redis_restore_statements": q_redis_restore_statements,
+        "redis_slot_stats": q_redis_slot_stats,
+        "sliding_counts": q_sliding_counts,
+        "source_caps": q_source_caps,
+        "span_dedup": q_span_dedup,
+        "stateful_dedup": q_stateful_dedup,
+        "stream_e2e": q_stream_e2e,
+        "stream_join": q_stream_join,
+        "struct_check_report": q_struct_check_report,
+        "struct_objects": q_struct_objects,
+        "temperature_mix": q_temperature_mix,
+        "tfidf_topterms": q_tfidf_topterms,
+        "top_supplier": q_top_supplier,
+        "topic_route": q_topic_route,
+        "unigram_doc_tokens": q_unigram_doc_tokens,
+        "unigram_encode": q_unigram_encode,
+        "unigram_learn": q_unigram_learn,
+        "video_dup_pairs": q_video_dup_pairs,
+        "video_incremental": q_video_incremental,
+        "wordpiece_encode": q_wordpiece_encode,
+        "wordpiece_learn": q_wordpiece_learn,
     }
 
 
@@ -8186,6 +8245,21 @@ def oracle_sql() -> dict[str, str]:
         # literals mirror mysql_prechecker.rs:101-122, pg_prechecker.rs:
         # 110-151, mongo_prechecker.rs:92-101 (concat_ws drops NULL branches
         # on both engines, so pass rows hash as '')
+        # precheck_connection: the loopback servers' constants restated —
+        # live handshakes succeed with these details, dead ports fail
+        "precheck_connection": """
+            SELECT * FROM (VALUES
+              (0, 'database_connection', 'mysql',   TRUE,  '8.0.36-fixture'),
+              (1, 'database_connection', 'pg',      TRUE,
+               'server_version=16.3 systemid=7284066108532061456'),
+              (2, 'database_connection', 'redis',   TRUE,  'PONG'),
+              (3, 'database_connection', 'mongodb', TRUE,  'setName=rs0 wire=0-17'),
+              (4, 'database_connection', 'mysql',   FALSE, ''),
+              (5, 'database_connection', 'pg',      FALSE, ''),
+              (6, 'database_connection', 'redis',   FALSE, ''),
+              (7, 'database_connection', 'mongodb', FALSE, '')
+            ) AS t(slot, "check", kind, ok, detail)
+        """,
         "precheck_cdc": """
             WITH k AS (SELECT n_nationkey AS k FROM nation)
             SELECT k AS server_key, 'mysql' AS db_type,

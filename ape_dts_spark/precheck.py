@@ -584,3 +584,133 @@ def run_cdc_prechecks(
     if db_type == "mongo":
         return [check_mongo_version(str(version)), check_mongo_cdc(hello or {}, is_source)]
     raise ValueError(f"unknown db_type {db_type!r}")
+
+
+# ---------------------------------------------------------------------------
+# live connection prechecks (r16) — CheckItem::CheckDatabaseConnection over
+# the repo's own wire clients (dt-precheck/src/fetcher/*/ build_connection):
+# each check opens a REAL protocol session against the endpoint, completes
+# the handshake (incl. auth when configured), probes the lightest liveness
+# surface the protocol offers, and closes. Failures (refused, reset, auth
+# rejected, protocol damage) land in CheckResult.detail — never raise.
+# ---------------------------------------------------------------------------
+
+
+def check_mysql_connection(
+    host: str, port: int, user: str = "repl", password: str = "",
+    timeout: float = 5.0,
+) -> CheckResult:
+    """v10 handshake + native-password auth + a COM_QUERY ping
+    (mysql_fetcher.rs build_connection parity). Detail carries the
+    server-reported version on success."""
+    from ape_dts_spark.sources.mysql_binlog_client import MysqlBinlogClient
+
+    client = MysqlBinlogClient(host, port, user=user, password=password,
+                              timeout=timeout)
+    try:
+        client.connect()
+        client.query_ok("SET @master_binlog_checksum = @@global.binlog_checksum")
+        return CheckResult("database_connection", f"mysql://{host}:{port}", True,
+                           client.server_version)
+    except (ValueError, OSError) as e:
+        return CheckResult("database_connection", f"mysql://{host}:{port}", False,
+                           str(e)[:200])
+    finally:
+        client.close()
+
+
+def check_pg_connection(
+    host: str, port: int, user: str = "repl", database: str = "postgres",
+    password: str | None = None, timeout: float = 5.0,
+) -> CheckResult:
+    """v3 walsender startup (replication=database) + IDENTIFY_SYSTEM
+    (pg_fetcher.rs build_connection parity). Detail carries
+    server_version/system id on success."""
+    from ape_dts_spark.sources.pg_replication import PgReplicationClient
+
+    client = PgReplicationClient(host, port, user=user, database=database,
+                                password=password, timeout=timeout)
+    try:
+        client.connect()
+        ident = client.identify_system()
+        ver = client.parameters.get("server_version", "")
+        return CheckResult(
+            "database_connection", f"pg://{host}:{port}/{database}", True,
+            f"server_version={ver} systemid={ident.get('systemid', '')}")
+    except (ValueError, OSError) as e:
+        return CheckResult("database_connection", f"pg://{host}:{port}/{database}",
+                           False, str(e)[:200])
+    finally:
+        client.close()
+
+
+def check_redis_connection(
+    host: str, port: int, password: str | None = None, timeout: float = 5.0,
+) -> CheckResult:
+    """RESP session + AUTH (when configured) + PING -> +PONG
+    (redis_fetcher.rs build_connection parity)."""
+    from ape_dts_spark.sources.redis_psync import PsyncClient
+
+    client = PsyncClient(host, port, password=password, timeout=timeout)
+    try:
+        client.connect()
+        assert client.conn is not None
+        client.conn.send_cmd("PING")
+        kind, v, _ = client.conn.read_value()
+        if kind == "status" and v in ("PONG", "OK"):
+            return CheckResult("database_connection", f"redis://{host}:{port}", True, str(v))
+        return CheckResult("database_connection", f"redis://{host}:{port}", False,
+                           f"unexpected PING reply: {kind} {v!r}")
+    except (ValueError, OSError) as e:
+        return CheckResult("database_connection", f"redis://{host}:{port}", False,
+                           str(e)[:200])
+    finally:
+        client.close()
+
+
+def check_mongo_connection(
+    host: str, port: int, username: str | None = None,
+    password: str | None = None, timeout: float = 5.0,
+) -> CheckResult:
+    """OP_MSG hello handshake + SCRAM-SHA-256 when credentials are given
+    (mongo_fetcher.rs build_connection parity). Detail carries the
+    replica-set name and wire-version range."""
+    from ape_dts_spark.sources.mongo_client import MongoWireClient
+
+    client = MongoWireClient(host, port, username=username, password=password,
+                            timeout=timeout)
+    try:
+        client.connect()
+        h = client.hello
+        return CheckResult(
+            "database_connection", f"mongodb://{host}:{port}", True,
+            f"setName={h.get('setName', '')} wire="
+            f"{h.get('minWireVersion', 0)}-{h.get('maxWireVersion', 0)}")
+    except (ValueError, OSError) as e:
+        return CheckResult("database_connection", f"mongodb://{host}:{port}",
+                           False, str(e)[:200])
+    finally:
+        client.close()
+
+
+def run_connection_prechecks(endpoints: list) -> list:
+    """One CheckDatabaseConnection per endpoint: ``(kind, host, port)`` or
+    ``(kind, host, port, opts_dict)`` with kind in mysql/pg/redis/mongo —
+    the connectivity phase the reference runs before any other precheck
+    (prechecker/traits.rs sequence)."""
+    dispatch = {
+        "mysql": check_mysql_connection,
+        "pg": check_pg_connection,
+        "redis": check_redis_connection,
+        "mongo": check_mongo_connection,
+    }
+    out = []
+    for ep in endpoints:
+        kind, host, port = ep[0], ep[1], ep[2]
+        opts = ep[3] if len(ep) > 3 else {}
+        if kind not in dispatch:
+            out.append(CheckResult("database_connection", f"{kind}://{host}:{port}",
+                                   False, f"unknown endpoint kind {kind!r}"))
+            continue
+        out.append(dispatch[kind](host, port, **opts))
+    return out

@@ -268,6 +268,7 @@ CONFIG_GATE_ALLOWLIST = {
     "merge_spill",
     "mongo_statements",
     "precheck_cdc",
+    "precheck_connection",
     "redis_big_keys",
     "redis_compact",
     "redis_slot_stats",
