@@ -4337,16 +4337,17 @@ def q_oplog_file_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _serve_mongod(collections: dict) -> tuple[str, int]:
+def _serve_mongod(collections: dict, change_events: list | None = None) -> tuple[str, int]:
     """Fixture harness for the mongo live gates: one loopback fake mongod
     speaking real OP_MSG bytes — hello, find with the client's filter
     shapes ({}, {ts: {$gte}}, {$expr: {$gt: ["$_id", key]}}) over stored
-    documents with BSON type-order _id sorting, getMore pages, count,
-    killCursors. ``collections``: {(db, coll): [doc, ...]} (insertion order
-    = natural order, the oplog contract). Daemon accept loop retires after
-    an idle timeout so repeated gate evaluations get fresh sessions. The
-    production client under test lives in sources/mongo_client.py; this is
-    the server side only."""
+    documents with BSON type-order _id sorting, $changeStream aggregations
+    over ``change_events`` (startAtOperationTime / startAfter honored),
+    getMore pages, count, killCursors. ``collections``: {(db, coll):
+    [doc, ...]} (insertion order = natural order, the oplog contract).
+    Daemon accept loop retires after an idle timeout so repeated gate
+    evaluations get fresh sessions. The production client under test lives
+    in sources/mongo_client.py; this is the server side only."""
     import secrets as _secrets
     import socket as _socket
     import threading
@@ -4404,6 +4405,36 @@ def _serve_mongod(collections: dict) -> tuple[str, int]:
                 elif name == "count":
                     docs = collections.get((cmd["$db"], cmd["count"]), [])
                     reply(rid, {"n": len(docs), "ok": 1.0})
+                elif name == "aggregate":
+                    stage = (cmd.get("pipeline") or [{}])[0].get("$changeStream")
+                    if stage is None:
+                        reply(rid, {"ok": 0.0, "code": 40324,
+                                    "errmsg": "only $changeStream supported"})
+                        continue
+                    events = list(change_events or [])
+                    if "startAfter" in stage:
+                        tok = stage["startAfter"]
+                        idx = next((i for i, e in enumerate(events)
+                                    if e.get("_id") == tok), None)
+                        if idx is None:
+                            reply(rid, {"ok": 0.0, "code": 286,
+                                        "errmsg": "resume token not found"})
+                            continue
+                        events = events[idx + 1:]
+                    elif "startAtOperationTime" in stage:
+                        want = stage["startAtOperationTime"].sort_key()
+                        events = [e for e in events
+                                  if e["clusterTime"].sort_key() >= want]
+                    batch = int((cmd.get("cursor") or {}).get("batchSize", 101))
+                    first, rest = events[:batch], events[batch:]
+                    cid = 0
+                    if rest:
+                        cid = next_id[0]
+                        next_id[0] += 1
+                        cursors[cid] = ("$cmd.aggregate", rest)
+                    reply(rid, {"cursor": {
+                        "firstBatch": first, "id": bcodec.Int64(cid),
+                        "ns": f"{cmd['$db']}.$cmd.aggregate"}, "ok": 1.0})
                 elif name == "find":
                     docs = [d for d in collections.get((cmd["$db"], cmd["find"]), [])
                             if _matches(d, cmd.get("filter"))]
@@ -4495,6 +4526,64 @@ def q_mongo_oplog_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         entries.extend(bcodec.iter_documents(blob))
     host, port = _serve_mongod({("local", "oplog.rs"): entries})
     changes = read_live_oplog_changes(spark, [(host, port)], timeout=30)
+    return _oplog_state_projection(ofl.fold_oplog_state(changes))
+
+
+def q_mongo_changestream_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE MongoDB CHANGE-STREAM tail over real sockets (r16 — the
+    reference's SECOND CDC mode, MongoCdcSource::ChangeStream:
+    mongo_cdc_extractor.rs extract_change_stream + the updateDescription
+    normalization): the SAME change history the oplog gates replay is
+    re-expressed as change-stream EVENTS (insert -> fullDocument, $v:2
+    diffs -> updateDescription updatedFields/removedFields, applyOps
+    deleteMany -> per-id delete events) and served by the loopback fake
+    mongod's deployment-level ``$changeStream`` aggregation; one client per
+    Arrow task runs the aggregate + getMore cursor, normalizes events
+    through the updateDescription -> {$set,$unset} path, and the folded
+    final state is graded against the IDENTICAL oracle the at-rest oplog
+    scan and the live oplog tail are graded on — so a lost event, a
+    mis-normalized diff, or broken (clusterTime, seq) order diverges."""
+    from ape_dts_spark.sources import bson_codec as bcodec
+    from ape_dts_spark.sources import oplog_file as ofl
+    from ape_dts_spark.sources.mongo_client import read_change_stream_changes
+
+    dump_dir = _ensure_oplog_fixture(spark, sf_dir)
+    events: list[dict] = []
+    tok = [0]
+
+    def _ev(op, ns, ts, **kw):
+        db, _, coll = ns.partition(".")
+        ev = {"_id": {"_data": f"cs{tok[0]:06d}"}, "operationType": op,
+              "clusterTime": ts, "ns": {"db": db, "coll": coll}}
+        tok[0] += 1
+        ev.update(kw)
+        events.append(ev)
+
+    for fname in sorted(os.listdir(dump_dir)):
+        blob = open(os.path.join(dump_dir, fname), "rb").read()
+        for e in bcodec.iter_documents(blob):
+            op, ts, o = e.get("op"), e.get("ts"), e.get("o") or {}
+            if op == "i":
+                _ev("insert", e["ns"], ts, fullDocument=o,
+                    documentKey={"_id": o.get("_id")})
+            elif op == "u":
+                upd = ofl.build_update_doc(o)
+                _ev("update", e["ns"], ts,
+                    documentKey={"_id": (e.get("o2") or {}).get("_id")},
+                    updateDescription={
+                        "updatedFields": upd.get("$set", {}),
+                        "removedFields": sorted(upd.get("$unset", {})),
+                    })
+            elif op == "d":
+                _ev("delete", e["ns"], ts, documentKey={"_id": o.get("_id")})
+            elif op == "c":
+                for item in o.get("applyOps", []):
+                    if item.get("op") == "d":
+                        _ev("delete", item["ns"], ts,
+                            documentKey={"_id": (item.get("o") or {}).get("_id")})
+            # 'n' noops: real change streams never surface them
+    host, port = _serve_mongod({}, change_events=events)
+    changes = read_change_stream_changes(spark, [(host, port)], timeout=30)
     return _oplog_state_projection(ofl.fold_oplog_state(changes))
 
 
@@ -6914,6 +7003,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- coverage. -------------------------------------------------
         "binlog_gtid_live": q_binlog_gtid_live,
         "precheck_connection": q_precheck_connection,
+        "mongo_changestream_live": q_mongo_changestream_live,
         "mongo_oplog_live": q_mongo_oplog_live,
         "mongo_snapshot_live": q_mongo_snapshot_live,
         "psync_tail": q_psync_tail,
@@ -9137,6 +9227,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE p_partkey % 17 = 3 AND p_partkey % 5 <> 0
         """),
         "mongo_oplog_live": _oplog_file_parse_oracle,
+        "mongo_changestream_live": _oplog_file_parse_oracle,
         # mongo_snapshot_live: 4 hash-sharded collections, int ids (%17==3)
         # sorting before string ids (%17==8, zero-padded "k%07d"); the 20%
         # sample session covers the first ceil(n/5) docs per collection in

@@ -349,18 +349,30 @@ class MongoWireClient:
         if await_data:
             cmd["awaitData"] = True
         reply = self.run_command(db, cmd)
+        yield from self._iter_cursor(db, reply, batch_size, max_docs)
+
+    def _iter_cursor(
+        self, db: str, reply: dict, batch_size: int, max_docs: int | None
+    ) -> Iterator[dict]:
+        """Shared cursor walk for find and aggregate replies: drains
+        firstBatch/nextBatch pages via getMore (collection name taken from
+        the cursor's own ns, so collectionless $cmd.aggregate cursors work),
+        kills a live cursor on an early max_docs stop, and ends a bounded
+        awaitData tail on socket timeout."""
         yielded = 0
         while True:
             cursor = reply.get("cursor")
             if not isinstance(cursor, dict):
                 raise ValueError("find/getMore reply without a cursor document")
+            ns = cursor.get("ns", "")
+            getmore_coll = ns.split(".", 1)[1] if "." in ns else ns
             for doc in cursor.get("firstBatch", cursor.get("nextBatch", [])):
                 yield doc
                 yielded += 1
                 if max_docs is not None and yielded >= max_docs:
                     if cursor.get("id"):
                         self.run_command(db, {
-                            "killCursors": coll,
+                            "killCursors": getmore_coll,
                             "cursors": [bc.Int64(int(cursor["id"]))],
                         })
                     return
@@ -369,7 +381,7 @@ class MongoWireClient:
                 return
             try:
                 reply = self.run_command(db, {
-                    "getMore": bc.Int64(cid), "collection": coll,
+                    "getMore": bc.Int64(cid), "collection": getmore_coll,
                     "batchSize": batch_size,
                 })
             except socket.timeout:
@@ -401,6 +413,65 @@ class MongoWireClient:
             batch_size=batch_size,
         )
 
+    def aggregate_docs(
+        self,
+        db: str,
+        coll,
+        pipeline: list,
+        batch_size: int = 101,
+        max_docs: int | None = None,
+    ) -> Iterator[dict]:
+        """``aggregate`` + ``getMore`` cursor walk; ``coll`` may be 1 for a
+        collectionless (deployment-level) aggregation like $changeStream."""
+        reply = self.run_command(db, {
+            "aggregate": coll, "pipeline": pipeline,
+            "cursor": {"batchSize": batch_size},
+        })
+        return self._iter_cursor(db, reply, batch_size, max_docs)
+
+    def change_stream_events(
+        self,
+        start_time: int = 0,
+        start_inc: int = 0,
+        resume_after: dict | None = None,
+        max_events: int | None = None,
+        batch_size: int = 101,
+        show_expanded_events: bool = True,
+        file_name: str = "",
+    ) -> tuple[list[dict], str | None]:
+        """MongoCdcSource::ChangeStream — the reference's watch() options
+        rendered as the deployment-level ``$changeStream`` aggregation
+        (extract_change_stream: fullDocument=updateLookup,
+        fullDocumentBeforeChange=whenAvailable, showExpandedEvents on 6.0+,
+        startAfter resume token XOR startAtOperationTime). Received events
+        normalize through normalize_change_stream_event into the oplog
+        CHANGE_SCHEMA rows; returns (rows, last_resume_token_json) — the
+        token is the MongoCdcPosition currency the next tail resumes from."""
+        stage: dict = {
+            "allChangesForCluster": True,
+            "fullDocument": "updateLookup",
+            "fullDocumentBeforeChange": "whenAvailable",
+        }
+        if show_expanded_events and self.hello.get("maxWireVersion", 0) >= 17:
+            stage["showExpandedEvents"] = True
+        if resume_after is not None:
+            stage["startAfter"] = resume_after
+        elif start_time or start_inc:
+            stage["startAtOperationTime"] = bc.Timestamp(start_time, start_inc)
+        rows: list[dict] = []
+        last_token = None
+        tag = file_name or f"{self.host}:{self.port}/changestream"
+        for event in self.aggregate_docs(
+            "admin", 1, [{"$changeStream": stage}],
+            batch_size=batch_size, max_docs=max_events,
+        ):
+            if isinstance(event.get("_id"), dict):
+                last_token = json.dumps(bc.to_jsonable(event["_id"]), sort_keys=True)
+            row = normalize_change_stream_event(event, tag, len(rows))
+            if row is not None:
+                rows.append(row)
+        return rows, last_token
+
     # -- CDC (mongo_cdc_extractor.rs:341-446) -------------------------------
     def oplog_changes(
         self,
@@ -430,6 +501,162 @@ class MongoWireClient:
             bytes(data), file_name=file_name or f"{self.host}:{self.port}/oplog.rs",
             start_time=start_time, start_inc=start_inc,
         )
+
+
+# ---------------------------------------------------------------------------
+# change streams (MongoCdcSource::ChangeStream — the reference's second CDC
+# mode, mongo_cdc_extractor.rs:384-260 extract_change_stream + the
+# updateDescription normalization at :137-258)
+# ---------------------------------------------------------------------------
+
+
+def _get_path(doc, field: str):
+    """Dotted-path lookup through nested docs/arrays (the reference's
+    get_path_value used for truncatedArrays repair)."""
+    cur = doc
+    for part in field.split("."):
+        if isinstance(cur, dict):
+            if part not in cur:
+                return None
+            cur = cur[part]
+        elif isinstance(cur, list):
+            try:
+                cur = cur[int(part)]
+            except (ValueError, IndexError):
+                return None
+        else:
+            return None
+    return cur
+
+
+def change_stream_requires_full_document(update_description: dict) -> bool:
+    """disambiguatedPaths may refer to literal dotted field names, so the
+    normal $set/$unset dotted-path form could update the wrong shape — the
+    reference falls back to the full after-image
+    (change_stream_update_requires_full_document, rs:234-258)."""
+    paths = update_description.get("disambiguatedPaths")
+    if not isinstance(paths, dict):
+        return False
+
+    def _needs(components) -> bool:
+        if not isinstance(components, list) or not components:
+            return True
+        for c in components:
+            if isinstance(c, bool):
+                return True
+            if isinstance(c, str):
+                if "." in c:
+                    return True
+            elif not isinstance(c, int):
+                return True
+        return False
+
+    return any(_needs(v) for v in paths.values())
+
+
+def build_change_stream_update_doc(
+    update_description: dict, full_document: dict | None = None
+) -> dict:
+    """updateDescription -> the oplog-normalized {$set, $unset} doc
+    (build_change_stream_update_doc parity, rs:181-232): updatedFields ->
+    $set, removedFields -> $unset, truncatedArrays repaired by copying the
+    truncated array's CURRENT value out of the full document."""
+    set_doc: dict = {}
+    unset_doc: dict = {}
+    uf = update_description.get("updatedFields")
+    if isinstance(uf, dict):
+        set_doc.update(uf)
+    rf = update_description.get("removedFields")
+    if isinstance(rf, list):
+        for field in rf:
+            if isinstance(field, str):
+                unset_doc[field] = 1
+    ta = update_description.get("truncatedArrays")
+    if isinstance(ta, list):
+        for t in ta:
+            if not isinstance(t, dict) or not isinstance(t.get("field"), str):
+                continue
+            if full_document is not None:
+                v = _get_path(full_document, t["field"])
+                if v is not None:
+                    set_doc[t["field"]] = v
+    out: dict = {}
+    if set_doc:
+        out["$set"] = set_doc
+    if unset_doc:
+        out["$unset"] = unset_doc
+    return out
+
+
+def normalize_change_stream_event(
+    event: dict, file_name: str = "", seq: int = 0
+) -> dict | None:
+    """One change-stream event -> the oplog CHANGE_SCHEMA row shape (so
+    fold_oplog_state and the downstream compaction work on either CDC
+    mode), or None for skipped/unsupported events — mirroring the
+    reference's operation_type dispatch (rs:reference extract_change_stream):
+
+    - insert: fullDocument required; full image;
+    - delete: documentKey required; key image;
+    - update: updateDescription -> {$set,$unset} diff; disambiguatedPaths
+      needing the full document degrade to a REPLACE with fullDocument
+      (or skip when it's missing, like the reference's log-and-continue);
+    - replace: fullDocument required; full image as an update;
+    - DDL-ish events (drop/rename/dropDatabase/create/…, the
+      showExpandedEvents surface): row_type 'ddl' with the event name so
+      the stream's DDL barrier can split on them.
+    """
+    ct = event.get("clusterTime")
+    op_time, op_inc = (ct.time, ct.inc) if isinstance(ct, bc.Timestamp) else (0, 0)
+    ns = event.get("ns") or {}
+    db = ns.get("db", "") if isinstance(ns, dict) else ""
+    coll = ns.get("coll", "") if isinstance(ns, dict) else ""
+    op = event.get("operationType")
+    base = {"file": file_name, "seq": seq, "op_time": op_time, "op_inc": op_inc,
+            "schema": db, "tb": coll}
+    key_doc = event.get("documentKey")
+    key_id = key_doc.get("_id") if isinstance(key_doc, dict) else None
+    if op == "insert":
+        doc = event.get("fullDocument")
+        if not isinstance(doc, dict):
+            return None
+        return {**base, "row_type": "insert", "id": _jrender(doc.get("_id", key_id)),
+                "doc": _jrender(doc), "diff": None}
+    if op == "delete":
+        if not isinstance(key_doc, dict):
+            return None
+        return {**base, "row_type": "delete", "id": _jrender(key_id),
+                "doc": _jrender(key_doc), "diff": None}
+    if op == "replace":
+        doc = event.get("fullDocument")
+        if not isinstance(doc, dict) or not isinstance(key_doc, dict):
+            return None
+        return {**base, "row_type": "replace", "id": _jrender(key_id),
+                "doc": _jrender(doc), "diff": None}
+    if op == "update":
+        if not isinstance(key_doc, dict):
+            return None
+        ud = event.get("updateDescription")
+        if not isinstance(ud, dict):
+            return None
+        full = event.get("fullDocument")
+        if change_stream_requires_full_document(ud):
+            if not isinstance(full, dict):
+                return None  # rs: log_error + continue
+            return {**base, "row_type": "replace", "id": _jrender(key_id),
+                    "doc": _jrender(full), "diff": None}
+        upd = build_change_stream_update_doc(
+            ud, full if isinstance(full, dict) else None
+        )
+        if not upd:
+            return None  # rs: empty/unsupported updateDescription
+        return {**base, "row_type": "update", "id": _jrender(key_id),
+                "doc": None, "diff": _jrender(upd)}
+    if op in ("drop", "rename", "dropDatabase", "create", "createIndexes",
+              "dropIndexes", "modify", "shardCollection"):
+        return {**base, "row_type": "ddl", "id": None, "doc": _jrender(event.get("to") or {}),
+            "diff": _jrender({"operationType": op})}
+    return None  # invalidate / unknown: skipped
 
 
 # ---------------------------------------------------------------------------
@@ -501,6 +728,51 @@ def read_mongo_collections(
             )
 
     return src_df.mapInPandas(_pull, SNAPSHOT_SCHEMA)
+
+
+def read_change_stream_changes(
+    spark: SparkSession,
+    endpoints: list[tuple[str, int]],
+    start_time: int = 0,
+    start_inc: int = 0,
+    max_events: int | None = None,
+    username: str | None = None,
+    password: str | None = None,
+    timeout: float = 10.0,
+) -> DataFrame:
+    """Distributed live change-stream tail: one Arrow task per deployment
+    endpoint runs the $changeStream cursor and emits the at-rest
+    CHANGE_SCHEMA rows — the SAME shape as the oplog mode, so
+    fold_oplog_state and the downstream compaction take either CDC source
+    (MongoCdcSource::OpLog / ::ChangeStream) interchangeably."""
+    import pandas as pd
+
+    ep_df = spark.createDataFrame(endpoints, "host string, port int").repartition(
+        max(len(endpoints), 1)
+    )
+    cols = ["file", "seq", "op_time", "op_inc", "schema", "tb", "row_type",
+            "id", "doc", "diff"]
+
+    def _pull(batches):
+        for pdf in batches:
+            rows = []
+            for host, port in zip(pdf["host"], pdf["port"]):
+                client = MongoWireClient(
+                    str(host), int(port), username=username, password=password,
+                    timeout=timeout,
+                )
+                try:
+                    client.connect()
+                    got, _token = client.change_stream_events(
+                        start_time=start_time, start_inc=start_inc,
+                        max_events=max_events,
+                    )
+                    rows.extend(got)
+                finally:
+                    client.close()
+            yield pd.DataFrame(rows, columns=cols)
+
+    return ep_df.mapInPandas(_pull, CHANGE_SCHEMA)
 
 
 def read_live_oplog_changes(

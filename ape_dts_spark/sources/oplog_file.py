@@ -374,7 +374,9 @@ def fold_oplog_state(changes: DataFrame) -> DataFrame:
         pdf = pdf.sort_values(["op_time", "op_inc", "seq"])
         state = None
         for r in pdf.itertuples(index=False):
-            if r.row_type == "insert":
+            if r.row_type in ("insert", "replace"):
+                # replace: the change-stream full-image update (replaceOne /
+                # disambiguated-path fallback) — new state IS the document
                 state = json.loads(r.doc)
             elif r.row_type == "update":
                 if state is not None:

@@ -124,6 +124,7 @@ BENCH_QUERIES = [
     "binlog_gtid_live",
     "mongo_snapshot_live",
     "mongo_oplog_live",
+    "mongo_changestream_live",
     "orc_roundtrip",
     "orc_sequenced",
     "struct_objects",

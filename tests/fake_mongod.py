@@ -87,10 +87,14 @@ class FakeMongod(threading.Thread):
         hold_tail_open: bool = False,
         checksum_replies: bool = False,
         max_clients: int = 16,
+        change_events: list[dict] | None = None,
     ):
         super().__init__(daemon=True)
         self.collections = collections
         self.users = users or {}
+        # deployment-level change-stream events served by the $changeStream
+        # aggregation (each carries _id resume token + clusterTime)
+        self.change_events = change_events or []
         self.hold_tail_open = hold_tail_open
         self.checksum_replies = checksum_replies
         self.max_clients = max_clients
@@ -164,6 +168,8 @@ class FakeMongod(threading.Thread):
                     reply(rid, {"n": len(docs), "ok": 1.0})
                 elif name == "find":
                     reply(rid, self._find(cmd, cursors, next_cursor))
+                elif name == "aggregate":
+                    reply(rid, self._aggregate(cmd, cursors, next_cursor))
                 elif name == "getMore":
                     reply(rid, self._get_more(cmd, cursors))
                 elif name == "killCursors":
@@ -255,6 +261,48 @@ class FakeMongod(threading.Thread):
         return {
             "cursor": {"firstBatch": first, "id": bc.Int64(cid),
                        "ns": f"{db}.{coll}"},
+            "ok": 1.0,
+        }
+
+    def _aggregate(self, cmd: dict, cursors: dict, next_cursor: list) -> dict:
+        """Deployment-level $changeStream aggregation: serves the configured
+        change-stream events, honoring startAtOperationTime (clusterTime >=)
+        XOR startAfter (strictly after the event with that _id token)."""
+        pipeline = cmd.get("pipeline") or []
+        if not (pipeline and isinstance(pipeline[0], dict)
+                and "$changeStream" in pipeline[0]):
+            return {"ok": 0.0, "code": 40324,
+                    "errmsg": "only $changeStream aggregations supported"}
+        stage = pipeline[0]["$changeStream"]
+        events = list(self.change_events)
+        if "startAfter" in stage:
+            token = stage["startAfter"]
+            idx = next((i for i, e in enumerate(events) if e.get("_id") == token),
+                       None)
+            if idx is None:
+                return {"ok": 0.0, "code": 286,
+                        "errmsg": "resume token not found"}
+            events = events[idx + 1:]
+        elif "startAtOperationTime" in stage:
+            want = stage["startAtOperationTime"].sort_key()
+            events = [
+                e for e in events
+                if isinstance(e.get("clusterTime"), bc.Timestamp)
+                and e["clusterTime"].sort_key() >= want
+            ]
+        batch = int((cmd.get("cursor") or {}).get("batchSize", 101))
+        first, rest = events[:batch], events[batch:]
+        tailable = self.hold_tail_open
+        if rest or tailable:
+            cid = next_cursor[0]
+            next_cursor[0] += 1
+            cursors[cid] = {"coll": "$cmd.aggregate", "docs": rest,
+                            "tailable": tailable}
+        else:
+            cid = 0
+        return {
+            "cursor": {"firstBatch": first, "id": bc.Int64(cid),
+                       "ns": f"{cmd['$db']}.$cmd.aggregate"},
             "ok": 1.0,
         }
 

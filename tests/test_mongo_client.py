@@ -363,3 +363,126 @@ def test_distributed_oplog_pull(spark):
         assert state[0]["id"] == "1" and '"name": "al2"' in state[0]["doc"]
     finally:
         srv.stop()
+
+
+# ---------------------------------------------------------------------------
+# change streams (MongoCdcSource::ChangeStream)
+# ---------------------------------------------------------------------------
+
+
+def _cs_event(i, op, db="db", coll="users", **kw):
+    ev = {"_id": {"_data": f"tok{i:04d}"}, "operationType": op,
+          "clusterTime": T(200 + i, 1), "ns": {"db": db, "coll": coll}}
+    ev.update(kw)
+    return ev
+
+
+CS_EVENTS = [
+    _cs_event(0, "insert", fullDocument={"_id": 1, "name": "alice", "tags": [1, 2, 3]},
+              documentKey={"_id": 1}),
+    _cs_event(1, "insert", fullDocument={"_id": 2, "name": "bob"},
+              documentKey={"_id": 2}),
+    _cs_event(2, "update", documentKey={"_id": 1},
+              updateDescription={"updatedFields": {"name": "al2"},
+                                 "removedFields": []}),
+    _cs_event(3, "update", documentKey={"_id": 1},
+              fullDocument={"_id": 1, "name": "al2", "tags": [1, 2]},
+              updateDescription={"updatedFields": {},
+                                 "removedFields": [],
+                                 "truncatedArrays": [{"field": "tags", "newSize": 2}]}),
+    _cs_event(4, "replace", documentKey={"_id": 2},
+              fullDocument={"_id": 2, "name": "bobby"}),
+    _cs_event(5, "delete", documentKey={"_id": 2}),
+    _cs_event(6, "drop"),
+]
+
+
+def test_change_stream_normalization_branches():
+    from ape_dts_spark.sources.mongo_client import (
+        build_change_stream_update_doc,
+        change_stream_requires_full_document,
+        normalize_change_stream_event,
+    )
+
+    rows = [normalize_change_stream_event(e, "f", i) for i, e in enumerate(CS_EVENTS)]
+    assert [r["row_type"] for r in rows] == [
+        "insert", "insert", "update", "update", "replace", "delete", "ddl"]
+    assert rows[2]["diff"] == '{"$set": {"name": "al2"}}'
+    # truncatedArrays repaired out of the full document
+    assert '"tags": [1, 2]' in rows[3]["diff"]
+    # removedFields -> $unset
+    upd = build_change_stream_update_doc(
+        {"updatedFields": {"a": 1}, "removedFields": ["b", "c"]})
+    assert upd == {"$set": {"a": 1}, "$unset": {"b": 1, "c": 1}}
+    # disambiguatedPaths: dotted literal field name forces the full image
+    amb = {"updatedFields": {"a.b": 1},
+           "disambiguatedPaths": {"a.b": ["a.b"]}}
+    assert change_stream_requires_full_document(amb)
+    ev = _cs_event(9, "update", documentKey={"_id": 3},
+                   fullDocument={"_id": 3, "a.b": 1},
+                   updateDescription=amb)
+    row = normalize_change_stream_event(ev)
+    assert row["row_type"] == "replace" and '"a.b": 1' in row["doc"]
+    # ...and without the full document the event is skipped (rs log+continue)
+    ev2 = _cs_event(9, "update", documentKey={"_id": 3}, updateDescription=amb)
+    assert normalize_change_stream_event(ev2) is None
+    # index-only disambiguated paths do NOT force the full image
+    assert not change_stream_requires_full_document(
+        {"disambiguatedPaths": {"a.0.b": ["a", 0, "b"]}})
+
+
+def test_change_stream_tail_and_fold(spark):
+    from ape_dts_spark.sources.mongo_client import read_change_stream_changes
+
+    srv = FakeMongod({}, change_events=CS_EVENTS)
+    srv.start()
+    try:
+        df = read_change_stream_changes(spark, [("127.0.0.1", srv.port)],
+                                        timeout=10)
+        state = ofl.fold_oplog_state(
+            df.filter(df.row_type != "ddl")).collect()
+        # user 1 survives with the truncated tags; user 2 deleted after replace
+        assert len(state) == 1
+        assert state[0]["id"] == "1"
+        assert '"name": "al2"' in state[0]["doc"]
+        assert '"tags": [1, 2]' in state[0]["doc"]
+    finally:
+        srv.stop()
+
+
+def test_change_stream_resume_modes():
+    from ape_dts_spark.sources.mongo_client import MongoWireClient
+
+    srv = FakeMongod({}, change_events=CS_EVENTS, max_clients=8)
+    srv.start()
+    try:
+        c = MongoWireClient("127.0.0.1", srv.port, timeout=5)
+        c.connect()
+        # full pull returns a resume token for the LAST event
+        rows, token = c.change_stream_events()
+        assert len(rows) == 7 and token == '{"_data": "tok0006"}'
+        # startAtOperationTime: inclusive clusterTime filter
+        rows2, _ = c.change_stream_events(start_time=204, start_inc=0)
+        assert [r["row_type"] for r in rows2] == ["replace", "delete", "ddl"]
+        # startAfter a mid-stream token: strictly-after semantics
+        rows3, _ = c.change_stream_events(resume_after={"_data": "tok0003"})
+        assert [r["row_type"] for r in rows3] == ["replace", "delete", "ddl"]
+        # unknown token is the server's error, surfaced as ValueError
+        with pytest.raises(ValueError, match="resume token"):
+            c.change_stream_events(resume_after={"_data": "nope"})
+        c.close()
+    finally:
+        srv.stop()
+
+
+def test_change_stream_bounded_tail(spark):
+    srv = FakeMongod({}, change_events=CS_EVENTS, hold_tail_open=True)
+    srv.start()
+    try:
+        c = MongoWireClient("127.0.0.1", srv.port, timeout=2)
+        c.connect()
+        rows, _ = c.change_stream_events(max_events=3)
+        assert len(rows) == 3 and srv.killed_cursors
+        c.close()
+    finally:
+        srv.stop()
