@@ -6996,16 +6996,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # impossible.
     return {
         # -- r15 window (machine-generated by tools/rotation.py; policy:
-        # -- 5 never-gated rows lead, then 4 force-rotated (fixture/oracle
+        # -- 7 never-gated rows lead, then 4 force-rotated (fixture/oracle
         # -- changed this round), then stalest-first by last-green round;
         # -- window tail sits at r12). Run the FULL tools/check.py
         # -- before freezing; rotated-out rows keep local-gate + pytest
         # -- coverage. -------------------------------------------------
         "binlog_gtid_live": q_binlog_gtid_live,
-        "precheck_connection": q_precheck_connection,
         "mongo_changestream_live": q_mongo_changestream_live,
         "mongo_oplog_live": q_mongo_oplog_live,
         "mongo_snapshot_live": q_mongo_snapshot_live,
+        "precheck_connection": q_precheck_connection,
         "psync_tail": q_psync_tail,
         "subscription_http_live": q_subscription_http_live,
         "mysql_binlog_live": q_mysql_binlog_live,
