@@ -652,10 +652,16 @@ def normalize_change_stream_event(
             return None  # rs: empty/unsupported updateDescription
         return {**base, "row_type": "update", "id": _jrender(key_id),
                 "doc": None, "diff": _jrender(upd)}
-    if op in ("drop", "rename", "dropDatabase", "create", "createIndexes",
-              "dropIndexes", "modify", "shardCollection"):
-        return {**base, "row_type": "ddl", "id": None, "doc": _jrender(event.get("to") or {}),
-            "diff": _jrender({"operationType": op})}
+    from ape_dts_spark.sources.mongo_ddl import change_stream_event_to_ddl
+
+    ddl = change_stream_event_to_ddl(event)
+    if ddl is not None:
+        # the replayable runCommand document rides in diff; a rename's
+        # target ns rides in doc — the DDL barrier splits on row_type
+        return {**base, "row_type": "ddl", "id": ddl["ddl_type"],
+                "doc": _jrender({"new_schema": ddl["new_schema"],
+                                 "new_tb": ddl["new_tb"]}),
+                "diff": ddl["query"]}
     return None  # invalidate / unknown: skipped
 
 
