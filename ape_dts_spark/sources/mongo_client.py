@@ -199,12 +199,15 @@ class MongoSocket:
         return rid
 
 
-def _scram_sha256_exchange(username: str, password: str):
+def _scram_sha256_exchange(username: str, password: str,
+                           cnonce: str | None = None):
     """Client-side SCRAM-SHA-256 state machine: yields client-first-bare,
     receives server-first, yields client-final, verifies server signature.
     Returned as (client_first_bare, continue_fn). '=' and ',' in the
-    username are escaped per RFC 5802 (=3D / =2C)."""
-    cnonce = base64.b64encode(secrets.token_bytes(18)).decode()
+    username are escaped per RFC 5802 (=3D / =2C). ``cnonce`` is
+    injectable so the RFC 7677 published vector pins the arithmetic."""
+    if cnonce is None:
+        cnonce = base64.b64encode(secrets.token_bytes(18)).decode()
     uname = username.replace("=", "=3D").replace(",", "=2C")
     client_first_bare = f"n={uname},r={cnonce}"
 

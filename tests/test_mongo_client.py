@@ -486,3 +486,25 @@ def test_change_stream_bounded_tail(spark):
         c.close()
     finally:
         srv.stop()
+
+
+def test_scram_sha256_rfc7677_vector():
+    """The RFC 7677 §3 published exchange, byte for byte: user/pencil with
+    the spec's fixed nonces, salt and iteration count must produce the
+    spec's exact client proof and accept the spec's server signature."""
+    from ape_dts_spark.sources.mongo_client import _scram_sha256_exchange
+
+    first_bare, cont = _scram_sha256_exchange(
+        "user", "pencil", cnonce="rOprNGfwEbeRWgbNEkqO")
+    assert first_bare == "n=user,r=rOprNGfwEbeRWgbNEkqO"
+    server_first = ("r=rOprNGfwEbeRWgbNEkqO%hvYDpWUa2RaTCAfuxFIlj)hNlF$k0,"
+                    "s=W22ZaJ0SNY7soEsUEjb6gQ==,i=4096")
+    client_final, verify = cont(server_first)
+    assert client_final == (
+        "c=biws,r=rOprNGfwEbeRWgbNEkqO%hvYDpWUa2RaTCAfuxFIlj)hNlF$k0,"
+        "p=dHzbZapWIk4jUhN+Ute9ytag9zjfMHgsqmmiz7AndVQ=")
+    verify("v=6rriTRBi23WpRR/wtup+mMhUZUn/dB5nLTJRsjl95G4=")  # no raise
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="signature"):
+        verify("v=AAAATRBi23WpRR/wtup+mMhUZUn/dB5nLTJRsjl95G4=")

@@ -268,3 +268,48 @@ def test_gtid_distributed_complementary_pull(spark):
         assert sorted(map(key, rows)) == sorted(map(key, full))
     finally:
         srv.stop()
+
+
+def test_gtid_set_codec_property():
+    """Property: any well-formed set survives text-parse -> wire-encode ->
+    wire-decode unchanged, and containment agrees with the raw intervals."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from ape_dts_spark.sources.mysql_binlog_client import (
+        decode_gtid_set,
+        encode_gtid_set,
+        gtid_set_contains,
+        parse_gtid_set,
+    )
+
+    uuids = st.lists(
+        st.binary(min_size=16, max_size=16).map(lambda b: b.hex()),
+        min_size=1, max_size=4, unique=True)
+    intervals = st.lists(
+        st.tuples(st.integers(1, 10_000), st.integers(0, 50)).map(
+            lambda t: (t[0], t[0] + t[1])),
+        min_size=1, max_size=5)
+
+    @settings(max_examples=60, deadline=None)
+    @given(uuids, st.data())
+    def run(us, data):
+        parts = []
+        want = {}
+        for u in us:
+            ivs = sorted(data.draw(intervals))
+            dashed = f"{u[:8]}-{u[8:12]}-{u[12:16]}-{u[16:20]}-{u[20:]}"
+            want[dashed] = ivs
+            parts.append(u + ":" + ":".join(
+                f"{a}-{b}" if b > a else str(a) for a, b in ivs))
+        gs = parse_gtid_set(",".join(parts))
+        assert gs == want
+        assert decode_gtid_set(encode_gtid_set(gs)) == gs
+        for dashed, ivs in want.items():
+            for a, b in ivs:
+                assert gtid_set_contains(gs, dashed, a)
+                assert gtid_set_contains(gs, dashed, b)
+                covered = any(lo <= b + 1 <= hi for lo, hi in ivs)
+                assert gtid_set_contains(gs, dashed, b + 1) == covered
+
+    run()
