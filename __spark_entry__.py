@@ -459,7 +459,10 @@ def q_precheck_connection(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the fixture servers' constants."""
     import socket as _socket
 
-    from ape_dts_spark.precheck import run_connection_prechecks
+    from ape_dts_spark.precheck import (
+        check_redis_psync_permission,
+        run_connection_prechecks,
+    )
 
     log_dir, _tables = _ensure_binlog_fixture(spark, sf_dir)
     my_host, my_port, _f = _serve_mysql_binlogs(log_dir)[0]
@@ -481,6 +484,10 @@ def q_precheck_connection(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("redis", "127.0.0.1", dead),
         ("mongo", "127.0.0.1", dead),
     ])
+    # the account-permission probe (the reference's only live one): the
+    # replication handshake itself against the psync fixture master
+    results.append(check_redis_psync_permission(rd_host, rd_port))
+    results.append(check_redis_psync_permission("127.0.0.1", dead, timeout=2))
     rows = [
         (i, r.check, r.object.split(":")[0], r.ok, r.detail if r.ok else "")
         for i, r in enumerate(results)
@@ -8347,7 +8354,10 @@ def oracle_sql() -> dict[str, str]:
               (4, 'database_connection', 'mysql',   FALSE, ''),
               (5, 'database_connection', 'pg',      FALSE, ''),
               (6, 'database_connection', 'redis',   FALSE, ''),
-              (7, 'database_connection', 'mongodb', FALSE, '')
+              (7, 'database_connection', 'mongodb', FALSE, ''),
+              (8, 'account_permission',  'redis',   TRUE,
+               'replid=ffffffffffffffffffffffffffffffffffffffff offset=0'),
+              (9, 'account_permission',  'redis',   FALSE, '')
             ) AS t(slot, "check", kind, ok, detail)
         """,
         "precheck_cdc": """

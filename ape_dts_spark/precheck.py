@@ -714,3 +714,30 @@ def run_connection_prechecks(endpoints: list) -> list:
             continue
         out.append(dispatch[kind](host, port, **opts))
     return out
+
+
+def check_redis_psync_permission(
+    host: str, port: int, password: str | None = None, timeout: float = 5.0,
+) -> CheckResult:
+    """The reference's ONLY live account-permission probe
+    (redis_prechecker.rs:120-215 — mysql/pg/mongo check_permission are
+    unconditional passes whose failures surface at the connection/CDC
+    checks instead): attempt the replication handshake itself, REPLCONF
+    listening-port + ``PSYNC ? -1``, because PSYNC needs replica privileges
+    beyond plain AUTH. Success carries the master's FULLRESYNC identity."""
+    from ape_dts_spark.sources.redis_psync import PsyncClient
+
+    client = PsyncClient(host, port, password=password, timeout=timeout)
+    try:
+        full = client.start_psync()
+        if not full:
+            return CheckResult("account_permission", f"redis://{host}:{port}",
+                               False, "master answered CONTINUE to PSYNC ? -1")
+        return CheckResult(
+            "account_permission", f"redis://{host}:{port}", True,
+            f"replid={client.repl_id} offset={client.repl_offset}")
+    except (ValueError, OSError) as e:
+        return CheckResult("account_permission", f"redis://{host}:{port}",
+                           False, str(e)[:200])
+    finally:
+        client.close()

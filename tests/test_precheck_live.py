@@ -107,3 +107,20 @@ def test_run_connection_prechecks_mixed():
         assert [r.ok for r in results] == [True, False]
     finally:
         srv.stop()
+
+
+def test_redis_psync_permission_probe():
+    from ape_dts_spark.precheck import check_redis_psync_permission
+    from tests.fake_redis_master import FakeMaster
+
+    srv = FakeMaster(rdb_bytes=b"", repl_id="r" * 40, master_offset=77,
+                     keepalive_newlines=0, max_clients=4)
+    srv.start()
+    try:
+        r = check_redis_psync_permission("127.0.0.1", srv.port)
+        assert r.ok and r.detail == f"replid={'r' * 40} offset=77"
+    finally:
+        srv.stop()
+    dead = _free_port()
+    bad = check_redis_psync_permission("127.0.0.1", dead, timeout=2)
+    assert not bad.ok and bad.check == "account_permission"
