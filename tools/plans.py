@@ -166,6 +166,16 @@ AUDITED = [
                           # equi-join -> frame-dedup agg -> (pair, dt) agg
     "video_incremental",  # r15: batch-only frame banding vs persisted
                           # index union, counted-once frame matches
+    # round 16
+    "psync_tail",         # live tail commands through the SHARED command->
+                          # entry compaction: Arrow wire pull -> persisted
+                          # entry union -> two hash aggs + one key join
+                          # (the redis_compact plan behind a socket source)
+    "mongo_snapshot_live",  # two cursor-session Arrow scans (sample +
+                          # resume) unioned, JSON projection — no shuffle
+                          # beyond the endpoint repartition
+    "mongo_oplog_live",   # Arrow wire tail -> one (schema,tb,id) shuffle
+                          # into the fold kernel (the oplog_file shape)
     # pagerank: the returned plan is a scan of the final checkpointed rank
     # relation (lineage truncated by design) — per-iteration shape is one
     # shuffle join + one hash agg, locked in test_graph semantics instead
