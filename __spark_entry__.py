@@ -1845,18 +1845,43 @@ def q_gtid_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey", F.col("o_orderkey").alias("a"), (F.col("o_orderkey") + 5).alias("b")
     )
 
-    def _merge(pdf: pd.DataFrame) -> pd.DataFrame:
-        merged = _coalesce(list(zip(pdf["a"], pdf["b"])))
-        return pd.DataFrame(
-            {
-                "o_custkey": pdf["o_custkey"].iloc[0],
+    def _merge_groups(pdf: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for ck, g in pdf.groupby("o_custkey", sort=False):
+            merged = _coalesce(list(zip(g["a"], g["b"])))
+            frames.append(pd.DataFrame({
+                "o_custkey": ck,
                 "ivl_start": [m[0] for m in merged],
                 "ivl_end": [m[1] for m in merged],
-            }
-        )
+            }))
+        return pd.concat(frames) if frames else pd.DataFrame(
+            columns=["o_custkey", "ivl_start", "ivl_end"])
 
-    return o.groupBy("o_custkey").applyInPandas(
-        _merge, schema="o_custkey long, ivl_start long, ivl_end long"
+    # group-carry streaming kernel instead of per-group applyInPandas: at
+    # sf0.1 there are ~10k customers of ~10 rows each, and 10k tiny Arrow
+    # calls cost ~10x the actual coalescing work. Hash-repartition on the
+    # key + sort within partitions, then process WHOLE partitions, carrying
+    # the boundary group across Arrow chunks (a chunk may split a customer;
+    # rows arrive key-sorted, so only the LAST key of a chunk can straddle)
+    def _merge_stream(batches):
+        carry = None
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            if not len(pdf):
+                carry = None
+                continue
+            last = pdf["o_custkey"].iloc[-1]
+            head = pdf[pdf["o_custkey"] != last]
+            carry = pdf[pdf["o_custkey"] == last]
+            if len(head):
+                yield _merge_groups(head)
+        if carry is not None and len(carry):
+            yield _merge_groups(carry)
+
+    shuffled = o.repartition(32, "o_custkey").sortWithinPartitions("o_custkey", "a")
+    return shuffled.mapInPandas(
+        _merge_stream, schema="o_custkey long, ivl_start long, ivl_end long"
     )
 
 

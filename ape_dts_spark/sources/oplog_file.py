@@ -361,34 +361,70 @@ def _apply_set_unset(state: dict, upd: dict) -> None:
 
 
 def fold_oplog_state(changes: DataFrame) -> DataFrame:
-    """Replay parsed oplog rows to final per-document state: group by
-    (schema, tb, id) and fold insert/update($set,$unset)/delete in
+    """Replay parsed oplog rows to final per-document state: fold
+    insert/replace/update($set,$unset)/delete per (schema, tb, id) in
     (op_time, op_inc, seq) order — MongoMerger semantics where updates are
     partial documents merged onto the current image
-    (dt-pipeline/src/merger/mongo_merger.rs). One shuffle keyed on the
-    document id; per-group history is one document's ops (bounded), so no
-    skew beyond a single hot document."""
+    (dt-pipeline/src/merger/mongo_merger.rs). Non-DML rows (ddl markers)
+    cannot mutate document state and are dropped up front.
+
+    Scale shape (r16): one shuffle keyed on the document id, then WHOLE
+    key-sorted partitions flow through a group-carry Arrow kernel — an
+    Arrow chunk may split a document's history, and only the LAST key of a
+    chunk can straddle, so it carries into the next chunk. Per-group
+    applyInPandas would instead pay one Arrow call per DOCUMENT (~rows/10
+    calls); the carry kernel pays ~one per partition chunk."""
     import pandas as pd
 
-    def _fold(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["op_time", "op_inc", "seq"])
-        state = None
-        for r in pdf.itertuples(index=False):
-            if r.row_type in ("insert", "replace"):
-                # replace: the change-stream full-image update (replaceOne /
-                # disambiguated-path fallback) — new state IS the document
-                state = json.loads(r.doc)
-            elif r.row_type == "update":
-                if state is not None:
-                    _apply_set_unset(state, json.loads(r.diff))
-            elif r.row_type == "delete":
-                state = None
-        if state is None:
-            return pd.DataFrame(columns=["schema", "tb", "id", "doc"])
-        first = pdf.iloc[0]
-        return pd.DataFrame([{
-            "schema": first["schema"], "tb": first["tb"], "id": first["id"],
-            "doc": json.dumps(state, sort_keys=True),
-        }])
+    from pyspark.sql import functions as F
 
-    return changes.groupBy("schema", "tb", "id").applyInPandas(_fold, STATE_SCHEMA)
+    keys = ["schema", "tb", "id"]
+
+    def _fold_groups(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for key, g in pdf.groupby(keys, sort=False):
+            g = g.sort_values(["op_time", "op_inc", "seq"])
+            state = None
+            for r in g.itertuples(index=False):
+                if r.row_type in ("insert", "replace"):
+                    # replace: the change-stream full-image update
+                    # (replaceOne / disambiguated-path fallback)
+                    state = json.loads(r.doc)
+                elif r.row_type == "update":
+                    if state is not None:
+                        _apply_set_unset(state, json.loads(r.diff))
+                elif r.row_type == "delete":
+                    state = None
+            if state is not None:
+                rows.append({
+                    "schema": key[0], "tb": key[1], "id": key[2],
+                    "doc": json.dumps(state, sort_keys=True),
+                })
+        return pd.DataFrame(rows, columns=["schema", "tb", "id", "doc"])
+
+    def _fold_stream(batches):
+        carry = None
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            if not len(pdf):
+                carry = None
+                continue
+            last = tuple(pdf.iloc[-1][k] for k in keys)
+            mask = (
+                (pdf["schema"] == last[0]) & (pdf["tb"] == last[1])
+                & (pdf["id"] == last[2])
+            )
+            head, carry = pdf[~mask], pdf[mask]
+            if len(head):
+                yield _fold_groups(head)
+        if carry is not None and len(carry):
+            yield _fold_groups(carry)
+
+    dml = changes.filter(
+        F.col("row_type").isin("insert", "replace", "update", "delete")
+    )
+    shuffled = dml.repartition(*keys).sortWithinPartitions(
+        *keys, "op_time", "op_inc", "seq"
+    )
+    return shuffled.mapInPandas(_fold_stream, STATE_SCHEMA)

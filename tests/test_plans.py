@@ -244,7 +244,11 @@ def test_at_rest_cdc_parsers_single_key_window(spark, sf_dir):
         # one replay window -> one hashpartitioning exchange on the key
         assert plan.count("Exchange hashpartitioning") == 1, name
     plan = _plan(spark, sf_dir, "oplog_file_parse")
-    assert "FlatMapGroupsInPandas" in plan  # per-_id fold is the Arrow group kernel
+    # r16: the per-_id fold is a group-carry MapInPandas over key-sorted
+    # partitions (one hash exchange + one sort) — per-group
+    # FlatMapGroupsInPandas paid one Arrow call per DOCUMENT
+    assert plan.count("MapInPandas") == 2  # whole-file parse + carry fold
+    assert "Sort " in plan or "Sort\n" in plan or "+- Sort" in plan
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
 
