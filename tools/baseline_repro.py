@@ -125,13 +125,21 @@ def main() -> int:
     # second (conservative: the join also scans the 5M-row target side).
     from ape_dts_spark.operators.checker import check_diff
 
-    t0 = time.time()
-    flagged = check_diff(
-        spark.read.parquet(f"{BASE}/sbtest1"),
-        spark.read.parquet(f"{BASE}/sbtest1_v2"),
-        ["id"],
-    ).count()
-    check_secs = time.time() - t0
+    # best-of-3 (r16): the single-sample checker timing swung 0.5M-1.2M
+    # rows/s across restamps on this shared host — the snapshot/CDC
+    # headlines already take best-of-N, so give the check the same
+    # treatment and record the per-attempt spread in the artifact
+    check_samples = []
+    flagged = 0
+    for _ in range(3):
+        t0 = time.time()
+        flagged = check_diff(
+            spark.read.parquet(f"{BASE}/sbtest1"),
+            spark.read.parquet(f"{BASE}/sbtest1_v2"),
+            ["id"],
+        ).count()
+        check_samples.append(round(time.time() - t0, 2))
+    check_secs = min(check_samples)
     checker_rps = n_rows / check_secs
 
     out = {
@@ -146,6 +154,7 @@ def main() -> int:
         "cdc_secs": round(cdc_secs, 1),
         "checker_rps": round(checker_rps, 1),
         "check_secs": round(check_secs, 1),
+        "check_secs_samples": check_samples,
         "check_rows_flagged": flagged,
         "baseline_snapshot_rps_4c8g": 126582,
         "baseline_cdc_rps_4c8g": 19450,
