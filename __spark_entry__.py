@@ -4619,6 +4619,54 @@ def q_mongo_changestream_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _oplog_state_projection(ofl.fold_oplog_state(changes))
 
 
+def q_mongo_cs_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE change-stream DDL normalization (r16 — sources/mongo_ddl.py,
+    mongo_ddl.rs:50-185 parity, driver-graded): a fixed showExpandedEvents
+    DDL event sequence — create with an operationDescription (idIndex must
+    be STRIPPED from the copied fields), drop, rename (old+new ns), drop
+    database, createIndexes, dropIndexes (index NAME extracted from the
+    spec document), collMod, shardCollection (shardKey/reshardUUID ignore
+    rule) plus an invalidate and an unknown operation that must be SKIPPED
+    — is served over OP_MSG by the loopback fake mongod and normalized by
+    the wire client into replayable runCommand rows; the oracle restates
+    every (seq, op_time, ddl_type, ns, new-ns doc, command JSON) literally,
+    so a mis-copied description field, a lost ignore rule, or a skipped-op
+    leak diverges."""
+    from ape_dts_spark.sources import bson_codec as bcodec
+    from ape_dts_spark.sources.mongo_client import read_change_stream_changes
+
+    T = bcodec.Timestamp
+    mk = lambda i, op, coll=None, **kw: {  # noqa: E731
+        "_id": {"_data": f"ddl{i:04d}"}, "operationType": op,
+        "clusterTime": T(300 + i, 1),
+        "ns": {"db": "appdb", **({"coll": coll} if coll else {})}, **kw,
+    }
+    events = [
+        mk(0, "create", "items1", operationDescription={
+            "idIndex": {"v": 2, "key": {"_id": 1}}, "capped": True,
+            "size": 4096}),
+        mk(1, "drop", "items2"),
+        mk(2, "rename", "items3", to={"db": "appdb", "coll": "items4"}),
+        mk(3, "dropDatabase"),
+        mk(4, "createIndexes", "items5", operationDescription={
+            "indexes": [{"v": 2, "key": {"a": 1}, "name": "a_1"}]}),
+        mk(5, "dropIndexes", "items6", operationDescription={
+            "indexes": [{"v": 2, "key": {"b": 1}, "name": "b_1"}]}),
+        mk(6, "modify", "items7", operationDescription={
+            "validationLevel": "strict"}),
+        mk(7, "shardCollection", "items8", operationDescription={
+            "shardKey": {"uid": 1}, "unique": False, "reshardUUID": "xx"}),
+        mk(8, "invalidate"),  # must be skipped
+        mk(9, "weirdOperation", "items9"),  # must be skipped
+    ]
+    host, port = _serve_mongod({}, change_events=events)
+    changes = read_change_stream_changes(spark, [(host, port)], timeout=30)
+    return changes.filter(F.col("row_type") == "ddl").select(
+        "seq", "op_time", F.col("id").alias("ddl_type"), "schema", "tb",
+        "doc", "diff",
+    )
+
+
 def _ensure_mongo_coll_fixture(spark: SparkSession, sf_dir: str):
     """Fixture builder for the mongo_snapshot_live gate: part keys
     %17==3 become int-_id documents and %17==8 string-_id documents
@@ -7028,13 +7076,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # impossible.
     return {
         # -- r15 window (machine-generated by tools/rotation.py; policy:
-        # -- 7 never-gated rows lead, then 4 force-rotated (fixture/oracle
+        # -- 8 never-gated rows lead, then 4 force-rotated (fixture/oracle
         # -- changed this round), then stalest-first by last-green round;
         # -- window tail sits at r12). Run the FULL tools/check.py
         # -- before freezing; rotated-out rows keep local-gate + pytest
         # -- coverage. -------------------------------------------------
         "binlog_gtid_live": q_binlog_gtid_live,
         "mongo_changestream_live": q_mongo_changestream_live,
+        "mongo_cs_ddl": q_mongo_cs_ddl,
         "mongo_oplog_live": q_mongo_oplog_live,
         "mongo_snapshot_live": q_mongo_snapshot_live,
         "precheck_connection": q_precheck_connection,
@@ -9263,6 +9312,36 @@ def oracle_sql() -> dict[str, str]:
         """),
         "mongo_oplog_live": _oplog_file_parse_oracle,
         "mongo_changestream_live": _oplog_file_parse_oracle,
+        # mongo_cs_ddl: every normalized DDL command restated literally —
+        # the skipped invalidate/unknown events leave exactly 8 rows
+        "mongo_cs_ddl": """
+            SELECT * FROM (VALUES
+              (CAST(0 AS BIGINT), CAST(300 AS BIGINT), 'mongo_create_collection', 'appdb', 'items1',
+               '{"new_schema": "", "new_tb": ""}',
+               '{"create": "items1", "capped": true, "size": 4096}'),
+              (1, 301, 'mongo_drop_collection', 'appdb', 'items2',
+               '{"new_schema": "", "new_tb": ""}',
+               '{"drop": "items2"}'),
+              (2, 302, 'mongo_rename_collection', 'appdb', 'items3',
+               '{"new_schema": "appdb", "new_tb": "items4"}',
+               '{"renameCollection": "appdb.items3", "to": "appdb.items4"}'),
+              (3, 303, 'mongo_drop_database', 'appdb', '',
+               '{"new_schema": "", "new_tb": ""}',
+               '{"dropDatabase": 1}'),
+              (4, 304, 'mongo_create_index', 'appdb', 'items5',
+               '{"new_schema": "", "new_tb": ""}',
+               '{"createIndexes": "items5", "indexes": [{"v": 2, "key": {"a": 1}, "name": "a_1"}]}'),
+              (5, 305, 'mongo_drop_index', 'appdb', 'items6',
+               '{"new_schema": "", "new_tb": ""}',
+               '{"dropIndexes": "items6", "index": "b_1"}'),
+              (6, 306, 'mongo_coll_mod', 'appdb', 'items7',
+               '{"new_schema": "", "new_tb": ""}',
+               '{"collMod": "items7", "validationLevel": "strict"}'),
+              (7, 307, 'mongo_shard_collection', 'appdb', 'items8',
+               '{"new_schema": "", "new_tb": ""}',
+               '{"shardCollection": "appdb.items8", "key": {"uid": 1}, "unique": false}')
+            ) AS t(seq, op_time, ddl_type, "schema", tb, doc, diff)
+        """,
         # mongo_snapshot_live: 4 hash-sharded collections, int ids (%17==3)
         # sorting before string ids (%17==8, zero-padded "k%07d"); the 20%
         # sample session covers the first ceil(n/5) docs per collection in

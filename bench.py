@@ -267,6 +267,7 @@ CONFIG_GATE_ALLOWLIST = {
     "ddl_split",
     "event_filter",
     "merge_spill",
+    "mongo_cs_ddl",
     "mongo_statements",
     "precheck_cdc",
     "precheck_connection",
