@@ -1195,6 +1195,13 @@ def _lzw_encode_gif(indices: np.ndarray, mcs: int) -> bytes:
         w = c
     if w:
         emit(table[w], width)
+    # Boundary early-change: the decoder appends a table entry for the FINAL
+    # data code too (the encoder has nothing to append — no following char),
+    # so when that append lands exactly on the width boundary
+    # (decoder len(table) == 1 << width, i.e. next_code here == 1 << width)
+    # the decoder reads EOI one bit wider than the body was written.
+    if next_code == (1 << width) and width < 12:
+        width += 1
     emit(end, width)
     if nbits:
         out.append(acc & 0xFF)

@@ -334,6 +334,25 @@ def test_gif_lzw_hand_trace():
     assert mc._lzw_decode_gif(data, 2, 5) == bytes([0, 0, 1, 1, 0])
 
 
+def test_gif_lzw_eoi_width_boundary():
+    """The decoder appends a table entry for the FINAL data code and can grow
+    the code width early, while the encoder has nothing left to append — so
+    when the last append lands exactly on the 2^width boundary the EOI code
+    must be emitted one bit wider (hypothesis-found: 245 random pixels over a
+    28-color palette reach next_code == 256 on the final data code)."""
+    rng = np.random.RandomState(0)
+    pal = rng.randint(0, 256, (28, 3)).astype(np.uint8)
+    img = rng.randint(0, 28, (7, 35)).astype(np.uint8)
+    rec = mc.parse_gif(mc.encode_gif(img, pal), return_frames=True)
+    assert (rec["frames"][0] == img).all()
+    # sweep pixel counts across the boundary at mcs=5 so the exact trigger
+    # length is not load-bearing
+    for npx in range(230, 260):
+        idx = rng.randint(0, 28, npx).astype(np.uint8)
+        enc = mc._lzw_encode_gif(idx, 5)
+        assert mc._lzw_decode_gif(enc, 5, npx) == idx.tobytes(), npx
+
+
 def test_gif_roundtrip_paths():
     rng = np.random.RandomState(8)
     pal = rng.randint(0, 256, (7, 3)).astype(np.uint8)
