@@ -55,6 +55,16 @@ def _spread(df: DataFrame, spark: SparkSession) -> DataFrame:
     return df.repartition(int(spark.conf.get("spark.sql.shuffle.partitions", "32")))
 
 
+def _stream_width() -> str:
+    """Scoped shuffle/state width for the streaming gates' micro-batch loops
+    (see ape_dts_spark.session.stream_shuffle_width: state-partition count is
+    a property of state volume, not core count; 32-200 partitions per trigger
+    is pure task/state-file overhead at gate batch sizes)."""
+    from ape_dts_spark.session import stream_shuffle_width
+
+    return stream_shuffle_width()
+
+
 def _flatten_stream(df: DataFrame) -> DataFrame:
     """Change stream -> flat columns (structs render differently across engines)."""
     return df.select(
@@ -1480,7 +1490,7 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qname = "ape_stream_join_out"
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    spark.conf.set("spark.sql.shuffle.partitions", _stream_width())
     try:
         (
             joined.writeStream.format("memory")
@@ -1537,6 +1547,12 @@ def q_continuous_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = wd.windowed_event_counts(stream, window="1 day", watermark="3650 days")
 
     def _upsert(batch: DataFrame, batch_id: int) -> None:
+        # one execution of the micro-batch agg: compacted AND spilled both
+        # re-run the whole subtree (streaming state read + agg) otherwise
+        from pyspark import StorageLevel as _SL
+
+        batch = batch.persist(_SL.MEMORY_AND_DISK)
+        batch.count()
         events = batch.select(
             F.lit("demo").alias("schema"),
             F.lit("rollup").alias("tb"),
@@ -1552,11 +1568,12 @@ def q_continuous_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         compacted, spilled = compact_changes(events, keys)
         table.merge_apply(compacted, spilled, keys, stream_id="rollup", batch_id=batch_id)
+        batch.unpersist()
 
     # scoped narrow shuffle width for the micro-batch loop (see
     # q_stateful_dedup — restored afterwards, never leaks to later queries)
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    spark.conf.set("spark.sql.shuffle.partitions", _stream_width())
     try:
         (
             agg.writeStream.foreachBatch(_upsert)
@@ -1605,7 +1622,7 @@ def q_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # setting must not leak into whatever query the harness runs next
     # (result is partition-count-independent either way).
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    spark.conf.set("spark.sql.shuffle.partitions", _stream_width())
     try:
         (
             deduped.writeStream.format("memory")

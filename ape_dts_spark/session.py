@@ -101,6 +101,18 @@ def get_spark(app_name: str = "ape_dts_spark", shuffle_partitions: int | None = 
     return spark
 
 
+def stream_shuffle_width() -> str:
+    """Shuffle/state-partition width for the bounded micro-batch streaming
+    loops (CdcPipeline.run and the streaming gates). State-store partition
+    count is a property of a stream's STATE VOLUME, not of the session's core
+    count: every extra partition costs a state file + commit per trigger and a
+    scheduled task per shuffle, so a vanilla session's 200 (or local[32]'s 32)
+    is pure per-trigger overhead for small CDC batches. Default 8; deployments
+    with large keyed state raise SPARK_GRAFT_STREAM_SHUFFLE (the width is
+    pinned into a stream's checkpoint by Spark on first run, as usual)."""
+    return os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "8")
+
+
 def clear_spark_blocks(spark: SparkSession) -> None:
     """Drop every cached relation AND leaked localCheckpoint RDD blocks.
 

@@ -393,13 +393,21 @@ class CdcPipeline:
         """
         if self.target.last_applied(self.stream_id) >= batch_id:
             return
-        batch = self._prepare(batch)
+        from pyspark.storagelevel import StorageLevel
+
+        # Materialize the prepared micro-batch ONCE: this method references it
+        # from the DDL scan, every DML segment's compaction, the metrics
+        # count/agg and the optional inline check — each an action that would
+        # otherwise re-execute the whole micro-batch subtree (source parse +
+        # streaming state read), measured ~4-6 executions per batch.
+        batch = self._prepare(batch).persist(StorageLevel.MEMORY_AND_DISK)
+        n_events = batch.count()
         throttle_sec = 0.0
         if self.limiter is not None:
             throttle_sec = (
                 self.limiter.admit_batch(batch)
                 if hasattr(self.limiter, "admit_batch")
-                else self.limiter.acquire(batch.count())
+                else self.limiter.acquire(n_events)
             )
         ddls = (
             batch.filter(F.col("row_type") == "ddl").orderBy("seq").collect()
@@ -438,8 +446,8 @@ class CdcPipeline:
             lo = hi
         self.target.record_batch(self.stream_id, batch_id)
         check = self._inline_check(batch) if self.inline_check else {}
-        n_events = batch.count()
         max_ts = batch.agg(F.max("seq").alias("m"), F.max("ts").alias("t")).collect()[0]
+        batch.unpersist()
         lag = (time.time() - max_ts["t"].timestamp()) if max_ts["t"] is not None else None
         if self.monitor is not None:
             self.monitor.add("extractor", "record_count", n_events, count=1)
@@ -500,7 +508,19 @@ class CdcPipeline:
     ):
         """Start the stream. ``available_now=True`` drains everything present
         and stops (test/backfill mode); otherwise runs continuously with the
-        given trigger interval."""
+        given trigger interval.
+
+        The micro-batch loop runs under a scoped shuffle width
+        (``stream_shuffle_width()``): state-store partition count and per-batch
+        shuffle width are a property of the stream's state volume, not of the
+        session's core count — a vanilla session's 200 (or a wide cluster
+        default) is pure per-trigger task-scheduling and state-file overhead
+        for bounded CDC batches. Restored afterwards for the drain path so the
+        setting never leaks into later batch queries; results are
+        partition-count independent either way."""
+        from ape_dts_spark.session import stream_shuffle_width
+
+        spark = changes.sparkSession
         writer = (
             changes.writeStream.foreachBatch(self.apply_batch)
             .option("checkpointLocation", checkpoint_dir)
@@ -510,9 +530,17 @@ class CdcPipeline:
             writer = writer.trigger(availableNow=True)
         elif trigger_secs:
             writer = writer.trigger(processingTime=f"{trigger_secs} seconds")
-        query = writer.start()
-        if available_now:
-            query.awaitTermination()
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", stream_shuffle_width())
+        try:
+            query = writer.start()
+            if available_now:
+                query.awaitTermination()
+        finally:
+            if available_now:
+                spark.conf.set("spark.sql.shuffle.partitions", prev)
+            # continuous mode: the stream is still running — leave the width
+            # in place (the caller owns session scoping there)
         return query
 
 
