@@ -101,6 +101,21 @@ def get_spark(app_name: str = "ape_dts_spark", shuffle_partitions: int | None = 
     return spark
 
 
+def one_row_per_partition(spark: SparkSession, rows: list, schema: str):
+    """Small dispatch relation with EXACTLY one row per partition — the
+    session-per-Arrow-task layout the live wire readers rely on.
+
+    ``createDataFrame(rows).repartition(n)`` round-robins each input split
+    from a RANDOM start position, so two endpoints regularly land in one
+    task and their socket sessions (each ending on a multi-second
+    quiet-socket timeout) serialize. ``parallelize(rows, n)`` slices the
+    list evenly instead: n rows -> n partitions of one row each,
+    deterministically."""
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, max(len(rows), 1)), schema
+    )
+
+
 def stream_shuffle_width() -> str:
     """Shuffle/state-partition width for the bounded micro-batch streaming
     loops (CdcPipeline.run and the streaming gates). State-store partition

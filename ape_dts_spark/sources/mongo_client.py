@@ -699,9 +699,11 @@ def read_mongo_collections(
     mirror of the reference's table-worker dispatch."""
     import pandas as pd
 
-    src_df = spark.createDataFrame(
-        sources, "host string, port int, db string, coll string"
-    ).repartition(max(len(sources), 1))
+    from ape_dts_spark.session import one_row_per_partition
+
+    src_df = one_row_per_partition(
+        spark, sources, "host string, port int, db string, coll string"
+    )
     rk = dict(resume_keys or {})
 
     def _pull(batches):
@@ -756,9 +758,9 @@ def read_change_stream_changes(
     (MongoCdcSource::OpLog / ::ChangeStream) interchangeably."""
     import pandas as pd
 
-    ep_df = spark.createDataFrame(endpoints, "host string, port int").repartition(
-        max(len(endpoints), 1)
-    )
+    from ape_dts_spark.session import one_row_per_partition
+
+    ep_df = one_row_per_partition(spark, endpoints, "host string, port int")
     cols = ["file", "seq", "op_time", "op_inc", "schema", "tb", "row_type",
             "id", "doc", "diff"]
 
@@ -800,9 +802,9 @@ def read_live_oplog_changes(
     work unchanged on live capture."""
     import pandas as pd
 
-    ep_df = spark.createDataFrame(endpoints, "host string, port int").repartition(
-        max(len(endpoints), 1)
-    )
+    from ape_dts_spark.session import one_row_per_partition
+
+    ep_df = one_row_per_partition(spark, endpoints, "host string, port int")
     cols = ["file", "seq", "op_time", "op_inc", "schema", "tb", "row_type",
             "id", "doc", "diff"]
 

@@ -400,17 +400,16 @@ def read_binlog_changes(
 
     import pandas as pd
 
-    if gtid_mode:
-        ep_df = spark.createDataFrame(
-            endpoints,
-            "host string, port int, binlog_file string, gtid_set string",
-        )
-    else:
-        ep_df = spark.createDataFrame(
-            [e[:3] for e in endpoints],
-            "host string, port int, binlog_file string",
-        ).withColumn("gtid_set", F.lit(None).cast("string"))
-    ep_df = ep_df.repartition(max(len(endpoints), 1))
+    from ape_dts_spark.session import one_row_per_partition
+
+    rows = (
+        [tuple(e) for e in endpoints]
+        if gtid_mode
+        else [tuple(e[:3]) + (None,) for e in endpoints]
+    )
+    ep_df = one_row_per_partition(
+        spark, rows, "host string, port int, binlog_file string, gtid_set string"
+    )
     cols = ["file", "pos", "seq", "ts", "gtid", "schema", "tb", "row_type",
             "before", "after"]
 

@@ -356,9 +356,9 @@ def read_replication_changes(
     multi-database capture."""
     import pandas as pd
 
-    slot_df = spark.createDataFrame(
-        slots, "host string, port int, slot string"
-    ).repartition(max(len(slots), 1))
+    from ape_dts_spark.session import one_row_per_partition
+
+    slot_df = one_row_per_partition(spark, slots, "host string, port int, slot string")
     cols = ["file", "lsn", "seq", "ts", "xid", "schema", "tb", "row_type",
             "before", "after"]
 

@@ -52,7 +52,11 @@ class RespSocket:
 
     def __init__(self, sock: socket.socket):
         self.sock = sock
+        # pointer-based buffer: consuming a value advances ``_pos`` instead of
+        # re-slicing the buffer per read — a replication tail parses ~200k
+        # values per session and per-value buffer copies dominated the pull
         self._buf = b""
+        self._pos = 0
 
     # -- low-level reads ----------------------------------------------------
     def _recv(self, where: str) -> bytes:
@@ -66,17 +70,27 @@ class RespSocket:
             raise ValueError(f"connection closed {where}")
         return chunk
 
+    def _fill(self, where: str) -> None:
+        if self._pos:
+            self._buf = self._buf[self._pos :]
+            self._pos = 0
+        self._buf += self._recv(where)
+
     def read_exact(self, n: int) -> bytes:
-        while len(self._buf) < n:
-            self._buf += self._recv("mid-frame")
-        out, self._buf = self._buf[:n], self._buf[n:]
-        return out
+        while len(self._buf) - self._pos < n:
+            self._fill("mid-frame")
+        p = self._pos
+        self._pos = p + n
+        return self._buf[p : p + n]
 
     def read_line(self) -> bytes:
         """Bytes up to and including CRLF (returned without it)."""
-        while b"\r\n" not in self._buf:
-            self._buf += self._recv("mid-line")
-        line, self._buf = self._buf.split(b"\r\n", 1)
+        idx = self._buf.find(b"\r\n", self._pos)
+        while idx < 0:
+            self._fill("mid-line")
+            idx = self._buf.find(b"\r\n", self._pos)
+        line = self._buf[self._pos : idx]
+        self._pos = idx + 2
         return line
 
     # -- send ---------------------------------------------------------------
@@ -124,8 +138,52 @@ class RespSocket:
             if argc == -1:
                 return "nil", None, n
             items = []
+            read_line, read_exact = self.read_line, self.read_exact
             for _ in range(argc):
-                _, v, c = self.read_value()
+                # fast path: arrays of bulk strings are the whole replication
+                # command stream — parse inline instead of recursing
+                el = read_line()
+                if el[:1] == b"$":
+                    ln = int(el[1:])
+                    n += len(el) + 2
+                    if ln == -1:
+                        items.append(None)
+                        continue
+                    items.append(read_exact(ln + 2)[:-2])
+                    n += ln + 2
+                else:
+                    _, v, c = self._value_from_line(el)
+                    items.append(v)
+                    n += c
+            return "array", items, n
+        raise ValueError(f"unknown RESP type byte {t!r}")
+
+    def _value_from_line(self, line: bytes) -> tuple[str, object, int]:
+        """General-case parse of a value whose first line is already read
+        (the array fast path falls back here for non-bulk elements)."""
+        n = len(line) + 2
+        while line[:1] == b"\n":
+            line = line[1:]
+        t, body = line[:1], line[1:]
+        if t == b"+":
+            return "status", body.decode(), n
+        if t == b"-":
+            return "error", body.decode(), n
+        if t == b":":
+            return "int", int(body), n
+        if t == b"$":
+            ln = int(body)
+            if ln == -1:
+                return "nil", None, n
+            payload = self.read_exact(ln + 2)[:-2]
+            return "bulk", payload, n + ln + 2
+        if t == b"*":
+            argc = int(body)
+            if argc == -1:
+                return "nil", None, n
+            items = []
+            for _ in range(argc):
+                _, v, c = self._value_from_line(self.read_line())
                 items.append(v)
                 n += c
             return "array", items, n
@@ -345,9 +403,9 @@ def read_psync_tails(
     offset AFTER the command (checkpoint currency)."""
     import pandas as pd
 
-    node_df = spark.createDataFrame(nodes, "host string, port int").repartition(
-        max(len(nodes), 1)
-    )
+    from ape_dts_spark.session import one_row_per_partition
+
+    node_df = one_row_per_partition(spark, nodes, "host string, port int")
     cols = ["host", "port", "seq", "db_id", "cmd", "offset", "resumes"]
 
     def _pull(batches):
@@ -391,9 +449,9 @@ def read_psync_snapshots(
 
     from ape_dts_spark.sources.redis_rdb import parse_rdb_bytes
 
-    node_df = spark.createDataFrame(nodes, "host string, port int").repartition(
-        max(len(nodes), 1)
-    )
+    from ape_dts_spark.session import one_row_per_partition
+
+    node_df = one_row_per_partition(spark, nodes, "host string, port int")
 
     def _pull(batches):
         for pdf in batches:
