@@ -493,7 +493,10 @@ def compact_entries(entries: DataFrame) -> DataFrame:
         .select("db_id", "key", F.col("e.rtype").alias("e_op"), F.col("e.member").alias("e_kind"), F.col("e.value").alias("e_value"), F.col("e.seq").alias("e_seq"))
     )
 
-    # tombstone relation: every key with any key-level event (+ db flushes)
+    # tombstone relation: every key with any key-level event (+ db flushes).
+    # Persisted+materialized: FOUR downstream branches (strings, members,
+    # lists, TTL attach) join against it, and uncached each re-runs the
+    # distinct + two joins over the full entry set.
     tomb = (
         entries.select("db_id", "key").distinct()
         .join(flush, "db_id", "left")
@@ -510,7 +513,9 @@ def compact_entries(entries: DataFrame) -> DataFrame:
             "k_value",
             "k_seq",
         )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    tomb.count()
 
     strings = tomb.filter(
         (F.col("k_op") == "set") & (F.col("k_seq") > F.col("db_tomb_seq"))
