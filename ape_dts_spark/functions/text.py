@@ -1120,7 +1120,15 @@ def dsir_weights(
     bucket weight table broadcast (<= `buckets` rows), one doc-keyed agg.
     No shuffle grows with corpus size except the final per-doc agg.
     """
-    feats = _hashed_features(df, id_col, text_col, buckets)
+    from pyspark import StorageLevel
+
+    # persist: the raw-corpus feature relation feeds BOTH the bucket-count
+    # aggregation and the per-doc scoring join; uncached, the tokenize +
+    # per-ngram portable hash (the dominant cost) runs twice
+    feats = _hashed_features(df, id_col, text_col, buckets).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    feats.count()
     feats_t = _hashed_features(target, id_col, text_col, buckets)
     raw = feats.groupBy("bucket").agg(F.count(F.lit(1)).alias("rc"))
     tgt = feats_t.groupBy("bucket").agg(F.count(F.lit(1)).alias("tc"))
