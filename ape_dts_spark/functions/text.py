@@ -81,6 +81,20 @@ def shingles_sql(col: str, n: int = 5) -> str:
     )
 
 
+def char_fold_expr(s: str, n: int) -> str:
+    """portable_hash_expr of an EXACTLY-n-char string as flat scalar ops:
+    the same (acc*31 + code) % p fold, unrolled over substring/ascii calls
+    instead of split('') + transform + aggregate — identical value for any
+    input (the mod is applied per step), with no per-character array
+    allocations. Used where the shingle width is statically known."""
+    expr = f"ascii(substring({s}, 1, 1))"
+    for i in range(2, n + 1):
+        expr = (
+            f"(({expr}) * 31 + ascii(substring({s}, {i}, 1))) % {PORTABLE_HASH_P}"
+        )
+    return expr
+
+
 def hashed_shingles_expr(col: str, n: int = 5) -> str:
     """SQL expr: character n-grams of `col` hashed to BIGINT with the
     31-polynomial portable hash — the MMDS-standard shingle representation
@@ -92,9 +106,7 @@ def hashed_shingles_expr(col: str, n: int = 5) -> str:
     shingles into one id; the DuckDB twin hashes identically, so cross-engine
     results stay bit-exact."""
     return (
-        f"transform({shingles_expr(col, n)}, s -> "
-        f"aggregate(transform(split(s, ''), ch -> ascii(ch)), "
-        f"0L, (acc, c) -> (acc * 31 + c) % {PORTABLE_HASH_P}))"
+        f"transform({shingles_expr(col, n)}, s -> CAST({char_fold_expr('s', n)} AS BIGINT))"
     )
 
 
@@ -1930,7 +1942,7 @@ def langid_features(
         )
         .select(
             "_doc", "lang",
-            (F.expr(portable_hash_expr("g")) % dim).cast("int").alias("bucket"),
+            (F.expr(char_fold_expr("g", n)) % dim).cast("int").alias("bucket"),
         )
         .groupBy("_doc", "lang", "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -2007,7 +2019,7 @@ def langid_score(
     feats = (
         df.select(F.col(id_col).alias("_doc"), F.expr(norm_text_expr(text_col)).alias("_nt"))
         .select("_doc", F.explode(F.expr(shingles_expr("_nt", n))).alias("g"))
-        .select("_doc", (F.expr(portable_hash_expr("g")) % dim).cast("int").alias("bucket"))
+        .select("_doc", (F.expr(char_fold_expr("g", n)) % dim).cast("int").alias("bucket"))
         .groupBy("_doc", "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
