@@ -5807,7 +5807,11 @@ def q_phash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = demo.load(spark, sf_dir, "orders").select("o_orderkey").filter(
         F.col("o_orderkey") < 30000
     )
-    payloads = _spread(o, spark).mapInPandas(_phash_fixture_gen, "id long, payload binary")
+    from pyspark import StorageLevel as _SL
+
+    # persist: the old/new branches both run the PNG/JPEG-encoding fixture
+    # generator over every row otherwise (the filter sits above the kernel)
+    payloads = _spread(o, spark).mapInPandas(_phash_fixture_gen, "id long, payload binary").persist(_SL.MEMORY_AND_DISK)
     old_hashes = mm.image_phashes(payloads.filter(F.col("id") % 3 != 0))
     new_hashes = mm.image_phashes(payloads.filter(F.col("id") % 3 == 0))
     index = mm.phash_index(old_hashes)  # harness clears cached blocks per query
@@ -5850,7 +5854,10 @@ def q_video_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     Hamming verify, frame-dedup and offset votes). The oracle restates the
     planted window arithmetic restricted to pairs with an even member."""
     s = demo.load(spark, sf_dir, "supplier").select("s_suppkey")
-    payloads = _spread(s, spark).mapInPandas(_video_fixture_gen, "id long, payload binary")
+    from pyspark import StorageLevel as _SL
+
+    # persist: both branches re-ran the AVI-encoding fixture generator
+    payloads = _spread(s, spark).mapInPandas(_video_fixture_gen, "id long, payload binary").persist(_SL.MEMORY_AND_DISK)
     old_fps = mm.video_fingerprints(payloads.filter(F.col("id") % 2 != 0))
     new_fps = mm.video_fingerprints(payloads.filter(F.col("id") % 2 == 0))
     index = mm.video_fp_index(old_fps)  # harness clears cached blocks per query

@@ -926,8 +926,9 @@ def keep_representatives(
         .distinct()
         .localCheckpoint()
     )
+    und_n = und.count()
     if engine != "minlabel":
-        if engine == "star" or und.count() >= star_edge_threshold:
+        if engine == "star" or und_n >= star_edge_threshold:
             return _star_keep(
                 df, id_col,
                 und.select(F.col("id_a").alias("u"), F.col("id_b").alias("v")),
@@ -939,7 +940,22 @@ def keep_representatives(
         .unionByName(und.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .localCheckpoint()
     )
-    labels = nodes.select("node", F.col("node").alias("label")).localCheckpoint()
+    # Iterate ONLY over nodes with at least one edge: singletons keep their
+    # own label and never change, so excluding them bounds every round's
+    # label table by 2|E| instead of |V| (on a web corpus the dup graph is
+    # sparse — most nodes are singletons) and re-attaching them is one final
+    # left join. That bound also makes the label tables broadcast-safe
+    # whenever the edge count is small: the min-label path only runs below
+    # star_edge_threshold edges, so the per-round join of a <= 2|E|-row
+    # label table can skip the shuffle entirely; huge graphs take the star
+    # engine (or forced minlabel with a raised threshold) and keep
+    # shuffle joins.
+    conn = edges.select("src").distinct().select(F.col("src").alias("node"))
+    labels = conn.select("node", F.col("node").alias("label")).localCheckpoint()
+    small = und_n < 500_000
+
+    def _b(d: DataFrame) -> DataFrame:
+        return F.broadcast(d) if small else d
     # Convergence witness, one aggregate per round instead of the old
     # join-old-vs-new + filter + count (a full |V| shuffle per round).
     # Numeric ids: labels only ever DECREASE (pure min fold + least() jump),
@@ -968,7 +984,7 @@ def keep_representatives(
     prev_sum = _witness(labels)
     for _ in range(max_iter):
         neigh = edges.join(
-            labels.select(F.col("node").alias("dst"), F.col("label")), "dst"
+            _b(labels.select(F.col("node").alias("dst"), F.col("label"))), "dst"
         ).select(F.col("src").alias("node"), "label")
         stepped = (
             labels.unionByName(neigh)
@@ -976,11 +992,11 @@ def keep_representatives(
             .agg(F.min("label").alias("label"))
         )
         # pointer jumping: label <- label(label). Labels only decrease, and
-        # every label value is itself a node, so the inner lookup always
-        # resolves; least() guards the identity case.
+        # every label value is itself a (connected) node, so the inner lookup
+        # always resolves; least() guards the identity case.
         hop = stepped.select(F.col("node").alias("label"), F.col("label").alias("_l2"))
         new_labels = (
-            stepped.join(hop, "label")
+            stepped.join(_b(hop), "label")
             .select("node", F.least("label", "_l2").alias("label"))
             .localCheckpoint()
         )
@@ -994,7 +1010,14 @@ def keep_representatives(
             f"keep_representatives did not converge in {max_iter} rounds — "
             "raise max_iter (components deeper than 2^max_iter hops)"
         )
-    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("rep_id"))
+    # singletons (no edges) kept their own id; re-attach them in one join
+    return (
+        nodes.join(labels, "node", "left")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.coalesce("label", "node").alias("rep_id"),
+        )
+    )
 
 
 def keep_representatives_star(
