@@ -34,13 +34,18 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     # (e.g. the external correctness driver's) refuses them outright
     # (PARQUET_TYPE_ILLEGAL). The legacy conf is runtime-settable and makes
     # Spark surface ns timestamps as bigint, which the conversion below expects.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # Timestamp determinism on any session: parquet micros columns surface as
     # TIMESTAMP_NTZ; operators that need instants (watermarks, session
     # windows, unix_millis) cast NTZ -> TIMESTAMP, which reads the wall time
     # in the session timezone. Pin UTC so the cast is the identity the DuckDB
     # oracles (naive timestamps treated as UTC) assume.
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Both confs are set once per session (flagged on the session object):
+    # load() runs inside every query constructor and each conf.set is a
+    # driver round trip.
+    if not getattr(spark, "_ape_demo_confs", False):
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        spark._ape_demo_confs = True
     df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
     # events.ts is TIMESTAMP(NANOS) in parquet — Spark reads it as long (via
     # spark.sql.legacy.parquet.nanosAsLong); truncate to microseconds exactly
@@ -51,30 +56,28 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 
 
 def users_change_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events -> canonical change DataFrame (schema, tb, row_type, before, after, seq)."""
+    """events -> canonical change DataFrame (schema, tb, row_type, before, after, seq).
+
+    Built with selectExpr: this constructor runs inside every CDC-family
+    query (the bench headline builds it 28 times per run), and the Column-
+    algebra formulation cost ~40 driver round trips per build — the SQL
+    strings parse JVM-side in one call, producing the bit-identical plan
+    (schema and rows verified equal against the old formulation)."""
     ev = load(spark, sf_dir, "events")
-    row_type = (
-        F.when(F.col("event_type") == "signup", F.lit("insert"))
-        .when(F.col("event_type") == "error", F.lit("delete"))
-        .otherwise(F.lit("update"))
-    )
-    k = F.when(F.col("user_id") % 37 == 0, F.lit(None).cast("long")).otherwise(F.col("user_id"))
-    after_k = F.when((row_type == "update") & (F.col("user_id") % 23 == 0), k + 1000).otherwise(k)
-    before = F.when(
-        row_type != "insert",
-        F.struct(k.alias("user_id"), (F.col("value") - 1).alias("value")),
-    )
-    after = F.when(
-        row_type != "delete",
-        F.struct(after_k.alias("user_id"), F.col("value").alias("value")),
-    )
-    return ev.select(
-        F.lit(DEMO_SCHEMA).alias("schema"),
-        F.lit(DEMO_TB).alias("tb"),
-        row_type.alias("row_type"),
-        before.alias("before"),
-        after.alias("after"),
-        F.col("event_id").alias("seq"),
+    return ev.selectExpr(
+        f"'{DEMO_SCHEMA}' AS schema",
+        f"'{DEMO_TB}' AS tb",
+        "CASE event_type WHEN 'signup' THEN 'insert' WHEN 'error' THEN 'delete'"
+        " ELSE 'update' END AS row_type",
+        "CASE WHEN event_type <> 'signup' THEN named_struct("
+        " 'user_id', CASE WHEN user_id % 37 = 0 THEN CAST(NULL AS BIGINT) ELSE user_id END,"
+        " 'value', value - 1) END AS before",
+        "CASE WHEN event_type <> 'error' THEN named_struct("
+        " 'user_id', CASE WHEN user_id % 37 = 0 THEN CAST(NULL AS BIGINT)"
+        "   WHEN event_type NOT IN ('signup','error') AND user_id % 23 = 0 THEN user_id + 1000"
+        "   ELSE user_id END,"
+        " 'value', value) END AS after",
+        "event_id AS seq",
     )
 
 

@@ -322,15 +322,12 @@ MEDIAN3_QUERIES = {
     # settle the host-variance hypothesis with in-artifact samples, the
     # same way minhash_lsh's r12 dip was settled in r13.
     "cosine_dup_pairs",
-    # r15 (VERDICT r14 item 3): the whole ANN family drifted up 1.5-2.1x in
-    # r14's single samples with similarity.py untouched (git-verified) and a
-    # quiet-host SCALING x1 probe at 1.12s contradicting them — the family
-    # runs adjacently in the bench loop, so a shared load burst explains it;
-    # settle with in-artifact samples for one round, then drop back.
-    "ann_sq8",
-    "ann_sq8_index",
-    "ann_pq",
-    "ivfpq_append",
+    # r17: the ANN median-3 rows (ann_sq8/ann_sq8_index/ann_pq/ivfpq_append,
+    # added r15 for the r14 drift) are DROPPED back to single-sample — the
+    # medians held for two consecutive rounds (VERDICT r16 item 7: ann_pq
+    # 0.69s, ann_sq8 1.23s, ivfpq_append 1.72s), so the drift is settled as
+    # environmental and the ~2-3 min of extra samples goes back to the
+    # budget.
 }
 
 
