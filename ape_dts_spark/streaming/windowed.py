@@ -136,8 +136,20 @@ def _dedup_fn(key: tuple, pdfs, state: GroupState):
     # materializing the group's chunks is bounded: one key's events in one
     # micro-batch (state scope), not the whole stream
     chunks = list(pdfs)
-    whole = pd.concat(chunks) if chunks else pd.DataFrame()
-    if len(whole):
+    whole = chunks[0] if len(chunks) == 1 else (
+        pd.concat(chunks) if chunks else pd.DataFrame()
+    )
+    n = len(whole)
+    if n == 1:
+        # fast path: most keys see one event per micro-batch, and the
+        # sort/dedup machinery is pure overhead on a 1-row frame (this
+        # function runs once per key per trigger)
+        s = int(whole["seq"].values[0])
+        if s > last:
+            state.update((s,))
+            yield whole
+            return
+    elif n:
         fresh = whole.sort_values("seq").drop_duplicates("seq")
         fresh = fresh[fresh["seq"] > last]
         if len(fresh):
