@@ -286,13 +286,18 @@ def q_cdc_apply_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return replay_to_state(keyed, ["user_id"])
 
 
-def _keyed_users_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _keyed_users_stream(
+    spark: SparkSession, sf_dir: str, stream: DataFrame | None = None
+) -> DataFrame:
     """PK-consistent slice of the users change stream: no NULL keys, no
     key-changing updates (a real PK source can't emit those; the spill paths
     they exercise are gated by merge_spill + the streaming tests). Mirrored
     EXACTLY by the oracle-side _users_state_cte keyed filter — edit both
-    together. Shared by the subscription/streaming/DDL-barrier gates."""
-    stream = demo.users_change_stream(spark, sf_dir)
+    together. Shared by the subscription/streaming/DDL-barrier gates.
+    ``stream`` lets a caller that scans the stream several times pass a
+    persisted parse instead of re-deriving it."""
+    if stream is None:
+        stream = demo.users_change_stream(spark, sf_dir)
     return stream.filter(
         F.when(F.col("row_type") == "delete", F.col("before.user_id").isNotNull())
         .when(F.col("row_type") == "insert", F.col("after.user_id").isNotNull())
@@ -341,10 +346,17 @@ def q_subscription_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ape_dts_spark.sinks.parquet_table import ParquetTable
     from ape_dts_spark.streaming.subscription import DataSubscription
 
-    keyed = _keyed_users_stream(spark, sf_dir)
+    from pyspark.storagelevel import StorageLevel
+
+    # The two-batch flow scans the parsed stream five times (mid readout +
+    # compacted/spilled materialization per batch); persist the parse once —
+    # the mid aggregation is the materializing action. Unpersisted before
+    # return: the feed reads the committed parquet versions, not the stream.
+    stream = demo.users_change_stream(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    keyed = _keyed_users_stream(spark, sf_dir, stream=stream)
     # mid from the FULL stream's max seq — the oracle's MAX(seq) is over the
     # unfiltered stream CTE, and the max-seq event may be key-unstable
-    mid = demo.users_change_stream(spark, sf_dir).agg(F.max("seq")).first()[0] // 2
+    mid = stream.agg(F.max("seq")).first()[0] // 2
     payload = T.StructType(
         [T.StructField("user_id", T.LongType()), T.StructField("value", T.DoubleType())]
     )
@@ -352,15 +364,18 @@ def q_subscription_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     table = ParquetTable(spark, os.path.join(root, "users"), payload)
     sub = DataSubscription(table, ["user_id"], os.path.join(root, "positions"), consumer="gate")
 
-    compacted, spilled = compact_changes(keyed.filter(F.col("seq") <= mid), ["user_id"])
-    table.merge_apply(compacted, spilled, ["user_id"])
-    _, v = sub.fetch_new()  # serves (-1, v0]
-    sub.ack(v)  # batch 1 durable downstream
+    try:
+        compacted, spilled = compact_changes(keyed.filter(F.col("seq") <= mid), ["user_id"])
+        table.merge_apply(compacted, spilled, ["user_id"])
+        _, v = sub.fetch_new()  # serves (-1, v0]
+        sub.ack(v)  # batch 1 durable downstream
 
-    compacted, spilled = compact_changes(keyed.filter(F.col("seq") > mid), ["user_id"])
-    table.merge_apply(compacted, spilled, ["user_id"])
-    sub.fetch_new()  # consumer crashes between fetch and ack...
-    feed, _ = sub.fetch_old()  # ...and replays the un-acked window
+        compacted, spilled = compact_changes(keyed.filter(F.col("seq") > mid), ["user_id"])
+        table.merge_apply(compacted, spilled, ["user_id"])
+        sub.fetch_new()  # consumer crashes between fetch and ack...
+        feed, _ = sub.fetch_old()  # ...and replays the un-acked window
+    finally:
+        stream.unpersist()
     return feed.select(
         "row_type",
         F.col("before.user_id").alias("before_user_id"),
@@ -392,8 +407,12 @@ def q_subscription_http_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ape_dts_spark.sinks.parquet_table import ParquetTable
     from ape_dts_spark.streaming.subscription import DataSubscription
 
-    keyed = _keyed_users_stream(spark, sf_dir)
-    mid = demo.users_change_stream(spark, sf_dir).agg(F.max("seq")).first()[0] // 2
+    from pyspark.storagelevel import StorageLevel
+
+    # same five-scan shape as q_subscription_feed: persist the parse once
+    stream = demo.users_change_stream(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    keyed = _keyed_users_stream(spark, sf_dir, stream=stream)
+    mid = stream.agg(F.max("seq")).first()[0] // 2
     payload = T.StructType(
         [T.StructField("user_id", T.LongType()), T.StructField("value", T.DoubleType())]
     )
@@ -439,6 +458,7 @@ def q_subscription_http_live(spark: SparkSession, sf_dir: str) -> DataFrame:
             raise ValueError(f"unknown endpoint returned {status}, want 404")
     finally:
         server.shutdown()
+        stream.unpersist()
 
     rows = [
         (
@@ -1604,11 +1624,20 @@ def q_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ape_dts_spark.streaming.cdc import read_json_change_stream
     from ape_dts_spark.streaming.windowed import stateful_seq_dedup
 
+    from pyspark.storagelevel import StorageLevel
+
     root = tempfile.mkdtemp(prefix="ape_sdedup_")
     src = os.path.join(root, "src")
-    lines = _users_debezium_lines(_keyed_users_stream(spark, sf_dir))
-    lines.write.mode("overwrite").text(src)
-    lines.write.mode("append").text(src)  # the at-source replay copy
+    # persist: the two writes below would otherwise each execute the whole
+    # parse -> filter -> to_json -> repartition subtree
+    lines = _users_debezium_lines(_keyed_users_stream(spark, sf_dir)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    try:
+        lines.write.mode("overwrite").text(src)
+        lines.write.mode("append").text(src)  # the at-source replay copy
+    finally:
+        lines.unpersist()
 
     payload = T.StructType(
         [T.StructField("user_id", T.LongType()), T.StructField("value", T.DoubleType())]
@@ -1654,8 +1683,14 @@ def q_ddl_in_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ape_dts_spark.sinks.parquet_table import ParquetTable
     from ape_dts_spark.streaming.cdc import CdcPipeline
 
-    mid = demo.users_change_stream(spark, sf_dir).agg(F.max("seq")).first()[0] // 2
-    keyed = _keyed_users_stream(spark, sf_dir).withColumn("ts", F.lit(None).cast("timestamp"))
+    from pyspark.storagelevel import StorageLevel
+
+    # one parse of the stream serves the mid readout and both batch slices
+    stream = demo.users_change_stream(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    mid = stream.agg(F.max("seq")).first()[0] // 2
+    keyed = _keyed_users_stream(spark, sf_dir, stream=stream).withColumn(
+        "ts", F.lit(None).cast("timestamp")
+    )
 
     payload = T.StructType(
         [T.StructField("user_id", T.LongType()), T.StructField("value", T.DoubleType())]
@@ -1704,6 +1739,7 @@ def q_ddl_in_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     pipe.apply_batch(b1, batch_id=1)
+    stream.unpersist()
     return table.current().select("user_id", "value", "tier")
 
 
@@ -2658,10 +2694,12 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     its near-dup connected component (minhash pairs at J>=0.95) — the output
     shape a training pipeline consumes (keep WHERE doc_id = rep_id), linear
     in docs where the pair list is quadratic in group size. Engine is
-    auto-routed: dense graphs (>=50k edges; sf0.1's near-clique 186k-edge
-    graph qualifies) run the large-star/small-star engine whose edge set
-    shrinks per round, sparse graphs the min-label pointer-jumping path —
-    identical contract, same oracle."""
+    auto-routed by edge count: metadata-sized edge sets (<=2M pairs — the
+    broadcast-join size judgment; sf0.1's 186k-edge graph qualifies) are
+    solved by union-find in ONE task, huge dense graphs run the
+    large-star/small-star engine whose edge set shrinks per round, huge
+    sparse graphs the min-label pointer-jumping path — identical contract,
+    same oracle."""
     d = demo.load(spark, sf_dir, "documents")
     pairs = dd.minhash_lsh_pairs(d, "doc_id", "text", threshold=0.95)
     return dd.keep_representatives(d, "doc_id", pairs)

@@ -868,6 +868,69 @@ def minhash_lsh_pairs(
     return within.unionByName(cross)
 
 
+def _single_task_labels(und: DataFrame, id_type) -> DataFrame:
+    """Connected-component labels computed in ONE Spark task.
+
+    The canonical edge set is *metadata* — two ids per row, a few bytes each
+    — exactly the "decide with small rows" shape of the optimization guide's
+    worked example: when the whole decision table fits comfortably in a
+    single task (the same size judgment a broadcast join makes), the
+    round-per-hop distributed loops are pure overhead. `coalesce(1)` is a
+    narrow dependency (no shuffle); the task streams the edge batches
+    through a union-find with path halving + union-by-size and emits
+    (node, label = min id of the component) for every non-singleton node —
+    bounded by 2|E| rows, so the result is broadcast-safe by construction.
+    Deterministic: the representative is a pure min over the component
+    (Python's str ordering is code-point order == Spark's UTF8 binary
+    ordering, and numeric ids compare identically), so the output is
+    bit-identical to the iterative engines.
+    """
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [T.StructField("node", id_type), T.StructField("label", id_type)]
+    )
+
+    def cc(batches):
+        import pandas as pd
+
+        parent: dict = {}
+        size: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for pdf in batches:
+            for a, b in zip(pdf["id_a"].tolist(), pdf["id_b"].tolist()):
+                for v in (a, b):
+                    if v not in parent:
+                        parent[v] = v
+                        size[v] = 1
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    if size[ra] < size[rb]:
+                        ra, rb = rb, ra
+                    parent[rb] = ra
+                    size[ra] += size[rb]
+        if not parent:
+            return
+        rep: dict = {}
+        nodes = list(parent)
+        roots = [find(v) for v in nodes]
+        for v, r in zip(nodes, roots):
+            cur = rep.get(r)
+            if cur is None or v < cur:
+                rep[r] = v
+        yield pd.DataFrame({"node": nodes, "label": [rep[r] for r in roots]})
+
+    return und.coalesce(1).mapInPandas(cc, schema)
+
+
 def keep_representatives(
     df: DataFrame,
     id_col: str,
@@ -875,6 +938,7 @@ def keep_representatives(
     max_iter: int = 25,
     engine: str = "auto",
     star_edge_threshold: int = 50_000,
+    single_task_edge_threshold: int | None = None,
 ) -> DataFrame:
     """Cluster/keep-list output for the dedup family: (doc_id, rep_id) where
     rep_id = the minimum doc id in the document's near-duplicate connected
@@ -882,15 +946,19 @@ def keep_representatives(
 
     ``engine``: ``"auto"`` (default) counts the deduped edge list (already
     materialized by the checkpoint, so the count is a metadata-cheap job) and
-    routes dense graphs — ``|edges| >= star_edge_threshold`` — to
-    :func:`keep_representatives_star`, whose per-round edge set SHRINKS and
-    whose hub neighborhoods split across reducers; min-label propagation
+    routes by scale: an edge set at or below ``single_task_edge_threshold``
+    (default ``$SPARK_GRAFT_CC_SINGLE_TASK_EDGES`` or 2M — tens of MB of id
+    pairs, the same size judgment a broadcast join makes) is solved in ONE
+    task by :func:`_single_task_labels` (union-find over the metadata-sized
+    edge list; zero per-round shuffles); larger graphs route dense —
+    ``|edges| >= star_edge_threshold`` — to :func:`keep_representatives_star`,
+    whose per-round edge set SHRINKS and whose hub neighborhoods split
+    across reducers, and sparse graphs to min-label propagation (which
     re-shuffles the FULL edge list every round, so on a duplicate-heavy
-    corpus (sf0.1 near-clique graph: 186k edges over 5k docs) it pays
-    ~rounds x |E| where star pays ~sum of a geometrically decaying series.
-    ``"minlabel"`` / ``"star"`` force a path. Contract is identical on all
-    paths (pure min over the component), so the routing is invisible to
-    callers and oracles.
+    corpus it pays ~rounds x |E| where star pays ~sum of a geometrically
+    decaying series). ``"minlabel"`` / ``"star"`` force a path. Contract is
+    identical on all paths (pure min over the component), so the routing is
+    invisible to callers and oracles.
 
     This is the shape a training pipeline actually consumes — ``keep rows
     WHERE doc_id = rep_id`` — and sidesteps the pair list's quadratic output
@@ -916,29 +984,41 @@ def keep_representatives(
     """
     if engine not in ("auto", "minlabel", "star"):
         raise ValueError(f"keep_representatives: unknown engine {engine!r}")
+    if single_task_edge_threshold is None:
+        import os
+
+        single_task_edge_threshold = int(
+            os.environ.get("SPARK_GRAFT_CC_SINGLE_TASK_EDGES", "2000000")
+        )
     # canonical undirected edge set, materialized ONCE and shared by whichever
-    # engine runs (routing must not force pairs — often an LSH join — twice)
+    # engine runs (routing must not force pairs — often an LSH join — twice;
+    # lazy checkpoint: the routing count is the materializing action)
     und = (
         pairs.select(
             F.greatest("id_a", "id_b").alias("id_a"), F.least("id_a", "id_b").alias("id_b")
         )
         .filter(F.col("id_a") != F.col("id_b"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     und_n = und.count()
+    nodes = df.select(F.col(id_col).alias("node")).distinct()
+    if engine == "auto" and und_n <= single_task_edge_threshold:
+        labels = _single_task_labels(und, df.schema[id_col].dataType)
+        return nodes.join(F.broadcast(labels), "node", "left").select(
+            F.col("node").alias("doc_id"),
+            F.coalesce("label", "node").alias("rep_id"),
+        )
     if engine != "minlabel":
         if engine == "star" or und_n >= star_edge_threshold:
             return _star_keep(
                 df, id_col,
                 und.select(F.col("id_a").alias("u"), F.col("id_b").alias("v")),
             )
-
-    nodes = df.select(F.col(id_col).alias("node")).distinct()
     edges = (
         und.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(und.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     # Iterate ONLY over nodes with at least one edge: singletons keep their
     # own label and never change, so excluding them bounds every round's
@@ -951,7 +1031,11 @@ def keep_representatives(
     # engine (or forced minlabel with a raised threshold) and keep
     # shuffle joins.
     conn = edges.select("src").distinct().select(F.col("src").alias("node"))
-    labels = conn.select("node", F.col("node").alias("label")).localCheckpoint()
+    # lazy checkpoints throughout the loop: the convergence witness is the
+    # first action over each round's label table, so ONE job both
+    # materializes the checkpoint and computes the witness (the old eager
+    # checkpoint + separate witness collect paid two jobs per round)
+    labels = conn.select("node", F.col("node").alias("label")).localCheckpoint(eager=False)
     small = und_n < 500_000
 
     def _b(d: DataFrame) -> DataFrame:
@@ -998,7 +1082,7 @@ def keep_representatives(
         new_labels = (
             stepped.join(_b(hop), "label")
             .select("node", F.least("label", "_l2").alias("label"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         cur_sum = _witness(new_labels)
         labels = new_labels
@@ -1054,7 +1138,7 @@ def keep_representatives_star(
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     return _star_keep(df, id_col, edges, max_iter=max_iter)
 
@@ -1097,9 +1181,11 @@ def _star_keep(
             .unionByName(sm.select("u", F.col("mn").alias("v")))
             .filter(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        # convergence: the edge multiset is stable (order-free signature)
+        # convergence: the edge multiset is stable (order-free signature).
+        # The signature collect is the action that materializes the lazy
+        # checkpoint above — one job per round instead of two.
         sig = star.agg(
             F.count(F.lit(1)).alias("n"),
             F.expr("bit_xor(xxhash64(u, v))").alias("h"),

@@ -621,7 +621,8 @@ def test_keep_representatives_long_chain_converges(spark):
     docs = spark.createDataFrame([(i,) for i in range(n)], ["doc_id"])
     pairs = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], ["id_a", "id_b"])
     out = {r["doc_id"]: r["rep_id"] for r in
-           dd.keep_representatives(docs, "doc_id", pairs, max_iter=15).collect()}
+           dd.keep_representatives(docs, "doc_id", pairs, max_iter=15,
+                                   engine="minlabel").collect()}
     assert all(v == 0 for v in out.values())
 
 
@@ -638,14 +639,18 @@ def test_keep_representatives_string_ids_converge(spark):
         [(ids[i], ids[i + 1]) for i in range(6)], ["id_a", "id_b"]
     )
     out = {r["doc_id"]: r["rep_id"] for r in
-           dd.keep_representatives(docs, "doc_id", pairs).collect()}
+           dd.keep_representatives(docs, "doc_id", pairs,
+                                   engine="minlabel").collect()}
     assert all(v == "d-00" for v in out.values()), out
-    # numeric strings: min is LEXICOGRAPHIC ('10' < '2' < '9')
+    # numeric strings: min is LEXICOGRAPHIC ('10' < '2' < '9') — on BOTH the
+    # iterative engine and the single-task union-find (default auto route,
+    # whose Python min must agree with Spark's UTF8 ordering)
     docs2 = spark.createDataFrame([("9",), ("10",), ("2",)], ["doc_id"])
     pairs2 = spark.createDataFrame([("9", "10"), ("10", "2")], ["id_a", "id_b"])
-    out2 = {r["doc_id"]: r["rep_id"] for r in
-            dd.keep_representatives(docs2, "doc_id", pairs2).collect()}
-    assert out2 == {"9": "10", "10": "10", "2": "10"}, out2
+    for kw in ({"engine": "minlabel"}, {"engine": "auto"}):
+        out2 = {r["doc_id"]: r["rep_id"] for r in
+                dd.keep_representatives(docs2, "doc_id", pairs2, **kw).collect()}
+        assert out2 == {"9": "10", "10": "10", "2": "10"}, (kw, out2)
 
 
 def test_star_components_matches_jump_engine(spark):
@@ -666,8 +671,9 @@ def test_star_components_matches_jump_engine(spark):
 
 
 def test_keep_representatives_engine_routing(spark):
-    """engine= forcing and the auto edge-count threshold all land on the same
-    labels; a tiny threshold provably routes auto through the star core."""
+    """engine= forcing and the auto thresholds all land on the same labels;
+    tiny/huge thresholds provably route auto through every core (single-task
+    union-find, star, minlabel)."""
     docs = spark.createDataFrame([(i,) for i in range(1, 12)], ["doc_id"])
     pairs = spark.createDataFrame(
         [(1, 2), (2, 3), (5, 6), (6, 7), (7, 5), (9, 8), (10, 11), (2, 1)],
@@ -677,8 +683,11 @@ def test_keep_representatives_engine_routing(spark):
     for kw in (
         {"engine": "minlabel"},
         {"engine": "star"},
-        {"engine": "auto", "star_edge_threshold": 1},  # auto -> star core
-        {"engine": "auto", "star_edge_threshold": 10**9},  # auto -> minlabel
+        {"engine": "auto"},  # auto -> single-task union-find (7 edges << 2M)
+        {"engine": "auto", "single_task_edge_threshold": 0,
+         "star_edge_threshold": 1},  # auto -> star core
+        {"engine": "auto", "single_task_edge_threshold": 0,
+         "star_edge_threshold": 10**9},  # auto -> minlabel
     ):
         got = {r["doc_id"]: r["rep_id"] for r in
                dd.keep_representatives(docs, "doc_id", pairs, **kw).collect()}
@@ -686,6 +695,31 @@ def test_keep_representatives_engine_routing(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         dd.keep_representatives(docs, "doc_id", pairs, engine="boop")
+
+
+def test_single_task_cc_matches_iterative_engines(spark):
+    """The single-task union-find route is bit-identical to the distributed
+    engines on a pseudo-random multi-component graph (chains, cliques,
+    duplicate and reversed edges, singletons)."""
+    import random
+
+    rng = random.Random(17)
+    edges = []
+    for base in range(0, 400, 40):  # 10 components of mixed shape
+        ids = list(range(base, base + 30))
+        rng.shuffle(ids)
+        edges += [(ids[i], ids[i + 1]) for i in range(len(ids) - 1)]
+        edges += [(rng.choice(ids), rng.choice(ids)) for _ in range(15)]
+    edges += [(b, a) for a, b in rng.sample(edges, 50)]  # reversed dups
+    docs = spark.createDataFrame([(i,) for i in range(420)], ["doc_id"])
+    pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+    local = {r["doc_id"]: r["rep_id"] for r in
+             dd.keep_representatives(docs, "doc_id", pairs).collect()}
+    star = {r["doc_id"]: r["rep_id"] for r in
+            dd.keep_representatives(docs, "doc_id", pairs, engine="star").collect()}
+    assert local == star
+    # singletons (400..419) keep themselves
+    assert all(local[i] == i for i in range(400, 420))
 
 
 def test_star_components_long_path_round_bound(spark):
