@@ -2876,10 +2876,16 @@ def q_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tier") != "tail"
     )
     survivors = gated.join(tiers.select("doc_id", "tier"), "doc_id")
+    from pyspark.storagelevel import StorageLevel
+
+    # persist: temperature_mix's quota/rank subtrees and the final join each
+    # reference `deduped`, and every uncached reference re-runs the gopher ->
+    # ccnet-LM -> window chain above
     deduped = (
         survivors.withColumn("_m", F.min("doc_id").over(W.partitionBy("text")))
         .filter(F.col("doc_id") == F.col("_m"))
         .drop("_m")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     mixed = mx.temperature_mix(deduped, "doc_id", "source", total_docs=120)
     return (
@@ -4937,8 +4943,15 @@ def q_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     target = cleaned.filter(F.col("lang") == "en")
-    selected = txt.dsir_sample(cleaned, target, k=250)
-    pool = cleaned.join(selected.select("doc_id"), "doc_id")
+    # persist the tiny (k-row) selection: unimax_sample references its input
+    # from ~5 subtrees (water-level broadcasts + ranking), and each would
+    # otherwise re-run the whole DSIR stage (measured 50 jobs -> ~10 for
+    # stage 3)
+    selected = (
+        txt.dsir_sample(cleaned, target, k=250)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    pool = cleaned.join(F.broadcast(selected.select("doc_id")), "doc_id")
     return mxg.unimax_sample(pool, budget=150, max_epochs=2)
 
 

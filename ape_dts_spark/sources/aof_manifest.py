@@ -156,7 +156,13 @@ def read_aof_manifest(spark: SparkSession, aof_dir: str, expire_base_ms: int | N
 
     parts = []
     for name in base_files:
-        parsed = rdb.read_rdb_files(spark, os.path.join(aof_dir, name))
+        # base_state_to_entries fans into two branches (data + expire);
+        # persist the one-task binary parse so it runs once, not per branch
+        from pyspark import StorageLevel
+
+        parsed = rdb.read_rdb_files(spark, os.path.join(aof_dir, name)).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
         if expire_base_ms is not None:
             exp = F.when(
                 F.col("expire_ms").isNotNull(),
