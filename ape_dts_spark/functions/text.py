@@ -1285,6 +1285,10 @@ def _bpe_train(df: DataFrame, text_col: str, k: int):
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+    # lazy checkpoints throughout the loop: each step's winner collect is the
+    # first action over the current symbol relation, so ONE job both
+    # materializes the checkpoint and picks the winner (eager checkpointing
+    # paid a separate job per step)
     syms = words.select(
         "word",
         "cnt",
@@ -1292,7 +1296,7 @@ def _bpe_train(df: DataFrame, text_col: str, k: int):
             F.expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"),
             F.array(F.lit(BPE_END_OF_WORD)),
         ).alias("syms"),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     merges = []
     for step in range(1, k + 1):
         pairs = syms.select(
@@ -1316,7 +1320,9 @@ def _bpe_train(df: DataFrame, text_col: str, k: int):
             break
         a, b, freq = top[0]["a"], top[0]["b"], int(top[0]["freq"])
         merges.append((step, a, b, freq))
-        syms = syms.withColumn("syms", _bpe_merge_fold("syms", a, b)).localCheckpoint()
+        syms = syms.withColumn("syms", _bpe_merge_fold("syms", a, b)).localCheckpoint(
+            eager=False
+        )
     return merges, syms
 
 
@@ -1552,7 +1558,9 @@ def perceptron_train(
         .select("_doc", "y", (F.expr(portable_hash_expr("tok")) % dim).cast("int").alias("bucket"))
         .groupBy("_doc", "y", "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .localCheckpoint()
+        # lazy: iteration 1's scored-broadcast build is the materializing
+        # action (one job instead of a separate eager-checkpoint job)
+        .localCheckpoint(eager=False)
     )
     w = [0] * dim
     for _ in range(iters):
@@ -1971,7 +1979,9 @@ def langid_train(
     unchanged row-for-row, so the unrolled DuckDB twin still matches
     bit-exact. Classes are a user-supplied tuple (a model hyperparameter,
     like dim) so the oracle can unroll them."""
-    feats = langid_features(df, id_col, label_col, text_col, n, dim).localCheckpoint()
+    feats = langid_features(df, id_col, label_col, text_col, n, dim).localCheckpoint(
+        eager=False
+    )
     k = len(langs)
     langs_arr = F.array(*[F.lit(c) for c in langs])
     fc = feats.withColumn(
@@ -2242,7 +2252,9 @@ def _wordpiece_train(df: DataFrame, text_col: str, k: int):
     relation). Each step: symbol freqs + adjacent-pair freqs (two hash
     aggs), winner = max fixed-point likelihood score (ties: lexicographic),
     greedy re-segment. Only the single winning row hits the driver."""
-    syms = _wordpiece_syms(df, text_col).localCheckpoint()
+    # lazy checkpoints: the per-step winner collect materializes the symbol
+    # relation in the same job (see _bpe_train)
+    syms = _wordpiece_syms(df, text_col).localCheckpoint(eager=False)
     merges = []
     for step in range(1, k + 1):
         symfreq = (
@@ -2288,7 +2300,9 @@ def _wordpiece_train(df: DataFrame, text_col: str, k: int):
             break
         a, b = top[0]["a"], top[0]["b"]
         merges.append((step, a, b, int(top[0]["pf"]), int(top[0]["score_q"])))
-        syms = syms.withColumn("syms", _wordpiece_merge_fold("syms", a, b)).localCheckpoint()
+        syms = syms.withColumn("syms", _wordpiece_merge_fold("syms", a, b)).localCheckpoint(
+            eager=False
+        )
     return merges, syms
 
 

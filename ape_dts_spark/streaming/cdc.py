@@ -401,7 +401,13 @@ class CdcPipeline:
         # otherwise re-execute the whole micro-batch subtree (source parse +
         # streaming state read), measured ~4-6 executions per batch.
         batch = self._prepare(batch).persist(StorageLevel.MEMORY_AND_DISK)
-        n_events = batch.count()
+        # ONE materializing job yields the event count AND the heartbeat
+        # readout (max seq / max ts) the metrics block needs at the end —
+        # the old separate count + agg paid two jobs per micro-batch
+        _stats = batch.agg(
+            F.count(F.lit(1)).alias("n"), F.max("seq").alias("m"), F.max("ts").alias("t")
+        ).collect()[0]
+        n_events = _stats["n"]
         throttle_sec = 0.0
         if self.limiter is not None:
             throttle_sec = (
@@ -446,7 +452,7 @@ class CdcPipeline:
             lo = hi
         self.target.record_batch(self.stream_id, batch_id)
         check = self._inline_check(batch) if self.inline_check else {}
-        max_ts = batch.agg(F.max("seq").alias("m"), F.max("ts").alias("t")).collect()[0]
+        max_ts = _stats
         batch.unpersist()
         lag = (time.time() - max_ts["t"].timestamp()) if max_ts["t"] is not None else None
         if self.monitor is not None:
