@@ -130,12 +130,19 @@ def check_with_retries(
     attempt are the report."""
     report = check_diff(src, fetch_dst(0), key_cols, compare_cols)
     for attempt in range(1, max_retries + 1):
-        pending = report.select(*key_cols).distinct()
+        # lazy checkpoint: the first broadcast build materializes the pending
+        # key set (cutting the attempt-chained lineage), the second broadcast
+        # and next attempt's reference reuse it — the previous diff no longer
+        # re-executes once per consumer
+        pending = report.select(*key_cols).distinct().localCheckpoint(eager=False)
         src_sub = src.join(F.broadcast(pending), on=key_cols, how="left_semi")
         dst_sub = fetch_dst(attempt).join(F.broadcast(pending), on=key_cols, how="left_semi")
-        # the retry subset is driver-bounded by construction; checkpoint cuts
-        # the attempt-chained lineage like the iterative-CC loop
-        report = check_diff(src_sub, dst_sub, key_cols, compare_cols).localCheckpoint()
+        # the retry subset is driver-bounded by construction; lazy again: the
+        # take(1) convergence witness is the materializing action (one job per
+        # attempt instead of an eager-checkpoint job plus the take)
+        report = check_diff(src_sub, dst_sub, key_cols, compare_cols).localCheckpoint(
+            eager=False
+        )
         if not report.take(1):
             break
     if ledger is not None:
