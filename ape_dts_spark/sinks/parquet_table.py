@@ -318,20 +318,33 @@ class ParquetTable:
         compacted = compacted.persist(StorageLevel.MEMORY_AND_DISK)
         spilled = spilled.persist(StorageLevel.MEMORY_AND_DISK)
         try:
-            compacted.count()
+            n_comp = compacted.count()
             n_spill = spilled.count()
 
             state = self.current()
-            changed_keys = compacted.select(*[F.col(k) for k in key_cols]).distinct()
+            # no distinct: compacted is one row per (schema, tb, key) by
+            # compact_changes construction, and anti-join semantics are
+            # unaffected by duplicate build rows — the distinct only added an
+            # exchange + two hash aggregates to every apply
+            changed_keys = compacted.select(*[F.col(k) for k in key_cols])
             kept = state.join(changed_keys, key_cols, "left_anti")
+            # right-size the batch branch of the write: the upsert images
+            # inherit the compaction shuffle's width (session cores), so a
+            # small CDC batch otherwise adds cores-many tiny files per
+            # version and every subsequent read/diff pays the file opens.
+            # The batch's own row count (already materialized) sizes the
+            # narrow coalesce; the kept branch keeps the table's layout.
+            n_files = max(1, math.ceil(n_comp / 1_000_000))
             upserts = compacted.filter(F.col("op") == "upsert").select(
                 *self._image_cols(compacted, "after")
-            )
+            ).coalesce(n_files)
             state = kept.unionByName(upserts)
             if n_spill:
                 # empty spill set -> the two anti-joins are no-ops; skip the
                 # broadcast exchanges entirely (most CDC batches spill nothing)
-                state = self._replay_spill(state, spilled, key_cols)
+                state = self._replay_spill(
+                    state, spilled, key_cols, max(1, math.ceil(n_spill / 1_000_000))
+                )
 
             version = meta["version"] + 1
             vdir = os.path.join(self.path, f"v{version}")
@@ -360,7 +373,9 @@ class ParquetTable:
             for f in self.payload_schema.fields
         ]
 
-    def _replay_spill(self, state: DataFrame, spilled: DataFrame, key_cols: list[str]) -> DataFrame:
+    def _replay_spill(
+        self, state: DataFrame, spilled: DataFrame, key_cols: list[str], n_files: int = 1
+    ) -> DataFrame:
         """Serial-equivalent replay of the unmergeable spill rows, set-based.
 
         The reference applies spill rows one-by-one through a single sinker
@@ -400,7 +415,9 @@ class ParquetTable:
 
         inserts = spilled.filter(
             (F.col("row_type") != ROW_TYPE_DELETE) & F.col("after").isNotNull()
-        ).select(*self._image_cols(spilled, "after"), F.col("seq").alias(seq_c))
+        ).select(*self._image_cols(spilled, "after"), F.col("seq").alias(seq_c)).coalesce(
+            n_files  # same batch-sized file sizing as the upsert branch
+        )
 
         rows = state.withColumn(seq_c, F.lit(-1).cast("long")).unionByName(
             inserts.select(*payload_cols, seq_c)

@@ -121,7 +121,13 @@ class DataSubscription:
                 self.wfile.write(body)
 
             def _rows(self, df: DataFrame, version: int):
-                rows = [r.asDict(recursive=True) for r in df.collect()]
+                # Arrow collect (df.toArrow) + to_pylist: the same
+                # list-of-dicts (nested structs -> dicts, Python-native
+                # scalars) as Row.asDict(recursive=True), minus the
+                # row-at-a-time pickle + per-row dict rebuild — the facade
+                # collects whole change batches, so the driver transfer
+                # dominates the endpoint (guide: Arrow for driver transfers)
+                rows = df.toArrow().to_pylist()
                 self._json({"version": version, "events": rows})
 
             def do_GET(self):
