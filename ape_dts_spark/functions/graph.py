@@ -57,14 +57,23 @@ def pagerank(
     # exponential in depth). localCheckpoint is the local[*] stand-in for
     # the reliable-storage checkpoint a 100 TB run would take every few
     # iterations anyway.
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).localCheckpoint()
+    # all checkpoints below are LAZY (eager=False): the plan stays flat (the
+    # DataFrame wraps the checkpoint RDD either way) but materialization rides
+    # the first consuming action — n = nodes.count() pays for e+nodes, the
+    # first iteration's join for outdeg, the caller's action for the rank
+    # chain — instead of one scheduling round trip per checkpoint
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).localCheckpoint(
+        eager=False
+    )
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
-    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).localCheckpoint()
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).localCheckpoint(
+        eager=False
+    )
     # N is a driver-side scalar: one tiny count, read once, reused each
     # iteration (keeps every iteration's plan free of an extra join)
     n = nodes.count()
@@ -75,7 +84,7 @@ def pagerank(
     teleport = (PR_SCALE * (PR_DAMP_DEN - PR_DAMP_NUM)) // PR_DAMP_DEN // n
     ranks = nodes.withColumn(
         "rank_fp", F.lit(PR_SCALE // n).cast("long")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     for _ in range(iterations):
         contribs = (
             e.join(ranks.withColumnRenamed("node", "src"), "src")
@@ -106,7 +115,7 @@ def pagerank(
                     f" + share) * {PR_DAMP_NUM}) div {PR_DAMP_DEN} AS BIGINT)"
                 ).alias("rank_fp"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     return ranks
 

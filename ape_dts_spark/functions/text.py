@@ -1723,7 +1723,8 @@ def _unigram_train(
     Pruning schedule: seed 4x target, shrink linearly to vocab_size by the
     last round; the char alphabet is never pruned (coverage floor, as in
     SentencePiece's required character set)."""
-    chunks = _unigram_chunks(df, text_col, max_word).localCheckpoint()
+    # lazy: the seed-candidate collects are the materializing action
+    chunks = _unigram_chunks(df, text_col, max_word).localCheckpoint(eager=False)
     seed_size = 4 * vocab_size
     cand = (
         chunks.select(
