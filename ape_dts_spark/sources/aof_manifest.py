@@ -154,15 +154,31 @@ def read_aof_manifest(spark: SparkSession, aof_dir: str, expire_base_ms: int | N
     base_files = [n for n, _s, t in listing if t == "b"]
     incr_files = [n for n, _s, t in listing if t == "i"]
 
+    # An AOF directory holds FEW files (one base + a handful of incrs), and
+    # binaryFile/text scans give one task per file — so the entry derivation
+    # (and the compaction's persisted cache) runs at file-count parallelism
+    # regardless of box size. Re-spread each parse right after the
+    # unsplittable-file read, sized by the FILE'S BYTES (~1 MiB of source
+    # bytes per task of downstream derivation), capped at the session width:
+    # a production-sized AOF file fans out, while a tiny file keeps its one
+    # partition and skips the exchange (over-splitting tiny cached relations
+    # just multiplies per-task overhead across the compaction's branches).
+    width = spark.sparkContext.defaultParallelism
+
+    def _spread_parts(path: str) -> int:
+        return max(1, min(width, os.path.getsize(path) // (1 << 20)))
+
     parts = []
     for name in base_files:
         # base_state_to_entries fans into two branches (data + expire);
         # persist the one-task binary parse so it runs once, not per branch
         from pyspark import StorageLevel
 
-        parsed = rdb.read_rdb_files(spark, os.path.join(aof_dir, name)).persist(
-            StorageLevel.MEMORY_AND_DISK
-        )
+        parsed = rdb.read_rdb_files(spark, os.path.join(aof_dir, name))
+        n_spread = _spread_parts(os.path.join(aof_dir, name))
+        if n_spread > 1:
+            parsed = parsed.repartition(n_spread)
+        parsed = parsed.persist(StorageLevel.MEMORY_AND_DISK)
         if expire_base_ms is not None:
             exp = F.when(
                 F.col("expire_ms").isNotNull(),
@@ -177,6 +193,9 @@ def read_aof_manifest(spark: SparkSession, aof_dir: str, expire_base_ms: int | N
         parts.append(base_state_to_entries(parsed.withColumn("expire", exp)))
     for order, name in enumerate(incr_files):
         cmds = read_resp_files(spark, os.path.join(aof_dir, name))
+        n_spread = _spread_parts(os.path.join(aof_dir, name))
+        if n_spread > 1:
+            cmds = cmds.repartition(n_spread)
         entries = commands_to_entries(cmds).withColumn(
             "seq", F.lit(INCR_SEQ_OFFSET).cast("long") + (F.lit(order).cast("long") * F.lit(1 << 33)) + F.col("seq")
         )
