@@ -281,90 +281,104 @@ def commands_to_entries(cmds: DataFrame, track_select: bool = False) -> DataFram
     base = base.persist(StorageLevel.MEMORY_AND_DISK)
     base.count()
 
-    def lit_map(d: dict[str, str]) -> Column:
-        return F.create_map(*[F.lit(x) for kv in d.items() for x in kv])
+    # Every branch below is expressed as selectExpr SQL strings: the eight
+    # branches add up to a few hundred Column expressions, and building them
+    # one py4j round trip at a time dominated the *driver* cost of every
+    # consumer (measured: ~1.9 s per commands_to_entries call at sf0.1,
+    # ~10k py4j round trips per aof_manifest run). SQL strings parse
+    # JVM-side in one round trip per select; the resolved plans are
+    # identical (same functions, same casts).
 
-    key = F.element_at("argv", 2)
-    out_cols = ["db_id", "seq", "key", "rtype", "entry_type", "member", "value", "pos"]
+    def sql_map(d: dict[str, str]) -> str:
+        return "map(" + ", ".join(f"'{k}', '{v}'" for k, v in d.items()) + ")"
+
+    simple_rtype = sql_map({k: v[0] for k, v in _SIMPLE.items()})
+    simple_etype = sql_map({k: v[1] or "" for k, v in _SIMPLE.items()})
+    ml_rtype = sql_map({k: v[0] for k, v in _MEMBER_LIST.items()})
+    ml_etype = sql_map({k: v[1] for k, v in _MEMBER_LIST.items()})
+    pl_rtype = sql_map({k: v[0] for k, v in _PAIR_LIST.items()})
+    pl_etype = sql_map({k: v[1] for k, v in _PAIR_LIST.items()})
+    simple_names = ", ".join(f"'{k}'" for k in _SIMPLE)
+    pl_member_first = ", ".join(f"'{k}'" for k, v in _PAIR_LIST.items() if v[2])
+    non_a = ", ".join(
+        f"'{k}'"
+        for k in sorted(set(_MEMBER_LIST) | set(_PAIR_LIST)
+                        | {"DEL", "UNLINK", "XADD", "XSETID", "XDEL"})
+    )
 
     # shape A: key-level ops + TTL + flush + unknowns (one entry per command)
-    simple_rtype = lit_map({k: v[0] for k, v in _SIMPLE.items()})
-    simple_etype = lit_map({k: v[1] or "" for k, v in _SIMPLE.items()})
-    a = (
-        base.filter(~F.col("_cmd").isin(*(set(_MEMBER_LIST) | set(_PAIR_LIST)
-                                          | {"DEL", "UNLINK", "XADD", "XSETID", "XDEL"})))
-        .select(
-            F.col("_db").alias("db_id"),
-            "seq",
-            F.when(F.col("_cmd").isin("FLUSHDB", "FLUSHALL"), F.lit(None)).otherwise(key).alias("key"),
-            F.when(F.col("_cmd").isin("FLUSHDB", "FLUSHALL"), F.lit("flush"))
-            .otherwise(F.coalesce(simple_rtype[F.col("_cmd")], F.lit("unknown")))
-            .alias("rtype"),
-            F.nullif(F.coalesce(simple_etype[F.col("_cmd")], F.lit("")), F.lit("")).alias("entry_type"),
-            F.when(F.col("_cmd").isin(*_SIMPLE) & (F.col("_cmd") != "SET") & (F.col("_cmd") != "GETSET"), F.col("_cmd")).alias("member"),
-            F.when(F.col("_cmd").isin("SET", "GETSET") | F.col("_cmd").startswith("P") | F.col("_cmd").startswith("E"), F.element_at("argv", 3)).alias("value"),
-            F.lit(0).alias("pos"),
-        )
+    a = base.filter(f"_cmd NOT IN ({non_a})").selectExpr(
+        "_db AS db_id",
+        "seq",
+        "CASE WHEN _cmd IN ('FLUSHDB', 'FLUSHALL') THEN NULL "
+        "ELSE element_at(argv, 2) END AS key",
+        "CASE WHEN _cmd IN ('FLUSHDB', 'FLUSHALL') THEN 'flush' "
+        f"ELSE coalesce({simple_rtype}[_cmd], 'unknown') END AS rtype",
+        f"nullif(coalesce({simple_etype}[_cmd], ''), '') AS entry_type",
+        f"CASE WHEN _cmd IN ({simple_names}) AND _cmd != 'SET' AND _cmd != 'GETSET' "
+        "THEN _cmd END AS member",
+        "CASE WHEN _cmd IN ('SET', 'GETSET') OR startswith(_cmd, 'P') "
+        "OR startswith(_cmd, 'E') THEN element_at(argv, 3) END AS value",
+        "0 AS pos",
     )
 
     # shape B: DEL/UNLINK key... (explode keys -> one key-level delete each)
     b = (
-        base.filter(F.col("_cmd").isin("DEL", "UNLINK"))
-        .select("_db", "seq", F.posexplode(F.slice("argv", 2, 1_000_000)))
-        .select(
-            F.col("_db").alias("db_id"),
+        base.filter("_cmd IN ('DEL', 'UNLINK')")
+        .selectExpr("_db", "seq", "posexplode(slice(argv, 2, 1000000)) AS (pos, col)")
+        .selectExpr(
+            "_db AS db_id",
             "seq",
-            F.col("col").alias("key"),
-            F.lit("del").alias("rtype"),
-            F.lit(None).cast("string").alias("entry_type"),
-            F.lit(None).cast("string").alias("member"),
-            F.lit(None).cast("string").alias("value"),
-            F.col("pos").cast("int").alias("pos"),
+            "col AS key",
+            "'del' AS rtype",
+            "CAST(NULL AS string) AS entry_type",
+            "CAST(NULL AS string) AS member",
+            "CAST(NULL AS string) AS value",
+            "CAST(pos AS int) AS pos",
         )
     )
 
     # shape C: member lists (HDEL/SADD/SREM/ZREM/RPUSH/LPUSH key m1 m2 ...)
-    ml_rtype = lit_map({k: v[0] for k, v in _MEMBER_LIST.items()})
-    ml_etype = lit_map({k: v[1] for k, v in _MEMBER_LIST.items()})
+    ml_names = ", ".join(f"'{k}'" for k in _MEMBER_LIST)
     c = (
-        base.filter(F.col("_cmd").isin(*_MEMBER_LIST))
-        .select("_db", "seq", "_cmd", key.alias("_key"), F.posexplode(F.slice("argv", 3, 1_000_000)))
-        .select(
-            F.col("_db").alias("db_id"),
+        base.filter(f"_cmd IN ({ml_names})")
+        .selectExpr(
+            "_db", "seq", "_cmd", "element_at(argv, 2) AS _key",
+            "posexplode(slice(argv, 3, 1000000)) AS (pos, col)",
+        )
+        .selectExpr(
+            "_db AS db_id",
             "seq",
-            F.col("_key").alias("key"),
-            ml_rtype[F.col("_cmd")].alias("rtype"),
-            ml_etype[F.col("_cmd")].alias("entry_type"),
+            "_key AS key",
+            f"{ml_rtype}[_cmd] AS rtype",
+            f"{ml_etype}[_cmd] AS entry_type",
             # list elements are positional, not set members
-            F.when(ml_etype[F.col("_cmd")] != "list", F.col("col")).alias("member"),
-            F.when(ml_etype[F.col("_cmd")] == "list", F.col("col")).alias("value"),
-            F.when(F.col("_cmd") == "LPUSH", -F.col("pos").cast("int") - 1)
-            .otherwise(F.col("pos").cast("int"))
-            .alias("pos"),
+            f"CASE WHEN {ml_etype}[_cmd] != 'list' THEN col END AS member",
+            f"CASE WHEN {ml_etype}[_cmd] = 'list' THEN col END AS value",
+            "CASE WHEN _cmd = 'LPUSH' THEN -CAST(pos AS int) - 1 "
+            "ELSE CAST(pos AS int) END AS pos",
         )
     )
 
     # shape D: pair lists (HSET key f v f v... / ZADD key score member ...)
-    pl_rtype = lit_map({k: v[0] for k, v in _PAIR_LIST.items()})
-    pl_etype = lit_map({k: v[1] for k, v in _PAIR_LIST.items()})
-    member_first = F.col("_cmd").isin(*[k for k, v in _PAIR_LIST.items() if v[2]])
-    pair_idx = F.sequence(F.lit(3), F.size("argv") - 1, F.lit(2))
+    pl_names = ", ".join(f"'{k}'" for k in _PAIR_LIST)
     d = (
-        base.filter(F.col("_cmd").isin(*_PAIR_LIST))
-        .select("_db", "seq", "_cmd", key.alias("_key"), F.explode(pair_idx).alias("i"), F.col("argv"))
-        .select(
-            F.col("_db").alias("db_id"),
+        base.filter(f"_cmd IN ({pl_names})")
+        .selectExpr(
+            "_db", "seq", "_cmd", "element_at(argv, 2) AS _key",
+            "explode(sequence(3, size(argv) - 1, 2)) AS i", "argv",
+        )
+        .selectExpr(
+            "_db AS db_id",
             "seq",
-            F.col("_key").alias("key"),
-            pl_rtype[F.col("_cmd")].alias("rtype"),
-            pl_etype[F.col("_cmd")].alias("entry_type"),
-            F.when(member_first, F.element_at("argv", F.col("i").cast("int")))
-            .otherwise(F.element_at("argv", F.col("i").cast("int") + 1))
-            .alias("member"),
-            F.when(member_first, F.element_at("argv", F.col("i").cast("int") + 1))
-            .otherwise(F.element_at("argv", F.col("i").cast("int")))
-            .alias("value"),
-            ((F.col("i") - 3) / 2).cast("int").alias("pos"),
+            "_key AS key",
+            f"{pl_rtype}[_cmd] AS rtype",
+            f"{pl_etype}[_cmd] AS entry_type",
+            f"CASE WHEN _cmd IN ({pl_member_first}) THEN element_at(argv, CAST(i AS int)) "
+            "ELSE element_at(argv, CAST(i AS int) + 1) END AS member",
+            f"CASE WHEN _cmd IN ({pl_member_first}) THEN element_at(argv, CAST(i AS int) + 1) "
+            "ELSE element_at(argv, CAST(i AS int)) END AS value",
+            "CAST((i - 3) / 2 AS int) AS pos",
         )
     )
 
@@ -376,74 +390,70 @@ def commands_to_entries(cmds: DataFrame, track_select: bool = False) -> DataFram
     # stream rewriter round-trips them. The explicit-id requirement is
     # structural: a '*' auto-id only exists on a live server, so those
     # XADDs surface as rtype='unknown' precheck rows instead of guessing.
-    xadd = base.filter(F.col("_cmd") == "XADD")
-    # F.get (0-based, null out-of-bounds) — element_at would raise under
+    # get() (0-based, null out-of-bounds) — element_at would raise under
     # ANSI when no argument matches the explicit-id pattern ('*' XADDs)
-    id_pos = F.get(
-        F.filter(
-            F.transform(
-                F.sequence(F.lit(3), F.size("argv")),
-                lambda i: F.struct(i.alias("i"), F.element_at("argv", i).alias("v")),
-            ),
-            lambda s: s["v"].rlike("^[0-9]+-[0-9]+$"),
+    xadd = base.filter(F.col("_cmd") == "XADD").withColumn(
+        "_idp",
+        F.expr(
+            "get(filter(transform(sequence(3, size(argv)), "
+            "i -> struct(i AS i, element_at(argv, i) AS v)), "
+            "s -> s.v RLIKE '^[0-9]+-[0-9]+$'), 0).i"
         ),
-        0,
-    )["i"]
-    xadd = xadd.withColumn("_idp", id_pos)
+    )
     e_rows = (
         xadd.filter(F.col("_idp").isNotNull())
-        .select(
-            "_db", "seq", key.alias("_key"), "argv", "_idp",
-            F.explode(F.sequence(F.col("_idp") + 1, F.size("argv") - 1, F.lit(2))).alias("i"),
+        .selectExpr(
+            "_db", "seq", "element_at(argv, 2) AS _key", "argv", "_idp",
+            "explode(sequence(_idp + 1, size(argv) - 1, 2)) AS i",
         )
-        .select(
-            F.col("_db").alias("db_id"),
+        .selectExpr(
+            "_db AS db_id",
             "seq",
-            F.col("_key").alias("key"),
-            F.lit("madd").alias("rtype"),
-            F.lit("stream").alias("entry_type"),
-            F.concat(
-                F.element_at("argv", F.col("_idp").cast("int")),
-                F.lit(":"),
-                F.element_at("argv", F.col("i").cast("int")),
-            ).alias("member"),
-            F.element_at("argv", F.col("i").cast("int") + 1).alias("value"),
-            ((F.col("i") - F.col("_idp") - 1) / 2).cast("int").alias("pos"),
+            "_key AS key",
+            "'madd' AS rtype",
+            "'stream' AS entry_type",
+            "concat(element_at(argv, CAST(_idp AS int)), ':', "
+            "element_at(argv, CAST(i AS int))) AS member",
+            "element_at(argv, CAST(i AS int) + 1) AS value",
+            "CAST((i - _idp - 1) / 2 AS int) AS pos",
         )
     )
-    e_auto = xadd.filter(F.col("_idp").isNull()).select(
-        F.col("_db").alias("db_id"),
+    e_auto = xadd.filter(F.col("_idp").isNull()).selectExpr(
+        "_db AS db_id",
         "seq",
-        key.alias("key"),
-        F.lit("unknown").alias("rtype"),
-        F.lit(None).cast("string").alias("entry_type"),
-        F.lit("XADD").alias("member"),
-        F.lit(None).cast("string").alias("value"),
-        F.lit(0).alias("pos"),
+        "element_at(argv, 2) AS key",
+        "'unknown' AS rtype",
+        "CAST(NULL AS string) AS entry_type",
+        "'XADD' AS member",
+        "CAST(NULL AS string) AS value",
+        "0 AS pos",
     )
     xdel = (
-        base.filter(F.col("_cmd") == "XDEL")
-        .select("_db", "seq", key.alias("_key"), F.posexplode(F.slice("argv", 3, 1_000_000)))
-        .select(
-            F.col("_db").alias("db_id"),
+        base.filter("_cmd = 'XDEL'")
+        .selectExpr(
+            "_db", "seq", "element_at(argv, 2) AS _key",
+            "posexplode(slice(argv, 3, 1000000)) AS (pos, col)",
+        )
+        .selectExpr(
+            "_db AS db_id",
             "seq",
-            F.col("_key").alias("key"),
-            F.lit("xdel").alias("rtype"),
-            F.lit("stream").alias("entry_type"),
-            F.col("col").alias("member"),  # the stream id; tombstones id:*
-            F.lit(None).cast("string").alias("value"),
-            F.col("pos").cast("int").alias("pos"),
+            "_key AS key",
+            "'xdel' AS rtype",
+            "'stream' AS entry_type",
+            "col AS member",  # the stream id; tombstones id:*
+            "CAST(NULL AS string) AS value",
+            "CAST(pos AS int) AS pos",
         )
     )
-    xsetid = base.filter(F.col("_cmd") == "XSETID").select(
-        F.col("_db").alias("db_id"),
+    xsetid = base.filter("_cmd = 'XSETID'").selectExpr(
+        "_db AS db_id",
         "seq",
-        key.alias("key"),
-        F.lit("madd").alias("rtype"),
-        F.lit("stream_meta").alias("entry_type"),
-        F.lit("last_id").alias("member"),
-        F.element_at("argv", 3).alias("value"),
-        F.lit(0).alias("pos"),
+        "element_at(argv, 2) AS key",
+        "'madd' AS rtype",
+        "'stream_meta' AS entry_type",
+        "'last_id' AS member",
+        "element_at(argv, 3) AS value",
+        "0 AS pos",
     )
 
     return (
@@ -473,24 +483,31 @@ def compact_entries(entries: DataFrame) -> DataFrame:
     """
     from pyspark import StorageLevel
 
+    # selectExpr SQL strings throughout for the same reason as
+    # commands_to_entries: the six branches below built hundreds of Column
+    # objects one py4j round trip at a time, dominating every consumer's
+    # driver-side construction cost. Same expressions, JVM-side parse.
     entries = entries.persist(StorageLevel.MEMORY_AND_DISK)
     entries.count()
     flush = (
-        entries.filter(F.col("rtype") == "flush")
+        entries.filter("rtype = 'flush'")
         .groupBy("db_id")
         .agg(F.max("seq").alias("flush_seq"))
     )
     key_level = (
-        entries.filter(F.col("rtype").isin("set", "del"))
+        entries.filter("rtype IN ('set', 'del')")
         .groupBy("db_id", "key")
-        .agg(F.max_by(F.struct("rtype", "value", "seq"), "seq").alias("k"))
-        .select("db_id", "key", F.col("k.rtype").alias("k_op"), F.col("k.value").alias("k_value"), F.col("k.seq").alias("k_seq"))
+        .agg(F.expr("max_by(struct(rtype, value, seq), seq)").alias("k"))
+        .selectExpr("db_id", "key", "k.rtype AS k_op", "k.value AS k_value", "k.seq AS k_seq")
     )
     ttl = (
-        entries.filter(F.col("rtype").isin("expire", "persist"))
+        entries.filter("rtype IN ('expire', 'persist')")
         .groupBy("db_id", "key")
-        .agg(F.max_by(F.struct("rtype", "member", "value", "seq"), "seq").alias("e"))
-        .select("db_id", "key", F.col("e.rtype").alias("e_op"), F.col("e.member").alias("e_kind"), F.col("e.value").alias("e_value"), F.col("e.seq").alias("e_seq"))
+        .agg(F.expr("max_by(struct(rtype, member, value, seq), seq)").alias("e"))
+        .selectExpr(
+            "db_id", "key", "e.rtype AS e_op", "e.member AS e_kind",
+            "e.value AS e_value", "e.seq AS e_seq",
+        )
     )
 
     # tombstone relation: every key with any key-level event (+ db flushes).
@@ -501,14 +518,11 @@ def compact_entries(entries: DataFrame) -> DataFrame:
         entries.select("db_id", "key").distinct()
         .join(flush, "db_id", "left")
         .join(key_level, ["db_id", "key"], "left")
-        .select(
+        .selectExpr(
             "db_id",
             "key",
-            F.greatest(
-                F.coalesce("flush_seq", F.lit(-1)),
-                F.coalesce("k_seq", F.lit(-1)),
-            ).alias("tomb_seq"),
-            F.coalesce("flush_seq", F.lit(-1)).alias("db_tomb_seq"),
+            "greatest(coalesce(flush_seq, -1L), coalesce(k_seq, -1L)) AS tomb_seq",
+            "coalesce(flush_seq, -1L) AS db_tomb_seq",
             "k_op",
             "k_value",
             "k_seq",
@@ -517,46 +531,47 @@ def compact_entries(entries: DataFrame) -> DataFrame:
     )
     tomb.count()
 
-    strings = tomb.filter(
-        (F.col("k_op") == "set") & (F.col("k_seq") > F.col("db_tomb_seq"))
-    ).select(
-        "db_id", "key", F.lit("string").alias("entry_type"),
-        F.lit(None).cast("string").alias("member"),
-        F.col("k_value").alias("value"), F.lit(0).cast("long").alias("ord"),
-        F.col("k_seq").alias("seq"),
+    strings = tomb.filter("k_op = 'set' AND k_seq > db_tomb_seq").selectExpr(
+        "db_id", "key", "'string' AS entry_type",
+        "CAST(NULL AS string) AS member",
+        "k_value AS value", "CAST(0 AS long) AS ord",
+        "k_seq AS seq",
     )
 
     member_last = (
-        entries.filter(F.col("rtype").isin("madd", "mdel") & (F.col("entry_type") != "list"))
+        entries.filter("rtype IN ('madd', 'mdel') AND entry_type != 'list'")
         .groupBy("db_id", "key", "entry_type", "member")
-        .agg(F.max_by(F.struct("rtype", "value", "seq"), "seq").alias("m"))
-        .select("db_id", "key", "entry_type", "member", F.col("m.rtype").alias("m_op"), F.col("m.value").alias("m_value"), F.col("m.seq").alias("m_seq"))
+        .agg(F.expr("max_by(struct(rtype, value, seq), seq)").alias("m"))
+        .selectExpr(
+            "db_id", "key", "entry_type", "member",
+            "m.rtype AS m_op", "m.value AS m_value", "m.seq AS m_seq",
+        )
     )
     members = (
         member_last.join(tomb.select("db_id", "key", "tomb_seq"), ["db_id", "key"], "left")
-        .filter((F.col("m_op") == "madd") & (F.col("m_seq") > F.coalesce("tomb_seq", F.lit(-1))))
-        .select(
+        .filter("m_op = 'madd' AND m_seq > coalesce(tomb_seq, -1L)")
+        .selectExpr(
             "db_id", "key", "entry_type", "member",
-            F.col("m_value").alias("value"),
-            F.lit(0).cast("long").alias("ord"),
-            F.col("m_seq").alias("seq"),
+            "m_value AS value",
+            "CAST(0 AS long) AS ord",
+            "m_seq AS seq",
         )
     )
     # XDEL tombstones a whole stream entry (every id:field member of that
     # id) without knowing its fields: join on the id prefix, keep rows that
     # postdate the delete (an XADD re-adding the id survives, like Redis)
     xdels = (
-        entries.filter(F.col("rtype") == "xdel")
+        entries.filter("rtype = 'xdel'")
         .groupBy("db_id", "key", F.col("member").alias("_sid"))
         .agg(F.max("seq").alias("xdel_seq"))
     )
     members = (
         members.withColumn(
             "_sid",
-            F.when(F.col("entry_type") == "stream", F.substring_index("member", ":", 1)),
+            F.expr("CASE WHEN entry_type = 'stream' THEN substring_index(member, ':', 1) END"),
         )
         .join(xdels, ["db_id", "key", "_sid"], "left")
-        .filter(F.col("xdel_seq").isNull() | (F.col("seq") > F.col("xdel_seq")))
+        .filter("xdel_seq IS NULL OR seq > xdel_seq")
         .drop("_sid", "xdel_seq")
     )
 
@@ -565,17 +580,14 @@ def compact_entries(entries: DataFrame) -> DataFrame:
     # ord = ±seq * 2^20 + pos (sign from push direction; LPUSH pos < 0)
     # reconstructs the exact final list under any interleaving.
     lists = (
-        entries.filter((F.col("entry_type") == "list") & (F.col("rtype") == "madd"))
+        entries.filter("entry_type = 'list' AND rtype = 'madd'")
         .join(tomb.select("db_id", "key", "tomb_seq"), ["db_id", "key"], "left")
-        .filter(F.col("seq") > F.coalesce("tomb_seq", F.lit(-1)))
-        .select(
-            "db_id", "key", F.lit("list").alias("entry_type"),
-            F.lit(None).cast("string").alias("member"),
+        .filter("seq > coalesce(tomb_seq, -1L)")
+        .selectExpr(
+            "db_id", "key", "'list' AS entry_type",
+            "CAST(NULL AS string) AS member",
             "value",
-            (
-                F.when(F.col("pos") < 0, -F.col("seq")).otherwise(F.col("seq")) * F.lit(1 << 20)
-                + F.col("pos")
-            ).alias("ord"),
+            f"(CASE WHEN pos < 0 THEN -seq ELSE seq END) * {1 << 20}L + pos AS ord",
             "seq",
         )
     )
@@ -585,7 +597,7 @@ def compact_entries(entries: DataFrame) -> DataFrame:
     # reset TTL; container writes don't)
     live_ttl = (
         ttl.join(tomb.select("db_id", "key", "tomb_seq"), ["db_id", "key"], "left")
-        .filter((F.col("e_op") == "expire") & (F.col("e_seq") > F.coalesce("tomb_seq", F.lit(-1))))
-        .select("db_id", "key", F.concat_ws(":", "e_kind", "e_value").alias("expire"))
+        .filter("e_op = 'expire' AND e_seq > coalesce(tomb_seq, -1L)")
+        .selectExpr("db_id", "key", "concat_ws(':', e_kind, e_value) AS expire")
     )
     return state.join(live_ttl, ["db_id", "key"], "left")
