@@ -612,24 +612,37 @@ def jaccard_pairs(
     b = prefix.select(
         F.col("_rep").alias("rep_b"), "token", F.col("_pos").alias("pos_b"), F.col("n").alias("sz_b")
     )
-    # PPJoin filters, both lossless for J >= t (applied per shared prefix
-    # token BEFORE the distinct, which is where the quadratic blowup lives):
-    # - size ratio: J <= min/max sizes, so min >= ceil(t * max);
-    # - positional: the overlap is bounded by 1 + min(suffix lengths) past
-    #   this token, and J >= t requires overlap >= ceil(t/(1+t) * (n_a+n_b)).
-    # On a high-df shingle corpus these cut candidates ~5x (8.2M -> 1.5M at
-    # sf0.1) before any token array is ever shipped to verification.
-    alpha = F.ceil(F.lit(threshold / (1.0 + threshold)) * (F.col("sz_a") + F.col("sz_b")))
+    # PPJoin filters, all lossless for J >= t:
+    # - size ratio (per match row): J <= min/max sizes, so min >= ceil(t*max);
+    # - ACCUMULATED positional bound (per pair, at the dedup aggregation —
+    #   the same shuffle the old `.distinct()` paid): under the global token
+    #   order both prefixes are sorted, so every shared token ordered before
+    #   the LAST shared-prefix match sits inside both prefixes and is counted
+    #   in `c`; the remaining overlap past that match is bounded by
+    #   min(suffix lengths). Hence overlap <= c + min(sz_a - max(pos_a),
+    #   sz_b - max(pos_b)) — strictly tighter than the old per-token
+    #   1 + min(suffixes) test (which only used the first match), and J >= t
+    #   still requires overlap >= ceil(t/(1+t) * (n_a+n_b)).
+    # On a high-df shingle corpus the per-row filters cut candidates ~5x
+    # (8.2M -> 1.5M at sf0.1); the accumulated bound prunes a further slice
+    # of pairs before any token array is shipped to verification (guide §3).
     candidates = (
         a.join(b, "token")
         .filter(F.col("rep_a") < F.col("rep_b"))
         .filter(F.least("sz_a", "sz_b") >= F.ceil(F.lit(threshold) * F.greatest("sz_a", "sz_b")))
+        .groupBy("rep_a", "rep_b")
+        .agg(
+            F.count(F.lit(1)).alias("_c"),
+            F.max("pos_a").alias("_pa"),
+            F.max("pos_b").alias("_pb"),
+            F.first("sz_a").alias("_sa"),
+            F.first("sz_b").alias("_sb"),
+        )
         .filter(
-            F.lit(1) + F.least(F.col("sz_a") - F.col("pos_a"), F.col("sz_b") - F.col("pos_b"))
-            >= alpha
+            F.col("_c") + F.least(F.col("_sa") - F.col("_pa"), F.col("_sb") - F.col("_pb"))
+            >= F.ceil(F.lit(threshold / (1.0 + threshold)) * (F.col("_sa") + F.col("_sb")))
         )
         .select("rep_a", "rep_b")
-        .distinct()
     )
 
     # exact verification over the full (unpruned) token sets; the lossless
@@ -1003,9 +1016,20 @@ def keep_representatives(
     )
     und_n = und.count()
     nodes = df.select(F.col(id_col).alias("node")).distinct()
+    from pyspark.sql.types import NumericType
+
+    id_numeric = isinstance(df.schema[id_col].dataType, NumericType)
     if engine == "auto" and und_n <= single_task_edge_threshold:
         labels = _single_task_labels(und, df.schema[id_col].dataType)
-        return nodes.join(F.broadcast(labels), "node", "left").select(
+        # broadcast judgement in BYTES, not rows (ADVICE r17): the label
+        # table is bounded by 2x the edge threshold (up to ~4M rows at the
+        # 2M default). Numeric ids are 16 B/row (<= ~64 MB, safely inside a
+        # broadcast); wide string doc ids at the threshold boundary could
+        # reach hundreds of MB, so only force the hint below 500k edges and
+        # otherwise let the planner's own size estimate decide.
+        if id_numeric or und_n <= 500_000:
+            labels = F.broadcast(labels)
+        return nodes.join(labels, "node", "left").select(
             F.col("node").alias("doc_id"),
             F.coalesce("label", "node").alias("rep_id"),
         )
@@ -1050,10 +1074,8 @@ def keep_representatives(
     # breaks the monotone-sum argument even for numeric strings — use the
     # order-free xxhash64 signature over (node, label) instead, the same
     # driver-side witness _star_keep uses (never lands in query output, so
-    # engine portability of xxhash64 is moot here).
-    from pyspark.sql.types import NumericType
-
-    id_numeric = isinstance(df.schema[id_col].dataType, NumericType)
+    # engine portability of xxhash64 is moot here). (`id_numeric` computed
+    # above, before engine routing.)
 
     def _witness(lb: DataFrame):
         if id_numeric:

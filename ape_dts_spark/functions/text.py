@@ -86,8 +86,14 @@ def char_fold_expr(s: str, n: int) -> str:
     the same (acc*31 + code) % p fold, unrolled over substring/ascii calls
     instead of split('') + transform + aggregate — identical value for any
     input (the mod is applied per step), with no per-character array
-    allocations. Used where the shingle width is statically known."""
-    expr = f"ascii(substring({s}, 1, 1))"
+    allocations. Used where the shingle width is statically known.
+
+    The seed is CAST to BIGINT so the whole unrolled chain is 64-bit, like
+    the 0L accumulator of the aggregate() it replaces: with INT arithmetic
+    the pre-mod intermediate reaches code*31^(n-1), which overflows int32
+    for codepoints >= ~2326 at n=5 (all CJK) — an ANSI ARITHMETIC_OVERFLOW
+    at runtime on multilingual corpora."""
+    expr = f"CAST(ascii(substring({s}, 1, 1)) AS BIGINT)"
     for i in range(2, n + 1):
         expr = (
             f"(({expr}) * 31 + ascii(substring({s}, {i}, 1))) % {PORTABLE_HASH_P}"
@@ -1274,6 +1280,112 @@ def bpe_learn(df: DataFrame, text_col: str = "text", k: int = 6) -> DataFrame:
     )
 
 
+def _tokenizer_single_task_words() -> int:
+    """Vocab-size bound for the single-task tokenizer-training route
+    (``$SPARK_GRAFT_TOKENIZER_SINGLE_TASK_WORDS``, default 200k rows).
+
+    All the iterated trainers (BPE / WordPiece / unigram EM) first compress
+    the corpus to the weighted distinct-word relation — O(vocab), not
+    O(corpus) — and then pay per-iteration job/shuffle/collect overhead that
+    dwarfs the compute when the vocabulary is metadata-sized. Below this
+    bound the whole K-step loop runs in ONE task (a mapInPandas kernel over
+    the coalesced vocab), exactly the keep_representatives union-find
+    pattern; larger vocabularies keep the distributed loops. The bound is a
+    row-count contract on the vocabulary (Heaps-law bounded), not a
+    local-core constant."""
+    import os
+
+    return int(os.environ.get("SPARK_GRAFT_TOKENIZER_SINGLE_TASK_WORDS", "200000"))
+
+
+def _trainer_single_task_rows() -> int:
+    """Feature-row bound for the single-task perceptron/langid trainer route
+    (``$SPARK_GRAFT_TRAINER_SINGLE_TASK_ROWS``, default 2M — tens of MB of
+    (doc, bucket, cnt) ints, the same size-class judgment as the
+    connected-components single-task threshold). Below it the K full-batch
+    iterations run as ONE vectorized numpy task instead of 2 x iters
+    distributed jobs + iters driver round-trips; above it the distributed
+    loop is unchanged."""
+    import os
+
+    return int(os.environ.get("SPARK_GRAFT_TRAINER_SINGLE_TASK_ROWS", "2000000"))
+
+
+def _bpe_merge_step(syms: list[str], a: str, b: str) -> list[str]:
+    """Python twin of _bpe_merge_fold: greedy left-to-right merge of the
+    adjacent pair (a, b). Must stay step-for-step identical to the JVM fold
+    (the single-task route below replays it)."""
+    out: list[str] = []
+    ab = a + b
+    for x in syms:
+        if out and out[-1] == a and x == b:
+            out[-1] = ab
+        else:
+            out.append(x)
+    return out
+
+
+_BPE_LOCAL_SCHEMA = (
+    "step int, left_sym string, right_sym string, freq bigint, "
+    "word string, cnt bigint, syms array<string>"
+)
+
+
+def _bpe_train_single_task(words: DataFrame, k: int):
+    """Single-task BPE trainer: the full K-step merge loop over the (already
+    reduced, metadata-sized) weighted word vocabulary in one mapInPandas
+    task. Replays exactly the distributed loop's semantics: pair frequency =
+    cnt-weighted adjacent-pair counts, winner = (freq desc, a, b) — ASCII
+    symbols, so Python string order == Spark UTF8 binary order — and the
+    greedy left-to-right merge fold. Emits tagged rows: merge rows
+    (step IS NOT NULL) + final symbol rows; the k-row merge collect is the
+    same sanctioned scalar readout the per-step winner collect was."""
+
+    def kernel(it):
+        rows: list[tuple] = []
+        for pdf in it:
+            rows.extend(zip(pdf["word"].tolist(), pdf["cnt"].tolist()))
+        if not rows:
+            return
+        import pandas as pd
+
+        syms = [(w, int(c), list(w) + [BPE_END_OF_WORD]) for w, c in rows]
+        merges: list[tuple] = []
+        for step in range(1, k + 1):
+            freq: dict = {}
+            for _w, c, s in syms:
+                for i in range(len(s) - 1):
+                    p = (s[i], s[i + 1])
+                    freq[p] = freq.get(p, 0) + c
+            if not freq:
+                break
+            (a, b), f = min(freq.items(), key=lambda kv: (-kv[1], kv[0]))
+            merges.append((step, a, b, f))
+            syms = [
+                (w, c, _bpe_merge_step(s, a, b) if a in s else s)
+                for w, c, s in syms
+            ]
+        out = [
+            {"step": st, "left_sym": a, "right_sym": b, "freq": f,
+             "word": None, "cnt": None, "syms": None}
+            for st, a, b, f in merges
+        ] + [
+            {"step": None, "left_sym": None, "right_sym": None, "freq": None,
+             "word": w, "cnt": c, "syms": s}
+            for w, c, s in syms
+        ]
+        yield pd.DataFrame(out)
+
+    out = words.coalesce(1).mapInPandas(kernel, _BPE_LOCAL_SCHEMA).localCheckpoint(
+        eager=False
+    )
+    merges = [
+        (r["step"], r["left_sym"], r["right_sym"], int(r["freq"]))
+        for r in out.filter("step IS NOT NULL").orderBy("step").collect()
+    ]
+    return merges, out.filter("step IS NULL").select("word", "cnt", "syms")
+
+
 def _bpe_train(df: DataFrame, text_col: str, k: int):
     """The shared K-step merge loop: returns (merges list, final per-word
     symbol relation). bpe_learn reports the merge table; bpe_encode keeps the
@@ -1284,7 +1396,11 @@ def _bpe_train(df: DataFrame, text_col: str, k: int):
         df.select(F.explode(F.expr(tokens_expr(text_col))).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("cnt"))
-    )
+    ).localCheckpoint(eager=False)
+    # vocab-bounded single-task route (guide §1.2: the per-iteration
+    # job/shuffle/collect overhead IS the cost at metadata-sized vocabs)
+    if words.count() <= _tokenizer_single_task_words():
+        return _bpe_train_single_task(words, k)
     # lazy checkpoints throughout the loop: each step's winner collect is the
     # first action over the current symbol relation, so ONE job both
     # materializes the checkpoint and picks the winner (eager checkpointing
@@ -1562,6 +1678,35 @@ def perceptron_train(
         # action (one job instead of a separate eager-checkpoint job)
         .localCheckpoint(eager=False)
     )
+    # feature-row-bounded single-task route (guide §1.2: 2 x iters jobs +
+    # iters driver round-trips collapse into ONE vectorized task; the math
+    # is the same order-independent integer sums)
+    if feats.count() <= _trainer_single_task_rows():
+
+        def kernel(it):
+            import numpy as np
+            import pandas as pd
+
+            chunks = list(it)
+            W = np.zeros(dim, dtype=np.int64)
+            pdf = (
+                pd.concat(chunks) if len(chunks) > 1
+                else (chunks[0] if chunks else None)
+            )
+            if pdf is not None and len(pdf):
+                docs, di = np.unique(pdf["_doc"].to_numpy(), return_inverse=True)
+                M = np.zeros((len(docs), dim), dtype=np.int64)
+                np.add.at(
+                    M, (di, pdf["bucket"].to_numpy()), pdf["cnt"].to_numpy()
+                )
+                yv = np.zeros(len(docs), dtype=np.int64)
+                yv[di] = pdf["y"].to_numpy()  # y is per-doc constant
+                for _ in range(iters):
+                    mis = (yv * (M @ W)) <= 0
+                    W += (yv * mis) @ M
+            yield pd.DataFrame({"bucket": range(dim), "weight": W})
+
+        return feats.coalesce(1).mapInPandas(kernel, "bucket int, weight long")
     w = [0] * dim
     for _ in range(iters):
         w_arr = F.array(*[F.lit(int(x)) for x in w])
@@ -1715,6 +1860,91 @@ def _unigram_recount(segmented: DataFrame) -> dict[str, int]:
     return {r["piece"]: int(r["freq"]) for r in rows}
 
 
+def _unigram_viterbi(word: str, cost: dict, unk: int, max_piece: int) -> list[str]:
+    """Python twin of the _unigram_segment JVM DP fold: best (cost,
+    n_pieces, seg) per prefix, candidates = the <= max_piece extensions,
+    argmin by the same (c, n, s) lexicographic struct order (ASCII pieces,
+    so Python tuple/list comparison == Spark struct/array ordering)."""
+    best: list[tuple] = [(0, 0, [])]
+    for i in range(1, len(word) + 1):
+        cands = []
+        for k in range(1, min(i, max_piece) + 1):
+            c0, n0, s0 = best[i - k]
+            piece = word[i - k : i]
+            cands.append((c0 + cost.get(piece, unk), n0 + 1, s0 + [piece]))
+        best.append(min(cands))
+    return best[len(word)][2]
+
+
+def _unigram_em_local(
+    rows: list[tuple], vocab_size: int, rounds: int, max_piece: int
+) -> dict[str, int]:
+    """The full unigram-LM EM (seed -> rounds x [Viterbi E-step, recount
+    M-step, prune]) over the metadata-sized chunk vocabulary, in plain
+    Python — the exact driver-side schedule of _unigram_train with the
+    per-round Spark jobs replaced by in-process loops."""
+    seed_size = 4 * vocab_size
+    cand: dict = {}
+    for word, cnt, wlen in rows:
+        for i in range(wlen):
+            for k in range(1, min(max_piece, wlen - i) + 1):
+                p = word[i : i + k]
+                cand[p] = cand.get(p, 0) + cnt
+    chars = {p: f for p, f in cand.items() if len(p) == 1}
+    multi = sorted(
+        ((p, f) for p, f in cand.items() if len(p) > 1),
+        key=lambda x: (-x[1], x[0]),
+    )[:seed_size]
+    vocab = dict(chars)
+    vocab.update(multi)
+    for r in range(1, rounds + 1):
+        keep = max(vocab_size, -(-seed_size * (rounds - r) // rounds))
+        tot = sum(vocab.values())
+        unk = tot.bit_length() + 1
+        cost = {p: unk - f.bit_length() for p, f in vocab.items()}
+        re: dict = {}
+        for word, cnt, _wlen in rows:
+            for piece in _unigram_viterbi(word, cost, unk, max_piece):
+                re[piece] = re.get(piece, 0) + cnt
+        new_multi = sorted(
+            ((p, f) for p, f in re.items() if len(p) > 1 and f > 0),
+            key=lambda x: (-x[1], x[0]),
+        )[:keep]
+        vocab = {c: re.get(c, 0) for c in chars}
+        vocab.update(new_multi)
+    return vocab
+
+
+def _unigram_train_single_task(
+    chunks: DataFrame, vocab_size: int, rounds: int, max_piece: int
+) -> dict[str, int]:
+    """Single-task unigram-LM trainer (see _bpe_train_single_task): one
+    mapInPandas kernel runs the whole EM over the coalesced chunk vocabulary
+    and emits the final (piece, freq) vocab; the collect is bounded by the
+    vocab-size contract — strictly less driver traffic than the per-round
+    recount collects it replaces."""
+
+    def kernel(it):
+        rows: list[tuple] = []
+        for pdf in it:
+            rows.extend(
+                zip(pdf["word"].tolist(), pdf["cnt"].tolist(), pdf["wlen"].tolist())
+            )
+        if not rows:
+            return
+        import pandas as pd
+
+        vocab = _unigram_em_local(
+            [(w, int(c), int(l)) for w, c, l in rows], vocab_size, rounds, max_piece
+        )
+        yield pd.DataFrame(
+            [{"piece": p, "freq": f} for p, f in vocab.items()]
+        )
+
+    out = chunks.coalesce(1).mapInPandas(kernel, "piece string, freq bigint")
+    return {r["piece"]: int(r["freq"]) for r in out.collect()}
+
+
 def _unigram_train(
     df: DataFrame, text_col: str, vocab_size: int, rounds: int,
     max_piece: int, max_word: int,
@@ -1725,6 +1955,9 @@ def _unigram_train(
     SentencePiece's required character set)."""
     # lazy: the seed-candidate collects are the materializing action
     chunks = _unigram_chunks(df, text_col, max_word).localCheckpoint(eager=False)
+    # vocab-bounded single-task route (guide §1.2), see _bpe_train
+    if chunks.count() <= _tokenizer_single_task_words():
+        return _unigram_train_single_task(chunks, vocab_size, rounds, max_piece), chunks
     seed_size = 4 * vocab_size
     cand = (
         chunks.select(
@@ -1984,6 +2217,48 @@ def langid_train(
         eager=False
     )
     k = len(langs)
+    # feature-row-bounded single-task route (see _trainer_single_task_rows):
+    # the one-vs-rest iterations are order-independent integer sums, so the
+    # whole loop vectorizes into one numpy task emitting the k x dim table
+    if feats.count() <= _trainer_single_task_rows():
+        langs_t = tuple(langs)
+
+        def kernel(it):
+            import numpy as np
+            import pandas as pd
+
+            chunks = list(it)
+            W = np.zeros((k, dim), dtype=np.int64)
+            pdf = (
+                pd.concat(chunks) if len(chunks) > 1
+                else (chunks[0] if chunks else None)
+            )
+            if pdf is not None and len(pdf):
+                docs, di = np.unique(pdf["_doc"].to_numpy(), return_inverse=True)
+                nd = len(docs)
+                M = np.zeros((nd, dim), dtype=np.int64)
+                np.add.at(
+                    M, (di, pdf["bucket"].to_numpy()), pdf["cnt"].to_numpy()
+                )
+                lang_of = np.empty(nd, dtype=object)
+                lang_of[di] = pdf["lang"].to_numpy()  # one label per doc
+                Y = np.empty((nd, k), dtype=np.int64)
+                for ci, c in enumerate(langs_t):
+                    Y[:, ci] = np.where(lang_of == c, 1, -1)
+                for _ in range(iters):
+                    mis = (Y * (M @ W.T)) <= 0
+                    W += (Y * mis).T @ M
+            yield pd.DataFrame(
+                {
+                    "lang": [c for c in langs_t for _ in range(dim)],
+                    "bucket": list(range(dim)) * k,
+                    "weight": W.reshape(-1),
+                }
+            )
+
+        return feats.coalesce(1).mapInPandas(
+            kernel, "lang string, bucket int, weight long"
+        )
     langs_arr = F.array(*[F.lit(c) for c in langs])
     fc = feats.withColumn(
         "ci", F.explode(F.array(*[F.lit(i) for i in range(k)]))
@@ -2248,6 +2523,93 @@ def _wordpiece_merge_fold(col: str, a: str, b: str) -> Column:
     )
 
 
+_WP_LOCAL_SCHEMA = (
+    "step int, left_sym string, right_sym string, freq bigint, score_q bigint, "
+    "word string, cnt bigint, syms array<string>"
+)
+
+
+def _wordpiece_train_single_task(syms_df: DataFrame, k: int):
+    """Single-task WordPiece trainer (see _bpe_train_single_task): the full
+    K-merge loop over the metadata-sized weighted word vocabulary in one
+    mapInPandas task. Replays the distributed loop exactly: per-occurrence
+    symbol frequencies, cnt-weighted pair frequencies, the int64-exact
+    fixed-point score pf*SCALE div (fa*fb) with the SAME loud range guard,
+    winner = (score_q desc, a, b), greedy '##'-stripping merge fold."""
+    limit_pf = 9223372036854775807 // WORDPIECE_SCALE
+
+    def kernel(it):
+        rows: list[tuple] = []
+        for pdf in it:
+            rows.extend(
+                zip(pdf["word"].tolist(), pdf["cnt"].tolist(), pdf["syms"].tolist())
+            )
+        if not rows:
+            return
+        import pandas as pd
+
+        syms = [(w, int(c), list(s)) for w, c, s in rows]
+        merges: list[tuple] = []
+        for step in range(1, k + 1):
+            sf: dict = {}
+            pf: dict = {}
+            for _w, c, s in syms:
+                for x in s:
+                    sf[x] = sf.get(x, 0) + c
+                for i in range(len(s) - 1):
+                    p = (s[i], s[i + 1])
+                    pf[p] = pf.get(p, 0) + c
+            if not pf:
+                break
+            best = None
+            for (a, b), f in pf.items():
+                fa, fb = sf[a], sf[b]
+                if f > limit_pf or fa > 3037000499 or fb > 3037000499:
+                    raise RuntimeError(
+                        "wordpiece_learn: symbol frequency exceeds the "
+                        "int64-exact fixed-point range; lower WORDPIECE_SCALE "
+                        "or switch score_q to DECIMAL(38,0)"
+                    )
+                score_q = (f * WORDPIECE_SCALE) // (fa * fb)
+                key = (-score_q, a, b)
+                if best is None or key < best[0]:
+                    best = (key, a, b, f, score_q)
+            _, a, b, f, score_q = best
+            merges.append((step, a, b, f, score_q))
+            merged = a + (b[2:] if b.startswith("##") else b)
+            out_syms = []
+            for w, c, s in syms:
+                if a in s:
+                    ns: list[str] = []
+                    for x in s:
+                        if ns and ns[-1] == a and x == b:
+                            ns[-1] = merged
+                        else:
+                            ns.append(x)
+                    s = ns
+                out_syms.append((w, c, s))
+            syms = out_syms
+        out = [
+            {"step": st, "left_sym": a, "right_sym": b, "freq": f, "score_q": sq,
+             "word": None, "cnt": None, "syms": None}
+            for st, a, b, f, sq in merges
+        ] + [
+            {"step": None, "left_sym": None, "right_sym": None, "freq": None,
+             "score_q": None, "word": w, "cnt": c, "syms": s}
+            for w, c, s in syms
+        ]
+        yield pd.DataFrame(out)
+
+    out = syms_df.coalesce(1).mapInPandas(kernel, _WP_LOCAL_SCHEMA).localCheckpoint(
+        eager=False
+    )
+    merges = [
+        (r["step"], r["left_sym"], r["right_sym"], int(r["freq"]), int(r["score_q"]))
+        for r in out.filter("step IS NOT NULL").orderBy("step").collect()
+    ]
+    return merges, out.filter("step IS NULL").select("word", "cnt", "syms")
+
+
 def _wordpiece_train(df: DataFrame, text_col: str, k: int):
     """Shared K-merge loop: returns (merge list, final per-word symbol
     relation). Each step: symbol freqs + adjacent-pair freqs (two hash
@@ -2256,6 +2618,9 @@ def _wordpiece_train(df: DataFrame, text_col: str, k: int):
     # lazy checkpoints: the per-step winner collect materializes the symbol
     # relation in the same job (see _bpe_train)
     syms = _wordpiece_syms(df, text_col).localCheckpoint(eager=False)
+    # vocab-bounded single-task route (guide §1.2), see _bpe_train
+    if syms.count() <= _tokenizer_single_task_words():
+        return _wordpiece_train_single_task(syms, k)
     merges = []
     for step in range(1, k + 1):
         symfreq = (

@@ -325,7 +325,12 @@ class ParquetTable:
             # no distinct: compacted is one row per (schema, tb, key) by
             # compact_changes construction, and anti-join semantics are
             # unaffected by duplicate build rows — the distinct only added an
-            # exchange + two hash aggregates to every apply
+            # exchange + two hash aggregates to every apply.
+            # Invariant (ADVICE r17): a ParquetTable holds ONE (schema, tb) —
+            # every caller routes per table — so selecting key_cols alone
+            # cannot put duplicate key rows on the build side; a multi-table
+            # batch would still be CORRECT here (anti-join tolerates dup
+            # build rows) but would weaken the n_comp file-sizing estimate
             changed_keys = compacted.select(*[F.col(k) for k in key_cols])
             kept = state.join(changed_keys, key_cols, "left_anti")
             # right-size the batch branch of the write: the upsert images

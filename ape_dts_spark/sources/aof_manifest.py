@@ -139,8 +139,16 @@ def read_aof_manifest(spark: SparkSession, aof_dir: str, expire_base_ms: int | N
     RESP path uses); when None they stay absolute as 'PEXPIREAT:<ms>'.
 
     The manifest read is one tiny driver-side file; the listed base/incr
-    files are scanned distributed (binaryFile / text), one file per task."""
+    files are scanned distributed (binaryFile / text), one file per task.
+
+    Caching note: each base-RDB parse is persisted (it feeds the data and
+    expire branches) and stays cached for the session — repeated calls in a
+    long-lived session should clear blocks between queries (the bench/check
+    harnesses call ``session.clear_spark_blocks``), since the caller cannot
+    reach the intermediate relation through the returned DataFrame."""
     import os
+
+    from pyspark import StorageLevel
 
     from ape_dts_spark.sources import redis_rdb as rdb
     from ape_dts_spark.sources.redis import commands_to_entries, read_resp_files
@@ -172,8 +180,6 @@ def read_aof_manifest(spark: SparkSession, aof_dir: str, expire_base_ms: int | N
     for name in base_files:
         # base_state_to_entries fans into two branches (data + expire);
         # persist the one-task binary parse so it runs once, not per branch
-        from pyspark import StorageLevel
-
         parsed = rdb.read_rdb_files(spark, os.path.join(aof_dir, name))
         n_spread = _spread_parts(os.path.join(aof_dir, name))
         if n_spread > 1:

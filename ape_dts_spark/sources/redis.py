@@ -290,7 +290,13 @@ def commands_to_entries(cmds: DataFrame, track_select: bool = False) -> DataFram
     # identical (same functions, same casts).
 
     def sql_map(d: dict[str, str]) -> str:
-        return "map(" + ", ".join(f"'{k}', '{v}'" for k, v in d.items()) + ")"
+        # keys/values are command-table constants today, but they travel as
+        # single-quoted SQL literals — escape quotes so a future data-driven
+        # entry can't silently produce broken or wrong SQL (ADVICE r17)
+        def q(s: str) -> str:
+            return s.replace("'", "''")
+
+        return "map(" + ", ".join(f"'{q(k)}', '{q(v)}'" for k, v in d.items()) + ")"
 
     simple_rtype = sql_map({k: v[0] for k, v in _SIMPLE.items()})
     simple_etype = sql_map({k: v[1] or "" for k, v in _SIMPLE.items()})
@@ -298,10 +304,12 @@ def commands_to_entries(cmds: DataFrame, track_select: bool = False) -> DataFram
     ml_etype = sql_map({k: v[1] for k, v in _MEMBER_LIST.items()})
     pl_rtype = sql_map({k: v[0] for k, v in _PAIR_LIST.items()})
     pl_etype = sql_map({k: v[1] for k, v in _PAIR_LIST.items()})
-    simple_names = ", ".join(f"'{k}'" for k in _SIMPLE)
-    pl_member_first = ", ".join(f"'{k}'" for k, v in _PAIR_LIST.items() if v[2])
+    simple_names = ", ".join("'" + k.replace("'", "''") + "'" for k in _SIMPLE)
+    pl_member_first = ", ".join(
+        "'" + k.replace("'", "''") + "'" for k, v in _PAIR_LIST.items() if v[2]
+    )
     non_a = ", ".join(
-        f"'{k}'"
+        "'" + k.replace("'", "''") + "'"
         for k in sorted(set(_MEMBER_LIST) | set(_PAIR_LIST)
                         | {"DEL", "UNLINK", "XADD", "XSETID", "XDEL"})
     )

@@ -463,6 +463,41 @@ def main() -> None:
             }
         )
     )
+    # r18 (VERDICT r17 item 2, additions-only): the driver's ~2 KB stdout tail
+    # truncates the first line's `queries` map away, so two rounds of
+    # PERF.per_query came back empty. Persist the FULL payload (incl. the
+    # per-query map) to BENCH_LOCAL.json at the repo root — committed each
+    # round so per-query deltas are driver-verifiable — and additionally
+    # chunk the map across several stdout lines so the tail capture retains
+    # at least the final chunks. The two pre-existing stdout lines are
+    # unchanged.
+    full_payload = {
+        "metric": "cdc_compact_apply_rps",
+        "value": rps,
+        "unit": "rows/sec",
+        "snapshot_rps": snapshot_rps,
+        "total_sec": total,
+        "queries": times,
+        "runs": runs,
+        "headline_runs": headline_runs,
+        "skipped": skipped,
+        "not_benched": not_benched,
+        "sf": sf,
+        "cpus": os.environ.get("SPARK_GRAFT_CPUS", ""),
+        **headline_detail,
+    }
+    try:
+        local_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
+        )
+        with open(local_path, "w") as f:
+            json.dump(full_payload, f, indent=1, sort_keys=True)
+    except OSError:
+        pass  # read-only checkout: stdout chunks below still carry the map
+    q_names = list(times)
+    for i in range(0, len(q_names), 8):
+        chunk = {k: times[k] for k in q_names[i : i + 8]}
+        print(json.dumps({"queries_chunk": i // 8, "queries": chunk, "sf": sf}))
     # The driver records only the last ~2 KB of stdout; once `queries` grew
     # past ~80 entries the leading headline fields of the line above were
     # truncated away (BENCH_r04.json parsed: null). Repeat the compact

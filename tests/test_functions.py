@@ -310,6 +310,33 @@ def test_shingles_expr_short_and_empty_strings(spark):
     assert out[2]["sh"] == []
 
 
+def test_char_fold_expr_matches_portable_hash_incl_cjk(spark):
+    # char_fold_expr must equal portable_hash_expr for ANY codepoints at every
+    # unroll width, including CJK/astral ones whose codepoints overflow int32
+    # arithmetic at n>=5 (ANSI ARITHMETIC_OVERFLOW before the BIGINT seed fix).
+    import random
+
+    rng = random.Random(181)
+    pools = [
+        "abcdefghijklmnopqrstuvwxyz 0123456789",
+        "一二三四五六七八九十",  # CJK
+        "\U0001f600\U0001f4a9\U0001f680\U00010400",  # astral
+        "éüßжω",  # latin-1 / cyrillic / greek
+    ]
+    for n in range(3, 8):
+        samples = []
+        for _ in range(12):
+            pool = rng.choice(pools)
+            samples.append("".join(rng.choice(pool) for _ in range(n)))
+        df = spark.createDataFrame([(s,) for s in samples], "s string")
+        rows = df.select(
+            F.expr(tx.char_fold_expr("s", n)).alias("fold"),
+            F.expr(tx.portable_hash_expr("s")).alias("agg"),
+        ).collect()
+        for s, r in zip(samples, rows):
+            assert r["fold"] == r["agg"], (n, s)
+
+
 def test_token_stats_counts(spark):
     df = spark.createDataFrame([("Hello, world! It's 42 degrees.",)], "text string")
     stats = tx.token_stats_exprs("text")
@@ -1108,6 +1135,56 @@ def test_bpe_learn_sennrich_corpus(spark):
         (5, "lo", "w", 7),
         (6, "e", "w", 6),
     ]
+
+
+def test_tokenizer_single_task_matches_distributed(spark, monkeypatch):
+    """The vocab-bounded single-task trainer route must be bit-identical to
+    the distributed K-step loops for every tokenizer family (the same
+    contract as the connected-components engine-equivalence tests)."""
+    rows = [(i, w) for i, w in enumerate(
+        ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+        + ["aaaa"] * 2 + ["wide widest low99"] * 2)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def both(fn):
+        monkeypatch.setenv("SPARK_GRAFT_TOKENIZER_SINGLE_TASK_WORDS", "0")
+        dist = sorted(tuple(r) for r in fn().collect())
+        monkeypatch.setenv("SPARK_GRAFT_TOKENIZER_SINGLE_TASK_WORDS", "200000")
+        single = sorted(tuple(r) for r in fn().collect())
+        assert dist == single
+
+    both(lambda: tx.bpe_learn(docs, "text", k=5))
+    both(lambda: tx.bpe_encode(docs, "text", k=5))
+    both(lambda: tx.wordpiece_learn(docs, "text", k=5))
+    both(lambda: tx.wordpiece_encode(docs, "text", k=5))
+    both(lambda: tx.unigram_learn(docs, "text"))
+    both(lambda: tx.unigram_encode(docs, "text"))
+    both(lambda: tx.unigram_doc_tokens(docs, "text"))
+
+
+def test_perceptron_single_task_matches_distributed(spark, monkeypatch):
+    """The vectorized single-task perceptron/langid trainers must be
+    bit-identical to the distributed full-batch iterations."""
+    rows = [
+        (1, "the cat sat on the mat", "en"),
+        (2, "el gato y la casa y el rio", "es"),
+        (3, "the dog and the cat", "en"),
+        (4, "la casa de la abuela", "es"),
+        (5, "der hund und die katze", "de"),
+        (6, "je ne parle pas", "fr"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    def both(fn):
+        monkeypatch.setenv("SPARK_GRAFT_TRAINER_SINGLE_TASK_ROWS", "0")
+        dist = sorted(tuple(r) for r in fn().collect())
+        monkeypatch.setenv("SPARK_GRAFT_TRAINER_SINGLE_TASK_ROWS", "2000000")
+        single = sorted(tuple(r) for r in fn().collect())
+        assert dist == single
+        assert any(any(v not in (None, 0) for v in t[1:]) for t in dist)
+
+    both(lambda: tx.perceptron_train(docs, "lang = 'en'"))
+    both(lambda: tx.langid_train(docs, ("de", "en", "es", "fr")))
 
 
 def test_bpe_learn_empty_and_greedy_runs(spark):
