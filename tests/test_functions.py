@@ -272,6 +272,47 @@ def test_ngram_jaccard_finds_planted_duplicates(spark, sf_dir):
         assert planted.get((oid, oid + 100_000)) == 1.0
 
 
+def test_jaccard_pairs_matches_bruteforce_randomized(spark):
+    """r18: the PPJoin candidate filters (size ratio + PER-ROW positional
+    prune before the pair shuffle + ACCUMULATED per-pair positional bound
+    over the surviving rows) must be jointly LOSSLESS: on a random corpus
+    with a skewed shared vocabulary, the kernel's output equals the brute
+    -force all-pairs Jaccard at several thresholds."""
+    import itertools
+    import random
+
+    rng = random.Random(1837)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = []
+    for i in range(60):
+        k = rng.randint(1, 12)
+        # skewed draw: low-index tokens are hot -> high-df prefixes, which
+        # is exactly where the positional filters do their pruning
+        toks = {vocab[min(rng.randint(0, 29), rng.randint(0, 29))] for _ in range(k)}
+        rows.append((i, " ".join(sorted(toks))))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sets = {i: set(t.split()) for i, t in rows if t}
+    for t in (0.5, 0.7, 0.9):
+        got = {
+            (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+            for r in dd.jaccard_pairs(
+                df, "doc_id", threshold=t, max_candidate_fanout=None
+            ).collect()
+        }
+        want = set()
+        rep = {}  # identical-set collapse: min id represents, expand back
+        for i in sorted(sets):
+            key = frozenset(sets[i])
+            rep.setdefault(key, []).append(i)
+        ids = sorted(sets)
+        for a, b in itertools.combinations(ids, 2):
+            sa, sb = sets[a], sets[b]
+            j = len(sa & sb) / len(sa | sb)
+            if j >= t:
+                want.add((a, b, round(j, 9)))
+        assert got == want, f"threshold {t}: {got ^ want}"
+
+
 def test_jaccard_dense_guard_fires_and_sparse_passes(spark):
     """VERDICT r11: the exact PPJoin kernel is pair-density quadratic; the
     in-code guard must RAISE on a dense corpus (every doc shares every
