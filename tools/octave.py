@@ -87,19 +87,31 @@ def main() -> int:
     out: dict[str, dict] = {}
     for q in QUERIES:
         ts = {}
+        samples_all: dict[int, list] = {}
+        loads: dict[int, list] = {}
         for f in (1, FACTOR):
-            best = math.inf
-            for _ in range(2):
+            # r18: min-of-3 (was 2) + per-sample times and loadavg recorded
+            # in-artifact — the shared host shows multi-minute external
+            # bursts (observed loadavg 0.2 -> 41 with zero of our processes
+            # runnable) that inflated single r17/r18 octave readings 3x;
+            # spread + load in the artifact make a contaminated row visible
+            samples = []
+            for _ in range(3):
                 t0 = time.time()
                 qs[q](spark, dirs[f]).count()
-                best = min(best, time.time() - t0)
+                samples.append(round(time.time() - t0, 2))
                 clear_spark_blocks(spark)
-            ts[f] = round(best, 2)
-            print(f"x{f} {q} {best:.2f}s", flush=True)
+            ts[f] = min(samples)
+            samples_all[f] = samples
+            loads[f] = round(os.getloadavg()[0], 1)
+            print(f"x{f} {q} {ts[f]:.2f}s {samples} load={loads[f]}", flush=True)
         out[q] = {
             "x1_s": ts[1],
             "x16_s": ts[FACTOR],
             "alpha": round(math.log(ts[FACTOR] / ts[1]) / math.log(FACTOR), 2),
+            "x1_samples": samples_all[1],
+            "x16_samples": samples_all[FACTOR],
+            "loadavg": {"x1": loads[1], "x16": loads[FACTOR]},
         }
 
     # core paths: bench.py's exact headline formulas on the scaled corpus
