@@ -7159,75 +7159,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # impossible.
     return {
         # -- r15 window (machine-generated by tools/rotation.py; policy:
-        # -- 8 never-gated rows lead, then 4 force-rotated (fixture/oracle
+        # -- 0 never-gated rows lead, then 18 force-rotated (fixture/oracle
         # -- changed this round), then stalest-first by last-green round;
         # -- window tail sits at r12). Run the FULL tools/check.py
         # -- before freezing; rotated-out rows keep local-gate + pytest
         # -- coverage. -------------------------------------------------
-        "binlog_gtid_live": q_binlog_gtid_live,
-        "mongo_changestream_live": q_mongo_changestream_live,
-        "mongo_cs_ddl": q_mongo_cs_ddl,
-        "mongo_oplog_live": q_mongo_oplog_live,
-        "mongo_snapshot_live": q_mongo_snapshot_live,
-        "precheck_connection": q_precheck_connection,
-        "psync_tail": q_psync_tail,
-        "subscription_http_live": q_subscription_http_live,
-        "mysql_binlog_live": q_mysql_binlog_live,
-        "oplog_file_parse": q_oplog_file_parse,
-        "pg_replication_live": q_pg_replication_live,
-        "psync_snapshot": q_psync_snapshot,
-        "redis_statements": q_redis_statements,
-        "revenue_by_nation": q_revenue_by_nation,
-        "reverse_events": q_reverse_events,
-        "review": q_review,
-        "revise": q_revise,
-        "route_rename": q_route_rename,
-        "script_transform": q_script_transform,
-        "segment_rollup": q_segment_rollup,
-        "small_order_parts": q_small_order_parts,
-        "snapshot_resume": q_snapshot_resume,
-        "snapshot_sample": q_snapshot_sample,
-        "soft_delete_apply": q_soft_delete_apply,
-        "struct_revise": q_struct_revise,
-        "substring_contamination": q_substring_contamination,
-        "substring_dedup": q_substring_dedup,
-        "substring_dedup_clean": q_substring_dedup_clean,
-        "table_stats": q_table_stats,
-        "time_filter": q_time_filter,
-        "token_stats": q_token_stats,
-        "top_orders_per_cust": q_top_orders_per_cust,
-        "update_split": q_update_split,
-        "upsert_sql_batch": q_upsert_sql_batch,
-        "upsert_sql_mysql": q_upsert_sql_mysql,
-        "upsert_sql_pg": q_upsert_sql_pg,
-        "wire_roundtrip": q_wire_roundtrip,
-        "ann_ivf_index": q_ann_ivf_index,
-        "ann_ivfpq_index": q_ann_ivfpq_index,
-        "ann_lsh": q_ann_lsh,
-        "aof_manifest": q_aof_manifest,
-        "asof_attribution": q_asof_attribution,
-        "bpe_pairs": q_bpe_pairs,
-        "clf_score": q_clf_score,
-        "contamination": q_contamination,
-        "contamination_bloom": q_contamination_bloom,
-        "corpus_pipeline": q_corpus_pipeline,
-        "cosine_topk_np": q_cosine_topk_np,
-        "dcl_parse": q_dcl_parse,
-        "ddl_parse": q_ddl_parse,
+        "bpe_encode": q_bpe_encode,
+        "bpe_learn": q_bpe_learn,
+        "gif_decode": q_gif_decode,
+        "gif_frames": q_gif_frames,
+        "jaccard_pairs": q_jaccard_pairs,
+        "lang_id": q_lang_id,
+        "langid_apply": q_langid_apply,
+        "langid_train": q_langid_train,
+        "ngram_jaccard": q_ngram_jaccard,
+        "ngram_minhash": q_ngram_minhash,
+        "perceptron_train": q_perceptron_train,
+        "stateful_dedup": q_stateful_dedup,
+        "tiff_decode": q_tiff_decode,
+        "unigram_doc_tokens": q_unigram_doc_tokens,
+        "unigram_encode": q_unigram_encode,
+        "unigram_learn": q_unigram_learn,
+        "wordpiece_encode": q_wordpiece_encode,
+        "wordpiece_learn": q_wordpiece_learn,
         "doc_chunks": q_doc_chunks,
         "dsir_sample": q_dsir_sample,
         "embedding_dedup_keep": q_embedding_dedup_keep,
         "event_pivot": q_event_pivot,
         "fk_apply_order": q_fk_apply_order,
         "fluid_roundtrip": q_fluid_roundtrip,
-        "gif_decode": q_gif_decode,
-        "gif_frames": q_gif_frames,
         "gtid_coalesce": q_gtid_coalesce,
         "interval_join_errors": q_interval_join_errors,
         "ivfpq_append": q_ivfpq_append,
         "jpeg_progressive_decode": q_jpeg_progressive_decode,
         "json_extract": q_json_extract,
-        "lang_id": q_lang_id,
         "length_quantiles": q_length_quantiles,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_frames": q_multimodal_frames,
@@ -7258,8 +7223,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "avi_audio_features": q_avi_audio_features,
         "bigram_lm_score": q_bigram_lm_score,
         "binlog_order": q_binlog_order,
-        "bpe_encode": q_bpe_encode,
-        "bpe_learn": q_bpe_learn,
         "c4_rules": q_c4_rules,
         "ccnet_buckets": q_ccnet_buckets,
         "cdc_apply_state": q_cdc_apply_state,
@@ -7290,11 +7253,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "netpbm_decode": q_netpbm_decode,
         "pagerank": q_pagerank,
         "part_supplier_counts": q_part_supplier_counts,
-        "perceptron_train": q_perceptron_train,
         "png_decode": q_png_decode,
         "png_full_decode": q_png_full_decode,
         "precheck_cdc": q_precheck_cdc,
-        "tiff_decode": q_tiff_decode,
         "triangle_counts": q_triangle_counts,
         "video_frames": q_video_frames,
         "waiting_suppliers": q_waiting_suppliers,
@@ -7316,8 +7277,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "important_parts": q_important_parts,
         "kmv_jaccard": q_kmv_jaccard,
         "kmv_sketch": q_kmv_sketch,
-        "langid_apply": q_langid_apply,
-        "langid_train": q_langid_train,
         "large_orders": q_large_orders,
         "merge_compact": q_merge_compact,
         "minhash_lsh": q_minhash_lsh,
@@ -7325,7 +7284,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "multimodal_resize": q_multimodal_resize,
         "nation_trade_flows": q_nation_trade_flows,
-        "ngram_minhash": q_ngram_minhash,
         "orc_roundtrip": q_orc_roundtrip,
         "orc_sequenced": q_orc_sequenced,
         "partition_lanes": q_partition_lanes,
@@ -7357,14 +7315,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cluster": q_dedup_cluster,
         "doc_fingerprint": q_doc_fingerprint,
         "event_filter": q_event_filter,
-        "jaccard_pairs": q_jaccard_pairs,
         "kafka_segment_parse": q_kafka_segment_parse,
         "lapsed_customers": q_lapsed_customers,
         "merge_spill": q_merge_spill,
         "minhash_incremental": q_minhash_incremental,
         "mongo_compact": q_mongo_compact,
         "mongo_statements": q_mongo_statements,
-        "ngram_jaccard": q_ngram_jaccard,
         "order_count_histogram": q_order_count_histogram,
         "parts_never_shipped": q_parts_never_shipped,
         "phash_incremental": q_phash_incremental,
@@ -7379,7 +7335,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_counts": q_sliding_counts,
         "source_caps": q_source_caps,
         "span_dedup": q_span_dedup,
-        "stateful_dedup": q_stateful_dedup,
         "stream_e2e": q_stream_e2e,
         "stream_join": q_stream_join,
         "struct_check_report": q_struct_check_report,
@@ -7388,13 +7343,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topterms": q_tfidf_topterms,
         "top_supplier": q_top_supplier,
         "topic_route": q_topic_route,
-        "unigram_doc_tokens": q_unigram_doc_tokens,
-        "unigram_encode": q_unigram_encode,
-        "unigram_learn": q_unigram_learn,
         "video_dup_pairs": q_video_dup_pairs,
         "video_incremental": q_video_incremental,
-        "wordpiece_encode": q_wordpiece_encode,
-        "wordpiece_learn": q_wordpiece_learn,
+        "ann_ivf_index": q_ann_ivf_index,
+        "ann_ivfpq_index": q_ann_ivfpq_index,
+        "ann_lsh": q_ann_lsh,
+        "aof_manifest": q_aof_manifest,
+        "asof_attribution": q_asof_attribution,
+        "binlog_gtid_live": q_binlog_gtid_live,
+        "bpe_pairs": q_bpe_pairs,
+        "clf_score": q_clf_score,
+        "contamination": q_contamination,
+        "contamination_bloom": q_contamination_bloom,
+        "corpus_pipeline": q_corpus_pipeline,
+        "cosine_topk_np": q_cosine_topk_np,
+        "dcl_parse": q_dcl_parse,
+        "ddl_parse": q_ddl_parse,
+        "mongo_changestream_live": q_mongo_changestream_live,
+        "mongo_cs_ddl": q_mongo_cs_ddl,
+        "mongo_oplog_live": q_mongo_oplog_live,
+        "mongo_snapshot_live": q_mongo_snapshot_live,
+        "mysql_binlog_live": q_mysql_binlog_live,
+        "oplog_file_parse": q_oplog_file_parse,
+        "pg_replication_live": q_pg_replication_live,
+        "precheck_connection": q_precheck_connection,
+        "psync_snapshot": q_psync_snapshot,
+        "psync_tail": q_psync_tail,
+        "redis_statements": q_redis_statements,
+        "revenue_by_nation": q_revenue_by_nation,
+        "reverse_events": q_reverse_events,
+        "review": q_review,
+        "revise": q_revise,
+        "route_rename": q_route_rename,
+        "script_transform": q_script_transform,
+        "segment_rollup": q_segment_rollup,
+        "small_order_parts": q_small_order_parts,
+        "snapshot_resume": q_snapshot_resume,
+        "snapshot_sample": q_snapshot_sample,
+        "soft_delete_apply": q_soft_delete_apply,
+        "struct_revise": q_struct_revise,
+        "subscription_http_live": q_subscription_http_live,
+        "substring_contamination": q_substring_contamination,
+        "substring_dedup": q_substring_dedup,
+        "substring_dedup_clean": q_substring_dedup_clean,
+        "table_stats": q_table_stats,
+        "time_filter": q_time_filter,
+        "token_stats": q_token_stats,
+        "top_orders_per_cust": q_top_orders_per_cust,
+        "update_split": q_update_split,
+        "upsert_sql_batch": q_upsert_sql_batch,
+        "upsert_sql_mysql": q_upsert_sql_mysql,
+        "upsert_sql_pg": q_upsert_sql_pg,
+        "wire_roundtrip": q_wire_roundtrip,
     }
 
 

@@ -36,11 +36,29 @@ WINDOW = 50
 # ValueError confinement on read AND send paths), so their r15 greens
 # attest superseded client code; oplog_file_parse's fixture builder was
 # refactored into the shared _ensure_oplog_fixture (tag moved).
+# r18: the optimization round's touched paths — state bucketing
+# (stateful_dedup), PPJoin accumulated bound (jaccard family), single-task
+# trainer routes (tokenizer/perceptron families), BIGINT shingle-fold seed
+# (langid family), LZW bit-reader (gif/tiff decoders)
 FORCE = [
-    "mysql_binlog_live",
-    "oplog_file_parse",
-    "pg_replication_live",
-    "psync_snapshot",
+    "stateful_dedup",
+    "jaccard_pairs",
+    "ngram_jaccard",
+    "ngram_minhash",
+    "bpe_learn",
+    "bpe_encode",
+    "wordpiece_learn",
+    "wordpiece_encode",
+    "unigram_learn",
+    "unigram_encode",
+    "unigram_doc_tokens",
+    "perceptron_train",
+    "langid_train",
+    "langid_apply",
+    "lang_id",
+    "gif_decode",
+    "gif_frames",
+    "tiff_decode",
 ]
 
 
